@@ -31,6 +31,10 @@ object GraftSession {
     // well past sf0.1; 64m leaves headroom without risking driver OOM.
     .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    // vectorized reader rejects; read as epoch-ns longs and convert
+    // (Tables.load truncates to µs, matching DuckDB's ns→µs cast).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
 }

@@ -1,0 +1,103 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Latest-row-per-key materialization — the engine's stand-in for the
+  * reference's Fluss primary-key "staging" tables
+  * (`flink-cdc/sql/tickets-cdc.sql:23-37` `PRIMARY KEY ... NOT ENFORCED`)
+  * and Paimon's `'merge-engine'='deduplicate'` sink
+  * (`flink-gen.sh:118-142`).
+  *
+  * Batch path: a single hash aggregation with `max_by` over a struct
+  * ordering — partial (map-side) combine, one shuffle on the key, no
+  * sort. This deliberately avoids the `row_number() OVER` formulation,
+  * which shuffles the same but then sorts every partition; at 100 TB the
+  * sort is the difference between an agg that spills gracefully and a
+  * window that dominates the stage.
+  */
+object Upsert {
+
+  /** Keep the row with the greatest `ord` tuple per `keys` group.
+    * `ord` must be a total order within a key (include a unique
+    * tie-breaker column). */
+  def latestByKey(df: DataFrame, keys: Seq[String], ord: Seq[String]): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains).toSeq
+    val ordStruct = struct(ord.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), ordStruct).as("__latest"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c")): _*)
+      // restore the caller's column order
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** Apply a changelog batch onto a materialized state table (both plain
+    * row DataFrames / envelope DataFrames) and return the new state.
+    *
+    * Semantics of the reference's upsert sink (`tickets-cdc.sql:68-77`
+    * `INSERT INTO <pk-table> SELECT ...`): per key, the newest event
+    * wins; a delete removes the key. Existing state participates as a
+    * timestamp −∞ pseudo-insert, so replay is idempotent.
+    */
+  def applyChangelog(state: Option[DataFrame], changes: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val rowType = changes.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val keyOf = (side: String) => struct(keys.map(k => col(s"$side.$k")): _*)
+    val normalized = changes.select(
+      // NB struct(after.k) is non-null even when `after` is — guard on
+      // the envelope side's own nullity, not the extracted fields'.
+      when(col("after").isNotNull, keyOf("after"))
+        .otherwise(keyOf("before")).as("__k"),
+      col("ts_ms"), col("op"), col("after"),
+      monotonically_increasing_id().as("__seq"))
+    val stateAsEvents = state.map { s =>
+      s.select(struct(keys.map(col): _*).as("__k"),
+        lit(Long.MinValue).as("ts_ms"), lit(ChangeEvent.OpCreate).as("op"),
+        struct(rowType.fieldNames.toSeq.map(col): _*).as("after"),
+        lit(Long.MinValue).as("__seq"))
+    }
+    val all = stateAsEvents.fold(normalized)(_.unionByName(normalized))
+    latestByKey(all, Seq("__k"), Seq("ts_ms", "__seq"))
+      .filter(col("op") =!= ChangeEvent.OpDelete)
+      .select(col("after.*"))
+  }
+
+  /** Typed changelog envelope for the streaming materializer. */
+  final case class Envelope[T](op: String, tsMs: Long, before: Option[T], after: Option[T])
+
+  /** Continuous latest-by-key materialization over a changelog stream:
+    * `flatMapGroupsWithState` in update mode emits, per trigger, the new
+    * current row for every key that changed — exactly the changelog a
+    * Fluss PK table produces for downstream readers
+    * (reference `revenue-analytics.sql:62-63` reads staging tables as
+    * updating streams). State is one row per key (bounded by key
+    * cardinality, not stream length). */
+  def materializeStream[K, T](events: Dataset[Envelope[T]], key: Envelope[T] => K)(
+      implicit ke: Encoder[K], se: Encoder[(Long, Option[T])],
+      oe: Encoder[(K, Option[T])]): Dataset[(K, Option[T])] = {
+    events.groupByKey(key)
+      .flatMapGroupsWithState[(Long, Option[T]), (K, Option[T])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (k, evs, state: GroupState[(Long, Option[T])]) =>
+          val current = state.getOption.getOrElse((Long.MinValue, None: Option[T]))
+          val newest = evs.foldLeft(current) { case (acc @ (ts, _), e) =>
+            if (e.tsMs >= ts)
+              (e.tsMs, if (e.op == ChangeEvent.OpDelete) None else e.after)
+            else acc
+          }
+          state.update(newest)
+          Iterator.single((k, newest._2))
+      }
+  }
+
+  /** Batch top-1-per-key via window (reference Paimon-dedup batch analog,
+    * `row_number() over (partition by pk order by ts desc) = 1`) — kept
+    * for oracle parity; prefer [[latestByKey]] in plans. */
+  def latestByKeyWindow(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

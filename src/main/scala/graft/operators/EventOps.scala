@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.cdc.Upsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Event-stream operators over the `events` table — the batch-queryable
+  * faces of the reference's streaming surface (kinesis JSON source
+  * `flink-gen.sh:94-110`, watermarked event-time, latest-by-key dedup
+  * sink `flink-gen.sh:118-142`).
+  */
+object EventOps {
+
+  /** Latest event per user — the Fluss-PK-table batch view
+    * (reference `tickets-cdc.sql:23-37`): one hash-agg shuffle on the
+    * key via max_by, no per-partition sort. */
+  def latestByUser(events: DataFrame): DataFrame =
+    Upsert.latestByKey(events, Seq("user_id"), Seq("ts", "event_id"))
+
+  /** Changelog join: materialized latest state joined onto a dimension
+    * (reference `revenue-analytics.sql:62-63`, tickets_staging ⋈
+    * movies_staging). Dimension broadcasts; the state side keeps its
+    * agg partitioning. */
+  def latestJoinCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    latestByUser(events)
+      .join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"), col("c_name").as("user_name"),
+        col("c_mktsegment").as("segment"))
+
+  /** Tumbling event-time window aggregate — batch analog of
+    * `df.withWatermark(...).groupBy(window(...))`; the reference's agg
+    * is unwindowed (`revenue-analytics.sql:46-65`) but windowing is the
+    * canonical event-time op its watermark machinery exists for. Money
+    * summed as exact decimals (engine-independent). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total_value"))
+
+  /** JSON decode of the payload column — the Kinesis source's
+    * `'format'='json'` against a declared schema (`flink-gen.sh:109`). */
+  def decodeProps(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+
+  /** Scalar-expression surface of the reference in one operator:
+    * CASE WHEN on a status enum (`revenue-analytics.sql:53-58`),
+    * COALESCE null-default (`gen_data.py:33`), equality predicates and
+    * timestamp extraction. */
+  def enriched(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0)).as("purchase_value"),
+      coalesce(col("value"), lit(0.0)).as("value_or_zero"),
+      (col("event_type") === "error").cast("int").as("is_error"),
+      hour(col("ts")).as("event_hour"))
+}

@@ -14,8 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as epoch-ns
+    // long (legacy.parquet.nanosAsLong) — truncate to µs TimestampType,
+    // bit-identical to DuckDB's CAST(ts_ns AS TIMESTAMP).
+    if (table == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every table of a scale dir as a temp view so `spark.sql`
     * queries resolve the same names the DuckDB oracle sees. */

@@ -1,0 +1,90 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+case class Ticket(ticket_id: Long, status: String, cost: Double)
+
+/** CDC upsert semantics — the reference's PK-table behavior
+  * (tickets-cdc.sql:23-37; event mix of gen_data.py:171-200 incl.
+  * scheduled→live→finished status transitions). */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(op: String, ts: Long, t: Ticket) =
+    (op, ts, if (op == "d") Some(t) else None, if (op == "d") None else Some(t))
+
+  private def changesDf(rows: Seq[(String, Long, Option[Ticket], Option[Ticket])]) =
+    rows.toDF("op", "ts_ms", "before", "after")
+
+  test("latestByKey keeps newest row per key without sorting partitions") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("id", "ts", "v")
+    val out = Upsert.latestByKey(df, Seq("id"), Seq("ts")).orderBy("id")
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 20L, "b"), (2L, 5L, "c")))
+  }
+
+  test("latestByKey tie-breaks on secondary order column") {
+    val df = Seq((1L, 10L, 1L, "first"), (1L, 10L, 2L, "second"))
+      .toDF("id", "ts", "seq", "v")
+    val out = Upsert.latestByKey(df, Seq("id"), Seq("ts", "seq"))
+      .select("v").as[String].collect()
+    assert(out.toSeq == Seq("second"))
+  }
+
+  test("applyChangelog: insert, update, delete, late-event ignored") {
+    val t1 = Ticket(1, "scheduled", 10.0)
+    val changes = changesDf(Seq(
+      env("c", 1, t1),
+      env("u", 3, t1.copy(status = "live")),      // status transition
+      env("u", 2, t1.copy(status = "IGNORED")),   // older ts loses
+      env("c", 1, Ticket(2, "scheduled", 5.0)),
+      env("d", 2, Ticket(2, "scheduled", 5.0))))  // delete removes key
+    val state = Upsert.applyChangelog(None, changes, Seq("ticket_id"))
+      .as[Ticket].collect().sortBy(_.ticket_id)
+    assert(state.toSeq == Seq(Ticket(1, "live", 10.0)))
+  }
+
+  test("applyChangelog onto existing state is idempotent on replay") {
+    val s0 = Seq(Ticket(1, "scheduled", 10.0), Ticket(3, "finished", 7.0)).toDF()
+    val changes = changesDf(Seq(
+      env("u", 5, Ticket(1, "live", 10.0)),
+      env("c", 5, Ticket(4, "scheduled", 1.0))))
+    val once = Upsert.applyChangelog(Some(s0), changes, Seq("ticket_id"))
+    val twice = Upsert.applyChangelog(Some(once), changes, Seq("ticket_id"))
+    val expect = Set(Ticket(1, "live", 10.0), Ticket(3, "finished", 7.0),
+      Ticket(4, "scheduled", 1.0))
+    assert(once.as[Ticket].collect().toSet == expect)
+    assert(twice.as[Ticket].collect().toSet == expect)
+  }
+
+  test("materializeStream emits latest per key across triggers, honors delete") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Upsert.Envelope[Ticket]]
+    val out = Upsert.materializeStream[Long, Ticket](
+      mem.toDS(), e => e.after.orElse(e.before).get.ticket_id)
+    val q = out.writeStream.format("memory").queryName("mv_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Upsert.Envelope("c", 1L, None, Some(Ticket(1, "scheduled", 10.0))),
+        Upsert.Envelope("c", 1L, None, Some(Ticket(2, "scheduled", 4.0))))
+      q.processAllAvailable()
+      mem.addData(
+        Upsert.Envelope("u", 2L, Some(Ticket(1, "scheduled", 10.0)),
+          Some(Ticket(1, "live", 10.0))),
+        Upsert.Envelope("d", 3L, Some(Ticket(2, "scheduled", 4.0)), None))
+      q.processAllAvailable()
+      val rows = spark.table("mv_state").collect()
+        .map(r => (r.getLong(0), Option(r.getStruct(1)).map(_.getString(1))))
+      // last emission per key wins
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      assert(latest == Map(1L -> Some("live"), 2L -> None))
+    } finally q.stop()
+  }
+}
