@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table state — the engine's stand-in for a Fluss
+  * PK-table's key-value tablet plus its Paimon/Iceberg lake tier
+  * (reference `'table.datalake.enabled'='true'`,
+  * `flink-cdc/sql/tickets-cdc.sql:35-36`; tiering job `deploy:318-358`).
+  *
+  * Each commit writes `dir/v=<version>/` then the reader resolves the
+  * max committed version — snapshot isolation without a table format
+  * dependency. Version = streaming batchId, which makes `foreachBatch`
+  * replay after failure idempotent (re-writing the same version is a
+  * no-op overwrite): checkpoint + idempotent sink = the effective
+  * exactly-once the reference configures
+  * (`'execution.checkpointing.mode'='EXACTLY_ONCE'`, tickets-cdc.sql:3).
+  */
+final class StateStore(spark: SparkSession, dir: String) {
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+  private val base = new org.apache.hadoop.fs.Path(dir)
+
+  def latestVersion: Option[Long] =
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .reduceOption(_ max _)
+
+  def read(): Option[DataFrame] =
+    latestVersion.map(v => spark.read.parquet(s"$dir/v=$v"))
+
+  /** Commit a new version. Overwrite of an existing version (failure
+    * replay) is idempotent by construction. */
+  def write(df: DataFrame, version: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/v=$version")
+
+  /** Drop versions older than the newest `keep` (bounded storage; the
+    * reference's Paimon snapshots expire the same way). */
+  def expire(keep: Int = 2): Unit = latestVersion.foreach { latest =>
+    fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        p.getName.stripPrefix("v=").toLong <= latest - keep)
+      .foreach(p => fs.delete(p, true))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Revenue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** End-to-end streaming test (SURVEY §5.4): replay the gen_data.py
+  * event mix — inserts plus scheduled→live→finished status UPDATEs
+  * (gen_data.py:171-200) — through the full CDC→staging→MV pipeline and
+  * assert the MV equals a batch recomputation over final state
+  * (stream/batch equivalence). */
+class CdcPipelineSpec extends SparkSpec {
+  import CdcPipeline._
+  import spark.implicits._
+
+  private val ticketSchema = StructType(Seq(
+    StructField("ticket_id", LongType), StructField("movie_id", LongType),
+    StructField("user_id", LongType), StructField("cost", DecimalType(10, 2)),
+    StructField("status", StringType), StructField("purchased_at", TimestampType)))
+  private val movieSchema = StructType(Seq(
+    StructField("movie_id", LongType), StructField("title", StringType),
+    StructField("start_date", TimestampType), StructField("duration_minutes", IntegerType)))
+
+  private def ticket(id: Long, movie: Long, cost: String, status: String) =
+    s"""{"ticket_id":$id,"movie_id":$movie,"user_id":1,"cost":$cost,
+       |"status":"$status","purchased_at":"2026-01-01T00:00:0$id"}""".stripMargin.replace("\n", "")
+  private def movie(id: Long, title: String) =
+    s"""{"movie_id":$id,"title":"$title","start_date":"2026-02-01T00:00:00","duration_minutes":120}"""
+
+  test("changelog replay: staging upsert, MV retraction on status flip and movie rename") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    val mem = MemoryStream[CdcRecord]
+    val tables = Seq(
+      TableSpec("tickets", ticketSchema, Seq("ticket_id")),
+      TableSpec("movies", movieSchema, Seq("movie_id")),
+      TableSpec("users", movieSchema /*unused*/ , Seq("movie_id")))
+    val h = CdcPipeline.start(spark, mem.toDF(), tables.take(2),
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
+
+    try {
+      // trigger 1: snapshot inserts
+      mem.addData(
+        CdcRecord("movies", "c", 1, null, movie(10, "Alpha")),
+        CdcRecord("movies", "c", 1, null, movie(20, "Beta")),
+        CdcRecord("tickets", "c", 2, null, ticket(1, 10, "10.00", "scheduled")),
+        CdcRecord("tickets", "c", 2, null, ticket(2, 10, "14.00", "scheduled")),
+        CdcRecord("tickets", "c", 2, null, ticket(3, 20, "8.00", "live")))
+      h.query.processAllAvailable()
+
+      val mv1 = h.mv().get.as[MvRow].collect().map(r => r.movie_id -> r).toMap
+      assert(mv1(10L).scheduled_tickets == 2 && mv1(10L).total_revenue == BigDecimal("24.00"))
+      assert(mv1(20L).live_tickets == 1)
+
+      // trigger 2: status transition + movie rename + a delete
+      mem.addData(
+        CdcRecord("tickets", "u", 3, ticket(1, 10, "10.00", "scheduled"),
+          ticket(1, 10, "10.00", "live")),
+        CdcRecord("movies", "u", 3, movie(10, "Alpha"), movie(10, "AlphaRenamed")),
+        CdcRecord("tickets", "d", 4, ticket(3, 20, "8.00", "live"), null))
+      h.query.processAllAvailable()
+
+      val mv2 = h.mv().get.as[MvRow].collect().map(r => r.movie_id -> r).toMap
+      // retraction: old scheduled bucket decremented, live incremented
+      assert(mv2(10L).scheduled_tickets == 1 && mv2(10L).live_tickets == 1)
+      assert(mv2(10L).total_revenue == BigDecimal("24.00"))
+      assert(mv2(10L).movie_title == "AlphaRenamed")
+      // deleted ticket removed its movie's only row from the inner join
+      assert(!mv2.contains(20L))
+
+      // stream/batch equivalence: MV == batch recompute over final state
+      val batchMv = Revenue.movieRevenue(
+        h.staging("tickets").get, h.staging("movies").get)
+      val stream = h.mv().get.collect().map(_.toSeq).toSet
+      val batch = batchMv.collect().map(_.toSeq).toSet
+      assert(stream == batch)
+    } finally h.query.stop()
+  }
+}
+
+case class MvRow(movie_id: Long, movie_title: String, total_revenue: BigDecimal,
+                 ticket_count: Long, avg_ticket_price: BigDecimal,
+                 scheduled_tickets: Long, live_tickets: Long, finished_tickets: Long,
+                 scheduled_revenue: BigDecimal, live_revenue: BigDecimal,
+                 finished_revenue: BigDecimal,
+                 start_date: java.sql.Timestamp, duration_minutes: Int,
+                 last_ticket_purchased: java.sql.Timestamp)
