@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Projections, Revenue}
+import graft.operators.{Dedup, EventOps, Projections, Revenue, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -49,7 +49,35 @@ object SparkEntry {
       sorted(EventOps.decodeProps(t(s, dir, "events")))),
     // Scalar expression surface: CASE WHEN / COALESCE / predicates.
     "q_scalar_exprs" -> ((s, dir) =>
-      sorted(EventOps.enriched(t(s, dir, "events"))))
+      sorted(EventOps.enriched(t(s, dir, "events")))),
+
+    // ---- training-data pipeline extensions (BASELINE.json) ----
+    "q_text_tokens" -> ((s, dir) =>
+      sorted(TextOps.tokenStats(t(s, dir, "documents")))),
+    "q_text_quality" -> ((s, dir) =>
+      sorted(TextOps.quality(t(s, dir, "documents")))),
+    "q_text_langid" -> ((s, dir) =>
+      sorted(TextOps.langId(t(s, dir, "documents")))),
+    "q_text_fingerprint" -> ((s, dir) =>
+      sorted(TextOps.fingerprint(t(s, dir, "documents")))),
+    "q_dedup_exact" -> ((s, dir) =>
+      sorted(Dedup.exact(t(s, dir, "documents")))),
+    "q_dedup_ngram" -> ((s, dir) =>
+      sorted(Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5))),
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      sorted(Dedup.minHashLsh(t(s, dir, "documents")))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      sorted(Dedup.simHash(t(s, dir, "documents")))),
+    "q_embed_neardup" -> ((s, dir) =>
+      sorted(Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4))),
+    "q_ann_bruteforce" -> ((s, dir) =>
+      sorted(Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint")))),
+    // Approximate (LSH) ANN: no SQL oracle by design — rows-only check;
+    // bruteForceTopK above is the exact reference.
+    "q_ann_lsh" -> ((s, dir) =>
+      sorted(Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))))
   )
 
   /** Deterministic output order: sort by every column (ties included)
@@ -130,6 +158,123 @@ object SparkEntry {
         |  COALESCE(value, CAST(0 AS DOUBLE)) AS value_or_zero,
         |  CAST(event_type = 'error' AS INTEGER) AS is_error,
         |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS event_hour
-        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_tokens" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len
+        |FROM t ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score
+        |FROM t)
+        |SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
+        |  distinct_ratio * 0.5 + stopword_ratio * 0.2 + len_score * 0.3 AS quality_score
+        |FROM q ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','en','que','los'], x))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','est','les'], x))) AS BIGINT) AS score_fr
+        |FROM t)
+        |SELECT doc_id, score_en, score_es, score_de, score_fr,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS predicted_lang
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh FROM t)
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+        |  list_min(list_transform(sh, x -> md5(x))) AS fingerprint
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+        |c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY hh)
+        |SELECT h.doc_id, c.canonical_id, h.doc_id <> c.canonical_id AS is_dup
+        |FROM h JOIN c USING (hh) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |      FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b,
+        |  CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) AS jaccard
+        |FROM p JOIN sz sza ON p.a = sza.doc_id JOIN sz szb ON p.b = szb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) >= 0.5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+        |  min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
+        |  min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
+        |  min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
+        |  FROM e GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '#' || mh1) AS bh FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(mh2 || '#' || mh3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(mh4 || '#' || mh5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(mh6 || '#' || mh7) FROM sig)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        |h AS (SELECT doc_id, md5(tk) AS hx FROM tok),
+        |b AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN (((CAST(strpos('0123456789abcdef', substr(hx, 1 + (j // 4), 1)) AS INT) - 1) >> (j % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(0, 60)) AS j) js
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM b GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_embed_neardup" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b,
+        |  list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.4
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, score FROM r WHERE rnk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

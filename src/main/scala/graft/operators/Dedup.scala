@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (north-star
+  * extensions, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine near-dup.
+  *
+  * Hashing is md5-hex everywhere — slower per byte than xxhash but
+  * bit-identical across engines (the DuckDB oracle computes the same
+  * strings), and still cheap relative to the shuffle the pairing step
+  * needs. Swap `HashFns.shingleHash` for `xxhash64` on a real cluster
+  * if profiling demands it; nothing downstream depends on the choice.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical = min doc_id among identical texts. Hash
+    * groupBy on md5(text) — one shuffle keyed by a 32-char digest, not
+    * the document body (at 100 TB shuffling full texts is the mistake
+    * this avoids). */
+  def exact(docs: DataFrame): DataFrame = {
+    val canon = docs
+      .select(md5(col("text")).as("__h"), col("doc_id"))
+      .groupBy("__h").agg(min("doc_id").as("canonical_id"))
+    docs.select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(canon, "__h")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Exploded (doc_id, shingle) pairs, distinct per doc. */
+  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    TextOps.withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** N-gram Jaccard near-dup pairs: J(a,b) = |A∩B| / |A∪B| ≥ threshold.
+    *
+    * Plan: explode distinct shingles → self-join on shingle (the only
+    * shuffle, keyed by shingle) → count per pair → join sizes →
+    * filter. Quadratic only within a shingle's posting list; at scale
+    * run [[minHashLsh]] first and Jaccard-verify only candidates.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash signatures: for seed s, minhash_s = lexicographic min of
+    * md5(s || '|' || shingle) — a valid min-wise hash family, portable
+    * across engines. One explode + k min-aggregates = a single shuffle
+    * on doc_id regardless of k. */
+  def minHashSignatures(docs: DataFrame, n: Int = 3, k: Int = 8): DataFrame =
+    shingleRows(docs, n).groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+        (1 until k).map(s =>
+          min(md5(concat(lit(s"$s|"), col("shingle"))))
+            .as(s"mh$s")): _*)
+
+  /** MinHash + LSH banding: k minhashes in `bands` bands of r = k/bands
+    * rows; docs sharing any band hash become candidate pairs. Candidate
+    * generation is a self-join keyed on (band, band_hash) — posting
+    * lists are tiny for random data, so the join is near-linear; skew
+    * from boilerplate-heavy buckets is AQE's skew-join case.
+    */
+  def minHashLsh(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sig = minHashSignatures(docs, n, k)
+    val banded = sig.select(col("doc_id"), posexplode(array(
+      (0 until bands).map(b =>
+        md5(concat_ws("#", (0 until r).map(i => col(s"mh${b * r + i}")): _*))): _*
+    )).as(Seq("band", "band_hash")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** SimHash (60-bit, frequency-weighted): bit j of the fingerprint is
+    * the sign of Σ_tokens (bit j of md5(token) ? +1 : −1). Hex-nibble
+    * bit extraction keeps it engine-portable; 60 bits stay clear of
+    * BIGINT sign. Narrow op: explode tokens → one groupBy(doc_id). */
+  def simHash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitCols = (0 until bits).map { j =>
+      val nibble = conv(substring(col("h"), 1 + j / 4, 1), 16, 10).cast("int")
+      sum(when(((nibble / (1 << (j % 4))).cast("int") % 2) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs by Hamming distance. Brute-force pairing;
+    * at scale, band the 60 bits into (bits/maxDist+1) blocks and join
+    * on exact block match first (pigeonhole), then verify. */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simHash(docs)
+    sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+  }
+
+  /** Embedding near-dup: pairs with dot-product similarity ≥ threshold
+    * (vectors are L2-normalized, so dot = cosine). Sequential-fold
+    * double accumulation matches the oracle's list_sum ordering. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("score", Similarity.dot(col("x.v"), col("y.v")))
+      .filter(col("score") >= threshold)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("score"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token stats, quality scoring, language ID,
+  * shingle fingerprinting. (North-star extensions beyond the
+  * reference's own surface — BASELINE.json.)
+  *
+  * All ops are narrow (no shuffle): per-row expressions built from
+  * codegen'd `functions._` higher-order functions over a split-once
+  * token array. At 100 TB these run at scan speed with column pruning —
+  * the parquet reader materializes only `doc_id` and `text`.
+  *
+  * Cross-engine determinism rule: integer arithmetic + single-rounded
+  * double divisions only (each division of exactly-computed integers is
+  * correctly rounded IEEE-754, so Spark and the DuckDB oracle agree
+  * bit-for-bit).
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Whitespace + regex-word token counting. */
+  def tokenStats(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    length(col("text")).cast("bigint").as("n_chars"),
+    size(toks).cast("bigint").as("n_tokens"),
+    size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"),
+    // BPE-ish regex token count: alphanumeric runs + single non-space symbols
+    size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)"))
+      .cast("bigint").as("n_regex_tokens"),
+    (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+      .cast("double") / size(toks)).as("mean_token_len"))
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality scoring: length, lexical diversity, stopword density.
+    * Score weights follow common pretraining-data heuristics (length
+    * saturation + diversity + stopword signal). */
+  def quality(docs: DataFrame): DataFrame = {
+    val n = size(toks)
+    val stopHits = size(filter(toks, t => t.isInCollection(stopEn)))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = stopHits.cast("double") / n
+    val lenScore = least(lit(1.0), n.cast("double") / lit(100.0))
+    docs.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      distinctRatio.as("distinct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (distinctRatio * 0.5 + stopRatio * 0.2 + lenScore * 0.3).as("quality_score"))
+  }
+
+  private val stopSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopEn,
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "les"))
+
+  /** N-gram/stopword language-ID heuristic: per-language stopword hit
+    * counts, argmax with fixed tie order en>es>de>fr. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = stopSets.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    docs.select(
+      col("doc_id") +: scores.map { case (l, c) => c.cast("bigint").as(s"score_$l") } :+
+      when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("predicted_lang"): _*)
+  }
+
+  /** Word n-gram shingles of the document, distinct, as an array column
+    * `shingles` (empty when the document is shorter than n). Shared by
+    * fingerprinting and the dedup family. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.withColumn("shingles", array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array())))
+
+  /** Document fingerprinting: minimum-hash shingle fingerprint (the
+    * 1-hash special case of winnowing; rolling windows collapse to the
+    * global min because every window contains the global minimum hash
+    * once w ≥ n_shingles). md5-hex min is engine-portable. */
+  def fingerprint(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingles(docs, n).select(
+      col("doc_id"),
+      size(col("shingles")).cast("bigint").as("n_shingles"),
+      array_min(transform(col("shingles"), s => md5(s))).as("fingerprint"))
+}
