@@ -14,70 +14,82 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, with the
+    * deterministic verify-path sort applied. Bench times [[ops]]
+    * (the raw operators) instead — the sort exists only so the driver's
+    * hash compare sees a stable row order. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawOps.map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => sorted(f(s, d)))
+    }
+
+  /** Raw operators, no output sort. */
+  def rawOps: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference flagship: movie_revenue_realtime MV analog
     // (revenue-analytics.sql:46-65) on lineitem⋈part.
     "q_revenue_mv" -> ((s, dir) =>
       Revenue.movieRevenue(
         Revenue.ticketsFromLineitem(t(s, dir, "lineitem")),
         Revenue.moviesFromPart(t(s, dir, "part")),
-        Revenue.testdataStatuses)
-      .orderBy("movie_id")),
+        Revenue.testdataStatuses)),
 
     // CDC projections (tickets-cdc.sql:69-77 etc.): projection+rename,
     // column pruning reaches the scan.
     "q_proj_tickets" -> ((s, dir) =>
-      sorted(Projections.tickets(t(s, dir, "lineitem")))),
+      Projections.tickets(t(s, dir, "lineitem"))),
     "q_proj_movies" -> ((s, dir) =>
-      sorted(Projections.movies(t(s, dir, "part")))),
+      Projections.movies(t(s, dir, "part"))),
     "q_proj_users" -> ((s, dir) =>
-      sorted(Projections.users(t(s, dir, "customer")))),
+      Projections.users(t(s, dir, "customer"))),
 
     // Fluss-PK-table stand-in: latest-by-key upsert materialization.
     "q_upsert_latest" -> ((s, dir) =>
-      sorted(EventOps.latestByUser(t(s, dir, "events")))),
+      EventOps.latestByUser(t(s, dir, "events"))),
     // Changelog join: latest state ⋈ broadcast dimension.
     "q_changelog_join" -> ((s, dir) =>
-      sorted(EventOps.latestJoinCustomer(
-        t(s, dir, "events"), t(s, dir, "customer")))),
+      EventOps.latestJoinCustomer(
+        t(s, dir, "events"), t(s, dir, "customer"))),
     // Event-time tumbling window aggregate.
     "q_window_agg" -> ((s, dir) =>
-      sorted(EventOps.tumblingCounts(t(s, dir, "events")))),
+      EventOps.tumblingCounts(t(s, dir, "events"))),
     // Kinesis-style JSON payload decode (flink-gen.sh:109).
     "q_json_decode" -> ((s, dir) =>
-      sorted(EventOps.decodeProps(t(s, dir, "events")))),
+      EventOps.decodeProps(t(s, dir, "events"))),
     // Scalar expression surface: CASE WHEN / COALESCE / predicates.
     "q_scalar_exprs" -> ((s, dir) =>
-      sorted(EventOps.enriched(t(s, dir, "events")))),
+      EventOps.enriched(t(s, dir, "events"))),
 
     // ---- training-data pipeline extensions (BASELINE.json) ----
     "q_text_tokens" -> ((s, dir) =>
-      sorted(TextOps.tokenStats(t(s, dir, "documents")))),
+      TextOps.tokenStats(t(s, dir, "documents"))),
     "q_text_quality" -> ((s, dir) =>
-      sorted(TextOps.quality(t(s, dir, "documents")))),
+      TextOps.quality(t(s, dir, "documents"))),
     "q_text_langid" -> ((s, dir) =>
-      sorted(TextOps.langId(t(s, dir, "documents")))),
+      TextOps.langId(t(s, dir, "documents"))),
     "q_text_fingerprint" -> ((s, dir) =>
-      sorted(TextOps.fingerprint(t(s, dir, "documents")))),
+      TextOps.fingerprint(t(s, dir, "documents"))),
     "q_dedup_exact" -> ((s, dir) =>
-      sorted(Dedup.exact(t(s, dir, "documents")))),
+      Dedup.exact(t(s, dir, "documents"))),
     "q_dedup_ngram" -> ((s, dir) =>
-      sorted(Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5))),
+      Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
-      sorted(Dedup.minHashLsh(t(s, dir, "documents")))),
+      Dedup.minHashLsh(t(s, dir, "documents"))),
     "q_dedup_simhash" -> ((s, dir) =>
-      sorted(Dedup.simHash(t(s, dir, "documents")))),
+      Dedup.simHash(t(s, dir, "documents"))),
     "q_embed_neardup" -> ((s, dir) =>
-      sorted(Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4))),
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
     "q_ann_bruteforce" -> ((s, dir) =>
-      sorted(Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
-        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint")))),
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
     // Approximate (LSH) ANN: no SQL oracle by design — rows-only check;
     // bruteForceTopK above is the exact reference.
     "q_ann_lsh" -> ((s, dir) =>
-      sorted(Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
-        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))))
+      Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    // Multimodal: binary payload column metadata pass (decode path is
+    // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
+    "q_multimodal_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.payloadMeta(t(s, dir, "documents")))
   )
 
   /** Deterministic output order: sort by every column (ties included)
@@ -275,6 +287,11 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, score FROM r WHERE rnk <= 5
-        |ORDER BY ALL NULLS FIRST""".stripMargin
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -42,7 +42,9 @@ object Dedup {
     * run [[minHashLsh]] first and Jaccard-verify only candidates.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(docs, n)
+    // join key = md5(shingle): fixed 32-byte shuffle key instead of the
+    // raw n-gram text (at scale the shuffle moves digests, not corpus)
+    val sh = shingleRows(docs, n).select(col("doc_id"), md5(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -125,7 +127,7 @@ object Dedup {
     * double accumulation matches the oracle's list_sum ordering. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
     val e = embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .withColumn("score", Similarity.dot(col("x.v"), col("y.v")))
       .filter(col("score") >= threshold)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.DotProduct
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -7,21 +8,20 @@ import org.apache.spark.sql.functions._
   * (`Array[Float]`, L2-normalized → dot = cosine).
   *
   * Baseline: brute-force top-k (exact, O(N·M·d) — the correctness
-  * oracle). Scale path: random-hyperplane LSH bucketing, which turns
-  * the all-pairs cross join into a per-bucket join; recall is tuned by
-  * `planes` (bucket granularity) and `probes` (multi-probe widening).
+  * oracle). Scale path: multi-table random-hyperplane LSH bucketing,
+  * which turns the all-pairs cross join into per-bucket joins.
   */
 object Similarity {
 
-  /** Sequential-fold dot product over double arrays — deterministic
-    * left-to-right accumulation (same result on any partitioning, and
-    * identical to the DuckDB oracle's list_sum fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product — a native codegen'd expression
+    * ([[graft.functions.DotProduct]]); bit-identical to the
+    * `aggregate(zip_with(...))` formulation and to DuckDB's list_sum
+    * fold, but whole-stage-codegen'd instead of CodegenFallback. */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   private def asDouble(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
 
   /** Exact brute-force cosine top-k per query vector. Deterministic
     * ranking: (score desc, neighbor id asc). The full cross join is the
@@ -40,51 +40,53 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim j): md5-derived nibble mapped to (−7.5 … 7.5). Reproducible on
-    * any engine/cluster with no RNG state. */
-  private def planeWeight(p: Int, j: Column): Column =
-    conv(substring(md5(concat(lit(s"plane$p|"), j.cast("string"))), 1, 1), 16, 10)
-      .cast("double") - 7.5
+  /** Deterministic pseudo-random hyperplane: md5-derived nibble per
+    * (plane, dim) mapped to (−7.5 … 7.5), materialized at plan time as
+    * a literal array (no per-row hashing). */
+  private def planeVector(p: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { j =>
+      val hex = md.digest(s"plane$p|$j".getBytes("UTF-8"))
+      ((hex(0) >> 4) & 0xf).toDouble - 7.5
+    }.toArray
+  }
 
-  /** Random-hyperplane LSH signatures, multi-table: for each of
-    * `tables` hash tables, `planes` sign bits → one bucket id. A pair
-    * is a candidate if it collides in ANY table — recall compounds as
-    * 1−(1−p^planes)^tables, so moderate per-table selectivity with
-    * several tables beats one long signature (the classic Indyk–Motwani
-    * trade). Output: one row per (vec_id, table) with its bucket. */
-  def lshBuckets(embeddings: DataFrame, tables: Int = 8, planes: Int = 4): DataFrame = {
+  /** Multi-table random-hyperplane LSH signatures: for each of `tables`
+    * hash tables, `planes` sign bits → one bucket id. A pair is a
+    * candidate if it collides in ANY table — recall compounds as
+    * 1−(1−p^planes)^tables (the classic Indyk–Motwani trade). */
+  def lshBuckets(embeddings: DataFrame, tables: Int = 8, planes: Int = 4,
+                 dims: Int = 64): DataFrame = {
     val e = asDouble(embeddings)
-    val dims = size(col("v"))
     val bucketFor = (t: Int) => (0 until planes).map { b =>
-      val p = t * planes + b
-      val proj = aggregate(
-        zip_with(col("v"), sequence(lit(0), dims - 1),
-          (x, j) => x * planeWeight(p, j)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(col("v"), typedLit(planeVector(t * planes + b, dims)))
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_ + _)
-    e.select(col("vec_id"), col("v"), posexplode(array(
+    e.select(col("vec_id"), posexplode(array(
       (0 until tables).map(bucketFor): _*)).as(Seq("table", "bucket")))
   }
 
-  /** LSH-bucketed ANN top-k: candidates = union over tables of
-    * same-bucket pairs; exact ranking over candidates. The all-pairs
-    * cross join becomes `tables` per-bucket joins shuffled on
-    * (table, bucket) — E[bucket size] = N / 2^planes, AQE splits skewed
-    * buckets. Approximate: recall < 1 by construction (rows-only
-    * correctness check; bruteForceTopK is the exact oracle — measured
-    * recall@5 ≈ 0.7 at 8 tables × 4 planes on the weakly-clustered sf0.01 vectors). */
+  /** LSH-bucketed ANN top-k. Candidate ids are deduped across tables
+    * BEFORE scoring (a pair colliding in many tables is scored once),
+    * then vectors join back by id for the exact ranking — at scale the
+    * bucket join shuffles (table, bucket) pairs of ids only, never the
+    * vectors. Approximate: recall < 1 by construction (rows-only
+    * correctness check; bruteForceTopK is the exact oracle — recall@5
+    * ≈ 0.67 at 8×4 on the weakly-clustered sf0.01 vectors). */
   def lshTopK(embeddings: DataFrame, k: Int = 5,
-              tables: Int = 8, planes: Int = 4): DataFrame = {
+              tables: Int = 8, planes: Int = 4, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = lshBuckets(embeddings, tables, planes)
-    val scored = b.as("q").join(b.as("c"),
+    val b = lshBuckets(embeddings, tables, planes, dims)
+    val candidates = b.as("q").join(b.as("c"),
         col("q.table") === col("c.table") && col("q.bucket") === col("c.bucket") &&
         col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        dot(col("q.v"), col("c.v")).as("score"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
+    val e = asDouble(embeddings)
+    val scored = candidates
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

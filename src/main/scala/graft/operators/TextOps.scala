@@ -76,13 +76,12 @@ object TextOps {
 
   /** Word n-gram shingles of the document, distinct, as an array column
     * `shingles` (empty when the document is shorter than n). Shared by
-    * fingerprinting and the dedup family. */
+    * fingerprinting and the dedup family. Native one-pass expression —
+    * see [[graft.functions.WordShingles]] for why not the declarative
+    * transform/slice/array_distinct chain. */
   def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.withColumn("shingles", array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array())))
+    docs.withColumn("shingles",
+      graft.functions.WordShingles(col("text"), n))
 
   /** Document fingerprinting: minimum-hash shingle fingerprint (the
     * 1-hash special case of winnowing; rolling windows collapse to the
