@@ -89,8 +89,29 @@ object SparkEntry {
     // Multimodal: binary payload column metadata pass (decode path is
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
     "q_multimodal_meta" -> ((s, dir) =>
-      graft.operators.Multimodal.payloadMeta(t(s, dir, "documents")))
+      graft.operators.Multimodal.payloadMeta(t(s, dir, "documents"))),
+
+    // SQL entry point (reference EP1, sql-client.sh): the SAME SQL text
+    // as the oracle, resolved through the session catalog's registered
+    // tables — engine-portable ANSI subset by construction.
+    "q_sql_pricing" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(PricingSql)
+    })
   )
+
+  /** TPC-H-Q1-flavored pricing summary, written in the ANSI subset both
+    * Spark and DuckDB parse identically (exact decimal arithmetic only). */
+  val PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  COUNT(*) AS count_order,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Deterministic output order: sort by every column (ties included)
     * so Spark and oracle row orders are comparable however the driver
@@ -292,6 +313,8 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
-        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_sql_pricing" -> PricingSql
   )
 }

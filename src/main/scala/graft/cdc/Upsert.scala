@@ -10,13 +10,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * and Paimon's `'merge-engine'='deduplicate'` sink
   * (`flink-gen.sh:118-142`).
   *
-  * Batch path: a single hash aggregation with `max_by` over a struct
-  * ordering — partial (map-side) combine, one shuffle on the key, no
-  * sort. This deliberately avoids the `row_number() OVER` formulation,
-  * which shuffles the same but then sorts every partition; at 100 TB the
-  * sort is the difference between an agg that spills gracefully and a
-  * window that dominates the stage.
-  */
+  * Batch path: a single aggregation with `max_by` over a struct
+  * ordering — partial (map-side) combine, ONE shuffle carrying only the
+  * per-partition winners. (With a struct payload the planner picks
+  * SortAggregate — hash agg needs fixed-width buffers — but the partial
+  * phase still shrinks the exchange to ≤ keys×partitions rows.) The
+  * `row_number() OVER` formulation is strictly worse at scale: it
+  * shuffles EVERY row, then sorts; a hot key lands on one task with no
+  * partial reduction. */
 object Upsert {
 
   /** Keep the row with the greatest `ord` tuple per `keys` group.

@@ -92,24 +92,14 @@ object Dedup {
   }
 
   /** SimHash (60-bit, frequency-weighted): bit j of the fingerprint is
-    * the sign of Σ_tokens (bit j of md5(token) ? +1 : −1). Hex-nibble
-    * bit extraction keeps it engine-portable; 60 bits stay clear of
-    * BIGINT sign. Narrow op: explode tokens → one groupBy(doc_id). */
-  def simHash(docs: DataFrame, bits: Int = 60): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", md5(col("t")))
-    val bitCols = (0 until bits).map { j =>
-      val nibble = conv(substring(col("h"), 1 + j / 4, 1), 16, 10).cast("int")
-      sum(when(((nibble / (1 << (j % 4))).cast("int") % 2) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(j =>
-          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+    * the sign of Σ_tokens (bit j of md5(token) ? +1 : −1). Native
+    * one-pass expression ([[graft.functions.SimHash64]]) — a narrow map
+    * at scan speed; the explode × 60-bit-column × groupBy formulation
+    * (which the SQL oracle still spells out) shuffles 25M agg cells at
+    * sf0.1 for the same answer. 60 bits stay clear of BIGINT sign. */
+  def simHash(docs: DataFrame, bits: Int = 60): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHash64(col("text"), bits).as("simhash"))
 
   /** SimHash near-dup pairs by Hamming distance. Brute-force pairing;
     * at scale, band the 60 bits into (bits/maxDist+1) blocks and join

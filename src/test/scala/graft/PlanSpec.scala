@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Projections, Revenue}
+import graft.cdc.Upsert
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests — the scale contract, asserted.
+  *
+  * These pin the physical properties that keep the engine viable at
+  * 100 TB: pruned scans, pushed filters, broadcast dimension joins,
+  * agg-based (sort-free) latest-by-key. A refactor that silently turns
+  * the broadcast join into a sort-merge join or widens a scan fails
+  * here, not in a cluster postmortem.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("revenue MV: broadcast join, pushed filters, pruned fact scan") {
+    val p = plan(Revenue.movieRevenue(
+      Revenue.ticketsFromLineitem(Tables.load(spark, dir, "lineitem")),
+      Revenue.moviesFromPart(Tables.load(spark, dir, "part")),
+      Revenue.testdataStatuses))
+    assert(p.contains("BroadcastHashJoin"), "dimension join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("IsNotNull(l_shipdate)"), "filter must reach the scan")
+    // fact scan reads only the 4 needed columns of lineitem's 11
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(s => s.contains("l_partkey") && !s.contains("l_quantity")
+      && !s.contains("l_orderkey")), s"fact scan not pruned: $readSchemas")
+  }
+
+  test("projection: column pruning reaches the parquet scan") {
+    val p = plan(Projections.movies(Tables.load(spark, dir, "part")))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("p_partkey") && !rs.contains("p_retailprice"),
+      s"unneeded column read: $rs")
+  }
+
+  test("latestByKey: partial+final aggregate, one exchange, no window") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, "x")).toDF("k", "ts", "v")
+    val p = plan(Upsert.latestByKey(df, Seq("k"), Seq("ts")))
+    // struct payloads make the planner choose SortAggregate (hash agg
+    // needs fixed-width buffers); the contract is: two-phase agg with
+    // map-side partial reduction, a single exchange, and no Window.
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) \w*Aggregate.*""")) == 2,
+      "partial+final aggregation expected")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "latest-by-key must shuffle once")
+    assert(!p.contains("Window"), "row_number window formulation regressed in")
+  }
+
+  test("pricing SQL through the catalog: partial+final agg, single exchange") {
+    Tables.registerAll(spark, dir)
+    val p = plan(spark.sql(SparkEntry.PricingSql))
+    assert(p.contains("HashAggregate"))
+    // two-phase agg = exactly one shuffle before the final sort
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges")
+  }
+}

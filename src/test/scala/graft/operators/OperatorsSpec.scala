@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Operator-level semantics the oracle can't see (invariants,
+  * degenerate inputs, hashing properties). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("revenue MV invariants: buckets sum to totals (randomized)") {
+    // property over seeded random workloads (reference invariant by
+    // construction of revenue-analytics.sql:50-58)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val statuses = Seq("scheduled", "live", "finished")
+      val ts = (1 to 40).map { i =>
+        (i.toLong, 1L + rnd.nextInt(5), 1L,
+          BigDecimal(850 + rnd.nextInt(1651)) / 100,
+          statuses(rnd.nextInt(3)), java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      }
+      val t = ts.toDF("ticket_id", "movie_id", "user_id", "cost", "status", "purchased_at")
+      val m = (1L to 5L).map(i => (i, s"m$i", java.sql.Timestamp.valueOf("2026-02-01 00:00:00"), 100))
+        .toDF("movie_id", "title", "start_date", "duration_minutes")
+      Revenue.movieRevenue(t, m).collect().foreach { r =>
+        val rev = Seq("scheduled_revenue", "live_revenue", "finished_revenue")
+          .map(c => BigDecimal(r.getDecimal(r.fieldIndex(c)))).sum
+        val cnt = Seq("scheduled_tickets", "live_tickets", "finished_tickets")
+          .map(c => r.getLong(r.fieldIndex(c))).sum
+        assert(BigDecimal(r.getDecimal(r.fieldIndex("total_revenue"))) == rev)
+        assert(r.getLong(r.fieldIndex("ticket_count")) == cnt)
+      }
+    }
+  }
+
+  test("shingles: known n-grams, short docs give empty array") {
+    val out = TextOps.withShingles(docs(1L -> "a b c d", 2L -> "x y"), 3)
+      .select("doc_id", "shingles").as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("shingles are distinct (repeated n-grams collapse)") {
+    val out = TextOps.withShingles(docs(1L -> "a b a b a b"), 3)
+      .select("shingles").as[Seq[String]].head()
+    assert(out == Seq("a b a", "b a b"))
+  }
+
+  test("exact dedup maps duplicates to min doc_id") {
+    val out = Dedup.exact(docs(1L -> "same", 2L -> "same", 3L -> "other"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    val out = Dedup.ngramJaccard(docs(
+      1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t"), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical texts agree; hamming grows with divergence") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val out = Dedup.simHash(docs(
+      1L -> base, 2L -> base,
+      3L -> base.replace("fox", "cat"),
+      4L -> "completely different words entirely unrelated content here"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(out(1L) == out(2L))
+    assert(ham(out(1L), out(3L)) < ham(out(1L), out(4L)))
+  }
+
+  test("simhash pairs: near-duplicates found, distant pairs excluded") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val pairs = Dedup.simHashPairs(docs(
+      1L -> base, 2L -> base, 3L -> "z1 z2 z3 z4 z5 z6 z7 z8"), maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force ANN: duplicated vector is its twin's top neighbor") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.6f, 0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vs, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L)
+  }
+
+  test("dot product expression equals the HOF formulation") {
+    val vs = Seq((1L, Array(0.1f, -0.2f, 0.3f)), (2L, Array(-0.4f, 0.5f, 0.6f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pair = vs.as("x").join(vs.as("y"), col("x.vec_id") < col("y.vec_id"))
+    val native = pair.select(Similarity.dot(col("x.v"), col("y.v"))).as[Double].head()
+    val hof = pair.select(
+      aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v)).as[Double].head()
+    assert(native == hof)
+  }
+
+  test("multi-table LSH candidates are a superset of exact top-1 for clustered data") {
+    // two tight clusters: LSH must recover within-cluster neighbors
+    val vs = (0 until 8).map { i =>
+      val base = if (i < 4) Array(1.0f, 0.0f, 0.05f * i, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f, 0.05f * i)
+      val n = math.sqrt(base.map(x => x * x).sum).toFloat
+      (i.toLong, base.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(vs, k = 3, dims = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // same-cluster neighbors collide in at least one of 8 tables
+    assert((0 until 4).forall(i => lsh.exists(p => p._1 == i && p._2 < 4)))
+  }
+}

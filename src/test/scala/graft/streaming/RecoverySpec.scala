@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Exactly-once = checkpoint + idempotent versioned sink (SURVEY §7e):
+  * kill the query, restart from the same checkpoint + state dirs, and
+  * the MV neither loses nor double-applies changes. */
+class RecoverySpec extends SparkSpec {
+  import CdcPipeline._
+  import spark.implicits._
+
+  private val ticketSchema = StructType(Seq(
+    StructField("ticket_id", LongType), StructField("movie_id", LongType),
+    StructField("user_id", LongType), StructField("cost", DecimalType(10, 2)),
+    StructField("status", StringType), StructField("purchased_at", TimestampType)))
+  private val movieSchema = StructType(Seq(
+    StructField("movie_id", LongType), StructField("title", StringType),
+    StructField("start_date", TimestampType), StructField("duration_minutes", IntegerType)))
+  private def specs = Seq(
+    TableSpec("tickets", ticketSchema, Seq("ticket_id")),
+    TableSpec("movies", movieSchema, Seq("movie_id")))
+
+  private def ticket(id: Long, cost: String, status: String) =
+    s"""{"ticket_id":$id,"movie_id":1,"user_id":1,"cost":$cost,"status":"$status","purchased_at":"2026-01-01T00:00:00"}"""
+
+  test("kill-and-restart: state and MV survive, no double counting") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-recovery").toString
+
+    val mem1 = MemoryStream[CdcRecord]
+    val h1 = CdcPipeline.start(spark, mem1.toDF(), specs,
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
+    mem1.addData(
+      CdcRecord("movies", "c", 1, null,
+        """{"movie_id":1,"title":"Solo","start_date":"2026-02-01T00:00:00","duration_minutes":90}"""),
+      CdcRecord("tickets", "c", 2, null, ticket(1, "10.00", "scheduled")),
+      CdcRecord("tickets", "c", 2, null, ticket(2, "5.00", "scheduled")))
+    h1.query.processAllAvailable()
+    h1.query.stop() // kill
+
+    // restart against the same checkpoint + state; new source instance
+    val mem2 = MemoryStream[CdcRecord]
+    val h2 = CdcPipeline.start(spark, mem2.toDF(), specs,
+      s"$dir/state", s"$dir/ckpt2", Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(
+        CdcRecord("tickets", "u", 3, ticket(1, "10.00", "scheduled"),
+          ticket(1, "10.00", "live")))
+      h2.query.processAllAvailable()
+      val mv = h2.mv().get.collect().head
+      assert(BigDecimal(mv.getDecimal(mv.fieldIndex("total_revenue"))) == BigDecimal("15.00"))
+      assert(mv.getLong(mv.fieldIndex("ticket_count")) == 2)     // not re-applied
+      assert(mv.getLong(mv.fieldIndex("live_tickets")) == 1)
+      assert(mv.getLong(mv.fieldIndex("scheduled_tickets")) == 1)
+    } finally h2.query.stop()
+  }
+
+  test("replaying an already-committed batch version is a no-op overwrite") {
+    val dir = Files.createTempDirectory("graft-idem").toString
+    val store = new StateStore(spark, s"$dir/t")
+    import spark.implicits._
+    store.write(Seq((1L, "a")).toDF("k", "v"), version = 7)
+    store.write(Seq((1L, "a")).toDF("k", "v"), version = 7) // failure replay
+    assert(store.latestVersion.contains(7L))
+    assert(store.read().get.count() == 1)
+  }
+}
