@@ -91,6 +91,18 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) =>
       graft.operators.Multimodal.payloadMeta(t(s, dir, "documents"))),
 
+    // Deterministic sampling (generator ORDER BY RANDOM() LIMIT analog).
+    "q_sample" -> ((s, dir) =>
+      EventOps.sampleOrders(t(s, dir, "orders"), 100)),
+    // Top-k: grouped decimal sum + sort + limit.
+    "q_topk_customers" -> ((s, dir) =>
+      EventOps.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"), 10)),
+    // Semi/anti joins.
+    "q_semi_join" -> ((s, dir) =>
+      EventOps.customersWithOpenOrders(t(s, dir, "customer"), t(s, dir, "orders"))),
+    "q_anti_join" -> ((s, dir) =>
+      EventOps.customersWithoutOpenOrders(t(s, dir, "customer"), t(s, dir, "orders"))),
+
     // SQL entry point (reference EP1, sql-client.sh): the SAME SQL text
     // as the oracle, resolved through the session catalog's registered
     // tables — engine-portable ANSI subset by construction.
@@ -315,6 +327,33 @@ object SparkEntry {
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    "q_sql_pricing" -> PricingSql
+    "q_sql_pricing" -> PricingSql,
+
+    "q_sample" ->
+      """SELECT * FROM (
+        |  SELECT * FROM orders
+        |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 100)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_topk_customers" ->
+      """SELECT * FROM (
+        |  SELECT c.c_custkey AS custkey, c.c_name AS name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2 ORDER BY revenue DESC, custkey LIMIT 10)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

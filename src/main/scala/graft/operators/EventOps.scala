@@ -47,6 +47,40 @@ object EventOps {
     events.select(col("event_id"),
       get_json_object(col("props"), "$.k").cast(LongType).as("k"))
 
+  /** Deterministic pseudo-random sample — the generator's `ORDER BY
+    * RANDOM() LIMIT n` (reference gen_data.py:131,176) made reproducible:
+    * order by md5(key) (uniform, engine-portable) with the key as
+    * tie-break. A global top-n: Spark's TakeOrderedAndProject keeps it
+    * one pass + driver-side n merge, no full sort materialization. */
+  def sampleOrders(orders: DataFrame, n: Int): DataFrame =
+    orders.orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      .limit(n)
+
+  /** Top-k aggregate (sort+limit over a grouped sum): biggest customers
+    * by exact decimal revenue. */
+  def topCustomers(orders: DataFrame, customer: DataFrame, k: Int): DataFrame =
+    orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
+        .cast(DecimalType(18, 2)).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(k)
+
+  /** Semi/anti joins — free on Spark (SURVEY §2.4), surfaced for
+    * completeness: customers with / without open orders. */
+  def customersWithOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  def customersWithoutOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
   /** Scalar-expression surface of the reference in one operator:
     * CASE WHEN on a status enum (`revenue-analytics.sql:53-58`),
     * COALESCE null-default (`gen_data.py:33`), equality predicates and

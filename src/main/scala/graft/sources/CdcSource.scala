@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.cdc.ChangeEvent
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming CDC sources — the engine's stand-in for the reference's
+  * `'connector'='postgres-cdc'` tables
+  * (reference `flink-cdc/sql/tickets-cdc.sql:43-64`).
+  *
+  * Spark has no Postgres logical-decoding source; production topology
+  * is Kafka+Debezium (`spark.readStream.format("kafka")` + the same
+  * [[jsonEnvelope]] decode). For tests and file-landed changelogs this
+  * reads a directory of JSON change records incrementally —
+  * `maxFilesPerTrigger` is the incremental-snapshot-parallelism analog
+  * (`'scan.incremental.snapshot.enabled'`, tickets-cdc.sql:63).
+  */
+object CdcSource {
+
+  /** Wire schema of a Debezium-style flat JSON change record. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("table", StringType), StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("before", StringType), StructField("after", StringType)))
+
+  /** Incremental file-based changelog stream: one JSON object per line,
+    * `{table, op, ts_ms, before, after}` with before/after as JSON
+    * strings of the row. */
+  def fromJsonDir(spark: SparkSession, dir: String,
+                  maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(wireSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Decode one table's slice of a wire stream into a typed envelope
+    * (CDC JSON decode — the Kinesis `'format'='json'` analog,
+    * flink-gen.sh:109). */
+  def jsonEnvelope(wire: DataFrame, table: String, rowSchema: StructType): DataFrame =
+    wire.filter(col("table") === table)
+      .select(col("op"), col("ts_ms"),
+        from_json(col("before"), rowSchema).as("before"),
+        from_json(col("after"), rowSchema).as("after"))
+
+  /** Snapshot-then-stream: the CDC source's initial-snapshot phase as a
+    * batch +I load unioned ahead of the incremental stream (SURVEY
+    * §2.1). Spark cannot union batch+stream directly, so the snapshot
+    * is replayed as the stream's first trigger: write it into the
+    * changelog dir as +I records before starting the file stream. */
+  def stageSnapshot(rows: DataFrame, changelogDir: String, table: String): Unit = {
+    ChangeEvent.snapshot(rows)
+      .select(lit(table).as("table"), col("op"), col("ts_ms"),
+        lit(null).cast(StringType).as("before"),
+        to_json(col("after")).as("after"))
+      .write.mode("append").json(changelogDir)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked event-time aggregation — the reference's watermark
+  * machinery (`WATERMARK FOR purchased_at AS purchased_at - INTERVAL
+  * '3' SECOND`, tickets-cdc.sql:30,50; 5 s for movies/users/events).
+  *
+  * The reference's own aggregate is unwindowed (SURVEY §2.6), so state
+  * never expires there; this operator is the windowed form the
+  * watermark exists for — with the watermark bounding state: windows
+  * older than (max event time − delay) are finalized and dropped, which
+  * is what makes an event-time aggregation run forever at 100 TB/day
+  * instead of accreting state.
+  */
+object EventTimeAgg {
+
+  /** Tumbling-window count/sum per event type with bounded
+    * out-of-orderness. Append mode emits each window once, when the
+    * watermark passes its end (the reference's early-fire variant is
+    * the same query in update mode — CdcPipeline's per-trigger MV). */
+  def tumbling(events: DataFrame, tsCol: String = "ts",
+               delay: String = "5 seconds",
+               window_ : String = "1 minute"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)                       // tickets-cdc.sql:30 analog
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Watermark semantics: in-order and tolerably-late rows count; rows
+  * later than the watermark delay are dropped once their window closed. */
+class EventTimeAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling append-mode agg finalizes windows at the watermark and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = EventTimeAgg.tumbling(
+      mem.toDF().toDF("ts", "event_type", "value"), delay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("wm_agg")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 00:00:10"), "click", 1.0),
+        (ts("2026-01-01 00:00:40"), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark past 00:01:00 + 5s → first window finalizes
+      mem.addData((ts("2026-01-01 00:01:30"), "click", 4.0))
+      q.processAllAvailable()
+      // this row belongs to the already-finalized first window → dropped
+      mem.addData((ts("2026-01-01 00:00:50"), "click", 100.0))
+      q.processAllAvailable()
+      // close the second window too
+      mem.addData((ts("2026-01-01 00:03:00"), "click", 8.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("wm_agg")
+        .select("window_start", "n", "total_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2026-01-01 00:00:00"), 2L, 3.0)),
+        s"first window must hold only the pre-watermark rows, got $rows")
+      assert(rows.contains((ts("2026-01-01 00:01:00"), 1L, 4.0)))
+      assert(!rows.exists(_._3 == 103.0), "late row leaked into a closed window")
+    } finally q.stop()
+  }
+}
