@@ -15,18 +15,26 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so measured times are the
-    // query, not first-run JIT + classloading.
-    SparkEntry.rawOps.get("q_revenue_mv")
-      .foreach(f => f(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save())
+    // JVM/codegen warmup: run EVERY query once at the smallest SF so
+    // measured times are the query, not first-run JIT + classloading
+    // (cold-vs-warm delta observed up to 6x on the hash-heavy ops).
+    SparkEntry.rawOps.toSeq.sortBy(_._1).foreach { case (_, f) =>
+      try f(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    // min of 2 measured runs: one-shot numbers at this scale are
+    // GC/JIT-noisy (observed 1.7s vs 11s for the same plan).
     val results = SparkEntry.rawOps.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
