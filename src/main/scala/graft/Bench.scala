@@ -39,7 +39,55 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val streamRate = streamingThroughput(spark)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming_rows_per_sec":$streamRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end CDC pipeline throughput: replay a synthetic ticket+movie
+    * changelog (inserts + status updates, the gen_data.py mix) through
+    * CdcPipeline and report rows/s. The reference's generator peaks at
+    * ~16 rows/s (BASELINE.md); this measures the engine's ceiling on
+    * the same topology. */
+  private def streamingThroughput(spark: SparkSession,
+                                  rows: Int = 20000, triggers: Int = 5): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcPipeline
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ticketSchema = StructType(Seq(
+      StructField("ticket_id", LongType), StructField("movie_id", LongType),
+      StructField("user_id", LongType), StructField("cost", DecimalType(10, 2)),
+      StructField("status", StringType), StructField("purchased_at", TimestampType)))
+    val movieSchema = StructType(Seq(
+      StructField("movie_id", LongType), StructField("title", StringType),
+      StructField("start_date", TimestampType), StructField("duration_minutes", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+    val mem = MemoryStream[CdcPipeline.CdcRecord]
+    val h = CdcPipeline.start(spark, mem.toDF(),
+      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id")),
+        CdcPipeline.TableSpec("movies", movieSchema, Seq("movie_id"))),
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
+    def ticket(id: Long, status: String) =
+      s"""{"ticket_id":$id,"movie_id":${id % 100},"user_id":${id % 1000},"cost":12.50,"status":"$status","purchased_at":"2026-01-01T00:00:00"}"""
+    try {
+      mem.addData((0L until 100L).map(m => CdcPipeline.CdcRecord("movies", "c", 0,
+        null, s"""{"movie_id":$m,"title":"m$m","start_date":"2026-02-01T00:00:00","duration_minutes":100}""")))
+      h.query.processAllAvailable()
+      val perTrigger = rows / triggers
+      val t0 = System.nanoTime()
+      (0 until triggers).foreach { tr =>
+        mem.addData((0 until perTrigger).map { i =>
+          val id = (tr.toLong * perTrigger + i) % (rows / 2)  // half are updates
+          CdcPipeline.CdcRecord("tickets", if (id < tr.toLong * perTrigger + i) "u" else "c",
+            tr + 1, null, ticket(id, if (tr % 2 == 0) "scheduled" else "live"))
+        })
+        h.query.processAllAvailable()
+      }
+      rows / ((System.nanoTime() - t0) / 1e9)
+    } finally h.query.stop()
   }
 }

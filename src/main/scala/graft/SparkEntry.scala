@@ -86,6 +86,12 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    // IVF ANN (k-means inverted lists + multi-probe): approximate by
+    // design — rows-only check, brute force is the exact reference.
+    "q_ann_ivf" -> ((s, dir) =>
+      graft.operators.IvfIndex.topK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+
     // Multimodal: binary payload column metadata pass (decode path is
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
     "q_multimodal_meta" -> ((s, dir) =>

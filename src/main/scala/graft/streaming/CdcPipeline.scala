@@ -41,9 +41,9 @@ object CdcPipeline {
   final case class TableSpec(name: String, schema: StructType, keys: Seq[String])
 
   final class Handle(val query: StreamingQuery,
-                     stores: Map[String, StateStore],
+                     stores: Map[String, BucketedStateStore],
                      val mvStore: StateStore) {
-    def staging(table: String): Option[DataFrame] = stores(table).read()
+    def staging(table: String): Option[DataFrame] = stores(table).readAll()
     def mv(): Option[DataFrame] = mvStore.read()
   }
 
@@ -57,8 +57,13 @@ object CdcPipeline {
   def start(spark: SparkSession, changelog: DataFrame, tables: Seq[TableSpec],
             stateDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
-            statuses: Revenue.StatusDomain = Revenue.osbStatuses): Handle = {
-    val stores = tables.map(t => t.name -> new StateStore(spark, s"$stateDir/${t.name}")).toMap
+            statuses: Revenue.StatusDomain = Revenue.osbStatuses,
+            buckets: Int = 4): Handle = {
+    // bucket.num=4 analog (tickets-cdc.sql:34): state is hash-bucketed
+    // by PK so a micro-batch rewrites only touched buckets, keeping the
+    // per-trigger write cost proportional to the change rate.
+    val stores = tables.map(t =>
+      t.name -> new BucketedStateStore(spark, s"$stateDir/${t.name}", buckets)).toMap
     val mvStore = new StateStore(spark, s"$stateDir/movie_revenue_realtime")
 
     val query = changelog.writeStream
@@ -67,24 +72,37 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
+          var anyChange = false
           tables.foreach { spec =>
             val slice = cached.filter(col("table") === spec.name)
             val envelope = slice.select(col("op"), col("ts_ms"),
               from_json(col("before"), spec.schema).as("before"),
-              from_json(col("after"), spec.schema).as("after"))
-            val store = stores(spec.name)
-            val newState = Upsert.applyChangelog(store.read(), envelope, spec.keys)
-              // bucket.num=4 analog (tickets-cdc.sql:34): cluster by PK
-              .repartition(4, spec.keys.map(col): _*)
-            store.write(newState, batchId)
-            store.expire()
+              from_json(col("after"), spec.schema).as("after")).cache()
+            try {
+              val store = stores(spec.name)
+              // same column shapes as writeBuckets' bucketOf(keys) —
+              // xxhash64(k1, k2) != xxhash64(struct(k1, k2))
+              val keyCols = spec.keys.map(k =>
+                when(col("after").isNotNull, col(s"after.$k"))
+                  .otherwise(col(s"before.$k")))
+              val touched = envelope.select(store.bucketOf(keyCols).as("b"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              if (touched.nonEmpty) {
+                anyChange = true
+                val newTouched = Upsert.applyChangelog(
+                  store.readBuckets(touched), envelope, spec.keys)
+                store.writeBuckets(newTouched, spec.keys, touched, batchId)
+              }
+            } finally { envelope.unpersist(); () }
           }
           // state-table join + agg over current materialized state
-          (stores("tickets").read(), stores("movies").read()) match {
-            case (Some(tickets), Some(movies)) =>
-              mvStore.write(Revenue.movieRevenue(tickets, movies, statuses), batchId)
-              mvStore.expire()
-            case _ => ()
+          if (anyChange) {
+            (stores("tickets").readAll(), stores("movies").readAll()) match {
+              case (Some(tickets), Some(movies)) =>
+                mvStore.write(Revenue.movieRevenue(tickets, movies, statuses), batchId)
+                mvStore.expire()
+              case _ => ()
+            }
           }
         } finally { cached.unpersist(); () }
       }
