@@ -68,7 +68,7 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
     val mem = MemoryStream[CdcPipeline.CdcRecord]
     val h = CdcPipeline.start(spark, mem.toDF(),
-      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id")),
+      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id")),
         CdcPipeline.TableSpec("movies", movieSchema, Seq("movie_id"))),
       s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
     def ticket(id: Long, status: String) =

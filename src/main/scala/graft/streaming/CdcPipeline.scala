@@ -19,17 +19,21 @@ import org.apache.spark.sql.types.StructType
   * Design choice (SURVEY §2.4): both join inputs are *updating* PK
   * tables, which Spark's native stream–stream join does not support —
   * so each micro-batch applies the changelog to materialized state and
-  * recomputes the join+agg over current state inside `foreachBatch`.
-  * That reproduces Flink's retraction semantics exactly: a ticket
-  * status flip decrements the old status bucket and increments the new
-  * one because the MV is a pure function of current state.
+  * recomputes join+agg over current state inside `foreachBatch`. That
+  * reproduces Flink's retraction semantics exactly: a ticket status
+  * flip decrements the old status bucket and increments the new one
+  * because the MV is a pure function of current state.
   *
-  * Scale notes: staging state is keyed parquet (bucketed by PK on
-  * write, `bucket.num=4` analog); the MV recompute is one broadcast
-  * join + one shuffle on the agg key. For very large state the
-  * recompute narrows to changed keys only (delta join) — the full
-  * recompute keeps semantics obvious and is what the sf-scale bench
-  * exercises.
+  * Scale design — incremental by co-location: every table's state is
+  * hash-bucketed by its DISTRIBUTION key (`TableSpec.dist`), which for
+  * the fact table is the AGGREGATION key (movie_id), not the PK. Facts,
+  * dimension and MV then share one bucket space, so a micro-batch
+  *   1. rewrites only the staging buckets its keys touch, and
+  *   2. recomputes the MV only for those buckets — a co-located
+  *      bucket-local join+agg, exact retraction semantics included
+  * — per-trigger cost tracks the change rate, not accumulated history
+  * (the reference's `'bucket.num'='4'`, tickets-cdc.sql:34, plays the
+  * same role for Fluss).
   */
 object CdcPipeline {
 
@@ -38,13 +42,19 @@ object CdcPipeline {
   case class CdcRecord(table: String, op: String, ts_ms: Long,
                        before: String, after: String)
 
-  final case class TableSpec(name: String, schema: StructType, keys: Seq[String])
+  /** @param keys primary key (latest-by-key identity)
+    * @param dist distribution (bucketing) key — defaults to the PK;
+    *             set to the downstream agg/join key for co-location */
+  final case class TableSpec(name: String, schema: StructType, keys: Seq[String],
+                             dist: Seq[String] = Seq.empty) {
+    def distKeys: Seq[String] = if (dist.nonEmpty) dist else keys
+  }
 
   final class Handle(val query: StreamingQuery,
                      stores: Map[String, BucketedStateStore],
-                     val mvStore: StateStore) {
+                     val mvStore: BucketedStateStore) {
     def staging(table: String): Option[DataFrame] = stores(table).readAll()
-    def mv(): Option[DataFrame] = mvStore.read()
+    def mv(): Option[DataFrame] = mvStore.readAll()
   }
 
   /** Start the pipeline over a changelog stream.
@@ -59,12 +69,10 @@ object CdcPipeline {
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             statuses: Revenue.StatusDomain = Revenue.osbStatuses,
             buckets: Int = 4): Handle = {
-    // bucket.num=4 analog (tickets-cdc.sql:34): state is hash-bucketed
-    // by PK so a micro-batch rewrites only touched buckets, keeping the
-    // per-trigger write cost proportional to the change rate.
     val stores = tables.map(t =>
       t.name -> new BucketedStateStore(spark, s"$stateDir/${t.name}", buckets)).toMap
-    val mvStore = new StateStore(spark, s"$stateDir/movie_revenue_realtime")
+    val mvStore = new BucketedStateStore(
+      spark, s"$stateDir/movie_revenue_realtime", buckets)
 
     val query = changelog.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -72,37 +80,60 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
-          var anyChange = false
-          tables.foreach { spec =>
+          // per-table staging upsert, touched-bucket granularity
+          val touchedByTable = tables.map { spec =>
             val slice = cached.filter(col("table") === spec.name)
             val envelope = slice.select(col("op"), col("ts_ms"),
               from_json(col("before"), spec.schema).as("before"),
               from_json(col("after"), spec.schema).as("after")).cache()
             try {
               val store = stores(spec.name)
-              // same column shapes as writeBuckets' bucketOf(keys) —
-              // xxhash64(k1, k2) != xxhash64(struct(k1, k2))
-              val keyCols = spec.keys.map(k =>
-                when(col("after").isNotNull, col(s"after.$k"))
-                  .otherwise(col(s"before.$k")))
-              val touched = envelope.select(store.bucketOf(keyCols).as("b"))
-                .distinct().collect().map(_.getInt(0)).toSeq
+              // both sides' distribution keys: an update that moves a
+              // row across buckets must touch source AND target bucket
+              // (same bare-column shapes as writeBuckets' bucketOf —
+              // xxhash64(k1, k2) != xxhash64(struct(k1, k2)))
+              val touched = Seq("after", "before").flatMap { side =>
+                envelope.filter(col(side).isNotNull)
+                  .select(store.bucketOf(
+                    spec.distKeys.map(k => col(s"$side.$k"))).as("b"))
+                  .distinct().collect().map(_.getInt(0))
+              }.distinct
               if (touched.nonEmpty) {
-                anyChange = true
                 val newTouched = Upsert.applyChangelog(
                   store.readBuckets(touched), envelope, spec.keys)
-                store.writeBuckets(newTouched, spec.keys, touched, batchId)
+                store.writeBuckets(newTouched, spec.distKeys, touched, batchId)
               }
+              spec.name -> touched
             } finally { envelope.unpersist(); () }
-          }
-          // state-table join + agg over current materialized state
-          if (anyChange) {
-            (stores("tickets").readAll(), stores("movies").readAll()) match {
-              case (Some(tickets), Some(movies)) =>
-                mvStore.write(Revenue.movieRevenue(tickets, movies, statuses), batchId)
-                mvStore.expire()
-              case _ => ()
-            }
+          }.toMap
+
+          // MV refresh. Incremental (bucket-local) ONLY when facts and
+          // dimension share the movie_id bucket space — otherwise the
+          // per-bucket join would see partial fact sets. Falls back to
+          // a full recompute when co-location wasn't requested.
+          val ticketsSpec = tables.find(_.name == "tickets")
+          val moviesSpec = tables.find(_.name == "movies")
+          val coLocated = ticketsSpec.exists(_.distKeys == Seq("movie_id")) &&
+            moviesSpec.exists(_.distKeys == Seq("movie_id"))
+          def emptyOf(s: StructType) =
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          val touchedMv =
+            if (coLocated)
+              (touchedByTable.getOrElse("tickets", Nil) ++
+                touchedByTable.getOrElse("movies", Nil)).distinct
+            else if (touchedByTable.valuesIterator.exists(_.nonEmpty))
+              0 until buckets
+            else Nil
+          if (touchedMv.nonEmpty && ticketsSpec.nonEmpty && moviesSpec.nonEmpty) {
+            // a side with no committed rows still yields (empty) MV
+            // buckets — an emptied dimension must retract its MV rows
+            val tickets = stores("tickets").readBuckets(touchedMv)
+              .getOrElse(emptyOf(ticketsSpec.get.schema))
+            val movies = stores("movies").readBuckets(touchedMv)
+              .getOrElse(emptyOf(moviesSpec.get.schema))
+            mvStore.writeBuckets(
+              Revenue.movieRevenue(tickets, movies, statuses),
+              Seq("movie_id"), touchedMv, batchId)
           }
         } finally { cached.unpersist(); () }
       }

@@ -39,7 +39,7 @@ class CdcSourceSpec extends SparkSpec {
 
     val h = CdcPipeline.start(spark,
       CdcSource.fromJsonDir(spark, changelog, maxFilesPerTrigger = 1),
-      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id")),
+      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id")),
         CdcPipeline.TableSpec("movies", movieSchema, Seq("movie_id"))),
       s"$dir/state", s"$dir/ckpt", Trigger.AvailableNow())
     try {

@@ -35,7 +35,7 @@ class CdcPipelineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-cdc").toString
     val mem = MemoryStream[CdcRecord]
     val tables = Seq(
-      TableSpec("tickets", ticketSchema, Seq("ticket_id")),
+      TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id")),
       TableSpec("movies", movieSchema, Seq("movie_id")),
       TableSpec("users", movieSchema /*unused*/ , Seq("movie_id")))
     val h = CdcPipeline.start(spark, mem.toDF(), tables.take(2),
@@ -77,6 +77,34 @@ class CdcPipelineSpec extends SparkSpec {
       val stream = h.mv().get.collect().map(_.toSeq).toSet
       val batch = batchMv.collect().map(_.toSeq).toSet
       assert(stream == batch)
+    } finally h.query.stop()
+  }
+
+  test("fact re-assignment across dimension keys retracts old and credits new movie") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc-move").toString
+    val mem = MemoryStream[CdcRecord]
+    val h = CdcPipeline.start(spark, mem.toDF(), Seq(
+      TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id")),
+      TableSpec("movies", movieSchema, Seq("movie_id"))),
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0), buckets = 8)
+    try {
+      mem.addData(
+        CdcRecord("movies", "c", 1, null, movie(1, "A")),
+        CdcRecord("movies", "c", 1, null, movie(2, "B")),
+        CdcRecord("tickets", "c", 2, null, ticket(7, 1, "10.00", "scheduled")))
+      h.query.processAllAvailable()
+      // the ticket moves from movie 1 to movie 2 (cross-bucket move)
+      mem.addData(CdcRecord("tickets", "u", 3,
+        ticket(7, 1, "10.00", "scheduled"), ticket(7, 2, "10.00", "scheduled")))
+      h.query.processAllAvailable()
+      val mv = h.mv().get.as[MvRow].collect().map(r => r.movie_id -> r).toMap
+      assert(!mv.contains(1L), s"old movie kept the moved ticket: $mv")
+      assert(mv(2L).ticket_count == 1 && mv(2L).total_revenue == BigDecimal("10.00"))
+      // staging holds exactly one row for the ticket, under the new movie
+      val staged = h.staging("tickets").get.as[
+        (Long, Long, Long, BigDecimal, String, java.sql.Timestamp)].collect()
+      assert(staged.map(_._1).toSeq == Seq(7L) && staged.head._2 == 2L)
     } finally h.query.stop()
   }
 }

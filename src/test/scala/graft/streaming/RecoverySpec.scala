@@ -21,7 +21,7 @@ class RecoverySpec extends SparkSpec {
     StructField("movie_id", LongType), StructField("title", StringType),
     StructField("start_date", TimestampType), StructField("duration_minutes", IntegerType)))
   private def specs = Seq(
-    TableSpec("tickets", ticketSchema, Seq("ticket_id")),
+    TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id")),
     TableSpec("movies", movieSchema, Seq("movie_id")))
 
   private def ticket(id: Long, cost: String, status: String) =
