@@ -30,4 +30,16 @@ object EventTimeAgg {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming exact dedup on an append stream — the Paimon
+    * `'merge-engine'='deduplicate'` sink for at-least-once inputs
+    * (reference `flink-gen.sh:118-142`): first occurrence per key wins;
+    * the watermark bounds dedup state so it drains instead of accreting
+    * (duplicates later than the delay are out of contract). For
+    * changelog (updating) inputs use `Upsert.materializeStream` —
+    * latest-wins, unbounded keys — instead. */
+  def deduplicate(events: DataFrame, keys: Seq[String],
+                  tsCol: String = "ts", delay: String = "5 seconds"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
 }

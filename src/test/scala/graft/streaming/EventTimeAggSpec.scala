@@ -42,4 +42,26 @@ class EventTimeAggSpec extends SparkSpec {
       assert(!rows.exists(_._3 == 103.0), "late row leaked into a closed window")
     } finally q.stop()
   }
+
+  test("streaming dedup: duplicate keys within the watermark emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = EventTimeAgg.deduplicate(
+      mem.toDF().toDF("event_id", "ts", "payload"), Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2026-01-01 00:00:01"), "first"),
+        (1L, ts("2026-01-01 00:00:02"), "dup"),
+        (2L, ts("2026-01-01 00:00:03"), "other"))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2026-01-01 00:00:04"), "dup-again"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .select("event_id", "payload").as[(Long, String)].collect()
+      assert(rows.count(_._1 == 1L) == 1, s"duplicate leaked: ${rows.toSeq}")
+      assert(rows.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
