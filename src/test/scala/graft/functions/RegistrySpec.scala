@@ -1,0 +1,19 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions callable from SQL") {
+    Registry.register(spark)
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .createOrReplaceTempView("vs")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM vs").as[Double].head() == 11.0)
+    Seq("a b c d").toDF("text").createOrReplaceTempView("ts")
+    assert(spark.sql("SELECT graft_word_shingles(text, 3) FROM ts")
+      .as[Seq[String]].head() == Seq("a b c", "b c d"))
+    val sh = spark.sql("SELECT graft_simhash(text) FROM ts").as[Long].head()
+    assert(sh != 0L)
+  }
+}

@@ -46,4 +46,18 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.mediaFromDocuments(docs), target = 64).collect()
     assert(out.forall(_.payload.length == 64))
   }
+
+  test("composition: media features feed similarity search (near-dup media found)") {
+    implicit val s = spark
+    import spark.implicits._
+    // two identical payloads + one different → extracted features make
+    // the duplicates each other's top neighbor
+    val media = Seq((1L, "same media bytes"), (2L, "same media bytes"),
+      (3L, "totally different other thing")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(media))
+      .select($"doc_id".as("vec_id"), $"features".as("embedding"))
+    val top1 = Similarity.bruteForceTopK(feats, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L)
+  }
 }
