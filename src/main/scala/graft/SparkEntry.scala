@@ -97,6 +97,15 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) =>
       graft.operators.Multimodal.payloadMeta(t(s, dir, "documents"))),
 
+    // As-of (temporal) join: each event enriched with the user's
+    // latest order at event time.
+    "q_asof_join" -> ((s, dir) =>
+      graft.operators.AsOf.join(
+        t(s, dir, "events"),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey")),
+
     // Deterministic sampling (generator ORDER BY RANDOM() LIMIT analog).
     "q_sample" -> ((s, dir) =>
       EventOps.sampleOrders(t(s, dir, "orders"), 100)),
@@ -334,6 +343,20 @@ object SparkEntry {
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sql_pricing" -> PricingSql,
+
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1),
+        |e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |             value, props FROM events)
+        |SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value, e.props,
+        |       r.o_orderkey, r.o_orderstatus, r.o_totalprice, r.o_orderdate,
+        |       r.o_orderpriority
+        |FROM e ASOF JOIN r ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sample" ->
       """SELECT * FROM (

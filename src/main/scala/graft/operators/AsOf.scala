@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: each left row matches the single right row
+  * with the greatest `rightTs <= leftTs` for the same key — the
+  * standard event↔versioned-dimension enrichment (a CDC changelog like
+  * the reference's naturally yields such versioned dimensions).
+  *
+  * Spark has no ASOF JOIN; per the engine's preference order this is
+  * option (a), composed from built-ins: union both sides tagged, one
+  * shuffle+sort by (key, ts, side), and a running last-observed-right
+  * window carries each right version forward to the left rows it
+  * covers. Cost: a single exchange of |L|+|R| rows and a partition
+  * sort — the same lower bound a dedicated sort-merge as-of exec pays;
+  * a custom SparkPlan would save only the tag/carry column overhead,
+  * not a shuffle, which is why the composed form is kept.
+  *
+  * Inner semantics (unmatched left rows drop, like DuckDB's
+  * `ASOF JOIN`). Right rows are deduplicated to one version per
+  * (key, ts) — newest by `rightTieBreak` — so the match is total and
+  * engine-independent.
+  */
+object AsOf {
+
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, rightTieBreak: String): DataFrame = {
+    val rightCols = right.columns.filterNot(_ == key).toSeq
+    // one version per (key, ts): newest tie-break wins
+    val r1 = graft.cdc.Upsert.latestByKey(
+      right, Seq(key, rightTs), Seq(rightTieBreak))
+    val taggedRight = r1.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(rightCols.map(col): _*).as("__r"))
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left.select(
+      col(key).as("__k"), col(leftTs).cast("timestamp").as("__ts"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"))
+    // right row sorts before a left row at equal ts → `<=` semantics
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = taggedLeft.select(col("__k"), col("__ts"), col("__side"),
+        col("__l"), lit(null).cast(taggedRight.schema("__r").dataType).as("__r"))
+      .unionByName(taggedRight.select(col("__k"), col("__ts"), col("__side"),
+        lit(null).cast(taggedLeft.schema("__l").dataType).as("__l"), col("__r")))
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1 && col("__match").isNotNull)
+      .select(col("__k").as(key) +:
+        leftCols.filterNot(_ == key).map(c => col(s"__l.$c").as(c)) ++:
+        rightCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of: latest version at-or-before; unmatched rows drop; ties inclusive") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "e-early"),   // before any version → drops
+      (1L, ts("2026-01-01 12:00:00"), "e-mid"),     // == v1 ts → matches v1 (inclusive)
+      (1L, ts("2026-01-01 15:00:00"), "e-late"),    // after v2 → matches v2
+      (2L, ts("2026-01-01 12:00:00"), "other-key")) // no versions for key 2 → drops
+      .toDF("user_id", "ts", "tag")
+    val versions = Seq(
+      (1L, ts("2026-01-01 12:00:00"), 100L, "v1"),
+      (1L, ts("2026-01-01 14:00:00"), 200L, "v2"))
+      .toDF("user_id", "vts", "ver_id", "name")
+    val out = AsOf.join(events, versions, "user_id", "ts", "vts", "ver_id")
+      .select("tag", "name").as[(String, String)].collect().toMap
+    assert(out == Map("e-mid" -> "v1", "e-late" -> "v2"))
+  }
+
+  test("as-of: duplicate version timestamps resolve to the newest tie-break") {
+    val events = Seq((1L, ts("2026-01-01 13:00:00"), "e")).toDF("user_id", "ts", "tag")
+    val versions = Seq(
+      (1L, ts("2026-01-01 12:00:00"), 100L, "old-dup"),
+      (1L, ts("2026-01-01 12:00:00"), 200L, "new-dup"))
+      .toDF("user_id", "vts", "ver_id", "name")
+    val out = AsOf.join(events, versions, "user_id", "ts", "vts", "ver_id")
+      .select("name").as[String].collect()
+    assert(out.toSeq == Seq("new-dup"))
+  }
+}
