@@ -106,6 +106,26 @@ object SparkEntry {
         key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
         rightTieBreak = "o_orderkey")),
 
+    // Range (interval) join via time-bucket equi-join: events inside
+    // each signup's 10-minute window, same user.
+    "q_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = e.filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+        .selectExpr("user_id", "ts AS w_start",
+          "ts + INTERVAL 10 MINUTES AS w_end", "event_id AS w_id")
+      graft.operators.RangeJoin
+        .containsJoin(e, w, "user_id", "ts", "w_start", "w_end", binSeconds = 600)
+        .select("user_id", "event_id", "ts", "event_type", "w_id", "w_start")
+    }),
+
+    // Sessionization (gaps-and-islands, 30-minute inactivity gap).
+    "q_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(t(s, dir, "events"))),
+
+    // Distinct aggregates per hour.
+    "q_distinct_agg" -> ((s, dir) =>
+      EventOps.distinctAgg(t(s, dir, "events"))),
+
     // Deterministic sampling (generator ORDER BY RANDOM() LIMIT analog).
     "q_sample" -> ((s, dir) =>
       EventOps.sampleOrders(t(s, dir, "orders"), 100)),
@@ -357,6 +377,37 @@ object SparkEntry {
         |       r.o_orderpriority
         |FROM e ASOF JOIN r ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |           FROM events),
+        |w AS (SELECT user_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end,
+        |             event_id AS w_id
+        |      FROM e WHERE event_type = 'signup')
+        |SELECT e.user_id, e.event_id, e.ts, e.event_type, w.w_id, w.w_start
+        |FROM e JOIN w ON e.user_id = w.user_id
+        |             AND e.ts >= w.w_start AND e.ts < w.w_end
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |g AS (SELECT *, CASE WHEN prev IS NULL
+        |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |        THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS session_value
+        |FROM h GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sample" ->
       """SELECT * FROM (

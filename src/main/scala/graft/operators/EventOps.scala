@@ -81,6 +81,34 @@ object EventOps {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** Sessionization: gaps-and-islands over event time per user — a
+    * session breaks after `gapMinutes` of inactivity. Composed from
+    * lag + a running sum of boundary flags (bit-identical to the SQL
+    * oracle's formulation); one shuffle on user_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = events.withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("session_value"))
+  }
+
+  /** Distinct aggregates (COUNT(DISTINCT ...)): distinct users and
+    * event types per hour. */
+  def distinctAgg(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))
+
   /** Scalar-expression surface of the reference in one operator:
     * CASE WHEN on a status enum (`revenue-analytics.sql:53-58`),
     * COALESCE null-default (`gen_data.py:33`), equality predicates and
