@@ -27,6 +27,11 @@ object Bench {
     // GC/JIT-noisy (observed 1.7s vs 11s for the same plan).
     val results = SparkEntry.rawOps.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        // JVM hygiene between measurements: accumulated caches/broadcasts
+        // from 30+ prior queries otherwise inflate later ones (observed
+        // 3s -> 23s for the same plan deep into a bench run)
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -138,6 +138,23 @@ object SparkEntry {
     "q_anti_join" -> ((s, dir) =>
       EventOps.customersWithoutOpenOrders(t(s, dir, "customer"), t(s, dir, "orders"))),
 
+    // Exact interpolated quantiles (engine-agreeing to the last bit:
+    // both sort exactly and linearly interpolate in double).
+    "q_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(org.apache.spark.sql.functions.expr("percentile(o_totalprice, 0.5)").as("p50"),
+          org.apache.spark.sql.functions.expr("percentile(o_totalprice, 0.9)").as("p90"),
+          org.apache.spark.sql.functions.expr("percentile(o_totalprice, 0.99)").as("p99"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))),
+
+    // Set operations (INTERSECT / EXCEPT / UNION ALL) — same SQL text
+    // in both engines.
+    "q_set_ops" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SetOpsSql)
+    }),
+
     // SQL entry point (reference EP1, sql-client.sh): the SAME SQL text
     // as the oracle, resolved through the session catalog's registered
     // tables — engine-portable ANSI subset by construction.
@@ -146,6 +163,20 @@ object SparkEntry {
       s.sql(PricingSql)
     })
   )
+
+  /** Set-operation surface, written in the ANSI subset both Spark and
+    * DuckDB parse identically. */
+  val SetOpsSql: String =
+    """SELECT 'both' AS tag, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT o_custkey AS user_id FROM orders WHERE o_orderstatus = 'O') x
+      |UNION ALL
+      |SELECT 'only_events' AS tag, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT o_custkey AS user_id FROM orders WHERE o_orderstatus = 'O') y
+      |ORDER BY tag, user_id""".stripMargin
 
   /** TPC-H-Q1-flavored pricing summary, written in the ANSI subset both
     * Spark and DuckDB parse identically (exact decimal arithmetic only). */
@@ -363,6 +394,17 @@ object SparkEntry {
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sql_pricing" -> PricingSql,
+
+    "q_set_ops" -> SetOpsSql,
+
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  quantile_cont(o_totalprice, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_asof_join" ->
       """WITH r AS (
