@@ -155,6 +155,28 @@ object SparkEntry {
       s.sql(SetOpsSql)
     }),
 
+    // Grouping sets (ROLLUP) — same SQL text in both engines.
+    "q_rollup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(RollupSql)
+    }),
+
+    // Window (OVER) functions — running sums, row_number, rank.
+    "q_window_funcs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(WindowFuncsSql)
+    }),
+
+    // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
+    "q_pivot" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)))
+    }),
+
     // SQL entry point (reference EP1, sql-client.sh): the SAME SQL text
     // as the oracle, resolved through the session catalog's registered
     // tables — engine-portable ANSI subset by construction.
@@ -163,6 +185,27 @@ object SparkEntry {
       s.sql(PricingSql)
     })
   )
+
+  /** ROLLUP grouping sets — same text both engines. */
+  val RollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Window (OVER) functions — same text both engines. */
+  val WindowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
+      |  CAST(rank() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS spend_rank
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Set-operation surface, written in the ANSI subset both Spark and
     * DuckDB parse identically. */
@@ -396,6 +439,18 @@ object SparkEntry {
     "q_sql_pricing" -> PricingSql,
 
     "q_set_ops" -> SetOpsSql,
+
+    "q_rollup" -> RollupSql,
+
+    "q_window_funcs" -> WindowFuncsSql,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_quantiles" ->
       """SELECT o_orderstatus,
