@@ -68,6 +68,8 @@ object SparkEntry {
       TextOps.langId(t(s, dir, "documents"))),
     "q_text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents"))),
+    "q_text_winnow" -> ((s, dir) =>
+      TextOps.winnow(t(s, dir, "documents"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
     "q_dedup_ngram" -> ((s, dir) =>
@@ -358,6 +360,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
         |  list_min(list_transform(sh, x -> md5(x))) AS fingerprint
         |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    ELSE [] END AS sh FROM t),
+        |h AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s),
+        |w AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        |    THEN list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)])
+        |    ELSE list_distinct(hs) END AS fps FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
