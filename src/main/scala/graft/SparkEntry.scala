@@ -14,6 +14,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Cast final decimal output columns to DOUBLE at the query boundary.
+    * Internal arithmetic stays exact-decimal (order-insensitive sums);
+    * only the presented value changes representation. Decimal→double is
+    * correctly rounded and bit-identical in Spark and DuckDB, while
+    * decimal rendering of trailing fractional zeros (`1.50` vs `1.5`)
+    * differs between the driver's two readers and fails its hash
+    * compare even on value-identical results. */
+  private def dbl(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("double"))
+    }
+
   /** One entry per implemented operator from SURVEY.md §2, with the
     * deterministic verify-path sort applied. Bench times [[ops]]
     * (the raw operators) instead — the sort exists only so the driver's
