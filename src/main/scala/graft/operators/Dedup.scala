@@ -101,26 +101,65 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.SimHash64(col("text"), bits).as("simhash"))
 
-  /** SimHash near-dup pairs by Hamming distance. Brute-force pairing;
-    * at scale, band the 60 bits into (bits/maxDist+1) blocks and join
-    * on exact block match first (pigeonhole), then verify. */
-  def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simHash(docs)
-    sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("dist", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+  /** SimHash near-dup pairs by Hamming distance, via pigeonhole
+    * banding: split the `bits`-bit fingerprint into maxDist+1 blocks —
+    * a pair at Hamming distance ≤ maxDist differs in ≤ maxDist blocks,
+    * so AT LEAST ONE block matches exactly. Candidates come from an
+    * equi-join on (block index, block value) — hash-join shuffles of
+    * id+block rows, never an all-pairs cross — then the exact Hamming
+    * check keeps true pairs. Exact (recall 1): pigeonhole is a
+    * guarantee, not a probability. */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3, bits: Int = 60): DataFrame = {
+    val sh = simHash(docs, bits)
+    val blocks = maxDist + 1
+    val width = bits / blocks
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until blocks).map { b =>
+        val lo = b * width
+        val hi = if (b == blocks - 1) bits else lo + width // last absorbs remainder
+        shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1))
+      }: _*)).as(Seq("blk", "blk_val")))
+    banded.as("x").join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blk_val") === col("y.blk_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("bigint").as("dist"))
+      .distinct()                                  // pairs matching >1 block
       .filter(col("dist") <= maxDist)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
   }
 
   /** Embedding near-dup: pairs with dot-product similarity ≥ threshold
-    * (vectors are L2-normalized, so dot = cosine). Sequential-fold
-    * double accumulation matches the oracle's list_sum ordering. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    * (vectors are L2-normalized, so dot = cosine).
+    *
+    * Candidates come from multi-table hyperplane LSH
+    * ([[Similarity.lshBuckets]]) — equi-joins on (table, bucket) over
+    * id-sized rows — then the exact sequential-fold dot verifies each
+    * candidate once (matching the oracle's list_sum ordering). The
+    * recall/cost knob is (tables, planes): recall per pair at angle θ is
+    * 1−(1−(1−θ/π)^planes)^tables. The defaults are sized for the LOW
+    * τ=0.4 operating point the wired query uses (measured recall 1.0 on
+    * the sf0.01 and sf0.1 corpora); high-threshold dedup (τ≥0.8, the
+    * common near-dup case) reaches recall ~1 with far fewer tables and
+    * more planes per table, where the LSH volume win over all-pairs is
+    * large. The previous formulation was an all-pairs cross join —
+    * correct at 2 500 vectors, dead at 100 TB. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9,
+                       tables: Int = 24, planes: Int = 3): DataFrame = {
+    val b = Similarity.lshBuckets(embeddings, tables, planes)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()                                  // score each pair once
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("score", Similarity.dot(col("x.v"), col("y.v")))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"),
+        Similarity.dot(col("va"), col("vb")).as("score"))
       .filter(col("score") >= threshold)
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("score"))
   }
 }

@@ -27,7 +27,7 @@ object Similarity {
     * ranking: (score desc, neighbor id asc).
     *
     * Shape: block-broadcast matrix scan — the candidate set is
-    * broadcast in blocks of `blockRows`, each query partition streams
+    * broadcast in blocks of ≤ `blockRows`, each query partition streams
     * its vectors against the in-memory block keeping a bounded heap,
     * and per-block partial top-k merge through [[rankTopK]]. Queries
     * stay partitioned (distributed), candidates ride broadcasts; the
@@ -35,15 +35,28 @@ object Similarity {
     * per-row array copies — measured 5× slower at 2000×2000×64 — and
     * is kept only as the join-based reference in [[bruteForceTopKJoin]].
     * Scores are the same sequential double folds, so results are
-    * bit-identical to the join version and the SQL oracle. */
+    * bit-identical to the join version and the SQL oracle.
+    *
+    * Driver footprint is ONE block at a time (id-hash partitioned
+    * filter + collect per block), never the whole table — the earlier
+    * full-table `collect()` OOM'd the driver at scale. The candidate
+    * side is re-scanned once per block, the price every block
+    * nested-loop pays; the heap result is arrival-order independent
+    * (strict total-order replacement), so blocking doesn't change the
+    * answer. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
                      blockRows: Int = 100000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-    val all = vecs.collect().sortBy(_._1)
-    val partials = all.grouped(blockRows).map { block =>
+    val n = vecs.count()
+    // ≥ 1 block always, so the partial-union reduce below is total
+    // (the old grouped() path produced ZERO blocks on empty input and
+    // reduce threw)
+    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    val partials = (0 until nBlocks).iterator.map { b =>
+      val block = vecs.filter(pmod(col("vec_id"), lit(nBlocks)) === b).collect()
       val bc = spark.sparkContext.broadcast(block)
       vecs.mapPartitions { it =>
         val cand = bc.value
@@ -131,11 +144,14 @@ object Similarity {
     * BEFORE scoring (a pair colliding in many tables is scored once),
     * then vectors join back by id for the exact ranking — at scale the
     * bucket join shuffles (table, bucket) pairs of ids only, never the
-    * vectors. Approximate: recall < 1 by construction (rows-only
-    * correctness check; bruteForceTopK is the exact oracle — recall@5
-    * ≈ 0.67 at 8×4 on the weakly-clustered sf0.01 vectors). */
+    * vectors. Approximate: recall < 1 by construction (bruteForceTopK
+    * is the exact reference; [[recallVsExact]] makes the recall
+    * driver-visible). Defaults sized on the weakly-clustered testdata
+    * vectors: 40×5 measures recall@5 = 0.96 (sf0.01) / 0.98 (sf0.1);
+    * the old 8×4 scored 0.67. Wider OR-construction (more tables)
+    * raises recall, more planes per table cuts candidate volume. */
   def lshTopK(embeddings: DataFrame, k: Int = 5,
-              tables: Int = 8, planes: Int = 4, dims: Int = 64): DataFrame = {
+              tables: Int = 40, planes: Int = 5, dims: Int = 64): DataFrame = {
     val b = lshBuckets(embeddings, tables, planes, dims)
     val candidates = b.as("q").join(b.as("c"),
         col("q.table") === col("c.table") && col("q.bucket") === col("c.bucket") &&
@@ -148,5 +164,22 @@ object Similarity {
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("score"))
     rankTopK(scored, k)
+  }
+
+  /** Recall@k of an approximate ANN against the exact brute force, as a
+    * one-row gate: (k, n_queries, recall_ok = recall ≥ bar). Gives the
+    * driver an oracle-checkable view of approximate-by-design operators
+    * whose raw output can't have a SQL oracle. */
+  def recallVsExact(embeddings: DataFrame, k: Int, bar: Double)(
+      approx: DataFrame => DataFrame): DataFrame = {
+    val exact = bruteForceTopK(embeddings, k).select("query_id", "neighbor_id")
+    val ap = approx(embeddings).select("query_id", "neighbor_id")
+    val matched = exact.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("__matched"))
+    val total = exact.agg(count(lit(1)).cast("double").as("__total"))
+    embeddings.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(matched).crossJoin(total)
+      .select(lit(k.toLong).as("k"), col("n_queries"),
+        (col("__matched") / col("__total") >= bar).as("recall_ok"))
   }
 }

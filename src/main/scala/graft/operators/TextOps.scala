@@ -97,18 +97,11 @@ object TextOps {
     * minima over the ORDERED (non-distinct) shingle hash sequence,
     * window size w — guarantees any match of length ≥ w+n−1 tokens
     * shares a fingerprint. One row per (doc_id, fingerprint). Documents
-    * shorter than one window keep all their hashes. */
-  def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val shingles = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array())
-    val hashes = transform(shingles, s => md5(s))
-    val mins = when(size(hashes) >= w,
-      transform(sequence(lit(1), size(hashes) - (w - 1)),
-        i => array_min(slice(hashes, i, lit(w)))))
-      .otherwise(hashes)
+    * shorter than one window keep all their hashes. Native one-pass
+    * expression (md5 each shingle once + monotonic-deque sliding min) —
+    * see [[graft.functions.WinnowFingerprints]] for why not the
+    * transform/slice/array_min HOF chain it replaced. */
+  def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(mins)).as("fp"))
-  }
+      explode(graft.functions.WinnowFingerprints(col("text"), n, w)).as("fp"))
 }

@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "row_number window formulation regressed in")
   }
 
+  test("near-dup pairing plans carry no all-pairs join") {
+    // the scale contract for the pairing family: candidates come from
+    // equi-joins (LSH buckets / simhash blocks), never a cartesian —
+    // BroadcastNestedLoopJoin over N² pairs is dead at 100 TB
+    val emb = Tables.load(spark, dir, "embeddings")
+    val docs = Tables.load(spark, dir, "documents")
+    for ((name, df) <- Seq(
+        "embeddingNearDup" -> operators.Dedup.embeddingNearDup(emb, threshold = 0.4),
+        "simHashPairs" -> operators.Dedup.simHashPairs(docs, maxDist = 3))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name is all-pairs")
+      assert(!p.contains("CartesianProduct"), s"$name is all-pairs")
+    }
+  }
+
   test("pricing SQL through the catalog: partial+final agg, single exchange") {
     Tables.registerAll(spark, dir)
     val p = plan(spark.sql(SparkEntry.PricingSql))

@@ -103,6 +103,38 @@ class OperatorsSpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("winnow native expression equals the declarative HOF formulation") {
+    // reference = the transform/slice/array_min chain the native
+    // expression replaced (kept here as the semantic oracle)
+    def declarative(docs: org.apache.spark.sql.DataFrame, n: Int, w: Int) = {
+      val toks = split(col("text"), " ")
+      val shingles = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array())
+      val hashes = transform(shingles, s => md5(s))
+      val mins = when(size(hashes) >= w,
+        transform(sequence(lit(1), size(hashes) - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w)))))
+        .otherwise(hashes)
+      docs.select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+    }
+    val rnd = new scala.util.Random(7)
+    val corpus = docs((1L to 60L).map { i =>
+      // lengths straddle every edge: < n (no rows), n ≤ len < n+w-1
+      // (all hashes kept), and long duplicate-heavy sequences
+      val len = rnd.nextInt(20)
+      i -> (0 until len).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+    }: _*)
+    for ((n, w) <- Seq((3, 4), (2, 5), (1, 1))) {
+      val native = TextOps.winnow(corpus, n, w)
+        .as[(Long, String)].collect().sorted.toSeq
+      val ref = declarative(corpus, n, w)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(native == ref, s"n=$n w=$w")
+    }
+  }
+
   test("multi-table LSH candidates are a superset of exact top-1 for clustered data") {
     // two tight clusters: LSH must recover within-cluster neighbors
     val vs = (0 until 8).map { i =>
