@@ -89,6 +89,8 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"))),
+    "q_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"))),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
@@ -268,6 +270,29 @@ object SparkEntry {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** MinHash signatures + LSH banding candidates (DuckDB), shared by the
+    * candidate-pair and composed-pipeline oracles (k=8 hashes, 4 bands
+    * of 2 — Dedup.minHashLsh defaults). */
+  val MinHashCandCteSql: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+      |    ELSE [] END AS sh FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+      |  min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
+      |  min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
+      |  min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
+      |  FROM e GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(mh0 || '#' || mh1) AS bh FROM sig UNION ALL
+      |  SELECT doc_id, 1, md5(mh2 || '#' || mh3) FROM sig UNION ALL
+      |  SELECT doc_id, 2, md5(mh4 || '#' || mh5) FROM sig UNION ALL
+      |  SELECT doc_id, 3, md5(mh6 || '#' || mh7) FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
+
   /** SimHash signature computation (DuckDB), shared by the signature and
     * pairs oracles — the explode×bit-column×groupBy formulation
     * [[graft.functions.SimHash64]] folds into one pass. */
@@ -441,25 +466,38 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
-        |    ELSE [] END AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        |sig AS (SELECT doc_id,
-        |  min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
-        |  min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
-        |  min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
-        |  min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
-        |  FROM e GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(mh0 || '#' || mh1) AS bh FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(mh2 || '#' || mh3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(mh4 || '#' || mh5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(mh6 || '#' || mh7) FROM sig)
-        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-        |ORDER BY ALL NULLS FIRST""".stripMargin,
+      s"""WITH $MinHashCandCteSql
+        |SELECT a, b FROM cand ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Composed pipeline oracle: LSH candidates → Jaccard ≥ 0.5 verify →
+    // 3 rounds of min-label propagation — the same bounded computation
+    // the engine's Dedup.dedupPipeline declares.
+    "q_dedup_pipeline" ->
+      s"""WITH $MinHashCandCteSql,
+        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+        |ic AS (SELECT c.a, c.b, count(*) AS inter
+        |       FROM cand c JOIN e ea ON ea.doc_id = c.a
+        |                   JOIN e eb ON eb.doc_id = c.b AND eb.shingle = ea.shingle
+        |       GROUP BY c.a, c.b),
+        |edges AS (SELECT ic.a, ic.b
+        |          FROM ic JOIN sz sa ON sa.doc_id = ic.a JOIN sz sb ON sb.doc_id = ic.b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+        |l0 AS (SELECT doc_id, doc_id AS c FROM documents),
+        |l1 AS (SELECT l.doc_id, least(l.c, coalesce(min(p.c), l.c)) AS c
+        |       FROM l0 l LEFT JOIN und ON und.u = l.doc_id
+        |                 LEFT JOIN l0 p ON p.doc_id = und.v
+        |       GROUP BY l.doc_id, l.c),
+        |l2 AS (SELECT l.doc_id, least(l.c, coalesce(min(p.c), l.c)) AS c
+        |       FROM l1 l LEFT JOIN und ON und.u = l.doc_id
+        |                 LEFT JOIN l1 p ON p.doc_id = und.v
+        |       GROUP BY l.doc_id, l.c),
+        |l3 AS (SELECT l.doc_id, least(l.c, coalesce(min(p.c), l.c)) AS c
+        |       FROM l2 l LEFT JOIN und ON und.u = l.doc_id
+        |                 LEFT JOIN l2 p ON p.doc_id = und.v
+        |       GROUP BY l.doc_id, l.c)
+        |SELECT doc_id, c AS canonical_id, doc_id <> c AS is_dup
+        |FROM l3 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $SimHashCteSql

@@ -1,0 +1,143 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark V2 catalog plugin over a parquet lake directory — the
+  * engine's `CREATE CATALOG` equivalent (reference
+  * `flink-cdc/sql/tickets-cdc.sql:11-14` `CREATE CATALOG fluss_catalog
+  * WITH ('type'='fluss', ...)`; Paimon catalog in the generated
+  * init-catalogs.sql).
+  *
+  * Spark-first shape: Flink's `CREATE CATALOG <name> WITH (...)` DDL
+  * maps to configuration — `spark.sql.catalog.<name> =
+  * graft.catalog.GraftLakeCatalog` plus `spark.sql.catalog.<name>.path
+  * = <lakeRoot>` — after which `<name>.<db>.<table>` resolves anywhere
+  * SQL does, cross-catalog joins included, with full parquet
+  * pruning/pushdown (tables load through the same V2 ParquetTable the
+  * built-in datasource uses).
+  *
+  * Layout contract: one subdirectory of the root per namespace
+  * (database), one `<table>.parquet` file/dir per table. Namespace DDL
+  * (CREATE/DROP NAMESPACE) and table drop/rename are filesystem moves;
+  * writes land through the ordinary parquet writer against the table
+  * location ([[Catalog.registerLakeTables]] covers the session-catalog
+  * EXTERNAL-table path for flat scale dirs).
+  */
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires option spark.sql.catalog.$name.path")))
+  }
+
+  override def name(): String = catalogName
+
+  private def nsDir(ns: Array[String]): Path = ns.toSeq match {
+    case Seq(db) => root.resolve(db)
+    case _ => throw new NoSuchNamespaceException(ns)
+  }
+
+  private def tablePath(ident: Identifier): Path =
+    nsDir(ident.namespace).resolve(s"${ident.name}.parquet")
+
+  // ---- SupportsNamespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && Files.isDirectory(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace))
+      Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
+        nsDir(namespace).toString)
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    Files.createDirectories(nsDir(namespace)); ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: namespace properties are fixed by the lake layout")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val tables = listTables(namespace)
+      if (tables.nonEmpty && !cascade)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      tables.foreach(dropTable)
+      Files.delete(dir)
+      true
+    }
+  }
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => Identifier.of(namespace,
+        p.getFileName.toString.stripSuffix(".parquet")))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    ParquetTable(ident.toString, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(p.toString), None,
+      classOf[ParquetFileFormat])
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!Files.exists(p)) false
+    else {
+      // a parquet "table" may be a single file or a directory of parts
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      else Files.delete(p)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!Files.exists(from)) throw new NoSuchTableException(oldIdent)
+    Files.move(from, tablePath(newIdent)); ()
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: schemas are fixed by the parquet files themselves")
+}

@@ -40,19 +40,31 @@ object Upsert {
     * `INSERT INTO <pk-table> SELECT ...`): per key, the newest event
     * wins; a delete removes the key. Existing state participates as a
     * timestamp −∞ pseudo-insert, so replay is idempotent.
+    *
+    * Equal-`ts_ms` ties resolve by the envelope's `seq` column when the
+    * source provides one (Debezium LSN / Kafka offset / file row
+    * number), else by a content hash of the event. Both are pure
+    * functions of the DATA — the previous `monotonically_increasing_id`
+    * tie-break depended on file/partition layout, so a replay could
+    * crown a different winner and break the idempotence the recovery
+    * path promises.
     */
   def applyChangelog(state: Option[DataFrame], changes: DataFrame,
                      keys: Seq[String]): DataFrame = {
     val rowType = changes.schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val keyOf = (side: String) => struct(keys.map(k => col(s"$side.$k")): _*)
+    val contentSeq = xxhash64(col("op"), col("before"), col("after"))
+    val seq =
+      if (changes.columns.contains("seq")) coalesce(col("seq"), contentSeq)
+      else contentSeq
     val normalized = changes.select(
       // NB struct(after.k) is non-null even when `after` is — guard on
       // the envelope side's own nullity, not the extracted fields'.
       when(col("after").isNotNull, keyOf("after"))
         .otherwise(keyOf("before")).as("__k"),
       col("ts_ms"), col("op"), col("after"),
-      monotonically_increasing_id().as("__seq"))
+      seq.cast("long").as("__seq"))
     val stateAsEvents = state.map { s =>
       s.select(struct(keys.map(col): _*).as("__k"),
         lit(Long.MinValue).as("ts_ms"), lit(ChangeEvent.OpCreate).as("op"),

@@ -91,6 +91,54 @@ object Dedup {
       .distinct()
   }
 
+  /** The composed near-dup pipeline a training-data run actually
+    * executes, end to end: MinHash+LSH candidate generation → exact
+    * Jaccard verification ON CANDIDATES ONLY → canonical assignment by
+    * bounded min-label propagation. One row per document:
+    * (doc_id, canonical_id, is_dup).
+    *
+    * Scale shape: every stage is an equi-join or keyed aggregate —
+    * candidates from the banding join ([[minHashLsh]]), intersection
+    * counts from a (pair × shingle) equi-join proportional to the
+    * CANDIDATE volume (the all-pairs Jaccard of [[ngramJaccard]] never
+    * appears), and `rounds` label-propagation joins, each a hash join
+    * on doc_id. `rounds`=3 canonicalizes chains up to 3 hops — near-dup
+    * groups are cliques-ish in practice (identical-template docs), and
+    * the bound keeps the plan static for Catalyst instead of a
+    * driver-paced convergence loop; raise it for adversarial chain
+    * topologies. Recall is governed by the LSH banding (k, bands), as
+    * in the standalone candidate operator. */
+  def dedupPipeline(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
+                    threshold: Double = 0.5, rounds: Int = 3): DataFrame = {
+    val cand = minHashLsh(docs, n, k, bands)
+    val sh = shingleRows(docs, n).select(col("doc_id"), md5(col("shingle")).as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.toDF("a", "h"), "a")
+      .join(sh.toDF("b", "h"), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val edges = inter
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .filter(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")) >= threshold)
+      .select(col("a"), col("b"))
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    var lab = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+    for (_ <- 1 to rounds) {
+      val nbMin = und
+        .join(lab.toDF("v", "nc"), "v")
+        .groupBy(col("u").as("doc_id")).agg(min("nc").as("__nmin"))
+      lab = lab.join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"),
+            coalesce(col("__nmin"), col("canonical_id"))).as("canonical_id"))
+    }
+    lab.select(col("doc_id"), col("canonical_id"),
+      (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
   /** SimHash (60-bit, frequency-weighted): bit j of the fingerprint is
     * the sign of Σ_tokens (bit j of md5(token) ? +1 : −1). Native
     * one-pass expression ([[graft.functions.SimHash64]]) — a narrow map

@@ -114,30 +114,19 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("nb._1").as("neighbor_id"), col("nb._2").as("score"))
 
-  /** Deterministic pseudo-random hyperplane: md5-derived nibble per
-    * (plane, dim) mapped to (−7.5 … 7.5), materialized at plan time as
-    * a literal array (no per-row hashing). */
-  private def planeVector(p: Int, dims: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until dims).map { j =>
-      val hex = md.digest(s"plane$p|$j".getBytes("UTF-8"))
-      ((hex(0) >> 4) & 0xf).toDouble - 7.5
-    }.toArray
-  }
-
   /** Multi-table random-hyperplane LSH signatures: for each of `tables`
     * hash tables, `planes` sign bits → one bucket id. A pair is a
     * candidate if it collides in ANY table — recall compounds as
-    * 1−(1−p^planes)^tables (the classic Indyk–Motwani trade). */
+    * 1−(1−p^planes)^tables (the classic Indyk–Motwani trade). All
+    * tables' buckets come from one native pass
+    * ([[graft.functions.HyperplaneBuckets]] — the per-plane expression
+    * lattice it replaced was ~8.5 ms/row at 40×5). */
   def lshBuckets(embeddings: DataFrame, tables: Int = 8, planes: Int = 4,
                  dims: Int = 64): DataFrame = {
     val e = asDouble(embeddings)
-    val bucketFor = (t: Int) => (0 until planes).map { b =>
-      val proj = dot(col("v"), typedLit(planeVector(t * planes + b, dims)))
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_ + _)
-    e.select(col("vec_id"), posexplode(array(
-      (0 until tables).map(bucketFor): _*)).as(Seq("table", "bucket")))
+    e.select(col("vec_id"),
+      posexplode(graft.functions.HyperplaneBuckets(col("v"), tables, planes, dims))
+        .as(Seq("table", "bucket")))
   }
 
   /** LSH-bucketed ANN top-k. Candidate ids are deduped across tables

@@ -18,15 +18,19 @@ import org.apache.spark.sql.types._
   */
 object CdcSource {
 
-  /** Wire schema of a Debezium-style flat JSON change record. */
+  /** Wire schema of a Debezium-style flat JSON change record. `seq` is
+    * the source's total order within a commit timestamp (Postgres LSN /
+    * Kafka offset / file row number) — optional on the wire; when
+    * absent the upsert layer falls back to a content-hash tie-break
+    * (see [[graft.cdc.Upsert.applyChangelog]]). */
   val wireSchema: StructType = StructType(Seq(
     StructField("table", StringType), StructField("op", StringType),
-    StructField("ts_ms", LongType),
+    StructField("ts_ms", LongType), StructField("seq", LongType),
     StructField("before", StringType), StructField("after", StringType)))
 
   /** Incremental file-based changelog stream: one JSON object per line,
-    * `{table, op, ts_ms, before, after}` with before/after as JSON
-    * strings of the row. */
+    * `{table, op, ts_ms, [seq], before, after}` with before/after as
+    * JSON strings of the row. */
   def fromJsonDir(spark: SparkSession, dir: String,
                   maxFilesPerTrigger: Int = 10): DataFrame =
     spark.readStream
@@ -34,14 +38,28 @@ object CdcSource {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Decode a raw transport frame — anything that delivers the change
+    * record as a JSON payload column (Kafka's `value`, Kinesis `data`,
+    * a raw-text file) — into the flat wire schema. This is the
+    * source-agnostic seam: `spark.readStream.format("kafka")`,
+    * `.format("text")`, or a test MemoryStream all plug in here and
+    * share every downstream decode/upsert stage. */
+  def fromWire(raw: DataFrame, payload: String = "value"): DataFrame =
+    raw.select(from_json(col(payload).cast(StringType), wireSchema).as("__r"))
+      .select(col("__r.*"))
+
   /** Decode one table's slice of a wire stream into a typed envelope
     * (CDC JSON decode — the Kinesis `'format'='json'` analog,
-    * flink-gen.sh:109). */
-  def jsonEnvelope(wire: DataFrame, table: String, rowSchema: StructType): DataFrame =
+    * flink-gen.sh:109). Passes the source sequence through when the
+    * wire carries one. */
+  def jsonEnvelope(wire: DataFrame, table: String, rowSchema: StructType): DataFrame = {
+    val seq: Seq[org.apache.spark.sql.Column] =
+      if (wire.columns.contains("seq")) Seq(col("seq")) else Seq.empty
     wire.filter(col("table") === table)
-      .select(col("op"), col("ts_ms"),
+      .select(Seq(col("op"), col("ts_ms")) ++ seq ++ Seq(
         from_json(col("before"), rowSchema).as("before"),
-        from_json(col("after"), rowSchema).as("after"))
+        from_json(col("after"), rowSchema).as("after")): _*)
+  }
 
   /** Snapshot-then-stream: the CDC source's initial-snapshot phase as a
     * batch +I load unioned ahead of the incremental stream (SURVEY

@@ -83,9 +83,13 @@ object CdcPipeline {
           // per-table staging upsert, touched-bucket granularity
           val touchedByTable = tables.map { spec =>
             val slice = cached.filter(col("table") === spec.name)
-            val envelope = slice.select(col("op"), col("ts_ms"),
+            // pass the source sequence through when the wire carries one
+            // (equal-ts_ms tie-break in Upsert.applyChangelog)
+            val seqCol =
+              if (slice.columns.contains("seq")) Seq(col("seq")) else Seq.empty
+            val envelope = slice.select(Seq(col("op"), col("ts_ms")) ++ seqCol ++ Seq(
               from_json(col("before"), spec.schema).as("before"),
-              from_json(col("after"), spec.schema).as("after")).cache()
+              from_json(col("after"), spec.schema).as("after")): _*).cache()
             try {
               val store = stores(spec.name)
               // both sides' distribution keys: an update that moves a

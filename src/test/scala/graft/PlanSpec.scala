@@ -63,7 +63,8 @@ class PlanSpec extends SparkSpec {
     val docs = Tables.load(spark, dir, "documents")
     for ((name, df) <- Seq(
         "embeddingNearDup" -> operators.Dedup.embeddingNearDup(emb, threshold = 0.4),
-        "simHashPairs" -> operators.Dedup.simHashPairs(docs, maxDist = 3))) {
+        "simHashPairs" -> operators.Dedup.simHashPairs(docs, maxDist = 3),
+        "dedupPipeline" -> operators.Dedup.dedupPipeline(docs))) {
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name is all-pairs")
       assert(!p.contains("CartesianProduct"), s"$name is all-pairs")

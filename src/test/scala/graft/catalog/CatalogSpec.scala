@@ -1,8 +1,47 @@
 package graft.catalog
 
 import graft.SparkSpec
+import java.nio.file.{Files, Paths}
 
 class CatalogSpec extends SparkSpec {
+
+  test("V2 catalog plugin: multi-catalog namespacing over a parquet lake") {
+    // lake layout: <root>/<namespace>/<table>.parquet
+    val lake = Files.createTempDirectory("graft-lake")
+    val ns = lake.resolve("staging")
+    Files.createDirectories(ns)
+    for (t <- Seq("lineitem", "part"))
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        ns.resolve(s"$t.parquet"))
+    // CREATE CATALOG analog: configuration, resolved lazily per name
+    spark.conf.set("spark.sql.catalog.lake", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lake.path", lake.toString)
+    try {
+      val shown = spark.sql("SHOW NAMESPACES IN lake").collect().map(_.getString(0))
+      assert(shown.contains("staging"))
+      assert(spark.sql("SELECT count(*) FROM lake.staging.lineitem").head().getLong(0) > 0)
+      // cross-catalog join: V2 lake table ⋈ session-catalog temp view
+      spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .createOrReplaceTempView("part_session")
+      val joined = spark.sql(
+        """SELECT count(*) FROM lake.staging.lineitem l
+          |JOIN part_session p ON l.l_partkey = p.p_partkey""".stripMargin)
+      assert(joined.head().getLong(0) > 0)
+      // pushdown reaches the V2 parquet scan
+      val plan = spark.sql(
+        "SELECT l_orderkey FROM lake.staging.lineitem WHERE l_orderkey = 1")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"), plan)
+      // namespace DDL is a filesystem move
+      spark.sql("CREATE NAMESPACE lake.scratch")
+      assert(Files.isDirectory(lake.resolve("scratch")))
+      spark.sql("DROP NAMESPACE lake.scratch")
+      assert(!Files.exists(lake.resolve("scratch")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lake")
+      spark.conf.unset("spark.sql.catalog.lake.path")
+    }
+  }
 
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")

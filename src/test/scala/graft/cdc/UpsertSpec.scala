@@ -62,6 +62,37 @@ class UpsertSpec extends SparkSpec {
     assert(twice.as[Ticket].collect().toSet == expect)
   }
 
+  test("applyChangelog equal-ts winner is stable under shuffled replay") {
+    // two updates to the same key at the SAME ts_ms: whatever wins must
+    // win again when the batch is replayed in any row order/partition
+    // layout — the monotonically_increasing_id tie-break this replaces
+    // crowned whichever row happened to come later in the scan
+    val rivals = Seq(
+      env("u", 5, Ticket(1, "live", 10.0)),
+      env("u", 5, Ticket(1, "finished", 99.0)))
+    val winners = (0 to 3).map { i =>
+      val ordered = if (i % 2 == 0) rivals else rivals.reverse
+      val df = changesDf(ordered).repartition(1 + i)  // vary layout too
+      Upsert.applyChangelog(None, df, Seq("ticket_id"))
+        .as[Ticket].collect().toSeq
+    }
+    assert(winners.distinct.size == 1,
+      s"equal-ts replay flipped the winner: $winners")
+  }
+
+  test("applyChangelog honors an explicit source seq over content order") {
+    // envelope carries seq (LSN/offset): highest seq wins the ts tie,
+    // regardless of content-hash order
+    val changes = changesDf(Seq(
+      env("u", 5, Ticket(1, "live", 10.0)),
+      env("u", 5, Ticket(1, "finished", 99.0))))
+      .withColumn("seq",
+        when(col("after.status") === "live", 2L).otherwise(1L))
+    val out = Upsert.applyChangelog(None, changes, Seq("ticket_id"))
+      .as[Ticket].collect().toSeq
+    assert(out == Seq(Ticket(1, "live", 10.0)))
+  }
+
   test("materializeStream emits latest per key across triggers, honors delete") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Upsert.Envelope[Ticket]]

@@ -103,6 +103,23 @@ class OperatorsSpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("dedup pipeline: canonical assignment follows verified chains") {
+    // A≈B≈C near-identical template family (plus bridging members so
+    // the min label reaches the chain tail within 3 rounds); D distinct
+    val fam = "the quick brown fox jumps over the lazy dog every single day"
+    val out = Dedup.dedupPipeline(docs(
+      1L -> fam,
+      2L -> fam,
+      3L -> (fam + " again"),
+      4L -> "completely unrelated content with different words entirely here now"),
+      threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.head == ((1L, 1L, false)))
+    assert(out(1) == ((2L, 1L, true)))
+    assert(out(2) == ((3L, 1L, true)))
+    assert(out(3) == ((4L, 4L, false)))
+  }
+
   test("winnow native expression equals the declarative HOF formulation") {
     // reference = the transform/slice/array_min chain the native
     // expression replaced (kept here as the semantic oracle)
@@ -133,6 +150,25 @@ class OperatorsSpec extends SparkSpec {
         .as[(Long, String)].collect().sorted.toSeq
       assert(native == ref, s"n=$n w=$w")
     }
+  }
+
+  test("hyperplane buckets: native pass equals per-plane sign arithmetic") {
+    // pin the bucket derivation: sequential-fold projection sign per
+    // plane, bit b of table t from plane t*planes+b — a change here
+    // silently invalidates every tuned recall measurement
+    val v = Array(0.3, -0.7, 0.64, 0.05)
+    val (tables, planes, dims) = (3, 4, 4)
+    val expected = (0 until tables).map { t =>
+      (0 until planes).map { b =>
+        val plane = graft.functions.HyperplaneBuckets.planeVector(t * planes + b, dims)
+        val proj = v.zip(plane).foldLeft(0.0) { case (a, (x, p)) => a + x * p }
+        if (proj >= 0) 1L << b else 0L
+      }.sum
+    }
+    val out = Seq(Tuple1(v)).toDF("v")
+      .select(graft.functions.HyperplaneBuckets(col("v"), tables, planes, dims))
+      .as[Seq[Long]].head()
+    assert(out == expected)
   }
 
   test("multi-table LSH candidates are a superset of exact top-1 for clustered data") {

@@ -20,6 +20,25 @@ class CdcSourceSpec extends SparkSpec {
     StructField("movie_id", LongType), StructField("title", StringType),
     StructField("start_date", TimestampType), StructField("duration_minutes", IntegerType)))
 
+  test("fromWire decodes any payload-column transport into the wire schema") {
+    // mock Kafka-shaped frame: binary value column carrying the JSON
+    // change record — the same decode must serve kafka/kinesis/text
+    val raw = Seq(
+      """{"table":"tickets","op":"u","ts_ms":9,"seq":41,"before":null,"after":"{\"ticket_id\":1}"}""",
+      """{"table":"movies","op":"c","ts_ms":3,"before":null,"after":"{\"movie_id\":7}"}""")
+      .toDF("value").select($"value".cast("binary").as("value"))
+    val wire = CdcSource.fromWire(raw)
+    assert(wire.columns.toSeq ==
+      Seq("table", "op", "ts_ms", "seq", "before", "after"))
+    val rows = wire.orderBy("table").collect()
+    assert(rows(0).getString(0) == "movies" && rows(0).isNullAt(3))
+    assert(rows(1).getString(0) == "tickets" && rows(1).getLong(3) == 41L)
+    // and the downstream envelope keeps the seq for tie-breaking
+    val envCols = CdcSource.jsonEnvelope(wire, "tickets",
+      StructType(Seq(StructField("ticket_id", LongType)))).columns.toSeq
+    assert(envCols == Seq("op", "ts_ms", "seq", "before", "after"))
+  }
+
   test("snapshot + incremental file changelog drive the pipeline end-to-end") {
     val dir = Files.createTempDirectory("graft-cdcsrc").toString
     val changelog = s"$dir/changelog"
