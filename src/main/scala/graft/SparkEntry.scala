@@ -83,6 +83,10 @@ object SparkEntry {
       TextOps.fingerprint(t(s, dir, "documents"))),
     "q_text_winnow" -> ((s, dir) =>
       TextOps.winnow(t(s, dir, "documents"))),
+    "q_text_flags" -> ((s, dir) =>
+      TextOps.contentFlags(t(s, dir, "documents"))),
+    "q_text_tfidf" -> ((s, dir) =>
+      TextOps.topTfidf(t(s, dir, "documents"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
     "q_dedup_ngram" -> ((s, dir) =>
@@ -161,6 +165,13 @@ object SparkEntry {
     // Deterministic sampling (generator ORDER BY RANDOM() LIMIT analog).
     "q_sample" -> ((s, dir) =>
       EventOps.sampleOrders(t(s, dir, "orders"), 100)),
+    // Stratified variant: equal representation per order status.
+    "q_sample_stratified" -> ((s, dir) =>
+      EventOps.sampleOrdersStratified(t(s, dir, "orders"), 10)),
+    // Sketch-accuracy gate (HLL++ distinct, approx_percentile) — the
+    // recall-gate pattern applied to sketches.
+    "q_sketch_gate" -> ((s, dir) =>
+      graft.operators.Sketches.accuracyGate(t(s, dir, "events"))),
     // Top-k: grouped decimal sum + sort + limit.
     "q_topk_customers" -> ((s, dir) =>
       dbl(EventOps.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"), 10),
@@ -443,6 +454,28 @@ object SparkEntry {
         |    ELSE list_distinct(hs) END AS fps FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    "q_text_flags" ->
+      """WITH f AS (SELECT doc_id,
+        |  regexp_extract_all(text, 'https?://[a-z0-9./_-]+') AS urls,
+        |  regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9._-]+') AS emails,
+        |  string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(urls) AS BIGINT) AS n_urls,
+        |  CAST(len(emails) AS BIGINT) AS n_emails,
+        |  CAST(len(urls) + len(emails) AS DOUBLE) / len(toks) AS noise_ratio
+        |FROM f ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n / df.df AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, score AS tfidf FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
         |c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY hh)
@@ -624,6 +657,17 @@ object SparkEntry {
         |  SELECT * FROM orders
         |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 100)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT * FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 10
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Sketch outputs have no cross-engine oracle (HLL registers are
+    // implementation-defined); the oracle pins the accuracy verdict.
+    "q_sketch_gate" ->
+      """SELECT true AS distinct_ok, true AS p50_ok, true AS p99_ok""",
 
     "q_topk_customers" ->
       """SELECT * FROM (

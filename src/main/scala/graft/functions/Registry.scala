@@ -21,5 +21,14 @@ object Registry {
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHash64(exprs(0),
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 60), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowFingerprints(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_buckets",
+      exprs => HyperplaneBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -39,7 +39,8 @@ object Dedup {
     * Plan: explode distinct shingles → self-join on shingle (the only
     * shuffle, keyed by shingle) → count per pair → join sizes →
     * filter. Quadratic only within a shingle's posting list; at scale
-    * run [[minHashLsh]] first and Jaccard-verify only candidates.
+    * use [[dedupPipeline]], which runs [[minHashLsh]] first and
+    * Jaccard-verifies only candidates.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // join key = md5(shingle): fixed 32-byte shuffle key instead of the

@@ -56,6 +56,19 @@ object EventOps {
     orders.orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
       .limit(n)
 
+  /** Deterministic STRATIFIED sample: the md5-order top-n of
+    * [[sampleOrders]] taken per group — equal representation per
+    * stratum regardless of stratum skew (the training-data "balance by
+    * source/language" primitive). Window-ranked; the shuffle carries
+    * only the group key + md5 rank inputs. */
+  def sampleOrdersStratified(orders: DataFrame, perGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+    orders.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perGroup).drop("__rn")
+  }
+
   /** Top-k aggregate (sort+limit over a grouped sum): biggest customers
     * by exact decimal revenue. */
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int): DataFrame =

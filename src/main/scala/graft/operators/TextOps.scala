@@ -93,6 +93,46 @@ object TextOps {
       size(col("shingles")).cast("bigint").as("n_shingles"),
       array_min(transform(col("shingles"), s => md5(s))).as("fingerprint"))
 
+  /** Noise/PII-shaped content flags — the strip/score signals a
+    * pretraining cleanup pass keys on: URL-ish and email-ish token
+    * counts plus their density. Narrow regexp counting at scan speed;
+    * patterns kept in the regex subset Spark and DuckDB interpret
+    * identically (no lookaround, explicit classes). */
+  def contentFlags(docs: DataFrame): DataFrame = {
+    val urls = size(expr("regexp_extract_all(text, 'https?://[a-z0-9./_-]+', 0)"))
+    val emails = size(expr("regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9._-]+', 0)"))
+    docs.select(
+      col("doc_id"),
+      urls.cast("bigint").as("n_urls"),
+      emails.cast("bigint").as("n_emails"),
+      ((urls + emails).cast("double") / size(toks)).as("noise_ratio"))
+  }
+
+  /** Per-document top TF-IDF term (tf × N/df, the log-free rational
+    * variant: every value is one correctly-rounded division of exact
+    * integers, so Spark and DuckDB agree bit-for-bit — `ln` is only
+    * faithfully rounded and may differ in the last ulp between libms).
+    * Ties break toward the lexicographically smallest term.
+    *
+    * Scale shape: explode distinct per-doc tokens once; df is a
+    * token-keyed count (shuffle moves (token, count) pairs); the
+    * doc-side tf join is token-keyed; the final per-doc argmax is a
+    * max_by aggregate — partial map-side reduction, no window sort. */
+  def topTfidf(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    tf.join(df, "term").crossJoin(n)
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("__n") / col("df")).as("score"))
+      .groupBy("doc_id")
+      // (score desc, term asc) argmax as a min_by over (−score, term)
+      .agg(min_by(struct(col("term"), col("score")),
+        struct((-col("score")).as("ns"), col("term"))).as("x"))
+      .select(col("doc_id"), col("x.term").as("top_term"), col("x.score").as("tfidf"))
+  }
+
   /** Winnowing (Schleimer et al.): the distinct set of per-window
     * minima over the ORDERED (non-distinct) shingle hash sequence,
     * window size w — guarantees any match of length ≥ w+n−1 tokens

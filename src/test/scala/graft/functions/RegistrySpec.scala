@@ -15,5 +15,10 @@ class RegistrySpec extends SparkSpec {
       .as[Seq[String]].head() == Seq("a b c", "b c d"))
     val sh = spark.sql("SELECT graft_simhash(text) FROM ts").as[Long].head()
     assert(sh != 0L)
+    // winnow with w=1 degenerates to the per-shingle hash set
+    assert(spark.sql("SELECT size(graft_winnow(text, 3, 1)) FROM ts")
+      .as[Int].head() == 2)
+    assert(spark.sql("SELECT size(graft_hyperplane_buckets(a, 4, 3, 2)) FROM vs")
+      .as[Int].head() == 4)
   }
 }

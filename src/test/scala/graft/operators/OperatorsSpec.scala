@@ -152,6 +152,47 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("content flags count url/email tokens and density") {
+    val out = TextOps.contentFlags(docs(
+      1L -> "see https://example.org/a and mail me@host.com now",
+      2L -> "plain words only")).as[(Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 1L, 1L, 2.0 / 6)))
+    assert(out(1) == ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("top tf-idf prefers frequent-here, rare-elsewhere terms") {
+    // "common" appears in every doc (df=3 → n/df=1); each doc's marker
+    // term is unique (df=1 → n/df=3)
+    val out = TextOps.topTfidf(docs(
+      1L -> "common alpha alpha common",
+      2L -> "common beta common common",
+      3L -> "gamma common")).as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, "alpha", 2.0 * 3 / 1)))
+    // doc 2: beta tf=1 df=1 → 3.0; common tf=3 df=3 → 3.0 — term tie-break
+    assert(out(1) == ((2L, "beta", 3.0)))
+    assert(out(2) == ((3L, "gamma", 3.0)))
+  }
+
+  test("stratified sample: per-group quota, deterministic") {
+    val orders = (1L to 200L).map(i => (i, if (i % 3 == 0) "A" else "B"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val once = EventOps.sampleOrdersStratified(orders, 7)
+      .as[(Long, String)].collect().toSet
+    val again = EventOps.sampleOrdersStratified(
+        orders.repartition(13), 7)   // layout must not matter
+      .as[(Long, String)].collect().toSet
+    assert(once == again)
+    assert(once.groupBy(_._2).forall(_._2.size == 7))
+  }
+
+  test("sketch gate holds on the small scale dir") {
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val row = Sketches.accuracyGate(events).collect().head
+    assert((0 until 3).forall(i => row.getBoolean(i)), row.toString)
+  }
+
   test("hyperplane buckets: native pass equals per-plane sign arithmetic") {
     // pin the bucket derivation: sequential-fold projection sign per
     // plane, bit b of table t from plane t*planes+b — a change here
