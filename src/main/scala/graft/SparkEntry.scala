@@ -111,22 +111,24 @@ object SparkEntry {
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
     // IVF ANN (k-means inverted lists + multi-probe): approximate by
     // design — rows-only check, brute force is the exact reference.
-    // probes=12 is the recall ≥ 0.9 operating point the companion
-    // recall gate below certifies.
+    // Auto sizing: nClusters ≈ 2√N (45 at sf0.01, 90 at sf0.1), probes
+    // at the ≥0.9-recall operating point the companion gate certifies;
+    // the probe join is salted on (cluster, chunk).
     "q_ann_ivf" -> ((s, dir) =>
-      graft.operators.IvfIndex.topK(t(s, dir, "embeddings"), k = 5, probes = 12)
+      graft.operators.IvfIndex.topK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
 
     // Driver-visible recall gates for the two approximate ANN operators:
     // one row (k, n_queries, recall_ok), recall measured in-engine
-    // against bruteForceTopK. Measured at the gate SF: LSH 40×5 → 0.96,
-    // IVF 16-list/12-probe → 0.95 (bar 0.9 on both).
+    // against bruteForceTopKFor over a deterministic 200-query sample
+    // (md5-order; gate cost O(sample·N), not O(N²)). Measured at the
+    // gate SFs: LSH 40×5 → ≥0.95, IVF auto-sized → ≥0.93 (bar 0.9).
     "q_ann_lsh_recall" -> ((s, dir) =>
       Similarity.recallVsExact(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
         e => Similarity.lshTopK(e, k = 5))),
     "q_ann_ivf_recall" -> ((s, dir) =>
       Similarity.recallVsExact(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
-        e => graft.operators.IvfIndex.topK(e, k = 5, probes = 12))),
+        e => graft.operators.IvfIndex.topK(e, k = 5))),
 
     // Multimodal: binary payload column metadata pass (decode path is
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
@@ -565,16 +567,17 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Constant-shape oracles for the ANN recall gates: the Spark side
-    // computes recall in-engine and emits the boolean verdict; the
-    // oracle pins the expected verdict (and the sf-dependent row count
-    // comes from the table itself, so the same SQL holds at any SF).
+    // computes recall in-engine (over the deterministic 200-query
+    // sample) and emits the boolean verdict; the oracle pins the
+    // expected verdict (and the sf-dependent sample size comes from the
+    // table itself, so the same SQL holds at any SF).
     "q_ann_lsh_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k,
-        |  (SELECT count(*) FROM embeddings) AS n_queries,
+        |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
     "q_ann_ivf_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k,
-        |  (SELECT count(*) FROM embeddings) AS n_queries,
+        |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
 
     "q_multimodal_meta" ->

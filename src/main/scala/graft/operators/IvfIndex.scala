@@ -13,14 +13,45 @@ import org.apache.spark.sql.functions._
   * probes/nClusters of brute force). All arithmetic is the same
   * sequential double fold as the rest of the engine.
   *
+  * Build and query are SEPARATE lifecycles: [[build]] fits the
+  * quantizer once and persists the inverted lists partitioned AND
+  * sorted by (cluster, chunk); [[query]] probes a built index — so a
+  * query batch never re-runs k-means and never reshuffles or re-sorts
+  * the list side. The probe join is salted the skew-canonical way
+  * (salt the big probe stream, replicate the list store): each list is
+  * replicated into `chunks` copies at build time and each probe row
+  * carries ONE content-hash chunk, so the exchange is keyed on
+  * nClusters×chunks keys instead of nClusters — a hot list's probe
+  * traffic spreads over `chunks` reducers and parallelism scales with
+  * the index, not the (previously fixed-16) cluster count. Only probe
+  * rows move at query time; corpus vectors never re-shuffle.
+  *
   * Deterministic end-to-end: centroid seeds are the first nClusters
   * vectors in md5(vec_id) order (reproducible pseudo-random spread),
-  * Lloyd iterations are exact-arithmetic argmax with id tie-break, so
-  * fit() gives the same model on any cluster/partitioning.
+  * Lloyd iterations are exact-arithmetic argmax with id tie-break, and
+  * chunk assignment is a content hash, so the same model and the same
+  * answer come back on any cluster/partitioning.
   */
 object IvfIndex {
 
   final case class Model(centroids: Array[Array[Double]]) extends Serializable
+
+  /** A built index: quantizer + persisted inverted lists, pre-shuffled
+    * and pre-sorted by (cluster, chunk), each list replicated `chunks`
+    * ways (the salt's replica side — memory × chunks buys hot-list
+    * parallelism; chunks=1 disables salting). Reuse across query
+    * batches; `close()` drops the cached lists. */
+  final case class Index(model: Model, lists: DataFrame, chunks: Int) {
+    def close(): Unit = lists.unpersist()
+  }
+
+  /** nClusters ≈ 2√N, the classic IVF sizing (lists of ~√N/2 vectors):
+    * keeps both the quantizer scan (N·nClusters) and the probed-list
+    * scan (probes·N/nClusters) sublinear in N as the corpus grows.
+    * 500 vectors → 45 lists, 2 000 → 90, 10⁹ → 4096 (capped: beyond
+    * that a second-level quantizer beats more flat lists). */
+  def autoClusters(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(2.0 * math.sqrt(n.toDouble)).toInt))
 
   private def toVecs(embeddings: DataFrame): Dataset[(Long, Array[Double])] = {
     val spark = embeddings.sparkSession
@@ -99,19 +130,61 @@ object IvfIndex {
     }.toDF("vec_id", "cluster", "v")
   }
 
-  /** ANN top-k with multi-probe: each query searches its `probes`
-    * nearest inverted lists exactly. Approximate (recall < 1; the
-    * brute-force operator is the oracle — measured recall@5 on the
-    * weakly-clustered sf0.01 vectors: 0.60/0.73/0.83 at probes=4/6/8
-    * of 16 lists). */
-  def topK(embeddings: DataFrame, k: Int = 5, nClusters: Int = 16,
-           probes: Int = 6, iters: Int = 5): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val model = fit(embeddings, nClusters, iters)
+  /** Build the index once: fit the quantizer, assign every vector,
+    * replicate each list across the `chunksPerList` salt replicas, and
+    * persist the lists already partitioned and sorted by the
+    * (cluster, chunk) probe-join key — query batches sort-merge against
+    * this layout with zero exchange and zero sort on the corpus side.
+    * Eager: the lists materialize here, not in the first query.
+    *
+    * nClusters ≤ 0 → [[autoClusters]] of the corpus size. iters=3:
+    * measured recall@5 is iteration-insensitive on the gate corpora
+    * (0.944 vs 0.946 at 3 vs 5 iters, sf0.01 — probe fraction, not
+    * centroid convergence, governs recall on weakly-clustered data),
+    * and each saved Lloyd pass is a full corpus scan. */
+  def build(embeddings: DataFrame, nClusters: Int = -1, iters: Int = 3,
+            chunksPerList: Int = 4): Index = {
+    val nc = if (nClusters > 0) nClusters else autoClusters(embeddings.count())
+    val model = fit(embeddings, nc, iters)
     val lists = assign(embeddings, model)
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    val probed = toVecs(embeddings).mapPartitions { it =>
+      // replica side of the salt: each list row in every chunk
+      .withColumn("chunk", explode(sequence(lit(0), lit(chunksPerList - 1))))
+      .repartition(col("cluster"), col("chunk"))
+      .sortWithinPartitions("cluster", "chunk")
+      .persist()
+    lists.count()                                     // materialize now
+    Index(model, lists, chunksPerList)
+  }
+
+  /** ANN top-k against a built index, multi-probe: each query searches
+    * its `probes` nearest inverted lists exactly. Approximate
+    * (recall < 1; brute force is the oracle) — recall tracks the probed
+    * corpus fraction on weakly-clustered data, so the operating point
+    * (probes/nClusters) is certified by the driver-visible recall gate.
+    *
+    * probes ≤ 0 → 60% of the lists: the ≥0.9-recall operating point on
+    * the weakly-clustered testdata vectors (tightly clustered corpora
+    * reach it with far fewer — tune per corpus against the gate).
+    *
+    * Shape: probe rows are (query_id, cluster, chunk, qv) — one row per
+    * probed list, chunk = content hash of the query id (the salt) —
+    * sort-merge-joined against the pre-partitioned pre-sorted lists on
+    * (cluster, chunk): only the probe side exchanges (nClusters×chunks
+    * keys), the corpus side reuses the index layout with zero shuffle
+    * and zero sort, and the merge hint keeps the planner from
+    * broadcasting either side (the probe stream's row estimate lies
+    * after the flatMap; a corpus broadcast is the 100 TB anti-plan).
+    * Scores pipeline straight into the bounded-heap top-k — candidate
+    * vectors never move. */
+  def query(index: Index, queries: DataFrame, k: Int = 5,
+            probes: Int = -1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.model.centroids
+    val np = if (probes > 0) math.min(probes, cents.length)
+             else math.max(1, math.ceil(cents.length * 0.6).toInt)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probed = toVecs(queries).mapPartitions { it =>
       val cs = bc.value
       it.flatMap { case (id, v) =>
         val scored = cs.indices.map { c =>
@@ -120,19 +193,27 @@ object IvfIndex {
           while (j < v.length) { s += v(j) * cs(c)(j); j += 1 }
           (c, s)
         }
-        scored.sortBy(t => (-t._2, t._1)).take(probes)
+        scored.sortBy(t => (-t._2, t._1)).take(np)
           .map { case (c, _) => (id, c, v) }
       }
     }.toDF("query_id", "cluster", "qv")
-    val scored = probed.join(lists, "cluster")
+      // salt: spread each query's probe rows by content hash
+      .withColumn("chunk",
+        pmod(xxhash64(col("query_id")), lit(index.chunks)).cast("int"))
+    val scored = probed.join(index.lists.hint("merge"), Seq("cluster", "chunk"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Similarity.dot(col("qv"), col("v")).as("score"))
-    scored.groupBy("query_id")
-      .agg(graft.functions.TopKAggregator.topK(k)(
-        col("neighbor_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("nb._1").as("neighbor_id"), col("nb._2").as("score"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Convenience self-ANN: build + query in one call (the index is left
+    * cached for plan reuse within the job; long-lived sessions should
+    * [[build]] once and [[query]] many times — that is the point of the
+    * split lifecycle). */
+  def topK(embeddings: DataFrame, k: Int = 5, nClusters: Int = -1,
+           probes: Int = -1, iters: Int = 3, chunksPerList: Int = 4): DataFrame = {
+    val index = build(embeddings, nClusters, iters, chunksPerList)
+    query(index, embeddings, k, probes)
   }
 }

@@ -23,32 +23,45 @@ object Similarity {
     embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
 
-  /** Exact brute-force cosine top-k per query vector. Deterministic
-    * ranking: (score desc, neighbor id asc).
+  /** Exact brute-force self-ANN: [[bruteForceTopKFor]] with the corpus
+    * as its own query set. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
+                     blockRows: Int = 100000): DataFrame =
+    bruteForceTopKFor(embeddings, embeddings, k, blockRows)
+
+  /** Exact brute-force cosine top-k of each `queries` vector against
+    * the `corpus`. Deterministic ranking: (score desc, neighbor id
+    * asc); id-equal pairs are excluded (self-match, when the query set
+    * is drawn from the corpus).
     *
-    * Shape: block-broadcast matrix scan — the candidate set is
-    * broadcast in blocks of ≤ `blockRows`, each query partition streams
-    * its vectors against the in-memory block keeping a bounded heap,
-    * and per-block partial top-k merge through [[rankTopK]]. Queries
-    * stay partitioned (distributed), candidates ride broadcasts; the
-    * naive cross-join formulation materializes N·M joined rows with
-    * per-row array copies — measured 5× slower at 2000×2000×64 — and
-    * is kept only as the join-based reference in [[bruteForceTopKJoin]].
-    * Scores are the same sequential double folds, so results are
-    * bit-identical to the join version and the SQL oracle.
+    * Shape: block-broadcast matrix scan — the corpus is broadcast in
+    * blocks of ≤ `blockRows`, each query partition streams its vectors
+    * against the in-memory block keeping a bounded heap, and per-block
+    * partial top-k merge through [[rankTopK]]. Queries stay partitioned
+    * (distributed), candidates ride broadcasts; the naive cross-join
+    * formulation materializes N·M joined rows with per-row array
+    * copies — measured 5× slower at 2000×2000×64 — and is kept only as
+    * the join-based reference in [[bruteForceTopKJoin]]. Scores are the
+    * same sequential double folds, so results are bit-identical to the
+    * join version and the SQL oracle.
     *
     * Driver footprint is ONE block at a time (id-hash partitioned
     * filter + collect per block), never the whole table — the earlier
-    * full-table `collect()` OOM'd the driver at scale. The candidate
+    * full-table `collect()` OOM'd the driver at scale. Blocks are cut
+    * by pmod(xxhash64(vec_id), nBlocks), not pmod(id): block sizes stay
+    * bounded whatever the id distribution (strided/all-even ids would
+    * concentrate a modulo split into one oversized collect). The corpus
     * side is re-scanned once per block, the price every block
     * nested-loop pays; the heap result is arrival-order independent
     * (strict total-order replacement), so blocking doesn't change the
     * answer. */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
-                     blockRows: Int = 100000): DataFrame = {
-    val spark = embeddings.sparkSession
+  def bruteForceTopKFor(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                        blockRows: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+    val qvecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
     val n = vecs.count()
     // ≥ 1 block always, so the partial-union reduce below is total
@@ -56,9 +69,9 @@ object Similarity {
     // reduce threw)
     val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
     val partials = (0 until nBlocks).iterator.map { b =>
-      val block = vecs.filter(pmod(col("vec_id"), lit(nBlocks)) === b).collect()
+      val block = vecs.filter(pmod(xxhash64(col("vec_id")), lit(nBlocks)) === b).collect()
       val bc = spark.sparkContext.broadcast(block)
-      vecs.mapPartitions { it =>
+      qvecs.mapPartitions { it =>
         val cand = bc.value
         it.map { case (qid, q) =>
           // bounded heap per query over this candidate block
@@ -106,7 +119,7 @@ object Similarity {
     * window formulation would shuffle and sort every candidate row;
     * this reduces map-side and exchanges ≤ queries×k entries. Same
     * deterministic (score desc, id asc) order. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKAggregator.topK(k)(
         col("neighbor_id"), col("score")).as("top"))
@@ -158,15 +171,35 @@ object Similarity {
   /** Recall@k of an approximate ANN against the exact brute force, as a
     * one-row gate: (k, n_queries, recall_ok = recall ≥ bar). Gives the
     * driver an oracle-checkable view of approximate-by-design operators
-    * whose raw output can't have a SQL oracle. */
-  def recallVsExact(embeddings: DataFrame, k: Int, bar: Double)(
+    * whose raw output can't have a SQL oracle.
+    *
+    * Recall is estimated on a deterministic SAMPLE of `sampleQueries`
+    * query vectors (first in md5(vec_id) order — reproducible
+    * pseudo-random, engine-independent): the exact side costs
+    * O(sample·N) instead of the O(N²) full-corpus brute force ×1 per
+    * gate, which at sf1 would dominate every real operator. A 200-query
+    * sample bounds the recall estimate's standard error to ~
+    * √(r(1−r)/(200·k)) ≈ 0.01 at r≈0.95, plenty for a ≥0.9 bar; the
+    * approximate side still runs the full operator (that IS the thing
+    * under test), only its output is filtered to the sampled queries
+    * for the comparison. */
+  def recallVsExact(embeddings: DataFrame, k: Int, bar: Double,
+                    sampleQueries: Int = 200)(
       approx: DataFrame => DataFrame): DataFrame = {
-    val exact = bruteForceTopK(embeddings, k).select("query_id", "neighbor_id")
-    val ap = approx(embeddings).select("query_id", "neighbor_id")
+    val qids = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleQueries)
+      .select(col("vec_id"))
+    val exact = bruteForceTopKFor(embeddings.join(broadcast(qids), "vec_id"),
+        embeddings, k)
+      .select("query_id", "neighbor_id")
+    val ap = approx(embeddings)
+      .join(broadcast(qids.withColumnRenamed("vec_id", "query_id")), "query_id")
+      .select("query_id", "neighbor_id")
     val matched = exact.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).cast("double").as("__matched"))
     val total = exact.agg(count(lit(1)).cast("double").as("__total"))
-    embeddings.agg(count(lit(1)).as("n_queries"))
+    qids.agg(count(lit(1)).as("n_queries"))
       .crossJoin(matched).crossJoin(total)
       .select(lit(k.toLong).as("k"), col("n_queries"),
         (col("__matched") / col("__total") >= bar).as("recall_ok"))

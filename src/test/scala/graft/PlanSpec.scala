@@ -71,6 +71,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe join is salted: keyed on (cluster, chunk), index layout reused") {
+    // the round-3 defect: a probe join keyed on cluster alone is a
+    // ≤nClusters-key exchange (max 16-way parallelism at the old
+    // default, hot-centroid skew). The fix pins BOTH halves of the
+    // salted key in the join, and nClusters scales with the corpus.
+    val emb = Tables.load(spark, dir, "embeddings")
+    assert(operators.IvfIndex.autoClusters(2000) >= 64,
+      "auto cluster count must scale past the old fixed 16")
+    val idx = operators.IvfIndex.build(emb, nClusters = 8, chunksPerList = 4)
+    try {
+      val p = plan(operators.IvfIndex.query(idx, emb, k = 3, probes = 2))
+      val joinKeyLines = p.linesIterator
+        .filter(l => l.contains("keys") || l.contains("Keys")).toSeq
+      assert(joinKeyLines.exists(l => l.contains("cluster") && l.contains("chunk")),
+        s"probe join must be keyed on (cluster, chunk), got: $joinKeyLines")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        "query must reuse the persisted index lists, not recompute them")
+    } finally idx.close()
+  }
+
   test("pricing SQL through the catalog: partial+final agg, single exchange") {
     Tables.registerAll(spark, dir)
     val p = plan(spark.sql(SparkEntry.PricingSql))
