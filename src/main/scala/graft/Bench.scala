@@ -24,9 +24,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // min of 2 measured runs: one-shot numbers at this scale are
-    // GC/JIT-noisy (observed 1.7s vs 11s for the same plan).
+    // GC/JIT-noisy (observed 1.7s vs 11s for the same plan). If the two
+    // runs disagree by >2x the query is in a noisy regime (GC pause,
+    // JIT recompile) — take a third run so the reported min isn't a
+    // coin flip (r3 postmortem: q_asof_join read 3.4s from one bad
+    // pair, 1.0s on re-measure with identical code).
     val results = SparkEntry.rawOps.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def run(): Double = {
         // JVM hygiene between measurements: accumulated caches/broadcasts
         // from 30+ prior queries otherwise inflate later ones (observed
         // 3s -> 23s for the same plan deep into a bench run)
@@ -42,6 +46,11 @@ object Bench {
           -1.0
         }
       }
+      val first = (1 to 2).map(_ => run())
+      val times =
+        if (first.contains(-1.0)) first
+        else if (first.max > 2 * first.min) first :+ run()
+        else first
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

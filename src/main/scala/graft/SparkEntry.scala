@@ -99,8 +99,17 @@ object SparkEntry {
       Dedup.simHash(t(s, dir, "documents"))),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), maxDist = 3)),
+    // Verified entry = the exact blocked scan (hash-matches the
+    // all-pairs oracle at ANY scale factor); the LSH scale path runs as
+    // its own benched query with a sampled recall gate — an LSH output
+    // hash-compared to an exact oracle would deterministically fail the
+    // round on one missed borderline pair at a new SF.
     "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.4)),
+    "q_embed_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
+    "q_embed_neardup_gate" -> ((s, dir) =>
+      Dedup.nearDupRecallGate(t(s, dir, "embeddings"), threshold = 0.4, bar = 0.95)),
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
@@ -556,6 +565,12 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.4
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q_embed_neardup_lsh: approximate by design, no SQL oracle
+    // (rows-only check); the gate below pins its pair-recall verdict.
+    "q_embed_neardup_gate" ->
+      """SELECT least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
+        |  true AS recall_ok""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

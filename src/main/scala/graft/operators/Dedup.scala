@@ -179,8 +179,52 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Embedding near-dup: pairs with dot-product similarity ≥ threshold
-    * (vectors are L2-normalized, so dot = cosine).
+  /** Exact embedding near-dup: every pair (a < b) with dot ≥ threshold
+    * (vectors are L2-normalized, so dot = cosine). Block-broadcast scan
+    * ([[Similarity.thresholdPairsFor]]): exact by construction, O(N²)
+    * compute distributed over query partitions — the deterministic
+    * reference / verify-stage formulation. [[embeddingNearDup]] is the
+    * sub-quadratic scale path; its recall against this operator is
+    * certified by [[nearDupRecallGate]]. */
+  def embeddingNearDupExact(embeddings: DataFrame, threshold: Double = 0.9,
+                            blockRows: Int = 100000): DataFrame =
+    Similarity.thresholdPairsFor(embeddings, embeddings, threshold, blockRows)
+      .filter(col("query_id") < col("cand_id"))
+      .select(col("query_id").as("a"), col("cand_id").as("b"), col("score"))
+
+  /** One-row recall gate for the approximate [[embeddingNearDup]]:
+    * pair-recall vs the exact scan, on a deterministic md5-order sample
+    * of `sampleQueries` vectors (the exact side costs O(sample·N), not
+    * O(N²) — the same sampled-gate pattern as the ANN recall gates).
+    * recall_ok is vacuously true when the sample grazes no pair (no
+    * evidence of a miss). */
+  def nearDupRecallGate(embeddings: DataFrame, threshold: Double = 0.9,
+                        bar: Double = 0.95, sampleQueries: Int = 200): DataFrame = {
+    val qids = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleQueries)
+      .select(col("vec_id"))
+    val exactPairs = Similarity.thresholdPairsFor(
+        embeddings.join(broadcast(qids), "vec_id"), embeddings, threshold)
+      .select(least(col("query_id"), col("cand_id")).as("a"),
+        greatest(col("query_id"), col("cand_id")).as("b"))
+      .distinct()
+    val approx = embeddingNearDup(embeddings, threshold).select("a", "b")
+    val matched = exactPairs.join(approx, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("__matched"))
+    val total = exactPairs.agg(count(lit(1)).cast("double").as("__total"))
+    qids.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(matched).crossJoin(total)
+      .select(col("n_queries"),
+        coalesce(col("__matched") / col("__total") >= bar, lit(true))
+          .as("recall_ok"))
+  }
+
+  /** Embedding near-dup, the scale path: pairs with dot-product
+    * similarity ≥ threshold (vectors are L2-normalized, so dot =
+    * cosine). Approximate — [[embeddingNearDupExact]] is the exact
+    * reference and [[nearDupRecallGate]] makes the recall
+    * driver-visible.
     *
     * Candidates come from multi-table hyperplane LSH
     * ([[Similarity.lshBuckets]]) — equi-joins on (table, bucket) over

@@ -104,6 +104,44 @@ object Similarity {
     rankTopK(partials.toDF("query_id", "neighbor_id", "score"), k)
   }
 
+  /** Exact all-pairs-above-threshold scan: every (query, corpus) pair
+    * with dot ≥ threshold, id-equal pairs excluded — the same
+    * block-broadcast shape as [[bruteForceTopKFor]] (corpus rides
+    * ≤blockRows broadcasts, queries stay partitioned, scores are the
+    * sequential fold) but emitting ALL qualifying pairs instead of a
+    * bounded heap. O(Q·N) compute: the exact reference / verify stage
+    * for the LSH-candidate near-dup path, not the 100 TB scan plan. */
+  private[operators] def thresholdPairsFor(queries: DataFrame, corpus: DataFrame,
+      threshold: Double, blockRows: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qvecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val n = vecs.count()
+    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    val partials = (0 until nBlocks).iterator.map { b =>
+      val block = vecs.filter(pmod(xxhash64(col("vec_id")), lit(nBlocks)) === b).collect()
+      val bc = spark.sparkContext.broadcast(block)
+      qvecs.mapPartitions { it =>
+        val cand = bc.value
+        it.flatMap { case (qid, q) =>
+          cand.iterator.flatMap { case (cid, c) =>
+            if (cid == qid) None
+            else {
+              var s = 0.0
+              var j = 0
+              while (j < q.length) { s += q(j) * c(j); j += 1 }
+              if (s >= threshold) Some((qid, cid, s)) else None
+            }
+          }
+        }
+      }
+    }.reduce(_ union _)
+    partials.toDF("query_id", "cand_id", "score")
+  }
+
   /** Join-based exact top-k (reference formulation; see
     * [[bruteForceTopK]] for why the blocked scan replaced it). */
   def bruteForceTopKJoin(embeddings: DataFrame, k: Int = 5): DataFrame = {

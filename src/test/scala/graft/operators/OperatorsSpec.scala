@@ -193,6 +193,25 @@ class OperatorsSpec extends SparkSpec {
     assert((0 until 3).forall(i => row.getBoolean(i)), row.toString)
   }
 
+  test("sketch gate: bounded exact side (maxExactRows < N) still verdicts true") {
+    // the 100 TB path: content-hash sample caps the exact sort
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val row = Sketches.accuracyGate(events, maxExactRows = 2000).collect().head
+    assert((0 until 3).forall(i => row.getBoolean(i)), row.toString)
+  }
+
+  test("embedding near-dup: LSH pairs ⊆ exact pairs; sampled recall gate true") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Dedup.embeddingNearDupExact(emb, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDup(emb, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH emits only exact-verified pairs (precision 1)")
+    val gate = Dedup.nearDupRecallGate(emb, threshold = 0.4, bar = 0.95)
+      .collect().head
+    assert(gate.getBoolean(1), gate.toString)
+  }
+
   test("hyperplane buckets: native pass equals per-plane sign arithmetic") {
     // pin the bucket derivation: sequential-fold projection sign per
     // plane, bit b of table t from plane t*planes+b — a change here
