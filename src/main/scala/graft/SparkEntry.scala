@@ -514,10 +514,11 @@ object SparkEntry {
         |SELECT a, b FROM cand ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Composed pipeline oracle: LSH candidates → Jaccard ≥ 0.5 verify →
-    // 3 rounds of min-label propagation — the same bounded computation
-    // the engine's Dedup.dedupPipeline declares.
+    // FULL connected components (recursive transitive closure + min
+    // reachable node) — the engine's star-contraction converges to the
+    // same fixpoint for any chain depth.
     "q_dedup_pipeline" ->
-      s"""WITH $MinHashCandCteSql,
+      s"""WITH RECURSIVE $MinHashCandCteSql,
         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
         |ic AS (SELECT c.a, c.b, count(*) AS inter
         |       FROM cand c JOIN e ea ON ea.doc_id = c.a
@@ -527,21 +528,16 @@ object SparkEntry {
         |          FROM ic JOIN sz sa ON sa.doc_id = ic.a JOIN sz sb ON sb.doc_id = ic.b
         |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
         |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
-        |l0 AS (SELECT doc_id, doc_id AS c FROM documents),
-        |l1 AS (SELECT l.doc_id, least(l.c, coalesce(min(p.c), l.c)) AS c
-        |       FROM l0 l LEFT JOIN und ON und.u = l.doc_id
-        |                 LEFT JOIN l0 p ON p.doc_id = und.v
-        |       GROUP BY l.doc_id, l.c),
-        |l2 AS (SELECT l.doc_id, least(l.c, coalesce(min(p.c), l.c)) AS c
-        |       FROM l1 l LEFT JOIN und ON und.u = l.doc_id
-        |                 LEFT JOIN l1 p ON p.doc_id = und.v
-        |       GROUP BY l.doc_id, l.c),
-        |l3 AS (SELECT l.doc_id, least(l.c, coalesce(min(p.c), l.c)) AS c
-        |       FROM l2 l LEFT JOIN und ON und.u = l.doc_id
-        |                 LEFT JOIN l2 p ON p.doc_id = und.v
-        |       GROUP BY l.doc_id, l.c)
-        |SELECT doc_id, c AS canonical_id, doc_id <> c AS is_dup
-        |FROM l3 ORDER BY ALL NULLS FIRST""".stripMargin,
+        |reach(src, dst) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.src, e2.v FROM reach r JOIN und e2 ON e2.u = r.dst),
+        |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS canonical_id,
+        |  d.doc_id <> least(d.doc_id, coalesce(mn.m, d.doc_id)) AS is_dup
+        |FROM documents d LEFT JOIN mn ON mn.src = d.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $SimHashCteSql

@@ -92,25 +92,14 @@ object Dedup {
       .distinct()
   }
 
-  /** The composed near-dup pipeline a training-data run actually
-    * executes, end to end: MinHash+LSH candidate generation → exact
-    * Jaccard verification ON CANDIDATES ONLY → canonical assignment by
-    * bounded min-label propagation. One row per document:
-    * (doc_id, canonical_id, is_dup).
-    *
-    * Scale shape: every stage is an equi-join or keyed aggregate —
-    * candidates from the banding join ([[minHashLsh]]), intersection
-    * counts from a (pair × shingle) equi-join proportional to the
-    * CANDIDATE volume (the all-pairs Jaccard of [[ngramJaccard]] never
-    * appears), and `rounds` label-propagation joins, each a hash join
-    * on doc_id. `rounds`=3 canonicalizes chains up to 3 hops — near-dup
-    * groups are cliques-ish in practice (identical-template docs), and
-    * the bound keeps the plan static for Catalyst instead of a
-    * driver-paced convergence loop; raise it for adversarial chain
-    * topologies. Recall is governed by the LSH banding (k, bands), as
-    * in the standalone candidate operator. */
-  def dedupPipeline(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
-                    threshold: Double = 0.5, rounds: Int = 3): DataFrame = {
+  /** Verified near-dup edge list (a, b): LSH banding candidates
+    * ([[minHashLsh]]) with exact Jaccard ≥ threshold confirmed on the
+    * candidates only — the lazily-planned stage of [[dedupPipeline]]
+    * (split out so plan tests can assert its join shapes; the
+    * driver-paced [[connectedComponents]] loop checkpoints lineage
+    * away). */
+  def nearDupEdges(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
     val cand = minHashLsh(docs, n, k, bands)
     val sh = shingleRows(docs, n).select(col("doc_id"), md5(col("shingle")).as("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -118,26 +107,100 @@ object Dedup {
       .join(sh.toDF("a", "h"), "a")
       .join(sh.toDF("b", "h"), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    val edges = inter
+    inter
       .join(sizes.toDF("a", "sza"), "a")
       .join(sizes.toDF("b", "szb"), "b")
       .filter(col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")) >= threshold)
       .select(col("a"), col("b"))
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-    var lab = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
-    for (_ <- 1 to rounds) {
-      val nbMin = und
-        .join(lab.toDF("v", "nc"), "v")
-        .groupBy(col("u").as("doc_id")).agg(min("nc").as("__nmin"))
-      lab = lab.join(nbMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("canonical_id"),
-            coalesce(col("__nmin"), col("canonical_id"))).as("canonical_id"))
+  }
+
+  /** Connected components over an undirected edge list (a, b) →
+    * (node, canonical_id = component minimum), by ALTERNATING
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — a published
+    * public algorithm): each half-round is a keyed min-aggregate plus
+    * an equi-join on node id (never a cartesian), and the edge set
+    * converges to per-component stars in O(log n) rounds — so an
+    * adversarial duplicate CHAIN of any depth canonicalizes, where the
+    * previous fixed-3-round label propagation stopped at 3 hops.
+    *
+    * The loop is driver-paced with an O(1)-row convergence probe per
+    * round (edge count + order-free checksum) and a localCheckpoint to
+    * keep the plan from growing with rounds — the Spark idiom for
+    * iterate-to-fixpoint graph passes. Nodes without edges are absent
+    * from the output (callers left-join and coalesce to self). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    // m(u) = min(Γ(u) ∪ {u})
+    def minMap(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(min("v").as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.join(minMap(s), "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
     }
-    lab.select(col("doc_id"), col("canonical_id"),
-      (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = minMap(s)
+      s.join(m, "u").filter(col("v") < col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // order-free edge-set signature: (count, sum of canonical-pair
+    // hashes) — summed in decimal(38,0): a long sum of 64-bit hashes
+    // overflows (ANSI mode throws)
+    def sig(e: DataFrame): Seq[Any] =
+      e.agg(count(lit(1)),
+        sum(xxhash64(least(col("a"), col("b")), greatest(col("a"), col("b")))
+          .cast("decimal(38,0)")))
+        .collect().head.toSeq
+    var e = edges.select("a", "b").filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var prevSig = sig(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {            // 50 ≫ log₂(any corpus)
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s = sig(e)
+      converged = s == prevSig
+      prevSig = s
+      rounds += 1
+    }
+    // converged edge set is a star per component: (leaf, component-min)
+    sym(e).groupBy("u").agg(min("v").as("__mv"))
+      .select(col("u").as("node"), least(col("u"), col("__mv")).as("canonical_id"))
+  }
+
+  /** The composed near-dup pipeline a training-data run actually
+    * executes, end to end: MinHash+LSH candidate generation → exact
+    * Jaccard verification ON CANDIDATES ONLY → canonical assignment by
+    * connected components over the verified near-dup edges. One row per
+    * document: (doc_id, canonical_id, is_dup).
+    *
+    * Scale shape: every stage is an equi-join or keyed aggregate —
+    * candidates from the banding join ([[minHashLsh]]), intersection
+    * counts from a (pair × shingle) equi-join proportional to the
+    * CANDIDATE volume (the all-pairs Jaccard of [[ngramJaccard]] never
+    * appears), and canonicalization by [[connectedComponents]]
+    * star-contraction (equi-joins only, O(log n) driver-paced rounds —
+    * duplicate chains of ANY depth reach their component minimum, where
+    * the previous fixed-3-round propagation mis-canonicalized >3-hop
+    * chains). Recall is governed by the LSH banding (k, bands), as in
+    * the standalone candidate operator. */
+  def dedupPipeline(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val cc = connectedComponents(nearDupEdges(docs, n, k, bands, threshold))
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
   /** SimHash (60-bit, frequency-weighted): bit j of the fingerprint is

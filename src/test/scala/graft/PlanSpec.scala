@@ -64,7 +64,10 @@ class PlanSpec extends SparkSpec {
     for ((name, df) <- Seq(
         "embeddingNearDup" -> operators.Dedup.embeddingNearDup(emb, threshold = 0.4),
         "simHashPairs" -> operators.Dedup.simHashPairs(docs, maxDist = 3),
-        "dedupPipeline" -> operators.Dedup.dedupPipeline(docs))) {
+        // the pipeline's lazily-planned stage (canonicalization behind
+        // it is checkpoint-truncated equi-join rounds, asserted in
+        // OperatorsSpec)
+        "dedupPipeline edges" -> operators.Dedup.nearDupEdges(docs))) {
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name is all-pairs")
       assert(!p.contains("CartesianProduct"), s"$name is all-pairs")

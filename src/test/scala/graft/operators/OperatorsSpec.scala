@@ -120,6 +120,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) == ((4L, 4L, false)))
   }
 
+  test("connected components: 6-hop chain, triangle, isolate all reach component min") {
+    // the case fixed-3-round propagation got wrong: a chain deeper than
+    // the round budget left its tail labeled mid-chain
+    val edges = Seq(
+      (7L, 6L), (6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), // 6-hop chain
+      (10L, 11L), (11L, 12L), (10L, 12L),                          // triangle
+      (20L, 21L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 7L).forall(cc(_) == 1L), cc.toString)
+    assert((10L to 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    assert(!cc.contains(99L))                     // edgeless nodes absent
+  }
+
   test("winnow native expression equals the declarative HOF formulation") {
     // reference = the transform/slice/array_min chain the native
     // expression replaced (kept here as the semantic oracle)
