@@ -30,7 +30,16 @@ object CdcSource {
 
   /** Incremental file-based changelog stream: one JSON object per line,
     * `{table, op, ts_ms, [seq], before, after}` with before/after as
-    * JSON strings of the row. */
+    * JSON strings of the row.
+    *
+    * `seq` is the producer's obligation: Debezium transports carry the
+    * LSN ([[fromDebezium]]), Kafka readers should stamp the offset, and
+    * file-landing producers should write their row counter (the JSON
+    * source exposes no `_metadata.row_index` to recover it after the
+    * fact). Without a seq, intra-millisecond order is UNDEFINED and the
+    * upsert layer falls back to a deterministic content-hash tie-break
+    * (replay-stable, but not producer order — see
+    * [[graft.cdc.Upsert.applyChangelog]]). */
   def fromJsonDir(spark: SparkSession, dir: String,
                   maxFilesPerTrigger: Int = 10): DataFrame =
     spark.readStream
@@ -47,6 +56,45 @@ object CdcSource {
   def fromWire(raw: DataFrame, payload: String = "value"): DataFrame =
     raw.select(from_json(col(payload).cast(StringType), wireSchema).as("__r"))
       .select(col("__r.*"))
+
+  /** The nested Debezium envelope, as the reference's
+    * `'connector'='postgres-cdc'` tables actually see it on a Kafka
+    * topic (reference `flink-cdc/sql/tickets-cdc.sql:43-64`): row
+    * images and provenance live under `payload`, the Postgres LSN under
+    * `payload.source.lsn`. `before`/`after` are declared StringType so
+    * the parser captures the row subtrees as raw JSON — the row schema
+    * is a per-table concern that stays downstream in [[jsonEnvelope]]. */
+  val debeziumSchema: StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("before", StringType),
+      StructField("after", StringType),
+      StructField("source", StructType(Seq(
+        StructField("table", StringType),
+        StructField("lsn", LongType),
+        StructField("ts_ms", LongType)))),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType))))))
+
+  /** Decode a verbatim Debezium-JSON frame (the real wire shape a
+    * Kafka+Debezium deployment delivers) into the flat wire schema:
+    * `payload.source.table → table`, `payload.source.lsn → seq` (the
+    * total order [[graft.cdc.Upsert.applyChangelog]] tie-breaks on),
+    * snapshot reads (`op='r'`) normalized to inserts, transaction
+    * markers and truncates (`op IN ('m','t')` or no payload) dropped.
+    * One `from_json` parse per record; everything downstream of this
+    * seam ([[jsonEnvelope]], the pipeline, upsert) is shared with the
+    * flat-envelope transports. */
+  def fromDebezium(raw: DataFrame, payload: String = "value"): DataFrame =
+    raw.select(from_json(col(payload).cast(StringType), debeziumSchema)
+        .getField("payload").as("__p"))
+      .filter(col("__p").isNotNull && col("__p.op").isin("c", "u", "d", "r"))
+      .select(
+        col("__p.source.table").as("table"),
+        when(col("__p.op") === "r", lit("c")).otherwise(col("__p.op")).as("op"),
+        col("__p.ts_ms").as("ts_ms"),
+        col("__p.source.lsn").as("seq"),
+        col("__p.before").as("before"),
+        col("__p.after").as("after"))
 
   /** Decode one table's slice of a wire stream into a typed envelope
     * (CDC JSON decode — the Kinesis `'format'='json'` analog,

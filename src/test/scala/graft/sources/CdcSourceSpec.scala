@@ -39,6 +39,77 @@ class CdcSourceSpec extends SparkSpec {
     assert(envCols == Seq("op", "ts_ms", "seq", "before", "after"))
   }
 
+  test("verbatim Debezium envelope decodes and drives the pipeline to correct state") {
+    val dir = Files.createTempDirectory("graft-dbz").toString
+    val changelog = s"$dir/changelog"
+    Files.createDirectories(Paths.get(changelog))
+    // verbatim Debezium-for-Postgres frames (schemas disabled), as the
+    // reference's connector topic would carry them: snapshot read (r),
+    // insert (c), and two same-millisecond updates where only the LSN
+    // orders them — plus a transaction marker that must be dropped
+    def src(table: String, lsn: Long) =
+      s""""source":{"version":"2.5.0","connector":"postgresql","name":"pg","ts_ms":1706000000000,"db":"moviedb","schema":"public","table":"$table","lsn":$lsn,"txId":700}"""
+    val frames = Seq(
+      s"""{"payload":{"before":null,"after":{"movie_id":1,"title":"Solo","start_date":"2026-02-01T00:00:00","duration_minutes":90},${src("movies", 100)},"op":"r","ts_ms":1706000001000}}""",
+      s"""{"payload":{"before":null,"after":{"ticket_id":1,"movie_id":1,"user_id":5,"cost":10.00,"status":"scheduled","purchased_at":"2026-01-01T00:00:00"},${src("tickets", 101)},"op":"c","ts_ms":1706000002000}}""",
+      // same ts_ms, LSN decides: live(lsn=103) is newer than finished(lsn=102)... order shuffled on the wire
+      s"""{"payload":{"before":null,"after":{"ticket_id":1,"movie_id":1,"user_id":5,"cost":10.00,"status":"live","purchased_at":"2026-01-01T00:00:00"},${src("tickets", 103)},"op":"u","ts_ms":1706000003000}}""",
+      s"""{"payload":{"before":null,"after":{"ticket_id":1,"movie_id":1,"user_id":5,"cost":10.00,"status":"finished","purchased_at":"2026-01-01T00:00:00"},${src("tickets", 102)},"op":"u","ts_ms":1706000003000}}""",
+      """{"payload":{"op":"m","ts_ms":1706000004000}}""")
+    Files.writeString(Paths.get(s"$changelog/topic.txt"), frames.mkString("\n"))
+
+    // batch-decode sanity: flat wire shape, lsn→seq, r→c, marker dropped
+    val wire = CdcSource.fromDebezium(
+      spark.read.text(changelog).withColumnRenamed("value", "value"))
+    assert(wire.columns.toSeq == Seq("table", "op", "ts_ms", "seq", "before", "after"))
+    val decoded = wire.orderBy("seq").collect()
+    assert(decoded.length == 4, "transaction marker must be dropped")
+    assert(decoded(0).getString(1) == "c", "snapshot read normalizes to insert")
+    assert(decoded(0).getLong(3) == 100L)
+    assert(decoded(2).getString(5).contains("\"status\":\"finished\""),
+      s"after image must survive as raw JSON: ${decoded(2)}")
+
+    // end-to-end: the streamed envelope lands correct staging + MV state
+    val h = CdcPipeline.start(spark,
+      CdcSource.fromDebezium(spark.readStream.text(changelog)),
+      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id")),
+        CdcPipeline.TableSpec("movies", movieSchema, Seq("movie_id"))),
+      s"$dir/state", s"$dir/ckpt", Trigger.AvailableNow())
+    try {
+      h.query.awaitTermination(120000)
+      val t = h.staging("tickets").get.collect().head
+      assert(t.getString(t.fieldIndex("status")) == "live",
+        s"LSN must order same-millisecond updates: $t")
+      val mv = h.mv().get.collect().head
+      assert(mv.getLong(mv.fieldIndex("live_tickets")) == 1)
+      assert(mv.getLong(mv.fieldIndex("finished_tickets")) == 0)
+    } finally h.query.stop()
+  }
+
+  test("producer-stamped seq orders intra-millisecond file changelog records") {
+    // ADVICE r3: seq is the producer's obligation on seq-less
+    // transports — a file-landing producer writes its row counter, and
+    // the upsert layer honors it over arrival/content order
+    val dir = Files.createTempDirectory("graft-rowseq").toString
+    val changelog = s"$dir/changelog"
+    Files.createDirectories(Paths.get(changelog))
+    def rec(status: String, seq: Long) =
+      s"""{"table":"tickets","op":"u","ts_ms":7,"seq":$seq,"before":null,"after":"{\\"ticket_id\\":1,\\"movie_id\\":1,\\"user_id\\":1,\\"cost\\":10.00,\\"status\\":\\"$status\\",\\"purchased_at\\":\\"2026-01-01T00:00:00\\"}"}"""
+    // same ts_ms; producer counter says "finished" came second — wire
+    // order scrambled to prove seq (not line order or content) decides
+    Files.writeString(Paths.get(s"$changelog/a.json"),
+      rec("finished", 2) + "\n" + rec("live", 1))
+    val h = CdcPipeline.start(spark,
+      CdcSource.fromJsonDir(spark, changelog),
+      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id"))),
+      s"$dir/state", s"$dir/ckpt", Trigger.AvailableNow())
+    try {
+      h.query.awaitTermination(120000)
+      val t = h.staging("tickets").get.collect().head
+      assert(t.getString(t.fieldIndex("status")) == "finished", t.toString)
+    } finally h.query.stop()
+  }
+
   test("snapshot + incremental file changelog drive the pipeline end-to-end") {
     val dir = Files.createTempDirectory("graft-cdcsrc").toString
     val changelog = s"$dir/changelog"
