@@ -54,12 +54,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   private def tablePath(ident: Identifier): Path =
     nsDir(ident.namespace).resolve(s"${ident.name}.parquet")
 
+  /** Directory-stream helper: `Files.list`/`Files.walk` return streams
+    * whose javadoc requires closing — materialize inside, close always
+    * (leaked handles accumulate per catalog listing). */
+  private def withDirStream[T](s: java.util.stream.Stream[Path])(
+      f: Iterator[Path] => T): T =
+    try f(s.iterator().asScala) finally s.close()
+
   // ---- SupportsNamespaces ----
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray
+    withDirStream(Files.list(root)) {
+      _.filter(Files.isDirectory(_))
+        .map(p => Array(p.getFileName.toString)).toArray
+    }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -104,11 +112,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => Identifier.of(namespace,
-        p.getFileName.toString.stripSuffix(".parquet")))
-      .toArray
+    withDirStream(Files.list(dir)) {
+      _.filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => Identifier.of(namespace,
+          p.getFileName.toString.stripSuffix(".parquet")))
+        .toArray
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -119,13 +128,38 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       classOf[ParquetFileFormat])
   }
 
+  /** CREATE TABLE / CTAS: the table is a (initially empty) parquet
+    * directory at the lake-layout location; the returned V2 ParquetTable
+    * is SupportsWrite, so `CREATE TABLE cat.db.t AS SELECT …` and
+    * `INSERT INTO cat.db.t` land part files through the ordinary
+    * distributed parquet writer (no driver materialization). The
+    * declared schema rides along explicitly — an empty directory has
+    * nothing to infer from until the CTAS write commits. */
+  override def createTable(ident: Identifier,
+                           schema: org.apache.spark.sql.types.StructType,
+                           partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: partitioned lake tables are not supported (layout is one parquet dir per table)")
+    val p = tablePath(ident)
+    if (Files.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    if (!Files.isDirectory(p.getParent)) throw new NoSuchNamespaceException(ident.namespace)
+    Files.createDirectories(p)
+    ParquetTable(ident.toString, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(p.toString), Some(schema),
+      classOf[ParquetFileFormat])
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
     if (!Files.exists(p)) false
     else {
       // a parquet "table" may be a single file or a directory of parts
       if (Files.isDirectory(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        withDirStream(Files.walk(p))(_.toSeq.reverse.foreach(Files.delete))
       else Files.delete(p)
       true
     }

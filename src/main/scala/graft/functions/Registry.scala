@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 /** SQL registration of the engine's native expressions, so the
   * `spark.sql` entry point (reference EP1) reaches them too:
@@ -11,24 +12,45 @@ import org.apache.spark.sql.SparkSession
   * }}}
   */
 object Registry {
+
+  /** Config-style arguments (shingle width, bit count, table/plane
+    * counts) parameterize expression CONSTRUCTION, so they must be
+    * foldable literals — a column reference here would silently bind to
+    * its registration-time sample under the old blind `.eval()`. Reject
+    * it with an error naming the function and position instead. */
+  private def intArg(fn: String, exprs: Seq[Expression], pos: Int,
+                     default: => Option[Int] = None): Int =
+    if (pos >= exprs.length)
+      default.getOrElse(throw new IllegalArgumentException(
+        s"$fn: missing required integer argument #${pos + 1}"))
+    else exprs(pos) match {
+      case lit: Literal if lit.value != null =>
+        lit.value.asInstanceOf[Number].intValue()
+      case e if e.foldable && e.eval() != null =>
+        e.eval().asInstanceOf[Number].intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument #${pos + 1} must be an integer literal " +
+          s"(got non-constant expression: ${other.sql})")
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_word_shingles",
       exprs => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        intArg("graft_word_shingles", exprs, 1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHash64(exprs(0),
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 60), "built-in")
+        intArg("graft_simhash", exprs, 1, default = Some(60))), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowFingerprints(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+        intArg("graft_winnow", exprs, 1),
+        intArg("graft_winnow", exprs, 2)), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_buckets",
       exprs => HyperplaneBuckets(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int]), "built-in")
+        intArg("graft_hyperplane_buckets", exprs, 1),
+        intArg("graft_hyperplane_buckets", exprs, 2),
+        intArg("graft_hyperplane_buckets", exprs, 3)), "built-in")
   }
 }

@@ -20,15 +20,41 @@ final class StateStore(spark: SparkSession, dir: String) {
     new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
   private val base = new org.apache.hadoop.fs.Path(dir)
 
-  def latestVersion: Option[Long] =
-    if (!fs.exists(base)) None
+  def latestVersion: Option[Long] = versions.lastOption
+
+  /** All committed versions, ascending — the snapshot history that
+    * time travel navigates. */
+  def versions: Seq[Long] =
+    if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
-      .reduceOption(_ max _)
+      .sorted
 
   def read(): Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(s"$dir/v=$v"))
+
+  /** Time travel by version (the Paimon/Iceberg `VERSION AS OF`
+    * feature): read snapshot `version` exactly; None if it was never
+    * committed or has been [[expire]]d. */
+  def read(version: Long): Option[DataFrame] =
+    if (versions.contains(version)) Some(spark.read.parquet(s"$dir/v=$version"))
+    else None
+
+  /** Commit wall-clock of a version (the directory's filesystem
+    * mtime — stamped by the commit itself, no sidecar metadata). */
+  def commitTimeMs(version: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v=$version")
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+  }
+
+  /** Time travel by timestamp (`TIMESTAMP AS OF`): the newest snapshot
+    * committed at or before `timestampMs`; None if the store's history
+    * starts later. */
+  def readAsOf(timestampMs: Long): Option[DataFrame] =
+    versions.reverse
+      .find(v => commitTimeMs(v).exists(_ <= timestampMs))
+      .map(v => spark.read.parquet(s"$dir/v=$v"))
 
   /** Commit a new version. Overwrite of an existing version (failure
     * replay) is idempotent by construction. */

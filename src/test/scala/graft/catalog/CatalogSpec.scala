@@ -43,6 +43,43 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("V2 catalog writes: CTAS + INSERT INTO round-trip through the lake layout") {
+    val lake = Files.createTempDirectory("graft-lake-w")
+    Files.createDirectories(lake.resolve("mart"))
+    spark.conf.set("spark.sql.catalog.lakew", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakew.path", lake.toString)
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .createOrReplaceTempView("part_src")
+      // CTAS: distributed parquet write into the lake layout
+      spark.sql(
+        """CREATE TABLE lakew.mart.big_parts AS
+          |SELECT p_partkey, p_name, p_size FROM part_src WHERE p_size > 25""".stripMargin)
+      val expected = spark.table("part_src").filter("p_size > 25").count()
+      assert(expected > 0)
+      assert(spark.table("lakew.mart.big_parts").count() == expected)
+      assert(Files.isDirectory(lake.resolve("mart/big_parts.parquet")),
+        "CTAS must land in the lake layout")
+      // appends through the same V2 write path
+      spark.sql(
+        """INSERT INTO lakew.mart.big_parts
+          |SELECT p_partkey, p_name, p_size FROM part_src WHERE p_size <= 25""".stripMargin)
+      assert(spark.table("lakew.mart.big_parts").count() ==
+        spark.table("part_src").count())
+      // and the catalog surface sees + drops it
+      assert(spark.sql("SHOW TABLES IN lakew.mart").collect()
+        .map(_.getString(1)).contains("big_parts"))
+      intercept[Exception] {                       // duplicate CREATE refused
+        spark.sql("CREATE TABLE lakew.mart.big_parts (x INT)")
+      }
+      spark.sql("DROP TABLE lakew.mart.big_parts")
+      assert(!Files.exists(lake.resolve("mart/big_parts.parquet")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakew")
+      spark.conf.unset("spark.sql.catalog.lakew.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {

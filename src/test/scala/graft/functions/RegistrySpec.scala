@@ -21,4 +21,17 @@ class RegistrySpec extends SparkSpec {
     assert(spark.sql("SELECT size(graft_hyperplane_buckets(a, 4, 3, 2)) FROM vs")
       .as[Int].head() == 4)
   }
+
+  test("config args must be literals: column reference fails with a clear error") {
+    Registry.register(spark)
+    Seq(("a b c d", 3)).toDF("text", "n").createOrReplaceTempView("cfg")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(text, n) FROM cfg").collect()
+    }
+    assert(e.getMessage.contains("graft_word_shingles") &&
+      e.getMessage.contains("literal"), e.getMessage)
+    // foldable constant expressions still fold (1 + 2 is fine)
+    assert(spark.sql("SELECT graft_word_shingles(text, 1 + 2) FROM cfg")
+      .as[Seq[String]].head() == Seq("a b c", "b c d"))
+  }
 }

@@ -68,4 +68,31 @@ class RecoverySpec extends SparkSpec {
     assert(store.latestVersion.contains(7L))
     assert(store.read().get.count() == 1)
   }
+
+  test("time travel: VERSION AS OF and TIMESTAMP AS OF over commit history") {
+    val dir = Files.createTempDirectory("graft-tt").toString
+    val store = new StateStore(spark, s"$dir/t")
+    import spark.implicits._
+    store.write(Seq((1L, "old")).toDF("k", "v"), version = 0)
+    Thread.sleep(1100)                       // separate the commit mtimes
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(1100)
+    store.write(Seq((1L, "new"), (2L, "row")).toDF("k", "v"), version = 1)
+
+    assert(store.versions == Seq(0L, 1L))
+    // by version: the historical snapshot is intact after the new commit
+    assert(store.read(0L).get.as[(Long, String)].collect().toSeq == Seq((1L, "old")))
+    assert(store.read(1L).get.count() == 2)
+    assert(store.read(99L).isEmpty)
+    // by timestamp: a point between the commits resolves to v0,
+    // now resolves to v1, before history resolves to nothing
+    assert(store.readAsOf(betweenCommits).get.as[(Long, String)]
+      .collect().toSeq == Seq((1L, "old")))
+    assert(store.readAsOf(System.currentTimeMillis()).get.count() == 2)
+    assert(store.readAsOf(0L).isEmpty)
+    // expire drops v0 from history; time travel reports it gone
+    store.expire(keep = 1)
+    assert(store.versions == Seq(1L))
+    assert(store.read(0L).isEmpty)
+  }
 }
