@@ -70,10 +70,35 @@ final class BucketedStateStore(spark: SparkSession, dir: String, val buckets: In
   def readBuckets(ids: Seq[Int]): Option[DataFrame] = {
     val paths = latestPaths(ids).map(_.toString)
     if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*))
+    else {
+      // mergeSchema when the buckets are held by DIFFERENT versions —
+      // commits before and after a schema evolution (added column) then
+      // read as the superset schema with old rows null-filled, exactly
+      // Paimon/Iceberg add-column semantics. Single-version reads (the
+      // steady state, and always post-compaction) skip the footer-merge
+      // job entirely, so the per-trigger hot path pays nothing.
+      val spansVersions =
+        paths.map(_.split("/v=")(1).takeWhile(_ != '/')).distinct.length > 1
+      Some(spark.read.option("mergeSchema", spansVersions.toString)
+        .parquet(paths: _*))
+    }
   }
 
   def readAll(): Option[DataFrame] = readBuckets(0 until buckets)
+
+  /** Compaction: fold every bucket's current content into ONE fresh
+    * version claiming all buckets — the small-files rewrite a
+    * long-running micro-batched upsert needs (each trigger writes its
+    * touched buckets with task-count files; compaction resets the file
+    * count and lets [[expire]] reclaim the whole version tail). An
+    * ordinary versioned commit through [[writeBuckets]], so readers
+    * keep snapshot isolation and a failure mid-compact leaves the
+    * store untouched. `keys` = the table's distribution keys (the same
+    * ones every write uses). No-op on an empty store. */
+  def compact(keys: Seq[String]): Unit = readAll().foreach { df =>
+    writeBuckets(df.repartition(buckets, bucketOf(keys.map(col))),
+      keys, 0 until buckets, versionsDesc.headOption.map(_ + 1).getOrElse(0L))
+  }
 
   /** One-job write of the touched buckets' new state; commits
     * `max(version, latest+1)` with a manifest claiming `touched`. */

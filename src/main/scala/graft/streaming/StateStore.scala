@@ -69,4 +69,15 @@ final class StateStore(spark: SparkSession, dir: String) {
         p.getName.stripPrefix("v=").toLong <= latest - keep)
       .foreach(p => fs.delete(p, true))
   }
+
+  /** Compaction (the Paimon/Iceberg small-files rewrite): re-commit the
+    * current snapshot as a NEW version with `targetFiles` files —
+    * readers keep snapshot isolation throughout (the old version stays
+    * readable until [[expire]]), and a failure mid-compact leaves the
+    * store untouched because the rewrite lands under the new version
+    * directory only. No-op on an empty store. */
+  def compact(targetFiles: Int = 1): Unit =
+    latestVersion.foreach { v =>
+      write(spark.read.parquet(s"$dir/v=$v").coalesce(targetFiles), v + 1)
+    }
 }

@@ -95,4 +95,20 @@ class RecoverySpec extends SparkSpec {
     assert(store.versions == Seq(1L))
     assert(store.read(0L).isEmpty)
   }
+
+  test("compact rewrites the snapshot as one file in a new version") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val store = new StateStore(spark, s"$dir/t")
+    import spark.implicits._
+    store.write((1L to 100L).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(16), version = 3)               // 16 small part files
+    store.compact(targetFiles = 1)
+    assert(store.latestVersion.contains(4L))
+    assert(store.read().get.count() == 100)
+    val parts = new java.io.File(s"$dir/t/v=4").list()
+      .count(f => f.startsWith("part-"))
+    assert(parts == 1, s"expected 1 compacted file, got $parts")
+    // the pre-compaction snapshot is still time-travelable until expiry
+    assert(store.read(3L).get.count() == 100)
+  }
 }
