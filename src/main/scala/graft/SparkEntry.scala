@@ -87,6 +87,11 @@ object SparkEntry {
       TextOps.contentFlags(t(s, dir, "documents"))),
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.topTfidf(t(s, dir, "documents"))),
+    // The composed training-corpus selection (quality bar × language ×
+    // near-dup canonicalization) — the end-to-end curation query a
+    // 100 TB pipeline runs over raw documents.
+    "q_corpus_select" -> ((s, dir) =>
+      TextOps.curateCorpus(t(s, dir, "documents"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
     "q_dedup_ngram" -> ((s, dir) =>
@@ -485,6 +490,50 @@ object SparkEntry {
         |       FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term AS top_term, score AS tfidf FROM sc
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Composed curation oracle: quality + langid scalars over the same
+    // token CTE the dedup chain uses, canonical membership from the
+    // recursive connected components — all three predicates applied.
+    "q_corpus_select" ->
+      s"""WITH RECURSIVE $MinHashCandCteSql,
+        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+        |ic AS (SELECT c.a, c.b, count(*) AS inter
+        |       FROM cand c JOIN e ea ON ea.doc_id = c.a
+        |                   JOIN e eb ON eb.doc_id = c.b AND eb.shingle = ea.shingle
+        |       GROUP BY c.a, c.b),
+        |edges AS (SELECT ic.a, ic.b
+        |          FROM ic JOIN sz sa ON sa.doc_id = ic.a JOIN sz sb ON sb.doc_id = ic.b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.src, e2.v FROM reach r JOIN und e2 ON e2.u = r.dst),
+        |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+        |qual AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+        |    + CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) * 0.2
+        |    + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+        |  FROM t),
+        |lng AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','en','que','los'], x))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','est','les'], x))) AS BIGINT) AS s_fr
+        |  FROM t),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang
+        |  FROM lng)
+        |SELECT q.doc_id, q.n_tokens, q.quality_score, l.predicted_lang
+        |FROM qual q JOIN lang l USING (doc_id)
+        |  JOIN documents d ON d.doc_id = q.doc_id
+        |  LEFT JOIN mn ON mn.src = q.doc_id
+        |WHERE q.quality_score >= 0.42 AND l.predicted_lang = 'en'
+        |  AND least(q.doc_id, coalesce(mn.m, q.doc_id)) = q.doc_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_exact" ->

@@ -144,4 +144,25 @@ object TextOps {
   def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprints(col("text"), n, w)).as("fp"))
+
+  /** End-to-end corpus curation — the composed selection a training-
+    * data run actually executes over raw documents: keep documents that
+    * (a) clear the quality bar, (b) are in the target language, and
+    * (c) survive near-dup canonicalization (canonical member only, so
+    * one representative per duplicate group). One row per kept doc:
+    * (doc_id, n_tokens, quality_score, predicted_lang).
+    *
+    * Scale shape: [[quality]] and [[langId]] are narrow scan-speed
+    * expressions; [[Dedup.dedupPipeline]] is the LSH-candidates →
+    * verify → star-contraction path; the three results meet on doc_id
+    * equi-joins. Nothing here shuffles document bodies. */
+  def curateCorpus(docs: DataFrame, minQuality: Double = 0.42,
+                   lang: String = "en", jaccard: Double = 0.5): DataFrame =
+    quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
+      .join(Dedup.dedupPipeline(docs, threshold = jaccard)
+        .select(col("doc_id"), col("is_dup")), "doc_id")
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang") === lang && !col("is_dup"))
+      .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
 }
