@@ -94,6 +94,17 @@ class PlanSpec extends SparkSpec {
     } finally idx.close()
   }
 
+  test("corpus curation: equi-joins only, pruned document scans") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(operators.TextOps.curateCorpus(docs))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "curation must stay equi-join only")
+    // document bodies feed the narrow quality/langid expressions but
+    // must not survive into any join exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text#"), s"document bodies shuffled: $exchanges")
+  }
+
   test("pricing SQL through the catalog: partial+final agg, single exchange") {
     Tables.registerAll(spark, dir)
     val p = plan(spark.sql(SparkEntry.PricingSql))

@@ -86,6 +86,31 @@ class CdcSourceSpec extends SparkSpec {
     } finally h.query.stop()
   }
 
+  test("poison records on the wire are dropped, never kill the pipeline") {
+    val dir = Files.createTempDirectory("graft-poison").toString
+    val changelog = s"$dir/changelog"
+    Files.createDirectories(Paths.get(changelog))
+    // a good record surrounded by garbage: malformed JSON, a frame with
+    // no payload, an unknown op, and a record for an undeclared table
+    val frames = Seq(
+      """this is not json at all {{{""",
+      """{"unexpected":"shape"}""",
+      s"""{"payload":{"before":null,"after":{"ticket_id":1,"movie_id":1,"user_id":1,"cost":9.00,"status":"scheduled","purchased_at":"2026-01-01T00:00:00"},"source":{"table":"tickets","lsn":10,"ts_ms":1},"op":"c","ts_ms":1}}""",
+      s"""{"payload":{"before":null,"after":{"x":1},"source":{"table":"tickets","lsn":11,"ts_ms":2},"op":"z","ts_ms":2}}""",
+      s"""{"payload":{"before":null,"after":{"y":2},"source":{"table":"unknown_table","lsn":12,"ts_ms":3},"op":"c","ts_ms":3}}""")
+    Files.writeString(Paths.get(s"$changelog/topic.txt"), frames.mkString("\n"))
+    val h = CdcPipeline.start(spark,
+      CdcSource.fromDebezium(spark.readStream.text(changelog)),
+      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id"))),
+      s"$dir/state", s"$dir/ckpt", Trigger.AvailableNow())
+    try {
+      h.query.awaitTermination(120000)
+      val t = h.staging("tickets").get.collect()
+      assert(t.length == 1 && t.head.getLong(0) == 1L,
+        s"exactly the one good record must land: ${t.toSeq}")
+    } finally h.query.stop()
+  }
+
   test("producer-stamped seq orders intra-millisecond file changelog records") {
     // ADVICE r3: seq is the producer's obligation on seq-less
     // transports — a file-landing producer writes its row counter, and
