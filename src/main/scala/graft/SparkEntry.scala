@@ -148,6 +148,18 @@ object SparkEntry {
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
     "q_multimodal_meta" -> ((s, dir) =>
       graft.operators.Multimodal.payloadMeta(t(s, dir, "documents"))),
+    // Frame sampling over the binary payload (video analog): every 4th
+    // 32-byte frame, emitted as (doc_id, frame_idx, md5) — the frame
+    // extraction itself is byte-exact and oracle-checkable even with
+    // the codec stubbed.
+    "q_multimodal_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          org.apache.spark.sql.functions.md5(col("frame")).as("frame_md5"))
+    }),
 
     // As-of (temporal) join: each event enriched with the user's
     // latest order at event time.
@@ -644,6 +656,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Byte-slicing on the VARCHAR is byte-exact here: the corpus is
+    // pure ASCII (verified octet_length(encode(text)) = length(text)
+    // for every row at every SF).
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(range(0, length(text) // 32)) AS i FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5
+        |FROM f WHERE i % 4 = 0 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sql_pricing" -> PricingSql,
 
