@@ -87,6 +87,16 @@ object SparkEntry {
       TextOps.contentFlags(t(s, dir, "documents"))),
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.topTfidf(t(s, dir, "documents"))),
+    "q_text_repetition" -> ((s, dir) =>
+      TextOps.repetition(t(s, dir, "documents"))),
+    // Eval set = doc_id ≡ 0 (mod 97), corpus = the rest: a deterministic
+    // stand-in for a held-out benchmark leaked into the crawl.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     // The composed training-corpus selection (quality bar × language ×
     // near-dup canonicalization) — the end-to-end curation query a
     // 100 TB pipeline runs over raw documents.
@@ -502,6 +512,40 @@ object SparkEntry {
         |       FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term AS top_term, score AS tfidf FROM sc
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Top-token fraction via group-count max — value-identical to the
+    // engine's sorted-run-length (both are the modal token count).
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, len(toks) AS n,
+        |  [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS bgs FROM t)
+        |SELECT b.doc_id,
+        |  CAST(b.n AS BIGINT) AS n_tokens,
+        |  CAST(m.maxc AS DOUBLE) / b.n AS top_token_frac,
+        |  CASE WHEN len(b.bgs) = 0 THEN 0.0
+        |       ELSE CAST(len(b.bgs) - len(list_distinct(b.bgs)) AS DOUBLE) / len(b.bgs)
+        |  END AS dup_bigram_frac
+        |FROM bg b JOIN mx m USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM e WHERE doc_id % 97 = 0),
+        |co AS (SELECT doc_id, shingle FROM e WHERE doc_id % 97 <> 0)
+        |SELECT co.doc_id,
+        |  CAST(count(DISTINCT co.shingle) AS BIGINT) AS n_shared_shingles,
+        |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs_hit,
+        |  min(ev.eval_id) AS first_eval_hit
+        |FROM co JOIN ev USING (shingle)
+        |GROUP BY co.doc_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Composed curation oracle: quality + langid scalars over the same

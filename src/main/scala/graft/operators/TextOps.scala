@@ -145,6 +145,69 @@ object TextOps {
     docs.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprints(col("text"), n, w)).as("fp"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of tokens taken by the single most frequent token, and
+    * the fraction of word bigrams that are repeats. High values mark
+    * boilerplate/spam documents a pretraining filter drops.
+    *
+    * Scale shape: per-row and shuffle-free — the top-token count is the
+    * longest run of the SORTED token array (no explode + groupBy, which
+    * would shuffle one row per token at 100 TB), and the bigram repeat
+    * fraction is `n − distinct(n)` over a per-row zip. Runs at scan
+    * speed like the rest of this file.
+    *
+    * Determinism: both fractions are one correctly-rounded division of
+    * exactly-computed integers (see file header). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val n = size(toks)
+    // longest run in the sorted array == count of the most frequent token
+    val maxRun = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val nb = size(bigrams)
+    val db = size(array_distinct(bigrams))
+    docs.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      (maxRun.cast("double") / n).as("top_token_frac"),
+      when(nb === 0, lit(0.0))
+        .otherwise((nb - db).cast("double") / nb).as("dup_bigram_frac"))
+  }
+
+  /** Benchmark decontamination: find corpus documents sharing at least
+    * one word n-gram with an evaluation set — the overlap check every
+    * pretraining run performs so benchmark text does not leak into
+    * training data (the n-gram–collision method of GPT-3 appendix C /
+    * Dodge et al. 2021). One row per contaminated doc: how many distinct
+    * shingles leak, how many eval docs are hit, and the smallest hit
+    * eval id (deterministic exemplar for triage).
+    *
+    * Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so
+    * the eval shingle side is BROADCAST — the corpus side is never
+    * shuffled by the join; only the (doc_id, shingle, eval_id) hit
+    * tuples move in the final aggregation. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
+    val corpusSh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val evalSh = withShingles(evalDocs.select(col("doc_id").as("eval_id"), col("text")), n)
+      .select(col("eval_id"), explode(col("shingles")).as("shingle"))
+    corpusSh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs_hit"),
+        min(col("eval_id")).as("first_eval_hit"))
+  }
+
   /** End-to-end corpus curation — the composed selection a training-
     * data run actually executes over raw documents: keep documents that
     * (a) clear the quality bar, (b) are in the target language, and

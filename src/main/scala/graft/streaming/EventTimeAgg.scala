@@ -31,6 +31,27 @@ object EventTimeAgg {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Event-time session windows: activity bursts per key separated by
+    * ≥`gap` of silence, the streaming form of the batch sessionization
+    * query (`EventOps.sessionize` / `q_sessionize`). Spark's native
+    * `session_window` keeps one merging window per (key, open session)
+    * in the state store and the watermark closes sessions whose gap has
+    * conclusively elapsed — state is bounded by ACTIVE sessions only,
+    * which is what lets per-user sessionization run indefinitely at
+    * 100 TB/day (a batch window-over-sort would need the whole history).
+    * Append mode emits each session exactly once, when it closes. */
+  def sessionized(events: DataFrame, gap: String = "30 seconds",
+                  tsCol: String = "ts", keyCol: String = "user_id",
+                  delay: String = "5 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup on an append stream — the Paimon
     * `'merge-engine'='deduplicate'` sink for at-least-once inputs
     * (reference `flink-gen.sh:118-142`): first occurrence per key wins;

@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("text#"), s"document bodies shuffled: $exchanges")
   }
 
+  test("decontamination: eval shingles broadcast, corpus side never join-shuffled") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(operators.TextOps.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0)))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval set is tiny next to the corpus — the shingle join must broadcast it")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shingles must not be shuffled for the join (broadcast regressed)")
+  }
+
   test("pricing SQL through the catalog: partial+final agg, single exchange") {
     Tables.registerAll(spark, dir)
     val p = plan(spark.sql(SparkEntry.PricingSql))

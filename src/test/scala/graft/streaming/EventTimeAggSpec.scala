@@ -43,6 +43,37 @@ class EventTimeAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge gap-adjacent events and close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val out = EventTimeAgg.sessionized(
+      mem.toDF().toDF("ts", "user_id", "value"), gap = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_agg")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10s apart → one session; user 2: solo event
+      mem.addData(
+        (ts("2026-01-01 00:00:00"), 1L, 1.0),
+        (ts("2026-01-01 00:00:10"), 1L, 2.0),
+        (ts("2026-01-01 00:00:05"), 2L, 5.0))
+      q.processAllAvailable()
+      // silence > gap, then a new burst for user 1 → prior sessions close
+      mem.addData((ts("2026-01-01 00:02:00"), 1L, 8.0))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 00:05:00"), 9L, 0.0)) // push watermark → close all
+      q.processAllAvailable()
+
+      val rows = spark.table("sess_agg")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((1L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:00:40"), 2L, 3.0)),
+        s"user 1's first burst must merge into one session ending gap after last event, got $rows")
+      assert(rows.contains((1L, ts("2026-01-01 00:02:00"), ts("2026-01-01 00:02:30"), 1L, 8.0)),
+        s"user 1's second burst must be a separate session, got $rows")
+      assert(rows.contains((2L, ts("2026-01-01 00:00:05"), ts("2026-01-01 00:00:35"), 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within the watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
