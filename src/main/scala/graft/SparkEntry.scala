@@ -89,6 +89,8 @@ object SparkEntry {
       TextOps.topTfidf(t(s, dir, "documents"))),
     "q_text_repetition" -> ((s, dir) =>
       TextOps.repetition(t(s, dir, "documents"))),
+    "q_budget_mix" -> ((s, dir) =>
+      TextOps.budgetMix(t(s, dir, "documents"))),
     // Eval set = doc_id ≡ 0 (mod 97), corpus = the rest: a deterministic
     // stand-in for a held-out benchmark leaked into the crawl.
     "q_decontaminate" -> ((s, dir) => {
@@ -153,6 +155,17 @@ object SparkEntry {
     "q_ann_ivf_recall" -> ((s, dir) =>
       Similarity.recallVsExact(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
         e => graft.operators.IvfIndex.topK(e, k = 5))),
+
+    // IVF-PQ: product-quantized lists (8-byte codes, 64× smaller than
+    // the double vectors), ADC candidate scoring, exact refine of the
+    // top 6k by id-fetch. Approximate by design → rows-only entry plus
+    // the same sampled recall gate as the other ANN paths.
+    "q_ann_ivfpq" -> ((s, dir) =>
+      graft.operators.PqIndex.topK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    "q_ann_ivfpq_recall" -> ((s, dir) =>
+      Similarity.recallVsExact(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
+        e => graft.operators.PqIndex.topK(e, k = 5))),
 
     // Multimodal: binary payload column metadata pass (decode path is
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
@@ -532,6 +545,26 @@ object SparkEntry {
         |FROM bg b JOIN mx m USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // The quality_score expression matches q_text_quality's oracle; the
+    // running sum is ROWS-framed on (quality desc, doc_id) in both
+    // engines, so the inclusive cumulative totals agree exactly.
+    "q_budget_mix" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |qual AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+        |    + CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) * 0.2
+        |    + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+        |  FROM t),
+        |r AS (SELECT q.doc_id, d.lang, q.n_tokens, q.quality_score,
+        |  CAST(sum(q.n_tokens) OVER (PARTITION BY d.lang
+        |    ORDER BY q.quality_score DESC, q.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM qual q JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
+        |FROM r WHERE cum_tokens <= 2000
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
@@ -692,6 +725,10 @@ object SparkEntry {
         |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
     "q_ann_ivf_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k,
+        |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
+        |  true AS recall_ok""".stripMargin,
+    "q_ann_ivfpq_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k,
         |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the inverted-file index of [[IvfIndex]] with product-
+  * quantized lists (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the standard way to make ANN fit at
+  * 100 TB of embeddings.
+  *
+  * Why: [[IvfIndex]]'s lists carry full vectors (64 doubles = 512 B per
+  * row, ×chunk replicas). PQ stores each vector as `m` sub-codes (the
+  * default 16 × 4-bit = one 64-bit word, 64× smaller than the double
+  * form), so the persisted index — the thing that must FIT in cluster
+  * memory for query batches to reuse it — shrinks by the same factor,
+  * and the probe join moves codes, never vectors. (The same 64-bit
+  * budget as 8 × 8-bit codes measured equal recall here but a 16 KB
+  * per-probe-row lookup table vs 2 KB — LUT size, not code grain,
+  * dominates the probe exchange, so more-subspaces/fewer-centroids
+  * wins.)
+  *
+  * Query = ADC (asymmetric distance computation): each query computes
+  * ONE lookup table of its sub-dot-products against every sub-centroid
+  * (m×ksub doubles), attached to its probe rows; a candidate's
+  * approximate score is then m table lookups — no vector arithmetic per
+  * candidate. The ADC top `refineK·k` candidates are re-ranked with
+  * exact dots fetched BY ID from the original embeddings (an equi-join
+  * moving only queries×refine rows), which restores near-exact head
+  * precision; the driver-visible recall gate certifies the operating
+  * point exactly like the LSH/IVF paths.
+  *
+  * Deterministic end-to-end: codebooks train with Lloyd's on a
+  * deterministic md5-order sample (the bounded-sample training FAISS
+  * uses — a 100 TB corpus trains its 2 KB of codebooks from thousands,
+  * not trillions, of rows), seeds are the first `ksub` sample rows,
+  * argmin ties break to the lowest index, and encode/ADC are exact
+  * double arithmetic — the same answer on any partitioning.
+  */
+object PqIndex {
+
+  /** Per-subspace codebooks: `codebooks(s)(c)` is sub-centroid c of
+    * subspace s (dsub doubles each). */
+  final case class PqModel(m: Int, ksub: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Double]]]) extends Serializable
+
+  /** A built IVF-PQ index: coarse quantizer + PQ codebooks + persisted
+    * code lists partitioned and sorted by the salted (cluster, chunk)
+    * probe-join key — same layout contract as [[IvfIndex.Index]], at
+    * 1/64 the bytes per row. */
+  final case class Index(coarse: IvfIndex.Model, pq: PqModel,
+                         lists: DataFrame, chunks: Int) {
+    def close(): Unit = lists.unpersist()
+  }
+
+  /** Plain L2 Lloyd's over driver-local sample rows (codebook training
+    * is sample-bounded by design — see object doc). Empty clusters keep
+    * their previous centroid; argmin ties break to the lowest index. */
+  private def kmeansLocal(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val d = xs.head.length
+    var cents = Array.tabulate(math.min(k, xs.length))(i => xs(i).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val cnts = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = x(j) - cents(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += x(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c)
+      }.toArray
+    }
+    cents
+  }
+
+  /** Bits per sub-code: the 64-bit word splits evenly across the m
+    * subspaces (m=16 → 4-bit codes/ksub≤16, m=8 → 8-bit codes/ksub≤256). */
+  private[operators] def codeBits(m: Int): Int = 64 / m
+
+  /** All m sub-codes packed into ONE 64-bit word: a fixed-width long
+    * column instead of a variable-length array — 64× smaller than the
+    * 64-double vector and free of per-row array headers in the
+    * persisted lists. */
+  private[operators] def encodeOne(v: Array[Double], pq: PqModel): Long = {
+    val bits = codeBits(pq.m)
+    var packed = 0L
+    var s = 0
+    while (s < pq.m) {
+      val cb = pq.codebooks(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var dist = 0.0; var j = 0
+        while (j < pq.dsub) {
+          val t = v(s * pq.dsub + j) - cb(c)(j); dist += t * t; j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      packed |= best.toLong << (bits * s)
+      s += 1
+    }
+    packed
+  }
+
+  /** Train the product quantizer on a deterministic md5-order sample. */
+  def fitPq(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
+            iters: Int = 10, sampleN: Int = 4096): PqModel = {
+    val sample = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleN)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = sample.head.length
+    require(d % m == 0, s"dims $d must divide into $m subspaces")
+    require(64 % m == 0 && ksub <= (1 << codeBits(m)),
+      s"m=$m subspaces × ${codeBits(m)}-bit codes must pack one 64-bit word (ksub ≤ ${1 << codeBits(m)})")
+    val dsub = d / m
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansLocal(sub, ksub, iters)
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+
+  /** Build once: coarse quantizer + PQ codebooks in one pass over the
+    * corpus (assignment and encoding share the scan), lists persisted
+    * by the salted probe key carrying (vec_id, codes) ONLY — the full
+    * vectors stay in the source table and are touched again only by
+    * the refine stage's id-equi-join. */
+  def build(embeddings: DataFrame, nClusters: Int = -1, m: Int = 16,
+            ksub: Int = 16, chunksPerList: Int = 4, iters: Int = 3): Index = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nc = if (nClusters > 0) nClusters else IvfIndex.autoClusters(embeddings.count())
+    val coarse = IvfIndex.fit(embeddings, nc, iters)
+    val pq = fitPq(embeddings, m, ksub)
+    val bcC = spark.sparkContext.broadcast(coarse.centroids)
+    val bcP = spark.sparkContext.broadcast(pq)
+    val lists = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val p = bcP.value
+        it.map { case (id, v) => (id, IvfIndex.nearest(v, cs), encodeOne(v, p)) }
+      }.toDF("vec_id", "cluster", "codes")
+      .withColumn("chunk", explode(sequence(lit(0), lit(chunksPerList - 1))))
+      .repartition(col("cluster"), col("chunk"))
+      .sortWithinPartitions("cluster", "chunk")
+      .persist()
+    lists.count()
+    Index(coarse, pq, lists, chunksPerList)
+  }
+
+  /** ANN top-k against a built IVF-PQ index: multi-probe → ADC score →
+    * exact refine. Probe rows carry (query_id, cluster, chunk, lut);
+    * the salted sort-merge join against the pre-laid-out lists is the
+    * same zero-corpus-shuffle shape as [[IvfIndex.query]], but both
+    * sides are now vector-free: the heaviest column in the exchange is
+    * the query's own m×ksub lookup table. `refineK·k` ADC winners per
+    * query re-rank by exact dot, fetched by id. */
+  def query(index: Index, queries: DataFrame, corpus: DataFrame, k: Int = 5,
+            probes: Int = -1, refineK: Int = 30): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.coarse.centroids
+    val p = index.pq
+    val np = if (probes > 0) math.min(probes, cents.length)
+             else math.max(1, math.ceil(cents.length * 0.6).toInt)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcP = spark.sparkContext.broadcast(p)
+    val probed = queries
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val pq = bcP.value
+        it.flatMap { case (id, v) =>
+          // one ADC lookup table per query: lut(s*ksub + c) = q_s · cb_s,c
+          val lut = new Array[Double](pq.m * pq.ksub)
+          var s = 0
+          while (s < pq.m) {
+            var c = 0
+            while (c < pq.codebooks(s).length) {
+              var acc = 0.0; var j = 0
+              while (j < pq.dsub) { acc += v(s * pq.dsub + j) * pq.codebooks(s)(c)(j); j += 1 }
+              lut(s * pq.ksub + c) = acc
+              c += 1
+            }
+            s += 1
+          }
+          val scored = cs.indices.map { c =>
+            var acc = 0.0; var j = 0
+            while (j < v.length) { acc += v(j) * cs(c)(j); j += 1 }
+            (c, acc)
+          }
+          scored.sortBy(t => (-t._2, t._1)).take(np).map { case (c, _) => (id, c, lut) }
+        }
+      }.toDF("query_id", "cluster", "lut")
+      .withColumn("chunk",
+        pmod(xxhash64(col("query_id")), lit(index.chunks)).cast("int"))
+    // ADC: candidate score = Σ_s lut[s·ksub + code_s] — m table lookups
+    // per row, a native codegen'd expression (the HOF formulation
+    // interpreted its lambda per element and cost more than exact dots;
+    // see graft.functions.PqAdc)
+    val adc = graft.functions.PqAdc(col("codes"), col("lut"), p.m, p.ksub)
+    val candidates = probed.join(index.lists.hint("merge"), Seq("cluster", "chunk"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("score"))
+    val shortlist = Similarity.rankTopK(candidates, refineK * k)
+      .select("query_id", "neighbor_id")
+    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val refined = shortlist
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("qv"), col("cv")).as("score"))
+    Similarity.rankTopK(refined, k)
+  }
+
+  /** Convenience self-ANN: build + query once (long-lived sessions
+    * should [[build]] once and [[query]] per batch). */
+  def topK(embeddings: DataFrame, k: Int = 5, nClusters: Int = -1,
+           probes: Int = -1, refineK: Int = 30): DataFrame = {
+    val index = build(embeddings, nClusters)
+    query(index, embeddings, embeddings, k, probes, refineK)
+  }
+}

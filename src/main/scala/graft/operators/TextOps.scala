@@ -208,6 +208,32 @@ object TextOps {
         min(col("eval_id")).as("first_eval_hit"))
   }
 
+  /** Token-budgeted mixture selection: within each language, keep the
+    * highest-quality documents until a per-language token budget is
+    * filled (inclusive running total) — the data-mixing step that turns
+    * a curated pool into a pretraining mixture with fixed per-source
+    * token quotas. Deterministic: ties in quality break by doc_id.
+    *
+    * Scale shape: one shuffle on `lang` and a per-language sort — the
+    * exact formulation. At 100 TB per-language sorts are the cost; the
+    * scale path is two-phase: find the quality threshold θ_lang where
+    * the budget fills via `approx_percentile` (one agg, no sort), keep
+    * everything above θ, and run THIS exact operator only on the
+    * boundary sliver quality ≈ θ. Exact top is unchanged; only the
+    * boundary is sorted. The sliver refinement composes from this same
+    * function, so the exact form is what we pin with the oracle. */
+  def budgetMix(docs: DataFrame, tokensPerLang: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokensPerLang)
+      .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+  }
+
   /** End-to-end corpus curation — the composed selection a training-
     * data run actually executes over raw documents: keep documents that
     * (a) clear the quality bar, (b) are in the target language, and

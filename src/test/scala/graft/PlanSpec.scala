@@ -105,6 +105,29 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("text#"), s"document bodies shuffled: $exchanges")
   }
 
+  test("IVF-PQ probe join: salted key, codes not vectors, index layout reused") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx = operators.PqIndex.build(emb, nClusters = 8, chunksPerList = 4)
+    try {
+      val p = plan(operators.PqIndex.query(idx, emb, emb, k = 3, probes = 2))
+      val joinKeyLines = p.linesIterator
+        .filter(l => l.contains("keys") || l.contains("Keys")).toSeq
+      assert(joinKeyLines.exists(l => l.contains("cluster") && l.contains("chunk")),
+        s"probe join must be keyed on (cluster, chunk), got: $joinKeyLines")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        "query must reuse the persisted code lists, not recompute them")
+      // the PQ point: no full vectors on the list side of the probe join —
+      // the cached lists' Output is (vec_id, cluster, codes, chunk); the
+      // only vector fetches are the refine stage's id-equi-joins
+      val lines = p.linesIterator.toSeq
+      val cachedOut = lines.zipWithIndex
+        .filter(_._1.trim.matches("""\(\d+\) InMemoryTableScan.*"""))
+        .map { case (_, i) => lines(i + 1) }.mkString
+      assert(cachedOut.contains("codes#") && !cachedOut.contains("embedding"),
+        s"lists must carry packed codes, not vectors: $cachedOut")
+    } finally idx.close()
+  }
+
   test("decontamination: eval shingles broadcast, corpus side never join-shuffled") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, dir, "documents")

@@ -10,16 +10,27 @@ object RecallProbe {
       .master("local[32]").config("spark.sql.shuffle.partitions", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("0.01", "0.1");
-         q <- Seq("q_ann_ivf_recall", "q_ann_lsh_recall", "q_ann_ivf", "q_ann_lsh")) {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("0.01", "0.1")) {
       spark.catalog.clearCache()
       System.gc()
-      val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.rawOps(q)(spark, s"/root/testdata/sf$sf")
-      val out =
-        if (q.endsWith("recall")) rows.collect().toSeq.mkString(" ")
-        else { rows.write.format("noop").mode("overwrite").save(); "noop" }
-      println(f"GATE sf=$sf $q%-18s ${(System.nanoTime() - t0) / 1e9}%6.2fs  $out")
+      val emb = graft.sources.Tables.load(spark, s"/root/testdata/sf$sf", "embeddings")
+      val qids = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(200).select("vec_id")
+      val exact = graft.operators.Similarity.bruteForceTopKFor(
+          emb.join(broadcast(qids), "vec_id"), emb, 5)
+        .select("query_id", "neighbor_id")
+      for ((name, ap) <- Seq(
+          "ivf" -> graft.operators.IvfIndex.topK(emb, k = 5),
+          "ivfpq" -> graft.operators.PqIndex.topK(emb, k = 5),
+          "lsh" -> graft.operators.Similarity.lshTopK(emb, k = 5))) {
+        val t0 = System.nanoTime()
+        val apq = ap.select("query_id", "neighbor_id")
+          .join(broadcast(qids.withColumnRenamed("vec_id", "query_id")), "query_id")
+        val m = exact.join(apq, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val tot = exact.count()
+        println(f"PROBE sf=$sf $name recall=${m.toDouble / tot}%.4f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      }
     }
     spark.stop()
   }
