@@ -46,10 +46,18 @@ object PqIndex {
   /** A built IVF-PQ index: coarse quantizer + PQ codebooks + persisted
     * code lists partitioned and sorted by the salted (cluster, chunk)
     * probe-join key — same layout contract as [[IvfIndex.Index]], at
-    * 1/64 the bytes per row. */
+    * 1/64 the bytes per row.
+    *
+    * `deltas` are append segments ([[append]]): each is a small list
+    * store in the same layout, searched alongside the base lists — the
+    * LSM pattern that keeps the index fresh under streaming ingest
+    * without an O(corpus) rebuild per batch. [[compact]] folds them
+    * into the base. */
   final case class Index(coarse: IvfIndex.Model, pq: PqModel,
-                         lists: DataFrame, chunks: Int) {
-    def close(): Unit = lists.unpersist()
+                         lists: DataFrame, chunks: Int,
+                         deltas: Seq[DataFrame] = Nil) {
+    private[operators] def segments: Seq[DataFrame] = lists +: deltas
+    def close(): Unit = segments.foreach(_.unpersist())
   }
 
   /** Plain L2 Lloyd's over driver-local sample rows (codebook training
@@ -130,18 +138,12 @@ object PqIndex {
     PqModel(m, ksub, dsub, codebooks)
   }
 
-  /** Build once: coarse quantizer + PQ codebooks in one pass over the
-    * corpus (assignment and encoding share the scan), lists persisted
-    * by the salted probe key carrying (vec_id, codes) ONLY — the full
-    * vectors stay in the source table and are touched again only by
-    * the refine stage's id-equi-join. */
-  def build(embeddings: DataFrame, nClusters: Int = -1, m: Int = 16,
-            ksub: Int = 16, chunksPerList: Int = 4, iters: Int = 3): Index = {
+  /** One-pass assign+encode of `embeddings` into the persisted
+    * (cluster, chunk)-partitioned, sorted, code-only list layout. */
+  private def layout(embeddings: DataFrame, coarse: IvfIndex.Model,
+                     pq: PqModel, chunksPerList: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val nc = if (nClusters > 0) nClusters else IvfIndex.autoClusters(embeddings.count())
-    val coarse = IvfIndex.fit(embeddings, nc, iters)
-    val pq = fitPq(embeddings, m, ksub)
     val bcC = spark.sparkContext.broadcast(coarse.centroids)
     val bcP = spark.sparkContext.broadcast(pq)
     val lists = embeddings
@@ -156,7 +158,45 @@ object PqIndex {
       .sortWithinPartitions("cluster", "chunk")
       .persist()
     lists.count()
-    Index(coarse, pq, lists, chunksPerList)
+    lists
+  }
+
+  /** Build once: coarse quantizer + PQ codebooks in one pass over the
+    * corpus (assignment and encoding share the scan), lists persisted
+    * by the salted probe key carrying (vec_id, codes) ONLY — the full
+    * vectors stay in the source table and are touched again only by
+    * the refine stage's id-equi-join. */
+  def build(embeddings: DataFrame, nClusters: Int = -1, m: Int = 16,
+            ksub: Int = 16, chunksPerList: Int = 4, iters: Int = 3): Index = {
+    val nc = if (nClusters > 0) nClusters else IvfIndex.autoClusters(embeddings.count())
+    val coarse = IvfIndex.fit(embeddings, nc, iters)
+    val pq = fitPq(embeddings, m, ksub)
+    Index(coarse, pq, layout(embeddings, coarse, pq, chunksPerList), chunksPerList)
+  }
+
+  /** Incremental maintenance: encode a batch of NEW vectors against the
+    * existing (frozen) quantizers and attach it as a delta segment —
+    * cost O(batch), never O(corpus). This is how the index stays fresh
+    * under streaming ingest (each micro-batch appends; quantizers only
+    * drift on re-[[build]], the periodic re-train every IVF deployment
+    * schedules). Queries search base + deltas; [[compact]] folds the
+    * accumulated segments into one layout when the delta count grows. */
+  def append(index: Index, newEmbeddings: DataFrame): Index =
+    index.copy(deltas = index.deltas :+
+      layout(newEmbeddings, index.coarse, index.pq, index.chunks))
+
+  /** Fold base + delta segments into a single re-laid-out list store
+    * (the LSM compaction; same (cluster, chunk) partitioned+sorted
+    * contract). Query results are unchanged — segment boundaries never
+    * affect scores, only plan fan-out. */
+  def compact(index: Index): Index = {
+    val merged = index.segments.reduce(_ unionByName _)
+      .repartition(col("cluster"), col("chunk"))
+      .sortWithinPartitions("cluster", "chunk")
+      .persist()
+    merged.count()
+    index.segments.foreach(_.unpersist())
+    index.copy(lists = merged, deltas = Nil)
   }
 
   /** ANN top-k against a built IVF-PQ index: multi-probe → ADC score →
@@ -210,9 +250,13 @@ object PqIndex {
     // interpreted its lambda per element and cost more than exact dots;
     // see graft.functions.PqAdc)
     val adc = graft.functions.PqAdc(col("codes"), col("lut"), p.m, p.ksub)
-    val candidates = probed.join(index.lists.hint("merge"), Seq("cluster", "chunk"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("score"))
+    // base lists + any append segments: each probes in its own layout
+    // (segment boundaries change plan fan-out, never scores)
+    val candidates = index.segments.map { seg =>
+      probed.join(seg.hint("merge"), Seq("cluster", "chunk"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("score"))
+    }.reduce(_ unionByName _)
     val shortlist = Similarity.rankTopK(candidates, refineK * k)
       .select("query_id", "neighbor_id")
     val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ lifecycle: packed-code determinism and LSM append/compact. */
+class PqIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("append makes new vectors searchable; compact changes plans, not results") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 =!= 0)
+
+    val base = PqIndex.build(half1, nClusters = 8)
+    val appended = PqIndex.append(base, half2)
+    try {
+      // full-corpus probes at full probe width so results are corpus-complete
+      val rAppend = PqIndex.query(appended, emb, emb, k = 3, probes = 8)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // odd ids exist only in the delta segment — they must be findable
+      assert(rAppend.exists(_._3 % 2 != 0),
+        "no delta-segment vector ever surfaced as a neighbor")
+      assert(rAppend.exists(_._3 % 2 == 0), "base segment lost")
+
+      val compacted = PqIndex.compact(appended)
+      val rCompact = PqIndex.query(compacted, emb, emb, k = 3, probes = 8)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rCompact == rAppend,
+        s"compaction changed results: ${rCompact.diff(rAppend)} vs ${rAppend.diff(rCompact)}")
+      compacted.close()
+    } finally () // appended's segments are unpersisted by compact()
+  }
+
+  test("packed 64-bit encoding is deterministic and self-consistent") {
+    val pq = PqIndex.fitPq(Tables.load(spark, dir, "embeddings"))
+    assert(pq.m == 16 && pq.ksub == 16 && pq.dsub == 4)
+    val v = Array.tabulate(64)(i => math.sin(i + 1))
+    val c1 = PqIndex.encodeOne(v, pq)
+    val c2 = PqIndex.encodeOne(v.clone(), pq)
+    assert(c1 == c2, "encode must be a pure function of the vector")
+    // every nibble decodes to a valid codebook entry
+    (0 until 16).foreach { s =>
+      val code = ((c1 >>> (4 * s)) & 15L).toInt
+      assert(code >= 0 && code < pq.codebooks(s).length)
+    }
+  }
+}
