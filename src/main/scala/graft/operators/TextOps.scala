@@ -234,6 +234,62 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
   }
 
+  /** The 100 TB form of [[budgetMix]]'s SELECTION: which documents make
+    * the mixture, without a per-language total sort.
+    *
+    * Two-phase sliver refinement: (1) one aggregation builds a bounded
+    * per-(lang, quality-bucket) token histogram (≤ langs×`buckets` rows
+    * — driver-small at ANY corpus size); the driver walks each
+    * language's buckets best-first to find the boundary bucket where
+    * the budget crosses. Everything in strictly-better buckets is kept
+    * with a plain filter (no sort); only the boundary bucket — a
+    * 1/`buckets` sliver — runs the exact windowed cumulative, seeded
+    * with the tokens already consumed above it. (2) keep-set equality
+    * with the exact operator is EXACT, not approximate: buckets are
+    * floor(quality·buckets), monotone in quality, and the exact keep
+    * rule is prefix-closed, so bucket order refines global order
+    * (PqIndexSpec-style equality is asserted in OperatorsSpec).
+    * Emits (doc_id, lang, n_tokens, quality_score) — running totals are
+    * the exact form's concern; the selection is what a mixing job
+    * materializes. */
+  def budgetMixSelect(docs: DataFrame, tokensPerLang: Long = 2000L,
+                      buckets: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", floor(col("quality_score") * buckets).cast("long"))
+    val hist = scored.groupBy("lang", "bucket")
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // best-first walk per language: boundary = first bucket where the
+    // cumulative crosses the budget; offset = tokens consumed above it
+    val plans = hist.groupBy(_._1).map { case (lang, rows) =>
+      var acc = 0L
+      var boundary = Long.MinValue
+      var offset = 0L
+      val it = rows.sortBy(-_._2).iterator
+      while (it.hasNext && boundary == Long.MinValue) {
+        val (_, bucket, toks) = it.next()
+        if (acc + toks > tokensPerLang) { boundary = bucket; offset = acc }
+        else acc += toks
+      }
+      (lang, boundary, offset)                         // MinValue → keep all
+    }.toSeq.toDF("lang", "boundary", "offset")
+    val planned = scored.join(broadcast(plans), "lang")
+    val keptOutright = planned.filter(col("bucket") > col("boundary"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliverKept = planned.filter(col("bucket") === col("boundary"))
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("offset"))
+      .filter(col("cum") <= tokensPerLang)
+    keptOutright.unionByName(sliverKept.drop("cum"))
+      .select("doc_id", "lang", "n_tokens", "quality_score")
+  }
+
   /** End-to-end corpus curation — the composed selection a training-
     * data run actually executes over raw documents: keep documents that
     * (a) clear the quality bar, (b) are in the target language, and

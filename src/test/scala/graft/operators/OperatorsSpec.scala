@@ -259,4 +259,22 @@ class OperatorsSpec extends SparkSpec {
     // same-cluster neighbors collide in at least one of 8 tables
     assert((0 until 4).forall(i => lsh.exists(p => p._1 == i && p._2 < 4)))
   }
+
+  test("budget mix: sliver-refinement selection equals the exact windowed form") {
+    // the scale-path contract: histogram + boundary walk + boundary-
+    // bucket-only sort selects EXACTLY the documents the per-language
+    // total sort selects — at two budgets and two SFs, including the
+    // keep-all regime (huge budget) and a budget landing mid-bucket
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         budget <- Seq(500L, 2000L, 10000000L)) {
+      val d = graft.sources.Tables.load(spark, dir, "documents")
+      val exact = TextOps.budgetMix(d, budget)
+        .select("doc_id").as[Long].collect().toSet
+      val approx = TextOps.budgetMixSelect(d, budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(approx == exact,
+        s"$dir budget=$budget: sliver path diverged " +
+          s"(missing=${(exact -- approx).take(5)}, extra=${(approx -- exact).take(5)})")
+    }
+  }
 }

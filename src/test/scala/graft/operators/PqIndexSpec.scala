@@ -36,6 +36,37 @@ class PqIndexSpec extends SparkSpec {
     } finally () // appended's segments are unpersisted by compact()
   }
 
+  test("streaming ingest: foreachBatch appends keep the index fresh per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2rows = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+
+    var idx = PqIndex.build(half1, nClusters = 8)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx = PqIndex.append(idx, batch)   // O(batch), quantizers frozen
+      }.start()
+    try {
+      val (b1, b2) = half2rows.splitAt(half2rows.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+
+      assert(idx.deltas.size == 2, s"one delta segment per micro-batch, got ${idx.deltas.size}")
+      val res = PqIndex.query(idx, emb, emb, k = 3, probes = 8)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(res.exists(_ % 2 != 0), "streamed vectors must be searchable")
+      assert(res.exists(_ % 2 == 0), "base vectors lost")
+    } finally { q.stop(); idx.close() }
+  }
+
   test("packed 64-bit encoding is deterministic and self-consistent") {
     val pq = PqIndex.fitPq(Tables.load(spark, dir, "embeddings"))
     assert(pq.m == 16 && pq.ksub == 16 && pq.dsub == 4)
