@@ -89,6 +89,8 @@ object SparkEntry {
       TextOps.topTfidf(t(s, dir, "documents"))),
     "q_text_repetition" -> ((s, dir) =>
       TextOps.repetition(t(s, dir, "documents"))),
+    "q_text_fluency" -> ((s, dir) =>
+      TextOps.unigramFluency(t(s, dir, "documents"))),
     "q_budget_mix" -> ((s, dir) =>
       TextOps.budgetMix(t(s, dir, "documents"))),
     // Eval set = doc_id ≡ 0 (mod 97), corpus = the rest: a deterministic
@@ -525,6 +527,23 @@ object SparkEntry {
         |       FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term AS top_term, score AS tfidf FROM sc
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same tf/cf integer sums; the division chain (mass / total /
+    // n_tokens) is written in the same left-to-right order on both
+    // sides, so each step is the identical correctly-rounded double op.
+    "q_text_fluency" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+        |d AS (SELECT tf.doc_id,
+        |  CAST(sum(tf.tf * cf.cf) AS BIGINT) AS mass,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN cf USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens, mass,
+        |  CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS fluency
+        |FROM d CROSS JOIN tot
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Top-token fraction via group-count max — value-identical to the

@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) ANN index: k-means coarse quantizer + per-list
   * exact search with multi-probe.
   *
+  * This is the IVF-*flat* variant — lists carry full vectors, probed
+  * candidates score by exact dot, the only error source is the probe
+  * fraction. [[PqIndex]] is the same layout with product-quantized
+  * lists (64× smaller, ADC scoring + refine): prefer it when the index
+  * must fit cluster memory at full corpus scale; prefer this when
+  * per-candidate exactness matters more than list size.
+  *
   * The scale structure: centroids are tiny (nClusters×dims) and live on
   * the driver/broadcast; vector assignment is a narrow mapPartitions
   * against the broadcast; search touches only the `probes` nearest

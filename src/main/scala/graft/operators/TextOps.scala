@@ -145,6 +145,35 @@ object TextOps {
     docs.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprints(col("text"), n, w)).as("fp"))
 
+  /** Unigram-LM fluency proxy: each document's mean corpus-frequency of
+    * its tokens, normalized by total corpus tokens — the rational-
+    * arithmetic stand-in for the perplexity filters (CCNet-style LM
+    * scoring) a pretraining pipeline runs; low scores flag gibberish /
+    * OOV-heavy documents. (A log-space LM score would need `ln`, which
+    * is only faithfully rounded and drifts in the last ulp between
+    * libms — see the file-header determinism rule; the mean-frequency
+    * form keeps every value one correctly-rounded division chain of
+    * exact integers.)
+    *
+    * Scale shape: token-keyed integer shuffles only (tf, then
+    * vocab-sized cf), a vocab-sized equi-join, and a doc-keyed integer
+    * sum — all partial-aggregated map-side; no document bodies and no
+    * doubles move. Integer sums are order-independent, so the result
+    * is partitioning-proof (a double-sum formulation would not be). */
+  def unigramFluency(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val tot = tokens.agg(count(lit(1)).as("__total"))
+    tf.join(cf, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("cf")).as("mass"), sum(col("tf")).as("n_tokens"))
+      .crossJoin(tot)
+      .select(col("doc_id"), col("n_tokens"), col("mass"),
+        (col("mass").cast("double") / col("__total").cast("double") /
+          col("n_tokens").cast("double")).as("fluency"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     * fraction of tokens taken by the single most frequent token, and
     * the fraction of word bigrams that are repeats. High values mark
