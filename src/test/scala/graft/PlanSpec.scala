@@ -128,6 +128,14 @@ class PlanSpec extends SparkSpec {
     } finally idx.close()
   }
 
+  test("fluency: integer-only exchanges, document bodies never shuffled") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(operators.TextOps.unigramFluency(docs))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text#"), s"document bodies shuffled: $exchanges")
+    assert(p.contains("HashAggregate"), "tf/cf must partial-aggregate map-side")
+  }
+
   test("decontamination: eval shingles broadcast, corpus side never join-shuffled") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, dir, "documents")

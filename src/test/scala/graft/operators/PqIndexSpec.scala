@@ -67,6 +67,23 @@ class PqIndexSpec extends SparkSpec {
     } finally { q.stop(); idx.close() }
   }
 
+  test("native PqAdc equals the declarative HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val m = 16; val ksub = 16
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      (rnd.nextLong(), Array.fill(m * ksub)(rnd.nextDouble() * 2 - 1))
+    }.toDF("codes", "lut")
+    val native = graft.functions.PqAdc(col("codes"), col("lut"), m, ksub)
+    val hof = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, i) => acc + element_at(col("lut"),
+        i * ksub + call_function("shiftrightunsigned", col("codes"), i * 4)
+          .bitwiseAND(lit(15L)).cast("int") + 1))
+    val diff = rows.select(native.as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, s"$diff/200 rows diverged between native and HOF ADC")
+  }
+
   test("packed 64-bit encoding is deterministic and self-consistent") {
     val pq = PqIndex.fitPq(Tables.load(spark, dir, "embeddings"))
     assert(pq.m == 16 && pq.ksub == 16 && pq.dsub == 4)
