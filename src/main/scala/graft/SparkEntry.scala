@@ -93,6 +93,15 @@ object SparkEntry {
       TextOps.unigramFluency(t(s, dir, "documents"))),
     "q_budget_mix" -> ((s, dir) =>
       TextOps.budgetMix(t(s, dir, "documents"))),
+    // The full raw-crawl → training-mixture pipeline (quality ×
+    // canonical-dedup × decontamination × token budget), eval set =
+    // doc_id ≡ 0 (mod 97) as in q_decontaminate.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.prepareCorpus(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
     // Eval set = doc_id ≡ 0 (mod 97), corpus = the rest: a deterministic
     // stand-in for a held-out benchmark leaked into the crawl.
     "q_decontaminate" -> ((s, dir) => {
@@ -337,8 +346,12 @@ object SparkEntry {
   /** MinHash signatures + LSH banding candidates (DuckDB), shared by the
     * candidate-pair and composed-pipeline oracles (k=8 hashes, 4 bands
     * of 2 — Dedup.minHashLsh defaults). */
-  val MinHashCandCteSql: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  val MinHashCandCteSql: String = minHashCandCte("documents")
+
+  /** The same CTE chain over an arbitrary source relation (the composed
+    * corpus-pipeline oracle restricts to the non-eval corpus). */
+  def minHashCandCte(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
       |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
       |    ELSE [] END AS sh FROM t),
@@ -598,6 +611,54 @@ object SparkEntry {
         |  min(ev.eval_id) AS first_eval_hit
         |FROM co JOIN ev USING (shingle)
         |GROUP BY co.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Full-pipeline oracle: the q_dedup_pipeline chain restricted to the
+    // non-eval corpus, the q_text_quality scalar, the q_decontaminate
+    // shingle join, and the q_budget_mix window — composed exactly as
+    // TextOps.prepareCorpus composes the operators.
+    "q_corpus_pipeline" ->
+      s"""WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |${minHashCandCte("corpus")},
+        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+        |ic AS (SELECT c.a, c.b, count(*) AS inter
+        |       FROM cand c JOIN e ea ON ea.doc_id = c.a
+        |                   JOIN e eb ON eb.doc_id = c.b AND eb.shingle = ea.shingle
+        |       GROUP BY c.a, c.b),
+        |edges AS (SELECT ic.a, ic.b
+        |          FROM ic JOIN sz sa ON sa.doc_id = ic.a JOIN sz sb ON sb.doc_id = ic.b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.src, e2.v FROM reach r JOIN und e2 ON e2.u = r.dst),
+        |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+        |qual AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+        |    + CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) * 0.2
+        |    + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+        |  FROM t),
+        |evt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 97 = 0),
+        |evs AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh FROM evt),
+        |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM evs),
+        |cont AS (SELECT DISTINCT e.doc_id FROM e JOIN ev USING (shingle)),
+        |keep AS (SELECT q.doc_id, d.lang, q.n_tokens, q.quality_score
+        |  FROM qual q JOIN corpus d USING (doc_id)
+        |  LEFT JOIN mn ON mn.src = q.doc_id
+        |  WHERE q.quality_score >= 0.42
+        |    AND least(q.doc_id, coalesce(mn.m, q.doc_id)) = q.doc_id
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |r AS (SELECT doc_id, lang, n_tokens, quality_score,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY quality_score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM keep)
+        |SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
+        |FROM r WHERE cum_tokens <= 2000
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Composed curation oracle: quality + langid scalars over the same

@@ -339,4 +339,32 @@ object TextOps {
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang") === lang && !col("is_dup"))
       .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
+
+  /** The COMPLETE training-corpus preparation, raw crawl → mixture:
+    * (1) quality bar, (2) near-dup canonicalization (one representative
+    * per duplicate group, via the LSH→verify→star-contraction
+    * pipeline), (3) benchmark decontamination (drop anything sharing a
+    * shingle with the eval set), (4) per-language token-budget mixture
+    * selection. This is the end-to-end query a pretraining-data run
+    * actually executes; every stage is one of this engine's
+    * oracle-verified operators composed on doc_id equi-joins.
+    *
+    * Scale shape inherits from the stages: narrow quality scoring,
+    * equi-join-only dedup (no all-pairs), broadcast eval side, and the
+    * budget window (swap [[budgetMixSelect]] for the sliver path at
+    * full scale — selection-equal by spec). Document bodies feed narrow
+    * expressions only and never shuffle. */
+  def prepareCorpus(docs: DataFrame, evalDocs: DataFrame,
+                    minQuality: Double = 0.42, jaccard: Double = 0.5,
+                    tokensPerLang: Long = 2000L): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality_score"))
+    val canon = Dedup.dedupPipeline(docs, threshold = jaccard)
+      .select(col("doc_id"), col("is_dup"))
+    val contaminated = decontaminate(docs, evalDocs).select(col("doc_id"))
+    val keptIds = q.join(canon, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= minQuality && !col("is_dup"))
+      .select("doc_id")
+    budgetMix(docs.join(keptIds, "doc_id"), tokensPerLang)
+  }
 }

@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("text#"), s"document bodies shuffled: $exchanges")
   }
 
+  test("full corpus pipeline: equi-joins only, bodies never shuffled") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(operators.TextOps.prepareCorpus(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the composed pipeline must stay equi-join only")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text#"), s"document bodies shuffled: $exchanges")
+  }
+
   test("IVF-PQ probe join: salted key, codes not vectors, index layout reused") {
     val emb = Tables.load(spark, dir, "embeddings")
     val idx = operators.PqIndex.build(emb, nClusters = 8, chunksPerList = 4)
