@@ -52,5 +52,9 @@ object Registry {
         intArg("graft_hyperplane_buckets", exprs, 1),
         intArg("graft_hyperplane_buckets", exprs, 2),
         intArg("graft_hyperplane_buckets", exprs, 3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      exprs => PqAdc(exprs(0), exprs(1),
+        intArg("graft_pq_adc", exprs, 2, default = Some(16)),
+        intArg("graft_pq_adc", exprs, 3, default = Some(16))), "built-in")
   }
 }

@@ -47,9 +47,14 @@ object IvfIndex {
     * and pre-sorted by (cluster, chunk), each list replicated `chunks`
     * ways (the salt's replica side — memory × chunks buys hot-list
     * parallelism; chunks=1 disables salting). Reuse across query
-    * batches; `close()` drops the cached lists. */
-  final case class Index(model: Model, lists: DataFrame, chunks: Int) {
-    def close(): Unit = lists.unpersist()
+    * batches; `close()` drops the cached lists.
+    *
+    * `deltas` are [[append]] segments in the same layout — the LSM
+    * ingest pattern shared with [[PqIndex.Index]]. */
+  final case class Index(model: Model, lists: DataFrame, chunks: Int,
+                         deltas: Seq[DataFrame] = Nil) {
+    private[operators] def segments: Seq[DataFrame] = lists +: deltas
+    def close(): Unit = segments.foreach(_.unpersist())
   }
 
   /** nClusters ≈ 2√N, the classic IVF sizing (lists of ~√N/2 vectors):
@@ -153,6 +158,13 @@ object IvfIndex {
             chunksPerList: Int = 4): Index = {
     val nc = if (nClusters > 0) nClusters else autoClusters(embeddings.count())
     val model = fit(embeddings, nc, iters)
+    Index(model, layout(embeddings, model, chunksPerList), chunksPerList)
+  }
+
+  /** Assignment of `embeddings` into the persisted (cluster, chunk)
+    * replicated, partitioned, sorted list layout. */
+  private def layout(embeddings: DataFrame, model: Model,
+                     chunksPerList: Int): DataFrame = {
     val lists = assign(embeddings, model)
       // replica side of the salt: each list row in every chunk
       .withColumn("chunk", explode(sequence(lit(0), lit(chunksPerList - 1))))
@@ -160,7 +172,28 @@ object IvfIndex {
       .sortWithinPartitions("cluster", "chunk")
       .persist()
     lists.count()                                     // materialize now
-    Index(model, lists, chunksPerList)
+    lists
+  }
+
+  /** Incremental maintenance, same contract as [[PqIndex.append]]:
+    * assign a NEW batch against the frozen quantizer and attach it as a
+    * delta segment — O(batch) per ingest micro-batch; the quantizer
+    * only drifts on re-[[build]]. */
+  def append(index: Index, newEmbeddings: DataFrame): Index =
+    index.copy(deltas = index.deltas :+
+      layout(newEmbeddings, index.model, index.chunks))
+
+  /** Fold base + delta segments into one re-laid-out list store
+    * ([[PqIndex.compact]] semantics: results unchanged, plan fan-out
+    * reset). */
+  def compact(index: Index): Index = {
+    val merged = index.segments.reduce(_ unionByName _)
+      .repartition(col("cluster"), col("chunk"))
+      .sortWithinPartitions("cluster", "chunk")
+      .persist()
+    merged.count()
+    index.segments.foreach(_.unpersist())
+    index.copy(lists = merged, deltas = Nil)
   }
 
   /** ANN top-k against a built index, multi-probe: each query searches
@@ -207,10 +240,12 @@ object IvfIndex {
       // salt: spread each query's probe rows by content hash
       .withColumn("chunk",
         pmod(xxhash64(col("query_id")), lit(index.chunks)).cast("int"))
-    val scored = probed.join(index.lists.hint("merge"), Seq("cluster", "chunk"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        Similarity.dot(col("qv"), col("v")).as("score"))
+    val scored = index.segments.map { seg =>
+      probed.join(seg.hint("merge"), Seq("cluster", "chunk"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Similarity.dot(col("qv"), col("v")).as("score"))
+    }.reduce(_ unionByName _)
     Similarity.rankTopK(scored, k)
   }
 

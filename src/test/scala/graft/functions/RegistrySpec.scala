@@ -20,6 +20,12 @@ class RegistrySpec extends SparkSpec {
       .as[Int].head() == 2)
     assert(spark.sql("SELECT size(graft_hyperplane_buckets(a, 4, 3, 2)) FROM vs")
       .as[Int].head() == 4)
+    // ADC with m=2 → 32-bit sub-codes: word 1<<32 → sub-codes (0, 1) →
+    // lut[0·2+0] + lut[1·2+1] = 1.5 + 4.25
+    Seq((1L << 32, Array(1.5, 2.0, 3.0, 4.25))).toDF("codes", "lut")
+      .createOrReplaceTempView("pq")
+    assert(spark.sql("SELECT graft_pq_adc(codes, lut, 2, 2) FROM pq")
+      .as[Double].head() == 5.75)
   }
 
   test("config args must be literals: column reference fails with a clear error") {

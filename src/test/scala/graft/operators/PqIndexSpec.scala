@@ -36,6 +36,25 @@ class PqIndexSpec extends SparkSpec {
     } finally () // appended's segments are unpersisted by compact()
   }
 
+  test("IVF-flat append/compact matches the PQ lifecycle contract") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 =!= 0)
+    val appended = IvfIndex.append(IvfIndex.build(half1, nClusters = 8), half2)
+    try {
+      val rAppend = IvfIndex.query(appended, emb, k = 3, probes = 8)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rAppend.exists(_._3 % 2 != 0), "delta vectors must be searchable")
+      val compacted = IvfIndex.compact(appended)
+      val rCompact = IvfIndex.query(compacted, emb, k = 3, probes = 8)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rCompact == rAppend, "compaction changed IVF results")
+      compacted.close()
+    } finally ()
+  }
+
   test("streaming ingest: foreachBatch appends keep the index fresh per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
