@@ -79,16 +79,69 @@ object Dedup {
     * from boilerplate-heavy buckets is AQE's skew-join case.
     */
   def minHashLsh(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val r = k / bands
-    val sig = minHashSignatures(docs, n, k)
-    val banded = sig.select(col("doc_id"), posexplode(array(
-      (0 until bands).map(b =>
-        md5(concat_ws("#", (0 until r).map(i => col(s"mh${b * r + i}")): _*))): _*
-    )).as(Seq("band", "band_hash")))
+    val banded = bandRows(docs, n, k, bands)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** The (doc_id, band, band_hash) rows [[minHashLsh]] self-joins —
+    * factored out so the incremental path bands only the NEW batch. */
+  private def bandRows(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    minHashSignatures(docs, n, k).select(col("doc_id"), posexplode(array(
+      (0 until bands).map(b =>
+        md5(concat_ws("#", (0 until r).map(i => col(s"mh${b * r + i}")): _*))): _*
+    )).as(Seq("band", "band_hash")))
+  }
+
+  /** Persisted LSH banding state for incremental dedup of a growing
+    * corpus: segments of (doc_id, band, band_hash) rows, each
+    * partitioned by the (band, band_hash) join key — the signature
+    * store a continuously-crawled corpus maintains so each new crawl
+    * batch dedups against ALL previously seen documents at O(batch)
+    * signature cost (corpus signatures are never recomputed). */
+  final case class BandIndex(n: Int, k: Int, nBands: Int,
+                             segments: Seq[DataFrame]) {
+    private[operators] def all: DataFrame = segments.reduce(_ unionByName _)
+    def close(): Unit = segments.foreach(_.unpersist())
+  }
+
+  private def bandSegment(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    val seg = bandRows(docs, n, k, bands)
+      .repartition(col("band"), col("band_hash"))
+      .sortWithinPartitions("band", "band_hash")
+      .persist()
+    seg.count()
+    seg
+  }
+
+  def buildBandIndex(docs: DataFrame, n: Int = 3, k: Int = 8,
+                     bands: Int = 4): BandIndex =
+    BandIndex(n, k, bands, Seq(bandSegment(docs, n, k, bands)))
+
+  /** Register a processed batch's signatures (call after
+    * [[incrementalCandidates]] so the NEXT batch dedups against this
+    * one too). O(batch). */
+  def appendBands(index: BandIndex, newDocs: DataFrame): BandIndex =
+    index.copy(segments = index.segments :+
+      bandSegment(newDocs, index.n, index.k, index.nBands))
+
+  /** Candidate near-dup pairs TOUCHING the new batch: each new document
+    * against the indexed corpus AND the batch itself — exactly the
+    * pairs [[minHashLsh]] over (corpus ∪ batch) emits that involve a
+    * batch document, at O(batch) new-signature cost. Pairs are
+    * (a, b) with a < b, ready for the same candidates-only Jaccard
+    * verify as [[nearDupEdges]]. */
+  def incrementalCandidates(index: BandIndex, newDocs: DataFrame): DataFrame = {
+    val nb = bandRows(newDocs, index.n, index.k, index.nBands)
+    nb.as("x").join(index.all.unionByName(nb).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
       .distinct()
   }
 

@@ -260,6 +260,39 @@ class OperatorsSpec extends SparkSpec {
     assert((0 until 4).forall(i => lsh.exists(p => p._1 == i && p._2 < 4)))
   }
 
+  test("incremental dedup candidates equal batch LSH restricted to new docs") {
+    val all = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val old = all.filter(col("doc_id") % 3 =!= 0)
+    val b1 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val b2 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").as[(Long, Long)].collect().toSet
+    val fullPairs = pairs(Dedup.minHashLsh(all))
+    def touching(ids: Set[Long]) =
+      fullPairs.filter(p => ids.contains(p._1) || ids.contains(p._2))
+    val idSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id").as[Long].collect().toSet
+
+    // batch 1 vs indexed corpus: pairs touching b1, minus pairs with an
+    // endpoint in the not-yet-seen b2
+    val idx0 = Dedup.buildBandIndex(old)
+    val inc1 = pairs(Dedup.incrementalCandidates(idx0, b1))
+    assert(inc1 == touching(idSet(b1)).filterNot(p =>
+      idSet(b2).contains(p._1) || idSet(b2).contains(p._2)),
+      "batch-1 increment must cover exactly pairs touching b1 but not unseen b2")
+
+    // after registering b1, batch 2 sees old ∪ b1 ∪ itself
+    val idx1 = Dedup.appendBands(idx0, b1)
+    val inc2 = pairs(Dedup.incrementalCandidates(idx1, b2))
+    assert(inc2 == touching(idSet(b2)),
+      "batch-2 increment must cover every full-LSH pair touching b2")
+    // the union of increments + the base batch run reconstructs full LSH
+    assert((pairs(Dedup.minHashLsh(old)) ++ inc1 ++ inc2) == fullPairs,
+      "incremental runs must compose to the one-shot batch result")
+    idx1.close()
+  }
+
   test("budget mix: sliver-refinement selection equals the exact windowed form") {
     // the scale-path contract: histogram + boundary walk + boundary-
     // bucket-only sort selects EXACTLY the documents the per-language
