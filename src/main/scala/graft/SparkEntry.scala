@@ -93,6 +93,12 @@ object SparkEntry {
       TextOps.unigramFluency(t(s, dir, "documents"))),
     "q_budget_mix" -> ((s, dir) =>
       TextOps.budgetMix(t(s, dir, "documents"))),
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(t(s, dir, "documents"))),
+    "q_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(t(s, dir, "documents"))),
+    "q_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(t(s, dir, "documents"))),
     // The full raw-crawl → training-mixture pipeline (quality ×
     // canonical-dedup × decontamination × token budget), eval set =
     // doc_id ≡ 0 (mod 97) as in q_decontaminate.
@@ -596,6 +602,40 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
         |FROM r WHERE cum_tokens <= 2000
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Per-shard running totals + integer division — pure integer
+    // arithmetic, bit-exact across engines.
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  (cum_tokens - n_tokens) // 512 AS start_seq,
+        |  (cum_tokens - 1) // 512 AS end_seq
+        |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+        |r AS (SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS token_id FROM tf)
+        |SELECT term, n, token_id FROM r WHERE token_id <= 1000
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Counts taken on the text each pattern actually sees (URL → email
+    // → phone), mirroring the engine's replacement chain exactly.
+    "q_pii_redact" ->
+      """WITH r AS (SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://[a-z0-9./_-]+', '[URL]', 'g') AS r1 FROM documents),
+        |r2 AS (SELECT *, regexp_replace(r1, '[a-z0-9._-]+@[a-z0-9._-]+', '[EMAIL]', 'g') AS red2 FROM r),
+        |r3 AS (SELECT *, regexp_replace(red2, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS red3 FROM r2)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://[a-z0-9./_-]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(r1, '[a-z0-9._-]+@[a-z0-9._-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(red2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(red3) AS redacted_md5
+        |FROM r3 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -319,6 +319,83 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens", "quality_score")
   }
 
+  /** Sequence packing, concat-then-chunk (the GPT-2/3 pretraining
+    * layout): documents are concatenated in deterministic order and the
+    * token stream is split into fixed `seqLen`-token context windows;
+    * each document reports the window span it lands in. One row per
+    * doc: (doc_id, shard, n_tokens, cum_tokens, start_seq, end_seq) —
+    * a doc with start_seq < end_seq straddles a window boundary.
+    *
+    * Scale shape: packing is inherently sequential, so the corpus is
+    * sharded (shard = doc_id % shards — engine-portable, deterministic)
+    * and each shard packs independently under a per-shard window — a
+    * parallel sort per shard, never a global one. `shards` sizes to the
+    * cluster; window ids are per-shard (a writer emits shard files).
+    *
+    * Determinism: pure integer arithmetic (counts, running sums,
+    * integer division) — bit-exact across engines and partitionings. */
+  def packSequences(docs: DataFrame, seqLen: Int = 512, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(toks).cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) DIV $seqLen").as("start_seq"),
+        expr(s"(cum_tokens - 1) DIV $seqLen").as("end_seq"))
+  }
+
+  /** Corpus vocabulary build: the `size` most frequent whitespace
+    * tokens, ranked (count desc, term asc) with dense consecutive ids —
+    * the word-level analog of a tokenizer-training frequency pass.
+    *
+    * Scale shape: token-keyed count with map-side partial aggregation
+    * (integer cells, no document bodies), then top-`size` via Spark's
+    * TakeOrderedAndProject (per-partition bounded heaps — no global
+    * sort of the vocabulary). The id-assigning window runs AFTER the
+    * limit, over `size` rows — single-partition but bounded by the
+    * vocabulary size, not the corpus. */
+  def vocabulary(docs: DataFrame, size: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    tf.orderBy(col("n").desc, col("term").asc).limit(size)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("term").asc))
+          .cast("bigint"))
+  }
+
+  /** PII redaction — the scrub pass between crawling and training:
+    * URL-ish, email-ish, and phone-shaped spans replaced by typed
+    * placeholder tokens, with per-kind match counts and the digest of
+    * the redacted text (bodies stay out of the result; a production
+    * writer emits the redacted column itself). Replacement order is
+    * URL → email → phone, counted on the text each pattern actually
+    * sees, so the two engines transform identical intermediates.
+    *
+    * Scale shape: per-row regex at scan speed, zero shuffle — same
+    * narrow contract as [[contentFlags]]; patterns stay in the regex
+    * subset Spark and DuckDB interpret identically. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val urlRe = "https?://[a-z0-9./_-]+"
+    val emailRe = "[a-z0-9._-]+@[a-z0-9._-]+"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    docs
+      .withColumn("__r1", regexp_replace(col("text"), urlRe, "[URL]"))
+      .withColumn("__r2", regexp_replace(col("__r1"), emailRe, "[EMAIL]"))
+      .withColumn("__r3", regexp_replace(col("__r2"), phoneRe, "[PHONE]"))
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$urlRe', 0)"))
+          .cast("bigint").as("n_urls"),
+        size(expr(s"regexp_extract_all(__r1, '$emailRe', 0)"))
+          .cast("bigint").as("n_emails"),
+        size(expr(s"regexp_extract_all(__r2, '$phoneRe', 0)"))
+          .cast("bigint").as("n_phones"),
+        md5(col("__r3")).as("redacted_md5"))
+  }
+
   /** End-to-end corpus curation — the composed selection a training-
     * data run actually executes over raw documents: keep documents that
     * (a) clear the quality bar, (b) are in the target language, and

@@ -310,4 +310,48 @@ class OperatorsSpec extends SparkSpec {
           s"(missing=${(exact -- approx).take(5)}, extra=${(approx -- exact).take(5)})")
     }
   }
+
+  test("sequence packing: spans tile the shard stream, boundaries straddle") {
+    // 3 docs in shard 0 (doc_id % 8 == 0): 3 + 4 + 2 tokens at seqLen=4
+    // → token stream [0,9): doc 0 fills [0,3), doc 8 straddles seqs 0/1
+    // ([3,7)), doc 16 lands in seq 1 ([7,9))
+    val d = docs(0L -> "a b c", 8L -> "d e f g", 16L -> "h i", 3L -> "x y z w v")
+    val out = TextOps.packSequences(d, seqLen = 4, shards = 8)
+      .select("doc_id", "shard", "cum_tokens", "start_seq", "end_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, 0L, 3L, 0L, 0L))
+    assert(out(8L) == (8L, 0L, 7L, 0L, 1L))     // straddles the seq 0/1 cut
+    assert(out(16L) == (16L, 0L, 9L, 1L, 2L))
+    assert(out(3L) == (3L, 3L, 5L, 0L, 1L))     // other shard restarts at 0
+    // invariant: within a shard, spans are contiguous in doc order
+    val s0 = Seq(out(0L), out(8L), out(16L))
+    s0.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 == a._5 || b._4 == a._5 + 1)  // next start at/after prev end
+    }
+  }
+
+  test("vocabulary: frequency-ranked, term tie-break, bounded size") {
+    val d = docs(1L -> "b a a c b a", 2L -> "c b d")
+    val v = TextOps.vocabulary(d, size = 3)
+      .select("term", "n", "token_id").as[(String, Long, Long)].collect().toList
+    // counts: a=3, b=3, c=2, d=1 → rank by (n desc, term asc)
+    assert(v == List(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
+  }
+
+  test("pii redaction: counts per kind, digest reflects placeholders") {
+    val d = docs(
+      1L -> "mail me at bob@x.com or visit https://x.com/a call 555-123-4567",
+      2L -> "clean text no pii")
+    val out = TextOps.redactPii(d)
+      .select("doc_id", "n_urls", "n_emails", "n_phones", "redacted_md5")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 1)
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0 && out(2L)._4 == 0)
+    // digest equals md5 of the manually redacted string
+    val expected = spark.sql(
+      "SELECT md5('mail me at [EMAIL] or visit [URL] call [PHONE]')")
+      .as[String].head()
+    assert(out(1L)._5 == expected)
+  }
 }
