@@ -144,6 +144,21 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
     "q_embed_neardup_gate" -> ((s, dir) =>
       Dedup.nearDupRecallGate(t(s, dir, "embeddings"), threshold = 0.4, bar = 0.95)),
+    // Semantic (SemDeDup cluster-blocked) near-dup: approximate by
+    // design → rows-only entry; the companion gate pins pair-recall
+    // ≥ 0.9 vs the exact sampled scan (measured 1.00/1.00/0.97 at the
+    // three driver SFs with the m=8 soft assignment).
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
+    "q_dedup_semantic_gate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.pairRecallGate(e, Dedup.semanticNearDup(e, threshold = 0.4),
+        threshold = 0.4, bar = 0.9)
+    }),
+    // k-NN majority-vote label prediction over the exact neighbor set —
+    // the application query a similarity index exists for.
+    "q_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"), k = 5)),
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
@@ -825,6 +840,28 @@ object SparkEntry {
     "q_embed_neardup_gate" ->
       """SELECT least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
+
+    // q_dedup_semantic: approximate by design (cluster blocking), no
+    // SQL oracle — rows-only; its gate pins the pair-recall verdict.
+    "q_dedup_semantic_gate" ->
+      """SELECT least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
+        |  true AS recall_ok""".stripMargin,
+
+    // The brute-force CTE is q_ann_bruteforce's; votes/argmax follow.
+    "q_knn_classify" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s),
+        |nn AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+        |v AS (SELECT nn.query_id, e.label AS n_label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2),
+        |p AS (SELECT query_id, n_label AS predicted_label, votes FROM v
+        |      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) = 1)
+        |SELECT p.query_id, q.label, p.predicted_label, p.votes
+        |FROM p JOIN embeddings q ON q.vec_id = p.query_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -142,6 +142,33 @@ object IvfIndex {
     }.toDF("vec_id", "cluster", "v")
   }
 
+  /** Soft (multi-)assignment: each vector to its `m` nearest centroids,
+    * one row per (vec_id, cluster, v). The cluster-blocking primitive
+    * for [[Dedup.semanticNearDup]] — a pair near in cosine is near both
+    * vectors' top centroids, so sharing ANY of the m clusters makes it
+    * a candidate (m=1 is hard assignment; larger m trades list volume
+    * for cross-boundary recall). Same narrow broadcast-scan shape as
+    * [[assign]]. */
+  def assignMulti(embeddings: DataFrame, model: Model, m: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    toVecs(embeddings).mapPartitions { it =>
+      val cs = bc.value
+      val mm = math.min(m, cs.length)
+      it.flatMap { case (id, v) =>
+        val scored = cs.indices.map { c =>
+          var s = 0.0
+          var j = 0
+          while (j < v.length) { s += v(j) * cs(c)(j); j += 1 }
+          (c, s)
+        }
+        scored.sortBy(t => (-t._2, t._1)).take(mm)
+          .map { case (c, _) => (id, c, v) }
+      }
+    }.toDF("vec_id", "cluster", "v")
+  }
+
   /** Build the index once: fit the quantizer, assign every vector,
     * replicate each list across the `chunksPerList` salt replicas, and
     * persist the lists already partitioned and sorted by the

@@ -206,6 +206,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN majority-vote label prediction — the classic application
+    * query over a similarity index (label propagation / quality-tier
+    * transfer across an embedded corpus): each vector takes the modal
+    * label of its k nearest neighbors, ties to the smallest label. One
+    * row per vector: (query_id, label, predicted_label, votes).
+    *
+    * Shape: neighbors from [[bruteForceTopK]] (the exact reference —
+    * swap [[lshTopK]] / [[IvfIndex.query]] in at full scale, the
+    * downstream shape is identical); neighbor labels join back by id
+    * (id-keyed equi-joins, vectors never reshuffle); the vote argmax is
+    * a min_by aggregate over (−votes, label) — partial-aggregated
+    * map-side, no window sort. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val votes = bruteForceTopK(embeddings, k)
+      .join(labels.toDF("neighbor_id", "n_label"), "neighbor_id")
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+    votes.groupBy("query_id")
+      .agg(min_by(struct(col("n_label"), col("votes")),
+        struct((-col("votes")).as("nv"), col("n_label"))).as("x"))
+      .select(col("query_id"), col("x.n_label").as("predicted_label"),
+        col("x.votes").as("votes"))
+      .join(labels.toDF("query_id", "label"), "query_id")
+      .select("query_id", "label", "predicted_label", "votes")
+  }
+
   /** Recall@k of an approximate ANN against the exact brute force, as a
     * one-row gate: (k, n_queries, recall_ok = recall ≥ bar). Gives the
     * driver an oracle-checkable view of approximate-by-design operators

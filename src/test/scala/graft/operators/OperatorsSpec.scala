@@ -311,6 +311,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("knn classify: tight label groups predict their own label; ties break low") {
+    // two well-separated direction groups in 4d (normalized), 3 vecs each
+    def v(xs: Double*) = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    val rows = Seq(
+      (1L, v(1, 0.01, 0, 0), 7), (2L, v(1, 0, 0.01, 0), 7), (3L, v(1, 0, 0, 0.01), 7),
+      (4L, v(0, 0.01, 1, 0), 9), (5L, v(0.01, 0, 1, 0), 9), (6L, v(0, 0, 1, 0.01), 9))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, k = 2)
+      .select("query_id", "label", "predicted_label", "votes")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    rows.foreach { case (id, _, lbl) =>
+      assert(out(id)._3 == lbl && out(id)._4 == 2L,
+        s"vec $id: expected unanimous $lbl, got ${out(id)}")
+    }
+    // k=3: the third neighbor crosses groups → votes 2 vs 1, majority holds
+    val o3 = Similarity.knnClassify(emb, k = 3)
+      .select("query_id", "predicted_label", "votes")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    rows.foreach { case (id, _, lbl) => assert(o3(id)._2 == lbl && o3(id)._3 == 2L) }
+  }
+
+  test("semantic near-dup: pairs are exact-verified and gate passes on testdata") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val semantic = Dedup.semanticNearDup(emb, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingNearDupExact(emb, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(semantic.subsetOf(exact), // every emitted pair is dot-verified
+      s"non-exact pairs emitted: ${(semantic -- exact).take(5)}")
+    val gate = Dedup.pairRecallGate(emb,
+        Dedup.semanticNearDup(emb, threshold = 0.4), threshold = 0.4, bar = 0.9)
+      .select("recall_ok").as[Boolean].head()
+    assert(gate)
+  }
+
   test("sequence packing: spans tile the shard stream, boundaries straddle") {
     // 3 docs in shard 0 (doc_id % 8 == 0): 3 + 4 + 2 tokens at seqLen=4
     // → token stream [0,9): doc 0 fills [0,3), doc 8 straddles seqs 0/1
