@@ -95,6 +95,8 @@ object SparkEntry {
       TextOps.budgetMix(t(s, dir, "documents"))),
     "q_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"))),
+    "q_text_chunks" -> ((s, dir) =>
+      TextOps.chunk(t(s, dir, "documents"))),
     "q_vocab" -> ((s, dir) =>
       TextOps.vocabulary(t(s, dir, "documents"))),
     "q_pii_redact" -> ((s, dir) =>
@@ -629,6 +631,20 @@ object SparkEntry {
         |  (cum_tokens - n_tokens) // 512 AS start_seq,
         |  (cum_tokens - 1) // 512 AS end_seq
         |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // DuckDB list slicing is 1-based inclusive: toks[s+1 : s+32] is the
+    // 32-token window at 0-based start s, clamped at document end —
+    // matching Spark's slice(toks, s+1, 32).
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, (len(toks) - 1) // 16 + 1)) AS chunk_idx FROM t),
+        |s AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 32] AS chunk FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),

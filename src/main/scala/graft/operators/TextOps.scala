@@ -366,6 +366,30 @@ object TextOps {
           .cast("bigint"))
   }
 
+  /** Overlapping token-window chunking (the RAG / context-window prep
+    * pass): windows of `size` tokens every `stride` tokens, the last
+    * window short if the document ends mid-stride. One row per chunk:
+    * (doc_id, chunk_idx, n_chunk_tokens, chunk_md5) — the digest stands
+    * in for the chunk body (a production writer emits the text column;
+    * the digest keeps corpus bodies out of the verify surface).
+    *
+    * Scale shape: per-row explode of a bounded index range + array
+    * slices — narrow, zero shuffle, scan speed; fan-out is
+    * ≈ n_tokens/stride rows per document (each row a 16-byte digest,
+    * not a body copy). */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 16): DataFrame = {
+    val n = org.apache.spark.sql.functions.size(toks)
+    docs
+      .select(col("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), ((n - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__chunk"))
+          .cast("bigint").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+  }
+
   /** PII redaction — the scrub pass between crawling and training:
     * URL-ish, email-ish, and phone-shaped spans replaced by typed
     * placeholder tokens, with per-kind match counts and the digest of

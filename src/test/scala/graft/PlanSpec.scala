@@ -158,6 +158,37 @@ class PlanSpec extends SparkSpec {
       "corpus shingles must not be shuffled for the join (broadcast regressed)")
   }
 
+  test("packing/chunking/redaction/vocab: narrow or sharded plans, no global sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    // packing: the running total must window per shard, never globally
+    val pk = plan(operators.TextOps.packSequences(docs))
+    assert(pk.contains("Window"), "packing is a running total")
+    assert(!pk.contains("SinglePartition"),
+      "packing window must partition by shard — a global window is the 100 TB anti-plan")
+    // chunking and redaction are per-row: zero exchanges
+    for ((n, df) <- Seq("chunk" -> operators.TextOps.chunk(docs),
+        "redactPii" -> operators.TextOps.redactPii(docs))) {
+      val p = plan(df)
+      assert(!p.linesIterator.exists(_.trim.startsWith("Exchange")),
+        s"$n must be narrow (scan-speed), found an exchange")
+    }
+    // vocabulary: top-N via per-partition heaps, not a global sort
+    val pv = plan(operators.TextOps.vocabulary(docs))
+    assert(pv.contains("TakeOrderedAndProject"),
+      "vocabulary top-N must use bounded heaps, not a global Sort+Limit")
+  }
+
+  test("semantic near-dup and knn classify: equi-joins only, agg-based ranking") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val ps = plan(operators.Dedup.semanticNearDup(emb, threshold = 0.4))
+    assert(!ps.contains("BroadcastNestedLoopJoin") && !ps.contains("CartesianProduct"),
+      "cluster blocking must stay equi-join only")
+    val pk = plan(operators.Similarity.knnClassify(emb, k = 5))
+    assert(!pk.contains("Window"),
+      "vote argmax must be the min_by aggregate, not a window sort")
+    assert(!pk.contains("CartesianProduct"))
+  }
+
   test("pricing SQL through the catalog: partial+final agg, single exchange") {
     Tables.registerAll(spark, dir)
     val p = plan(spark.sql(SparkEntry.PricingSql))

@@ -369,6 +369,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("token chunking: stride windows, short tail, single-chunk doc") {
+    val d = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "), 2L -> "a b")
+    val out = TextOps.chunk(d, size = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_md5")
+      .as[(Long, Long, Long, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9 → window sizes 4,4,4,1 (tail clamps)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == 2L)
+    // digest is of the joined window text
+    val md5ab = spark.sql("SELECT md5('a b')").as[String].head()
+    assert(d2.head._4 == md5ab)
+  }
+
   test("vocabulary: frequency-ranked, term tie-break, bounded size") {
     val d = docs(1L -> "b a a c b a", 2L -> "c b d")
     val v = TextOps.vocabulary(d, size = 3)
