@@ -261,11 +261,20 @@ object SparkEntry {
     "q_topk_customers" -> ((s, dir) =>
       dbl(EventOps.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"), 10),
         "revenue")),
-    // Semi/anti joins.
+    // Semi/anti/full-outer joins.
     "q_semi_join" -> ((s, dir) =>
       EventOps.customersWithOpenOrders(t(s, dir, "customer"), t(s, dir, "orders"))),
     "q_anti_join" -> ((s, dir) =>
       EventOps.customersWithoutOpenOrders(t(s, dir, "customer"), t(s, dir, "orders"))),
+    "q_outer_join" -> ((s, dir) =>
+      EventOps.segmentOrderCoverage(t(s, dir, "customer"), t(s, dir, "orders"))),
+
+    // Moment-based statistics with exact decimal sums: variance /
+    // stddev / Pearson r agree with the oracle bit-for-bit (Spark's own
+    // var_samp/corr are partition-order-dependent double folds).
+    "q_stats_agg" -> ((s, dir) =>
+      graft.operators.Stats.profile(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
 
     // Exact interpolated quantiles (engine-agreeing to the last bit:
     // both sort exactly and linearly interpolate in double).
@@ -1027,6 +1036,38 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-        |ORDER BY ALL NULLS FIRST""".stripMargin
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH l AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |r AS (SELECT o_custkey, count(*) AS n_open FROM orders
+        |      WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT coalesce(l.c_custkey, r.o_custkey) AS custkey, l.c_name, r.n_open
+        |FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same exact-decimal moments, same closed-form double chain (each
+    // ×/−/÷/√ correctly rounded, identical association both engines).
+    "q_stats_agg" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sx / CAST(n AS DOUBLE) AS mean_x,
+        |  sy / CAST(n AS DOUBLE) AS mean_y,
+        |  CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS var_x,
+        |  CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS std_x,
+        |  CASE WHEN n > 1 AND sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) <> 0.0
+        |            AND sqrt(CAST(n AS DOUBLE) * syy - sy * sy) <> 0.0
+        |       THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |            / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |            / sqrt(CAST(n AS DOUBLE) * syy - sy * sy) END AS corr_xy
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -94,6 +94,23 @@ object EventOps {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** Full outer join: one segment's customers against per-customer
+    * open-order counts — rows survive from BOTH unmatched sides
+    * (customers with no open orders, open-order customers outside the
+    * segment), the join mode the semi/anti pair doesn't cover. The
+    * aggregate runs BEFORE the join, so the outer join matches one row
+    * per key (never fan-out) and the null-producing side is small. */
+  def segmentOrderCoverage(customer: DataFrame, orders: DataFrame,
+                           segment: String = "BUILDING"): DataFrame = {
+    val l = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"), col("c_name"))
+    val r = orders.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_open"))
+    l.join(r, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_open"))
+  }
+
   /** Sessionization: gaps-and-islands over event time per user — a
     * session breaks after `gapMinutes` of inactivity. Composed from
     * lag + a running sum of boundary flags (bit-identical to the SQL

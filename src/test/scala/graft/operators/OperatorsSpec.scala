@@ -349,6 +349,37 @@ class OperatorsSpec extends SparkSpec {
     assert(gate)
   }
 
+  test("stats profile: exact moments match closed-form on known data") {
+    // x = 1,2,3,4 → mean 2.5, var_samp 5/3; y = 2x → corr 1
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val r = Stats.profile(df, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mean_x") == 2.5)
+    assert(math.abs(r.getAs[Double]("var_x") - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("corr_xy") - 1.0) < 1e-12)
+    // n=1 group: variance and corr are NULL, not a division error
+    val one = Stats.profile(Seq((1.0, 2.0)).toDF("x", "y")
+      .withColumn("g", lit("z")), "g", "x", "y").collect().head
+    assert(one.isNullAt(one.fieldIndex("var_x")) &&
+      one.isNullAt(one.fieldIndex("corr_xy")))
+  }
+
+  test("full outer coverage: unmatched rows survive from both sides") {
+    val customer = Seq((1L, "ann", "BUILDING"), (2L, "bob", "BUILDING"),
+        (3L, "cam", "AUTO"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val orders = Seq((10L, 2L, "O"), (11L, 3L, "O"), (12L, 1L, "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val out = EventOps.segmentOrderCoverage(customer, orders)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[String]("c_name")), Option(r.getAs[Any]("n_open")))).toSet
+    assert(out == Set(
+      (1L, Some("ann"), None),          // left-only: no open orders
+      (2L, Some("bob"), Some(1L)),      // matched
+      (3L, None, Some(1L))))            // right-only: outside the segment
+  }
+
   test("sequence packing: spans tile the shard stream, boundaries straddle") {
     // 3 docs in shard 0 (doc_id % 8 == 0): 3 + 4 + 2 tokens at seqLen=4
     // → token stream [0,9): doc 0 fills [0,3), doc 8 straddles seqs 0/1
