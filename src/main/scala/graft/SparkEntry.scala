@@ -257,6 +257,14 @@ object SparkEntry {
     // recall-gate pattern applied to sketches.
     "q_sketch_gate" -> ((s, dir) =>
       graft.operators.Sketches.accuracyGate(t(s, dir, "events"))),
+    // Misra–Gries heavy hitters: sketch output (no cross-engine
+    // oracle, like HLL registers) → rows-only; the gate checks the MG
+    // theorems (never-overestimate, N/(k+1) error bound, completeness
+    // above the bound) against exact counts and pins true.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHitters(t(s, dir, "documents"))),
+    "q_heavy_hitters_gate" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHittersGate(t(s, dir, "documents"))),
     // Top-k: grouped decimal sum + sort + limit.
     "q_topk_customers" -> ((s, dir) =>
       dbl(EventOps.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"), 10),
@@ -1016,6 +1024,12 @@ object SparkEntry {
     // implementation-defined); the oracle pins the accuracy verdict.
     "q_sketch_gate" ->
       """SELECT true AS distinct_ok, true AS p50_ok, true AS p99_ok""",
+
+    // Deterministic by theorem (Misra–Gries + mergeable-summaries
+    // bounds), so the pinned verdict holds at any SF.
+    "q_heavy_hitters_gate" ->
+      """SELECT CAST(50 AS BIGINT) AS k, true AS underestimate_ok,
+        |  true AS error_ok, true AS complete_ok""".stripMargin,
 
     "q_topk_customers" ->
       """SELECT * FROM (

@@ -42,6 +42,43 @@ object Sketches {
     *    ≤ N/accuracy; the sketch value must land between the exact
     *    percentiles at p ± 5/accuracy (5× the guaranteed rank window —
     *    distribution-independent, unlike a value-relative band). */
+  /** Misra–Gries heavy-hitters summary of the token stream
+    * ([[graft.functions.HeavyHitters]]): ≤ `k` (term, est) rows,
+    * ranked (est desc, term asc). Sketch output — no cross-engine
+    * oracle; [[heavyHittersGate]] certifies the MG guarantees. */
+  def heavyHitters(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .agg(graft.functions.HeavyHitters.summary(k)(col("term")).as("__hh"))
+      .select(posexplode(col("__hh")).as(Seq("__pos", "e")))
+      .select(col("e._1").as("term"), col("e._2").as("est"))
+
+  /** One-row guarantee gate for [[heavyHitters]] — checks the THEOREMS,
+    * not a tolerance, so the verdict is deterministic at any SF:
+    * estimates never exceed true counts, under-estimation is bounded by
+    * N/(k+1) (the mergeable-summaries bound), and every term with true
+    * frequency > N/(k+1) appears in the summary. The exact side is a
+    * token-keyed count — same cost class as [[TextOps.vocabulary]],
+    * bounded at scale by gating a sample the way [[accuracyGate]]
+    * does. */
+  def heavyHittersGate(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val sketch = heavyHitters(docs, k)
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val n = toks.agg(count(lit(1)).as("__n"))
+    val bound = col("__n").cast("double") / (k + 1.0)
+    val checks = sketch.join(exact, "term").crossJoin(n)
+      .agg(
+        coalesce(bool_and(col("est") <= col("tf")), lit(true)).as("underestimate_ok"),
+        coalesce(bool_and(col("tf") - col("est") <= bound), lit(true)).as("error_ok"))
+    val missedHeavy = exact.crossJoin(n)
+      .filter(col("tf").cast("double") > bound)
+      .join(sketch.select("term"), Seq("term"), "left_anti")
+      .agg(count(lit(1)).as("__missed"))
+    checks.crossJoin(missedHeavy)
+      .select(lit(k.toLong).as("k"), col("underestimate_ok"), col("error_ok"),
+        (col("__missed") === 0L).as("complete_ok"))
+  }
+
   def accuracyGate(events: DataFrame, maxExactRows: Long = 200000,
                    accuracy: Int = 1000): DataFrame = {
     val n = events.count()

@@ -349,6 +349,35 @@ class OperatorsSpec extends SparkSpec {
     assert(gate)
   }
 
+  test("heavy hitters: MG guarantees hold on skewed and adversarial streams") {
+    // skewed: term t_i appears i² times (t_20 dominates), plus a long
+    // tail of singletons to force decrements at small capacity
+    val body = (1 to 20).flatMap(i => Seq.fill(i * i)(s"t$i")) ++
+      (1 to 300).map(i => s"u$i")
+    for (seed <- Seq(1, 2)) { // two shuffles: result ranking is stable
+      val shuffled = new scala.util.Random(seed).shuffle(body)
+      val d = shuffled.grouped(50).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val k = 10
+      val est = Sketches.heavyHitters(d, k)
+        .as[(String, Long)].collect().toMap
+      val exact = body.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val n = body.size.toDouble
+      assert(est.size <= k)
+      est.foreach { case (t, e) =>
+        assert(e <= exact(t), s"$t overestimated: $e > ${exact(t)}")
+        assert(exact(t) - e <= n / (k + 1), s"$t error too large")
+      }
+      exact.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+        assert(est.contains(t), s"heavy term $t missing from summary")
+      }
+      val gate = Sketches.heavyHittersGate(d, k).collect().head
+      assert(gate.getAs[Boolean]("underestimate_ok") &&
+        gate.getAs[Boolean]("error_ok") && gate.getAs[Boolean]("complete_ok"))
+    }
+  }
+
   test("stats profile: exact moments match closed-form on known data") {
     // x = 1,2,3,4 → mean 2.5, var_samp 5/3; y = 2x → corr 1
     val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
