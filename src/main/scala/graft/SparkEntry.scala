@@ -118,6 +118,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // The Bloom-prefilter scale path: identical rows by construction
+    // (no false negatives + exact re-verify), so it shares the exact
+    // oracle — the driver hash-checks plan-level equivalence.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     // The composed training-corpus selection (quality bar × language ×
     // near-dup canonicalization) — the end-to-end curation query a
     // 100 TB pipeline runs over raw documents.
@@ -686,6 +695,24 @@ object SparkEntry {
         |FROM r3 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM e WHERE doc_id % 97 = 0),
+        |co AS (SELECT doc_id, shingle FROM e WHERE doc_id % 97 <> 0)
+        |SELECT co.doc_id,
+        |  CAST(count(DISTINCT co.shingle) AS BIGINT) AS n_shared_shingles,
+        |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs_hit,
+        |  min(ev.eval_id) AS first_eval_hit
+        |FROM co JOIN ev USING (shingle)
+        |GROUP BY co.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Bloom prefilter is exact (no false negatives + re-verify), so the
+    // oracle is decontaminate's, verbatim.
+    "q_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
         |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])

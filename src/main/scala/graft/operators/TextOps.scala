@@ -237,6 +237,46 @@ object TextOps {
         min(col("eval_id")).as("first_eval_hit"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter — the large-eval-set
+    * scale path. The broadcast-join form ships every eval shingle to
+    * every executor and hash-joins ALL corpus shingles against them;
+    * here a driver-built Bloom filter over the eval shingle hashes
+    * (bits ≈ −n·ln(fpp)/ln²2 — a few MB where the shingle set is GBs)
+    * prefilters the corpus side AT THE SCAN via Spark's native
+    * might-contain expression, so only probable hits reach the join.
+    * Bloom filters have no false negatives and every bloom-positive is
+    * exactly re-verified by the same equi-join, so the result is
+    * IDENTICAL to [[decontaminate]] row-for-row (same oracle; equality
+    * also asserted in OperatorsSpec) — only the plan changes. */
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val corpusSh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val evalSh = withShingles(evalDocs.select(col("doc_id").as("eval_id"), col("text")), n)
+      .select(col("eval_id"), explode(col("shingles")).as("shingle"))
+    val nItems = math.max(1L, evalSh.select("shingle").distinct().count())
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("shingle"))),
+        Literal(nItems), Literal(numBits)).toAggregateExpression())
+    val bloom = evalSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val prefiltered = corpusSh.filter(GraftBridge.column(
+      BloomFilterMightContain(Literal(bloom, BinaryType),
+        GraftBridge.expression(xxhash64(col("shingle"))))))
+    prefiltered.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs_hit"),
+        min(col("eval_id")).as("first_eval_hit"))
+  }
+
   /** Token-budgeted mixture selection: within each language, keep the
     * highest-quality documents until a per-language token budget is
     * filled (inclusive running total) — the data-mixing step that turns

@@ -349,6 +349,23 @@ class OperatorsSpec extends SparkSpec {
     assert(gate)
   }
 
+  test("bloom decontamination equals the broadcast-join form exactly") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val eval_ = docs.filter(col("doc_id") % 97 === 0)
+      val exact = TextOps.decontaminate(corpus, eval_)
+        .collect().map(_.toSeq).toSet
+      val bloom = TextOps.decontaminateBloom(corpus, eval_)
+        .collect().map(_.toSeq).toSet
+      assert(bloom == exact, s"$dir: bloom path diverged")
+    }
+    // empty eval set: no rows, no crash (degenerate bloom)
+    val d = docs(1L -> "a b c d")
+    assert(TextOps.decontaminateBloom(d, d.limit(0)).count() == 0)
+  }
+
   test("heavy hitters: MG guarantees hold on skewed and adversarial streams") {
     // skewed: term t_i appears i² times (t_20 dominates), plus a long
     // tail of singletons to force decrements at small capacity
