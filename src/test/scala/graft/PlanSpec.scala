@@ -189,6 +189,17 @@ class PlanSpec extends SparkSpec {
     assert(!pk.contains("CartesianProduct"))
   }
 
+  test("bloom decontamination: might-contain prefilter sits on the corpus scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(operators.TextOps.decontaminateBloom(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0)))
+    assert(p.contains("might_contain"),
+      "the bloom prefilter must be in the plan, before the join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the exact re-verify join must still broadcast the eval side")
+  }
+
   test("pricing SQL through the catalog: partial+final agg, single exchange") {
     Tables.registerAll(spark, dir)
     val p = plan(spark.sql(SparkEntry.PricingSql))
