@@ -286,6 +286,12 @@ object SparkEntry {
     "q_outer_join" -> ((s, dir) =>
       EventOps.segmentOrderCoverage(t(s, dir, "customer"), t(s, dir, "orders"))),
 
+    // Data-contract validation: the reference's DDL constraints
+    // (PK/FK/CHECK/NOT NULL, 01-init.sql:41-51) as one-scan checks.
+    "q_validate" -> ((s, dir) =>
+      graft.operators.Validate.ticketContract(
+        t(s, dir, "lineitem"), t(s, dir, "part"))),
+
     // Moment-based statistics with exact decimal sums: variance /
     // stddev / Pearson r agree with the oracle bit-for-bit (Spark's own
     // var_samp/corr are partition-order-dependent double folds).
@@ -1086,6 +1092,25 @@ object SparkEntry {
         |      WHERE o_orderstatus = 'O' GROUP BY 1)
         |SELECT coalesce(l.c_custkey, r.o_custkey) AS custkey, l.c_name, r.n_open
         |FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_validate" ->
+      """SELECT 'purchased_at_not_null' AS rule,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'cost_non_negative',
+        |  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'status_domain',
+        |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'pk_unique',
+        |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'fk_movie',
+        |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Same exact-decimal moments, same closed-form double chain (each

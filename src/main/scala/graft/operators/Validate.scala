@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-contract validation — the engine-side analog of the
+  * reference's DDL constraints (reference
+  * `postgres-source/init-scripts/01-init.sql:41-51`: PRIMARY KEY,
+  * FOREIGN KEY, UNIQUE, CHECK (status IN …), NOT NULL), which a
+  * lakehouse ingest enforces as checks rather than storage-level
+  * constraints (SURVEY §1.1). One row per rule: (rule, n_violations) —
+  * 0 everywhere means the contract holds.
+  *
+  * Scale shape: all row-level rules evaluate in ONE scan as k
+  * conditional sums (partial-aggregated map-side — adding a rule adds
+  * a counter, not a pass); uniqueness is a count-vs-distinct aggregate
+  * on the key columns only; referential rules are anti-joins keyed on
+  * the FK (the parent side broadcast when dimension-sized). Nothing
+  * shuffles full rows.
+  */
+object Validate {
+
+  /** Row-level rules, each a VIOLATION predicate (true = bad row),
+    * evaluated in a single scan. */
+  def rowRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val counted = df.agg(
+      sum(when(rules.head._2, 1L).otherwise(0L)).as(rules.head._1),
+      rules.tail.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }: _*)
+    val stacked = rules.map(r => s"'${r._1}', coalesce(`${r._1}`, 0L)").mkString(", ")
+    counted.select(
+      expr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)"))
+  }
+
+  /** PK/UNIQUE rule: violations = rows beyond the first per key. */
+  def uniqueRule(name: String, df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.agg((count(lit(1)) -
+        count_distinct(struct(keyCols.map(col): _*))).as("n_violations"))
+      .select(lit(name).as("rule"), col("n_violations").cast("bigint"))
+
+  /** FK rule: child rows whose key has no parent (anti-join; NULL keys
+    * count as violations, matching NOT EXISTS semantics). */
+  def fkRule(name: String, child: DataFrame, childCol: String,
+             parent: DataFrame, parentCol: String): DataFrame =
+    child.select(col(childCol))
+      .join(parent.select(col(parentCol)),
+        col(childCol) === col(parentCol), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("rule"), col("n_violations").cast("bigint"))
+
+  /** A full contract: union of rule results, one row each. */
+  def contract(parts: DataFrame*): DataFrame = parts.reduce(_ unionByName _)
+
+  /** The reference ticket contract over the testdata mapping
+    * (lineitem→tickets, part→movies): NOT NULL purchased_at,
+    * non-negative cost, the status CHECK domain, composite-PK
+    * uniqueness, and the movie FK — `01-init.sql:41-51` re-expressed
+    * as checks. */
+  def ticketContract(lineitem: DataFrame, part: DataFrame): DataFrame =
+    contract(
+      rowRules(lineitem, Seq(
+        "purchased_at_not_null" -> col("l_shipdate").isNull,
+        "cost_non_negative" -> (col("l_extendedprice") < 0),
+        "status_domain" -> !col("l_returnflag").isin("A", "N", "R"))),
+      uniqueRule("pk_unique", lineitem, Seq("l_orderkey", "l_linenumber")),
+      fkRule("fk_movie", lineitem, "l_partkey", part, "p_partkey"))
+}

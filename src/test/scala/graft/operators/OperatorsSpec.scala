@@ -349,6 +349,26 @@ class OperatorsSpec extends SparkSpec {
     assert(gate)
   }
 
+  test("contract validation counts each violation class, zero on clean data") {
+    val li = Seq(
+      (1L, 1, 10.0, "A", Option("2026-01-01"), 100L),   // clean
+      (1L, 1, 10.0, "A", Option("2026-01-01"), 100L),   // pk dup
+      (2L, 1, -5.0, "N", Option("2026-01-01"), 100L),   // negative cost
+      (3L, 1, 10.0, "X", None, 999L))                    // bad status + null ts + bad FK
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag",
+        "l_shipdate", "l_partkey")
+    val part = Seq((100L, "m")).toDF("p_partkey", "p_name")
+    val out = Validate.ticketContract(li, part)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "purchased_at_not_null" -> 1L, "cost_non_negative" -> 1L,
+      "status_domain" -> 1L, "pk_unique" -> 1L, "fk_movie" -> 1L))
+    // clean single row: all zeros
+    val clean = Validate.ticketContract(li.limit(1), part)
+      .as[(String, Long)].collect().toMap
+    assert(clean.values.forall(_ == 0L))
+  }
+
   test("bloom decontamination equals the broadcast-join form exactly") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
