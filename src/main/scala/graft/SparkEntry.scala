@@ -187,17 +187,25 @@ object SparkEntry {
       graft.operators.IvfIndex.topK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
 
-    // Driver-visible recall gates for the two approximate ANN operators:
+    // Driver-visible recall gates for the approximate ANN operators:
     // one row (k, n_queries, recall_ok), recall measured in-engine
     // against bruteForceTopKFor over a deterministic 200-query sample
-    // (md5-order; gate cost O(sample·N), not O(N²)). Measured at the
-    // gate SFs: LSH 40×5 → ≥0.95, IVF auto-sized → ≥0.93 (bar 0.9).
+    // (md5-order). BOTH gate sides run at O(sample·N): the approximate
+    // operator is driven in (queries, corpus) form over the sample —
+    // per-query results are identical to the full self-ANN restricted
+    // to the same queries (spec-asserted), so the certification is
+    // unchanged and the gate stops re-running the full self-join to
+    // discard 92% of it. Measured at the gate SFs: LSH 40×5 → ≥0.95,
+    // IVF auto-sized → ≥0.93 (bar 0.9).
     "q_ann_lsh_recall" -> ((s, dir) =>
-      Similarity.recallVsExact(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
-        e => Similarity.lshTopK(e, k = 5))),
+      Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
+        (q, c) => Similarity.lshTopKFor(q, c, k = 5))),
     "q_ann_ivf_recall" -> ((s, dir) =>
-      Similarity.recallVsExact(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
-        e => graft.operators.IvfIndex.topK(e, k = 5))),
+      Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
+        (q, c) => {
+          val idx = graft.operators.IvfIndex.build(c)
+          graft.operators.IvfIndex.query(idx, q, k = 5)
+        })),
 
     // IVF-PQ: product-quantized lists (8-byte codes, 64× smaller than
     // the double vectors), ADC candidate scoring, exact refine of the
@@ -207,8 +215,11 @@ object SparkEntry {
       graft.operators.PqIndex.topK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
     "q_ann_ivfpq_recall" -> ((s, dir) =>
-      Similarity.recallVsExact(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
-        e => graft.operators.PqIndex.topK(e, k = 5))),
+      Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
+        (q, c) => {
+          val idx = graft.operators.PqIndex.build(c)
+          graft.operators.PqIndex.query(idx, q, c, k = 5)
+        })),
 
     // Multimodal: binary payload column metadata pass (decode path is
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).

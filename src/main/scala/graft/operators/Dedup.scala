@@ -315,9 +315,19 @@ object Dedup {
     * recall_ok is vacuously true when the sample grazes no pair (no
     * evidence of a miss). */
   def nearDupRecallGate(embeddings: DataFrame, threshold: Double = 0.9,
-                        bar: Double = 0.95, sampleQueries: Int = 200): DataFrame =
-    pairRecallGate(embeddings, embeddingNearDup(embeddings, threshold),
+                        bar: Double = 0.95, sampleQueries: Int = 200): DataFrame = {
+    // approximate side driven over the sampled probe set only — same
+    // pairs touching the sample as the full self-join (spec-asserted),
+    // at O(sample) probe cost
+    val qids = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleQueries)
+      .select(col("vec_id"))
+    pairRecallGate(embeddings,
+      embeddingNearDupFor(embeddings.join(broadcast(qids), "vec_id"),
+        embeddings, threshold),
       threshold, bar, sampleQueries)
+  }
 
   /** The gate body, generalized over WHICH approximate pair operator is
     * under test ([[embeddingNearDup]], [[semanticNearDup]], …):
@@ -409,14 +419,27 @@ object Dedup {
     * large. The previous formulation was an all-pairs cross join —
     * correct at 2 500 vectors, dead at 100 TB. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9,
-                       tables: Int = 24, planes: Int = 3): DataFrame = {
-    val b = Similarity.lshBuckets(embeddings, tables, planes)
-    val cand = b.as("x").join(b.as("y"),
+                       tables: Int = 24, planes: Int = 3): DataFrame =
+    embeddingNearDupFor(embeddings, embeddings, threshold, tables, planes)
+
+  /** [[embeddingNearDup]] with the probe side split out: canonical
+    * (a < b) pairs TOUCHING `queries`, against the full corpus. For
+    * queries = corpus this is exactly the self form (each unordered
+    * pair once — spec-asserted); for a sampled probe side it is what
+    * the recall gate needs at O(sample·buckets) instead of re-running
+    * the full self-join. */
+  def embeddingNearDupFor(queries: DataFrame, corpus: DataFrame,
+                          threshold: Double = 0.9,
+                          tables: Int = 24, planes: Int = 3): DataFrame = {
+    val qb = Similarity.lshBuckets(queries, tables, planes)
+    val cb = Similarity.lshBuckets(corpus, tables, planes)
+    val cand = qb.as("x").join(cb.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("b"))
       .distinct()                                  // score each pair once
-    val e = embeddings.select(col("vec_id"),
+    val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     cand
       .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")

@@ -191,17 +191,29 @@ object Similarity {
     * the old 8×4 scored 0.67. Wider OR-construction (more tables)
     * raises recall, more planes per table cuts candidate volume. */
   def lshTopK(embeddings: DataFrame, k: Int = 5,
-              tables: Int = 40, planes: Int = 5, dims: Int = 64): DataFrame = {
-    val b = lshBuckets(embeddings, tables, planes, dims)
-    val candidates = b.as("q").join(b.as("c"),
+              tables: Int = 40, planes: Int = 5, dims: Int = 64): DataFrame =
+    lshTopKFor(embeddings, embeddings, k, tables, planes, dims)
+
+  /** [[lshTopK]] with the query and corpus sides split. Per-query
+    * results are IDENTICAL to the self-ANN form restricted to the same
+    * queries (each query's candidates depend only on its own buckets
+    * against the corpus — spec-asserted), which is what lets the recall
+    * gates drive the operator over the 200-query sample at O(sample)
+    * instead of running the full self-join and discarding 92% of it. */
+  def lshTopKFor(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                 tables: Int = 40, planes: Int = 5, dims: Int = 64): DataFrame = {
+    val qb = lshBuckets(queries, tables, planes, dims)
+    val cb = lshBuckets(corpus, tables, planes, dims)
+    val candidates = qb.as("q").join(cb.as("c"),
         col("q.table") === col("c.table") && col("q.bucket") === col("c.bucket") &&
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
-    val e = asDouble(embeddings)
     val scored = candidates
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .join(asDouble(queries).select(col("vec_id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .join(asDouble(corpus).select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+        "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("score"))
     rankTopK(scored, k)
   }
@@ -249,17 +261,29 @@ object Similarity {
     * for the comparison. */
   def recallVsExact(embeddings: DataFrame, k: Int, bar: Double,
                     sampleQueries: Int = 200)(
-      approx: DataFrame => DataFrame): DataFrame = {
+      approx: DataFrame => DataFrame): DataFrame =
+    recallVsExactFor(embeddings, k, bar, sampleQueries)(
+      (queries, _) => approx(embeddings)
+        .join(broadcast(queries.withColumnRenamed("vec_id", "query_id")),
+          "query_id"))
+
+  /** The gate with the approximate side driven in (queries, corpus)
+    * form: the operator runs ONLY over the sampled queries (identical
+    * per-query results — ANN results depend on a query's own
+    * probes/buckets against the corpus, spec-asserted), so BOTH gate
+    * sides cost O(sample·N) and the gate stops re-running the full
+    * self-ANN to discard all but the sample. */
+  def recallVsExactFor(embeddings: DataFrame, k: Int, bar: Double,
+                       sampleQueries: Int = 200)(
+      approxFor: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val qids = embeddings
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(sampleQueries)
       .select(col("vec_id"))
-    val exact = bruteForceTopKFor(embeddings.join(broadcast(qids), "vec_id"),
-        embeddings, k)
+    val sampled = embeddings.join(broadcast(qids), "vec_id")
+    val exact = bruteForceTopKFor(sampled, embeddings, k)
       .select("query_id", "neighbor_id")
-    val ap = approx(embeddings)
-      .join(broadcast(qids.withColumnRenamed("vec_id", "query_id")), "query_id")
-      .select("query_id", "neighbor_id")
+    val ap = approxFor(sampled, embeddings).select("query_id", "neighbor_id")
     val matched = exact.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).cast("double").as("__matched"))
     val total = exact.agg(count(lit(1)).cast("double").as("__total"))

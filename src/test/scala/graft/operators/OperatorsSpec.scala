@@ -311,6 +311,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sampled-query ANN forms equal the full self-ANN restricted to the sample") {
+    // the bridge lemma the O(sample) recall gates rest on: driving the
+    // operator over (sample, corpus) gives the SAME per-query results
+    // as the full self-join filtered to the sample
+    import org.apache.spark.sql.functions.{broadcast, col, md5}
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(50).select("vec_id")
+    val sample = emb.join(broadcast(qids), "vec_id")
+    val qset = qids.as[Long].collect().toSet
+
+    val fullLsh = Similarity.lshTopK(emb, k = 5)
+      .filter(col("query_id").isin(qset.toSeq: _*))
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val forLsh = Similarity.lshTopKFor(sample, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(forLsh == fullLsh, "lshTopKFor diverged from restricted self-ANN")
+
+    val fullPairs = Dedup.embeddingNearDup(emb, threshold = 0.4)
+      .filter(col("a").isin(qset.toSeq: _*) || col("b").isin(qset.toSeq: _*))
+      .select("a", "b").collect().map(_.toSeq).toSet
+    val forPairs = Dedup.embeddingNearDupFor(sample, emb, threshold = 0.4)
+      .select("a", "b").collect().map(_.toSeq).toSet
+    assert(forPairs == fullPairs, "embeddingNearDupFor diverged from full pairs")
+  }
+
   test("knn classify: tight label groups predict their own label; ties break low") {
     // two well-separated direction groups in 4d (normalized), 3 vecs each
     def v(xs: Double*) = {
