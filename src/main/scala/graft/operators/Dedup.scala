@@ -419,15 +419,26 @@ object Dedup {
     * large. The previous formulation was an all-pairs cross join —
     * correct at 2 500 vectors, dead at 100 TB. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9,
-                       tables: Int = 24, planes: Int = 3): DataFrame =
-    embeddingNearDupFor(embeddings, embeddings, threshold, tables, planes)
+                       tables: Int = 24, planes: Int = 3): DataFrame = {
+    // self form keeps the x < y join restriction: each unordered pair
+    // enters the candidate join ONCE (the ≠ form of the sampled
+    // variant would double join output before the distinct)
+    val b = Similarity.lshBuckets(embeddings, tables, planes)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()                                  // score each pair once
+    verifyPairs(cand, embeddings, threshold)
+  }
 
   /** [[embeddingNearDup]] with the probe side split out: canonical
-    * (a < b) pairs TOUCHING `queries`, against the full corpus. For
-    * queries = corpus this is exactly the self form (each unordered
-    * pair once — spec-asserted); for a sampled probe side it is what
-    * the recall gate needs at O(sample·buckets) instead of re-running
-    * the full self-join. */
+    * (a < b) pairs TOUCHING `queries`, against the full corpus — the
+    * recall gate's O(sample·buckets) form. Needs the symmetric ≠ join
+    * (a sampled vector's pair partner may have a smaller id), so the
+    * self case should use [[embeddingNearDup]], whose x < y restriction
+    * halves the candidate join. Pair set equality with the restricted
+    * self form is spec-asserted. */
   def embeddingNearDupFor(queries: DataFrame, corpus: DataFrame,
                           threshold: Double = 0.9,
                           tables: Int = 24, planes: Int = 3): DataFrame = {
@@ -439,6 +450,13 @@ object Dedup {
       .select(least(col("x.vec_id"), col("y.vec_id")).as("a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("b"))
       .distinct()                                  // score each pair once
+    verifyPairs(cand, corpus, threshold)
+  }
+
+  /** Exact-dot verification of candidate (a, b) pairs by id-fetch from
+    * `corpus` — the shared tail of the two candidate forms above. */
+  private def verifyPairs(cand: DataFrame, corpus: DataFrame,
+                          threshold: Double): DataFrame = {
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     cand
