@@ -302,6 +302,13 @@ object SparkEntry {
     "q_validate" -> ((s, dir) =>
       graft.operators.Validate.ticketContract(
         t(s, dir, "lineitem"), t(s, dir, "part"))),
+    // Embedding contract: the ANN family's preconditions as checks.
+    "q_embed_validate" -> ((s, dir) =>
+      graft.operators.Validate.embeddingContract(t(s, dir, "embeddings"))),
+    // Sorted list aggregation (array_agg breadth): per-user event-type
+    // set, deterministic order.
+    "q_collect_list" -> ((s, dir) =>
+      EventOps.eventTypeSets(t(s, dir, "events"))),
 
     // Moment-based statistics with exact decimal sums: variance /
     // stddev / Pearson r agree with the oracle bit-for-bit (Spark's own
@@ -1122,6 +1129,32 @@ object SparkEntry {
         |SELECT 'fk_movie',
         |  CAST(COUNT(*) AS BIGINT) FROM lineitem
         |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_embed_validate" ->
+      """SELECT 'dims_uniform' AS rule,
+        |  CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'components_finite',
+        |  CAST(SUM(CASE WHEN embedding IS NULL
+        |    OR len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings
+        |UNION ALL
+        |SELECT 'unit_norm',
+        |  CAST(SUM(CASE WHEN abs(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) - 1.0) > 0.001
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings
+        |UNION ALL
+        |SELECT 'id_unique',
+        |  CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_collect_list" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Same exact-decimal moments, same closed-form double chain (each

@@ -111,6 +111,17 @@ object EventOps {
         col("c_name"), col("n_open"))
   }
 
+  /** Per-user distinct event-type sets — the list-aggregation surface
+    * (ARRAY_AGG/collect_set) made deterministic: collect_set order is
+    * partition-dependent, so the sort is what lets an array-valued
+    * aggregate agree across engines and partitionings (emitted joined
+    * as a string — a scalar cell for any hasher). One shuffle on
+    * user_id, set cells only. */
+  def eventTypeSets(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        count(lit(1)).as("n_events"))
+
   /** Sessionization: gaps-and-islands over event time per user — a
     * session breaks after `gapMinutes` of inactivity. Composed from
     * lag + a running sum of boundary flags (bit-identical to the SQL

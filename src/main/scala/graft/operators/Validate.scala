@@ -50,6 +50,25 @@ object Validate {
   /** A full contract: union of rule results, one row each. */
   def contract(parts: DataFrame*): DataFrame = parts.reduce(_ unionByName _)
 
+  /** Embedding-table contract — the preconditions the ANN/dedup family
+    * rests on, checked the same one-scan way: uniform dimensionality,
+    * unit L2 norm (within fp tolerance; dot = cosine requires it), no
+    * null/NaN components, unique ids. The norm check is the same
+    * sequential fold as the scoring path, so it certifies exactly what
+    * the operators compute with. */
+  def embeddingContract(embeddings: DataFrame, dims: Int = 64,
+                        normTol: Double = 1e-3): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val normSq = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    contract(
+      rowRules(embeddings, Seq(
+        "dims_uniform" -> (size(v) =!= dims),
+        "components_finite" -> (v.isNull ||
+          exists(v, x => x.isNull || x.isNaN)),
+        "unit_norm" -> (abs(sqrt(normSq) - 1.0) > normTol))),
+      uniqueRule("id_unique", embeddings, Seq("vec_id")))
+  }
+
   /** The reference ticket contract over the testdata mapping
     * (lineitem→tickets, part→movies): NOT NULL purchased_at,
     * non-negative cost, the status CHECK domain, composite-PK

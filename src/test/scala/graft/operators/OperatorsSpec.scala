@@ -395,6 +395,33 @@ class OperatorsSpec extends SparkSpec {
     assert(clean.values.forall(_ == 0L))
   }
 
+  test("embedding contract flags bad dims, NaN, off-norm, and dup ids") {
+    def unit(d: Int): Seq[Double] = {
+      val v = Array.fill(d)(1.0)
+      v.map(_ / math.sqrt(d.toDouble)).toSeq
+    }
+    val rows = Seq(
+      (1L, unit(64)),                               // clean
+      (2L, unit(32)),                               // wrong dims
+      (3L, unit(64).updated(0, Double.NaN)),        // NaN component
+      (4L, unit(64).map(_ * 2.0)),                  // norm 2
+      (4L, unit(64)))                               // dup id
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Validate.embeddingContract(emb)
+      .as[(String, Long)].collect().toMap
+    assert(out("dims_uniform") == 1L)
+    assert(out("components_finite") == 1L)
+    // NaN norm is ALSO off-norm: both engines order NaN above every
+    // value, so NaN > tol holds → vec 3 (NaN) and vec 4 (norm 2);
+    // the short vec 2 is still unit-norm
+    assert(out("unit_norm") == 2L)
+    assert(out("id_unique") == 1L)
+    // the real tables are contract-clean at every SF
+    val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(Validate.embeddingContract(real)
+      .as[(String, Long)].collect().forall(_._2 == 0L))
+  }
+
   test("bloom decontamination equals the broadcast-join form exactly") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
