@@ -93,6 +93,11 @@ object SparkEntry {
       TextOps.unigramFluency(t(s, dir, "documents"))),
     "q_budget_mix" -> ((s, dir) =>
       TextOps.budgetMix(t(s, dir, "documents"))),
+    // Target mixture 50/20/20/10 over 200 docs — quotas must match the
+    // oracle's VALUES table.
+    "q_mixture_sample" -> ((s, dir) =>
+      TextOps.mixtureSample(t(s, dir, "documents"),
+        Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1), total = 200)),
     "q_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"))),
     "q_text_chunks" -> ((s, dir) =>
@@ -717,6 +722,16 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(red2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  md5(red3) AS redacted_md5
         |FROM r3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH q AS (SELECT * FROM (VALUES ('en', 100), ('es', 40), ('de', 40), ('fr', 20)) AS t(lang, quota)),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS pick_order
+        |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -460,6 +460,37 @@ object TextOps {
         md5(col("__r3")).as("redacted_md5"))
   }
 
+  /** Weighted mixture sampling: draw a deterministic UNBIASED sample
+    * hitting a target per-language document distribution (the
+    * data-mixing counterpart of [[budgetMix]], which ranks by quality
+    * under a token budget — this one preserves the within-language
+    * distribution by hash-order draw, the way pretraining mixtures
+    * resample sources to target proportions). Quota_l = weight_l ×
+    * total, rounded; languages absent from the corpus underfill, never
+    * substitute.
+    *
+    * Determinism: the draw order is md5(doc_id) — reproducible,
+    * engine-portable, uncorrelated with any data attribute. Scale
+    * shape: one broadcast quota join + a per-language window over
+    * (lang, md5) pairs — id-sized rows; at extreme per-language
+    * cardinality swap the boundary-sliver refinement of
+    * [[budgetMixSelect]] (same histogram trick over md5 prefixes). */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    total: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = weights.toSeq.map { case (l, w) => (l, math.round(w * total)) }
+      .toDF("lang", "quota")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(quotas), "lang")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rn").cast("bigint").as("pick_order"))
+  }
+
   /** End-to-end corpus curation — the composed selection a training-
     * data run actually executes over raw documents: keep documents that
     * (a) clear the quality bar, (b) are in the target language, and

@@ -293,6 +293,23 @@ class OperatorsSpec extends SparkSpec {
     idx1.close()
   }
 
+  test("mixture sample: quotas filled per language, deterministic draw, underfill ok") {
+    val d = Seq.tabulate(30)(i =>
+        (i.toLong, "txt", if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "zz"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.mixtureSample(d,
+        Map("en" -> 0.5, "es" -> 0.3, "fr" -> 0.2), total = 10)
+      .select("doc_id", "lang", "pick_order")
+      .as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 5, "es" -> 3))   // fr absent → underfills, zz unrequested
+    // repeated draw is identical (hash order, no RNG)
+    val again = TextOps.mixtureSample(d,
+        Map("en" -> 0.5, "es" -> 0.3, "fr" -> 0.2), total = 10)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("budget mix: sliver-refinement selection equals the exact windowed form") {
     // the scale-path contract: histogram + boundary walk + boundary-
     // bucket-only sort selects EXACTLY the documents the per-language
