@@ -339,10 +339,14 @@ object SparkEntry {
       s.sql(SetOpsSql)
     }),
 
-    // Grouping sets (ROLLUP) — same SQL text in both engines.
+    // Grouping sets (ROLLUP / CUBE) — same SQL text in both engines.
     "q_rollup" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(RollupSql)
+    }),
+    "q_cube" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(CubeSql)
     }),
 
     // Window (OVER) functions — running sums, row_number, rank.
@@ -381,6 +385,16 @@ object SparkEntry {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CUBE grouping sets — all four (status × priority) slices; same
+    * decimal-in/double-out discipline as [[RollupSql]]. */
+  val CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   /** Window (OVER) functions — same text both engines. */
   val WindowFuncsSql: String =
@@ -1009,6 +1023,8 @@ object SparkEntry {
     "q_set_ops" -> SetOpsSql,
 
     "q_rollup" -> RollupSql,
+
+    "q_cube" -> CubeSql,
 
     "q_window_funcs" -> WindowFuncsSql,
 
