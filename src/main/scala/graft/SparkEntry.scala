@@ -139,6 +139,10 @@ object SparkEntry {
       TextOps.curateCorpus(t(s, dir, "documents"))),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
+    "q_text_normalize" -> ((s, dir) =>
+      TextOps.normalize(t(s, dir, "documents"))),
+    "q_dedup_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(t(s, dir, "documents"))),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
@@ -875,6 +879,25 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+        |c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY hh)
+        |SELECT h.doc_id, c.canonical_id, h.doc_id <> c.canonical_id AS is_dup
+        |FROM h JOIN c USING (hh) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(norm) AS BIGINT) AS n_norm_chars,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(norm) AS hh FROM n),
         |c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY hh)
         |SELECT h.doc_id, c.canonical_id, h.doc_id <> c.canonical_id AS is_dup
         |FROM h JOIN c USING (hh) ORDER BY ALL NULLS FIRST""".stripMargin,

@@ -29,6 +29,14 @@ object Dedup {
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** [[exact]] over canonically-normalized text
+    * ([[TextOps.normalized]]): case / punctuation / whitespace variant
+    * duplicates collapse to one canonical doc — the normalize-then-
+    * hash exact-dedup pass a crawl pipeline runs before the fuzzy
+    * family. Same digest-keyed single-shuffle shape as [[exact]]. */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    exact(docs.withColumn("text", TextOps.normalized(col("text"))))
+
   /** Exploded (doc_id, shingle) pairs, distinct per doc. */
   private def shingleRows(docs: DataFrame, n: Int): DataFrame =
     TextOps.withShingles(docs, n)

@@ -406,6 +406,29 @@ object TextOps {
           .cast("bigint"))
   }
 
+  /** Canonical text normalization — the fold applied before exact
+    * dedup so case/punctuation/whitespace variants collapse (the C4 /
+    * RefinedWeb-style canonicalization): lowercase, non-alphanumerics
+    * to spaces, runs of spaces collapsed, trimmed. Returned as a
+    * column expression so dedup composes without re-materializing
+    * text. ASCII-safe by corpus contract (the multimodal oracle
+    * verified octet_length = length at every SF); a Unicode corpus
+    * would add NFC normalization in the same per-row shape. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Per-document normalization digest + size deltas: what a cleanup
+    * pass materializes (the digest feeds [[Dedup.exactNormalized]];
+    * bodies stay out of the result). Narrow, zero shuffle. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = normalized(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      length(norm).cast("bigint").as("n_norm_chars"),
+      md5(norm).as("norm_md5"))
+  }
+
   /** Overlapping token-window chunking (the RAG / context-window prep
     * pass): windows of `size` tokens every `stride` tokens, the last
     * window short if the document ends mid-stride. One row per chunk:

@@ -48,6 +48,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq("a b a", "b a b"))
   }
 
+  test("normalized dedup collapses case/punctuation/whitespace variants") {
+    val d = docs(
+      1L -> "Hello,  World!",
+      2L -> "hello world",
+      3L -> "HELLO ... world",
+      4L -> "goodbye world")
+    val out = Dedup.exactNormalized(d)
+      .select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 1L, false))
+    assert(out(2L) == (2L, 1L, true) && out(3L) == (3L, 1L, true))
+    assert(out(4L) == (4L, 4L, false))
+    // raw exact sees them all as distinct
+    assert(Dedup.exact(d).filter(col("is_dup")).count() == 0)
+  }
+
   test("exact dedup maps duplicates to min doc_id") {
     val out = Dedup.exact(docs(1L -> "same", 2L -> "same", 3L -> "other"))
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
