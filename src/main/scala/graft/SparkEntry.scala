@@ -175,6 +175,11 @@ object SparkEntry {
       Dedup.pairRecallGate(e, Dedup.semanticNearDup(e, threshold = 0.4),
         threshold = 0.4, bar = 0.9)
     }),
+    // The composed SemDeDup keep-list (pairs → star-contraction →
+    // canonical ids): rows-only like its pair stage; exact from pairs
+    // onward, pair recall carried by the gate above.
+    "q_dedup_semantic_canon" -> ((s, dir) =>
+      Dedup.semanticDedupPipeline(t(s, dir, "embeddings"), threshold = 0.4)),
     // k-NN majority-vote label prediction over the exact neighbor set —
     // the application query a similarity index exists for.
     "q_knn_classify" -> ((s, dir) =>

@@ -264,6 +264,26 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
+  /** The SemDeDup end product: canonical assignment over the verified
+    * semantic pairs — [[semanticNearDup]] edges canonicalized by
+    * [[connectedComponents]] star-contraction, one representative
+    * (component-minimum id) per semantic duplicate group. The
+    * embedding-space mirror of [[dedupPipeline]]; approximate exactly
+    * where the pair stage is (recall gated by
+    * `q_dedup_semantic_gate`), exact from pairs to canonical ids. */
+  def semanticDedupPipeline(embeddings: DataFrame, threshold: Double = 0.4,
+                            nClusters: Int = -1,
+                            assignments: Int = 8): DataFrame = {
+    val cc = connectedComponents(
+      semanticNearDup(embeddings, threshold, nClusters, assignments)
+        .select("a", "b"))
+    embeddings.select(col("vec_id"))
+      .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("is_dup", col("vec_id") =!= col("canonical_id"))
+  }
+
   /** SimHash (60-bit, frequency-weighted): bit j of the fingerprint is
     * the sign of Σ_tokens (bit j of md5(token) ? +1 : −1). Native
     * one-pass expression ([[graft.functions.SimHash64]]) — a narrow map

@@ -394,6 +394,23 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { case (id, _, lbl) => assert(o3(id)._2 == lbl && o3(id)._3 == 2L) }
   }
 
+  test("semantic dedup pipeline: canonical ids equal CC over the pair graph") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val canon = Dedup.semanticDedupPipeline(emb, threshold = 0.4)
+      .select("vec_id", "canonical_id").as[(Long, Long)].collect().toMap
+    // every vector assigned; canonical is a component minimum (≤ self)
+    assert(canon.size == emb.count())
+    assert(canon.forall { case (v, c) => c <= v })
+    // canonical ids are fixpoints (a canonical maps to itself)
+    canon.values.foreach(c => assert(canon(c) == c))
+    // dup pairs really are near: every non-self assignment came from an
+    // edge path, so at least one semantic pair touches the group
+    val pairs = Dedup.semanticNearDup(emb, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect()
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(canon.filter { case (v, c) => v != c }.keys.forall(inPairs.contains))
+  }
+
   test("semantic near-dup: pairs are exact-verified and gate passes on testdata") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val semantic = Dedup.semanticNearDup(emb, threshold = 0.4)
