@@ -303,6 +303,12 @@ object SparkEntry {
     "q_topk_customers" -> ((s, dir) =>
       dbl(EventOps.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"), 10),
         "revenue")),
+    // Top-k per group via the bounded-heap UDAF (no per-group sort).
+    "q_topk_per_group" -> ((s, dir) =>
+      EventOps.topOrdersPerStatus(t(s, dir, "orders"))),
+    // Tukey-fence outlier flags from exact per-group quartiles.
+    "q_outliers" -> ((s, dir) =>
+      EventOps.outlierFlags(t(s, dir, "orders"))),
     // Semi/anti/full-outer joins.
     "q_semi_join" -> ((s, dir) =>
       EventOps.customersWithOpenOrders(t(s, dir, "customer"), t(s, dir, "orders"))),
@@ -1148,6 +1154,33 @@ object SparkEntry {
         |    COUNT(*) AS n_orders
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  GROUP BY 1, 2 ORDER BY revenue DESC, custkey LIMIT 10)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(rnk AS BIGINT) AS "rank", o_orderkey, price
+        |FROM r WHERE rnk <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile (both exact sort + linear
+    // interpolation, proven bit-equal by q_quantiles); identical fence
+    // arithmetic chains on both sides.
+    "q_outliers" ->
+      """WITH q AS (SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.25) AS p25,
+        |    quantile_cont(o_totalprice, 0.75) AS p75
+        |  FROM orders GROUP BY o_orderstatus),
+        |f AS (SELECT o_orderstatus,
+        |    p25 - (p75 - p25) * 1.5 AS lo, p75 + (p75 - p25) * 1.5 AS hi FROM q)
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        |  CAST(o.o_totalprice AS DOUBLE) AS price,
+        |  (CAST(o.o_totalprice AS DOUBLE) < f.lo
+        |    OR CAST(o.o_totalprice AS DOUBLE) > f.hi) AS is_outlier
+        |FROM orders o JOIN f USING (o_orderstatus)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_semi_join" ->

@@ -111,6 +111,44 @@ object EventOps {
         col("c_name"), col("n_open"))
   }
 
+  /** Top-k rows per group via the bounded-heap aggregator
+    * ([[graft.functions.TopKAggregator]] — the ANN ranking primitive on
+    * relational data): top `k` orders per status by (price desc, key
+    * asc). The window formulation (the oracle's QUALIFY row_number)
+    * sorts every row per group; this exchanges ≤ groups×k entries with
+    * map-side partial reduction — the difference at 100 TB between a
+    * per-group sort and a streaming pass. */
+  def topOrdersPerStatus(orders: DataFrame, k: Int = 3): DataFrame =
+    orders
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      .groupBy("o_orderstatus")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("o_orderkey"), col("price")).as("top"))
+      .select(col("o_orderstatus"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("e._1").as("o_orderkey"), col("e._2").as("price"))
+
+  /** IQR outlier flags — the Tukey-fence data-cleaning pass: per-group
+    * exact quartiles (both engines sort-and-interpolate identically,
+    * as in the quantiles query), fences at p25/p75 ± 1.5·IQR, one
+    * boolean per row. Two passes over the group: a quartile aggregate
+    * (driver-small result, broadcast back) and the narrow flag scan —
+    * no window, no per-row sort. */
+  def outlierFlags(orders: DataFrame): DataFrame = {
+    val q = orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+      .select(col("o_orderstatus"),
+        (col("p25") - (col("p75") - col("p25")) * 1.5).as("lo"),
+        (col("p75") + (col("p75") - col("p25")) * 1.5).as("hi"))
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+      .join(broadcast(q), "o_orderstatus")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+        (col("price") < col("lo") || col("price") > col("hi")).as("is_outlier"))
+  }
+
   /** Per-user distinct event-type sets — the list-aggregation surface
     * (ARRAY_AGG/collect_set) made deterministic: collect_set order is
     * partition-dependent, so the sort is what lets an array-valued

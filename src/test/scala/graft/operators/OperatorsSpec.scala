@@ -518,6 +518,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("top-k per group: heap result equals window semantics, ties break by key") {
+    val o = Seq(
+      (1L, "A", 50.0), (2L, "A", 90.0), (3L, "A", 90.0), (4L, "A", 10.0),
+      (5L, "B", 5.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = EventOps.topOrdersPerStatus(o, k = 3)
+      .select("o_orderstatus", "rank", "o_orderkey")
+      .as[(String, Long, Long)].collect().toSet
+    // price desc, then key asc on the 90.0 tie; 10.0 drops out of top-3
+    assert(out == Set(("A", 1L, 2L), ("A", 2L, 3L), ("A", 3L, 1L), ("B", 1L, 5L)))
+  }
+
+  test("outlier flags: fences from exact quartiles, per group") {
+    val o = (Seq.tabulate(11)(i => (i.toLong, "A", 100.0 + i)) :+
+        (99L, "A", 10000.0) :+ (100L, "B", 1.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = EventOps.outlierFlags(o)
+      .select("o_orderkey", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(99L), "the 10000.0 point must flag")
+    assert((0L to 10L).forall(i => !out(i)), "the tight cluster must not flag")
+    assert(!out(100L), "a singleton group has zero IQR around itself")
+  }
+
   test("stats profile: exact moments match closed-form on known data") {
     // x = 1,2,3,4 → mean 2.5, var_samp 5/3; y = 2x → corr 1
     val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
