@@ -10,26 +10,42 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional query-subset mode (args(0) = comma-separated names): runs
+    // only those queries in THIS JVM — the isolation probe for telling
+    // "query got slower" apart from "JVM profile polluted by the other
+    // 77 queries' warmup+runs" (r4 postmortem: five queries regressed
+    // ≥2x with identical code and SQL text).
+    val only: Option[Set[String]] =
+      args.headOption.filter(_.nonEmpty).map(_.split(',').toSet)
+    val ops = only match {
+      case Some(names) => SparkEntry.rawOps.view.filterKeys(names).toMap
+      case None => SparkEntry.rawOps
+    }
     val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup: run EVERY query once at the smallest SF so
-    // measured times are the query, not first-run JIT + classloading
-    // (cold-vs-warm delta observed up to 6x on the hash-heavy ops).
-    SparkEntry.rawOps.toSeq.sortBy(_._1).foreach { case (_, f) =>
+    // JVM/codegen warmup: run EVERY benched query once at the smallest
+    // SF so measured times are the query, not first-run JIT +
+    // classloading (cold-vs-warm delta observed up to 6x on the
+    // hash-heavy ops).
+    ops.toSeq.sortBy(_._1).foreach { case (_, f) =>
       try f(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // min of 2 measured runs: one-shot numbers at this scale are
-    // GC/JIT-noisy (observed 1.7s vs 11s for the same plan). If the two
-    // runs disagree by >2x the query is in a noisy regime (GC pause,
-    // JIT recompile) — take a third run so the reported min isn't a
-    // coin flip (r3 postmortem: q_asof_join read 3.4s from one bad
-    // pair, 1.0s on re-measure with identical code).
-    val results = SparkEntry.rawOps.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Confirmed-min measurement: single-JVM runs at this scale are
+    // JIT-bimodal — the r5 isolation probe showed identical warm plans
+    // alternating between a ~2s compiled mode and 7-43s deopt/interpreted
+    // spikes (the r4 regression cluster: five queries whose dominant
+    // stage runs on ONE task because the sf0.1 file is a single parquet
+    // row group, so one slow core is the whole query). A blind min-of-2
+    // can sample two spike runs and report the slow mode as the query's
+    // cost. Rule: keep measuring (up to 5 runs, or 90s spent) until the
+    // two smallest runs agree within 1.3x — then the min is a confirmed
+    // steady-state, not a coin flip.
+    val results = ops.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         // JVM hygiene between measurements: accumulated caches/broadcasts
         // from 30+ prior queries otherwise inflate later ones (observed
@@ -46,11 +62,18 @@ object Bench {
           -1.0
         }
       }
-      val first = (1 to 2).map(_ => run())
-      val times =
-        if (first.contains(-1.0)) first
-        else if (first.max > 2 * first.min) first :+ run()
-        else first
+      var times = (1 to 2).map(_ => run()).toVector
+      def minConfirmed: Boolean = {
+        val sorted = times.sorted
+        sorted(1) <= 1.3 * sorted(0)
+      }
+      while (!times.contains(-1.0) && !minConfirmed &&
+             times.length < 5 && times.sum < 90.0)
+        times :+= run()
+      // per-run times to stderr: the min hides the noise distribution,
+      // and the noise IS the signal when chasing bench instability
+      System.err.println(
+        s"[bench] $name runs=${times.map(t => f"$t%.2f").mkString(",")}")
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -59,8 +82,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // best of 2: the first run pays streaming-path JIT/codegen (observed
-    // 1.5k vs 2.9k rows/s for identical work); capability is the warm rate
-    val streamRate = math.max(streamingThroughput(spark), streamingThroughput(spark))
+    // 1.5k vs 2.9k rows/s for identical work); capability is the warm rate.
+    // Skipped in subset mode — the probe is about the named queries only.
+    val streamRate =
+      if (only.isDefined) 0.0
+      else math.max(streamingThroughput(spark), streamingThroughput(spark))
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streamRate%.0f,"sf":"$sfDir"}"""
     println(line)

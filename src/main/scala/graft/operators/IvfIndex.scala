@@ -87,6 +87,30 @@ object IvfIndex {
     best
   }
 
+  /** Session-scoped memo for [[fitCached]]: (plan semantic hash,
+    * nClusters arg, iters) → (corpus count, fitted model). [[fit]] is
+    * deterministic for a given dataset, so callers that share a corpus
+    * share one quantizer instead of re-running Lloyd per query — the
+    * r4 bench paid three identical k-means fits per round across the
+    * semantic-dedup family. Centroid payload is nClusters×dims doubles
+    * (≤ a few MB); the map is cleared past 64 entries as a leak guard. */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), (Long, Model)]()
+
+  /** [[fit]] with auto-sizing and per-session memoization. Returns the
+    * resolved model; nClusters ≤ 0 → [[autoClusters]] of the corpus
+    * count (the count is memoized with the model — it is the other
+    * repeated job the un-memoized path paid per call). */
+  def fitCached(embeddings: DataFrame, nClusters: Int = -1, iters: Int = 3): Model = {
+    val key = (embeddings.queryExecution.analyzed.semanticHash(), nClusters, iters)
+    if (fitMemo.size > 64) fitMemo.clear()
+    fitMemo.computeIfAbsent(key, { _ =>
+      val n = embeddings.count()
+      val nc = if (nClusters > 0) nClusters else autoClusters(n)
+      (n, fit(embeddings, nc, iters))
+    })._2
+  }
+
   /** Lloyd's k-means (dot-product objective over normalized vectors). */
   def fit(embeddings: DataFrame, nClusters: Int = 16, iters: Int = 5): Model = {
     val spark = embeddings.sparkSession
@@ -183,8 +207,7 @@ object IvfIndex {
     * and each saved Lloyd pass is a full corpus scan. */
   def build(embeddings: DataFrame, nClusters: Int = -1, iters: Int = 3,
             chunksPerList: Int = 4): Index = {
-    val nc = if (nClusters > 0) nClusters else autoClusters(embeddings.count())
-    val model = fit(embeddings, nc, iters)
+    val model = fitCached(embeddings, nClusters, iters)
     Index(model, layout(embeddings, model, chunksPerList), chunksPerList)
   }
 
@@ -276,13 +299,21 @@ object IvfIndex {
     Similarity.rankTopK(scored, k)
   }
 
-  /** Convenience self-ANN: build + query in one call (the index is left
-    * cached for plan reuse within the job; long-lived sessions should
-    * [[build]] once and [[query]] many times — that is the point of the
-    * split lifecycle). */
+  /** Convenience self-ANN: build + query in one call. The result
+    * (corpus×k id/score rows) is materialized eagerly and the index is
+    * closed before returning — the r4 wrapper left the persisted lists
+    * (~4× corpus) cached forever, stranding blocks in any long-lived
+    * session. The driver round-trip bounds this wrapper to
+    * moderate-corpus use; at full scale [[build]] once and [[query]]
+    * many times — that is the point of the split lifecycle. */
   def topK(embeddings: DataFrame, k: Int = 5, nClusters: Int = -1,
            probes: Int = -1, iters: Int = 3, chunksPerList: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
     val index = build(embeddings, nClusters, iters, chunksPerList)
-    query(index, embeddings, k, probes)
+    try {
+      val out = query(index, embeddings, k, probes)
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally index.close()
   }
 }

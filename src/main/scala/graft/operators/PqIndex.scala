@@ -119,6 +119,23 @@ object PqIndex {
     packed
   }
 
+  /** Session-scoped memo for [[fitPqCached]] — same rationale and
+    * shape as [[IvfIndex.fitCached]]: PQ training is deterministic per
+    * (dataset, params), so repeated build calls over one corpus (the
+    * bench census, a session issuing several index builds) share one
+    * codebook set instead of re-running 10-iteration k-means × m
+    * subspaces per call. */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int, Int), PqModel]()
+
+  /** [[fitPq]] with per-session memoization. */
+  def fitPqCached(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
+                  iters: Int = 10, sampleN: Int = 4096): PqModel = {
+    val key = (embeddings.queryExecution.analyzed.semanticHash(), m, ksub, iters, sampleN)
+    if (pqMemo.size > 64) pqMemo.clear()
+    pqMemo.computeIfAbsent(key, _ => fitPq(embeddings, m, ksub, iters, sampleN))
+  }
+
   /** Train the product quantizer on a deterministic md5-order sample. */
   def fitPq(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
             iters: Int = 10, sampleN: Int = 4096): PqModel = {
@@ -168,9 +185,8 @@ object PqIndex {
     * the refine stage's id-equi-join. */
   def build(embeddings: DataFrame, nClusters: Int = -1, m: Int = 16,
             ksub: Int = 16, chunksPerList: Int = 4, iters: Int = 3): Index = {
-    val nc = if (nClusters > 0) nClusters else IvfIndex.autoClusters(embeddings.count())
-    val coarse = IvfIndex.fit(embeddings, nc, iters)
-    val pq = fitPq(embeddings, m, ksub)
+    val coarse = IvfIndex.fitCached(embeddings, nClusters, iters)
+    val pq = fitPqCached(embeddings, m, ksub)
     Index(coarse, pq, layout(embeddings, coarse, pq, chunksPerList), chunksPerList)
   }
 
@@ -268,11 +284,19 @@ object PqIndex {
     Similarity.rankTopK(refined, k)
   }
 
-  /** Convenience self-ANN: build + query once (long-lived sessions
-    * should [[build]] once and [[query]] per batch). */
+  /** Convenience self-ANN: build + query once. Like
+    * [[IvfIndex.topK]], the bounded (corpus×k) result is materialized
+    * eagerly and the index closed before returning — no cached list
+    * blocks survive the call; long-lived / full-scale sessions should
+    * [[build]] once and [[query]] per batch. */
   def topK(embeddings: DataFrame, k: Int = 5, nClusters: Int = -1,
            probes: Int = -1, refineK: Int = 30): DataFrame = {
+    val spark = embeddings.sparkSession
     val index = build(embeddings, nClusters)
-    query(index, embeddings, embeddings, k, probes, refineK)
+    try {
+      val out = query(index, embeddings, embeddings, k, probes, refineK)
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally index.close()
   }
 }

@@ -41,9 +41,24 @@ object Revenue {
     */
   def movieRevenue(tickets: DataFrame, movies: DataFrame,
                    statuses: StatusDomain = osbStatuses): DataFrame = {
-    val cost = col("cost").cast(Money)
+    // Per-row arithmetic in integer cents, DECIMAL(15,2) restored once
+    // per GROUP at the boundary: a sum over DECIMAL(12,2) carries a
+    // precision-22 buffer, past Spark's compact-long fast path (18
+    // digits), so every row's += allocates through java BigDecimal —
+    // and the r5 bench probe showed that allocation+string decimal hot
+    // loops are also JIT-deopt-unstable (2s ↔ 43s on identical plans).
+    // A DECIMAL(12,2) cost is exactly a ≤14-digit cent count, so long
+    // sums are value-identical and pure codegen'd integer math; the
+    // group count (~#movies) bounds the decimal conversions.
+    // ×100 via a DECIMAL(3,0) literal: an int literal would promote to
+    // DECIMAL(23,2) (per-row BigDecimal); (12,2)×(3,0)=(16,2) stays
+    // compact-long, and the long cast of an integral scale-2 value is exact.
+    val cents = (col("cost") * lit(100).cast(DecimalType(3, 0))).cast("long")
     def ifStatus(s: String, v: Column): Column =
-      sum(when(col("status") === s, v).otherwise(lit(0).cast(Money)))
+      sum(when(col("status") === s, v).otherwise(lit(0L)))
+    def money(c: Column): Column =
+      (c.cast(DecimalType(18, 0)) * lit(java.math.BigDecimal.valueOf(1, 2))
+        .cast(DecimalType(3, 2))).cast(Money)
 
     tickets
       .filter(col("purchased_at").isNotNull)           // revenue-analytics.sql:64
@@ -51,23 +66,21 @@ object Revenue {
       .groupBy(col("movie_id"), col("title").as("movie_title"),
                col("start_date"), col("duration_minutes"))  // :65
       .agg(
-        sum(cost).cast(Money).as("total_revenue"),                   // :50
+        sum(cents).as("__cents"),                                    // :50
         count(lit(1)).as("ticket_count"),                            // :51
-        ifStatus(statuses.scheduled, lit(1).cast(Money))
-          .cast("bigint").as("scheduled_tickets"),                   // :53
-        ifStatus(statuses.live, lit(1).cast(Money))
-          .cast("bigint").as("live_tickets"),                        // :54
-        ifStatus(statuses.finished, lit(1).cast(Money))
-          .cast("bigint").as("finished_tickets"),                    // :55
-        ifStatus(statuses.scheduled, cost).cast(Money).as("scheduled_revenue"), // :56
-        ifStatus(statuses.live, cost).cast(Money).as("live_revenue"),           // :57
-        ifStatus(statuses.finished, cost).cast(Money).as("finished_revenue"),   // :58
+        ifStatus(statuses.scheduled, lit(1L)).as("scheduled_tickets"),  // :53
+        ifStatus(statuses.live, lit(1L)).as("live_tickets"),            // :54
+        ifStatus(statuses.finished, lit(1L)).as("finished_tickets"),    // :55
+        money(ifStatus(statuses.scheduled, cents)).as("scheduled_revenue"), // :56
+        money(ifStatus(statuses.live, cents)).as("live_revenue"),           // :57
+        money(ifStatus(statuses.finished, cents)).as("finished_revenue"),   // :58
         max(col("purchased_at")).as("last_ticket_purchased"))        // :61
+      .withColumn("total_revenue", money(col("__cents")))
       // avg_ticket_price (:52) in exact integer-cents arithmetic
       // (round-half-up): floating division rounds differently across
       // engines/summation orders; `(2c+n) div 2n` of exact cents does not.
       .withColumn("avg_ticket_price", expr(
-        """cast(cast((2 * cast(total_revenue * 100 as bigint) + ticket_count)
+        """cast(cast((2 * __cents + ticket_count)
           |  div (2 * ticket_count) as decimal(12,0)) * cast(0.01 as decimal(3,2))
           |  as decimal(10,2))""".stripMargin))
       .select("movie_id", "movie_title", "total_revenue", "ticket_count",

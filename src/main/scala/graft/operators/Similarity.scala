@@ -218,6 +218,52 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Estimated fraction of all pairs the (tables, planes) hyperplane
+    * bucketing would mark as candidates, from a deterministic
+    * md5-order sample: per-table mean collision probability
+    * p̄ = Σ_{t,b} c_tb(c_tb−1) / (tables·n(n−1)) over the sample's
+    * bucket occupancies, compounded across the OR-construction as
+    * 1−(1−p̄)^tables. One narrow sample scan + a scalar aggregate —
+    * O(sample·tables) rows, nothing collected beyond one row. */
+  def lshCandidateFraction(embeddings: DataFrame, tables: Int = 40,
+                           planes: Int = 5, dims: Int = 64,
+                           sampleN: Int = 2000): Double = {
+    val sample = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleN)
+    val row = lshBuckets(sample, tables, planes, dims)
+      .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1)).as("coll"),
+        sum(col("c")).as("n"))       // Σc over one table's buckets = n... summed over tables
+      .collect()(0)
+    if (row.isNullAt(1)) return 0.0  // empty corpus: no pairs, no sums
+    val n = row.getLong(1) / tables  // rows counted once per table
+    if (n < 2) 0.0
+    else {
+      val pBar = row.getLong(0).toDouble / (tables.toDouble * n * (n - 1.0))
+      1.0 - math.pow(1.0 - math.min(1.0, pBar), tables)
+    }
+  }
+
+  /** Adaptive self-ANN entry: probe the corpus's bucket-collision mass
+    * first, run LSH only where it prunes. Hyperplane LSH on a
+    * weakly-clustered corpus marks most pairs as candidates — the r4
+    * bench measured the wired 40×5 point doing near-brute-force work
+    * PLUS bucket-join/dedup overhead (11.2 s vs 0.9 s for the exact
+    * blocked scan, SURVEY §2.8's documented regime). An engine should
+    * detect that regime and pick the flat scan, exactly as IVF/Faiss
+    * deployments fall back to flat search below the index's break-even:
+    * when the estimated candidate fraction ≥ `maxCandidateFraction`,
+    * the blocked brute-force scan (exact, recall 1) is BOTH faster and
+    * better; otherwise the LSH path runs (its recall certified by the
+    * driver-visible gate on [[lshTopKFor]], which stays the direct
+    * operator under test). */
+  def adaptiveTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 40,
+                   planes: Int = 5, dims: Int = 64,
+                   maxCandidateFraction: Double = 0.25): DataFrame =
+    if (lshCandidateFraction(embeddings, tables, planes, dims) >= maxCandidateFraction)
+      bruteForceTopK(embeddings, k)
+    else lshTopK(embeddings, k, tables, planes, dims)
+
   /** k-NN majority-vote label prediction — the classic application
     * query over a similarity index (label propagation / quality-tier
     * transfer across an embedded corpus): each vector takes the modal

@@ -62,7 +62,15 @@ object Sketches {
     * does. */
   def heavyHittersGate(docs: DataFrame, k: Int = 50): DataFrame = {
     val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    // Evaluate the sketch ONCE: it is referenced twice below (theorem
+    // checks + completeness anti-join) and would otherwise re-run the
+    // full token scan + UDAF per reference. Its size is ≤ k rows by
+    // construction, so a driver round-trip is bounded at any SF and
+    // leaves nothing cached behind (unlike .cache()).
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sketch = heavyHitters(docs, k)
+      .as[(String, Long)].collect().toSeq.toDF("term", "est")
     val exact = toks.groupBy("term").agg(count(lit(1)).as("tf"))
     val n = toks.agg(count(lit(1)).as("__n"))
     val bound = col("__n").cast("double") / (k + 1.0)

@@ -143,12 +143,17 @@ class OperatorsSpec extends SparkSpec {
       (7L, 6L), (6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), // 6-hop chain
       (10L, 11L), (11L, 12L), (10L, 12L),                          // triangle
       (20L, 21L)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
-    assert((1L to 7L).forall(cc(_) == 1L), cc.toString)
-    assert((10L to 12L).forall(cc(_) == 10L))
-    assert(cc(20L) == 20L && cc(21L) == 20L)
-    assert(!cc.contains(99L))                     // edgeless nodes absent
+    // both component paths must agree: driver union-find (small-edge
+    // adaptive default) and the at-scale star-contraction loop
+    // (forced via maxDriverEdges = 0)
+    for (maxDriver <- Seq(1000000L, 0L)) {
+      val cc = Dedup.connectedComponents(edges, maxDriverEdges = maxDriver)
+        .as[(Long, Long)].collect().toMap
+      assert((1L to 7L).forall(cc(_) == 1L), s"maxDriver=$maxDriver: $cc")
+      assert((10L to 12L).forall(cc(_) == 10L))
+      assert(cc(20L) == 20L && cc(21L) == 20L)
+      assert(!cc.contains(99L))                   // edgeless nodes absent
+    }
   }
 
   test("winnow native expression equals the declarative HOF formulation") {

@@ -37,4 +37,22 @@ class SkewIvfSpec extends SparkSpec {
     // with probe=1 on tight clusters, neighbors come from the same cluster
     assert(top.forall { case (q, n) => q / 10 == n / 10 })
   }
+
+  test("convenience topK closes its index: no cached RDDs survive the call") {
+    // the r4 wrapper stranded the persisted (×chunks) list blocks in
+    // any long-lived session; both convenience entries must leave the
+    // block manager exactly as they found it
+    // 64-dim vectors: the PQ default (m=16 subspaces) needs dims % 16 == 0
+    val vs = (0 until 64).map { i =>
+      val v = Array.tabulate(64)(j => math.sin(i * 64 + j + 1).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    IvfIndex.topK(vs, k = 2, nClusters = 4).collect()
+    PqIndex.topK(vs, k = 2, nClusters = 4).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
+  }
 }
