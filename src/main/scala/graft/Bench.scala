@@ -81,12 +81,22 @@ object Bench {
     val failed = results.collect { case (k, -1.0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // best of 2: the first run pays streaming-path JIT/codegen (observed
-    // 1.5k vs 2.9k rows/s for identical work); capability is the warm rate.
-    // Skipped in subset mode — the probe is about the named queries only.
+    // Confirmed-max rate, the mirror of the query loop's confirmed-min:
+    // the first run pays streaming-path JIT/codegen (observed 1.5k vs
+    // 2.9k rows/s for identical work), so keep measuring (≤4 runs)
+    // until the two best rates agree within 1.3x — the reported number
+    // is a confirmed warm capability, not a lucky sample.
+    // Skipped in subset mode unless "streaming" is named explicitly.
     val streamRate =
-      if (only.isDefined) 0.0
-      else math.max(streamingThroughput(spark), streamingThroughput(spark))
+      if (only.exists(!_.contains("streaming"))) 0.0
+      else {
+        var rates = Vector(streamingThroughput(spark), streamingThroughput(spark))
+        while ({ val s = rates.sorted.reverse; s(1) < s(0) / 1.3 } && rates.length < 4)
+          rates :+= streamingThroughput(spark)
+        System.err.println(
+          s"[bench] streaming runs=${rates.map(r => f"$r%.0f").mkString(",")}")
+        rates.max
+      }
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streamRate%.0f,"sf":"$sfDir"}"""
     println(line)

@@ -220,11 +220,17 @@ object SparkEntry {
     "q_ann_lsh_recall" -> ((s, dir) =>
       Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
         (q, c) => Similarity.lshTopKFor(q, c, k = 5))),
+    // Gate lambdas materialize the bounded (sample×k) approximate side
+    // and close the index before returning — same no-stranded-blocks
+    // contract as the convenience topK wrappers.
     "q_ann_ivf_recall" -> ((s, dir) =>
       Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
         (q, c) => {
           val idx = graft.operators.IvfIndex.build(c)
-          graft.operators.IvfIndex.query(idx, q, k = 5)
+          try {
+            val out = graft.operators.IvfIndex.query(idx, q, k = 5)
+            s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+          } finally idx.close()
         })),
 
     // IVF-PQ: product-quantized lists (8-byte codes, 64× smaller than
@@ -238,7 +244,10 @@ object SparkEntry {
       Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
         (q, c) => {
           val idx = graft.operators.PqIndex.build(c)
-          graft.operators.PqIndex.query(idx, q, c, k = 5)
+          try {
+            val out = graft.operators.PqIndex.query(idx, q, c, k = 5)
+            s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+          } finally idx.close()
         })),
 
     // Multimodal: binary payload column metadata pass (decode path is
@@ -1287,8 +1296,8 @@ object SparkEntry {
         |  sy / CAST(n AS DOUBLE) AS mean_y,
         |  CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS var_x,
         |  CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS std_x,
-        |  CASE WHEN n > 1 AND sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) <> 0.0
-        |            AND sqrt(CAST(n AS DOUBLE) * syy - sy * sy) <> 0.0
+        |  CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+        |            AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0
         |       THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
         |            / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
         |            / sqrt(CAST(n AS DOUBLE) * syy - sy * sy) END AS corr_xy

@@ -120,11 +120,28 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** Declared-schema sidecar inside the table directory. The leading
+    * underscore keeps it out of Spark's data-file listing (metadata-
+    * file convention, like `_SUCCESS`), and it travels with the
+    * directory through rename/drop. Present → the table reads with the
+    * declared schema (merge-on-read: parquet files missing a declared
+    * column yield NULLs); absent → schema is inferred from the files,
+    * the original layout contract. */
+  private val SchemaSidecar = "_graft_schema.json"
+
+  private def declaredSchema(p: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val sidecar = p.resolve(SchemaSidecar)
+    if (Files.isDirectory(p) && Files.exists(sidecar))
+      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(sidecar))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
     ParquetTable(ident.toString, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), Seq(p.toString), None,
+      CaseInsensitiveStringMap.empty(), Seq(p.toString), declaredSchema(p),
       classOf[ParquetFileFormat])
   }
 
@@ -148,6 +165,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         (ident.namespace :+ ident.name).toSeq)
     if (!Files.isDirectory(p.getParent)) throw new NoSuchNamespaceException(ident.namespace)
     Files.createDirectories(p)
+    // persist the declared schema: an empty table has nothing to infer
+    // from, and ADD COLUMN evolution rewrites this sidecar later
+    Files.writeString(p.resolve(SchemaSidecar), schema.json)
     ParquetTable(ident.toString, SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(p.toString), Some(schema),
       classOf[ParquetFileFormat])
@@ -171,7 +191,43 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     Files.move(from, tablePath(newIdent)); ()
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: schemas are fixed by the parquet files themselves")
+  /** Additive schema evolution only: `ALTER TABLE … ADD COLUMN` rewrites
+    * the table's declared read schema (the sidecar); existing parquet
+    * files are untouched and read the new column as NULL (merge-on-read,
+    * the same read-side semantics `RecoverySpec` pins for evolved
+    * snapshots). Everything else — renames, drops, type changes,
+    * property changes — stays an explicit unsupported error: those
+    * require rewriting data files, which the lake layout declares
+    * immutable. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    if (!Files.isDirectory(p))
+      throw new UnsupportedOperationException(
+        s"$catalogName: single-file tables cannot carry a schema sidecar; " +
+          "only directory tables support ADD COLUMN")
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: only additive ADD COLUMN evolution is supported " +
+          s"(got ${other.getClass.getSimpleName}; data files are immutable)")
+    }
+    val current = declaredSchema(p).getOrElse(
+      loadTable(ident).asInstanceOf[ParquetTable].schema)
+    val evolved = adds.foldLeft(current) { (s, a) =>
+      if (a.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"$catalogName: nested ADD COLUMN is not supported")
+      if (!a.isNullable)
+        throw new UnsupportedOperationException(
+          s"$catalogName: added columns must be nullable " +
+            "(pre-evolution rows read as NULL)")
+      if (s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)))
+        throw new IllegalArgumentException(
+          s"$catalogName: column ${a.fieldNames.head} already exists")
+      s.add(a.fieldNames.head, a.dataType, nullable = true)
+    }
+    Files.writeString(p.resolve(SchemaSidecar), evolved.json)
+    loadTable(ident)
+  }
 }

@@ -64,6 +64,33 @@ class HeavyHitters(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }
 
+/** SQL-registrable form of [[HeavyHitters]]: capacity `k` rides as a
+  * per-row second argument (a registered UDAF is construction-fixed),
+  * adopted by the buffer from the first row — `graft_heavy_hitters
+  * (term, k)` via [[graft.functions.Registry]]. Semantics identical to
+  * the DataFrame-side aggregator. */
+class HeavyHittersSqlAggregator
+    extends Aggregator[(String, Int), (Int, Map[String, Long]), Seq[(String, Long)]] {
+  private def inner(k: Int) = new HeavyHitters(math.max(1, k))
+  override def zero: (Int, Map[String, Long]) = (0, Map.empty)
+  override def reduce(buf: (Int, Map[String, Long]),
+                      in: (String, Int)): (Int, Map[String, Long]) = {
+    val k = if (buf._1 > 0) buf._1 else in._2
+    (k, inner(k).reduce(buf._2, in._1))
+  }
+  override def merge(a: (Int, Map[String, Long]),
+                     b: (Int, Map[String, Long])): (Int, Map[String, Long]) = {
+    val k = math.max(a._1, b._1)
+    (k, inner(k).merge(a._2, b._2))
+  }
+  override def finish(buf: (Int, Map[String, Long])): Seq[(String, Long)] =
+    inner(buf._1).finish(buf._2)
+  override def bufferEncoder: Encoder[(Int, Map[String, Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Map[String, Long])]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}
+
 object HeavyHitters {
   import org.apache.spark.sql.functions.udaf
   import org.apache.spark.sql.expressions.UserDefinedFunction
@@ -71,5 +98,12 @@ object HeavyHitters {
   def summary(k: Int): UserDefinedFunction = {
     implicit val enc: Encoder[String] = Encoders.STRING
     udaf(new HeavyHitters(k))
+  }
+
+  /** The k-as-argument SQL form (see [[HeavyHittersSqlAggregator]]). */
+  def summarySql: UserDefinedFunction = {
+    implicit val enc: Encoder[(String, Int)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaInt)
+    udaf(new HeavyHittersSqlAggregator)
   }
 }

@@ -56,5 +56,11 @@ object Registry {
       exprs => PqAdc(exprs(0), exprs(1),
         intArg("graft_pq_adc", exprs, 2, default = Some(16)),
         intArg("graft_pq_adc", exprs, 3, default = Some(16))), "built-in")
+    // The two engine UDAFs, for the SQL entry point (reference EP1 is a
+    // SQL client): capacity k rides as a trailing literal argument —
+    // a registered UDAF is construction-fixed, so config arrives as
+    // data (see TopKSqlAggregator / HeavyHittersSqlAggregator).
+    spark.udf.register("graft_topk", TopKAggregator.topKSql)
+    spark.udf.register("graft_heavy_hitters", HeavyHitters.summarySql)
   }
 }

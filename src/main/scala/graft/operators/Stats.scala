@@ -43,15 +43,20 @@ object Stats {
     val n = col("n").cast("double")
     val varX = (n * col("sxx") - col("sx") * col("sx")) / (n * (n - 1.0))
     val covTerm = n * col("sxy") - col("sx") * col("sy")
-    val denX = sqrt(n * col("sxx") - col("sx") * col("sx"))
-    val denY = sqrt(n * col("syy") - col("sy") * col("sy"))
+    // guard on the RADICANDS, not the roots: a zero-variance group can
+    // round its radicand to a tiny negative double, whose sqrt is NaN —
+    // and NaN passes a `=!= 0.0` test, leaking NaN into corr_xy (and
+    // leaving the oracle match hostage to DuckDB producing the same
+    // NaN). Positive radicands make both sqrt calls well-defined.
+    val radX = n * col("sxx") - col("sx") * col("sx")
+    val radY = n * col("syy") - col("sy") * col("sy")
     g.select(
       col(groupCol), col("n"),
       (col("sx") / n).as("mean_x"),
       (col("sy") / n).as("mean_y"),
       when(col("n") > 1, varX).as("var_x"),
       when(col("n") > 1, sqrt(varX)).as("std_x"),
-      when(col("n") > 1 && denX =!= 0.0 && denY =!= 0.0,
-        covTerm / denX / denY).as("corr_xy"))
+      when(col("n") > 1 && radX > 0.0 && radY > 0.0,
+        covTerm / sqrt(radX) / sqrt(radY)).as("corr_xy"))
   }
 }

@@ -258,9 +258,29 @@ object TextOps {
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val evalSh = withShingles(evalDocs.select(col("doc_id").as("eval_id"), col("text")), n)
       .select(col("eval_id"), explode(col("shingles")).as("shingle"))
-    val nItems = math.max(1L, evalSh.select("shingle").distinct().count())
-    val numBits = math.max(64L,
-      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val nItems0 = math.max(1L, evalSh.select("shingle").distinct().count())
+    val numBits0 = math.max(64L,
+      math.ceil(-nItems0 * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps its arguments to the session
+    // confs (defaults: 4M items / 64M bits) — past that the filter
+    // would be undersized, fpp degrades, and the prefilter stops
+    // pruning (rows stay correct regardless: blooms have no false
+    // negatives and every positive is re-verified by the exact join).
+    // Clamp explicitly and say so, instead of degrading silently.
+    val spark = docs.sparkSession
+    def conf(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val maxItems = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+    val nItems = math.min(nItems0, maxItems)
+    val numBits = math.min(numBits0, maxBits)
+    if (nItems < nItems0 || numBits < numBits0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"decontaminateBloom: eval shingle set ($nItems0 distinct, $numBits0 bits ideal) " +
+          s"exceeds session bloom limits ($maxItems items / $maxBits bits); " +
+          "the prefilter's false-positive rate degrades past this point — " +
+          "raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+          "(correctness is unaffected: positives are exactly re-verified)")
     val bloomAgg = GraftBridge.column(
       new BloomFilterAggregate(
         GraftBridge.expression(xxhash64(col("shingle"))),

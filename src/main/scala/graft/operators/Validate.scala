@@ -21,14 +21,22 @@ import org.apache.spark.sql.functions._
 object Validate {
 
   /** Row-level rules, each a VIOLATION predicate (true = bad row),
-    * evaluated in a single scan. */
+    * evaluated in a single scan. Rule names are emitted as typed
+    * literals and counters carry positional internal aliases — no
+    * caller-supplied string ever lands inside parsed SQL text (a name
+    * containing a quote/backtick would have broken the earlier
+    * stack(...) interpolation at runtime). */
   def rowRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val counted = df.agg(
-      sum(when(rules.head._2, 1L).otherwise(0L)).as(rules.head._1),
-      rules.tail.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }: _*)
-    val stacked = rules.map(r => s"'${r._1}', coalesce(`${r._1}`, 0L)").mkString(", ")
-    counted.select(
-      expr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)"))
+    require(rules.nonEmpty, "rowRules: at least one rule is required")
+    val sums = rules.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    df.agg(sums.head, sums.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"),
+          coalesce(col(s"__c$i"), lit(0L)).as("n_violations"))
+      }: _*)).as("x"))
+      .select(col("x.rule"), col("x.n_violations"))
   }
 
   /** PK/UNIQUE rule: violations = rows beyond the first per key. */

@@ -80,6 +80,38 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN: additive evolution, merge-on-read of old rows") {
+    val lake = Files.createTempDirectory("graft-lake-evo")
+    Files.createDirectories(lake.resolve("mart"))
+    spark.conf.set("spark.sql.catalog.lakee", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakee.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lakee.mart.users (id BIGINT, name STRING)")
+      spark.sql("INSERT INTO lakee.mart.users VALUES (1, 'ada'), (2, 'lin')")
+      // evolve: new nullable column, data files untouched
+      spark.sql("ALTER TABLE lakee.mart.users ADD COLUMN tier STRING")
+      assert(spark.table("lakee.mart.users").columns.toSeq ==
+        Seq("id", "name", "tier"))
+      // insert WITH the new schema; old rows read the column as NULL
+      spark.sql("INSERT INTO lakee.mart.users VALUES (3, 'bob', 'gold')")
+      val rows = spark.table("lakee.mart.users")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)))).sortBy(_._1).toSeq
+      assert(rows == Seq((1L, "ada", None), (2L, "lin", None),
+        (3L, "bob", Some("gold"))))
+      // non-additive evolution stays an explicit error
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE lakee.mart.users DROP COLUMN tier")
+      }
+      assert(e.getMessage.contains("ADD COLUMN") ||
+        e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+      spark.sql("DROP TABLE lakee.mart.users")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakee")
+      spark.conf.unset("spark.sql.catalog.lakee.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {

@@ -28,6 +28,36 @@ class RegistrySpec extends SparkSpec {
       .as[Double].head() == 5.75)
   }
 
+  test("UDAFs callable from SQL text match their DataFrame forms") {
+    Registry.register(spark)
+    val scores = Seq(
+      ("g1", 1L, 0.9), ("g1", 2L, 0.7), ("g1", 3L, 0.95), ("g1", 4L, 0.7),
+      ("g2", 5L, 0.1), ("g2", 6L, 0.4))
+      .toDF("grp", "id", "score")
+    scores.createOrReplaceTempView("scores")
+    // top-k per group: SQL vs DataFrame aggregator, k=2; ties (0.7 at
+    // ids 2,4) resolve id-asc identically in both
+    val sqlTop = spark.sql(
+      "SELECT grp, graft_topk(id, score, 2) AS top FROM scores GROUP BY grp")
+      .as[(String, Seq[(Long, Double)])].collect().toMap
+    val dfTop = scores.groupBy("grp")
+      .agg(TopKAggregator.topK(2)($"id", $"score").as("top"))
+      .as[(String, Seq[(Long, Double)])].collect().toMap
+    assert(sqlTop == dfTop)
+    assert(sqlTop("g1") == Seq((3L, 0.95), (1L, 0.9)))
+    // heavy hitters: SQL vs DataFrame aggregator, k=2 over a skewed stream
+    val terms = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("term")
+    terms.createOrReplaceTempView("terms")
+    val sqlHh = spark.sql(
+      "SELECT graft_heavy_hitters(term, 2) AS hh FROM terms")
+      .as[Seq[(String, Long)]].head()
+    val dfHh = terms.agg(HeavyHitters.summary(2)($"term").as("hh"))
+      .as[Seq[(String, Long)]].head()
+    assert(sqlHh == dfHh)
+    assert(sqlHh.map(_._1).contains("a"))  // the true heavy term survives
+  }
+
   test("config args must be literals: column reference fails with a clear error") {
     Registry.register(spark)
     Seq(("a b c d", 3)).toDF("text", "n").createOrReplaceTempView("cfg")

@@ -21,12 +21,22 @@ import org.apache.spark.sql.types._
   * recomputed from that ledger — retraction semantics included, since
   * status flips must decrement old buckets; (3) per-movie bucket
   * invariants (counts and revenues sum to totals). */
+/** Wire record with a producer seq (the generator's commit counter).
+  * Top-level, not nested in the spec class: an encoder over an inner
+  * case class needs the outer instance, which the generated accessor
+  * code cannot reach — Janino fails to compile and the whole stage
+  * silently falls back to interpreted mode (the one codegen-fallback
+  * WARN in the r4 test logs). */
+private[streaming] case class GenRec(table: String, op: String, ts_ms: Long,
+                                     seq: Long, before: String, after: String)
+
 class GeneratorReplaySpec extends SparkSpec {
   import spark.implicits._
 
-  // wire record with a producer seq (the generator's commit counter)
-  private case class Rec(table: String, op: String, ts_ms: Long, seq: Long,
-                         before: String, after: String)
+  private type Rec = GenRec
+  private def Rec(table: String, op: String, ts_ms: Long, seq: Long,
+                  before: String, after: String): GenRec =
+    GenRec(table, op, ts_ms, seq, before, after)
 
   private val ticketSchema = StructType(Seq(
     StructField("ticket_id", LongType), StructField("movie_id", LongType),
