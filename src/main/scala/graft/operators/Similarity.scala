@@ -218,30 +218,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Estimated fraction of all pairs the (tables, planes) hyperplane
-    * bucketing would mark as candidates, from a deterministic
-    * md5-order sample: per-table mean collision probability
-    * p̄ = Σ_{t,b} c_tb(c_tb−1) / (tables·n(n−1)) over the sample's
-    * bucket occupancies, compounded across the OR-construction as
-    * 1−(1−p̄)^tables. One narrow sample scan + a scalar aggregate —
-    * O(sample·tables) rows, nothing collected beyond one row. */
+  /** Fraction of all pairs the (tables, planes) hyperplane bucketing
+    * marks as candidates, measured EXACTLY on a deterministic md5-order
+    * sample: distinct colliding (a < b) pairs across every table over
+    * n(n−1)/2. Measuring the deduped pair count directly (rather than
+    * compounding a mean per-table collision probability) matters on
+    * clustered corpora: there the pair-collision distribution is
+    * bimodal — a few percent of pairs collide almost surely, the rest
+    * almost never — and an independence-compounded mean wildly
+    * overestimates, which would push the adaptive entry to brute force
+    * exactly where LSH prunes. Cost is the candidate stage of the LSH
+    * query itself at sample scale: O(sampleN²·density) id pairs through
+    * one join + distinct, nothing collected but one scalar. */
   def lshCandidateFraction(embeddings: DataFrame, tables: Int = 40,
                            planes: Int = 5, dims: Int = 64,
-                           sampleN: Int = 2000): Double = {
+                           sampleN: Int = 500): Double = {
     val sample = embeddings
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleN)
-    val row = lshBuckets(sample, tables, planes, dims)
-      .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1)).as("coll"),
-        sum(col("c")).as("n"))       // Σc over one table's buckets = n... summed over tables
-      .collect()(0)
-    if (row.isNullAt(1)) return 0.0  // empty corpus: no pairs, no sums
-    val n = row.getLong(1) / tables  // rows counted once per table
-    if (n < 2) 0.0
-    else {
-      val pBar = row.getLong(0).toDouble / (tables.toDouble * n * (n - 1.0))
-      1.0 - math.pow(1.0 - math.min(1.0, pBar), tables)
-    }
+    val n = sample.count()
+    if (n < 2) return 0.0
+    val b = lshBuckets(sample, tables, planes, dims)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"))
+      .distinct().count()
+    pairs.toDouble / (n.toDouble * (n - 1.0) / 2.0)
   }
 
   /** Adaptive self-ANN entry: probe the corpus's bucket-collision mass

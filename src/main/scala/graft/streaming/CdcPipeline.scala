@@ -95,13 +95,16 @@ object CdcPipeline {
               // both sides' distribution keys: an update that moves a
               // row across buckets must touch source AND target bucket
               // (same bare-column shapes as writeBuckets' bucketOf —
-              // xxhash64(k1, k2) != xxhash64(struct(k1, k2)))
-              val touched = Seq("after", "before").flatMap { side =>
-                envelope.filter(col(side).isNotNull)
-                  .select(store.bucketOf(
-                    spec.distKeys.map(k => col(s"$side.$k"))).as("b"))
-                  .distinct().collect().map(_.getInt(0))
-              }.distinct
+              // xxhash64(k1, k2) != xxhash64(struct(k1, k2))). ONE job
+              // for both sides — per-trigger cost here is Spark job
+              // scheduling overhead, not data volume, so the two
+              // per-side collect jobs it replaces were pure latency.
+              val touched = envelope.select(explode(array(
+                  Seq("after", "before").map(side =>
+                    when(col(side).isNotNull, store.bucketOf(
+                      spec.distKeys.map(k => col(s"$side.$k"))))): _*)).as("b"))
+                .filter(col("b").isNotNull)
+                .distinct().collect().map(_.getInt(0)).toSeq
               if (touched.nonEmpty) {
                 val newTouched = Upsert.applyChangelog(
                   store.readBuckets(touched), envelope, spec.keys)

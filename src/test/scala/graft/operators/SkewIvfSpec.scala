@@ -38,6 +38,34 @@ class SkewIvfSpec extends SparkSpec {
     assert(top.forall { case (q, n) => q / 10 == n / 10 })
   }
 
+  test("lshCandidateFraction separates the pruning and no-pruning regimes") {
+    def normed(raw: Seq[Array[Double]]): Seq[(Long, Array[Float])] =
+      raw.zipWithIndex.map { case (v, i) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(x => (x / n).toFloat))
+      }
+    // pseudo-random corpus: random pairs sit near 90°, so hyperplane
+    // collision p ≈ 0.5 and the wired 40×5 point marks most pairs —
+    // the regime where the adaptive entry must fall back to exact scan
+    val rnd = new scala.util.Random(7)
+    val random = normed(Seq.fill(300)(Array.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val fRandom = Similarity.lshCandidateFraction(random, tables = 40, planes = 5, dims = 16)
+    assert(fRandom > 0.25, s"random corpus should look non-prunable, got $fRandom")
+    // clustered corpus: tight clusters around orthogonal axes — with
+    // enough planes per table, cross-cluster pairs almost never
+    // collide, in-cluster pairs (~3% of all pairs) usually do
+    val clustered = normed((0 until 300).map { i =>
+      val v = Array.fill(16)(0.0)
+      v(i % 10) = 1.0
+      v(10 + i % 6) = 0.05 * (i % 3)
+      v
+    }).toDF("vec_id", "embedding")
+    val fClustered = Similarity.lshCandidateFraction(clustered, tables = 40, planes = 16, dims = 16)
+    assert(fClustered < 0.25,
+      s"clustered corpus at 16 planes should prune, got $fClustered")
+  }
+
   test("convenience topK closes its index: no cached RDDs survive the call") {
     // the r4 wrapper stranded the persisted (×chunks) list blocks in
     // any long-lived session; both convenience entries must leave the
