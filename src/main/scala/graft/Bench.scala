@@ -100,8 +100,11 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"streaming_rows_per_sec":$streamRate%.0f,"sf":"$sfDir"}"""
     println(line)
-    // belt-and-braces for log-wrapped stdout: also land the line on disk
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    // belt-and-braces for log-wrapped stdout: also land the line on disk.
+    // Subset probes write a scratch file — bench_out.json is the
+    // driver's artifact and must only ever hold a FULL census.
+    val outFile = if (only.isDefined) "bench_subset.json" else "bench_out.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
     spark.stop()
   }
 

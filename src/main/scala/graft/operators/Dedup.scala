@@ -207,8 +207,16 @@ object Dedup {
     import spark.implicits._
     val dedupEdges = edges.select("a", "b").filter(col("a") =!= col("b"))
       .distinct()
-    if (dedupEdges.count() <= maxDriverEdges) {
-      val pairs = dedupEdges.as[(Long, Long)].collect()
+    // ONE evaluation serves as both size guard and collect: pulling
+    // maxDriverEdges+1 rows tells us whether the set fits without a
+    // separate count() job re-running the (often expensive) upstream
+    // candidate/verify pipeline that produced the edges.
+    val probe =
+      if (maxDriverEdges <= 0) Array.empty[(Long, Long)]
+      else dedupEdges.as[(Long, Long)].limit(
+        math.min(maxDriverEdges, Int.MaxValue - 1).toInt + 1).collect()
+    if (maxDriverEdges > 0 && probe.length <= maxDriverEdges) {
+      val pairs = probe
       // union-find with path compression; canonical = component min
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
