@@ -58,6 +58,43 @@ object SparkEntry {
     // Fluss-PK-table stand-in: latest-by-key upsert materialization.
     "q_upsert_latest" -> ((s, dir) =>
       EventOps.latestByUser(t(s, dir, "events"))),
+    // Paimon partial-update merge engine: latest NON-NULL per column
+    // (sparse per-type fields assemble one wide row per user). Driven
+    // INCREMENTALLY in two ord-ordered batches — the hash match against
+    // the one-shot oracle certifies the fold semantics. Sequence field:
+    // ms-since-2024 ×2^30 + event_id (injective; fits BIGINT through
+    // sf1-scale event ids).
+    "q_upsert_partial" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        when(col("event_type") === "purchase", col("value")).as("last_purchase_value"),
+        when(col("event_type") === "error", col("props")).as("last_error_props"),
+        col("ts").as("last_seen"),
+        ((unix_millis(col("ts")) - 1704067200000L) * 1073741824L + col("event_id"))
+          .as("__ord"))
+      val pivot = "2024-01-16"
+      val s1 = graft.cdc.Upsert.applyPartial(None,
+        ev.filter(col("last_seen") < pivot), Seq("user_id"), Seq("__ord"))
+      graft.cdc.Upsert.applyPartial(Some(s1),
+        ev.filter(col("last_seen") >= pivot), Seq("user_id"), Seq("__ord"))
+        .drop("__ord")
+    }),
+    // Paimon aggregation merge engine: per-key declared-function folds
+    // (sum/count/max), driven incrementally in two batches split by
+    // event parity — associativity makes any split one-shot-equal.
+    "q_upsert_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("spend_cents"),
+        col("event_id").as("n_events"), col("ts").as("last_ts"))
+      val aggs = Seq("spend_cents" -> "sum", "n_events" -> "count", "last_ts" -> "max")
+      val s1 = graft.cdc.Upsert.applyAggregate(None,
+        ev.filter(col("event_id") % 2 === 0), Seq("user_id"), aggs)
+      graft.cdc.Upsert.applyAggregate(Some(s1),
+        ev.filter(col("event_id") % 2 === 1), Seq("user_id"), aggs)
+    }),
     // Changelog join: latest state ⋈ broadcast dimension.
     "q_changelog_join" -> ((s, dir) =>
       EventOps.latestJoinCustomer(
@@ -106,6 +143,20 @@ object SparkEntry {
       TextOps.vocabulary(t(s, dir, "documents"))),
     "q_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(t(s, dir, "documents"))),
+    // Deterministic frozen train/val/test membership by id-hash
+    // threshold (reshuffle-proof; a rand() split is not).
+    "q_split_assign" -> ((s, dir) =>
+      TextOps.splitAssign(t(s, dir, "documents"))),
+    // Duplicate-group size profile — the dedup run's monitoring view,
+    // keyed on the 8-opening-tokens digest (boilerplate-prefix
+    // grouping; the full-text key is the default but this corpus has
+    // no byte-identical duplicates, which would make the profile a
+    // single degenerate row).
+    "q_dedup_stats" -> ((s, dir) =>
+      graft.operators.Dedup.groupStats(t(s, dir, "documents"),
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.split(col("text"), " "), 1, 8))))),
     // The full raw-crawl → training-mixture pipeline (quality ×
     // canonical-dedup × decontamination × token budget), eval set =
     // doc_id ≡ 0 (mod 97) as in q_decontaminate.
@@ -573,6 +624,29 @@ object SparkEntry {
         |      FROM events) WHERE rn = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // One-shot oracles for the incrementally-driven merge engines: the
+    // hash match certifies fold == one-shot. Ordering nulled where the
+    // value is null = "NULLs never overwrite".
+    "q_upsert_partial" ->
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pv,
+        |    CASE WHEN event_type = 'error' THEN props END AS pe,
+        |    CAST(ts AS TIMESTAMP) AS tsq,
+        |    (epoch_ms(CAST(ts AS TIMESTAMP)) - 1704067200000) * 1073741824 + event_id AS ord
+        |  FROM events)
+        |SELECT user_id,
+        |  max_by(pv, CASE WHEN pv IS NOT NULL THEN ord END) AS last_purchase_value,
+        |  max_by(pe, CASE WHEN pe IS NOT NULL THEN ord END) AS last_error_props,
+        |  max_by(tsq, ord) AS last_seen
+        |FROM e GROUP BY user_id ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_upsert_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |  COUNT(event_id) AS n_events,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY ALL NULLS FIRST""".stripMargin,
+
     "q_changelog_join" ->
       """WITH latest AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
@@ -782,6 +856,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(red2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  md5(red3) AS redacted_md5
         |FROM r3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Split thresholds come from the SAME hexThreshold the operator
+    // uses, so the two engines compare digests against byte-identical
+    // hex strings.
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextOps.hexThreshold(0.8)}' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextOps.hexThreshold(0.9)}' THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_dedup_stats" ->
+      """WITH g AS (SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+        |    COUNT(*) AS group_size FROM documents GROUP BY 1)
+        |SELECT group_size, COUNT(*) AS n_groups, group_size * COUNT(*) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_mixture_sample" ->
       """WITH q AS (SELECT * FROM (VALUES ('en', 100), ('es', 40), ('de', 40), ('fr', 20)) AS t(lang, quota)),

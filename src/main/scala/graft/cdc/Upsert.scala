@@ -77,6 +77,65 @@ object Upsert {
       .select(col("after.*"))
   }
 
+  /** Paimon `'merge-engine'='partial-update'` analog (the sibling of
+    * the reference's `'merge-engine'='deduplicate'`,
+    * `flink-gen.sh:118-142`): per key and per VALUE COLUMN, the latest
+    * non-null value wins — NULLs never overwrite, so sparse updates
+    * from different sources assemble one wide row per key.
+    *
+    * Same one-shuffle partial-aggregated shape as [[latestByKey]]:
+    * each column is a `max_by` whose ordering is nulled where the
+    * value is null (Spark's max_by skips null orderings), so the
+    * exchange carries per-partition winners only. `ord` columns must
+    * be non-null and totally ordered within a key. */
+  def partialUpdate(df: DataFrame, keys: Seq[String], ord: Seq[String]): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains).toSeq
+    val ordStruct = struct(ord.map(col): _*)
+    val aggs = valueCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, ordStruct)).as(c))
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** Incremental [[partialUpdate]]: fold a new batch onto materialized
+    * state. With batches applied in `ord` order (the merge-engine's
+    * sequence-field assumption), the folded state equals the one-shot
+    * [[partialUpdate]] over the full history — spec-asserted. */
+  def applyPartial(state: Option[DataFrame], batch: DataFrame,
+                   keys: Seq[String], ord: Seq[String]): DataFrame =
+    partialUpdate(state.fold(batch)(_ unionByName batch), keys, ord)
+
+  /** Paimon `'merge-engine'='aggregation'` analog: per key, each value
+    * column folds under a declared aggregate function. `aggs` maps
+    * column → one of sum | count | min | max (the associative cores —
+    * exactly the functions whose per-batch pre-aggregation + state
+    * re-merge equals a one-shot aggregate, which is what makes the
+    * merge-engine incremental). Call with `state = None` to build
+    * initial state, then fold batches via the same call; spec-asserted
+    * equal to the one-shot group-by whatever the batch split.
+    *
+    * Scale shape: each batch pre-aggregates map-side before its
+    * shuffle; the state merge shuffles one row per touched key. */
+  def applyAggregate(state: Option[DataFrame], batch: DataFrame,
+                     keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    def aggCols(merge: Boolean) = aggs.map { case (c, fn) =>
+      (fn match {
+        case "count" => if (merge) sum(col(c)) else count(col(c))
+        case "sum"   => sum(col(c))
+        case "min"   => min(col(c))
+        case "max"   => max(col(c))
+        case other   => throw new IllegalArgumentException(
+          s"applyAggregate: unsupported merge function '$other' (sum|count|min|max)")
+      }).as(c)
+    }
+    val pre = batch.groupBy(keys.map(col): _*)
+      .agg(aggCols(merge = false).head, aggCols(merge = false).tail: _*)
+    state.fold(pre)(s => s.unionByName(pre)
+      .groupBy(keys.map(col): _*)
+      .agg(aggCols(merge = true).head, aggCols(merge = true).tail: _*))
+  }
+
   /** Typed changelog envelope for the streaming materializer. */
   final case class Envelope[T](op: String, tsMs: Long, before: Option[T], after: Option[T])
 

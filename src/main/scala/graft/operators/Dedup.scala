@@ -37,6 +37,25 @@ object Dedup {
   def exactNormalized(docs: DataFrame): DataFrame =
     exact(docs.withColumn("text", TextOps.normalized(col("text"))))
 
+  /** Duplicate-group size profile over a content key — the monitoring
+    * view every dedup run reports (how much of the corpus collapses,
+    * and in what group sizes: a spike at large sizes means
+    * boilerplate/crawl loops). Default key = full-text digest (the
+    * [[exact]] groups); pass a coarser key — e.g. an opening-tokens
+    * digest — to profile boilerplate prefixes. One row per observed
+    * group size: (group_size, n_groups, n_docs), ascending.
+    *
+    * Scale shape: digest-keyed count (the [[exact]] shuffle) then a
+    * group-size-keyed count over one row PER GROUP — output rows are
+    * bounded by the largest group size, never the corpus. */
+  def groupStats(docs: DataFrame,
+                 key: Column = md5(col("text"))): DataFrame =
+    docs.select(key.as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
+
   /** Exploded (doc_id, shingle) pairs, distinct per doc. */
   private def shingleRows(docs: DataFrame, n: Int): DataFrame =
     TextOps.withShingles(docs, n)

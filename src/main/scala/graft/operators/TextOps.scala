@@ -569,6 +569,38 @@ object TextOps {
     * budget window (swap [[budgetMixSelect]] for the sliver path at
     * full scale — selection-equal by spec). Document bodies feed narrow
     * expressions only and never shuffle. */
+  /** 32-hex-digit threshold string for fraction `f` of the md5 space:
+    * md5 digests are uniform in [0, 16^32), so `digest < threshold`
+    * selects an `f` fraction — deterministically, engine-independently
+    * (lowercase-hex strings compare bytewise identically everywhere). */
+  private[graft] def hexThreshold(f: Double): String = {
+    val sb = new StringBuilder
+    var x = f
+    for (_ <- 1 to 32) {
+      x *= 16
+      val d = math.min(15, x.toInt)
+      sb.append(java.lang.Integer.toHexString(d))
+      x -= d
+    }
+    sb.toString
+  }
+
+  /** Deterministic train/validation/test assignment by content-free id
+    * hash — the split every training-data pipeline freezes before any
+    * filtering, so membership never drifts as upstream stages change.
+    * md5(doc_id) is uniform; comparing the hex digest against fraction
+    * thresholds gives an exact, engine-independent, reshuffle-proof
+    * split (a `rand()` split is none of those). Narrow per-row
+    * expression; nothing shuffles. */
+  def splitAssign(docs: DataFrame, trainFrac: Double = 0.8,
+                  valFrac: Double = 0.1): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    docs.select(col("doc_id"),
+      when(h < hexThreshold(trainFrac), "train")
+        .when(h < hexThreshold(trainFrac + valFrac), "validation")
+        .otherwise("test").as("split"))
+  }
+
   def prepareCorpus(docs: DataFrame, evalDocs: DataFrame,
                     minQuality: Double = 0.42, jaccard: Double = 0.5,
                     tokensPerLang: Long = 2000L): DataFrame = {

@@ -118,4 +118,47 @@ class UpsertSpec extends SparkSpec {
       assert(latest == Map(1L -> Some("live"), 2L -> None))
     } finally q.stop()
   }
+
+  test("partial-update merge engine: NULLs never overwrite; fold == one-shot") {
+    // (key, sparse a, sparse b, ord)
+    val rows = Seq(
+      (1L, Some("a1"), None, 1L), (1L, None, Some("b1"), 2L),
+      (1L, Some("a2"), None, 3L), (1L, None, None, 4L),
+      (2L, None, Some("b2"), 1L), (2L, Some("a3"), None, 2L),
+      (3L, None, None, 1L))
+    val df = rows.toDF("k", "a", "b", "ord")
+    val oneShot = Upsert.partialUpdate(df, Seq("k"), Seq("ord"))
+      .select("k", "a", "b").as[(Long, Option[String], Option[String])]
+      .collect().toSet
+    // latest non-null per column; a row of all NULLs changes nothing
+    assert(oneShot == Set(
+      (1L, Some("a2"), Some("b1")), (2L, Some("a3"), Some("b2")),
+      (3L, None, None)))
+    // incremental fold over ord-ordered batches equals the one-shot
+    val folded = rows.sortBy(_._4).grouped(2).foldLeft(None: Option[
+        org.apache.spark.sql.DataFrame]) { (state, chunk) =>
+      Some(Upsert.applyPartial(state, chunk.toDF("k", "a", "b", "ord"),
+        Seq("k"), Seq("ord")))
+    }.get.select("k", "a", "b")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(folded == oneShot)
+  }
+
+  test("aggregation merge engine: fold over any batch split == one-shot group-by") {
+    val rows = (1 to 100).map(i => (i % 7L, i.toLong, i.toLong, i * 3L))
+    val df = rows.toDF("k", "s", "n", "m")
+    val aggs = Seq("s" -> "sum", "n" -> "count", "m" -> "max")
+    val oneShot = Upsert.applyAggregate(None, df, Seq("k"), aggs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // expected from first principles
+    val expect = rows.groupBy(_._1).map { case (k, vs) =>
+      (k, vs.map(_._2).sum, vs.size.toLong, vs.map(_._4).max) }.toSet
+    assert(oneShot == expect)
+    // arbitrary 3-way split (parity/thirds — order irrelevant here)
+    val folded = Seq(0, 1, 2).foldLeft(None: Option[org.apache.spark.sql.DataFrame]) {
+      (state, r) => Some(Upsert.applyAggregate(state,
+        rows.filter(_._2 % 3 == r).toDF("k", "s", "n", "m"), Seq("k"), aggs))
+    }.get.as[(Long, Long, Long, Long)].collect().toSet
+    assert(folded == oneShot)
+  }
 }
