@@ -141,6 +141,18 @@ object SparkEntry {
       TextOps.chunk(t(s, dir, "documents"))),
     "q_vocab" -> ((s, dir) =>
       TextOps.vocabulary(t(s, dir, "documents"))),
+    // BPE subword tokenization: train (sample-bounded, memoized) +
+    // distributed encode. No SQL oracle (the merge loop is not
+    // SQL-expressible) → rows-only; q_bpe_gate certifies the
+    // lossless-roundtrip invariant with a pinned oracle.
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Bpe.encode(d, graft.operators.Bpe.trainCached(d))
+    }),
+    "q_bpe_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Bpe.roundtripGate(d, graft.operators.Bpe.trainCached(d))
+    }),
     "q_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(t(s, dir, "documents"))),
     // Deterministic frozen train/val/test membership by id-hash
@@ -856,6 +868,14 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(red2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  md5(red3) AS redacted_md5
         |FROM r3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // BPE roundtrip gate: losslessness is BY CONSTRUCTION (merges only
+    // concatenate within-word pieces), so the oracle pins the verdict;
+    // n_docs/n_merges come from the data/defaults.
+    "q_bpe_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS roundtrip_ok
+        |FROM documents""".stripMargin,
 
     // Split thresholds come from the SAME hexThreshold the operator
     // uses, so the two engines compare digests against byte-identical
