@@ -136,6 +136,48 @@ object Upsert {
       .agg(aggCols(merge = true).head, aggCols(merge = true).tail: _*))
   }
 
+  /** [[applyPartial]] driven by a changelog envelope batch (op, ts_ms,
+    * [seq,] before, after) — the streaming-sink form: after-rows merge
+    * per column under (ts_ms, seq) order, existing state participates
+    * at −∞ like [[applyChangelog]]. Deletes are NOT consumed: Paimon's
+    * partial-update engine likewise rejects deletes unless sequence
+    * groups are configured — rows with op='d' are filtered out here
+    * and the caller should reject them upstream. */
+  def applyChangelogPartial(state: Option[DataFrame], changes: DataFrame,
+                            keys: Seq[String]): DataFrame = {
+    val rowType = changes.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val contentSeq = xxhash64(col("op"), col("before"), col("after"))
+    val seq =
+      if (changes.columns.contains("seq")) coalesce(col("seq"), contentSeq)
+      else contentSeq
+    val flat = changes
+      .filter(col("op") =!= ChangeEvent.OpDelete && col("after").isNotNull)
+      .select(col("after.*"), col("ts_ms").as("__ts"), seq.cast("long").as("__seq"))
+    val stateRows = state.map(_
+      .withColumn("__ts", lit(Long.MinValue))
+      .withColumn("__seq", lit(Long.MinValue))
+      .select(flat.columns.map(col).toSeq: _*))
+    partialUpdate(stateRows.fold(flat)(_ unionByName flat), keys,
+        Seq("__ts", "__seq"))
+      .select(rowType.fieldNames.toSeq.map(col): _*)
+  }
+
+  /** [[applyAggregate]] driven by a changelog envelope batch — the
+    * streaming-sink form for APPEND streams (op='c'): each batch's
+    * after-rows pre-aggregate and fold into state. Updates/deletes are
+    * not consumed: aggregation merge engines need retraction inputs
+    * ('+U/-U' pairs) to subtract, which the append-only contract —
+    * same as Paimon's aggregation engine without changelog-producer —
+    * excludes by construction. */
+  def applyChangelogAggregate(state: Option[DataFrame], changes: DataFrame,
+                              keys: Seq[String],
+                              aggs: Seq[(String, String)]): DataFrame =
+    applyAggregate(state,
+      changes.filter(col("op") === ChangeEvent.OpCreate && col("after").isNotNull)
+        .select(col("after.*")),
+      keys, aggs)
+
   /** Typed changelog envelope for the streaming materializer. */
   final case class Envelope[T](op: String, tsMs: Long, before: Option[T], after: Option[T])
 

@@ -42,11 +42,30 @@ object CdcPipeline {
   case class CdcRecord(table: String, op: String, ts_ms: Long,
                        before: String, after: String)
 
+  /** Per-table merge engine — the Paimon `'merge-engine'` sink option
+    * (the reference wires `deduplicate`, `flink-gen.sh:129`; the other
+    * two are the Paimon engines its users reach next). Each names the
+    * fold applied to a key's rows as changelog batches land. */
+  sealed trait MergeEngine
+  object MergeEngine {
+    /** latest row per key wins; deletes remove (the default). */
+    case object Deduplicate extends MergeEngine
+    /** latest NON-NULL per column wins; deletes rejected
+      * ([[Upsert.applyChangelogPartial]]). */
+    case object PartialUpdate extends MergeEngine
+    /** declared per-column folds over an append stream
+      * ([[Upsert.applyChangelogAggregate]]); `aggs` maps value column →
+      * sum | count | min | max. */
+    final case class Aggregation(aggs: Seq[(String, String)]) extends MergeEngine
+  }
+
   /** @param keys primary key (latest-by-key identity)
     * @param dist distribution (bucketing) key — defaults to the PK;
-    *             set to the downstream agg/join key for co-location */
+    *             set to the downstream agg/join key for co-location
+    * @param engine merge engine applied at the staging sink */
   final case class TableSpec(name: String, schema: StructType, keys: Seq[String],
-                             dist: Seq[String] = Seq.empty) {
+                             dist: Seq[String] = Seq.empty,
+                             engine: MergeEngine = MergeEngine.Deduplicate) {
     def distKeys: Seq[String] = if (dist.nonEmpty) dist else keys
   }
 
@@ -106,8 +125,14 @@ object CdcPipeline {
                 .filter(col("b").isNotNull)
                 .distinct().collect().map(_.getInt(0)).toSeq
               if (touched.nonEmpty) {
-                val newTouched = Upsert.applyChangelog(
-                  store.readBuckets(touched), envelope, spec.keys)
+                val newTouched = spec.engine match {
+                  case MergeEngine.Deduplicate => Upsert.applyChangelog(
+                    store.readBuckets(touched), envelope, spec.keys)
+                  case MergeEngine.PartialUpdate => Upsert.applyChangelogPartial(
+                    store.readBuckets(touched), envelope, spec.keys)
+                  case MergeEngine.Aggregation(aggs) => Upsert.applyChangelogAggregate(
+                    store.readBuckets(touched), envelope, spec.keys, aggs)
+                }
                 store.writeBuckets(newTouched, spec.distKeys, touched, batchId)
               }
               spec.name -> touched

@@ -107,6 +107,56 @@ class CdcPipelineSpec extends SparkSpec {
       assert(staged.map(_._1).toSeq == Seq(7L) && staged.head._2 == 2L)
     } finally h.query.stop()
   }
+
+  test("partial-update and aggregation merge engines at the staging sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc-engines").toString
+    val mem = MemoryStream[CdcRecord]
+    val profileSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("email", StringType),
+      StructField("phone", StringType)))
+    val meterSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("spend_cents", LongType),
+      StructField("n_events", LongType)))
+    val h = CdcPipeline.start(spark, mem.toDF(), Seq(
+      TableSpec("profiles", profileSchema, Seq("user_id"),
+        engine = MergeEngine.PartialUpdate),
+      TableSpec("meters", meterSchema, Seq("user_id"),
+        engine = MergeEngine.Aggregation(
+          Seq("spend_cents" -> "sum", "n_events" -> "count")))),
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
+    def profile(u: Long, email: String, phone: String) = {
+      def f(k: String, v: String) = if (v == null) s""""$k":null""" else s""""$k":"$v""""
+      s"""{"user_id":$u,${f("email", email)},${f("phone", phone)}}"""
+    }
+    def meter(u: Long, cents: Long) =
+      s"""{"user_id":$u,"spend_cents":$cents,"n_events":1}"""
+    try {
+      // trigger 1: sparse creates from two sources
+      mem.addData(
+        CdcRecord("profiles", "c", 1, null, profile(1, "a@x", null)),
+        CdcRecord("profiles", "c", 1, null, profile(2, null, "555")),
+        CdcRecord("meters", "c", 1, null, meter(1, 100)),
+        CdcRecord("meters", "c", 1, null, meter(1, 250)))
+      h.query.processAllAvailable()
+      // trigger 2: sparse update must NOT null out the other column;
+      // meters keep folding
+      mem.addData(
+        CdcRecord("profiles", "u", 2, profile(1, "a@x", null), profile(1, null, "777")),
+        CdcRecord("meters", "c", 2, null, meter(1, 50)),
+        CdcRecord("meters", "c", 2, null, meter(2, 10)))
+      h.query.processAllAvailable()
+      val profiles = h.staging("profiles").get
+        .as[(Long, Option[String], Option[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // email survived the sparse update; phone arrived from it
+      assert(profiles(1L) == ((Some("a@x"), Some("777"))), profiles.toString)
+      assert(profiles(2L) == ((None, Some("555"))), profiles.toString)
+      val meters = h.staging("meters").get
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(meters == Map(1L -> ((400L, 3L)), 2L -> ((10L, 1L))), meters.toString)
+    } finally h.query.stop()
+  }
 }
 
 case class MvRow(movie_id: Long, movie_title: String, total_revenue: BigDecimal,
