@@ -148,7 +148,8 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    docs.select(col("doc_id").cast("long"), col("text"))
+    Similarity.spread(docs, "doc_id")
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val rank = bc.value.rank
@@ -178,7 +179,8 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val ok = docs.select(col("doc_id").cast("long"), col("text"))
+    val ok = Similarity.spread(docs, "doc_id")
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val rank = bc.value.rank

@@ -155,12 +155,14 @@ object IvfIndex {
     Model(centroids)
   }
 
-  /** Inverted-list assignment of every vector. */
+  /** Inverted-list assignment of every vector. Per-row map — spread
+    * across executor threads (single-row-group local inputs otherwise
+    * serialize the scan; see [[Similarity.spread]]). */
   def assign(embeddings: DataFrame, model: Model): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.centroids)
-    toVecs(embeddings).mapPartitions { it =>
+    toVecs(Similarity.spread(embeddings)).mapPartitions { it =>
       val cs = bc.value
       it.map { case (id, v) => (id, nearest(v, cs), v) }
     }.toDF("vec_id", "cluster", "v")
@@ -177,7 +179,7 @@ object IvfIndex {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.centroids)
-    toVecs(embeddings).mapPartitions { it =>
+    toVecs(Similarity.spread(embeddings)).mapPartitions { it =>
       val cs = bc.value
       val mm = math.min(m, cs.length)
       it.flatMap { case (id, v) =>
@@ -274,7 +276,7 @@ object IvfIndex {
     val np = if (probes > 0) math.min(probes, cents.length)
              else math.max(1, math.ceil(cents.length * 0.6).toInt)
     val bc = spark.sparkContext.broadcast(cents)
-    val probed = toVecs(queries).mapPartitions { it =>
+    val probed = toVecs(Similarity.spread(queries)).mapPartitions { it =>
       val cs = bc.value
       it.flatMap { case (id, v) =>
         val scored = cs.indices.map { c =>

@@ -163,7 +163,7 @@ object PqIndex {
     import spark.implicits._
     val bcC = spark.sparkContext.broadcast(coarse.centroids)
     val bcP = spark.sparkContext.broadcast(pq)
-    val lists = embeddings
+    val lists = Similarity.spread(embeddings)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -232,7 +232,7 @@ object PqIndex {
              else math.max(1, math.ceil(cents.length * 0.6).toInt)
     val bcC = spark.sparkContext.broadcast(cents)
     val bcP = spark.sparkContext.broadcast(p)
-    val probed = queries
+    val probed = Similarity.spread(queries)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>

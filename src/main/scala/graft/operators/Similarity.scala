@@ -23,6 +23,20 @@ object Similarity {
     embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
 
+  /** Spread a per-row map-only vector stream across the executor
+    * threads (deterministic id-hash repartition). The scan-side
+    * parallelism of a mapPartitions op is whatever the SOURCE split
+    * count is — a single-row-group parquet file (the local testdata
+    * shape) serializes the whole scoring pass onto one task, which
+    * both wastes 31 cores and maximizes exposure to slow-JIT task
+    * modes (memory: bench-jit-bimodality). Only applied where per-row
+    * results are partitioning-independent (scoring heaps, probe
+    * fan-out, encodes) — never around order-sensitive double folds
+    * like the k-means sums. The shuffle moves the QUERY stream, the
+    * small side by design. */
+  private[operators] def spread(df: DataFrame, key: String = "vec_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Exact brute-force self-ANN: [[bruteForceTopKFor]] with the corpus
     * as its own query set. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
@@ -59,7 +73,7 @@ object Similarity {
                         blockRows: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qvecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+    val qvecs = spread(queries).select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
     val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -115,7 +129,7 @@ object Similarity {
       threshold: Double, blockRows: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qvecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+    val qvecs = spread(queries).select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
     val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
