@@ -139,12 +139,19 @@ object Upsert {
   /** [[applyPartial]] driven by a changelog envelope batch (op, ts_ms,
     * [seq,] before, after) — the streaming-sink form: after-rows merge
     * per column under (ts_ms, seq) order, existing state participates
-    * at −∞ like [[applyChangelog]]. Deletes are NOT consumed: Paimon's
-    * partial-update engine likewise rejects deletes unless sequence
-    * groups are configured — rows with op='d' are filtered out here
-    * and the caller should reject them upstream. */
+    * at −∞ like [[applyChangelog]]. Deletes are REJECTED loudly:
+    * Paimon's partial-update engine likewise throws on delete records
+    * unless sequence groups / `ignore-delete` are configured — a
+    * silently-dropped delete would leave a row the source removed. The
+    * check is one count over the (caller-cached) envelope batch. */
   def applyChangelogPartial(state: Option[DataFrame], changes: DataFrame,
                             keys: Seq[String]): DataFrame = {
+    val nDeletes = changes.filter(col("op") === ChangeEvent.OpDelete).count()
+    if (nDeletes > 0) throw new IllegalStateException(
+      s"partial-update merge engine received $nDeletes delete event(s); " +
+        "partial-update cannot retract merged columns (Paimon rejects " +
+        "deletes for partial-update tables without sequence groups) — " +
+        "route deletes to a deduplicate-engine table or drop them upstream")
     val rowType = changes.schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val contentSeq = xxhash64(col("op"), col("before"), col("after"))
@@ -177,6 +184,50 @@ object Upsert {
       changes.filter(col("op") === ChangeEvent.OpCreate && col("after").isNotNull)
         .select(col("after.*")),
       keys, aggs)
+
+  /** Retractable [[applyChangelogAggregate]] — consumes the FULL
+    * changelog (c/u/d), the Paimon aggregation engine with
+    * `changelog-producer` retraction inputs: an update subtracts its
+    * before-image and adds its after-image; a delete subtracts. Only
+    * sum and count are supported — they are the invertible folds;
+    * min/max cannot un-see a retracted extremum (Paimon likewise
+    * ignores or rejects retractions for non-invertible functions), so
+    * they are rejected at the call.
+    *
+    * Shape: each event flattens to signed rows (after-image weight +1,
+    * before-image weight −1), pre-aggregates map-side per key —
+    * `sum(c·w)` / `sum(w where c not null)` — and merges into state by
+    * per-column sum: one shuffle of per-partition partials, state rows
+    * only for touched keys. A key whose history fully retracts keeps
+    * its zero-valued row (remove-on-zero is a policy choice, not an
+    * algebraic one). Replay safety comes from the caller's batch
+    * ledger ([[graft.streaming.BucketedStateStore.lastAppliedBatch]]),
+    * not from this fold — unlike the idempotent engines, re-applying a
+    * batch here double-counts by construction. */
+  def applyChangelogAggregateRetract(state: Option[DataFrame], changes: DataFrame,
+                                     keys: Seq[String],
+                                     aggs: Seq[(String, String)]): DataFrame = {
+    val bad = aggs.collect { case (c, fn) if fn != "sum" && fn != "count" => s"$c:$fn" }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"retractable aggregation supports sum|count only (not invertible: ${bad.mkString(",")})")
+    val afterRows = changes
+      .filter(col("op") =!= ChangeEvent.OpDelete && col("after").isNotNull)
+      .select(col("after.*") +: Seq(lit(1L).as("__w")): _*)
+    val beforeRows = changes
+      .filter(col("op") =!= ChangeEvent.OpCreate && col("before").isNotNull)
+      .select(col("before.*") +: Seq(lit(-1L).as("__w")): _*)
+    val signedAggs = aggs.map { case (c, fn) =>
+      (fn match {
+        case "sum"   => sum(col(c) * col("__w"))
+        case "count" => sum(when(col(c).isNotNull, col("__w")).otherwise(0L))
+      }).as(c)
+    }
+    val pre = afterRows.unionByName(beforeRows)
+      .groupBy(keys.map(col): _*).agg(signedAggs.head, signedAggs.tail: _*)
+    val mergeAggs = aggs.map { case (c, _) => sum(col(c)).as(c) }
+    state.fold(pre)(s => s.unionByName(pre)
+      .groupBy(keys.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*))
+  }
 
   /** Typed changelog envelope for the streaming materializer. */
   final case class Envelope[T](op: String, tsMs: Long, before: Option[T], after: Option[T])

@@ -41,16 +41,49 @@ final class BucketedStateStore(spark: SparkSession, dir: String, val buckets: In
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
       .sorted(Ordering[Long].reverse)
 
-  /** Committed versions only (manifest present). */
-  private def committedDesc: Seq[(Long, Set[Int])] = versionsDesc.flatMap { v =>
+  /** Manifest = line 1: claimed-bucket CSV; later lines (optional):
+    * `batch=<token>:<id>` — the changelog batch whose application
+    * produced this version, scoped by a caller token (the Paimon
+    * `commitUser` idea: one token per checkpoint lineage) so a
+    * redeploy with a fresh checkpoint — whose batch ids restart at
+    * 0 — is never mistaken for a replay. */
+  private def readManifest(v: Long): Option[(Set[Int], Seq[(String, Long)])] = {
     val p = manifestPath(v)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      Some(v -> s.split(",").filter(_.nonEmpty).map(_.toInt).toSet)
+      val lines = s.split("\n")
+      val buckets = lines.headOption.getOrElse("")
+        .split(",").filter(_.nonEmpty).map(_.toInt).toSet
+      val batches = lines.filter(_.startsWith("batch=")).toSeq.flatMap { l =>
+        l.stripPrefix("batch=").split(":", 2) match {
+          case Array(tok, id) => Some(tok -> id.toLong)
+          case _              => None
+        }
+      }
+      Some((buckets, batches))
     }
   }
+
+  /** Committed versions only (manifest present). */
+  private def committedDesc: Seq[(Long, Set[Int])] =
+    versionsDesc.flatMap(v => readManifest(v).map { case (b, _) => v -> b })
+
+  /** Greatest batch id per token across live manifests. */
+  private def batchLedger: Map[String, Long] =
+    versionsDesc.flatMap(v => readManifest(v).toSeq.flatMap(_._2))
+      .groupBy(_._1).map { case (t, ids) => t -> ids.map(_._2).max }
+
+  /** Greatest changelog batch id a committed version records for this
+    * token — the replay guard: `foreachBatch` is at-least-once, so a
+    * restarted stream re-delivers the last batch whose sink write
+    * committed but whose checkpoint offset did not. Idempotent folds
+    * (deduplicate / partial-update) absorb the replay; an aggregation
+    * fold would double-count — so [[CdcPipeline]] skips any batch with
+    * `id <= lastAppliedBatch(token)`. Scanned over live manifests
+    * (bounded by [[expire]]); [[compact]] carries the ledger forward. */
+  def lastAppliedBatch(token: String): Option[Long] = batchLedger.get(token)
 
   private def bucketPath(v: Long, b: Int) = new Path(s"$dir/v=$v/__b=$b")
 
@@ -101,16 +134,23 @@ final class BucketedStateStore(spark: SparkSession, dir: String, val buckets: In
   }
 
   /** One-job write of the touched buckets' new state; commits
-    * `max(version, latest+1)` with a manifest claiming `touched`. */
+    * `max(version, latest+1)` with a manifest claiming `touched`.
+    * `appliedBatch` records (token, batchId) in the replay ledger
+    * (see [[lastAppliedBatch]]); the full ledger is carried forward on
+    * every commit so [[expire]] can never drop an entry. */
   def writeBuckets(df: DataFrame, keys: Seq[String], touched: Seq[Int],
-                   version: Long): Unit = {
+                   version: Long, appliedBatch: Option[(String, Long)] = None): Unit = {
     if (touched.isEmpty) return
+    val ledger = (batchLedger ++ appliedBatch.map { case (t, b) =>
+      t -> math.max(b, batchLedger.getOrElse(t, Long.MinValue)) }).toSeq.sorted
     val commit = math.max(version, versionsDesc.headOption.map(_ + 1).getOrElse(0L))
     df.withColumn("__b", bucketOf(keys.map(col)))
       .write.mode("overwrite").partitionBy("__b")
       .parquet(s"$dir/v=$commit")
+    val body = (touched.sorted.mkString(",") +:
+      ledger.map { case (t, b) => s"batch=$t:$b" }).mkString("\n")
     val out = fs.create(manifestPath(commit), true)
-    try out.write(touched.sorted.mkString(",").getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     expire()
   }
 

@@ -50,13 +50,17 @@ object CdcPipeline {
   object MergeEngine {
     /** latest row per key wins; deletes remove (the default). */
     case object Deduplicate extends MergeEngine
-    /** latest NON-NULL per column wins; deletes rejected
-      * ([[Upsert.applyChangelogPartial]]). */
+    /** latest NON-NULL per column wins; deletes rejected loudly
+      * ([[Upsert.applyChangelogPartial]] throws — the Paimon contract). */
     case object PartialUpdate extends MergeEngine
-    /** declared per-column folds over an append stream
-      * ([[Upsert.applyChangelogAggregate]]); `aggs` maps value column →
-      * sum | count | min | max. */
-    final case class Aggregation(aggs: Seq[(String, String)]) extends MergeEngine
+    /** declared per-column folds; `aggs` maps value column →
+      * sum | count | min | max. `retract = false` (default) consumes an
+      * append stream ([[Upsert.applyChangelogAggregate]]);
+      * `retract = true` consumes the full c/u/d changelog with
+      * subtract-on-retraction ([[Upsert.applyChangelogAggregateRetract]],
+      * sum|count only). */
+    final case class Aggregation(aggs: Seq[(String, String)],
+                                 retract: Boolean = false) extends MergeEngine
   }
 
   /** @param keys primary key (latest-by-key identity)
@@ -92,6 +96,13 @@ object CdcPipeline {
       t.name -> new BucketedStateStore(spark, s"$stateDir/${t.name}", buckets)).toMap
     val mvStore = new BucketedStateStore(
       spark, s"$stateDir/movie_revenue_realtime", buckets)
+    // Replay-ledger token: one per checkpoint lineage (the Paimon
+    // `commitUser` idea) — batch ids are monotonic only within a
+    // checkpoint, so a redeploy with a fresh checkpoint gets a fresh
+    // token and its restarted batch 0 is not mistaken for a replay.
+    val ledgerToken = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
 
     val query = changelog.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -124,16 +135,33 @@ object CdcPipeline {
                       spec.distKeys.map(k => col(s"$side.$k"))))): _*)).as("b"))
                 .filter(col("b").isNotNull)
                 .distinct().collect().map(_.getInt(0)).toSeq
-              if (touched.nonEmpty) {
+              // Replay guard (exactly-once): foreachBatch is
+              // at-least-once — after a crash between the sink commit
+              // and the checkpoint commit, the restarted stream
+              // re-delivers this batchId. Deduplicate/PartialUpdate
+              // folds absorb the re-application (same keys, same ts →
+              // same content) but an Aggregation fold would
+              // double-count, and writeBuckets commits at
+              // max(batchId, latest+1) so the replay would land as a
+              // NEW corrupted version. The store's manifest records
+              // the batch each commit applied; a batch the ledger
+              // already covers is skipped for every engine.
+              val replayed = store.lastAppliedBatch(ledgerToken).exists(_ >= batchId)
+              if (touched.nonEmpty && !replayed) {
                 val newTouched = spec.engine match {
                   case MergeEngine.Deduplicate => Upsert.applyChangelog(
                     store.readBuckets(touched), envelope, spec.keys)
                   case MergeEngine.PartialUpdate => Upsert.applyChangelogPartial(
                     store.readBuckets(touched), envelope, spec.keys)
-                  case MergeEngine.Aggregation(aggs) => Upsert.applyChangelogAggregate(
-                    store.readBuckets(touched), envelope, spec.keys, aggs)
+                  case MergeEngine.Aggregation(aggs, false) =>
+                    Upsert.applyChangelogAggregate(
+                      store.readBuckets(touched), envelope, spec.keys, aggs)
+                  case MergeEngine.Aggregation(aggs, true) =>
+                    Upsert.applyChangelogAggregateRetract(
+                      store.readBuckets(touched), envelope, spec.keys, aggs)
                 }
-                store.writeBuckets(newTouched, spec.distKeys, touched, batchId)
+                store.writeBuckets(newTouched, spec.distKeys, touched, batchId,
+                  appliedBatch = Some(ledgerToken -> batchId))
               }
               spec.name -> touched
             } finally { envelope.unpersist(); () }
@@ -156,7 +184,13 @@ object CdcPipeline {
             else if (touchedByTable.valuesIterator.exists(_.nonEmpty))
               0 until buckets
             else Nil
-          if (touchedMv.nonEmpty && ticketsSpec.nonEmpty && moviesSpec.nonEmpty) {
+          // Same replay guard; the MV is a pure function of staging
+          // state so re-deriving it is content-idempotent, but skipping
+          // avoids a redundant version (and the guard still lets the MV
+          // catch up when the crash fell between staging and MV commit).
+          val mvReplayed = mvStore.lastAppliedBatch(ledgerToken).exists(_ >= batchId)
+          if (touchedMv.nonEmpty && !mvReplayed &&
+              ticketsSpec.nonEmpty && moviesSpec.nonEmpty) {
             // a side with no committed rows still yields (empty) MV
             // buckets — an emptied dimension must retract its MV rows
             val tickets = stores("tickets").readBuckets(touchedMv)
@@ -165,7 +199,8 @@ object CdcPipeline {
               .getOrElse(emptyOf(moviesSpec.get.schema))
             mvStore.writeBuckets(
               Revenue.movieRevenue(tickets, movies, statuses),
-              Seq("movie_id"), touchedMv, batchId)
+              Seq("movie_id"), touchedMv, batchId,
+              appliedBatch = Some(ledgerToken -> batchId))
           }
         } finally { cached.unpersist(); () }
       }

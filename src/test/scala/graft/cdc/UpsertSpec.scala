@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 case class Ticket(ticket_id: Long, status: String, cost: Double)
+case class Meter(user_id: Long, spend_cents: Long, n_events: Long)
 
 /** CDC upsert semantics — the reference's PK-table behavior
   * (tickets-cdc.sql:23-37; event mix of gen_data.py:171-200 incl.
@@ -142,6 +143,43 @@ class UpsertSpec extends SparkSpec {
     }.get.select("k", "a", "b")
       .as[(Long, Option[String], Option[String])].collect().toSet
     assert(folded == oneShot)
+  }
+
+  test("partial-update changelog rejects delete events loudly") {
+    val changes = changesDf(Seq(
+      env("c", 1, Ticket(1, "scheduled", 10.0)),
+      env("d", 2, Ticket(1, "scheduled", 10.0))))
+    val e = intercept[IllegalStateException] {
+      Upsert.applyChangelogPartial(None, changes, Seq("ticket_id"))
+    }
+    assert(e.getMessage.contains("delete"))
+  }
+
+  test("retractable aggregation: update subtracts before-image, delete subtracts") {
+    val aggs = Seq("spend_cents" -> "sum", "n_events" -> "count")
+    val b1 = Seq(
+      ("c", 1L, None: Option[Meter], Some(Meter(1, 100, 1))),
+      ("c", 2L, None: Option[Meter], Some(Meter(1, 250, 1))),
+      ("c", 3L, None: Option[Meter], Some(Meter(2, 10, 1))))
+      .toDF("op", "ts_ms", "before", "after")
+    val s1 = Upsert.applyChangelogAggregateRetract(None, b1, Seq("user_id"), aggs)
+    assert(s1.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 350L, 2L), (2L, 10L, 1L)))
+    val b2 = Seq(
+      ("u", 4L, Some(Meter(1, 250, 1)), Some(Meter(1, 500, 1))), // revise 250→500
+      ("d", 5L, Some(Meter(2, 10, 1)), None: Option[Meter]))     // retract fully
+      .toDF("op", "ts_ms", "before", "after")
+    val s2 = Upsert.applyChangelogAggregateRetract(Some(s1), b2, Seq("user_id"), aggs)
+    // key 1: 350−250+500 = 600, count 2−1+1 = 2; key 2 retracts to zero
+    // (the zero-valued row is kept — remove-on-zero is a policy choice)
+    assert(s2.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 600L, 2L), (2L, 0L, 0L)))
+    // non-invertible folds are rejected up front
+    val e = intercept[IllegalArgumentException] {
+      Upsert.applyChangelogAggregateRetract(None, b1, Seq("user_id"),
+        Seq("spend_cents" -> "max"))
+    }
+    assert(e.getMessage.contains("max"))
   }
 
   test("aggregation merge engine: fold over any batch split == one-shot group-by") {

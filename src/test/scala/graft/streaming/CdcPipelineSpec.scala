@@ -157,6 +157,79 @@ class CdcPipelineSpec extends SparkSpec {
       assert(meters == Map(1L -> ((400L, 3L)), 2L -> ((10L, 1L))), meters.toString)
     } finally h.query.stop()
   }
+  test("aggregation engine does not double-count when a committed batch replays") {
+    // the exactly-once crash window: the sink commit for batch 0
+    // succeeded but the checkpoint commit record did not — foreachBatch
+    // re-delivers batch 0 on restart. Deleting ckpt/commits/0 after a
+    // clean stop reproduces that window deterministically.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc-replay").toString
+    val meterSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("spend_cents", LongType),
+      StructField("n_events", LongType)))
+    val tables = Seq(TableSpec("meters", meterSchema, Seq("user_id"),
+      engine = MergeEngine.Aggregation(
+        Seq("spend_cents" -> "sum", "n_events" -> "count"))))
+    def meter(u: Long, cents: Long) =
+      s"""{"user_id":$u,"spend_cents":$cents,"n_events":1}"""
+    val mem = MemoryStream[CdcRecord]
+    val h1 = CdcPipeline.start(spark, mem.toDF(), tables,
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
+    mem.addData(
+      CdcRecord("meters", "c", 1, null, meter(1, 100)),
+      CdcRecord("meters", "c", 1, null, meter(1, 250)))
+    h1.query.processAllAvailable()
+    h1.query.stop()
+    assert(new java.io.File(s"$dir/ckpt/commits/0").delete(),
+      "expected a batch-0 commit record to remove")
+    new java.io.File(s"$dir/ckpt/commits/.0.crc").delete() // local-FS sidecar
+
+    val h2 = CdcPipeline.start(spark, mem.toDF(), tables,
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
+    try {
+      h2.query.processAllAvailable()   // replays batch 0; ledger skips it
+      val meters = h2.staging("meters").get
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(meters == Map(1L -> ((350L, 2L))), s"double-counted: $meters")
+      // new data after the replay still applies
+      mem.addData(CdcRecord("meters", "c", 2, null, meter(1, 50)))
+      h2.query.processAllAvailable()
+      val after = h2.staging("meters").get
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(after == Map(1L -> ((400L, 3L))), after.toString)
+    } finally h2.query.stop()
+  }
+
+  test("retractable aggregation engine consumes the full c/u/d changelog") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc-retract").toString
+    val meterSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("spend_cents", LongType),
+      StructField("n_events", LongType)))
+    val mem = MemoryStream[CdcRecord]
+    val h = CdcPipeline.start(spark, mem.toDF(), Seq(
+      TableSpec("meters", meterSchema, Seq("user_id"),
+        engine = MergeEngine.Aggregation(
+          Seq("spend_cents" -> "sum", "n_events" -> "count"), retract = true))),
+      s"$dir/state", s"$dir/ckpt", Trigger.ProcessingTime(0))
+    def meter(u: Long, cents: Long) =
+      s"""{"user_id":$u,"spend_cents":$cents,"n_events":1}"""
+    try {
+      mem.addData(
+        CdcRecord("meters", "c", 1, null, meter(1, 100)),
+        CdcRecord("meters", "c", 1, null, meter(1, 250)),
+        CdcRecord("meters", "c", 1, null, meter(2, 10)))
+      h.query.processAllAvailable()
+      // an update revises a contribution; a delete retracts one
+      mem.addData(
+        CdcRecord("meters", "u", 2, meter(1, 250), meter(1, 500)),
+        CdcRecord("meters", "d", 2, meter(2, 10), null))
+      h.query.processAllAvailable()
+      val meters = h.staging("meters").get
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(meters == Map(1L -> ((600L, 2L)), 2L -> ((0L, 0L))), meters.toString)
+    } finally h.query.stop()
+  }
 }
 
 case class MvRow(movie_id: Long, movie_title: String, total_revenue: BigDecimal,
