@@ -223,8 +223,13 @@ object SparkEntry {
     // round on one missed borderline pair at a new SF.
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.4)),
+    // Adaptive entry: probes the bucket-collision mass and falls back
+    // to the exact blocked scan when LSH would not prune (the wired
+    // τ=0.4 weakly-clustered regime — where the bucket join costs more
+    // than the scan it feeds). The LSH path stays certified by the
+    // recall gate below, which drives embeddingNearDupFor directly.
     "q_embed_neardup_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
+      Dedup.adaptiveNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
     "q_embed_neardup_gate" -> ((s, dir) =>
       Dedup.nearDupRecallGate(t(s, dir, "embeddings"), threshold = 0.4, bar = 0.95)),
     // Semantic (SemDeDup cluster-blocked) near-dup: approximate by
@@ -266,8 +271,12 @@ object SparkEntry {
     // Auto sizing: nClusters ≈ 2√N (45 at sf0.01, 90 at sf0.1), probes
     // at the ≥0.9-recall operating point the companion gate certifies;
     // the probe join is salted on (cluster, chunk).
+    // Adaptive entry: expected probed fraction (probes/nClusters) ≥
+    // break-even → the exact blocked scan wins (index cost ≈ fraction
+    // × flat scan PLUS probe-join overhead); the IVF machinery stays
+    // certified by q_ann_ivf_recall, which drives build/query directly.
     "q_ann_ivf" -> ((s, dir) =>
-      graft.operators.IvfIndex.topK(t(s, dir, "embeddings"), k = 5)
+      graft.operators.IvfIndex.adaptiveTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
 
     // Driver-visible recall gates for the approximate ANN operators:

@@ -536,6 +536,25 @@ object Dedup {
     verifyPairs(cand, embeddings, threshold)
   }
 
+  /** Break-even-guarded near-dup entry, the pair-mining mirror of
+    * [[Similarity.adaptiveTopK]]: probe the corpus's bucket-collision
+    * mass first ([[Similarity.lshCandidateFraction]], measured exactly
+    * on a deterministic md5-order sample) and run the LSH path only
+    * where it prunes. At a low threshold on a weakly-clustered corpus
+    * (the wired τ=0.4 regime) the candidate set ≈ all pairs, so the
+    * bucket join + distinct + id-fetch verify costs MORE than the
+    * exact blocked scan it feeds — there the exact scan (recall 1) is
+    * strictly better. The LSH path's recall stays certified by
+    * [[nearDupRecallGate]], which drives [[embeddingNearDupFor]]
+    * directly. */
+  def adaptiveNearDup(embeddings: DataFrame, threshold: Double = 0.9,
+                      tables: Int = 24, planes: Int = 3,
+                      maxCandidateFraction: Double = 0.25): DataFrame =
+    if (Similarity.lshCandidateFraction(embeddings, tables, planes)
+        >= maxCandidateFraction)
+      embeddingNearDupExact(embeddings, threshold)
+    else embeddingNearDup(embeddings, threshold, tables, planes)
+
   /** [[embeddingNearDup]] with the probe side split out: canonical
     * (a < b) pairs TOUCHING `queries`, against the full corpus — the
     * recall gate's O(sample·buckets) form. Needs the symmetric ≠ join

@@ -301,6 +301,30 @@ object IvfIndex {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Break-even-guarded self-ANN entry — the IVF mirror of
+    * [[Similarity.adaptiveTopK]]'s Faiss-style argument: an inverted
+    * index only pays when the probed lists cover a small corpus
+    * fraction. Expected probed fraction is probes/nClusters (k-means
+    * lists are near-balanced on weakly-clustered data — the exact
+    * regime where the fraction runs high); at ≥ `maxProbedFraction`
+    * the index costs ~fraction × the flat scan PLUS the probe-join
+    * overhead, so the exact blocked scan is both faster and recall-1 —
+    * run it instead. The IVF machinery itself stays certified by the
+    * recall gate, which drives [[build]]/[[query]] directly. On a
+    * clustered corpus where few probes reach the recall bar, the
+    * fraction is small and the index path runs as built. */
+  def adaptiveTopK(embeddings: DataFrame, k: Int = 5, nClusters: Int = -1,
+                   probes: Int = -1, iters: Int = 3, chunksPerList: Int = 4,
+                   maxProbedFraction: Double = 0.25): DataFrame = {
+    val n = embeddings.count()
+    val nc = if (nClusters > 0) nClusters else autoClusters(n)
+    val np = if (probes > 0) math.min(probes, nc)
+             else math.max(1, math.ceil(nc * 0.6).toInt)
+    if (np.toDouble / nc >= maxProbedFraction)
+      Similarity.bruteForceTopK(embeddings, k)
+    else topK(embeddings, k, nc, np, iters, chunksPerList)
+  }
+
   /** Convenience self-ANN: build + query in one call. The result
     * (corpus×k id/score rows) is materialized eagerly and the index is
     * closed before returning — the r4 wrapper left the persisted lists

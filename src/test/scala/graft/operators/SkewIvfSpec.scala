@@ -66,6 +66,41 @@ class SkewIvfSpec extends SparkSpec {
       s"clustered corpus at 16 planes should prune, got $fClustered")
   }
 
+  test("adaptive IVF entry falls back to the exact scan past break-even") {
+    // default probes (60% of lists) ≥ the 0.25 break-even → the entry
+    // must return the exact blocked-scan result bit-for-bit
+    val vs = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val adaptive = IvfIndex.adaptiveTopK(vs, k = 3)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val exact = Similarity.bruteForceTopK(vs, k = 3)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(adaptive == exact)
+    // explicit low probe fraction (1 of 4 lists < 0.25) keeps the
+    // index path: every query still covered, k rows each
+    val indexed = IvfIndex.adaptiveTopK(vs, k = 3, nClusters = 4, probes = 1)
+    assert(indexed.select("query_id").distinct().count() == 40)
+  }
+
+  test("adaptive near-dup entry returns the exact pair set in the no-pruning regime") {
+    // random corpus at τ=0.4: LSH marks most pairs → fallback = exact
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(120)(Array.fill(16)(rnd.nextGaussian())).zipWithIndex
+      .map { case (v, i) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(x => (x / n).toFloat))
+      }.toDF("vec_id", "embedding")
+    val adaptive = Dedup.adaptiveNearDup(vs, threshold = 0.4,
+        tables = 24, planes = 3)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val exact = Dedup.embeddingNearDupExact(vs, threshold = 0.4)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(adaptive == exact)
+  }
+
   test("convenience topK closes its index: no cached RDDs survive the call") {
     // the r4 wrapper stranded the persisted (×chunks) list blocks in
     // any long-lived session; both convenience entries must leave the
