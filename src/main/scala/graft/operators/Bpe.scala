@@ -41,6 +41,25 @@ object Bpe {
     @transient lazy val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
   }
 
+  /** Upper bound on the symbol span [[encodeWord]] scans: the encode
+    * loop is O(L²) in word length, and "word" means a SPACE-DELIMITED
+    * run — a space-free document (CJK text, minified JS, a base64
+    * blob) is ONE word of length L, a quadratic straggler-task
+    * generator at corpus scale. Words longer than this are chunked
+    * into `MaxWordLen`-sized pieces that train/encode/decode
+    * independently, exactly the role of regex pre-tokenization in
+    * production BPE tokenizers: merges never span a chunk boundary,
+    * so reconstruction (concatenate the chunk decodes) is exact by
+    * construction and the roundtrip gate holds unchanged. 64 chars
+    * clears every natural-language word while capping per-word encode
+    * work at 64² scans. */
+  val MaxWordLen = 64
+
+  /** Chunked view of a space-delimited word: itself when short, else
+    * `maxWordLen`-sized slices. */
+  private def wordChunks(w: String, maxWordLen: Int): Iterator[String] =
+    if (w.length <= maxWordLen) Iterator.single(w) else w.grouped(maxWordLen)
+
   private def wordSymbols(w: String): Vector[String] = {
     val cs = w.toVector.map(_.toString)
     if (cs.isEmpty) Vector.empty
@@ -71,18 +90,20 @@ object Bpe {
   }
 
   /** Session-scoped memo for [[trainCached]] — same policy as
-    * [[IvfIndex.fitCached]]: training is deterministic per (dataset,
-    * params), so the encode query, the gate, and repeated bench runs
-    * share one model. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Model]()
+    * [[IvfIndex.fitCached]] ([[ModelMemo]]: plan fingerprint +
+    * input-file inventory; in-memory relations bypass): training is
+    * deterministic per (dataset, params), so the encode query, the
+    * gate, and repeated bench runs share one model. */
+  private val memo = new ModelMemo[Model]
+
+  /** Explicit cache reset (see [[ModelMemo.invalidate]]). */
+  def invalidateTrainCache(): Unit = memo.invalidate()
 
   /** [[train]] with per-session memoization. */
-  def trainCached(docs: DataFrame, numMerges: Int = 200, maxWords: Int = 10000): Model = {
-    val key = (docs.queryExecution.analyzed.semanticHash(), numMerges, maxWords)
-    if (memo.size > 64) memo.clear()
-    memo.computeIfAbsent(key, _ => train(docs, numMerges, maxWords))
-  }
+  def trainCached(docs: DataFrame, numMerges: Int = 200, maxWords: Int = 10000): Model =
+    memo.getOrCompute(docs, s"bpe:$numMerges:$maxWords") {
+      train(docs, numMerges, maxWords)
+    }
 
   /** Train `numMerges` merges on the corpus's top-`maxWords` word
     * frequency table. Driver state is bounded by maxWords whatever the
@@ -100,8 +121,16 @@ object Bpe {
       .limit(maxWords)
       .as[(String, Long)].collect()
 
+    // chunk over-long words the same way encode will see them, then
+    // re-merge duplicate chunks — bounds the merge loop's per-word
+    // cost at MaxWordLen² whatever the corpus contains
+    val chunked: Array[(String, Long)] = freqs.iterator
+      .flatMap { case (w, n) => wordChunks(w, MaxWordLen).map((_, n)) }
+      .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+      .toArray.sortBy { case (w, n) => (-n, w) }
+
     var words: Array[(Vector[String], Long)] =
-      freqs.map { case (w, n) => (wordSymbols(w), n) }
+      chunked.map { case (w, n) => (wordSymbols(w), n) }
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var exhausted = false
@@ -156,7 +185,7 @@ object Bpe {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val pieces = text.split(" ").iterator.filter(_.nonEmpty)
-            .flatMap(w => encodeWord(w, rank))
+            .flatMap(wordChunks(_, MaxWordLen)).flatMap(encodeWord(_, rank))
           md.reset()
           var n = 0L
           pieces.foreach { p =>
@@ -186,8 +215,13 @@ object Bpe {
         val rank = bc.value.rank
         it.map { case (_, text) =>
           val words = text.split(" ").filter(_.nonEmpty)
+          // decode chunk-wise (each chunk carries its own EndOfWord
+          // sentinel) and concatenate — exact reconstruction even when
+          // the text itself contains the sentinel string
           val decoded = words.map(w =>
-            encodeWord(w, rank).mkString("").stripSuffix(EndOfWord))
+            wordChunks(w, MaxWordLen)
+              .map(encodeWord(_, rank).mkString("").stripSuffix(EndOfWord))
+              .mkString(""))
           java.util.Arrays.equals(
             words.asInstanceOf[Array[AnyRef]], decoded.asInstanceOf[Array[AnyRef]])
         }

@@ -30,6 +30,27 @@ class BpeSpec extends SparkSpec {
     assert(unseen.mkString("").stripSuffix(Bpe.EndOfWord) == "zzq")
   }
 
+  test("space-free 100kB document encodes in bounded time and roundtrips") {
+    // one giant "word" (the CJK/minified-JS/base64 shape): unchunked
+    // this is O(L²) — ~10¹⁰ symbol scans at L=100k; chunked at
+    // MaxWordLen it is (L/64)·64² and must finish promptly
+    val blob = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < 100000) { sb.append(('a' + i % 26).toChar); i += 1 }
+      sb.toString
+    }
+    val docs = Seq((1L, blob), (2L, "low lower lowest")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, numMerges = 30)
+    val t0 = System.nanoTime()
+    val enc = Bpe.encode(docs, model).collect()
+    val gate = Bpe.roundtripGate(docs, model).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(gate.getBoolean(1), "chunked encode must still decode exactly")
+    assert(enc.length == 2)
+    assert(secs < 30.0, f"bounded encode took $secs%.1f s — chunking broken?")
+  }
+
   test("roundtrip gate holds on the documents fixture; encode is stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val model = Bpe.trainCached(docs, numMerges = 50)
