@@ -62,8 +62,10 @@ object SparkEntry {
     // (sparse per-type fields assemble one wide row per user). Driven
     // INCREMENTALLY in two ord-ordered batches — the hash match against
     // the one-shot oracle certifies the fold semantics. Sequence field:
-    // ms-since-2024 ×2^30 + event_id (injective; fits BIGINT through
-    // sf1-scale event ids).
+    // the (ts, event_id) PAIR under partialUpdate's multi-column struct
+    // ordering — total (event ids are unique) and overflow-free at any
+    // timestamp span, where the previous single-BIGINT packing
+    // (ms-since-2024 ×2^30 + event_id) silently wrapped past ~99 days.
     "q_upsert_partial" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = t(s, dir, "events").select(
@@ -71,14 +73,14 @@ object SparkEntry {
         when(col("event_type") === "purchase", col("value")).as("last_purchase_value"),
         when(col("event_type") === "error", col("props")).as("last_error_props"),
         col("ts").as("last_seen"),
-        ((unix_millis(col("ts")) - 1704067200000L) * 1073741824L + col("event_id"))
-          .as("__ord"))
+        col("ts").as("__ts"), col("event_id").as("__eid"))
       val pivot = "2024-01-16"
+      val ord = Seq("__ts", "__eid")
       val s1 = graft.cdc.Upsert.applyPartial(None,
-        ev.filter(col("last_seen") < pivot), Seq("user_id"), Seq("__ord"))
+        ev.filter(col("last_seen") < pivot), Seq("user_id"), ord)
       graft.cdc.Upsert.applyPartial(Some(s1),
-        ev.filter(col("last_seen") >= pivot), Seq("user_id"), Seq("__ord"))
-        .drop("__ord")
+        ev.filter(col("last_seen") >= pivot), Seq("user_id"), ord)
+        .drop("__ts", "__eid")
     }),
     // Paimon aggregation merge engine: per-key declared-function folds
     // (sum/count/max), driven incrementally in two batches split by
@@ -648,12 +650,17 @@ object SparkEntry {
     // One-shot oracles for the incrementally-driven merge engines: the
     // hash match certifies fold == one-shot. Ordering nulled where the
     // value is null = "NULLs never overwrite".
+    // DuckDB's max_by has no struct ordering, so the oracle packs the
+    // (ts, event_id) pair into a HUGEINT (128-bit: ms ×2^63 + id is
+    // injective and overflow-free for every BIGINT event_id) — same
+    // total order as the Spark side's two-column struct.
     "q_upsert_partial" ->
       """WITH e AS (SELECT user_id,
         |    CASE WHEN event_type = 'purchase' THEN value END AS pv,
         |    CASE WHEN event_type = 'error' THEN props END AS pe,
         |    CAST(ts AS TIMESTAMP) AS tsq,
-        |    (epoch_ms(CAST(ts AS TIMESTAMP)) - 1704067200000) * 1073741824 + event_id AS ord
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+        |      * CAST('9223372036854775808' AS HUGEINT) + event_id AS ord
         |  FROM events)
         |SELECT user_id,
         |  max_by(pv, CASE WHEN pv IS NOT NULL THEN ord END) AS last_purchase_value,
