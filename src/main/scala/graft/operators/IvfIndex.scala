@@ -87,29 +87,29 @@ object IvfIndex {
     best
   }
 
-  /** Session-scoped memo for [[fitCached]]: (plan semantic hash,
-    * nClusters arg, iters) → (corpus count, fitted model). [[fit]] is
-    * deterministic for a given dataset, so callers that share a corpus
-    * share one quantizer instead of re-running Lloyd per query — the
-    * r4 bench paid three identical k-means fits per round across the
-    * semantic-dedup family. Centroid payload is nClusters×dims doubles
-    * (≤ a few MB); the map is cleared past 64 entries as a leak guard. */
-  private val fitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), (Long, Model)]()
+  /** Session-scoped memo for [[fitCached]] ([[ModelMemo]]: keyed on
+    * plan fingerprint + input-file inventory + params; in-memory
+    * relations bypass it). [[fit]] is deterministic for a given
+    * dataset, so callers that share a corpus share one quantizer
+    * instead of re-running Lloyd per query — the r4 bench paid three
+    * identical k-means fits per round across the semantic-dedup
+    * family. Centroid payload is nClusters×dims doubles (≤ a few MB);
+    * the map self-clears past 64 entries as a leak guard. */
+  private val fitMemo = new ModelMemo[(Long, Model)]
+
+  /** Explicit cache reset (see [[ModelMemo.invalidate]]). */
+  def invalidateFitCache(): Unit = fitMemo.invalidate()
 
   /** [[fit]] with auto-sizing and per-session memoization. Returns the
     * resolved model; nClusters ≤ 0 → [[autoClusters]] of the corpus
     * count (the count is memoized with the model — it is the other
     * repeated job the un-memoized path paid per call). */
-  def fitCached(embeddings: DataFrame, nClusters: Int = -1, iters: Int = 3): Model = {
-    val key = (embeddings.queryExecution.analyzed.semanticHash(), nClusters, iters)
-    if (fitMemo.size > 64) fitMemo.clear()
-    fitMemo.computeIfAbsent(key, { _ =>
+  def fitCached(embeddings: DataFrame, nClusters: Int = -1, iters: Int = 3): Model =
+    fitMemo.getOrCompute(embeddings, s"ivf:$nClusters:$iters") {
       val n = embeddings.count()
       val nc = if (nClusters > 0) nClusters else autoClusters(n)
       (n, fit(embeddings, nc, iters))
-    })._2
-  }
+    }._2
 
   /** Lloyd's k-means (dot-product objective over normalized vectors). */
   def fit(embeddings: DataFrame, nClusters: Int = 16, iters: Int = 5): Model = {

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped memo for deterministic model fits (IVF/PQ quantizers,
+  * BPE merge tables), keyed on WHAT WAS READ rather than just the plan:
+  * md5 of the canonicalized plan string PLUS every input file's (path,
+  * length, modificationTime), plus the fit parameters.
+  *
+  * That closes the two staleness/collision holes of the earlier
+  * `semanticHash()`-keyed maps: a long-lived session re-reading a
+  * REFRESHED path behind an identical plan gets a new key (no silently
+  * stale model), and two different corpora cannot alias on a 32-bit
+  * plan hash (the key carries 128 fingerprint bits plus the concrete
+  * file inventory). Cost per lookup is one file-status call per leaf
+  * input file — driver metadata, negligible next to the corpus scan any
+  * fit performs.
+  *
+  * Plans with NO file inputs (in-memory test relations) BYPASS the memo
+  * and compute directly: their data is invisible to any plan-level
+  * fingerprint, so caching them is exactly the aliasing hazard the key
+  * exists to prevent — and the memo's purpose (sharing one fit across
+  * the driver's parquet-backed queries) doesn't apply to them.
+  *
+  * [[invalidate]] is the explicit reset hook; the size guard holds the
+  * map's monitor so a concurrent clear cannot interleave with the
+  * check (the previous check-then-clear raced). */
+private[operators] final class ModelMemo[V <: AnyRef] {
+  private val map = new java.util.concurrent.ConcurrentHashMap[String, V]()
+
+  /** Drop every memoized model (e.g. after overwriting input paths
+    * mid-session with an unchanged file inventory — rewritten files
+    * normally re-key on (length, modificationTime) by themselves). */
+  def invalidate(): Unit = map.clear()
+
+  def getOrCompute(df: DataFrame, params: String)(compute: => V): V = {
+    val files = df.inputFiles
+    if (files.isEmpty) return compute
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def update(s: String): Unit =
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    update(df.queryExecution.analyzed.canonicalized.toString)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    files.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      update(s"|$f:${st.getLen}:${st.getModificationTime}")
+    }
+    update(s"|$params")
+    val key = md.digest().map("%02x".format(_)).mkString
+    map.synchronized { if (map.size > 64) map.clear() }
+    map.computeIfAbsent(key, _ => compute)
+  }
+}

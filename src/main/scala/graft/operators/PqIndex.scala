@@ -125,16 +125,18 @@ object PqIndex {
     * bench census, a session issuing several index builds) share one
     * codebook set instead of re-running 10-iteration k-means × m
     * subspaces per call. */
-  private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int, Int), PqModel]()
+  private val pqMemo = new ModelMemo[PqModel]
 
-  /** [[fitPq]] with per-session memoization. */
+  /** Explicit cache reset (see [[ModelMemo.invalidate]]). */
+  def invalidateFitCache(): Unit = pqMemo.invalidate()
+
+  /** [[fitPq]] with per-session memoization ([[ModelMemo]]: plan
+    * fingerprint + input-file inventory; in-memory relations bypass). */
   def fitPqCached(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
-                  iters: Int = 10, sampleN: Int = 4096): PqModel = {
-    val key = (embeddings.queryExecution.analyzed.semanticHash(), m, ksub, iters, sampleN)
-    if (pqMemo.size > 64) pqMemo.clear()
-    pqMemo.computeIfAbsent(key, _ => fitPq(embeddings, m, ksub, iters, sampleN))
-  }
+                  iters: Int = 10, sampleN: Int = 4096): PqModel =
+    pqMemo.getOrCompute(embeddings, s"pq:$m:$ksub:$iters:$sampleN") {
+      fitPq(embeddings, m, ksub, iters, sampleN)
+    }
 
   /** Train the product quantizer on a deterministic md5-order sample. */
   def fitPq(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,

@@ -101,6 +101,33 @@ class SkewIvfSpec extends SparkSpec {
     assert(adaptive == exact)
   }
 
+  test("fitCached keys on the file inventory: hits, re-keys on rewrite, bypasses in-memory") {
+    def vecs(seed: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(n)(Array.fill(8)(rnd.nextGaussian())).zipWithIndex.map { case (v, i) =>
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(x => (x / norm).toFloat))
+      }.toDF("vec_id", "embedding")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    vecs(1, 60).repartition(1).write.mode("overwrite").parquet(dir)
+    val m1 = IvfIndex.fitCached(spark.read.parquet(dir), nClusters = 4, iters = 2)
+    val m1b = IvfIndex.fitCached(spark.read.parquet(dir), nClusters = 4, iters = 2)
+    assert(m1 eq m1b, "identical plan over identical files must hit the memo")
+    // rewrite the path with DIFFERENT data behind the same plan — the
+    // staleness hole the file-inventory key exists to close
+    vecs(2, 80).repartition(1).write.mode("overwrite").parquet(dir)
+    val m2 = IvfIndex.fitCached(spark.read.parquet(dir), nClusters = 4, iters = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq != m2.centroids.map(_.toSeq).toSeq,
+      "refreshed files behind an identical plan must re-fit, not serve the stale model")
+    // in-memory relations bypass the memo (their data is invisible to
+    // any plan fingerprint): two calls fit fresh models
+    val local = vecs(3, 50)
+    val a = IvfIndex.fitCached(local, nClusters = 4, iters = 2)
+    val b = IvfIndex.fitCached(local, nClusters = 4, iters = 2)
+    assert(!(a eq b), "no-file plans must compute, not cache")
+  }
+
   test("convenience topK closes its index: no cached RDDs survive the call") {
     // the r4 wrapper stranded the persisted (×chunks) list blocks in
     // any long-lived session; both convenience entries must leave the
