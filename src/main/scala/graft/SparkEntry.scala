@@ -332,6 +332,16 @@ object SparkEntry {
     // 32-byte frame, emitted as (doc_id, frame_idx, md5) — the frame
     // extraction itself is byte-exact and oracle-checkable even with
     // the codec stubbed.
+    // REAL image decode (JDK javax.imageio): build a genuine grayscale
+    // PNG from each document's leading 16-aligned text bytes, decode it
+    // back with ImageIO, and emit dimensions/bands plus the md5 of the
+    // decoded pixel samples. PNG gray is lossless, so the pixel digest
+    // must equal the digest of the source bytes — the full
+    // encode→parse→decode loop is pinned by a SQL oracle that never
+    // touches a codec. The codec stub now stands in for VIDEO only.
+    "q_multimodal_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeImageMeta(
+        graft.operators.Multimodal.encodePng(t(s, dir, "documents")))),
     "q_multimodal_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.operators.Multimodal.sampleFrames(
@@ -1198,6 +1208,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The decode loop's oracle: width fixed at 16, height = rows of 16
+    // bytes, one gray band, and the pixel digest = digest of the
+    // leading 16-aligned text bytes (gray PNG is lossless; corpus is
+    // pure ASCII so VARCHAR slicing is byte-exact).
+    "q_multimodal_decode" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS width,
+        |  CAST(length(text) // 16 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  md5(substr(text, 1, 16 * (length(text) // 16))) AS px_md5
+        |FROM documents WHERE length(text) >= 16
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Byte-slicing on the VARCHAR is byte-exact here: the corpus is
     // pure ASCII (verified octet_length(encode(text)) = length(text)

@@ -42,10 +42,71 @@ object Multimodal {
       octet_length(col("payload")).cast("bigint").as("n_bytes"),
       md5(col("text")).as("payload_md5"))
 
-  /** STUB deterministic "codec" — replace with a real decoder. */
+  /** Real image decode via the JDK's own `javax.imageio` (PNG/JPEG
+    * readers ship in every JRE — no external codec needed): dimensions,
+    * band count, and per-band mean intensity (normalized to 0–1) as the
+    * feature vector. Payloads that are not a decodable image fall back
+    * to [[StubCodec]] — which remains the honest stand-in for VIDEO
+    * only (no container/codec in the JDK). */
+  object ImageCodec {
+    def isPng(b: Array[Byte]): Boolean =
+      b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+    def isImage(b: Array[Byte]): Boolean = isPng(b) || isJpeg(b)
+
+    /** Decode to (width, height, bands, per-band mean/255). Returns
+      * None when ImageIO cannot parse the payload. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      if (!isImage(payload)) return None
+      val img = try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      } catch { case _: java.io.IOException => None }
+      img.map { im =>
+        val r = im.getRaster
+        val (w, h, c) = (im.getWidth, im.getHeight, r.getNumBands)
+        val sums = new Array[Double](c)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < c) { sums(b) += r.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, c, sums.map(s => (s / (w.toDouble * h) / 255.0).toFloat))
+      }
+    }
+
+    /** Band-interleaved 8-bit sample bytes of a decoded image — the
+      * codec-independent pixel view [[decodeImageMeta]] digests. */
+    def sampleBytes(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val r = im.getRaster
+      val (w, h, c) = (im.getWidth, im.getHeight, r.getNumBands)
+      val out = new Array[Byte](w * h * c)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < c) { out(i) = r.getSample(x, y, b).toByte; i += 1; b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic fake "codec" — the honest stand-in for payloads the
+    * JDK cannot decode (video containers; arbitrary binary). Image
+    * payloads take the real [[ImageCodec]] path. */
   object StubCodec {
-    /** ??? real decode goes here; deterministic fake keeps the
-      * pipeline testable without codecs. */
+    /** Deterministic fake decode for non-image payloads (the video
+      * stand-in); [[ImageCodec.decode]] is the real path. */
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
       val n = payload.length
       val width = 16 + (n % 64)
@@ -64,7 +125,9 @@ object Multimodal {
     }
   }
 
-  /** Batched partition-wise decode + feature extraction. */
+  /** Batched partition-wise decode + feature extraction: real
+    * `javax.imageio` decode for PNG/JPEG payloads, deterministic stub
+    * for everything else (the video stand-in). */
   def decodeFeatures(media: Dataset[MediaRecord], batchSize: Int = 64)
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -72,11 +135,70 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch: real codecs amortize setup here (Arrow-batch analog)
         batch.iterator.map { r =>
-          val (w, h, c, f) = StubCodec.decode(r.payload)
+          val (w, h, c, f) =
+            ImageCodec.decode(r.payload).getOrElse(StubCodec.decode(r.payload))
           MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, c, f)
         }
       }
     }
+  }
+
+  /** Deterministic grayscale-PNG encode of each document's leading
+    * `width`-aligned text bytes — the fixture builder that gives the
+    * decode path REAL images to chew on (the corpus ships no media
+    * column): pixel (x, y) = byte `y·width + x`, 8-bit gray, lossless
+    * by PNG's contract. Documents shorter than one row are dropped.
+    * Emits (doc_id, payload) with a genuine PNG byte stream. */
+  def encodePng(docs: DataFrame, width: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = bytes.length / width
+          if (h == 0) None
+          else {
+            val img = new java.awt.image.BufferedImage(
+              width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            img.getRaster.setDataElements(0, 0, width, h,
+              java.util.Arrays.copyOf(bytes, width * h))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Some((id, bos.toByteArray))
+          }
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Real-decode metadata pass: parse each payload with `javax.imageio`
+    * and emit (doc_id, width, height, channels, px_md5) where px_md5
+    * digests the decoded band-interleaved 8-bit samples — for a
+    * lossless gray PNG built by [[encodePng]], byte-identical to the
+    * source text bytes, which is what makes the whole decode loop
+    * oracle-checkable in SQL. Rows whose payload fails to parse are
+    * dropped (count the difference upstream to monitor codec health). */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, payload) =>
+          val img = try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          } catch { case _: java.io.IOException => None }
+          img.map { im =>
+            md.reset()
+            val digest = md.digest(ImageCodec.sampleBytes(im))
+              .map("%02x".format(_)).mkString
+            (id, im.getWidth.toLong, im.getHeight.toLong,
+              im.getRaster.getNumBands.toLong, digest)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "channels", "px_md5")
   }
 
   /** Frame sampling (video analog): every `stride`-th fixed-size slice

@@ -47,6 +47,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.payload.length == 64))
   }
 
+  test("ImageCodec: real PNG decode — exact dimensions, bands, means") {
+    // 4×2 gray image with known pixel values → known mean
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array(0, 51, 102, 153, 204, 255, 0, 51).map(_.toByte)
+    img.getRaster.setDataElements(0, 0, 4, 2, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val payload = bos.toByteArray
+    assert(Multimodal.ImageCodec.isPng(payload))
+    val Some((w, h, c, feats)) = Multimodal.ImageCodec.decode(payload)
+    assert((w, h, c) == (4, 2, 1))
+    val expectedMean = px.map(_ & 0xff).sum / 8.0 / 255.0
+    assert(math.abs(feats(0) - expectedMean) < 1e-6)
+    // non-image payloads are not claimed by the image path
+    assert(Multimodal.ImageCodec.decode("plain text".getBytes).isEmpty)
+  }
+
+  test("decodeFeatures dispatches: real decode for PNG, stub for other bytes") {
+    implicit val s = spark
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 3, 3, Array.fill[Byte](9)(100))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRecord(1L, bos.toByteArray),
+      Multimodal.MediaRecord(2L, "not an image".getBytes)).toDS()
+    val out = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).width == 3 && out(1L).height == 3 && out(1L).channels == 1)
+    assert(math.abs(out(1L).features(0) - 100 / 255.0f) < 1e-6)
+    assert(out(2L).channels == 3, "non-image payload takes the stub path")
+  }
+
+  test("encodePng → decodeImageMeta: lossless loop, digest matches source bytes") {
+    val out = Multimodal.decodeImageMeta(Multimodal.encodePng(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(1L), "sub-row documents are dropped")
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 16 && r2.getLong(2) == 300 / 16 && r2.getLong(3) == 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(("a" * (16 * (300 / 16))).getBytes)
+      .map("%02x".format(_)).mkString
+    assert(r2.getString(4) == expected, "decoded pixels must be the source bytes")
+  }
+
   test("composition: media features feed similarity search (near-dup media found)") {
     implicit val s = spark
     import spark.implicits._
