@@ -137,12 +137,73 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     else None
   }
 
+  /** Committed snapshot versions of a VERSIONED table directory (the
+    * [[graft.streaming.StateStore]] `v=<n>/` layout), ascending; empty
+    * for a plain parquet table. Presence of any `v=` subdirectory is
+    * what flips a table into snapshot semantics — the default read
+    * resolves the LATEST version (snapshot isolation), never the union
+    * of all versions a naive recursive listing would produce. */
+  private def versionsOf(p: Path): Seq[Long] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else withDirStream(Files.list(p)) {
+      _.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v="))
+        .flatMap(v => v.stripPrefix("v=").toLongOption)
+        .toSeq.sorted
+    }
+
+  private def parquetTable(ident: Identifier, dataPath: Path,
+                           schema: Option[org.apache.spark.sql.types.StructType]): Table =
+    ParquetTable(ident.toString, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(dataPath.toString), schema,
+      classOf[ParquetFileFormat])
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
-    ParquetTable(ident.toString, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), Seq(p.toString), declaredSchema(p),
-      classOf[ParquetFileFormat])
+    val data = versionsOf(p).lastOption.fold(p)(v => p.resolve(s"v=$v"))
+    parquetTable(ident, data, declaredSchema(p))
+  }
+
+  /** SQL-text time travel, version form: `SELECT … FROM cat.db.t
+    * VERSION AS OF <n>` resolves here (Spark's TimeTravelSpec calls
+    * this overload). Exactly the [[graft.streaming.StateStore]]
+    * `read(version)` semantics, reachable from pure SQL — the surface
+    * a sql-client user expects of a Paimon/Iceberg lake table. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    val vs = versionsOf(p)
+    if (vs.isEmpty) throw new UnsupportedOperationException(
+      s"$catalogName: ${ident.toString} is not a versioned table (no v=<n> snapshots)")
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"$catalogName: VERSION AS OF expects a numeric snapshot id, got '$version'"))
+    if (!vs.contains(v)) throw new IllegalArgumentException(
+      s"$catalogName: ${ident.toString} has no snapshot v=$v " +
+        s"(committed: ${vs.mkString(",")} — older snapshots may have been expired)")
+    parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p))
+  }
+
+  /** SQL-text time travel, timestamp form: `… TIMESTAMP AS OF <ts>`
+    * (Spark passes MICROseconds). Resolves to the newest snapshot
+    * committed at or before the timestamp — commit time is the version
+    * directory's mtime, the same clock [[graft.streaming.StateStore]]
+    * `readAsOf` consults, so SQL and Scala answers agree. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    val vs = versionsOf(p)
+    if (vs.isEmpty) throw new UnsupportedOperationException(
+      s"$catalogName: ${ident.toString} is not a versioned table (no v=<n> snapshots)")
+    val tsMs = timestampMicros / 1000L
+    val v = vs.reverse.find(v =>
+        Files.getLastModifiedTime(p.resolve(s"v=$v")).toMillis <= tsMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$catalogName: ${ident.toString} has no snapshot at or before " +
+          s"timestamp ${tsMs}ms (earliest commit: " +
+          s"${Files.getLastModifiedTime(p.resolve(s"v=${vs.head}")).toMillis}ms)"))
+    parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p))
   }
 
   /** CREATE TABLE / CTAS: the table is a (initially empty) parquet

@@ -112,6 +112,55 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL-text time travel: VERSION/TIMESTAMP AS OF match the StateStore API") {
+    import org.apache.spark.sql.functions.col
+    val lake = Files.createTempDirectory("graft-lake-tt")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.laket", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.laket.path", lake.toString)
+    try {
+      import spark.implicits._
+      // commit three snapshots through the Scala API the RecoverySpec pins
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/accounts.parquet").toString)
+      store.write(Seq((1L, 100L), (2L, 200L)).toDF("id", "balance"), version = 0)
+      store.write(Seq((1L, 150L), (2L, 200L)).toDF("id", "balance"), version = 1)
+      store.write(Seq((1L, 150L), (2L, 250L), (3L, 5L)).toDF("id", "balance"), version = 2)
+
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.select(col("id"), col("balance")).as[(Long, Long)].collect().toSeq.sorted
+
+      // default read = latest snapshot, never the union of versions
+      assert(rows(spark.table("laket.state.accounts")) ==
+        rows(store.read().get))
+      assert(spark.table("laket.state.accounts").count() == 3)
+      // VERSION AS OF through pure SQL text == StateStore.read(version)
+      for (v <- 0L to 2L)
+        assert(rows(spark.sql(
+          s"SELECT * FROM laket.state.accounts VERSION AS OF $v")) ==
+          rows(store.read(v).get), s"version $v")
+      // TIMESTAMP AS OF: a timestamp at/after v0's commit but before a
+      // far-future bound resolves by commit mtime, agreeing with readAsOf
+      val t0 = store.commitTimeMs(0).get
+      val sqlAt = spark.sql(
+        s"SELECT * FROM laket.state.accounts TIMESTAMP AS OF " +
+          s"timestamp_millis(${t0})")
+      assert(rows(sqlAt) == rows(store.readAsOf(t0).get))
+      // errors: missing version; pre-history timestamp; non-versioned table
+      intercept[Exception](spark.sql(
+        "SELECT * FROM laket.state.accounts VERSION AS OF 99").collect())
+      intercept[Exception](spark.sql(
+        s"SELECT * FROM laket.state.accounts TIMESTAMP AS OF timestamp_millis(${t0 - 3600000})").collect())
+      Seq((1L, "x")).toDF("k", "v").write
+        .parquet(lake.resolve("state/plain.parquet").toString)
+      intercept[Exception](spark.sql(
+        "SELECT * FROM laket.state.plain VERSION AS OF 0").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.laket")
+      spark.conf.unset("spark.sql.catalog.laket.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {
