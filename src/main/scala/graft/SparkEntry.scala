@@ -144,9 +144,11 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextOps.vocabulary(t(s, dir, "documents"))),
     // BPE subword tokenization: train (sample-bounded, memoized) +
-    // distributed encode. No SQL oracle (the merge loop is not
-    // SQL-expressible) → rows-only; q_bpe_gate certifies the
-    // lossless-roundtrip invariant with a pinned oracle.
+    // distributed encode. The merge loop is not SQL-expressible but
+    // its output is a deterministic constant of (corpus, params), so
+    // the oracle pins the 500 sf0.01 rows as a VALUES table
+    // (BpeEncodeOracle); q_bpe_gate separately certifies the
+    // lossless-roundtrip invariant at any SF.
     "q_bpe_encode" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       graft.operators.Bpe.encode(d, graft.operators.Bpe.trainCached(d))
@@ -894,6 +896,11 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(red2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  md5(red3) AS redacted_md5
         |FROM r3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Pinned-constant oracle: the encode output is deterministic per
+    // (corpus, params) — see BpeEncodeOracle's scaladoc for the
+    // re-derivation recipe.
+    "q_bpe_encode" -> BpeEncodeOracle.sql,
 
     // BPE roundtrip gate: losslessness is BY CONSTRUCTION (merges only
     // concatenate within-word pieces), so the oracle pins the verdict;
