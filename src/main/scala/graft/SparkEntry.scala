@@ -221,10 +221,9 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), maxDist = 3)),
     // Verified entry = the exact blocked scan (hash-matches the
-    // all-pairs oracle at ANY scale factor); the LSH scale path runs as
-    // its own benched query with a sampled recall gate — an LSH output
-    // hash-compared to an exact oracle would deterministically fail the
-    // round on one missed borderline pair at a new SF.
+    // all-pairs oracle at ANY scale factor); the adaptive scale-path
+    // entry runs as its own benched query — exact (same oracle) in
+    // this no-pruning regime, recall-gated where LSH actually prunes.
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.4)),
     // Adaptive entry: probes the bucket-collision mass and falls back
@@ -265,13 +264,12 @@ object SparkEntry {
     // (SURVEY §2.8's documented no-pruning regime), so the engine
     // detects that and runs the flat scan, the Faiss-style break-even
     // fallback. The LSH path itself stays certified by q_ann_lsh_recall
-    // (the gate drives lshTopKFor directly). No SQL oracle by design —
-    // rows-only check; bruteForceTopK above is the exact reference.
+    // (the gate drives lshTopKFor directly). In this regime the entry
+    // is exact, so it carries the exact SQL oracle.
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.adaptiveTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
-    // IVF ANN (k-means inverted lists + multi-probe): approximate by
-    // design — rows-only check, brute force is the exact reference.
+    // IVF ANN (k-means inverted lists + multi-probe).
     // Auto sizing: nClusters ≈ 2√N (45 at sf0.01, 90 at sf0.1), probes
     // at the ≥0.9-recall operating point the companion gate certifies;
     // the probe join is salted on (cluster, chunk).
@@ -556,6 +554,30 @@ object SparkEntry {
     * far past this engine's bench scales; a cluster-scale deployment
     * summing more rows per group than that widens the sum to
     * DECIMAL(38,0) at ingest rather than here. */
+  /** Exact cosine top-5 oracle (DuckDB): shared by q_ann_bruteforce
+    * and — since the break-even fallback makes them exact on this
+    * corpus — the adaptive q_ann_lsh / q_ann_ivf entries. */
+  private val AnnExactTop5Sql: String =
+    """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, score FROM r WHERE rnk <= 5
+      |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  /** Exact τ=0.4 near-dup pair oracle, shared by q_embed_neardup and
+    * the adaptive q_embed_neardup_lsh entry (exact in the wired
+    * no-pruning regime). */
+  private val EmbedNearDupSql: String =
+    """SELECT x.vec_id AS a, y.vec_id AS b,
+      |  list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+      |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      |WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.4
+      |ORDER BY ALL NULLS FIRST""".stripMargin
+
   val PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
@@ -1147,17 +1169,14 @@ object SparkEntry {
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    "q_embed_neardup" ->
-      """SELECT x.vec_id AS a, y.vec_id AS b,
-        |  list_sum(list_transform(list_zip(x.embedding, y.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
-        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-        |WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.4
-        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_embed_neardup" -> EmbedNearDupSql,
 
-    // q_embed_neardup_lsh: approximate by design, no SQL oracle
-    // (rows-only check); the gate below pins its pair-recall verdict.
+    // The adaptive near-dup entry falls back to the exact blocked scan
+    // in this no-pruning regime (candidate fraction ≫ break-even at
+    // every SF of this distribution) — same oracle as the exact entry;
+    // the LSH path stays certified by the recall gate below.
+    "q_embed_neardup_lsh" -> EmbedNearDupSql,
+
     "q_embed_neardup_gate" ->
       """SELECT least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
@@ -1184,14 +1203,18 @@ object SparkEntry {
         |FROM p JOIN embeddings q ON q.vec_id = p.query_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    "q_ann_bruteforce" ->
-      """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s)
-        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, score FROM r WHERE rnk <= 5
-        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ann_bruteforce" -> AnnExactTop5Sql,
+
+    // The adaptive ANN entries take the exact blocked scan on this
+    // corpus (q_ann_lsh: the measured candidate fraction ~0.7 is far
+    // past the 0.25 break-even at every SF of this weakly-clustered
+    // distribution; q_ann_ivf: the default probe fraction 0.6 ≥ 0.25
+    // unconditionally), so their output is bit-identical to the exact
+    // oracle — the fold is the same sequential-double dot in both
+    // paths. The approximate machinery stays certified by the recall
+    // gates, which drive it directly.
+    "q_ann_lsh" -> AnnExactTop5Sql,
+    "q_ann_ivf" -> AnnExactTop5Sql,
 
     // Constant-shape oracles for the ANN recall gates: the Spark side
     // computes recall in-engine (over the deterministic 200-query
