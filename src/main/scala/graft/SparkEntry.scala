@@ -137,6 +137,11 @@ object SparkEntry {
     "q_mixture_sample" -> ((s, dir) =>
       TextOps.mixtureSample(t(s, dir, "documents"),
         Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1), total = 200)),
+    // DoReMi-style domain reweighting table: per-source token shares +
+    // temperature-scaled (sqrt-rule) sampling weights, all derived from
+    // exact integer totals through one rounded IEEE chain.
+    "q_domain_weights" -> ((s, dir) =>
+      TextOps.domainWeights(t(s, dir, "documents"))),
     "q_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"))),
     "q_text_chunks" -> ((s, dir) =>
@@ -235,6 +240,16 @@ object SparkEntry {
       Dedup.adaptiveNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
     "q_embed_neardup_gate" -> ((s, dir) =>
       Dedup.nearDupRecallGate(t(s, dir, "embeddings"), threshold = 0.4, bar = 0.95)),
+    // Contrastive triplet mining: each directed near pair + one
+    // deterministic md5-least sub-threshold negative from a fixed
+    // 200-vector sample — the embedding-finetuning pair builder.
+    "q_contrastive" -> ((s, dir) =>
+      Similarity.contrastiveTriplets(t(s, dir, "embeddings"), threshold = 0.4)),
+    // PCA over the embedding corpus: distributed moments, driver
+    // eigensolve, invariant gate (orthonormality, eigenvalue ordering,
+    // top-k mass ≥ k/d·trace, projection-variance == Rayleigh).
+    "q_pca_gate" -> ((s, dir) =>
+      graft.operators.Pca.gate(t(s, dir, "embeddings"))),
     // Semantic (SemDeDup cluster-blocked) near-dup: approximate by
     // design → rows-only entry; the companion gate pins pair-recall
     // ≥ 0.9 vs the exact sampled scan (measured 1.00/1.00/0.97 at the
@@ -1171,6 +1186,33 @@ object SparkEntry {
 
     "q_embed_neardup" -> EmbedNearDupSql,
 
+    // Contrastive triplets: positives re-derive from the all-pairs
+    // scan; the negative is the md5-least sample vector scoring below
+    // the threshold (min_by over the md5 of the id pair — the same
+    // deterministic draw the Spark side computes).
+    "q_contrastive" ->
+      """WITH p AS (SELECT q.vec_id AS anchor, c.vec_id AS positive,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS pos_score
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) >= 0.4),
+        |samp AS (SELECT vec_id AS s_id, embedding AS s_emb FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+        |scored AS (SELECT a.vec_id AS anchor, s.s_id,
+        |    list_sum(list_transform(list_zip(a.embedding, s.s_emb),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS sc
+        |  FROM embeddings a JOIN samp s ON s.s_id <> a.vec_id
+        |  WHERE a.vec_id IN (SELECT DISTINCT anchor FROM p)),
+        |n AS (SELECT anchor,
+        |    min_by(struct_pack(neg := s_id, nsc := sc),
+        |      md5(CAST(anchor AS VARCHAR) || '|' || CAST(s_id AS VARCHAR))) AS best
+        |  FROM scored WHERE sc < 0.4 GROUP BY anchor)
+        |SELECT p.anchor, p.positive, n.best.neg AS negative,
+        |  p.pos_score, n.best.nsc AS neg_score
+        |FROM p JOIN n ON p.anchor = n.anchor
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // The adaptive near-dup entry falls back to the exact blocked scan
     // in this no-pruning regime (candidate fraction ≫ break-even at
     // every SF of this distribution) — same oracle as the exact entry;
@@ -1180,6 +1222,28 @@ object SparkEntry {
     "q_embed_neardup_gate" ->
       """SELECT least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
+
+    // PCA invariant gate: constant-shape verdict row (n from the table;
+    // d/k from the fixed corpus dims and default k).
+    "q_pca_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(64 AS BIGINT) AS d,
+        |  CAST(8 AS BIGINT) AS k, true AS orthonormal_ok,
+        |  true AS ordered_ok, true AS explained_ok, true AS residual_ok
+        |FROM embeddings""".stripMargin,
+
+    // Exact-integer totals through one rounded IEEE chain (÷ then pow)
+    // — bit-identical across engines; weights unnormalized by design
+    // (see TextOps.domainWeights).
+    "q_domain_weights" ->
+      """WITH g AS (SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS total FROM g)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS mix_weight
+        |FROM g, t ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // q_dedup_semantic: approximate by design (cluster blocking), no
     // SQL oracle — rows-only; its gate pins the pair-recall verdict.

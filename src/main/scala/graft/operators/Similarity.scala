@@ -306,6 +306,69 @@ object Similarity {
       .select("query_id", "label", "predicted_label", "votes")
   }
 
+  /** Contrastive (anchor, positive, negative) triplet mining — the
+    * training-pair builder for embedding-model fine-tuning (SimCSE/
+    * sentence-transformers style): every directed near pair at
+    * `threshold` becomes an (anchor, positive), and each anchor draws
+    * ONE deterministic pseudo-random negative — the md5-least sample
+    * vector scoring BELOW the threshold against it.
+    *
+    * Negatives come from a fixed md5-order global sample of `sampleN`
+    * vectors, so the negative stage costs O(anchors·sampleN) dots
+    * against a broadcast — never a second all-pairs pass — and the
+    * draw is reshuffle-proof (pure function of the id pair, like the
+    * train/val/test split). Anchors with no sub-threshold sample
+    * vector (pathological: the whole sample is near them) drop out.
+    * Positives reuse [[thresholdPairsFor]], the exact reference stage;
+    * at full scale swap the LSH/semantic candidate paths in for the
+    * positive side — the negative machinery is unchanged. */
+  def contrastiveTriplets(embeddings: DataFrame, threshold: Double = 0.4,
+                          sampleN: Int = 200): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pos = thresholdPairsFor(embeddings, embeddings, threshold)
+      .toDF("anchor", "positive", "pos_score")
+    val sample = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val bc = spark.sparkContext.broadcast(sample)
+    val anchors = asDouble(embeddings)
+      .join(pos.select(col("anchor").as("vec_id")).distinct(), "vec_id")
+    val negs = spread(anchors)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cand = bc.value
+        val dig = java.security.MessageDigest.getInstance("MD5")
+        def md5Hex(s: String): String = {
+          dig.reset()
+          dig.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+        }
+        it.flatMap { case (a, av) =>
+          var bestKey: String = null
+          var bestId = -1L
+          var bestScore = 0.0
+          cand.foreach { case (s, sv) =>
+            if (s != a) {
+              var d = 0.0
+              var j = 0
+              while (j < av.length) { d += av(j) * sv(j); j += 1 }
+              if (d < threshold) {
+                val key = md5Hex(s"$a|$s")
+                if (bestKey == null || key < bestKey) {
+                  bestKey = key; bestId = s; bestScore = d
+                }
+              }
+            }
+          }
+          if (bestKey == null) None else Some((a, bestId, bestScore))
+        }
+      }.toDF("anchor", "negative", "neg_score")
+    pos.join(negs, "anchor")
+      .select("anchor", "positive", "negative", "pos_score", "neg_score")
+  }
+
   /** Recall@k of an approximate ANN against the exact brute force, as a
     * one-row gate: (k, n_queries, recall_ok = recall ≥ bar). Gives the
     * driver an oracle-checkable view of approximate-by-design operators

@@ -297,6 +297,37 @@ object TextOps {
         min(col("eval_id")).as("first_eval_hit"))
   }
 
+  /** Per-domain (source) mixture weights — the DoReMi-style domain
+    * reweighting table a pretraining run consumes: per source, document
+    * and token counts, the exact token share, and a temperature-scaled
+    * sampling weight share^alpha (alpha < 1 flattens the mixture
+    * toward rare domains, the standard multilingual/multi-source
+    * rebalancing trick; alpha = 0.5 is the sqrt rule). The weight
+    * column is UNNORMALIZED by design: normalizing needs a cross-group
+    * sum of doubles, whose accumulation order differs between engines
+    * at the last ulp — every emitted value here derives from exact
+    * integer totals through one correctly-rounded IEEE chain
+    * (÷ then pow), so the oracle matches bit-for-bit. Normalization is
+    * one driver-side division by the weight column's sum.
+    *
+    * Scale shape: one partial+final hash aggregate over the corpus
+    * (longs only through the exchange) + one broadcast of the 1-row
+    * global total — no sort, no window, nothing driver-side. */
+  def domainWeights(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("__total"))
+    val share = col("n_tokens").cast("double") / col("__total").cast("double")
+    // sqrt is correctly rounded in IEEE-754 (pow is only ~1 ulp in both
+    // engines' libms) — route the default sqrt rule through sqrt so the
+    // oracle matches bit-for-bit
+    val weight = if (alpha == 0.5) sqrt(share) else pow(share, lit(alpha))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        share.as("token_share"), weight.as("mix_weight"))
+  }
+
   /** Token-budgeted mixture selection: within each language, keep the
     * highest-quality documents until a per-language token budget is
     * filled (inclusive running total) — the data-mixing step that turns

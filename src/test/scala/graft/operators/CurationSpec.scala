@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-6 curation additions: domain mixing weights,
+  * contrastive triplet mining, and PCA. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def normed(raw: Seq[Array[Double]]): Seq[(Long, Array[Float])] =
+    raw.zipWithIndex.map { case (v, i) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }
+
+  test("domainWeights: exact shares and sqrt-rule weights from integer totals") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "src0"),    // 4 tokens
+      (2L, "a b", "en", "src0"),        // 2 tokens
+      (3L, "x y z", "de", "src1"))      // 3 tokens
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.domainWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("src0") == ((2L, 6L, 6.0 / 9.0, math.sqrt(6.0 / 9.0))))
+    assert(out("src1") == ((1L, 3L, 3.0 / 9.0, math.sqrt(3.0 / 9.0))))
+  }
+
+  test("contrastiveTriplets: near pairs become positives, md5-least far vector is the negative") {
+    // vectors 0,1 nearly parallel (positive pair both directions);
+    // 2..6 orthogonal-ish (negatives pool)
+    val base = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.999, 0.04, 0.0, 0.0),
+      // five DISTINCT mutually-far vectors (pairwise |cos| ≤ ~0.71)
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, 1.0),
+      Array(0.0, 0.7, -0.7, 0.0),
+      Array(0.0, 0.0, 0.7, -0.7))
+    val vs = normed(base).toDF("vec_id", "embedding")
+    val rows = Similarity.contrastiveTriplets(vs, threshold = 0.9, sampleN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((0L, 1L), (1L, 0L)),
+      s"directed positives expected, got ${rows.toSeq}")
+    rows.foreach { case (a, p, n, ps, ns) =>
+      assert(ps >= 0.9 && ns < 0.9, s"scores out of regime: $ps / $ns")
+      assert(n != a && n != p)
+      // the negative must be the md5-least qualifying candidate
+      def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = (0L until 7L)
+        .filter(s => s != a && s != (if (a == 0L) 1L else 0L))
+        .minBy(s => md5Hex(s"$a|$s"))
+      assert(n == expected, s"anchor $a: negative $n != md5-least $expected")
+    }
+  }
+
+  test("PCA: recovers a planted dominant direction; gate invariants hold") {
+    // anisotropic cloud: big variance along axis 2, small elsewhere
+    val rnd = new scala.util.Random(5)
+    val data = Seq.fill(400) {
+      val v = Array.fill(8)(rnd.nextGaussian() * 0.05)
+      v(2) += rnd.nextGaussian() * 3.0
+      v
+    }
+    val vs = data.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val model = Pca.fit(vs, k = 3, iters = 100)
+    // dominant component = axis 2 (sign fixed positive by convention)
+    assert(math.abs(model.components(0)(2)) > 0.99,
+      s"component 0 should align with the planted axis: ${model.components(0).toSeq}")
+    assert(model.components(0)(2) > 0, "sign convention: largest coordinate positive")
+    assert(model.eigenvalues(0) > 5 * model.eigenvalues(1),
+      "planted direction must dominate the spectrum")
+    // distributed projection: variance along comp0 equals eigenvalue 0
+    val proj = Pca.project(vs, model)
+      .select(posexplode(col("projection")).as(Seq("i", "p")))
+      .filter(col("i") === 0).agg(variance(col("p"))).head().getDouble(0)
+    assert(math.abs(proj - model.eigenvalues(0)) < 1e-6 * model.totalVariance)
+    val gate = Pca.gate(vs, k = 3, iters = 100).collect()(0)
+    assert((3 to 6).forall(gate.getBoolean), s"gate row: $gate")
+    // gate holds on the real corpus shape too (near-isotropic — the
+    // regime where the k/d mass bound sits at equality)
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g2 = Pca.gate(fixture).collect()(0)
+    assert((3 to 6).forall(g2.getBoolean), s"fixture gate row: $g2")
+  }
+}
