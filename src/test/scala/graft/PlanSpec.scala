@@ -74,6 +74,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 curation ops: aggregate-only / broadcast-only plans") {
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    // domainWeights: one partial+final aggregate over the corpus plus a
+    // broadcast of the single-row total — no sort, no SMJ, no window
+    val dw = plan(operators.TextOps.domainWeights(docs))
+    assert(dw.contains("HashAggregate"), dw)
+    assert(dw.contains("BroadcastExchange") || dw.contains("BroadcastNestedLoopJoin"),
+      "global total must ride a broadcast")
+    assert(!dw.contains("SortMergeJoin") && !dw.contains("Window"), dw)
+    // token sums must not drag the document bodies through the exchange
+    assert(!dw.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      "document bodies in the shuffle")
+    // contrastive triplets: the negative stage is a broadcast scan, the
+    // positive join is an equi-join on the anchor id — no cartesian
+    val ct = plan(operators.Similarity.contrastiveTriplets(emb, threshold = 0.4))
+    assert(!ct.contains("CartesianProduct"), ct)
+    // PCA projection: narrow map over the scan — no exchange at all
+    // beyond the deterministic spread repartition
+    val model = operators.Pca.fit(emb, k = 2, iters = 10)
+    val pj = plan(operators.Pca.project(emb, model))
+    assert(!pj.contains("SortMergeJoin") && !pj.contains("HashAggregate"), pj)
+  }
+
   test("IVF probe join is salted: keyed on (cluster, chunk), index layout reused") {
     // the round-3 defect: a probe join keyed on cluster alone is a
     // ≤nClusters-key exchange (max 16-way parallelism at the old
