@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index: k-means coarse quantizer + per-list
@@ -299,6 +299,44 @@ object IvfIndex {
           Similarity.dot(col("qv"), col("v")).as("score"))
     }.reduce(_ unionByName _)
     Similarity.rankTopK(scored, k)
+  }
+
+  /** Persist a built index to a lake directory — the other half of the
+    * build-once/query-many lifecycle: a 100 TB index is built by one
+    * job and queried by MANY later sessions, so it must outlive the
+    * SparkSession that fit it. Layout: `dir/model` (centroids as
+    * (idx, vector) rows — no serialization format dependency, any
+    * engine can read it), `dir/meta` (the salt width), `dir/lists`
+    * (the inverted lists, delta segments folded in — a [[load]] starts
+    * compacted). Plain parquet everywhere: the lake's own format. */
+  def save(index: Index, dir: String): Unit = {
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.model.centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    Seq(index.chunks).toDF("chunks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    index.segments.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lists")
+  }
+
+  /** Load a [[save]]d index: restores the (cluster, chunk) partitioned
+    * + sorted + persisted list layout, so query batches against the
+    * loaded index reuse it with zero corpus-side shuffle exactly as
+    * against the freshly built one. Query results are identical
+    * (spec-asserted) — the index is pure data. */
+  def load(spark: SparkSession, dir: String): Index = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/model")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val chunks = spark.read.parquet(s"$dir/meta").as[Int].head()
+    val lists = spark.read.parquet(s"$dir/lists")
+      .repartition(col("cluster"), col("chunk"))
+      .sortWithinPartitions("cluster", "chunk")
+      .persist()
+    lists.count()
+    Index(Model(cents), lists, chunks)
   }
 
   /** Break-even-guarded self-ANN entry — the IVF mirror of

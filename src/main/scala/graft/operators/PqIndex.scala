@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the inverted-file index of [[IvfIndex]] with product-
@@ -190,6 +190,52 @@ object PqIndex {
     val coarse = IvfIndex.fitCached(embeddings, nClusters, iters)
     val pq = fitPqCached(embeddings, m, ksub)
     Index(coarse, pq, layout(embeddings, coarse, pq, chunksPerList), chunksPerList)
+  }
+
+  /** Persist a built IVF-PQ index — the [[IvfIndex.save]] contract
+    * with the PQ codebooks alongside: `dir/model` (coarse centroids),
+    * `dir/pq` (sub-centroids as (subspace, code, vector) rows),
+    * `dir/meta` (m, ksub, dsub, salt width), `dir/lists` (the packed
+    * code lists, deltas folded in). The saved index is the thing that
+    * makes PQ's 64× size win durable: ~1 GB of codes per 10⁸ vectors
+    * on the lake, reloadable by any session without re-encoding the
+    * corpus. */
+  def save(index: Index, dir: String): Unit = {
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.coarse.centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    val p = index.pq
+    (for { s <- p.codebooks.indices; c <- p.codebooks(s).indices }
+      yield (s, c, p.codebooks(s)(c))).toDF("subspace", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq")
+    Seq((p.m, p.ksub, p.dsub, index.chunks)).toDF("m", "ksub", "dsub", "chunks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    index.segments.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lists")
+  }
+
+  /** Load a [[save]]d IVF-PQ index, restoring the partitioned + sorted
+    * + persisted list layout ([[IvfIndex.load]] semantics). */
+  def load(spark: SparkSession, dir: String): Index = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/model")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val (m, ksub, dsub, chunks) =
+      spark.read.parquet(s"$dir/meta").as[(Int, Int, Int, Int)].head()
+    val cbRows = spark.read.parquet(s"$dir/pq")
+      .as[(Int, Int, Array[Double])].collect()
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = cbRows.filter(_._1 == s).sortBy(_._2)
+      sub.map(_._3)
+    }
+    val lists = spark.read.parquet(s"$dir/lists")
+      .repartition(col("cluster"), col("chunk"))
+      .sortWithinPartitions("cluster", "chunk")
+      .persist()
+    lists.count()
+    Index(IvfIndex.Model(cents), PqModel(m, ksub, dsub, codebooks), lists, chunks)
   }
 
   /** Incremental maintenance: encode a batch of NEW vectors against the

@@ -103,6 +103,35 @@ class PqIndexSpec extends SparkSpec {
     assert(diff == 0, s"$diff/200 rows diverged between native and HOF ADC")
   }
 
+  test("save/load round-trips both indexes: identical query results, restored layout") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+
+    val ivf = IvfIndex.build(emb, nClusters = 8)
+    IvfIndex.save(ivf, s"$tmp/ivf")
+    val ivf2 = IvfIndex.load(spark, s"$tmp/ivf")
+    try {
+      val a = IvfIndex.query(ivf, emb, k = 3, probes = 8)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val b = IvfIndex.query(ivf2, emb, k = 3, probes = 8)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(a == b, "loaded IVF index must answer identically")
+    } finally { ivf.close(); ivf2.close() }
+
+    val pq = PqIndex.build(emb, nClusters = 8)
+    PqIndex.save(pq, s"$tmp/pq")
+    val pq2 = PqIndex.load(spark, s"$tmp/pq")
+    try {
+      assert(pq2.pq.m == pq.pq.m && pq2.pq.ksub == pq.pq.ksub &&
+        pq2.pq.dsub == pq.pq.dsub && pq2.chunks == pq.chunks)
+      val a = PqIndex.query(pq, emb, emb, k = 3, probes = 8)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val b = PqIndex.query(pq2, emb, emb, k = 3, probes = 8)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(a == b, "loaded IVF-PQ index must answer identically")
+    } finally { pq.close(); pq2.close() }
+  }
+
   test("packed 64-bit encoding is deterministic and self-consistent") {
     val pq = PqIndex.fitPq(Tables.load(spark, dir, "embeddings"))
     assert(pq.m == 16 && pq.ksub == 16 && pq.dsub == 4)
