@@ -164,6 +164,11 @@ object SparkEntry {
     }),
     "q_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(t(s, dir, "documents"))),
+    // Second-order fluency: corpus bigram-frequency mass — the word-
+    // transition perplexity proxy (word-salad detector) alongside
+    // q_text_fluency's unigram signal.
+    "q_text_bigram_fluency" -> ((s, dir) =>
+      TextOps.bigramFluency(t(s, dir, "documents"))),
     // Deterministic frozen train/val/test membership by id-hash
     // threshold (reshuffle-proof; a rand() split is not).
     "q_split_assign" -> ((s, dir) =>
@@ -846,6 +851,24 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, mass,
         |  CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS fluency
         |FROM d CROSS JOIN tot
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Bigram mirror of the fluency oracle: same integer-mass shape over
+    // adjacent-pair terms (chr(31)-joined, the engine's separator).
+    "q_text_bigram_fluency" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(list_slice(l, 1, len(l)-1),
+        |    (x, i) -> x || chr(31) || l[i+1])) AS bg FROM d),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2),
+        |cf AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b),
+        |agg AS (SELECT tf.doc_id,
+        |  CAST(sum(tf.tf * cf.cf) AS BIGINT) AS mass,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_bigrams
+        |  FROM tf JOIN cf USING (bg) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, mass,
+        |  CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_fluency
+        |FROM agg CROSS JOIN tot
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Top-token fraction via group-count max — value-identical to the

@@ -174,6 +174,36 @@ object TextOps {
           col("n_tokens").cast("double")).as("fluency"))
   }
 
+  /** Bigram corpus-frequency fluency — the second-order companion of
+    * [[unigramFluency]] and a stronger perplexity proxy (CCNet-style
+    * LM filtering ranks documents by how typical their WORD TRANSITIONS
+    * are, not just their vocabulary): mass = Σ_bigram tf·cf over the
+    * document's adjacent-token pairs, normalized by corpus and document
+    * bigram totals. A doc of common words in word-salad order scores
+    * low here while scoring high on the unigram signal.
+    *
+    * Bigram extraction is NARROW — an indexed `transform` over the
+    * token array (no positional self-join, no extra shuffle); after
+    * that the shape is exactly [[unigramFluency]]'s: token-keyed
+    * integer shuffles, one bounded equi-join, one rounded chain at the
+    * end. Documents with < 2 tokens drop out (no bigrams). */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val bigramsOf = expr(
+      "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+        "(x, i) -> concat(x, chr(31), element_at(split(text, ' '), i + 2)))")
+    val bigrams = docs.select(col("doc_id"), explode(bigramsOf).as("bg"))
+    val tf = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("bg").agg(sum(col("tf")).as("cf"))
+    val tot = bigrams.agg(count(lit(1)).as("__total"))
+    tf.join(cf, "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("cf")).as("mass"), sum(col("tf")).as("n_bigrams"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_bigrams"), col("mass"),
+        (col("mass").cast("double") / col("__total").cast("double") /
+          col("n_bigrams").cast("double")).as("bigram_fluency"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     * fraction of tokens taken by the single most frequent token, and
     * the fraction of word bigrams that are repeats. High values mark

@@ -58,6 +58,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bigramFluency: common transitions score high, word salad scores low") {
+    // docs 1-3 share the same common phrase; doc 4 uses the SAME words
+    // in scrambled orders — identical unigram profile, rare bigrams
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "the quick brown fox jumps"),
+      (4L, "fox the jumps quick brown")).toDF("doc_id", "text")
+    val out = TextOps.bigramFluency(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) < out(1L),
+      s"scrambled word order must score below the common phrasing: $out")
+    // n_bigrams = tokens − 1; single-token docs drop out
+    val one = TextOps.bigramFluency(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(one.count() == 0)
+  }
+
   test("PCA: recovers a planted dominant direction; gate invariants hold") {
     // anisotropic cloud: big variance along axis 2, small elsewhere
     val rnd = new scala.util.Random(5)
