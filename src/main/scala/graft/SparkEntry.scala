@@ -62,10 +62,14 @@ object SparkEntry {
     // (sparse per-type fields assemble one wide row per user). Driven
     // INCREMENTALLY in two ord-ordered batches — the hash match against
     // the one-shot oracle certifies the fold semantics. Sequence field:
-    // the (ts, event_id) PAIR under partialUpdate's multi-column struct
-    // ordering — total (event ids are unique) and overflow-free at any
-    // timestamp span, where the previous single-BIGINT packing
-    // (ms-since-2024 ×2^30 + event_id) silently wrapped past ~99 days.
+    // the (unix_millis(ts), event_id) PAIR under partialUpdate's
+    // multi-column struct ordering — total (event ids are unique) and
+    // overflow-free at any timestamp span, where the previous
+    // single-BIGINT packing (ms-since-2024 ×2^30 + event_id) silently
+    // wrapped past ~99 days. MILLIS explicitly, not the raw timestamp:
+    // the fixture carries sub-ms precision and the two engines truncate
+    // it differently (Spark µs vs the oracle's epoch_ms), so both sides
+    // order by the same ms value and tie-break sub-ms by event_id.
     "q_upsert_partial" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val ev = t(s, dir, "events").select(
@@ -73,7 +77,7 @@ object SparkEntry {
         when(col("event_type") === "purchase", col("value")).as("last_purchase_value"),
         when(col("event_type") === "error", col("props")).as("last_error_props"),
         col("ts").as("last_seen"),
-        col("ts").as("__ts"), col("event_id").as("__eid"))
+        unix_millis(col("ts")).as("__ts"), col("event_id").as("__eid"))
       val pivot = "2024-01-16"
       val ord = Seq("__ts", "__eid")
       val s1 = graft.cdc.Upsert.applyPartial(None,

@@ -65,12 +65,8 @@ object IvfIndex {
   def autoClusters(n: Long): Int =
     math.max(16, math.min(4096, math.ceil(2.0 * math.sqrt(n.toDouble)).toInt))
 
-  private def toVecs(embeddings: DataFrame): Dataset[(Long, Array[Double])] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])]
-  }
+  private def toVecs(embeddings: DataFrame): Dataset[(Long, Array[Double])] =
+    Similarity.toVecs(embeddings)
 
   private[operators] def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0
@@ -317,7 +313,12 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     Seq(index.chunks).toDF("chunks")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // store ONE copy of each list row: the chunk replicas are pure
+    // salt-side duplication (layout() explodes every row into all
+    // chunks), so persisting them would inflate the on-disk index
+    // ×chunks for zero information — load() re-explodes
     index.segments.reduce(_ unionByName _)
+      .filter(col("chunk") === 0).drop("chunk")
       .write.mode("overwrite").parquet(s"$dir/lists")
   }
 
@@ -332,6 +333,7 @@ object IvfIndex {
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val chunks = spark.read.parquet(s"$dir/meta").as[Int].head()
     val lists = spark.read.parquet(s"$dir/lists")
+      .withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
       .repartition(col("cluster"), col("chunk"))
       .sortWithinPartitions("cluster", "chunk")
       .persist()
@@ -347,17 +349,26 @@ object IvfIndex {
     * regime where the fraction runs high); at ≥ `maxProbedFraction`
     * the index costs ~fraction × the flat scan PLUS the probe-join
     * overhead, so the exact blocked scan is both faster and recall-1 —
-    * run it instead. The IVF machinery itself stays certified by the
-    * recall gate, which drives [[build]]/[[query]] directly. On a
-    * clustered corpus where few probes reach the recall bar, the
-    * fraction is small and the index path runs as built. */
+    * run it instead.
+    *
+    * With DEFAULT probes the fallback is by construction: the default
+    * operating point (60 % of lists, the ≥0.9-recall point the gate
+    * certifies on this weakly-clustered corpus) is always past
+    * break-even, so the entry skips even the sizing scan and runs the
+    * exact path — that IS the decision, stated honestly: an IVF index
+    * never pays where recall needs most of the lists probed. The index
+    * path engages when the caller passes an explicit probe count below
+    * the break-even fraction (the clustered-corpus regime, where few
+    * probes reach the recall bar). The IVF machinery itself stays
+    * certified by the recall gate, which drives [[build]]/[[query]]
+    * directly. */
   def adaptiveTopK(embeddings: DataFrame, k: Int = 5, nClusters: Int = -1,
                    probes: Int = -1, iters: Int = 3, chunksPerList: Int = 4,
                    maxProbedFraction: Double = 0.25): DataFrame = {
-    val n = embeddings.count()
-    val nc = if (nClusters > 0) nClusters else autoClusters(n)
-    val np = if (probes > 0) math.min(probes, nc)
-             else math.max(1, math.ceil(nc * 0.6).toInt)
+    if (probes <= 0)                       // default = 0.6·nc ≥ any sane break-even
+      return Similarity.bruteForceTopK(embeddings, k)
+    val nc = if (nClusters > 0) nClusters else autoClusters(embeddings.count())
+    val np = math.min(probes, nc)
     if (np.toDouble / nc >= maxProbedFraction)
       Similarity.bruteForceTopK(embeddings, k)
     else topK(embeddings, k, nc, np, iters, chunksPerList)

@@ -30,8 +30,10 @@ private[operators] final class ModelMemo[V <: AnyRef] {
 
   /** Drop every memoized model (e.g. after overwriting input paths
     * mid-session with an unchanged file inventory — rewritten files
-    * normally re-key on (length, modificationTime) by themselves). */
-  def invalidate(): Unit = map.clear()
+    * normally re-key on (length, modificationTime) by themselves).
+    * Shares the map monitor with the size guard so clears and the
+    * size check are mutually exclusive. */
+  def invalidate(): Unit = map.synchronized { map.clear() }
 
   def getOrCompute(df: DataFrame, params: String)(compute: => V): V = {
     val files = df.inputFiles
@@ -39,7 +41,14 @@ private[operators] final class ModelMemo[V <: AnyRef] {
     val md = java.security.MessageDigest.getInstance("MD5")
     def update(s: String): Unit =
       md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    update(df.queryExecution.analyzed.canonicalized.toString)
+    val analyzed = df.queryExecution.analyzed
+    // canonicalized.toString truncates wide nodes at
+    // spark.sql.debug.maxToStringFields; semanticHash doesn't truncate
+    // but is only 32 bits — digest BOTH, so a collision needs the
+    // full-structure hash AND the rendered plan AND the file inventory
+    // to all coincide
+    update(analyzed.canonicalized.toString)
+    update(s"|${analyzed.semanticHash()}")
     val conf = df.sparkSession.sessionState.newHadoopConf()
     files.sorted.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
@@ -48,6 +57,9 @@ private[operators] final class ModelMemo[V <: AnyRef] {
     }
     update(s"|$params")
     val key = md.digest().map("%02x".format(_)).mkString
+    // size guard: clears exclude each other and invalidate(); the
+    // computeIfAbsent itself stays outside the monitor (worst case a
+    // concurrent clear costs one recompute, never a wrong result)
     map.synchronized { if (map.size > 64) map.clear() }
     map.computeIfAbsent(key, _ => compute)
   }

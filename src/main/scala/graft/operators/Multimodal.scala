@@ -59,9 +59,14 @@ object Multimodal {
       * None when ImageIO cannot parse the payload. */
     def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
       if (!isImage(payload)) return None
+      // NonFatal, not just IOException: ImageIO readers throw unchecked
+      // exceptions on corrupt bodies behind valid magic bytes (broken
+      // ICC profiles → CMMException, malformed chunk lengths →
+      // NegativeArraySizeException) — any of them must mean "not an
+      // image", not a 4x-retried task failure
       val img = try {
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
       img.map { im =>
         val r = im.getRaster
         val (w, h, c) = (im.getWidth, im.getHeight, r.getNumBands)
@@ -187,9 +192,10 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, payload) =>
+          // NonFatal: corrupt-body payloads drop rather than kill tasks
           val img = try {
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-          } catch { case _: java.io.IOException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
           img.map { im =>
             md.reset()
             val digest = md.digest(ImageCodec.sampleBytes(im))

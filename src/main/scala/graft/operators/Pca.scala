@@ -36,18 +36,14 @@ object Pca {
                          eigenvalues: Array[Double], totalVariance: Double,
                          n: Long) extends Serializable
 
-  private def toVecs(embeddings: DataFrame): Dataset[(Long, Array[Double])] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])]
-  }
+  private def toVecs(embeddings: DataFrame): Dataset[(Long, Array[Double])] =
+    Similarity.toVecs(embeddings)
 
   /** Fit mean + top-`k` principal components. One distributed pass for
     * the moments; the d×d eigensolve runs on the driver. */
   def fit(embeddings: DataFrame, k: Int = 8, iters: Int = 200): Model = {
     val vecs = toVecs(embeddings)
-    val (n, s, ss) = vecs.rdd.mapPartitions { it =>
+    val moments = vecs.rdd.mapPartitions { it =>
       var cnt = 0L
       var sum: Array[Double] = null
       var outer: Array[Double] = null
@@ -64,7 +60,7 @@ object Pca {
         cnt += 1
       }
       if (cnt == 0) Iterator.empty else Iterator.single((cnt, sum, outer))
-    }.reduce { (a, b) =>
+    }.collect().reduceOption[(Long, Array[Double], Array[Double])] { (a, b) =>
       val s = a._2.clone(); val o = a._3.clone()
       var i = 0
       while (i < s.length) { s(i) += b._2(i); i += 1 }
@@ -72,6 +68,10 @@ object Pca {
       while (j < o.length) { o(j) += b._3(j); j += 1 }
       (a._1 + b._1, s, o)
     }
+    val (n, s, ss) = moments.getOrElse(throw new IllegalArgumentException(
+      "PCA over an empty embedding corpus"))
+    if (n < 2) throw new IllegalArgumentException(
+      s"PCA needs at least 2 vectors for a sample covariance (got $n)")
     val d = s.length
     val mean = s.map(_ / n)
     // covariance C = (Σxxᵀ − n μμᵀ) / (n − 1)

@@ -212,7 +212,10 @@ object PqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq")
     Seq((p.m, p.ksub, p.dsub, index.chunks)).toDF("m", "ksub", "dsub", "chunks")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // one copy per row — chunk replicas re-explode at load (the ×chunks
+    // salt duplication would inflate the stored codes for nothing)
     index.segments.reduce(_ unionByName _)
+      .filter(col("chunk") === 0).drop("chunk")
       .write.mode("overwrite").parquet(s"$dir/lists")
   }
 
@@ -231,6 +234,7 @@ object PqIndex {
       sub.map(_._3)
     }
     val lists = spark.read.parquet(s"$dir/lists")
+      .withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
       .repartition(col("cluster"), col("chunk"))
       .sortWithinPartitions("cluster", "chunk")
       .persist()

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.DotProduct
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -22,6 +22,16 @@ object Similarity {
   private def asDouble(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+
+  /** The one typed view of the embedding contract — (vec_id, double
+    * vector) — shared across the vector operators ([[IvfIndex]],
+    * [[Pca]], …) so a change to the column contract lands once. */
+  private[operators] def toVecs(embeddings: DataFrame): Dataset[(Long, Array[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+  }
 
   /** Spread a per-row map-only vector stream across the executor
     * threads (deterministic id-hash repartition). The scan-side
@@ -333,9 +343,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])].collect()
     val bc = spark.sparkContext.broadcast(sample)
-    val anchors = asDouble(embeddings)
-      .join(pos.select(col("anchor").as("vec_id")).distinct(), "vec_id")
-    val negs = spread(anchors)
+    // negatives for EVERY vector, not just anchors: restricting to
+    // anchors would put the O(N²) positive scan in the DAG twice
+    // (once under the anchor-id semi-join, once in the final join) and
+    // Spark recomputes it both times; the full negative pass is only
+    // O(N·sample) broadcast dots — far cheaper than a second exact
+    // scan — and non-anchors drop at the final equi-join
+    val negs = spread(asDouble(embeddings))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cand = bc.value

@@ -105,5 +105,10 @@ class CurationSpec extends SparkSpec {
     val fixture = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val g2 = Pca.gate(fixture).collect()(0)
     assert((3 to 6).forall(g2.getBoolean), s"fixture gate row: $g2")
+    // degenerate corpora raise a clear error, not an RDD crash / NPE
+    val empty = vs.filter(col("vec_id") < 0)
+    intercept[IllegalArgumentException](Pca.fit(empty, k = 2, iters = 5))
+    intercept[IllegalArgumentException](
+      Pca.fit(vs.filter(col("vec_id") === 0), k = 2, iters = 5))
   }
 }

@@ -81,6 +81,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).channels == 3, "non-image payload takes the stub path")
   }
 
+  test("corrupt image bodies behind valid magic fall back instead of killing tasks") {
+    implicit val s = spark
+    import spark.implicits._
+    // PNG magic + garbage body: passes isPng, must not throw anywhere
+    val corrupt = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      Array.fill[Byte](64)(0x41)
+    assert(Multimodal.ImageCodec.isPng(corrupt))
+    assert(Multimodal.ImageCodec.decode(corrupt).isEmpty)
+    val media = Seq(Multimodal.MediaRecord(1L, corrupt)).toDS()
+    val out = Multimodal.decodeFeatures(media).collect()
+    assert(out.length == 1 && out(0).channels == 3, "must take the stub path")
+    val meta = Multimodal.decodeImageMeta(media.toDF("doc_id", "payload")).collect()
+    assert(meta.isEmpty, "unparseable payloads drop from the decode-meta pass")
+  }
+
   test("encodePng → decodeImageMeta: lossless loop, digest matches source bytes") {
     val out = Multimodal.decodeImageMeta(Multimodal.encodePng(docs)).collect()
       .map(r => r.getLong(0) -> r).toMap
