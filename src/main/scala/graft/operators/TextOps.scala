@@ -188,13 +188,18 @@ object TextOps {
     * integer shuffles, one bounded equi-join, one rounded chain at the
     * end. Documents with < 2 tokens drop out (no bigrams). */
   def bigramFluency(docs: DataFrame): DataFrame = {
+    // split once into a column, then the indexed transform reads the
+    // SAME array (three inline split() calls would re-tokenize per use)
     val bigramsOf = expr(
-      "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
-        "(x, i) -> concat(x, chr(31), element_at(split(text, ' '), i + 2)))")
-    val bigrams = docs.select(col("doc_id"), explode(bigramsOf).as("bg"))
+      "transform(slice(__l, 1, size(__l) - 1), " +
+        "(x, i) -> concat(x, chr(31), element_at(__l, i + 2)))")
+    val bigrams = docs.select(col("doc_id"), split(col("text"), " ").as("__l"))
+      .select(col("doc_id"), explode(bigramsOf).as("bg"))
     val tf = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
     val cf = tf.groupBy("bg").agg(sum(col("tf")).as("cf"))
-    val tot = bigrams.agg(count(lit(1)).as("__total"))
+    // corpus total = Σcf — a tiny agg over the (already reduced) bigram
+    // vocabulary, not a second full corpus scan
+    val tot = cf.agg(sum(col("cf")).as("__total"))
     tf.join(cf, "bg")
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("cf")).as("mass"), sum(col("tf")).as("n_bigrams"))
