@@ -141,6 +141,11 @@ object SparkEntry {
     "q_mixture_sample" -> ((s, dir) =>
       TextOps.mixtureSample(t(s, dir, "documents"),
         Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1), total = 200)),
+    // Curriculum labeling: global quality deciles by value against
+    // exact quantile thresholds (ties share buckets — deterministic
+    // under reshuffling, unlike rank-based ntile).
+    "q_curriculum" -> ((s, dir) =>
+      TextOps.curriculumDeciles(t(s, dir, "documents"))),
     // DoReMi-style domain reweighting table: per-source token shares +
     // temperature-scaled (sqrt-rule) sampling weights, all derived from
     // exact integer totals through one rounded IEEE chain.
@@ -783,6 +788,27 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
         |  distinct_ratio * 0.5 + stopword_ratio * 0.2 + len_score * 0.3 AS quality_score
         |FROM q ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Value-based decile: quality chain identical to q_text_quality's,
+    // thresholds via quantile_cont (bit-equal to Spark's percentile —
+    // q_quantiles proves the pair), bucket = 1 + #(thresholds below).
+    "q_curriculum" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score
+        |FROM t),
+        |s AS (SELECT doc_id,
+        |  distinct_ratio * 0.5 + stopword_ratio * 0.2 + len_score * 0.3 AS quality_score
+        |FROM q),
+        |th AS (SELECT quantile_cont(quality_score,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t FROM s)
+        |SELECT doc_id, quality_score, CAST(1 """.stripMargin +
+        (1 to 9).map(i => s"+ (CASE WHEN quality_score > t[$i] THEN 1 ELSE 0 END)")
+          .mkString(" ") +
+        """ AS BIGINT) AS decile
+          |FROM s, th ORDER BY ALL NULLS FIRST""".stripMargin),
 
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

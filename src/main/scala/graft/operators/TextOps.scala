@@ -332,6 +332,37 @@ object TextOps {
         min(col("eval_id")).as("first_eval_hit"))
   }
 
+  /** Quality-decile curriculum assignment: every document labeled with
+    * its global quality bucket 1..`buckets` (1 = lowest) — the data-
+    * ordering signal curriculum-style pretraining consumes (feed high
+    * deciles late, or sample deciles on a schedule). VALUE-based
+    * bucketing against exact global quantile thresholds, not rank-based
+    * ntile: equal scores always share a bucket, so the label is
+    * deterministic under reshuffling and ties (a rank formulation
+    * splits ties by arbitrary row order).
+    *
+    * Scale shape: ONE aggregate computes the (buckets−1) thresholds
+    * (Spark's exact `percentile`, bit-equal to the oracle's
+    * quantile_cont — proven by q_quantiles), broadcast back over the
+    * corpus for a narrow comparison pass. The exact-percentile
+    * aggregate concentrates the distinct-score histogram on one
+    * reducer — at 100 TB swap in the [[budgetMixSelect]] two-phase
+    * histogram + boundary-sliver refinement, which finds the same
+    * exact thresholds with a bounded sort; the assignment pass is
+    * unchanged. */
+  def curriculumDeciles(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val scored = quality(docs).select(col("doc_id"), col("quality_score"))
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val thr = scored.agg(
+      expr(s"percentile(quality_score, array(${ps.mkString(",")}))").as("__t"))
+    val decile = ps.indices
+      .map(i => when(col("quality_score") > col("__t").getItem(i), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("quality_score"),
+        decile.cast("bigint").as("decile"))
+  }
+
   /** Per-domain (source) mixture weights — the DoReMi-style domain
     * reweighting table a pretraining run consumes: per source, document
     * and token counts, the exact token share, and a temperature-scaled

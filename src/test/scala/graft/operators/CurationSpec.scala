@@ -58,6 +58,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curriculumDeciles: monotone value-based buckets, ties share a bucket") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.curriculumDeciles(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._3).forall(d => d >= 1 && d <= 10))
+    // decile is monotone in score
+    val sorted = out.sortBy(_._2)
+    assert(sorted.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    // equal scores always share a bucket (value-based, not rank-based)
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1, s"tie split across buckets: $g")
+    }
+    // roughly balanced (value ties can skew counts; bound loosely)
+    val counts = out.groupBy(_._3).view.mapValues(_.length)
+    assert(counts.values.max <= out.length / 2, s"degenerate buckets: $counts")
+  }
+
   test("bigramFluency: common transitions score high, word salad scores low") {
     // docs 1-3 share the same common phrase; doc 4 uses the SAME words
     // in scrambled orders — identical unigram profile, rare bigrams
