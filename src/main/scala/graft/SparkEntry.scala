@@ -419,6 +419,13 @@ object SparkEntry {
     // recall-gate pattern applied to sketches.
     "q_sketch_gate" -> ((s, dir) =>
       graft.operators.Sketches.accuracyGate(t(s, dir, "events"))),
+    // Mergeable deterministic quantile sketch (MRL/KLL compactor):
+    // per-partition build + associative merge, self-accounted rank
+    // error — the gate checks the |rank − q·n| ≤ errBound theorem
+    // against exact distributed rank counts.
+    "q_quantile_sketch_gate" -> ((s, dir) =>
+      graft.operators.Sketches.quantileSketchGate(
+        t(s, dir, "events"), "value")),
     // Misra–Gries heavy hitters: sketch output (no cross-engine
     // oracle, like HLL registers) → rows-only; the gate checks the MG
     // theorems (never-overestimate, N/(k+1) error bound, completeness
@@ -1466,6 +1473,12 @@ object SparkEntry {
     // implementation-defined); the oracle pins the accuracy verdict.
     "q_sketch_gate" ->
       """SELECT true AS distinct_ok, true AS p50_ok, true AS p99_ok""",
+
+    "q_quantile_sketch_gate" ->
+      """SELECT CAST(256 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  true AS p10_ok, true AS p50_ok, true AS p90_ok, true AS bound_ok
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
 
     // Deterministic by theorem (Misra–Gries + mergeable-summaries
     // bounds), so the pinned verdict holds at any SF.

@@ -87,6 +87,139 @@ object Sketches {
         (col("__missed") === 0L).as("complete_ok"))
   }
 
+  /** Deterministic mergeable quantile sketch (the MRL/KLL compactor
+    * family, deterministic variant: Manku–Rajagopalan–Lindsay 1998;
+    * Karnin–Lang–Liberty 2016 describe the randomized refinement):
+    * levels of sorted buffers, items at level l carrying weight 2^l;
+    * a full buffer sorts and promotes its even-index half one level up
+    * (weight doubles). Every compaction perturbs any rank by at most
+    * the level's weight, and the sketch ACCOUNTS for its own error:
+    * `errBound` accumulates exactly those weights, so the guarantee
+    * |rank(estimate(q)) − q·n| ≤ errBound is a theorem of the
+    * structure, not a tolerance — which is what the gate checks.
+    *
+    * This is the 100 TB replacement for exact `percentile` (whose
+    * value histogram concentrates on one reducer — the documented
+    * limit of [[TextOps.curriculumDeciles]]'s threshold step): memory
+    * is O(k·log(n/k)) per partition, partition sketches merge
+    * associatively, one pass. Merge order varies with scheduling, so
+    * ESTIMATES vary run-to-run within the bound — hence a gate query,
+    * not a value oracle (the PCA/ANN-gate pattern). */
+  object QuantileSketch {
+    final case class Sketch(k: Int, levels: Vector[Vector[Double]],
+                            count: Long, errBound: Long) extends Serializable
+
+    def empty(k: Int): Sketch = Sketch(k, Vector(Vector.empty), 0L, 0L)
+
+    /** Compact every over-full level bottom-up: sort, promote the
+      * even-index half, charge the level's weight to the error bound. */
+    private def compactAll(k: Int, raw: Vector[Vector[Double]],
+                           err0: Long): (Vector[Vector[Double]], Long) = {
+      var levels = raw
+      var err = err0
+      var l = 0
+      while (l < levels.length) {
+        if (levels(l).length >= 2 * k) {
+          val sorted = levels(l).sorted
+          val promoted = sorted.indices.collect {
+            case i if i % 2 == 0 => sorted(i)
+          }.toVector
+          levels = levels.updated(l, Vector.empty)
+          if (l + 1 >= levels.length) levels = levels :+ Vector.empty
+          levels = levels.updated(l + 1, levels(l + 1) ++ promoted)
+          err += 1L << l
+        }
+        l += 1
+      }
+      (levels, err)
+    }
+
+    def insertAll(s: Sketch, vs: Iterator[Double]): Sketch = {
+      var levels = s.levels
+      var err = s.errBound
+      var n = s.count
+      val buf = scala.collection.mutable.ArrayBuffer(levels(0): _*)
+      vs.foreach { v =>
+        buf += v
+        n += 1
+        if (buf.length >= 2 * s.k) {
+          val (lv, e) = compactAll(s.k, levels.updated(0, buf.toVector), err)
+          levels = lv; err = e
+          buf.clear()
+          buf ++= levels(0)
+        }
+      }
+      Sketch(s.k, levels.updated(0, buf.toVector), n, err)
+    }
+
+    /** Associative merge: level-wise concatenation, then compaction.
+      * Error bounds add (each input's accounting stays valid). */
+    def merge(a: Sketch, b: Sketch): Sketch = {
+      val depth = math.max(a.levels.length, b.levels.length)
+      val combined = (0 until depth).map { l =>
+        a.levels.lift(l).getOrElse(Vector.empty) ++
+          b.levels.lift(l).getOrElse(Vector.empty)
+      }.toVector
+      val (lv, err) = compactAll(a.k, combined, a.errBound + b.errBound)
+      Sketch(a.k, lv, a.count + b.count, err)
+    }
+
+    /** Estimate the q-quantile: smallest retained value whose cumulative
+      * weight reaches ceil(q·n). */
+    def query(s: Sketch, q: Double): Double = {
+      val weighted = s.levels.zipWithIndex
+        .flatMap { case (vs, l) => vs.map(v => (v, 1L << l)) }
+        .sortBy(_._1)
+      require(weighted.nonEmpty, "quantile of an empty sketch")
+      val target = math.max(1L, math.ceil(q * s.count).toLong)
+      var acc = 0L
+      weighted.find { case (_, w) => acc += w; acc >= target }
+        .map(_._1).getOrElse(weighted.last._1)
+    }
+
+    /** One-pass distributed build: per-partition sketches, reduced by
+      * [[merge]]. */
+    def build(df: DataFrame, valueCol: String, k: Int = 256): Sketch = {
+      val vals = df.select(col(valueCol).cast("double")).na.drop()
+      val parts = vals.rdd.mapPartitions(it =>
+        Iterator.single(insertAll(empty(k), it.map(_.getDouble(0)))))
+      parts.fold(empty(k))(merge)
+    }
+  }
+
+  /** One-row theorem gate for [[QuantileSketch]]: for each probed q,
+    * the EXACT rank of the sketch's estimate (one distributed count per
+    * probe) must sit within the sketch's self-accounted error bound of
+    * q·n — plus a one-rank slack for the ceil discreteness. `bound_ok`
+    * additionally pins that the accounting stayed non-degenerate
+    * (errBound ≤ n/4: at k=256 the structural bound is ~log₂(n/k)·n/k,
+    * two orders tighter). Empty input gates vacuously true. */
+  def quantileSketchGate(df: DataFrame, valueCol: String,
+                         k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = QuantileSketch.build(df, valueCol, k)
+    val probes = Seq(0.1, 0.5, 0.9)
+    val oks =
+      if (s.count == 0) probes.map(_ => true)
+      else {
+        val ests = probes.map(q => QuantileSketch.query(s, q))
+        val vals = df.select(col(valueCol).cast("double")).na.drop()
+        val ranks = vals.agg(
+          ests.map(e => sum(when(col(valueCol).cast("double") <= e, 1L)
+            .otherwise(0L))).head,
+          ests.map(e => sum(when(col(valueCol).cast("double") <= e, 1L)
+            .otherwise(0L))).tail: _*).head()
+        probes.indices.map { i =>
+          val rank = ranks.getLong(i)
+          math.abs(rank - probes(i) * s.count) <= s.errBound + 1
+        }
+      }
+    Seq((k.toLong, s.count, oks(0), oks(1), oks(2),
+      s.count == 0 || s.errBound <= s.count / 4))
+      .toDF("k", "n", "p10_ok", "p50_ok", "p90_ok", "bound_ok")
+  }
+
   def accuracyGate(events: DataFrame, maxExactRows: Long = 200000,
                    accuracy: Int = 1000): DataFrame = {
     val n = events.count()

@@ -93,6 +93,32 @@ class CurationSpec extends SparkSpec {
     assert(one.count() == 0)
   }
 
+  test("QuantileSketch: self-accounted rank bound holds; merge-order independent") {
+    import Sketches.QuantileSketch._
+    // permuted uniform values — compaction must actually trigger
+    val vs = (0 until 20000).map(i => ((i * 7919) % 20000).toDouble)
+    val s = insertAll(empty(64), vs.iterator)
+    assert(s.count == 20000)
+    assert(s.errBound > 0, "no compaction happened — widen the fixture")
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = query(s, q)
+      val rank = vs.count(_ <= est)
+      assert(math.abs(rank - q * s.count) <= s.errBound + 1,
+        s"q=$q est=$est rank=$rank bound=${s.errBound}")
+    }
+    // merging partitioned sketches obeys the same bound
+    val merged = vs.grouped(3000)
+      .map(g => insertAll(empty(64), g.iterator))
+      .reduce(merge)
+    assert(merged.count == 20000)
+    val est50 = query(merged, 0.5)
+    assert(math.abs(vs.count(_ <= est50) - 10000) <= merged.errBound + 1)
+    // distributed gate over the events fixture
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val gate = Sketches.quantileSketchGate(events, "value").collect()(0)
+    assert((2 to 5).forall(gate.getBoolean), s"gate row: $gate")
+  }
+
   test("PCA: recovers a planted dominant direction; gate invariants hold") {
     // anisotropic cloud: big variance along axis 2, small elsewhere
     val rnd = new scala.util.Random(5)
