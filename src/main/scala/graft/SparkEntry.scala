@@ -426,6 +426,12 @@ object SparkEntry {
     "q_quantile_sketch_gate" -> ((s, dir) =>
       graft.operators.Sketches.quantileSketchGate(
         t(s, dir, "events"), "value")),
+    // The grouped surface: per-status median sketches via the typed
+    // Aggregator under groupBy, each group checked against its own
+    // self-accounted bound.
+    "q_quantile_sketch_grouped" -> ((s, dir) =>
+      graft.operators.Sketches.quantileSketchGroupedGate(
+        t(s, dir, "orders"), "o_orderstatus", "o_totalprice")),
     // Misra–Gries heavy hitters: sketch output (no cross-engine
     // oracle, like HLL registers) → rows-only; the gate checks the MG
     // theorems (never-overestimate, N/(k+1) error bound, completeness
@@ -1479,6 +1485,11 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  true AS p10_ok, true AS p50_ok, true AS p90_ok, true AS bound_ok
         |FROM events WHERE value IS NOT NULL""".stripMargin,
+
+    "q_quantile_sketch_grouped" ->
+      """SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_groups,
+        |  true AS grouped_ok
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
 
     // Deterministic by theorem (Misra–Gries + mergeable-summaries
     // bounds), so the pinned verdict holds at any SF.

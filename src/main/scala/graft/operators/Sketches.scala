@@ -220,6 +220,35 @@ object Sketches {
       .toDF("k", "n", "p10_ok", "p50_ok", "p90_ok", "bound_ok")
   }
 
+  /** Per-GROUP version of the quantile-sketch theorem gate, driving the
+    * [[graft.functions.QuantileSketchAgg]] grouped aggregator: every
+    * group's median estimate must satisfy its own self-accounted
+    * |rank − q·n| ≤ err_bound. The per-group sketch rows (one per
+    * group — bounded by group cardinality, the same driver-footprint
+    * class as the other gates) broadcast back for one exact
+    * rank-counting pass; verdict reduces to one row. */
+  def quantileSketchGroupedGate(df: DataFrame, groupCol: String,
+                                valueCol: String, k: Int = 256,
+                                q: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.filter(col(valueCol).isNotNull)
+    val per = vals.groupBy(col(groupCol))
+      .agg(graft.functions.QuantileSketchAgg.sketch(k, Seq(q))(
+        col(valueCol).cast("double")).as("s"))
+      .select(col(groupCol), col("s._1").as("n"), col("s._2").as("err"),
+        col("s._3").getItem(0).as("est"))
+    val ranks = vals.join(broadcast(per), groupCol)
+      .groupBy(col(groupCol))
+      .agg(sum(when(col(valueCol).cast("double") <= col("est"), 1L)
+          .otherwise(0L)).as("rank"),
+        first(col("n")).as("n"), first(col("err")).as("err"))
+    ranks.agg(count(lit(1)).as("n_groups"),
+      coalesce(bool_and(
+        abs(col("rank") - lit(q) * col("n")) <= col("err") + 1), lit(true))
+        .as("grouped_ok"))
+  }
+
   def accuracyGate(events: DataFrame, maxExactRows: Long = 200000,
                    accuracy: Int = 1000): DataFrame = {
     val n = events.count()

@@ -117,6 +117,11 @@ class CurationSpec extends SparkSpec {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val gate = Sketches.quantileSketchGate(events, "value").collect()(0)
     assert((2 to 5).forall(gate.getBoolean), s"gate row: $gate")
+    // grouped aggregator surface: per-group bound holds too
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val g = Sketches.quantileSketchGroupedGate(
+      orders, "o_orderstatus", "o_totalprice").collect()(0)
+    assert(g.getLong(0) == 3 && g.getBoolean(1), s"grouped gate: $g")
   }
 
   test("PCA: recovers a planted dominant direction; gate invariants hold") {
