@@ -284,47 +284,74 @@ object PqIndex {
              else math.max(1, math.ceil(cents.length * 0.6).toInt)
     val bcC = spark.sparkContext.broadcast(cents)
     val bcP = spark.sparkContext.broadcast(p)
+    // Probe rows carry the QUERY VECTOR (dims doubles, 512 B at d=64),
+    // not the ADC lookup table (m·ksub doubles, 2 KB): the probe stream
+    // is the query-side fan-out (queries × probes rows through the
+    // (cluster, chunk) exchange), so shipping qv cuts the exchange 4×.
+    // The LUT is rebuilt AFTER the join, memoized per probe row: the
+    // sort-merge join emits each probe row's candidates consecutively,
+    // so a single-entry (last query) memo rebuilds each LUT once per
+    // (probe row × partition) — the IVFADC deployment shape (Jégou et
+    // al. 2011: queries travel, tables build where the lists live).
     val probed = Similarity.spread(queries)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val cs = bcC.value; val pq = bcP.value
+        val cs = bcC.value
         it.flatMap { case (id, v) =>
-          // one ADC lookup table per query: lut(s*ksub + c) = q_s · cb_s,c
-          val lut = new Array[Double](pq.m * pq.ksub)
-          var s = 0
-          while (s < pq.m) {
-            var c = 0
-            while (c < pq.codebooks(s).length) {
-              var acc = 0.0; var j = 0
-              while (j < pq.dsub) { acc += v(s * pq.dsub + j) * pq.codebooks(s)(c)(j); j += 1 }
-              lut(s * pq.ksub + c) = acc
-              c += 1
-            }
-            s += 1
-          }
           val scored = cs.indices.map { c =>
             var acc = 0.0; var j = 0
             while (j < v.length) { acc += v(j) * cs(c)(j); j += 1 }
             (c, acc)
           }
-          scored.sortBy(t => (-t._2, t._1)).take(np).map { case (c, _) => (id, c, lut) }
+          scored.sortBy(t => (-t._2, t._1)).take(np).map { case (c, _) => (id, c, v) }
         }
-      }.toDF("query_id", "cluster", "lut")
+      }.toDF("query_id", "cluster", "qv")
       .withColumn("chunk",
         pmod(xxhash64(col("query_id")), lit(index.chunks)).cast("int"))
-    // ADC: candidate score = Σ_s lut[s·ksub + code_s] — m table lookups
-    // per row, a native codegen'd expression (the HOF formulation
-    // interpreted its lambda per element and cost more than exact dots;
-    // see graft.functions.PqAdc)
-    val adc = graft.functions.PqAdc(col("codes"), col("lut"), p.m, p.ksub)
     // base lists + any append segments: each probes in its own layout
     // (segment boundaries change plan fan-out, never scores)
+    val bits = codeBits(p.m)
+    val mask = (1L << bits) - 1
     val candidates = index.segments.map { seg =>
       probed.join(seg.hint("merge"), Seq("cluster", "chunk"))
         .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("score"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("qv"), col("codes"))
     }.reduce(_ unionByName _)
+      .as[(Long, Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val pq = bcP.value
+        var lutFor = Long.MinValue
+        var lut: Array[Double] = null
+        it.map { case (qid, nid, qv, codes) =>
+          if (qid != lutFor || lut == null) {
+            // lut(s·ksub + c) = q_s · cb_s,c — same arithmetic as the
+            // pre-join formulation, so scores stay bit-identical
+            lut = new Array[Double](pq.m * pq.ksub)
+            var s = 0
+            while (s < pq.m) {
+              var c = 0
+              while (c < pq.codebooks(s).length) {
+                var acc = 0.0; var j = 0
+                while (j < pq.dsub) { acc += qv(s * pq.dsub + j) * pq.codebooks(s)(c)(j); j += 1 }
+                lut(s * pq.ksub + c) = acc
+                c += 1
+              }
+              s += 1
+            }
+            lutFor = qid
+          }
+          // ADC: Σ_s lut[s·ksub + code_s]
+          var acc = 0.0
+          var s = 0
+          while (s < pq.m) {
+            acc += lut(s * pq.ksub + ((codes >>> (s * bits)) & mask).toInt)
+            s += 1
+          }
+          (qid, nid, acc)
+        }
+      }.toDF("query_id", "neighbor_id", "score")
     val shortlist = Similarity.rankTopK(candidates, refineK * k)
       .select("query_id", "neighbor_id")
     val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
