@@ -31,9 +31,18 @@ class QuantileSketchAgg(k: Int, probes: Seq[Double])
   override def zero: (Seq[Seq[Double]], Long, Long) =
     (Seq(Seq.empty[Double]), 0L, 0L)
 
+  /** Per-row reduce appends to the level-0 head only — the full
+    * levels→Vector conversion and compaction run once per 2k inserts,
+    * not per row (typed-aggregator buffers live as objects inside
+    * ObjectHashAggregate, so this append is the entire hot-path
+    * cost). */
   override def reduce(buf: (Seq[Seq[Double]], Long, Long),
-                      v: Double): (Seq[Seq[Double]], Long, Long) =
-    fromBuf(QuantileSketch.insertAll(toSketch(buf), Iterator.single(v)))
+                      v: Double): (Seq[Seq[Double]], Long, Long) = {
+    val head = buf._1.head :+ v
+    if (head.length < 2 * k) (head +: buf._1.tail, buf._2 + 1, buf._3)
+    else fromBuf(QuantileSketch.compacted(Sketch(k,
+      (head +: buf._1.tail).map(_.toVector).toVector, buf._2 + 1, buf._3)))
+  }
 
   override def merge(a: (Seq[Seq[Double]], Long, Long),
                      b: (Seq[Seq[Double]], Long, Long)): (Seq[Seq[Double]], Long, Long) =

@@ -15,19 +15,22 @@ import org.apache.spark.sql.functions._
   * memory for query batches to reuse it — shrinks by the same factor,
   * and the probe join moves codes, never vectors. (The same 64-bit
   * budget as 8 × 8-bit codes measured equal recall here but a 16 KB
-  * per-probe-row lookup table vs 2 KB — LUT size, not code grain,
-  * dominates the probe exchange, so more-subspaces/fewer-centroids
-  * wins.)
+  * vs 2 KB per-query lookup table — LUT size, not code grain, governs
+  * the per-probe-row rebuild cost at the list side, so
+  * more-subspaces/fewer-centroids wins.)
   *
-  * Query = ADC (asymmetric distance computation): each query computes
-  * ONE lookup table of its sub-dot-products against every sub-centroid
-  * (m×ksub doubles), attached to its probe rows; a candidate's
-  * approximate score is then m table lookups — no vector arithmetic per
-  * candidate. The ADC top `refineK·k` candidates are re-ranked with
-  * exact dots fetched BY ID from the original embeddings (an equi-join
-  * moving only queries×refine rows), which restores near-exact head
-  * precision; the driver-visible recall gate certifies the operating
-  * point exactly like the LSH/IVF paths.
+  * Query = ADC (asymmetric distance computation): probe rows ship the
+  * QUERY VECTOR through the (cluster, chunk) exchange; at the list
+  * side each probe row builds its m×ksub lookup table once (memoized
+  * across its consecutive join outputs) and a candidate's approximate
+  * score is then m table lookups — no per-candidate vector arithmetic,
+  * and the exchange carries dims doubles per probe row instead of the
+  * 4× larger LUT (the IVFADC deployment shape: queries travel, tables
+  * build where the lists live). The ADC top `refineK·k` candidates are
+  * re-ranked with exact dots fetched BY ID from the original
+  * embeddings (an equi-join moving only queries×refine rows), which
+  * restores near-exact head precision; the driver-visible recall gate
+  * certifies the operating point exactly like the LSH/IVF paths.
   *
   * Deterministic end-to-end: codebooks train with Lloyd's on a
   * deterministic md5-order sample (the bounded-sample training FAISS
@@ -268,12 +271,14 @@ object PqIndex {
   }
 
   /** ANN top-k against a built IVF-PQ index: multi-probe → ADC score →
-    * exact refine. Probe rows carry (query_id, cluster, chunk, lut);
+    * exact refine. Probe rows carry (query_id, cluster, chunk, qv);
     * the salted sort-merge join against the pre-laid-out lists is the
-    * same zero-corpus-shuffle shape as [[IvfIndex.query]], but both
-    * sides are now vector-free: the heaviest column in the exchange is
-    * the query's own m×ksub lookup table. `refineK·k` ADC winners per
-    * query re-rank by exact dot, fetched by id. */
+    * same zero-corpus-shuffle shape as [[IvfIndex.query]], with the
+    * corpus side vector-free (packed codes) and the probe side
+    * carrying only the query vector — the ADC lookup tables build
+    * post-join behind a last-query memo (see the object doc).
+    * `refineK·k` ADC winners per query re-rank by exact dot, fetched
+    * by id. */
   def query(index: Index, queries: DataFrame, corpus: DataFrame, k: Int = 5,
             probes: Int = -1, refineK: Int = 30): DataFrame = {
     val spark = queries.sparkSession

@@ -177,10 +177,21 @@ object Sketches {
         .map(_._1).getOrElse(weighted.last._1)
     }
 
+    /** Re-run compaction on a sketch whose level-0 buffer reached
+      * capacity — the deferred-compaction entry the grouped aggregator
+      * uses so its per-row reduce stays an O(1)-ish head append. */
+    private[graft] def compacted(s: Sketch): Sketch = {
+      val (lv, err) = compactAll(s.k, s.levels, s.errBound)
+      Sketch(s.k, lv, s.count, err)
+    }
+
     /** One-pass distributed build: per-partition sketches, reduced by
-      * [[merge]]. */
+      * [[merge]]. Nulls drop; NaN is kept (so counts agree with SQL
+      * `IS NOT NULL` semantics) and sorts to the top like Scala's
+      * double ordering. */
     def build(df: DataFrame, valueCol: String, k: Int = 256): Sketch = {
-      val vals = df.select(col(valueCol).cast("double")).na.drop()
+      val vals = df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double"))
       val parts = vals.rdd.mapPartitions(it =>
         Iterator.single(insertAll(empty(k), it.map(_.getDouble(0)))))
       parts.fold(empty(k))(merge)
@@ -188,31 +199,40 @@ object Sketches {
   }
 
   /** One-row theorem gate for [[QuantileSketch]]: for each probed q,
-    * the EXACT rank of the sketch's estimate (one distributed count per
-    * probe) must sit within the sketch's self-accounted error bound of
-    * q·n — plus a one-rank slack for the ceil discreteness. `bound_ok`
-    * additionally pins that the accounting stayed non-degenerate
-    * (errBound ≤ n/4: at k=256 the structural bound is ~log₂(n/k)·n/k,
-    * two orders tighter). Empty input gates vacuously true. */
+    * the estimate's exact rank INTERVAL [#{v < est}, #{v ≤ est}] must
+    * intersect q·n ± (errBound + 1) — the interval, not the upper
+    * endpoint alone, because the theorem bounds where the estimate
+    * SITS in sorted order, and inside a run of tied values every
+    * position of the run is the same sort location (an upper-endpoint
+    * check would fail a perfectly correct sketch whenever a probed
+    * quantile lands in a duplicate run longer than the bound).
+    * `bound_ok` additionally pins that the accounting stayed
+    * non-degenerate (errBound ≤ n/4: at k=256 the structural bound is
+    * ~log₂(n/k)·n/k, two orders tighter). Empty input gates vacuously
+    * true. */
   def quantileSketchGate(df: DataFrame, valueCol: String,
                          k: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val s = QuantileSketch.build(df, valueCol, k)
+    // isNotNull (not na.drop): the pinned oracle counts IS NOT NULL
+    // rows, and na.drop would also silently drop NaN — n must agree
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val s = QuantileSketch.build(vals, "__v", k)
     val probes = Seq(0.1, 0.5, 0.9)
     val oks =
       if (s.count == 0) probes.map(_ => true)
       else {
         val ests = probes.map(q => QuantileSketch.query(s, q))
-        val vals = df.select(col(valueCol).cast("double")).na.drop()
-        val ranks = vals.agg(
-          ests.map(e => sum(when(col(valueCol).cast("double") <= e, 1L)
-            .otherwise(0L))).head,
-          ests.map(e => sum(when(col(valueCol).cast("double") <= e, 1L)
-            .otherwise(0L))).tail: _*).head()
+        val cnts = ests.flatMap(e => Seq(
+          sum(when(col("__v") < e, 1L).otherwise(0L)),
+          sum(when(col("__v") <= e, 1L).otherwise(0L))))
+        val ranks = vals.agg(cnts.head, cnts.tail: _*).head()
         probes.indices.map { i =>
-          val rank = ranks.getLong(i)
-          math.abs(rank - probes(i) * s.count) <= s.errBound + 1
+          val rankLt = ranks.getLong(2 * i)
+          val rankLe = ranks.getLong(2 * i + 1)
+          val target = probes(i) * s.count
+          rankLt <= target + s.errBound + 1 && rankLe >= target - s.errBound - 1
         }
       }
     Seq((k.toLong, s.count, oks(0), oks(1), oks(2),
@@ -223,10 +243,12 @@ object Sketches {
   /** Per-GROUP version of the quantile-sketch theorem gate, driving the
     * [[graft.functions.QuantileSketchAgg]] grouped aggregator: every
     * group's median estimate must satisfy its own self-accounted
-    * |rank − q·n| ≤ err_bound. The per-group sketch rows (one per
-    * group — bounded by group cardinality, the same driver-footprint
-    * class as the other gates) broadcast back for one exact
-    * rank-counting pass; verdict reduces to one row. */
+    * bound — checked on the rank INTERVAL [#{v < est}, #{v ≤ est}]
+    * like [[quantileSketchGate]] (tied-value runs are one sort
+    * position). The per-group sketch rows (one per group — bounded by
+    * group cardinality, the same driver-footprint class as the other
+    * gates) broadcast back for one exact rank-counting pass; verdict
+    * reduces to one row. */
   def quantileSketchGroupedGate(df: DataFrame, groupCol: String,
                                 valueCol: String, k: Int = 256,
                                 q: Double = 0.5): DataFrame = {
@@ -240,12 +262,15 @@ object Sketches {
         col("s._3").getItem(0).as("est"))
     val ranks = vals.join(broadcast(per), groupCol)
       .groupBy(col(groupCol))
-      .agg(sum(when(col(valueCol).cast("double") <= col("est"), 1L)
-          .otherwise(0L)).as("rank"),
+      .agg(sum(when(col(valueCol).cast("double") < col("est"), 1L)
+          .otherwise(0L)).as("rank_lt"),
+        sum(when(col(valueCol).cast("double") <= col("est"), 1L)
+          .otherwise(0L)).as("rank_le"),
         first(col("n")).as("n"), first(col("err")).as("err"))
     ranks.agg(count(lit(1)).as("n_groups"),
       coalesce(bool_and(
-        abs(col("rank") - lit(q) * col("n")) <= col("err") + 1), lit(true))
+        col("rank_lt") <= lit(q) * col("n") + col("err") + 1 &&
+          col("rank_le") >= lit(q) * col("n") - col("err") - 1), lit(true))
         .as("grouped_ok"))
   }
 

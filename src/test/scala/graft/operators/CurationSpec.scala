@@ -122,6 +122,17 @@ class CurationSpec extends SparkSpec {
     val g = Sketches.quantileSketchGroupedGate(
       orders, "o_orderstatus", "o_totalprice").collect()(0)
     assert(g.getLong(0) == 3 && g.getBoolean(1), s"grouped gate: $g")
+    // tied-run regression: half the corpus is ONE value — a correct
+    // sketch must pass; the former upper-endpoint rank check failed
+    // any probed quantile landing inside a duplicate run longer than
+    // the bound
+    val dup = ((0 until 5000).map(_ => 1.0) ++ (0 until 5000).map(_ + 2.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val dgate = Sketches.quantileSketchGate(dup, "v").collect()(0)
+    assert((2 to 5).forall(dgate.getBoolean), s"tied-run gate: $dgate")
+    val dg = Sketches.quantileSketchGroupedGate(
+      dup.withColumn("grp", lit("all")), "grp", "v").collect()(0)
+    assert(dg.getBoolean(1), s"tied-run grouped gate: $dg")
   }
 
   test("PCA: recovers a planted dominant direction; gate invariants hold") {
