@@ -67,4 +67,60 @@ object QuantileSketchAgg {
   def sketch(k: Int, probes: Seq[Double])(value: Column): Column =
     org.apache.spark.sql.functions.udaf(
       new QuantileSketchAgg(k, probes), Encoders.scalaDouble).apply(value)
+
+  /** SQL-registrable form: `graft_quantile(value, q, k)` — (q, k) ride
+    * as trailing per-row arguments adopted by the buffer from the
+    * first row (a registered UDAF is construction-fixed; same pattern
+    * as `graft_topk`/`graft_heavy_hitters`). Returns the estimate;
+    * bound checking stays with the DataFrame-side gates. */
+  def quantileSql: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    implicit val enc: Encoder[(Double, Double, Int)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaInt)
+    org.apache.spark.sql.functions.udaf(new QuantileSketchSqlAggregator)
+  }
+}
+
+/** See [[QuantileSketchAgg.quantileSql]]. Buffer carries the adopted
+  * (q, k) beside the sketch levels; reduce is the same deferred-
+  * compaction head append as the DataFrame-side aggregator. */
+class QuantileSketchSqlAggregator
+    extends Aggregator[(Double, Double, Int),
+      (Double, Int, Seq[Seq[Double]], Long, Long), Double] {
+
+  private def toSketch(k: Int,
+                       b: (Double, Int, Seq[Seq[Double]], Long, Long)): Sketch =
+    Sketch(math.max(1, k), b._3.map(_.toVector).toVector, b._4, b._5)
+
+  override def zero: (Double, Int, Seq[Seq[Double]], Long, Long) =
+    (-1.0, 0, Seq(Seq.empty[Double]), 0L, 0L)
+
+  override def reduce(buf: (Double, Int, Seq[Seq[Double]], Long, Long),
+                      in: (Double, Double, Int)): (Double, Int, Seq[Seq[Double]], Long, Long) = {
+    val q = if (buf._2 > 0) buf._1 else in._2
+    val k = math.max(1, if (buf._2 > 0) buf._2 else in._3)
+    val head = buf._3.head :+ in._1
+    if (head.length < 2 * k) (q, k, head +: buf._3.tail, buf._4 + 1, buf._5)
+    else {
+      val s = QuantileSketch.compacted(Sketch(k,
+        (head +: buf._3.tail).map(_.toVector).toVector, buf._4 + 1, buf._5))
+      (q, k, s.levels, s.count, s.errBound)
+    }
+  }
+
+  override def merge(a: (Double, Int, Seq[Seq[Double]], Long, Long),
+                     b: (Double, Int, Seq[Seq[Double]], Long, Long)): (Double, Int, Seq[Seq[Double]], Long, Long) = {
+    val q = if (a._2 > 0) a._1 else b._1
+    val k = math.max(1, math.max(a._2, b._2))
+    val s = QuantileSketch.merge(toSketch(k, a), toSketch(k, b))
+    (q, k, s.levels, s.count, s.errBound)
+  }
+
+  override def finish(buf: (Double, Int, Seq[Seq[Double]], Long, Long)): Double = {
+    val s = toSketch(buf._2, buf)
+    if (s.count == 0) Double.NaN else QuantileSketch.query(s, buf._1)
+  }
+
+  override def bufferEncoder: Encoder[(Double, Int, Seq[Seq[Double]], Long, Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Int, Seq[Seq[Double]], Long, Long)]()
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

@@ -62,5 +62,6 @@ object Registry {
     // data (see TopKSqlAggregator / HeavyHittersSqlAggregator).
     spark.udf.register("graft_topk", TopKAggregator.topKSql)
     spark.udf.register("graft_heavy_hitters", HeavyHitters.summarySql)
+    spark.udf.register("graft_quantile", QuantileSketchAgg.quantileSql)
   }
 }

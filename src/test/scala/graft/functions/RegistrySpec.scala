@@ -58,6 +58,24 @@ class RegistrySpec extends SparkSpec {
     assert(sqlHh.map(_._1).contains("a"))  // the true heavy term survives
   }
 
+  test("graft_quantile: SQL estimate obeys the sketch's rank bound") {
+    Registry.register(spark)
+    val vs = (0 until 4000).map(i => (i % 4, ((i * 7919) % 4000).toDouble))
+    vs.toDF("grp", "v").createOrReplaceTempView("qvals")
+    val rows = spark.sql(
+      "SELECT grp, graft_quantile(v, 0.5, 64) AS med FROM qvals GROUP BY grp")
+      .as[(Int, Double)].collect()
+    assert(rows.length == 4)
+    // per group (1000 uniform values): median estimate lands near the
+    // middle — bound from the k=64 structure is a few percent of n
+    rows.foreach { case (g, med) =>
+      val inGroup = vs.filter(_._1 == g).map(_._2)
+      val rank = inGroup.count(_ <= med)
+      assert(math.abs(rank - inGroup.length / 2.0) <= 200,
+        s"group $g: median estimate rank $rank of ${inGroup.length}")
+    }
+  }
+
   test("config args must be literals: column reference fails with a clear error") {
     Registry.register(spark)
     Seq(("a b c d", 3)).toDF("text", "n").createOrReplaceTempView("cfg")
