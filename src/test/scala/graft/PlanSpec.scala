@@ -160,6 +160,13 @@ class PlanSpec extends SparkSpec {
         .map { case (_, i) => lines(i + 1) }.mkString
       assert(cachedOut.contains("codes#") && !cachedOut.contains("embedding"),
         s"lists must carry packed codes, not vectors: $cachedOut")
+      // probe-side exchange ships the query VECTOR, never the 4× larger
+      // ADC lookup table (LUTs build post-join at the list side)
+      val exchanges = lines.zipWithIndex
+        .filter(_._1.trim.matches("""\(\d+\) Exchange.*"""))
+        .map { case (_, i) => lines(i + 1) }.mkString
+      assert(exchanges.contains("qv#") && !exchanges.contains("lut"),
+        s"probe exchange must carry qv, not the LUT: $exchanges")
     } finally idx.close()
   }
 

@@ -81,6 +81,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).channels == 3, "non-image payload takes the stub path")
   }
 
+  test("ImageCodec: JPEG decodes through the real path (lossy values, exact dims)") {
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 8, 4, Array.tabulate[Byte](32)(i => (i * 8).toByte))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val payload = bos.toByteArray
+    assert(Multimodal.ImageCodec.isJpeg(payload) && !Multimodal.ImageCodec.isPng(payload))
+    val Some((w, h, c, feats)) = Multimodal.ImageCodec.decode(payload)
+    assert((w, h, c) == (8, 4, 1), "JPEG is lossy in values, exact in dimensions")
+    // mean within JPEG quantization slack of the source mean
+    val srcMean = (0 until 32).map(_ * 8).sum / 32.0 / 255.0
+    assert(math.abs(feats(0) - srcMean) < 0.1, s"${feats(0)} vs $srcMean")
+  }
+
   test("corrupt image bodies behind valid magic fall back instead of killing tasks") {
     implicit val s = spark
     import spark.implicits._
