@@ -141,6 +141,10 @@ object SparkEntry {
     "q_mixture_sample" -> ((s, dir) =>
       TextOps.mixtureSample(t(s, dir, "documents"),
         Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1), total = 200)),
+    // Deflate compression-ratio quality signal: the gate pins the
+    // format's own worst-case bound (deflated size has no SQL oracle).
+    "q_compression_gate" -> ((s, dir) =>
+      TextOps.compressionGate(t(s, dir, "documents"))),
     // Curriculum labeling: global quality deciles by value against
     // exact quantile thresholds (ties share buckets — deterministic
     // under reshuffling, unlike rank-based ntile).
@@ -801,6 +805,11 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
         |  distinct_ratio * 0.5 + stopword_ratio * 0.2 + len_score * 0.3 AS quality_score
         |FROM q ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_compression_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS nonempty_ok, true AS bound_ok
+        |FROM documents""".stripMargin,
 
     // Value-based decile: quality chain identical to q_text_quality's,
     // thresholds via quantile_cont (bit-equal to Spark's percentile —

@@ -332,6 +332,52 @@ object TextOps {
         min(col("eval_id")).as("first_eval_hit"))
   }
 
+  /** Compression-ratio quality signal (the classic deflate filter —
+    * Gopher-family pipelines drop documents whose bytes compress TOO
+    * well, boilerplate/repetition, or barely at all, random blobs):
+    * per document, raw UTF-8 size, deflated size (JDK zlib, fixed
+    * level — deterministic for a given runtime), and their ratio.
+    * Narrow per-row work at scan speed; no shuffle.
+    *
+    * The deflated size has no SQL oracle (DuckDB ships no zlib
+    * surface), so the driver-visible entry is [[compressionGate]],
+    * pinning the format's own guarantees. */
+  def compressionRatio(docs: DataFrame, level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            compressed.toDouble / math.max(raw.length, 1))
+        }
+      }.toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")
+  }
+
+  /** One-row gate over [[compressionRatio]]'s format guarantees:
+    * deflate output is non-empty and bounded by raw + 11 + 5·⌈raw/2¹⁶⌉
+    * (zlib header + stored-block worst case — a THEOREM of the format,
+    * not a tuning), checked for every document. */
+  def compressionGate(docs: DataFrame): DataFrame = {
+    val r = compressionRatio(docs)
+    val worstCase = col("raw_bytes") + lit(11) +
+      lit(5) * ceil(col("raw_bytes").cast("double") / 65536.0)
+    r.agg(count(lit(1)).as("n_docs"),
+      coalesce(bool_and(col("deflate_bytes") > 0), lit(true)).as("nonempty_ok"),
+      coalesce(bool_and(col("deflate_bytes") <= worstCase), lit(true))
+        .as("bound_ok"))
+  }
+
   /** Quality-decile curriculum assignment: every document labeled with
     * its global quality bucket 1..`buckets` (1 = lowest) — the data-
     * ordering signal curriculum-style pretraining consumes (feed high

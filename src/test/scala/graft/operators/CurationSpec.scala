@@ -58,6 +58,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("compressionRatio: repetition compresses, randomness doesn't; gate bound holds") {
+    val rnd = new scala.util.Random(3)
+    val docs = Seq(
+      (1L, "spam spam " * 200),
+      (2L, Seq.fill(400)(rnd.alphanumeric.take(4).mkString).mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 < 0.1, s"boilerplate must compress hard: ${out(1L)}")
+    assert(out(2L)._3 > 3 * out(1L)._3,
+      s"random text must compress far worse: ${out(2L)} vs ${out(1L)}")
+    assert(out(3L)._2 > 0, "empty doc still emits a (header-only) stream")
+    val gate = TextOps.compressionGate(docs).collect()(0)
+    assert(gate.getLong(0) == 3 && gate.getBoolean(1) && gate.getBoolean(2), s"$gate")
+    // determinism across partitionings (fixed JDK zlib)
+    val again = TextOps.compressionRatio(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
+
   test("curriculumDeciles: monotone value-based buckets, ties share a bucket") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.curriculumDeciles(docs).collect()
