@@ -350,7 +350,7 @@ object TextOps {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
+        val mapped = it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
@@ -360,6 +360,16 @@ object TextOps {
             compressed += deflater.deflate(buf)
           (id, raw.length.toLong, compressed,
             compressed.toDouble / math.max(raw.length, 1))
+        }
+        // release the native zlib state when the partition drains
+        // (end() is idempotent; waiting for GC strands native memory)
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Long, Long, Double) = mapped.next()
         }
       }.toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")
   }
