@@ -185,11 +185,27 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p))
   }
 
+  /** Commit wall-clock of a snapshot: the explicit epoch-ms stamp the
+    * commit wrote into the version's `_graft_commit` manifest
+    * ([[graft.streaming.StateStore.CommitManifest]]); directory mtime
+    * only as the LEGACY fallback for pre-manifest stores — mtime is an
+    * attribute of the copy, not the commit (a restored/rsync'd lake or
+    * a touched `v=` directory shifts it silently), while the manifest's
+    * content travels with the data. Same clock `StateStore.readAsOf`
+    * consults, so SQL and Scala answers agree. */
+  private def commitMsOf(p: Path, v: Long): Long = {
+    val vdir = p.resolve(s"v=$v")
+    val manifest = vdir.resolve(graft.streaming.StateStore.CommitManifest)
+    val stamped =
+      if (Files.exists(manifest))
+        Files.readString(manifest).trim.toLongOption
+      else None
+    stamped.getOrElse(Files.getLastModifiedTime(vdir).toMillis)
+  }
+
   /** SQL-text time travel, timestamp form: `… TIMESTAMP AS OF <ts>`
     * (Spark passes MICROseconds). Resolves to the newest snapshot
-    * committed at or before the timestamp — commit time is the version
-    * directory's mtime, the same clock [[graft.streaming.StateStore]]
-    * `readAsOf` consults, so SQL and Scala answers agree. */
+    * committed at or before the timestamp, per [[commitMsOf]]. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
@@ -197,12 +213,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     if (vs.isEmpty) throw new UnsupportedOperationException(
       s"$catalogName: ${ident.toString} is not a versioned table (no v=<n> snapshots)")
     val tsMs = timestampMicros / 1000L
-    val v = vs.reverse.find(v =>
-        Files.getLastModifiedTime(p.resolve(s"v=$v")).toMillis <= tsMs)
+    val v = vs.reverse.find(v => commitMsOf(p, v) <= tsMs)
       .getOrElse(throw new IllegalArgumentException(
         s"$catalogName: ${ident.toString} has no snapshot at or before " +
-          s"timestamp ${tsMs}ms (earliest commit: " +
-          s"${Files.getLastModifiedTime(p.resolve(s"v=${vs.head}")).toMillis}ms)"))
+          s"timestamp ${tsMs}ms (earliest commit: ${commitMsOf(p, vs.head)}ms)"))
     parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p))
   }
 

@@ -41,11 +41,26 @@ final class StateStore(spark: SparkSession, dir: String) {
     if (versions.contains(version)) Some(spark.read.parquet(s"$dir/v=$version"))
     else None
 
-  /** Commit wall-clock of a version (the directory's filesystem
-    * mtime — stamped by the commit itself, no sidecar metadata). */
+  /** Commit wall-clock of a version: the explicit timestamp the commit
+    * stamped into the version's `_graft_commit` manifest. Filesystem
+    * mtime is only the LEGACY fallback (pre-manifest stores): mtime is
+    * an attribute of the copy, not the commit — a rsync'd/restored
+    * lake or a touched directory silently shifts it, while the
+    * manifest's content travels with the data. */
   def commitTimeMs(version: Long): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/v=$version")
-    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+    if (!fs.exists(p)) None
+    else {
+      val m = new org.apache.hadoop.fs.Path(p, StateStore.CommitManifest)
+      val stamped =
+        if (fs.exists(m)) {
+          val in = fs.open(m)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+          finally in.close()
+        } else None
+      stamped.orElse(Some(fs.getFileStatus(p).getModificationTime))
+    }
   }
 
   /** Time travel by timestamp (`TIMESTAMP AS OF`): the newest snapshot
@@ -57,9 +72,20 @@ final class StateStore(spark: SparkSession, dir: String) {
       .map(v => spark.read.parquet(s"$dir/v=$v"))
 
   /** Commit a new version. Overwrite of an existing version (failure
-    * replay) is idempotent by construction. */
-  def write(df: DataFrame, version: Long): Unit =
+    * replay) is idempotent by construction — the replayed commit
+    * re-stamps the manifest, so commit time is always that of the LAST
+    * successful commit of the version. The manifest lands after the
+    * data (a crash between the two leaves a version readable with the
+    * mtime fallback, never a stamped-but-absent snapshot), underscore-
+    * prefixed so Spark's hidden-file filter keeps it out of scans. */
+  def write(df: DataFrame, version: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$dir/v=$version")
+    val m = new org.apache.hadoop.fs.Path(s"$dir/v=$version/${StateStore.CommitManifest}")
+    val out = fs.create(m, true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Drop versions older than the newest `keep` (bounded storage; the
     * reference's Paimon snapshots expire the same way). */
@@ -80,4 +106,13 @@ final class StateStore(spark: SparkSession, dir: String) {
     latestVersion.foreach { v =>
       write(spark.read.parquet(s"$dir/v=$v").coalesce(targetFiles), v + 1)
     }
+}
+
+object StateStore {
+  /** Per-version commit-timestamp manifest (epoch ms, plain text),
+    * written inside `v=<n>/` so it expires and renames with its
+    * snapshot. Shared with [[graft.catalog.GraftLakeCatalog]]'s
+    * `TIMESTAMP AS OF` resolution, so SQL text and the Scala
+    * [[StateStore#readAsOf]] consult the same clock. */
+  val CommitManifest = "_graft_commit"
 }
