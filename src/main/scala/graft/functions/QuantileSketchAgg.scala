@@ -31,14 +31,26 @@ class QuantileSketchAgg(k: Int, probes: Seq[Double])
   override def zero: (Seq[Seq[Double]], Long, Long) =
     (Seq(Seq.empty[Double]), 0L, 0L)
 
-  /** Per-row reduce appends to the level-0 head only — the full
+  /** Per-row reduce PREPENDS to the level-0 head only — the full
     * levels→Vector conversion and compaction run once per 2k inserts,
     * not per row (typed-aggregator buffers live as objects inside
-    * ObjectHashAggregate, so this append is the entire hot-path
-    * cost). */
+    * ObjectHashAggregate, so this prepend is the entire hot-path cost).
+    * Prepend, not append: after the buffer round-trips through the
+    * ExpressionEncoder (partial→final, or a spill) the Seq
+    * deserializes array-backed, where `:+` copies the whole level-0
+    * buffer per row — O(k) per insert, O(k²) per compaction cycle.
+    * [[levelZero]] coerces a foreign runtime type to List once, so the
+    * steady state is O(1) `::` whatever the encoder produced; level-0
+    * order is immaterial (compaction sorts before promoting). */
+  private def levelZero(h: Seq[Double]): Seq[Double] = h match {
+    case l: List[Double @unchecked] => l
+    case v: Vector[Double @unchecked] => v
+    case other => other.toList
+  }
+
   override def reduce(buf: (Seq[Seq[Double]], Long, Long),
                       v: Double): (Seq[Seq[Double]], Long, Long) = {
-    val head = buf._1.head :+ v
+    val head = v +: levelZero(buf._1.head)
     if (head.length < 2 * k) (head +: buf._1.tail, buf._2 + 1, buf._3)
     else fromBuf(QuantileSketch.compacted(Sketch(k,
       (head +: buf._1.tail).map(_.toVector).toVector, buf._2 + 1, buf._3)))
@@ -82,7 +94,8 @@ object QuantileSketchAgg {
 
 /** See [[QuantileSketchAgg.quantileSql]]. Buffer carries the adopted
   * (q, k) beside the sketch levels; reduce is the same deferred-
-  * compaction head append as the DataFrame-side aggregator. */
+  * compaction amortized-O(1) head prepend as the DataFrame-side
+  * aggregator (see [[QuantileSketchAgg.reduce]] for why prepend). */
 class QuantileSketchSqlAggregator
     extends Aggregator[(Double, Double, Int),
       (Double, Int, Seq[Seq[Double]], Long, Long), Double] {
@@ -91,6 +104,12 @@ class QuantileSketchSqlAggregator
                        b: (Double, Int, Seq[Seq[Double]], Long, Long)): Sketch =
     Sketch(math.max(1, k), b._3.map(_.toVector).toVector, b._4, b._5)
 
+  private def levelZero(h: Seq[Double]): Seq[Double] = h match {
+    case l: List[Double @unchecked] => l
+    case v: Vector[Double @unchecked] => v
+    case other => other.toList
+  }
+
   override def zero: (Double, Int, Seq[Seq[Double]], Long, Long) =
     (-1.0, 0, Seq(Seq.empty[Double]), 0L, 0L)
 
@@ -98,7 +117,7 @@ class QuantileSketchSqlAggregator
                       in: (Double, Double, Int)): (Double, Int, Seq[Seq[Double]], Long, Long) = {
     val q = if (buf._2 > 0) buf._1 else in._2
     val k = math.max(1, if (buf._2 > 0) buf._2 else in._3)
-    val head = buf._3.head :+ in._1
+    val head = in._1 +: levelZero(buf._3.head)
     if (head.length < 2 * k) (q, k, head +: buf._3.tail, buf._4 + 1, buf._5)
     else {
       val s = QuantileSketch.compacted(Sketch(k,

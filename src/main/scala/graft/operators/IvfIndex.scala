@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   * the index, not the (previously fixed-16) cluster count. Only probe
   * rows move at query time; corpus vectors never re-shuffle.
   *
-  * Deterministic end-to-end: centroid seeds are the first nClusters
+  * Deterministic structure: centroid seeds are the first nClusters
   * vectors in md5(vec_id) order (reproducible pseudo-random spread),
-  * Lloyd iterations are exact-arithmetic argmax with id tie-break, and
-  * chunk assignment is a content hash, so the same model and the same
-  * answer come back on any cluster/partitioning.
+  * assignment is exact-arithmetic argmax with id tie-break, and chunk
+  * assignment is a content hash. Centroid LOW BITS can vary with the
+  * partition layout (Lloyd's partial sums are double additions, which
+  * are order-sensitive) — the operator's contract is the recall gate,
+  * not bit-identical centroids; everything downstream of a FIXED model
+  * is bit-deterministic.
   */
 object IvfIndex {
 
@@ -107,11 +110,18 @@ object IvfIndex {
       (n, fit(embeddings, nc, iters))
     }._2
 
-  /** Lloyd's k-means (dot-product objective over normalized vectors). */
+  /** Lloyd's k-means (dot-product objective over normalized vectors).
+    * The corpus scan is [[Similarity.spread]] first: single-row-group
+    * local parquet otherwise runs every Lloyd pass on ONE task — the
+    * exact single-core shape the bench postmortem showed is
+    * JIT-deopt-vulnerable, and a serial scan besides. Partial sums per
+    * partition then merge in reduceByKey; centroid low bits can differ
+    * across layouts (double addition is order-sensitive), which the
+    * recall gates absorb by construction (margin over the bar). */
   def fit(embeddings: DataFrame, nClusters: Int = 16, iters: Int = 5): Model = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val vecs = toVecs(embeddings).cache()
+    val vecs = toVecs(Similarity.spread(embeddings)).cache()
     // deterministic seeding: md5-order pseudo-random sample
     var centroids = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nClusters)

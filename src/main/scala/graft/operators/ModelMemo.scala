@@ -24,9 +24,21 @@ import org.apache.spark.sql.DataFrame
   *
   * [[invalidate]] is the explicit reset hook; the size guard holds the
   * map's monitor so a concurrent clear cannot interleave with the
-  * check (the previous check-then-clear raced). */
+  * check (the previous check-then-clear raced).
+  *
+  * The map stores lazy CELLS, not values: `putIfAbsent` publishes the
+  * cell without running the fit, then the winner forces it OUTSIDE the
+  * map's bin lock. Running a multi-minute distributed fit inside
+  * `computeIfAbsent` would block every unrelated lookup whose key
+  * hashes to the same bin for the fit's duration, and a re-entrant fit
+  * on the same memo could deadlock on the bin; with cells, concurrent
+  * same-key callers block only on that one cell's monitor (sharing the
+  * single fit — still once per key), different keys never contend, and
+  * a fit that throws leaves the lazy val uninitialized so the next
+  * caller retries rather than caching the failure. */
 private[operators] final class ModelMemo[V <: AnyRef] {
-  private val map = new java.util.concurrent.ConcurrentHashMap[String, V]()
+  private final class Cell(compute: () => V) { lazy val value: V = compute() }
+  private val map = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
   /** Drop every memoized model (e.g. after overwriting input paths
     * mid-session with an unchanged file inventory — rewritten files
@@ -58,9 +70,11 @@ private[operators] final class ModelMemo[V <: AnyRef] {
     update(s"|$params")
     val key = md.digest().map("%02x".format(_)).mkString
     // size guard: clears exclude each other and invalidate(); the
-    // computeIfAbsent itself stays outside the monitor (worst case a
+    // publish+force below stays outside the monitor (worst case a
     // concurrent clear costs one recompute, never a wrong result)
     map.synchronized { if (map.size > 64) map.clear() }
-    map.computeIfAbsent(key, _ => compute)
+    val cell = new Cell(() => compute)
+    val prior = map.putIfAbsent(key, cell)
+    (if (prior == null) cell else prior).value
   }
 }

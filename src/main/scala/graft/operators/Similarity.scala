@@ -420,14 +420,26 @@ object Similarity {
       .limit(sampleQueries)
       .select(col("vec_id"))
     val sampled = embeddings.join(broadcast(qids), "vec_id")
-    val exact = bruteForceTopKFor(sampled, embeddings, k)
-      .select("query_id", "neighbor_id")
+    // materialize the exact side ONCE as local rows (bounded: sample×k)
+    // — referencing the lazy plan from both the matched and the total
+    // aggregate re-ran the full O(sample·N) brute-force scan twice per
+    // gate evaluation
+    val exact = {
+      val e = bruteForceTopKFor(sampled, embeddings, k)
+        .select("query_id", "neighbor_id")
+      e.sparkSession.createDataFrame(
+        java.util.Arrays.asList(e.collect(): _*), e.schema)
+    }
     val ap = approxFor(sampled, embeddings).select("query_id", "neighbor_id")
-    val matched = exact.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).cast("double").as("__matched"))
-    val total = exact.agg(count(lit(1)).cast("double").as("__total"))
+    // one pass: per-(query, neighbor) ap rows are unique (ranked top-k),
+    // so a left join cannot duplicate exact rows — count(*) is the
+    // total, count(__hit) the intersection (== the former left_semi)
+    val scored = exact
+      .join(ap.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).cast("double").as("__total"),
+        count(col("__hit")).cast("double").as("__matched"))
     qids.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(matched).crossJoin(total)
+      .crossJoin(scored)
       .select(lit(k.toLong).as("k"), col("n_queries"),
         (col("__matched") / col("__total") >= bar).as("recall_ok"))
   }
