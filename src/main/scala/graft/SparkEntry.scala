@@ -186,6 +186,21 @@ object SparkEntry {
     // threshold (reshuffle-proof; a rand() split is not).
     "q_split_assign" -> ((s, dir) =>
       TextOps.splitAssign(t(s, dir, "documents"))),
+    // CCNet-style segment-level dedup (boilerplate removal): drop
+    // every 20-word segment whose exact content recurs across ≥2
+    // distinct documents, reassemble survivors in order.
+    "q_segment_dedup" -> ((s, dir) =>
+      TextOps.segmentDedup(t(s, dir, "documents"))),
+    // Length-bucketed batching: similar-length documents batch
+    // together (bounded padding waste); md5-rank batch ids.
+    "q_length_buckets" -> ((s, dir) =>
+      TextOps.lengthBuckets(t(s, dir, "documents"))),
+    // DSIR-flavored target-affinity selection: distinct-bigram overlap
+    // of each document against the src0 target corpus.
+    "q_target_affinity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.targetAffinity(d, d.filter(col("source") === "src0"))
+    }),
     // Duplicate-group size profile — the dedup run's monitoring view,
     // keyed on the 8-opening-tokens digest (boilerplate-prefix
     // grouping; the full-text key is the default but this corpus has
@@ -249,12 +264,17 @@ object SparkEntry {
     // this no-pruning regime, recall-gated where LSH actually prunes.
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), threshold = 0.4)),
-    // Adaptive entry: probes the bucket-collision mass and falls back
-    // to the exact blocked scan when LSH would not prune (the wired
-    // τ=0.4 weakly-clustered regime — where the bucket join costs more
-    // than the scan it feeds). The LSH path stays certified by the
-    // recall gate below, which drives embeddingNearDupFor directly.
-    "q_embed_neardup_lsh" -> ((s, dir) =>
+    // Adaptive entry — the _adaptive suffix says what the label
+    // measures: it probes the bucket-collision mass and falls back to
+    // the exact blocked scan when LSH would not prune (the wired τ=0.4
+    // weakly-clustered regime — where the bucket join costs more than
+    // the scan it feeds), so the benched run IS the exact scan. The
+    // LSH pair path's engaged-path timing and recall live under the
+    // recall gate below, which drives embeddingNearDupFor directly (a
+    // forced full-corpus LSH entry would re-add the measured 17×
+    // regression for zero pruning, and a high-τ one returns zero rows
+    // on this corpus — max pairwise cosine ≈ 0.51).
+    "q_embed_neardup_adaptive" -> ((s, dir) =>
       Dedup.adaptiveNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
     "q_embed_neardup_gate" -> ((s, dir) =>
       Dedup.nearDupRecallGate(t(s, dir, "embeddings"), threshold = 0.4, bar = 0.95)),
@@ -291,15 +311,16 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
-    // Adaptive LSH ANN entry: a cheap bucket-occupancy probe picks
-    // between the LSH path and the exact blocked scan — on THIS
-    // weakly-clustered corpus LSH marks ~70% of pairs as candidates
-    // (SURVEY §2.8's documented no-pruning regime), so the engine
-    // detects that and runs the flat scan, the Faiss-style break-even
-    // fallback. The LSH path itself stays certified by q_ann_lsh_recall
-    // (the gate drives lshTopKFor directly). In this regime the entry
-    // is exact, so it carries the exact SQL oracle.
-    "q_ann_lsh" -> ((s, dir) =>
+    // Adaptive LSH ANN entry — the _adaptive suffix says what the label
+    // measures: a cheap bucket-occupancy probe picks between the LSH
+    // path and the exact blocked scan, and on THIS weakly-clustered
+    // corpus LSH marks ~70% of pairs as candidates (SURVEY §2.8's
+    // documented no-pruning regime), so the benched run IS the flat
+    // scan, the Faiss-style break-even fallback. The LSH machinery's
+    // engaged-path timing and recall live under q_ann_lsh_recall (the
+    // gate drives lshTopKFor directly). In this regime the entry is
+    // exact, so it carries the exact SQL oracle.
+    "q_ann_lsh_adaptive" -> ((s, dir) =>
       Similarity.adaptiveTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
     // IVF ANN (k-means inverted lists + multi-probe).
@@ -310,8 +331,21 @@ object SparkEntry {
     // break-even → the exact blocked scan wins (index cost ≈ fraction
     // × flat scan PLUS probe-join overhead); the IVF machinery stays
     // certified by q_ann_ivf_recall, which drives build/query directly.
-    "q_ann_ivf" -> ((s, dir) =>
+    // The _adaptive suffix says what the label measures (the fallback's
+    // choice — here always the exact scan); q_ann_ivf_probe below is
+    // the benched configuration that engages the index.
+    "q_ann_ivf_adaptive" -> ((s, dir) =>
       graft.operators.IvfIndex.adaptiveTopK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    // The ENGAGED IVF path under its own honest label: build + query
+    // through the inverted lists at the certified operating point
+    // (auto-sized clusters, default probes — exactly what
+    // q_ann_ivf_recall hash-certifies ≥0.9 recall for). Approximate by
+    // design → rows-only entry; exists so the bench artifact carries a
+    // measured cost for the index machinery itself, not only for the
+    // adaptive entry's fallback choice.
+    "q_ann_ivf_probe" -> ((s, dir) =>
+      graft.operators.IvfIndex.topK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
 
     // Driver-visible recall gates for the approximate ANN operators:
@@ -613,7 +647,7 @@ object SparkEntry {
       |ORDER BY ALL NULLS FIRST""".stripMargin
 
   /** Exact τ=0.4 near-dup pair oracle, shared by q_embed_neardup and
-    * the adaptive q_embed_neardup_lsh entry (exact in the wired
+    * the adaptive q_embed_neardup_adaptive entry (exact in the wired
     * no-pruning regime). */
   private val EmbedNearDupSql: String =
     """SELECT x.vec_id AS a, y.vec_id AS b,
@@ -922,6 +956,57 @@ object SparkEntry {
         |  CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_fluency
         |FROM agg CROSS JOIN tot
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Segment dedup: DuckDB's 1-based inclusive list slice
+    // words[a*20+1 : a*20+20] is the same 20-word window as Spark's
+    // slice(__w, a*20+1, 20); string_agg FILTER + ORDER BY pos is the
+    // ordered reassembly of the kept segments.
+    "q_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |seg AS (SELECT doc_id,
+        |    unnest(range(CAST(ceil(len(words)/20.0) AS BIGINT))) AS pos, words FROM w),
+        |s2 AS (SELECT doc_id, pos,
+        |    array_to_string(words[pos*20+1 : pos*20+20], ' ') AS seg_text FROM seg),
+        |s3 AS (SELECT doc_id, pos, seg_text, md5(seg_text) AS h FROM s2),
+        |boiler AS (SELECT h FROM s3 GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s3.doc_id,
+        |  coalesce(string_agg(seg_text, ' ' ORDER BY pos)
+        |    FILTER (WHERE b.h IS NULL), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(count(*) FILTER (WHERE b.h IS NOT NULL) AS BIGINT) AS n_removed
+        |FROM s3 LEFT JOIN boiler b ON s3.h = b.h
+        |GROUP BY s3.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Length buckets: integer bucket arithmetic; the md5-rank window is
+    // the same deterministic order on both sides.
+    "q_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    least(CAST(floor(n_tokens/16.0) AS BIGINT), 7) AS bucket FROM t)
+        |SELECT doc_id, n_tokens, bucket,
+        |  CAST(floor((row_number() OVER (PARTITION BY bucket
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)/32.0) AS BIGINT) AS batch_idx
+        |FROM b ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Target affinity: the bigram construction is the proven
+    // q_text_bigram_fluency parity form; single-token documents have
+    // zero bigrams and drop out of both sides identically.
+    "q_target_affinity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(list_slice(l, 1, len(l)-1),
+        |    (x, i) -> x || chr(31) || l[i+1])) AS bg FROM d),
+        |db AS (SELECT DISTINCT doc_id, md5(bg) AS h FROM b),
+        |tset AS (SELECT DISTINCT md5(bg) AS h FROM b
+        |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+        |a AS (SELECT db.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(count(t.h) AS BIGINT) AS n_matched
+        |  FROM db LEFT JOIN tset t ON db.h = t.h GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_matched,
+        |  CAST(n_matched AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS affinity
+        |FROM a ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Top-token fraction via group-count max — value-identical to the
     // engine's sorted-run-length (both are the modal token count).
@@ -1292,7 +1377,7 @@ object SparkEntry {
     // in this no-pruning regime (candidate fraction ≫ break-even at
     // every SF of this distribution) — same oracle as the exact entry;
     // the LSH path stays certified by the recall gate below.
-    "q_embed_neardup_lsh" -> EmbedNearDupSql,
+    "q_embed_neardup_adaptive" -> EmbedNearDupSql,
 
     "q_embed_neardup_gate" ->
       """SELECT least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
@@ -1352,8 +1437,10 @@ object SparkEntry {
     // oracle — the fold is the same sequential-double dot in both
     // paths. The approximate machinery stays certified by the recall
     // gates, which drive it directly.
-    "q_ann_lsh" -> AnnExactTop5Sql,
-    "q_ann_ivf" -> AnnExactTop5Sql,
+    "q_ann_lsh_adaptive" -> AnnExactTop5Sql,
+    "q_ann_ivf_adaptive" -> AnnExactTop5Sql,
+    // q_ann_ivf_probe: no oracle by design — the engaged index path is
+    // approximate (recall ≥0.9 certified by q_ann_ivf_recall).
 
     // Constant-shape oracles for the ANN recall gates: the Spark side
     // computes recall in-engine (over the deterministic 200-query

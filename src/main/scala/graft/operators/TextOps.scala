@@ -320,7 +320,7 @@ object TextOps {
       new BloomFilterAggregate(
         GraftBridge.expression(xxhash64(col("shingle"))),
         Literal(nItems), Literal(numBits)).toAggregateExpression())
-    val bloom = evalSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val bloom = evalSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
     val prefiltered = corpusSh.filter(GraftBridge.column(
       BloomFilterMightContain(Literal(bloom, BinaryType),
         GraftBridge.expression(xxhash64(col("shingle"))))))
@@ -349,6 +349,12 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // release the native zlib state at TASK COMPLETION, not iterator
+        // exhaustion: a downstream limit()/take() stops consuming early
+        // and would strand the native memory until GC (end() is
+        // idempotent, so also calling it on drain below is safe)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         val mapped = it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -361,8 +367,8 @@ object TextOps {
           (id, raw.length.toLong, compressed,
             compressed.toDouble / math.max(raw.length, 1))
         }
-        // release the native zlib state when the partition drains
-        // (end() is idempotent; waiting for GC strands native memory)
+        // eager release on full drain (local-mode callers outside a
+        // task context still free promptly)
         new Iterator[(Long, Long, Long, Double)] {
           def hasNext: Boolean = {
             val h = mapped.hasNext
@@ -752,6 +758,109 @@ object TextOps {
       when(h < hexThreshold(trainFrac), "train")
         .when(h < hexThreshold(trainFrac + valFrac), "validation")
         .otherwise("test").as("split"))
+  }
+
+  /** CCNet-style segment-level dedup (boilerplate removal — Wenzek et
+    * al. 2019 §4.1, RefinedWeb line-dedup): cut each document into
+    * fixed `window`-word segments, drop every segment whose exact word
+    * sequence occurs in ≥ `minDocs` DISTINCT documents (nav chrome,
+    * licence blocks, cookie banners — and full-copy duplicates — all
+    * land here), and reassemble the survivors in order. CCNet's
+    * segment is the newline; this corpus has none, so the segment is a
+    * fixed word window (same algorithm, different segmenter).
+    *
+    * Scale shape: the duplicate census aggregates (h → distinct docs)
+    * on md5 CONTENT hashes — segment text never rides that shuffle;
+    * text moves once, in the per-document reassembly (one row per
+    * segment, the q_text_chunks volume). The boilerplate hash set (a
+    * tiny fraction of segments by construction — only cross-document
+    * repeats) is the small side of the filter join. Reassembly sorts
+    * by segment index inside each group, so the output is
+    * reshuffle-proof; a document whose every segment is boilerplate
+    * stays in the output with empty clean_text (count columns make the
+    * removal auditable). */
+  def segmentDedup(docs: DataFrame, window: Int = 20, minDocs: Int = 2): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), toks.as("__w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(__w) / $window.0) as int) - 1), " +
+            s"i -> array_join(slice(__w, i * $window + 1, $window), ' '))"))
+          .as(Seq("pos", "seg_text")))
+      .withColumn("h", md5(col("seg_text")))
+    val boiler = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("h"), lit(true).as("__boiler"))
+    segs.join(boiler, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__boiler").isNull, struct(col("pos"), col("seg_text"))))),
+          x => x("seg_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** Length-bucketed batch assignment — the data-ordering signal for
+    * efficient padded-batch training (documents of similar token count
+    * batch together, so per-batch padding waste is bounded by
+    * `bucketWidth`). bucket = n_tokens/bucketWidth capped at
+    * `maxBucket`; batch index = the document's deterministic md5-order
+    * rank within its bucket, divided by `batchSize`. All integer
+    * arithmetic; the md5 rank makes membership reshuffle-proof.
+    *
+    * Scale note: row_number within a bucket is inherently sequential
+    * per bucket — with a handful of buckets over 100 TB, assign batches
+    * by md5-prefix RANGES instead (each range is a batch; same
+    * determinism, no global ordering). The bucket label itself is
+    * narrow per-row arithmetic at any scale. */
+  def lengthBuckets(docs: DataFrame, bucketWidth: Int = 16, maxBucket: Int = 7,
+                    batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"))
+      .withColumn("bucket",
+        least(floor(col("n_tokens") / bucketWidth), lit(maxBucket)).cast("bigint"))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / batchSize.toDouble).cast("bigint"))
+  }
+
+  /** Target-affinity scoring — DSIR-flavored data selection (Xie et
+    * al. 2023) reduced to exact set overlap so it stays
+    * integer-deterministic: the fraction of a document's DISTINCT word
+    * bigrams that occur anywhere in the `target` corpus. High-affinity
+    * documents are "domain-alike" and get upweighted when composing a
+    * mixture toward the target distribution (the full DSIR importance
+    * weight needs log-likelihood ratios, whose libm `ln` is not
+    * cross-engine reproducible — the overlap fraction is the
+    * oracle-safe core, one correctly-rounded division per row).
+    *
+    * Scale shape: bigrams ride as md5 hashes (text never shuffles);
+    * the target's distinct-hash set broadcasts (a held-out target
+    * corpus is small by definition); the per-document count is one
+    * hash-aggregate. Documents with zero bigrams (single-token) have
+    * no rows to score and drop out, same as the SQL formulation. */
+  def targetAffinity(docs: DataFrame, target: DataFrame): DataFrame = {
+    val bigramsOf = expr(
+      "transform(slice(__l, 1, size(__l) - 1), " +
+        "(x, i) -> concat(x, chr(31), element_at(__l, i + 2)))")
+    def bigrams(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), split(col("text"), " ").as("__l"))
+        .select(col("doc_id"), explode(bigramsOf).as("bg"))
+    val docBg = bigrams(docs)
+      .select(col("doc_id"), md5(col("bg")).as("h")).distinct()
+    val targetSet = bigrams(target)
+      .select(md5(col("bg")).as("h")).distinct()
+      .withColumn("__hit", lit(true))
+    docBg.join(broadcast(targetSet), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_matched"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_bigrams").cast("double"))
+          .as("affinity"))
   }
 
   def prepareCorpus(docs: DataFrame, evalDocs: DataFrame,

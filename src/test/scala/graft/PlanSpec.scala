@@ -5,6 +5,7 @@ import graft.cdc.Upsert
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape regression tests — the scale contract, asserted.
   *
@@ -96,6 +97,27 @@ class PlanSpec extends SparkSpec {
     val model = operators.Pca.fit(emb, k = 2, iters = 10)
     val pj = plan(operators.Pca.project(emb, model))
     assert(!pj.contains("SortMergeJoin") && !pj.contains("HashAggregate"), pj)
+  }
+
+  test("round-7 curation ops: hash-keyed census, broadcast target set, no cartesian") {
+    val docs = Tables.load(spark, dir, "documents")
+    // segmentDedup: the duplicate census and the filter join key on the
+    // md5 hash — document text must not ride the census exchange; no
+    // cartesian/BNLJ anywhere
+    val sd = plan(operators.TextOps.segmentDedup(docs))
+    assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"), sd)
+    assert(sd.contains("HashAggregate"), "hash census expected: " + sd)
+    // targetAffinity: the target's distinct-hash set broadcasts; the
+    // per-doc count is aggregate-only
+    val ta = plan(operators.TextOps.targetAffinity(
+      docs, docs.filter(col("source") === "src0")))
+    assert(ta.contains("BroadcastExchange"), "target set must broadcast: " + ta)
+    assert(!ta.contains("CartesianProduct") && !ta.contains("SortMergeJoin"), ta)
+    // lengthBuckets: narrow arithmetic + one bucket-partitioned window;
+    // no join at all
+    val lb = plan(operators.TextOps.lengthBuckets(docs))
+    assert(lb.contains("Window"), lb)
+    assert(!lb.contains("Join"), "no join belongs in bucket assignment: " + lb)
   }
 
   test("IVF probe join is salted: keyed on (cluster, chunk), index layout reused") {
