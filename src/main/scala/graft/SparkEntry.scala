@@ -191,6 +191,10 @@ object SparkEntry {
     // distinct documents, reassemble survivors in order.
     "q_segment_dedup" -> ((s, dir) =>
       TextOps.segmentDedup(t(s, dir, "documents"))),
+    // Lee et al. ExactSubstr-style span dedup: SLIDING 8-token windows
+    // duplicated across ≥2 docs, merged to maximal spans and removed.
+    "q_dedup_substr" -> ((s, dir) =>
+      TextOps.substrDedup(t(s, dir, "documents"))),
     // Length-bucketed batching: similar-length documents batch
     // together (bounded padding waste); md5-rank batch ids.
     "q_length_buckets" -> ((s, dir) =>
@@ -976,6 +980,42 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE b.h IS NOT NULL) AS BIGINT) AS n_removed
         |FROM s3 LEFT JOIN boiler b ON s3.h = b.h
         |GROUP BY s3.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Substring span dedup: sliding 8-token windows; interval union by
+    // gaps-and-islands (equal-length intervals ⇒ lag(pos) carries the
+    // running end); clean text = tokens outside every flagged window.
+    "q_dedup_substr" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, unnest(range(len(words) - 8 + 1)) AS pos, words
+        |  FROM w WHERE len(words) >= 8),
+        |g2 AS (SELECT doc_id, pos,
+        |    md5(array_to_string(words[pos+1 : pos+8], ' ')) AS h FROM g),
+        |dup AS (SELECT h FROM g2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, pos FROM g2 JOIN dup ON g2.h = dup.h),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -99) + 7
+        |         THEN 1 ELSE 0 END AS is_new FROM fl),
+        |isl2 AS (SELECT doc_id, pos,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |spans AS (SELECT doc_id, island, min(pos) AS s0, max(pos) + 7 AS e0
+        |  FROM isl2 GROUP BY 1, 2),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY 1),
+        |tp AS (SELECT doc_id, unnest(range(len(words))) AS i, words FROM w),
+        |tp2 AS (SELECT doc_id, i, words[i+1] AS tok FROM tp),
+        |kept AS (SELECT t.doc_id, t.i, t.tok FROM tp2 t WHERE NOT EXISTS
+        |  (SELECT 1 FROM fl f WHERE f.doc_id = t.doc_id
+        |     AND t.i BETWEEN f.pos AND f.pos + 7)),
+        |ct AS (SELECT doc_id,
+        |    coalesce(string_agg(tok, ' ' ORDER BY i), '') AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(ct.clean_text, '') AS clean_text,
+        |  coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(st.dup_tokens, 0) AS dup_tokens
+        |FROM w LEFT JOIN stats st ON w.doc_id = st.doc_id
+        |LEFT JOIN ct ON w.doc_id = ct.doc_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Length buckets: integer bucket arithmetic; the md5-rank window is

@@ -802,6 +802,59 @@ object TextOps {
         sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Exact-substring span dedup at token granularity — the
+    * ExactSubstr flavor of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"): find every `k`-token window
+    * whose exact content occurs in ≥ `minDocs` DISTINCT documents,
+    * merge the flagged windows into maximal covered spans per
+    * document, and emit the document with those spans removed plus
+    * span-count/token-count audit columns. Unlike [[segmentDedup]]
+    * (fixed aligned windows), the windows here SLIDE — a duplicated
+    * passage is caught at any offset, which is the property the
+    * suffix-array formulation buys; the k-gram census is its
+    * shuffle-friendly approximation (granularity k instead of exact
+    * maximal repeats).
+    *
+    * Scale shape: the census aggregates md5 window hashes (text never
+    * rides that shuffle); flagged (doc_id, pos) pairs are integers;
+    * the per-document interval merge is a narrow sorted-array fold
+    * (equal-length intervals make the running-end monotone, so one
+    * pass suffices); span removal is a per-row indexed filter against
+    * the sorted start list. Documents shorter than k tokens carry no
+    * windows and pass through unchanged via the outer join. */
+  def substrDedup(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = docs.select(col("doc_id"), toks.as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $k))))"))
+        .as(Seq("pos", "h")))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("h")
+    val starts = grams.join(dup, Seq("h"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("pos"))).as("__starts"))
+    docs.join(starts, Seq("doc_id"), "left_outer")
+      .withColumn("__s", coalesce(col("__starts"), expr("CAST(array() AS array<int>)")))
+      .withColumn("__w", toks)
+      .withColumn("__iv", expr(
+        // one fold over the sorted starts: running (prevEnd, covered,
+        // spans); ends are monotone because every interval is k long
+        s"""aggregate(__s, struct(-1 as prevEnd, 0L as covered, 0L as spans),
+           |  (acc, s) -> struct(
+           |    s + $k - 1 as prevEnd,
+           |    acc.covered + greatest(0, (s + $k - 1) - greatest(acc.prevEnd + 1, s) + 1) as covered,
+           |    acc.spans + if(s > acc.prevEnd, 1L, 0L) as spans))""".stripMargin))
+      .select(col("doc_id"),
+        expr(s"""array_join(filter(__w,
+                |  (x, i) -> NOT exists(__s, s -> s <= i AND i <= s + $k - 1)), ' ')"""
+          .stripMargin).as("clean_text"),
+        col("__iv.spans").as("n_dup_spans"),
+        col("__iv.covered").cast("bigint").as("dup_tokens"))
+  }
+
   /** Length-bucketed batch assignment — the data-ordering signal for
     * efficient padded-batch training (documents of similar token count
     * batch together, so per-batch padding waste is bounded by

@@ -107,6 +107,10 @@ class PlanSpec extends SparkSpec {
     val sd = plan(operators.TextOps.segmentDedup(docs))
     assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"), sd)
     assert(sd.contains("HashAggregate"), "hash census expected: " + sd)
+    // substrDedup: same census shape with sliding windows — equi-joins
+    // only, no cartesian/BNLJ
+    val ss = plan(operators.TextOps.substrDedup(docs))
+    assert(!ss.contains("CartesianProduct") && !ss.contains("BroadcastNestedLoopJoin"), ss)
     // targetAffinity: the target's distinct-hash set broadcasts; the
     // per-doc count is aggregate-only
     val ta = plan(operators.TextOps.targetAffinity(

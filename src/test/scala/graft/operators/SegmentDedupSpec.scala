@@ -36,6 +36,45 @@ class SegmentDedupSpec extends SparkSpec {
     assert(out(2L) == "u v")
   }
 
+  test("substrDedup: sliding duplicated windows merge to maximal spans and vanish") {
+    // k=3: docs 1 and 2 share the passage "a b c d" at DIFFERENT
+    // offsets — the sliding census flags windows [a b c] and [b c d]
+    // in both docs, which merge to one 4-token span each. Doc 3 is
+    // clean; doc 4 is shorter than k and must pass through unchanged.
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d"),
+      (3L, "m n o r s t"),
+      (4L, "u v"))
+      .toDF("doc_id", "text")
+    val out = TextOps.substrDedup(docs, k = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("x y z", 1L, 4L)))
+    assert(out(2L) == (("p q", 1L, 4L)))
+    assert(out(3L) == (("m n o r s t", 0L, 0L)))
+    assert(out(4L) == (("u v", 0L, 0L)))
+  }
+
+  test("substrDedup: removed-token accounting matches the reassembled text") {
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 tail1 tail2"),
+      (2L, "c1 c2 c3 c4 c5 other"),
+      (3L, "c3 c4 c5 c1 c2 c3 c4 c5"))     // overlapping + repeated spans
+      .toDF("doc_id", "text")
+    val out = TextOps.substrDedup(docs, k = 3, minDocs = 2).collect()
+    out.foreach { r =>
+      val total = r.getString(1) match {
+        case "" => 0
+        case s => s.split(" ", -1).length
+      }
+      val original = docs.collect()
+        .find(_.getLong(0) == r.getLong(0)).get.getString(1).split(" ", -1).length
+      assert(original - total == r.getLong(3),
+        s"doc ${r.getLong(0)}: dup_tokens must equal tokens removed")
+    }
+  }
+
   test("lengthBuckets: bucket arithmetic, cap, and bounded batch sizes") {
     val docs = (0L until 50L)
       .map(i => (i, Seq.fill((i % 40).toInt + 1)("w").mkString(" ")))
