@@ -205,6 +205,20 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       TextOps.targetAffinity(d, d.filter(col("source") === "src0"))
     }),
+    // DSIR proper: hashed-bigram (4096-bucket) importance weight of
+    // every document against the src0 target distribution — integer
+    // count inner-products, one final division.
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.dsirWeights(d, d.filter(col("source") === "src0"))
+    }),
+    // BM25(rational-idf) top-10 retrieval: queries = doc_id ≡ 0
+    // (mod 191), scored against the whole corpus via the inverted-
+    // index broadcast probe; micro-unit integer scores.
+    "q_bm25_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Retrieval.bm25TopK(d, d.filter(col("doc_id") % 191 === 0))
+    }),
     // Duplicate-group size profile — the dedup run's monitoring view,
     // keyed on the 8-opening-tokens digest (boilerplate-prefix
     // grouping; the full-text key is the default but this corpus has
@@ -1047,6 +1061,58 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, n_matched,
         |  CAST(n_matched AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS affinity
         |FROM a ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // DSIR hashed-bigram importance: 3-hex-char buckets, integer count
+    // inner-products, one final division — exact both engines.
+    "q_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(list_slice(l, 1, len(l)-1),
+        |    (x, i) -> x || chr(31) || l[i+1])) AS bg FROM d),
+        |bb AS (SELECT doc_id, substr(md5(bg), 1, 3) AS bk FROM b),
+        |dc AS (SELECT doc_id, bk, count(*) AS c FROM bb GROUP BY 1, 2),
+        |tc AS (SELECT bk, count(*) AS t FROM bb
+        |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+        |  GROUP BY 1),
+        |qc AS (SELECT bk, count(*) AS q FROM bb GROUP BY 1),
+        |a AS (SELECT dc.doc_id,
+        |    CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(dc.c * (coalesce(tc.t, 0) + 1)) AS BIGINT) AS w_num,
+        |    CAST(sum(dc.c * (qc.q + 1)) AS BIGINT) AS w_den
+        |  FROM dc LEFT JOIN tc ON dc.bk = tc.bk JOIN qc ON dc.bk = qc.bk
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, w_num, w_den,
+        |  CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) AS weight
+        |FROM a ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // BM25(rational idf): per-term micro-unit quantization BEFORE the
+    // cross-term sum keeps accumulation integer; e0 literals force
+    // DOUBLE arithmetic at the same points as the Spark expression.
+    "q_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p0 AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d),
+        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p0 GROUP BY 1, 2, 3),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(len(l)) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |q0 AS (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 191 = 0),
+        |q AS (SELECT DISTINCT query_id, term FROM q0),
+        |dft AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df_t FROM p
+        |  JOIN (SELECT DISTINCT term FROM q) qt ON p.term = qt.term GROUP BY 1),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |    CAST(floor((((CAST(st.n_docs AS DOUBLE) - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+        |      * ((p.tf * 2.2e0) / (p.tf + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / st.avgdl)))))
+        |      * 1e6) AS BIGINT) AS micro
+        |  FROM p JOIN q ON p.term = q.term
+        |  JOIN dft ON p.term = dft.term CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro,
+        |    CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_micro, n_terms_hit,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk FROM agg)
+        |SELECT query_id, doc_id, rnk, score_micro, n_terms_hit FROM r
+        |WHERE rnk <= 10 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Top-token fraction via group-count max — value-identical to the
     // engine's sorted-run-length (both are the modal token count).

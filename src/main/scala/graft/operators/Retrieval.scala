@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the `documents` table — the
+  * decontamination / nearest-neighbor-text companion to the dense ANN
+  * path ([[Similarity]]): given a set of query documents, return the
+  * top-k corpus documents per query under a BM25-family score
+  * (Robertson–Spärck Jones; the Okapi BM25 term-frequency saturation
+  * with the RATIONAL idf variant `(N - df + 0.5) / (df + 0.5)` — the
+  * usual `ln` of that ratio is a libm transcendental and not
+  * cross-engine reproducible, and `ln` is monotone, so dropping it
+  * reweights but never reorders a single-term ranking; the multi-term
+  * ranking is a documented variant, not textbook BM25).
+  *
+  * Determinism contract: every per-term score is a fixed-shape chain of
+  * correctly-rounded IEEE-754 ops (+, −, ×, ÷) over exactly-represented
+  * integers, then QUANTIZED to integer micro-units
+  * (`floor(score · 10⁶)`) BEFORE the cross-term sum — so accumulation
+  * is integer, order-free, and bit-identical to the DuckDB oracle. One
+  * document-set statistic (`avgdl`) is itself a single correctly-
+  * rounded division of exact integers.
+  *
+  * Scale shape (the classic distributed inverted-index probe):
+  * - postings `(term, doc_id, tf, dl)` are one explode + one
+  *   hash-aggregate over the corpus; document BODIES never shuffle.
+  * - the query term set is small by definition → `broadcast` joined
+  *   against postings, so only postings matching some query term flow
+  *   into scoring (candidate generation, not a corpus scan).
+  * - `df` is computed ONLY for matched terms (aggregate after the
+  *   candidate join), not for the whole vocabulary.
+  * - top-k is a per-query window over candidates — k·|queries| rows
+  *   out. At 1000 executors this is a broadcast probe + two narrow
+  *   aggregates; no all-pairs stage exists.
+  */
+object Retrieval {
+
+  /** Top-`k` corpus documents per query document. Query term semantics:
+    * DISTINCT terms of the query text (set-of-words; query-side tf is
+    * ignored, the common practice for short queries). Scores are
+    * emitted as `score_micro` (BIGINT, 10⁻⁶ units); ties break on
+    * ascending `doc_id`. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    // postings: tf per (doc, term), each row carrying its doc length
+    val postings = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__l"))
+      .select(col("doc_id"), size(col("__l")).cast("bigint").as("dl"),
+        explode(col("__l")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // one-row corpus stats; avgdl = Σdl / N is the single shared double
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("bigint").as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val qterms = queries
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    // df over matched terms only: postings are one row per distinct
+    // (doc, term), so a plain count per term IS the document frequency
+    val df = postings
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      // k1 = 1.2, b = 0.75 folded into e0-suffixed literals (k1+1 =
+      // 2.2e0, 1-b = 0.25e0, k1·b = … kept factored): scientific
+      // notation parses as DOUBLE in BOTH engines, so no decimal-vs-
+      // double implicit-cast divergence; identical op order, identical
+      // floor
+      .withColumn("__micro", expr(
+        """CAST(floor((((CAST(n_docs AS DOUBLE) - df_t + 0.5e0) / (df_t + 0.5e0))
+          |  * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl)))))
+          |  * 1e6) AS BIGINT)""".stripMargin))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "rnk", "score_micro", "n_terms_hit")
+  }
+}

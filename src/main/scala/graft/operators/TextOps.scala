@@ -916,6 +916,49 @@ object TextOps {
           .as("affinity"))
   }
 
+  /** Hashed n-gram importance weights — the DSIR recipe (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling") with its log-likelihood ratio replaced by a ratio of
+    * integer count inner-products so the score is exact cross-engine
+    * (libm `ln` is not reproducible; `/` is). Bigrams hash into a FIXED
+    * bucket space (first 3 md5 hex chars → 4096 buckets), so the
+    * target and background "models" are ≤4096-row count tables no
+    * matter the corpus size — that bounded feature space is the core
+    * DSIR idea. Per document:
+    * `w_num = Σ_b c_doc(b)·(t_b+1)`, `w_den = Σ_b c_doc(b)·(q_b+1)`
+    * (add-one smoothing; t = target bucket counts, q = background =
+    * whole-corpus bucket counts), and `weight = w_num / w_den` — high
+    * weight ⇒ the document's hashed-bigram mass sits where the target
+    * distribution is dense relative to the background, the resampling
+    * signal. Integer sums end in ONE correctly-rounded division.
+    *
+    * Scale shape: text never shuffles — bigrams ride as 3-hex-char
+    * bucket ids; both models aggregate to ≤4096 rows and broadcast;
+    * the doc side is two hash-aggregates ((doc_id, bucket) then
+    * doc_id). Zero-bigram (single-token) documents drop, matching
+    * [[targetAffinity]]. */
+  def dsirWeights(docs: DataFrame, target: DataFrame): DataFrame = {
+    val bigramsOf = expr(
+      "transform(slice(__l, 1, size(__l) - 1), " +
+        "(x, i) -> concat(x, chr(31), element_at(__l, i + 2)))")
+    def buckets(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), split(col("text"), " ").as("__l"))
+        .select(col("doc_id"), explode(bigramsOf).as("bg"))
+        .select(col("doc_id"), substring(md5(col("bg")), 1, 3).as("b"))
+    val docC = buckets(docs).groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val tgtC = buckets(target).groupBy("b").agg(count(lit(1)).as("t"))
+    val bgC = buckets(docs).groupBy("b").agg(count(lit(1)).as("q"))
+    docC
+      .join(broadcast(tgtC), Seq("b"), "left_outer")
+      .join(broadcast(bgC), Seq("b"))       // background covers every doc bucket
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * (coalesce(col("t"), lit(0L)) + 1L)).as("w_num"),
+        sum(col("c") * (col("q") + 1L)).as("w_den"))
+      .select(col("doc_id"), col("n_bigrams"), col("w_num"), col("w_den"),
+        (col("w_num").cast("double") / col("w_den").cast("double")).as("weight"))
+  }
+
   def prepareCorpus(docs: DataFrame, evalDocs: DataFrame,
                     minQuality: Double = 0.42, jaccard: Double = 0.5,
                     tokensPerLang: Long = 2000L): DataFrame = {

@@ -122,6 +122,20 @@ class PlanSpec extends SparkSpec {
     val lb = plan(operators.TextOps.lengthBuckets(docs))
     assert(lb.contains("Window"), lb)
     assert(!lb.contains("Join"), "no join belongs in bucket assignment: " + lb)
+    // dsirWeights: both count models broadcast (≤4096 rows each); the
+    // doc side never sort-merge joins and nothing goes cartesian
+    val dw = plan(operators.TextOps.dsirWeights(
+      docs, docs.filter(col("source") === "src0")))
+    assert(dw.contains("BroadcastExchange"), "bucket models must broadcast: " + dw)
+    assert(!dw.contains("CartesianProduct") && !dw.contains("SortMergeJoin") &&
+      !dw.contains("BroadcastNestedLoopJoin"), dw)
+    // bm25TopK: inverted-index probe — query terms and df broadcast-
+    // hash-join against postings; the only nested-loop is the 1-row
+    // corpus-stats attach; no cartesian, no sort-merge join
+    val bm = plan(operators.Retrieval.bm25TopK(
+      docs, docs.filter(col("doc_id") % 191 === 0)))
+    assert(bm.contains("BroadcastHashJoin"), "broadcast probe expected: " + bm)
+    assert(!bm.contains("CartesianProduct") && !bm.contains("SortMergeJoin"), bm)
   }
 
   test("IVF probe join is salted: keyed on (cluster, chunk), index layout reused") {

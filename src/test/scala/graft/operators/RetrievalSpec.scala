@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK: rare terms dominate, tf saturates, self-retrieval ranks first") {
+    // "zebra" appears only in docs 1 and 10 (rare, high idf);
+    // "the" appears everywhere (df = N, idf floor).
+    val docs = Seq(
+      (1L, "the zebra runs"),
+      (2L, "the cat sits on the mat"),
+      (3L, "the dog runs fast"),
+      (4L, "the the the the"),
+      (10L, "a zebra and the cat"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, docs.filter($"doc_id" === 1L), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.forall(_._1 == 1L))
+    assert(out.length == 3)
+    // the query doc itself carries all three query terms -> rank 1
+    val byRank = out.sortBy(_._3)
+    assert(byRank.head._2 == 1L && byRank.head._5 == 3L)
+    // docs carrying a rare term (3: "runs", 10: "zebra") outrank docs
+    // 2/4, which only match the everywhere-term "the"
+    assert(byRank.drop(1).map(_._2).toSet == Set(3L, 10L))
+    // scores strictly positive and non-increasing with rank
+    assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-_).toSeq)
+    assert(byRank.last._4 > 0L)
+  }
+
+  test("bm25TopK: k bounds output per query; queries without matches emit nothing") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "beta gamma"),
+      (4L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha"), (200L, "zzz")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, queries, k = 1).collect()
+    assert(out.length == 1)               // q200 matches nothing
+    assert(out.head.getLong(0) == 100L && out.head.getLong(2) == 1L)
+  }
+
+  test("dsirWeights: target-alike documents get higher weight; accounting exact") {
+    // target = doc 1; doc 2 shares its bigrams, doc 3 shares none.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c"),
+      (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(docs, docs.filter($"doc_id" === 1L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // doc 1: 3 bigrams, each in target (t=1) and with corpus count q:
+    // a|b,b|c occur twice (docs 1,2), c|d once -> num=3*2=6, den=2*3+2*3+1*2... recompute:
+    // buckets are distinct md5 prefixes with overwhelming probability.
+    assert(out(1L)._1 == 3L && out(1L)._2 == 6L)
+    assert(out(2L)._1 == 2L && out(2L)._2 == 4L)  // a|b,b|c hit target
+    assert(out(3L)._2 == 3L)                      // 3 bigrams, zero target hits
+    assert(out(2L)._4 > out(3L)._4, "target-alike doc must outweigh unrelated doc")
+    out.values.foreach { case (_, num, den, w) =>
+      assert(w == num.toDouble / den.toDouble)
+    }
+  }
+
+  test("dsirWeights: weight is invariant to input partitioning") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 5} tail$i"))
+      .toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" % 4 === 0L)
+    val a = TextOps.dsirWeights(docs, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val b = TextOps.dsirWeights(docs.repartition(7), target.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(a == b)
+  }
+}
