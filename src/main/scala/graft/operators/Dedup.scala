@@ -69,12 +69,26 @@ object Dedup {
     * use [[dedupPipeline]], which runs [[minHashLsh]] first and
     * Jaccard-verifies only candidates.
     */
+  /** Internal 128-bit shingle key: two seeded xxhash64 longs — 16
+    * bytes on the wire vs md5's 32-char string, and an order of
+    * magnitude cheaper to compute. NOT parity-bearing (the oracle
+    * derives duplicate flags from its own hashing; both sides agree on
+    * content equality barring a simultaneous 2×64-bit collision, which
+    * 128 bits keeps negligible at 100 TB shingle counts — the reason
+    * a single xxhash64 would NOT be safe there). */
+  private def shingleKeys(docs: DataFrame, n: Int): DataFrame =
+    shingleRows(docs, n).select(col("doc_id"),
+      xxhash64(col("shingle")).as("s1"),
+      xxhash64(lit(1), col("shingle")).as("s2"))
+
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // join key = md5(shingle): fixed 32-byte shuffle key instead of the
-    // raw n-gram text (at scale the shuffle moves digests, not corpus)
-    val sh = shingleRows(docs, n).select(col("doc_id"), md5(col("shingle")).as("shingle"))
+    // join key = 128-bit shingle hash pair: fixed 16-byte shuffle key
+    // instead of the raw n-gram text (the shuffle moves digests, not
+    // corpus)
+    val sh = shingleKeys(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.s1") === col("y.s1") && col("x.s2") === col("y.s2"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -181,11 +195,11 @@ object Dedup {
   def nearDupEdges(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val cand = minHashLsh(docs, n, k, bands)
-    val sh = shingleRows(docs, n).select(col("doc_id"), md5(col("shingle")).as("h"))
+    val sh = shingleKeys(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.toDF("a", "h"), "a")
-      .join(sh.toDF("b", "h"), Seq("b", "h"))
+      .join(sh.toDF("a", "s1", "s2"), "a")
+      .join(sh.toDF("b", "s1", "s2"), Seq("b", "s1", "s2"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.toDF("a", "sza"), "a")

@@ -823,17 +823,31 @@ object TextOps {
     * the sorted start list. Documents shorter than k tokens carry no
     * windows and pass through unchanged via the outer join. */
   def substrDedup(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 128-bit window key as two seeded xxhash64 longs (16 bytes on the
+    // wire, ~10× cheaper than md5; not parity-bearing — the oracle
+    // hashes on its own side, and 128 bits keep the false-flag
+    // probability negligible at 100 TB window counts)
     val grams = docs.select(col("doc_id"), toks.as("__w"))
       .filter(size(col("__w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(__w) - $k), " +
-          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $k))))"))
-        .as(Seq("pos", "h")))
-    val dup = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("__d"))
-      .filter(col("__d") >= minDocs)
-      .select("h")
-    val starts = grams.join(dup, Seq("h"))
+          s"i -> concat_ws(' ', slice(__w, i + 1, $k)))"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(1), col("g")).as("h2"))
+    // distinct-doc census as ONE shuffle via same-partitioning windows
+    // (dense_rank over doc_id, then its per-key max) — the grams are
+    // computed once and never joined back, unlike a groupBy census +
+    // re-join, which would both recompute the explode and shuffle it a
+    // second time. Sort-based windows stream skewed keys (a boiler-
+    // plate window present in every document) without building lists.
+    val w1 = Window.partitionBy("h1", "h2").orderBy("doc_id")
+    val w2 = Window.partitionBy("h1", "h2")
+    val starts = grams
+      .withColumn("__dr", dense_rank().over(w1))
+      .withColumn("__nd", max(col("__dr")).over(w2))
+      .filter(col("__nd") >= minDocs)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("pos"))).as("__starts"))
     docs.join(starts, Seq("doc_id"), "left_outer")
