@@ -219,6 +219,11 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.operators.Retrieval.bm25TopK(d, d.filter(col("doc_id") % 191 === 0))
     }),
+    // fastText-style hashed-feature logistic-regression quality
+    // filter: trains to separate the top vs bottom quality quartile,
+    // gate pins accuracy >= 0.8 + probability sanity as constants.
+    "q_quality_classifier_gate" -> ((s, dir) =>
+      graft.operators.QualityClassifier.gate(t(s, dir, "documents"))),
     // Duplicate-group size profile — the dedup run's monitoring view,
     // keyed on the 8-opening-tokens digest (boilerplate-prefix
     // grouping; the full-text key is the default but this corpus has
@@ -1061,6 +1066,14 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, n_matched,
         |  CAST(n_matched AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS affinity
         |FROM a ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Quality-classifier gate: booleans are engine-side invariants
+    // (training accuracy on the separated quartiles, probability
+    // range); the oracle pins them with the doc count.
+    "q_quality_classifier_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS acc_ok,
+        |  true AS probs_ok, CAST(1024 AS BIGINT) AS n_params
+        |FROM documents""".stripMargin,
 
     // DSIR hashed-bigram importance: 3-hex-char buckets, integer count
     // inner-products, one final division — exact both engines.
