@@ -497,8 +497,11 @@ object SparkEntry {
     // oracle, like HLL registers) → rows-only; the gate checks the MG
     // theorems (never-overestimate, N/(k+1) error bound, completeness
     // above the bound) against exact counts and pins true.
+    // Two-pass sketch-then-recount: MG candidates (completeness
+    // theorem) + exact recount of <= k terms -> deterministic, full
+    // value oracle (the raw sketch surface stays under the gate).
     "q_heavy_hitters" -> ((s, dir) =>
-      graft.operators.Sketches.heavyHitters(t(s, dir, "documents"))),
+      graft.operators.Sketches.heavyHittersExact(t(s, dir, "documents"))),
     "q_heavy_hitters_gate" -> ((s, dir) =>
       graft.operators.Sketches.heavyHittersGate(t(s, dir, "documents"))),
     // Top-k: grouped decimal sum + sort + limit.
@@ -1705,6 +1708,17 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_groups,
         |  true AS grouped_ok
         |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
+
+    // Exact two-pass heavy hitters: the oracle is the plain exact
+    // count — the MG completeness theorem makes the engine's
+    // candidate-recount output equal to it; tf*(k+1) > N keeps the
+    // threshold in integers.
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1)
+        |SELECT term, tf FROM c CROSS JOIN n WHERE tf * 51 > n.n
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Deterministic by theorem (Misra–Gries + mergeable-summaries
     // bounds), so the pinned verdict holds at any SF.

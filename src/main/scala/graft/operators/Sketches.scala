@@ -52,6 +52,30 @@ object Sketches {
       .select(posexplode(col("__hh")).as(Seq("__pos", "e")))
       .select(col("e._1").as("term"), col("e._2").as("est"))
 
+  /** EXACT heavy hitters by the standard two-pass sketch-then-recount:
+    * pass 1, the Misra–Gries summary proposes ≤ `k` candidate terms
+    * (its completeness theorem — every term with true frequency
+    * > N/(k+1) survives the summary — makes the candidate set a
+    * SUPERSET of the answer regardless of merge order); pass 2 recounts
+    * JUST those candidates exactly and keeps `tf·(k+1) > N` (integer
+    * form of tf > N/(k+1), exact in any engine). Output is therefore
+    * deterministic and oracle-equal to a full exact count, while the
+    * expensive full-vocabulary aggregation never runs: pass 2 is a
+    * scan-speed `isin` filter over ≤ k strings plus a ≤ k-group count.
+    * The classic way a sketch buys exactness at 100 TB. */
+  def heavyHittersExact(docs: DataFrame, k: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cands = heavyHitters(docs, k).select("term").as[String].collect()
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val n = toks.agg(count(lit(1)).as("__n"))
+    toks.filter(col("term").isin(cands.toIndexedSeq: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(n))
+      .filter(col("tf") * (k + 1) > col("__n"))
+      .select("term", "tf")
+  }
+
   /** One-row guarantee gate for [[heavyHitters]] — checks the THEOREMS,
     * not a tolerance, so the verdict is deterministic at any SF:
     * estimates never exceed true counts, under-estimation is bounded by
