@@ -199,6 +199,21 @@ object SparkEntry {
     // together (bounded padding waste); md5-rank batch ids.
     "q_length_buckets" -> ((s, dir) =>
       TextOps.lengthBuckets(t(s, dir, "documents"))),
+    // Corpus-drift monitor: TV distance between the even- and odd-
+    // doc_id halves (a two-crawl stand-in) over the 4096 hashed-bigram
+    // buckets; exact integer numerator, one rounded division.
+    "q_corpus_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.corpusDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+    }),
+    // Memorization-risk profile: per-document count + fraction of
+    // 8-token sliding windows shared with >= 2 distinct documents.
+    "q_novelty" -> ((s, dir) => TextOps.novelty(t(s, dir, "documents"))),
+    // C4-style blocklist screen: token-exact hit counts against a
+    // 3-term list ('leak' is corpus-absent by design) + keep verdict.
+    "q_blocklist" -> ((s, dir) => TextOps.blocklistFilter(
+      t(s, dir, "documents"), Seq("slow", "dup", "leak"), maxHits = 3L)),
     // DSIR-flavored target-affinity selection: distinct-bigram overlap
     // of each document against the src0 target corpus.
     "q_target_affinity" -> ((s, dir) => {
@@ -384,6 +399,18 @@ object SparkEntry {
     "q_ann_lsh_recall" -> ((s, dir) =>
       Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
         (q, c) => Similarity.lshTopKFor(q, c, k = 5))),
+    // SQ8 byte codes: full value oracle — per-dim min/max bounds are
+    // order-independent and the quantization chain is correctly-
+    // rounded double ops in both engines, so every code digest pins.
+    "q_sq8_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Sq8.codes(e, graft.operators.Sq8.fit(e))
+    }),
+    // SQ8 asymmetric search fidelity: full-precision queries vs the
+    // quantize-then-reconstruct corpus, recall@5 >= 0.9.
+    "q_ann_sq8_recall" -> ((s, dir) =>
+      Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
+        (q, c) => graft.operators.Sq8.topKFor(q, c, k = 5))),
     // Gate lambdas materialize the bounded (sample×k) approximate side
     // and close the index before returning — same no-stranded-blocks
     // contract as the convenience topK wrappers.
@@ -1052,6 +1079,64 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)/32.0) AS BIGINT) AS batch_idx
         |FROM b ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // Corpus drift: same hashed-bigram bucket construction as
+    // q_dsir_weights; the TV numerator is an exact integer, routed to
+    // DOUBLE via VARCHAR (strtod rounds correctly above 2^53).
+    "q_corpus_drift" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(list_slice(l, 1, len(l)-1),
+        |    (x, i) -> x || chr(31) || l[i+1])) AS bg FROM d),
+        |bb AS (SELECT doc_id, substr(md5(bg), 1, 3) AS bk FROM b),
+        |c1 AS (SELECT bk, CAST(count(*) AS BIGINT) AS c1 FROM bb
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |c2 AS (SELECT bk, CAST(count(*) AS BIGINT) AS c2 FROM bb
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(c1.c1, 0) AS c1, coalesce(c2.c2, 0) AS c2
+        |  FROM c1 FULL OUTER JOIN c2 ON c1.bk = c2.bk),
+        |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM j)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  max(tt.n1) AS n1, max(tt.n2) AS n2,
+        |  CAST(sum(abs(c1*tt.n2 - c2*tt.n1)) AS BIGINT) AS tv_num,
+        |  CAST(CAST(sum(abs(c1*tt.n2 - c2*tt.n1)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(2*max(tt.n1)*max(tt.n2) AS DOUBLE) AS tv
+        |FROM j CROSS JOIN tt""".stripMargin,
+
+    // Novelty: the sliding-window construction is the q_dedup_substr
+    // census form; windows count WITH multiplicity, shared = content
+    // in >= 2 distinct docs; sub-8-token docs surface with NULL
+    // novelty on both sides.
+    "q_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 8 + 2),
+        |    i -> array_to_string(list_slice(l, i, i + 7), ' '))) AS g
+        |  FROM d WHERE len(l) >= 8),
+        |nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1),
+        |a AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared
+        |  FROM w JOIN nd ON w.g = nd.g GROUP BY 1)
+        |SELECT dd.doc_id, CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(a.n_windows - a.n_shared AS DOUBLE)
+        |    / CAST(a.n_windows AS DOUBLE) AS novelty
+        |FROM (SELECT doc_id FROM documents) dd
+        |LEFT JOIN a ON dd.doc_id = a.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Blocklist screen: token-exact IN-list counts; list_intersect on
+    // the distinct tokens mirrors array_intersect.
+    "q_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('slow', 'dup', 'leak'))) AS BIGINT) AS n_hits,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['slow', 'dup', 'leak'])) AS BIGINT) AS n_terms_hit,
+        |  (CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('slow', 'dup', 'leak'))) AS BIGINT) <= 3) AS kept
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // Target affinity: the bigram construction is the proven
     // q_text_bigram_fluency parity form; single-token documents have
     // zero bigrams and drop out of both sides identically.
@@ -1577,6 +1662,28 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS k,
         |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
+    "q_ann_sq8_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k,
+        |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
+        |  true AS recall_ok""".stripMargin,
+    // SQ8 codes: identical affine-quantization chain (all-double ops,
+    // each correctly rounded); string_agg ordered by dim mirrors the
+    // Spark concat_ws over the in-order transform.
+    "q_sq8_codes" ->
+      """WITH x AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS p FROM embeddings),
+        |mm AS (SELECT p, min(CAST(v AS DOUBLE)) AS mn,
+        |    max(CAST(v AS DOUBLE)) AS mx FROM x GROUP BY 1),
+        |c AS (SELECT x.vec_id, x.p,
+        |    CASE WHEN mm.mx = mm.mn THEN 0
+        |      ELSE least(255, greatest(0, CAST(floor(
+        |        (CAST(x.v AS DOUBLE) - mm.mn) * 255.0e0 / (mm.mx - mm.mn))
+        |        AS BIGINT))) END AS code
+        |  FROM x JOIN mm ON x.p = mm.p)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum(code) AS BIGINT) AS codes_sum,
+        |  md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY p)) AS codes_md5
+        |FROM c GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_ann_ivfpq_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k,
         |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,

@@ -973,6 +973,115 @@ object TextOps {
         (col("w_num").cast("double") / col("w_den").cast("double")).as("weight"))
   }
 
+  /** Corpus-drift monitor: total-variation distance between two
+    * corpora's hashed-bigram distributions — the between-crawl /
+    * between-snapshot distribution-shift alarm a continuously-ingesting
+    * training pipeline watches. Bigrams hash into the same fixed
+    * 4096-bucket space as [[dsirWeights]] (first 3 md5 hex chars), so
+    * both "models" are ≤4096-row count tables at ANY corpus size.
+    * TV(P,Q) = ½·Σ_b |p_b − q_b| is computed exactly in integers:
+    * `tv_num = Σ_b |c1_b·N2 − c2_b·N1|`, `tv = tv_num / (2·N1·N2)` —
+    * one correctly-rounded division at the end (cross-engine exact).
+    * TV ∈ [0,1]; 0 = identical distributions, 1 = disjoint support.
+    *
+    * Scale shape: text never shuffles (bigrams ride as 3-hex bucket
+    * ids); two ≤4096-row aggregates, a full outer join on the bucket
+    * id, a broadcast 1-row totals join. At ≳10¹² bigrams per corpus
+    * route the |c1·N2 − c2·N1| products through DECIMAL(38,0) (the
+    * int64 headroom runs out near N ≈ 3·10⁹ per side); the shape is
+    * unchanged. */
+  def corpusDrift(docs: DataFrame, other: DataFrame): DataFrame = {
+    val bigramsOf = expr(
+      "transform(slice(__l, 1, size(__l) - 1), " +
+        "(x, i) -> concat(x, chr(31), element_at(__l, i + 2)))")
+    def buckets(d: DataFrame): DataFrame =
+      d.select(split(col("text"), " ").as("__l"))
+        .select(explode(bigramsOf).as("bg"))
+        .select(substring(md5(col("bg")), 1, 3).as("b"))
+    val c1 = buckets(docs).groupBy("b").agg(count(lit(1)).as("c1"))
+    val c2 = buckets(other).groupBy("b").agg(count(lit(1)).as("c2"))
+    val joined = c1.join(c2, Seq("b"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = joined.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    joined.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("tv_num"))
+      .select(col("n_buckets"), col("n1"), col("n2"), col("tv_num"),
+        (col("tv_num").cast("double") /
+          (col("n1") * col("n2") * 2L).cast("double")).as("tv"))
+  }
+
+  /** Per-document n-gram novelty — the memorization-risk profile of
+    * Lee et al. 2022: for each document, how many of its sliding
+    * `k`-token windows (with multiplicity) also occur in ≥ `minDocs`
+    * DISTINCT documents, and the complementary novelty fraction.
+    * [[substrDedup]] REMOVES shared spans; this SCORES documents by
+    * shared mass, the signal used to down-weight near-boilerplate and
+    * to audit eval-memorization exposure before training.
+    *
+    * Scale shape: identical to the [[substrDedup]] census — one
+    * shuffle of 16-byte window keys (2× seeded xxhash64; text never
+    * rides the exchange), distinct-doc counting via same-partitioning
+    * sort windows (streams skewed boilerplate keys without building
+    * lists), then a per-doc hash aggregate. Documents shorter than
+    * `k` tokens carry no windows and surface with NULL novelty via
+    * the outer join. */
+  def novelty(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"), toks.as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(__w) - $k), " +
+          s"i -> concat_ws(' ', slice(__w, i + 1, $k)))")).as("g"))
+      .select(col("doc_id"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(1), col("g")).as("h2"))
+    val w1 = Window.partitionBy("h1", "h2").orderBy("doc_id")
+    val w2 = Window.partitionBy("h1", "h2")
+    val scored = grams
+      .withColumn("__dr", dense_rank().over(w1))
+      .withColumn("__nd", max(col("__dr")).over(w2))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        // NULL (not NaN) for sub-k docs: the division only runs where
+        // the join matched, mirroring the oracle's NULL propagation
+        when(col("n_windows").isNotNull,
+          (col("n_windows") - col("n_shared")).cast("double") /
+            col("n_windows").cast("double")).as("novelty"))
+  }
+
+  /** Broadcast blocklist screen — the C4-style badword filter: exact
+    * token-level occurrence counts against a configured term list,
+    * plus the keep verdict (`n_hits <= maxHits`). Emits flags for
+    * EVERY document (the filter itself is the caller's one-line
+    * `.filter(col("kept"))`) so the rejection rate is auditable — the
+    * form every production cleaning pass wants.
+    *
+    * Scale shape: per-row codegen'd higher-order functions over the
+    * split-once token array; zero shuffle, scan speed, O(|terms|) per
+    * token. For blocklists too large for a literal array (≫10³
+    * terms), switch to an exploded-token broadcast semi-join — same
+    * counts, one narrow shuffle of (doc_id, token) pairs; substring
+    * (non-token) blocklists want an Aho–Corasick pass instead, which
+    * this operator deliberately does not claim. */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String],
+                      maxHits: Long = 0L): DataFrame = {
+    val tlist = array(terms.map(lit): _*)
+    docs.select(col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(filter(toks, t => array_contains(tlist, t))).cast("bigint")
+        .as("n_hits"),
+      size(array_intersect(array_distinct(toks), tlist)).cast("bigint")
+        .as("n_terms_hit"))
+      .withColumn("kept", col("n_hits") <= maxHits)
+  }
+
   def prepareCorpus(docs: DataFrame, evalDocs: DataFrame,
                     minQuality: Double = 0.42, jaccard: Double = 0.5,
                     tokensPerLang: Long = 2000L): DataFrame = {
