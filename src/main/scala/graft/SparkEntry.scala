@@ -296,6 +296,10 @@ object SparkEntry {
       Dedup.simHash(t(s, dir, "documents"))),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), maxDist = 3)),
+    // Character-level (Levenshtein) near-dup verify over opening-
+    // 4-token prefix blocks; flags at <= 10% of the longer length.
+    "q_dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"))),
     // Verified entry = the exact blocked scan (hash-matches the
     // all-pairs oracle at ANY scale factor); the adaptive scale-path
     // entry runs as its own benched query — exact (same oracle) in
@@ -531,6 +535,10 @@ object SparkEntry {
       graft.operators.Sketches.heavyHittersExact(t(s, dir, "documents"))),
     "q_heavy_hitters_gate" -> ((s, dir) =>
       graft.operators.Sketches.heavyHittersGate(t(s, dir, "documents"))),
+    // Grouped variant: one Misra-Gries sketch per source inside the
+    // aggregate, exact recount of (source, candidate) pairs.
+    "q_heavy_hitters_grouped" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHittersExactByGroup(t(s, dir, "documents"))),
     // Top-k: grouped decimal sum + sort + limit.
     "q_topk_customers" -> ((s, dir) =>
       dbl(EventOps.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"), 10),
@@ -1550,6 +1558,22 @@ object SparkEntry {
         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // Edit-distance near-dup: both engines implement classic
+    // Levenshtein DP (exact integer); the block guard drops >64-member
+    // prefix blocks on both sides before pairing.
+    "q_dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS blk
+        |  FROM documents),
+        |g AS (SELECT * FROM d QUALIFY count(*) OVER (PARTITION BY blk) <= 64),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |    CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, lev, max_len,
+        |  CAST((lev * 1000000) // max_len AS BIGINT) AS dist_micro,
+        |  ((lev * 1000000) // max_len <= 100000) AS is_dup
+        |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_embed_neardup" -> EmbedNearDupSql,
 
@@ -1826,6 +1850,17 @@ object SparkEntry {
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1)
         |SELECT term, tf FROM c CROSS JOIN n WHERE tf * 51 > n.n
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // Grouped heavy hitters: the oracle is the direct per-group exact
+    // count; the engine's sketch-then-recount is value-equal by the
+    // per-group completeness theorem.
+    "q_heavy_hitters_grouped" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT c.source, c.term, c.tf FROM c JOIN n ON c.source = n.source
+        |WHERE c.tf * 51 > n.n ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Deterministic by theorem (Misra–Gries + mergeable-summaries
     // bounds), so the pinned verdict holds at any SF.

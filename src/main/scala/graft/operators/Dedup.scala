@@ -603,4 +603,46 @@ object Dedup {
         Similarity.dot(col("va"), col("vb")).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Typo-tolerant near-dup pairs by EDIT DISTANCE — the character-
+    * level complement of the token-set families ([[ngramJaccard]]
+    * Jaccard, [[simhash]] Hamming): candidate pairs from opening-
+    * token-prefix blocking, verified with exact Levenshtein distance
+    * and flagged at `maxDistMicro` millionths of the longer length.
+    * Catches the small-edit duplicate class (OCR noise, template
+    * fills, punctuation drift) that token-shingle Jaccard under-scores
+    * when every shingle shifts.
+    *
+    * Scale shape: the block key is a 32-hex digest of the first
+    * `prefixTokens` tokens, so candidates form within equi-join
+    * buckets only; blocks larger than `maxBlock` (a too-common
+    * opening — boilerplate headers) are dropped by a same-partitioning
+    * window count BEFORE any pairing, bounding per-block work at
+    * O(maxBlock²) — the same guard LSH banding applies. Levenshtein
+    * is O(len²) per verified pair, confined to the blocked candidate
+    * set, never all pairs. All-integer output (the normalized
+    * distance is integer micro-units via floor division) keeps the
+    * result engine-exact. */
+  def editDistancePairs(docs: DataFrame, prefixTokens: Int = 4,
+                        maxDistMicro: Long = 100000L,
+                        maxBlock: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), col("text"),
+      md5(concat_ws(" ",
+        slice(split(col("text"), " "), 1, prefixTokens))).as("__blk"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__blk")))
+      .filter(col("__bn") <= maxBlock)
+    val a = keyed.select(col("__blk"), col("doc_id").as("doc_a"),
+      col("text").as("__ta"))
+    val b = keyed.select(col("__blk"), col("doc_id").as("doc_b"),
+      col("text").as("__tb"))
+    a.join(b, "__blk").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("bigint").as("lev"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("bigint")
+          .as("max_len"))
+      .withColumn("dist_micro",
+        expr("CAST((lev * 1000000) DIV max_len AS BIGINT)"))
+      .withColumn("is_dup", col("dist_micro") <= maxDistMicro)
+  }
 }

@@ -76,6 +76,36 @@ object Sketches {
       .select("term", "tf")
   }
 
+  /** Per-group EXACT heavy hitters — [[heavyHittersExact]]'s two-pass
+    * recipe with the Misra–Gries pass running INSIDE `groupBy(grp)`
+    * (the summary is a typed Aggregator, so Spark runs one mergeable
+    * sketch per group): pass 1 proposes ≤ `k` candidate terms per
+    * group (completeness holds per group — the theorem is about each
+    * group's own stream), pass 2 recounts just the (group, candidate)
+    * pairs and keeps `tf·(k+1) > N_grp`. The per-source vocabulary
+    * monitor a curation dashboard wants, exact at any scale.
+    *
+    * Scale shape: pass 1 is one hash aggregate carrying ≤ k (term,
+    * count) entries per group; the candidate table (groups × k rows)
+    * broadcasts into the recount join, and totals (one row per group)
+    * broadcast into the threshold filter. The full (group, term)
+    * vocabulary aggregation never materializes. */
+  def heavyHittersExactByGroup(docs: DataFrame, groupCol: String = "source",
+                               k: Int = 50): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(split(col("text"), " ")).as("term"))
+    val cands = toks.groupBy("grp")
+      .agg(graft.functions.HeavyHitters.summary(k)(col("term")).as("__hh"))
+      .select(col("grp"), explode(col("__hh")).as("e"))
+      .select(col("grp"), col("e._1").as("term"))
+    val totals = toks.groupBy("grp").agg(count(lit(1)).as("__n"))
+    toks.join(broadcast(cands), Seq("grp", "term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(totals), "grp")
+      .filter(col("tf") * (k + 1) > col("__n"))
+      .select(col("grp").as(groupCol), col("term"), col("tf"))
+  }
+
   /** One-row guarantee gate for [[heavyHitters]] — checks the THEOREMS,
     * not a tolerance, so the verdict is deterministic at any SF:
     * estimates never exceed true counts, under-estimation is bounded by
