@@ -463,6 +463,11 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, dir) =>
       graft.operators.Multimodal.decodeImageMeta(
         graft.operators.Multimodal.encodePng(t(s, dir, "documents")))),
+    // Real WAV loop: encode text bytes as 8-bit mono PCM, decode via
+    // javax.sound.sampled — PCM digest == text digest (lossless).
+    "q_multimodal_audio" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeAudioMeta(
+        graft.operators.Multimodal.encodeWav(t(s, dir, "documents")))),
     "q_multimodal_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.operators.Multimodal.sampleFrames(
@@ -1729,6 +1734,14 @@ object SparkEntry {
         |  md5(substr(text, 1, 16 * (length(text) // 16))) AS px_md5
         |FROM documents WHERE length(text) >= 16
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Audio loop: 8-bit mono PCM frames ARE the text bytes (ASCII
+    // corpus), so the decoded-PCM digest equals md5(text).
+    "q_multimodal_audio" ->
+      """SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS bits,
+        |  CAST(length(text) AS BIGINT) AS n_frames, md5(text) AS pcm_md5
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Byte-slicing on the VARCHAR is byte-exact here: the corpus is
     // pure ASCII (verified octet_length(encode(text)) = length(text)

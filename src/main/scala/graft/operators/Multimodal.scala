@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * batched partition-wise passes.
   *
   * Spark-side plumbing is real — schemas, batch shape, partitioning,
-  * typed Datasets; the byte-level media decode itself is a STUB (the
-  * container ships no image/audio codecs): `StubCodec.decode` derives
-  * deterministic fake dimensions/features from the bytes. Swapping in a
-  * real codec (e.g. TwelveMonkeys ImageIO on the executor classpath)
-  * changes only that one function.
+  * typed Datasets. The byte-level decode is REAL for images
+  * ([[ImageCodec]], JDK `javax.imageio` PNG/JPEG) and audio
+  * ([[decodeAudioMeta]], JDK `javax.sound.sampled` WAV PCM);
+  * [[StubCodec]] remains the honest deterministic stand-in for VIDEO
+  * payloads only (no container/codec ships in the JDK) — swapping in
+  * a real video codec changes only that one function.
   *
   * Scale design: media bytes ride the scan as a single binary column —
   * never a join key, never shuffled (every op below is narrow until an
@@ -205,6 +206,64 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "width", "height", "channels", "px_md5")
+  }
+
+  /** Deterministic 8-bit-PCM WAV encode of each document's text bytes
+    * — the audio-side fixture builder (mono, unsigned 8-bit, `sampleRate`
+    * Hz; one byte per frame, so the data chunk IS the text bytes).
+    * The JDK's `javax.sound.sampled` writes and reads WAV natively —
+    * like [[encodePng]]/[[decodeImageMeta]], this makes the audio
+    * decode loop REAL and oracle-checkable, leaving [[StubCodec]] as
+    * the honest stand-in for video only. */
+  def encodeWav(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val fmt = new javax.sound.sampled.AudioFormat(
+            sampleRate.toFloat, 8, 1, false, false) // unsigned 8-bit mono
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Real audio decode via `javax.sound.sampled`: parse each WAV
+    * payload and emit format metadata plus the md5 of the decoded PCM
+    * frames — for the lossless 8-bit PCM built by [[encodeWav]],
+    * byte-identical to the source text bytes (the SQL-oracle hook).
+    * Non-parsing payloads drop, same contract as
+    * [[decodeImageMeta]]. */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, payload) =>
+          val ais = try {
+            Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          ais.map { a =>
+            val fmt = a.getFormat
+            val pcm = a.readAllBytes()
+            md.reset()
+            val digest = md.digest(pcm).map("%02x".format(_)).mkString
+            (id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              fmt.getSampleSizeInBits.toLong,
+              pcm.length.toLong / math.max(fmt.getFrameSize, 1), digest)
+          }
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames", "pcm_md5")
   }
 
   /** Frame sampling (video analog): every `stride`-th fixed-size slice

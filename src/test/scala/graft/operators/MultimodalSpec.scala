@@ -123,6 +123,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.getString(4) == expected, "decoded pixels must be the source bytes")
   }
 
+  test("encodeWav → decodeAudioMeta: lossless PCM loop, format metadata exact") {
+    import spark.implicits._
+    val audio = Seq((1L, "hello pcm world"), (2L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAudioMeta(Multimodal.encodeWav(audio)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 8000L && r1.getLong(2) == 1L && r1.getLong(3) == 8L)
+    assert(r1.getLong(4) == "hello pcm world".length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("hello pcm world".getBytes)
+      .map("%02x".format(_)).mkString
+    assert(r1.getString(5) == expected, "decoded PCM must be the source bytes")
+    assert(out(2L).getLong(4) == 1L)   // single-byte payloads round-trip too
+  }
+
+  test("decodeAudioMeta: non-WAV payloads drop instead of killing tasks") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4)),
+      (2L, "RIFFgarbageWAVEnotreally".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.decodeAudioMeta(junk).collect().isEmpty)
+  }
+
   test("composition: media features feed similarity search (near-dup media found)") {
     implicit val s = spark
     import spark.implicits._
