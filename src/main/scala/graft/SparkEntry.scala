@@ -502,6 +502,14 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       dbl(EventOps.sessionize(t(s, dir, "events")), "session_value")),
 
+    // Watermark-delay sizing report: per-key running-max lateness,
+    // bit-width histogram (integer-exact log2 via length(bin(x))).
+    "q_event_lateness" -> ((s, dir) =>
+      EventOps.latenessProfile(t(s, dir, "events"))),
+    // Pre-join salting decision report: per-key count histogram.
+    "q_key_skew" -> ((s, dir) =>
+      EventOps.keySkewProfile(t(s, dir, "events"), "user_id")),
+
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
       EventOps.distinctAgg(t(s, dir, "events"))),
@@ -1817,6 +1825,30 @@ object SparkEntry {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
         |FROM h GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Lateness profile: epoch_ms truncation matches Spark's
+    // unix_millis (both trunc(ns/1e6) on this ns fixture); lateness
+    // differences and bin-length buckets are integer-exact.
+    "q_event_lateness" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT user_id, event_id,
+        |    max(ms) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ms AS late
+        |  FROM e)
+        |SELECT CAST(length(bin(late)) AS BIGINT) AS lateness_bits,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(late) AS BIGINT) AS min_lateness_ms,
+        |  CAST(max(late) AS BIGINT) AS max_lateness_ms
+        |FROM l GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(length(bin(c)) AS BIGINT) AS count_bits,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_key_count
+        |FROM c GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -200,4 +200,51 @@ object EventOps {
       coalesce(col("value"), lit(0.0)).as("value_or_zero"),
       (col("event_type") === "error").cast("int").as("is_error"),
       hour(col("ts")).as("event_hour"))
+
+  /** Out-of-orderness profile — the report that SIZES a watermark
+    * delay before wiring a streaming job: per key (`user_id`),
+    * arrival order = `event_id` (the changelog's insert sequence);
+    * each event's lateness is the running-max event time seen so far
+    * on its key minus its own event time, histogrammed by bit-width
+    * buckets (bucket = number of binary digits of lateness_ms, an
+    * integer-exact stand-in for ⌈log₂⌉ both engines compute as
+    * `length(bin(x))`). Reading the result: the largest populated
+    * bucket bounds the watermark delay that would have captured every
+    * event; the counts show the tail mass a tighter delay drops.
+    *
+    * Scale shape: ONE sort-based window partitioned by key (the same
+    * per-key ordering any keyed-state streaming operator already
+    * implies — no global sort), then a ≤64-row hash aggregate.
+    * Millisecond truncation on both engines per the cross-engine
+    * timestamp rule. */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("__ms"))
+      .withColumn("__late", max(col("__ms")).over(w) - col("__ms"))
+      .groupBy(length(bin(col("__late"))).cast("bigint").as("lateness_bits"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__late")).as("min_lateness_ms"),
+        max(col("__late")).as("max_lateness_ms"))
+  }
+
+  /** Join-key skew profile — the report that decides SALTING before a
+    * big join ships: per-key row counts histogrammed by bit-width
+    * buckets (bucket = binary digits of the key's count), with each
+    * bucket's key tally, row mass, and heaviest key count. A top
+    * bucket holding a few keys with a large share of the rows is the
+    * AQE-unreachable skew [[graft.operators.Skew]] salts.
+    *
+    * Scale shape: one count aggregate keyed on the join key (the same
+    * shuffle the join itself would do), then a ≤64-row aggregate over
+    * one row per key. */
+  def keySkewProfile(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .groupBy(length(bin(col("__c"))).cast("bigint").as("count_bits"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_key_count"))
 }

@@ -138,6 +138,47 @@ class PlanSpec extends SparkSpec {
     assert(!bm.contains("CartesianProduct") && !bm.contains("SortMergeJoin"), bm)
   }
 
+  test("round-7 monitors: digest-keyed windows/joins, broadcast totals, no cartesian") {
+    val docs = Tables.load(spark, dir, "documents")
+    val events = Tables.load(spark, dir, "events")
+    // novelty: same sliding-window census as substrDedup — window keys
+    // are the 16-byte hash pair, no cartesian/BNLJ
+    val nv = plan(operators.TextOps.novelty(docs))
+    assert(!nv.contains("CartesianProduct") && !nv.contains("BroadcastNestedLoopJoin"), nv)
+    assert(nv.contains("Window"), "census windows expected: " + nv)
+    // corpusDrift: two <=4096-row bucket aggregates; the 1-row totals
+    // attach is the only nested-loop; nothing goes cartesian
+    val cd = plan(operators.TextOps.corpusDrift(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
+    assert(!cd.contains("CartesianProduct"), cd)
+    assert(cd.contains("BroadcastExchange"), "totals must broadcast: " + cd)
+    // blocklist: narrow scan-speed pass — no join, no exchange beyond
+    // the scan itself
+    val bl = plan(operators.TextOps.blocklistFilter(docs, Seq("slow", "dup")))
+    assert(!bl.contains("Join") && !bl.contains("Window"), bl)
+    // editDistancePairs: pairs form inside __blk equi-join buckets
+    // only; the block-size guard is a same-key window, never cartesian
+    val ed = plan(operators.Dedup.editDistancePairs(docs))
+    assert(!ed.contains("CartesianProduct") && !ed.contains("BroadcastNestedLoopJoin"), ed)
+    // grouped heavy hitters: candidates and totals broadcast into the
+    // recount; no cartesian/BNLJ
+    val hh = plan(operators.Sketches.heavyHittersExactByGroup(docs))
+    assert(hh.contains("BroadcastExchange"), "candidate set must broadcast: " + hh)
+    assert(!hh.contains("CartesianProduct") && !hh.contains("BroadcastNestedLoopJoin"), hh)
+    // sq8 codes: broadcast-literal bounds -> pure narrow transform
+    val sq = plan(operators.Sq8.codes(
+      Tables.load(spark, dir, "embeddings"),
+      operators.Sq8.Model(Array.fill(64)(0.0), Array.fill(64)(1.0))))
+    assert(!sq.contains("Join") && !sq.contains("Exchange"),
+      "codes must be a narrow scan pass: " + sq)
+    // diagnostics: lateness = one keyed window + <=64-row aggregate;
+    // skew = two aggregates; neither joins
+    val lp = plan(operators.EventOps.latenessProfile(events))
+    assert(lp.contains("Window") && !lp.contains("Join"), lp)
+    val ks = plan(operators.EventOps.keySkewProfile(events, "user_id"))
+    assert(!ks.contains("Join") && !ks.contains("Window"), ks)
+  }
+
   test("IVF probe join is salted: keyed on (cluster, chunk), index layout reused") {
     // the round-3 defect: a probe join keyed on cluster alone is a
     // ≤nClusters-key exchange (max 16-way parallelism at the old
