@@ -249,6 +249,16 @@ object SparkEntry {
         org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat_ws(" ",
           org.apache.spark.sql.functions.slice(
             org.apache.spark.sql.functions.split(col("text"), " "), 1, 8))))),
+    // Provenance view: which sources duplicate into which, on the same
+    // 8-opening-tokens digest; exact integer pair arithmetic.
+    "q_cross_source_dups" -> ((s, dir) =>
+      graft.operators.Dedup.crossSourceMatrix(t(s, dir, "documents"),
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.split(col("text"), " "), 1, 8))))),
+    // Generation-loop detector: KMP smallest token period per doc.
+    "q_periodicity" -> ((s, dir) =>
+      TextOps.periodicity(t(s, dir, "documents"))),
     // The full raw-crawl → training-mixture pipeline (quality ×
     // canonical-dedup × decontamination × token budget), eval set =
     // doc_id ≡ 0 (mod 97) as in q_decontaminate.
@@ -1350,6 +1360,38 @@ object SparkEntry {
         |    COUNT(*) AS group_size FROM documents GROUP BY 1)
         |SELECT group_size, COUNT(*) AS n_groups, group_size * COUNT(*) AS n_docs
         |FROM g GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Cross-source matrix: per-(digest, source) counts self-join —
+    // rows per digest = sources holding it; integer pair arithmetic
+    // (n*(n-1)//2 diagonal, na*nb off-diagonal).
+    "q_cross_source_dups" ->
+      """WITH d AS (SELECT source,
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+        |  FROM documents),
+        |c AS (SELECT h, source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+        |      ELSE a.n * b.n END AS pairs
+        |  FROM c a JOIN c b ON a.h = b.h AND a.source <= b.source)
+        |SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
+        |FROM p GROUP BY 1, 2 HAVING sum(pairs) > 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Periodicity: smallest p with l[1:n-p] == l[p+1:n] (the KMP
+    // border theorem's period, found by direct slice comparison here —
+    // O(n^2) is fine at oracle SF; the engine side is O(n) KMP).
+    "q_periodicity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |p AS (SELECT doc_id, n,
+        |    list_filter(range(1, n + 1),
+        |      p -> list_slice(l, 1, n - p) = list_slice(l, p + 1, n))[1] AS period
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(period AS BIGINT) AS period,
+        |  CAST(n // period AS BIGINT) AS n_repeats,
+        |  (period < n AND n // period >= 3) AS is_loop
+        |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_mixture_sample" ->
       """WITH q AS (SELECT * FROM (VALUES ('en', 100), ('es', 40), ('de', 40), ('fr', 20)) AS t(lang, quota)),

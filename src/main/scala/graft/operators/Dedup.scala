@@ -56,6 +56,38 @@ object Dedup {
       .select(col("group_size"), col("n_groups"),
         (col("group_size") * col("n_groups")).as("n_docs"))
 
+  /** Cross-source duplication matrix — WHICH corpora duplicate into
+    * which: for every unordered source pair (a ≤ b), the number of
+    * duplicate document pairs whose members sit in those sources,
+    * keyed on any content digest (same `key` contract as
+    * [[groupStats]]). The provenance view a curation team reads
+    * before deciding which crawl to drop: a heavy off-diagonal cell
+    * means two feeds ship the same content; a heavy diagonal means a
+    * feed duplicates itself.
+    *
+    * Scale shape: one digest-keyed count per (digest, source) — the
+    * [[exact]] shuffle with a source column — then a per-digest
+    * self-join over SOURCE COUNTS (rows per digest = #distinct
+    * sources holding it, not group size: a 10⁶-copy digest in 3
+    * sources contributes 6 count rows, never 10¹² pairs), and a
+    * ≤|sources|² aggregate. Pair arithmetic is exact integers:
+    * n_a·n_b off-diagonal, C(n_a, 2) on it. */
+  def crossSourceMatrix(docs: DataFrame,
+                        key: Column = md5(col("text"))): DataFrame = {
+    val counts = docs.select(key.as("__h"), col("source"))
+      .groupBy("__h", "source").agg(count(lit(1)).as("n"))
+    val l = counts.select(col("__h"), col("source").as("source_a"), col("n").as("na"))
+    val r = counts.select(col("__h"), col("source").as("source_b"), col("n").as("nb"))
+    l.join(r, "__h").filter(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          expr("na * (na - 1) DIV 2")).otherwise(col("na") * col("nb"))
+          .cast("bigint").as("pairs"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("pairs")).as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+  }
+
   /** Exploded (doc_id, shingle) pairs, distinct per doc. */
   private def shingleRows(docs: DataFrame, n: Int): DataFrame =
     TextOps.withShingles(docs, n)

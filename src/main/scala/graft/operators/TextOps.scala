@@ -1082,6 +1082,46 @@ object TextOps {
       .withColumn("kept", col("n_hits") <= maxHits)
   }
 
+  /** Generation-loop / periodicity detector — the degenerate-output
+    * filter for synthetic or model-written text: the smallest token
+    * period `p` such that token[i] == token[i+p] for every aligned
+    * position (the KMP border theorem: p = L − fail(L), O(L) per
+    * document), the number of full repeats ⌊L/p⌋, and the loop flag
+    * (≥ `minRepeats` full cycles of a proper period). Catches "the
+    * same sentence over and over" exactly — a PERIOD, which the
+    * Gopher-style duplicate-n-gram fractions ([[repetition]]) only
+    * approximate from unordered n-gram mass.
+    *
+    * Scale shape: one narrow `mapPartitions` pass (KMP has no
+    * Catalyst primitive — the documented justification bar), integer
+    * outputs, zero shuffle; text never leaves its partition. */
+  def periodicity(docs: DataFrame, minRepeats: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w: Array[String] = text.split(" ", -1)
+          val n = w.length
+          // KMP failure function over tokens
+          val fail = new Array[Int](n + 1)
+          var k = 0
+          var i = 1
+          while (i < n) {
+            while (k > 0 && w(i) != w(k)) k = fail(k)
+            if (w(i) == w(k)) k += 1
+            i += 1
+            fail(i) = k
+          }
+          val period = n - fail(n)
+          val repeats = if (period == 0) 0L else (n / period).toLong
+          (id, n.toLong, period.toLong, repeats,
+            period < n && repeats >= minRepeats)
+        }
+      }.toDF("doc_id", "n_tokens", "period", "n_repeats", "is_loop")
+  }
+
   def prepareCorpus(docs: DataFrame, evalDocs: DataFrame,
                     minQuality: Double = 0.42, jaccard: Double = 0.5,
                     tokensPerLang: Long = 2000L): DataFrame = {

@@ -59,6 +59,37 @@ class CurationMonitorSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L)))
   }
 
+  test("periodicity: exact periods, repeat counts, and the loop flag") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham"),       // period 2, 3 repeats -> loop
+      (2L, "a a a a"),                          // period 1, 4 repeats -> loop
+      (3L, "all distinct tokens here"),         // period = n, not a loop
+      (4L, "x y x y z"),                        // z kills the border -> period 5
+      (5L, "one two one")).toDF("doc_id", "text") // period 2, 1 repeat
+    val out = TextOps.periodicity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((6L, 2L, 3L, true)))
+    assert(out(2L) == ((4L, 1L, 4L, true)))
+    assert(out(3L) == ((4L, 4L, 1L, false)))
+    assert(out(4L) == ((5L, 5L, 1L, false)))
+    assert(out(5L) == ((3L, 2L, 1L, false)))
+  }
+
+  test("crossSourceMatrix: diagonal C(n,2), off-diagonal n*m, clean groups vanish") {
+    val docs = Seq(
+      (1L, "dup content", "web"), (2L, "dup content", "web"),
+      (3L, "dup content", "forum"),
+      (4L, "other shared", "web"), (5L, "other shared", "books"),
+      (6L, "unique text", "web")).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("web", "web")) == 1L)          // C(2,2 dups in web) = 1
+    assert(out(("forum", "web")) == 2L)        // 2 web copies x 1 forum copy
+    assert(out(("books", "web")) == 1L)
+    assert(!out.contains(("web", "unique")) && out.size == 3)
+  }
+
   test("blocklistFilter: hit counts, distinct terms, and the keep verdict") {
     val docs = Seq(
       (1L, "bad worse bad ok"),
