@@ -1095,6 +1095,23 @@ object TextOps {
     * Scale shape: one narrow `mapPartitions` pass (KMP has no
     * Catalyst primitive — the documented justification bar), integer
     * outputs, zero shuffle; text never leaves its partition. */
+  /** Smallest period of a token sequence via the KMP border theorem:
+    * p = n − fail(n), O(n). Exposed for the property spec's
+    * brute-force cross-check. */
+  private[operators] def smallestPeriod(w: Array[String]): Int = {
+    val n = w.length
+    val fail = new Array[Int](n + 1)
+    var k = 0
+    var i = 1
+    while (i < n) {
+      while (k > 0 && w(i) != w(k)) k = fail(k)
+      if (w(i) == w(k)) k += 1
+      i += 1
+      fail(i) = k
+    }
+    n - fail(n)
+  }
+
   def periodicity(docs: DataFrame, minRepeats: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1104,17 +1121,7 @@ object TextOps {
         it.map { case (id, text) =>
           val w: Array[String] = text.split(" ", -1)
           val n = w.length
-          // KMP failure function over tokens
-          val fail = new Array[Int](n + 1)
-          var k = 0
-          var i = 1
-          while (i < n) {
-            while (k > 0 && w(i) != w(k)) k = fail(k)
-            if (w(i) == w(k)) k += 1
-            i += 1
-            fail(i) = k
-          }
-          val period = n - fail(n)
+          val period = smallestPeriod(w)
           val repeats = if (period == 0) 0L else (n / period).toLong
           (id, n.toLong, period.toLong, repeats,
             period < n && repeats >= minRepeats)

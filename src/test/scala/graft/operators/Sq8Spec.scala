@@ -46,6 +46,40 @@ class Sq8Spec extends SparkSpec {
     }
   }
 
+  test("save/load: a round-tripped model codes identically") {
+    val e = embs(
+      (1L, Seq(0.1f, -2.0f, 8.5f)),
+      (2L, Seq(0.9f, 3.0f, -1.5f)),
+      (3L, Seq(0.4f, 0.7f, 2.25f)))
+    val m = Sq8.fit(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Sq8.save(m, dir, spark)
+    val m2 = Sq8.load(spark, dir)
+    assert(m2.mins.toSeq == m.mins.toSeq && m2.maxs.toSeq == m.maxs.toSeq)
+    assert(Sq8.codes(e, m2).collect().map(_.toSeq).toSet ==
+      Sq8.codes(e, m).collect().map(_.toSeq).toSet)
+  }
+
+  test("truncatedTopKFor: front-loaded embeddings keep their neighbors at 1/4 the dims") {
+    // MRL precondition planted: dims 0-1 carry the cluster signal,
+    // dims 2-7 are small deterministic noise
+    val rows = (0 until 12).map { i =>
+      val c = i % 3
+      val base = Seq(math.cos(c * 2.1).toFloat * 4, math.sin(c * 2.1).toFloat * 4)
+      (i.toLong, base ++ Seq.tabulate(6)(d => 0.05f * ((i * 5 + d) % 7)))
+    }
+    val e = embs(rows: _*)
+    val full = Similarity.bruteForceTopKFor(e, e, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val cut = Sq8.truncatedTopKFor(e, e, dims = 2, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == cut)
+  }
+
   test("topKFor: separable clusters rank exactly as the full-precision scan") {
     // two tight, well-separated clusters: quantization noise cannot
     // flip any neighbor ordering across clusters
