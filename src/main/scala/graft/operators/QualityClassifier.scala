@@ -62,9 +62,20 @@ object QualityClassifier {
             iters: Int = 30, lr: Double = 2.0): Model = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // size the cached-feature partitioning to the labeled set: each
+    // GD iteration is one job over this Dataset, so at gate scale
+    // (hundreds of labeled docs) 32 near-empty tasks × iters is pure
+    // scheduling overhead — pack >= ~1k docs per task, capped at the
+    // session parallelism (at 100 TB the cap binds and nothing
+    // changes). Partition-count choice does not affect the gate's
+    // pinned booleans; the partition-index-order reduce stays.
+    val nLab = labels.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nLab / 1024 + 1)).toInt
     val ds = docBuckets(docs, buckets)
       .join(labels.select(col("doc_id"), col("y").cast("double")), "doc_id")
       .select(col("fs"), col("y")).as[(Array[Int], Double)]
+      .coalesce(parts)
       .cache()
     try {
       val n = ds.count().toDouble
