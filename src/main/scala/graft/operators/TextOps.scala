@@ -1028,15 +1028,21 @@ object TextOps {
     * lists), then a per-doc hash aggregate. Documents shorter than
     * `k` tokens carry no windows and surface with NULL novelty via
     * the outer join. */
-  def novelty(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(col("doc_id"), toks.as("__w"))
+  /** Sliding k-token windows as 16-byte hash-pair rows, WITH
+    * multiplicity: (doc_id, h1, h2). The census/probe currency of
+    * [[novelty]] and the incremental census family. */
+  private def windowRows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), toks.as("__w"))
       .filter(size(col("__w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(__w) - $k), " +
           s"i -> concat_ws(' ', slice(__w, i + 1, $k)))")).as("g"))
       .select(col("doc_id"),
         xxhash64(col("g")).as("h1"), xxhash64(lit(1), col("g")).as("h2"))
+
+  def novelty(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = windowRows(docs, k)
     val w1 = Window.partitionBy("h1", "h2").orderBy("doc_id")
     val w2 = Window.partitionBy("h1", "h2")
     val scored = grams
@@ -1051,6 +1057,50 @@ object TextOps {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         // NULL (not NaN) for sub-k docs: the division only runs where
         // the join matched, mirroring the oracle's NULL propagation
+        when(col("n_windows").isNotNull,
+          (col("n_windows") - col("n_shared")).cast("double") /
+            col("n_windows").cast("double")).as("novelty"))
+  }
+
+  /** Persistent sliding-window census — the INCREMENTAL form of
+    * [[novelty]]'s duplicate evidence, for the production workflow
+    * where crawl batches arrive over time and each must be scored
+    * against everything already seen (the [[Dedup.buildBandIndex]]
+    * contract, at window granularity): (h1, h2, n_docs) with
+    * distinct-doc counts per window content. Counts from DISJOINT
+    * batches sum, which is what makes [[appendWindowCensus]] exact. */
+  def buildWindowCensus(docs: DataFrame, k: Int = 8): DataFrame =
+    windowRows(docs, k).groupBy("h1", "h2")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+
+  /** Fold one new (doc-disjoint) batch into the census — O(batch)
+    * new rows against a key-partitioned union-aggregate. At scale,
+    * persist the census bucketed on (h1, h2) so the re-aggregate
+    * co-locates with zero full re-shuffle of history. */
+  def appendWindowCensus(census: DataFrame, batch: DataFrame, k: Int = 8): DataFrame =
+    census.unionByName(buildWindowCensus(batch, k))
+      .groupBy("h1", "h2").agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Score ONE batch against the accumulated census (which must
+    * already include the batch — append first, then score): the
+    * incremental [[novelty]]. Per-batch cost is O(batch windows)
+    * probed as an equi-join into the census; history never rescans.
+    * Contract (same as incremental dedup): a batch's scores equal
+    * the one-shot [[novelty]] over all data restricted to the
+    * batch's documents — EARLIER batches are not retroactively
+    * rescored when later content duplicates them. */
+  def noveltyAgainst(batch: DataFrame, census: DataFrame,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val scored = windowRows(batch, k)
+      .join(census, Seq("h1", "h2"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(coalesce(col("n_docs"), lit(0L)) >= minDocs, 1L)
+          .otherwise(0L)).as("n_shared"))
+    batch.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         when(col("n_windows").isNotNull,
           (col("n_windows") - col("n_shared")).cast("double") /
             col("n_windows").cast("double")).as("novelty"))

@@ -90,6 +90,25 @@ class CurationMonitorSpec extends SparkSpec {
     assert(!out.contains(("web", "unique")) && out.size == 3)
   }
 
+  test("incremental census: append composes, batch scoring equals one-shot novelty") {
+    val b1 = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "m n o r s t")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "p q a b c d"),      // duplicates b1's passage at an offset
+      (4L, "u v")).toDF("doc_id", "text")
+    val all = b1.unionByName(b2)
+    // census composition: build(b1) + b2 == build(b1 ∪ b2)
+    val inc = TextOps.appendWindowCensus(TextOps.buildWindowCensus(b1, k = 3), b2, k = 3)
+    assert(inc.collect().toSet == TextOps.buildWindowCensus(all, k = 3).collect().toSet)
+    // batch scoring vs the appended census == one-shot novelty on b2's docs
+    val oneShot = TextOps.novelty(all, k = 3, minDocs = 2)
+      .filter($"doc_id" >= 3L).collect().map(_.toSeq).toSet
+    val incremental = TextOps.noveltyAgainst(b2, inc, k = 3, minDocs = 2)
+      .collect().map(_.toSeq).toSet
+    assert(incremental == oneShot)
+  }
+
   test("blocklistFilter: hit counts, distinct terms, and the keep verdict") {
     val docs = Seq(
       (1L, "bad worse bad ok"),
