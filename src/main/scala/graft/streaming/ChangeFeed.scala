@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change data feed between lake snapshots — the Paimon incremental
+  * scan / Delta CDF / Iceberg changelog surface: given any two
+  * committed versions of a PK table, derive the +I/+U/-D changelog
+  * that transforms one into the other. This closes the loop with
+  * [[graft.cdc.Upsert]]: `apply(v1, changeFeed(v1, v2)) == v2` by
+  * construction (the spec pins it), so a downstream consumer can
+  * resume from any snapshot and catch up incrementally instead of
+  * re-reading the full table — the lake-side answer to the CDC
+  * source's WAL tail.
+  *
+  * Envelope: (op ∈ c|u|d, before, after) with before/after as STRUCTS
+  * of the full row — [[graft.cdc.Upsert.applyChangelog]]'s input shape
+  * directly (add `ts_ms` and replay; `to_json` either side for the
+  * Debezium wire form).
+  *
+  * Scale shape: ONE full outer equi-join on the primary key between
+  * the two snapshots (both sides pruned to the compared columns),
+  * change detection by row-struct equality — no window, no sort, no
+  * driver state; unchanged keys drop before anything else flows. At
+  * 100 TB the join co-locates when both snapshots share the store's
+  * bucketing ([[BucketedStateStore]] layouts do). */
+object ChangeFeed {
+
+  /** Changelog from snapshot `from` to snapshot `to` of `store`,
+    * keyed on `keys`. */
+  def between(store: StateStore, from: Long, to: Long,
+              keys: Seq[String]): DataFrame = {
+    val a = store.read(from).getOrElse(
+      throw new IllegalArgumentException(s"version $from not committed"))
+    val b = store.read(to).getOrElse(
+      throw new IllegalArgumentException(s"version $to not committed"))
+    diff(a, b, keys)
+  }
+
+  /** [[between]] on two already-loaded snapshots. */
+  def diff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = b.columns.toSeq
+    require(keys.forall(cols.contains), s"keys $keys must exist in the snapshot")
+    val keyCols = keys.map(col)
+    val l = a.select(struct(cols.map(col): _*).as("__before"))
+      .select(col("__before") +: keys.map(k => col(s"__before.$k").as(k)): _*)
+    val r = b.select(struct(cols.map(col): _*).as("__after"))
+      .select(col("__after") +: keys.map(k => col(s"__after.$k").as(k)): _*)
+    l.join(r, keys, "full_outer")
+      .withColumn("op",
+        when(col("__before").isNull, lit("c"))
+          .when(col("__after").isNull, lit("d"))
+          .when(col("__before") =!= col("__after"), lit("u")))
+      .filter(col("op").isNotNull)   // unchanged keys drop here
+      .select(col("op"),
+        col("__before").as("before"),
+        col("__after").as("after"))
+  }
+}
