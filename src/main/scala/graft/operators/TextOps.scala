@@ -1000,17 +1000,24 @@ object TextOps {
         .select(substring(md5(col("bg")), 1, 3).as("b"))
     val c1 = buckets(docs).groupBy("b").agg(count(lit(1)).as("c1"))
     val c2 = buckets(other).groupBy("b").agg(count(lit(1)).as("c2"))
-    val joined = c1.join(c2, Seq("b"), "full_outer")
+    // the joined model table is ≤4096 rows by construction — finish on
+    // the driver (the bounded-gate idiom) so each corpus is scanned
+    // exactly ONCE; referencing the lazy join from both the totals and
+    // the TV aggregate would re-run both bigram extractions
+    val rows = c1.join(c2, Seq("b"), "full_outer")
       .select(coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
-    val tot = joined.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    joined.crossJoin(broadcast(tot))
-      .agg(count(lit(1)).as("n_buckets"),
-        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("tv_num"))
-      .select(col("n_buckets"), col("n1"), col("n2"), col("tv_num"),
-        (col("tv_num").cast("double") /
-          (col("n1") * col("n2") * 2L).cast("double")).as("tv"))
+      .collect()
+    val n1 = rows.map(_.getLong(0)).sum
+    val n2 = rows.map(_.getLong(1)).sum
+    val tvNum = rows.map(r => math.abs(r.getLong(0) * n2 - r.getLong(1) * n1)).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // denominator as ONE exact long product then one cast — the
+    // oracle's CAST(2*n1*n2 AS DOUBLE) rounding, not 2.0*n1*n2's
+    Seq((rows.length.toLong, n1, n2, tvNum,
+      tvNum.toDouble / (2L * n1 * n2).toDouble))
+      .toDF("n_buckets", "n1", "n2", "tv_num", "tv")
   }
 
   /** Per-document n-gram novelty — the memorization-risk profile of

@@ -146,12 +146,12 @@ class PlanSpec extends SparkSpec {
     val nv = plan(operators.TextOps.novelty(docs))
     assert(!nv.contains("CartesianProduct") && !nv.contains("BroadcastNestedLoopJoin"), nv)
     assert(nv.contains("Window"), "census windows expected: " + nv)
-    // corpusDrift: two <=4096-row bucket aggregates; the 1-row totals
-    // attach is the only nested-loop; nothing goes cartesian
+    // corpusDrift: the <=4096-row model table finishes on the driver
+    // (each corpus scanned exactly once upstream); the returned frame
+    // is a single local row — no distributed plan left to mis-shape
     val cd = plan(operators.TextOps.corpusDrift(
       docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
-    assert(!cd.contains("CartesianProduct"), cd)
-    assert(cd.contains("BroadcastExchange"), "totals must broadcast: " + cd)
+    assert(cd.contains("LocalTableScan") && !cd.contains("Exchange"), cd)
     // blocklist: narrow scan-speed pass — no join, no exchange beyond
     // the scan itself
     val bl = plan(operators.TextOps.blocklistFilter(docs, Seq("slow", "dup")))
