@@ -720,7 +720,7 @@ object SparkEntry {
     * DECIMAL(38,0) at ingest rather than here. */
   /** Exact cosine top-5 oracle (DuckDB): shared by q_ann_bruteforce
     * and — since the break-even fallback makes them exact on this
-    * corpus — the adaptive q_ann_lsh / q_ann_ivf entries. */
+    * corpus — the q_ann_lsh_adaptive / q_ann_ivf_adaptive entries. */
   private val AnnExactTop5Sql: String =
     """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
@@ -1191,7 +1191,7 @@ object SparkEntry {
     // range); the oracle pins them with the doc count.
     "q_quality_classifier_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS acc_ok,
-        |  true AS probs_ok, CAST(1024 AS BIGINT) AS n_params
+        |  true AS probs_ok, CAST(1024 AS BIGINT) AS n_buckets
         |FROM documents""".stripMargin,
 
     // DSIR hashed-bigram importance: 3-hex-char buckets, integer count
@@ -1716,9 +1716,10 @@ object SparkEntry {
     "q_ann_bruteforce" -> AnnExactTop5Sql,
 
     // The adaptive ANN entries take the exact blocked scan on this
-    // corpus (q_ann_lsh: the measured candidate fraction ~0.7 is far
-    // past the 0.25 break-even at every SF of this weakly-clustered
-    // distribution; q_ann_ivf: the default probe fraction 0.6 ≥ 0.25
+    // corpus (q_ann_lsh_adaptive: the measured candidate fraction
+    // ~0.7 is far past the 0.25 break-even at every SF of this
+    // weakly-clustered distribution; q_ann_ivf_adaptive: the default
+    // probe fraction 0.6 ≥ 0.25
     // unconditionally), so their output is bit-identical to the exact
     // oracle — the fold is the same sequential-double dot in both
     // paths. The approximate machinery stays certified by the recall

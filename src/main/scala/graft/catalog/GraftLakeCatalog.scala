@@ -196,11 +196,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   private def commitMsOf(p: Path, v: Long): Long = {
     val vdir = p.resolve(s"v=$v")
     val manifest = vdir.resolve(graft.streaming.StateStore.CommitManifest)
-    val stamped =
-      if (Files.exists(manifest))
-        Files.readString(manifest).trim.toLongOption
-      else None
-    stamped.getOrElse(Files.getLastModifiedTime(vdir).toMillis)
+    // parse/fallback policy lives in ONE place (resolveCommitMs) so
+    // the SQL clock cannot drift from the Scala readAsOf clock
+    graft.streaming.StateStore.resolveCommitMs(
+      if (Files.exists(manifest)) Some(Files.readString(manifest)) else None,
+      Files.getLastModifiedTime(vdir).toMillis)
   }
 
   /** SQL-text time travel, timestamp form: `… TIMESTAMP AS OF <ts>`

@@ -51,7 +51,10 @@ class QuantileSketchAgg(k: Int, probes: Seq[Double])
   override def reduce(buf: (Seq[Seq[Double]], Long, Long),
                       v: Double): (Seq[Seq[Double]], Long, Long) = {
     val head = v +: levelZero(buf._1.head)
-    if (head.length < 2 * k) (head +: buf._1.tail, buf._2 + 1, buf._3)
+    // lengthCompare short-circuits at 2k nodes — List.length walks the
+    // whole buffer per row, which re-smuggles the O(k) cost the
+    // prepend removed
+    if (head.lengthCompare(2 * k) < 0) (head +: buf._1.tail, buf._2 + 1, buf._3)
     else fromBuf(QuantileSketch.compacted(Sketch(k,
       (head +: buf._1.tail).map(_.toVector).toVector, buf._2 + 1, buf._3)))
   }
@@ -118,7 +121,7 @@ class QuantileSketchSqlAggregator
     val q = if (buf._2 > 0) buf._1 else in._2
     val k = math.max(1, if (buf._2 > 0) buf._2 else in._3)
     val head = in._1 +: levelZero(buf._3.head)
-    if (head.length < 2 * k) (q, k, head +: buf._3.tail, buf._4 + 1, buf._5)
+    if (head.lengthCompare(2 * k) < 0) (q, k, head +: buf._3.tail, buf._4 + 1, buf._5)
     else {
       val s = QuantileSketch.compacted(Sketch(k,
         (head +: buf._3.tail).map(_.toVector).toVector, buf._4 + 1, buf._5))

@@ -110,14 +110,25 @@ object IvfIndex {
       (n, fit(embeddings, nc, iters))
     }._2
 
+  /** Fixed-point scale for the Lloyd sums: per-element contributions
+    * round to 2⁻²⁰ (≈1e-6 — immaterial against unit-norm vectors), in
+    * exchange for EXACT integer partial sums whose merges are
+    * associative and commutative — the fit is therefore
+    * layout-deterministic (any partitioning, any reduce order), not
+    * just same-layout-deterministic. Headroom: |v|≤1 ⇒ a cluster
+    * holds ~2⁴³ rows before a long could overflow. */
+  private val FixedPointScale = 1L << 20
+
   /** Lloyd's k-means (dot-product objective over normalized vectors).
     * The corpus scan is [[Similarity.spread]] first: single-row-group
     * local parquet otherwise runs every Lloyd pass on ONE task — the
     * exact single-core shape the bench postmortem showed is
-    * JIT-deopt-vulnerable, and a serial scan besides. Partial sums per
-    * partition then merge in reduceByKey; centroid low bits can differ
-    * across layouts (double addition is order-sensitive), which the
-    * recall gates absorb by construction (margin over the bar). */
+    * JIT-deopt-vulnerable, and a serial scan besides. Partial sums
+    * accumulate in [[FixedPointScale]] integer units, so the
+    * reduceByKey merge order cannot move a bit — fit(x) == fit(x)
+    * across ANY layout (spec-pinned), which is what lets [[spread]]
+    * wrap this scan without violating its own order-sensitivity
+    * rule. */
   def fit(embeddings: DataFrame, nClusters: Int = 16, iters: Int = 5): Model = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -130,12 +141,14 @@ object IvfIndex {
       val bc = spark.sparkContext.broadcast(centroids)
       val sums = vecs.mapPartitions { it =>
         val cs = bc.value
-        val acc = Array.fill(cs.length)(new Array[Double](cs(0).length))
+        val acc = Array.fill(cs.length)(new Array[Long](cs(0).length))
         val cnt = new Array[Long](cs.length)
         it.foreach { case (_, v) =>
           val c = nearest(v, cs)
           var j = 0
-          while (j < v.length) { acc(c)(j) += v(j); j += 1 }
+          while (j < v.length) {
+            acc(c)(j) += math.round(v(j) * FixedPointScale); j += 1
+          }
           cnt(c) += 1
         }
         acc.indices.iterator.map(c => (c, acc(c), cnt(c)))
@@ -150,8 +163,9 @@ object IvfIndex {
         .values.collect()
       centroids = centroids.indices.map { c =>
         sums.find(_._1 == c).filter(_._3 > 0).map { case (_, s, n) =>
-          // re-normalize the mean so dot stays a cosine proxy
-          val m = s.map(_ / n)
+          // re-normalize the mean so dot stays a cosine proxy; fixed
+          // division order keeps the double chain deterministic
+          val m = s.map(_.toDouble / FixedPointScale / n)
           val norm = math.sqrt(m.map(x => x * x).sum)
           if (norm > 0) m.map(_ / norm) else centroids(c)
         }.getOrElse(centroids(c))                      // empty list keeps seed

@@ -37,7 +37,14 @@ import org.apache.spark.sql.DataFrame
   * a fit that throws leaves the lazy val uninitialized so the next
   * caller retries rather than caching the failure. */
 private[operators] final class ModelMemo[V <: AnyRef] {
-  private final class Cell(compute: () => V) { lazy val value: V = compute() }
+  // the thunk drops to null once forced: a memoized cell would
+  // otherwise pin the call-site closure (captured DataFrames, plans,
+  // session references) for the entry's whole lifetime — only the
+  // fitted model should survive the fit. A throwing fit leaves the
+  // thunk in place so the next caller retries.
+  private final class Cell(@volatile private var compute: () => V) {
+    lazy val value: V = { val v = compute(); compute = null; v }
+  }
   private val map = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
   /** Drop every memoized model (e.g. after overwriting input paths

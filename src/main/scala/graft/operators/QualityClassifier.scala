@@ -175,9 +175,12 @@ object QualityClassifier {
     // quantile tie handling, which is NOT cross-engine stable — so the
     // labeled count feeds the booleans, not the output)
     val nDocs = docs.count()
+    // n_buckets, not "n_params": the model carries buckets + StatSlots
+    // weights plus a bias (1057 at the default), and pinning the
+    // hashed-space size is what the oracle can recompute
     Seq((nDocs, correct.toDouble / math.max(n, 1L) >= 0.8,
       agg.getDouble(2) <= 1.0 && agg.getDouble(3) >= 0.0,
       model.buckets.toLong))
-      .toDF("n_docs", "acc_ok", "probs_ok", "n_params")
+      .toDF("n_docs", "acc_ok", "probs_ok", "n_buckets")
   }
 }

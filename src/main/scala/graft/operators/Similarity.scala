@@ -40,10 +40,11 @@ object Similarity {
     * shape) serializes the whole scoring pass onto one task, which
     * both wastes 31 cores and maximizes exposure to slow-JIT task
     * modes (memory: bench-jit-bimodality). Only applied where per-row
-    * results are partitioning-independent (scoring heaps, probe
-    * fan-out, encodes) — never around order-sensitive double folds
-    * like the k-means sums. The shuffle moves the QUERY stream, the
-    * small side by design. */
+    * results are partitioning-independent: scoring heaps, probe
+    * fan-out, encodes, and folds whose merges are exact (the k-means
+    * sums accumulate in fixed-point integers precisely so this
+    * wrapper cannot perturb them). The shuffle moves the QUERY
+    * stream, the small side by design. */
   private[operators] def spread(df: DataFrame, key: String = "vec_id"): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 

@@ -64,15 +64,18 @@ object Sketches {
     * scan-speed `isin` filter over ≤ k strings plus a ≤ k-group count.
     * The classic way a sketch buys exactness at 100 TB. */
   def heavyHittersExact(docs: DataFrame, k: Int = 50): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val cands = heavyHitters(docs, k).select("term").as[String].collect()
     val toks = docs.select(explode(split(col("text"), " ")).as("term"))
-    val n = toks.agg(count(lit(1)).as("__n"))
-    toks.filter(col("term").isin(cands.toIndexedSeq: _*))
+    // pass 1: summary AND total in ONE aggregate — N as a separate
+    // action was a third full corpus scan for one long
+    val row = toks.agg(
+      graft.functions.HeavyHitters.summary(k)(col("term")).as("__hh"),
+      count(lit(1)).as("__n")).head()
+    val cands = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val n = row.getLong(1)
+    // pass 2: InSet-filtered recount of <= k terms, threshold inline
+    toks.filter(col("term").isin(cands: _*))
       .groupBy("term").agg(count(lit(1)).as("tf"))
-      .crossJoin(broadcast(n))
-      .filter(col("tf") * (k + 1) > col("__n"))
+      .filter(col("tf") * (k + 1) > lit(n))
       .select("term", "tf")
   }
 
@@ -92,13 +95,22 @@ object Sketches {
     * vocabulary aggregation never materializes. */
   def heavyHittersExactByGroup(docs: DataFrame, groupCol: String = "source",
                                k: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
     val toks = docs.select(col(groupCol).as("grp"),
       explode(split(col("text"), " ")).as("term"))
-    val cands = toks.groupBy("grp")
-      .agg(graft.functions.HeavyHitters.summary(k)(col("term")).as("__hh"))
-      .select(col("grp"), explode(col("__hh")).as("e"))
+    // pass 1: per-group summary AND total in ONE aggregate, then
+    // materialize the bounded (groups × k) result locally — deriving
+    // candidates and totals from the lazy plan would re-run the full
+    // corpus aggregate once per derivation (three scans, not two)
+    val c = toks.groupBy("grp").agg(
+      graft.functions.HeavyHitters.summary(k)(col("term")).as("__hh"),
+      count(lit(1)).as("__n"))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(c.collect(): _*), c.schema)
+    val cands = local.select(col("grp"), explode(col("__hh")).as("e"))
       .select(col("grp"), col("e._1").as("term"))
-    val totals = toks.groupBy("grp").agg(count(lit(1)).as("__n"))
+    val totals = local.select("grp", "__n")
+    // pass 2: recount just the (group, candidate) pairs
     toks.join(broadcast(cands), Seq("grp", "term"))
       .groupBy("grp", "term").agg(count(lit(1)).as("tf"))
       .join(broadcast(totals), "grp")

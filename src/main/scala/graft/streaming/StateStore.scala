@@ -52,14 +52,15 @@ final class StateStore(spark: SparkSession, dir: String) {
     if (!fs.exists(p)) None
     else {
       val m = new org.apache.hadoop.fs.Path(p, StateStore.CommitManifest)
-      val stamped =
+      val manifestText =
         if (fs.exists(m)) {
           val in = fs.open(m)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
           finally in.close()
         } else None
-      stamped.orElse(Some(fs.getFileStatus(p).getModificationTime))
+      Some(StateStore.resolveCommitMs(manifestText,
+        fs.getFileStatus(p).getModificationTime))
     }
   }
 
@@ -115,4 +116,14 @@ object StateStore {
     * `TIMESTAMP AS OF` resolution, so SQL text and the Scala
     * [[StateStore#readAsOf]] consult the same clock. */
   val CommitManifest = "_graft_commit"
+
+  /** THE commit clock, in one place: a stamped manifest's millis win;
+    * directory mtime is only the legacy fallback (pre-manifest
+    * stores). Both the Scala path ([[StateStore#commitTimeMs]]) and
+    * the SQL catalog path (`GraftLakeCatalog.commitMsOf`) MUST
+    * resolve through this helper — a second hand-rolled copy of the
+    * parse/fallback policy is how `TIMESTAMP AS OF` via SQL silently
+    * diverges from `readAsOf`. */
+  def resolveCommitMs(manifestText: Option[String], dirMtimeMs: => Long): Long =
+    manifestText.flatMap(_.trim.toLongOption).getOrElse(dirMtimeMs)
 }
