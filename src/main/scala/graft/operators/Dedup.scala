@@ -133,6 +133,68 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Exact thresholded Jaccard set-similarity self-join via PREFIX
+    * FILTERING (the AllPairs / PPJoin family: Bayardo et al. WWW'07
+    * "Scaling Up All Pairs Similarity Search"; Xiao et al. WWW'08) —
+    * result-identical to [[ngramJaccard]] (same (a, b, jaccard ≥ τ)
+    * rows over the same n-shingle sets; the spec pins equality and the
+    * driver oracle is the same brute-force SQL) but with the quadratic
+    * shingle self-join replaced by a pruned candidate join:
+    *
+    *  1. order each document's shingles by GLOBAL document frequency
+    *     ascending (rarest first — the canonical total order that
+    *     minimizes posting lists), rank within the doc;
+    *  2. keep only each doc's PREFIX of length |A| − ⌈τ·|A|⌉ + 1: if
+    *     J(A,B) ≥ τ then |A∩B| ≥ τ·|A| (J ≤ i/|A|), so two docs whose
+    *     prefixes under one total order are disjoint cannot reach τ —
+    *     the prefix-filter theorem;
+    *  3. self-join PREFIXES only, with the length filter
+    *     min(|A|,|B|) ≥ τ·max(|A|,|B|) (also implied by J ≥ τ) in the
+    *     join condition;
+    *  4. exact-verify the surviving candidates with the same
+    *     intersection count as [[ngramJaccard]].
+    *
+    * Why it matters at 100 TB: [[ngramJaccard]]'s self-join is
+    * quadratic in every shingle's posting list — one boilerplate
+    * shingle shared by 10⁶ docs is 10¹² join rows. Here that shingle
+    * has the HIGHEST df, so it lands in almost no prefix; join work
+    * concentrates on rare shingles with short posting lists. This is
+    * the exact-answer scale path where MinHash+LSH ([[minHashLsh]])
+    * is the approximate one — same pruning spirit, no recall loss. */
+  def setSimJoin(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleKeys(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy("s1", "s2").agg(count(lit(1)).as("df"))
+    // rank shuffles on doc_id (bounded groups: a doc's own shingle
+    // count); freq join shuffles on the 16-byte shingle key
+    val ranked = sh.join(freq, Seq("s1", "s2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s1"), col("s2"))))
+      .join(sizes, "doc_id")
+    val prefix = ranked
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("doc_id", "s1", "s2", "sz")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s1") === col("y.s1") && col("x.s2") === col("y.s2") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.sz"), col("y.sz")).cast("double") >=
+          greatest(col("x.sz"), col("y.sz")) * threshold)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val inter = cand
+      .join(sh.toDF("a", "s1", "s2"), "a")
+      .join(sh.toDF("b", "s1", "s2"), Seq("b", "s1", "s2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** MinHash signatures: for seed s, minhash_s = lexicographic min of
     * md5(s || '|' || shingle) — a valid min-wise hash family, portable
     * across engines. One explode + k min-aggregates = a single shuffle
