@@ -120,6 +120,10 @@ object SparkEntry {
       TextOps.tokenStats(t(s, dir, "documents"))),
     "q_text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents"))),
+    // Gopher rule-based filter (Rae et al. 2021 Table A1 heuristics):
+    // per-rule flags + conjunctive keep verdict.
+    "q_text_gopher" -> ((s, dir) =>
+      TextOps.gopherRules(t(s, dir, "documents"))),
     "q_text_langid" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents"))),
     "q_text_fingerprint" -> ((s, dir) =>
@@ -298,10 +302,20 @@ object SparkEntry {
       Dedup.exactNormalized(t(s, dir, "documents"))),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5)),
+    // Exact-answer scale path for the same thresholded Jaccard join:
+    // prefix-filtered AllPairs/PPJoin candidate generation instead of
+    // the full shingle self-join. Same oracle as q_dedup_ngram —
+    // result-identical by the prefix-filter theorem.
+    "q_dedup_setsim" -> ((s, dir) =>
+      Dedup.setSimJoin(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"))),
     "q_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupPipeline(t(s, dir, "documents"), threshold = 0.5)),
+    // Same components, quality-aware representative: keep the highest-
+    // TextOps.quality member per duplicate cluster (ties → smaller id).
+    "q_dedup_keepbest" -> ((s, dir) =>
+      Dedup.keepBestPipeline(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"))),
     "q_dedup_simhash_pairs" -> ((s, dir) =>
@@ -753,10 +767,49 @@ object SparkEntry {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Brute-force exact thresholded-Jaccard oracle (DuckDB), shared by
+    * q_dedup_ngram (the direct self-join) and q_dedup_setsim (the
+    * prefix-filtered AllPairs scale path — result-identical). */
+  val NgramJaccardOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+      |    ELSE [] END AS sh FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |      FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT p.a, p.b,
+      |  CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) AS jaccard
+      |FROM p JOIN sz sza ON p.a = sza.doc_id JOIN sz szb ON p.b = szb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) >= 0.5
+      |ORDER BY ALL NULLS FIRST""".stripMargin
+
   /** MinHash signatures + LSH banding candidates (DuckDB), shared by the
     * candidate-pair and composed-pipeline oracles (k=8 hashes, 4 bands
     * of 2 — Dedup.minHashLsh defaults). */
   val MinHashCandCteSql: String = minHashCandCte("documents")
+
+  /** LSH candidates → Jaccard ≥ 0.5 verify → full recursive connected
+    * components (min reachable node per src). Requires
+    * [[MinHashCandCteSql]] earlier in the same WITH RECURSIVE chain;
+    * shared by the q_dedup_pipeline and q_dedup_keepbest oracles. */
+  val PipelineCcCteSql: String =
+    """sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+      |ic AS (SELECT c.a, c.b, count(*) AS inter
+      |       FROM cand c JOIN e ea ON ea.doc_id = c.a
+      |                   JOIN e eb ON eb.doc_id = c.b AND eb.shingle = ea.shingle
+      |       GROUP BY c.a, c.b),
+      |edges AS (SELECT ic.a, ic.b
+      |          FROM ic JOIN sz sa ON sa.doc_id = ic.a JOIN sz sb ON sb.doc_id = ic.b
+      |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT u, v FROM und
+      |  UNION
+      |  SELECT r.src, e2.v FROM reach r JOIN und e2 ON e2.u = r.dst),
+      |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)""".stripMargin
 
   /** The same CTE chain over an arbitrary source relation (the composed
     * corpus-pipeline oracle restricts to the non-eval corpus). */
@@ -923,6 +976,19 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
         |  distinct_ratio * 0.5 + stopword_ratio * 0.2 + len_score * 0.3 AS quality_score
         |FROM q ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_text_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_word_len,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+        |  CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS stop_distinct
+        |FROM t)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, stop_distinct,
+        |  (n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND stop_distinct >= 2 AS keep
+        |FROM g ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_compression_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1554,21 +1620,10 @@ object SparkEntry {
         |SELECT h.doc_id, c.canonical_id, h.doc_id <> c.canonical_id AS is_dup
         |FROM h JOIN c USING (hh) ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    "q_dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
-        |    ELSE [] END AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |      FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT p.a, p.b,
-        |  CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) AS jaccard
-        |FROM p JOIN sz sza ON p.a = sza.doc_id JOIN sz szb ON p.b = szb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) >= 0.5
-        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_ngram" -> NgramJaccardOracleSql,
+    // setSimJoin is result-identical to ngramJaccard by the
+    // prefix-filter theorem — same brute-force exact oracle.
+    "q_dedup_setsim" -> NgramJaccardOracleSql,
 
     "q_dedup_minhash_lsh" ->
       s"""WITH $MinHashCandCteSql
@@ -1580,24 +1635,38 @@ object SparkEntry {
     // same fixpoint for any chain depth.
     "q_dedup_pipeline" ->
       s"""WITH RECURSIVE $MinHashCandCteSql,
-        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-        |ic AS (SELECT c.a, c.b, count(*) AS inter
-        |       FROM cand c JOIN e ea ON ea.doc_id = c.a
-        |                   JOIN e eb ON eb.doc_id = c.b AND eb.shingle = ea.shingle
-        |       GROUP BY c.a, c.b),
-        |edges AS (SELECT ic.a, ic.b
-        |          FROM ic JOIN sz sa ON sa.doc_id = ic.a JOIN sz sb ON sb.doc_id = ic.b
-        |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
-        |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
-        |reach(src, dst) AS (
-        |  SELECT u, v FROM und
-        |  UNION
-        |  SELECT r.src, e2.v FROM reach r JOIN und e2 ON e2.u = r.dst),
-        |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+        |$PipelineCcCteSql
         |SELECT d.doc_id,
         |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS canonical_id,
         |  d.doc_id <> least(d.doc_id, coalesce(mn.m, d.doc_id)) AS is_dup
         |FROM documents d LEFT JOIN mn ON mn.src = d.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Pipeline components + quality-argmax representative (row_number
+    // over (quality DESC, doc_id) = 1 per component; quality chain
+    // identical to q_text_quality's so the doubles are bit-equal).
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE $MinHashCandCteSql,
+        |$PipelineCcCteSql,
+        |comp AS (SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(mn.m, d.doc_id)) AS comp_id
+        |  FROM documents d LEFT JOIN mn ON mn.src = d.doc_id),
+        |tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |    least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score
+        |  FROM tq),
+        |qs AS (SELECT doc_id,
+        |    distinct_ratio * 0.5 + stopword_ratio * 0.2 + len_score * 0.3 AS quality_score
+        |  FROM q),
+        |best AS (SELECT comp_id, doc_id AS keep_id FROM (
+        |    SELECT c.comp_id, c.doc_id,
+        |      row_number() OVER (PARTITION BY c.comp_id
+        |        ORDER BY qs.quality_score DESC, c.doc_id) AS rn
+        |    FROM comp c JOIN qs ON qs.doc_id = c.doc_id) WHERE rn = 1)
+        |SELECT c.doc_id, b.keep_id, c.doc_id <> b.keep_id AS is_dup
+        |FROM comp c JOIN best b ON b.comp_id = c.comp_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_simhash" ->

@@ -438,6 +438,31 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
+  /** Quality-aware canonical selection: [[dedupPipeline]]'s duplicate
+    * components, but the kept representative per component is the
+    * HIGHEST-quality member ([[TextOps.quality]] score, ties to the
+    * smaller doc_id) instead of the smallest id — what production
+    * dedup actually does (keep the best copy, not an arbitrary one).
+    *
+    * Scale: adds one id-keyed equi-join and one component-keyed
+    * max-struct aggregation on top of the pipeline — both shuffles on
+    * bounded-width key columns, document bodies never move. The
+    * max(struct(score, -id)) argmax is a single partial+final agg, no
+    * window sort. */
+  def keepBestPipeline(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    val comp = dedupPipeline(docs, n, k, bands, threshold)
+      .select(col("doc_id"), col("canonical_id").as("comp_id"))
+    val q = TextOps.quality(docs).select("doc_id", "quality_score")
+    val best = comp.join(q, "doc_id")
+      .groupBy("comp_id")
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("comp_id"), (-col("b.neg")).cast("long").as("keep_id"))
+    comp.join(best, "comp_id")
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
+  }
+
   /** The SemDeDup end product: canonical assignment over the verified
     * semantic pairs — [[semanticNearDup]] edges canonicalized by
     * [[connectedComponents]] star-contraction, one representative

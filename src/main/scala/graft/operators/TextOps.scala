@@ -53,6 +53,38 @@ object TextOps {
       (distinctRatio * 0.5 + stopRatio * 0.2 + lenScore * 0.3).as("quality_score"))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1 heuristics),
+    * adapted to the space-tokenized corpus: token-count window, mean
+    * word length window, alphabetic-word fraction, and a minimum count
+    * of DISTINCT stopwords (the Gopher "contains at least 2 of a
+    * stopword list" rule). Per-doc flags plus the conjunctive `keep`
+    * verdict — each rule column kept so downstream can audit WHICH
+    * rule rejected a document (the usual ablation need).
+    *
+    * Scale: one narrow projection over the scan, no shuffle, fully
+    * codegen'd array expressions — embarrassingly parallel at any SF. */
+  def gopherRules(docs: DataFrame, minTokens: Int = 50, maxTokens: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val n = size(toks)
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (a, x) => a + x).cast("double") / n
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n
+    val stopDistinct = size(array_intersect(array_distinct(toks),
+      array(stopEn.map(lit): _*)))
+    docs.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      stopDistinct.cast("bigint").as("stop_distinct"),
+      (n.between(minTokens, maxTokens) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        alphaFrac >= minAlphaFrac &&
+        stopDistinct >= minStopHits).as("keep"))
+  }
+
   private val stopSets: Seq[(String, Seq[String])] = Seq(
     "en" -> stopEn,
     "es" -> Seq("el", "la", "de", "y", "en", "que", "los"),

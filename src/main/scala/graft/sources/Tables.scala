@@ -16,13 +16,21 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as epoch-ns
-    // long (legacy.parquet.nanosAsLong) — truncate to µs TimestampType,
-    // bit-identical to DuckDB's CAST(ts_ns AS TIMESTAMP).
-    if (table == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has shipped in two physical layouts across testdata
+    // generations: TIMESTAMP(NANOS) (Spark reads epoch-ns long via
+    // legacy.parquet.nanosAsLong — truncate to µs) and TIMESTAMP(MICROS)
+    // without UTC adjustment (Spark reads TIMESTAMP_NTZ). Normalize both
+    // to session-TZ TimestampType (UTC per build.sbt), bit-identical to
+    // DuckDB's TIMESTAMP read of the same file.
+    if (table == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every table of a scale dir as a temp view so `spark.sql`

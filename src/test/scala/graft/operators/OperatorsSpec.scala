@@ -77,6 +77,70 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("setSimJoin equals ngramJaccard: prefix filtering loses no pairs") {
+    // corpus engineered so one shingle ("the common phrase x") is shared
+    // by most docs (highest df — should land in almost no prefix) while
+    // true near-dup pairs differ by one token; plus an exact duplicate,
+    // a disjoint doc, and a too-short doc (empty shingle set).
+    val d = docs(
+      1L -> "the common phrase x alpha beta gamma delta",
+      2L -> "the common phrase x alpha beta gamma epsilon",
+      3L -> "the common phrase x alpha beta gamma delta",
+      4L -> "p q r s t u v w",
+      5L -> "too short",
+      6L -> "the common phrase x totally different tail here now ok")
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val brute = Dedup.ngramJaccard(d, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pruned = Dedup.setSimJoin(d, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == brute, s"tau=$tau")
+    }
+    // sanity: the exact-dup pair is present with jaccard 1.0 at tau=0.5
+    val at5 = Dedup.setSimJoin(d, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(at5.contains((1L, 3L, 1.0)))
+  }
+
+  test("gopher rules: each rule rejects independently; good doc kept") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the a of"
+    val short = "the a of and to tiny"                       // < minTokens
+    val longWords = (1 to 60).map(i => "w" * 12 + i).mkString(" ") + " the a" // mean len > 10
+    val numeric = (1 to 60).map(i => i.toString).mkString(" ") + " the a"    // alpha frac < 0.8
+    val noStops = (1 to 60).map(i => s"word$i").mkString(" ")                // < 2 stopwords
+    val out = TextOps.gopherRules(docs(
+      1L -> good, 2L -> short, 3L -> longWords, 4L -> numeric, 5L -> noStops))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
+
+  test("keepBest: component representative is the highest-quality member") {
+    // docs 1,2,3 are one near-dup component; 3 has the richest tail
+    // (highest distinct ratio + stopwords) so it should be kept; 4 alone
+    val d = docs(
+      1L -> "a b c d e f g h a b c d e f g h",
+      2L -> "a b c d e f g h a b c d e f g h x",
+      3L -> "a b c d e f g h the of and to in is it q r s t u v w",
+      4L -> "z1 z2 z3 z4 z5 z6 z7 z8")
+    val base = Dedup.dedupPipeline(d, threshold = 0.3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    val out = Dedup.keepBestPipeline(d, threshold = 0.3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // same component structure as dedupPipeline…
+    val comp13 = base(1L)
+    if (base(3L) == comp13) {
+      // …but the kept member maximizes quality, not minimizes id
+      val q = TextOps.quality(d).select("doc_id", "quality_score")
+        .as[(Long, Double)].collect().toMap
+      val members = base.collect { case (id, c) if c == comp13 => id }
+      val best = members.maxBy(id => (q(id), -id))
+      members.foreach { id =>
+        assert(out(id)._2 == best && out(id)._3 == (id != best))
+      }
+    }
+    assert(out(4L) == (4L, 4L, false))
+  }
+
   test("simhash: identical texts agree; hamming grows with divergence") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val out = Dedup.simHash(docs(
