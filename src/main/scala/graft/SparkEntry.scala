@@ -572,6 +572,12 @@ object SparkEntry {
       graft.operators.Sketches.heavyHittersExact(t(s, dir, "documents"))),
     "q_heavy_hitters_gate" -> ((s, dir) =>
       graft.operators.Sketches.heavyHittersGate(t(s, dir, "documents"))),
+    // Count-Min point-frequency sketch (Spark's built-in mergeable
+    // aggregate): theorem gate over a bounded md5-least probe set —
+    // never-underestimate, eps*N overestimate budget, exact stream
+    // length pinned by the oracle.
+    "q_cms_gate" -> ((s, dir) =>
+      graft.operators.Sketches.countMinGate(t(s, dir, "documents"))),
     // Grouped variant: one Misra-Gries sketch per source inside the
     // aggregate, exact recount of (source, candidate) pairs.
     "q_heavy_hitters_grouped" -> ((s, dir) =>
@@ -2024,6 +2030,16 @@ object SparkEntry {
     "q_heavy_hitters_gate" ->
       """SELECT CAST(50 AS BIGINT) AS k, true AS underestimate_ok,
         |  true AS error_ok, true AS complete_ok""".stripMargin,
+
+    // n_probes and n_tokens are exact (probe cap vs distinct-term
+    // count; total token stream length) — the gate's verdict booleans
+    // must come out true against them.
+    "q_cms_gate" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT CAST(least(200, count(DISTINCT term)) AS BIGINT) AS n_probes,
+        |  true AS lower_ok, true AS overest_ok,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM t""".stripMargin,
 
     "q_topk_customers" ->
       """SELECT * FROM (

@@ -340,6 +340,51 @@ object Sketches {
         .as("grouped_ok"))
   }
 
+  /** Count–Min sketch theorem gate (Cormode & Muthukrishnan 2005):
+    * build the sketch with Spark's built-in mergeable
+    * `count_min_sketch` aggregate (one codegen'd pass, O(w·d) state
+    * whatever the term universe), read it back through the public
+    * `org.apache.spark.util.sketch.CountMinSketch` API, and certify
+    * its guarantees against exact counts of a BOUNDED probe set:
+    *
+    *  - `lower_ok`: CMS never underestimates (est ≥ true, always);
+    *  - `overest_ok`: est ≤ true + ε·N holds with probability
+    *    ≥ `confidence` per query — violations over the probe set stay
+    *    under 3×(1−confidence)·|probes| + 1 (3× slack + integer
+    *    headroom makes a false alarm vanishingly rare while still
+    *    catching a broken sketch, which overshoots on most probes);
+    *  - `n_tokens`: the stream length N, exact (oracle-checked), so
+    *    the gate certifies the sketch saw every token.
+    *
+    * Probe set = the md5-least `probeTerms` distinct terms — a
+    * deterministic content-hash sample whose exact recount is one
+    * TakeOrdered + a ≤ probeTerms-row driver list at ANY scale factor.
+    * Driver state: the sketch itself (w·d longs, ~100 KB at the
+    * defaults) + the probe rows — bounded everywhere. */
+  def countMinGate(docs: DataFrame, eps: Double = 0.001,
+                   confidence: Double = 0.99, seed: Int = 42,
+                   probeTerms: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val row = toks.agg(
+      expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("__cms"),
+      count(lit(1)).as("__n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(row.getAs[Array[Byte]](0))
+    val n = row.getLong(1)
+    val probes = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(md5(col("term")), col("term")).limit(probeTerms)
+      .as[(String, Long)].collect()
+    val ests = probes.map { case (t, tf) => (tf, cms.estimateCount(t)) }
+    val lowerOk = ests.forall { case (tf, est) => est >= tf }
+    val viol = ests.count { case (tf, est) => est > tf + eps * n }
+    val allowed = 3.0 * (1 - confidence) * ests.length + 1
+    Seq((ests.length.toLong, lowerOk, viol <= allowed, n))
+      .toDF("n_probes", "lower_ok", "overest_ok", "n_tokens")
+  }
+
   def accuracyGate(events: DataFrame, maxExactRows: Long = 200000,
                    accuracy: Int = 1000): DataFrame = {
     val n = events.count()

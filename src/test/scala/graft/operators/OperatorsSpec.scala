@@ -102,6 +102,21 @@ class OperatorsSpec extends SparkSpec {
     assert(at5.contains((1L, 3L, 1.0)))
   }
 
+  test("count-min gate: verdicts hold and counts are exact on a known stream") {
+    val d = docs(
+      1L -> "x x x x x y y z",
+      2L -> "x y z w v u t s",
+      3L -> "a b c d e f g h")
+    val out = Sketches.countMinGate(d, probeTerms = 10)
+      .as[(Long, Boolean, Boolean, Long)].head()
+    // 16 distinct terms, probe cap 10; 24 tokens total
+    assert(out == ((10L, true, true, 24L)))
+    // uncapped probes cover the whole vocabulary
+    val full = Sketches.countMinGate(d, probeTerms = 1000)
+      .as[(Long, Boolean, Boolean, Long)].head()
+    assert(full == ((16L, true, true, 24L)))
+  }
+
   test("gopher rules: each rule rejects independently; good doc kept") {
     val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the a of"
     val short = "the a of and to tiny"                       // < minTokens
