@@ -179,6 +179,18 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.operators.Bpe.roundtripGate(d, graft.operators.Bpe.trainCached(d))
     }),
+    // Unigram-LM (SentencePiece) tokenization, the other production
+    // tokenizer family: sample-bounded EM fit + distributed Viterbi
+    // encode. Same oracle scheme as BPE — pinned sf0.01 VALUES for the
+    // encode, any-SF roundtrip/piece-bound gate.
+    "q_unigram_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Unigram.encode(d, graft.operators.Unigram.trainCached(d))
+    }),
+    "q_unigram_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Unigram.roundtripGate(d, graft.operators.Unigram.trainCached(d))
+    }),
     "q_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(t(s, dir, "documents"))),
     // Second-order fluency: corpus bigram-frequency mass — the word-
@@ -1415,6 +1427,13 @@ object SparkEntry {
     "q_bpe_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  true AS roundtrip_ok
+        |FROM documents""".stripMargin,
+
+    "q_unigram_encode" -> UnigramEncodeOracle.sql,
+
+    "q_unigram_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS roundtrip_ok, true AS piece_bound_ok
         |FROM documents""".stripMargin,
 
     // Split thresholds come from the SAME hexThreshold the operator
