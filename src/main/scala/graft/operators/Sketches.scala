@@ -350,9 +350,17 @@ object Sketches {
     *  - `lower_ok`: CMS never underestimates (est ≥ true, always);
     *  - `overest_ok`: est ≤ true + ε·N holds with probability
     *    ≥ `confidence` per query — violations over the probe set stay
-    *    under 3×(1−confidence)·|probes| + 1 (3× slack + integer
-    *    headroom makes a false alarm vanishingly rare while still
-    *    catching a broken sketch, which overshoots on most probes);
+    *    under 3×(1−confidence)·|probes| + 1. NOTE this budget is a
+    *    HEURISTIC, not a probability bound: every probe queries the
+    *    same sketch through the same d hash rows, so violations are
+    *    positively correlated (one heavy colliding term inflates many
+    *    probes at once) and the binomial tail the 3× slack is sized
+    *    against does not strictly apply. A correct sketch can
+    *    therefore — rarely — fail this gate (a flaky verdict, never
+    *    wrong data); a broken sketch overshoots on most probes and is
+    *    still caught. The exact-bound alternative (per-probe Markov
+    *    across the d rows jointly) needs the row-wise counters, which
+    *    the public `CountMinSketch` API does not expose;
     *  - `n_tokens`: the stream length N, exact (oracle-checked), so
     *    the gate certifies the sketch saw every token.
     *

@@ -105,7 +105,11 @@ object Unigram {
         probs = emStep(words, vocab, probs, maxPieceLen)
         it += 1
       }
-      if (vocab.length <= vocabSize) done = true
+      // Single chars are mandatory, so `vocabSize` below chars.size is
+      // unreachable — the prune step can only drop multi-char pieces.
+      // Terminate once nothing prunable remains (chars-only vocabulary)
+      // rather than looping EM forever against an impossible target.
+      if (vocab.length <= math.max(vocabSize, chars.size)) done = true
       else {
         // prune: keep all single chars + the highest-mass multis;
         // shrink at most 25% per round (the SentencePiece schedule)
@@ -125,23 +129,40 @@ object Unigram {
   }
 
   /** One EM pass: expected piece counts by forward–backward over each
-    * word's segmentation lattice, weighted by word frequency. */
+    * word's segmentation lattice, weighted by word frequency. Runs in
+    * LOG space (log-sum-exp per position): linear-space alpha products
+    * underflow to 0.0 for chunks near [[Bpe.MaxWordLen]] built from
+    * low-probability pieces, silently dropping those words from the
+    * counts; log space keeps every reachable word contributing. */
   private def emStep(words: Array[(String, Long)], vocab: Array[String],
                      probs: Map[String, Double], maxPieceLen: Int): Map[String, Double] = {
     val inVocab = vocab.toSet
+    val logp: Map[String, Double] =
+      probs.iterator.filter(_._2 > 0.0)
+        .map { case (s, p) => s -> math.log(p) }.toMap
+    val NegInf = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b
+      else if (b == NegInf) a
+      else if (a >= b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
     val counts = scala.collection.mutable.HashMap.empty[String, Double]
     words.foreach { case (w, n) =>
       val L = w.length
       val alpha = new Array[Double](L + 1)
       val beta = new Array[Double](L + 1)
-      alpha(0) = 1.0; beta(L) = 1.0
+      java.util.Arrays.fill(alpha, NegInf)
+      java.util.Arrays.fill(beta, NegInf)
+      alpha(0) = 0.0; beta(L) = 0.0
       var i = 1
       while (i <= L) {
-        var s = 0.0
+        var s = NegInf
         var l = 1
         while (l <= maxPieceLen && l <= i) {
           val piece = w.substring(i - l, i)
-          if (inVocab(piece)) s += alpha(i - l) * probs.getOrElse(piece, 0.0)
+          if (inVocab(piece)) logp.get(piece).foreach { lp =>
+            if (alpha(i - l) != NegInf) s = lse(s, alpha(i - l) + lp)
+          }
           l += 1
         }
         alpha(i) = s
@@ -149,26 +170,30 @@ object Unigram {
       }
       i = L - 1
       while (i >= 0) {
-        var s = 0.0
+        var s = NegInf
         var l = 1
         while (l <= maxPieceLen && i + l <= L) {
           val piece = w.substring(i, i + l)
-          if (inVocab(piece)) s += probs.getOrElse(piece, 0.0) * beta(i + l)
+          if (inVocab(piece)) logp.get(piece).foreach { lp =>
+            if (beta(i + l) != NegInf) s = lse(s, lp + beta(i + l))
+          }
           l += 1
         }
         beta(i) = s
         i -= 1
       }
-      val z = alpha(L)
-      if (z > 0) {
+      val logZ = alpha(L)
+      if (logZ != NegInf) {
         var j = 0
         while (j < L) {
           var l = 1
           while (l <= maxPieceLen && j + l <= L) {
             val piece = w.substring(j, j + l)
-            if (inVocab(piece)) {
-              val mass = alpha(j) * probs.getOrElse(piece, 0.0) * beta(j + l) / z
-              if (mass > 0) counts(piece) = counts.getOrElse(piece, 0.0) + n * mass
+            if (inVocab(piece) && alpha(j) != NegInf && beta(j + l) != NegInf) {
+              logp.get(piece).foreach { lp =>
+                val mass = math.exp(alpha(j) + lp + beta(j + l) - logZ)
+                if (mass > 0) counts(piece) = counts.getOrElse(piece, 0.0) + n * mass
+              }
             }
             l += 1
           }

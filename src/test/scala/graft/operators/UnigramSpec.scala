@@ -51,6 +51,31 @@ class UnigramSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-6, s"prob mass $mass")
   }
 
+  test("train terminates when vocabSize is below the distinct char count") {
+    // 14 distinct chars (s,p,a,r,k,f,i,l,t,e,m,g,o,w…) but vocabSize=5:
+    // the prune step can only drop multi-char pieces, so the loop must
+    // exit at the chars-only vocabulary instead of spinning EM forever.
+    val d = docs(1L -> "spark filter merge sort window 0189")
+    val m = Unigram.train(d, vocabSize = 5, maxPieceLen = 4)
+    assert(m.logp.keys.forall(_.length >= 1))
+    assert(m.logp.keys.count(_.length == 1) > 5, "chars must survive")
+    // and the model still encodes losslessly via those chars
+    assert(Unigram.encodeWord("spark", m).mkString("") == "spark")
+  }
+
+  test("log-space EM keeps long low-probability chunks contributing") {
+    // A 64-char word of one rare char: linear-space alpha underflows
+    // (p^64 for small p), log space must still fit a piece for it.
+    val w = "z" * 64
+    val d = docs(1L -> s"$w $w a a a a a a a a")
+    val m = Unigram.train(d, vocabSize = 30, maxPieceLen = 4, emIters = 3)
+    // z-pieces carry real fitted mass (not just the seed estimate):
+    // some multi-z piece must survive with non-trivial probability.
+    val zMass = m.logp.collect { case (s, lp) if s.forall(_ == 'z') => math.exp(lp) }.sum
+    assert(zMass > 0.01, s"z pieces got mass $zMass")
+    assert(Unigram.encodeWord(w, m).mkString("") == w)
+  }
+
   test("roundtrip gate holds over a mixed corpus, encode digests agree") {
     val d = docs(
       1L -> "spark filter merge sort window",
