@@ -82,51 +82,78 @@ object Similarity {
     * answer. */
   def bruteForceTopKFor(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                         blockRows: Int = 100000): DataFrame = {
+    val partials = blockedScan(queries, corpus, blockRows) { (qid, q, cand) =>
+      // bounded heap per query over this candidate block
+      val top = new scala.collection.mutable.ArrayBuffer[(Long, Double)](k)
+      var worst = 0
+      var i = 0
+      while (i < cand.length) {
+        val (cid, c) = cand(i)
+        if (cid != qid) {
+          var s = 0.0
+          var j = 0
+          while (j < q.length) { s += q(j) * c(j); j += 1 }
+          if (top.size < k) {
+            top += ((cid, s))
+            if (top.size == k) {
+              worst = top.indices.minBy(ix => (top(ix)._2, -top(ix)._1))
+            }
+          } else if (s > top(worst)._2 ||
+              (s == top(worst)._2 && cid < top(worst)._1)) {
+            top(worst) = ((cid, s))
+            worst = top.indices.minBy(ix => (top(ix)._2, -top(ix)._1))
+          }
+        }
+        i += 1
+      }
+      top.iterator.map(t => (qid, t._1, t._2))
+    }
+    rankTopK(partials.toDF("query_id", "neighbor_id", "score"), k)
+  }
+
+  /** Shared block-broadcast matrix-scan loop: the corpus rides
+    * ≤`blockRows` in-memory broadcasts, queries stay partitioned, and
+    * `perQuery` folds one query vector against one block into its
+    * partial rows. Each block's partial is EAGERLY materialized
+    * (`localCheckpoint` — executor-local storage, lineage cut) and the
+    * block's broadcast destroyed before the next block is collected:
+    * net broadcast residency is ONE block whatever the corpus size, so
+    * a census session running hundreds of scan queries accumulates no
+    * broadcast blocks (previously each ~50 MB corpus block lived until
+    * an eventual GC noticed it — r7's cross-query session-state
+    * suspect). The corpus and the repartitioned query stream persist
+    * across the block loop (one parquet scan + one shuffle total, not
+    * one per block); both release before return. Lineage-cut partials
+    * trade recompute-on-executor-loss for the destroyed broadcast —
+    * the right trade, since a destroyed broadcast makes recompute
+    * impossible anyway, and partials are bounded (Q·k or the match
+    * set) while blocks are not. */
+  private def blockedScan(queries: DataFrame, corpus: DataFrame, blockRows: Int)(
+      perQuery: (Long, Array[Double], Array[(Long, Array[Double])]) => Iterator[(Long, Long, Double)])
+      : DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qvecs = spread(queries).select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])]
+      .as[(Long, Array[Double])].persist()
     val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])]
-    val n = vecs.count()
-    // ≥ 1 block always, so the partial-union reduce below is total
-    // (the old grouped() path produced ZERO blocks on empty input and
-    // reduce threw)
-    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
-    val partials = (0 until nBlocks).iterator.map { b =>
-      val block = vecs.filter(pmod(xxhash64(col("vec_id")), lit(nBlocks)) === b).collect()
-      val bc = spark.sparkContext.broadcast(block)
-      qvecs.mapPartitions { it =>
-        val cand = bc.value
-        it.map { case (qid, q) =>
-          // bounded heap per query over this candidate block
-          val top = new scala.collection.mutable.ArrayBuffer[(Long, Double)](k)
-          var worst = 0
-          var i = 0
-          while (i < cand.length) {
-            val (cid, c) = cand(i)
-            if (cid != qid) {
-              var s = 0.0
-              var j = 0
-              while (j < q.length) { s += q(j) * c(j); j += 1 }
-              if (top.size < k) {
-                top += ((cid, s))
-                if (top.size == k) {
-                  worst = top.indices.minBy(ix => (top(ix)._2, -top(ix)._1))
-                }
-              } else if (s > top(worst)._2 ||
-                  (s == top(worst)._2 && cid < top(worst)._1)) {
-                top(worst) = ((cid, s))
-                worst = top.indices.minBy(ix => (top(ix)._2, -top(ix)._1))
-              }
-            }
-            i += 1
-          }
-          (qid, top.toSeq)
-        }
-      }.flatMap { case (qid, tops) => tops.map(t => (qid, t._1, t._2)) }
-    }.reduce(_ union _)
-    rankTopK(partials.toDF("query_id", "neighbor_id", "score"), k)
+      .as[(Long, Array[Double])].persist()
+    try {
+      val n = vecs.count()
+      // ≥ 1 block always, so the partial-union reduce below is total
+      // (the old grouped() path produced ZERO blocks on empty input and
+      // reduce threw)
+      val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+      (0 until nBlocks).iterator.map { b =>
+        val block = vecs.filter(pmod(xxhash64(col("vec_id")), lit(nBlocks)) === b).collect()
+        val bc = spark.sparkContext.broadcast(block)
+        try {
+          qvecs.mapPartitions { it =>
+            val cand = bc.value
+            it.flatMap { case (qid, q) => perQuery(qid, q, cand) }
+          }.toDF("query_id", "cand_id", "score").localCheckpoint(true)
+        } finally bc.destroy()
+      }.reduce(_ union _)
+    } finally { qvecs.unpersist(); vecs.unpersist(); () }
   }
 
   /** Exact all-pairs-above-threshold scan: every (query, corpus) pair
@@ -137,35 +164,18 @@ object Similarity {
     * bounded heap. O(Q·N) compute: the exact reference / verify stage
     * for the LSH-candidate near-dup path, not the 100 TB scan plan. */
   private[operators] def thresholdPairsFor(queries: DataFrame, corpus: DataFrame,
-      threshold: Double, blockRows: Int = 100000): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val qvecs = spread(queries).select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])]
-    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])]
-    val n = vecs.count()
-    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
-    val partials = (0 until nBlocks).iterator.map { b =>
-      val block = vecs.filter(pmod(xxhash64(col("vec_id")), lit(nBlocks)) === b).collect()
-      val bc = spark.sparkContext.broadcast(block)
-      qvecs.mapPartitions { it =>
-        val cand = bc.value
-        it.flatMap { case (qid, q) =>
-          cand.iterator.flatMap { case (cid, c) =>
-            if (cid == qid) None
-            else {
-              var s = 0.0
-              var j = 0
-              while (j < q.length) { s += q(j) * c(j); j += 1 }
-              if (s >= threshold) Some((qid, cid, s)) else None
-            }
-          }
+      threshold: Double, blockRows: Int = 100000): DataFrame =
+    blockedScan(queries, corpus, blockRows) { (qid, q, cand) =>
+      cand.iterator.flatMap { case (cid, c) =>
+        if (cid == qid) None
+        else {
+          var s = 0.0
+          var j = 0
+          while (j < q.length) { s += q(j) * c(j); j += 1 }
+          if (s >= threshold) Some((qid, cid, s)) else None
         }
       }
-    }.reduce(_ union _)
-    partials.toDF("query_id", "cand_id", "score")
-  }
+    }
 
   /** Join-based exact top-k (reference formulation; see
     * [[bruteForceTopK]] for why the blocked scan replaced it). */
