@@ -468,15 +468,29 @@ object SparkEntry {
     // the double vectors), ADC candidate scoring, exact refine of the
     // top 6k by id-fetch. Approximate by design → rows-only entry plus
     // the same sampled recall gate as the other ANN paths.
+    // The engaged label runs at the AUTO-TUNED operating point
+    // (tunedProbes: smallest probe-ladder rung meeting the 0.9 recall
+    // bar on a tuning-salted sample) instead of the blind 60%-of-lists
+    // default — the r7 weak mark; the gate below certifies the same
+    // tuned point on its own independent sample.
     "q_ann_ivfpq" -> ((s, dir) =>
-      graft.operators.PqIndex.topK(t(s, dir, "embeddings"), k = 5)
+      graft.operators.PqIndex.topKTuned(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    // Break-even-guarded IVF-PQ entry (the IvfIndex.adaptiveTopK
+    // mirror, finishing the adaptive family): default probes sit past
+    // the 0.25 break-even → the exact blocked scan runs, making this
+    // the user entry with a full SQL oracle, exactly like
+    // q_ann_ivf_adaptive.
+    "q_ann_ivfpq_adaptive" -> ((s, dir) =>
+      graft.operators.PqIndex.adaptiveTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
     "q_ann_ivfpq_recall" -> ((s, dir) =>
       Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
         (q, c) => {
           val idx = graft.operators.PqIndex.build(c)
           try {
-            val out = graft.operators.PqIndex.query(idx, q, c, k = 5)
+            val np = graft.operators.PqIndex.tunedProbes(idx, c, k = 5)
+            val out = graft.operators.PqIndex.query(idx, q, c, k = 5, probes = np)
             s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
           } finally idx.close()
         })),
@@ -1820,6 +1834,9 @@ object SparkEntry {
     // gates, which drive it directly.
     "q_ann_lsh_adaptive" -> AnnExactTop5Sql,
     "q_ann_ivf_adaptive" -> AnnExactTop5Sql,
+    // q_ann_ivfpq_adaptive: same argument — default probes (60% of
+    // lists) ≥ the 0.25 break-even unconditionally → exact scan.
+    "q_ann_ivfpq_adaptive" -> AnnExactTop5Sql,
     // q_ann_ivf_probe: no oracle by design — the engaged index path is
     // approximate (recall ≥0.9 certified by q_ann_ivf_recall).
 

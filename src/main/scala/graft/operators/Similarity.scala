@@ -327,6 +327,30 @@ object Similarity {
       .select("query_id", "label", "predicted_label", "votes")
   }
 
+  /** All DIRECTED near pairs at `threshold`, behind the same
+    * break-even guard as [[Dedup.adaptiveNearDup]]: probe the corpus's
+    * bucket-collision mass ([[lshCandidateFraction]]) and run the LSH
+    * candidate path only where it prunes — below break-even (weakly
+    * clustered corpus / low threshold, where candidates ≈ all pairs
+    * and the bucket join + distinct + id-fetch would cost MORE than
+    * the flat scan) the exact blocked scan [[thresholdPairsFor]] runs
+    * instead. The LSH branch symmetrizes [[Dedup.embeddingNearDup]]'s
+    * canonical (a < b) pairs into both directions; scores are the same
+    * sequential-fold dot on both branches, so in the LSH path's
+    * recall-1 regime (tight clusters, high threshold — spec-pinned)
+    * the two branches are row-identical. */
+  def adaptiveDirectedPairs(embeddings: DataFrame, threshold: Double,
+                            tables: Int = 24, planes: Int = 3,
+                            maxCandidateFraction: Double = 0.25): DataFrame =
+    if (lshCandidateFraction(embeddings, tables, planes) >= maxCandidateFraction)
+      thresholdPairsFor(embeddings, embeddings, threshold)
+    else {
+      val canon = Dedup.embeddingNearDup(embeddings, threshold, tables, planes)
+      canon.select(col("a").as("query_id"), col("b").as("cand_id"), col("score"))
+        .union(canon.select(col("b").as("query_id"), col("a").as("cand_id"),
+          col("score")))
+    }
+
   /** Contrastive (anchor, positive, negative) triplet mining — the
     * training-pair builder for embedding-model fine-tuning (SimCSE/
     * sentence-transformers style): every directed near pair at
@@ -340,14 +364,20 @@ object Similarity {
     * draw is reshuffle-proof (pure function of the id pair, like the
     * train/val/test split). Anchors with no sub-threshold sample
     * vector (pathological: the whole sample is near them) drop out.
-    * Positives reuse [[thresholdPairsFor]], the exact reference stage;
-    * at full scale swap the LSH/semantic candidate paths in for the
-    * positive side — the negative machinery is unchanged. */
+    * Positives come from [[adaptiveDirectedPairs]]: the LSH candidate
+    * path where the corpus's collision mass says it prunes, the exact
+    * blocked scan below its break-even (the wired τ=0.4 corpus's
+    * regime) — so the operator's wired plan is no longer quadratic in
+    * the corpus wherever pruning is possible, and the negative
+    * machinery is unchanged either way. */
   def contrastiveTriplets(embeddings: DataFrame, threshold: Double = 0.4,
-                          sampleN: Int = 200): DataFrame = {
+                          sampleN: Int = 200,
+                          tables: Int = 24, planes: Int = 3,
+                          maxCandidateFraction: Double = 0.25): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val pos = thresholdPairsFor(embeddings, embeddings, threshold)
+    val pos = adaptiveDirectedPairs(embeddings, threshold, tables, planes,
+        maxCandidateFraction)
       .toDF("anchor", "positive", "pos_score")
     val sample = embeddings
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleN)

@@ -132,6 +132,56 @@ class PqIndexSpec extends SparkSpec {
     } finally { pq.close(); pq2.close() }
   }
 
+  test("tunedProbes finds a cheap operating point on a clustered corpus") {
+    import spark.implicits._
+    // tight orthogonal-axis clusters: a query's true neighbors live in
+    // its own coarse list, so 1-2 probes of 10 already meet the bar —
+    // the regime where the blind 60% default wastes ~0.5 corpus of ADC
+    val clustered = (0 until 300).map { i =>
+      val v = Array.fill(16)(0.0)
+      v(i % 10) = 1.0
+      v(10 + i % 6) = 0.05 * (i % 3)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val index = PqIndex.build(clustered, nClusters = 10)
+    try {
+      val np = PqIndex.tunedProbes(index, clustered, k = 5, bar = 0.9,
+        sampleQueries = 60)
+      assert(np < math.ceil(10 * 0.6),
+        s"tuning should beat the 60% default on tight clusters, got $np")
+      // independent full-corpus certification of the tuned point
+      val got = PqIndex.query(index, clustered, clustered, k = 5, probes = np)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceTopK(clustered, k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (got & exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"tuned point recall $recall below bar")
+    } finally index.close()
+  }
+
+  test("adaptive IVF-PQ entry falls back to the exact scan past break-even") {
+    import spark.implicits._
+    val vs = (0 until 40).map { i =>
+      val v = Array.tabulate(16)(j => math.sin(i * 16 + j + 1).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    // default probes (60% of lists) ≥ the 0.25 break-even → bit-for-bit
+    // the exact blocked-scan result, without paying an index build
+    val adaptive = PqIndex.adaptiveTopK(vs, k = 3)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val exact = Similarity.bruteForceTopK(vs, k = 3)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(adaptive == exact)
+    // explicit low probe fraction (2 of 10 lists < 0.25) keeps the
+    // engaged path: every query covered, k rows each
+    val indexed = PqIndex.adaptiveTopK(vs, k = 3, nClusters = 10, probes = 2)
+    assert(indexed.select("query_id").distinct().count() == 40)
+  }
+
   test("packed 64-bit encoding is deterministic and self-consistent") {
     val pq = PqIndex.fitPq(Tables.load(spark, dir, "embeddings"))
     assert(pq.m == 16 && pq.ksub == 16 && pq.dsub == 4)

@@ -101,6 +101,30 @@ class SkewIvfSpec extends SparkSpec {
     assert(adaptive == exact)
   }
 
+  test("contrastive positives: candidate path engages in the pruning regime and matches exact") {
+    // tight orthogonal-axis clusters: in-cluster dots ≈ 0.99, cross ≈ 0
+    // — the regime where LSH prunes (fraction < 0.25) AND its recall
+    // is 1 (miss prob ~1e-12 at 40x16 for θ≈8°), so the candidate
+    // branch must reproduce the exact blocked scan row-for-row.
+    val clustered = (0 until 300).map { i =>
+      val v = Array.fill(16)(0.0)
+      v(i % 10) = 1.0
+      v(10 + i % 6) = 0.05 * (i % 3)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    // same probe call the operator makes -> guarantees branch choice
+    val frac = Similarity.lshCandidateFraction(clustered, tables = 40, planes = 16)
+    assert(frac < 0.25, s"fixture must be in the pruning regime, got $frac")
+    val cand = Similarity.adaptiveDirectedPairs(clustered, threshold = 0.9,
+        tables = 40, planes = 16)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val exact = Similarity.thresholdPairsFor(clustered, clustered, threshold = 0.9)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(cand.nonEmpty && cand == exact,
+      s"candidate path diverged: ${cand.length} vs ${exact.length} rows")
+  }
+
   test("fitCached keys on the file inventory: hits, re-keys on rewrite, bypasses in-memory") {
     def vecs(seed: Int, n: Int) = {
       val rnd = new scala.util.Random(seed)
