@@ -1799,8 +1799,12 @@ object SparkEntry {
         |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS mix_weight
         |FROM g, t ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    // q_dedup_semantic: approximate by design (cluster blocking), no
-    // SQL oracle — rows-only; its gate pins the pair-recall verdict.
+    // q_dedup_semantic / _canon: pinned VALUES oracles (the
+    // BpeEncodeOracle scheme) — at sf0.01 the gate measures pair
+    // recall 1.00 and every stage is deterministic, so the rows are a
+    // constant; the gate keeps certifying recall at other SFs.
+    "q_dedup_semantic" -> SemanticOracle.pairsSql,
+    "q_dedup_semantic_canon" -> SemanticOracle.canonSql,
     "q_dedup_semantic_gate" ->
       """SELECT least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
