@@ -153,17 +153,67 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         .toSeq.sorted
     }
 
+  /** Rename/drop evolution sidecar next to the schema sidecar:
+    * `renames` maps each RENAMED column's current logical name to its
+    * physical (in-file) name — the role Iceberg field-ids play;
+    * `dropped` lists physical names retired by DROP COLUMN, so a later
+    * ADD COLUMN of the same name allocates a FRESH physical slot
+    * instead of resurrecting the dropped column's file data. */
+  private val MappingSidecar = "_graft_mapping.json"
+
+  private case class Evolution(renames: Map[String, String], dropped: Seq[String]) {
+    def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty
+  }
+
+  private def readEvolution(p: Path): Evolution = {
+    val f = p.resolve(MappingSidecar)
+    if (!Files.isDirectory(p) || !Files.exists(f)) Evolution(Map.empty, Nil)
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(Files.readString(f))
+      val renames = Option(node.get("renames")).map { r =>
+        r.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
+      val dropped = Option(node.get("dropped"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      Evolution(renames, dropped)
+    }
+  }
+
+  private def writeEvolution(p: Path, evo: Evolution): Unit = {
+    val f = p.resolve(MappingSidecar)
+    if (evo.isEmpty) { Files.deleteIfExists(f); () }
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.createObjectNode()
+      val rn = root.putObject("renames")
+      evo.renames.toSeq.sortBy(_._1).foreach { case (l, ph) => rn.put(l, ph) }
+      val dr = root.putArray("dropped")
+      evo.dropped.foreach(dr.add)
+      Files.writeString(f, om.writeValueAsString(root)); ()
+    }
+  }
+
   private def parquetTable(ident: Identifier, dataPath: Path,
-                           schema: Option[org.apache.spark.sql.types.StructType]): Table =
-    ParquetTable(ident.toString, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), Seq(dataPath.toString), schema,
+                           schema: Option[org.apache.spark.sql.types.StructType],
+                           evo: Evolution): Table = {
+    // the inner table reads/writes PHYSICAL names; renamed columns
+    // translate at the V2 boundary (MappedTable) so immutable files
+    // stay valid under any rename history
+    val physSchema = schema.map(s => org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = evo.renames.getOrElse(f.name, f.name)))))
+    val inner = ParquetTable(ident.toString, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(dataPath.toString), physSchema,
       classOf[ParquetFileFormat])
+    if (evo.renames.isEmpty) inner
+    else new MappedTable(inner, schema.get, evo.renames)
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
     val data = versionsOf(p).lastOption.fold(p)(v => p.resolve(s"v=$v"))
-    parquetTable(ident, data, declaredSchema(p))
+    parquetTable(ident, data, declaredSchema(p), readEvolution(p))
   }
 
   /** SQL-text time travel, version form: `SELECT … FROM cat.db.t
@@ -182,7 +232,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     if (!vs.contains(v)) throw new IllegalArgumentException(
       s"$catalogName: ${ident.toString} has no snapshot v=$v " +
         s"(committed: ${vs.mkString(",")} — older snapshots may have been expired)")
-    parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p))
+    parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p), readEvolution(p))
   }
 
   /** Commit wall-clock of a snapshot: the explicit epoch-ms stamp the
@@ -217,7 +267,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(throw new IllegalArgumentException(
         s"$catalogName: ${ident.toString} has no snapshot at or before " +
           s"timestamp ${tsMs}ms (earliest commit: ${commitMsOf(p, vs.head)}ms)"))
-    parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p))
+    parquetTable(ident, p.resolve(s"v=$v"), declaredSchema(p), readEvolution(p))
   }
 
   /** CREATE TABLE / CTAS: the table is a (initially empty) parquet
@@ -266,43 +316,108 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     Files.move(from, tablePath(newIdent)); ()
   }
 
-  /** Additive schema evolution only: `ALTER TABLE … ADD COLUMN` rewrites
-    * the table's declared read schema (the sidecar); existing parquet
-    * files are untouched and read the new column as NULL (merge-on-read,
-    * the same read-side semantics `RecoverySpec` pins for evolved
-    * snapshots). Everything else — renames, drops, type changes,
-    * property changes — stays an explicit unsupported error: those
-    * require rewriting data files, which the lake layout declares
-    * immutable. */
+  /** Metadata-only schema evolution — ADD / RENAME / DROP COLUMN — over
+    * IMMUTABLE data files (merge-on-read, the Paimon/Iceberg read-side
+    * contract the reference's lake tier exposes):
+    *
+    *  - ADD COLUMN rewrites the declared read schema; existing files
+    *    read the new column as NULL. Re-adding a name retired by an
+    *    earlier DROP allocates a FRESH physical slot (`name__<k>`), so
+    *    the dropped column's file data can never resurface.
+    *  - RENAME COLUMN is pure metadata: the sidecar mapping records
+    *    logical→physical ([[MappedTable]] translates pruning, filter
+    *    pushdown, read schema, and writes), so every pre-evolution
+    *    snapshot — including `VERSION/TIMESTAMP AS OF` reads — resolves
+    *    under the NEW name with its data intact.
+    *  - DROP COLUMN removes the field from the declared schema and
+    *    retires its physical slot; files keep the bytes, readers never
+    *    see them.
+    *
+    * Type changes and property changes stay explicit unsupported
+    * errors: a type change requires rewriting data files (or a cast
+    * layer the plain parquet reader does not give us), which the lake
+    * layout declares immutable. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
     if (!Files.isDirectory(p))
       throw new UnsupportedOperationException(
         s"$catalogName: single-file tables cannot carry a schema sidecar; " +
-          "only directory tables support ADD COLUMN")
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
+          "only directory tables support schema evolution")
+    var schema = declaredSchema(p).getOrElse(
+      loadTable(ident) match {
+        case pt: ParquetTable => pt.schema
+        case t => t.schema()
+      })
+    var evo = readEvolution(p)
+    // every physical name in use or retired — fresh-slot allocation
+    // must dodge all of them
+    def physInUse: Set[String] =
+      schema.fields.map(f => evo.renames.getOrElse(f.name, f.name)).toSet ++
+        evo.dropped
+    def freshPhys(name: String): String =
+      Iterator.from(2).map(k => s"${name}__$k").find(!physInUse(_)).get
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: nested ADD COLUMN is not supported")
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            s"$catalogName: added columns must be nullable " +
+              "(pre-evolution rows read as NULL)")
+        val name = a.fieldNames.head
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"$catalogName: column $name already exists")
+        // a retired or occupied physical slot of the same name would
+        // resurrect dropped file data — allocate a fresh slot
+        if (physInUse.exists(_.equalsIgnoreCase(name)))
+          evo = evo.copy(renames = evo.renames + (name -> freshPhys(name)))
+        schema = schema.add(name, a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: nested RENAME COLUMN is not supported")
+        val old = r.fieldNames.head
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(old))
+        if (idx < 0) throw new IllegalArgumentException(
+          s"$catalogName: no such column $old")
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(r.newName)))
+          throw new IllegalArgumentException(
+            s"$catalogName: column ${r.newName} already exists")
+        val actual = schema.fieldNames(idx)
+        val phys = evo.renames.getOrElse(actual, actual)
+        val renames = evo.renames - actual
+        evo = evo.copy(renames =
+          if (phys == r.newName) renames else renames + (r.newName -> phys))
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.updated(idx, schema.fields(idx).copy(name = r.newName)))
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: nested DROP COLUMN is not supported")
+        val name = d.fieldNames.head
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        if (idx < 0) {
+          if (!d.ifExists) throw new IllegalArgumentException(
+            s"$catalogName: no such column $name")
+        } else {
+          if (schema.fields.length == 1)
+            throw new IllegalArgumentException(
+              s"$catalogName: cannot drop the last column of ${ident.toString}")
+          val actual = schema.fieldNames(idx)
+          val phys = evo.renames.getOrElse(actual, actual)
+          evo = Evolution(evo.renames - actual, evo.dropped :+ phys)
+          schema = org.apache.spark.sql.types.StructType(
+            schema.fields.patch(idx, Nil, 1))
+        }
       case other => throw new UnsupportedOperationException(
-        s"$catalogName: only additive ADD COLUMN evolution is supported " +
+        s"$catalogName: only ADD/RENAME/DROP COLUMN evolution is supported " +
           s"(got ${other.getClass.getSimpleName}; data files are immutable)")
     }
-    val current = declaredSchema(p).getOrElse(
-      loadTable(ident).asInstanceOf[ParquetTable].schema)
-    val evolved = adds.foldLeft(current) { (s, a) =>
-      if (a.fieldNames.length != 1)
-        throw new UnsupportedOperationException(
-          s"$catalogName: nested ADD COLUMN is not supported")
-      if (!a.isNullable)
-        throw new UnsupportedOperationException(
-          s"$catalogName: added columns must be nullable " +
-            "(pre-evolution rows read as NULL)")
-      if (s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)))
-        throw new IllegalArgumentException(
-          s"$catalogName: column ${a.fieldNames.head} already exists")
-      s.add(a.fieldNames.head, a.dataType, nullable = true)
-    }
-    Files.writeString(p.resolve(SchemaSidecar), evolved.json)
+    Files.writeString(p.resolve(SchemaSidecar), schema.json)
+    writeEvolution(p, evo)
     loadTable(ident)
   }
 }

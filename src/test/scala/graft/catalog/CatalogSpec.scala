@@ -99,16 +99,105 @@ class CatalogSpec extends SparkSpec {
           Option(r.getString(2)))).sortBy(_._1).toSeq
       assert(rows == Seq((1L, "ada", None), (2L, "lin", None),
         (3L, "bob", Some("gold"))))
-      // non-additive evolution stays an explicit error
+      // type changes stay an explicit error (data files are immutable)
       val e = intercept[Exception] {
-        spark.sql("ALTER TABLE lakee.mart.users DROP COLUMN tier")
+        spark.sql("ALTER TABLE lakee.mart.users ALTER COLUMN id TYPE STRING")
       }
-      assert(e.getMessage.contains("ADD COLUMN") ||
-        e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+      assert(e.getMessage.toLowerCase.contains("unsupported") ||
+        e.getMessage.contains("ADD/RENAME/DROP"), e.getMessage)
       spark.sql("DROP TABLE lakee.mart.users")
     } finally {
       spark.conf.unset("spark.sql.catalog.lakee")
       spark.conf.unset("spark.sql.catalog.lakee.path")
+    }
+  }
+
+  test("RENAME/DROP COLUMN: merge-on-read metadata evolution over immutable files") {
+    val lake = Files.createTempDirectory("graft-lake-rn")
+    Files.createDirectories(lake.resolve("mart"))
+    spark.conf.set("spark.sql.catalog.laker", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.laker.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE laker.mart.docs (id BIGINT, body STRING, score BIGINT)")
+      spark.sql("INSERT INTO laker.mart.docs VALUES (1, 'alpha', 10), (2, 'beta', 20)")
+
+      // rename: pure metadata — pre-evolution files keep column `body`,
+      // reads resolve it under the new name with data intact
+      spark.sql("ALTER TABLE laker.mart.docs RENAME COLUMN body TO content")
+      assert(spark.table("laker.mart.docs").columns.toSeq ==
+        Seq("id", "content", "score"))
+      val afterRename = spark.table("laker.mart.docs")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(afterRename == Seq((1L, "alpha", 10L), (2L, "beta", 20L)))
+      // filter + projection on the renamed column still push to the scan
+      // (translated to the physical name at the V2 boundary)
+      val q = spark.sql(
+        "SELECT id FROM laker.mart.docs WHERE content = 'beta'")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("body"), s"physical pushdown missing:\n$plan")
+
+      // writes after the rename land PHYSICAL names — the file dialect
+      // stays homogeneous, so old and new files read identically
+      spark.sql("INSERT INTO laker.mart.docs VALUES (3, 'gamma', 30)")
+      assert(spark.read.parquet(lake.resolve("mart/docs.parquet").toString)
+        .columns.contains("body"), "post-rename write forked the file dialect")
+      assert(spark.table("laker.mart.docs").count() == 3)
+      assert(spark.sql(
+        "SELECT content FROM laker.mart.docs WHERE id = 3").head().getString(0)
+        == "gamma")
+
+      // drop: the column disappears; files keep the bytes unread
+      spark.sql("ALTER TABLE laker.mart.docs DROP COLUMN score")
+      assert(spark.table("laker.mart.docs").columns.toSeq == Seq("id", "content"))
+      // re-ADD of the dropped name must NOT resurrect dropped file data
+      spark.sql("ALTER TABLE laker.mart.docs ADD COLUMN score BIGINT")
+      val readded = spark.table("laker.mart.docs")
+        .collect().map(r => (r.getLong(0), Option(r.get(2)))).sortBy(_._1).toSeq
+      assert(readded == Seq((1L, None), (2L, None), (3L, None)),
+        s"dropped data resurfaced: $readded")
+      // and the fresh slot is writable
+      spark.sql("INSERT INTO laker.mart.docs VALUES (4, 'delta', 40)")
+      val r4 = spark.sql(
+        "SELECT score FROM laker.mart.docs WHERE id = 4").head().getLong(0)
+      assert(r4 == 40L)
+      // Scala-path agreement: DataFrame API over the same catalog table
+      import org.apache.spark.sql.functions.col
+      assert(spark.table("laker.mart.docs").filter(col("content") === "delta")
+        .select(col("id")).head().getLong(0) == 4L)
+      spark.sql("DROP TABLE laker.mart.docs")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.laker")
+      spark.conf.unset("spark.sql.catalog.laker.path")
+    }
+  }
+
+  test("RENAME COLUMN applies to pre-evolution snapshots via time travel") {
+    val lake = Files.createTempDirectory("graft-lake-rnv")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lakev", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakev.path", lake.toString)
+    try {
+      import spark.implicits._
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/accounts.parquet").toString)
+      store.write(Seq((1L, 100L), (2L, 200L)).toDF("id", "balance"), version = 0)
+      store.write(Seq((1L, 150L), (2L, 200L), (3L, 5L)).toDF("id", "balance"), version = 1)
+      spark.sql("ALTER TABLE lakev.state.accounts RENAME COLUMN balance TO amount")
+      // latest AND the pre-evolution snapshot read under the NEW name
+      assert(spark.table("lakev.state.accounts").columns.toSeq ==
+        Seq("id", "amount"))
+      val v0 = spark.sql(
+        "SELECT id, amount FROM lakev.state.accounts VERSION AS OF 0")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(v0 == Seq((1L, 100L), (2L, 200L)))
+      val latest = spark.sql(
+        "SELECT sum(amount) FROM lakev.state.accounts").head().getLong(0)
+      assert(latest == 355L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakev")
+      spark.conf.unset("spark.sql.catalog.lakev.path")
     }
   }
 
