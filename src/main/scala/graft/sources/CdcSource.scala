@@ -85,8 +85,18 @@ object CdcSource {
     * seam ([[jsonEnvelope]], the pipeline, upsert) is shared with the
     * flat-envelope transports. */
   def fromDebezium(raw: DataFrame, payload: String = "value"): DataFrame =
-    raw.select(from_json(col(payload).cast(StringType), debeziumSchema)
-        .getField("payload").as("__p"))
+    fromDebeziumStruct(raw.select(
+      from_json(col(payload).cast(StringType), debeziumSchema)
+        .getField("payload").as("payload")))
+
+  /** The shared decode tail over an ALREADY-PARSED envelope — a
+    * DataFrame carrying [[debeziumSchema]]'s `payload` struct column.
+    * Serves both the string-payload transports ([[fromDebezium]]) and
+    * the structured JSON file source ([[fromDebeziumJsonDir]]), batch
+    * or streaming: the flat wire shape, op normalization, and marker
+    * dropping are defined ONCE. */
+  def fromDebeziumStruct(parsed: DataFrame): DataFrame =
+    parsed.select(col("payload").as("__p"))
       .filter(col("__p").isNotNull && col("__p.op").isin("c", "u", "d", "r"))
       .select(
         col("__p.source.table").as("table"),
@@ -95,6 +105,23 @@ object CdcSource {
         col("__p.source.lsn").as("seq"),
         col("__p.before").as("before"),
         col("__p.after").as("after"))
+
+  /** Incremental stream over a directory of verbatim Debezium-JSON
+    * envelope files — the offline stand-in for the Kafka+Debezium
+    * topic (reference `flink-cdc/sql/tickets-cdc.sql:43-64`): the JSON
+    * file source parses [[debeziumSchema]] directly (`before`/`after`
+    * captured as raw JSON subtrees by their StringType declaration —
+    * no second parse), `maxFilesPerTrigger` paces the micro-batches,
+    * and the decode tail is [[fromDebeziumStruct]], byte-identical to
+    * the Kafka-shaped path. Swapping in the real topic is
+    * `format("kafka")` + [[fromDebezium]]; everything downstream is
+    * unchanged. */
+  def fromDebeziumJsonDir(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Int = 10): DataFrame =
+    fromDebeziumStruct(spark.readStream
+      .schema(debeziumSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir))
 
   /** Decode one table's slice of a wire stream into a typed envelope
     * (CDC JSON decode — the Kinesis `'format'='json'` analog,

@@ -86,6 +86,61 @@ class CdcSourceSpec extends SparkSpec {
     } finally h.query.stop()
   }
 
+  test("structured Debezium JSON dir: multi-trigger stream, MV equals batch recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-dbzjson").toString
+    val changelog = s"$dir/changelog"
+    Files.createDirectories(Paths.get(changelog))
+    def src(table: String, lsn: Long) =
+      s""""source":{"version":"2.5.0","connector":"postgresql","name":"pg","ts_ms":1706000000000,"db":"moviedb","schema":"public","table":"$table","lsn":$lsn,"txId":700}"""
+    def movie(id: Long, lsn: Long) =
+      s"""{"payload":{"before":null,"after":{"movie_id":$id,"title":"m$id","start_date":"2026-02-01T00:00:00","duration_minutes":90},${src("movies", lsn)},"op":"r","ts_ms":1706000001000}}"""
+    def ticket(id: Long, movieId: Long, status: String, op: String, lsn: Long) =
+      s"""{"payload":{"before":null,"after":{"ticket_id":$id,"movie_id":$movieId,"user_id":${id % 7},"cost":12.50,"status":"$status","purchased_at":"2026-01-01T00:00:00"},${src("tickets", lsn)},"op":"$op","ts_ms":${1706000002000L + lsn}}}"""
+    // three files = three micro-batches at maxFilesPerTrigger=1: the
+    // snapshot, a burst of inserts, then cross-file status updates
+    Files.writeString(Paths.get(s"$changelog/00-snapshot.json"),
+      (Seq(movie(1, 10), movie(2, 11)) ++
+        (1L to 6L).map(i => ticket(i, 1 + i % 2, "scheduled", "c", 20 + i))).mkString("\n"))
+    Files.writeString(Paths.get(s"$changelog/01-burst.json"),
+      (7L to 10L).map(i => ticket(i, 1 + i % 2, "scheduled", "c", 40 + i)).mkString("\n"))
+    Files.writeString(Paths.get(s"$changelog/02-updates.json"),
+      (Seq(1L, 3L, 8L).map(i => ticket(i, 1 + i % 2, "live", "u", 60 + i)) :+
+        ticket(4, 1, "finished", "u", 70)).mkString("\n"))
+
+    val h = CdcPipeline.start(spark,
+      graft.sources.CdcSource.fromDebeziumJsonDir(spark, changelog, maxFilesPerTrigger = 1),
+      Seq(CdcPipeline.TableSpec("tickets", ticketSchema, Seq("ticket_id"), dist = Seq("movie_id")),
+        CdcPipeline.TableSpec("movies", movieSchema, Seq("movie_id"))),
+      s"$dir/state", s"$dir/ckpt", Trigger.AvailableNow())
+    try {
+      h.query.awaitTermination(120000)
+      assert(h.query.recentProgress.length >= 3,
+        s"expected one micro-batch per file, got ${h.query.recentProgress.length}")
+
+      // batch recompute from the SAME files: wire decode -> per-table
+      // envelope -> empty-state changelog fold -> the same MV SQL. The
+      // streamed MV (incremental bucket-local refresh across triggers)
+      // must equal this single-shot derivation row-for-row.
+      val wire = graft.sources.CdcSource.fromDebeziumStruct(
+        spark.read.schema(graft.sources.CdcSource.debeziumSchema).json(changelog))
+      val tickets = graft.cdc.Upsert.applyChangelog(None,
+        graft.sources.CdcSource.jsonEnvelope(wire, "tickets", ticketSchema),
+        Seq("ticket_id"))
+      val movies = graft.cdc.Upsert.applyChangelog(None,
+        graft.sources.CdcSource.jsonEnvelope(wire, "movies", movieSchema),
+        Seq("movie_id"))
+      val expected = graft.operators.Revenue
+        .movieRevenue(tickets, movies, graft.operators.Revenue.osbStatuses)
+      val mvCols = expected.columns.map(col).toSeq
+      val got = h.mv().get.select(mvCols: _*)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val want = expected.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(want.nonEmpty && got == want,
+        s"streamed MV diverged from batch recompute:\n got=$got\nwant=$want")
+    } finally h.query.stop()
+  }
+
   test("poison records on the wire are dropped, never kill the pipeline") {
     val dir = Files.createTempDirectory("graft-poison").toString
     val changelog = s"$dir/changelog"
