@@ -191,6 +191,18 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.operators.Unigram.roundtripGate(d, graft.operators.Unigram.trainCached(d))
     }),
+    // WordPiece (BERT family), completing the tokenizer triad:
+    // likelihood-scored merges (exact BigInt score comparisons) +
+    // greedy longest-match encode with ## continuations and lossless
+    // char fallback. Same oracle scheme as BPE/Unigram.
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Wordpiece.encode(d, graft.operators.Wordpiece.trainCached(d))
+    }),
+    "q_wordpiece_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Wordpiece.roundtripGate(d, graft.operators.Wordpiece.trainCached(d))
+    }),
     "q_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(t(s, dir, "documents"))),
     // Second-order fluency: corpus bigram-frequency mass — the word-
@@ -1446,6 +1458,11 @@ object SparkEntry {
     "q_unigram_encode" -> UnigramEncodeOracle.sql,
 
     "q_unigram_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS roundtrip_ok, true AS piece_bound_ok
+        |FROM documents""".stripMargin,
+    "q_wordpiece_encode" -> WordpieceEncodeOracle.sql,
+    "q_wordpiece_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  true AS roundtrip_ok, true AS piece_bound_ok
         |FROM documents""".stripMargin,
