@@ -262,6 +262,18 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.operators.Retrieval.bm25TopK(d, d.filter(col("doc_id") % 191 === 0))
     }),
+    // Hybrid lexical+dense retrieval: BM25 top-10 and exact-cosine
+    // top-10 fused by reciprocal rank (integer micro-units — rank-only
+    // fusion, so the two engines' incomparable raw scores never mix).
+    // documents and embeddings are id-aligned in the testdata, so the
+    // same query ids drive both sides.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      graft.operators.Retrieval.hybridRrfTopK(
+        d, e, d.filter(col("doc_id") % 191 === 0),
+        e.filter(col("vec_id") % 191 === 0))
+    }),
     // fastText-style hashed-feature logistic-regression quality
     // filter: trains to separate the top vs bottom quality quartile,
     // gate pins accuracy >= 0.8 + probability sanity as constants.
@@ -1355,6 +1367,60 @@ object SparkEntry {
         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk FROM agg)
         |SELECT query_id, doc_id, rnk, score_micro, n_terms_hit FROM r
         |WHERE rnk <= 10 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Hybrid RRF: the bm25 CTE chain (k=10) + exact-cosine top-10 over
+    // the same % 191 query ids, fused in integer micro-units
+    // (floor(1e6/(60+rank)) per list, summed) — rank-only fusion, so
+    // both sides' scores never mix; self-matches dropped post-rank.
+    "q_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p0 AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d),
+        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p0 GROUP BY 1, 2, 3),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(len(l)) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |q0 AS (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 191 = 0),
+        |q AS (SELECT DISTINCT query_id, term FROM q0),
+        |dft AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df_t FROM p
+        |  JOIN (SELECT DISTINCT term FROM q) qt ON p.term = qt.term GROUP BY 1),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |    CAST(floor((((CAST(st.n_docs AS DOUBLE) - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+        |      * ((p.tf * 2.2e0) / (p.tf + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / st.avgdl)))))
+        |      * 1e6) AS BIGINT) AS micro
+        |  FROM p JOIN q ON p.term = q.term
+        |  JOIN dft ON p.term = dft.term CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rnk FROM agg
+        |  QUALIFY lex_rnk <= 10),
+        |ds AS (SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(qv.embedding, c.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS score
+        |  FROM embeddings qv JOIN embeddings c ON qv.vec_id <> c.vec_id
+        |  WHERE qv.vec_id % 191 = 0),
+        |dns AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS dense_rnk FROM ds
+        |  QUALIFY dense_rnk <= 10),
+        |f AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+        |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+        |    CAST(coalesce(CAST(floor(1000000.0e0 / (60 + l.lex_rnk)) AS BIGINT), 0) +
+        |      coalesce(CAST(floor(1000000.0e0 / (60 + dn.dense_rnk)) AS BIGINT), 0)
+        |      AS BIGINT) AS rrf_micro,
+        |    CAST((CASE WHEN l.lex_rnk IS NULL THEN 0 ELSE 1 END) +
+        |      (CASE WHEN dn.dense_rnk IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_sources
+        |  FROM lex l FULL OUTER JOIN dns dn
+        |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id
+        |  WHERE coalesce(l.query_id, dn.query_id) <> coalesce(l.doc_id, dn.doc_id)),
+        |r AS (SELECT query_id, doc_id, rrf_micro, n_sources,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk FROM f)
+        |SELECT query_id, doc_id, rnk, rrf_micro, n_sources FROM r WHERE rnk <= 10
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Top-token fraction via group-count max — value-identical to the
     // engine's sorted-run-length (both are the modal token count).

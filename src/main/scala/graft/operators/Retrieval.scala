@@ -89,4 +89,48 @@ object Retrieval {
       .filter(col("rnk") <= k)
       .select("query_id", "doc_id", "rnk", "score_micro", "n_terms_hit")
   }
+
+  /** Hybrid lexical + dense retrieval by reciprocal-rank fusion
+    * (Cormack et al. 2009 RRF): fuse each query's BM25 top-`kEach`
+    * lexical list and exact-cosine top-`kEach` embedding list with
+    * `Σ_lists 1/(rrfK + rank)` — the standard zero-tuning fusion that
+    * needs only RANKS, never the two engines' incomparable raw scores.
+    *
+    * Determinism contract: each list contribution quantizes to integer
+    * micro-units (`floor(10⁶ / (rrfK + rank))` — one correctly-rounded
+    * IEEE division of exact integers, then floor) BEFORE the sum, so
+    * fusion is integer arithmetic and bit-identical to the DuckDB
+    * oracle; final ties break on ascending doc_id. Self-matches are
+    * excluded from the fused result (the lexical list ranks them —
+    * a query trivially retrieves itself — but fusion drops them).
+    *
+    * Scale shape: both sides are existing engine operators at their
+    * scale shapes ([[bm25TopK]]'s broadcast inverted-index probe;
+    * [[Similarity.bruteForceTopKFor]] as the exact dense reference —
+    * swap the IVF/PQ query in at full scale, the fusion is rank-only
+    * and unchanged); the fusion itself joins two k·|queries|-row rank
+    * lists on (query_id, doc_id) — bounded whatever the corpus. */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+                    queryDocs: DataFrame, queryVecs: DataFrame,
+                    k: Int = 10, kEach: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, queryDocs, kEach)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val dense = Similarity.bruteForceTopKFor(queryVecs, embeddings, kEach)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("bigint").as("dense_rnk"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"CAST(floor(1000000.0e0 / ($rrfK + lex_rnk)) AS BIGINT)"), lit(0L)) +
+          coalesce(expr(s"CAST(floor(1000000.0e0 / ($rrfK + dense_rnk)) AS BIGINT)"), lit(0L)))
+          .as("rrf_micro"),
+        (when(col("lex_rnk").isNotNull, 1L).otherwise(0L) +
+          when(col("dense_rnk").isNotNull, 1L).otherwise(0L)).as("n_sources"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "rnk", "rrf_micro", "n_sources")
+  }
 }

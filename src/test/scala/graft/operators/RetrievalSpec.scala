@@ -42,6 +42,42 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head.getLong(0) == 100L && out.head.getLong(2) == 1L)
   }
 
+  test("hybridRrfTopK: rank-only fusion, self excluded, single-side survivors") {
+    // docs and vectors share ids; doc 1 is the query. Lexically, doc 2
+    // shares "zebra"; doc 4 shares nothing. Dense-side, vec 4 is the
+    // near-duplicate of vec 1; vec 2 is orthogonal. Fusion must
+    // surface BOTH single-source candidates and rank the two-source
+    // candidate (doc 3: shares a term AND mid cosine) on summed RRF.
+    val docs = Seq(
+      (1L, "the zebra runs"), (2L, "a zebra sleeps"),
+      (3L, "the dog runs"), (4L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)), (4L, Array(0.99f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // kEach=2: dense top-2 = {4 (0.99 cos), 3 (0.7)}; lexical rank 1 is
+    // the self-match, so one non-self lexical survivor joins it
+    val out = Retrieval.hybridRrfTopK(docs, vecs,
+        docs.filter($"doc_id" === 1L), vecs.filter($"vec_id" === 1L),
+        k = 5, kEach = 2)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+    // no self-match survives fusion
+    assert(!out.exists(_._1 == 1L), s"self leaked: ${out.toSeq}")
+    val bySrc = out.map(t => t._1 -> t._4).toMap
+    // doc 3 hits both lists (lexical "the… runs" + mid cosine); doc 4
+    // is dense-only — both kinds must survive, two-source outranking
+    assert(bySrc(3L) == 2L, s"$bySrc")
+    assert(bySrc.get(4L).contains(1L), s"$bySrc")
+    assert(out.minBy(_._2)._1 == 3L, s"two-source doc must rank first: ${out.toSeq}")
+    // rrf_micro is the exact integer sum of floor(1e6/(60+rank)) terms
+    out.foreach { case (_, _, micro, nSrc) =>
+      assert(micro > 0 && micro <= 2 * (1000000 / 61) && nSrc >= 1)
+    }
+  }
+
   test("dsirWeights: target-alike documents get higher weight; accounting exact") {
     // target = doc 1; doc 2 shares its bigrams, doc 3 shares none.
     val docs = Seq(
