@@ -138,6 +138,16 @@ object SparkEntry {
       TextOps.repetition(t(s, dir, "documents"))),
     "q_text_fluency" -> ((s, dir) =>
       TextOps.unigramFluency(t(s, dir, "documents"))),
+    // Budget metered in REAL subword tokens: the same quality-ordered
+    // per-language quota, but accounting = Bpe.encode's n_pieces — the
+    // count a training run actually consumes. Oracle joins the pinned
+    // BPE VALUES as the count relation.
+    "q_budget_mix_bpe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.budgetMixTokenized(d,
+        graft.operators.Bpe.encode(d, graft.operators.Bpe.trainCached(d))
+          .select(col("doc_id"), col("n_pieces").as("n_tokens")))
+    }),
     "q_budget_mix" -> ((s, dir) =>
       TextOps.budgetMix(t(s, dir, "documents"))),
     // Target mixture 50/20/20/10 over 200 docs — quotas must match the
@@ -1443,6 +1453,22 @@ object SparkEntry {
     // The quality_score expression matches q_text_quality's oracle; the
     // running sum is ROWS-framed on (quality desc, doc_id) in both
     // engines, so the inclusive cumulative totals agree exactly.
+    "q_budget_mix_bpe" ->
+      s"""WITH bpe AS (${BpeEncodeOracle.sql}),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |qual AS (SELECT doc_id,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+        |    + CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) * 0.2
+        |    + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+        |  FROM t),
+        |r AS (SELECT q.doc_id, d.lang, b.n_pieces AS n_tokens, q.quality_score,
+        |  CAST(sum(b.n_pieces) OVER (PARTITION BY d.lang
+        |    ORDER BY q.quality_score DESC, q.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM qual q JOIN documents d USING (doc_id) JOIN bpe b USING (doc_id))
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score, cum_tokens
+        |FROM r WHERE cum_tokens <= 2000
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_budget_mix" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |qual AS (SELECT doc_id,

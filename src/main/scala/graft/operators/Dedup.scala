@@ -222,6 +222,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate probability of a (bands, rowsPerBand) MinHash banding at
+    * Jaccard similarity `s` — the classic S-curve `1 − (1 − s^r)^b`
+    * (Indyk–Motwani; Leskovec–Rajaraman–Ullman ch. 3). Closed-form and
+    * deterministic: the analytic mirror of what
+    * [[Similarity.lshCandidateFraction]] MEASURES for hyperplane LSH. */
+  def bandingCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Operating-point selection for MinHash banding — the S-curve
+    * mirror of [[PqIndex.tunedProbes]], finishing the family (IVF and
+    * hyperplane-LSH pick their points by measurement, IVF-PQ by the
+    * probe ladder; banding has a CLOSED FORM, so it tunes by
+    * arithmetic): among the band counts dividing `k`, keep those whose
+    * recall at the dedup threshold `tau` meets `minRecall`, then pick
+    * the one minimizing the false-candidate rate at the background
+    * similarity `sLow` (ties to fewer bands — cheaper join). When no
+    * divisor meets the bar (k too small for the threshold), return the
+    * max-recall divisor — the honest best the budget allows; callers
+    * wanting guarantees raise k. Returns (bands, rowsPerBand). */
+  def tuneBanding(k: Int, tau: Double, minRecall: Double = 0.9,
+                  sLow: Double = 0.2): (Int, Int) = {
+    require(k >= 1 && tau > 0 && tau <= 1, s"bad banding params k=$k tau=$tau")
+    val divisors = (1 to k).filter(k % _ == 0)
+    val meeting = divisors.filter(b => bandingCandidateProb(tau, b, k / b) >= minRecall)
+    val chosen =
+      if (meeting.nonEmpty)
+        meeting.minBy(b => (bandingCandidateProb(sLow, b, k / b), b))
+      else divisors.maxBy(b => (bandingCandidateProb(tau, b, k / b), -b))
+    (chosen, k / chosen)
+  }
+
+  /** [[minHashLsh]] at the [[tuneBanding]]-selected operating point —
+    * candidates for a `tau`-threshold dedup without hand-picking the
+    * banding. */
+  def minHashLshTuned(docs: DataFrame, n: Int = 3, k: Int = 8,
+                      tau: Double = 0.5, minRecall: Double = 0.9): DataFrame =
+    minHashLsh(docs, n, k, tuneBanding(k, tau, minRecall)._1)
+
   /** The (doc_id, band, band_hash) rows [[minHashLsh]] self-joins —
     * factored out so the incremental path bands only the NEW batch. */
   private def bandRows(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {

@@ -502,6 +502,29 @@ object TextOps {
     * boundary sliver quality ≈ θ. Exact top is unchanged; only the
     * boundary is sorted. The sliver refinement composes from this same
     * function, so the exact form is what we pin with the oracle. */
+  /** [[budgetMix]] with token accounting supplied by a real TOKENIZER
+    * instead of the whitespace proxy: `tokenCounts` is any (doc_id,
+    * n_tokens) relation — in the wired query, [[Bpe.encode]]'s
+    * n_pieces, so the budget a training run actually consumes (subword
+    * tokens) is what the quota meters. Ranking stays quality-ordered
+    * (ties to doc_id); only the accounting column changes, so the
+    * selection semantics and the scale shape (one lang shuffle + the
+    * sliver-refinement path) are [[budgetMix]]'s unchanged. */
+  def budgetMixTokenized(docs: DataFrame, tokenCounts: DataFrame,
+                         tokensPerLang: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quality(docs).select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .join(tokenCounts.select(col("doc_id"),
+        col("n_tokens").cast("bigint").as("n_tokens")), "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokensPerLang)
+      .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+  }
+
   def budgetMix(docs: DataFrame, tokensPerLang: Long = 2000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang")
