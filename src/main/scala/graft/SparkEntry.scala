@@ -547,6 +547,17 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, dir) =>
       graft.operators.Multimodal.decodeImageMeta(
         graft.operators.Multimodal.encodePng(t(s, dir, "documents")))),
+    // Image dedup: perceptual average-hash over the REAL decoded pixel
+    // grid (8x8 integer pooling, exact cross-multiplied mean compare) —
+    // deterministic, so the sf0.01 hashes pin as VALUES; near-dup pairs
+    // derive from the banded Hamming join and their oracle recomputes
+    // the same pairs from the pinned hash CTE via bit_count(xor).
+    "q_image_ahash" -> ((s, dir) =>
+      graft.operators.Multimodal.imageAHash(
+        graft.operators.Multimodal.encodePng(t(s, dir, "documents")))),
+    "q_image_neardup" -> ((s, dir) =>
+      graft.operators.Multimodal.imageNearDupPairs(
+        graft.operators.Multimodal.encodePng(t(s, dir, "documents")))),
     // Real WAV loop: encode text bytes as 8-bit mono PCM, decode via
     // javax.sound.sampled — PCM digest == text digest (lossless).
     "q_multimodal_audio" -> ((s, dir) =>
@@ -2008,6 +2019,19 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS channels,
         |  md5(substr(text, 1, 16 * (length(text) // 16))) AS px_md5
         |FROM documents WHERE length(text) >= 16
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Image dedup: hashes pin as VALUES (pure deterministic function
+    // of the lossless decoded pixels = text bytes); pairs recompute
+    // from the pinned CTE — DuckDB's xor/bit_count over the same
+    // 64-bit fingerprints, all-pairs form (bounded: oracle-side only).
+    "q_image_ahash" -> ImageAHashOracle.sql,
+    "q_image_neardup" ->
+      s"""WITH a AS (${ImageAHashOracle.sql})
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS dist
+        |FROM a x JOIN a y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.ahash, y.ahash)) <= 2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Audio loop: 8-bit mono PCM frames ARE the text bytes (ASCII

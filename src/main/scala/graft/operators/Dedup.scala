@@ -539,22 +539,34 @@ object Dedup {
     * id+block rows, never an all-pairs cross — then the exact Hamming
     * check keeps true pairs. Exact (recall 1): pigeonhole is a
     * guarantee, not a probability. */
-  def simHashPairs(docs: DataFrame, maxDist: Int = 3, bits: Int = 60): DataFrame = {
-    val sh = simHash(docs, bits)
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3, bits: Int = 60): DataFrame =
+    hammingPairs(simHash(docs, bits), "simhash", maxDist, bits)
+
+  /** Generic banded Hamming-distance pair mining over ANY per-row
+    * fingerprint column — the pigeonhole shape [[simHashPairs]] and
+    * [[Multimodal.imageNearDupPairs]] share: split the `bits`-bit
+    * fingerprint into maxDist+1 blocks (a pair within distance must
+    * match at least one block exactly), candidates from the
+    * (block, value) equi-join, exact popcount verify. `hashed` must
+    * carry (doc_id, `hashCol`). */
+  private[operators] def hammingPairs(hashed: DataFrame, hashCol: String,
+                                      maxDist: Int, bits: Int): DataFrame = {
+    require(maxDist >= 1 && bits <= 64 && bits / (maxDist + 1) >= 1,
+      s"bad hamming banding: maxDist=$maxDist bits=$bits")
     val blocks = maxDist + 1
     val width = bits / blocks
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = hashed.select(col("doc_id"), col(hashCol).as("__h"),
       posexplode(array((0 until blocks).map { b =>
         val lo = b * width
         val hi = if (b == blocks - 1) bits else lo + width // last absorbs remainder
-        shiftrightunsigned(col("simhash"), lo)
-          .bitwiseAND(lit((1L << (hi - lo)) - 1))
+        shiftrightunsigned(col(hashCol), lo)
+          .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1))
       }: _*)).as(Seq("blk", "blk_val")))
     banded.as("x").join(banded.as("y"),
         col("x.blk") === col("y.blk") && col("x.blk_val") === col("y.blk_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+        bit_count(col("x.__h").bitwiseXOR(col("y.__h")))
           .cast("bigint").as("dist"))
       .distinct()                                  // pairs matching >1 block
       .filter(col("dist") <= maxDist)

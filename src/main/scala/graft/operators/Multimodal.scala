@@ -208,6 +208,79 @@ object Multimodal {
       }.toDF("doc_id", "width", "height", "channels", "px_md5")
   }
 
+  /** Perceptual average-hash (aHash) of each decoded image — the
+    * classic 64-bit image fingerprint: average-pool the decoded
+    * grayscale grid onto 8×8 cells, bit (r, c) set iff its cell's mean
+    * exceeds the global pixel mean. All-integer decision (cell_sum ·
+    * n_total > total_sum · n_cell — exact cross-multiplication, no
+    * float division), over the REAL `javax.imageio` decode, so the
+    * hash is a pure deterministic function of the payload. Images
+    * smaller than the 8×8 grid (either dimension < 8) drop — too
+    * little signal to pool. Emits (doc_id, ahash, width, height).
+    *
+    * This is the image-modality entry into the dedup family: exact
+    * dedup compares `ahash` equality, near-dup goes through
+    * [[imageNearDupPairs]]'s banded Hamming join — the same pipeline
+    * shape text uses with SimHash, over decoded pixels instead of
+    * token streams. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val img = try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          img.filter(im => im.getWidth >= 8 && im.getHeight >= 8).map { im =>
+            val w = im.getWidth; val h = im.getHeight
+            val raster = im.getRaster
+            val cellSum = Array.ofDim[Long](8, 8)
+            val cellCnt = Array.ofDim[Long](8, 8)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val cy = math.min(7, y * 8 / h)
+              var x = 0
+              while (x < w) {
+                val cx = math.min(7, x * 8 / w)
+                val v = raster.getSample(x, y, 0).toLong
+                cellSum(cy)(cx) += v
+                cellCnt(cy)(cx) += 1
+                total += v
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var hash = 0L
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                // cell mean > global mean, compared exactly in integers
+                if (cellSum(r)(c) * n > total * cellCnt(r)(c))
+                  hash |= 1L << (r * 8 + c)
+                c += 1
+              }
+              r += 1
+            }
+            (id, hash, w.toLong, h.toLong)
+          }
+        }
+      }.toDF("doc_id", "ahash", "width", "height")
+  }
+
+  /** Image near-duplicate pairs by aHash Hamming distance — the
+    * multimodal mirror of [[Dedup.simHashPairs]]: candidates from the
+    * pigeonhole banded equi-join over the 64-bit fingerprint (a pair
+    * within `maxDist` must match one of maxDist+1 blocks exactly),
+    * exact popcount verify. Emits (a, b, dist). */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 2): DataFrame =
+    Dedup.hammingPairs(imageAHash(media).select("doc_id", "ahash"),
+      "ahash", maxDist, bits = 64)
+
   /** Deterministic 8-bit-PCM WAV encode of each document's text bytes
     * — the audio-side fixture builder (mono, unsigned 8-bit, `sampleRate`
     * Hz; one byte per frame, so the data chunk IS the text bytes).

@@ -158,4 +158,40 @@ class MultimodalSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(top1(1L) == 2L && top1(2L) == 1L)
   }
+  test("imageAHash: deterministic, duplicate-invariant, near-dup discriminating") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog again and again " * 4)
+    val far = ("zzz aaa qqq mmm xxx 000 111 222 333 444 555 666 777 888 999 " * 4)
+    val d = Seq(1L -> base, 2L -> base, 3L -> (base.dropRight(2) + "xy"),
+      4L -> far).toDF("doc_id", "text")
+    val hashed = Multimodal.imageAHash(Multimodal.encodePng(d))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(hashed(1L) == hashed(2L), "identical images must hash equal")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(1L), hashed(3L)) < ham(hashed(1L), hashed(4L)),
+      s"tail-edited image must be nearer than unrelated: $hashed")
+    // sub-8x8 image (short doc) drops rather than hashing noise
+    val short = Multimodal.imageAHash(Multimodal.encodePng(
+      Seq(9L -> "tiny").toDF("doc_id", "text")))
+    assert(short.count() == 0)
+  }
+
+  test("imageNearDupPairs: banded join equals the all-pairs filter") {
+    import spark.implicits._
+    val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4)
+    val d = (1L to 8L).map { i =>
+      i -> (if (i <= 4) base else base.replace("lorem", s"v$i" * 3))
+    }.toDF("doc_id", "text")
+    val banded = Multimodal.imageNearDupPairs(Multimodal.encodePng(d), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashed = Multimodal.imageAHash(Multimodal.encodePng(d))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._2)
+    val brute = (for {
+      (a, ha) <- hashed; (b, hb) <- hashed if a < b
+      dist = java.lang.Long.bitCount(ha ^ hb).toLong if dist <= 3
+    } yield (a, b, dist)).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(brute.nonEmpty, "fixture should produce at least one near pair")
+  }
+
 }
