@@ -75,6 +75,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-8 ops: equi-join-only pairing, broadcast fusion sides") {
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    // image near-dup joins on (block, value) — never a cartesian
+    val img = plan(operators.Multimodal.imageNearDupPairs(
+      operators.Multimodal.encodePng(docs), maxDist = 2))
+    assert(!img.contains("BroadcastNestedLoopJoin") && !img.contains("CartesianProduct"),
+      s"image pairing is all-pairs:\n$img")
+    // hybrid RRF: the lexical side keeps bm25's broadcast-probe shape
+    // (query terms / df broadcast against postings), and the fusion
+    // join itself is an equi-join of two bounded rank lists
+    val rrf = plan(operators.Retrieval.hybridRrfTopK(
+      docs, emb, docs.filter(col("doc_id") % 191 === 0),
+      emb.filter(col("vec_id") % 191 === 0)))
+    assert(rrf.contains("BroadcastHashJoin"), "bm25 probe must broadcast")
+    assert(!rrf.contains("CartesianProduct"), s"fusion went all-pairs:\n$rrf")
+    // tokenizer-metered budget: doc bodies feed the tokenizer scan and
+    // the quality scan; the quota window shuffles id-keyed rows only
+    val bmb = plan(operators.TextOps.budgetMixTokenized(docs,
+      operators.Bpe.encode(docs, operators.Bpe.Model(Seq(("a", "b"))))
+        .select(col("doc_id"), col("n_pieces").as("n_tokens"))))
+    assert(!bmb.contains("CartesianProduct"), s"budget join went all-pairs:\n$bmb")
+  }
+
   test("round-6 curation ops: aggregate-only / broadcast-only plans") {
     val docs = Tables.load(spark, dir, "documents")
     val emb = Tables.load(spark, dir, "embeddings")
