@@ -84,8 +84,9 @@ object Bench {
     // every query at a different session position; the reported number
     // is the min across passes, so a position-dependent slowdown must
     // hit the same query in both orders to survive into the artifact.
+    val firstByName = firstPass.toMap
     val second = ops.toSeq.sortBy(_._1).reverse.map { case (name, fn) =>
-      val first = firstPass.toMap.apply(name)
+      val first = firstByName(name)
       if (first < 0) name -> first
       else {
         val t = run(name, fn)

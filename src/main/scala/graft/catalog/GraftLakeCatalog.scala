@@ -206,7 +206,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       CaseInsensitiveStringMap.empty(), Seq(dataPath.toString), physSchema,
       classOf[ParquetFileFormat])
     if (evo.renames.isEmpty) inner
-    else new MappedTable(inner, schema.get, evo.renames)
+    else new MappedTable(inner, schema.getOrElse(
+      throw new IllegalStateException(
+        s"$catalogName: ${ident.toString} carries a rename mapping " +
+          s"($MappingSidecar) but no declared schema ($SchemaSidecar) — " +
+          "the table directory is corrupt (partial copy/restore?)")),
+      evo.renames)
   }
 
   override def loadTable(ident: Identifier): Table = {

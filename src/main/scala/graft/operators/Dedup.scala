@@ -551,7 +551,8 @@ object Dedup {
     * carry (doc_id, `hashCol`). */
   private[operators] def hammingPairs(hashed: DataFrame, hashCol: String,
                                       maxDist: Int, bits: Int): DataFrame = {
-    require(maxDist >= 1 && bits <= 64 && bits / (maxDist + 1) >= 1,
+    // maxDist = 0 is valid: one full-hash block, exact-duplicate mining
+    require(maxDist >= 0 && bits <= 64 && bits / (maxDist + 1) >= 1,
       s"bad hamming banding: maxDist=$maxDist bits=$bits")
     val blocks = maxDist + 1
     val width = bits / blocks

@@ -395,9 +395,13 @@ object PqIndex {
     * of the lists already meets the bar; this measures instead of
     * guessing.
     *
-    * The tuning sample is md5-salted ("tune") so it is DISJOINT from
-    * the recall gate's sample ordering — the gate stays an independent
-    * certification of the tuned point, not tuning-set resubstitution.
+    * The tuning sample is md5-salted ("tune"), so it is drawn in a
+    * DIFFERENT pseudo-random order than the recall gate's sample — on
+    * a large corpus the two are effectively independent; on a small
+    * one (sample ≈ corpus) they necessarily overlap, and the gate is
+    * then a partial re-certification rather than a fully held-out one
+    * (callers wanting strict disjointness should shrink
+    * `sampleQueries` below half the corpus).
     * Cost: one exact O(sample·N) reference scan plus one sampled query
     * per tried rung (each O(sample·fraction·N) ADC), memoized per
     * (corpus files, params) so a session tunes a corpus once. Driver

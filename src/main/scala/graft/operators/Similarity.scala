@@ -135,8 +135,15 @@ object Similarity {
     import spark.implicits._
     val qvecs = spread(queries).select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])].persist()
-    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])].persist()
+    // self-scan (the common case: self-ANN, exact near-dup reference):
+    // both roles read the SAME rows — cache them once and serve the
+    // block collects from the spread copy, instead of materializing an
+    // identical second projection (2x cache footprint for nothing)
+    val selfScan = queries eq corpus
+    val vecs =
+      if (selfScan) qvecs
+      else corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].persist()
     try {
       val n = vecs.count()
       // ≥ 1 block always, so the partial-union reduce below is total
@@ -153,7 +160,7 @@ object Similarity {
           }.toDF("query_id", "cand_id", "score").localCheckpoint(true)
         } finally bc.destroy()
       }.reduce(_ union _)
-    } finally { qvecs.unpersist(); vecs.unpersist(); () }
+    } finally { qvecs.unpersist(); if (!selfScan) vecs.unpersist(); () }
   }
 
   /** Exact all-pairs-above-threshold scan: every (query, corpus) pair

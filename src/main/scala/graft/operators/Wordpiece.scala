@@ -98,12 +98,20 @@ object Wordpiece {
           i += 1
         }
       }
-      if (pairCounts.isEmpty) exhausted = true
+      // A BARE (word-initial) piece whose CONTENT starts with "##" is
+      // indistinguishable from a continuation piece at decode time
+      // (stripPrefix would eat literal characters) — never mint one.
+      // Only '#'-leading words can produce such pairs; skipping them
+      // costs those words a merge, never losslessness.
+      val mergeable = pairCounts.keysIterator.filterNot { case (a, b) =>
+        !a.startsWith(Continuation) && join(a, b).startsWith(Continuation)
+      }.toSeq
+      if (mergeable.isEmpty) exhausted = true
       else {
         // argmax of n_ab/(n_a·n_b), compared exactly: score(x) > score(y)
         // ⇔ n_xab·n_ya·n_yb > n_yab·n_xa·n_xb in BigInt — no float
         // rounding can reorder the merge sequence
-        val best = pairCounts.keysIterator.reduce { (x, y) =>
+        val best = mergeable.reduce { (x, y) =>
           val sx = BigInt(pairCounts(x)) * BigInt(symCounts(y._1)) * BigInt(symCounts(y._2))
           val sy = BigInt(pairCounts(y)) * BigInt(symCounts(x._1)) * BigInt(symCounts(x._2))
           val c = sx.compare(sy)
@@ -147,7 +155,12 @@ object Wordpiece {
       var l = math.min(m.maxPieceLen, w.length - pos)
       var matched = -1
       while (l >= 1 && matched < 0) {
-        if (m.vocab.contains(prefix + w.substring(pos, pos + l))) matched = l
+        val cand = prefix + w.substring(pos, pos + l)
+        // never EMIT a bare piece whose content starts with "##" (train
+        // never mints one, but a caller-built vocab could carry one):
+        // decode could not tell it from a continuation piece
+        val decodable = pos > 0 || l < 2 || !cand.startsWith(Continuation)
+        if (decodable && m.vocab.contains(cand)) matched = l
         else l -= 1
       }
       if (matched < 0) { out += prefix + w.substring(pos, pos + 1); pos += 1 }

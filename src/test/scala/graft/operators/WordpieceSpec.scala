@@ -38,6 +38,23 @@ class WordpieceSpec extends SparkSpec {
     assert(got.contains("##x") && got.contains("##!"))
   }
 
+  test("words containing literal '##' stay lossless (no bare ##-piece minted)") {
+    // '#'-heavy corpus pressures train toward merging '#' + '###'
+    // into a bare piece starting with '##' — which decode could not
+    // tell from a continuation marker. The guard must keep every such
+    // word round-tripping exactly.
+    val d = docs(
+      1L -> "##x ##x ##x ### #tag #tag ## ## ## ump",
+      2L -> "normal words here ##anchor ###triple")
+    val m = Wordpiece.train(d, numMerges = 30)
+    val gate = Wordpiece.roundtripGate(d, m)
+      .as[(Long, Boolean, Boolean)].head()
+    assert(gate == ((2L, true, true)), s"gate: $gate")
+    for (w <- Seq("##x", "###", "#tag", "##", "####deep"))
+      assert(Wordpiece.encodeWord(w, m)
+        .map(_.stripPrefix(Wordpiece.Continuation)).mkString("") == w, w)
+  }
+
   test("training is deterministic; roundtrip gate holds over a mixed corpus") {
     val d = docs(
       1L -> "spark filter spark filter merge merge spark window",
