@@ -558,6 +558,16 @@ object SparkEntry {
     "q_image_neardup" -> ((s, dir) =>
       graft.operators.Multimodal.imageNearDupPairs(
         graft.operators.Multimodal.encodePng(t(s, dir, "documents")))),
+    // Audio dedup twin: 64-window energy fingerprint over the REAL
+    // decoded PCM. The 8-bit PCM loop is lossless over the (ASCII)
+    // text bytes, so the fingerprint has a DIRECT SQL oracle over the
+    // text — no pinning; pairs recompute from the same CTE.
+    "q_audio_fingerprint" -> ((s, dir) =>
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.encodeWav(t(s, dir, "documents")))),
+    "q_audio_neardup" -> ((s, dir) =>
+      graft.operators.Multimodal.audioNearDupPairs(
+        graft.operators.Multimodal.encodeWav(t(s, dir, "documents")))),
     // Real WAV loop: encode text bytes as 8-bit mono PCM, decode via
     // javax.sound.sampled — PCM digest == text digest (lossless).
     "q_multimodal_audio" -> ((s, dir) =>
@@ -812,6 +822,31 @@ object SparkEntry {
   /** Exact cosine top-5 oracle (DuckDB): shared by q_ann_bruteforce
     * and — since the break-even fallback makes them exact on this
     * corpus — the q_ann_lsh_adaptive / q_ann_ivf_adaptive entries. */
+  /** 64-window energy fingerprint over the text bytes — the audio
+    * oracle's core (PCM == text for the lossless 8-bit loop): integer
+    * window sums via a lateral range over ord() values, exact
+    * cross-multiplied mean compare, bits assembled with bit_or. */
+  private val AudioFingerprintSql: String =
+    """WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      |  FROM documents WHERE length(text) >= 64),
+      |i0 AS (SELECT doc_id, text, n,
+      |  unnest(range(1, CAST(n + 1 AS BIGINT))) AS i FROM t),
+      |b AS (SELECT doc_id, n, i, ord(substr(text, CAST(i AS INTEGER), 1)) AS v
+      |  FROM i0),
+      |w AS (SELECT doc_id, n, ((i - 1) * 64) // n AS win,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM w GROUP BY 1),
+      |fp AS (SELECT w.doc_id, max(w.n) AS n,
+      |    bit_or(CASE WHEN w.s * w.n > tot.total * w.c
+      |      THEN (CASE WHEN win = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+      |            ELSE (CAST(1 AS BIGINT) << CAST(win AS INTEGER)) END)
+      |      ELSE 0 END) AS afp
+      |  FROM w JOIN tot USING (doc_id) GROUP BY 1)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(afp AS BIGINT) AS afp,
+      |  CAST(n AS BIGINT) AS n_frames
+      |FROM fp ORDER BY ALL NULLS FIRST""".stripMargin
+
   private val AnnExactTop5Sql: String =
     """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
@@ -2032,6 +2067,19 @@ object SparkEntry {
         |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS dist
         |FROM a x JOIN a y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Audio fingerprint: PCM frames ARE the text bytes, so the
+    // 64-window energy hash is pure integer SQL over ord() values —
+    // the window split ((i-1)*64)//n and the exact cross-multiplied
+    // mean compare mirror the Scala loop bit for bit.
+    "q_audio_fingerprint" -> AudioFingerprintSql,
+    "q_audio_neardup" ->
+      s"""WITH f AS ($AudioFingerprintSql)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.afp, y.afp)) AS BIGINT) AS dist
+        |FROM f x JOIN f y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.afp, y.afp)) <= 2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Audio loop: 8-bit mono PCM frames ARE the text bytes (ASCII

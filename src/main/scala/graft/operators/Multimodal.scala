@@ -339,6 +339,61 @@ object Multimodal {
       }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames", "pcm_md5")
   }
 
+  /** Energy-window audio fingerprint over the REAL decoded PCM — the
+    * audio twin of [[imageAHash]]: split the decoded frame stream into
+    * 64 equal windows, bit w set iff window w's mean sample value
+    * exceeds the global mean (exact integer cross-multiplication, no
+    * float division). Deterministic function of the payload; clips
+    * shorter than 64 frames drop. Emits (doc_id, afp, n_frames).
+    * Because [[encodeWav]]'s 8-bit PCM is lossless over the source
+    * bytes, the fingerprint is SQL-expressible over the text itself —
+    * a direct oracle, no pinning needed. Near-dup pairs go through the
+    * same banded Hamming join as SimHash/aHash
+    * ([[audioNearDupPairs]]). */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val ais = try {
+            Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          ais.map(_.readAllBytes()).filter(_.length >= 64).map { pcm =>
+            val n = pcm.length
+            val winSum = new Array[Long](64)
+            val winCnt = new Array[Long](64)
+            var total = 0L
+            var f = 0
+            while (f < n) {
+              val w = (f.toLong * 64 / n).toInt
+              val v = (pcm(f) & 0xff).toLong // unsigned 8-bit samples
+              winSum(w) += v
+              winCnt(w) += 1
+              total += v
+              f += 1
+            }
+            var afp = 0L
+            var w = 0
+            while (w < 64) {
+              if (winSum(w) * n > total * winCnt(w)) afp |= 1L << w
+              w += 1
+            }
+            (id, afp, n.toLong)
+          }
+        }
+      }.toDF("doc_id", "afp", "n_frames")
+  }
+
+  /** Audio near-duplicate pairs by fingerprint Hamming distance —
+    * [[Dedup.hammingPairs]] over [[audioFingerprint]]. */
+  def audioNearDupPairs(media: DataFrame, maxDist: Int = 2): DataFrame =
+    Dedup.hammingPairs(
+      audioFingerprint(media).select(col("doc_id"), col("afp")),
+      "afp", maxDist, bits = 64)
+
   /** Frame sampling (video analog): every `stride`-th fixed-size slice
     * of the payload as a frame. Generator-style flatMap keeps peak
     * memory at one frame, not one video. */

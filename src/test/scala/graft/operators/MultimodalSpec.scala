@@ -194,4 +194,23 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should produce at least one near pair")
   }
 
+  test("audioFingerprint: deterministic, duplicate-invariant, banded pairs == brute") {
+    import spark.implicits._
+    val base = ("pulse pulse quiet quiet PULSE PULSE silence silence " * 4)
+    val d = Seq(1L -> base, 2L -> base, 3L -> (base.dropRight(3) + "end"),
+      4L -> ("z" * 40)).toDF("doc_id", "text") // doc 4 < 64 frames -> drops
+    val fp = Multimodal.audioFingerprint(Multimodal.encodeWav(d))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(!fp.contains(4L), "sub-64-frame clip must drop")
+    assert(fp(1L) == fp(2L), "identical clips must fingerprint equal")
+    val banded = Multimodal.audioNearDupPairs(Multimodal.encodeWav(d), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (a, ha) <- fp.toSeq; (b, hb) <- fp.toSeq if a < b
+      dist = java.lang.Long.bitCount(ha ^ hb).toLong if dist <= 3
+    } yield (a, b, dist)).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(brute.contains((1L, 2L, 0L)))
+  }
+
 }
