@@ -120,7 +120,12 @@ object Bench {
         // 2002→3090→3271…: 3090/3271 "agree" while still climbing)
         def topTwoAgree = { val s = rates.sorted.reverse; s(1) >= s(0) / 1.3 }
         def stillClimbing = rates.last >= rates.init.max * 1.03
-        while ((!topTwoAgree || stillClimbing) && rates.length < 6)
+        // minimum 4 measured runs: two agreeing runs inside one
+        // congested window confirm a slow max (observed 3000,2717
+        // while a clean session reads ~3900) — the max over 4 spans
+        // enough wall-clock to escape a transient window
+        while (rates.length < 4 ||
+               ((!topTwoAgree || stillClimbing) && rates.length < 6))
           rates :+= streamingThroughput(spark)
         System.err.println(
           s"[bench] streaming runs=${rates.map(r => f"$r%.0f").mkString(",")}")
