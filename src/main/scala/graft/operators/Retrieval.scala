@@ -106,16 +106,25 @@ object Retrieval {
     *
     * Scale shape: both sides are existing engine operators at their
     * scale shapes ([[bm25TopK]]'s broadcast inverted-index probe;
-    * [[Similarity.bruteForceTopKFor]] as the exact dense reference —
-    * swap the IVF/PQ query in at full scale, the fusion is rank-only
-    * and unchanged); the fusion itself joins two k·|queries|-row rank
-    * lists on (query_id, doc_id) — bounded whatever the corpus. */
+    * [[Similarity.adaptiveTopKFor]] as the dense list — the break-even
+    * guard probes the corpus's bucket-collision mass and picks the
+    * exact blocked scan below the index's break-even (this testdata's
+    * regime, where the pinned oracle certifies it bit-exactly) and the
+    * LSH-bucketed candidate path where buckets prune, so the wired
+    * plan is sub-quadratic wherever pruning is possible; the fusion is
+    * rank-only and identical either way); the fusion itself joins two
+    * k·|queries|-row rank lists on (query_id, doc_id) — bounded
+    * whatever the corpus. */
   def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
                     queryDocs: DataFrame, queryVecs: DataFrame,
-                    k: Int = 10, kEach: Int = 10, rrfK: Int = 60): DataFrame = {
+                    k: Int = 10, kEach: Int = 10, rrfK: Int = 60,
+                    denseTables: Int = 40, densePlanes: Int = 5,
+                    denseDims: Int = 64,
+                    maxCandidateFraction: Double = 0.25): DataFrame = {
     val lex = bm25TopK(docs, queryDocs, kEach)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
-    val dense = Similarity.bruteForceTopKFor(queryVecs, embeddings, kEach)
+    val dense = Similarity.adaptiveTopKFor(queryVecs, embeddings, kEach,
+        denseTables, densePlanes, denseDims, maxCandidateFraction)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("bigint").as("dense_rnk"))
     val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")

@@ -308,6 +308,26 @@ object Similarity {
       bruteForceTopK(embeddings, k)
     else lshTopK(embeddings, k, tables, planes, dims)
 
+  /** [[adaptiveTopK]] with the query and corpus sides split — the
+    * break-even-guarded entry for retrieval-shaped callers (a bounded
+    * query set probing a large corpus, e.g. [[Retrieval.hybridRrfTopK]]'s
+    * dense list). The collision-mass probe runs on the CORPUS (the side
+    * whose clustering decides whether buckets prune): at or past
+    * `maxCandidateFraction` the LSH bucket join would touch most pairs
+    * and the exact blocked scan ([[bruteForceTopKFor]], recall 1) is
+    * strictly better; below it the bucketed candidate path
+    * ([[lshTopKFor]]) runs, shuffling (table, bucket) id pairs only.
+    * Same (query_id, rank, neighbor_id, score) schema and deterministic
+    * (score desc, id asc) order on both branches, so in the LSH path's
+    * recall-1 regime (tight clusters — spec-pinned) the branches are
+    * row-identical. */
+  def adaptiveTopKFor(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                      tables: Int = 40, planes: Int = 5, dims: Int = 64,
+                      maxCandidateFraction: Double = 0.25): DataFrame =
+    if (lshCandidateFraction(corpus, tables, planes, dims) >= maxCandidateFraction)
+      bruteForceTopKFor(queries, corpus, k)
+    else lshTopKFor(queries, corpus, k, tables, planes, dims)
+
   /** k-NN majority-vote label prediction — the classic application
     * query over a similarity index (label propagation / quality-tier
     * transfer across an embedded corpus): each vector takes the modal

@@ -78,6 +78,48 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybridRrfTopK: adaptive dense path fuses identically to exact at a pruning point") {
+    // tight orthogonal-axis clusters (the SkewIvfSpec fixture family):
+    // in-cluster dots ~0.99, cross ~0 — the regime where LSH prunes
+    // (candidate fraction < 0.25) AND its recall is 1 at 40x16 planes,
+    // so the engaged candidate branch must reproduce the exact blocked
+    // scan row-for-row, and the fused output must be bit-identical.
+    val vecs = (0 until 300).map { i =>
+      val v = Array.fill(16)(0.0)
+      v(i % 10) = 1.0
+      v(10 + i % 6) = 0.05 * (i % 3)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"w${i % 10} w${(i + 3) % 10} tail$i")).toDF("doc_id", "text")
+    val qd = docs.filter($"doc_id" % 50 === 0L)
+    val qv = vecs.filter($"vec_id" % 50 === 0L)
+    // same probe call the operator makes -> guarantees branch choice
+    val frac = Similarity.lshCandidateFraction(vecs, tables = 40, planes = 16, dims = 16)
+    assert(frac < 0.25, s"fixture must be in the pruning regime, got $frac")
+    // dense entry alone: engaged LSH branch == exact blocked scan
+    val adapt = Similarity.adaptiveTopKFor(qv, vecs, k = 5,
+        tables = 40, planes = 16, dims = 16)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val exact = Similarity.bruteForceTopKFor(qv, vecs, k = 5)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(adapt.nonEmpty && adapt == exact,
+      s"adaptive dense diverged: ${adapt.length} vs ${exact.length} rows")
+    // full fusion: LSH-engaged (maxCandidateFraction=0.25) vs exact-
+    // forced (maxCandidateFraction=0.0 -> fraction >= 0 always, so the
+    // guard takes the brute-force branch) must agree bit-for-bit
+    val fusedAdaptive = Retrieval.hybridRrfTopK(docs, vecs, qd, qv,
+        k = 5, kEach = 5, denseTables = 40, densePlanes = 16, denseDims = 16)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val fusedExact = Retrieval.hybridRrfTopK(docs, vecs, qd, qv,
+        k = 5, kEach = 5, denseTables = 40, densePlanes = 16, denseDims = 16,
+        maxCandidateFraction = 0.0)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(fusedAdaptive.nonEmpty && fusedAdaptive == fusedExact,
+      s"fusion diverged: ${fusedAdaptive.length} vs ${fusedExact.length} rows")
+  }
+
   test("dsirWeights: target-alike documents get higher weight; accounting exact") {
     // target = doc 1; doc 2 shares its bigrams, doc 3 shares none.
     val docs = Seq(
