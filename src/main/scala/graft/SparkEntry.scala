@@ -1996,8 +1996,12 @@ object SparkEntry {
     // q_ann_ivfpq_adaptive: same argument — default probes (60% of
     // lists) ≥ the 0.25 break-even unconditionally → exact scan.
     "q_ann_ivfpq_adaptive" -> AnnExactTop5Sql,
-    // q_ann_ivf_probe: no oracle by design — the engaged index path is
-    // approximate (recall ≥0.9 certified by q_ann_ivf_recall).
+    // The two ENGAGED index paths: approximate by design, but every
+    // stage is deterministic, so their sf0.01 rows are pinned VALUES
+    // constants of (corpus, params) — the SemanticOracle argument.
+    // Recall at other SFs stays certified by the companion gates.
+    "q_ann_ivf_probe" -> AnnIndexOracle.ivfProbeSql,
+    "q_ann_ivfpq" -> AnnIndexOracle.ivfPqSql,
 
     // Constant-shape oracles for the ANN recall gates: the Spark side
     // computes recall in-engine (over the deterministic 200-query
