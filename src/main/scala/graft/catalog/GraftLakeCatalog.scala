@@ -190,7 +190,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       evo.renames.toSeq.sortBy(_._1).foreach { case (l, ph) => rn.put(l, ph) }
       val dr = root.putArray("dropped")
       evo.dropped.foreach(dr.add)
-      Files.writeString(f, om.writeValueAsString(root)); ()
+      writeAtomic(f, om.writeValueAsString(root))
     }
   }
 
@@ -338,10 +338,30 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     *    retires its physical slot; files keep the bytes, readers never
     *    see them.
     *
-    * Type changes and property changes stay explicit unsupported
-    * errors: a type change requires rewriting data files (or a cast
-    * layer the plain parquet reader does not give us), which the lake
-    * layout declares immutable. */
+    *  - ALTER COLUMN TYPE supports WIDENING promotions only (the
+    *    Iceberg/Paimon evolution rules: TINYINT/SMALLINT/INT → BIGINT
+    *    along the integer ladder, FLOAT → DOUBLE, DECIMAL(p,s) →
+    *    DECIMAL(p′,s) with p′ > p and the scale fixed). Widening is
+    *    pure metadata over the immutable files: Spark 4's parquet
+    *    readers up-convert a narrower file type to the wider requested
+    *    type at scan time (SPARK-40876), so pre-evolution files —
+    *    including `VERSION/TIMESTAMP AS OF` snapshots — read under the
+    *    widened type with their data intact, and post-evolution writes
+    *    land the widened physical type (per-file widening keeps the
+    *    mixed directory readable). Narrowing / rescaling / unrelated
+    *    type changes stay explicit unsupported errors: they would
+    *    require rewriting data files, which the lake layout declares
+    *    immutable.
+    *
+    * Property changes stay explicit unsupported errors.
+    *
+    * Commit ordering: the evolution (mapping) sidecar is written BEFORE
+    * the schema sidecar, both via temp-file + atomic move — a crash
+    * between the two writes then leaves a mapping whose extra retired
+    * slots are merely conservative (loadTable treats mapping-without-
+    * matching-schema fields as inert), whereas the old schema-first
+    * order could expose a DROPPED column's physical slot to a later
+    * same-name ADD, resurrecting dead file data. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
@@ -360,8 +380,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     def physInUse: Set[String] =
       schema.fields.map(f => evo.renames.getOrElse(f.name, f.name)).toSet ++
         evo.dropped
+    // case-INSENSITIVE availability check, matching the collision
+    // checks below and Spark's default parquet name resolution — a
+    // case-sensitive lookup could hand out a slot that collides
+    // case-insensitively with a retired one, resurrecting dropped data
     def freshPhys(name: String): String =
-      Iterator.from(2).map(k => s"${name}__$k").find(!physInUse(_)).get
+      Iterator.from(2).map(k => s"${name}__$k")
+        .find(c => !physInUse.exists(_.equalsIgnoreCase(c))).get
     changes.foreach {
       case a: TableChange.AddColumn =>
         if (a.fieldNames.length != 1)
@@ -417,12 +442,62 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
           schema = org.apache.spark.sql.types.StructType(
             schema.fields.patch(idx, Nil, 1))
         }
+      case u: TableChange.UpdateColumnType =>
+        if (u.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: nested ALTER COLUMN TYPE is not supported")
+        val name = u.fieldNames.head
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        if (idx < 0) throw new IllegalArgumentException(
+          s"$catalogName: no such column $name")
+        val from = schema.fields(idx).dataType
+        if (!isWidening(from, u.newDataType))
+          throw new UnsupportedOperationException(
+            s"$catalogName: unsupported type change ${from.simpleString} -> " +
+              s"${u.newDataType.simpleString} for column $name; only widening " +
+              "promotions (TINYINT/SMALLINT/INT -> BIGINT ladder, FLOAT -> " +
+              "DOUBLE, DECIMAL(p,s) -> DECIMAL(p',s) with p' > p) evolve " +
+              "over immutable data files")
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.updated(idx,
+            schema.fields(idx).copy(dataType = u.newDataType)))
       case other => throw new UnsupportedOperationException(
-        s"$catalogName: only ADD/RENAME/DROP COLUMN evolution is supported " +
+        s"$catalogName: only ADD/RENAME/DROP COLUMN and widening " +
+          s"ALTER COLUMN TYPE evolution is supported " +
           s"(got ${other.getClass.getSimpleName}; data files are immutable)")
     }
-    Files.writeString(p.resolve(SchemaSidecar), schema.json)
+    // mapping BEFORE schema (see scaladoc: crash between the writes
+    // must err conservative), each via temp-file + atomic move
     writeEvolution(p, evo)
+    writeAtomic(p.resolve(SchemaSidecar), schema.json)
     loadTable(ident)
+  }
+
+  /** Iceberg-rule widening check: the integer ladder up to BIGINT,
+    * FLOAT → DOUBLE, and DECIMAL precision growth at fixed scale. Every
+    * promotion here is one Spark 4 parquet readers up-convert at scan
+    * time (SPARK-40876), which is what makes the evolution metadata-
+    * only; anything else would need a data rewrite. */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+                         to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision > f.precision && t.scale == f.scale
+      case _ => false
+    }
+  }
+
+  /** Write-then-atomic-move: readers never observe a torn sidecar. */
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE); ()
   }
 }

@@ -173,6 +173,96 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE: widening evolution is metadata-only over immutable files") {
+    val lake = Files.createTempDirectory("graft-lake-widen")
+    Files.createDirectories(lake.resolve("mart"))
+    spark.conf.set("spark.sql.catalog.lakew", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakew.path", lake.toString)
+    try {
+      spark.sql(
+        "CREATE TABLE lakew.mart.m (id INT, ratio FLOAT, price DECIMAL(5,2))")
+      spark.sql(
+        "INSERT INTO lakew.mart.m VALUES (1, CAST(0.5 AS FLOAT), 12.34), " +
+          "(2, CAST(1.5 AS FLOAT), 99.99)")
+      // widen all three: INT->BIGINT, FLOAT->DOUBLE, DECIMAL(5,2)->(12,2)
+      spark.sql("ALTER TABLE lakew.mart.m ALTER COLUMN id TYPE BIGINT")
+      spark.sql("ALTER TABLE lakew.mart.m ALTER COLUMN ratio TYPE DOUBLE")
+      spark.sql("ALTER TABLE lakew.mart.m ALTER COLUMN price TYPE DECIMAL(12,2)")
+      val t = spark.table("lakew.mart.m")
+      assert(t.schema.map(f => f.dataType.simpleString).toSeq ==
+        Seq("bigint", "double", "decimal(12,2)"), t.schema.treeString)
+      // pre-evolution files (INT32/FLOAT/short-decimal parquet) read
+      // under the widened types with values intact
+      val pre = t.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDecimal(2).toString))
+        .sortBy(_._1).toSeq
+      assert(pre == Seq((1L, 0.5, "12.34"), (2L, 1.5, "99.99")), pre.toString)
+      // post-evolution writes land the widened physical type and need
+      // the widened range; the mixed directory reads as one table
+      spark.sql(
+        "INSERT INTO lakew.mart.m VALUES (4294967296, 2.5, 1234567890.12)")
+      val all = spark.sql(
+        "SELECT sum(id) AS s, sum(price) AS p FROM lakew.mart.m").head()
+      assert(all.getLong(0) == 4294967299L)
+      assert(all.getDecimal(1).toString == "1234568002.45")
+      // widening composes with RENAME: the physical slot keeps its
+      // in-file name AND its in-file narrow type
+      spark.sql("ALTER TABLE lakew.mart.m RENAME COLUMN ratio TO weight")
+      spark.sql("ALTER TABLE lakew.mart.m ALTER COLUMN weight TYPE DOUBLE")
+      import org.apache.spark.sql.functions.col
+      assert(spark.table("lakew.mart.m").filter(col("weight") === 0.5)
+        .select(col("id")).head().getLong(0) == 1L)
+      // narrowing / rescaling / unrelated changes stay explicit errors
+      // (narrowing dies in Spark's own analyzer upcast check; the
+      // double->string case passes canUpCast and must hit the
+      // catalog's widening gate)
+      for (bad <- Seq("ALTER COLUMN id TYPE INT",
+          "ALTER COLUMN price TYPE DECIMAL(12,4)",
+          "ALTER COLUMN weight TYPE STRING")) {
+        val e = intercept[Exception] {
+          spark.sql(s"ALTER TABLE lakew.mart.m $bad") }
+        val m = e.getMessage.toLowerCase
+        assert(m.contains("unsupported") || m.contains("not supported"),
+          s"$bad: ${e.getMessage}")
+      }
+      spark.sql("DROP TABLE lakew.mart.m")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakew")
+      spark.conf.unset("spark.sql.catalog.lakew.path")
+    }
+  }
+
+  test("widened type applies to pre-evolution snapshots via time travel") {
+    val lake = Files.createTempDirectory("graft-lake-wtt")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lakewv", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakewv.path", lake.toString)
+    try {
+      import spark.implicits._
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/counts.parquet").toString)
+      store.write(Seq((1, 10), (2, 20)).toDF("id", "n"), version = 0)
+      store.write(Seq((1, 15), (2, 20), (3, 5)).toDF("id", "n"), version = 1)
+      spark.sql("ALTER TABLE lakewv.state.counts ALTER COLUMN n TYPE BIGINT")
+      // latest AND the pre-evolution snapshot read the widened type;
+      // SQL and Scala paths agree on both
+      assert(spark.table("lakewv.state.counts").schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val v0 = spark.sql(
+        "SELECT id, n FROM lakewv.state.counts VERSION AS OF 0")
+      assert(v0.schema("n").dataType == org.apache.spark.sql.types.LongType)
+      assert(v0.as[(Int, Long)].collect().sorted.toSeq ==
+        Seq((1, 10L), (2, 20L)))
+      assert(spark.sql("SELECT sum(n) FROM lakewv.state.counts")
+        .head().getLong(0) == 40L)
+      assert(spark.table("lakewv.state.counts")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 40L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakewv")
+      spark.conf.unset("spark.sql.catalog.lakewv.path")
+    }
+  }
+
   test("RENAME COLUMN applies to pre-evolution snapshots via time travel") {
     val lake = Files.createTempDirectory("graft-lake-rnv")
     Files.createDirectories(lake.resolve("state"))
