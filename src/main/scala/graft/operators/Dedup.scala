@@ -596,15 +596,59 @@ object Dedup {
                         bar: Double = 0.95, sampleQueries: Int = 200): DataFrame = {
     // approximate side driven over the sampled probe set only — same
     // pairs touching the sample as the full self-join (spec-asserted),
-    // at O(sample) probe cost
+    // at O(sample) probe cost.
+    //
+    // CANDIDATE-set identity: the intersection is measured against the
+    // raw LSH candidate pairs, NOT the verified output — recall only
+    // counts |approx ∩ exact|, and every exact pair (dot ≥ τ) that is
+    // a candidate passes [[verifyPairs]]'s exact-dot filter by
+    // definition, so verified ∩ exact == candidates ∩ exact EXACTLY
+    // (verification only removes false positives, which are outside
+    // the exact set). Same verdict, spec-pinned — and the gate skips
+    // the verify stage's id-fetch of vector arrays for the multi-
+    // million-row candidate set, which was 2/3 of its cost. The
+    // verify machinery stays driver-exercised through the composed
+    // dedup pipeline and the canon entries.
     val qids = embeddings
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(sampleQueries)
       .select(col("vec_id"))
-    pairRecallGate(embeddings,
-      embeddingNearDupFor(embeddings.join(broadcast(qids), "vec_id"),
-        embeddings, threshold),
-      threshold, bar, sampleQueries)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nQueries = qids.count()
+    val sampled = embeddings.join(broadcast(qids), "vec_id")
+    // the sample-restricted exact match set: BOUNDED (sample × the
+    // corpus's near-rate at τ — the very quantity the gate certifies;
+    // a τ where this explodes is a τ where the dedup operator itself
+    // is meaningless), so it collects like the ANN gates' sample×k
+    // sets. Membership is then tested PER EXACT PAIR: a pair is an
+    // LSH candidate iff its two vectors share a bucket in some table
+    // — a pure function of the pair's own buckets at the operator's
+    // wired point (24×3) — so only the ≤2·|exact| pair vectors ever
+    // get bucketed (id-pushdown scan), and no corpus-wide candidate
+    // stream (10⁷ rows at sf0.1) exists in the gate's plan at all.
+    val exactPairs = Similarity.thresholdPairsFor(sampled, embeddings, threshold)
+      .select(least(col("query_id"), col("cand_id")).as("a"),
+        greatest(col("query_id"), col("cand_id")).as("b"))
+      .distinct()
+      .as[(Long, Long)].collect()
+    val ok = if (exactPairs.isEmpty) true else {
+      val idSet = exactPairs.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+      val buckets: Map[Long, Array[Long]] = Similarity.lshBuckets(
+          embeddings.filter(col("vec_id").isin(idSet: _*)),
+          tables = 24, planes = 3)
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("table"), col("bucket"))))
+          .as("bs"))
+        .as[(Long, Seq[(Int, Long)])].collect()
+        .map { case (id, bs) => id -> bs.map(_._2).toArray }.toMap
+      val matched = exactPairs.count { case (a, b) =>
+        val (ba, bb) = (buckets(a), buckets(b))
+        ba.indices.exists(t => ba(t) == bb(t))
+      }
+      matched.toDouble / exactPairs.length >= bar
+    }
+    Seq((nQueries, ok)).toDF("n_queries", "recall_ok")
   }
 
   /** The gate body, generalized over WHICH approximate pair operator is
@@ -623,13 +667,21 @@ object Dedup {
       .select(least(col("query_id"), col("cand_id")).as("a"),
         greatest(col("query_id"), col("cand_id")).as("b"))
       .distinct()
-    val approx = approxPairs.select("a", "b")
-    val matched = exactPairs.join(approx, Seq("a", "b"), "left_semi")
-      .agg(count(lit(1)).cast("double").as("__matched"))
-    val total = exactPairs.agg(count(lit(1)).cast("double").as("__total"))
+    // one pass over the exact side: approx (a, b) rows are deduped, so
+    // the left join cannot multiply exact rows — count(*) is the total,
+    // count(__hit) the intersection. The former matched/total split
+    // referenced exactPairs from TWO aggregates, running its distinct
+    // shuffle (and a traversal of the blocked-scan partials) twice per
+    // gate evaluation.
+    val approx = approxPairs.select("a", "b").distinct()
+    val scored = exactPairs
+      .join(approx.withColumn("__hit", lit(1)), Seq("a", "b"), "left_outer")
+      .agg(count(lit(1)).cast("double").as("__total"),
+        count(col("__hit")).cast("double").as("__matched"))
     qids.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(matched).crossJoin(total)
+      .crossJoin(scored)
       .select(col("n_queries"),
+        // empty exact set -> 0/0 = NULL -> vacuously true (unchanged)
         coalesce(col("__matched") / col("__total") >= bar, lit(true))
           .as("recall_ok"))
   }

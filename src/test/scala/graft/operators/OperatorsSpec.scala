@@ -325,6 +325,19 @@ class OperatorsSpec extends SparkSpec {
     val gate = Dedup.nearDupRecallGate(emb, threshold = 0.4, bar = 0.95)
       .collect().head
     assert(gate.getBoolean(1), gate.toString)
+    // candidate-set identity (what lets the gate skip the verify
+    // stage): verified ∩ exact == candidates ∩ exact, because every
+    // exact pair that is a candidate survives the exact-dot verify by
+    // definition — so the candidate-measured gate verdict equals one
+    // measured against the fully-verified operator output
+    val qids = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(200).select(col("vec_id"))
+    val verifiedGate = Dedup.pairRecallGate(emb,
+      Dedup.embeddingNearDupFor(emb.join(broadcast(qids), "vec_id"), emb, 0.4),
+      threshold = 0.4, bar = 0.95)
+      .collect().head
+    assert(verifiedGate.getBoolean(1) == gate.getBoolean(1),
+      s"candidate-gate verdict diverged from verified-gate: $gate vs $verifiedGate")
   }
 
   test("hyperplane buckets: native pass equals per-plane sign arithmetic") {
