@@ -573,6 +573,16 @@ object SparkEntry {
     "q_multimodal_audio" -> ((s, dir) =>
       graft.operators.Multimodal.decodeAudioMeta(
         graft.operators.Multimodal.encodeWav(t(s, dir, "documents")))),
+    // REAL video decode (MJPEG within JDK limits): build a genuine
+    // multi-frame Motion-JPEG stream per document (16x8 gray tiles of
+    // the text bytes, each frame a real javax.imageio JPEG), split it
+    // back by walking the actual JPEG segment structure, and decode
+    // every frame. Frame count / geometry / decode success are exact
+    // functions of the text length -> direct SQL oracle; pixel
+    // fidelity (JPEG is lossy) is spec-certified with an error bound.
+    "q_multimodal_video" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeVideoMeta(
+        graft.operators.Multimodal.encodeMjpeg(t(s, dir, "documents")))),
     "q_multimodal_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.operators.Multimodal.sampleFrames(
@@ -2093,6 +2103,18 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS bits,
         |  CAST(length(text) AS BIGINT) AS n_frames, md5(text) AS pcm_md5
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Video (MJPEG) oracle: frame count = 16x8-byte tiles of the
+    // (pure-ASCII) text, every frame must decode (n_decoded ==
+    // n_frames) at the declared 16x8 gray geometry. Pixel values are
+    // lossy-JPEG and certified in MultimodalSpec, not here.
+    "q_multimodal_video" ->
+      """SELECT doc_id, CAST(length(text) // 128 AS BIGINT) AS n_frames,
+        |  CAST(length(text) // 128 AS BIGINT) AS n_decoded,
+        |  CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  true AS uniform_geometry
+        |FROM documents WHERE length(text) >= 128
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Byte-slicing on the VARCHAR is byte-exact here: the corpus is
     // pure ASCII (verified octet_length(encode(text)) = length(text)

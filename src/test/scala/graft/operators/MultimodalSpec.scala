@@ -194,6 +194,43 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should produce at least one near pair")
   }
 
+  test("encodeMjpeg → splitJpegFrames → decode: real MJPEG loop, frame-exact") {
+    import spark.implicits._
+    // 3 full 16x8 frames + a 37-byte tail that must not become a frame
+    val text = ("the quick brown fox jumps over the lazy dog " * 10).take(3 * 128 + 37)
+    val d = Seq(1L -> text, 2L -> "short").toDF("doc_id", "text")
+    val enc = Multimodal.encodeMjpeg(d).as[(Long, Array[Byte])].collect().toMap
+    assert(!enc.contains(2L), "sub-frame doc must drop")
+    val payload = enc(1L)
+    // the container really is concatenated JPEGs: split by segment
+    // walking finds exactly 3 complete frames, each independently
+    // decodable by the stock JDK reader at the declared geometry
+    val frames = Multimodal.VideoCodec.splitJpegFrames(payload)
+    assert(frames.length == 3, s"got ${frames.length} frames")
+    assert(frames.forall(f => (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8))
+    assert(frames.map(_.length).sum == payload.length, "split must cover the stream")
+    val bytes = text.getBytes("UTF-8")
+    frames.zipWithIndex.foreach { case (fb, i) =>
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      assert(im.getWidth == 16 && im.getHeight == 8 &&
+        im.getRaster.getNumBands == 1)
+      // JPEG is lossy but close on smooth ASCII data: certify pixel
+      // REALITY with a mean-absolute-error bound vs the source tile
+      val src = bytes.slice(i * 128, (i + 1) * 128).map(_ & 0xff)
+      val dec = Multimodal.ImageCodec.sampleBytes(im).map(_ & 0xff)
+      val mae = src.zip(dec).map { case (s, v) => math.abs(s - v) }.sum / 128.0
+      assert(mae <= 16.0, s"frame $i mean abs err $mae — decode not tracking source")
+    }
+    // the driver-facing pass agrees with the container ground truth
+    val meta = Multimodal.decodeVideoMeta(Multimodal.encodeMjpeg(d))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(meta.toSeq == Seq((1L, 3L, 3L, 16L, 8L, true)), meta.toSeq.toString)
+    // malformed tail: frames parsed so far survive, garbage drops
+    val truncated = java.util.Arrays.copyOf(payload, frames(0).length + 10)
+    assert(Multimodal.VideoCodec.splitJpegFrames(truncated).length == 1)
+    assert(Multimodal.VideoCodec.splitJpegFrames("not a video".getBytes).isEmpty)
+  }
+
   test("audioFingerprint: deterministic, duplicate-invariant, banded pairs == brute") {
     import spark.implicits._
     val base = ("pulse pulse quiet quiet PULSE PULSE silence silence " * 4)
