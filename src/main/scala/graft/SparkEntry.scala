@@ -760,8 +760,45 @@ object SparkEntry {
     "q_sql_pricing" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(PricingSql)
+    }),
+
+    // SQL entry point for the EXTENSION surface: the composed curation
+    // pipeline (normalized dedup -> quality scoring -> per-language
+    // budget pick) as ONE spark.sql text, reaching the engine's
+    // SQL-registered aggregator (graft_topk) the way a sql-client user
+    // would — the curation twin of q_sql_pricing's parity-surface
+    // check. The DataFrame-path plan identity is spec-pinned
+    // (RegistrySpec); the DuckDB oracle mirrors the budget stage with
+    // a rank window, the aggregator's documented equivalence.
+    "q_sql_curation" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.Registry.register(s)
+      s.sql(CurationSql)
     })
   )
+
+  /** The pure-SQL curation pipeline (Spark dialect): exact-normalized
+    * dedup keeps each digest's min doc_id; survivors score on the
+    * q_text_quality formula; each language keeps its top-8 docs by
+    * (quality desc, id asc) through the graft_topk UDAF — a doc-count
+    * budget. Tie order matches the oracle's rank window exactly. */
+  val CurationSql: String =
+    """WITH n AS (SELECT doc_id, lang, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')) AS norm
+      |  FROM documents),
+      |canon AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(norm)),
+      |t AS (SELECT n.doc_id, n.lang, split(n.text, ' ') AS toks
+      |  FROM n JOIN canon USING (doc_id)),
+      |qual AS (SELECT doc_id, lang,
+      |    CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) * 0.5
+      |      + CAST(size(filter(toks, x -> array_contains(array('the','a','of','and','to','in','is','it'), x))) AS DOUBLE) / size(toks) * 0.2
+      |      + least(1.0, CAST(size(toks) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+      |  FROM t),
+      |top AS (SELECT lang, graft_topk(doc_id, quality_score, 8) AS picks
+      |  FROM qual GROUP BY lang)
+      |SELECT lang, CAST(pos + 1 AS BIGINT) AS rnk,
+      |  pick._1 AS doc_id, pick._2 AS quality_score
+      |FROM top LATERAL VIEW posexplode(picks) x AS pos, pick""".stripMargin
 
   /** ROLLUP grouping sets — same text both engines. Money/quantity
     * columns are summed as integer cents (`ROUND(x*100) AS BIGINT`):
@@ -2127,6 +2164,28 @@ object SparkEntry {
         |FROM f WHERE i % 4 = 0 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_sql_pricing" -> PricingSql,
+
+    // The SQL-surface curation pipeline: same normalize/dedup/quality
+    // chain in DuckDB dialect; the graft_topk budget stage mirrors as
+    // a rank window with the aggregator's exact (score desc, id asc)
+    // tie order.
+    "q_sql_curation" ->
+      """WITH n AS (SELECT doc_id, lang, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(norm)),
+        |t AS (SELECT n.doc_id, n.lang, string_split(n.text, ' ') AS toks
+        |  FROM n JOIN canon USING (doc_id)),
+        |qual AS (SELECT doc_id, lang,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+        |      + CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toks) * 0.2
+        |      + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3 AS quality_score
+        |  FROM t),
+        |r AS (SELECT lang, doc_id, quality_score,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk FROM qual)
+        |SELECT lang, rnk, doc_id, quality_score FROM r WHERE rnk <= 8
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_set_ops" -> SetOpsSql,
 

@@ -88,4 +88,51 @@ class RegistrySpec extends SparkSpec {
     assert(spark.sql("SELECT graft_word_shingles(text, 1 + 2) FROM cfg")
       .as[Seq[String]].head() == Seq("a b c", "b c d"))
   }
+
+  test("q_sql_curation: SQL text and DataFrame path agree row-exact, plan-identical") {
+    import org.apache.spark.sql.functions._
+    Registry.register(spark)
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat and the dog ran off!"),
+      (2L, "en", "the cat sat on the mat and the dog ran off?"),  // dup of 1 normalized
+      (3L, "en", "a completely different tale of two cities in winter"),
+      (4L, "es", "el perro y el gato en la casa de la abuela"),
+      (5L, "es", "los ninos juegan en el parque que esta cerca"),
+      (6L, "en", "it is a truth universally acknowledged that a single man"),
+      (7L, "en", "short one"))
+      .toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("documents")
+    val sqlOut = spark.sql(graft.SparkEntry.CurationSql)
+    val df = {
+      val n = docs.select(col("doc_id"), col("lang"), col("text"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"))
+      val canon = n.groupBy(md5(col("norm"))).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val t = n.join(canon, "doc_id")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      val qual = t.select(col("doc_id"), col("lang"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")) * 0.5
+          + size(filter(col("toks"), x => array_contains(
+              array(Seq("the","a","of","and","to","in","is","it").map(lit): _*), x)))
+            .cast("double") / size(col("toks")) * 0.2
+          + least(lit(1.0), size(col("toks")).cast("double") / 100.0) * 0.3)
+          .as("quality_score"))
+      val top = qual.groupBy("lang")
+        .agg(TopKAggregator.topK(8)(col("doc_id"), col("quality_score")).as("picks"))
+      top.select(col("lang"), posexplode(col("picks")).as(Seq("pos", "pick")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("pick._1").as("doc_id"), col("pick._2").as("quality_score"))
+    }
+    val a = sqlOut.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a.nonEmpty && a == b, s"SQL vs DataFrame rows diverged:\n$a\n$b")
+    // normalized dedup really deduped (doc 2 is doc 1 modulo punctuation)
+    assert(!a.exists(_(2) == 2L), "normalized duplicate leaked through canon")
+    // plan identity: same physical operator skeleton from both entries
+    def skeleton(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
+    assert(skeleton(sqlOut) == skeleton(df),
+      s"plan skeletons diverged:\n${skeleton(sqlOut)}\n${skeleton(df)}")
+  }
 }
