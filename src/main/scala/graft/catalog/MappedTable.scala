@@ -45,7 +45,19 @@ private[catalog] final class MappedTable(
 
   override def name(): String = inner.name()
   override def schema(): StructType = logical
-  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  // streaming capabilities are FILTERED, not forwarded: the rename
+  // indirection translates only the batch scan (MappedScan forwards
+  // toBatch alone), so advertising MICRO_BATCH/CONTINUOUS_READ would
+  // turn a streaming read of a renamed table into a mid-planning
+  // UnsupportedOperationException from Scan's default
+  // toMicroBatchStream — dropping the capability makes it an upfront
+  // "table does not support streaming" analysis error instead
+  override def capabilities(): util.Set[TableCapability] = {
+    val c = new util.HashSet[TableCapability](inner.capabilities())
+    c.remove(TableCapability.MICRO_BATCH_READ)
+    c.remove(TableCapability.CONTINUOUS_READ)
+    c
+  }
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def properties(): util.Map[String, String] = inner.properties()
 

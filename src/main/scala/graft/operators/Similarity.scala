@@ -126,8 +126,17 @@ object Similarity {
     * one per block); both release before return. Lineage-cut partials
     * trade recompute-on-executor-loss for the destroyed broadcast —
     * the right trade, since a destroyed broadcast makes recompute
-    * impossible anyway, and partials are bounded (Q·k or the match
-    * set) while blocks are not. */
+    * impossible anyway.
+    *
+    * Storage contract: before returning, the per-block partial
+    * checkpoints are folded into ONE result checkpoint and RELEASED
+    * (`GraftBridge.checkpointRdd(…).unpersist()` — `Dataset.unpersist`
+    * cannot reach checkpoint storage), so the call leaves exactly one
+    * pinned dataset: the result itself, bounded by Q·k for the top-k
+    * folds and by the match set for [[thresholdPairsFor]] (callers
+    * bound that by their threshold choice; the gates drive it
+    * sample-restricted). Transient peak during the fold is 2× the
+    * result — spillable MEMORY_AND_DISK, never the corpus. */
   private def blockedScan(queries: DataFrame, corpus: DataFrame, blockRows: Int)(
       perQuery: (Long, Array[Double], Array[(Long, Array[Double])]) => Iterator[(Long, Long, Double)])
       : DataFrame = {
@@ -150,7 +159,7 @@ object Similarity {
       // (the old grouped() path produced ZERO blocks on empty input and
       // reduce threw)
       val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
-      (0 until nBlocks).iterator.map { b =>
+      val partials = (0 until nBlocks).map { b =>
         val block = vecs.filter(pmod(xxhash64(col("vec_id")), lit(nBlocks)) === b).collect()
         val bc = spark.sparkContext.broadcast(block)
         try {
@@ -159,7 +168,12 @@ object Similarity {
             it.flatMap { case (qid, q) => perQuery(qid, q, cand) }
           }.toDF("query_id", "cand_id", "score").localCheckpoint(true)
         } finally bc.destroy()
-      }.reduce(_ union _)
+      }
+      if (partials.length == 1) partials.head
+      else try partials.reduce(_ union _).localCheckpoint(true)
+      finally partials.foreach(p =>
+        org.apache.spark.sql.GraftBridge.checkpointRdd(p)
+          .foreach(_.unpersist(blocking = false)))
     } finally { qvecs.unpersist(); if (!selfScan) vecs.unpersist(); () }
   }
 

@@ -12,4 +12,18 @@ object GraftBridge {
 
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** The persisted RDD behind a `localCheckpoint`ed Dataset, if any —
+    * the handle needed to RELEASE checkpoint storage explicitly
+    * (`rdd.unpersist()`): `Dataset.unpersist` only touches
+    * CacheManager-registered plans, which a checkpoint is not, so
+    * without this the storage lives until driver-side RDD GC. */
+  def checkpointRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df match {
+      case d: classic.Dataset[_] => d.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
+      case _ => None
+    }
 }
