@@ -529,6 +529,35 @@ object SparkEntry {
           } finally idx.close()
         })),
 
+    // Graph ANN (sharded small-world graphs, the HNSW family): per-
+    // shard graphs built in one mapPartitions pass, queries fan out to
+    // every shard and merge through the bounded top-k heap. Every
+    // stage is deterministic (hash sharding, ascending-id insertion,
+    // strict (score desc, id asc) beam ordering), so the sf0.01 rows
+    // pin as a VALUES oracle exactly like the IVF/PQ engaged paths; at
+    // census SFs the shards are smaller than efSearch, making the
+    // beam search exhaustive per shard and the merged result the
+    // exact top-k the oracle also derives.
+    "q_ann_hnsw" -> ((s, dir) =>
+      graft.operators.HnswIndex.topK(t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    // The HNSW recall gate (same protocol as the LSH/IVF/PQ gates):
+    // sampled queries, exact reference, ≥0.9 bar.
+    "q_ann_hnsw_recall" -> ((s, dir) =>
+      Similarity.recallVsExactFor(t(s, dir, "embeddings"), k = 5, bar = 0.9)(
+        (q, c) => graft.operators.HnswIndex.topKFor(q, c, k = 5))),
+
+    // Corpus clustering as a user surface (k-means hard assignment —
+    // the SemDeDup/IVF quantizer exposed directly): (vec_id, cluster)
+    // for every vector. Deterministic (fitCached centroids, lowest-
+    // index nearest ties) → pinned VALUES oracle at sf0.01.
+    "q_cluster_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.IvfIndex.assign(
+          e, graft.operators.IvfIndex.fitCached(e))
+        .select(col("vec_id"), col("cluster").cast("bigint").as("cluster"))
+    }),
+
     // Multimodal: binary payload column metadata pass (decode path is
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
     "q_multimodal_meta" -> ((s, dir) =>
@@ -624,6 +653,24 @@ object SparkEntry {
     // Pre-join salting decision report: per-key count histogram.
     "q_key_skew" -> ((s, dir) =>
       EventOps.keySkewProfile(t(s, dir, "events"), "user_id")),
+    // The salted fact⋈dim join itself (what q_key_skew's report
+    // decides FOR): events fan 10000 rows over 150 hot user keys, the
+    // salt spreads each hot key over 8 reducers, and the result is the
+    // plain join's exact multiset (SkewIvfSpec pins the equality law)
+    // — so the oracle is the unsalted SQL join. Sums run in exact
+    // decimal (order-insensitive), presented as double.
+    "q_skew_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "events"),
+          Projections.users(t(s, dir, "customer")), "user_id")
+        .groupBy("full_name")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("total_value"))
+    }),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -2049,6 +2096,13 @@ object SparkEntry {
     // Recall at other SFs stays certified by the companion gates.
     "q_ann_ivf_probe" -> AnnIndexOracle.ivfProbeSql,
     "q_ann_ivfpq" -> AnnIndexOracle.ivfPqSql,
+    // Graph ANN: deterministic end-to-end (see rawOps comment), and at
+    // sf0.01 the beam search is exhaustive per shard — the pinned rows
+    // equal the exact top-5, verified by back-to-back dumps.
+    "q_ann_hnsw" -> HnswOracle.topKSql,
+    // k-means hard assignment: pinned VALUES of the deterministic
+    // (vec_id, cluster) map at sf0.01.
+    "q_cluster_assign" -> HnswOracle.clusterAssignSql,
 
     // Constant-shape oracles for the ANN recall gates: the Spark side
     // computes recall in-engine (over the deterministic 200-query
@@ -2060,6 +2114,10 @@ object SparkEntry {
         |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
     "q_ann_ivf_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k,
+        |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
+        |  true AS recall_ok""".stripMargin,
+    "q_ann_hnsw_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k,
         |  least(200, (SELECT count(*) FROM embeddings)) AS n_queries,
         |  true AS recall_ok""".stripMargin,
@@ -2273,6 +2331,16 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS n_rows,
         |  CAST(max(c) AS BIGINT) AS max_key_count
         |FROM c GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The salted join's result is the plain join's exact multiset
+    // (spec-pinned law), so the oracle is the unsalted formulation.
+    "q_skew_join" ->
+      """SELECT c.c_mktsegment AS full_name,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -33,29 +33,40 @@ object Registry {
           s"(got non-constant expression: ${other.sql})")
     }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_word_shingles",
-      exprs => WordShingles(exprs(0),
-        intArg("graft_word_shingles", exprs, 1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHash64(exprs(0),
-        intArg("graft_simhash", exprs, 1, default = Some(60))), "built-in")
-    reg.createOrReplaceTempFunction("graft_winnow",
-      exprs => WinnowFingerprints(exprs(0),
+  /** The native-expression builders, named — the single source of
+    * truth shared by the runtime [[register]] path and the config-time
+    * [[graft.GraftExtensions]] injection path
+    * (`spark.sql.extensions=graft.GraftExtensions`), so the two entry
+    * points cannot drift. */
+  private[graft] val expressionBuilders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" ->
+      ((exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    "graft_word_shingles" ->
+      ((exprs: Seq[Expression]) => WordShingles(exprs(0),
+        intArg("graft_word_shingles", exprs, 1))),
+    "graft_simhash" ->
+      ((exprs: Seq[Expression]) => SimHash64(exprs(0),
+        intArg("graft_simhash", exprs, 1, default = Some(60)))),
+    "graft_winnow" ->
+      ((exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
         intArg("graft_winnow", exprs, 1),
-        intArg("graft_winnow", exprs, 2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_hyperplane_buckets",
-      exprs => HyperplaneBuckets(exprs(0),
+        intArg("graft_winnow", exprs, 2))),
+    "graft_hyperplane_buckets" ->
+      ((exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
         intArg("graft_hyperplane_buckets", exprs, 1),
         intArg("graft_hyperplane_buckets", exprs, 2),
-        intArg("graft_hyperplane_buckets", exprs, 3)), "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_adc",
-      exprs => PqAdc(exprs(0), exprs(1),
+        intArg("graft_hyperplane_buckets", exprs, 3))),
+    "graft_pq_adc" ->
+      ((exprs: Seq[Expression]) => PqAdc(exprs(0), exprs(1),
         intArg("graft_pq_adc", exprs, 2, default = Some(16)),
-        intArg("graft_pq_adc", exprs, 3, default = Some(16))), "built-in")
+        intArg("graft_pq_adc", exprs, 3, default = Some(16)))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    expressionBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     // The two engine UDAFs, for the SQL entry point (reference EP1 is a
     // SQL client): capacity k rides as a trailing literal argument —
     // a registered UDAF is construction-fixed, so config arrives as
