@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.operators.{Dedup, EventOps, Projections, Revenue, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, Ids, Layout, Projections, Revenue, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -224,6 +224,21 @@ object SparkEntry {
     // threshold (reshuffle-proof; a rand() split is not).
     "q_split_assign" -> ((s, dir) =>
       TextOps.splitAssign(t(s, dir, "documents"))),
+    // Deterministic contiguous 0..N-1 corpus ids by md5-permutation
+    // rank — two-phase range-exchange rank, no single-reducer window.
+    "q_assign_ids" -> ((s, dir) =>
+      Ids.documentIds(t(s, dir, "documents"))),
+    // Z-order (Morton) codes over the lake scan's two predicate
+    // dims — the write-side file-clustering op; pruning win is
+    // LayoutSpec-pinned, codes are integer-exact in both engines.
+    "q_zorder" -> ((s, dir) =>
+      Layout.ordersZorder(t(s, dir, "orders"))),
+    // Exact-integer PageRank (3 rounds) over the bidirectional
+    // customer↔supplier purchase graph — iterate-join-aggregate in
+    // native shuffle shapes, oracle unrolled from the same recurrence.
+    "q_pagerank" -> ((s, dir) =>
+      graft.operators.GraphOps.purchasePageRank(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // CCNet-style segment-level dedup (boilerplate removal): drop
     // every 20-word segment whose exact content recurs across ≥2
     // distinct documents, reassemble survivors in order.
@@ -1707,6 +1722,28 @@ object SparkEntry {
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextOps.hexThreshold(0.8)}' THEN 'train'
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextOps.hexThreshold(0.9)}' THEN 'validation'
         |       ELSE 'test' END AS split
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Morton interleave as pure bit arithmetic — the SAME
+    // (shift, mask) ladder string the Column form folds, emitted by
+    // Layout.mortonSql so both engines share one definition.
+    "q_zorder" ->
+      s"""SELECT o_orderkey,
+        |  CAST((o_custkey & 65535) AS BIGINT) AS zx,
+        |  CAST(((CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) & 65535) AS BIGINT) AS zy,
+        |  CAST(${Layout.mortonSql("o_custkey",
+             "CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400")} AS BIGINT) AS zcode
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_pagerank" ->
+      graft.operators.GraphOps.purchasePageRankSql(),
+
+    // Global-sort rank: the oracle states the SEMANTICS (one global
+    // row_number) that the two-phase scale path must reproduce.
+    "q_assign_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |    AS assigned_id
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_dedup_stats" ->

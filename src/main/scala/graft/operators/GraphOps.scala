@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis over relational edge lists — PageRank as
+  * the representative: the corpus-curation "importance" signal (rank
+  * documents/sources by who links/duplicates/cites whom) and the
+  * canonical iterate-join-aggregate workload a 100 TB engine must run
+  * without a graph framework (each iteration is one equi-join on the
+  * edge source + one groupBy on the destination — exactly Spark's
+  * native shuffle shapes; the reference's star schema supplies the
+  * bipartite purchase graph, `revenue-analytics.sql:62-63`'s join
+  * key pair).
+  *
+  * Arithmetic is EXACT integers end to end (mass in micro-units,
+  * floor division for the out-degree split and the damping factor),
+  * so a fixed iteration count is deterministic and bit-identical to
+  * the SQL oracle's unrolled form — the same engine-portability
+  * discipline as the fluency/DSIR operators' integer-mass chains.
+  *
+  * Scale shape: the edge⋈degree side is computed once, persisted,
+  * and reused across iterations (at 100 TB it is the big stable
+  * relation; ranks are |nodes| rows). Each iteration's state is one
+  * (node, mass) table; no driver-side graph state at any size.
+  * Dangling nodes keep only their teleport share (their mass is not
+  * redistributed — the standard simplification; documented, and the
+  * driver graph is bidirectional so none exist there).
+  */
+object GraphOps {
+
+  /** `iters` exact-integer PageRank rounds over directed `edges`
+    * (`src`, `dst`). Returns (node, mass) with mass in micro-units
+    * of `base`. Damping 0.85 as (85·x) div 100; teleport
+    * (15·base) div 100 per node per round. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               base: Long = 1000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesDeg = edges.join(deg, "src").persist()
+    val teleport = 15L * base / 100L
+    var ranks = nodes.withColumn("mass", lit(base))
+    for (_ <- 1 to iters) {
+      val incoming = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("mass div out_deg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("inc"))
+      ranks = nodes.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"(85 * coalesce(inc, 0L)) div 100")).as("mass"))
+    }
+    // materialize off the iterative lineage, then release the edges
+    val out = ranks.localCheckpoint(true)
+    edgesDeg.unpersist()
+    out
+  }
+
+  /** Driver graph: the bipartite customer↔supplier purchase graph
+    * from orders⋈lineitem (both directions, so the walk mixes and no
+    * node dangles); node ids disambiguated as key·10+1 / key·10+2. */
+  def purchaseGraph(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 10 + 1).as("c"),
+        (col("l_suppkey") * 10 + 2).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** Driver query: 3 PageRank rounds over the purchase graph —
+    * supplier/customer importance in exact micro-units. */
+  def purchasePageRank(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    pageRank(purchaseGraph(orders, lineitem), iters = 3)
+
+  /** The oracle: the SAME recurrence unrolled to ANSI SQL CTEs (one
+    * generator, so the two engines can't drift). DuckDB `//` is floor
+    * division ≡ Spark `div` on the positive masses here; SUM widens
+    * to HUGEINT in DuckDB, cast back at each step. */
+  def purchasePageRankSql(iters: Int = 3, base: Long = 1000000L): String = {
+    val teleport = 15L * base / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(SUM(r.mass // d.out_deg) AS BIGINT) AS inc
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST($teleport + (85 * COALESCE(c.inc, 0)) // 100 AS BIGINT) AS mass
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 10 + 1 AS c,
+       |    l_suppkey * 10 + 2 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST($base AS BIGINT) AS mass FROM nodes),
+       |$rounds
+       |SELECT node, mass FROM r$iters ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+}

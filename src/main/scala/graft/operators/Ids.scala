@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic contiguous global-id assignment — the "give every
+  * document a stable 0..N-1 id" step a training-data pipeline needs
+  * before sharding, packing, or split bookkeeping (the reference keys
+  * everything on generator-assigned serial PKs, `gen_data.py:60-75`;
+  * at corpus scale ids must be DERIVED from content order instead).
+  *
+  * The naive form — `row_number() OVER (ORDER BY key)` with no
+  * partition clause — funnels every row through ONE window reducer: a
+  * non-starter at 100 TB. The scale path here is the classic two-phase
+  * rank: range-repartition on the key (Spark's range exchange samples
+  * boundaries, so partitions hold disjoint ordered key ranges), take a
+  * per-partition `row_number` (each window group IS one bounded
+  * partition — ~N/parts rows, never N), then add per-partition prefix
+  * offsets computed from a parts-row count table (driver-side,
+  * `parts` entries). Output ids equal the global-sort rank exactly,
+  * independent of where the sampled range boundaries fall, PROVIDED
+  * the sort key is a total order (callers pass a unique tie-break —
+  * here md5(id)||id, the engine's standard deterministic shuffle
+  * key). No single-reducer stage anywhere.
+  */
+object Ids {
+
+  /** Assign contiguous ids 0..N-1 in ascending `keys` order (keys must
+    * be a total order — include a unique tie-break column). Two-phase:
+    * range exchange → per-partition row_number → +prefix offset. */
+  def assignIds(df: DataFrame, keys: Seq[Column], idCol: String,
+                parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    // Window partitioned on _pid: the exchange hashes ~parts groups of
+    // ~N/parts rows each — bounded per-reducer state, unlike the
+    // empty-partition global window.
+    val w = Window.partitionBy(col("_pid")).orderBy(keys: _*)
+    val local = ranged.withColumn("_local", row_number().over(w) - lit(1))
+    // Prefix offsets: `parts` rows through the driver — O(parts),
+    // corpus-size-independent.
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.tail.zip(counts).map { case ((pid, end), (_, n)) => (pid, end - n) }
+    val offsetDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("_pid", "_offset")
+    local.join(broadcast(offsetDf), "_pid")
+      .withColumn(idCol, col("_offset") + col("_local"))
+      .drop("_pid", "_local", "_offset")
+  }
+
+  /** Reference form: the single-reducer global window. Equality with
+    * [[assignIds]] is spec-pinned; exists for the spec and for small
+    * inputs, never the wired scale path. */
+  def assignIdsGlobalWindow(df: DataFrame, keys: Seq[Column],
+                            idCol: String): DataFrame =
+    df.withColumn(idCol,
+      row_number().over(Window.orderBy(keys: _*)) - lit(1))
+
+  /** Driver query: stable corpus ids for `documents`, ordered by the
+    * engine's standard deterministic pseudo-random key md5(doc_id)
+    * with doc_id as unique tie-break — i.e. a reshuffle-proof random
+    * permutation id, the shard-assignment precursor. */
+  def documentIds(documents: DataFrame): DataFrame =
+    assignIds(documents,
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        "assigned_id")
+      .select(col("doc_id"), col("assigned_id"))
+}

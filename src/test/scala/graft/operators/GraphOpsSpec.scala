@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PageRank: exact equality with an in-memory integer reference on
+  * random graphs, stationarity on symmetric cycles, hand-computed
+  * star values, teleport floor for dangling-only nodes. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory mirror of the operator's exact integer recurrence. */
+  private def refRank(edges: Seq[(Long, Long)], iters: Int,
+                      base: Long = 1000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var mass = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val inc = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => mass(s) / deg(s) }.sum
+      }
+      mass = nodes.map(n => n -> (15L * base / 100L +
+        85L * inc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    mass
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int) =
+    GraphOps.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("random directed graphs match the in-memory integer reference") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      assert(run(edges, 3) == refRank(edges, 3))
+    }
+  }
+
+  test("symmetric cycle is stationary at base mass") {
+    val cyc = Seq[(Long, Long)](1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assert(run(cyc, 4).values.toSet == Set(1000000L))
+  }
+
+  test("star: hand-computed one-round values") {
+    // center 0 <-> leaves 1,2,3 (bidirectional)
+    val edges = (1L to 3L).flatMap(l => Seq(0L -> l, l -> 0L))
+    val r = run(edges, 1)
+    assert(r(0L) == 150000L + 85L * 3000000L / 100L)      // 2,700,000
+    assert(r(1L) == 150000L + 85L * (1000000L / 3L) / 100L) // 433,333
+  }
+
+  test("node with no in-edges keeps only teleport mass") {
+    val r = run(Seq(7L -> 8L), 2)
+    assert(r(7L) == 150000L)
+  }
+
+  test("purchase graph is bidirectional and namespaced") {
+    val orders = Seq((1L, 10L), (2L, 11L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 500L), (2L, 500L)).toDF("l_orderkey", "l_suppkey")
+    val e = GraphOps.purchaseGraph(orders, li)
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((101L, 5002L), (111L, 5002L), (5002L, 101L), (5002L, 111L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Two-phase global-id assignment: equality with the single-reducer
+  * window reference, contiguity, and reshuffle determinism. */
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (1 to n).map(i => (i.toLong * 7 % 1000, s"doc $i")).toDF("k", "body")
+      // duplicate k values on purpose: the caller must tie-break
+      .withColumn("uniq", monotonically_increasing_id())
+
+  test("two-phase ids == single-window reference, contiguous 0..N-1") {
+    val df = corpus(500)
+    val keys = Seq(col("k"), col("uniq"))
+    val fast = Ids.assignIds(df, keys, "id", parts = 8)
+      .select(col("uniq"), col("id")).as[(Long, Long)].collect().toMap
+    val ref = Ids.assignIdsGlobalWindow(df, keys, "id")
+      .select(col("uniq"), col("id")).as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+    assert(fast.values.toSeq.sorted == (0L until 500L))
+  }
+
+  test("ids are input-partitioning invariant") {
+    val df = corpus(300)
+    val keys = Seq(col("k"), col("uniq"))
+    val a = Ids.assignIds(df.repartition(3), keys, "id", parts = 5)
+      .select(col("uniq"), col("id")).as[(Long, Long)].collect().toMap
+    val b = Ids.assignIds(df.repartition(11), keys, "id", parts = 5)
+      .select(col("uniq"), col("id")).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("more partitions than rows: still contiguous") {
+    val df = corpus(5)
+    val out = Ids.assignIds(df, Seq(col("uniq")), "id", parts = 16)
+      .select(col("id")).as[Long].collect().sorted
+    assert(out.toSeq == (0L until 5L))
+  }
+
+  test("documentIds is the md5-permutation rank") {
+    val docs = (1L to 50L).map(i => (i, s"t$i", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Ids.documentIds(docs)
+      .as[(Long, Long)].collect().toMap
+    val expect = (1L to 50L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .zipWithIndex.map { case (d, r) => d -> r.toLong }.toMap
+    assert(got == expect)
+  }
+}
