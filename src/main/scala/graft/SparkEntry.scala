@@ -438,6 +438,15 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    // Metadata-filtered vector search: selectivity probe picks the
+    // pre-filter exact scan here (label%3=0 keeps ~42% ≤ the 0.5
+    // bar), so the entry carries a full filtered SQL oracle; the
+    // post-filter over-fetch branch is spec-pinned equal.
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.filteredTopKFor(e, e, col("label") % 3 === 0, k = 5)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))
+    }),
     // Adaptive LSH ANN entry — the _adaptive suffix says what the label
     // measures: a cheap bucket-occupancy probe picks between the LSH
     // path and the exact blocked scan, and on THIS weakly-clustered
@@ -2112,6 +2121,17 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ann_bruteforce" -> AnnExactTop5Sql,
+    // Filtered search: the same exact top-5, corpus restricted by the
+    // predicate (queries unrestricted).
+    "q_ann_filtered" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |  FROM embeddings q JOIN embeddings c
+        |  ON q.vec_id <> c.vec_id AND c.label % 3 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, score FROM r WHERE rnk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // The adaptive ANN entries take the exact blocked scan on this
     // corpus (q_ann_lsh_adaptive: the measured candidate fraction

@@ -268,6 +268,34 @@ object HnswIndex {
     } finally { q.unpersist(); () }
   }
 
+  /** Persist the built graph to the plain-parquet lake layout —
+    * build-once/query-many across sessions, the [[IvfIndex.save]] /
+    * [[PqIndex.save]] contract. The adjacency is stored row-wise
+    * (`shard, vec_id, v, nbrs`); shard-locality is NOT a property of
+    * the files, it is restored by [[load]]'s hash repartition. */
+  def save(index: Index, dir: String): Unit = {
+    val spark = index.graph.sparkSession
+    import spark.implicits._
+    index.graph.write.mode("overwrite").parquet(s"$dir/graph")
+    Seq((index.nShards, index.m)).toDF("n_shards", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a saved graph: hash-repartition on `shard` puts every shard
+    * wholly inside one partition (several shards may share one — the
+    * query path groups by shard within a partition, so that is the
+    * same locality contract the build emits). Loaded index answers
+    * identically to the pre-save one (spec-pinned). */
+  def load(spark: SparkSession, dir: String): Index = {
+    import spark.implicits._
+    val (nShards, m) =
+      spark.read.parquet(s"$dir/meta").as[(Int, Int)].head()
+    val graph = spark.read.parquet(s"$dir/graph")
+      .repartition(nShards, col("shard")).persist()
+    graph.count()
+    Index(graph, nShards, m)
+  }
+
   /** Convenience self-ANN (build + query + eager materialize + close)
     * — the [[IvfIndex.topK]] lifecycle contract: no persisted graph or
     * checkpoint outlives the call beyond the bounded corpus×k result. */

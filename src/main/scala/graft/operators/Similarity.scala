@@ -342,6 +342,60 @@ object Similarity {
       bruteForceTopKFor(queries, corpus, k)
     else lshTopKFor(queries, corpus, k, tables, planes, dims)
 
+  /** Metadata-filtered vector search — top-k among corpus rows
+    * satisfying `pred` (the vector-DB "filtered search" surface:
+    * lang/source/label constraints on ANN answers). Strategy picked by
+    * a one-agg selectivity probe, the family's break-even discipline:
+    *
+    *  - PRE-FILTER (selective predicate, sel ≤
+    *    `preFilterMaxSelectivity`): exact blocked scan over just the
+    *    filtered subset — cost Q·sel·N dots, optimal as sel → 0.
+    *  - POST-FILTER (permissive predicate): the full corpus answers
+    *    through [[adaptiveTopKFor]] with over-fetch ⌈k/sel⌉+k, then
+    *    surviving neighbors re-rank; queries left with <k survivors
+    *    re-scan the filtered subset exactly. When the candidate list
+    *    is exact (the adaptive entry's break-even fallback — this
+    *    testdata's regime), ≥k survivors inside the over-fetch IS the
+    *    exact filtered top-k: any filtered row outside the list
+    *    scores at or below the list's cutoff, hence below the k-th
+    *    survivor. Starved queries take the exact path, so the whole
+    *    branch is exact in that regime; in an engaged-index regime it
+    *    inherits the entry's certified-recall semantics.
+    *
+    * Both branches emit (query_id, rank, neighbor_id, score) in the
+    * family's deterministic (score desc, id asc) order. */
+  def filteredTopKFor(queries: DataFrame, corpus: DataFrame, pred: Column,
+                      k: Int = 5, preFilterMaxSelectivity: Double = 0.5,
+                      tables: Int = 40, planes: Int = 5, dims: Int = 64,
+                      maxCandidateFraction: Double = 0.25): DataFrame = {
+    val filtered = corpus.filter(pred)
+    val total = corpus.count()
+    val kept = filtered.count()
+    if (total == 0L || kept <= k.toLong ||
+        kept.toDouble / total <= preFilterMaxSelectivity)
+      bruteForceTopKFor(queries, filtered, k)
+    else {
+      val sel = kept.toDouble / total
+      val kOver = math.min(kept, math.ceil(k / sel).toLong + k).toInt
+      val cands = adaptiveTopKFor(queries, corpus, kOver,
+        tables, planes, dims, maxCandidateFraction)
+      val surv = cands
+        .join(filtered.select(col("vec_id").as("neighbor_id")), "neighbor_id")
+        .select("query_id", "neighbor_id", "score")
+      val ranked = rankTopK(surv, k).localCheckpoint(true)
+      val satisfied = ranked.groupBy("query_id")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= k)
+        .select("query_id")
+      val okRows = ranked.join(satisfied, "query_id")
+      val starvedQs = queries.join(
+        satisfied.withColumnRenamed("query_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+      okRows.select("query_id", "rank", "neighbor_id", "score")
+        .unionByName(bruteForceTopKFor(starvedQs, filtered, k)
+          .select("query_id", "rank", "neighbor_id", "score"))
+    }
+  }
+
   /** k-NN majority-vote label prediction — the classic application
     * query over a similarity index (label propagation / quality-tier
     * transfer across an embedded corpus): each vector takes the modal

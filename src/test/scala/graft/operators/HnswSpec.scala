@@ -99,4 +99,21 @@ class HnswSpec extends SparkSpec {
       .filter(t => t._1 % 7 == 0)
     assert(forSample == full)
   }
+
+  test("save/load round-trip: loaded graph answers identically") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 11 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("hnsw_idx").toString
+    val idx = HnswIndex.build(emb)
+    try {
+      val before = resultSet(HnswIndex.query(idx, queries, k = 5))
+      HnswIndex.save(idx, tmp)
+      val loaded = HnswIndex.load(spark, tmp)
+      try {
+        assert(loaded.nShards == idx.nShards && loaded.m == idx.m)
+        assert(resultSet(HnswIndex.query(loaded, queries, k = 5)) == before)
+      } finally loaded.close()
+    } finally idx.close()
+  }
 }
