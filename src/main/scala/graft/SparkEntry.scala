@@ -228,6 +228,14 @@ object SparkEntry {
     // rank — two-phase range-exchange rank, no single-reducer window.
     "q_assign_ids" -> ((s, dir) =>
       Ids.documentIds(t(s, dir, "documents"))),
+    // Striped longest-first shard balancing: per-shard doc counts and
+    // token mass; any two totals differ by ≤ one maximal doc.
+    "q_shard_balance" -> ((s, dir) =>
+      Ids.balancedShards(t(s, dir, "documents"))),
+    // PMI collocation mining in exact integer micro-units (log-free
+    // rational PMI — same ordering, bit-identical both engines).
+    "q_collocations" -> ((s, dir) =>
+      TextOps.collocations(t(s, dir, "documents"))),
     // Z-order (Morton) codes over the lake scan's two predicate
     // dims — the write-side file-clustering op; pruning win is
     // LayoutSpec-pinned, codes are integer-exact in both engines.
@@ -1746,6 +1754,31 @@ object SparkEntry {
 
     "q_pagerank" ->
       graft.operators.GraphOps.purchasePageRankSql(),
+
+    "q_shard_balance" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk FROM documents),
+        |r AS (SELECT doc_id, ntk,
+        |    row_number() OVER (ORDER BY ntk DESC, doc_id) - 1 AS rnk FROM d)
+        |SELECT CAST(rnk % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntk) AS BIGINT) AS total_tokens
+        |FROM r GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Parallel unnest zips the two shifted slices into adjacent
+    // pairs; counts and the micro-unit PMI are exact integers.
+    "q_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM cab),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1)
+        |SELECT c.w1, c.w2, c.c_ab,
+        |  (c.c_ab * nb.nb * 1000000) // (u1.c * u2.c) AS pmi_micro
+        |FROM cab c JOIN u u1 ON c.w1 = u1.w JOIN u u2 ON c.w2 = u2.w CROSS JOIN nb
+        |WHERE c.c_ab >= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Global-sort rank: the oracle states the SEMANTICS (one global
     // row_number) that the two-phase scale path must reproduce.

@@ -60,6 +60,25 @@ object Ids {
     df.withColumn(idCol,
       row_number().over(Window.orderBy(keys: _*)) - lit(1))
 
+  /** Balanced shard assignment — split the corpus into `nShards`
+    * output shards with near-equal token mass (the training-data
+    * "write N balanced files" step; naive hash sharding leaves the
+    * token totals as skewed as the document-length distribution).
+    * Striped longest-first: rank docs by token count descending (the
+    * two-phase [[assignIds]] rank — no single-reducer window), shard =
+    * rank mod nShards. Each stripe hands every shard one doc in
+    * size order, so any two shard totals differ by at most one
+    * maximal document (spec-pinned) — LPT-grade balance from one rank
+    * pass, no driver-side bin state. */
+  def balancedShards(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val sized = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    assignIds(sized, Seq(col("n_toks").desc, col("doc_id")), "rank")
+      .withColumn("shard", pmod(col("rank"), lit(nShards.toLong)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"))
+  }
+
   /** Driver query: stable corpus ids for `documents`, ordered by the
     * engine's standard deterministic pseudo-random key md5(doc_id)
     * with doc_id as unique tie-break — i.e. a reshuffle-proof random

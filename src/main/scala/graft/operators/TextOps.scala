@@ -640,6 +640,41 @@ object TextOps {
           .cast("bigint"))
   }
 
+  /** PMI collocation mining — adjacent word pairs that co-occur far
+    * more than their unigram frequencies predict (phrase/term
+    * extraction, the statistical input to phrase-aware tokenization
+    * and stop-phrase lists; Church & Hanks 1990). PMI is reported in
+    * exact integer micro-units — floor(10⁶ · c(a,b) · N_bigrams /
+    * (c(a) · c(b))) — the engine's standard log-free rational form, so
+    * the ranking is bit-identical in both engines (log() would only
+    * monotonically rescale it).
+    *
+    * Scale shape: one indexed-transform bigram pass (same extraction
+    * as [[bigramFluency]], bodies never shuffled), token/pair-keyed
+    * integer counts with map-side partials, unigram counts broadcast
+    * (vocabulary-bounded at any corpus size), the corpus total riding
+    * a 1-row broadcast. The micro-unit product is exact in longs up
+    * to ~3·10⁹ corpus bigrams; past that the identical chain runs in
+    * DECIMAL(38,0) (same div semantics both engines). */
+  def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val pairsOf = expr(
+      "transform(slice(__l, 1, size(__l) - 1), " +
+        "(x, i) -> named_struct('w1', x, 'w2', element_at(__l, i + 2)))")
+    val split0 = docs.select(split(col("text"), " ").as("__l"))
+    val pairs = split0.select(explode(pairsOf).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val nb = cab.agg(sum(col("c_ab")).as("__nb"))
+    val uni = split0.select(explode(col("__l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.toDF("w1", "c1")), "w1")
+      .join(broadcast(uni.toDF("w2", "c2")), "w2")
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("(c_ab * __nb * 1000000) div (c1 * c2)").as("pmi_micro"))
+  }
+
   /** Canonical text normalization — the fold applied before exact
     * dedup so case/punctuation/whitespace variants collapse (the C4 /
     * RefinedWeb-style canonicalization): lowercase, non-alphanumerics

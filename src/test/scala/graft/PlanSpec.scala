@@ -336,6 +336,43 @@ class PlanSpec extends SparkSpec {
       "the exact re-verify join must still broadcast the eval side")
   }
 
+  test("round-9 ops: range-exchange rank, broadcast PMI sides, narrow z-order") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    // two-phase ids: the Window must be partitioned (on _pid), fed by
+    // a range exchange — never the single-reducer global window
+    val pi = plan(operators.Ids.assignIds(docs,
+      Seq(org.apache.spark.sql.functions.md5(col("doc_id").cast("string")),
+        col("doc_id")), "id"))
+    assert(pi.contains("rangepartitioning"),
+      "rank must start from a range exchange")
+    assert(pi.contains("Window"), "per-partition rank must be a window")
+    // formatted mode details the window spec in an Arguments block:
+    // it must partition on the synthetic _pid, not be global
+    val winArgs = pi.linesIterator
+      .filter(l => l.contains("windowspecdefinition") || l.contains("Arguments"))
+      .mkString
+    assert(winArgs.contains("_pid"),
+      s"window must partition on _pid: $winArgs")
+    // collocations: count sides broadcast, no sort-merge join, bodies
+    // never shuffled
+    val pc = plan(operators.TextOps.collocations(docs))
+    assert(pc.contains("BroadcastHashJoin") && !pc.contains("SortMergeJoin"),
+      "unigram count joins must broadcast")
+    val cex = pc.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!cex.contains("text#"), s"document bodies shuffled: $cex")
+    // z-order codes: a pure projection — no exchange, no join
+    val orders = Tables.load(spark, dir, "orders")
+    val pz = plan(operators.Layout.ordersZorder(orders))
+    assert(!pz.contains("Exchange") && !pz.contains("Join"),
+      "morton codes must be a narrow scan-speed projection")
+    // pagerank: equi-joins only, no cartesian/nested-loop
+    val pr = plan(operators.GraphOps.purchaseGraph(orders,
+      Tables.load(spark, dir, "lineitem")))
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pricing SQL through the catalog: partial+final agg, single exchange") {
     Tables.registerAll(spark, dir)
     val p = plan(spark.sql(SparkEntry.PricingSql))

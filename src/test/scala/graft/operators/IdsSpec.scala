@@ -41,6 +41,24 @@ class IdsSpec extends SparkSpec {
     assert(out.toSeq == (0L until 5L))
   }
 
+  test("balanced shards: totals differ by at most one maximal doc") {
+    val rnd = new scala.util.Random(3)
+    val docs = (1 to 400).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Ids.balancedShards(docs, nShards = 8)
+      .select("shard", "total_tokens").as[(Long, Long)].collect()
+    assert(out.length == 8)
+    val totals = out.map(_._2)
+    assert(totals.max - totals.min <= 120L,
+      s"imbalance ${totals.max - totals.min} exceeds max doc size")
+    // conservation: stripe assignment loses no tokens
+    assert(totals.sum ==
+      docs.select(size(split(col("text"), " ")).cast("long")).as[Long]
+        .collect().sum)
+  }
+
   test("documentIds is the md5-permutation rank") {
     val docs = (1L to 50L).map(i => (i, s"t$i", "en", "web", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
