@@ -224,6 +224,10 @@ object SparkEntry {
     // threshold (reshuffle-proof; a rand() split is not).
     "q_split_assign" -> ((s, dir) =>
       TextOps.splitAssign(t(s, dir, "documents"))),
+    // Leakage-free split: normalized-dup groups never straddle
+    // train/val/test — membership hashes the group representative.
+    "q_split_leakfree" -> ((s, dir) =>
+      TextOps.splitAssignLeakFree(t(s, dir, "documents"))),
     // Deterministic contiguous 0..N-1 corpus ids by md5-permutation
     // rank — two-phase range-exchange rank, no single-reducer window.
     "q_assign_ids" -> ((s, dir) =>
@@ -1754,6 +1758,20 @@ object SparkEntry {
 
     "q_pagerank" ->
       graft.operators.GraphOps.purchasePageRankSql(),
+
+    // Same normalization text as q_dedup_normalized's oracle; the
+    // thresholds come from the operator's own hexThreshold.
+    "q_split_leakfree" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |g AS (SELECT doc_id, md5(norm) AS gk FROM n),
+        |r AS (SELECT gk, min(doc_id) AS rep FROM g GROUP BY 1)
+        |SELECT g.doc_id,
+        |  CASE WHEN md5(CAST(r.rep AS VARCHAR)) < '${TextOps.hexThreshold(0.8)}' THEN 'train'
+        |       WHEN md5(CAST(r.rep AS VARCHAR)) < '${TextOps.hexThreshold(0.9)}' THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM g JOIN r USING (gk) ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_shard_balance" ->
       """WITH d AS (SELECT doc_id,

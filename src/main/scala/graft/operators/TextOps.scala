@@ -850,6 +850,39 @@ object TextOps {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-free split — [[splitAssign]]'s deterministic membership
+    * contract PLUS the guarantee that content-identical documents
+    * (normalized-dup groups, [[Dedup.exactNormalized]]'s key) never
+    * straddle splits: a train copy of a test document is exactly the
+    * contamination the split exists to prevent, and a per-doc hash
+    * split scatters dup groups across splits in proportion to their
+    * size. Membership hashes the GROUP representative (min doc_id of
+    * the normalized-digest group), so every member inherits one draw.
+    * Near-dup-grade grouping composes the same way — feed
+    * [[Dedup.dedupPipeline]] component ids in place of the digest
+    * (spec-pinned); the digest form is the exact-answer default.
+    * Scale shape: one digest-keyed agg + one digest equi-join; text
+    * hashes at the scan, bodies never shuffle. */
+  def splitAssignLeakFree(docs: DataFrame, trainFrac: Double = 0.8,
+                          valFrac: Double = 0.1): DataFrame =
+    splitAssignGrouped(docs.select(col("doc_id"),
+      md5(normalized(col("text"))).as("group_key")), trainFrac, valFrac)
+
+  /** The grouped core: `groups` is (doc_id, group_key) from ANY
+    * duplicate-grouping stage — the normalized digest (the exact
+    * wrapper above) or [[Dedup.dedupPipeline]]'s canonical component
+    * ids for near-dup-grade leak protection. One draw per group. */
+  def splitAssignGrouped(groups: DataFrame, trainFrac: Double = 0.8,
+                         valFrac: Double = 0.1): DataFrame = {
+    val reps = groups.groupBy("group_key").agg(min("doc_id").as("__rep"))
+    val h = md5(col("__rep").cast("string"))
+    groups.join(reps, "group_key")
+      .select(col("doc_id"),
+        when(h < hexThreshold(trainFrac), "train")
+          .when(h < hexThreshold(trainFrac + valFrac), "validation")
+          .otherwise("test").as("split"))
+  }
+
   /** CCNet-style segment-level dedup (boilerplate removal — Wenzek et
     * al. 2019 §4.1, RefinedWeb line-dedup): cut each document into
     * fixed `window`-word segments, drop every segment whose exact word

@@ -190,4 +190,45 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pca.fit(vs.filter(col("vec_id") === 0), k = 2, iters = 5))
   }
+
+  test("leak-free split: normalized-dup groups never straddle splits") {
+    // 60 base docs, each with a case/punctuation variant twin
+    val docs = (1 to 60).flatMap { i =>
+      val body = s"doc number $i content words alpha beta"
+      Seq((i.toLong * 2, body), (i.toLong * 2 + 1, body.toUpperCase + "!!"))
+    }.toDF("doc_id", "text")
+    val split = TextOps.splitAssignLeakFree(docs)
+      .as[(Long, String)].collect().toMap
+    (1 to 60).foreach { i =>
+      assert(split(i.toLong * 2) == split(i.toLong * 2 + 1),
+        s"twin pair $i straddles splits")
+    }
+    // all three splits occur across the 60 group draws
+    assert(split.values.toSet == Set("train", "validation", "test"))
+  }
+
+  test("leak-free split: singleton groups keep the per-doc membership") {
+    val docs = (1L to 200L).map(i => (i, s"unique body $i ${i * 7}"))
+      .toDF("doc_id", "text")
+    val leak = TextOps.splitAssignLeakFree(docs).as[(Long, String)].collect().toMap
+    val plain = TextOps.splitAssign(docs).as[(Long, String)].collect().toMap
+    assert(leak == plain)
+  }
+
+  test("grouped core composes with near-dup component ids") {
+    val docs = (1 to 40).flatMap { i =>
+      val body = (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+      // near-dup twin: one token changed (Jaccard ≈ 0.8)
+      Seq((i.toLong * 2, body),
+        (i.toLong * 2 + 1, body.replace(s"w${i}_12", "zz")))
+    }.toDF("doc_id", "text")
+    val groups = Dedup.dedupPipeline(docs, threshold = 0.5)
+      .select(col("doc_id"), col("canonical_id").cast("string").as("group_key"))
+    val split = TextOps.splitAssignGrouped(groups)
+      .as[(Long, String)].collect().toMap
+    (1 to 40).foreach { i =>
+      assert(split(i.toLong * 2) == split(i.toLong * 2 + 1),
+        s"near-dup pair $i straddles splits")
+    }
+  }
 }
