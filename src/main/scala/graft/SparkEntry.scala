@@ -311,6 +311,30 @@ object SparkEntry {
         d, e, d.filter(col("doc_id") % 191 === 0),
         e.filter(col("vec_id") % 191 === 0))
     }),
+    // Retrieval evaluation report: the BM25 lexical top-10 scored
+    // against the dense exact-cosine top-10 as ground truth — recall@10
+    // / MRR of the lexical engine on the semantic-neighbor task. All
+    // metrics are integer floor divisions of exact integers (no IEEE
+    // reciprocal), so the report is bit-exact cross-engine.
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      graft.operators.Retrieval.evalMetrics(
+        graft.operators.Retrieval.bm25TopK(d, d.filter(col("doc_id") % 191 === 0)),
+        Similarity.bruteForceTopKFor(
+            e.filter(col("vec_id") % 191 === 0), e, k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id")))
+    }),
+    // MMR diversified re-ranking: greedy redundancy-penalized top-5
+    // from each query's exact-cosine top-20 candidates (λ = 0.7 in
+    // micro-units). Every step is Long arithmetic over micro-quantized
+    // similarities with ascending-id ties → deterministic → pinned
+    // VALUES oracle, the engaged-ANN-path protocol.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Retrieval.mmrRerank(
+        e.filter(col("vec_id") % 191 === 0), e, k = 5, m = 20)
+    }),
     // fastText-style hashed-feature logistic-regression quality
     // filter: trains to separate the top vs bottom quality quartile,
     // gate pins accuracy >= 0.8 + probability sanity as constants.
@@ -1607,6 +1631,66 @@ object SparkEntry {
         |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk FROM f)
         |SELECT query_id, doc_id, rnk, rrf_micro, n_sources FROM r WHERE rnk <= 10
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Retrieval metrics: the bm25 CTE chain (the result list) scored
+    // against the dense exact-cosine top-10 (the qrels). Every metric
+    // is an integer floor division (// in DuckDB, div in Spark) of
+    // exact integers — no IEEE reciprocal on either engine.
+    "q_retrieval_metrics" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p0 AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d),
+        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p0 GROUP BY 1, 2, 3),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(len(l)) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |q0 AS (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 191 = 0),
+        |q AS (SELECT DISTINCT query_id, term FROM q0),
+        |dft AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df_t FROM p
+        |  JOIN (SELECT DISTINCT term FROM q) qt ON p.term = qt.term GROUP BY 1),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |    CAST(floor((((CAST(st.n_docs AS DOUBLE) - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+        |      * ((p.tf * 2.2e0) / (p.tf + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / st.avgdl)))))
+        |      * 1e6) AS BIGINT) AS micro
+        |  FROM p JOIN q ON p.term = q.term
+        |  JOIN dft ON p.term = dft.term CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk FROM agg
+        |  QUALIFY rnk <= 10),
+        |ds AS (SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(qv.embedding, c.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS score
+        |  FROM embeddings qv JOIN embeddings c ON qv.vec_id <> c.vec_id
+        |  WHERE qv.vec_id % 191 = 0),
+        |dns AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS dense_rnk FROM ds
+        |  QUALIFY dense_rnk <= 10),
+        |hits AS (SELECT r.query_id, r.rnk,
+        |    CASE WHEN dns.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM r LEFT JOIN dns
+        |    ON r.query_id = dns.query_id AND r.doc_id = dns.doc_id),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM dns GROUP BY 1),
+        |per AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_hit,
+        |    CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS first_rel_rank
+        |  FROM hits GROUP BY 1)
+        |SELECT n.query_id, n.n_rel,
+        |  CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+        |  p.first_rel_rank,
+        |  CAST(coalesce(1000000 // p.first_rel_rank, 0) AS BIGINT) AS mrr_micro,
+        |  CAST((1000000 * coalesce(p.n_hit, 0)) // n.n_rel AS BIGINT) AS recall_micro
+        |FROM nrel n LEFT JOIN per p ON n.query_id = p.query_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // MMR rerank: deterministic end to end (micro-quantized sims, Long
+    // greedy arithmetic, id ties) → pinned VALUES oracle at sf0.01,
+    // regenerate via `graft.tools.OracleDump q_mmr_rerank`.
+    "q_mmr_rerank" -> MmrOracle.rerankSql,
 
     // Top-token fraction via group-count max — value-identical to the
     // engine's sorted-run-length (both are the modal token count).

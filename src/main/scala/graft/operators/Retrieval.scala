@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Encoders
+
 /** Sparse lexical retrieval over the `documents` table — the
   * decontamination / nearest-neighbor-text companion to the dense ANN
   * path ([[Similarity]]): given a set of query documents, return the
@@ -141,5 +143,127 @@ object Retrieval {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("query_id", "doc_id", "rnk", "rrf_micro", "n_sources")
+  }
+
+  /** Retrieval-quality metrics: score a ranked result list against a
+    * per-query relevance set (qrels) — the recall@k / MRR report every
+    * retrieval deployment watches. `results` carries
+    * `(query_id, doc_id, rnk)` (any engine's top list); `qrels` carries
+    * `(query_id, doc_id)` ground-truth pairs.
+    *
+    * Per query: `n_rel` (ground-truth size), `n_hit` (relevant docs
+    * retrieved within rank ≤ `k`), `first_rel_rank` (rank of the first
+    * relevant hit, NULL when none), `mrr_micro` =
+    * `1000000 div first_rel_rank` (0 when no hit) and `recall_micro` =
+    * `(1000000 · n_hit) div n_rel` — both integer floor divisions of
+    * exact integers, so the report is bit-identical to any SQL engine
+    * computing the same divisions (no IEEE reciprocal ever happens).
+    *
+    * Scale shape: both inputs are k·|queries| rank lists (bounded
+    * whatever the corpus); one equi-join on (query_id, doc_id) and two
+    * narrow aggregates. Queries with an empty result list still report
+    * (outer join on the qrels side) — a silent engine failure reads as
+    * recall 0, not a missing row. */
+  def evalMetrics(results: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame = {
+    val r = results.filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val rel = qrels.select(col("query_id"), col("doc_id"))
+      .withColumn("__rel", lit(1L))
+    val hits = r.join(rel, Seq("query_id", "doc_id"), "left")
+    val nRel = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    val perQuery = hits.groupBy("query_id").agg(
+      sum(coalesce(col("__rel"), lit(0L))).as("__n_hit"),
+      min(when(col("__rel").isNotNull, col("rnk"))).cast("bigint")
+        .as("first_rel_rank"))
+    nRel.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("__n_hit"), lit(0L)).as("n_hit"),
+        col("first_rel_rank"),
+        coalesce(expr("1000000L div first_rel_rank"), lit(0L)).as("mrr_micro"),
+        expr("(1000000L * coalesce(__n_hit, 0L)) div n_rel").as("recall_micro"))
+  }
+
+  /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998): from each query's exact-cosine top-`m` candidate
+    * list, greedily select `k` documents maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the standard
+    * redundancy-penalized top-k that keeps a near-duplicate-heavy
+    * corpus from filling the whole result list with one document's
+    * clones.
+    *
+    * Determinism contract: relevance and pairwise similarities quantize
+    * to integer micro-units (`floor(sim·10⁶)`, each from one fixed-order
+    * double dot fold) BEFORE the greedy arithmetic, λ arrives already in
+    * micro-units (`lambdaMicro`), and each greedy step's objective is
+    * pure Long arithmetic (`λµ·rel − (10⁶−λµ)·maxPair`, |values| <
+    * 10¹² — no overflow, no IEEE accumulation); ties break on ascending
+    * doc id. The result is a pure function of (corpus, params) → the
+    * sf0.01 rows pin as a VALUES oracle like the engaged ANN paths.
+    *
+    * Scale shape: candidates come from the existing top-k machinery at
+    * its scale shape (block-broadcast exact scan here — swap the
+    * adaptive entry in identically, the rerank only consumes the list);
+    * vectors attach by id-equi join (never all-pairs); the greedy runs
+    * per query over m ≤ ~100 candidates inside `flatMapGroups` — O(k·m)
+    * dot products on ≤ m vectors per group, bounded whatever the
+    * corpus. */
+  def mmrRerank(queryVecs: DataFrame, corpus: DataFrame, k: Int = 5,
+                m: Int = 20, lambdaMicro: Long = 700000L): DataFrame = {
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1000000], got $lambdaMicro")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = Similarity.bruteForceTopKFor(queryVecs, corpus, m)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(floor(score * 1e6) AS BIGINT)").as("rel_micro"))
+    val withVec = cands.join(
+        corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("__v")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel_micro"), col("__v"))
+      .as[(Long, Long, Long, Array[Double])]
+    val out = withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // deterministic greedy input order: rel desc, id asc — the group's
+      // content alone fixes the output whatever the partitioning
+      val cs = it.toArray.sortBy(t => (-t._3, t._2))
+      val n = cs.length
+      def pairMicro(i: Int, j: Int): Long = {
+        val a = cs(i)._4; val b = cs(j)._4
+        var s = 0.0; var d = 0
+        while (d < a.length) { s += a(d) * b(d); d += 1 }
+        math.floor(s * 1e6).toLong
+      }
+      val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+      val used = new Array[Boolean](n)
+      val rows = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+      var r = 1
+      while (r <= math.min(k, n)) {
+        var best = -1; var bestScore = Long.MinValue; var bestId = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!used(i)) {
+            var maxPair = 0L
+            var first = true
+            selected.foreach { j =>
+              val p = pairMicro(i, j)
+              if (first || p > maxPair) { maxPair = p; first = false }
+            }
+            val score = lambdaMicro * cs(i)._3 - (1000000L - lambdaMicro) * maxPair
+            if (score > bestScore || (score == bestScore && cs(i)._2 < bestId)) {
+              best = i; bestScore = score; bestId = cs(i)._2
+            }
+          }
+          i += 1
+        }
+        used(best) = true
+        selected += best
+        rows += ((qid, cs(best)._2, r.toLong, cs(best)._3, bestScore))
+        r += 1
+      }
+      rows.result().iterator
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    out.toDF("query_id", "doc_id", "rnk", "rel_micro", "mmr_micro")
   }
 }

@@ -154,4 +154,87 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(a == b)
   }
+
+  test("evalMetrics: hand-computed MRR/recall, no-hit query reads as zero") {
+    // q1: relevant {10, 20, 30}; retrieved ranks: 10@2, 30@5 -> n_hit 2,
+    // first_rel_rank 2, mrr 500000, recall floor(2e6/3)=666666.
+    // q2: relevant {40}; retrieved list misses it entirely -> zeros.
+    // q3: relevant {50}; NO result rows at all -> still reported, zeros.
+    val results = Seq(
+      (1L, 99L, 1L), (1L, 10L, 2L), (1L, 98L, 3L), (1L, 97L, 4L), (1L, 30L, 5L),
+      (2L, 96L, 1L), (2L, 95L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 40L), (3L, 50L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalMetrics(results, qrels, k = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getLong(3) == 2L && out(1L).getLong(4) == 500000L)
+    assert(out(1L).getLong(5) == 666666L)
+    assert(out(2L).getLong(2) == 0L && out(2L).isNullAt(3))
+    assert(out(2L).getLong(4) == 0L && out(2L).getLong(5) == 0L)
+    assert(out(3L).getLong(1) == 1L && out(3L).getLong(2) == 0L,
+      "a query with no result rows must still report recall 0")
+  }
+
+  test("evalMetrics: k cutoff drops hits ranked past k") {
+    val results = Seq((1L, 10L, 1L), (1L, 20L, 7L)).toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq((1L, 10L), (1L, 20L)).toDF("query_id", "doc_id")
+    val out = Retrieval.evalMetrics(results, qrels, k = 5).collect().head
+    assert(out.getLong(2) == 1L && out.getLong(5) == 500000L)
+  }
+
+  test("mmrRerank: λ=1 reduces to the exact top-k ranking") {
+    val vecs = (0L until 30L).map { i =>
+      val a = (i % 7).toDouble / 7.0; val b = 1.0 - a
+      (i, Array((a / math.sqrt(a * a + b * b)).toFloat,
+        (b / math.sqrt(a * a + b * b)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val plain = Similarity.bruteForceTopKFor(q, vecs, k = 4)
+      .collect()
+      .map(r => (r.getAs[Number]("rank").longValue, r.getAs[Long]("neighbor_id")))
+      .sortBy(_._1).map(_._2).toSeq
+    val mmr = Retrieval.mmrRerank(q, vecs, k = 4, m = 10, lambdaMicro = 1000000L)
+      .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+    assert(mmr == plain,
+      s"λ=1 must be relevance-only ranking: got $mmr expected $plain")
+  }
+
+  test("mmrRerank: redundancy penalty skips the clone of the first pick") {
+    // Docs 1 and 2 are byte-identical embeddings near the query (the
+    // near-duplicate corpus case MMR exists for); doc 3 is a distinct
+    // direction with lower relevance. Plain top-2 = {1, 2}; MMR at
+    // λ=0.5 must pick {1, 3}: the clone's pair-sim 1.0 sinks its
+    // marginal score (0.98 − 1.0 < 0) below doc 3's (0.8 − 0.66 > 0).
+    val a = Array(0.98f, 0.199f)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),       // query
+      (1L, a), (2L, a),              // exact near-dup pair
+      (3L, Array(0.8f, -0.6f)))      // distinct direction
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val plain = Similarity.bruteForceTopKFor(q, vecs, k = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(plain == Set(1L, 2L), "plain top-2 is the clone pair")
+    val mmr = Retrieval.mmrRerank(q, vecs, k = 2, m = 3, lambdaMicro = 500000L)
+      .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+    assert(mmr.head == 1L, "first pick is pure relevance (id tie -> smaller id)")
+    assert(mmr(1) == 3L,
+      s"second pick must skip the clone for the distinct direction, got $mmr")
+  }
+
+  test("mmrRerank: result invariant to input partitioning") {
+    val vecs = (0L until 50L).map { i =>
+      val a = math.sin(i * 1.7); val b = math.cos(i * 2.3); val c = math.sin(i * 0.9)
+      val n = math.sqrt(a * a + b * b + c * c)
+      (i, Array((a / n).toFloat, (b / n).toFloat, (c / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" % 17 === 0L)
+    val a = Retrieval.mmrRerank(q, vecs, k = 5, m = 12)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = Retrieval.mmrRerank(q.repartition(7), vecs.repartition(13), k = 5, m = 12)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
