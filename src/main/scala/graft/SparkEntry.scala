@@ -732,6 +732,17 @@ object SparkEntry {
             .cast("double").as("total_value"))
     }),
 
+    // Bucketed co-located join (the reference's 'bucket.num'='4' at
+    // the lake tier, tickets-cdc.sql:34): orders and customer are laid
+    // out hash-bucketed by custkey, then sort-merge joined with ZERO
+    // exchange (BucketingSpec pins the no-shuffle plan) — the 100 TB
+    // repeated fact⋈dim strategy. Bucketing is layout, not semantics,
+    // so the oracle is the plain join over the raw parquet.
+    "q_bucketed_join" -> ((s, dir) =>
+      graft.operators.Bucketing.segmentRevenueBucketed(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed")),
+
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
       EventOps.distinctAgg(t(s, dir, "events"))),
@@ -2532,6 +2543,16 @@ object SparkEntry {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Bucketed layout is not semantics: the oracle is the plain join
+    // over the raw parquet. Exact decimal sum, double presentation.
+    "q_bucketed_join" ->
+      """SELECT c.c_mktsegment AS mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_distinct_agg" ->
