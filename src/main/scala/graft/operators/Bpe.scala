@@ -229,4 +229,27 @@ object Bpe {
     ok.agg(count(lit(1)).as("n_docs"),
       coalesce(bool_and(col("ok")), lit(true)).as("roundtrip_ok"))
   }
+
+  /** Persist the merge table to the plain-parquet lake layout — the
+    * build-once/encode-many split the ANN indexes already have (train
+    * at corpus build, load in every encode session; a tokenizer that
+    * cannot be persisted forces a retrain per session, and a RETRAINED
+    * tokenizer on a grown corpus silently shifts every token id
+    * downstream). Merge ORDER is the model, so rows carry their rank. */
+  def save(model: Model, dir: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("ord", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+  }
+
+  /** Load a merge table persisted by [[save]]; the loaded model encodes
+    * identically (strings round-trip parquet exactly; order restores
+    * from the rank column). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    import spark.implicits._
+    Model(spark.read.parquet(s"$dir/merges")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map(r => (r._2, r._3)).toSeq)
+  }
 }

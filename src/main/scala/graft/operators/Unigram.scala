@@ -310,4 +310,23 @@ object Unigram {
       coalesce(bool_and(col("ok")), lit(true)).as("roundtrip_ok"),
       coalesce(bool_and(col("bounded")), lit(true)).as("piece_bound_ok"))
   }
+  /** Persist the piece table to the plain-parquet lake layout (the
+    * [[Bpe.save]] contract: train once, encode in any session). Log
+    * probabilities are doubles and round-trip parquet exactly, so the
+    * loaded model's Viterbi segmentations are bit-identical. */
+  def save(model: Model, dir: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.logp.toSeq.map { case (p, lp) => (p, lp, model.maxPieceLen) }
+      .toDF("piece", "logp", "max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pieces")
+  }
+
+  /** Load a piece table persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/pieces")
+      .as[(String, Double, Int)].collect()
+    require(rows.nonEmpty, s"no unigram model at $dir")
+    Model(rows.map(r => r._1 -> r._2).toMap, rows.head._3)
+  }
 }

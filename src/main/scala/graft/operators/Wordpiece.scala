@@ -224,4 +224,21 @@ object Wordpiece {
       coalesce(bool_and(col("ok")), lit(true)).as("roundtrip_ok"),
       coalesce(bool_and(col("bounded")), lit(true)).as("piece_bound_ok"))
   }
+  /** Persist the vocabulary to the plain-parquet lake layout (the
+    * [[Bpe.save]] contract: train once, encode in any session). */
+  def save(model: Model, dir: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.vocab.toSeq.map(p => (p, model.maxPieceLen))
+      .toDF("piece", "max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a vocabulary persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/vocab")
+      .as[(String, Int)].collect()
+    require(rows.nonEmpty, s"no wordpiece model at $dir")
+    Model(rows.map(_._1).toSet, rows.head._2)
+  }
 }
