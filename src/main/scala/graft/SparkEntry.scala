@@ -829,6 +829,18 @@ object SparkEntry {
       graft.operators.Stats.profile(t(s, dir, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")),
 
+    // Ingest-time column profile (null bursts, cardinality cliffs,
+    // range drift): one aggregate pass over orders — the multi-distinct
+    // plans as one Expand+agg scan — exploded to a row per column.
+    // Min/max/counts are exact; nothing is arithmetically combined.
+    "q_profile" -> ((s, dir) => {
+      import graft.operators.Stats
+      Stats.columnProfile(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> Stats.NumCol, "o_custkey" -> Stats.NumCol,
+        "o_orderstatus" -> Stats.StrCol, "o_totalprice" -> Stats.NumCol,
+        "o_orderdate" -> Stats.TsCol, "o_orderpriority" -> Stats.StrCol))
+    }),
+
     // Exact interpolated quantiles (engine-agreeing to the last bit:
     // both sort exactly and linearly interpolate in double).
     "q_quantiles" -> ((s, dir) =>
@@ -2757,6 +2769,44 @@ object SparkEntry {
         |       THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
         |            / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
         |            / sqrt(CAST(n AS DOUBLE) * syy - sy * sy) END AS corr_xy
-        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Column profile: per-column UNION ALL aggregates — exact counts
+    // and min/max, no arithmetic combination anywhere.
+    "q_profile" -> ProfileSql.ordersProfile
   )
+}
+
+/** Oracle-SQL generator for `q_profile`: one UNION ALL block per
+  * profiled column, the SQL mirror of [[graft.operators.Stats.columnProfile]]'s
+  * single-pass explode. Generated so column list and kinds stay in one
+  * place with the Spark wiring. */
+private[graft] object ProfileSql {
+  private def block(c: String, kind: String): String = {
+    val minMax = kind match {
+      case "num" =>
+        s"""CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           |  CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts""".stripMargin
+      case "str" =>
+        s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
+           |  CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts""".stripMargin
+      case _ =>
+        s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           |  CAST(min($c) AS TIMESTAMP) AS min_ts, CAST(max($c) AS TIMESTAMP) AS max_ts""".stripMargin
+    }
+    s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  $minMax
+       |FROM orders""".stripMargin
+  }
+
+  val ordersProfile: String = Seq(
+    "o_orderkey" -> "num", "o_custkey" -> "num", "o_orderstatus" -> "str",
+    "o_totalprice" -> "num", "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+    .map { case (c, k) => block(c, k) }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY ALL NULLS FIRST")
 }

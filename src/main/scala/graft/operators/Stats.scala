@@ -59,4 +59,59 @@ object Stats {
       when(col("n") > 1 && radX > 0.0 && radY > 0.0,
         covTerm / sqrt(radX) / sqrt(radY)).as("corr_xy"))
   }
+
+  /** Kinds [[columnProfile]] understands: numeric (min/max as DOUBLE),
+    * string (min/max under binary collation), timestamp (min/max as
+    * TIMESTAMP). Exact distinct counts — at lake scale swap
+    * `approx_count_distinct`/the HLL gate in; the profile shape is
+    * unchanged. */
+  sealed trait ColKind
+  case object NumCol extends ColKind
+  case object StrCol extends ColKind
+  case object TsCol extends ColKind
+
+  /** Schema/data profile of a table: one row per profiled column with
+    * `(col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    * min_str, max_str, min_ts, max_ts)` — the ingest-time report every
+    * pipeline runs before trusting a new feed (null bursts, cardinality
+    * cliffs, out-of-range values).
+    *
+    * Scale shape: ONE aggregate pass over the table (the multi-distinct
+    * aggregates plan as Spark's Expand — k row-copies through one
+    * partial+final agg, still a single scan), producing a single row;
+    * the per-column long format explodes from that row driver-free.
+    * Min/max/count are exact and engine-independent; no double
+    * arithmetic happens (values are only compared, never combined). */
+  def columnProfile(df: DataFrame, cols: Seq[(String, ColKind)]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { case (c, kind) =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")) ++ (kind match {
+        case NumCol => Seq(min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+        case StrCol => Seq(min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+        case TsCol => Seq(min(col(c)).cast("timestamp").as(s"__min_$c"),
+          max(col(c)).cast("timestamp").as(s"__max_$c"))
+      })
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val nullNum = lit(null).cast("double")
+    val nullStr = lit(null).cast("string")
+    val nullTs = lit(null).cast("timestamp")
+    val entries = cols.map { case (c, kind) =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (kind == NumCol) col(s"__min_$c") else nullNum).as("min_num"),
+        (if (kind == NumCol) col(s"__max_$c") else nullNum).as("max_num"),
+        (if (kind == StrCol) col(s"__min_$c") else nullStr).as("min_str"),
+        (if (kind == StrCol) col(s"__max_$c") else nullStr).as("max_str"),
+        (if (kind == TsCol) col(s"__min_$c") else nullTs).as("min_ts"),
+        (if (kind == TsCol) col(s"__max_$c") else nullTs).as("max_ts"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -36,4 +36,34 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out(7L) == ((1L, 100L, 100L)))    // count 100 -> 7 bits
     assert(out.keySet == Set(1L, 7L))
   }
+
+  test("columnProfile: nulls counted, distincts exclude nulls, kinds slot correctly") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "b", 2.5), (2L, "a", 2.5), (3L, null, 7.0), (null, "a", null))
+      .toDF("id", "tag", "v")
+    val out = Stats.columnProfile(df, Seq(
+        "id" -> Stats.NumCol, "tag" -> Stats.StrCol, "v" -> Stats.NumCol))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("id", "tag", "v"))
+    val id = out("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 1L && id.getLong(3) == 3L)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 3.0)
+    assert(id.isNullAt(6) && id.isNullAt(8), "non-kind slots stay null")
+    val tag = out("tag")
+    assert(tag.getLong(2) == 1L && tag.getLong(3) == 2L)
+    assert(tag.getString(6) == "a" && tag.getString(7) == "b")
+    assert(tag.isNullAt(4) && tag.isNullAt(5))
+    val v = out("v")
+    assert(v.getLong(2) == 1L && v.getLong(3) == 2L, "distinct excludes nulls")
+    assert(v.getDouble(4) == 2.5 && v.getDouble(5) == 7.0)
+  }
+
+  test("columnProfile: single scan — one leaf relation in the plan") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 10}")).toDF("a", "b")
+    val prof = Stats.columnProfile(df, Seq("a" -> Stats.NumCol, "b" -> Stats.StrCol))
+    // the profile must not re-scan per column: exactly one leaf node
+    val leaves = prof.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 1, s"expected single-scan profile, got ${leaves.length} leaves")
+    assert(prof.count() == 2L)
+  }
 }
