@@ -874,6 +874,13 @@ object SparkEntry {
       s.sql(WindowFuncsSql)
     }),
 
+    // RANGE-frame rolling window: per-user trailing-1-hour spend/count
+    // over exact epoch-micro ordering (peers share frames, gaps shrink
+    // them — the shape ROWS frames cannot express). Integer-cents sums,
+    // one rounded division.
+    "q_rolling_window" -> ((s, dir) =>
+      EventOps.rollingWindow(t(s, dir, "events"))),
+
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -2467,6 +2474,17 @@ object SparkEntry {
     "q_cube" -> CubeSql,
 
     "q_window_funcs" -> WindowFuncsSql,
+
+    // RANGE frame over epoch micros: identical integer frame bounds on
+    // both engines; ns->us truncation via CAST(ts AS TIMESTAMP).
+    "q_rolling_window" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 AS rolling_value_1h,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS rolling_events_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

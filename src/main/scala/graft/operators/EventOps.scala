@@ -247,4 +247,31 @@ object EventOps {
       .agg(count(lit(1)).as("n_keys"),
         sum(col("__c")).as("n_rows"),
         max(col("__c")).as("max_key_count"))
+
+  /** Per-key rolling time-window aggregate — a RANGE frame over event
+    * time (`RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`), the
+    * trailing-window analytics shape the row-frame running totals of
+    * `q_window_funcs` cannot express (peers at the same instant share
+    * one frame; gaps shrink it). Spend is summed in integer cents over
+    * exact epoch-microsecond ordering, so the frame boundary and the
+    * sum are both engine-exact; one rounded division presents dollars.
+    *
+    * Scale shape: the standard distributed window — one exchange on
+    * the partition key, per-partition sort, and a sliding frame whose
+    * state is bounded by the window span (never the partition); at
+    * 1000 executors each key's timeline stays on one task and nothing
+    * else moves. */
+  def rollingWindow(events: DataFrame, windowSeconds: Long = 3600L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("__us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("__cents"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (sum(col("__cents")).over(w).cast("double") / 100.0)
+          .as("rolling_value_1h"),
+        count(lit(1)).over(w).cast("bigint").as("rolling_events_1h"))
+  }
 }

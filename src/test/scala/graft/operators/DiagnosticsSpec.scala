@@ -58,6 +58,24 @@ class DiagnosticsSpec extends SparkSpec {
     assert(v.getDouble(4) == 2.5 && v.getDouble(5) == 7.0)
   }
 
+  test("rollingWindow: peers share the frame, gaps shrink it, cents exact") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: events at t=0 (two peers), t=1800, t=5400 (t=0 pair aged out)
+    val df = Seq(
+      (1L, 10L, ts(0L), 1.00), (1L, 11L, ts(0L), 2.00),
+      (1L, 12L, ts(1800L), 4.00), (1L, 13L, ts(5400L), 8.00),
+      (2L, 20L, ts(0L), 0.50))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventOps.rollingWindow(df).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    // peers at the same instant see each other (RANGE, not ROWS)
+    assert(out(10L) == ((3.0, 2L)) && out(11L) == ((3.0, 2L)))
+    assert(out(12L) == ((7.0, 3L)))
+    // t=5400: frame [1800, 5400] keeps only events 12 and 13
+    assert(out(13L) == ((12.0, 2L)))
+    assert(out(20L) == ((0.5, 1L)), "users never see each other")
+  }
+
   test("columnProfile: single scan — one leaf relation in the plan") {
     val df = (0L until 100L).map(i => (i, s"s${i % 10}")).toDF("a", "b")
     val prof = Stats.columnProfile(df, Seq("a" -> Stats.NumCol, "b" -> Stats.StrCol))
