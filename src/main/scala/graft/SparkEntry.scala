@@ -386,6 +386,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // SEMANTIC decontamination: embedding-cosine screen against the
+    // eval set — the paraphrase/translation leak the exact n-gram
+    // screen above cannot see; eval side rides the blocked broadcast.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.decontaminateSemantic(
+        e.filter(col("vec_id") % 97 =!= 0),
+        e.filter(col("vec_id") % 97 === 0))
+    }),
     // The composed training-corpus selection (quality bar × language ×
     // near-dup canonicalization) — the end-to-end curation query a
     // 100 TB pipeline runs over raw documents.
@@ -2000,6 +2009,25 @@ object SparkEntry {
         |  min(ev.eval_id) AS first_eval_hit
         |FROM co JOIN ev USING (shingle)
         |GROUP BY co.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Semantic decontamination: the cosine fold is the EmbedNearDupSql
+    // chain; max only compares, counts are exact.
+    "q_decontaminate_semantic" ->
+      """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+        |p AS (SELECT c.vec_id,
+        |    list_sum(list_transform(list_zip(c.embedding, ev.embedding),
+        |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS score
+        |  FROM c JOIN ev ON c.vec_id <> ev.vec_id),
+        |h AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |    max(score) AS max_eval_sim
+        |  FROM p WHERE score >= 0.4 GROUP BY 1)
+        |SELECT c.vec_id,
+        |  CAST(coalesce(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+        |  h.max_eval_sim,
+        |  h.n_eval_hits IS NULL AS keep
+        |FROM c LEFT JOIN h ON c.vec_id = h.vec_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Full-pipeline oracle: the q_dedup_pipeline chain restricted to the

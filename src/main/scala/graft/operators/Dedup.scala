@@ -854,6 +854,35 @@ object Dedup {
     verifyPairs(cand, corpus, threshold)
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * shingle-collision screen ([[TextOps.decontaminate]]): a corpus
+    * row is contaminated when its cosine against ANY eval vector
+    * reaches `threshold` — the paraphrased/translated benchmark leak
+    * the exact n-gram screen cannot see (the screen modern model
+    * reports run alongside n-gram decontamination). Emits EVERY corpus
+    * row with its audit columns (`n_eval_hits`, `max_eval_sim`,
+    * `keep`) — the decontamination report, filterable to the keep-list.
+    *
+    * Exact by construction: the threshold scan is
+    * [[Similarity.thresholdPairsFor]]'s fixed-order double fold (bit-
+    * identical to the SQL oracle), `max` only compares. Scale shape:
+    * the EVAL side rides the blocked broadcast (eval sets are small by
+    * definition — the corpus streams partitioned past it once), then
+    * one groupBy on vec_id and one left join against the corpus ids. */
+  def decontaminateSemantic(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double = 0.4): DataFrame = {
+    val hits = Similarity.thresholdPairsFor(corpus, evalSet, threshold)
+      .groupBy(col("query_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("score")).as("max_eval_sim"))
+    corpus.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_eval_sim"),
+        col("n_eval_hits").isNull.as("keep"))
+  }
+
   /** Exact-dot verification of candidate (a, b) pairs by id-fetch from
     * `corpus` — the shared tail of the two candidate forms above. */
   private def verifyPairs(cand: DataFrame, corpus: DataFrame,

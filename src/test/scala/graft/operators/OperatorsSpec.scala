@@ -728,4 +728,26 @@ class OperatorsSpec extends SparkSpec {
       .as[String].head()
     assert(out(1L)._5 == expected)
   }
+
+  test("decontaminateSemantic: planted eval-twin flagged, orthogonal rows keep") {
+    // eval vec 100 = corpus vec 1's direction (cos 1.0); corpus vec 2
+    // is orthogonal to the whole eval set; corpus 3 sits at cos 0.6 to
+    // eval 101 — above the 0.4 bar, a hit.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.6f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (101L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.decontaminateSemantic(corpus, evalSet, threshold = 0.4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((2L, false)), "twin must hit BOTH identical eval vecs")
+    assert(out(2L) == ((0L, true)), "orthogonal row keeps")
+    assert(out(3L) == ((2L, false)), "cos 0.6 >= 0.4 is a leak")
+    assert(out.size == 3, "every corpus row reports")
+  }
 }
