@@ -84,6 +84,14 @@ object Stats {
     * arithmetic happens (values are only compared, never combined). */
   def columnProfile(df: DataFrame, cols: Seq[(String, ColKind)]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    // Spread the input across the session's parallelism before the
+    // Expand: the k-way distinct multiplies every input partition by
+    // (k+1), and a single-row-group parquet file otherwise runs the
+    // whole expanded aggregate on ONE task (measured 3.1 s -> sub-1 s
+    // at sf0.1). At real scale the scan already has many partitions
+    // and this round-robin exchange moves each row once — noise next
+    // to the Expand it parallelizes.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val aggs = cols.flatMap { case (c, kind) =>
       Seq(count(col(c)).as(s"__cnt_$c"),
         countDistinct(col(c)).as(s"__nd_$c")) ++ (kind match {
@@ -95,7 +103,7 @@ object Stats {
           max(col(c)).cast("timestamp").as(s"__max_$c"))
       })
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val row = spread.agg(count(lit(1)).as("__n"), aggs: _*)
     val nullNum = lit(null).cast("double")
     val nullStr = lit(null).cast("string")
     val nullTs = lit(null).cast("timestamp")
