@@ -480,6 +480,11 @@ object SparkEntry {
     // the application query a similarity index exists for.
     "q_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(t(s, dir, "embeddings"), k = 5)),
+    // Per-label centroids (class prototypes / nearest-class-mean):
+    // micro-quantized components summed integer-exact, shift-portable
+    // floor-division mean — labels×dims rows whatever the corpus.
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"))),
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
@@ -2312,6 +2317,20 @@ object SparkEntry {
         |SELECT p.query_id, q.label, p.predicted_label, p.votes
         |FROM p JOIN embeddings q ON q.vec_id = p.query_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Micro-quantize per component BEFORE the sum (integer, order-
+    // free); mean = shift-portable floor division (non-negative
+    // numerator, so // and div agree).
+    "q_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS dim FROM embeddings),
+        |m AS (SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n_vectors,
+        |    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, dim, n_vectors,
+        |  CAST(((s + 1000000 * n_vectors) // n_vectors) - 1000000 AS BIGINT) AS mean_micro
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ann_bruteforce" -> AnnExactTop5Sql,
     // Filtered search: the same exact top-5, corpus restricted by the

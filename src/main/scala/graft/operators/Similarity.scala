@@ -396,6 +396,37 @@ object Similarity {
     }
   }
 
+  /** Per-label embedding centroids — the nearest-class-mean building
+    * block (class prototypes for few-shot heads, per-cluster summary
+    * vectors, drift monitoring between corpus snapshots). One row per
+    * (label, dim): `(label, dim, n_vectors, mean_micro)` with the mean
+    * in integer micro-units.
+    *
+    * Determinism contract: each component quantizes to micro-units
+    * (`floor(v·10⁶)`, one correctly-rounded double product + floor)
+    * BEFORE the sum, so accumulation is integer and order-free; the
+    * mean is a floor division made engine-portable by shifting the
+    * numerator non-negative first (`(s + 10⁶·n) div n − 10⁶` — for
+    * non-negative operands truncating and flooring division agree, so
+    * Spark's `div` and any SQL engine's integer division match
+    * bit-for-bit; components are cosine-normalized, |v| ≤ 1, so the
+    * shift always covers the most negative sum).
+    *
+    * Scale shape: one narrow posexplode (id and label never copied per
+    * dim beyond the label key) into one partial+final hash aggregate
+    * keyed (label, dim) — labels×dims rows out whatever the corpus. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").cast("bigint").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"),
+        expr("CAST(floor(v * 1e6) AS BIGINT)").as("__micro"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__micro")).as("__s"))
+      .select(col("label"), col("dim"), col("n_vectors"),
+        expr("((__s + 1000000L * n_vectors) div n_vectors) - 1000000L")
+          .as("mean_micro"))
+
   /** k-NN majority-vote label prediction — the classic application
     * query over a similarity index (label propagation / quality-tier
     * transfer across an embedded corpus): each vector takes the modal

@@ -729,6 +729,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L)._5 == expected)
   }
 
+  test("labelCentroids: hand-computed micro means, negative components floor portably") {
+    // Dyadic components (0.25, 0.75 — exact in float) keep the micro
+    // quantization predictable; label 0 avgs to (0.5, -0.5) with a
+    // NEGATIVE dim-2 sum exercising the shift-portable floor division:
+    // s = -1000000, n = 2 -> (-1000000 + 2000000) div 2 - 1000000 = -500000.
+    val e = Seq(
+      (1L, Array(0.25f, -0.25f), 0),
+      (2L, Array(0.75f, -0.75f), 0),
+      (3L, Array(1.0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((0L, 1L)) == ((2L, 500000L)))
+    assert(out((0L, 2L)) == ((2L, -500000L)))
+    assert(out((1L, 1L)) == ((1L, 1000000L)))
+    assert(out((1L, 2L)) == ((1L, 500000L)))
+    // partitioning invariance: integer sums are order-free
+    val again = Similarity.labelCentroids(e.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
+
   test("decontaminateSemantic: planted eval-twin flagged, orthogonal rows keep") {
     // eval vec 100 = corpus vec 1's direction (cos 1.0); corpus vec 2
     // is orthogonal to the whole eval set; corpus 3 sits at cos 0.6 to
