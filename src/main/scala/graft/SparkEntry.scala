@@ -485,6 +485,11 @@ object SparkEntry {
     // floor-division mean — labels×dims rows whatever the corpus.
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // Nearest-class-mean prediction over those centroids (Rocchio):
+    // pure-Long micro² inner products, integer argmax, O(labels) per
+    // vector — the cheap head next to q_knn_classify's O(corpus) one.
+    "q_centroid_classify" -> ((s, dir) =>
+      Similarity.centroidClassify(t(s, dir, "embeddings"))),
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
@@ -2331,6 +2336,28 @@ object SparkEntry {
         |SELECT label, dim, n_vectors,
         |  CAST(((s + 1000000 * n_vectors) // n_vectors) - 1000000 AS BIGINT) AS mean_micro
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Centroid chain verbatim, then pure-integer micro^2 inner
+    // products and a (score desc, label) argmax.
+    "q_centroid_classify" ->
+      """WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS dim FROM embeddings),
+        |m AS (SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n_vectors,
+        |    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2),
+        |cm AS (SELECT label, dim,
+        |    CAST(((s + 1000000 * n_vectors) // n_vectors) - 1000000 AS BIGINT) AS mean_micro
+        |  FROM m),
+        |ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS micro FROM e),
+        |sc AS (SELECT ex.vec_id, ex.label, cm.label AS clabel,
+        |    CAST(sum(ex.micro * cm.mean_micro) AS BIGINT) AS score
+        |  FROM ex JOIN cm ON ex.dim = cm.dim GROUP BY 1, 2, 3)
+        |SELECT vec_id, label, clabel AS predicted_label, score AS score_micro2
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ann_bruteforce" -> AnnExactTop5Sql,
     // Filtered search: the same exact top-5, corpus restricted by the

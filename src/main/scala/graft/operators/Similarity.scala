@@ -427,6 +427,41 @@ object Similarity {
         expr("((__s + 1000000L * n_vectors) div n_vectors) - 1000000L")
           .as("mean_micro"))
 
+  /** Nearest-class-mean prediction over [[labelCentroids]] — the
+    * Rocchio / prototype classifier that pairs with [[knnClassify]]
+    * (O(labels) per vector instead of O(corpus); the standard cheap
+    * head once classes have prototypes). Each vector takes the label
+    * whose centroid maximizes the inner product, ties to the smallest
+    * label. One row per vector:
+    * `(vec_id, label, predicted_label, score_micro2)`.
+    *
+    * Exact end to end: both factors are integer micro-units
+    * (`floor(v·10⁶)` components × centroid `mean_micro`), so each
+    * product and the 64-term sum are pure Long arithmetic
+    * (|score| ≤ dims·10¹² — no overflow, no IEEE accumulation) and the
+    * argmax is an integer max_by; no window sort, no double anywhere.
+    *
+    * Scale shape: the centroid table is labels×dims rows — broadcast
+    * by construction; one narrow posexplode, one broadcast equi-join
+    * on dim (labels rows per component), two hash aggregates. */
+  def centroidClassify(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label").as("__clabel"), col("dim"), col("mean_micro"))
+    embeddings
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("bigint").as("dim"),
+        expr("CAST(floor(v * 1e6) AS BIGINT)").as("__micro"))
+      .join(broadcast(cents), Seq("dim"))
+      .groupBy("vec_id", "label", "__clabel")
+      .agg(sum(col("__micro") * col("mean_micro")).as("__score"))
+      .groupBy("vec_id", "label")
+      .agg(expr("max_by(__clabel, struct(__score, -__clabel))")
+        .as("predicted_label"),
+        max(col("__score")).as("score_micro2"))
+  }
+
   /** k-NN majority-vote label prediction — the classic application
     * query over a similarity index (label propagation / quality-tier
     * transfer across an embedded corpus): each vector takes the modal

@@ -751,6 +751,23 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("centroidClassify: separable classes recover their own labels") {
+    // Two tight classes on orthogonal axes + one off-axis probe:
+    // every member scores its own centroid highest; the probe (label 0
+    // but nearer axis y) crosses over — the classifier must say 1.
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.2f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassify(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0L, 0L)) && out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((1L, 1L)) && out(4L) == ((1L, 1L)))
+    assert(out(5L)._2 == 1L, s"off-axis probe must cross over, got ${out(5L)}")
+    assert(out.size == 5)
+  }
+
   test("decontaminateSemantic: planted eval-twin flagged, orthogonal rows keep") {
     // eval vec 100 = corpus vec 1's direction (cos 1.0); corpus vec 2
     // is orthogonal to the whole eval set; corpus 3 sits at cos 0.6 to
