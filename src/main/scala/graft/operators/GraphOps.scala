@@ -35,6 +35,13 @@ object GraphOps {
     * (15·base) div 100 per node per round. */
   def pageRank(edges: DataFrame, iters: Int = 3,
                base: Long = 1000000L): DataFrame = {
+    // Deliberately NOT persisted: `nodes` re-derives from `edges` in
+    // every round's left join, but measured at sf0.1 (3 rounds) the
+    // recompute wins — persisting edges/nodes adds InMemoryRelation
+    // boundaries that cost AQE its broadcast planning on the small
+    // per-round joins (3.4 s plain vs 6.4 s edges+nodes persisted vs
+    // 4.5 s nodes-from-cache). Only the wide edge⋈degree relation
+    // below earns its cache.
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
