@@ -899,6 +899,20 @@ object SparkEntry {
     // one rounded division.
     "q_rolling_window" -> ((s, dir) =>
       EventOps.rollingWindow(t(s, dir, "events"))),
+    // Ordered funnel (view -> click -> purchase within 24h of stage 1):
+    // chained min-aggregates on exact microsecond predicates — no
+    // per-user sort, no session assembly, deterministic under ties.
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Analytics.funnel(t(s, dir, "events"))),
+    // Weekly retention-cohort matrix in integer epoch-week indexes —
+    // pure floor divisions, no calendar/timezone functions.
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Analytics.retentionCohorts(t(s, dir, "events"))),
+    // Daily resample + forward fill: per-day compaction, per-user
+    // sequence() grid, last(ignoreNulls) fill — the gap-filled regular
+    // series for downstream time-series consumers.
+    "q_resample" -> ((s, dir) =>
+      graft.operators.Analytics.resampleDaily(t(s, dir, "events"))),
 
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
@@ -2548,6 +2562,67 @@ object SparkEntry {
     "q_cube" -> CubeSql,
 
     "q_window_funcs" -> WindowFuncsSql,
+
+    // Chained min-aggregates; INTERVAL arithmetic on µs-truncated
+    // timestamps is exact in both engines.
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS stage1_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS stage2_ts FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.stage1_ts
+        |    AND e.ts <= s1.stage1_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS stage3_ts FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.stage2_ts
+        |    AND e.ts <= s1.stage1_ts + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT s1.user_id, s1.stage1_ts, s2.stage2_ts, s3.stage3_ts,
+        |  CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Integer epoch-week indexes: epoch_us // 86400000000 // 7 — all
+    // operands non-negative, so // and div agree.
+    "q_retention" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1),
+        |x AS (SELECT DISTINCT d.user_id, f.first_day // 7 AS cohort_week,
+        |    (d.day - f.first_day) // 7 AS week_offset
+        |  FROM d JOIN f ON d.user_id = f.user_id)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM x GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Per-day latest via QUALIFY row_number (DuckDB max_by has no
+    // composite key); grid from generate_series; IGNORE-NULLS fill.
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |daily AS (SELECT user_id, day, cents AS day_cents FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY us DESC, event_id DESC) = 1),
+        |cnt AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span)
+        |SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+        |  CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(last_value(d.day_cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
+        |FROM grid g
+        |LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |LEFT JOIN cnt c ON g.user_id = c.user_id AND g.day = c.day
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // RANGE frame over epoch micros: identical integer frame bounds on
     // both engines; ns->us truncation via CAST(ts AS TIMESTAMP).

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the `events` stream — the
+  * funnel / cohort / resample family every event-analytics deployment
+  * runs on exactly the reference's event-time surface (kinesis JSON
+  * events, reference `flink-gen.sh:94-110`). All three follow the
+  * engine's determinism discipline: timestamps compare at exact
+  * microseconds, money rides integer cents, offsets are integer floor
+  * divisions of epoch units — nothing accumulates in IEEE doubles.
+  */
+object Analytics {
+
+  /** Ordered-funnel progression: for each user, the earliest strictly-
+    * increasing chain of `stages` events with every later stage inside
+    * `windowHours` of stage 1. One row per user who reached stage 1:
+    * `(user_id, stage1_ts..stageK_ts, depth)`.
+    *
+    * Determinism: each stage timestamp is a `min` over an exact
+    * microsecond predicate — no ordering ambiguity exists even with
+    * tied timestamps (min of the tied set).
+    *
+    * Scale shape: k chained aggregates keyed on user_id — stage 1 is
+    * one hash agg over the filtered scan, every later stage joins the
+    * (≤ users) frontier back to its event slice; nothing but
+    * (user, ts) pairs moves. The classic window-free funnel: no
+    * per-user sort, no session assembly. */
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase"),
+             windowHours: Int = 24): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ts = col("ts")
+    val s1 = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(ts).as("stage1_ts"))
+      .withColumn("__limit",
+        col("stage1_ts") + expr(s"INTERVAL $windowHours HOURS"))
+    val full = stages.zipWithIndex.drop(1).foldLeft(s1) {
+      case (acc, (stage, i)) =>
+        val prev = s"stage${i}_ts"
+        val cur = s"stage${i + 1}_ts"
+        val hits = events.filter(col("event_type") === stage)
+          .select(col("user_id"), ts.as("__t"))
+          .join(acc.select(col("user_id"), col(prev), col("__limit")), "user_id")
+          .filter(col("__t") > col(prev) && col("__t") <= col("__limit"))
+          .groupBy("user_id").agg(min(col("__t")).as(cur))
+        acc.join(hits, Seq("user_id"), "left")
+    }
+    val depth = stages.indices.drop(1)
+      .map(i => when(col(s"stage${i + 1}_ts").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    full.drop("__limit").withColumn("depth", depth)
+  }
+
+  /** Weekly retention-cohort matrix: users cohort by the week of their
+    * FIRST event; each later active week counts them once. One row per
+    * (cohort_week, week_offset): `(cohort_week, week_offset, n_users)`
+    * with weeks as integer epoch-week indexes (`epoch_day div 7`) —
+    * pure integer floor divisions, identical in any engine, no
+    * calendar/timezone functions anywhere.
+    *
+    * Scale shape: one agg for first-events (users rows), one id-keyed
+    * join back, one distinct-by-construction agg on
+    * (cohort, offset, user) then the count — events never carry more
+    * than three longs through the exchanges. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val firsts = events
+      .groupBy("user_id").agg(min(day).as("__first_day"))
+      .select(col("user_id"), expr("__first_day div 7").as("cohort_week"),
+        col("__first_day"))
+    events.select(col("user_id"), day.as("__day"))
+      .join(firsts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        expr("(__day - __first_day) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Daily resample with forward fill: one row per (user, day) from the
+    * user's first to last active day, carrying the running latest
+    * event value (integer cents; NULL until the user's first non-null
+    * value). The gap-filled regular series every downstream
+    * time-series consumer wants from an irregular event stream.
+    *
+    * Determinism: the per-day "latest" value is `max_by(cents,
+    * (unix_micros, event_id))` — a total order, so ties cannot flip it;
+    * the fill is `last(ignoreNulls)` over day order, unambiguous on the
+    * daily grid. Days are integer epoch-day indexes.
+    *
+    * Scale shape: per-day compaction first (events → ≤ user·days rows),
+    * then `sequence()` explodes only each user's own [first, last] day
+    * span — grid rows ≤ users × span; the fill is one window over the
+    * per-user day order (one exchange, bounded frames). */
+  def resampleDaily(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val cents = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    val daily = events
+      .select(col("user_id"), day.as("day"), cents.as("__cents"),
+        expr("unix_micros(ts)").as("__us"), col("event_id"))
+      .groupBy("user_id", "day")
+      .agg(expr("max_by(__cents, struct(__us, event_id))").as("__day_cents"),
+        count(lit(1)).as("n_events"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(__lo, __hi)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("__day_cents"), ignoreNulls = true).over(w)
+          .as("filled_cents"))
+  }
+}

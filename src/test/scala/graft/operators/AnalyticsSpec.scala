@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("funnel: order enforced, window cutoff honored, depth counted") {
+    // u1 completes all 3 in order; u2's click PRECEDES its view (must
+    // not count) and its purchase follows the view (skipping a stage
+    // never counts); u3's click lands past the 24h window; u4 never
+    // views (absent from the report).
+    val ev = Seq(
+      (1L, 1L, ts(100L), "view"), (1L, 2L, ts(200L), "click"), (1L, 3L, ts(300L), "purchase"),
+      (2L, 4L, ts(50L), "click"), (2L, 5L, ts(100L), "view"), (2L, 6L, ts(200L), "purchase"),
+      (3L, 7L, ts(0L), "view"), (3L, 8L, ts(90000L), "click"),
+      (4L, 9L, ts(10L), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.funnel(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(out(1L) == ((3L, false, false)))
+    assert(out(2L) == ((1L, true, true)), "click-before-view must not advance")
+    assert(out(3L) == ((1L, true, true)), "25h click is outside the window")
+    assert(!out.contains(4L), "users without stage 1 are absent")
+  }
+
+  test("funnel: tied stage timestamps resolve by min; same-instant does not advance") {
+    // view and click at the SAME microsecond: click is not strictly
+    // after view -> depth 1. A later click advances.
+    val ev = Seq(
+      (1L, 1L, ts(100L), "view"), (1L, 2L, ts(100L), "click"),
+      (2L, 3L, ts(100L), "view"), (2L, 4L, ts(101L), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.funnel(ev, Seq("view", "click")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 1L && out(2L) == 2L)
+  }
+
+  test("retentionCohorts: cohort by first week, distinct users per offset") {
+    val day = 86400L
+    // u1 first on day 0 (cohort week 0), active again day 8 (offset 1)
+    // twice (distinct-counted once); u2 first on day 7 (cohort week 1).
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (1L, 2L, ts(8L * day)), (1L, 3L, ts(8L * day + 100L)),
+      (2L, 4L, ts(7L * day)))
+      .toDF("user_id", "event_id", "ts")
+    val out = Analytics.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ts(0) = epoch -> day 0 -> cohort week 0; day 7 -> cohort week 1
+    assert(out((0L, 0L)) == 1L && out((0L, 1L)) == 1L)
+    assert(out((1L, 0L)) == 1L)
+    assert(out.size == 3)
+  }
+
+  test("resampleDaily: gaps filled forward, per-day latest wins, leading nulls stay null") {
+    val day = 86400L
+    // u1: day 0 two events (latest value 2.00 wins), day 1 no events
+    // (filled 200), day 2 a NULL-value event (fill keeps 200).
+    val ev = Seq(
+      (1L, 1L, ts(10L), Some(1.00)), (1L, 2L, ts(20L), Some(2.00)),
+      (1L, 3L, ts(2L * day), None),
+      // u2: first event has NULL value -> filled stays NULL that day
+      (2L, 4L, ts(0L), None), (2L, 5L, ts(day), Some(5.00)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.resampleDaily(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out((1L, 0L)) == ((2L, Some(200L))))
+    assert(out((1L, 1L)) == ((0L, Some(200L))), "gap day forward-fills")
+    assert(out((1L, 2L)) == ((1L, Some(200L))), "null event does not overwrite the fill")
+    assert(out((2L, 0L)) == ((1L, None)), "no value yet -> NULL")
+    assert(out((2L, 1L)) == ((1L, Some(500L))))
+    assert(out.size == 5)
+  }
+}
