@@ -913,6 +913,14 @@ object SparkEntry {
     // series for downstream time-series consumers.
     "q_resample" -> ((s, dir) =>
       graft.operators.Analytics.resampleDaily(t(s, dir, "events"))),
+    // SCD Type-2 dimension history (the reference generator's status
+    // transitions as validity intervals): run compression by lag,
+    // interval close by lead, (µs, event_id) total order.
+    "q_scd2" -> ((s, dir) =>
+      graft.operators.Analytics.scd2(t(s, dir, "events"))),
+    // Event-transition matrix (Sankey/Markov source view).
+    "q_event_paths" -> ((s, dir) =>
+      graft.operators.Analytics.eventPaths(t(s, dir, "events"))),
 
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
@@ -2623,6 +2631,31 @@ object SparkEntry {
         |LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |LEFT JOIN cnt c ON g.user_id = c.user_id AND g.day = c.day
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Run compression (lag) + interval close (lead) over the same
+    // (epoch_us, event_id) total order.
+    "q_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |runs AS (SELECT *, lag(event_type, 1) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev
+        |  QUALIFY prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+        |FROM runs ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Consecutive-transition counts over the same total order.
+    "q_event_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |tr AS (SELECT user_id, event_type, lag(event_type, 1) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM tr WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // RANGE frame over epoch micros: identical integer frame bounds on
     // both engines; ns->us truncation via CAST(ts AS TIMESTAMP).

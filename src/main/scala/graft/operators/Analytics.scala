@@ -115,4 +115,54 @@ object Analytics {
         last(col("__day_cents"), ignoreNulls = true).over(w)
           .as("filled_cents"))
   }
+
+  /** SCD Type-2 history build from an event-sourced attribute stream —
+    * the warehouse-dimension twin of [[graft.cdc.Upsert.latestByKey]]
+    * (latest state) and the reference generator's status-transition
+    * updates (`gen_data.py:171-200` scheduled→live→finished): per key,
+    * validity intervals `[valid_from, valid_to)` for each DISTINCT run
+    * of the attribute, consecutive repeats compressed away, the
+    * current row carrying `valid_to = NULL` and `is_current = true`.
+    *
+    * Determinism: event order is the total (µs timestamp, event_id)
+    * order, so runs, interval bounds, and the current flag cannot flip
+    * under ties; the run compression is a lag-compare, the close a
+    * lead — two window passes over one per-key sort.
+    *
+    * Scale shape: one exchange on the key + one per-partition sort
+    * shared by both window functions; row width is (key, attr, ts). */
+  def scd2(events: DataFrame, attr: String = "event_type"): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col(attr).as("__attr"))
+      .withColumn("__prev", lag(col("__attr"), 1).over(order))
+      .filter(col("__prev").isNull || col("__prev") =!= col("__attr"))
+    val close = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    runs
+      .withColumn("valid_to", lead(col("ts"), 1).over(close))
+      .select(col("user_id"), col("__attr").as(attr),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Event-transition paths (the Sankey/Markov source view): counts of
+    * consecutive `event_type` transitions per user timeline, ordered by
+    * the total (µs, event_id) order. One row per (from_type, to_type)
+    * with the transition count and distinct-user reach.
+    *
+    * Scale shape: one exchange on the key, one per-partition sort for
+    * the lag, one hash aggregate on the (from, to) pair. */
+  def eventPaths(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(order))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
 }

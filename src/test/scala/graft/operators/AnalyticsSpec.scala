@@ -54,6 +54,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("scd2: consecutive repeats compress, intervals chain, current row open") {
+    val ev = Seq(
+      (1L, 1L, ts(10L), "scheduled"), (1L, 2L, ts(20L), "scheduled"),
+      (1L, 3L, ts(30L), "live"), (1L, 4L, ts(40L), "finished"),
+      (2L, 5L, ts(10L), "live"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.scd2(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getTimestamp(2).getTime, Option(r.getTimestamp(3)).map(_.getTime),
+          r.getBoolean(4)))).toMap
+    // repeat at ts 20 compressed away; intervals chain with no gaps
+    assert(out((1L, "scheduled")) == ((10000L, Some(30000L), false)))
+    assert(out((1L, "live")) == ((30000L, Some(40000L), false)))
+    assert(out((1L, "finished")) == ((40000L, None, true)))
+    assert(out((2L, "live")) == ((10000L, None, true)))
+    assert(out.size == 4)
+  }
+
+  test("scd2: re-entering a state opens a NEW interval (history, not latest)") {
+    val ev = Seq(
+      (1L, 1L, ts(10L), "a"), (1L, 2L, ts(20L), "b"), (1L, 3L, ts(30L), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val rows = Analytics.scd2(ev).collect()
+    assert(rows.length == 3, "a -> b -> a is three intervals")
+    assert(rows.count(_.getBoolean(4)) == 1, "exactly one current row per key")
+  }
+
+  test("eventPaths: lag over (ts, event_id) counts consecutive transitions only") {
+    val ev = Seq(
+      (1L, 1L, ts(10L), "view"), (1L, 2L, ts(20L), "click"), (1L, 3L, ts(30L), "view"),
+      (2L, 4L, ts(10L), "view"), (2L, 5L, ts(20L), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.eventPaths(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("view", "click")) == ((2L, 2L)))
+    assert(out(("click", "view")) == ((1L, 1L)))
+    assert(out.size == 2, "cross-user pairs must not appear")
+  }
+
   test("resampleDaily: gaps filled forward, per-day latest wins, leading nulls stay null") {
     val day = 86400L
     // u1: day 0 two events (latest value 2.00 wins), day 1 no events
