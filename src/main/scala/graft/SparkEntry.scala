@@ -750,6 +750,22 @@ object SparkEntry {
             org.apache.spark.sql.types.DecimalType(18, 6)))
             .cast("double").as("total_value"))
     }),
+    // The break-even-guarded entry (the ANN family's probe-then-pick
+    // discipline closing the skew family): one key-histogram aggregate
+    // decides salted vs plain; both branches are the plain join's
+    // multiset, so the oracle is q_skew_join's SQL verbatim.
+    "q_skew_join_adaptive" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Skew.adaptiveJoin(
+          t(s, dir, "events"),
+          Projections.users(t(s, dir, "customer")), "user_id")
+        .groupBy("full_name")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("total_value"))
+    }),
 
     // Bucketed co-located join (the reference's 'bucket.num'='4' at
     // the lake tier, tickets-cdc.sql:34): orders and customer are laid
@@ -2750,6 +2766,15 @@ object SparkEntry {
     // The salted join's result is the plain join's exact multiset
     // (spec-pinned law), so the oracle is the unsalted formulation.
     "q_skew_join" ->
+      """SELECT c.c_mktsegment AS full_name,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Adaptive entry: branch-invariant result, same oracle.
+    "q_skew_join_adaptive" ->
       """SELECT c.c_mktsegment AS full_name,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,

@@ -23,4 +23,29 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Break-even-guarded entry — the family discipline the ANN side
+    * established (probe, then pick the plan; `Similarity.adaptiveTopK`,
+    * `PqIndex.adaptiveTopK`): ONE aggregate probes the big side's key
+    * histogram, and only when the heaviest key carries at least
+    * `skewFraction` of the rows (a key that would pin a whole reducer)
+    * does the join pay salting's small-side replication; otherwise the
+    * plain equi-join runs and Catalyst/AQE keep their usual freedoms.
+    * Both branches return the plain join's exact multiset, so callers
+    * (and the driver oracle) never see which branch ran.
+    *
+    * The probe is the first narrow half of [[graft.operators.EventOps
+    * .keySkewProfile]]'s report: per-key counts, max vs total — one
+    * partial+final agg over just the key column. */
+  def adaptiveJoin(big: DataFrame, small: DataFrame, key: String,
+                   salt: Int = 8, skewFraction: Double = 0.05): DataFrame = {
+    val probe = big.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__max"), sum(col("__c")).as("__n"))
+      .select((col("__max").cast("double") / col("__n").cast("double"))
+        .as("__frac"))
+      .head()
+    val skewed = !probe.isNullAt(0) && probe.getDouble(0) >= skewFraction
+    if (skewed) saltedJoin(big, small, key, salt)
+    else big.join(small, Seq(key))
+  }
 }

@@ -18,6 +18,28 @@ class SkewIvfSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("adaptiveJoin: both probe branches return the plain join's multiset") {
+    val small = Seq((1L, "one"), (2L, "two"), (500L, "fh")).toDF("k", "name")
+    // skewed: key 1 carries 10% of rows -> probe >= 0.05 -> salted branch
+    val hot = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    // uniform: every key once -> probe 0.001 -> plain branch
+    val flat = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+    for (big <- Seq(hot, flat)) {
+      val plain = big.join(small, "k").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val adaptive = Skew.adaptiveJoin(big, small, "k", salt = 8)
+        .select(big.join(small, "k").columns.map(col).toSeq: _*)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(adaptive == plain)
+    }
+  }
+
+  test("adaptiveJoin: empty big side takes the plain branch without error") {
+    val big = Seq.empty[(Long, String)].toDF("k", "payload")
+    val small = Seq((1L, "one")).toDF("k", "name")
+    assert(Skew.adaptiveJoin(big, small, "k").count() == 0L)
+  }
+
   test("IVF: deterministic fit, full coverage, sane recall on clustered data") {
     // 3 tight clusters of 10 vectors each
     val vs = (0 until 30).map { i =>
