@@ -107,6 +107,49 @@ final class StateStore(spark: SparkSession, dir: String) {
     latestVersion.foreach { v =>
       write(spark.read.parquet(s"$dir/v=$v").coalesce(targetFiles), v + 1)
     }
+
+  /** Compliance delete ("right to be forgotten"): remove every row
+    * with `keyCol` in `keys` from EVERY retained snapshot — unlike an
+    * ordinary delete-and-commit, this pierces time travel on purpose
+    * (a deleted subject must not be readable via `VERSION AS OF`
+    * either; the Delta/Iceberg equivalent is rewriting history files
+    * before a VACUUM). Version numbering and each snapshot's stamped
+    * commit time are PRESERVED (the purge rewrites data, not history
+    * shape), so `readAsOf` resolution is unchanged.
+    *
+    * Each version rewrites through a sibling temp directory + rename —
+    * a crash mid-purge leaves that version either whole or fully
+    * rewritten, never torn. Returns the number of rows removed across
+    * versions. */
+  def purgeKeys(keyCol: String, keys: Seq[Any]): Long = {
+    import org.apache.spark.sql.functions.col
+    var removed = 0L
+    versions.foreach { v =>
+      val path = s"$dir/v=$v"
+      val before = spark.read.parquet(path)
+      val keep = before.filter(!col(keyCol).isin(keys: _*))
+      val n = before.count() - keep.count()
+      if (n > 0) {
+        val stamp = commitTimeMs(v)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.purge_v=$v")
+        fs.delete(tmp, true)
+        keep.write.mode("overwrite").parquet(tmp.toString)
+        val dst = new org.apache.hadoop.fs.Path(path)
+        fs.delete(dst, true)
+        fs.rename(tmp, dst)
+        // restore the ORIGINAL commit stamp: the purge is not a commit
+        stamp.foreach { ms =>
+          val m = new org.apache.hadoop.fs.Path(dst, StateStore.CommitManifest)
+          val out = fs.create(m, true)
+          try out.write(String.valueOf(ms)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        removed += n
+      }
+    }
+    removed
+  }
 }
 
 object StateStore {

@@ -111,4 +111,30 @@ class RecoverySpec extends SparkSpec {
     // the pre-compaction snapshot is still time-travelable until expiry
     assert(store.read(3L).get.count() == 100)
   }
+
+  test("purgeKeys: compliance delete pierces time travel, history shape intact") {
+    val dir = Files.createTempDirectory("graft-purge").toString
+    val store = new StateStore(spark, s"$dir/t")
+    import spark.implicits._
+    store.write(Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("user_id", "name"), version = 1)
+    store.write(Seq((1L, "alice2"), (2L, "bob"), (4L, "dan"))
+      .toDF("user_id", "name"), version = 2)
+    val stampBefore = store.commitTimeMs(1L)
+    val removed = store.purgeKeys("user_id", Seq(1L))
+    assert(removed == 2L, "one row per version carried the subject")
+    // the subject is unreadable at EVERY version — time travel included
+    Seq(1L, 2L).foreach { v =>
+      val names = store.read(v).get.select("user_id")
+        .as[Long].collect().toSet
+      assert(!names.contains(1L), s"v$v still exposes the purged key")
+    }
+    // other rows, version numbering and commit stamps are untouched
+    assert(store.read(1L).get.count() == 2 && store.read(2L).get.count() == 2)
+    assert(store.versions == Seq(1L, 2L))
+    assert(store.commitTimeMs(1L) == stampBefore,
+      "purge must not re-stamp history (readAsOf resolution would shift)")
+    // idempotent: purging an absent key changes nothing
+    assert(store.purgeKeys("user_id", Seq(1L)) == 0L)
+  }
 }
