@@ -955,6 +955,13 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       s.sql(PricingSql)
     }),
+    // SQL e2e for the ANALYTICS family (the q_sql_pricing pattern on
+    // the funnel): one shared ANSI text — CTE chain, ANSI interval
+    // literal, exact µs comparisons — runs verbatim on both engines.
+    "q_sql_funnel" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(FunnelSql)
+    }),
 
     // SQL entry point for the EXTENSION surface: the composed curation
     // pipeline (normalized dedup -> quality scoring -> per-language
@@ -1026,6 +1033,30 @@ object SparkEntry {
 
   /** Window (OVER) functions — same text both engines; integer-cents
     * running sum per [[RollupSql]]'s rationale. */
+  /** Shared-text funnel (ANSI subset: CTEs, min-aggregates, LEFT
+    * JOINs, `INTERVAL '24' HOUR`): both engines run this verbatim, so
+    * the analytics family is sql-client-reachable with engine-portable
+    * text — the [[PricingSql]] argument. `CAST(ts AS TIMESTAMP)`
+    * normalizes the ns-precision parquet to µs on both sides. */
+  val FunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS stage1_ts FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS stage2_ts FROM ev e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.stage1_ts
+      |    AND e.ts <= s1.stage1_ts + INTERVAL '24' HOUR GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS stage3_ts FROM ev e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.stage2_ts
+      |    AND e.ts <= s1.stage1_ts + INTERVAL '24' HOUR GROUP BY e.user_id)
+      |SELECT s1.user_id, s1.stage1_ts, s2.stage2_ts, s3.stage3_ts,
+      |  CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+      |         + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   val WindowFuncsSql: String =
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
@@ -2608,6 +2639,9 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Shared text + deterministic tail sort.
+    "q_sql_funnel" -> (FunnelSql + "\nORDER BY ALL NULLS FIRST"),
 
     // Integer epoch-week indexes: epoch_us // 86400000000 // 7 — all
     // operands non-negative, so // and div agree.
