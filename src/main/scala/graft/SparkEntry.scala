@@ -480,6 +480,17 @@ object SparkEntry {
     // the application query a similarity index exists for.
     "q_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(t(s, dir, "embeddings"), k = 5)),
+    // Classifier evaluation view: the k-NN confusion matrix — which
+    // true labels flow to which predictions, the report that decides
+    // whether label propagation is trustworthy. Exact integer counts
+    // over the deterministic classify output.
+    "q_knn_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.knnClassify(t(s, dir, "embeddings"), k = 5)
+        .groupBy(col("label").cast("bigint").as("label"),
+          col("predicted_label").cast("bigint").as("predicted_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // Per-label centroids (class prototypes / nearest-class-mean):
     // micro-quantized components summed integer-exact, shift-portable
     // floor-division mean — labels×dims rows whatever the corpus.
@@ -2391,6 +2402,25 @@ object SparkEntry {
         |SELECT p.query_id, q.label, p.predicted_label, p.votes
         |FROM p JOIN embeddings q ON q.vec_id = p.query_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The q_knn_classify chain with a confusion-matrix aggregate tail.
+    "q_knn_confusion" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s),
+        |nn AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+        |v AS (SELECT nn.query_id, e.label AS n_label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2),
+        |p AS (SELECT query_id, n_label AS predicted_label, votes FROM v
+        |      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) = 1),
+        |cls AS (SELECT q.label, p.predicted_label
+        |  FROM p JOIN embeddings q ON q.vec_id = p.query_id)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(predicted_label AS BIGINT) AS predicted_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM cls GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Micro-quantize per component BEFORE the sum (integer, order-
     // free); mean = shift-portable floor division (non-negative
