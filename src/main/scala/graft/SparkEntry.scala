@@ -948,6 +948,11 @@ object SparkEntry {
     // Event-transition matrix (Sankey/Markov source view).
     "q_event_paths" -> ((s, dir) =>
       graft.operators.Analytics.eventPaths(t(s, dir, "events"))),
+    // Time-weighted average (TWAP): duration-weighted step-function
+    // mean per user — Long-safe by the telescoping-gap bound, one
+    // portable floor division.
+    "q_twap" -> ((s, dir) =>
+      graft.operators.Analytics.twap(t(s, dir, "events"))),
 
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
@@ -2724,6 +2729,24 @@ object SparkEntry {
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
         |FROM runs ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Lead-gap integration over the same total order; all operands
+    // non-negative so // and div agree.
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id, cents,
+        |    lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS gap
+        |  FROM e),
+        |a AS (SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_obs,
+        |    CAST(sum(gap) AS BIGINT) AS span_us,
+        |    CAST(sum(cents * gap) AS BIGINT) AS wsum
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_obs, span_us,
+        |  CAST(wsum // span_us AS BIGINT) AS twap_cents
+        |FROM a WHERE span_us > 0 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Consecutive-transition counts over the same total order.
     "q_event_paths" ->

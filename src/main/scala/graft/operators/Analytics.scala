@@ -147,6 +147,41 @@ object Analytics {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Time-weighted average value (TWAP) per key — the irregular-stream
+    * average where each observation holds until the next one (the step
+    * function a last-value resample implies), weighting every value by
+    * its holding duration instead of its tick count. One row per key
+    * with ≥ 2 valued events: `(user_id, n_obs, span_us, twap_cents)`.
+    *
+    * Exactness: cents are integers, gaps are exact µs differences over
+    * the (µs, event_id) total order, and the weighted sum is Long-safe
+    * WHATEVER the event count — gaps telescope to the span, so
+    * `Σ cents·gap ≤ max_cents · span` (≤ 10⁵·3·10¹² here, far inside
+    * Long). The average is one non-negative integer floor division —
+    * portable across engines like the centroid mean.
+    *
+    * NULL-valued events are excluded from the step function (they are
+    * ticks without an observation). Scale shape: one exchange on the
+    * key + one per-partition sort for the lead, one hash aggregate. */
+  def twap(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("__us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("__cents"))
+      .withColumn("__gap", lead(col("__us"), 1).over(order) - col("__us"))
+      .filter(col("__gap").isNotNull)
+      .groupBy("user_id")
+      .agg((count(lit(1)) + 1).as("n_obs"),
+        sum(col("__gap")).as("span_us"),
+        sum(col("__cents") * col("__gap")).as("__wsum"))
+      .filter(col("span_us") > 0L)
+      .select(col("user_id"), col("n_obs"), col("span_us"),
+        expr("__wsum div span_us").as("twap_cents"))
+  }
+
   /** Event-transition paths (the Sankey/Markov source view): counts of
     * consecutive `event_type` transitions per user timeline, ordered by
     * the total (µs, event_id) order. One row per (from_type, to_type)

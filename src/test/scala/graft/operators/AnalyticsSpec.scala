@@ -93,6 +93,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 2, "cross-user pairs must not appear")
   }
 
+  test("twap: duration weighting beats tick counting; null ticks excluded") {
+    // u1 holds 1.00 for 9s then 10.00 for 1s: tick mean 4.00 cents=400,
+    // TWAP = (100*9 + 1000*1)/10 = 190 cents. The null-valued tick in
+    // the middle is not an observation. u2 has one valued event -> no
+    // interval -> absent.
+    val ev = Seq[(Long, Long, java.sql.Timestamp, Option[Double])](
+      (1L, 1L, ts(0L), Some(1.00)), (1L, 2L, ts(5L), None),
+      (1L, 3L, ts(9L), Some(10.00)), (1L, 4L, ts(10L), Some(2.00)),
+      (2L, 5L, ts(0L), Some(7.00)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.twap(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 10000000L, 190L)), s"got ${out.get(1L)}")
+    assert(!out.contains(2L), "a single observation has no holding period")
+  }
+
   test("resampleDaily: gaps filled forward, per-day latest wins, leading nulls stay null") {
     val day = 86400L
     // u1: day 0 two events (latest value 2.00 wins), day 1 no events
