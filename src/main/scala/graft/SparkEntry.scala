@@ -720,6 +720,17 @@ object SparkEntry {
         key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
         rightTieBreak = "o_orderkey")),
 
+    // FORWARD as-of: each order enriched with the customer's NEXT
+    // event at or after order time — the upcoming-activity mirror of
+    // the last-observed join above (orders predate the event window,
+    // so every customer with events matches).
+    "q_asof_forward" -> ((s, dir) =>
+      graft.operators.AsOf.joinForward(
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "user_id"),
+        t(s, dir, "events"),
+        key = "user_id", leftTs = "o_orderdate", rightTs = "ts",
+        rightTieBreak = "event_id")),
+
     // Range (interval) join via time-bucket equi-join: events inside
     // each signup's 10-minute window, same user.
     "q_range_join" -> ((s, dir) => {
@@ -2800,6 +2811,22 @@ object SparkEntry {
         |       r.o_orderkey, r.o_orderstatus, r.o_totalprice, r.o_orderdate,
         |       r.o_orderpriority
         |FROM e ASOF JOIN r ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Forward direction: DuckDB ASOF with >= picks the nearest
+    // following version; same one-version-per-(key, ts) dedup.
+    "q_asof_forward" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, event_type, value, props
+        |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |          value, props, row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |          ORDER BY event_id DESC) AS rn FROM events) WHERE rn = 1),
+        |o AS (SELECT o_custkey AS user_id, o_orderkey, o_orderstatus, o_totalprice,
+        |             o_orderdate, o_orderpriority FROM orders)
+        |SELECT o.user_id, o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+        |       o.o_orderdate, o.o_orderpriority,
+        |       r.event_id, r.ts, r.event_type, r.value, r.props
+        |FROM o ASOF JOIN r ON o.user_id = r.user_id AND r.ts >= o.o_orderdate
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_range_join" ->

@@ -52,4 +52,38 @@ object AsOf {
         leftCols.filterNot(_ == key).map(c => col(s"__l.$c").as(c)) ++:
         rightCols.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** FORWARD as-of: each left row matches the single right row with the
+    * smallest `rightTs >= leftTs` for the same key — the "next
+    * scheduled/upcoming" enrichment mirroring [[join]]'s last-observed
+    * one. Same composed shape (one tagged union, one exchange + sort),
+    * with the window looking forward (`first` over
+    * `[current, unbounded following)`) and the LEFT row sorting before
+    * an equal-timestamp right row so `>=` includes ties. */
+  def joinForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, rightTieBreak: String): DataFrame = {
+    val rightCols = right.columns.filterNot(_ == key).toSeq
+    val r1 = graft.cdc.Upsert.latestByKey(
+      right, Seq(key, rightTs), Seq(rightTieBreak))
+    val taggedRight = r1.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(1).as("__side"),
+      struct(rightCols.map(col): _*).as("__r"))
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left.select(
+      col(key).as("__k"), col(leftTs).cast("timestamp").as("__ts"), lit(0).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"))
+    // left row sorts before a right row at equal ts → `>=` semantics
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val carried = taggedLeft.select(col("__k"), col("__ts"), col("__side"),
+        col("__l"), lit(null).cast(taggedRight.schema("__r").dataType).as("__r"))
+      .unionByName(taggedRight.select(col("__k"), col("__ts"), col("__side"),
+        lit(null).cast(taggedLeft.schema("__l").dataType).as("__l"), col("__r")))
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0 && col("__match").isNotNull)
+      .select(col("__k").as(key) +:
+        leftCols.filterNot(_ == key).map(c => col(s"__l.$c").as(c)) ++:
+        rightCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
 }

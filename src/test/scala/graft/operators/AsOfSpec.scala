@@ -34,4 +34,21 @@ class AsOfSpec extends SparkSpec {
       .select("name").as[String].collect()
     assert(out.toSeq == Seq("new-dup"))
   }
+
+  test("forward as-of: nearest following version, equal ts included, trailing drops") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "e-early"),   // before v1 → matches v1
+      (1L, ts("2026-01-01 12:00:00"), "e-eq"),      // == v1 ts → matches v1 (>= incl.)
+      (1L, ts("2026-01-01 13:00:00"), "e-mid"),     // between v1 and v2 → matches v2
+      (1L, ts("2026-01-01 15:00:00"), "e-late"),    // after all versions → drops
+      (2L, ts("2026-01-01 12:00:00"), "other-key")) // no versions for key 2 → drops
+      .toDF("user_id", "ts", "tag")
+    val versions = Seq(
+      (1L, ts("2026-01-01 12:00:00"), 100L, "v1"),
+      (1L, ts("2026-01-01 14:00:00"), 200L, "v2"))
+      .toDF("user_id", "vts", "ver_id", "name")
+    val out = AsOf.joinForward(events, versions, "user_id", "ts", "vts", "ver_id")
+      .select("tag", "name").as[(String, String)].collect().toMap
+    assert(out == Map("e-early" -> "v1", "e-eq" -> "v1", "e-mid" -> "v2"))
+  }
 }
