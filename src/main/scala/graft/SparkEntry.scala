@@ -964,6 +964,10 @@ object SparkEntry {
     // portable floor division.
     "q_twap" -> ((s, dir) =>
       graft.operators.Analytics.twap(t(s, dir, "events"))),
+    // Week-over-week trend: weekly cents per event type with lag-based
+    // previous period and exact Long delta.
+    "q_wow" -> ((s, dir) =>
+      graft.operators.Analytics.periodOverPeriod(t(s, dir, "events"))),
 
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
@@ -2740,6 +2744,18 @@ object SparkEntry {
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
         |FROM runs ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Weekly integer-cents totals + lag window.
+    "q_wow" ->
+      """WITH w AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week,
+        |    CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(week AS BIGINT) AS week, n_events, cents,
+        |  CAST(lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT) AS prev_cents,
+        |  CAST(cents - lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT) AS delta_cents
+        |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Lead-gap integration over the same total order; all operands
     // non-negative so // and div agree.

@@ -147,6 +147,32 @@ object Analytics {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Period-over-period report: weekly value totals per group with the
+    * previous period's total and the exact delta — the WoW/MoM trend
+    * view every revenue dashboard leads with. Periods are integer
+    * epoch-week indexes ([[retentionCohorts]]' floor-division clock);
+    * totals are integer cents, the delta a Long subtraction, and the
+    * previous period comes from a lag over the per-group week order
+    * (NULL on each group's first observed week — absent weeks are NOT
+    * gap-filled; compose with [[resampleDaily]]'s grid pattern when a
+    * dense axis is needed).
+    *
+    * Scale shape: one partial+final agg to (group, week) rows, then a
+    * lag window over the tiny aggregate — groups×weeks rows total. */
+  def periodOverPeriod(events: DataFrame, groupCol: String = "event_type"): DataFrame = {
+    val weekly = events
+      .groupBy(col(groupCol).as("grp"),
+        expr("unix_micros(ts) div 86400000000L div 7").as("week"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("grp").as(groupCol), col("week"), col("n_events"),
+        col("cents"), col("prev_cents"),
+        (col("cents") - col("prev_cents")).as("delta_cents"))
+  }
+
   /** Time-weighted average value (TWAP) per key — the irregular-stream
     * average where each observation holds until the next one (the step
     * function a last-value resample implies), weighting every value by

@@ -93,6 +93,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 2, "cross-user pairs must not appear")
   }
 
+  test("periodOverPeriod: lag skips absent weeks within the group, first week null") {
+    val day = 86400L
+    // type a: weeks 0 and 2 (week 1 absent -> week 2's prev is week 0's
+    // total, not a gap-filled zero); type b: single week.
+    val ev = Seq(
+      (1L, 1L, ts(0L), 1.00, "a"), (2L, 2L, ts(day), 2.00, "a"),
+      (3L, 3L, ts(15L * day), 4.00, "a"),
+      (4L, 4L, ts(0L), 9.00, "b"))
+      .toDF("user_id", "event_id", "ts", "value", "event_type")
+    val out = Analytics.periodOverPeriod(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out(("a", 0L)) == ((300L, None)))
+    assert(out(("a", 2L)) == ((400L, Some(300L))))
+    assert(out(("b", 0L)) == ((900L, None)))
+    assert(out.size == 3)
+  }
+
   test("twap: duration weighting beats tick counting; null ticks excluded") {
     // u1 holds 1.00 for 9s then 10.00 for 1s: tick mean 4.00 cents=400,
     // TWAP = (100*9 + 1000*1)/10 = 190 cents. The null-valued tick in
