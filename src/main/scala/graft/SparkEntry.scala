@@ -968,6 +968,10 @@ object SparkEntry {
     // previous period and exact Long delta.
     "q_wow" -> ((s, dir) =>
       graft.operators.Analytics.periodOverPeriod(t(s, dir, "events"))),
+    // Hourly volume-anomaly flags vs the trailing 24h baseline —
+    // squared Chebyshev test, pure integer arithmetic.
+    "q_anomalies" -> ((s, dir) =>
+      graft.operators.Analytics.countAnomalies(t(s, dir, "events"))),
 
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
@@ -2744,6 +2748,25 @@ object SparkEntry {
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
         |FROM runs ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Squared Chebyshev spike test over three window sums; boolean
+    // compare of exact integers.
+    "q_anomalies" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, hour, n_events,
+        |    count(n_events) OVER w AS n,
+        |    sum(n_events) OVER w AS sm,
+        |    sum(n_events * n_events) OVER w AS ss
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(hour AS BIGINT) AS hour, n_events,
+        |  CAST(n AS BIGINT) AS baseline_hours,
+        |  (n >= 8 AND (n * n_events - sm) * (n * n_events - sm)
+        |     > 9 * (n * ss - sm * sm)) AS is_anomaly
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Weekly integer-cents totals + lag window.
     "q_wow" ->

@@ -147,6 +147,47 @@ object Analytics {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Volume-anomaly detection: flag hours whose event count deviates
+    * k-sigma from the trailing 24-hour baseline (both spikes AND dips
+    * — the test is two-sided), per event type — the ingest-monitoring
+    * alarm (a crawler gone hot, a dropped feed). The
+    * sigma test is the SQUARED Chebyshev form
+    * `(n·x − Σ)² > k²·(n·Σx² − Σ²)` — algebraically `|x − mean| >
+    * k·sigma` with both sides multiplied through by n², so the whole
+    * test is integer arithmetic: no sqrt, no IEEE, engine-exact.
+    * (Chebyshev guarantees ≤ 1/k² of any distribution flags — the
+    * distribution-free bound that makes k=3 a sane default.) The
+    * current hour is excluded from its own baseline; hours with a
+    * baseline of fewer than `minBaseline` observations never flag.
+    *
+    * Long-safety: with per-group hourly counts ≤ ~10⁸ the largest term
+    * `(n·x − Σ)²` stays ≤ (2n·max)² < 2⁶³ at n = 24; past that, widen
+    * to DECIMAL — the test's shape is unchanged.
+    *
+    * Scale shape: one partial+final agg to (group, hour) rows, then
+    * three window sums over the tiny hourly aggregate. */
+  def countAnomalies(events: DataFrame, kSigma: Int = 3,
+                     minBaseline: Int = 8): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000L").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("__n", count(col("n_events")).over(w))
+      .withColumn("__s", sum(col("n_events")).over(w))
+      .withColumn("__ss", sum(col("n_events") * col("n_events")).over(w))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("__n").as("baseline_hours"),
+        (col("__n") >= minBaseline &&
+          (col("__n") * col("n_events") - col("__s")) *
+            (col("__n") * col("n_events") - col("__s")) >
+          lit(kSigma.toLong * kSigma) *
+            (col("__n") * col("__ss") - col("__s") * col("__s")))
+          .as("is_anomaly"))
+  }
+
   /** Period-over-period report: weekly value totals per group with the
     * previous period's total and the exact delta — the WoW/MoM trend
     * view every revenue dashboard leads with. Periods are integer

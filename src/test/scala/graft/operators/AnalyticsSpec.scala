@@ -93,6 +93,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 2, "cross-user pairs must not appear")
   }
 
+  test("countAnomalies: planted spike flags, steady traffic and short baselines do not") {
+    val hour = 3600L
+    // type "a": 30 hours of 10 events, then one hour of 100 (spike),
+    // then 10 again. Steady hours must NOT flag (noisy-free baseline:
+    // zero variance and zero deviation -> strict > fails); the first
+    // hours (baseline < 8) must not flag either.
+    val rows = ((0 until 30).flatMap(h => (0 until 10).map(i =>
+        (h.toLong * 10 + i, ts(h * hour + i), "a"))) ++
+      (0 until 100).map(i => (1000L + i, ts(30 * hour + i), "a")) ++
+      (0 until 10).map(i => (2000L + i, ts(31 * hour + i), "a")))
+      .map { case (id, t, ty) => (1L, id, t, ty) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.countAnomalies(rows).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(30L) == ((100L, 24L, true)), s"spike must flag: ${out.get(30L)}")
+    assert(!out(29L)._3 && !out(15L)._3, "steady hours must not flag")
+    assert(!out(0L)._3 && !out(5L)._3, "short-baseline hours must not flag")
+    // the hour AFTER the spike: baseline now contains the spike ->
+    // variance is huge -> returning to 10 must not flag
+    assert(!out(31L)._3, "post-spike normal hour must not flag")
+  }
+
   test("periodOverPeriod: lag skips absent weeks within the group, first week null") {
     val day = 86400L
     // type a: weeks 0 and 2 (week 1 absent -> week 2's prev is week 0's
