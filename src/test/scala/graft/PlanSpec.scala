@@ -381,4 +381,34 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges")
   }
+
+  test("funnel: window-free — chained aggregates, no Window, no Sort") {
+    val p = plan(graft.operators.Analytics.funnel(Tables.load(spark, dir, "events")))
+    assert(!p.contains("Window"), "funnel must not assemble per-user timelines")
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Sort.*""")),
+      "funnel stages are min-aggregates, never sorts")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("rollingWindow: one exchange on the partition key feeding one Window") {
+    val p = plan(graft.operators.EventOps.rollingWindow(Tables.load(spark, dir, "events")))
+    assert(p.contains("Window"))
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*""")) == 1,
+      "rolling frame needs exactly the key exchange:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("countAnomalies: windows run over the hourly aggregate, not raw events") {
+    val p = plan(graft.operators.Analytics.countAnomalies(Tables.load(spark, dir, "events")))
+    // the aggregate must appear BELOW the window in the plan walk:
+    // formatted explain lists operators leaves-first, so the hash
+    // aggregate's node id must be smaller than the window's
+    def firstId(pat: String): Int =
+      p.linesIterator.map(_.trim).collectFirst {
+        case l if l.matches(s"""\\(\\d+\\) $pat.*""") =>
+          l.drop(1).takeWhile(_ != ')').toInt
+      }.getOrElse(Int.MaxValue)
+    assert(firstId("HashAggregate") < firstId("Window"),
+      "baseline windows must consume (group, hour) rows, not raw events")
+  }
 }
