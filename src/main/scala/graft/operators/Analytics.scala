@@ -167,11 +167,24 @@ object Analytics {
     * Scale shape: one partial+final agg to (group, hour) rows, then
     * three window sums over the tiny hourly aggregate. */
   def countAnomalies(events: DataFrame, kSigma: Int = 3,
-                     minBaseline: Int = 8): DataFrame = {
-    val hourly = events
+                     minBaseline: Int = 8): DataFrame =
+    anomalyFlags(hourlyCounts(events), kSigma, minBaseline)
+
+  /** The (group, hour) count table [[anomalyFlags]] consumes — split
+    * out so the streaming monitor ([[graft.streaming.AnomalyMonitor]])
+    * can maintain it incrementally (sum folds are associative, so any
+    * batch split merges to the same table) and run the SAME flags
+    * stage over its state snapshots. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 3600000000L").as("hour"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** The flags stage of [[countAnomalies]] over a prepared
+    * (event_type, hour, n_events) table. */
+  def anomalyFlags(hourly: DataFrame, kSigma: Int = 3,
+                   minBaseline: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-24, -1)
     hourly
