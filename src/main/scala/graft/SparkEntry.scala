@@ -972,6 +972,13 @@ object SparkEntry {
     // squared Chebyshev test, pure integer arithmetic.
     "q_anomalies" -> ((s, dir) =>
       graft.operators.Analytics.countAnomalies(t(s, dir, "events"))),
+    // Equi-depth decile buckets of order value per status — exact
+    // cents bounds, NTILE over a total order.
+    "q_ntile" -> ((s, dir) =>
+      graft.operators.Analytics.ntileBuckets(t(s, dir, "orders"))),
+    // Funnel conversion-latency quartiles per reached depth.
+    "q_funnel_latency" -> ((s, dir) =>
+      graft.operators.Analytics.funnelLatency(t(s, dir, "events"))),
 
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
@@ -2748,6 +2755,46 @@ object SparkEntry {
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
         |FROM runs ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // NTILE over (cents, key) total order; integer bounds.
+    "q_ntile" ->
+      """WITH o AS (SELECT o_orderstatus, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT o_orderstatus, cents,
+        |    CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS bucket FROM o)
+        |SELECT o_orderstatus, bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM b GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The funnel CTE chain with a latency-quartile tail; quantile_cont
+    // interpolates exactly like Spark percentile on integer operands.
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS stage1_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS stage2_ts FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.stage1_ts
+        |    AND e.ts <= s1.stage1_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS stage3_ts FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.stage2_ts
+        |    AND e.ts <= s1.stage1_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |f AS (SELECT s1.user_id,
+        |    epoch_us(s2.stage2_ts) - epoch_us(s1.stage1_ts) AS d,
+        |    CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+        |           + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+        |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |  WHERE s2.stage2_ts IS NOT NULL)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(quantile_cont(d, 0.5) AS DOUBLE) AS p50_us,
+        |  CAST(quantile_cont(d, 0.9) AS DOUBLE) AS p90_us,
+        |  CAST(max(d) AS BIGINT) AS max_us
+        |FROM f GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Squared Chebyshev spike test over three window sums; boolean
     // compare of exact integers.

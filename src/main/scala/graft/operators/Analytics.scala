@@ -147,6 +147,49 @@ object Analytics {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Equi-depth (NTILE) bucket report: decile buckets of order value
+    * per status with per-bucket count and exact cents bounds — the
+    * spread report equi-WIDTH histograms miss on skewed money columns
+    * (one giant first bucket, empty tails). Ranks are NTILE over the
+    * total (cents, order key) order — deterministic under ties — and
+    * the bounds are min/max comparisons of exact integers.
+    *
+    * Scale shape: one exchange + per-partition sort for the window,
+    * then a hash aggregate to groups×n rows. (NTILE needs the global
+    * per-group order — the same cost any exact quantile pays; the
+    * mergeable-sketch family covers the approximate path.) */
+  def ntileBuckets(orders: DataFrame, n: Int = 10): DataFrame = {
+    val cents = expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("__cents"), col("o_orderkey"))
+    orders
+      .select(col("o_orderstatus"), col("o_orderkey"), cents.as("__cents"))
+      .withColumn("bucket", ntile(n).over(w).cast("bigint"))
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("__cents")).as("lo_cents"),
+        max(col("__cents")).as("hi_cents"))
+  }
+
+  /** Funnel conversion-latency profile: for users who advanced past
+    * stage 1, the stage-1→stage-2 delay distribution per reached depth
+    * — the "how fast do converters convert" report the funnel counts
+    * alone hide. Delays are exact integer microseconds; the quartiles
+    * interpolate exactly like `q_quantiles` (both engines sort exactly
+    * and interpolate in double from the same integer operands). */
+  def funnelLatency(events: DataFrame,
+                    stages: Seq[String] = Seq("view", "click", "purchase"),
+                    windowHours: Int = 24): DataFrame =
+    funnel(events, stages, windowHours)
+      .filter(col("stage2_ts").isNotNull)
+      .select(col("depth"),
+        expr("unix_micros(stage2_ts) - unix_micros(stage1_ts)").as("__d"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        expr("CAST(percentile(__d, 0.5) AS DOUBLE)").as("p50_us"),
+        expr("CAST(percentile(__d, 0.9) AS DOUBLE)").as("p90_us"),
+        max(col("__d")).as("max_us"))
+
   /** Volume-anomaly detection: flag hours whose event count deviates
     * k-sigma from the trailing 24-hour baseline (both spikes AND dips
     * — the test is two-sided), per event type — the ingest-monitoring

@@ -93,6 +93,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 2, "cross-user pairs must not appear")
   }
 
+  test("ntileBuckets: equal depths, ordered disjoint bounds, tie determinism") {
+    val orders = (1L to 40L).map(k => (k, "O", (k % 4).toDouble))  // heavy ties
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = Analytics.ntileBuckets(orders, n = 4).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    assert(out.map(_._2._1).toSeq == Seq(10L, 10L, 10L, 10L), "equal depths")
+    // bucket value ranges never decrease across buckets
+    val bounds = out.map(_._2)
+    bounds.sliding(2).foreach { case Array((_, _, hi), (_, lo, _)) =>
+      assert(lo >= hi || lo >= bounds.head._2, s"overlapping buckets: $bounds")
+    }
+    // deterministic under repartition (ties broken by order key)
+    val again = Analytics.ntileBuckets(orders.repartition(7), n = 4).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(again == Analytics.ntileBuckets(orders, n = 4).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("funnelLatency: delays measured stage1->stage2, non-converters absent") {
+    val ev = Seq(
+      (1L, 1L, ts(0L), "view"), (1L, 2L, ts(60L), "click"),            // 60s, depth 2
+      (2L, 3L, ts(0L), "view"), (2L, 4L, ts(120L), "click"),
+      (2L, 5L, ts(180L), "purchase"),                                  // 120s, depth 3
+      (3L, 6L, ts(0L), "view"))                                        // never converts
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.funnelLatency(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(4)))).toMap
+    assert(out(2L) == ((1L, 60000000.0, 60000000L)))
+    assert(out(3L) == ((1L, 120000000.0, 120000000L)))
+    assert(out.size == 2, "depth-1 users carry no conversion delay")
+  }
+
   test("countAnomalies: planted spike flags, steady traffic and short baselines do not") {
     val hour = 3600L
     // type "a": 30 hours of 10 events, then one hour of 100 (spike),
