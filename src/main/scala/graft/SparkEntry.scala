@@ -504,6 +504,14 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("bigint"))),
+    // Binary (sign-bit) quantization tier: 2 BIGINT halves per vector
+    // (32x smaller than the floats), exact Hamming top-5 — the whole
+    // tier is SQL-expressible, so unlike the other ANN rungs the
+    // search itself carries a full value oracle.
+    "q_ann_binary_codes" -> ((s, dir) =>
+      graft.operators.Binary.codes(t(s, dir, "embeddings"))),
+    "q_ann_binary" -> ((s, dir) =>
+      graft.operators.Binary.topK(t(s, dir, "embeddings"), k = 5)),
     // Metadata-filtered vector search: selectivity probe picks the
     // pre-filter exact scan here (label%3=0 keeps ~42% ≤ the 0.5
     // bar), so the entry carries a full filtered SQL oracle; the
@@ -2488,6 +2496,33 @@ object SparkEntry {
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Codes: integer sums of powers of two over the sign pattern.
+    "q_ann_binary_codes" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN pos < 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (31 - pos)) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN pos >= 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (63 - pos)) ELSE 0 END) AS BIGINT) AS lo
+        |FROM e GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Exact Hamming top-5 over the same code CTE; (distance asc, id)
+    // ranking expressed as similarity desc.
+    "q_ann_binary" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings),
+        |c AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN pos < 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (31 - pos)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN pos >= 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (63 - pos)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM e GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    CAST(64 - bit_count(xor(q.hi, d.hi)) - bit_count(xor(q.lo, d.lo)) AS BIGINT) AS sim
+        |  FROM c q JOIN c d ON q.vec_id <> d.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  sim AS hamming_sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ann_bruteforce" -> AnnExactTop5Sql,
     // Filtered search: the same exact top-5, corpus restricted by the
