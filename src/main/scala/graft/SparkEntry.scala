@@ -512,6 +512,14 @@ object SparkEntry {
       graft.operators.Binary.codes(t(s, dir, "embeddings"))),
     "q_ann_binary" -> ((s, dir) =>
       graft.operators.Binary.topK(t(s, dir, "embeddings"), k = 5)),
+    // The tier's production mode: binary over-fetch (50 Hamming
+    // candidates) -> exact full-vector rerank to top-5. Composed
+    // pipeline stays fully SQL-expressible -> full value oracle.
+    "q_ann_binary_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Binary.rerankTopKFor(
+        e.filter(col("vec_id") % 191 === 0), e, k = 5, overFetch = 50)
+    }),
     // Metadata-filtered vector search: selectivity probe picks the
     // pre-filter exact scan here (label%3=0 keeps ~42% ≤ the 0.5
     // bar), so the entry carries a full filtered SQL oracle; the
@@ -2505,6 +2513,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pos < 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (31 - pos)) ELSE 0 END) AS BIGINT) AS hi,
         |  CAST(sum(CASE WHEN pos >= 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (63 - pos)) ELSE 0 END) AS BIGINT) AS lo
         |FROM e GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Over-fetch candidates from the code CTE, exact-cosine rerank of
+    // just those candidates (the same list_zip fold as the ANN oracle).
+    "q_ann_binary_rerank" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings),
+        |c AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN pos < 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (31 - pos)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN pos >= 32 AND CAST(v AS DOUBLE) > 0.0 THEN (CAST(1 AS BIGINT) << (63 - pos)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM e GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    CAST(64 - bit_count(xor(q.hi, d.hi)) - bit_count(xor(q.lo, d.lo)) AS BIGINT) AS sim
+        |  FROM c q JOIN c d ON q.vec_id <> d.vec_id
+        |  WHERE q.vec_id % 191 = 0),
+        |cand AS (SELECT query_id, neighbor_id FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) <= 50),
+        |r AS (SELECT cand.query_id, cand.neighbor_id,
+        |    list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM r)
+        |WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Exact Hamming top-5 over the same code CTE; (distance asc, id)
     // ranking expressed as similarity desc.

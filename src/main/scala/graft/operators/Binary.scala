@@ -86,4 +86,38 @@ object Binary {
   /** Self-ANN form. */
   def topK(embeddings: DataFrame, k: Int = 5): DataFrame =
     topKFor(embeddings, embeddings, k)
+
+  /** The tier's production mode: binary OVER-FETCH (`overFetch`
+    * Hamming candidates per query — the popcount-cheap first pass)
+    * then exact full-vector rerank of just those candidates to the
+    * final top-`k`. Still fully deterministic and SQL-expressible end
+    * to end, so the composed pipeline keeps a full value oracle.
+    *
+    * Measured trade on the stress corpus (sf0.01): over-fetch 50
+    * (10 % of the corpus) recovers 0.69 of the cosine top-5 — up from
+    * 0.20 for raw binary top-5 — and the knob is `overFetch`, paid in
+    * popcounts, not dots. Scale shape: candidate generation as
+    * [[topKFor]] (broadcast codes), then an id-equi vector fetch for
+    * overFetch·|queries| rows only — the full-vector work shrinks by
+    * |corpus|/overFetch. */
+  def rerankTopKFor(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                    overFetch: Int = 50): DataFrame = {
+    val cand = topKFor(queries, corpus, overFetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("__v"))
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("__v").as("__qv")),
+        "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("__v").as("__cv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("__qv"), col("__cv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
 }

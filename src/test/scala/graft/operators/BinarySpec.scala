@@ -43,6 +43,27 @@ class BinarySpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(64L, 62L, 56L))
   }
 
+  test("rerankTopKFor: full over-fetch degenerates to the exact cosine top-k") {
+    // overFetch = corpus size - 1 means every candidate survives the
+    // binary pass -> the rerank IS the exact scan; scores and order
+    // must match bruteForce bit-for-bit.
+    val e = (0 until 20).map { i =>
+      val a = math.sin(i * 1.3); val b = math.cos(i * 0.7)
+      val n = math.sqrt(a * a + b * b)
+      (i.toLong, Array.fill(64)(0.0f).updated(0, (a / n).toFloat)
+        .updated(1, (b / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 3L)
+    val rr = Binary.rerankTopKFor(q, e, k = 4, overFetch = 19).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val ex = Similarity.bruteForceTopKFor(q, e, k = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Number]("rank").longValue,
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rr == ex)
+  }
+
   test("axis-aligned clusters: binary neighbors stay inside the query's cluster") {
     // 4 tight clusters on distinct orthogonal sign patterns — the
     // regime where sign bits carry the geometry. Within a cluster all
