@@ -69,18 +69,20 @@ object Binary {
       col("hi").as("__qhi"), col("lo").as("__qlo"))
     val cc = codes(corpus).select(col("vec_id").as("cand_id"),
       col("hi").as("__chi"), col("lo").as("__clo"))
+    // rank through the bounded-heap aggregator, not a window: the
+    // window formulation sorts all |Q|·|C| scored pairs through one
+    // exchange (measured 2.5 s at sf0.1 self-ANN); the heap partial-
+    // reduces map-side and exchanges ≤ |Q|·k entries (0.6 s). Hamming
+    // sims ≤ 64 are exact in the heap's double score; same
+    // (score desc, id asc) tie order.
     val scored = qc.crossJoin(broadcast(cc))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        expr("CAST(64 - bit_count(__qhi ^ __chi) - bit_count(__qlo ^ __clo) AS BIGINT)")
-          .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col("cand_id").as("neighbor_id"), col("sim").as("hamming_sim"))
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        expr("CAST(64 - bit_count(__qhi ^ __chi) - bit_count(__qlo ^ __clo) AS DOUBLE)")
+          .as("score"))
+    Similarity.rankTopK(scored, k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"), col("score").cast("bigint").as("hamming_sim"))
   }
 
   /** Self-ANN form. */
