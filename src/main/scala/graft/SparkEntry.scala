@@ -663,6 +663,28 @@ object SparkEntry {
           e, graft.operators.IvfIndex.fitCached(e))
         .select(col("vec_id"), col("cluster").cast("bigint").as("cluster"))
     }),
+    // Cluster labeling (the clustering x text composition): top-5
+    // longest-form terms per k-means cluster by frequency — the
+    // "what IS this cluster" explainer over the same deterministic
+    // assignment; documents and embeddings are id-aligned.
+    "q_cluster_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = t(s, dir, "embeddings")
+      val assign = graft.operators.IvfIndex.assign(
+          e, graft.operators.IvfIndex.fitCached(e))
+        .select(col("vec_id").as("doc_id"),
+          col("cluster").cast("bigint").as("cluster"))
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 3)
+      val counts = terms.join(assign, "doc_id")
+        .groupBy("cluster", "term").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("n").desc, col("term"))
+      counts.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select("cluster", "rnk", "term", "n")
+    }),
 
     // Multimodal: binary payload column metadata pass (decode path is
     // Scala-only — MultimodalSpec covers the stubbed codec pipeline).
@@ -2599,6 +2621,20 @@ object SparkEntry {
     // k-means hard assignment: pinned VALUES of the deterministic
     // (vec_id, cluster) map at sf0.01.
     "q_cluster_assign" -> HnswOracle.clusterAssignSql,
+    // The pinned assignment VALUES as a CTE, composed with the same
+    // term-count SQL — clusters explain themselves from the oracle's
+    // own constants.
+    "q_cluster_terms" ->
+      ("WITH assign AS (SELECT vec_id AS doc_id, cluster FROM (" +
+        HnswOracle.clusterAssignSql + """)),
+        |tm AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT a.cluster, tm.term, CAST(count(*) AS BIGINT) AS n
+        |  FROM tm JOIN assign a ON tm.doc_id = a.doc_id
+        |  WHERE len(tm.term) > 3 GROUP BY 1, 2)
+        |SELECT cluster, CAST(rnk AS BIGINT) AS rnk, term, n
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY n DESC, term) AS rnk FROM tc)
+        |WHERE rnk <= 5 ORDER BY ALL NULLS FIRST""".stripMargin),
 
     // Constant-shape oracles for the ANN recall gates: the Spark side
     // computes recall in-engine (over the deterministic 200-query
