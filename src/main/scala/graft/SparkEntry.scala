@@ -1017,6 +1017,18 @@ object SparkEntry {
     // Funnel conversion-latency quartiles per reached depth.
     "q_funnel_latency" -> ((s, dir) =>
       graft.operators.Analytics.funnelLatency(t(s, dir, "events"))),
+    // Peak concurrent sessions (capacity planning): interval sweep as
+    // a parallel max-prefix-sum — no global-window reducer.
+    "q_concurrency" -> ((s, dir) =>
+      graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // Equi-WIDTH value histogram — integer floor-div bucket formula,
+    // exact cents bounds per bucket.
+    "q_histogram" -> ((s, dir) =>
+      graft.operators.Stats.histogram(t(s, dir, "orders"))),
+    // Per-document top-3 TF-IDF keywords — bounded in-group sort, no
+    // corpus-wide window.
+    "q_keywords" -> ((s, dir) =>
+      graft.operators.TextOps.keywords(t(s, dir, "documents"))),
 
     // Pivot: DataFrame .pivot against a CASE-WHEN oracle.
     "q_pivot" -> ((s, dir) => {
@@ -2861,6 +2873,60 @@ object SparkEntry {
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
         |FROM runs ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Sessionize CTE (the q_sessionize text) → ±1 endpoint deltas →
+    // ONE sequential running-sum window; the engine's parallel
+    // max-prefix-sum must agree with this sweep exactly, including the
+    // first-achiever instant (ties fully ordered by (t, delta DESC,
+    // user, session): starts precede ends at an equal instant, so
+    // inclusive-end overlaps count).
+    "q_concurrency" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |g AS (SELECT *, CASE WHEN prev IS NULL
+        |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |        THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM g),
+        |s AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |        MIN(ts) AS session_start, MAX(ts) AS session_end FROM h GROUP BY 1, 2),
+        |d AS (SELECT epoch_us(session_start) AS t, 1 AS delta, user_id, session_id FROM s
+        |      UNION ALL
+        |      SELECT epoch_us(session_end) AS t, -1 AS delta, user_id, session_id FROM s),
+        |r AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_id
+        |        ROWS UNBOUNDED PRECEDING) AS run FROM d)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sessions,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrency,
+        |  CAST(min(CASE WHEN run = (SELECT max(run) FROM r) THEN t END) AS BIGINT) AS peak_at_us
+        |FROM r""".stripMargin,
+
+    // Equi-width histogram: the integer floor-div bucket formula is
+    // written identically on both engines ((cents−lo)·nb // span+1);
+    // non-negative operands make trunc and floor division agree.
+    "q_histogram" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi FROM c)
+        |SELECT CAST((cents - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c CROSS JOIN b GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q_text_tfidf's integer-exact score chain with a rank-3 window
+    // tail; the engine's bounded in-group sort must match the window
+    // formulation row-for-row.
+    "q_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n / df.df AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // NTILE over (cents, key) total order; integer bounds.
     "q_ntile" ->

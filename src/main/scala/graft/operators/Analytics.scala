@@ -323,4 +323,67 @@ object Analytics {
       .agg(count(lit(1)).as("n_transitions"),
         countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Peak concurrency — the capacity-planning number: the maximum
+    * number of user sessions (from [[EventOps.sessionize]]'s
+    * gaps-and-islands intervals) active at the same instant, with the
+    * FIRST instant it is reached and the session total. A session is
+    * active on its inclusive `[session_start, session_end]` span, so at
+    * a tied boundary instant the starting session overlaps the ending
+    * one (+1 rows order before −1 rows at equal time).
+    *
+    * The sweep — ±1 deltas at interval endpoints, running sum, global
+    * max — is the textbook interval-overlap algorithm, but the naive
+    * formulation is a GLOBAL ordered window (one reducer owns every
+    * row). This one is the parallel max-prefix-sum instead: range-
+    * exchange on the sweep order, one per-partition pass emitting
+    * `(Σdelta, max local prefix, first instant achieving it)`, and an
+    * O(partitions) driver combine — prefix associativity makes the
+    * result independent of where the range boundaries fall, and the
+    * first-achiever scan over partitions in range order reproduces the
+    * sequential sweep's instant exactly. Nothing is ever globally
+    * sorted on one task; at 1000 executors each partition sweeps its
+    * time slice independently.
+    *
+    * Output (one row): `(n_sessions, peak_concurrency, peak_at_us)` —
+    * the instant in exact epoch microseconds. */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sessions = EventOps.sessionize(events, gapMinutes)
+    val deltas = sessions.select(
+        expr("unix_micros(session_start)").as("t"), lit(1L).as("delta"),
+        col("user_id"), col("session_id"))
+      .unionAll(sessions.select(
+        expr("unix_micros(session_end)").as("t"), lit(-1L).as("delta"),
+        col("user_id"), col("session_id")))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ordCols = Seq(col("t"), col("delta").desc, col("user_id"), col("session_id"))
+    val summaries = deltas
+      .repartitionByRange(nPart, ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
+      .select(col("t"), col("delta"))
+      .as[(Long, Long)]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = 0L; var maxPrefix = Long.MinValue; var tAt = 0L
+        var starts = 0L
+        it.foreach { case (t, d) =>
+          run += d
+          if (d > 0) starts += 1
+          if (run > maxPrefix) { maxPrefix = run; tAt = t }
+        }
+        Iterator.single((pid, run, maxPrefix, tAt, starts))
+      }
+      .collect().sortBy(_._1)
+    val nSessions = summaries.map(_._5).sum
+    var offset = 0L; var peak = 0L; var peakAt: Option[Long] = None
+    summaries.foreach { case (_, total, maxPrefix, tAt, _) =>
+      if (maxPrefix != Long.MinValue && offset + maxPrefix > peak) {
+        peak = offset + maxPrefix; peakAt = Some(tAt)
+      }
+      offset += total
+    }
+    Seq((nSessions, peak, peakAt)).toDF(
+      "n_sessions", "peak_concurrency", "peak_at_us")
+  }
 }

@@ -122,4 +122,34 @@ object Stats {
     }
     row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equi-WIDTH histogram of a money column — the distribution view
+    * next to [[graft.operators.Analytics.ntileBuckets]]'s equi-depth
+    * one: `nb` fixed-width value buckets between the global min and
+    * max, each reporting its exact-cents population bounds and count.
+    *
+    * The bucket index is a pure integer floor division —
+    * `(cents − min) · nb div (max − min + 1)` — so the assignment is
+    * identical on any engine (no IEEE width arithmetic, no
+    * `width_bucket` edge-semantics differences), always lands in
+    * `[0, nb)`, and the top value never needs a clamp. The `+1` widens
+    * the span so `cents = max` maps to `nb − 1` exactly.
+    *
+    * Scale shape: one (min, max) aggregate (driver-scalar, broadcast
+    * back through a 1-row cross join), then one narrow scan + one
+    * ≤ nb-row hash aggregate — the same two-pass shape as the IQR
+    * fences. Empty input yields an empty histogram. */
+  def histogram(orders: DataFrame, nb: Int = 20): DataFrame = {
+    require(nb > 0, "histogram needs at least one bucket")
+    val cents = expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    val bounds = orders.agg(min(cents).as("__lo"), max(cents).as("__hi"))
+      .filter(col("__lo").isNotNull)
+    orders.select(cents.as("__c"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(expr(s"(__c - __lo) * $nb div (__hi - __lo + 1)").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("__c")).as("lo_cents"),
+        max(col("__c")).as("hi_cents"),
+        sum(col("__c")).as("sum_cents"))
+  }
 }

@@ -165,6 +165,36 @@ object TextOps {
       .select(col("doc_id"), col("x.term").as("top_term"), col("x.score").as("tfidf"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the document-tagging pass
+    * (search facets, cluster labels, weak topic signals) generalizing
+    * [[topTfidf]]'s argmax to a ranked list. Same log-free rational
+    * score (`tf × N/df`, one correctly-rounded division of exact
+    * integers), ties toward the lexicographically smaller term.
+    *
+    * Scale shape: identical token-keyed tf/df joins; the per-doc rank
+    * is a bounded in-group sort — `collect_list` gathers only the
+    * doc's OWN distinct terms (bounded by document length, never the
+    * corpus), then `array_sort` + `slice` pick k — so no window
+    * operator ever sorts the exploded corpus and the exchange carries
+    * one row per (doc, term). The (−score, term) struct sort is the
+    * (score desc, term asc) order; negating a double is exact, and
+    * scores are ≥ 1 so −0.0 never appears. */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    tf.join(df, "term").crossJoin(n)
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("__n") / col("df")).as("score"))
+      .groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("term")))), 1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("e.term").as("term"), (-col("e.ns")).as("tfidf"))
+  }
+
   /** Winnowing (Schleimer et al.): the distinct set of per-window
     * minima over the ORDERED (non-distinct) shingle hash sequence,
     * window size w — guarantees any match of length ≥ w+n−1 tokens

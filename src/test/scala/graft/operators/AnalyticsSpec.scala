@@ -202,4 +202,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out((2L, 1L)) == ((1L, Some(500L))))
     assert(out.size == 5)
   }
+
+  test("peakConcurrency: interval sweep peak, first achiever, session census") {
+    // u1 session [0,1000]; u2 [500,1500]; u3 [1000,1000]; u4 splits on
+    // the >30min gap into [0,0] and [10000,10000]. Peak 3 first at
+    // t=1000 (u1 end-inclusive, u2 mid-span, u3 point session).
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (1L, 2L, ts(1000L)),
+      (2L, 3L, ts(500L)), (2L, 4L, ts(1500L)),
+      (3L, 5L, ts(1000L)),
+      (4L, 6L, ts(0L)), (4L, 7L, ts(10000L)))
+      .map { case (u, e, t) => (u, e, t, 1.00) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.peakConcurrency(ev)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq((5L, 3L, Some(1000L * 1000000L))), s"got $out")
+    // input partitioning must not change the sweep result
+    val re = Analytics.peakConcurrency(ev.repartition(7))
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(re == out)
+  }
+
+  test("peakConcurrency: inclusive ends — a session starting at another's end overlaps") {
+    // u1 [0,100], u2 [100,200]: at t=100 both are active (+1 orders
+    // before −1 at the tied instant), so the peak is 2, not 1.
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (1L, 2L, ts(100L)),
+      (2L, 3L, ts(100L)), (2L, 4L, ts(200L)))
+      .map { case (u, e, t) => (u, e, t, 1.00) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.peakConcurrency(ev)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq((2L, 2L, Some(100L * 1000000L))), s"got $out")
+  }
 }

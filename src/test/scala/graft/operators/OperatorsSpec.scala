@@ -290,6 +290,51 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2) == ((3L, "gamma", 3.0)))
   }
 
+  test("keywords: top-k tf-idf list, rank order, term tie-break, k bound") {
+    // Same df structure as the topTfidf spec plus a wide doc proving
+    // the k cutoff and a tied-score doc proving term-asc ordering.
+    val out = TextOps.keywords(docs(
+      1L -> "common alpha alpha common",
+      2L -> "xray yankee",
+      3L -> "a b c d e common"), k = 3)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // doc 1: alpha tf2·(3/1)=6 > common tf2·(3/2)=3
+    assert(out(1L).map(r => (r._3, r._4)) == Seq("alpha" -> 6.0, "common" -> 3.0))
+    // doc 2: xray/yankee both tf1·df1 → score 3.0; term asc breaks the tie
+    assert(out(2L).map(_._3) == Seq("xray", "yankee"))
+    assert(out(2L).map(_._2) == Seq(1L, 2L))
+    // doc 3 has 6 distinct terms; only k=3 survive, unique singles
+    // (score 3.0) outrank the everywhere-term common (1.5)
+    assert(out(3L).map(_._3) == Seq("a", "b", "c"))
+    // keywords ranked 1 agree with topTfidf's argmax on every doc
+    val top1 = TextOps.topTfidf(docs(
+      1L -> "common alpha alpha common",
+      2L -> "xray yankee",
+      3L -> "a b c d e common")).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> r._2).toMap
+    out.foreach { case (d, rows) => assert(rows.head._3 == top1(d)) }
+  }
+
+  test("histogram: floor-div buckets, exact bounds, edge values, degenerate span") {
+    val orders = Seq(1.00, 1.01, 10.50, 20.99).toDF("o_totalprice")
+    val out = Stats.histogram(orders, nb = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // span = 2099-100+1 = 2000; bucket = (c-100)*20 div 2000
+    assert(out.map(_._1) == Seq(0L, 9L, 19L), "min→0, max→nb-1")
+    assert(out(0) == ((0L, 2L, 100L, 101L, 201L)))
+    // (1050-100)·20 div 2000 = 19000 div 2000 = 9 (floor, not round)
+    assert(out(1) == ((9L, 1L, 1050L, 1050L, 1050L)))
+    assert(out(2) == ((19L, 1L, 2099L, 2099L, 2099L)))
+    assert(out.map(_._2).sum == 4L, "every row lands in exactly one bucket")
+    // all-equal input: span 1, everything in bucket 0
+    val one = Stats.histogram(Seq(5.00, 5.00).toDF("o_totalprice"), nb = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 2L, 500L, 500L, 1000L)))
+    // empty input: empty histogram, no null-bucket row
+    assert(Stats.histogram(Seq.empty[Double].toDF("o_totalprice")).count() == 0L)
+  }
+
   test("stratified sample: per-group quota, deterministic") {
     val orders = (1L to 200L).map(i => (i, if (i % 3 == 0) "A" else "B"))
       .toDF("o_orderkey", "o_orderstatus")
