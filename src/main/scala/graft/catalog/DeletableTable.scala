@@ -1,0 +1,200 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.functions.{coalesce, lit, not}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL `DELETE FROM` / `TRUNCATE TABLE` for lake-catalog tables — the
+  * row-level maintenance surface a Paimon/Iceberg user expects of the
+  * lake tier the reference exposes (reference `README.md:81-93`; Paimon
+  * delete = copy-on-write rewrite of the affected files).
+  *
+  * Spark-first shape: the catalog's tables implement
+  * `SupportsDeleteV2`, so Spark's own analyzer/planner handle the SQL
+  * statement (`DeleteFromTableExec` / `TruncateTableExec`) and hand the
+  * condition over as V2 `Predicate`s; the connector's job is only the
+  * storage rewrite:
+  *
+  *  - **plain tables** rewrite copy-on-write into a sibling temp
+  *    directory, carry the schema/mapping sidecars over, and swap via
+  *    rename — a reader never observes a half-deleted table, and a
+  *    crash leaves either the old or the new directory, not a blend.
+  *  - **versioned tables** (the `v=<n>` StateStore snapshot layout)
+  *    commit the kept rows as snapshot `latest+1` through the SAME
+  *    [[graft.streaming.StateStore]] commit path the streaming sinks
+  *    use (manifest stamp included) — DELETE is one more commit in the
+  *    table's history, so `VERSION AS OF` still reads the pre-delete
+  *    snapshots exactly. (The deliberate every-snapshot purge lives in
+  *    [[graft.streaming.StateStore.purgeKeys]] — compliance deletes
+  *    must pierce time travel; this one must not.)
+  *
+  * SQL semantics the rewrite preserves: DELETE removes rows where the
+  * condition is TRUE — rows where it evaluates NULL are KEPT (the kept
+  * predicate is `NOT coalesce(cond, false)`). Condition columns
+  * translate logical→physical through the rename sidecar, so DELETE
+  * composes with merge-on-read schema evolution.
+  *
+  * Supported condition surface: comparisons (`= <=> <> < <= > >=`)
+  * between columns and literals, `AND/OR/NOT`, `IN`, `IS [NOT] NULL`,
+  * and the string predicates (`LIKE 'x%'`/`'%x'`/`'%x%'` arrive as
+  * STARTS_WITH/ENDS_WITH/CONTAINS). Anything Spark cannot hand over as
+  * one of those (arithmetic, functions, subqueries) is rejected at
+  * analysis time via `canDeleteWhere` — an upfront error, never a
+  * partial delete. */
+private[catalog] final class DeletableTable(
+    inner: Table with SupportsRead with SupportsWrite,
+    tableDir: Path,
+    dataDir: Path,
+    renames: Map[String, String],
+    physSchema: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(DeletableTable.toColumn(_, physName).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val spark = SparkSession.active
+    val cond = predicates
+      .map(p => DeletableTable.toColumn(p, physName).getOrElse(
+        throw new UnsupportedOperationException(
+          s"${name()}: cannot push delete condition $p — rewrite the " +
+            "WHERE clause with plain column/literal comparisons")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val reader = physSchema.fold(spark.read)(s => spark.read.schema(s))
+    val kept = reader.parquet(dataDir.toString)
+      .filter(not(coalesce(cond, lit(false))))
+    val versions = DeletableTable.versionsOf(tableDir)
+    if (versions.nonEmpty) {
+      // snapshot table: DELETE = one more commit; history stays intact
+      new graft.streaming.StateStore(spark, tableDir.toString)
+        .write(kept, versions.max + 1L)
+    } else {
+      // plain table: copy-on-write rewrite + sidecar carry-over + swap
+      val tmp = tableDir.resolveSibling(tableDir.getFileName.toString + ".__rewrite")
+      val old = tableDir.resolveSibling(tableDir.getFileName.toString + ".__old")
+      DeletableTable.deleteRecursive(tmp)
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      if (Files.isDirectory(tableDir)) {
+        withSidecars(tableDir) { s =>
+          Files.copy(s, tmp.resolve(s.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
+      DeletableTable.deleteRecursive(old)
+      Files.move(tableDir, old)
+      Files.move(tmp, tableDir)
+      DeletableTable.deleteRecursive(old)
+    }
+    // the inner ParquetTable caches its file listing; drop any cached
+    // plans so the next read sees the rewrite
+    spark.catalog.clearCache()
+  }
+
+  private def physName(logical: String): String =
+    renames.getOrElse(logical,
+      renames.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(logical) => p
+      }.getOrElse(logical))
+
+  private def withSidecars(dir: Path)(f: Path => Unit): Unit = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => { val n = p.getFileName.toString
+        n == "_graft_schema.json" || n == "_graft_mapping.json" })
+      .foreach(f)
+    finally s.close()
+  }
+}
+
+private[catalog] object DeletableTable {
+
+  private[catalog] def versionsOf(p: Path): Seq[Long] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v="))
+        .flatMap(v => v.stripPrefix("v=").toLongOption)
+        .toSeq.sorted
+      finally s.close()
+    }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+
+  /** V2 `Predicate` → `Column`, translating column names through
+    * `phys`; `None` for anything outside the supported surface (the
+    * caller then rejects the whole DELETE upfront). `IN` lowers to an
+    * `OR` chain of equalities — identical three-valued-logic result. */
+  private[catalog] def toColumn(e: V2Expression, phys: String => String): Option[Column] =
+    e match {
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(org.apache.spark.sql.functions.col("`" + phys(r.fieldNames()(0)) + "`"))
+      case l: V2Literal[_] =>
+        Some(GraftBridge.column(Literal(l.value, l.dataType)))
+      case p: Predicate =>
+        lazy val kids = p.children().toSeq.map(toColumn(_, phys))
+        def bin(f: (Column, Column) => Column): Option[Column] = kids match {
+          case Seq(Some(a), Some(b)) => Some(f(a, b))
+          case _ => None
+        }
+        def un(f: Column => Column): Option[Column] = kids match {
+          case Seq(Some(a)) => Some(f(a))
+          case _ => None
+        }
+        p.name() match {
+          case "AND" => bin(_ && _)
+          case "OR" => bin(_ || _)
+          case "NOT" => un(!_)
+          case "=" => bin(_ === _)
+          case "<=>" => bin(_ <=> _)
+          case "<>" | "!=" => bin(_ =!= _)
+          case "<" => bin(_ < _)
+          case "<=" => bin(_ <= _)
+          case ">" => bin(_ > _)
+          case ">=" => bin(_ >= _)
+          case "IS_NULL" => un(_.isNull)
+          case "IS_NOT_NULL" => un(_.isNotNull)
+          case "STARTS_WITH" => bin(_ startsWith _)
+          case "ENDS_WITH" => bin(_ endsWith _)
+          case "CONTAINS" => bin(_ contains _)
+          case "IN" =>
+            if (kids.size < 2 || kids.exists(_.isEmpty)) None
+            else Some(kids.tail.map(v => kids.head.get === v.get)
+              .reduce(_ || _))
+          case _ => None
+        }
+      case _ => None
+    }
+}

@@ -217,8 +217,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    val evo = readEvolution(p)
+    val schema = declaredSchema(p)
     val data = versionsOf(p).lastOption.fold(p)(v => p.resolve(s"v=$v"))
-    parquetTable(ident, data, declaredSchema(p), readEvolution(p))
+    val base = parquetTable(ident, data, schema, evo)
+    // the CURRENT table supports DELETE FROM / TRUNCATE (copy-on-write
+    // rewrite, or a new snapshot commit for versioned tables); the
+    // time-travel overloads below stay read-only historical views
+    val physSchema = schema.map(s => org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = evo.renames.getOrElse(f.name, f.name)))))
+    new DeletableTable(
+      base.asInstanceOf[Table with org.apache.spark.sql.connector.catalog.SupportsRead
+        with org.apache.spark.sql.connector.catalog.SupportsWrite],
+      p, data, evo.renames, physSchema)
   }
 
   /** SQL-text time travel, version form: `SELECT … FROM cat.db.t

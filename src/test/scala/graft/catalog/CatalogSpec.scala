@@ -340,6 +340,70 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("DELETE FROM / TRUNCATE: copy-on-write rewrite, null keeps, rename translation") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-del")
+    Files.createDirectories(lake.resolve("mart"))
+    spark.conf.set("spark.sql.catalog.laked", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.laked.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE laked.mart.t (k BIGINT, v STRING)")
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, null.asInstanceOf[Option[String]]),
+        (4L, Some("b")), (5L, Some("c")))
+        .toDF("k", "v").write.mode("append").insertInto("laked.mart.t")
+      // plain comparison delete
+      spark.sql("DELETE FROM laked.mart.t WHERE k <= 1")
+      assert(spark.table("laked.mart.t").as[(Long, Option[String])]
+        .collect().map(_._1).sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+      // SQL three-valued logic: v = 'b' is NULL for the null row → KEPT
+      spark.sql("DELETE FROM laked.mart.t WHERE v = 'b'")
+      assert(spark.table("laked.mart.t").as[(Long, Option[String])]
+        .collect().map(_._1).sorted.toSeq == Seq(3L, 5L))
+      // the declared-schema sidecar survives the rewrite swap
+      assert(Files.exists(lake.resolve("mart/t.parquet/_graft_schema.json")))
+      // rename evolution then delete by the NEW name: the condition
+      // must translate to the physical column in the immutable files
+      spark.sql("ALTER TABLE laked.mart.t RENAME COLUMN v TO label")
+      spark.sql("DELETE FROM laked.mart.t WHERE label = 'c'")
+      assert(spark.table("laked.mart.t").select("k").as[Long]
+        .collect().toSeq == Seq(3L))
+      // TRUNCATE rides the same path (SupportsDeleteV2 → TruncatableTable)
+      spark.sql("TRUNCATE TABLE laked.mart.t")
+      assert(spark.table("laked.mart.t").count() == 0L)
+      assert(spark.table("laked.mart.t").columns.toSeq == Seq("k", "label"),
+        "schema survives truncation")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.laked")
+      spark.conf.unset("spark.sql.catalog.laked.path")
+    }
+  }
+
+  test("DELETE FROM a versioned table commits a snapshot; time travel pre-delete intact") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-delv")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lakedv", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakedv.path", lake.toString)
+    try {
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/accts.parquet").toString)
+      store.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "bal"), 0L)
+      store.write(Seq((1L, 11L), (2L, 20L), (3L, 30L)).toDF("id", "bal"), 1L)
+      spark.sql("DELETE FROM lakedv.state.accts WHERE id = 2")
+      // latest view: the delete landed as snapshot v=2
+      assert(spark.table("lakedv.state.accts").select("id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 3L))
+      assert(store.versions == Seq(0L, 1L, 2L))
+      // DELETE must NOT pierce history (purgeKeys is the op that does)
+      assert(spark.sql(
+        "SELECT id FROM lakedv.state.accts VERSION AS OF 1").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakedv")
+      spark.conf.unset("spark.sql.catalog.lakedv.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {
