@@ -7,11 +7,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.{coalesce, lit, not}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +59,8 @@ private[catalog] final class DeletableTable(
     dataDir: Path,
     renames: Map[String, String],
     physSchema: Option[StructType])
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
 
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
@@ -85,17 +86,137 @@ private[catalog] final class DeletableTable(
     val reader = physSchema.fold(spark.read)(s => spark.read.schema(s))
     val kept = reader.parquet(dataDir.toString)
       .filter(not(coalesce(cond, lit(false))))
-    val versions = DeletableTable.versionsOf(tableDir)
-    if (versions.nonEmpty) {
+    if (DeletableTable.versionsOf(tableDir).nonEmpty) {
       // snapshot table: DELETE = one more commit; history stays intact
       new graft.streaming.StateStore(spark, tableDir.toString)
-        .write(kept, versions.max + 1L)
+        .write(kept, DeletableTable.versionsOf(tableDir).max + 1L)
+      spark.catalog.clearCache()
     } else {
       // plain table: copy-on-write rewrite + sidecar carry-over + swap
-      val tmp = tableDir.resolveSibling(tableDir.getFileName.toString + ".__rewrite")
-      val old = tableDir.resolveSibling(tableDir.getFileName.toString + ".__old")
+      val tmp = stagingDir()
       DeletableTable.deleteRecursive(tmp)
       kept.write.mode("overwrite").parquet(tmp.toString)
+      publishRewrite(tmp)
+    }
+  }
+
+  /** `UPDATE` / `MERGE INTO` via Spark's group-based (copy-on-write)
+    * row-level rewrite: Spark plans the replacement rows itself
+    * (`RewriteUpdateTable` / `RewriteMergeIntoTable` → `ReplaceData`)
+    * and drives them through this operation's scan + write; the
+    * connector contributes only (a) the scan of the current data (the
+    * inner table's, pruning/pushdown intact) and (b) a write that
+    * stages replacement files into a temp directory and publishes them
+    * at commit — a new snapshot for versioned tables, the DELETE
+    * swap for plain ones. The whole table is ONE rewrite group (the
+    * lake layout is one directory per table), so an UPDATE rewrites
+    * every file — correct always, and the honest cost model until the
+    * layout grows file-level grouping. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        // The rewrite scan CLAIMS every pushed filter as fully handled
+        // while actually reading the whole table: Spark pushes the
+        // UPDATE/MERGE condition into this scan to prune the affected
+        // GROUPS, and whatever the scan returns is what the write
+        // REPLACES — if the parquet reader row-filtered on the
+        // condition (the default pushdown), the untouched rows would
+        // vanish from the rewrite. Claiming-but-ignoring is the group
+        // contract at whole-table granularity (a file-grouped layout
+        // would instead prune files here); the condition still applies
+        // exactly, inside Spark's replacement projection.
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+          val ib = inner.newScanBuilder(options)
+          new ScanBuilder
+              with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+              with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+            override def pruneColumns(requiredSchema: StructType): Unit = ib match {
+              case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                c.pruneColumns(requiredSchema)
+              case _ => ()
+            }
+            override def pushFilters(
+                filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+                Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+            override def pushedFilters: Array[Predicate] = Array.empty
+            override def build(): org.apache.spark.sql.connector.read.Scan = ib.build()
+          }
+        }
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = stagedRewriteWrite(winfo)
+          }
+      }
+    }
+
+  /** A Write that lands rows in a staging dir through the ordinary V2
+    * parquet BatchWrite (distributed, no driver materialization) and
+    * publishes the staged directory on driver-side commit. Replacement
+    * rows arrive under LOGICAL names; the staging table is built with
+    * the physical write schema so renamed tables keep their files
+    * homogeneous ([[MappedTable]]'s write rule). */
+  private def stagedRewriteWrite(winfo: LogicalWriteInfo): Write = {
+    val tmp = stagingDir()
+    DeletableTable.deleteRecursive(tmp)
+    Files.createDirectories(tmp)
+    val stagingSchema = StructType(winfo.schema().fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+    val staging = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      s"${name()}.__staging", SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(tmp.toString), Some(stagingSchema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    val sw = staging.newWriteBuilder(new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = winfo.options()
+      override def queryId(): String = winfo.queryId()
+      override def schema(): StructType = stagingSchema
+      override def rowIdSchema(): java.util.Optional[StructType] = winfo.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = winfo.metadataSchema()
+    }).build()
+    new Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val ib = sw.toBatch
+        // Spark's ReplaceData row projection only engages when the
+        // operation declares metadata attributes (writingTask falls
+        // back to the plain DataWritingSparkTask otherwise), so rows
+        // arrive as [__row_operation:int, data...]; this wrapper strips
+        // the operation slot with a reused ProjectingInternalRow view.
+        // Rows already at data arity pass through untouched.
+        override def createBatchWriterFactory(pinfo: PhysicalWriteInfo) =
+          new DeletableTable.OpStrippingWriterFactory(
+            ib.createBatchWriterFactory(pinfo), stagingSchema)
+        override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          ib.commit(messages)
+          publishRewrite(tmp)
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          ib.abort(messages)
+          DeletableTable.deleteRecursive(tmp)
+        }
+      }
+    }
+  }
+
+  private def stagingDir(): Path =
+    tableDir.resolveSibling(tableDir.getFileName.toString + ".__rewrite")
+
+  /** Publish a staged rewrite: versioned tables gain snapshot
+    * `latest+1` (manifest-stamped like every StateStore commit, so
+    * `TIMESTAMP AS OF` keeps working); plain tables swap via rename
+    * with the schema/mapping sidecars carried over. */
+  private def publishRewrite(tmp: Path): Unit = {
+    val versions = DeletableTable.versionsOf(tableDir)
+    if (versions.nonEmpty) {
+      val next = tableDir.resolve(s"v=${versions.max + 1L}")
+      DeletableTable.deleteRecursive(next)
+      Files.move(tmp, next)
+      Files.writeString(
+        next.resolve(graft.streaming.StateStore.CommitManifest),
+        String.valueOf(System.currentTimeMillis()))
+    } else {
+      val old = tableDir.resolveSibling(tableDir.getFileName.toString + ".__old")
       if (Files.isDirectory(tableDir)) {
         withSidecars(tableDir) { s =>
           Files.copy(s, tmp.resolve(s.getFileName.toString),
@@ -109,7 +230,7 @@ private[catalog] final class DeletableTable(
     }
     // the inner ParquetTable caches its file listing; drop any cached
     // plans so the next read sees the rewrite
-    spark.catalog.clearCache()
+    SparkSession.active.catalog.clearCache()
   }
 
   private def physName(logical: String): String =
@@ -129,6 +250,38 @@ private[catalog] final class DeletableTable(
 }
 
 private[catalog] object DeletableTable {
+
+  /** Executor-side factory for the row-level rewrite: Spark's
+    * ReplaceData row projection only engages when the operation
+    * declares metadata attributes (writingTask falls back to the plain
+    * DataWritingSparkTask otherwise), so replacement rows arrive as
+    * `[__row_operation:int, data...]`; this wrapper strips the
+    * operation slot with a reused ProjectingInternalRow view. Rows
+    * already at data arity pass through untouched. Standalone class —
+    * the factory ships to executors, so it must capture only
+    * serializable state (never the enclosing table). */
+  private final class OpStrippingWriterFactory(
+      f: org.apache.spark.sql.connector.write.DataWriterFactory,
+      stagingSchema: StructType)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long) = {
+      val w = f.createWriter(partitionId, taskId)
+      val arity = stagingSchema.length
+      new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+        private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+          stagingSchema, (1 to arity).toIndexedSeq)
+        override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+          if (row.numFields == arity) w.write(row)
+          else if (row.numFields == arity + 1) {
+            proj.project(row); w.write(proj)
+          } else throw new IllegalStateException(
+            s"rewrite row has ${row.numFields} fields for a $arity-column table")
+        override def commit() = w.commit()
+        override def abort() = w.abort()
+        override def close() = w.close()
+      }
+    }
+  }
 
   private[catalog] def versionsOf(p: Path): Seq[Long] =
     if (!Files.isDirectory(p)) Seq.empty

@@ -404,6 +404,72 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE and MERGE INTO: group-based copy-on-write rewrite through Spark's planner") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-rlo")
+    Files.createDirectories(lake.resolve("mart"))
+    spark.conf.set("spark.sql.catalog.lakeu", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakeu.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lakeu.mart.acct (id BIGINT, bal BIGINT, tag STRING)")
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "b"))
+        .toDF("id", "bal", "tag").write.mode("append").insertInto("lakeu.mart.acct")
+      // UPDATE: matched rows rewritten, others carried over untouched
+      spark.sql("UPDATE lakeu.mart.acct SET bal = bal + 5 WHERE tag = 'b'")
+      assert(spark.table("lakeu.mart.acct").as[(Long, Long, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, 10L, "a"), (2L, 25L, "b"), (3L, 35L, "b")))
+      // MERGE INTO: the reference's PK-upsert (tickets-cdc.sql:68-77
+      // INSERT INTO <pk-table>) as pure SQL — update on match, insert
+      // on miss, delete on a guarded match
+      Seq((2L, 200L, "b2"), (4L, 40L, "d"), (3L, 0L, "gone"))
+        .toDF("id", "bal", "tag").createOrReplaceTempView("acct_delta")
+      spark.sql(
+        """MERGE INTO lakeu.mart.acct t USING acct_delta s ON t.id = s.id
+          |WHEN MATCHED AND s.tag = 'gone' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = s.bal, tag = s.tag
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.table("lakeu.mart.acct").as[(Long, Long, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, 10L, "a"), (2L, 200L, "b2"), (4L, 40L, "d")))
+      // the declared-schema sidecar survives both rewrites
+      assert(Files.exists(lake.resolve("mart/acct.parquet/_graft_schema.json")))
+      // UPDATE through a RENAMED column: condition and assignment
+      // resolve logically, files stay physical
+      spark.sql("ALTER TABLE lakeu.mart.acct RENAME COLUMN bal TO balance")
+      spark.sql("UPDATE lakeu.mart.acct SET balance = 0 WHERE id = 4")
+      assert(spark.sql("SELECT balance FROM lakeu.mart.acct WHERE id = 4")
+        .as[Long].head() == 0L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakeu")
+      spark.conf.unset("spark.sql.catalog.lakeu.path")
+    }
+  }
+
+  test("UPDATE on a versioned table commits a snapshot; history intact") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-rlov")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lakeuv", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakeuv.path", lake.toString)
+    try {
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/bal.parquet").toString)
+      store.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "bal"), 0L)
+      spark.sql("UPDATE lakeuv.state.bal SET bal = 99 WHERE id = 1")
+      assert(store.versions == Seq(0L, 1L))
+      assert(spark.table("lakeuv.state.bal").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq == Seq((1L, 99L), (2L, 20L)))
+      assert(spark.sql("SELECT bal FROM lakeuv.state.bal VERSION AS OF 0 WHERE id = 1")
+        .as[Long].head() == 10L)
+      // the new snapshot is manifest-stamped (TIMESTAMP AS OF keeps working)
+      assert(store.commitTimeMs(1L).nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakeuv")
+      spark.conf.unset("spark.sql.catalog.lakeuv.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {
