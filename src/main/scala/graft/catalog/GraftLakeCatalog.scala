@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * location ([[Catalog.registerLakeTables]] covers the session-catalog
   * EXTERNAL-table path for flat scale dirs).
   */
-class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -313,6 +314,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       CaseInsensitiveStringMap.empty(), Seq(p.toString), Some(schema),
       classOf[ParquetFileFormat])
   }
+
+  // ---- ProcedureCatalog: CALL <cat>.system.<proc>(…) lake maintenance ----
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(root, ident).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalogName: no such procedure ${ident.toString} " +
+          s"(available: ${LakeProcedures.Namespace}.{${LakeProcedures.list().mkString(",")}})"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq(LakeProcedures.Namespace))
+      LakeProcedures.list().map(n => Identifier.of(namespace, n))
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -1,0 +1,122 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for lake maintenance — the `CALL
+  * cat.system.<proc>(…)` surface a Paimon/Iceberg user drives
+  * compaction and snapshot lifecycle with (Iceberg's
+  * `CALL system.expire_snapshots`, Paimon's compact action; the
+  * reference's lake tier exposes exactly this kind of table
+  * maintenance through its tiering service, `deploy:318-358`).
+  *
+  * Spark-first shape: Spark 4's `ProcedureCatalog` API — the parser,
+  * argument binding (positional and named, with defaults), and result
+  * display are all Spark's; each procedure here is a thin binding from
+  * the bound argument row to the engine's existing
+  * [[graft.streaming.StateStore]] maintenance operations, returning
+  * its report rows through a driver-local [[LocalScan]] (maintenance
+  * reports are O(versions) — never data-sized).
+  *
+  * Procedures (namespace `system`):
+  *  - `snapshots(tbl)` — the history report: one row per retained
+  *    snapshot with its commit stamp.
+  *  - `expire_snapshots(tbl, keep)` — drop all but the newest `keep`.
+  *  - `compact(tbl, target_files)` — rewrite the latest snapshot into
+  *    `target_files` files as a NEW snapshot (small-files compaction;
+  *    history intact).
+  *  - `purge_keys(tbl, key_col, keys_csv)` — the compliance delete:
+  *    remove the keys from EVERY retained snapshot, deliberately
+  *    piercing time travel ([[graft.streaming.StateStore.purgeKeys]]).
+  *
+  * `tbl` is `db.table` relative to the catalog root; all four require
+  * the versioned (`v=<n>`) snapshot layout — plain tables get the
+  * row-level SQL surface (DELETE/UPDATE/MERGE) instead. */
+private[catalog] object LakeProcedures {
+
+  val Namespace = "system"
+
+  def list(): Array[String] =
+    Array("snapshots", "expire_snapshots", "compact", "purge_keys")
+
+  def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
+    if (ident.namespace().toSeq != Seq(Namespace)) None
+    else ident.name() match {
+      case "snapshots" =>
+        Some(proc(root, "snapshots", Seq("tbl" -> StringType),
+          new StructType().add("version", LongType).add("commit_ms", LongType)) {
+          (store, _) =>
+            store.versions.map(v => InternalRow(v, store.commitTimeMs(v).getOrElse(-1L)))
+        })
+      case "expire_snapshots" =>
+        Some(proc(root, "expire_snapshots",
+          Seq("tbl" -> StringType, "keep" -> IntegerType),
+          new StructType().add("retained_versions", LongType)) { (store, args) =>
+          store.expire(args.getInt(1))
+          Seq(InternalRow(store.versions.size.toLong))
+        })
+      case "compact" =>
+        Some(proc(root, "compact",
+          Seq("tbl" -> StringType, "target_files" -> IntegerType),
+          new StructType().add("new_version", LongType)) { (store, args) =>
+          store.compact(args.getInt(1))
+          Seq(InternalRow(store.latestVersion.getOrElse(-1L)))
+        })
+      case "purge_keys" =>
+        Some(proc(root, "purge_keys",
+          Seq("tbl" -> StringType, "key_col" -> StringType, "keys_csv" -> StringType),
+          new StructType().add("rows_removed", LongType)) { (store, args) =>
+          val keyCol = args.getUTF8String(1).toString
+          val keys: Seq[Any] = args.getUTF8String(2).toString
+            .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(s => s.toLongOption.getOrElse(s): Any)
+          Seq(InternalRow(store.purgeKeys(keyCol, keys)))
+        })
+      case _ => None
+    }
+  }
+
+  /** Build an UnboundProcedure from a (store, args) → report-rows
+    * function. Argument 0 is always `tbl`; the store resolves against
+    * the catalog root and must be a versioned table directory. */
+  private def proc(root: Path, procName: String,
+                   params: Seq[(String, DataType)], outSchema: StructType)(
+      body: (graft.streaming.StateStore, InternalRow) => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft lake maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft lake maintenance: $procName"
+        override def parameters(): Array[ProcedureParameter] =
+          params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val tbl = input.get(0, StringType).asInstanceOf[UTF8String].toString
+          val dir = tbl.split('.') match {
+            case Array(db, t) => root.resolve(db).resolve(s"$t.parquet")
+            case _ => throw new IllegalArgumentException(
+              s"$procName: tbl must be 'db.table', got '$tbl'")
+          }
+          if (!Files.isDirectory(dir) || DeletableTable.versionsOf(dir).isEmpty)
+            throw new IllegalArgumentException(
+              s"$procName: '$tbl' is not a versioned (v=<n>) lake table")
+          val store = new graft.streaming.StateStore(
+            SparkSession.active, dir.toString)
+          val out = body(store, input).toArray
+          SparkSession.active.catalog.clearCache()
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = outSchema
+          }).iterator()
+        }
+      }
+    }
+}

@@ -470,6 +470,48 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: snapshots / compact / expire / purge_keys lake maintenance") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-proc")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lakep", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakep.path", lake.toString)
+    try {
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/accts.parquet").toString)
+      store.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "bal"), 0L)
+      store.write(Seq((1L, 11L), (2L, 20L), (3L, 30L)).toDF("id", "bal"), 1L)
+      // history report: one row per snapshot, stamped
+      val snaps = spark.sql("CALL lakep.system.snapshots('state.accts')")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(snaps.map(_._1).toSeq == Seq(0L, 1L))
+      assert(snaps.forall(_._2 > 0L), "commit stamps present")
+      // compaction commits a NEW version (history intact)
+      val compacted = spark.sql("CALL lakep.system.compact('state.accts', 1)")
+        .as[Long].head()
+      assert(compacted == 2L && store.versions == Seq(0L, 1L, 2L))
+      // expire keeps the newest `keep`
+      assert(spark.sql("CALL lakep.system.expire_snapshots('state.accts', 2)")
+        .as[Long].head() == 2L)
+      assert(store.versions == Seq(1L, 2L))
+      // compliance purge pierces every retained snapshot
+      val removed = spark.sql(
+        "CALL lakep.system.purge_keys('state.accts', 'id', '2')").as[Long].head()
+      assert(removed == 2L, s"one row per retained snapshot, got $removed")
+      assert(spark.sql("SELECT id FROM lakep.state.accts VERSION AS OF 1")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      // unknown procedure and non-versioned table fail loudly
+      intercept[Exception](spark.sql("CALL lakep.system.nope('state.accts')"))
+      Seq((1L, "x")).toDF("k", "v").write
+        .parquet(lake.resolve("state/plain.parquet").toString)
+      intercept[Exception](spark.sql(
+        "CALL lakep.system.compact('state.plain', 1)").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakep")
+      spark.conf.unset("spark.sql.catalog.lakep.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {
