@@ -64,13 +64,48 @@ private[catalog] final class DeletableTable(
 
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
-  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def capabilities(): util.Set[TableCapability] = {
+    val c = new util.HashSet[TableCapability](inner.capabilities())
+    // the staged-rewrite write path adds full and expression overwrite
+    c.add(TableCapability.TRUNCATE)
+    c.add(TableCapability.OVERWRITE_BY_FILTER)
+    c
+  }
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def properties(): util.Map[String, String] = inner.properties()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.newScanBuilder(options)
+  /** Appends delegate to the inner parquet write untouched;
+    * `INSERT OVERWRITE` (and `df.write.mode("overwrite")`) rides the
+    * staged-rewrite machinery: new rows land in the staging dir, and
+    * commit publishes them — full overwrite as a swap / new snapshot,
+    * expression overwrite (`overwrite(preds)`) by appending the
+    * SURVIVING current rows (NOT matching, NULL survives — the
+    * DELETE-side three-valued logic) into the staging dir first. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    inner.newWriteBuilder(info)
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
+      private var overwritePreds: Option[Array[Predicate]] = None
+      override def canOverwrite(predicates: Array[Predicate]): Boolean =
+        predicates.forall(DeletableTable.toColumn(_, physName).isDefined)
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        overwritePreds = Some(predicates); this
+      }
+      override def truncate(): WriteBuilder =
+        overwrite(Array(new AlwaysTrue))
+      override def build(): Write = overwritePreds match {
+        case None => inner.newWriteBuilder(info).build()
+        case Some(preds) =>
+          val keepSurvivors =
+            if (preds.forall(_.isInstanceOf[AlwaysTrue])) None
+            else Some(preds
+              .map(p => DeletableTable.toColumn(p, physName).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"${name()}: cannot overwrite by condition $p")))
+              .reduce(_ && _))
+          stagedRewriteWrite(info, keepSurvivors)
+      }
+    }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(DeletableTable.toColumn(_, physName).isDefined)
@@ -157,7 +192,8 @@ private[catalog] final class DeletableTable(
     * rows arrive under LOGICAL names; the staging table is built with
     * the physical write schema so renamed tables keep their files
     * homogeneous ([[MappedTable]]'s write rule). */
-  private def stagedRewriteWrite(winfo: LogicalWriteInfo): Write = {
+  private def stagedRewriteWrite(winfo: LogicalWriteInfo,
+                                 overwriteCond: Option[Column] = None): Write = {
     val tmp = stagingDir()
     DeletableTable.deleteRecursive(tmp)
     Files.createDirectories(tmp)
@@ -189,6 +225,17 @@ private[catalog] final class DeletableTable(
         override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           ib.commit(messages)
+          // expression overwrite: the current rows NOT matching the
+          // condition survive — append them next to the staged new
+          // rows before the publish swap (reads pre-swap data, so
+          // ordering inside the commit is safe)
+          overwriteCond.foreach { cond =>
+            val spark = SparkSession.active
+            val reader = physSchema.fold(spark.read)(s => spark.read.schema(s))
+            reader.parquet(dataDir.toString)
+              .filter(not(coalesce(cond, lit(false))))
+              .write.mode("append").parquet(tmp.toString)
+          }
           publishRewrite(tmp)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -512,6 +512,51 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE and REPLACE WHERE: staged overwrite through the rewrite machinery") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-ow")
+    Files.createDirectories(lake.resolve("mart"))
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lakeo", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakeo.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lakeo.mart.t (id BIGINT, v STRING)")
+      Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "v")
+        .write.mode("append").insertInto("lakeo.mart.t")
+      // full overwrite replaces everything, sidecar survives the swap
+      spark.sql("INSERT OVERWRITE lakeo.mart.t VALUES (9L, 'z')")
+      assert(spark.table("lakeo.mart.t").as[(Long, String)]
+        .collect().toSeq == Seq((9L, "z")))
+      assert(Files.exists(lake.resolve("mart/t.parquet/_graft_schema.json")))
+      // expression overwrite (REPLACE WHERE): matching rows replaced,
+      // the rest survive — including rows a NULL condition leaves alone
+      Seq((1L, Some("keep")), (2L, Some("z")), (3L, None: Option[String]))
+        .toDF("id", "v").write.mode("append").insertInto("lakeo.mart.t")
+      spark.sql(
+        "INSERT INTO lakeo.mart.t REPLACE WHERE v = 'z' VALUES (7L, 'new')")
+      assert(spark.table("lakeo.mart.t").as[(Long, Option[String])]
+        .collect().map(_._1).sorted.toSeq == Seq(1L, 3L, 7L),
+        "z-rows replaced; NULL-condition row survives")
+      // versioned table: overwrite commits a snapshot, history intact
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/s.parquet").toString)
+      store.write(Seq((1L, 10L)).toDF("id", "bal"), 0L)
+      spark.sql("INSERT OVERWRITE lakeo.state.s VALUES (2L, 99L)")
+      assert(store.versions == Seq(0L, 1L))
+      assert(spark.table("lakeo.state.s").as[(Long, Long)]
+        .collect().toSeq == Seq((2L, 99L)))
+      assert(spark.sql("SELECT id FROM lakeo.state.s VERSION AS OF 0")
+        .as[Long].head() == 1L)
+      // plain appends still go straight through the inner write
+      Seq((5L, 5L)).toDF("id", "bal").write.mode("append")
+        .insertInto("lakeo.state.s")
+      assert(spark.table("lakeo.state.s").count() == 2L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakeo")
+      spark.conf.unset("spark.sql.catalog.lakeo.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {
