@@ -94,6 +94,12 @@ private[catalog] final class DeletableTable(
       override def truncate(): WriteBuilder =
         overwrite(Array(new AlwaysTrue))
       override def build(): Write = overwritePreds match {
+        // append into a VERSIONED table commits a new snapshot (old
+        // rows all survive: keep-everything overwrite) — writing into
+        // the live v=<n> directory would mutate a committed snapshot
+        // and silently change what VERSION AS OF <n> reads
+        case None if DeletableTable.versionsOf(tableDir).nonEmpty =>
+          stagedRewriteWrite(info, Some(lit(false)))
         case None => inner.newWriteBuilder(info).build()
         case Some(preds) =>
           val keepSurvivors =

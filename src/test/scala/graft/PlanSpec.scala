@@ -411,4 +411,34 @@ class PlanSpec extends SparkSpec {
     assert(firstId("HashAggregate") < firstId("Window"),
       "baseline windows must consume (group, hour) rows, not raw events")
   }
+
+  test("keywords: bounded in-group ranking — no Window over the exploded corpus") {
+    val p = plan(graft.operators.TextOps.keywords(Tables.load(spark, dir, "documents")))
+    assert(!p.contains("Window"),
+      "per-doc top-k is a collect+array_sort aggregate, never a window sort")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
+
+  test("histogram: two-pass shape — broadcast 1-row bounds, one bucket aggregate") {
+    val p = plan(graft.operators.Stats.histogram(Tables.load(spark, dir, "orders")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the (min,max) bounds row must broadcast, not shuffle-join")
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Sort.*""")),
+      "bucketing is a floor division at scan speed, never a sort")
+  }
+
+  test("peakConcurrency: no global single-partition window anywhere in the sweep") {
+    // the operator is eager (driver combine) — pin the law on its
+    // deltas-side building block instead: the sessionize windows it
+    // consumes are PARTITIONED (per-user), and the sweep itself is a
+    // range exchange + per-partition fold with an O(partitions)
+    // driver combine, asserted behaviorally in AnalyticsSpec. Here:
+    // the session assembly must not contain a partition-less window.
+    val sessions = graft.operators.EventOps.sessionize(
+      Tables.load(spark, dir, "events"))
+    val p = plan(sessions)
+    val globalWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("PartitionBy: []"))
+    assert(!globalWindow, "session windows must partition by user")
+  }
 }

@@ -547,10 +547,14 @@ class CatalogSpec extends SparkSpec {
         .collect().toSeq == Seq((2L, 99L)))
       assert(spark.sql("SELECT id FROM lakeo.state.s VERSION AS OF 0")
         .as[Long].head() == 1L)
-      // plain appends still go straight through the inner write
+      // append into a VERSIONED table commits a NEW snapshot — a
+      // committed v=<n> must never mutate under VERSION AS OF
       Seq((5L, 5L)).toDF("id", "bal").write.mode("append")
         .insertInto("lakeo.state.s")
+      assert(store.versions == Seq(0L, 1L, 2L), "append = new commit")
       assert(spark.table("lakeo.state.s").count() == 2L)
+      assert(spark.sql("SELECT count(*) FROM lakeo.state.s VERSION AS OF 1")
+        .head().getLong(0) == 1L, "pre-append snapshot unchanged")
     } finally {
       spark.conf.unset("spark.sql.catalog.lakeo")
       spark.conf.unset("spark.sql.catalog.lakeo.path")
