@@ -1021,6 +1021,17 @@ object SparkEntry {
     // a parallel max-prefix-sum — no global-window reducer.
     "q_concurrency" -> ((s, dir) =>
       graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // Session-depth histogram: sessions per event count, exact cents
+    // mass per depth.
+    "q_session_depth" -> ((s, dir) =>
+      graft.operators.Analytics.sessionDepthHistogram(t(s, dir, "events"))),
+    // Inter-arrival gap profile: the report that SIZES the session gap
+    // (exact integer min/max, interpolated median).
+    "q_interarrival" -> ((s, dir) =>
+      graft.operators.EventOps.interArrival(t(s, dir, "events"))),
+    // Type-token ratio: lexical-diversity quality signal, scan-speed.
+    "q_ttr" -> ((s, dir) =>
+      graft.operators.TextOps.typeTokenRatio(t(s, dir, "documents"))),
     // Equi-WIDTH value histogram — integer floor-div bucket formula,
     // exact cents bounds per bucket.
     "q_histogram" -> ((s, dir) =>
@@ -2899,6 +2910,48 @@ object SparkEntry {
         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
         |  CAST(min(CASE WHEN run = (SELECT max(run) FROM r) THEN t END) AS BIGINT) AS peak_at_us
         |FROM r""".stripMargin,
+
+    // The sessionize CTE grouped by depth; per-session cents are the
+    // exact decimal sum ×100 (no rounding anywhere).
+    "q_session_depth" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |f AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |g AS (SELECT *, CASE WHEN prev IS NULL
+        |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |        THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM g),
+        |s AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |        CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |      FROM h GROUP BY 1, 2)
+        |SELECT CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM s GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Lag deltas over the (µs, event_id) total order; quantile_cont
+    // interpolates exactly like Spark percentile on integer operands
+    // (the q_quantiles precedent).
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, us - lag(us) OVER (
+        |        PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  quantile_cont(gap, 0.5) AS p50_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Exact integer counts; one correctly-rounded division.
+    "q_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Equi-width histogram: the integer floor-div bucket formula is
     // written identically on both engines ((cents−lo)·nb // span+1);

@@ -324,6 +324,21 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Session-depth histogram — the engagement distribution view over
+    * [[EventOps.sessionize]]'s intervals: how many sessions contain
+    * exactly n events, with the exact integer-cents value mass each
+    * depth carries. Reads next to [[peakConcurrency]] (how many at
+    * once) as the "how deep" half of the session report.
+    *
+    * Scale shape: the sessionize exchange (one, keyed on user) feeds a
+    * ≤ max-depth-row hash aggregate — nothing new moves. */
+  def sessionDepthHistogram(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    EventOps.sessionize(events, gapMinutes)
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        // session_value is exact DECIMAL(18,2): ×100 is integer cents
+        sum(expr("CAST(session_value * 100 AS BIGINT)")).as("value_cents"))
+
   /** Peak concurrency — the capacity-planning number: the maximum
     * number of user sessions (from [[EventOps.sessionize]]'s
     * gaps-and-islands intervals) active at the same instant, with the

@@ -248,6 +248,34 @@ object EventOps {
         sum(col("__c")).as("n_rows"),
         max(col("__c")).as("max_key_count"))
 
+  /** Per-user inter-arrival gap profile — the report that SIZES the
+    * sessionization gap and complements [[latenessProfile]]'s
+    * watermark sizing: consecutive-event time deltas per user over
+    * the (µs, event_id) total order, summarized as exact integer
+    * min/max and the interpolated median (both engines interpolate
+    * identically on exact integer operands, the `q_quantiles`
+    * precedent). Reading it: a session gap above most users' p50 and
+    * below their max splits real visits, not think-time.
+    *
+    * Scale shape: one exchange on the key + per-partition sort for
+    * the lag (the ordering any keyed timeline op already implies),
+    * then one hash aggregate per user. */
+  def interArrival(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(order))
+      .filter(col("__gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"),
+        expr("percentile(__gap, 0.5)").as("p50_gap_us"))
+  }
+
   /** Per-key rolling time-window aggregate — a RANGE frame over event
     * time (`RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`), the
     * trailing-window analytics shape the row-frame running totals of

@@ -195,6 +195,23 @@ object TextOps {
         col("e.term").as("term"), (-col("e.ns")).as("tfidf"))
   }
 
+  /** Type-token ratio — the lexical-diversity quality signal (low TTR
+    * flags template/boilerplate text the repetition fractions can
+    * miss on long documents): distinct terms over total terms, both
+    * exact integers, one correctly-rounded division presented at the
+    * boundary. Emitted with the raw counts so a downstream filter can
+    * re-threshold without re-tokenizing.
+    *
+    * Scale shape: one narrow scan — `size(array_distinct(...))` and
+    * `size(...)` evaluate per row at scan speed, no shuffle. */
+  def typeTokenRatio(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens"))
+
   /** Winnowing (Schleimer et al.): the distinct set of per-window
     * minima over the ORDERED (non-distinct) shingle hash sequence,
     * window size w — guarantees any match of length ≥ w+n−1 tokens

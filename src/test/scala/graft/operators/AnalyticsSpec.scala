@@ -203,6 +203,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("sessionDepthHistogram: depth counts and exact cents mass") {
+    // u1: events at 0 and 100 (one session, depth 2, 3.00 total);
+    // u2: one event (depth 1, 1.25); u1's event at 10000 starts a NEW
+    // session (gap > 30min) of depth 1.
+    val ev = Seq(
+      (1L, 1L, ts(0L), 1.75), (1L, 2L, ts(100L), 1.25),
+      (2L, 3L, ts(0L), 1.25),
+      (1L, 4L, ts(10000L), 2.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.sessionDepthHistogram(ev)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 325L), (2L, 1L, 300L)), s"got $out")
+  }
+
   test("peakConcurrency: interval sweep peak, first achiever, session census") {
     // u1 session [0,1000]; u2 [500,1500]; u3 [1000,1000]; u4 splits on
     // the >30min gap into [0,0] and [10000,10000]. Peak 3 first at

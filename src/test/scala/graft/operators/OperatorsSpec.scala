@@ -335,6 +335,27 @@ class OperatorsSpec extends SparkSpec {
     assert(Stats.histogram(Seq.empty[Double].toDF("o_totalprice")).count() == 0L)
   }
 
+  test("typeTokenRatio: diversity counts, repeated-term collapse") {
+    val out = TextOps.typeTokenRatio(docs(
+      1L -> "a a b", 2L -> "w x y z", 3L -> "solo"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 3L, 2L, 2.0 / 3)))
+    assert(out(1) == ((2L, 4L, 4L, 1.0)), "all-distinct doc has TTR 1")
+    assert(out(2) == ((3L, 1L, 1L, 1.0)))
+  }
+
+  test("interArrival: per-user gap profile; single-event users absent") {
+    val ts = (sec: Long) => new java.sql.Timestamp(sec * 1000L)
+    // u1 gaps: 10s, 30s → min 10e6, max 30e6, median 20e6 (interpolated)
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (1L, 2L, ts(10L)), (1L, 3L, ts(40L)),
+      (2L, 4L, ts(5L)))
+      .toDF("user_id", "event_id", "ts")
+    val out = EventOps.interArrival(ev)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 10000000L, 30000000L, 2.0e7)), s"got $out")
+  }
+
   test("stratified sample: per-group quota, deterministic") {
     val orders = (1L to 200L).map(i => (i, if (i % 3 == 0) "A" else "B"))
       .toDF("o_orderkey", "o_orderstatus")
