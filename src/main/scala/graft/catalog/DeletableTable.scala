@@ -73,8 +73,76 @@ private[catalog] final class DeletableTable(
   }
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def properties(): util.Map[String, String] = inner.properties()
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.newScanBuilder(options)
+  /** Scans consult the `_graft_stats.json` data-skipping sidecar when
+    * present ([[FileStats]]): pushed filters that provably exclude a
+    * file's min/max range drop it from the LISTING before Spark opens
+    * a footer — the Iceberg/Delta manifest-skip model, and the read
+    * payoff of the z-order layout. No sidecar (or no pruning win) →
+    * straight delegation. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val stats = FileStats.read(tableDir)
+    val fallback = inner.newScanBuilder(options)
+    if (stats.isEmpty) fallback
+    else new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      private var required: Option[StructType] = None
+      private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        required = Some(requiredSchema)
+        fallback match {
+          case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            c.pruneColumns(requiredSchema)
+          case _ => ()
+        }
+      }
+      override def pushFilters(
+          fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+          Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        filters = fs
+        fallback match {
+          case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+            f.pushFilters(fs)
+          case _ => fs
+        }
+      }
+      override def pushedFilters: Array[Predicate] = fallback match {
+        case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+          f.pushedFilters
+        case _ => Array.empty
+      }
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        FileStats.survivors(stats, dataDir, filters, physName) match {
+          case None => fallback.build()
+          case Some(kept) =>
+            // rebuild the scan over the surviving files only; renamed
+            // tables keep their translation by re-wrapping MappedTable
+            val ps = physSchema.getOrElse(inner.schema())
+            val pt = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+              s"${name()}(skip:${kept.size})", SparkSession.active,
+              CaseInsensitiveStringMap.empty(), kept.map(_.toString), Some(ps),
+              classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+            val tbl: SupportsRead =
+              if (renames.isEmpty) pt
+              else new MappedTable(pt, inner.schema(), renames)
+            val b = tbl.newScanBuilder(options)
+            required.foreach { s =>
+              b match {
+                case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                  c.pruneColumns(s)
+                case _ => ()
+              }
+            }
+            b match {
+              case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+                f.pushFilters(filters); ()
+              case _ => ()
+            }
+            b.build()
+        }
+    }
+  }
+
   /** Appends delegate to the inner parquet write untouched;
     * `INSERT OVERWRITE` (and `df.write.mode("overwrite")`) rides the
     * staged-rewrite machinery: new rows land in the staging dir, and

@@ -1,0 +1,197 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.functions.{col, max, min}
+
+/** File-level min/max data skipping — the Iceberg/Delta manifest-stats
+  * model for the lake catalog: `CALL cat.system.analyze('db.t',
+  * 'c1,c2')` computes per-FILE min/max for the named columns and
+  * persists them in a `_graft_stats.json` sidecar; the table's scan
+  * then drops files whose range provably excludes the pushed filters
+  * BEFORE Spark lists or opens them. This is the read-side payoff of
+  * the z-order write layout ([[graft.operators.Layout]]): clustering
+  * tightens per-file ranges, the stats sidecar turns tight ranges
+  * into skipped I/O — at 100 TB the difference between touching every
+  * footer and touching the 2 files that can match.
+  *
+  * Conservative by construction:
+  *  - only provable exclusions prune — a file is dropped when some
+  *    pushed conjunct cannot hold anywhere in `[min, max]` (or the
+  *    file's column is entirely NULL, which no comparison satisfies);
+  *  - files NOT listed in the sidecar (written after the last
+  *    `analyze`, or any rewrite) always survive — stale stats degrade
+  *    to no pruning, never to wrong answers;
+  *  - unrecognized filter shapes contribute nothing.
+  *
+  * Supported shapes: `=`, `<`, `<=`, `>`, `>=`, `IN` between a column
+  * and literals, conjunctions thereof; numeric ranges compare as
+  * BigDecimal, strings lexically (both match parquet's own min/max
+  * ordering for these types). */
+private[catalog] object FileStats {
+
+  val Sidecar = "_graft_stats.json"
+
+  /** One column's per-file range: [min, max] as JSON scalars; both
+    * null when the file's column is entirely NULL. */
+  private type Ranges = Map[String, Map[String, (Option[Any], Option[Any])]]
+
+  /** Compute per-file min/max for `cols` over the table's CURRENT data
+    * files and persist the sidecar (atomic move). Returns the number
+    * of files analyzed. */
+  def analyze(spark: SparkSession, tableDir: Path, dataDir: Path,
+              cols: Seq[String]): Long = {
+    val df = spark.read.parquet(dataDir.toString)
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"analyze: no such column(s) ${missing.mkString(",")}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = df
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    rows.foreach { r =>
+      val fileName = r.getAs[String]("__file").split('/').last
+      val node = root.putObject(fileName)
+      cols.foreach { c =>
+        val arr = node.putArray(c)
+        Seq(r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c")).foreach {
+          case null => arr.addNull()
+          case v: java.lang.Number => arr.add(new java.math.BigDecimal(v.toString))
+          case v => arr.add(v.toString)
+        }
+      }
+    }
+    val target = tableDir.resolve(Sidecar)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, om.writeValueAsString(root))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rows.length.toLong
+  }
+
+  /** Read the sidecar; empty map when absent. */
+  def read(tableDir: Path): Ranges = {
+    val f = tableDir.resolve(Sidecar)
+    if (!Files.exists(f)) Map.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(Files.readString(f))
+      node.fields().asScala.map { e =>
+        val colRanges = e.getValue.fields().asScala.map { ce =>
+          val arr = ce.getValue
+          def v(i: Int): Option[Any] = {
+            val n = arr.get(i)
+            if (n == null || n.isNull) None
+            else if (n.isNumber) Some(n.decimalValue(): java.math.BigDecimal)
+            else Some(n.asText())
+          }
+          ce.getKey -> ((v(0), v(1)))
+        }.toMap
+        e.getKey -> colRanges
+      }.toMap
+    }
+  }
+
+  /** The data files of `dataDir` that SURVIVE the pushed filters:
+    * listed files whose ranges provably exclude some conjunct are
+    * dropped; unlisted files and unprovable filters keep everything
+    * they touch. `phys` translates filter column names to the sidecar
+    * (physical) dialect. Returns None when pruning removes nothing —
+    * the caller then keeps the original single-directory listing. */
+  def survivors(stats: Ranges, dataDir: Path, filters: Seq[Expression],
+                phys: String => String): Option[Seq[Path]] = {
+    if (stats.isEmpty || filters.isEmpty || !Files.isDirectory(dataDir)) return None
+    val files = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+      finally s.close()
+    }
+    val kept = files.filter { p =>
+      stats.get(p.getFileName.toString) match {
+        case None => true // unlisted (post-analyze) file: never prune
+        case Some(ranges) => !filters.exists(excludes(_, ranges, phys))
+      }
+    }
+    if (kept.size == files.size) None else Some(kept)
+  }
+
+  /** True when `filter` provably holds NOWHERE within the file's
+    * ranges. */
+  private def excludes(filter: Expression,
+                       ranges: Map[String, (Option[Any], Option[Any])],
+                       phys: String => String): Boolean = filter match {
+    case And(l, r) => excludes(l, ranges, phys) || excludes(r, ranges, phys)
+    case EqualTo(a: AttributeReference, Literal(v, _)) =>
+      outside(ranges.get(phys(a.name)), v, lo = true, hi = true)
+    case EqualTo(Literal(v, _), a: AttributeReference) =>
+      outside(ranges.get(phys(a.name)), v, lo = true, hi = true)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => // col > v: need max > v
+      boundary(ranges.get(phys(a.name)), v, useMax = true, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      boundary(ranges.get(phys(a.name)), v, useMax = true, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => // col < v: need min < v
+      boundary(ranges.get(phys(a.name)), v, useMax = false, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      boundary(ranges.get(phys(a.name)), v, useMax = false, strict = false)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall(l => outside(ranges.get(phys(a.name)),
+        l.asInstanceOf[Literal].value, lo = true, hi = true))
+    case _ => false
+  }
+
+  /** v outside [min, max] (or the file's column entirely NULL). */
+  private def outside(range: Option[(Option[Any], Option[Any])], v: Any,
+                      lo: Boolean, hi: Boolean): Boolean = range match {
+    case None => false
+    case Some((None, None)) => true // all-NULL column: no comparison holds
+    case Some((mn, mx)) =>
+      (lo && mn.exists(m => cmp(v, m) < 0)) || (hi && mx.exists(m => cmp(v, m) > 0))
+  }
+
+  /** Exclusion via one boundary: for `col > v` the file survives only
+    * if `max > v` — excluded when `max <= v` (strict) / `max < v`. */
+  private def boundary(range: Option[(Option[Any], Option[Any])], v: Any,
+                       useMax: Boolean, strict: Boolean): Boolean = range match {
+    case None => false
+    case Some((None, None)) => true
+    case Some((mn, mx)) =>
+      val b = if (useMax) mx else mn
+      b.exists { m =>
+        val c = if (useMax) cmp(m, v) else cmp(v, m)
+        if (strict) c <= 0 else c < 0
+      }
+  }
+
+  /** Compare a catalyst literal value with a sidecar value: numbers as
+    * BigDecimal, everything else lexically on the string form (UTF8
+    * strings round-trip). Incomparable kinds report 0 → never prune. */
+  private def cmp(a: Any, b: Any): Int = {
+    def dec(x: Any): Option[java.math.BigDecimal] = x match {
+      case n: java.math.BigDecimal => Some(n)
+      case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    (dec(a), dec(b)) match {
+      case (Some(x), Some(y)) => x.compareTo(y)
+      case _ =>
+        (a, b) match {
+          case (x: org.apache.spark.unsafe.types.UTF8String, y) =>
+            x.toString.compareTo(y.toString)
+          case (x: String, y) => x.compareTo(y.toString)
+          case _ => 0
+        }
+    }
+  }
+}

@@ -44,7 +44,7 @@ private[catalog] object LakeProcedures {
   val Namespace = "system"
 
   def list(): Array[String] =
-    Array("snapshots", "expire_snapshots", "compact", "purge_keys")
+    Array("snapshots", "expire_snapshots", "compact", "purge_keys", "analyze")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -79,8 +79,57 @@ private[catalog] object LakeProcedures {
             .map(s => s.toLongOption.getOrElse(s): Any)
           Seq(InternalRow(store.purgeKeys(keyCol, keys)))
         })
+      case "analyze" =>
+        // works on plain AND versioned tables (stats describe the
+        // CURRENT data files; the scan treats unlisted files
+        // conservatively, so staleness is safe)
+        Some(new UnboundProcedure {
+          override def name(): String = "analyze"
+          override def description(): String =
+            "graft lake maintenance: compute per-file min/max skipping stats"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "analyze"
+            override def description(): String =
+              "graft lake maintenance: compute per-file min/max skipping stats"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("cols_csv", StringType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "analyze",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              val dataDir = DeletableTable.versionsOf(tableDir).lastOption
+                .fold(tableDir)(v => tableDir.resolve(s"v=$v"))
+              val cols = input.getUTF8String(1).toString
+                .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+              val n = FileStats.analyze(
+                SparkSession.active, tableDir, dataDir, cols)
+              SparkSession.active.catalog.clearCache()
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] = Array(InternalRow(n))
+                override def readSchema(): StructType =
+                  new StructType().add("files_analyzed", LongType)
+              }).iterator()
+            }
+          }
+        })
       case _ => None
     }
+  }
+
+  private def resolveTableDir(root: Path, procName: String, tbl: String,
+                              requireVersioned: Boolean): Path = {
+    val dir = tbl.split('.') match {
+      case Array(db, t) => root.resolve(db).resolve(s"$t.parquet")
+      case _ => throw new IllegalArgumentException(
+        s"$procName: tbl must be 'db.table', got '$tbl'")
+    }
+    if (!Files.isDirectory(dir))
+      throw new IllegalArgumentException(s"$procName: no such table '$tbl'")
+    if (requireVersioned && DeletableTable.versionsOf(dir).isEmpty)
+      throw new IllegalArgumentException(
+        s"$procName: '$tbl' is not a versioned (v=<n>) lake table")
+    dir
   }
 
   /** Build an UnboundProcedure from a (store, args) → report-rows

@@ -1,0 +1,91 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** File-level min/max data skipping: `CALL system.analyze` writes the
+  * per-file range sidecar, and a filtered scan then reads FEWER files
+  * than the full listing — with rows identical to the unpruned
+  * answer. Staleness law: files written after the analyze always
+  * survive (conservative, never wrong). */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Number of FILE paths the scan lists, or -1 for an unpruned scan
+    * (which lists the table DIRECTORY as its single root path). */
+  private def scannedFiles(q: org.apache.spark.sql.DataFrame): Int = {
+    val s = q.queryExecution.executedPlan.toString
+    "InMemoryFileIndex\\((\\d+) paths\\)\\[([^\\]]*)".r.findFirstMatchIn(s) match {
+      case Some(m) =>
+        val n = m.group(1).toInt
+        if (n == 0 || m.group(2).contains(".parquet/part-")) n else -1
+      case None => -1
+    }
+  }
+
+  test("analyze + filtered scan: provably-excluded files skipped, answers identical") {
+    val lake = Files.createTempDirectory("graft-lake-skip")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lks", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lks.path", lake.toString)
+    try {
+      // cluster on k: 4 files with disjoint k-ranges (range exchange)
+      spark.sql("CREATE TABLE lks.m.t (k BIGINT, v STRING)")
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, $"k")
+        .write.mode("append").insertInto("lks.m.t")
+      val full = spark.table("lks.m.t").where("k = 7").as[(Long, String)]
+        .collect().toSeq
+      assert(scannedFiles(spark.table("lks.m.t").where("k = 7")) == -1,
+        "no sidecar yet: no pruning")
+      // analyze, then the same query should touch a strict file subset
+      assert(spark.sql("CALL lks.system.analyze('m.t', 'k')")
+        .head().getLong(0) >= 4L)
+      val pruned = spark.table("lks.m.t").where("k = 7")
+      val n = scannedFiles(pruned)
+      assert(n >= 1 && n < 4, s"expected a strict subset of 4 files, got $n")
+      assert(pruned.as[(Long, String)].collect().toSeq == full)
+      // range predicate prunes too; IN with all-out-of-range values
+      // empties the listing but still answers correctly
+      assert(scannedFiles(spark.table("lks.m.t").where("k > 390")) < 4)
+      val nowhere = spark.table("lks.m.t").where("k IN (9999, 8888)")
+      assert(scannedFiles(nowhere) == 0)
+      assert(nowhere.count() == 0L)
+      // string-column stats prune as well
+      spark.sql("CALL lks.system.analyze('m.t', 'k,v')")
+      assert(scannedFiles(spark.table("lks.m.t").where("v = 'v7'")) < 4)
+      // staleness: new files after analyze always survive
+      Seq((9999L, "late")).toDF("k", "v").write.mode("append")
+        .insertInto("lks.m.t")
+      val late = spark.table("lks.m.t").where("k = 9999")
+      assert(late.count() == 1L, "unlisted files are never pruned")
+      // unprovable predicates fall back to the full listing
+      assert(scannedFiles(spark.table("lks.m.t").where("k % 2 = 0")) == -1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lks")
+      spark.conf.unset("spark.sql.catalog.lks.path")
+    }
+  }
+
+  test("skipping composes with RENAME COLUMN: logical predicate, physical stats") {
+    val lake = Files.createTempDirectory("graft-lake-skipr")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lksr", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lksr.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lksr.m.t (k BIGINT, v STRING)")
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, $"k")
+        .write.mode("append").insertInto("lksr.m.t")
+      spark.sql("CALL lksr.system.analyze('m.t', 'k')")
+      spark.sql("ALTER TABLE lksr.m.t RENAME COLUMN k TO id")
+      val q = spark.table("lksr.m.t").where("id = 5")
+      assert(scannedFiles(q) < 4 && scannedFiles(q) >= 1,
+        "renamed predicate must still reach the physical stats")
+      assert(q.select("id").as[Long].collect().toSeq == Seq(5L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lksr")
+      spark.conf.unset("spark.sql.catalog.lksr.path")
+    }
+  }
+}
