@@ -1021,6 +1021,14 @@ object SparkEntry {
     // a parallel max-prefix-sum — no global-window reducer.
     "q_concurrency" -> ((s, dir) =>
       graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // Punch-card activity grid: (weekday, hour) cells from pure
+    // integer epoch arithmetic, no calendar functions.
+    "q_punchcard" -> ((s, dir) =>
+      graft.operators.Analytics.punchcard(t(s, dir, "events"))),
+    // Revenue-concentration deciles: per-customer cents, NTILE(10),
+    // integer parts-per-million shares.
+    "q_revenue_concentration" -> ((s, dir) =>
+      graft.operators.Analytics.revenueConcentration(t(s, dir, "orders"))),
     // Session-depth histogram: sessions per event count, exact cents
     // mass per depth.
     "q_session_depth" -> ((s, dir) =>
@@ -2910,6 +2918,30 @@ object SparkEntry {
         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
         |  CAST(min(CASE WHEN run = (SELECT max(run) FROM r) THEN t END) AS BIGINT) AS peak_at_us
         |FROM r""".stripMargin,
+
+    // Pure integer epoch arithmetic on both axes — identical cells on
+    // any engine, no calendar/timezone functions.
+    "q_punchcard" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events)
+        |SELECT (us // 86400000000 + 3) % 7 AS weekday,
+        |  (us // 3600000000) % 24 AS hour_of_day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // NTILE over the (cents, customer) total order; shares in integer
+    // parts-per-million (cents·10^6 // total).
+    "q_revenue_concentration" ->
+      """WITH u AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT *, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile FROM u),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM u)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(cents) * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM r CROSS JOIN t GROUP BY 1, t.total ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // The sessionize CTE grouped by depth; per-session cents are the
     // exact decimal sum ×100 (no rounding anywhere).

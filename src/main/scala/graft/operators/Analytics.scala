@@ -324,6 +324,51 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Punch-card activity grid — events by (weekday, hour-of-day), the
+    * classic traffic-shape dashboard. Both axes are pure integer
+    * epoch arithmetic — `weekday = (epoch_day + 3) mod 7` (epoch day
+    * zero was a Thursday, so +3 makes 0 = Monday) and
+    * `hour = epoch_hour mod 24`
+    * — so no calendar/timezone function is ever consulted and any
+    * engine lands every event in the same cell.
+    *
+    * Scale shape: one narrow projection + one ≤168-row hash
+    * aggregate. */
+  def punchcard(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr("(unix_micros(ts) div 86400000000L + 3) % 7").as("weekday"),
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hour_of_day"),
+        col("user_id"))
+      .groupBy("weekday", "hour_of_day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Revenue-concentration deciles — the inequality report ("what
+    * share of revenue do the top 10 % of customers carry"): per-user
+    * exact-cents totals, NTILE(10) over the (cents, user) total order
+    * (ties deterministic, the q_ntile discipline), and each decile's
+    * share in integer parts-per-million (`cents·10⁶ div total`) — no
+    * IEEE division until nothing depends on it.
+    *
+    * Scale shape: one user-keyed aggregate (users rows), one
+    * window over users (not events), a 10-row result; the 1-row total
+    * attaches by broadcast cross join. */
+  def revenueConcentration(orders: DataFrame): DataFrame = {
+    val perUser = orders.groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("__cents"))
+    val ranked = perUser.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("__cents"), col("o_custkey"))))
+    val total = perUser.agg(sum(col("__cents")).as("__total"))
+    ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("__cents")).as("revenue_cents"))
+      .crossJoin(broadcast(total))
+      .select(col("decile").cast("bigint").as("decile"),
+        col("n_customers"), col("revenue_cents"),
+        expr("revenue_cents * 1000000L div __total").as("share_ppm"))
+  }
+
   /** Session-depth histogram — the engagement distribution view over
     * [[EventOps.sessionize]]'s intervals: how many sessions contain
     * exactly n events, with the exact integer-cents value mass each

@@ -203,6 +203,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("punchcard: epoch-arithmetic weekday/hour cells") {
+    // epoch 0 is Thursday 00:00 → (0+3)%7 = 3; four days later is
+    // Monday → 0; 90000s = 1d + 1h → hour 1.
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (2L, 2L, ts(4L * 86400L)),
+      (3L, 3L, ts(90000L)), (1L, 4L, ts(30L)))
+      .toDF("user_id", "event_id", "ts")
+    val out = Analytics.punchcard(ev)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((0L, 0L, 1L, 1L), (3L, 0L, 2L, 1L), (4L, 1L, 1L, 1L)),
+      s"got $out")
+  }
+
+  test("revenueConcentration: deterministic deciles, exact ppm shares") {
+    // 10 customers spending 1..10 dollars: one per decile, total 55.00
+    val orders = (1L to 10L).map(i => (i, i.toDouble))
+      .toDF("o_custkey", "o_totalprice")
+    val out = Analytics.revenueConcentration(orders)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2).forall(_ == 1L), "one customer per decile")
+    assert(out.map(_._3) == (1L to 10L).map(_ * 100L), "cents ascend with decile")
+    assert(out.last._4 == 1000L * 1000000L / 5500L, "top share = 1000·10⁶ div 5500")
+    assert(out.map(_._4).sum <= 1000000L, "floor shares never exceed unity")
+  }
+
   test("sessionDepthHistogram: depth counts and exact cents mass") {
     // u1: events at 0 and 100 (one session, depth 2, 3.00 total);
     // u2: one event (depth 1, 1.25); u1's event at 10000 starts a NEW
