@@ -1021,6 +1021,14 @@ object SparkEntry {
     // a parallel max-prefix-sum — no global-window reducer.
     "q_concurrency" -> ((s, dir) =>
       graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // RFM customer segmentation: quintile scores over total orders,
+    // integer recency/cents, composed segment code.
+    "q_rfm" -> ((s, dir) =>
+      graft.operators.Analytics.rfm(t(s, dir, "orders"))),
+    // Cohort-revenue (LTV) matrix: exact cents per (cohort week,
+    // offset) — the money half of the retention matrix.
+    "q_cohort_revenue" -> ((s, dir) =>
+      graft.operators.Analytics.cohortRevenue(t(s, dir, "orders"))),
     // Punch-card activity grid: (weekday, hour) cells from pure
     // integer epoch arithmetic, no calendar functions.
     "q_punchcard" -> ((s, dir) =>
@@ -2918,6 +2926,44 @@ object SparkEntry {
         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
         |  CAST(min(CASE WHEN run = (SELECT max(run) FROM r) THEN t END) AS BIGINT) AS peak_at_us
         |FROM r""".stripMargin,
+
+    // Three quintile windows over CUSTOMERS with total-order
+    // tie-breaks; recency as an integer floor division of epoch µs.
+    "q_rfm" ->
+      """WITH u AS (SELECT o_custkey,
+        |    CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS ref_us
+        |  FROM orders),
+        |s AS (SELECT u.*, (r.ref_us - u.last_us) // 86400000000 AS recency_days
+        |  FROM u CROSS JOIN r),
+        |q AS (SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+        |  FROM s)
+        |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary_cents,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_segment
+        |FROM q ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same integer epoch-week arithmetic as q_retention, with cents.
+    "q_cohort_revenue" ->
+      """WITH o AS (SELECT o_custkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 // 7 AS wk,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |f AS (SELECT o_custkey, min(wk) AS cohort_week FROM o GROUP BY 1)
+        |SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(o.wk - f.cohort_week AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Pure integer epoch arithmetic on both axes — identical cells on
     // any engine, no calendar/timezone functions.

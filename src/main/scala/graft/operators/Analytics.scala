@@ -324,6 +324,62 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** RFM segmentation — the classic customer scoring: Recency (days
+    * since last order, vs the corpus' newest order), Frequency (order
+    * count), Monetary (exact cents), each quintile-scored 1–5 with 5
+    * best, composed into the `RFM` segment code (`r·100 + f·10 + m`).
+    * Every ordering is a total order (ties break on the customer key,
+    * the q_ntile discipline) and recency is an integer floor division
+    * of epoch micros — deterministic on any engine.
+    *
+    * Scale shape: one customer-keyed aggregate (customers rows), the
+    * reference instant as a broadcast 1-row cross join, three windows
+    * over CUSTOMERS (never orders), 1 row per customer out. */
+  def rfm(orders: DataFrame): DataFrame = {
+    val perUser = orders.groupBy(col("o_custkey"))
+      .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("__last_us"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("monetary_cents"))
+    val ref = orders.agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("__ref_us"))
+    val scored = perUser.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        expr("(__ref_us - __last_us) div 86400000000L"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency"), col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary_cents"), col("o_custkey"))))
+    scored.select(col("o_custkey"), col("recency_days"),
+      col("frequency"), col("monetary_cents"),
+      col("r_score").cast("bigint").as("r_score"),
+      col("f_score").cast("bigint").as("f_score"),
+      col("m_score").cast("bigint").as("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .cast("bigint").as("rfm_segment"))
+  }
+
+  /** Cohort-revenue (LTV) matrix — [[retentionCohorts]]'s money half:
+    * customers cohort by the epoch-week of their FIRST order, and each
+    * (cohort_week, week_offset) cell carries the exact cents those
+    * customers spent that week — the revenue-retention curve cohort
+    * LTV reads off. Same pure integer epoch-week arithmetic; one
+    * customer-keyed aggregate, one id-keyed join back, one cell
+    * aggregate. */
+  def cohortRevenue(orders: DataFrame): DataFrame = {
+    val week = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L div 7")
+    val firsts = orders.groupBy(col("o_custkey"))
+      .agg(min(week).as("cohort_week"))
+    orders.select(col("o_custkey"), week.as("__week"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("__cents"))
+      .join(firsts, "o_custkey")
+      .groupBy(col("cohort_week"),
+        (col("__week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("__cents")).as("revenue_cents"))
+  }
+
   /** Punch-card activity grid — events by (weekday, hour-of-day), the
     * classic traffic-shape dashboard. Both axes are pure integer
     * epoch arithmetic — `weekday = (epoch_day + 3) mod 7` (epoch day

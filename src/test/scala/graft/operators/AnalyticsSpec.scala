@@ -203,6 +203,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("rfm: quintile scores over total orders, composed segment code") {
+    // customer i places i orders of $i on day i → every dimension
+    // ranks customers 1..5 identically, so segment = i·111
+    val day = 86400L
+    val orders = (1L to 5L).flatMap(i => (1L to i).map(_ =>
+      (i, i.toDouble, ts(i * day))))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val out = Analytics.rfm(orders)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    out.zipWithIndex.foreach { case (r, idx) =>
+      val i = idx + 1L
+      assert(r == ((i, 5L - i, i, i * i * 100L, i, i, i, i * 111L)), s"cust $i: $r")
+    }
+  }
+
+  test("cohortRevenue: cents per (cohort week, offset) cell") {
+    val wk = 7L * 86400L
+    val orders = Seq(
+      (1L, 1.00, ts(0L)), (1L, 2.00, ts(wk)),   // c1 cohort week 0
+      (2L, 3.00, ts(wk)))                        // c2 cohort week 1
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val out = Analytics.cohortRevenue(orders)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((0L, 0L, 1L, 1L, 100L), (0L, 1L, 1L, 1L, 200L),
+      (1L, 0L, 1L, 1L, 300L)), s"got $out")
+  }
+
   test("punchcard: epoch-arithmetic weekday/hour cells") {
     // epoch 0 is Thursday 00:00 → (0+3)%7 = 3; four days later is
     // Monday → 0; 90000s = 1d + 1h → hour 1.
