@@ -215,8 +215,24 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       evo.renames)
   }
 
+  /** Crash recovery for the DML publish swap: the copy-on-write
+    * rewrite moves `t.parquet` → `t.parquet.__old`, then the staged
+    * `t.parquet.__rewrite` → `t.parquet`. A crash INSIDE that window
+    * leaves the live directory absent with `.__old` (and possibly the
+    * staged dir) present; restoring `.__old` is the correct heal —
+    * the rewrite never committed (its publish did not complete), so
+    * the pre-rewrite table IS the table. A stale `.__old` NEXT TO a
+    * live directory (crash after the second move, before cleanup)
+    * needs nothing: the committed rewrite is live and the next
+    * rewrite clears the leftover. */
+  private def healInterruptedSwap(p: Path): Unit = {
+    val old = p.resolveSibling(p.getFileName.toString + ".__old")
+    if (!Files.exists(p) && Files.exists(old)) { Files.move(old, p); () }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
+    healInterruptedSwap(p)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
     val evo = readEvolution(p)
     val schema = declaredSchema(p)

@@ -561,6 +561,37 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("interrupted publish swap heals on load: .__old restores, stale leftover ignored") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-heal")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lakeh", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakeh.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lakeh.m.t (k BIGINT)")
+      Seq(1L, 2L, 3L).toDF("k").write.mode("append").insertInto("lakeh.m.t")
+      val live = lake.resolve("m/t.parquet")
+      val old = lake.resolve("m/t.parquet.__old")
+      // simulate a crash INSIDE the swap window: live dir moved away,
+      // staged rewrite never published
+      java.nio.file.Files.move(live, old)
+      assert(spark.table("lakeh.m.t").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L), "load restores the pre-rewrite table")
+      assert(java.nio.file.Files.isDirectory(live) &&
+        !java.nio.file.Files.exists(old))
+      // a stale .__old NEXT TO a live table (crash after publish,
+      // before cleanup) is ignored: the committed rewrite wins
+      Files.createDirectories(old)
+      spark.sql("DELETE FROM lakeh.m.t WHERE k = 1")
+      assert(spark.table("lakeh.m.t").as[Long].collect().sorted.toSeq ==
+        Seq(2L, 3L))
+      assert(!java.nio.file.Files.exists(old), "rewrite clears the leftover")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakeh")
+      spark.conf.unset("spark.sql.catalog.lakeh.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {
