@@ -34,6 +34,35 @@ object Catalog {
   def use(spark: SparkSession, db: String): Unit =
     spark.sql(s"USE `$db`")
 
+  /** Streaming read of a lake-catalog table — the "tiered table as a
+    * stream" surface (a downstream job tails the lake tier the
+    * reference's tiering service fills, `deploy:318-358`). Spark's V2
+    * file tables do not implement micro-batch scans, so the
+    * Spark-first path is the FILE STREAMING source over the table's
+    * resolved location with its declared schema: new part files from
+    * later `INSERT INTO`/CTAS appends arrive as new micro-batches,
+    * with the file source's exactly-once tracking and
+    * `maxFilesPerTrigger` pacing intact.
+    *
+    * `ref` is `cat.db.table` for a `GraftLakeCatalog` name registered
+    * in this session. Versioned tables are rejected: their commits
+    * land in NEW `v=<n>` directories, which a single-directory file
+    * stream cannot see — tail those with
+    * [[graft.streaming.ChangeFeed]] between snapshots instead. */
+  def readStreamTable(spark: SparkSession, ref: String): org.apache.spark.sql.DataFrame = {
+    val parts = ref.split('.')
+    require(parts.length == 3, s"expected cat.db.table, got '$ref'")
+    val root = Option(spark.conf.get(s"spark.sql.catalog.${parts(0)}.path", null))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '${parts(0)}' is not configured in this session"))
+    val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
+    require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
+    require(DeletableTable.versionsOf(dir).isEmpty,
+      s"'$ref' is a versioned table — stream snapshot deltas via ChangeFeed")
+    val schema = spark.table(ref).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
   def drop(spark: SparkSession, db: String): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
 }

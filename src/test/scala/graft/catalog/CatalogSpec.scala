@@ -592,6 +592,41 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming read of a lake table: appended files arrive as micro-batches") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-str")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lakes", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakes.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lakes.m.t (k BIGINT)")
+      Seq(1L, 2L).toDF("k").write.mode("append").insertInto("lakes.m.t")
+      val q = Catalog.readStreamTable(spark, "lakes.m.t")
+        .writeStream.format("memory").queryName("lake_tail")
+        .option("checkpointLocation",
+          Files.createTempDirectory("lake-tail-ck").toString)
+        .start()
+      q.processAllAvailable()
+      assert(spark.table("lake_tail").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L), "snapshot phase")
+      Seq(3L).toDF("k").write.mode("append").insertInto("lakes.m.t")
+      q.processAllAvailable()
+      assert(spark.table("lake_tail").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L), "appended file arrives as a new batch")
+      q.stop()
+      // versioned tables are rejected with the ChangeFeed pointer
+      new graft.streaming.StateStore(
+        spark, lake.resolve("m/vt.parquet").toString)
+        .write(Seq(1L).toDF("k"), 0L)
+      val e = intercept[IllegalArgumentException](
+        Catalog.readStreamTable(spark, "lakes.m.vt"))
+      assert(e.getMessage.contains("ChangeFeed"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakes")
+      spark.conf.unset("spark.sql.catalog.lakes.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {
