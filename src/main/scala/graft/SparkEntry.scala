@@ -1021,6 +1021,10 @@ object SparkEntry {
     // a parallel max-prefix-sum — no global-window reducer.
     "q_concurrency" -> ((s, dir) =>
       graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // Market-basket pair affinity: co-occurrence support + Long-safe
+    // integer lift over order line items.
+    "q_basket_pairs" -> ((s, dir) =>
+      graft.operators.Analytics.basketPairs(t(s, dir, "lineitem"))),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -2926,6 +2930,24 @@ object SparkEntry {
         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
         |  CAST(min(CASE WHEN run = (SELECT max(run) FROM r) THEN t END) AS BIGINT) AS peak_at_us
         |FROM r""".stripMargin,
+
+    // The lift formula IS the two-step floor form, word-for-word on
+    // both engines — Long-safe at any corpus size.
+    "q_basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM i GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM i),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        CAST(count(*) AS BIGINT) AS pair_count
+        |      FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+        |                        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.part_a, p.part_b, p.pair_count,
+        |  ca.cnt AS count_a, cb.cnt AS count_b,
+        |  CAST((p.pair_count * 1000000 // ca.cnt) * n.n // cb.cnt AS BIGINT) AS lift_ppm
+        |FROM p JOIN c ca ON p.part_a = ca.l_partkey
+        |       JOIN c cb ON p.part_b = cb.l_partkey
+        |       CROSS JOIN n ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Three quintile windows over CUSTOMERS with total-order
     // tie-breaks; recency as an integer floor division of epoch µs.

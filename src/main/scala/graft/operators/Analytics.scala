@@ -324,6 +324,44 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Market-basket pair affinity — pairwise frequent itemsets with
+    * lift, the association-rule starter over order line items: parts
+    * co-occurring in the same order, kept above `minSupport`, scored
+    * by lift in integer parts-per-million. Lift is computed in the
+    * Long-safe two-step floor form
+    * `((pair·10⁶ div cnt_a) · n_orders) div cnt_b` — each step is an
+    * exact integer op bounded by 10⁶·n_orders, so the formula (which
+    * IS the definition here, both engines word-for-word) never
+    * overflows at any corpus size, unlike the naive
+    * `pair·n·10⁶/(cnt_a·cnt_b)`.
+    *
+    * Scale shape: baskets explode as an order-keyed self-join whose
+    * fan-out is bounded by ORDER SIZE (pairs per order ≤ C(size,2) —
+    * order size is bounded by the domain, never the corpus); item
+    * counts broadcast; one pair-keyed aggregate. The `a < b`
+    * canonical order halves the join and makes each pair unique. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val counts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val n = items.agg(countDistinct(col("l_orderkey")).as("__n"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSupport)
+    pairs
+      .join(broadcast(counts.select(col("l_partkey").as("part_a"),
+        col("cnt").as("__ca"))), "part_a")
+      .join(broadcast(counts.select(col("l_partkey").as("part_b"),
+        col("cnt").as("__cb"))), "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("pair_count"),
+        col("__ca").as("count_a"), col("__cb").as("count_b"),
+        expr("(pair_count * 1000000L div __ca) * __n div __cb").as("lift_ppm"))
+  }
+
   /** RFM segmentation — the classic customer scoring: Recency (days
     * since last order, vs the corpus' newest order), Frequency (order
     * count), Monetary (exact cents), each quintile-scored 1–5 with 5

@@ -203,6 +203,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("basketPairs: canonical pairs, support floor, hand-computed lift") {
+    // orders: {1,2} ×3, {1,3} ×1 — pair (1,2) has support 3,
+    // (1,3) falls under minSupport; duplicate line items collapse.
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketPairs(li, minSupport = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // lift = ((3·10⁶ div 4)·4) div 3 = 750000·4 div 3 = 1000000
+    assert(out == Seq((1L, 2L, 3L, 4L, 3L, 1000000L)), s"got $out")
+  }
+
   test("rfm: quintile scores over total orders, composed segment code") {
     // customer i places i orders of $i on day i → every dimension
     // ranks customers 1..5 identically, so segment = i·111
