@@ -1071,6 +1071,21 @@ object SparkEntry {
           .cast("double"))
     }),
 
+    // Unpivot (melt): the inverse reshaping API — q_pivot's wide
+    // per-status revenue columns back to (priority, status, revenue)
+    // long form via Dataset.unpivot; NULL cells (absent combinations)
+    // dropped explicitly on both engines.
+    "q_unpivot" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "revenue")
+        .filter(col("revenue").isNotNull)
+    }),
+
     // SQL entry point (reference EP1, sql-client.sh): the SAME SQL text
     // as the oracle, resolved through the session catalog's registered
     // tables — engine-portable ANSI subset by construction.
@@ -3200,6 +3215,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The pivot CTE melted back by a UNION ALL per value column —
+    // the portable spelling of UNPIVOT; absent cells filtered.
+    "q_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, revenue FROM (
+        |  SELECT o_orderpriority, 'F' AS status, F AS revenue FROM p
+        |  UNION ALL SELECT o_orderpriority, 'O', O FROM p
+        |  UNION ALL SELECT o_orderpriority, 'P', P FROM p)
+        |WHERE revenue IS NOT NULL ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_quantiles" ->
       """SELECT o_orderstatus,
