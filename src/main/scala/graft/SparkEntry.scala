@@ -1052,6 +1052,10 @@ object SparkEntry {
     // Type-token ratio: lexical-diversity quality signal, scan-speed.
     "q_ttr" -> ((s, dir) =>
       graft.operators.TextOps.typeTokenRatio(t(s, dir, "documents"))),
+    // SFT pair extraction: first-sentence prompt / rest completion,
+    // 1-based instr/substring semantics shared by both engines.
+    "q_sft_pairs" -> ((s, dir) =>
+      graft.operators.TextOps.promptCompletionPairs(t(s, dir, "documents"))),
     // Equi-WIDTH value histogram — integer floor-div bucket formula,
     // exact cents bounds per bucket.
     "q_histogram" -> ((s, dir) =>
@@ -3058,6 +3062,17 @@ object SparkEntry {
         |  quantile_cont(gap, 0.5) AS p50_gap_us
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Token-boundary split: list slices + single-space join, the same
+    // 1-based slice semantics on both engines.
+    "q_sft_pairs" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(t[1:8], ' ') AS prompt,
+        |  array_to_string(t[9:len(t)], ' ') AS completion,
+        |  CAST(8 AS BIGINT) AS prompt_tokens,
+        |  CAST(len(t) - 8 AS BIGINT) AS completion_tokens
+        |FROM s WHERE len(t) > 8 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Exact integer counts; one correctly-rounded division.
     "q_ttr" ->

@@ -195,6 +195,29 @@ object TextOps {
         col("e.term").as("term"), (-col("e.ns")).as("tfidf"))
   }
 
+  /** Prompt/completion pair extraction — the SFT / memorization-probe
+    * data shape: each document splits at a FIXED token boundary into
+    * a prompt (the first `promptTokens` tokens) and a completion (the
+    * rest), documents too short to yield a non-empty completion
+    * dropped. Token-boundary splitting (rather than a sentence
+    * heuristic) is the shape LM eval harnesses use for continuation
+    * probes, and it is exact on any tokenizable text. Reassembly via
+    * the same single-space joiner the tokenization splits on, so
+    * `prompt ⧺ ' ' ⧺ completion` round-trips the document.
+    *
+    * Scale shape: one narrow scan — slice + join per row, no
+    * shuffle. */
+  def promptCompletionPairs(docs: DataFrame, promptTokens: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) > promptTokens)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("__t"), 1, promptTokens)).as("prompt"),
+        concat_ws(" ", expr(s"slice(__t, ${promptTokens + 1}, size(__t) - $promptTokens)"))
+          .as("completion"),
+        lit(promptTokens.toLong).as("prompt_tokens"),
+        (size(col("__t")) - promptTokens).cast("bigint").as("completion_tokens"))
+
   /** Type-token ratio — the lexical-diversity quality signal (low TTR
     * flags template/boilerplate text the repetition fractions can
     * miss on long documents): distinct terms over total terms, both

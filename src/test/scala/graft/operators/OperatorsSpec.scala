@@ -344,6 +344,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2) == ((3L, 1L, 1L, 1.0)))
   }
 
+  test("promptCompletionPairs: token-boundary split, roundtrip, short-doc drop") {
+    val out = TextOps.promptCompletionPairs(docs(
+      1L -> "a b c d e", 2L -> "x y"), promptTokens = 3)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a b c", "d e", 3L, 2L)), s"got $out")
+    // prompt ⧺ ' ' ⧺ completion round-trips the document
+    assert(out.head._2 + " " + out.head._3 == "a b c d e")
+  }
+
   test("interArrival: per-user gap profile; single-event users absent") {
     val ts = (sec: Long) => new java.sql.Timestamp(sec * 1000L)
     // u1 gaps: 10s, 30s → min 10e6, max 30e6, median 20e6 (interpolated)
