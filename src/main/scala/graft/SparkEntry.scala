@@ -1021,6 +1021,18 @@ object SparkEntry {
     // a parallel max-prefix-sum — no global-window reducer.
     "q_concurrency" -> ((s, dir) =>
       graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // Audience-overlap matrix: Jaccard between event-type audiences
+    // in integer ppm, inclusion-exclusion union.
+    "q_audience_overlap" -> ((s, dir) =>
+      graft.operators.Analytics.audienceOverlap(t(s, dir, "events"))),
+    // First/last-touch attribution crosstab over the (µs, event_id)
+    // total order.
+    "q_touch_attribution" -> ((s, dir) =>
+      graft.operators.Analytics.touchAttribution(t(s, dir, "events"))),
+    // Top weekly movers: largest |WoW delta| per week, argmax via
+    // min_by over (−|Δ|, type).
+    "q_top_movers" -> ((s, dir) =>
+      graft.operators.Analytics.topMovers(t(s, dir, "events"))),
     // Market-basket pair affinity: co-occurrence support + Long-safe
     // integer lift over order line items.
     "q_basket_pairs" -> ((s, dir) =>
@@ -2949,6 +2961,49 @@ object SparkEntry {
         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
         |  CAST(min(CASE WHEN run = (SELECT max(run) FROM r) THEN t END) AS BIGINT) AS peak_at_us
         |FROM r""".stripMargin,
+
+    // Inclusion-exclusion union, one integer floor division to ppm.
+    "q_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM m a JOIN m b ON a.user_id = b.user_id
+        |                        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, i.n_shared, ca.cnt AS n_a, cb.cnt AS n_b,
+        |  CAST(i.n_shared * 1000000 // (ca.cnt + cb.cnt - i.n_shared) AS BIGINT) AS jaccard_ppm
+        |FROM i JOIN c ca ON i.type_a = ca.event_type
+        |       JOIN c cb ON i.type_b = cb.event_type
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // First/last rows per user over the exact (µs, event_id) total
+    // order — row_number windows, the q_resample pattern.
+    "q_touch_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_type AS first_touch FROM e
+        |      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) = 1),
+        |l AS (SELECT user_id, event_type AS last_touch FROM e
+        |      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) = 1)
+        |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_users
+        |FROM f JOIN l USING (user_id)
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The WoW CTE with an (|delta| desc, type asc) rank-1 tail.
+    "q_top_movers" ->
+      """WITH w AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week,
+        |    CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, week,
+        |    CAST(cents - lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT) AS delta_cents
+        |  FROM w)
+        |SELECT CAST(week AS BIGINT) AS week, event_type, delta_cents
+        |FROM d WHERE delta_cents IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY week
+        |  ORDER BY abs(delta_cents) DESC, event_type) = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // The lift formula IS the two-step floor form, word-for-word on
     // both engines — Long-safe at any corpus size.

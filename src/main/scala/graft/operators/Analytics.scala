@@ -324,6 +324,71 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Audience-overlap matrix — Jaccard overlap between event-type
+    * audiences (which segments share users), in integer parts-per-
+    * million: `|A∩B|·10⁶ div |A∪B|` with the union by
+    * inclusion–exclusion, so only exact integer set sizes ever meet
+    * the division. Pairs canonicalize as `type_a < type_b`.
+    *
+    * Scale shape: distinct (type, user) once; the pair join fans out
+    * per USER by their distinct type count (bounded by the type
+    * domain, never the corpus); type audience sizes broadcast. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val membership = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = membership.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val inter = membership.as("a")
+      .join(membership.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("cnt").as("__ca"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("cnt").as("__cb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_shared"),
+        col("__ca").as("n_a"), col("__cb").as("n_b"),
+        expr("n_shared * 1000000L div (__ca + __cb - n_shared)")
+          .as("jaccard_ppm"))
+  }
+
+  /** First/last-touch attribution matrix — per user, the FIRST event
+    * type ever seen (the acquisition channel) against the LAST (the
+    * converting touch), counted over users: the marketing-attribution
+    * crosstab. Both endpoints are min_by/max_by over the exact
+    * (µs, event_id) total order — ties cannot flip them.
+    *
+    * Scale shape: one user-keyed aggregate (map-side combining
+    * min_by/max_by — no window, no per-user sort), then a ≤|types|²
+    * row aggregate. */
+  def touchAttribution(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("__us"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("min_by(event_type, struct(__us, event_id))").as("first_touch"),
+        expr("max_by(event_type, struct(__us, event_id))").as("last_touch"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Top weekly movers — [[periodOverPeriod]]'s dashboard tail: for
+    * each week, the event type with the LARGEST absolute week-over-
+    * week cents delta (ties to the smaller type string) — the "what
+    * changed most" lead. Argmax as one max_by over the WoW rows, no
+    * extra window. */
+  def topMovers(events: DataFrame): DataFrame =
+    periodOverPeriod(events)
+      .filter(col("delta_cents").isNotNull)
+      .groupBy(col("week"))
+      // (|Δ| desc, type asc) argmax as a min_by over (−|Δ|, type)
+      .agg(expr("min_by(struct(event_type, delta_cents), " +
+        "struct(-abs(delta_cents), event_type))").as("x"))
+      .select(col("week"), col("x.event_type").as("event_type"),
+        col("x.delta_cents").as("delta_cents"))
+
   /** Market-basket pair affinity — pairwise frequent itemsets with
     * lift, the association-rule starter over order line items: parts
     * co-occurring in the same order, kept above `minSupport`, scored

@@ -203,6 +203,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("audienceOverlap: jaccard ppm, zero-overlap pairs absent, duplicates collapse") {
+    val ev = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (3L, "a"), // dup membership collapses
+      (2L, "b"), (3L, "b"),
+      (4L, "c"))
+      .map { case (u, t) => (u, 1L, ts(0L), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.audienceOverlap(ev)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // (a,b): shared {2,3}=2, union 3 → 666666 ppm; (a,c)/(b,c) share none
+    assert(out == Seq(("a", "b", 2L, 3L, 2L, 666666L)), s"got $out")
+  }
+
+  test("touchAttribution: first/last endpoints over the total order") {
+    val ev = Seq(
+      (1L, 1L, ts(0L), "ad"), (1L, 2L, ts(50L), "view"), (1L, 3L, ts(90L), "buy"),
+      (2L, 4L, ts(10L), "organic"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.touchAttribution(ev)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(("ad", "buy", 1L), ("organic", "organic", 1L)), s"got $out")
+  }
+
+  test("topMovers: largest |WoW delta| wins, ties to the smaller type") {
+    val wk = 7L * 86400L
+    val ev = Seq(
+      // x: 1.00 → 6.00 (Δ +500); y: 9.00 → 1.00 (Δ −800) → y wins week 1
+      (1L, 1L, ts(0L), "x", 1.00), (1L, 2L, ts(wk), "x", 6.00),
+      (2L, 3L, ts(0L), "y", 9.00), (2L, 4L, ts(wk), "y", 1.00),
+      // z ties x's |Δ| exactly (+500): still y's week; in week 2 only
+      // w and z move, same |Δ| → lexicographically smaller 'w' wins
+      (3L, 5L, ts(wk), "z", 1.00), (3L, 6L, ts(2L * wk), "z", 6.00),
+      (4L, 7L, ts(wk), "w", 6.00), (4L, 8L, ts(2L * wk), "w", 1.00))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Analytics.topMovers(ev)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "y", -800L), (2L, "w", -500L)), s"got $out")
+  }
+
   test("basketPairs: canonical pairs, support floor, hand-computed lift") {
     // orders: {1,2} ×3, {1,3} ×1 — pair (1,2) has support 3,
     // (1,3) falls under minSupport; duplicate line items collapse.
