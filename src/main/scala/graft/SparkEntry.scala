@@ -1021,6 +1021,12 @@ object SparkEntry {
     // a parallel max-prefix-sum — no global-window reducer.
     "q_concurrency" -> ((s, dir) =>
       graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // Cumulative reach curve: weekly new users + running total.
+    "q_reach_curve" -> ((s, dir) =>
+      graft.operators.Analytics.reachCurve(t(s, dir, "events"))),
+    // Benford first-digit audit: observed vs expected ppm shares.
+    "q_benford" -> ((s, dir) =>
+      graft.operators.Analytics.benford(t(s, dir, "orders"))),
     // Audience-overlap matrix: Jaccard between event-type audiences
     // in integer ppm, inclusion-exclusion union.
     "q_audience_overlap" -> ((s, dir) =>
@@ -2961,6 +2967,34 @@ object SparkEntry {
         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
         |  CAST(min(CASE WHEN run = (SELECT max(run) FROM r) THEN t END) AS BIGINT) AS peak_at_us
         |FROM r""".stripMargin,
+
+    // First-seen week per user, then a weeks-only cumulative window.
+    "q_reach_curve" ->
+      """WITH f AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7) AS week
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT CAST(week AS BIGINT) AS week,
+        |    CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+        |SELECT week, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY week
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_reach
+        |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // First significant digit of exact cents; Benford constants are
+    // fixed ppm literals on both sides.
+    "q_benford" ->
+      """WITH d AS (SELECT substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM d WHERE digit <> '0' GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM g)
+        |SELECT digit, n_orders,
+        |  CAST(n_orders * 1000000 // total AS BIGINT) AS observed_ppm,
+        |  CAST(CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |    WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+        |    WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |    WHEN '9' THEN 45757 END AS BIGINT) AS benford_ppm
+        |FROM g CROSS JOIN t ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Inclusion-exclusion union, one integer floor division to ppm.
     "q_audience_overlap" ->

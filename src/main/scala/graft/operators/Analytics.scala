@@ -324,6 +324,51 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Cumulative reach curve — the growth dashboard: per epoch-week,
+    * how many users were seen for the FIRST time, and the running
+    * total reach. First-seen week is one user-keyed min; the cumsum
+    * window runs over WEEKS (a handful of rows), never users.
+    *
+    * Scale shape: one aggregate to users rows, one ≤weeks-row
+    * aggregate, one tiny window. */
+  def reachCurve(events: DataFrame): DataFrame = {
+    val week = expr("unix_micros(ts) div 86400000000L div 7")
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(week).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("new_users"))
+    firstSeen.withColumn("total_reach",
+      sum(col("new_users")).over(
+        Window.orderBy(col("week"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Benford first-digit audit — the classic fabricated-numbers
+    * screen: the distribution of leading significant digits of order
+    * values (in cents, so the digit is exact), with observed share in
+    * integer parts-per-million next to Benford's expected share
+    * (log₁₀(1+1/d), pre-computed ppm constants — no runtime
+    * transcendentals). Heavy deviation flags synthetic or constrained
+    * data; a 9-row result from one scan. */
+  def benford(orders: DataFrame): DataFrame = {
+    // ⌊10⁶·log10(1+1/d)⌋ for d = 1..9 — fixed constants of the law
+    val expected = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val expectedCol = expected.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, ppm)) => when(col("digit") === d.toString, ppm).otherwise(acc)
+    }
+    val digits = orders
+      .select(expr("substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1)")
+        .as("digit"))
+      .filter(col("digit") =!= "0")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val total = digits.agg(sum(col("n_orders")).as("__total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_orders"),
+        expr("n_orders * 1000000L div __total").as("observed_ppm"),
+        expectedCol.as("benford_ppm"))
+  }
+
   /** Audience-overlap matrix — Jaccard overlap between event-type
     * audiences (which segments share users), in integer parts-per-
     * million: `|A∩B|·10⁶ div |A∪B|` with the union by

@@ -203,6 +203,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("reachCurve: first-seen weeks, cumulative total") {
+    val wk = 7L * 86400L
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (1L, 2L, ts(2L * wk)),  // u1 first in week 0
+      (2L, 3L, ts(wk)), (3L, 4L, ts(wk)),        // u2,u3 first in week 1
+      (4L, 5L, ts(2L * wk)))                     // u4 first in week 2
+      .toDF("user_id", "event_id", "ts")
+    val out = Analytics.reachCurve(ev)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 1L, 1L), (1L, 2L, 3L), (2L, 1L, 4L)), s"got $out")
+  }
+
+  test("benford: first significant digit of exact cents, ppm shares") {
+    val orders = Seq(1.00, 19.99, 2.50, 0.95).toDF("o_totalprice")
+    // cents: 100, 1999, 250, 95 → digits 1, 1, 2, 9
+    val out = Analytics.benford(orders)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("1", 2L, 500000L, 301030L),
+      ("2", 1L, 250000L, 176091L), ("9", 1L, 250000L, 45757L)), s"got $out")
+  }
+
   test("audienceOverlap: jaccard ppm, zero-overlap pairs absent, duplicates collapse") {
     val ev = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (3L, "a"), // dup membership collapses
