@@ -500,6 +500,13 @@ class CatalogSpec extends SparkSpec {
       assert(removed == 2L, s"one row per retained snapshot, got $removed")
       assert(spark.sql("SELECT id FROM lakep.state.accts VERSION AS OF 1")
         .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      // discovery surface: SHOW PROCEDURES lists the registry,
+      // DESCRIBE PROCEDURE resolves one
+      val listed = spark.sql("SHOW PROCEDURES IN lakep.system")
+        .collect().map(_.getString(3)).toSet
+      assert(LakeProcedures.list().toSet.subsetOf(listed), listed.toString)
+      assert(spark.sql("DESCRIBE PROCEDURE lakep.system.compact")
+        .collect().mkString.contains("compact"))
       // unknown procedure and non-versioned table fail loudly
       intercept[Exception](spark.sql("CALL lakep.system.nope('state.accts')"))
       Seq((1L, "x")).toDF("k", "v").write
