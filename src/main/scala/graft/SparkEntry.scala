@@ -1021,6 +1021,13 @@ object SparkEntry {
     // a parallel max-prefix-sum — no global-window reducer.
     "q_concurrency" -> ((s, dir) =>
       graft.operators.Analytics.peakConcurrency(t(s, dir, "events"))),
+    // Funnel conversion report: users per stage + step conversion ppm.
+    "q_funnel_report" -> ((s, dir) =>
+      graft.operators.Analytics.funnelReport(t(s, dir, "events"))),
+    // Corpus composition card: per-(lang, source) counts, chars,
+    // tokens, ppm shares.
+    "q_corpus_stats" -> ((s, dir) =>
+      graft.operators.TextOps.corpusStats(t(s, dir, "documents"))),
     // Cumulative reach curve: weekly new users + running total.
     "q_reach_curve" -> ((s, dir) =>
       graft.operators.Analytics.reachCurve(t(s, dir, "events"))),
@@ -2889,6 +2896,43 @@ object SparkEntry {
 
     // Shared text + deterministic tail sort.
     "q_sql_funnel" -> (FunnelSql + "\nORDER BY ALL NULLS FIRST"),
+
+    // The q_funnel CTE with a stage-count + step-conversion tail.
+    "q_funnel_report" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS stage1_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS stage2_ts FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.stage1_ts
+        |    AND e.ts <= s1.stage1_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS stage3_ts FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.stage2_ts
+        |    AND e.ts <= s1.stage1_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |c AS (SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS c1,
+        |             CAST((SELECT count(*) FROM s2) AS BIGINT) AS c2,
+        |             CAST((SELECT count(*) FROM s3) AS BIGINT) AS c3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |    c1 AS n_users, CAST(1000000 AS BIGINT) AS conversion_ppm FROM c
+        |  UNION ALL SELECT 2, 'click', c2,
+        |    CASE WHEN c1 > 0 THEN CAST(c2 * 1000000 // c1 AS BIGINT) END FROM c
+        |  UNION ALL SELECT 3, 'purchase', c3,
+        |    CASE WHEN c2 > 0 THEN CAST(c3 * 1000000 // c2 AS BIGINT) END FROM c)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // One small aggregate + a 1-row total share.
+    "q_corpus_stats" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+        |SELECT lang, source, n_docs, n_chars, n_tokens,
+        |  CAST(n_docs * 1000000 // total AS BIGINT) AS doc_share_ppm
+        |FROM c CROSS JOIN t ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Integer epoch-week indexes: epoch_us // 86400000000 // 7 — all
     // operands non-negative, so // and div agree.

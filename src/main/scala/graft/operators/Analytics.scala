@@ -324,6 +324,35 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Funnel conversion report — the stage-level summary over
+    * [[funnel]]'s per-user rows: users reaching each stage, and the
+    * step conversion from the previous stage in integer parts-per-
+    * million. The report every funnel dashboard leads with; ≤stages
+    * rows out of one aggregate over the funnel frontier.
+    *
+    * Scale shape: funnel's chained aggregates (users rows), one
+    * conditional-count aggregate, a ≤stages-row explode. */
+  def funnelReport(events: DataFrame,
+                   stages: Seq[String] = Seq("view", "click", "purchase"),
+                   windowHours: Int = 24): DataFrame = {
+    val f = funnel(events, stages, windowHours)
+    val counts = f.agg(
+      stages.indices.map(i =>
+        sum(when(col("depth") >= i + 1, 1L).otherwise(0L))
+          .as(s"__c${i + 1}")).head,
+      stages.indices.map(i =>
+        sum(when(col("depth") >= i + 1, 1L).otherwise(0L))
+          .as(s"__c${i + 1}")).tail: _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1L).as("stage"), lit(s).as("event_type"),
+        col(s"__c${i + 1}").as("n_users"),
+        (if (i == 0) lit(1000000L)
+         else expr(s"CASE WHEN __c$i > 0 THEN __c${i + 1} * 1000000L div __c$i END"))
+          .as("conversion_ppm"))
+    }
+    counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Cumulative reach curve — the growth dashboard: per epoch-week,
     * how many users were seen for the FIRST time, and the running
     * total reach. First-seen week is one user-keyed min; the cumsum

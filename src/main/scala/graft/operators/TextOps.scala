@@ -218,6 +218,25 @@ object TextOps {
         lit(promptTokens.toLong).as("prompt_tokens"),
         (size(col("__t")) - promptTokens).cast("bigint").as("completion_tokens"))
 
+  /** Corpus composition card — the per-(language, source) inventory a
+    * dataset card leads with: document count, exact char and
+    * whitespace-token totals, and each cell's share of the corpus in
+    * integer parts-per-million. One narrow scan + one small aggregate
+    * + a broadcast 1-row total. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(size(toks)).as("n_tokens"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_chars").cast("bigint").as("n_chars"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        expr("n_docs * 1000000L div __total").as("doc_share_ppm"))
+  }
+
   /** Type-token ratio — the lexical-diversity quality signal (low TTR
     * flags template/boilerplate text the repetition fractions can
     * miss on long documents): distinct terms over total terms, both

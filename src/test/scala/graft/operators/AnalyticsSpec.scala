@@ -203,6 +203,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("funnelReport: stage counts and step conversion ppm") {
+    // 4 viewers, 2 click within the window, 1 purchases
+    val ev = Seq(
+      (1L, 1L, ts(0L), "view"), (1L, 2L, ts(10L), "click"), (1L, 3L, ts(20L), "purchase"),
+      (2L, 4L, ts(0L), "view"), (2L, 5L, ts(10L), "click"),
+      (3L, 6L, ts(0L), "view"),
+      (4L, 7L, ts(0L), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.funnelReport(ev)
+      .as[(Long, String, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "view", 4L, Some(1000000L)),
+      (2L, "click", 2L, Some(500000L)),
+      (3L, "purchase", 1L, Some(500000L))), s"got $out")
+  }
+
   test("reachCurve: first-seen weeks, cumulative total") {
     val wk = 7L * 86400L
     val ev = Seq(
