@@ -70,7 +70,11 @@ object SqlMergeSink {
             struct(col("ts_ms"), col("__seq"))).as("x"))
           .select(keys.map(col) ++ Seq(col("x.op").as("__op")) ++
             dataCols.map(c => col(s"x.$c").as(c)): _*)
-        val view = s"__merge_src_${System.identityHashCode(this).toHexString}"
+        // one view name per STREAM (checkpoint lineage), not per JVM —
+        // concurrent merge sinks must not clobber each other's batch
+        val view = "__merge_src_" + java.security.MessageDigest
+          .getInstance("MD5").digest(checkpointDir.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
         latest.createOrReplaceTempView(view)
         val onClause = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
         val setClause = (dataCols.map(c => s"$c = s.$c") ++
