@@ -511,7 +511,13 @@ object Analytics {
     *
     * Scale shape: one customer-keyed aggregate (customers rows), the
     * reference instant as a broadcast 1-row cross join, three windows
-    * over CUSTOMERS (never orders), 1 row per customer out. */
+    * over CUSTOMERS (never orders), 1 row per customer out. The
+    * global NTILE windows sort users on one reducer — exact equal
+    * depths, the right default up to ~10⁸ customers; past that the
+    * scale path is [[graft.operators.TextOps.curriculumDeciles]]'
+    * shape: percentile THRESHOLDS broadcast back as a value
+    * comparison (ties then share buckets instead of splitting —
+    * document the semantic change when switching). */
   def rfm(orders: DataFrame): DataFrame = {
     val perUser = orders.groupBy(col("o_custkey"))
       .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("__last_us"),
@@ -586,7 +592,9 @@ object Analytics {
     *
     * Scale shape: one user-keyed aggregate (users rows), one
     * window over users (not events), a 10-row result; the 1-row total
-    * attaches by broadcast cross join. */
+    * attaches by broadcast cross join. Same single-reducer NTILE
+    * trade as [[rfm]] — exact equal depths now, threshold-bucketing
+    * scale path past ~10⁸ customers. */
   def revenueConcentration(orders: DataFrame): DataFrame = {
     val perUser = orders.groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("__cents"))
