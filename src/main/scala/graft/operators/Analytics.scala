@@ -510,29 +510,28 @@ object Analytics {
     * of epoch micros — deterministic on any engine.
     *
     * Scale shape: one customer-keyed aggregate (customers rows), the
-    * reference instant as a broadcast 1-row cross join, three windows
-    * over CUSTOMERS (never orders), 1 row per customer out. The
-    * global NTILE windows sort users on one reducer — exact equal
-    * depths, the right default up to ~10⁸ customers; past that the
-    * scale path is [[graft.operators.TextOps.curriculumDeciles]]'
-    * shape: percentile THRESHOLDS broadcast back as a value
-    * comparison (ties then share buckets instead of splitting —
-    * document the semantic change when switching). */
+    * reference instant as a broadcast 1-row cross join, then three
+    * quintile passes over CUSTOMERS through [[Ids.ntileRank]] — the
+    * two-phase rank + bucket formula that reproduces `NTILE` exactly
+    * with a range exchange as its only movement, so no stage ever
+    * sorts the customer population on one task (the window form
+    * would; `ntileRank`'s equality with it is spec-pinned). */
   def rfm(orders: DataFrame): DataFrame = {
     val perUser = orders.groupBy(col("o_custkey"))
       .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("__last_us"),
         count(lit(1)).as("frequency"),
         sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("monetary_cents"))
     val ref = orders.agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("__ref_us"))
-    val scored = perUser.crossJoin(broadcast(ref))
+    val base = perUser.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         expr("(__ref_us - __last_us) div 86400000000L"))
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency"), col("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary_cents"), col("o_custkey"))))
+    val scored = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      "r_score" -> Seq(col("recency_days").desc, col("o_custkey")),
+      "f_score" -> Seq(col("frequency"), col("o_custkey")),
+      "m_score" -> Seq(col("monetary_cents"), col("o_custkey")))
+      .foldLeft(base) { case (df, (score, keys)) =>
+        Ids.ntileRank(df, keys, 5, score)
+      }
     scored.select(col("o_custkey"), col("recency_days"),
       col("frequency"), col("monetary_cents"),
       col("r_score").cast("bigint").as("r_score"),
@@ -590,16 +589,15 @@ object Analytics {
     * share in integer parts-per-million (`cents·10⁶ div total`) — no
     * IEEE division until nothing depends on it.
     *
-    * Scale shape: one user-keyed aggregate (users rows), one
-    * window over users (not events), a 10-row result; the 1-row total
-    * attaches by broadcast cross join. Same single-reducer NTILE
-    * trade as [[rfm]] — exact equal depths now, threshold-bucketing
-    * scale path past ~10⁸ customers. */
+    * Scale shape: one user-keyed aggregate (users rows), the decile
+    * via [[Ids.ntileRank]] (two-phase rank — no single-task sort of
+    * the customer population; NTILE-exact by spec), a 10-row result;
+    * the 1-row total attaches by broadcast cross join. */
   def revenueConcentration(orders: DataFrame): DataFrame = {
     val perUser = orders.groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("__cents"))
-    val ranked = perUser.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("__cents"), col("o_custkey"))))
+    val ranked = Ids.ntileRank(perUser,
+      Seq(col("__cents"), col("o_custkey")), 10, "decile")
     val total = perUser.agg(sum(col("__cents")).as("__total"))
     ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),

@@ -79,6 +79,32 @@ object Ids {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"))
   }
 
+  /** Exact NTILE without the single-reducer sort: SQL `NTILE(k)` is a
+    * pure function of the global rank — the first `N mod k` buckets
+    * take `⌈N/k⌉` rows, the rest `⌊N/k⌋` — so the two-phase
+    * [[assignIds]] rank plus one integer-arithmetic bucket formula
+    * reproduces the window function's output EXACTLY (equality
+    * spec-pinned against the window form), with the range exchange as
+    * the only data movement. This is the scale path for the
+    * equal-depth scoring family (RFM, concentration deciles): at 10⁹
+    * customers the window form sorts them on one task, this form
+    * never does.
+    *
+    * `keys` must be a total order (include a unique tie-break). */
+  def ntileRank(df: DataFrame, keys: Seq[Column], k: Int,
+                outCol: String): DataFrame = {
+    require(k > 0, "ntile needs at least one bucket")
+    val ranked = assignIds(df, keys, "__rank")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN __rank < (__n % $k) * (__n div $k + 1)
+           |THEN __rank div (__n div $k + 1) + 1
+           |ELSE (__n % $k) + (__rank - (__n % $k) * (__n div $k + 1))
+           |     div (__n div $k) + 1 END""".stripMargin).cast("int"))
+      .drop("__rank", "__n")
+  }
+
   /** Driver query: stable corpus ids for `documents`, ordered by the
     * engine's standard deterministic pseudo-random key md5(doc_id)
     * with doc_id as unique tie-break — i.e. a reshuffle-proof random

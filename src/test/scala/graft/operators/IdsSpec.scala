@@ -71,4 +71,26 @@ class IdsSpec extends SparkSpec {
       .zipWithIndex.map { case (d, r) => d -> r.toLong }.toMap
     assert(got == expect)
   }
+
+  test("ntileRank == NTILE window for every k, with ties and remainders") {
+    import org.apache.spark.sql.expressions.Window
+    // 97 rows (not divisible by most k), heavy value ties so the
+    // tie-break column decides — equality must hold row-for-row
+    val df = (1L to 97L).map(i => (i, i % 7)).toDF("id", "v")
+    for (k <- Seq(1, 2, 5, 10, 13, 97, 200)) {
+      val fast = Ids.ntileRank(df, Seq(col("v"), col("id")), k, "b")
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      val ref = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      assert(fast == ref, s"k=$k")
+    }
+    // descending keys agree too
+    val fd = Ids.ntileRank(df, Seq(col("v").desc, col("id")), 5, "b")
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    val rd = df.withColumn("b",
+        ntile(5).over(Window.orderBy(col("v").desc, col("id"))))
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    assert(fd == rd)
+  }
 }
