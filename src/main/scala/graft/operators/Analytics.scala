@@ -154,17 +154,21 @@ object Analytics {
     * total (cents, order key) order — deterministic under ties — and
     * the bounds are min/max comparisons of exact integers.
     *
-    * Scale shape: one exchange + per-partition sort for the window,
-    * then a hash aggregate to groups×n rows. (NTILE needs the global
-    * per-group order — the same cost any exact quantile pays; the
-    * mergeable-sketch family covers the approximate path.) */
+    * Scale shape: the per-group rank runs through
+    * [[Ids.ntileRankGrouped]] — range exchange + per-slice
+    * row_number + O(groups·partitions) driver offsets — so even a
+    * group holding most of the corpus never sorts on one task (the
+    * partitioned-window form would; equality is spec-pinned). Then a
+    * hash aggregate to groups×n rows. The mergeable-sketch family
+    * covers the approximate path. */
   def ntileBuckets(orders: DataFrame, n: Int = 10): DataFrame = {
     val cents = expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("__cents"), col("o_orderkey"))
-    orders
-      .select(col("o_orderstatus"), col("o_orderkey"), cents.as("__cents"))
-      .withColumn("bucket", ntile(n).over(w).cast("bigint"))
+    Ids.ntileRankGrouped(
+        orders.select(col("o_orderstatus"), col("o_orderkey"),
+          cents.as("__cents")),
+        Seq("o_orderstatus"), Seq(col("__cents"), col("o_orderkey")),
+        n, "__b")
+      .withColumn("bucket", col("__b").cast("bigint"))
       .groupBy("o_orderstatus", "bucket")
       .agg(count(lit(1)).as("n_orders"),
         min(col("__cents")).as("lo_cents"),

@@ -37,7 +37,13 @@ object Ids {
     // ~N/parts rows each — bounded per-reducer state, unlike the
     // empty-partition global window.
     val w = Window.partitionBy(col("_pid")).orderBy(keys: _*)
+    // materialize ONCE before the offsets collect: re-executing the
+    // lineage RESAMPLES the range boundaries (seeds derive from fresh
+    // RDD ids per job), and offsets from one sampling joined to ranks
+    // from another mis-rank or drop rows — observed on the grouped
+    // variant at 15k rows before this checkpoint
     val local = ranged.withColumn("_local", row_number().over(w) - lit(1))
+      .localCheckpoint()
     // Prefix offsets: `parts` rows through the driver — O(parts),
     // corpus-size-independent.
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
@@ -103,6 +109,63 @@ object Ids {
            |ELSE (__n % $k) + (__rank - (__n % $k) * (__n div $k + 1))
            |     div (__n div $k) + 1 END""".stripMargin).cast("int"))
       .drop("__rank", "__n")
+  }
+
+  /** Per-GROUP exact NTILE without a per-group single-task sort — the
+    * grouped twin of [[ntileRank]]: range-exchange on
+    * (group ++ keys) keeps each group's rows in range order across
+    * partitions, per-partition `row_number` runs within
+    * (group, partition) slices (bounded reducer state even for a
+    * group that spans many partitions — the partitioned-window form
+    * instead sorts EVERY row of a group on one task), and the
+    * per-(group, partition) prefix offsets plus per-group totals —
+    * O(groups·partitions) rows through the driver — feed the same
+    * integer NTILE formula. Window-form equality is spec-pinned. */
+  def ntileRankGrouped(df: DataFrame, groups: Seq[String],
+                       keys: Seq[Column], k: Int, outCol: String,
+                       parts: Int = 32): DataFrame = {
+    require(k > 0, "ntile needs at least one bucket")
+    val gcols = groups.map(col)
+    val ranged = df.repartitionByRange(parts, (gcols ++ keys): _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy((col("_pid") +: gcols): _*).orderBy(keys: _*)
+    // materialize ONCE: the offsets collect and the final join must
+    // see the SAME range boundaries — re-executing the lineage would
+    // resample them, and offsets from one sampling joined to ranks
+    // from another drop rows / skew buckets
+    val local = ranged.withColumn("_local", row_number().over(w) - lit(1))
+      .localCheckpoint()
+    // O(groups·parts) rows: per-slice counts → per-group running
+    // prefix offsets and totals, joined back via broadcast
+    val counts = local.groupBy((col("_pid") +: gcols): _*)
+      .agg(count(lit(1)).as("_n")).collect()
+    val byGroup = counts.groupBy(r => groups.map(r.getAs[Any]).toSeq)
+    val offsetRows = byGroup.toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("_pid"))
+      val total = sorted.map(_.getAs[Long]("_n")).sum
+      sorted.scanLeft(0L)(_ + _.getAs[Long]("_n")).zip(sorted).map {
+        case (off, r) => org.apache.spark.sql.Row.fromSeq(
+          (r.getAs[Int]("_pid") +: g) ++ Seq(off, total))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        groups.map(g => df.schema(g)) :+
+        org.apache.spark.sql.types.StructField("_offset",
+          org.apache.spark.sql.types.LongType) :+
+        org.apache.spark.sql.types.StructField("_gn",
+          org.apache.spark.sql.types.LongType))
+    val offsetDf = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava, schema)
+    local.join(broadcast(offsetDf), "_pid" +: groups)
+      .withColumn("__rank", col("_offset") + col("_local"))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN __rank < (_gn % $k) * (_gn div $k + 1)
+           |THEN __rank div (_gn div $k + 1) + 1
+           |ELSE (_gn % $k) + (__rank - (_gn % $k) * (_gn div $k + 1))
+           |     div (_gn div $k) + 1 END""".stripMargin).cast("int"))
+      .drop("_pid", "_local", "_offset", "_gn", "__rank")
   }
 
   /** Driver query: stable corpus ids for `documents`, ordered by the

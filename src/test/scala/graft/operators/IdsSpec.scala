@@ -93,4 +93,25 @@ class IdsSpec extends SparkSpec {
       .select("id", "b").as[(Long, Int)].collect().toMap
     assert(fd == rd)
   }
+
+  test("ntileRankGrouped == partitioned NTILE window, uneven groups") {
+    import org.apache.spark.sql.expressions.Window
+    // three groups of very different sizes (1, 30, 120 rows) with
+    // value ties; equality must hold per group, row-for-row
+    val df = ((1L to 120L).map(i => ("big", i, i % 5)) ++
+      (1L to 30L).map(i => ("mid", i, i % 3)) ++
+      Seq(("one", 1L, 0L)))
+      .toDF("g", "id", "v")
+    for (k <- Seq(1, 4, 10, 50)) {
+      val fast = Ids.ntileRankGrouped(df, Seq("g"),
+          Seq(col("v"), col("id")), k, "b", parts = 7)
+        .select("g", "id", "b").as[(String, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val ref = df.withColumn("b", ntile(k).over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+        .select("g", "id", "b").as[(String, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(fast == ref, s"k=$k")
+    }
+  }
 }
