@@ -1024,6 +1024,10 @@ object SparkEntry {
     // Funnel conversion report: users per stage + step conversion ppm.
     "q_funnel_report" -> ((s, dir) =>
       graft.operators.Analytics.funnelReport(t(s, dir, "events"))),
+    // Per-language doc-length deciles: equal-depth buckets via the
+    // grouped two-phase rank, exact char bounds.
+    "q_length_deciles" -> ((s, dir) =>
+      graft.operators.TextOps.lengthDeciles(t(s, dir, "documents"))),
     // Corpus composition card: per-(lang, source) counts, chars,
     // tokens, ppm shares.
     "q_corpus_stats" -> ((s, dir) =>
@@ -2922,6 +2926,17 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'purchase', c3,
         |    CASE WHEN c2 > 0 THEN CAST(c3 * 1000000 // c2 AS BIGINT) END FROM c)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Partitioned NTILE over the (n_chars, doc_id) total order.
+    "q_length_deciles" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS lo_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS hi_chars
+        |FROM b GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // One small aggregate + a 1-row total share.
     "q_corpus_stats" ->

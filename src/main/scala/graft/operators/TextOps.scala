@@ -218,6 +218,22 @@ object TextOps {
         lit(promptTokens.toLong).as("prompt_tokens"),
         (size(col("__t")) - promptTokens).cast("bigint").as("completion_tokens"))
 
+  /** Per-language document-length deciles — the corpus-shape report
+    * (truncation/chunking policies read off these bounds): equal-depth
+    * buckets of `n_chars` within each language, exact integer bounds
+    * per bucket. Rides [[graft.operators.Ids.ntileRankGrouped]], so a
+    * language holding most of the corpus never sorts on one task;
+    * NTILE-window equality is spec-pinned there. */
+  def lengthDeciles(docs: DataFrame, n: Int = 10): DataFrame =
+    graft.operators.Ids.ntileRankGrouped(
+        docs.select(col("lang"), col("doc_id"), col("n_chars")),
+        Seq("lang"), Seq(col("n_chars"), col("doc_id")), n, "__b")
+      .withColumn("bucket", col("__b").cast("bigint"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo_chars"),
+        max(col("n_chars")).as("hi_chars"))
+
   /** Corpus composition card — the per-(language, source) inventory a
     * dataset card leads with: document count, exact char and
     * whitespace-token totals, and each cell's share of the corpus in
