@@ -67,6 +67,34 @@ class FileStatsSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout + analyze: BOTH dimensions prune files") {
+    import org.apache.spark.sql.functions.col
+    val lake = Files.createTempDirectory("graft-lake-skipz")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkz", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkz.path", lake.toString)
+    try {
+      // a 64×64 (x, y) grid clustered in Morton order into 8 files:
+      // every file covers a LOCAL 2D tile, so min/max are tight on
+      // both dimensions — the property an x-sort lacks for y
+      spark.sql("CREATE TABLE lkz.m.grid (x INT, y INT)")
+      val grid = spark.range(64L * 64L)
+        .selectExpr("CAST(id % 64 AS INT) AS x", "CAST(id div 64 AS INT) AS y")
+      graft.operators.Layout.zorderLayout(grid, col("x"), col("y"), 8)
+        .write.mode("append").insertInto("lkz.m.grid")
+      spark.sql("CALL lkz.system.analyze('m.grid', 'x,y')")
+      val qx = spark.table("lkz.m.grid").where("x = 3")
+      val qy = spark.table("lkz.m.grid").where("y = 3")
+      assert(scannedFiles(qx) < 8 && scannedFiles(qx) >= 1, "x prunes")
+      assert(scannedFiles(qy) < 8 && scannedFiles(qy) >= 1,
+        "the SECOND dimension prunes too — the z-order payoff")
+      assert(qx.count() == 64L && qy.count() == 64L, "answers exact")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkz")
+      spark.conf.unset("spark.sql.catalog.lkz.path")
+    }
+  }
+
   test("skipping composes with RENAME COLUMN: logical predicate, physical stats") {
     val lake = Files.createTempDirectory("graft-lake-skipr")
     Files.createDirectories(lake.resolve("m"))
