@@ -58,6 +58,11 @@ object SparkEntry {
     // Fluss-PK-table stand-in: latest-by-key upsert materialization.
     "q_upsert_latest" -> ((s, dir) =>
       EventOps.latestByUser(t(s, dir, "events"))),
+    // Paimon first-row merge engine: keep the FIRST version per key —
+    // immutable-fact ingestion, the deduplicate engine's dual.
+    "q_upsert_firstrow" -> ((s, dir) =>
+      graft.cdc.Upsert.firstByKey(t(s, dir, "events"),
+        Seq("user_id"), Seq("ts", "event_id"))),
     // Paimon partial-update merge engine: latest NON-NULL per column
     // (sparse per-type fields assemble one wide row per user). Driven
     // INCREMENTALLY in two ord-ordered batches — the hash match against
@@ -1450,6 +1455,13 @@ object SparkEntry {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_upsert_firstrow" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |      FROM events) WHERE rn = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -33,6 +33,21 @@ object Upsert {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Paimon `'merge-engine'='first-row'`: keep the FIRST version ever
+    * seen per key (immutable-fact ingestion — later duplicates of an
+    * event id are noise, never corrections; the dual of
+    * [[latestByKey]]'s deduplicate engine). Same single-shuffle
+    * argmin-by-struct shape; the (ord) total order makes ties
+    * deterministic. */
+  def firstByKey(df: DataFrame, keys: Seq[String], ord: Seq[String]): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains).toSeq
+    val ordStruct = struct(ord.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(valueCols.map(col): _*), ordStruct).as("__first"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__first.$c")): _*)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Apply a changelog batch onto a materialized state table (both plain
     * row DataFrames / envelope DataFrames) and return the new state.
     *

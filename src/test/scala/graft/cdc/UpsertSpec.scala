@@ -37,6 +37,19 @@ class UpsertSpec extends SparkSpec {
     assert(out.toSeq == Seq("second"))
   }
 
+  test("firstByKey keeps the FIRST version per key (first-row engine)") {
+    val df = Seq((1L, 10L, "orig"), (1L, 20L, "dup"), (2L, 5L, "only"))
+      .toDF("id", "ts", "v")
+    val out = Upsert.firstByKey(df, Seq("id"), Seq("ts")).orderBy("id")
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 10L, "orig"), (2L, 5L, "only")))
+    // ties resolve on the secondary order column, dual of latestByKey
+    val tied = Seq((1L, 10L, 2L, "second"), (1L, 10L, 1L, "first"))
+      .toDF("id", "ts", "seq", "v")
+    assert(Upsert.firstByKey(tied, Seq("id"), Seq("ts", "seq"))
+      .select("v").as[String].collect().toSeq == Seq("first"))
+  }
+
   test("applyChangelog: insert, update, delete, late-event ignored") {
     val t1 = Ticket(1, "scheduled", 10.0)
     val changes = changesDf(Seq(
