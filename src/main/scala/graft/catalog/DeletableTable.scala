@@ -323,15 +323,29 @@ private[catalog] final class DeletableTable(
   private def stagingDir(): Path =
     tableDir.resolveSibling(tableDir.getFileName.toString + ".__rewrite")
 
-  /** Publish a staged rewrite: versioned tables gain snapshot
-    * `latest+1` (manifest-stamped like every StateStore commit, so
-    * `TIMESTAMP AS OF` keeps working); plain tables swap via rename
-    * with the schema/mapping sidecars carried over. */
-  private def publishRewrite(tmp: Path): Unit = {
-    val versions = DeletableTable.versionsOf(tableDir)
+  private def publishRewrite(tmp: Path): Unit =
+    DeletableTable.publishStagedRewrite(tableDir, tmp)
+
+  private def physName(logical: String): String =
+    renames.getOrElse(logical,
+      renames.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(logical) => p
+      }.getOrElse(logical))
+}
+
+private[catalog] object DeletableTable {
+
+  /** Publish a staged rewrite directory as the table's new content:
+    * versioned tables gain snapshot `latest+1` (manifest-stamped like
+    * every StateStore commit, so `TIMESTAMP AS OF` keeps working);
+    * plain tables swap via rename with the schema/mapping sidecars
+    * carried over. Shared by the DML writes and the plain-table
+    * `compact` procedure. */
+  private[catalog] def publishStagedRewrite(tableDir: Path, tmp: Path): Unit = {
+    val versions = versionsOf(tableDir)
     if (versions.nonEmpty) {
       val next = tableDir.resolve(s"v=${versions.max + 1L}")
-      DeletableTable.deleteRecursive(next)
+      deleteRecursive(next)
       Files.move(tmp, next)
       Files.writeString(
         next.resolve(graft.streaming.StateStore.CommitManifest),
@@ -344,21 +358,15 @@ private[catalog] final class DeletableTable(
             StandardCopyOption.REPLACE_EXISTING); ()
         }
       }
-      DeletableTable.deleteRecursive(old)
+      deleteRecursive(old)
       Files.move(tableDir, old)
       Files.move(tmp, tableDir)
-      DeletableTable.deleteRecursive(old)
+      deleteRecursive(old)
     }
     // the inner ParquetTable caches its file listing; drop any cached
     // plans so the next read sees the rewrite
     SparkSession.active.catalog.clearCache()
   }
-
-  private def physName(logical: String): String =
-    renames.getOrElse(logical,
-      renames.collectFirst {
-        case (l, p) if l.equalsIgnoreCase(logical) => p
-      }.getOrElse(logical))
 
   private def withSidecars(dir: Path)(f: Path => Unit): Unit = {
     val s = Files.list(dir)
@@ -368,9 +376,6 @@ private[catalog] final class DeletableTable(
       .foreach(f)
     finally s.close()
   }
-}
-
-private[catalog] object DeletableTable {
 
   /** Executor-side factory for the row-level rewrite: Spark's
     * ReplaceData row projection only engages when the operation

@@ -63,11 +63,48 @@ private[catalog] object LakeProcedures {
           Seq(InternalRow(store.versions.size.toLong))
         })
       case "compact" =>
-        Some(proc(root, "compact",
-          Seq("tbl" -> StringType, "target_files" -> IntegerType),
-          new StructType().add("new_version", LongType)) { (store, args) =>
-          store.compact(args.getInt(1))
-          Seq(InternalRow(store.latestVersion.getOrElse(-1L)))
+        // works on BOTH layouts: versioned tables re-commit the latest
+        // snapshot coalesced (history intact, new_version returned);
+        // plain tables rewrite in place through the shared staged-swap
+        // (small-files compaction; new_version NULL)
+        Some(new UnboundProcedure {
+          override def name(): String = "compact"
+          override def description(): String =
+            "graft lake maintenance: small-files compaction"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "compact"
+            override def description(): String =
+              "graft lake maintenance: small-files compaction"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("target_files", IntegerType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "compact",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              val target = input.getInt(1)
+              val spark = SparkSession.active
+              val result =
+                if (DeletableTable.versionsOf(tableDir).nonEmpty) {
+                  val store = new graft.streaming.StateStore(spark, tableDir.toString)
+                  store.compact(target)
+                  InternalRow(store.latestVersion.getOrElse(-1L))
+                } else {
+                  val tmp = tableDir.resolveSibling(
+                    tableDir.getFileName.toString + ".__rewrite")
+                  spark.read.parquet(tableDir.toString).coalesce(target)
+                    .write.mode("overwrite").parquet(tmp.toString)
+                  DeletableTable.publishStagedRewrite(tableDir, tmp)
+                  InternalRow(null)
+                }
+              spark.catalog.clearCache()
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] = Array(result)
+                override def readSchema(): StructType =
+                  new StructType().add("new_version", LongType)
+              }).iterator()
+            }
+          }
         })
       case "purge_keys" =>
         Some(proc(root, "purge_keys",

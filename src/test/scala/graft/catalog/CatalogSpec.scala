@@ -500,6 +500,26 @@ class CatalogSpec extends SparkSpec {
       assert(removed == 2L, s"one row per retained snapshot, got $removed")
       assert(spark.sql("SELECT id FROM lakep.state.accts VERSION AS OF 1")
         .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      // plain-table compaction: many part files rewrite to one via
+      // the staged swap, rows and sidecar intact
+      import spark.implicits._
+      spark.sql("CREATE TABLE lakep.state.wide (k BIGINT)")
+      (1L to 64L).toDF("k").repartition(8)
+        .write.mode("append").insertInto("lakep.state.wide")
+      def nParts(t: String) = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(lake.resolve(t))
+        try s.iterator().asScala.count(
+          _.getFileName.toString.startsWith("part-"))
+        finally s.close()
+      }
+      assert(nParts("state/wide.parquet") >= 8)
+      assert(spark.sql("CALL lakep.system.compact('state.wide', 1)")
+        .head().isNullAt(0), "plain compaction reports no snapshot")
+      assert(nParts("state/wide.parquet") == 1, "coalesced to one file")
+      assert(spark.table("lakep.state.wide").count() == 64L)
+      assert(java.nio.file.Files.exists(
+        lake.resolve("state/wide.parquet/_graft_schema.json")))
       // discovery surface: SHOW PROCEDURES lists the registry,
       // DESCRIBE PROCEDURE resolves one
       val listed = spark.sql("SHOW PROCEDURES IN lakep.system")
@@ -512,7 +532,7 @@ class CatalogSpec extends SparkSpec {
       Seq((1L, "x")).toDF("k", "v").write
         .parquet(lake.resolve("state/plain.parquet").toString)
       intercept[Exception](spark.sql(
-        "CALL lakep.system.compact('state.plain', 1)").collect())
+        "CALL lakep.system.expire_snapshots('state.plain', 1)").collect())
     } finally {
       spark.conf.unset("spark.sql.catalog.lakep")
       spark.conf.unset("spark.sql.catalog.lakep.path")
