@@ -588,6 +588,37 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("DELETE on a single-FILE table: rewrite converts it to the directory layout") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-sf")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lakef", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakef.path", lake.toString)
+    try {
+      // registered lakes often hold single parquet FILES (the
+      // CatalogSpec fixture-copy path) — DML must handle them too
+      val tmp = Files.createTempDirectory("sf-src")
+      Seq(1L, 2L, 3L).toDF("k").coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val file = {
+        import scala.jdk.CollectionConverters._
+        val st = Files.list(tmp.resolve("d"))
+        try st.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      Files.copy(file, lake.resolve("m/t.parquet"))
+      assert(java.nio.file.Files.isRegularFile(lake.resolve("m/t.parquet")))
+      spark.sql("DELETE FROM lakef.m.t WHERE k = 2")
+      assert(spark.table("lakef.m.t").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 3L))
+      assert(java.nio.file.Files.isDirectory(lake.resolve("m/t.parquet")),
+        "rewrite lands in the directory layout")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakef")
+      spark.conf.unset("spark.sql.catalog.lakef.path")
+    }
+  }
+
   test("interrupted publish swap heals on load: .__old restores, stale leftover ignored") {
     import spark.implicits._
     val lake = Files.createTempDirectory("graft-lake-heal")
