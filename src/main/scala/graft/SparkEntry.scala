@@ -1040,6 +1040,13 @@ object SparkEntry {
     // Cumulative reach curve: weekly new users + running total.
     "q_reach_curve" -> ((s, dir) =>
       graft.operators.Analytics.reachCurve(t(s, dir, "events"))),
+    // Normalized retention rates: cells over cohort size, integer ppm.
+    "q_retention_rate" -> ((s, dir) =>
+      graft.operators.Analytics.retentionRates(t(s, dir, "events"))),
+    // New-vs-returning weekly split: distinct actives partitioned by
+    // first-seen week.
+    "q_new_vs_returning" -> ((s, dir) =>
+      graft.operators.Analytics.newVsReturning(t(s, dir, "events"))),
     // Benford first-digit audit: observed vs expected ppm shares.
     "q_benford" -> ((s, dir) =>
       graft.operators.Analytics.benford(t(s, dir, "orders"))),
@@ -2974,6 +2981,35 @@ object SparkEntry {
         |  CAST(week_offset AS BIGINT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM x GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The retention CTE with an offset-0 size join and one ppm division.
+    "q_retention_rate" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1),
+        |x AS (SELECT DISTINCT d.user_id, f.first_day // 7 AS cohort_week,
+        |    (d.day - f.first_day) // 7 AS week_offset
+        |  FROM d JOIN f ON d.user_id = f.user_id),
+        |c AS (SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM x GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_users AS cohort_size FROM c WHERE week_offset = 0)
+        |SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(c.week_offset AS BIGINT) AS week_offset, c.n_users,
+        |  s.cohort_size,
+        |  CAST(c.n_users * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+        |FROM c JOIN s USING (cohort_week) ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Distinct (user, week) actives split by first-seen week.
+    "q_new_vs_returning" ->
+      """WITH w AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS first_week FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM w)
+        |SELECT CAST(a.week AS BIGINT) AS week,
+        |  CAST(sum(CASE WHEN a.week = f.first_week THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN a.week <> f.first_week THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Per-day latest via QUALIFY row_number (DuckDB max_by has no
     // composite key); grid from generate_series; IGNORE-NULLS fill.

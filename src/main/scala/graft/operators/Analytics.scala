@@ -357,6 +357,41 @@ object Analytics {
     counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Normalized retention-rate matrix — [[retentionCohorts]] divided
+    * through by each cohort's size: the percentage-style view every
+    * retention dashboard renders, in integer parts-per-million
+    * (`n_users·10⁶ div cohort_size`). The size is the cohort's own
+    * offset-0 cell (every user is active in their first week by
+    * construction), attached by a broadcast-sized join on
+    * cohort_week. */
+  def retentionRates(events: DataFrame): DataFrame = {
+    val cells = retentionCohorts(events)
+    val sizes = cells.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 1000000L div cohort_size").as("retention_ppm"))
+  }
+
+  /** New-vs-returning weekly split — the other growth-dashboard lead:
+    * per epoch-week, distinct active users partitioned into first-ever
+    * -week (new) and seen-before (returning). One first-seen aggregate
+    * (users rows), one distinct (user, week) pass, one ≤weeks-row
+    * aggregate. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val week = expr("unix_micros(ts) div 86400000000L div 7")
+    val firsts = events.groupBy(col("user_id"))
+      .agg(min(week).as("__first_week"))
+    events.select(col("user_id"), week.as("week")).distinct()
+      .join(firsts, "user_id")
+      .groupBy(col("week"))
+      .agg(sum(when(col("week") === col("__first_week"), 1L).otherwise(0L))
+        .as("new_users"),
+        sum(when(col("week") =!= col("__first_week"), 1L).otherwise(0L))
+          .as("returning_users"))
+  }
+
   /** Cumulative reach curve — the growth dashboard: per epoch-week,
     * how many users were seen for the FIRST time, and the running
     * total reach. First-seen week is one user-keyed min; the cumsum

@@ -219,6 +219,30 @@ class AnalyticsSpec extends SparkSpec {
       (3L, "purchase", 1L, Some(500000L))), s"got $out")
   }
 
+  test("retentionRates: cells normalized to cohort size in ppm") {
+    val wk = 7L * 86400L
+    // cohort week 0 has 2 users; one returns at offset 1 → 500000 ppm
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (2L, 2L, ts(0L)), (1L, 3L, ts(wk)))
+      .toDF("user_id", "event_id", "ts")
+    val out = Analytics.retentionRates(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq((0L, 0L, 2L, 2L, 1000000L), (0L, 1L, 1L, 2L, 500000L)),
+      s"got $out")
+  }
+
+  test("newVsReturning: weekly actives split by first-seen week") {
+    val wk = 7L * 86400L
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (2L, 2L, ts(0L)),            // week 0: 2 new
+      (1L, 3L, ts(wk)), (3L, 4L, ts(wk)),            // week 1: 1 ret + 1 new
+      (1L, 5L, ts(wk + 10L)))                        // same week dedupes
+      .toDF("user_id", "event_id", "ts")
+    val out = Analytics.newVsReturning(ev)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 2L, 0L), (1L, 1L, 1L)), s"got $out")
+  }
+
   test("reachCurve: first-seen weeks, cumulative total") {
     val wk = 7L * 86400L
     val ev = Seq(
