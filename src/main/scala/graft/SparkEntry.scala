@@ -1040,6 +1040,12 @@ object SparkEntry {
     // Cumulative reach curve: weekly new users + running total.
     "q_reach_curve" -> ((s, dir) =>
       graft.operators.Analytics.reachCurve(t(s, dir, "events"))),
+    // Weekly activity intensity (DAU/WAU stickiness) in integer ppm.
+    "q_stickiness" -> ((s, dir) =>
+      graft.operators.Analytics.activityIntensity(t(s, dir, "events"))),
+    // Order-aging bands: days-since-order buckets with exact cents.
+    "q_order_aging" -> ((s, dir) =>
+      graft.operators.Analytics.orderAging(t(s, dir, "orders"))),
     // Normalized retention rates: cells over cohort size, integer ppm.
     "q_retention_rate" -> ((s, dir) =>
       graft.operators.Analytics.retentionRates(t(s, dir, "events"))),
@@ -2981,6 +2987,36 @@ object SparkEntry {
         |  CAST(week_offset AS BIGINT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM x GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Distinct (user, day, week) triples; two counts + one ppm division.
+    "q_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week
+        |  FROM events)
+        |SELECT CAST(week AS BIGINT) AS week,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+        |  CAST(count(*) AS BIGINT) AS active_user_days,
+        |  CAST(count(*) * 1000000 // (7 * count(DISTINCT user_id)) AS BIGINT)
+        |    AS intensity_ppm
+        |FROM a GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Integer day differences vs the newest order; fixed CASE bands.
+    "q_order_aging" ->
+      """WITH r AS (SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS ref_us FROM orders),
+        |o AS (SELECT o_orderstatus,
+        |    (r.ref_us - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS age,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN r),
+        |b AS (SELECT o_orderstatus,
+        |    CASE WHEN age <= 7 THEN 0 WHEN age <= 30 THEN 1
+        |         WHEN age <= 90 THEN 2 ELSE 3 END AS band_id, cents FROM o)
+        |SELECT o_orderstatus, CAST(band_id AS BIGINT) AS band_id,
+        |  CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(cents) AS BIGINT) AS cents,
+        |  CASE band_id WHEN 0 THEN '0-7d' WHEN 1 THEN '8-30d'
+        |       WHEN 2 THEN '31-90d' ELSE '90d+' END AS band
+        |FROM b GROUP BY o_orderstatus, band_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // The retention CTE with an offset-0 size join and one ppm division.
     "q_retention_rate" ->

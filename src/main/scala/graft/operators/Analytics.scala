@@ -357,6 +357,49 @@ object Analytics {
     counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Weekly activity intensity — the DAU/WAU-style stickiness number:
+    * per epoch-week, distinct active users, distinct active
+    * (user, day) pairs, and the intensity `active_days·10⁶ div
+    * (7·actives)` — how much of the week the average active user
+    * shows up, in integer ppm. Two distinct aggregates, ≤weeks rows
+    * out. */
+  def activityIntensity(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    events.select(col("user_id"), day.as("__day"),
+        expr("unix_micros(ts) div 86400000000L div 7").as("week"))
+      .distinct()
+      .groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("active_user_days"))
+      .select(col("week"), col("active_users"), col("active_user_days"),
+        expr("active_user_days * 1000000L div (7L * active_users)")
+          .as("intensity_ppm"))
+  }
+
+  /** Order-aging bands — the receivables-aging classic: orders
+    * bucketed by integer days since order vs the corpus' newest order
+    * date, in the fixed 0–7 / 8–30 / 31–90 / 90+ bands, with count
+    * and exact cents per (status, band). Band labels are ordered by a
+    * numeric band id so the report sorts naturally. */
+  def orderAging(orders: DataFrame): DataFrame = {
+    val ref = orders.agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+      .as("__ref_us"))
+    orders
+      .select(col("o_orderstatus"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("__us"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("__cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("__age", expr("(__ref_us - __us) div 86400000000L"))
+      .withColumn("band_id",
+        when(col("__age") <= 7L, 0L).when(col("__age") <= 30L, 1L)
+          .when(col("__age") <= 90L, 2L).otherwise(3L))
+      .groupBy(col("o_orderstatus"), col("band_id"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("__cents")).as("cents"))
+      .withColumn("band",
+        when(col("band_id") === 0L, "0-7d").when(col("band_id") === 1L, "8-30d")
+          .when(col("band_id") === 2L, "31-90d").otherwise("90d+"))
+  }
+
   /** Normalized retention-rate matrix — [[retentionCohorts]] divided
     * through by each cohort's size: the percentage-style view every
     * retention dashboard renders, in integer parts-per-million
