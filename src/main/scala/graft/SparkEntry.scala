@@ -1072,6 +1072,14 @@ object SparkEntry {
     // integer lift over order line items.
     "q_basket_pairs" -> ((s, dir) =>
       graft.operators.Analytics.basketPairs(t(s, dir, "lineitem"))),
+    // Directional association rules: both directions per pair with
+    // integer-ppm confidence.
+    "q_basket_rules" -> ((s, dir) =>
+      graft.operators.Analytics.basketRules(t(s, dir, "lineitem"))),
+    // Event-value histogram: the equi-width distribution view over the
+    // stream's money column (nulls carry no information).
+    "q_value_histogram" -> ((s, dir) =>
+      graft.operators.Stats.centsHistogram(t(s, dir, "events"), "value")),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -3199,6 +3207,38 @@ object SparkEntry {
         |FROM p JOIN c ca ON p.part_a = ca.l_partkey
         |       JOIN c cb ON p.part_b = cb.l_partkey
         |       CROSS JOIN n ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Both rule directions from the pair CTE; confidence = pair·10⁶
+    // div antecedent count.
+    "q_basket_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM i GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        CAST(count(*) AS BIGINT) AS pair_count
+        |      FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+        |                        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a AS antecedent, part_b AS consequent, pair_count,
+        |  CAST(pair_count * 1000000 // ca.cnt AS BIGINT) AS confidence_ppm
+        |FROM p JOIN c ca ON p.part_a = ca.l_partkey
+        |UNION ALL
+        |SELECT part_b, part_a, pair_count,
+        |  CAST(pair_count * 1000000 // cb.cnt AS BIGINT)
+        |FROM p JOIN c cb ON p.part_b = cb.l_partkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same floor-div bucket formula over the events money column;
+    // NULL values dropped on both engines.
+    "q_value_histogram" ->
+      """WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi FROM c)
+        |SELECT CAST((cents - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c CROSS JOIN b GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Three quintile windows over CUSTOMERS with total-order
     // tie-breaks; recency as an integer floor division of epoch µs.

@@ -583,6 +583,23 @@ object Analytics {
         expr("(pair_count * 1000000L div __ca) * __n div __cb").as("lift_ppm"))
   }
 
+  /** Directional association rules — [[basketPairs]]' confidence view:
+    * each surviving pair emits BOTH rules `a→b` and `b→a` with
+    * confidence `pair·10⁶ div cnt(antecedent)` in integer ppm — the
+    * "customers who bought X also bought Y" number, which unlike lift
+    * is direction-sensitive. Same bounded-fanout machinery; one
+    * union doubles the ≤pairs rows. */
+  def basketRules(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
+    val pairs = basketPairs(lineitem, minSupport)
+    val ab = pairs.select(col("part_a").as("antecedent"),
+      col("part_b").as("consequent"), col("pair_count"),
+      expr("pair_count * 1000000L div count_a").as("confidence_ppm"))
+    val ba = pairs.select(col("part_b").as("antecedent"),
+      col("part_a").as("consequent"), col("pair_count"),
+      expr("pair_count * 1000000L div count_b").as("confidence_ppm"))
+    ab.unionAll(ba)
+  }
+
   /** RFM segmentation — the classic customer scoring: Recency (days
     * since last order, vs the corpus' newest order), Frequency (order
     * count), Monetary (exact cents), each quintile-scored 1–5 with 5

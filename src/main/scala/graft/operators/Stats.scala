@@ -139,12 +139,20 @@ object Stats {
     * back through a 1-row cross join), then one narrow scan + one
     * ≤ nb-row hash aggregate — the same two-pass shape as the IQR
     * fences. Empty input yields an empty histogram. */
-  def histogram(orders: DataFrame, nb: Int = 20): DataFrame = {
+  def histogram(orders: DataFrame, nb: Int = 20): DataFrame =
+    centsHistogram(orders, "o_totalprice", nb)
+
+  /** [[histogram]] generalized to any money column (the events
+    * `value` stream gets the same distribution view as order
+    * totals). */
+  def centsHistogram(df: DataFrame, moneyCol: String, nb: Int = 20): DataFrame = {
     require(nb > 0, "histogram needs at least one bucket")
-    val cents = expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
-    val bounds = orders.agg(min(cents).as("__lo"), max(cents).as("__hi"))
+    val cents = expr(s"CAST(ROUND($moneyCol * 100) AS BIGINT)")
+    val bounds = df.agg(min(cents).as("__lo"), max(cents).as("__hi"))
       .filter(col("__lo").isNotNull)
-    orders.select(cents.as("__c"))
+    // NULL money values carry no distribution information — drop them
+    // (a tick without an observation, the TWAP rule)
+    df.select(cents.as("__c")).filter(col("__c").isNotNull)
       .crossJoin(broadcast(bounds))
       .groupBy(expr(s"(__c - __lo) * $nb div (__hi - __lo + 1)").as("bucket"))
       .agg(count(lit(1)).as("n_orders"),
