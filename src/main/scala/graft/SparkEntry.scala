@@ -256,6 +256,15 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.GraphOps.purchasePageRank(
         t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // Exact triangle census of the thresholded supplier co-purchase
+    // graph — degree-ordered orientation bounds every adjacency list
+    // by O(sqrt m), so the wedge self-join survives hub skew.
+    "q_triangles" -> ((s, dir) =>
+      graft.operators.GraphOps.triangleCensus(t(s, dir, "lineitem"))),
+    // Degree histogram of the same graph: the sparsity audit for the
+    // projection threshold.
+    "q_degree_dist" -> ((s, dir) =>
+      graft.operators.GraphOps.degreeHistogram(t(s, dir, "lineitem"))),
     // CCNet-style segment-level dedup (boilerplate removal): drop
     // every 20-word segment whose exact content recurs across ≥2
     // distinct documents, reassemble survivors in order.
@@ -1080,6 +1089,20 @@ object SparkEntry {
     // stream's money column (nulls carry no information).
     "q_value_histogram" -> ((s, dir) =>
       graft.operators.Stats.centsHistogram(t(s, dir, "events"), "value")),
+    // Decision-support star joins: the multi-way shapes the revenue MV
+    // implies but never widens past two tables. Every dimension
+    // broadcasts; lineitem ⋈ orders on orderkey is the one exchange.
+    "q_star_join" -> ((s, dir) =>
+      graft.operators.DecisionSupport.regionalRevenue(
+        t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
+        t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q_ship_priority" -> ((s, dir) =>
+      graft.operators.DecisionSupport.shippingPriority(
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q_nation_margin" -> ((s, dir) =>
+      graft.operators.DecisionSupport.nationMargin(
+        t(s, dir, "part"), t(s, dir, "supplier"), t(s, dir, "nation"),
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -2164,6 +2187,85 @@ object SparkEntry {
 
     "q_pagerank" ->
       graft.operators.GraphOps.purchasePageRankSql(),
+
+    // Triangle census: the a<b<c three-way join counts each triangle
+    // once — the same count the engine's degree-oriented wedge join
+    // produces; clustering is one exact-integer division.
+    "q_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |ed AS (SELECT x.sk AS a, y.sk AS b FROM os x
+        |  JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed)
+        |  GROUP BY 1),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ed e1
+        |  JOIN ed e2 ON e2.a = e1.b
+        |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |da AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM dg),
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+        |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN 0.0 ELSE 3.0 * t / n_wedges END AS clustering
+        |FROM da, ec, tri""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |ed AS (SELECT x.sk AS a, y.sk AS b FROM os x
+        |  JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed)
+        |  GROUP BY 1)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM dg GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The top-k frontier ties break on the EXACT integer revenue
+    // before the presentation cast, so both engines agree.
+    "q_ship_priority" ->
+      """WITH r AS (SELECT l_orderkey AS okey, o_orderdate, o_orderpriority,
+        |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_sum
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT okey AS o_orderkey, CAST(rev_sum AS DOUBLE) / 10000 AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM r ORDER BY rev_sum DESC, okey LIMIT 10""".stripMargin,
+
+    "q_nation_margin" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+        |    - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+        |      * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 10000 AS margin,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Same normalization text as q_dedup_normalized's oracle; the
     // thresholds come from the operator's own hexThreshold.

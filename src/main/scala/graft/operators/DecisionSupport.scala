@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic decision-support star joins over the full TPC-H-ish
+  * dimensional model — the multi-way-join shapes the reference's
+  * revenue MV (`revenue-analytics.sql:55-66`, facts ⋈ two dimensions)
+  * implies but never widens past two tables. These are the plans that
+  * matter at 100 TB: one shuffle join between the two fact tables
+  * (lineitem ⋈ orders on the orderkey they are both naturally keyed
+  * by), every dimension broadcast (customer/supplier/part are
+  * O(SF·150k) rows — MB-scale against a TB-scale fact), filters pushed
+  * into the parquet scans before any join, and all money arithmetic in
+  * exact integer cents (the [[Revenue]] idiom) so sums are
+  * partition-order-insensitive and hash-match the oracle bit-for-bit.
+  */
+object DecisionSupport {
+
+  private def extCents = expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+  private def discCents = expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
+
+  /** Regional same-nation revenue (the TPC-H Q5 shape): for one
+    * region and one order-date year, revenue from lineitems whose
+    * supplier and ordering customer sit in the SAME nation — the
+    * 6-way star join (region → nation → {customer, supplier} →
+    * orders → lineitem). Revenue is Σ ext_cents·(100 − disc_cents)
+    * in 10⁻⁴ currency units, presented as one exact-integer→double
+    * division.
+    *
+    * Plan: orders' date filter prunes at its scan; customer, supplier,
+    * nation, region all broadcast (the same-nation predicate rides the
+    * two broadcast joins as an ordinary equi-column comparison); the
+    * only exchange is lineitem ⋈ orders on orderkey, followed by the
+    * partial+final agg on the 25-key nation grouping. */
+  def regionalRevenue(region: DataFrame, nation: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame,
+                      regionName: String = "ASIA",
+                      yearStart: String = "1996-01-01",
+                      yearEnd: String = "1997-01-01"): DataFrame = {
+    val natInRegion = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(natInRegion), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    // testdata date columns are parquet TIMESTAMP(isAdjustedToUTC=false)
+    // → Spark reads TIMESTAMP_NTZ; comparing against an NTZ literal
+    // keeps the predicate native (and parquet-pushable) instead of
+    // forcing a cast onto every row of the scan.
+    val ord = orders
+      .filter(col("o_orderdate").cast("timestamp_ntz") >=
+          lit(yearStart).cast("timestamp_ntz") &&
+        col("o_orderdate").cast("timestamp_ntz") <
+          lit(yearEnd).cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (extCents * (lit(100L) - discCents)).as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_e4")).as("rev_sum"), count(lit(1)).as("n_items"))
+      .select(col("n_name"),
+        (col("rev_sum").cast("double") / lit(10000.0)).as("revenue"),
+        col("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Shipping priority (the TPC-H Q3 shape): the k unshipped orders —
+    * ordered before the cutoff, shipped after it — with the highest
+    * outstanding revenue, for one market segment. The tie-break
+    * happens on the EXACT integer revenue before the presentation
+    * cast, so the top-k frontier is deterministic on both engines.
+    *
+    * Plan: both date filters push into the fact scans; the segment
+    * filter prunes customer before its broadcast; lineitem ⋈ orders
+    * is the one exchange; top-k is a TakeOrdered (never a global
+    * sort). */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-01-01",
+                       k: Int = 10): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate").cast("timestamp_ntz") <
+        lit(cutoff).cast("timestamp_ntz"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    lineitem
+      .filter(col("l_shipdate").cast("timestamp_ntz") >
+        lit(cutoff).cast("timestamp_ntz"))
+      .select(col("l_orderkey"),
+        (extCents * (lit(100L) - discCents)).as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_e4")).as("rev_sum"))
+      .orderBy(col("rev_sum").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"),
+        (col("rev_sum").cast("double") / lit(10000.0)).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** Brand gross margin by supplier nation × order year (the TPC-H Q9
+    * shape, with `p_retailprice` standing in for the missing
+    * partsupp.ps_supplycost): margin = Σ [ext_cents·(100 − disc_cents)
+    * − retail_cents·qty_cents] in 10⁻⁴ units — discounted revenue
+    * minus list-price cost of goods, every operand an exact integer.
+    *
+    * Plan: part and supplier⋈nation broadcast onto the lineitem scan
+    * BEFORE the orderkey shuffle (the margin expression only needs
+    * part columns, so the broadcast join attaches them map-side);
+    * lineitem ⋈ orders on orderkey is again the single exchange;
+    * the (25 nations × years) grouping is tiny. */
+  def nationMargin(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val retailCents = expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)")
+    val qtyCents = expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+    val supNat = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"),
+        retailCents.as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("n_name"),
+        (extCents * (lit(100L) - discCents) -
+          col("retail_cents") * qtyCents).as("margin_e4"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("margin_e4")).as("margin_sum"),
+        count(lit(1)).as("n_items"))
+      .select(col("n_name"), col("o_year"),
+        (col("margin_sum").cast("double") / lit(10000.0)).as("margin"),
+        col("n_items"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+}

@@ -444,4 +444,21 @@ class PlanSpec extends SparkSpec {
       l.contains("Window") && l.contains("PartitionBy: []"))
     assert(!globalWindow, "session windows must partition by user")
   }
+
+  test("star join: date filter pushed to the orders scan, fact scan pruned, dims broadcast") {
+    val p = plan(graft.operators.DecisionSupport.regionalRevenue(
+      Tables.load(spark, dir, "region"), Tables.load(spark, dir, "nation"),
+      Tables.load(spark, dir, "customer"), Tables.load(spark, dir, "supplier"),
+      Tables.load(spark, dir, "orders"), Tables.load(spark, dir, "lineitem")))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date range must reach the orders parquet scan as a pushed filter")
+    val liSchema = p.linesIterator.filter(l => l.contains("ReadSchema") &&
+      l.contains("l_extendedprice")).mkString
+    assert(liSchema.contains("l_discount") && !liSchema.contains("l_quantity")
+      && !liSchema.contains("l_shipdate"),
+      s"lineitem scan must read only the 4 needed columns: $liSchema")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "every dimension must broadcast — no shuffle join in the star")
+  }
 }

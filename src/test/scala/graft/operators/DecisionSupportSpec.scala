@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Decision-support star joins + co-purchase graph census: exact
+  * equality with in-memory integer references on seeded random data,
+  * hand-computed triangle/degree values, threshold behavior. */
+class DecisionSupportSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- co-purchase graph helpers -----------------------------------
+
+  /** One order per undirected edge → co-purchase graph == edge list. */
+  private def liFromEdges(edges: Seq[(Long, Long)]): DataFrame =
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, a), (i.toLong, b))
+    }.toDF("l_orderkey", "l_suppkey")
+
+  test("triangle census: K4 minus an edge has 2 triangles, clustering 0.75") {
+    val li = liFromEdges(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L))
+    val r = GraphOps.triangleCensus(li, minOrders = 1L).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_wedges") == 8L) // C(3,2)+C(3,2)+C(2,2)+C(2,2)
+    assert(r.getAs[Long]("n_triangles") == 2L)
+    assert(r.getAs[Double]("clustering") == 0.75)
+  }
+
+  test("triangle census matches brute-force enumeration on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (a min b, a max b) }.distinct
+      val es = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val expected = (for {
+        a <- nodes; b <- nodes if a < b && es((a, b))
+        c <- nodes if b < c && es((b, c)) && es((a, c))
+      } yield 1).size.toLong
+      val r = GraphOps.triangleCensus(liFromEdges(edges), minOrders = 1L)
+        .collect()(0)
+      assert(r.getAs[Long]("n_triangles") == expected, s"seed $seed")
+      assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    }
+  }
+
+  test("co-purchase threshold: pairs below minOrders support drop") {
+    // suppliers (1,2) co-occur in 3 orders, (1,3) in only 1
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L)).toDF("l_orderkey", "l_suppkey")
+    val edges = GraphOps.copurchaseEdges(li, minOrders = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(edges == Seq((1L, 2L, 3L)))
+  }
+
+  test("degree histogram: hand-computed on the wheel graph") {
+    // center 0 joined to 1,2,3 plus rim 1-2, 2-3, 3-1: all degree 3... rim
+    // nodes have deg 3 (center + two rim neighbors), center deg 3.
+    val li = liFromEdges(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L,
+      1L -> 2L, 2L -> 3L, 1L -> 3L))
+    val h = GraphOps.degreeHistogram(li, minOrders = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(h == Map(3L -> 4L))
+  }
+
+  // --- star joins: in-memory exact-integer references ---------------
+
+  private def cents(d: Double): Long = math.round(d * 100)
+
+  private case class Fixture(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      li: Seq[(Long, Long, Long, Double, Double, Double, String)],
+      ord: Seq[(Long, Long, String, String)],
+      custNat: Map[Long, Long], custSeg: Map[Long, String],
+      supNat: Map[Long, Long], natName: Map[Long, String],
+      natRegion: Map[Long, Long], partRetail: Map[Long, Double])
+
+  private def fixture(seed: Int): Fixture = {
+    val rnd = new scala.util.Random(seed)
+    val region = Seq((0L, "ASIA"), (1L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val natRegion = (0L to 4L).map(n => n -> (n % 2)).toMap
+    val natName = (0L to 4L).map(n => n -> s"N_$n").toMap
+    val nation = natRegion.toSeq.map { case (n, r) => (n, natName(n), r) }
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val custNat = (1L to 8L).map(c => c -> rnd.nextInt(5).toLong).toMap
+    val custSeg = (1L to 8L).map(c =>
+      c -> (if (rnd.nextBoolean()) "BUILDING" else "AUTO")).toMap
+    val customer = custNat.toSeq.map { case (c, n) => (c, n, custSeg(c)) }
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val supNat = (1L to 6L).map(s => s -> rnd.nextInt(5).toLong).toMap
+    val supplier = supNat.toSeq.toDF("s_suppkey", "s_nationkey")
+    val partRetail = (1L to 5L).map(p =>
+      p -> (rnd.nextInt(10000) / 100.0)).toMap
+    val part = partRetail.toSeq.toDF("p_partkey", "p_retailprice")
+    val dates = Seq("1995-06-01", "1996-03-01", "1996-09-01", "1997-02-01")
+    val ord = (1L to 30L).map(o => (o, (rnd.nextInt(8) + 1).toLong,
+      dates(rnd.nextInt(dates.size)), "P_" + rnd.nextInt(3)))
+    val orders = ord.toDF("o_orderkey", "o_custkey", "d", "o_orderpriority")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(d AS TIMESTAMP_NTZ) AS o_orderdate", "o_orderpriority")
+    val li = (1L to 90L).map { i =>
+      val ship = dates(rnd.nextInt(dates.size))
+      (i, (rnd.nextInt(30) + 1).toLong, (rnd.nextInt(6) + 1).toLong,
+        rnd.nextInt(20000) / 100.0, rnd.nextInt(10) / 100.0,
+        (rnd.nextInt(50) + 1).toDouble, ship)
+    }.map { case (i, ok, sk, ext, disc, qty, ship) =>
+      (i, ok, sk, ext, disc, qty, ship)
+    }
+    val lineitem = li.toDF("i", "l_orderkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity", "ship")
+      .selectExpr("l_orderkey", "l_suppkey",
+        "CAST(1 + (i % 5) AS BIGINT) AS l_partkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+        "CAST(ship AS TIMESTAMP_NTZ) AS l_shipdate")
+    Fixture(region, nation, customer, supplier, orders, lineitem,
+      li, ord, custNat, custSeg, supNat, natName, natRegion, partRetail)
+  }
+
+  test("regionalRevenue matches the in-memory exact-integer reference") {
+    for (seed <- 1 to 2) {
+      val f = fixture(seed)
+      val ordDate = f.ord.map(o => o._1 -> o._3).toMap
+      val ordCust = f.ord.map(o => o._1 -> o._2).toMap
+      val exp = f.li
+        .filter { case (_, ok, sk, _, _, _, _) =>
+          val d = ordDate(ok)
+          d >= "1996-01-01" && d < "1997-01-01" &&
+            f.custNat(ordCust(ok)) == f.supNat(sk) &&
+            f.natRegion(f.custNat(ordCust(ok))) == 0L // ASIA
+        }
+        .groupBy { case (_, ok, _, _, _, _, _) =>
+          f.natName(f.custNat(ordCust(ok))) }
+        .map { case (n, rows) =>
+          val rev = rows.map { case (_, _, _, ext, disc, _, _) =>
+            cents(ext) * (100L - cents(disc)) }.sum
+          (n, rev.toDouble / 10000.0, rows.size.toLong)
+        }.toSet
+      val got = DecisionSupport.regionalRevenue(f.region, f.nation,
+          f.customer, f.supplier, f.orders, f.lineitem)
+        .as[(String, Double, Long)].collect().toSet
+      assert(got == exp, s"seed $seed")
+    }
+  }
+
+  test("shippingPriority: top-k by exact revenue, deterministic tie-break") {
+    val f = fixture(7)
+    val cutoff = "1996-06-15"
+    val ordOk = f.ord.filter(o => o._3 < cutoff &&
+      f.custSeg(o._2) == "BUILDING").map(o => o._1 -> o).toMap
+    val exp = f.li
+      .filter { case (_, ok, _, _, _, _, ship) =>
+        ship > cutoff && ordOk.contains(ok) }
+      .groupBy(_._2)
+      .map { case (ok, rows) =>
+        val rev = rows.map { case (_, _, _, ext, disc, _, _) =>
+          cents(ext) * (100L - cents(disc)) }.sum
+        (ok, rev) }
+      .toSeq.sortBy { case (ok, rev) => (-rev, ok) }.take(3)
+      .map { case (ok, rev) => (ok, rev.toDouble / 10000.0) }
+    val got = DecisionSupport.shippingPriority(f.customer, f.orders,
+        f.lineitem, cutoff = cutoff, k = 3)
+      .selectExpr("o_orderkey", "revenue")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == exp)
+  }
+
+  test("nationMargin matches the in-memory exact-integer reference") {
+    val f = fixture(11)
+    val ordYear = f.ord.map(o => o._1 -> o._3.take(4).toLong).toMap
+    val exp = f.li
+      .filter { case (_, ok, _, _, _, _, _) => ordYear.contains(ok) }
+      .groupBy { case (i, ok, sk, _, _, _, _) =>
+        (f.natName(f.supNat(sk)), ordYear(ok)) }
+      .map { case ((n, y), rows) =>
+        val m = rows.map { case (i, _, _, ext, disc, qty, _) =>
+          val retail = cents(f.partRetail(1L + (i % 5)))
+          cents(ext) * (100L - cents(disc)) - retail * cents(qty) }.sum
+        (n, y, m.toDouble / 10000.0, rows.size.toLong)
+      }.toSet
+    val part = f.partRetail.toSeq.toDF("p_partkey", "p_retailprice")
+    val got = DecisionSupport.nationMargin(part, f.supplier, f.nation,
+        f.orders, f.lineitem)
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == exp)
+  }
+}
