@@ -265,6 +265,11 @@ object SparkEntry {
     // projection threshold.
     "q_degree_dist" -> ((s, dir) =>
       graft.operators.GraphOps.degreeHistogram(t(s, dir, "lineitem"))),
+    // Sync label-propagation communities (3 rounds, exact integer
+    // argmax) over the same graph — oracle unrolled from the same
+    // recurrence, like q_pagerank's.
+    "q_communities" -> ((s, dir) =>
+      graft.operators.GraphOps.copurchaseCommunities(t(s, dir, "lineitem"))),
     // CCNet-style segment-level dedup (boilerplate removal): drop
     // every 20-word segment whose exact content recurs across ≥2
     // distinct documents, reassemble survivors in order.
@@ -2208,6 +2213,9 @@ object SparkEntry {
         |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
         |  CASE WHEN n_wedges = 0 THEN 0.0 ELSE 3.0 * t / n_wedges END AS clustering
         |FROM da, ec, tri""".stripMargin,
+
+    "q_communities" ->
+      graft.operators.GraphOps.copurchaseCommunitiesSql(),
 
     "q_degree_dist" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),

@@ -195,6 +195,69 @@ object GraphOps {
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")
   }
 
+  /** Synchronous label propagation (Raghavan 2007, the deterministic
+    * sync variant): every node starts as its own label; each round
+    * every node adopts its neighbors' most frequent label, ties broken
+    * toward the smallest label — an exact integer argmax via the
+    * max-struct idiom, so rounds are reshuffle-proof and both engines
+    * agree bit-for-bit. Fixed `iters` rounds (sync LPA has no
+    * convergence guarantee — bipartite structures oscillate — so the
+    * round count IS part of the operator's contract, like
+    * [[pageRank]]'s).
+    *
+    * Scale shape per round: one join of the bidirectional edge list
+    * against the current labels on the src key, one (dst, label)
+    * count, one per-node argmax — all hash exchanges on node ids,
+    * no driver state. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val bi = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var lab = bi.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to iters) {
+      lab = bi.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+    }
+    val out = lab.localCheckpoint(true)
+    bi.unpersist()
+    out
+  }
+
+  /** Driver query: 3 sync-LPA rounds over the thresholded supplier
+    * co-purchase graph — supplier community assignment. */
+  def copurchaseCommunities(lineitem: DataFrame, minOrders: Long = 5L,
+                            iters: Int = 3): DataFrame =
+    labelPropagation(copurchaseEdges(lineitem, minOrders)
+      .select(col("a"), col("b")), iters)
+
+  /** The oracle: the SAME recurrence unrolled to ANSI SQL (one
+    * generator — the [[purchasePageRankSql]] discipline). The per-node
+    * argmax is a row_number window ordered (count DESC, label ASC),
+    * the documented equivalence of the engine's max-struct. */
+  def copurchaseCommunitiesSql(minOrders: Long = 5L, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT bi.dst AS node, l.lab AS lab,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM bi JOIN l${i - 1} l ON bi.src = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, lab FROM (SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |ed AS (SELECT x.sk AS a, y.sk AS b FROM os x
+       |  JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minOrders),
+       |bi AS (SELECT a AS src, b AS dst FROM ed
+       |  UNION ALL SELECT b AS src, a AS dst FROM ed),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM bi),
+       |$rounds
+       |SELECT node, lab FROM l$iters ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
   /** Degree histogram of the co-purchase graph: how many suppliers
     * have each affinity-degree — the sparsity audit for the projection
     * threshold (a heavy high-degree tail says `minOrders` is too low

@@ -65,6 +65,48 @@ class DecisionSupportSpec extends SparkSpec {
     assert(h == Map(3L -> 4L))
   }
 
+  /** In-memory mirror of the sync-LPA recurrence. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val bi = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = bi.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lab = bi.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (node, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size).toMap
+        node -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("label propagation: disconnected cliques each converge to their min label") {
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      10L -> 11L, 10L -> 12L, 11L -> 12L)
+    val got = GraphOps.labelPropagation(edges.toDF("a", "b"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLpa(edges, 3))
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L))
+    assert(Set(10L, 11L, 12L).map(got) == Set(10L))
+    // bridged variant: sync LPA floods the smaller label across the
+    // bridge — pin that the engine tracks the reference there too
+    val bridged = edges :+ (3L -> 10L)
+    val gotB = GraphOps.labelPropagation(bridged.toDF("a", "b"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotB == refLpa(bridged, 3))
+  }
+
+  test("label propagation matches the in-memory reference on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(50)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (a min b, a max b) }.distinct
+      val got = GraphOps.labelPropagation(edges.toDF("a", "b"), iters = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refLpa(edges, 3), s"seed $seed")
+    }
+  }
+
   // --- star joins: in-memory exact-integer references ---------------
 
   private def cents(d: Double): Long = math.round(d * 100)
