@@ -1108,6 +1108,15 @@ object SparkEntry {
       graft.operators.DecisionSupport.nationMargin(
         t(s, dir, "part"), t(s, dir, "supplier"), t(s, dir, "nation"),
         t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // A/B experiment readout: md5-threshold arm split, exact counts,
+    // pooled two-proportion z composed only of IEEE-exactly-rounded
+    // ops so even the float statistic hash-matches.
+    "q_ab_test" -> ((s, dir) =>
+      graft.operators.Analytics.abTest(t(s, dir, "events"))),
+    // Per-event-type OLS daily-revenue trend from exact integer
+    // moments; slope/intercept/R² in one fixed double chain.
+    "q_trend" -> ((s, dir) =>
+      graft.operators.Analytics.dailyTrend(t(s, dir, "events"))),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -2216,6 +2225,63 @@ object SparkEntry {
 
     "q_communities" ->
       graft.operators.GraphOps.copurchaseCommunitiesSql(),
+
+    // Arm split uses the same md5-threshold draw as q_split_assign;
+    // the z chain is written with ONE parenthesization on both
+    // engines — every op in it is IEEE-exactly-rounded.
+    "q_ab_test" ->
+      s"""WITH pu AS (SELECT user_id,
+        |    CASE WHEN md5(CAST(user_id AS VARCHAR)) < '${TextOps.hexThreshold(0.5)}'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) >= 14
+        |      THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY 1, 2),
+        |ab AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a = 0 THEN NULL
+        |    ELSE CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+        |  CASE WHEN n_b = 0 THEN NULL
+        |    ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0
+        |  OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |  THEN NULL ELSE
+        |  ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) -
+        |   (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))) /
+        |  sqrt((((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |   (1.0 - (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))) *
+        |   ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE)))))
+        |  END AS z_score
+        |FROM ab""".stripMargin,
+
+    "q_trend" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    day - min(day) OVER (PARTITION BY event_type) AS x, y FROM d),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM c GROUP BY 1),
+        |k AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den, n * syy - sy * sy AS deny, sx, sy FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE (CAST(sy AS DOUBLE) - ((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
+        |      CAST(sx AS DOUBLE))) / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN den = 0 OR deny = 0 THEN NULL
+        |    ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+        |      (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
+        |FROM k ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_degree_dist" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),

@@ -784,4 +784,99 @@ object Analytics {
     Seq((nSessions, peak, peakAt)).toDF(
       "n_sessions", "peak_concurrency", "peak_at_us")
   }
+
+  /** A/B experiment readout: users hash-split into two arms by the
+    * [[TextOps.splitAssign]] md5-threshold draw (deterministic,
+    * content-free, reshuffle-proof — the assignment an experimentation
+    * platform freezes), conversion = the user fired `convEvent` at
+    * least `minCount` times (a repeat-purchaser bar — an any-occurrence
+    * definition saturates on a dense stream where every user
+    * eventually fires every type). Counts are exact integers; the
+    * two-proportion pooled
+    * z-score composes ONLY IEEE-exactly-rounded double ops (+,−,×,÷,
+    * sqrt — the operations both engines must round identically per
+    * IEEE-754, unlike ln/exp), with one fixed parenthesization, so
+    * even the float statistic hash-matches cross-engine.
+    *
+    * Scale: one exchange on user_id for the per-user conversion flag,
+    * then a 2-row aggregate. */
+  def abTest(events: DataFrame, convEvent: String = "purchase",
+             minCount: Long = 14L, frac: Double = 0.5): DataFrame = {
+    val arm = when(md5(col("user_id").cast("string")) <
+      TextOps.hexThreshold(frac), "A").otherwise("B")
+    val perUser = events
+      .select(col("user_id"), arm.as("arm"),
+        when(col("event_type") === convEvent, 1L).otherwise(0L).as("cv"))
+      .groupBy("user_id", "arm")
+      .agg(when(sum(col("cv")) >= minCount, 1L).otherwise(0L).as("converted"))
+    // one conditional aggregate — always exactly one row, even when a
+    // tiny cohort lands entirely in one arm (an empty arm reads n=0
+    // with NULL rate, never a vanished result)
+    val arms = perUser.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+    // degenerate pooled rates (0 or 1) have zero standard error — the
+    // statistic is undefined there; report NULL, never a 0/0 artifact
+    arms.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      expr("""CASE WHEN n_a = 0 THEN NULL
+             ELSE CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END""").as("rate_a"),
+      expr("""CASE WHEN n_b = 0 THEN NULL
+             ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END""").as("rate_b"),
+      expr("""CASE WHEN n_a = 0 OR n_b = 0
+             OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+             THEN NULL ELSE
+             ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) -
+             (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))) /
+             sqrt((((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+             (1.0 - (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))) *
+             ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE)))))
+             END""")
+        .as("z_score"))
+  }
+
+  /** Per-event-type OLS trend over the daily revenue series: slope /
+    * intercept / R² from EXACT integer moments (n, Σx, Σy, Σxy, Σx²,
+    * Σy² — x the day offset from each type's first active day, y the
+    * day's integer cents), combined in one fixed all-(+,−,×,÷) double
+    * chain — deterministic cross-engine for the same reason as
+    * [[abTest]]'s z. Centering x at the per-type minimum keeps every
+    * moment comfortably inside BIGINT (at a longer horizon or larger
+    * corpus, center y the same way). Degenerate series (one day, or
+    * constant x/y) yield NULL slope/R² rather than a 0/0 artifact. */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val cents = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    val daily = events.filter(col("value").isNotNull)
+      .select(col("event_type"), day.as("day"), cents.as("c"))
+      .groupBy("event_type", "day").agg(sum(col("c")).as("y"))
+    val mins = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    val m = daily.join(broadcast(mins), "event_type")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+    m.select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"),
+        col("sx"), col("sy"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN den = 0 THEN NULL
+               ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END""")
+          .as("slope"),
+        expr("""CASE WHEN den = 0 THEN NULL
+               ELSE (CAST(sy AS DOUBLE) -
+                 ((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
+                  CAST(sx AS DOUBLE))) / CAST(n AS DOUBLE) END""")
+          .as("intercept"),
+        expr("""CASE WHEN den = 0 OR deny = 0 THEN NULL
+               ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+                 (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END""")
+          .as("r2"))
+      .orderBy("event_type")
+  }
 }

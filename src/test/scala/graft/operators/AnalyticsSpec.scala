@@ -418,4 +418,72 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Option[Long])].collect().toSeq
     assert(out == Seq((2L, 2L, Some(100L * 1000000L))), s"got $out")
   }
+
+  test("abTest: counts match a hand assignment; z composes the same double chain") {
+    // 8 users, conversion bar = 2 purchases
+    val ev = (1L to 8L).flatMap { u =>
+      val purchases = if (u % 3 == 0L) 2L else 1L
+      (1L to purchases).map(i => (u, u * 10 + i, ts(u * 100 + i), "purchase", Some(1.0)))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = Analytics.abTest(ev, minCount = 2L).collect()(0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val armOf = (1L to 8L).map { u =>
+      u -> (if (md5hex(u.toString) <
+        "80000000000000000000000000000000") "A" else "B")
+    }.toMap
+    val conv = (1L to 8L).filter(_ % 3 == 0L).toSet
+    val na = armOf.count(_._2 == "A").toLong
+    val ca = armOf.count { case (u, a) => a == "A" && conv(u) }.toLong
+    val nb = 8L - na
+    val cb = conv.size.toLong - ca
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("conv_a") == ca)
+    assert(r.getAs[Long]("n_b") == nb && r.getAs[Long]("conv_b") == cb)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt((p * (1.0 - p)) * ((1.0 / na) + (1.0 / nb)))
+    assert(r.getAs[Double]("z_score") == z)
+  }
+
+  test("abTest: degenerate pooled rate reports NULL z, never a 0/0") {
+    val ev = (1L to 4L).map(u => (u, u, ts(u), "purchase", Some(1.0)))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    // bar of 1 -> every user converts -> pooled p = 1
+    val all = Analytics.abTest(ev, minCount = 1L).collect()(0)
+    assert(all.isNullAt(all.fieldIndex("z_score")))
+    // bar of 9 -> nobody converts -> pooled p = 0
+    val none = Analytics.abTest(ev, minCount = 9L).collect()(0)
+    assert(none.isNullAt(none.fieldIndex("z_score")))
+  }
+
+  test("dailyTrend: exact line y=2x+300 recovers slope, intercept, r2=1") {
+    // one type, days 0..4 with cents following the line exactly:
+    // value dollars chosen so ROUND(value*100) = 300 + 200*x
+    val ev = (0 to 4).map { d =>
+      (1L, d.toLong + 1L, ts(d.toLong * 86400L + 5L), "view",
+        Some((300 + 200 * d) / 100.0))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = Analytics.dailyTrend(ev).collect()(0)
+    assert(r.getAs[String]("event_type") == "view")
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("slope") == 200.0)
+    assert(r.getAs[Double]("intercept") == 300.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("dailyTrend: single-day and constant-y series degrade to NULLs") {
+    val ev = Seq(
+      (1L, 1L, ts(5L), "view", Some(1.0)),     // one day only
+      (1L, 2L, ts(5L), "click", Some(2.0)),    // constant y across days
+      (1L, 3L, ts(86405L), "click", Some(2.0)))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val rows = Analytics.dailyTrend(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val v = rows("view")
+    assert(v.isNullAt(v.fieldIndex("slope")) && v.isNullAt(v.fieldIndex("r2")))
+    val c = rows("click")
+    assert(c.getAs[Double]("slope") == 0.0, "flat line has slope 0")
+    assert(c.isNullAt(c.fieldIndex("r2")), "constant y has undefined r2")
+  }
 }
