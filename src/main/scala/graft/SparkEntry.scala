@@ -1108,6 +1108,14 @@ object SparkEntry {
       graft.operators.DecisionSupport.nationMargin(
         t(s, dir, "part"), t(s, dir, "supplier"), t(s, dir, "nation"),
         t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // Order→ship delay distribution per priority: exact integer days,
+    // bit-agreeing percentile interpolation.
+    "q_fulfillment" -> ((s, dir) =>
+      graft.operators.DecisionSupport.fulfillmentLatency(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // Supplier-concentration HHI per part from exact quantity shares.
+    "q_supplier_hhi" -> ((s, dir) =>
+      graft.operators.DecisionSupport.supplierHhi(t(s, dir, "lineitem"))),
     // A/B experiment readout: md5-threshold arm split, exact counts,
     // pooled two-proportion z composed only of IEEE-exactly-rounded
     // ops so even the float statistic hash-matches.
@@ -2326,6 +2334,29 @@ object SparkEntry {
         |SELECT okey AS o_orderkey, CAST(rev_sum AS DOUBLE) / 10000 AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM r ORDER BY rev_sum DESC, okey LIMIT 10""".stripMargin,
+
+    "q_fulfillment" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    (epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+        |     epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(min(delay) AS BIGINT) AS min_days,
+        |  quantile_cont(delay, 0.5) AS p50_days,
+        |  quantile_cont(delay, 0.9) AS p90_days,
+        |  CAST(max(delay) AS BIGINT) AS max_days
+        |FROM d GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_supplier_hhi" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qs
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(qs * qs) AS BIGINT) AS sq2, CAST(sum(qs) AS BIGINT) AS sq
+        |  FROM ps GROUP BY 1)
+        |SELECT l_partkey, n_suppliers,
+        |  CAST(sq2 AS DOUBLE) / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) AS hhi
+        |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_nation_margin" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,

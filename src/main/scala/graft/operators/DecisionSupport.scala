@@ -146,4 +146,51 @@ object DecisionSupport {
         col("n_items"))
       .orderBy(col("n_name"), col("o_year"))
   }
+
+  /** Fulfillment-latency distribution: order→ship delay in whole days
+    * (exact integer floor of the µs difference) summarized per order
+    * priority — count / min / p50 / p90 / max. `percentile` over
+    * integer inputs sorts exactly and interpolates in double, so both
+    * engines agree to the last bit (the q_quantiles precedent).
+    *
+    * Plan: one orderkey shuffle join, one 5-key aggregate; the
+    * percentile state is the per-group sorted delay list — bounded by
+    * group size, which at 100 TB argues for the sketch tier
+    * ([[Sketches]]) when priorities are few but groups are billions
+    * of rows; at report granularity this exact form is the oracle. */
+  def fulfillmentLatency(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("__ship_us"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("__ord_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("(__ship_us - __ord_us) div 86400000000L").as("__delay"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("__delay")).as("min_days"),
+        expr("percentile(__delay, 0.5)").as("p50_days"),
+        expr("percentile(__delay, 0.9)").as("p90_days"),
+        max(col("__delay")).as("max_days"))
+      .orderBy("o_orderpriority")
+
+  /** Supplier concentration per part — the Herfindahl–Hirschman index
+    * over quantity shares: HHI = Σqᵢ² / (Σqᵢ)² with qᵢ the exact
+    * integer centi-units each supplier ships of the part. 1/HHI is the
+    * effective supplier count; HHI→1 flags single-sourced parts. Two
+    * chained aggregations (part×supplier, then part), one final
+    * division of exact integers. */
+  def supplierHhi(lineitem: DataFrame): DataFrame = {
+    val qtyCents = expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"), qtyCents.as("q"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum(col("q")).as("qs"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(expr("qs * qs")).as("sq2"), sum(col("qs")).as("sq"))
+      .select(col("l_partkey"), col("n_suppliers"),
+        expr("""CAST(sq2 AS DOUBLE) /
+               (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))""").as("hhi"))
+      .orderBy("l_partkey")
+  }
 }

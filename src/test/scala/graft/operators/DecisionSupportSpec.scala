@@ -209,6 +209,37 @@ class DecisionSupportSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("fulfillmentLatency: hand-computed day delays and percentiles") {
+    val orders = Seq((1L, "1-URGENT", "1996-01-01"), (2L, "1-URGENT", "1996-02-01"))
+      .toDF("o_orderkey", "o_orderpriority", "d")
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(d AS TIMESTAMP_NTZ) AS o_orderdate")
+    // delays: 1, 3, 10 days (and a half-day rides down to the floor)
+    val li = Seq((1L, "1996-01-02 12:00:00"), (1L, "1996-01-04"),
+      (2L, "1996-02-11")).toDF("l_orderkey", "s")
+      .selectExpr("l_orderkey", "CAST(s AS TIMESTAMP_NTZ) AS l_shipdate")
+    val r = DecisionSupport.fulfillmentLatency(orders, li).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 3L)
+    assert(r.getAs[Long]("min_days") == 1L)
+    assert(r.getAs[Double]("p50_days") == 3.0)
+    // p90 over [1,3,10]: rank 0.9*2 = 1.8 -> (1-0.8)*3 + 0.8*10 = 8.6
+    // (the (1-g)*lo + g*hi form both engines interpolate with)
+    assert(r.getAs[Double]("p90_days") == 0.2 * 3.0 + 0.8 * 10.0)
+    assert(r.getAs[Long]("max_days") == 10L)
+  }
+
+  test("supplierHhi: equal shares give 1/n, single source gives 1") {
+    val li = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 5.0), (1L, 3L, 0.0), // equal thirds
+      (2L, 9L, 7.0))                                              // single source
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val got = DecisionSupport.supplierHhi(li).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - 1.0 / 3.0) < 1e-15)
+    assert(got(2L) == ((1L, 1.0)))
+  }
+
   test("nationMargin matches the in-memory exact-integer reference") {
     val f = fixture(11)
     val ordYear = f.ord.map(o => o._1 -> o._3.take(4).toLong).toMap
