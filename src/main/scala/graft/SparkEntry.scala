@@ -1213,6 +1213,15 @@ object SparkEntry {
     // check. The DataFrame-path plan identity is spec-pinned
     // (RegistrySpec); the DuckDB oracle mirrors the budget stage with
     // a rank window, the aggregator's documented equivalence.
+    // SQL parity for the decision-support family: the q_star_join
+    // oracle text IS ANSI-portable (no engine-local functions), so it
+    // runs verbatim through spark.sql — the three-way parity
+    // (DataFrame plan ≡ Spark SQL ≡ DuckDB) the pricing query pins
+    // for the aggregation family, here for the 6-way star join.
+    "q_sql_star" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(StarSql)
+    }),
     "q_sql_curation" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       graft.functions.Registry.register(s)
@@ -1381,6 +1390,28 @@ object SparkEntry {
       |WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.4
       |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  /** The 6-way star join as ONE engine-portable ANSI text — DataFrame
+    * plan (q_star_join), Spark SQL entry (q_sql_star), and the DuckDB
+    * oracle all resolve this same string, so the three surfaces cannot
+    * drift. Money arithmetic in exact integer cents; the timestamp
+    * literals compare against the NTZ parquet columns identically
+    * under the UTC session. */
+  val StarSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   val PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -2302,21 +2333,9 @@ object SparkEntry {
         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM dg GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    "q_star_join" ->
-      """SELECT n_name,
-        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-        |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
-        |  CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_star_join" -> StarSql,
+    // same single text, exercised through the spark.sql entry point
+    "q_sql_star" -> StarSql,
 
     // The top-k frontier ties break on the EXACT integer revenue
     // before the presentation cast, so both engines agree.
