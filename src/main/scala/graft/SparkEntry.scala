@@ -1125,6 +1125,15 @@ object SparkEntry {
     // moments; slope/intercept/R² in one fixed double chain.
     "q_trend" -> ((s, dir) =>
       graft.operators.Analytics.dailyTrend(t(s, dir, "events"))),
+    // Day-aligned lag-1/lag-7 autocorrelation of the daily series —
+    // weekly-seasonality detector from exact integer moments.
+    "q_autocorr" -> ((s, dir) =>
+      graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Robust median/MAD per order status: exact interpolation over
+    // integer cents and exactly-rounded deviations.
+    "q_mad" -> ((s, dir) =>
+      graft.operators.Stats.mad(t(s, dir, "orders"),
+        "o_orderstatus", "o_totalprice")),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -2296,6 +2305,41 @@ object SparkEntry {
         |   ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE)))))
         |  END AS z_score
         |FROM ab""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT l.event_type, k.lag, l.y AS x, r.y AS yl
+        |  FROM d l JOIN (SELECT 1 AS lag UNION ALL SELECT 7) k ON TRUE
+        |  JOIN d r ON l.event_type = r.event_type AND l.day + k.lag = r.day),
+        |m AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yl) AS BIGINT) AS sy,
+        |    CAST(sum(x * yl) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(yl * yl) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |  CASE WHEN n_pairs < 3
+        |  OR n_pairs * sxx - sx * sx = 0
+        |  OR n_pairs * syy - sy * sy = 0 THEN NULL ELSE
+        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |  (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |   sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS acf
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_mad" ->
+      """WITH c AS (SELECT o_orderstatus,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |md AS (SELECT o_orderstatus, quantile_cont(cents, 0.5) AS med
+        |  FROM c GROUP BY 1)
+        |SELECT c.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(med) AS DOUBLE) AS median_cents,
+        |  quantile_cont(abs(CAST(cents AS DOUBLE) - med), 0.5) AS mad_cents
+        |FROM c JOIN md ON c.o_orderstatus = md.o_orderstatus
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_trend" ->
       """WITH d AS (SELECT event_type,

@@ -160,4 +160,65 @@ object Stats {
         max(col("__c")).as("hi_cents"),
         sum(col("__c")).as("sum_cents"))
   }
+
+  /** Day-aligned lag-k autocorrelation of the per-type daily revenue
+    * series: Pearson r between (yₜ, yₜ₊ₖ) from EXACT integer moments
+    * (the [[Analytics.dailyTrend]] discipline — n, Σ, ΣΣ all BIGINT,
+    * then one fixed +,−,×,÷,√ double chain both engines round
+    * identically). Alignment is an equi-join on (type, day+k), so
+    * calendar GAPS pair nothing — a row-lag window would silently
+    * correlate across holes. Lags with <3 pairs or a constant side
+    * report NULL. High lag-7 vs lag-1 flags weekly seasonality. */
+  def autocorr(events: DataFrame, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val cents = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    val daily = events.filter(col("value").isNotNull)
+      .select(col("event_type"), day.as("day"), cents.as("c"))
+      .groupBy("event_type", "day").agg(sum(col("c")).as("y"))
+    val lagDf = lags.foldLeft(Option.empty[DataFrame]) { (acc, k) =>
+      val pairs = daily.as("l")
+        .join(daily.as("r"),
+          col("l.event_type") === col("r.event_type") &&
+            col("l.day") + lit(k.toLong) === col("r.day"))
+        .select(col("l.event_type").as("event_type"), lit(k.toLong).as("lag"),
+          col("l.y").as("x"), col("r.y").as("yl"))
+      Some(acc.fold(pairs)(_.unionByName(pairs)))
+    }.get
+    lagDf.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+        sum(col("yl")).as("sy"), sum(expr("x * yl")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("yl * yl")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr("""CASE WHEN n_pairs < 3
+               OR n_pairs * sxx - sx * sx = 0
+               OR n_pairs * syy - sy * sy = 0 THEN NULL ELSE
+               CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END""")
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Robust location/dispersion per group: exact-interpolated median
+    * and MAD (median absolute deviation from it). The deviation
+    * |cents − median| is one exactly-rounded double subtraction per
+    * row; both engines then sort and interpolate the same doubles, so
+    * the MAD hash-matches like any percentile. The robust pair
+    * survives the heavy tails that make mean/stddev fences useless
+    * (the Tukey-fence flags ride quartiles for the same reason). */
+  def mad(df: DataFrame, groupCol: String, moneyCol: String): DataFrame = {
+    val cents = expr(s"CAST(ROUND($moneyCol * 100) AS BIGINT)")
+    val base = df.select(col(groupCol), cents.as("__c"))
+      .filter(col("__c").isNotNull)
+    val med = base.groupBy(groupCol)
+      .agg(expr("percentile(__c, 0.5)").as("__med"))
+    base.join(broadcast(med), groupCol)
+      .select(col(groupCol), col("__c"), col("__med"),
+        abs(col("__c").cast("double") - col("__med")).as("__dev"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        min(col("__med")).as("median_cents"), // constant within group
+        expr("percentile(__dev, 0.5)").as("mad_cents"))
+      .orderBy(groupCol)
+  }
 }

@@ -335,6 +335,51 @@ class OperatorsSpec extends SparkSpec {
     assert(Stats.histogram(Seq.empty[Double].toDF("o_totalprice")).count() == 0L)
   }
 
+  test("autocorr: perfect lag-1 line gives acf 1, gaps pair nothing, constants NULL") {
+    def ev(rows: Seq[(String, Long, Double)]) =
+      rows.zipWithIndex.map { case ((ty, day, v), i) =>
+        (1L, i.toLong, new java.sql.Timestamp(day * 86400000L + 1000L), ty, Some(v))
+      }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    // strictly increasing line: lag-1 pairs are again a perfect line;
+    // mirror the operator's exact double chain (sqrt·sqrt rounds a
+    // perfect correlation to within one ulp of 1 — deterministically)
+    val line = ev((0L to 5L).map(d => ("view", d, 1.0 + d)))
+    val r1 = Stats.autocorr(line, Seq(1)).collect()(0)
+    assert(r1.getAs[Long]("n_pairs") == 5L)
+    val xs = (0L to 4L).map(d => 100L + 100L * d)
+    val ys = (1L to 5L).map(d => 100L + 100L * d)
+    val (n, sx, sy) = (5L, xs.sum, ys.sum)
+    val (sxy, sxx, syy) = (xs.zip(ys).map { case (a, b) => a * b }.sum,
+      xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+    val expected = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(r1.getAs[Double]("acf") == expected)
+    assert(math.abs(expected - 1.0) < 1e-12)
+    // calendar gap: days 0,1,3,4 -> lag-1 pairs only (0,1) and (3,4)
+    val gap = ev(Seq(("view", 0L, 1.0), ("view", 1L, 2.0),
+      ("view", 3L, 5.0), ("view", 4L, 3.0)))
+    val rg = Stats.autocorr(gap, Seq(1)).collect()(0)
+    assert(rg.getAs[Long]("n_pairs") == 2L, "a day hole must not pair across")
+    assert(rg.isNullAt(rg.fieldIndex("acf")), "n<3 reports NULL")
+    // constant series: zero variance -> NULL
+    val const = ev((0L to 4L).map(d => ("click", d, 7.0)))
+    val rc = Stats.autocorr(const, Seq(1)).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("acf")))
+  }
+
+  test("mad: hand-computed median and deviation median per group") {
+    val orders = Seq(("O", 1.00), ("O", 2.00), ("O", 6.00),
+      ("F", 5.00), ("F", 5.00))
+      .toDF("o_orderstatus", "o_totalprice")
+    val out = Stats.mad(orders, "o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // O: cents 100,200,600 -> med 200; devs 100,0,400 -> mad 100
+    assert(out("O") == ((3L, 200.0, 100.0)))
+    // F: constant -> mad 0
+    assert(out("F") == ((2L, 500.0, 0.0)))
+  }
+
   test("typeTokenRatio: diversity counts, repeated-term collapse") {
     val out = TextOps.typeTokenRatio(docs(
       1L -> "a a b", 2L -> "w x y z", 3L -> "solo"))
