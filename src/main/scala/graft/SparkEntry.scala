@@ -1134,6 +1134,14 @@ object SparkEntry {
     "q_mad" -> ((s, dir) =>
       graft.operators.Stats.mad(t(s, dir, "orders"),
         "o_orderstatus", "o_totalprice")),
+    // Chi-square independence (segment × status): integer-ppm cell
+    // terms via the Long-safe two-step floor, Cramér's V composed.
+    "q_chi2" -> ((s, dir) =>
+      graft.operators.Analytics.chiSquare(
+        t(s, dir, "orders"), t(s, dir, "customer"))),
+    // Exact Gini over per-customer revenue via the two-phase rank.
+    "q_gini" -> ((s, dir) =>
+      graft.operators.Analytics.giniRevenue(t(s, dir, "orders"))),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -2305,6 +2313,41 @@ object SparkEntry {
         |   ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE)))))
         |  END AS z_score
         |FROM ab""".stripMargin,
+
+    "q_chi2" ->
+      """WITH cells AS (SELECT c_mktsegment, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |rr AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cc AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nc FROM cells),
+        |k AS (SELECT nr, nc, n,
+        |    (o * n - r * c) * (o * n - r * c) AS num, n * r * c AS den
+        |  FROM cells JOIN rr USING (c_mktsegment) JOIN cc USING (o_orderstatus), t),
+        |s AS (SELECT nr, nc, n,
+        |    CAST(sum((num // den) * 1000000 + ((num % den) * 1000000) // den) AS BIGINT) AS chi2_ppm
+        |  FROM k GROUP BY 1, 2, 3)
+        |SELECT n AS n_orders, (nr - 1) * (nc - 1) AS dof, chi2_ppm,
+        |  sqrt((CAST(chi2_ppm AS DOUBLE) / 1000000.0) /
+        |    (CAST(n AS DOUBLE) *
+        |     CAST(CASE WHEN nr - 1 < nc - 1 THEN nr - 1 ELSE nc - 1 END AS DOUBLE))) AS cramers_v
+        |FROM s""".stripMargin,
+
+    "q_gini" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) - 1 AS rnk FROM pc),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total,
+        |    CAST(sum((rnk + 1) * cents) AS BIGINT) AS iy FROM rk)
+        |SELECT n AS n_customers, total AS total_cents,
+        |  CASE WHEN n < 2 OR total = 0 THEN NULL ELSE
+        |  ((2.0 * CAST(iy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))) -
+        |  (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) END AS gini
+        |FROM m""".stripMargin,
 
     "q_autocorr" ->
       """WITH d AS (SELECT event_type,

@@ -837,6 +837,69 @@ object Analytics {
         .as("z_score"))
   }
 
+  /** Chi-square test of independence over the segment × order-status
+    * contingency table (orders ⋈ customer), with each cell's
+    * (O−E)²/E contribution carried in EXACT integer parts-per-million:
+    * term = (o·N − r·c)² / (N·r·c) in the Long-safe two-step floor
+    * form `(num div den)·10⁶ + ((num mod den)·10⁶) div den` (the
+    * [[basketRules]] lift discipline — a double Σ over cells would be
+    * partition-order-dependent; an integer Σ is exact and
+    * engine-identical). Cramér's V then composes from the ppm value
+    * through one fixed ÷,√ double chain. */
+  def chiSquare(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val cells = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("c_mktsegment").agg(sum(col("o")).as("r"))
+    val colsT = cells.groupBy("o_orderstatus").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count(lit(1)).as("n_cells"),
+      countDistinct(col("c_mktsegment")).as("nr"),
+      countDistinct(col("o_orderstatus")).as("nc"))
+    cells
+      .join(broadcast(rows), "c_mktsegment")
+      .join(broadcast(colsT), "o_orderstatus")
+      .crossJoin(broadcast(tot))
+      .select(col("nr"), col("nc"), col("n"),
+        expr("(o * n - r * c) * (o * n - r * c)").as("num"),
+        expr("n * r * c").as("den"))
+      .groupBy(col("nr"), col("nc"), col("n"))
+      .agg(sum(expr(
+        "(num div den) * 1000000L + ((num % den) * 1000000L) div den"))
+        .as("chi2_ppm"))
+      .select(col("n").as("n_orders"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
+        col("chi2_ppm"),
+        expr("""sqrt((CAST(chi2_ppm AS DOUBLE) / 1000000.0) /
+               (CAST(n AS DOUBLE) *
+                CAST(CASE WHEN nr - 1 < nc - 1 THEN nr - 1 ELSE nc - 1 END
+                  AS DOUBLE)))""").as("cramers_v"))
+  }
+
+  /** Exact Gini coefficient of per-customer revenue — the single-number
+    * summary over [[revenueConcentration]]'s decile view: ascending
+    * exact ranks from the two-phase range-exchange rank ([[Ids
+    * .assignIds]] — never a single-task global sort), Σ(rank+1)·centsᵢ
+    * as one exact BIGINT, then the standard
+    * G = 2·Σi·y₍ᵢ₎ / (n·Σy) − (n+1)/n in a fixed double chain. */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val ranked = graft.operators.Ids.assignIds(perCust,
+      Seq(col("cents"), col("o_custkey")), "__rank")
+    ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
+        sum(expr("(__rank + 1) * cents")).as("iy"))
+      .select(col("n").as("n_customers"), col("total").as("total_cents"),
+        expr("""CASE WHEN n < 2 OR total = 0 THEN NULL ELSE
+               ((2.0 * CAST(iy AS DOUBLE)) /
+                (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))) -
+               (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) END""")
+          .as("gini"))
+  }
+
   /** Per-event-type OLS trend over the daily revenue series: slope /
     * intercept / R² from EXACT integer moments (n, Σx, Σy, Σxy, Σx²,
     * Σy² — x the day offset from each type's first active day, y the

@@ -457,6 +457,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(none.isNullAt(none.fieldIndex("z_score")))
   }
 
+  test("chiSquare: hand 2x2 table in exact ppm; independent table reads 0") {
+    def fixture(counts: Seq[(String, String, Int)]) = {
+      val custs = counts.zipWithIndex.map { case ((seg, _, _), i) =>
+        (i.toLong + 1L, seg) }
+      val orders = counts.zipWithIndex.flatMap { case ((_, st, k), i) =>
+        (1 to k).map(j => (i.toLong * 100 + j, i.toLong + 1L, st)) }
+      (orders.toDF("o_orderkey", "o_custkey", "o_orderstatus"),
+        custs.toDF("c_custkey", "c_mktsegment"))
+    }
+    // cells: (A,O)=10 (A,F)=20 (B,O)=30 (B,F)=40 -> N=100
+    val (o1, c1) = fixture(Seq(("A", "O", 10), ("A", "F", 20),
+      ("B", "O", 30), ("B", "F", 40)))
+    val r = Analytics.chiSquare(o1, c1).collect()(0)
+    assert(r.getAs[Long]("n_orders") == 100L && r.getAs[Long]("dof") == 1L)
+    // per cell: num = (o*N - r*c)^2, den = N*r*c; terms in floor-ppm
+    val cells = Seq((10L, 30L, 40L), (20L, 30L, 60L),
+      (30L, 70L, 40L), (40L, 70L, 60L))
+    val expPpm = cells.map { case (o, rr, cc) =>
+      val num = (o * 100L - rr * cc) * (o * 100L - rr * cc)
+      val den = 100L * rr * cc
+      (num / den) * 1000000L + ((num % den) * 1000000L) / den
+    }.sum
+    assert(r.getAs[Long]("chi2_ppm") == expPpm)
+    // perfectly independent table: every term exactly 0
+    val (o2, c2) = fixture(Seq(("A", "O", 10), ("A", "F", 10),
+      ("B", "O", 20), ("B", "F", 20)))
+    assert(Analytics.chiSquare(o2, c2).collect()(0)
+      .getAs[Long]("chi2_ppm") == 0L)
+  }
+
+  test("giniRevenue: equal spend reads 0, total concentration reads (n-1)/n") {
+    def orders(cents: Seq[Long]) = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong + 1L, i.toLong + 1L, c / 100.0) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val eq = Analytics.giniRevenue(orders(Seq(500L, 500L, 500L, 500L)))
+      .collect()(0)
+    assert(eq.getAs[Double]("gini") == 0.0)
+    val conc = Analytics.giniRevenue(orders(Seq(0L, 0L, 0L, 1000L)))
+      .collect()(0)
+    // all mass at the top: G = 2*4*1000/(4*1000) - 5/4 = 0.75
+    assert(conc.getAs[Double]("gini") == 0.75)
+    val one = Analytics.giniRevenue(orders(Seq(700L))).collect()(0)
+    assert(one.isNullAt(one.fieldIndex("gini")), "n<2 undefined")
+  }
+
   test("dailyTrend: exact line y=2x+300 recovers slope, intercept, r2=1") {
     // one type, days 0..4 with cents following the line exactly:
     // value dollars chosen so ROUND(value*100) = 300 + 200*x
