@@ -2324,10 +2324,11 @@ object SparkEntry {
         |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nr,
         |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nc FROM cells),
         |k AS (SELECT nr, nc, n,
-        |    (o * n - r * c) * (o * n - r * c) AS num, n * r * c AS den
+        |    o * n - r * c AS d, n * r * c AS den
         |  FROM cells JOIN rr USING (c_mktsegment) JOIN cc USING (o_orderstatus), t),
         |s AS (SELECT nr, nc, n,
-        |    CAST(sum((num // den) * 1000000 + ((num % den) * 1000000) // den) AS BIGINT) AS chi2_ppm
+        |    CAST(sum(CAST((CAST(d AS HUGEINT) * CAST(d AS HUGEINT) * 1000000)
+        |      // CAST(den AS HUGEINT) AS BIGINT)) AS BIGINT) AS chi2_ppm
         |  FROM k GROUP BY 1, 2, 3)
         |SELECT n AS n_orders, (nr - 1) * (nc - 1) AS dof, chi2_ppm,
         |  sqrt((CAST(chi2_ppm AS DOUBLE) / 1000000.0) /

@@ -840,12 +840,13 @@ object Analytics {
   /** Chi-square test of independence over the segment × order-status
     * contingency table (orders ⋈ customer), with each cell's
     * (O−E)²/E contribution carried in EXACT integer parts-per-million:
-    * term = (o·N − r·c)² / (N·r·c) in the Long-safe two-step floor
-    * form `(num div den)·10⁶ + ((num mod den)·10⁶) div den` (the
-    * [[basketRules]] lift discipline — a double Σ over cells would be
+    * term = ⌊(o·N − r·c)²·10⁶ / (N·r·c)⌋ with the square taken in
+    * DECIMAL(38,0) (HUGEINT on the oracle side) because d² leaves
+    * BIGINT at fact scale — a double Σ over cells would be
     * partition-order-dependent; an integer Σ is exact and
-    * engine-identical). Cramér's V then composes from the ppm value
-    * through one fixed ÷,√ double chain. */
+    * engine-identical (the [[basketRules]] integer-ppm discipline).
+    * Cramér's V then composes from the ppm value through one fixed
+    * ÷,√ double chain. */
   def chiSquare(orders: DataFrame, customer: DataFrame): DataFrame = {
     val cells = orders
       .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
@@ -863,11 +864,17 @@ object Analytics {
       .join(broadcast(colsT), "o_orderstatus")
       .crossJoin(broadcast(tot))
       .select(col("nr"), col("nc"), col("n"),
-        expr("(o * n - r * c) * (o * n - r * c)").as("num"),
+        // d = o·N − r·c stays in BIGINT; its square does NOT at scale
+        // (150k orders already push d² past 2⁶³), so the squaring and
+        // the ppm scaling run in exact DECIMAL(38,0) — 8·10¹⁹·10⁶ has
+        // 26 digits, nowhere near the 38-digit ceiling — and the floor
+        // division returns to BIGINT (DuckDB mirrors via HUGEINT)
+        expr("o * n - r * c").as("d"),
         expr("n * r * c").as("den"))
       .groupBy(col("nr"), col("nc"), col("n"))
       .agg(sum(expr(
-        "(num div den) * 1000000L + ((num % den) * 1000000L) div den"))
+        """CAST((CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) * 1000000)
+          div CAST(den AS DECIMAL(38,0)) AS BIGINT)"""))
         .as("chi2_ppm"))
       .select(col("n").as("n_orders"),
         ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
