@@ -1142,6 +1142,10 @@ object SparkEntry {
     // Exact Gini over per-customer revenue via the two-phase rank.
     "q_gini" -> ((s, dir) =>
       graft.operators.Analytics.giniRevenue(t(s, dir, "orders"))),
+    // Two-sample KS drift between stream halves: exact integer ECDF
+    // cross-products through the distributed prefix-sum, one division.
+    "q_ks_drift" -> ((s, dir) =>
+      graft.operators.Stats.ksDrift(t(s, dir, "events"))),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -2372,6 +2376,28 @@ object SparkEntry {
         |  (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |   sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS acf
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |bb AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+        |s AS (SELECT c,
+        |    CASE WHEN day < (lo + hi + 1) // 2 THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN day < (lo + hi + 1) // 2 THEN 0 ELSE 1 END AS s2
+        |  FROM b, bb),
+        |pv AS (SELECT c, CAST(sum(s1) AS BIGINT) AS n1,
+        |    CAST(sum(s2) AS BIGINT) AS n2 FROM s GROUP BY 1),
+        |cm AS (SELECT c, CAST(sum(n1) OVER (ORDER BY c) AS BIGINT) AS cum1,
+        |    CAST(sum(n2) OVER (ORDER BY c) AS BIGINT) AS cum2 FROM pv),
+        |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+        |    CAST(sum(n2) AS BIGINT) AS t2 FROM pv),
+        |d AS (SELECT c, abs(cum1 * t2 - cum2 * t1) AS dnum FROM cm, t),
+        |mx AS (SELECT max(dnum) AS m FROM d),
+        |am AS (SELECT min(c) AS atc FROM d, mx WHERE dnum = m)
+        |SELECT t1 AS n1, t2 AS n2, m AS d_num, atc AS at_cents,
+        |  CAST(m AS DOUBLE) / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS ks
+        |FROM t, mx, am""".stripMargin,
 
     "q_mad" ->
       """WITH c AS (SELECT o_orderstatus,

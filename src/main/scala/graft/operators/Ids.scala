@@ -66,6 +66,53 @@ object Ids {
     df.withColumn(idCol,
       row_number().over(Window.orderBy(keys: _*)) - lit(1))
 
+  /** Exact inclusive prefix sums of `sumCols` in global `keys` order —
+    * [[assignIds]]'s two-phase discipline generalized from counting to
+    * summing: range exchange on the keys, a per-partition running-sum
+    * window (bounded state — each window group is one ~N/parts
+    * partition, never the corpus), then per-partition TOTAL offsets
+    * (O(parts) rows through the driver) added back. Output equals the
+    * single-reducer `SUM() OVER (ORDER BY keys ROWS UNBOUNDED
+    * PRECEDING .. CURRENT ROW)` exactly (spec-pinned), independent of
+    * where the sampled range boundaries fall; `keys` must be a total
+    * order. This is the distributed ECDF/cumulative-distribution
+    * primitive — anything shaped "running total over a sorted axis"
+    * (CDF counts, cumulative revenue, Lorenz curves, KS statistics)
+    * rides it instead of a global window. */
+  def prefixSums(df: DataFrame, keys: Seq[Column],
+                 sumCols: Seq[String], parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialize before the offsets collect — re-executed lineage
+    // RESAMPLES range boundaries (see assignIds) and the offsets
+    // would then disagree with the local sums
+    val local = sumCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"_run_$c", sum(col(c)).over(w))
+    }.localCheckpoint()
+    val totals = local.groupBy(col("_pid"))
+      .agg(sum(col(sumCols.head)).as(s"_t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"_t_$c")): _*)
+    val totalRows = totals.collect().sortBy(_.getInt(0))
+    val offsets = totalRows.scanLeft(
+      (0, sumCols.map(_ => 0L))) { case ((_, acc), row) =>
+      (row.getInt(0) + 1,
+        acc.zipWithIndex.map { case (a, i) => a + row.getLong(i + 1) })
+    }.init.map { case (pid, accs) => Seq(pid) ++ accs }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val offsetDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsets.map(s => Row.fromSeq(s)): _*),
+      StructType(StructField("_pid", IntegerType) +:
+        sumCols.map(c => StructField(s"_off_$c", LongType))))
+    val joined = local.join(broadcast(offsetDf), "_pid")
+    sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"cum_$c", col(s"_off_$c") + col(s"_run_$c"))
+        .drop(s"_run_$c", s"_off_$c")
+    }.drop("_pid")
+  }
+
   /** Balanced shard assignment — split the corpus into `nShards`
     * output shards with near-equal token mass (the training-data
     * "write N balanced files" step; naive hash sharding leaves the

@@ -199,6 +199,45 @@ object Stats {
       .orderBy("event_type", "lag")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the first
+    * and second half of the event stream (split at the integer
+    * midpoint day): D = max over the value axis of |F₁ − F₂|, carried
+    * EXACTLY as max |cum₁·n₂ − cum₂·n₁| over integer cumulative
+    * counts — the ECDFs never materialize as doubles, so the argmax
+    * and the numerator are engine-identical; one final division
+    * presents D. The cumulative counts ride [[Ids.prefixSums]] (range
+    * exchange + bounded per-partition scan — never a single-reducer
+    * window over the value axis, which is data-sized). Ties in the
+    * max break toward the smallest value via the max-struct idiom.
+    * This is the distribution-drift monitor for a money/metric column
+    * — the numeric twin of the hashed-bigram [[TextOps.corpusDrift]]. */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val cents = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    val base = events.filter(col("value").isNotNull)
+      .select(day.as("day"), cents.as("c"))
+    val bounds = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val sided = base.crossJoin(broadcast(bounds))
+      .select(col("c"),
+        when(col("day") < expr("(lo + hi + 1) div 2"), 1L)
+          .otherwise(0L).as("s1"),
+        when(col("day") < expr("(lo + hi + 1) div 2"), 0L)
+          .otherwise(1L).as("s2"))
+    val perVal = sided.groupBy("c")
+      .agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    val cum = Ids.prefixSums(perVal, Seq(col("c")), Seq("n1", "n2"))
+    val tot = perVal.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"),
+        expr("abs(cum_n1 * t2 - cum_n2 * t1)").as("dnum"), col("c"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(max(struct(col("dnum"), (-col("c")).as("negc"))).as("m"))
+      .select(col("t1").as("n1"), col("t2").as("n2"),
+        col("m.dnum").as("d_num"), (-col("m.negc")).as("at_cents"),
+        expr("""CAST(m.dnum AS DOUBLE) /
+               (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))""").as("ks"))
+  }
+
   /** Robust location/dispersion per group: exact-interpolated median
     * and MAD (median absolute deviation from it). The deviation
     * |cents − median| is one exactly-rounded double subtraction per

@@ -114,4 +114,26 @@ class IdsSpec extends SparkSpec {
       assert(fast == ref, s"k=$k")
     }
   }
+
+  test("prefixSums == single-window running totals, reshuffle-proof, multi-col") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 400).map(i =>
+      (i.toLong * 13 % 97, i.toLong % 5, i.toLong * 3 % 11))
+      .toDF("k", "a", "b").withColumn("uniq", monotonically_increasing_id())
+    val keys = Seq(col("k"), col("uniq"))
+    val fast = Ids.prefixSums(df, keys, Seq("a", "b"), parts = 7)
+      .select("uniq", "cum_a", "cum_b").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val w = Window.orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .select("uniq", "ca", "cb").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fast == ref)
+    val again = Ids.prefixSums(df.repartition(9), keys, Seq("a", "b"), parts = 4)
+      .select("uniq", "cum_a", "cum_b").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == ref, "partitioning must not change the running totals")
+  }
 }

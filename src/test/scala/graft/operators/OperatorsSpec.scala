@@ -368,6 +368,37 @@ class OperatorsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("acf")))
   }
 
+  test("ksDrift: identical halves read D=0; disjoint supports read D=n1*n2") {
+    def ev(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map { case ((day, v), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(day * 86400000L + 1000L), "view", Some(v))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    // days 0,1 vs 2,3 (mid = 2): same value multiset on both sides
+    val same = Stats.ksDrift(ev(Seq((0L, 1.0), (1L, 2.0), (2L, 1.0), (3L, 2.0))))
+      .collect()(0)
+    assert(same.getAs[Long]("n1") == 2L && same.getAs[Long]("n2") == 2L)
+    assert(same.getAs[Long]("d_num") == 0L && same.getAs[Double]("ks") == 0.0)
+    // disjoint supports: all side-1 values below all side-2 values
+    val dis = Stats.ksDrift(ev(Seq((0L, 1.0), (1L, 2.0), (2L, 9.0), (3L, 8.0))))
+      .collect()(0)
+    assert(dis.getAs[Long]("d_num") == 4L, "full separation: |2*2 - 0*2| = 4")
+    assert(dis.getAs[Double]("ks") == 1.0)
+    // argmax lands at the crossing point: the largest side-1 value
+    assert(dis.getAs[Long]("at_cents") == 200L)
+  }
+
+  test("ksDrift: hand-computed partial drift with ties across sides") {
+    def ev(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map { case ((day, v), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(day * 86400000L + 1000L), "view", Some(v))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    // side1 (days 0-1): cents 100,100,300 ; side2 (days 2-3): 100,300,300
+    val r = Stats.ksDrift(ev(Seq((0L, 1.0), (0L, 1.0), (1L, 3.0),
+      (2L, 1.0), (3L, 3.0), (3L, 3.0)))).collect()(0)
+    // at c=100: |2*3 - 1*3| = 3 ; at c=300: |3*3 - 3*3| = 0 -> D=3 at 100
+    assert(r.getAs[Long]("d_num") == 3L)
+    assert(r.getAs[Long]("at_cents") == 100L)
+    assert(r.getAs[Double]("ks") == 3.0 / 9.0)
+  }
+
   test("mad: hand-computed median and deviation median per group") {
     val orders = Seq(("O", 1.00), ("O", 2.00), ("O", 6.00),
       ("F", 5.00), ("F", 5.00))
