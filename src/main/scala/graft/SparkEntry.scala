@@ -1146,6 +1146,10 @@ object SparkEntry {
     // cross-products through the distributed prefix-sum, one division.
     "q_ks_drift" -> ((s, dir) =>
       graft.operators.Stats.ksDrift(t(s, dir, "events"))),
+    // Mann-Whitney U between the same halves: exact doubled midranks,
+    // tie-corrected normal z in one fixed chain.
+    "q_mannwhitney" -> ((s, dir) =>
+      graft.operators.Stats.mannWhitney(t(s, dir, "events"))),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -2398,6 +2402,40 @@ object SparkEntry {
         |SELECT t1 AS n1, t2 AS n2, m AS d_num, atc AS at_cents,
         |  CAST(m AS DOUBLE) / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS ks
         |FROM t, mx, am""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |bb AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+        |s AS (SELECT c,
+        |    CASE WHEN day < (lo + hi + 1) // 2 THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN day < (lo + hi + 1) // 2 THEN 0 ELSE 1 END AS s2
+        |  FROM b, bb),
+        |pv AS (SELECT c, CAST(sum(s1) AS BIGINT) AS n1,
+        |    CAST(sum(s2) AS BIGINT) AS n2,
+        |    CAST(sum(s1) + sum(s2) AS BIGINT) AS t FROM s GROUP BY 1),
+        |cm AS (SELECT c, n1, n2, t,
+        |    CAST(sum(t) OVER (ORDER BY c) AS BIGINT) AS cum_t FROM pv),
+        |m AS (SELECT CAST(sum(n1) AS BIGINT) AS na, CAST(sum(n2) AS BIGINT) AS nb,
+        |    CAST(sum(n1 * (2 * (cum_t - t) + t + 1)) AS BIGINT) AS r1_2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM cm)
+        |SELECT na AS n1, nb AS n2, r1_2 - na * (na + 1) AS u1_2, ties,
+        |  CASE WHEN na = 0 OR nb = 0
+        |  OR (na + nb) < 2
+        |  OR CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) *
+        |     ((CAST(na + nb + 1 AS DOUBLE)) -
+        |      (CAST(ties AS DOUBLE) /
+        |       (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))) = 0.0
+        |  THEN NULL ELSE
+        |  ((CAST(r1_2 - na * (na + 1) AS DOUBLE) / 2.0) -
+        |   ((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 2.0)) /
+        |  sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
+        |    ((CAST(na + nb + 1 AS DOUBLE)) -
+        |     (CAST(ties AS DOUBLE) /
+        |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
+        |  END AS z_score
+        |FROM m""".stripMargin,
 
     "q_mad" ->
       """WITH c AS (SELECT o_orderstatus,

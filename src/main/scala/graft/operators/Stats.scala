@@ -238,6 +238,59 @@ object Stats {
                (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))""").as("ks"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the same stream
+    * halves [[ksDrift]] splits — the nonparametric location test next
+    * to [[graft.operators.Analytics.abTest]]'s proportion z. Midranks
+    * stay EXACT by doubling: for a value with `c` occurrences after
+    * cumulative count `C`, doubled-midrank = 2C + c + 1, so the
+    * rank-sum R₁ and U₁ = R₁ − n₁(n₁+1)/2 are exact integers (doubled
+    * throughout, halved only in the final double chain). The normal
+    * approximation applies the standard tie correction
+    * σ² = n₁n₂/12·[(N+1) − Σ(t³−t)/(N(N−1))] from exact integer tie
+    * moments — the whole statistic composes in one fixed
+    * +,−,×,÷,√ chain. Cumulative counts ride [[Ids.prefixSums]]. */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val cents = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    val base = events.filter(col("value").isNotNull)
+      .select(day.as("day"), cents.as("c"))
+    val bounds = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val sided = base.crossJoin(broadcast(bounds))
+      .select(col("c"),
+        when(col("day") < expr("(lo + hi + 1) div 2"), 1L)
+          .otherwise(0L).as("s1"),
+        when(col("day") < expr("(lo + hi + 1) div 2"), 0L)
+          .otherwise(1L).as("s2"))
+    val perVal = sided.groupBy("c")
+      .agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+      .withColumn("t", col("n1") + col("n2"))
+    val cum = Ids.prefixSums(perVal, Seq(col("c")), Seq("t"))
+    // doubled midrank of value v: 2*(cum_t - t) + t + 1
+    cum.select(col("n1"), col("n2"), col("t"),
+        expr("2L * (cum_t - t) + t + 1L").as("mr2"))
+      .agg(sum(col("n1")).as("na"), sum(col("n2")).as("nb"),
+        sum(expr("n1 * mr2")).as("r1_2"),
+        sum(expr("t * t * t - t")).as("ties"))
+      .select(col("na").as("n1"), col("nb").as("n2"),
+        // U1 doubled: R1_2 − n1(n1+1)
+        (col("r1_2") - col("na") * (col("na") + 1L)).as("u1_2"),
+        col("ties"),
+        expr("""CASE WHEN na = 0 OR nb = 0
+               OR (na + nb) < 2
+               OR CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) *
+                  ((CAST(na + nb + 1 AS DOUBLE)) -
+                   (CAST(ties AS DOUBLE) /
+                    (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))) = 0.0
+               THEN NULL ELSE
+               ((CAST(r1_2 - na * (na + 1) AS DOUBLE) / 2.0) -
+                ((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 2.0)) /
+               sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
+                 ((CAST(na + nb + 1 AS DOUBLE)) -
+                  (CAST(ties AS DOUBLE) /
+                   (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
+               END""").as("z_score"))
+  }
+
   /** Robust location/dispersion per group: exact-interpolated median
     * and MAD (median absolute deviation from it). The deviation
     * |cents − median| is one exactly-rounded double subtraction per

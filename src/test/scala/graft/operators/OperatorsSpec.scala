@@ -399,6 +399,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("ks") == 3.0 / 9.0)
   }
 
+  test("mannWhitney: hand ranks with ties; all-tied variance reads NULL") {
+    def ev(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map { case ((day, v), i) =>
+      (1L, i.toLong, new java.sql.Timestamp(day * 86400000L + 1000L), "view", Some(v))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    // side1 (days 0,1): 1.0, 2.0 ; side2 (days 2,3): 2.0, 4.0
+    // combined ranks: 100->1, 200->midrank 2.5 (x2), 400->4
+    // R1 = 1 + 2.5 = 3.5 -> r1_2 = 7, u1_2 = 7 - 2*3 = 1 -> U1 = 0.5
+    val r = Stats.mannWhitney(ev(Seq((0L, 1.0), (1L, 2.0),
+      (2L, 2.0), (3L, 4.0)))).collect()(0)
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("u1_2") == 1L)
+    assert(r.getAs[Long]("ties") == 6L, "one pair tied: 2^3-2")
+    // mirror the operator's exact double chain
+    val (na, nb, ties) = (2.0, 2.0, 6.0)
+    val z = ((1.0 / 2.0) - (na * nb / 2.0)) /
+      math.sqrt((na * nb / 12.0) *
+        ((na + nb + 1.0) - (ties / ((na + nb) * (na + nb - 1.0)))))
+    assert(r.getAs[Double]("z_score") == z)
+    // every observation identical: tie term kills the variance -> NULL
+    val allTied = Stats.mannWhitney(ev(Seq((0L, 5.0), (1L, 5.0),
+      (2L, 5.0), (3L, 5.0)))).collect()(0)
+    assert(allTied.isNullAt(allTied.fieldIndex("z_score")))
+  }
+
   test("mad: hand-computed median and deviation median per group") {
     val orders = Seq(("O", 1.00), ("O", 2.00), ("O", 6.00),
       ("F", 5.00), ("F", 5.00))
