@@ -1150,6 +1150,10 @@ object SparkEntry {
     // tie-corrected normal z in one fixed chain.
     "q_mannwhitney" -> ((s, dir) =>
       graft.operators.Stats.mannWhitney(t(s, dir, "events"))),
+    // Cluster-separation audit: exact micro^2 centroid distances vs
+    // within-class scatter, separability in integer ppm.
+    "q_centroid_separation" -> ((s, dir) =>
+      graft.operators.Similarity.centroidSeparation(t(s, dir, "embeddings"))),
     // RFM customer segmentation: quintile scores over total orders,
     // integer recency/cents, composed segment code.
     "q_rfm" -> ((s, dir) =>
@@ -3006,6 +3010,40 @@ object SparkEntry {
         |SELECT label, dim, n_vectors,
         |  CAST(((s + 1000000 * n_vectors) // n_vectors) - 1000000 AS BIGINT) AS mean_micro
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Centroid chain verbatim, then exact micro^2 pair distances,
+    // per-vector scatter, and the DECIMAL-scaled ppm ratio.
+    "q_centroid_separation" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS dim FROM embeddings),
+        |m AS (SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n_vectors,
+        |    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT label, dim,
+        |    CAST(((s + 1000000 * n_vectors) // n_vectors) - 1000000 AS BIGINT) AS mean_micro
+        |  FROM m),
+        |bt AS (SELECT x.label AS label_a, y.label AS label_b,
+        |    CAST(sum((x.mean_micro - y.mean_micro) * (x.mean_micro - y.mean_micro)) AS BIGINT) AS between_micro2
+        |  FROM c x JOIN c y ON x.dim = y.dim AND x.label < y.label
+        |  GROUP BY 1, 2),
+        |w AS (SELECT e2.label, CAST(sum((e2.vm - c.mean_micro) * (e2.vm - c.mean_micro)) AS BIGINT) AS s2,
+        |    CAST(count(*) // 64 AS BIGINT) AS nv
+        |  FROM (SELECT CAST(label AS BIGINT) AS label,
+        |      CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vm
+        |    FROM embeddings) e2
+        |  JOIN c ON e2.label = c.label AND e2.dim = c.dim
+        |  GROUP BY 1)
+        |SELECT bt.label_a, bt.label_b, bt.between_micro2,
+        |  (wa.s2 + wb.s2) // (wa.nv + wb.nv) AS within_micro2,
+        |  CASE WHEN (wa.s2 + wb.s2) // (wa.nv + wb.nv) = 0 THEN NULL ELSE
+        |  CAST((CAST(bt.between_micro2 AS HUGEINT) * 1000000)
+        |    // CAST((wa.s2 + wb.s2) // (wa.nv + wb.nv) AS HUGEINT) AS BIGINT)
+        |  END AS separability_ppm
+        |FROM bt JOIN w wa ON bt.label_a = wa.label
+        |JOIN w wb ON bt.label_b = wb.label
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Centroid chain verbatim, then pure-integer micro^2 inner
     // products and a (score desc, label) argmax.

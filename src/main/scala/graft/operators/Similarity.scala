@@ -427,6 +427,63 @@ object Similarity {
         expr("((__s + 1000000L * n_vectors) div n_vectors) - 1000000L")
           .as("mean_micro"))
 
+  /** Cluster-separation report over [[labelCentroids]]: exact squared
+    * L2 distance between every centroid pair (a < b) in integer
+    * micro² units, plus each pair's within-class scatter (mean squared
+    * vector→centroid distance of the two classes, same units, one
+    * rounded division) — a Fisher-style separability audit: pairs
+    * whose between-distance is small against their within-scatter are
+    * the confusable classes [[centroidClassify]] will mix up.
+    *
+    * Everything is Long arithmetic on micro-quantized components
+    * (the [[labelCentroids]] discipline): |diff| ≤ 2·10⁶ per dim,
+    * squared ≤ 4·10¹², ×64 dims ≤ 2.6·10¹⁴ — no IEEE accumulation
+    * anywhere. The centroid table is labels×dims rows (broadcast by
+    * construction); the pair matrix is C(labels,2) rows. */
+  def centroidSeparation(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val cents = labelCentroids(embeddings)
+    val between = cents.as("x").join(cents.as("y"),
+        col("x.dim") === col("y.dim") && col("x.label") < col("y.label"))
+      .select(col("x.label").as("label_a"), col("y.label").as("label_b"),
+        expr("(x.mean_micro - y.mean_micro) * (x.mean_micro - y.mean_micro)")
+          .as("d2"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("d2")).as("between_micro2"))
+    // within-class scatter: mean ||v - centroid||² per label
+    val within = embeddings
+      .select(col("label").cast("bigint").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"),
+        expr("CAST(floor(v * 1e6) AS BIGINT)").as("vm"))
+      .join(broadcast(cents), Seq("label", "dim"))
+      .select(col("label"),
+        expr("(vm - mean_micro) * (vm - mean_micro)").as("d2"))
+      .groupBy("label")
+      // nd counts (vector, dim) rows — divide the dims back out so the
+      // scatter denominator is VECTORS (keeps every product safely
+      // inside BIGINT; multiplying s2 by dims instead can leave it)
+      .agg(sum(col("d2")).as("s2"),
+        expr(s"count(1) div $dims").as("nv"))
+    between
+      .join(broadcast(within.select(col("label").as("label_a"),
+        col("s2").as("sa"), col("nv").as("nva"))), "label_a")
+      .join(broadcast(within.select(col("label").as("label_b"),
+        col("s2").as("sb"), col("nv").as("nvb"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("between_micro2"),
+        // within scatter of the pair: summed d2 per VECTOR of the two
+        // classes — one floor division of exact integers
+        expr("(sa + sb) div (nva + nvb)").as("within_micro2"),
+        // separability in integer ppm — scaled in DECIMAL(38,0) (the
+        // chiSquare discipline; micro² magnitudes leave BIGINT when
+        // multiplied by 10⁶), floor division back to BIGINT
+        expr("""CASE WHEN (sa + sb) div (nva + nvb) = 0 THEN NULL ELSE
+               CAST((CAST(between_micro2 AS DECIMAL(38,0)) * 1000000)
+                 div CAST((sa + sb) div (nva + nvb) AS DECIMAL(38,0)) AS BIGINT)
+               END""")
+          .as("separability_ppm"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Nearest-class-mean prediction over [[labelCentroids]] — the
     * Rocchio / prototype classifier that pairs with [[knnClassify]]
     * (O(labels) per vector instead of O(corpus); the standard cheap

@@ -926,6 +926,25 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("centroidSeparation: hand micro^2 distances, scatter, ppm ratio") {
+    // same dyadic fixture, dims=2: centroids L0=(0.5,-0.5), L1=(1.0,0.5)
+    val e = Seq(
+      (1L, Array(0.25f, -0.25f), 0),
+      (2L, Array(0.75f, -0.75f), 0),
+      (3L, Array(1.0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidSeparation(e, dims = 2).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    // between = (500000-1000000)^2 + (-500000-500000)^2 = 1.25e12
+    assert(r.getAs[Long]("between_micro2") == 1250000000000L)
+    // label-0 scatter: each vector sits 250000 off per dim ->
+    // 4 * 250000^2 = 2.5e11; label-1 scatter 0; per-vector = 2.5e11/3
+    val within = 250000000000L / 3L
+    assert(r.getAs[Long]("within_micro2") == within)
+    assert(r.getAs[Long]("separability_ppm") ==
+      (BigInt(1250000000000L) * 1000000 / within).toLong)
+  }
+
   test("centroidClassify: separable classes recover their own labels") {
     // Two tight classes on orthogonal axes + one off-axis probe:
     // every member scores its own centroid highest; the probe (label 0
