@@ -931,6 +931,10 @@ object SparkEntry {
     // Embedding contract: the ANN family's preconditions as checks.
     "q_embed_validate" -> ((s, dir) =>
       graft.operators.Validate.embeddingContract(t(s, dir, "embeddings"))),
+    // Reproducibility manifest: per-source totals + order-free XOR
+    // content checksum — "is this the same dataset we trained on?"
+    "q_manifest" -> ((s, dir) =>
+      graft.operators.Validate.manifest(t(s, dir, "documents"))),
     // Sorted list aggregation (array_agg breadth): per-user event-type
     // set, deterministic order.
     "q_collect_list" -> ((s, dir) =>
@@ -2384,6 +2388,14 @@ object SparkEntry {
         |  (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |   sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS acf
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_manifest" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum
+        |FROM documents GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_ks_drift" ->
       """WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,

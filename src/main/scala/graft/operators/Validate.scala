@@ -90,4 +90,23 @@ object Validate {
         "status_domain" -> !col("l_returnflag").isin("A", "N", "R"))),
       uniqueRule("pk_unique", lineitem, Seq("l_orderkey", "l_linenumber")),
       fkRule("fk_movie", lineitem, "l_partkey", part, "p_partkey"))
+
+  /** Dataset reproducibility manifest: per source, the identity a
+    * pipeline freezes next to a training run — doc/char totals, id
+    * range, and an ORDER-FREE content checksum (XOR of each document's
+    * 60-bit md5 prefix: associative+commutative, so reshuffles,
+    * repartitions, and re-reads cannot change it, and one flipped
+    * document flips it with probability 1−2⁻⁶⁰). Re-run the manifest
+    * against a copy to prove bit-identity without comparing bodies —
+    * the cheap answer to "is this the same dataset we trained on?".
+    * One scan, one narrow aggregate per source. */
+  def manifest(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_checksum"))
+      .orderBy("source")
 }

@@ -744,6 +744,30 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long)].collect().forall(_._2 == 0L))
   }
 
+  test("manifest: reshuffle-proof checksum that flips on any edited document") {
+    val docs = Seq(
+      (1L, "alpha beta", "web", 10L), (2L, "gamma", "web", 5L),
+      (3L, "delta", "books", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val base = Validate.manifest(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(base("web")._1 == 2L && base("web")._2 == 15L)
+    assert(base("books")._1 == 1L)
+    // XOR is order-free: any partitioning reads the same checksum
+    val shuffled = Validate.manifest(docs.repartition(7)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(shuffled == base)
+    // one edited character flips the source's checksum, others untouched
+    val edited = Seq(
+      (1L, "alpha betb", "web", 10L), (2L, "gamma", "web", 5L),
+      (3L, "delta", "books", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val after = Validate.manifest(edited).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(after("web")._3 != base("web")._3)
+    assert(after("books") == base("books"))
+  }
+
   test("bloom decontamination equals the broadcast-join form exactly") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
