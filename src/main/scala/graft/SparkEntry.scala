@@ -1120,6 +1120,18 @@ object SparkEntry {
     // Supplier-concentration HHI per part from exact quantity shares.
     "q_supplier_hhi" -> ((s, dir) =>
       graft.operators.DecisionSupport.supplierHhi(t(s, dir, "lineitem"))),
+    // Discount→volume Pearson per brand from exact cent-moments.
+    "q_elasticity" -> ((s, dir) =>
+      graft.operators.DecisionSupport.discountElasticity(
+        t(s, dir, "part"), t(s, dir, "lineitem"))),
+    // Return-rate report by supplier nation: ppm rates over exact
+    // counts and cents.
+    "q_return_rates" -> ((s, dir) =>
+      graft.operators.DecisionSupport.returnRates(
+        t(s, dir, "supplier"), t(s, dir, "nation"), t(s, dir, "lineitem"))),
+    // Three-step path mining: the A→B→C flow table.
+    "q_event_trigrams" -> ((s, dir) =>
+      graft.operators.Analytics.eventTrigrams(t(s, dir, "events"))),
     // A/B experiment readout: md5-threshold arm split, exact counts,
     // pooled two-proportion z composed only of IEEE-exactly-rounded
     // ops so even the float statistic hash-matches.
@@ -2521,6 +2533,52 @@ object SparkEntry {
         |SELECT okey AS o_orderkey, CAST(rev_sum AS DOUBLE) / 10000 AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM r ORDER BY rev_sum DESC, okey LIMIT 10""".stripMargin,
+
+    "q_elasticity" ->
+      """WITH b AS (SELECT p_brand,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT p_brand, n,
+        |  CASE WHEN n < 2
+        |  OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |  ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS discount_qty_corr
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_return_rates" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |  CAST((sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS return_ppm,
+        |  CASE WHEN sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) = 0 THEN NULL
+        |  ELSE CAST((sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) ELSE 0 END) * 1000000)
+        |    // sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) END AS returned_value_ppm
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_event_trigrams" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+        |SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+        |  CAST(count(*) AS BIGINT) AS n_paths,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM o WHERE p2 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_fulfillment" ->
       """WITH d AS (SELECT o_orderpriority,

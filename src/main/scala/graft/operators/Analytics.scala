@@ -837,6 +837,28 @@ object Analytics {
         .as("z_score"))
   }
 
+  /** Three-step path mining — [[eventPaths]]' transition matrix
+    * extended one hop: per-user consecutive event-type triples over
+    * the (µs, event_id) total order, with transition counts and
+    * distinct-user reach. The "what happens after A→B" table a
+    * product-analytics flow view drills into. Same single exchange on
+    * user_id; two lags over the per-user window. */
+  def eventTrigrams(events: DataFrame, minCount: Long = 2L): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__p1", lag(col("event_type"), 1).over(order))
+      .withColumn("__p2", lag(col("event_type"), 2).over(order))
+      .filter(col("__p2").isNotNull)
+      .groupBy(col("__p2").as("step1"), col("__p1").as("step2"),
+        col("event_type").as("step3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_paths") >= minCount)
+      .orderBy("step1", "step2", "step3")
+  }
+
   /** Chi-square test of independence over the segment × order-status
     * contingency table (orders ⋈ customer), with each cell's
     * (O−E)²/E contribution carried in EXACT integer parts-per-million:

@@ -174,6 +174,62 @@ object DecisionSupport {
         max(col("__delay")).as("max_days"))
       .orderBy("o_orderpriority")
 
+  /** Discount→volume response per brand: Pearson r between line-item
+    * discount and quantity from EXACT integer cent-moments (the
+    * [[Stats.autocorr]] discipline — n, Σ, ΣΣ in BIGINT, one fixed
+    * +,−,×,÷,√ double chain). A strongly negative or near-zero r per
+    * brand answers "does discounting actually move volume here?" —
+    * the merchandising twin of the trend/seasonality reports. Brands
+    * attach via one broadcast of the part dimension; constant columns
+    * report NULL. */
+  def discountElasticity(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val discC = expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
+    val qtyC = expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), discC.as("x"), qtyC.as("y"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .select(col("p_brand"), col("n"),
+        expr("""CASE WHEN n < 2
+               OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+               ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END""")
+          .as("discount_qty_corr"))
+      .orderBy("p_brand")
+  }
+
+  /** Return-rate report by supplier nation: lines and revenue flagged
+    * `R` as exact counts/cents, rates in integer parts-per-million
+    * (floor — the engine's rate idiom). The quality-of-supply view the
+    * returnflag column exists for. */
+  def returnRates(supplier: DataFrame, nation: DataFrame,
+                  lineitem: DataFrame): DataFrame = {
+    val supNat = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .select(col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"),
+        extCents.as("cents"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("ret")).as("n_returned"),
+        sum(col("cents")).as("total_cents"),
+        sum(expr("ret * cents")).as("returned_cents"))
+      .select(col("n_name"), col("n_lines"), col("n_returned"),
+        expr("(n_returned * 1000000L) div n_lines").as("return_ppm"),
+        expr("""CASE WHEN total_cents = 0 THEN NULL
+               ELSE (returned_cents * 1000000L) div total_cents END""")
+          .as("returned_value_ppm"))
+      .orderBy("n_name")
+  }
+
   /** Supplier concentration per part — the Herfindahl–Hirschman index
     * over quantity shares: HHI = Σqᵢ² / (Σqᵢ)² with qᵢ the exact
     * integer centi-units each supplier ships of the part. 1/HHI is the

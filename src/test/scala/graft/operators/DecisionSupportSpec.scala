@@ -240,6 +240,45 @@ class DecisionSupportSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1.0)))
   }
 
+  test("discountElasticity: perfect anti-correlation and constant NULL") {
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    // B1: qty falls exactly as discount rises -> r = -1 (chain-exact);
+    // B2: constant discount -> NULL
+    val li = Seq(
+      (1L, 0.00, 10.0), (1L, 0.05, 5.0), (1L, 0.10, 0.0),
+      (2L, 0.05, 3.0), (2L, 0.05, 7.0))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val out = DecisionSupport.discountElasticity(part, li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b1 = out("B1")
+    // mirror the exact chain: x = 0,5,10; y = 1000,500,0 (cents)
+    val (xs, ys) = (Seq(0L, 5L, 10L), Seq(1000L, 500L, 0L))
+    val (n, sx, sy) = (3L, xs.sum, ys.sum)
+    val (sxy, sxx, syy) = (xs.zip(ys).map { case (a, b) => a * b }.sum,
+      xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+    val exp = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(b1.getAs[Double]("discount_qty_corr") == exp)
+    assert(math.abs(exp + 1.0) < 1e-12)
+    assert(out("B2").isNullAt(out("B2").fieldIndex("discount_qty_corr")))
+  }
+
+  test("returnRates: hand ppm floors per nation") {
+    val sup = Seq((1L, 0L), (2L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((0L, "N0"), (1L, "N1")).toDF("n_nationkey", "n_name")
+    val li = Seq(
+      (1L, "R", 1.00), (1L, "N", 2.00), (1L, "A", 1.00), // N0: 1/3 returned
+      (2L, "N", 5.00))                                   // N1: none
+      .toDF("l_suppkey", "l_returnflag", "l_extendedprice")
+      .withColumn("l_discount", org.apache.spark.sql.functions.lit(0.0))
+    val out = DecisionSupport.returnRates(sup, nat, li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("N0") == ((3L, 1L, 333333L, 250000L)))
+    assert(out("N1") == ((1L, 0L, 0L, 0L)))
+  }
+
   test("nationMargin matches the in-memory exact-integer reference") {
     val f = fixture(11)
     val ordYear = f.ord.map(o => o._1 -> o._3.take(4).toLong).toMap
