@@ -123,7 +123,7 @@ object Upsert {
 
   /** Paimon `'merge-engine'='aggregation'` analog: per key, each value
     * column folds under a declared aggregate function. `aggs` maps
-    * column → one of sum | count | min | max (the associative cores —
+    * column → one of sum | count | min | max | xor (the associative cores —
     * exactly the functions whose per-batch pre-aggregation + state
     * re-merge equals a one-shot aggregate, which is what makes the
     * merge-engine incremental). Call with `state = None` to build
@@ -140,8 +140,9 @@ object Upsert {
         case "sum"   => sum(col(c))
         case "min"   => min(col(c))
         case "max"   => max(col(c))
+        case "xor"   => expr(s"bit_xor($c)") // associative+commutative like the rest
         case other   => throw new IllegalArgumentException(
-          s"applyAggregate: unsupported merge function '$other' (sum|count|min|max)")
+          s"applyAggregate: unsupported merge function '$other' (sum|count|min|max|xor)")
       }).as(c)
     }
     val pre = batch.groupBy(keys.map(col): _*)
