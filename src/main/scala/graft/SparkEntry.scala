@@ -1132,6 +1132,12 @@ object SparkEntry {
     // Three-step path mining: the A→B→C flow table.
     "q_event_trigrams" -> ((s, dir) =>
       graft.operators.Analytics.eventTrigrams(t(s, dir, "events"))),
+    // Recursive-CTE exponential decay: the floor-div linear recurrence
+    // no window frame can express — one template, both dialects.
+    "q_sql_decay" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.operators.Analytics.decaySpark(s)
+    }),
     // A/B experiment readout: md5-threshold arm split, exact counts,
     // pooled two-proportion z composed only of IEEE-exactly-rounded
     // ops so even the float statistic hash-matches.
@@ -2565,6 +2571,9 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_sql_decay" ->
+      graft.operators.Analytics.decaySeriesSql(sparkDialect = false),
 
     "q_event_trigrams" ->
       """WITH o AS (SELECT user_id, event_type,

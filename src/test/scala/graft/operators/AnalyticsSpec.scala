@@ -457,6 +457,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(none.isNullAt(none.fieldIndex("z_score")))
   }
 
+  test("decaySpark: recursive CTE reproduces the in-memory floor recurrence") {
+    // two types, 3 weeks each, exact dyadic cents
+    val ev = Seq(
+      (1L, 1L, ts(0L * 604800 + 10), "view", Some(10.00)),
+      (2L, 2L, ts(1L * 604800 + 10), "view", Some(4.00)),
+      (3L, 3L, ts(2L * 604800 + 10), "view", Some(1.00)),
+      (4L, 4L, ts(0L * 604800 + 10), "click", Some(7.00)))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ev.createOrReplaceTempView("events")
+    val got = Analytics.decaySpark(spark)
+      .select("event_type", "week", "decayed_cents")
+      .as[(String, Long, Long)].collect().toSet
+    // view: s0=1000; s1=(9*1000)/10+400=1300; s2=(9*1300)/10+100=1270
+    assert(got == Set(("view", 0L, 1000L), ("view", 1L, 1300L),
+      ("view", 2L, 1270L), ("click", 0L, 700L)))
+  }
+
   test("chiSquare: hand 2x2 table in exact ppm; independent table reads 0") {
     def fixture(counts: Seq[(String, String, Int)]) = {
       val custs = counts.zipWithIndex.map { case ((seg, _, _), i) =>
