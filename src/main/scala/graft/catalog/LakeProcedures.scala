@@ -44,7 +44,8 @@ private[catalog] object LakeProcedures {
   val Namespace = "system"
 
   def list(): Array[String] =
-    Array("snapshots", "expire_snapshots", "compact", "purge_keys", "analyze")
+    Array("snapshots", "expire_snapshots", "compact", "purge_keys",
+      "analyze", "dedupe")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -102,6 +103,73 @@ private[catalog] object LakeProcedures {
                 override def rows(): Array[InternalRow] = Array(result)
                 override def readSchema(): StructType =
                   new StructType().add("new_version", LongType)
+              }).iterator()
+            }
+          }
+        })
+      case "dedupe" =>
+        // row-level key dedup as a maintenance rewrite (the lakehouse
+        // "deduplicate this table in place" op): per key group keep
+        // the MIN row by the remaining columns' struct order — a
+        // deterministic total-order pick, so reruns are idempotent and
+        // any engine agrees on the survivor. Versioned tables commit a
+        // new snapshot (history intact, time travel still reads the
+        // duplicated past); plain tables go through the shared
+        // staged-swap.
+        Some(new UnboundProcedure {
+          override def name(): String = "dedupe"
+          override def description(): String =
+            "graft lake maintenance: keep one row per key (min remaining-column order)"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "dedupe"
+            override def description(): String =
+              "graft lake maintenance: keep one row per key (min remaining-column order)"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("keys_csv", StringType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "dedupe",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              val keys = input.getUTF8String(1).toString
+                .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+              require(keys.nonEmpty, "dedupe: keys_csv must name at least one column")
+              val spark = SparkSession.active
+              import org.apache.spark.sql.functions.{col, min, struct}
+              def dedupe(df: org.apache.spark.sql.DataFrame) = {
+                val bad = keys.filterNot(df.columns.contains)
+                require(bad.isEmpty, s"dedupe: no such key column(s) ${bad.mkString(",")}")
+                val rest = df.columns.filterNot(keys.contains)
+                if (rest.isEmpty) df.distinct()
+                else df.groupBy(keys.map(col): _*)
+                  .agg(min(struct(rest.map(col): _*)).as("__rest"))
+                  .select(df.columns.map(c =>
+                    if (keys.contains(c)) col(c) else col(s"__rest.$c").as(c)): _*)
+              }
+              val result =
+                if (DeletableTable.versionsOf(tableDir).nonEmpty) {
+                  val store = new graft.streaming.StateStore(spark, tableDir.toString)
+                  val cur = store.read().get
+                  val before = cur.count()
+                  val out = dedupe(cur).localCheckpoint(true)
+                  store.write(out, store.latestVersion.getOrElse(-1L) + 1L)
+                  InternalRow(before - out.count())
+                } else {
+                  val cur = spark.read.parquet(tableDir.toString)
+                  val before = cur.count()
+                  val out = dedupe(cur).localCheckpoint(true)
+                  val removed = before - out.count()
+                  val tmp = tableDir.resolveSibling(
+                    tableDir.getFileName.toString + ".__rewrite")
+                  out.write.mode("overwrite").parquet(tmp.toString)
+                  DeletableTable.publishStagedRewrite(tableDir, tmp)
+                  InternalRow(removed)
+                }
+              spark.catalog.clearCache()
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] = Array(result)
+                override def readSchema(): StructType =
+                  new StructType().add("rows_removed", LongType)
               }).iterator()
             }
           }

@@ -539,6 +539,46 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL dedupe: one survivor per key, deterministic pick, both layouts, idempotent") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-dedupe")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lakedd", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakedd.path", lake.toString)
+    try {
+      // versioned: dedupe commits a NEW snapshot; the duplicated past
+      // stays time-travelable; survivor is the min remaining-struct row
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/dup.parquet").toString)
+      store.write(Seq((1L, "b"), (1L, "a"), (2L, "z"), (3L, "q"))
+        .toDF("id", "v"), 0L)
+      val removed = spark.sql("CALL lakedd.system.dedupe('state.dup', 'id')")
+        .as[Long].head()
+      assert(removed == 1L)
+      assert(store.versions == Seq(0L, 1L))
+      assert(spark.table("lakedd.state.dup").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "z"), (3L, "q")), "min-struct survivor")
+      assert(spark.sql("SELECT * FROM lakedd.state.dup VERSION AS OF 0")
+        .count() == 4L, "pre-dedupe snapshot intact")
+      // idempotent: a rerun removes nothing and the answer is stable
+      assert(spark.sql("CALL lakedd.system.dedupe('state.dup', 'id')")
+        .as[Long].head() == 0L)
+      // plain table through the staged swap
+      Seq((1L, 5L), (1L, 3L), (2L, 9L)).toDF("k", "x").write
+        .parquet(lake.resolve("state/plaind.parquet").toString)
+      assert(spark.sql("CALL lakedd.system.dedupe('state.plaind', 'k')")
+        .as[Long].head() == 1L)
+      assert(spark.table("lakedd.state.plaind").as[(Long, Long)]
+        .collect().toSet == Set((1L, 3L), (2L, 9L)))
+      // bad key column fails loudly
+      intercept[Exception](spark.sql(
+        "CALL lakedd.system.dedupe('state.plaind', 'nope')").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakedd")
+      spark.conf.unset("spark.sql.catalog.lakedd.path")
+    }
+  }
+
   test("INSERT OVERWRITE and REPLACE WHERE: staged overwrite through the rewrite machinery") {
     import spark.implicits._
     val lake = Files.createTempDirectory("graft-lake-ow")
