@@ -45,7 +45,7 @@ private[catalog] object LakeProcedures {
 
   def list(): Array[String] =
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
-      "analyze", "dedupe")
+      "analyze", "dedupe", "zorder")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -170,6 +170,65 @@ private[catalog] object LakeProcedures {
                 override def rows(): Array[InternalRow] = Array(result)
                 override def readSchema(): StructType =
                   new StructType().add("rows_removed", LongType)
+              }).iterator()
+            }
+          }
+        })
+      case "zorder" =>
+        // space-filling-curve clustering as a maintenance rewrite:
+        // rows re-land range-partitioned and sorted by the Morton code
+        // of two integral dimensions, so a follow-up CALL analyze
+        // gives per-file min/max stats that prune on BOTH dimensions
+        // (the operator-level composition FileStatsSpec pins; this is
+        // its user-facing CALL). Versioned tables commit a snapshot;
+        // plain tables staged-swap.
+        Some(new UnboundProcedure {
+          override def name(): String = "zorder"
+          override def description(): String =
+            "graft lake maintenance: z-order clustering rewrite on two integral columns"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "zorder"
+            override def description(): String =
+              "graft lake maintenance: z-order clustering rewrite on two integral columns"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("x_col", StringType).build(),
+              ProcedureParameter.in("y_col", StringType).build(),
+              ProcedureParameter.in("target_files", IntegerType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "zorder",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              val xc = input.getUTF8String(1).toString
+              val yc = input.getUTF8String(2).toString
+              val target = input.getInt(3)
+              val spark = SparkSession.active
+              import org.apache.spark.sql.functions.col
+              def rewrite(df: org.apache.spark.sql.DataFrame) = {
+                val bad = Seq(xc, yc).filterNot(df.columns.contains)
+                require(bad.isEmpty, s"zorder: no such column(s) ${bad.mkString(",")}")
+                graft.operators.Layout.zorderLayout(df, col(xc), col(yc), target)
+              }
+              val result =
+                if (DeletableTable.versionsOf(tableDir).nonEmpty) {
+                  val store = new graft.streaming.StateStore(spark, tableDir.toString)
+                  val out = rewrite(store.read().get).localCheckpoint(true)
+                  val v = store.latestVersion.getOrElse(-1L) + 1L
+                  store.write(out, v)
+                  InternalRow(v)
+                } else {
+                  val out = rewrite(spark.read.parquet(tableDir.toString))
+                  val tmp = tableDir.resolveSibling(
+                    tableDir.getFileName.toString + ".__rewrite")
+                  out.write.mode("overwrite").parquet(tmp.toString)
+                  DeletableTable.publishStagedRewrite(tableDir, tmp)
+                  InternalRow(null)
+                }
+              spark.catalog.clearCache()
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] = Array(result)
+                override def readSchema(): StructType =
+                  new StructType().add("new_version", LongType)
               }).iterator()
             }
           }

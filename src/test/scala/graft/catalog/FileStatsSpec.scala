@@ -95,6 +95,37 @@ class FileStatsSpec extends SparkSpec {
     }
   }
 
+  test("CALL zorder + analyze: the user-facing rewrite prunes both dimensions") {
+    val lake = Files.createTempDirectory("graft-lake-callz")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkcz", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkcz.path", lake.toString)
+    try {
+      // land the grid UNCLUSTERED (hash-scattered), then let the
+      // procedure rebuild the layout in place
+      spark.sql("CREATE TABLE lkcz.m.grid (x INT, y INT)")
+      spark.range(64L * 64L)
+        .selectExpr("CAST(id % 64 AS INT) AS x", "CAST(id div 64 AS INT) AS y")
+        .repartition(8)
+        .write.mode("append").insertInto("lkcz.m.grid")
+      assert(spark.sql("CALL lkcz.system.zorder('m.grid', 'x', 'y', 8)")
+        .head().isNullAt(0), "plain-table rewrite reports no snapshot")
+      spark.sql("CALL lkcz.system.analyze('m.grid', 'x,y')")
+      val qx = spark.table("lkcz.m.grid").where("x = 3")
+      val qy = spark.table("lkcz.m.grid").where("y = 3")
+      assert(scannedFiles(qx) < 8 && scannedFiles(qx) >= 1, "x prunes")
+      assert(scannedFiles(qy) < 8 && scannedFiles(qy) >= 1, "y prunes")
+      assert(qx.count() == 64L && qy.count() == 64L &&
+        spark.table("lkcz.m.grid").count() == 64L * 64L, "rows intact")
+      // bad column fails loudly
+      intercept[Exception](spark.sql(
+        "CALL lkcz.system.zorder('m.grid', 'nope', 'y', 8)").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkcz")
+      spark.conf.unset("spark.sql.catalog.lkcz.path")
+    }
+  }
+
   test("skipping composes with RENAME COLUMN: logical predicate, physical stats") {
     val lake = Files.createTempDirectory("graft-lake-skipr")
     Files.createDirectories(lake.resolve("m"))
