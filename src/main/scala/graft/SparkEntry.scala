@@ -270,6 +270,10 @@ object SparkEntry {
     // recurrence, like q_pagerank's.
     "q_communities" -> ((s, dir) =>
       graft.operators.GraphOps.copurchaseCommunities(t(s, dir, "lineitem"))),
+    // Affinity-weighted supplier importance: edge-weighted PageRank
+    // with exact integer weighted shares.
+    "q_weighted_rank" -> ((s, dir) =>
+      graft.operators.GraphOps.copurchaseRank(t(s, dir, "lineitem"))),
     // CCNet-style segment-level dedup (boilerplate removal): drop
     // every 20-word segment whose exact content recurs across ≥2
     // distinct documents, reassemble survivors in order.
@@ -2315,6 +2319,9 @@ object SparkEntry {
 
     "q_communities" ->
       graft.operators.GraphOps.copurchaseCommunitiesSql(),
+
+    "q_weighted_rank" ->
+      graft.operators.GraphOps.copurchaseRankSql(),
 
     // Arm split uses the same md5-threshold draw as q_split_assign;
     // the z chain is written with ONE parenthesization on both

@@ -111,6 +111,75 @@ object GraphOps {
        |SELECT node, mass FROM r$iters ORDER BY ALL NULLS FIRST""".stripMargin
   }
 
+  /** Edge-weighted PageRank: [[pageRank]]'s exact integer recurrence
+    * with each neighbor's share proportional to the edge weight —
+    * contrib = (mass·w) div Σw(src) — so strong affinities carry more
+    * mass. Same micro-unit masses, same floor-div damping, same
+    * lineage-cut loop invariants; the weighted mass product stays in
+    * BIGINT (mass ≤ ~10⁷ micro-units × w ≤ 10⁶). */
+  def weightedPageRank(edges: DataFrame, iters: Int = 3,
+                       base: Long = 1000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val edgesW = edges.join(wsum, "src").localCheckpoint(true)
+    val teleport = 15L * base / 100L
+    var ranks = nodes.withColumn("mass", lit(base))
+    for (_ <- 1 to iters) {
+      val incoming = edgesW
+        .join(ranks, edgesW("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("(mass * w) div w_out").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("inc"))
+      ranks = nodes.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"(85 * coalesce(inc, 0L)) div 100")).as("mass"))
+    }
+    ranks.localCheckpoint(true)
+  }
+
+  /** Driver query: affinity-weighted supplier importance — 3 weighted
+    * rounds over the bidirectional co-purchase graph, edge weight =
+    * co-purchase support. */
+  def copurchaseRank(lineitem: DataFrame, minOrders: Long = 5L,
+                     iters: Int = 3): DataFrame = {
+    val und = copurchaseEdges(lineitem, minOrders)
+    weightedPageRank(
+      und.select(col("a").as("src"), col("b").as("dst"), col("n_orders").as("w"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"),
+          col("n_orders").as("w"))), iters)
+  }
+
+  /** The oracle: the weighted recurrence unrolled — the
+    * [[purchasePageRankSql]] one-generator discipline over the
+    * co-purchase CTE. */
+  def copurchaseRankSql(minOrders: Long = 5L, iters: Int = 3,
+                        base: Long = 1000000L): String = {
+    val teleport = 15L * base / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(SUM((r.mass * e.w) // w.w_out) AS BIGINT) AS inc
+         |  FROM bi e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN ws w ON e.src = w.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST($teleport + (85 * COALESCE(c.inc, 0)) // 100 AS BIGINT) AS mass
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |ed AS (SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+       |  FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minOrders),
+       |bi AS (SELECT a AS src, b AS dst, w FROM ed
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM ed),
+       |nodes AS (SELECT DISTINCT src AS node FROM bi),
+       |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM bi GROUP BY 1),
+       |r0 AS (SELECT node, CAST($base AS BIGINT) AS mass FROM nodes),
+       |$rounds
+       |SELECT node, mass FROM r$iters ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
   /** Supplier co-purchase graph: an undirected edge (a < b) between
     * two suppliers for every pair co-occurring in at least `minOrders`
     * distinct orders — the thresholded projection of the bipartite

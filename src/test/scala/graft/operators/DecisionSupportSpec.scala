@@ -107,6 +107,43 @@ class DecisionSupportSpec extends SparkSpec {
     }
   }
 
+  /** In-memory mirror of the weighted-PageRank integer recurrence. */
+  private def refWRank(edges: Seq[(Long, Long, Long)], iters: Int,
+                       base: Long = 1000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val wOut = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var mass = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val inc = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => mass(s) * w / wOut(s) }.sum
+      }
+      mass = nodes.map(n => n -> (15L * base / 100L +
+        85L * inc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    mass
+  }
+
+  test("weightedPageRank matches the in-memory reference; uniform weights == pageRank") {
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong,
+        (rnd.nextInt(5) + 1).toLong))
+        .filter { case (a, b, _) => a != b }
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val got = GraphOps.weightedPageRank(edges.toDF("src", "dst", "w"), 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refWRank(edges, 3), s"seed $seed")
+      // all-equal weights reduce to the unweighted recurrence
+      val flat = edges.map { case (a, b, _) => (a, b, 1L) }
+      val gotFlat = GraphOps.weightedPageRank(flat.toDF("src", "dst", "w"), 3)
+        .as[(Long, Long)].collect().toMap
+      val unw = GraphOps.pageRank(
+        flat.map { case (a, b, _) => (a, b) }.toDF("src", "dst"), 3)
+        .as[(Long, Long)].collect().toMap
+      assert(gotFlat == unw, s"seed $seed uniform-weight equivalence")
+    }
+  }
+
   // --- star joins: in-memory exact-integer references ---------------
 
   private def cents(d: Double): Long = math.round(d * 100)
