@@ -939,6 +939,10 @@ object SparkEntry {
     // content checksum — "is this the same dataset we trained on?"
     "q_manifest" -> ((s, dir) =>
       graft.operators.Validate.manifest(t(s, dir, "documents"))),
+    // Heaps-law vocabulary growth: cumulative distinct terms per
+    // doc-id decile — first-occurrence aggregate, never a running set.
+    "q_vocab_growth" -> ((s, dir) =>
+      graft.operators.TextOps.vocabGrowth(t(s, dir, "documents"))),
     // Sorted list aggregation (array_agg breadth): per-user event-type
     // set, deterministic order.
     "q_collect_list" -> ((s, dir) =>
@@ -2413,6 +2417,20 @@ object SparkEntry {
         |  (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |   sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS acf
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH f AS (SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1),
+        |b AS (SELECT CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS bucket,
+        |    doc_id FROM documents),
+        |bo AS (SELECT bucket, CAST(max(doc_id) AS BIGINT) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1),
+        |cd AS (SELECT x.bucket, x.hi, CAST(sum(y.n_docs) AS BIGINT) AS docs_cum
+        |  FROM bo x JOIN bo y ON y.bucket <= x.bucket GROUP BY 1, 2)
+        |SELECT bucket, docs_cum, CAST(count(*) AS BIGINT) AS vocab_cum
+        |FROM f JOIN cd ON f.first_doc <= cd.hi
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_manifest" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

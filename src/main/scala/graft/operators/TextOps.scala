@@ -735,6 +735,34 @@ object TextOps {
     * sort of the vocabulary). The id-assigning window runs AFTER the
     * limit, over `size` rows — single-partition but bounded by the
     * vocabulary size, not the corpus. */
+  /** Heaps-law vocabulary-growth curve: cumulative DISTINCT terms
+    * after each doc-id decile of the corpus — sublinear growth is the
+    * natural-corpus signature; a near-linear curve flags synthetic or
+    * unmixed data. Exact and distributed: each term contributes at its
+    * FIRST document (min doc_id — one term-keyed aggregate), deciles
+    * come from the two-phase [[Ids.ntileRank]], and the cumulative
+    * count is a ≤buckets-row triangular join — cumulative-distinct
+    * never needs a running set. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val firsts = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+    val bounds = Ids.ntileRank(docs.select(col("doc_id")),
+        Seq(col("doc_id")), buckets, "bucket")
+      .groupBy("bucket")
+      .agg(max(col("doc_id")).as("hi"), count(lit(1)).as("n_docs"))
+    val cumDocs = bounds.as("x").join(bounds.as("y"),
+        col("y.bucket") <= col("x.bucket"))
+      .groupBy(col("x.bucket").as("bucket"), col("x.hi").as("hi"))
+      .agg(sum(col("y.n_docs")).as("docs_cum"))
+    firsts.crossJoin(broadcast(cumDocs))
+      .filter(col("first_doc") <= col("hi"))
+      .groupBy(col("bucket"), col("docs_cum"))
+      .agg(count(lit(1)).as("vocab_cum"))
+      .select(col("bucket").cast("bigint").as("bucket"),
+        col("docs_cum"), col("vocab_cum"))
+      .orderBy("bucket")
+  }
+
   def vocabulary(docs: DataFrame, size: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(explode(toks).as("term"))

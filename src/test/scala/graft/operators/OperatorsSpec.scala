@@ -744,6 +744,19 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long)].collect().forall(_._2 == 0L))
   }
 
+  test("vocabGrowth: hand-computed cumulative distinct terms per decile") {
+    // 4 docs, 2 buckets: doc1-2 bring {a,b,c}; doc3-4 add only {d}
+    val d = Seq((1L, "a b"), (2L, "b c"), (3L, "a d"), (4L, "c d a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(d, buckets = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3L), (2L, 4L, 4L)))
+    // reshuffle-proof: the curve only depends on doc_id order
+    val again = TextOps.vocabGrowth(d.repartition(5), buckets = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again == out)
+  }
+
   test("manifest: reshuffle-proof checksum that flips on any edited document") {
     val docs = Seq(
       (1L, "alpha beta", "web", 10L), (2L, "gamma", "web", 5L),
