@@ -943,6 +943,10 @@ object SparkEntry {
     // doc-id decile — first-occurrence aggregate, never a running set.
     "q_vocab_growth" -> ((s, dir) =>
       graft.operators.TextOps.vocabGrowth(t(s, dir, "documents"))),
+    // Zipf concentration: top-k term share in exact ppm over the
+    // two-phase rank.
+    "q_zipf_share" -> ((s, dir) =>
+      graft.operators.TextOps.zipfShare(t(s, dir, "documents"))),
     // Sorted list aggregation (array_agg breadth): per-user event-type
     // set, deterministic order.
     "q_collect_list" -> ((s, dir) =>
@@ -2417,6 +2421,19 @@ object SparkEntry {
         |  (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |   sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END AS acf
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_zipf_share" ->
+      """WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) - 1 AS rnk FROM tf),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tf),
+        |kk(k) AS (VALUES (1), (10), (100), (1000)),
+        |s AS (SELECT CAST(k AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS top_tokens
+        |  FROM r JOIN kk ON rnk < k GROUP BY 1)
+        |SELECT k, top_tokens,
+        |  CAST((top_tokens * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM s, t ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_vocab_growth" ->
       """WITH f AS (SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc

@@ -763,6 +763,30 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Zipf concentration curve: the token-mass share of the top-k most
+    * frequent terms for a k grid — [[vocabGrowth]]'s companion law
+    * (a natural corpus concentrates hard: top-100 terms usually carry
+    * a large constant share; a flat curve flags shuffled/synthetic
+    * text). Ranks come from the two-phase [[Ids.assignIds]] on
+    * (count desc, term) — no single-task sort of the vocabulary —
+    * shares are exact integer ppm. */
+  def zipfShare(docs: DataFrame,
+                ks: Seq[Long] = Seq(1L, 10L, 100L, 1000L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val ranked = Ids.assignIds(tf, Seq(col("n").desc, col("term")), "rnk")
+    val tot = tf.agg(sum(col("n")).as("total"))
+    ranked.crossJoin(broadcast(ks.toDF("k")))
+      .filter(col("rnk") < col("k"))
+      .groupBy("k").agg(sum(col("n")).as("top_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("top_tokens"),
+        expr("(top_tokens * 1000000L) div total").as("share_ppm"))
+      .orderBy("k")
+  }
+
   def vocabulary(docs: DataFrame, size: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(explode(toks).as("term"))

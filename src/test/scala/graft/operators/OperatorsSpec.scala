@@ -757,6 +757,15 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("zipfShare: hand-computed top-k token shares in floor ppm") {
+    // counts: a=4, b=2, c=1, d=1 (total 8); ranks a,b,c,d
+    val d = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.zipfShare(d, ks = Seq(1L, 2L, 4L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 500000L), (2L, 6L, 750000L), (4L, 8L, 1000000L)))
+  }
+
   test("manifest: reshuffle-proof checksum that flips on any edited document") {
     val docs = Seq(
       (1L, "alpha beta", "web", 10L), (2L, "gamma", "web", 5L),
