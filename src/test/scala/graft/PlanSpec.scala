@@ -445,6 +445,19 @@ class PlanSpec extends SparkSpec {
     assert(!globalWindow, "session windows must partition by user")
   }
 
+  test("ksDrift/mannWhitney: cumulative counts never use a global window") {
+    for (df <- Seq(
+      graft.operators.Stats.ksDrift(Tables.load(spark, dir, "events")),
+      graft.operators.Stats.mannWhitney(Tables.load(spark, dir, "events")))) {
+      val p = plan(df)
+      val globalWindow = p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("PartitionBy: []"))
+      assert(!globalWindow,
+        "ECDF cumulatives must ride the range-exchange prefix sum, " +
+          "not a single-partition window")
+    }
+  }
+
   test("star join: date filter pushed to the orders scan, fact scan pruned, dims broadcast") {
     val p = plan(graft.operators.DecisionSupport.regionalRevenue(
       Tables.load(spark, dir, "region"), Tables.load(spark, dir, "nation"),
