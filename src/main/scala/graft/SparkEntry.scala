@@ -1184,6 +1184,10 @@ object SparkEntry {
     // tie-corrected normal z in one fixed chain.
     "q_mannwhitney" -> ((s, dir) =>
       graft.operators.Stats.mannWhitney(t(s, dir, "events"))),
+    // Per-type KS drift dashboard through the GROUPED prefix sum —
+    // no type's value axis ever funnels through one task.
+    "q_ks_drift_grouped" -> ((s, dir) =>
+      graft.operators.Stats.ksDriftByType(t(s, dir, "events"))),
     // Cluster-separation audit: exact micro^2 centroid distances vs
     // within-class scatter, separability in integer ppm.
     "q_centroid_separation" -> ((s, dir) =>
@@ -2478,6 +2482,35 @@ object SparkEntry {
         |SELECT t1 AS n1, t2 AS n2, m AS d_num, atc AS at_cents,
         |  CAST(m AS DOUBLE) / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS ks
         |FROM t, mx, am""".stripMargin,
+
+    "q_ks_drift_grouped" ->
+      """WITH b AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |bb AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+        |s AS (SELECT event_type, c,
+        |    CASE WHEN day < (lo + hi + 1) // 2 THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN day < (lo + hi + 1) // 2 THEN 0 ELSE 1 END AS s2
+        |  FROM b, bb),
+        |pv AS (SELECT event_type, c, CAST(sum(s1) AS BIGINT) AS n1,
+        |    CAST(sum(s2) AS BIGINT) AS n2 FROM s GROUP BY 1, 2),
+        |cm AS (SELECT event_type, c,
+        |    CAST(sum(n1) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum1,
+        |    CAST(sum(n2) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum2
+        |  FROM pv),
+        |t AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1,
+        |    CAST(sum(n2) AS BIGINT) AS t2 FROM pv GROUP BY 1),
+        |d AS (SELECT cm.event_type, c, abs(cum1 * t2 - cum2 * t1) AS dnum, t1, t2
+        |  FROM cm JOIN t ON cm.event_type = t.event_type),
+        |mx AS (SELECT event_type, max(dnum) AS m FROM d GROUP BY 1),
+        |am AS (SELECT d.event_type, min(c) AS atc FROM d
+        |  JOIN mx ON d.event_type = mx.event_type AND d.dnum = mx.m GROUP BY 1)
+        |SELECT t.event_type, t1 AS n1, t2 AS n2, m AS d_num, atc AS at_cents,
+        |  CASE WHEN t1 = 0 OR t2 = 0 THEN NULL ELSE
+        |  CAST(m AS DOUBLE) / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) END AS ks
+        |FROM t JOIN mx ON t.event_type = mx.event_type
+        |JOIN am ON t.event_type = am.event_type
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_mannwhitney" ->
       """WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,

@@ -158,6 +158,53 @@ object Ids {
       .drop("__rank", "__n")
   }
 
+  /** Per-GROUP exact inclusive prefix sums — [[prefixSums]] composed
+    * with [[ntileRankGrouped]]'s slice discipline: range exchange on
+    * (groups ++ keys) keeps each group's rows in key order across
+    * partitions, running sums compute within (group, partition)
+    * slices (bounded reducer state even when ONE group spans many
+    * partitions — the partitioned-window form instead funnels every
+    * row of a group through one task), and per-slice totals —
+    * O(groups·parts) rows through the driver — become per-group
+    * prefix offsets. Output equals the per-group window form exactly
+    * (spec-pinned), independent of sampled range boundaries. */
+  def prefixSumsGrouped(df: DataFrame, groups: Seq[String], keys: Seq[Column],
+                        sumCols: Seq[String], parts: Int = 32): DataFrame = {
+    val gcols = groups.map(col)
+    val ranged = df.repartitionByRange(parts, (gcols ++ keys): _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy((col("_pid") +: gcols): _*).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sumCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"_run_$c", sum(col(c)).over(w))
+    }.localCheckpoint()
+    val totals = local.groupBy((col("_pid") +: gcols): _*)
+      .agg(sum(col(sumCols.head)).as(s"_t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"_t_$c")): _*).collect()
+    val byGroup = totals.groupBy(r => groups.map(r.getAs[Any]).toSeq)
+    val offsetRows = byGroup.toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("_pid"))
+      sorted.scanLeft(sumCols.map(_ => 0L)) { (acc, r) =>
+        acc.zipWithIndex.map { case (a, i) =>
+          a + r.getLong(1 + groups.size + i) }
+      }.init.zip(sorted).map { case (offs, r) =>
+        org.apache.spark.sql.Row.fromSeq(
+          (r.getAs[Int]("_pid") +: g) ++ offs)
+      }
+    }
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val schema = StructType(
+      StructField("_pid", IntegerType) +: groups.map(g => df.schema(g)) ++:
+        sumCols.map(c => StructField(s"_off_$c", LongType)))
+    val offsetDf = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava, schema)
+    val joined = local.join(broadcast(offsetDf), "_pid" +: groups)
+    sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"cum_$c", col(s"_off_$c") + col(s"_run_$c"))
+        .drop(s"_run_$c", s"_off_$c")
+    }.drop("_pid")
+  }
+
   /** Per-GROUP exact NTILE without a per-group single-task sort — the
     * grouped twin of [[ntileRank]]: range-exchange on
     * (group ++ keys) keeps each group's rows in range order across

@@ -238,6 +238,42 @@ object Stats {
                (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))""").as("ks"))
   }
 
+  /** Per-event-type KS drift — [[ksDrift]] run independently for every
+    * type over the same half split, riding [[Ids.prefixSumsGrouped]]
+    * so no type's value axis ever funnels through one task. The
+    * per-metric drift dashboard: one row per type with its own D,
+    * argmax value, and sample sizes. */
+  def ksDriftByType(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000L")
+    val cents = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    val base = events.filter(col("value").isNotNull)
+      .select(col("event_type"), day.as("day"), cents.as("c"))
+    val bounds = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val sided = base.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("c"),
+        when(col("day") < expr("(lo + hi + 1) div 2"), 1L)
+          .otherwise(0L).as("s1"),
+        when(col("day") < expr("(lo + hi + 1) div 2"), 0L)
+          .otherwise(1L).as("s2"))
+    val perVal = sided.groupBy("event_type", "c")
+      .agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    val cum = Ids.prefixSumsGrouped(perVal, Seq("event_type"),
+      Seq(col("c")), Seq("n1", "n2"))
+    val tot = perVal.groupBy("event_type")
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    cum.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("t1"), col("t2"),
+        expr("abs(cum_n1 * t2 - cum_n2 * t1)").as("dnum"), col("c"))
+      .groupBy(col("event_type"), col("t1"), col("t2"))
+      .agg(max(struct(col("dnum"), (-col("c")).as("negc"))).as("m"))
+      .select(col("event_type"), col("t1").as("n1"), col("t2").as("n2"),
+        col("m.dnum").as("d_num"), (-col("m.negc")).as("at_cents"),
+        expr("""CASE WHEN t1 = 0 OR t2 = 0 THEN NULL ELSE
+               CAST(m.dnum AS DOUBLE) /
+               (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) END""").as("ks"))
+      .orderBy("event_type")
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between the same stream
     * halves [[ksDrift]] splits — the nonparametric location test next
     * to [[graft.operators.Analytics.abTest]]'s proportion z. Midranks

@@ -136,4 +136,23 @@ class IdsSpec extends SparkSpec {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again == ref, "partitioning must not change the running totals")
   }
+
+  test("prefixSumsGrouped == per-group window running totals, reshuffle-proof") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 300).map(i =>
+      (s"g${i % 3}", i.toLong * 13 % 97, i.toLong % 7))
+      .toDF("g", "k", "a").withColumn("uniq", monotonically_increasing_id())
+    val keys = Seq(col("k"), col("uniq"))
+    val fast = Ids.prefixSumsGrouped(df, Seq("g"), keys, Seq("a"), parts = 5)
+      .select("uniq", "cum_a").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy(col("g")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("ca", sum(col("a")).over(w))
+      .select("uniq", "ca").as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+    val again = Ids.prefixSumsGrouped(df.repartition(11), Seq("g"), keys,
+      Seq("a"), parts = 3)
+      .select("uniq", "cum_a").as[(Long, Long)].collect().toMap
+    assert(again == ref, "partitioning must not change the grouped totals")
+  }
 }

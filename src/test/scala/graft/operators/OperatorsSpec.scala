@@ -399,6 +399,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("ks") == 3.0 / 9.0)
   }
 
+  test("ksDriftByType: each type reads its own single-type ksDrift") {
+    def ev(rows: Seq[(String, Long, Double)]) = rows.zipWithIndex.map {
+      case ((ty, day, v), i) =>
+        (1L, i.toLong, new java.sql.Timestamp(day * 86400000L + 1000L), ty, Some(v))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val viewRows = Seq(("view", 0L, 1.0), ("view", 1L, 2.0),
+      ("view", 2L, 9.0), ("view", 3L, 8.0))              // full separation
+    val clickRows = Seq(("click", 0L, 5.0), ("click", 1L, 6.0),
+      ("click", 2L, 5.0), ("click", 3L, 6.0))            // identical halves
+    val got = Stats.ksDriftByType(ev(viewRows ++ clickRows)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // both types share the global half split here, so each row must
+    // equal the single-type operator run on that type's slice alone
+    for ((ty, rows) <- Seq("view" -> viewRows, "click" -> clickRows)) {
+      val solo = Stats.ksDrift(ev(rows)).collect()(0)
+      assert(got(ty) == ((solo.getLong(0), solo.getLong(1),
+        solo.getLong(2), solo.getLong(3))), ty)
+    }
+    assert(got("view")._3 == 4L, "disjoint supports: D numerator = n1*n2")
+    assert(got("click")._3 == 0L, "identical halves: zero drift")
+  }
+
   test("mannWhitney: hand ranks with ties; all-tied variance reads NULL") {
     def ev(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map { case ((day, v), i) =>
       (1L, i.toLong, new java.sql.Timestamp(day * 86400000L + 1000L), "view", Some(v))
