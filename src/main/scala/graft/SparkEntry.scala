@@ -1176,6 +1176,10 @@ object SparkEntry {
     // Exact Gini over per-customer revenue via the two-phase rank.
     "q_gini" -> ((s, dir) =>
       graft.operators.Analytics.giniRevenue(t(s, dir, "orders"))),
+    // Lorenz curve: the distribution the Gini summarizes, one row per
+    // revenue decile with DECIMAL-scaled cumulative share ppm.
+    "q_lorenz" -> ((s, dir) =>
+      graft.operators.Analytics.lorenzCurve(t(s, dir, "orders"))),
     // Two-sample KS drift between stream halves: exact integer ECDF
     // cross-products through the distributed prefix-sum, one division.
     "q_ks_drift" -> ((s, dir) =>
@@ -2388,6 +2392,25 @@ object SparkEntry {
         |    (CAST(n AS DOUBLE) *
         |     CAST(CASE WHEN nr - 1 < nc - 1 THEN nr - 1 ELSE nc - 1 END AS DOUBLE))) AS cramers_v
         |FROM s""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT cents,
+        |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+        |  FROM pc),
+        |per AS (SELECT decile, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(cents) AS BIGINT) AS c FROM rk GROUP BY 1),
+        |t AS (SELECT CAST(sum(nc) AS BIGINT) AS nt, CAST(sum(c) AS BIGINT) AS ct FROM per),
+        |cum AS (SELECT x.decile, CAST(sum(y.nc) AS BIGINT) AS cum_customers,
+        |    CAST(sum(y.c) AS BIGINT) AS cum_cents
+        |  FROM per x JOIN per y ON y.decile <= x.decile GROUP BY 1)
+        |SELECT decile, cum_customers,
+        |  CASE WHEN ct = 0 THEN NULL ELSE
+        |  CAST((CAST(cum_cents AS HUGEINT) * 1000000) // CAST(ct AS HUGEINT) AS BIGINT)
+        |  END AS cum_revenue_ppm
+        |FROM cum, t ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_gini" ->
       """WITH pc AS (SELECT o_custkey,

@@ -978,6 +978,34 @@ object Analytics {
                   AS DOUBLE)))""").as("cramers_v"))
   }
 
+  /** Lorenz curve of per-customer revenue — the distribution
+    * [[giniRevenue]] summarizes, as one row per revenue decile:
+    * cumulative customers and cumulative revenue share (exact
+    * DECIMAL-scaled floor ppm, the [[chiSquare]] wide-arithmetic
+    * discipline so the scaling survives any corpus size). Deciles via
+    * the two-phase NTILE; cumulative sums are a ≤buckets-row
+    * triangular join. */
+  def lorenzCurve(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val ranked = graft.operators.Ids.ntileRank(perCust,
+      Seq(col("cents"), col("o_custkey")), buckets, "decile")
+    val per = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("nc"), sum(col("cents")).as("c"))
+    val tot = per.agg(sum(col("nc")).as("nt"), sum(col("c")).as("ct"))
+    per.as("x").join(per.as("y"), col("y.decile") <= col("x.decile"))
+      .groupBy(col("x.decile").as("decile"))
+      .agg(sum(col("y.nc")).as("cum_customers"), sum(col("y.c")).as("cum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile").cast("bigint").as("decile"),
+        col("cum_customers"),
+        expr("""CASE WHEN ct = 0 THEN NULL ELSE
+               CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)
+                 div CAST(ct AS DECIMAL(38,0)) AS BIGINT) END""")
+          .as("cum_revenue_ppm"))
+      .orderBy("decile")
+  }
+
   /** Exact Gini coefficient of per-customer revenue — the single-number
     * summary over [[revenueConcentration]]'s decile view: ascending
     * exact ranks from the two-phase range-exchange rank ([[Ids

@@ -504,6 +504,15 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("lorenzCurve: hand deciles, monotone shares ending at exactly 1e6 ppm") {
+    val orders = (1L to 4L).map(i => (i, i, i * 1.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    // cents 100,200,300,400 (total 1000) into 2 buckets: {100,200},{300,400}
+    val out = Analytics.lorenzCurve(orders, buckets = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 300000L), (2L, 4L, 1000000L)))
+  }
+
   test("giniRevenue: equal spend reads 0, total concentration reads (n-1)/n") {
     def orders(cents: Seq[Long]) = cents.zipWithIndex.map { case (c, i) =>
       (i.toLong + 1L, i.toLong + 1L, c / 100.0) }
