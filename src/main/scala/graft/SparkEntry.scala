@@ -919,6 +919,13 @@ object SparkEntry {
     // Tukey-fence outlier flags from exact per-group quartiles.
     "q_outliers" -> ((s, dir) =>
       EventOps.outlierFlags(t(s, dir, "orders"))),
+    // percent_rank / cume_dist relative standing within status —
+    // divisions of exact integers, cross-engine bit-equal.
+    "q_percent_rank" -> ((s, dir) =>
+      EventOps.orderPercentiles(t(s, dir, "orders"))),
+    // Per-customer order cadence: exact day gaps, interpolated median.
+    "q_order_gaps" -> ((s, dir) =>
+      EventOps.orderGaps(t(s, dir, "orders"))),
     // Semi/anti/full-outer joins.
     "q_semi_join" -> ((s, dir) =>
       EventOps.customersWithOpenOrders(t(s, dir, "customer"), t(s, dir, "orders"))),
@@ -2392,6 +2399,30 @@ object SparkEntry {
         |    (CAST(n AS DOUBLE) *
         |     CAST(CASE WHEN nr - 1 < nc - 1 THEN nr - 1 ELSE nc - 1 END AS DOUBLE))) AS cramers_v
         |FROM s""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_order_gaps" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us FROM orders),
+        |g AS (SELECT o_custkey,
+        |    (us - lag(us, 1) OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey))
+        |      // 86400000000 AS gap
+        |  FROM o)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+        |  quantile_cont(gap, 0.5) AS p50_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_lorenz" ->
       """WITH pc AS (SELECT o_custkey,

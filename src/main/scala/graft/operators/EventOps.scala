@@ -276,6 +276,40 @@ object EventOps {
         expr("percentile(__gap, 0.5)").as("p50_gap_us"))
   }
 
+  /** Relative-standing scores per order within its status: SQL
+    * `percent_rank` (rank−1)/(n−1) and `cume_dist` — both divisions
+    * of exact integers, so the doubles agree cross-engine; ties break
+    * nowhere (rank semantics are value-determined). Completes the
+    * ranking-window breadth next to NTILE/row_number/rank. */
+  def orderPercentiles(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("cents"))
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+  }
+
+  /** Per-customer order-cadence profile: gaps between consecutive
+    * orders in whole days over the (date, orderkey) total order —
+    * exact integer min/max and the bit-agreeing interpolated median
+    * (the [[interArrival]] shape on the purchase timeline; sizes
+    * reorder-reminder campaigns). Single-order customers are absent
+    * (no gap exists). */
+  def orderGaps(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("__us"))
+      .withColumn("__gap",
+        expr("__us - lag(__us, 1) OVER (PARTITION BY o_custkey ORDER BY __us, o_orderkey)"))
+      .withColumn("__gap", expr("__gap div 86400000000L"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap_days"),
+        expr("percentile(__gap, 0.5)").as("p50_gap_days"),
+        max(col("__gap")).as("max_gap_days"))
+
   /** Per-key rolling time-window aggregate — a RANGE frame over event
     * time (`RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`), the
     * trailing-window analytics shape the row-frame running totals of

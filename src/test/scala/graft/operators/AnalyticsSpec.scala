@@ -504,6 +504,32 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("orderPercentiles: hand percent_rank/cume_dist with a tie") {
+    val o = Seq((1L, "O", 1.00), (2L, "O", 2.00), (3L, "O", 2.00),
+      (4L, "O", 5.00), (9L, "F", 7.00))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val got = EventOps.orderPercentiles(o).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    // O group (n=4): ranks 1,2,2,4 -> pct (r-1)/3; cume k/4 with ties
+    assert(got(1L) == ((0.0, 0.25)))
+    assert(got(2L) == ((1.0 / 3, 0.75)) && got(3L) == ((1.0 / 3, 0.75)))
+    assert(got(4L) == ((1.0, 1.0)))
+    assert(got(9L) == ((0.0, 1.0)), "singleton group")
+  }
+
+  test("orderGaps: hand day gaps; single-order customers absent") {
+    val o = Seq((1L, 5L, "1996-01-01"), (2L, 5L, "1996-01-03"),
+      (3L, 5L, "1996-01-10"), (4L, 8L, "1996-06-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(d AS TIMESTAMP_NTZ) AS o_orderdate")
+    val got = EventOps.orderGaps(o).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(5L) == ((2L, 2L, 4.5, 7L)), "gaps 2 and 7 -> median 4.5")
+    assert(!got.contains(8L), "one order, no gap")
+  }
+
   test("lorenzCurve: hand deciles, monotone shares ending at exactly 1e6 ppm") {
     val orders = (1L to 4L).map(i => (i, i, i * 1.00))
       .toDF("o_orderkey", "o_custkey", "o_totalprice")
