@@ -59,8 +59,37 @@ object Catalog {
     require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
     require(DeletableTable.versionsOf(dir).isEmpty,
       s"'$ref' is a versioned table — stream snapshot deltas via ChangeFeed")
-    val schema = spark.table(ref).schema
-    spark.readStream.schema(schema).parquet(dir.toString)
+    val logical = spark.table(ref).schema
+    // a rename-evolved table's FILES carry the physical (pre-rename)
+    // column names; streaming with the logical schema would match
+    // renamed columns by-name-miss and emit all-NULL silently. Stream
+    // with the PHYSICAL schema, alias back to logical at the boundary
+    // (the same translation MappedTable does for the batch path).
+    val renames = readRenames(dir)
+    if (renames.isEmpty) spark.readStream.schema(logical).parquet(dir.toString)
+    else {
+      import org.apache.spark.sql.functions.col
+      val phys = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+      spark.readStream.schema(phys).parquet(dir.toString)
+        .select(logical.fields.map(f =>
+          col(renames.getOrElse(f.name, f.name)).as(f.name)): _*)
+    }
+  }
+
+  /** logical → physical column renames from a table's
+    * `_graft_mapping.json` evolution sidecar; empty when absent. */
+  private def readRenames(tableDir: java.nio.file.Path): Map[String, String] = {
+    val f = tableDir.resolve("_graft_mapping.json")
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(java.nio.file.Files.readString(f))
+      Option(node.get("renames")).map { r =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(r.fields()).asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+    }
   }
 
   def drop(spark: SparkSession, db: String): Unit =

@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions.{col, max, min}
   * Supported shapes: `=`, `<`, `<=`, `>`, `>=`, `IN` between a column
   * and literals, conjunctions thereof; numeric ranges compare as
   * BigDecimal, strings lexically (both match parquet's own min/max
-  * ordering for these types). */
+  * ordering for these types). DATE/TIMESTAMP columns persist as their
+  * Catalyst numeric encodings (epoch days / epoch micros) so they
+  * compare numerically against the pushed literals (which arrive in
+  * exactly that encoding); `analyze` rejects any other column type
+  * upfront, and a number-vs-string mismatch in `cmp` reports
+  * incomparable — which never prunes. */
 private[catalog] object FileStats {
 
   val Sidecar = "_graft_stats.json"
@@ -48,6 +53,20 @@ private[catalog] object FileStats {
     val df = spark.read.parquet(dataDir.toString)
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"analyze: no such column(s) ${missing.mkString(",")}")
+    val unsupported = cols.filter { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => false
+        case org.apache.spark.sql.types.StringType => false
+        case org.apache.spark.sql.types.DateType => false
+        case org.apache.spark.sql.types.TimestampType => false
+        case org.apache.spark.sql.types.TimestampNTZType => false
+        case _ => true
+      }
+    }
+    require(unsupported.isEmpty,
+      s"analyze: unsupported column type(s) for min/max stats: " +
+        unsupported.map(c => s"$c:${df.schema(c).dataType.simpleString}").mkString(",") +
+        " (numeric, string, date, timestamp only)")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
     val rows = df
@@ -64,7 +83,26 @@ private[catalog] object FileStats {
         Seq(r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c")).foreach {
           case null => arr.addNull()
           case v: java.lang.Number => arr.add(new java.math.BigDecimal(v.toString))
-          case v => arr.add(v.toString)
+          // temporal values persist as their CATALYST numeric encoding
+          // (epoch days / epoch micros) — the exact representation the
+          // pushed-filter literals arrive in, so cmp stays numeric
+          case v: java.sql.Date =>
+            arr.add(java.math.BigDecimal.valueOf(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(v).toLong))
+          case v: java.time.LocalDate =>
+            arr.add(java.math.BigDecimal.valueOf(v.toEpochDay))
+          case v: java.sql.Timestamp =>
+            arr.add(java.math.BigDecimal.valueOf(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(v)))
+          case v: java.time.Instant =>
+            arr.add(java.math.BigDecimal.valueOf(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(v)))
+          case v: java.time.LocalDateTime =>
+            arr.add(java.math.BigDecimal.valueOf(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(v)))
+          case v: String => arr.add(v)
+          case v => throw new IllegalStateException(
+            s"analyze: unexpected stats value class ${v.getClass.getName}")
         }
       }
     }
@@ -156,7 +194,8 @@ private[catalog] object FileStats {
     case None => false
     case Some((None, None)) => true // all-NULL column: no comparison holds
     case Some((mn, mx)) =>
-      (lo && mn.exists(m => cmp(v, m) < 0)) || (hi && mx.exists(m => cmp(v, m) > 0))
+      (lo && mn.exists(m => cmp(v, m).exists(_ < 0))) ||
+        (hi && mx.exists(m => cmp(v, m).exists(_ > 0)))
   }
 
   /** Exclusion via one boundary: for `col > v` the file survives only
@@ -169,29 +208,37 @@ private[catalog] object FileStats {
       val b = if (useMax) mx else mn
       b.exists { m =>
         val c = if (useMax) cmp(m, v) else cmp(v, m)
-        if (strict) c <= 0 else c < 0
+        c.exists(x => if (strict) x <= 0 else x < 0)
       }
   }
 
   /** Compare a catalyst literal value with a sidecar value: numbers as
-    * BigDecimal, everything else lexically on the string form (UTF8
-    * strings round-trip). Incomparable kinds report 0 → never prune. */
-  private def cmp(a: Any, b: Any): Int = {
+    * BigDecimal (temporal literals arrive as their epoch-day/micro
+    * numeric encoding, matching what `analyze` persisted), strings
+    * lexically (UTF8 strings round-trip). Incomparable kinds — a
+    * number against a string, or anything unrecognized — report None,
+    * and None NEVER prunes (both boundary and outside treat it as
+    * "cannot prove exclusion"). */
+  private def cmp(a: Any, b: Any): Option[Int] = {
     def dec(x: Any): Option[java.math.BigDecimal] = x match {
       case n: java.math.BigDecimal => Some(n)
       case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
       case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
       case _ => None
     }
+    def str(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
     (dec(a), dec(b)) match {
-      case (Some(x), Some(y)) => x.compareTo(y)
-      case _ =>
-        (a, b) match {
-          case (x: org.apache.spark.unsafe.types.UTF8String, y) =>
-            x.toString.compareTo(y.toString)
-          case (x: String, y) => x.compareTo(y.toString)
-          case _ => 0
+      case (Some(x), Some(y)) => Some(x.compareTo(y))
+      case (None, None) =>
+        (str(a), str(b)) match {
+          case (Some(x), Some(y)) => Some(x.compareTo(y))
+          case _ => None
         }
+      case _ => None // number vs non-number: no provable ordering
     }
   }
 }

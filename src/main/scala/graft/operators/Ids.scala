@@ -95,11 +95,16 @@ object Ids {
       .agg(sum(col(sumCols.head)).as(s"_t_${sumCols.head}"),
         sumCols.tail.map(c => sum(col(c)).as(s"_t_$c")): _*)
     val totalRows = totals.collect().sortBy(_.getInt(0))
-    val offsets = totalRows.scanLeft(
-      (0, sumCols.map(_ => 0L))) { case ((_, acc), row) =>
-      (row.getInt(0) + 1,
-        acc.zipWithIndex.map { case (a, i) => a + row.getLong(i + 1) })
-    }.init.map { case (pid, accs) => Seq(pid) ++ accs }
+    // key each offset row by the OBSERVED pid (an empty non-trailing
+    // range partition yields no totals row — chaining pid = prev + 1
+    // would mislabel every later partition and the inner join on _pid
+    // would silently drop their rows); each pid pairs with the
+    // cumulative sum of strictly-earlier pids' totals
+    val offsets = totalRows.zip(
+      totalRows.scanLeft(sumCols.map(_ => 0L)) { (acc, row) =>
+        acc.zipWithIndex.map { case (a, i) => a + row.getLong(i + 1) }
+      }.init
+    ).map { case (row, accs) => Seq(row.getInt(0)) ++ accs }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val offsetDf = df.sparkSession.createDataFrame(
@@ -168,6 +173,17 @@ object Ids {
     * O(groups·parts) rows through the driver — become per-group
     * prefix offsets. Output equals the per-group window form exactly
     * (spec-pinned), independent of sampled range boundaries. */
+  /** Broadcast equi-join on `keyCols` with NULL-SAFE equality (`<=>`)
+    * — the grouped offset joins must keep rows whose group column is
+    * NULL (the window/DuckDB forms treat NULL as a regular partition
+    * value; plain `===` would silently drop them). */
+  private def nullSafeOffsetJoin(left: DataFrame, right: DataFrame,
+                                 keyCols: Seq[String]): DataFrame = {
+    val rx = keyCols.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val cond = keyCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    left.join(broadcast(rx), cond).drop(keyCols.map(c => s"__r_$c"): _*)
+  }
+
   def prefixSumsGrouped(df: DataFrame, groups: Seq[String], keys: Seq[Column],
                         sumCols: Seq[String], parts: Int = 32): DataFrame = {
     val gcols = groups.map(col)
@@ -198,7 +214,7 @@ object Ids {
         sumCols.map(c => StructField(s"_off_$c", LongType)))
     val offsetDf = df.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava, schema)
-    val joined = local.join(broadcast(offsetDf), "_pid" +: groups)
+    val joined = nullSafeOffsetJoin(local, offsetDf, "_pid" +: groups)
     sumCols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"cum_$c", col(s"_off_$c") + col(s"_run_$c"))
         .drop(s"_run_$c", s"_off_$c")
@@ -252,7 +268,7 @@ object Ids {
           org.apache.spark.sql.types.LongType))
     val offsetDf = df.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava, schema)
-    local.join(broadcast(offsetDf), "_pid" +: groups)
+    nullSafeOffsetJoin(local, offsetDf, "_pid" +: groups)
       .withColumn("__rank", col("_offset") + col("_local"))
       .withColumn(outCol, expr(
         s"""CASE WHEN __rank < (_gn % $k) * (_gn div $k + 1)

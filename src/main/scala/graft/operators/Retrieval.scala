@@ -201,9 +201,10 @@ object Retrieval {
     * doc id. The result is a pure function of (corpus, params) → the
     * sf0.01 rows pin as a VALUES oracle like the engaged ANN paths.
     *
-    * Scale shape: candidates come from the existing top-k machinery at
-    * its scale shape (block-broadcast exact scan here — swap the
-    * adaptive entry in identically, the rerank only consumes the list);
+    * Scale shape: candidates come from [[Similarity.adaptiveTopKFor]]
+    * — the break-even-guarded entry (exact blocked scan below the LSH
+    * break-even, where the branches are row-identical; bucketed LSH
+    * candidates above it — the rerank only consumes the list);
     * vectors attach by id-equi join (never all-pairs); the greedy runs
     * per query over m ≤ ~100 candidates inside `flatMapGroups` — O(k·m)
     * dot products on ≤ m vectors per group, bounded whatever the
@@ -214,7 +215,7 @@ object Retrieval {
       s"lambdaMicro must be in [0, 1000000], got $lambdaMicro")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cands = Similarity.bruteForceTopKFor(queryVecs, corpus, m)
+    val cands = Similarity.adaptiveTopKFor(queryVecs, corpus, m)
       .select(col("query_id"), col("neighbor_id"),
         expr("CAST(floor(score * 1e6) AS BIGINT)").as("rel_micro"))
     val withVec = cands.join(

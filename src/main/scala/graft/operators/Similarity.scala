@@ -525,15 +525,17 @@ object Similarity {
     * label of its k nearest neighbors, ties to the smallest label. One
     * row per vector: (query_id, label, predicted_label, votes).
     *
-    * Shape: neighbors from [[bruteForceTopK]] (the exact reference —
-    * swap [[lshTopK]] / [[IvfIndex.query]] in at full scale, the
-    * downstream shape is identical); neighbor labels join back by id
+    * Shape: neighbors from [[adaptiveTopK]] — the break-even-guarded
+    * entry (exact blocked scan below the LSH break-even, identical
+    * rows; bucketed LSH pruning above it, so classifying a 100×
+    * corpus never pays the O(N²) self-scan); neighbor labels join
+    * back by id
     * (id-keyed equi-joins, vectors never reshuffle); the vote argmax is
     * a min_by aggregate over (−votes, label) — partial-aggregated
     * map-side, no window sort. */
   def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val labels = embeddings.select(col("vec_id"), col("label"))
-    val votes = bruteForceTopK(embeddings, k)
+    val votes = adaptiveTopK(embeddings, k)
       .join(labels.toDF("neighbor_id", "n_label"), "neighbor_id")
       .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
     votes.groupBy("query_id")

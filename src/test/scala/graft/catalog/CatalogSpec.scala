@@ -725,6 +725,42 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming read after RENAME COLUMN: renamed column streams real values") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-strn")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lakrn", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakrn.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lakrn.m.t (k BIGINT, v STRING)")
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .write.mode("append").insertInto("lakrn.m.t")
+      spark.sql("ALTER TABLE lakrn.m.t RENAME COLUMN v TO label")
+      // the files still carry physical 'v'; the stream must read the
+      // physical schema and alias back — a logical-schema read would
+      // stream 'label' as all-NULL silently
+      val q = Catalog.readStreamTable(spark, "lakrn.m.t")
+      assert(q.columns.toSeq == Seq("k", "label"))
+      val st = q.writeStream.format("memory").queryName("lake_rn")
+        .option("checkpointLocation",
+          Files.createTempDirectory("lake-rn-ck").toString)
+        .start()
+      st.processAllAvailable()
+      assert(spark.table("lake_rn").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b")), "renamed column streams values, not NULLs")
+      // appends through the logical name keep arriving translated
+      Seq((3L, "c")).toDF("k", "label")
+        .write.mode("append").insertInto("lakrn.m.t")
+      st.processAllAvailable()
+      assert(spark.table("lake_rn").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      st.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakrn")
+      spark.conf.unset("spark.sql.catalog.lakrn.path")
+    }
+  }
+
   test("database + external lake tables resolve through SQL and table()") {
     Catalog.registerLakeTables(spark, "osb", "/root/testdata/sf0.001")
     try {

@@ -147,4 +147,52 @@ class FileStatsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.lksr.path")
     }
   }
+
+  test("DATE/TIMESTAMP stats: prune via the catalyst numeric encoding, never drop matches") {
+    val lake = Files.createTempDirectory("graft-lake-skipd")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkdt", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkdt.path", lake.toString)
+    try {
+      spark.sql("CREATE TABLE lkdt.m.t (d DATE, ts TIMESTAMP, v BIGINT)")
+      val base = java.time.LocalDate.of(1996, 1, 1)
+      val t0 = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+      (0 until 400).map { i =>
+        (java.sql.Date.valueOf(base.plusDays(i.toLong)),
+          java.sql.Timestamp.valueOf(t0.plusHours(i.toLong)), i.toLong)
+      }.toDF("d", "ts", "v")
+        .repartitionByRange(4, $"d")
+        .write.mode("append").insertInto("lkdt.m.t")
+      val wantLt = spark.table("lkdt.m.t").where("d < DATE'1996-02-01'")
+        .select("v").as[Long].collect().sorted.toSeq
+      assert(wantLt.nonEmpty)
+      spark.sql("CALL lkdt.system.analyze('m.t', 'd,ts')")
+      // strict date range: the r9 bug treated the incomparable
+      // Int-vs-string cmp as 0 and pruned EVERY file here
+      val q = spark.table("lkdt.m.t").where("d < DATE'1996-02-01'")
+      val n = scannedFiles(q)
+      assert(n >= 1 && n < 4, s"expected a strict subset of 4 files, got $n")
+      assert(q.select("v").as[Long].collect().sorted.toSeq == wantLt,
+        "pruning must never drop matching rows")
+      // date equality and timestamp range prune too, answers intact
+      val qe = spark.table("lkdt.m.t").where("d = DATE'1996-06-15'")
+      assert(scannedFiles(qe) >= 0 && scannedFiles(qe) < 4)
+      assert(qe.count() == 1L)
+      val qt = spark.table("lkdt.m.t")
+        .where("ts >= TIMESTAMP'1996-01-14 00:00:00'")
+      assert(scannedFiles(qt) < 4)
+      assert(qt.count() ==
+        spark.read.parquet(lake.resolve("m/t.parquet").toString)
+          .where("ts >= TIMESTAMP'1996-01-14 00:00:00'").count())
+      // unsupported column types are rejected upfront, not mis-pruned
+      spark.sql("CREATE TABLE lkdt.m.arr (a ARRAY<INT>, k BIGINT)")
+      spark.sql("INSERT INTO lkdt.m.arr VALUES (array(1,2), 1)")
+      val e = intercept[Exception](
+        spark.sql("CALL lkdt.system.analyze('m.arr', 'a')"))
+      assert(e.getMessage.contains("unsupported column type"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkdt")
+      spark.conf.unset("spark.sql.catalog.lkdt.path")
+    }
+  }
 }

@@ -155,4 +155,46 @@ class IdsSpec extends SparkSpec {
       .select("uniq", "cum_a").as[(Long, Long)].collect().toMap
     assert(again == ref, "partitioning must not change the grouped totals")
   }
+
+  test("prefixSums: parts far beyond distinct keys — offsets key by observed pid") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy skew (3 distinct keys, 16 range partitions): offsets must
+    // pair with the OBSERVED partition ids, never assume 0..k chaining
+    val df = ((1 to 100).map(_ => 1L) ++ Seq(2L) ++ Seq(1000L))
+      .toDF("k").withColumn("x", col("k") % 5)
+      .withColumn("uniq", monotonically_increasing_id())
+    val fast = Ids.prefixSums(df, Seq(col("k"), col("uniq")), Seq("x"), parts = 16)
+      .select("uniq", "cum_x").as[(Long, Long)].collect().toMap
+    val ref = df.withColumn("cum_x", sum(col("x")).over(
+        Window.orderBy(col("k"), col("uniq"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("uniq", "cum_x").as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+    assert(fast.size == 102, "no rows may be dropped by the offset join")
+  }
+
+  test("grouped forms keep NULL-group rows (null-safe offset join)") {
+    import org.apache.spark.sql.expressions.Window
+    // window/DuckDB treat NULL as a regular partition value; the
+    // offset join must too (null-unsafe equality would drop the rows)
+    val df = Seq[(String, Long, Long)](
+      ("a", 1L, 3L), ("a", 2L, 1L), (null, 3L, 5L), (null, 4L, 2L),
+      (null, 6L, 1L), ("b", 5L, 4L))
+      .toDF("g", "id", "x")
+    val fast = Ids.prefixSumsGrouped(df, Seq("g"), Seq(col("id")), Seq("x"),
+        parts = 5)
+      .select("id", "cum_x").as[(Long, Long)].collect().toMap
+    val ref = df.withColumn("cum_x", sum(col("x")).over(
+        Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum_x").as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+    assert(fast.size == 6, "NULL-group rows must survive")
+    val fn = Ids.ntileRankGrouped(df, Seq("g"), Seq(col("id")), 2, "b", parts = 5)
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    val rn = df.withColumn("b", ntile(2).over(
+        Window.partitionBy(col("g")).orderBy(col("id"))))
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    assert(fn == rn)
+  }
 }
