@@ -193,19 +193,48 @@ private[catalog] final class DeletableTable(
             "WHERE clause with plain column/literal comparisons")))
       .reduceOption(_ && _).getOrElse(lit(true))
     val reader = physSchema.fold(spark.read)(s => spark.read.schema(s))
-    val kept = reader.parquet(dataDir.toString)
-      .filter(not(coalesce(cond, lit(false))))
-    if (DeletableTable.versionsOf(tableDir).nonEmpty) {
-      // snapshot table: DELETE = one more commit; history stays intact
-      new graft.streaming.StateStore(spark, tableDir.toString)
-        .write(kept, DeletableTable.versionsOf(tableDir).max + 1L)
-      spark.catalog.clearCache()
-    } else {
-      // plain table: copy-on-write rewrite + sidecar carry-over + swap
-      val tmp = stagingDir()
-      DeletableTable.deleteRecursive(tmp)
-      kept.write.mode("overwrite").parquet(tmp.toString)
-      publishRewrite(tmp)
+    // FILE-granular rewrite: the `_graft_stats.json` min/max sidecar
+    // splits the data files into candidates (may contain matching
+    // rows) and carried (provably cannot) — a selective DELETE
+    // rewrites only the candidates and hard-links the carried files
+    // into the staging dir untouched. At 100 TB this is the
+    // difference between a one-key DELETE rewriting 100 TB and it
+    // rewriting the 2 files whose ranges cover the key.
+    FileStats.split(FileStats.read(tableDir), dataDir,
+      predicates.toSeq.map(DeletableTable.statsFilter), physName) match {
+      case Some((candidates, _)) if candidates.isEmpty =>
+        // every file provably excludes the condition: the DELETE
+        // removes nothing — exact no-op, zero I/O, no new snapshot
+        ()
+      case Some((candidates, carried)) =>
+        val tmp = stagingDir()
+        DeletableTable.deleteRecursive(tmp)
+        Files.createDirectories(tmp)
+        reader.parquet(candidates.map(_.toString): _*)
+          .filter(not(coalesce(cond, lit(false))))
+          .write.mode("append").parquet(tmp.toString)
+        carried.foreach(f =>
+          DeletableTable.linkOrCopy(f, tmp.resolve(f.getFileName.toString)))
+        val newDataDir = publishRewrite(tmp)
+        // carried entries stay valid (same bytes); rewritten files get
+        // fresh stats so the NEXT selective DML keeps pruning
+        FileStats.refreshAfterRewrite(spark, tableDir, newDataDir,
+          carried.map(_.getFileName.toString).toSet)
+      case None =>
+        val kept = reader.parquet(dataDir.toString)
+          .filter(not(coalesce(cond, lit(false))))
+        if (DeletableTable.versionsOf(tableDir).nonEmpty) {
+          // snapshot table: DELETE = one more commit; history intact
+          new graft.streaming.StateStore(spark, tableDir.toString)
+            .write(kept, DeletableTable.versionsOf(tableDir).max + 1L)
+          spark.catalog.clearCache()
+        } else {
+          // plain table: copy-on-write rewrite + sidecar carry + swap
+          val tmp = stagingDir()
+          DeletableTable.deleteRecursive(tmp)
+          kept.write.mode("overwrite").parquet(tmp.toString)
+          publishRewrite(tmp)
+        }
     }
   }
 
@@ -213,49 +242,99 @@ private[catalog] final class DeletableTable(
     * row-level rewrite: Spark plans the replacement rows itself
     * (`RewriteUpdateTable` / `RewriteMergeIntoTable` → `ReplaceData`)
     * and drives them through this operation's scan + write; the
-    * connector contributes only (a) the scan of the current data (the
-    * inner table's, pruning/pushdown intact) and (b) a write that
-    * stages replacement files into a temp directory and publishes them
-    * at commit — a new snapshot for versioned tables, the DELETE
-    * swap for plain ones. The whole table is ONE rewrite group (the
-    * lake layout is one directory per table), so an UPDATE rewrites
-    * every file — correct always, and the honest cost model until the
-    * layout grows file-level grouping. */
+    * connector contributes only (a) the scan of the current data and
+    * (b) a write that stages replacement files into a temp directory
+    * and publishes them at commit — a new snapshot for versioned
+    * tables, the DELETE swap for plain ones.
+    *
+    * The rewrite GROUP is the FILE: the pushed condition splits the
+    * data files through the `_graft_stats.json` min/max sidecar
+    * ([[FileStats.split]]) into candidates (scanned, replaced) and
+    * carried (provably no matching row — hard-linked into the staging
+    * dir untouched at commit, byte-identical, same inode/mtime). A
+    * selective UPDATE then rewrites only the files whose ranges can
+    * match — the Iceberg copy-on-write cost model — instead of the
+    * whole table. No sidecar / no provable exclusion → one whole-table
+    * group, exactly the pre-r10 behavior. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
+        // which files the group scan covers: None = the whole data dir
+        // (the write then carries nothing); the write reads this at
+        // COMMIT time, after the scan is built — commit carries
+        // exactly the current files the scan did NOT read
+        @volatile private var scanned: Option[Seq[Path]] = None
         // The rewrite scan CLAIMS every pushed filter as fully handled
-        // while actually reading the whole table: Spark pushes the
-        // UPDATE/MERGE condition into this scan to prune the affected
-        // GROUPS, and whatever the scan returns is what the write
-        // REPLACES — if the parquet reader row-filtered on the
-        // condition (the default pushdown), the untouched rows would
-        // vanish from the rewrite. Claiming-but-ignoring is the group
-        // contract at whole-table granularity (a file-grouped layout
-        // would instead prune files here); the condition still applies
-        // exactly, inside Spark's replacement projection.
+        // while row-filtering NOTHING: Spark pushes the UPDATE/MERGE
+        // condition into this scan to prune the affected GROUPS, and
+        // whatever the scan returns is what the write REPLACES — if
+        // the parquet reader row-filtered on the condition (the
+        // default pushdown), the untouched rows of candidate files
+        // would vanish from the rewrite. The filters prune at FILE
+        // granularity only; the condition itself applies exactly,
+        // inside Spark's replacement projection.
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
           val ib = inner.newScanBuilder(options)
+          val stats = FileStats.read(tableDir)
           new ScanBuilder
               with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
               with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
-            override def pruneColumns(requiredSchema: StructType): Unit = ib match {
-              case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-                c.pruneColumns(requiredSchema)
-              case _ => ()
+            private var required: Option[StructType] = None
+            private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+            override def pruneColumns(requiredSchema: StructType): Unit = {
+              required = Some(requiredSchema)
+              ib match {
+                case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                  c.pruneColumns(requiredSchema)
+                case _ => ()
+              }
             }
             override def pushFilters(
-                filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
-                Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+                fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+                Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+              filters = fs; Seq.empty
+            }
             override def pushedFilters: Array[Predicate] = Array.empty
-            override def build(): org.apache.spark.sql.connector.read.Scan = ib.build()
+            override def build(): org.apache.spark.sql.connector.read.Scan =
+              FileStats.split(stats, dataDir, filters, physName) match {
+                case None =>
+                  scanned = None
+                  ib.build()
+                case Some((candidates, _)) =>
+                  scanned = Some(candidates)
+                  // scan ONLY the candidate files, all rows, no data
+                  // filters (the group contract); renames re-wrap
+                  val ps = physSchema.getOrElse(inner.schema())
+                  val pt = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+                    s"${name()}(rewrite:${candidates.size})", SparkSession.active,
+                    CaseInsensitiveStringMap.empty(),
+                    candidates.map(_.toString), Some(ps),
+                    classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+                  val tbl: SupportsRead =
+                    if (renames.isEmpty) pt
+                    else new MappedTable(pt, inner.schema(), renames)
+                  val b = tbl.newScanBuilder(options)
+                  required.foreach { s =>
+                    b match {
+                      case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                        c.pruneColumns(s)
+                      case _ => ()
+                    }
+                  }
+                  b.build()
+              }
           }
         }
         override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
-            override def build(): Write = stagedRewriteWrite(winfo)
+            override def build(): Write = stagedRewriteWrite(winfo,
+              carry = () => scanned.fold(Seq.empty[Path]) { cands =>
+                val names = cands.map(_.getFileName.toString).toSet
+                DeletableTable.listDataFiles(dataDir)
+                  .filterNot(p => names.contains(p.getFileName.toString))
+              })
           }
       }
     }
@@ -267,7 +346,8 @@ private[catalog] final class DeletableTable(
     * the physical write schema so renamed tables keep their files
     * homogeneous ([[MappedTable]]'s write rule). */
   private def stagedRewriteWrite(winfo: LogicalWriteInfo,
-                                 overwriteCond: Option[Column] = None): Write = {
+                                 overwriteCond: Option[Column] = None,
+                                 carry: () => Seq[Path] = () => Nil): Write = {
     val tmp = stagingDir()
     DeletableTable.deleteRecursive(tmp)
     Files.createDirectories(tmp)
@@ -310,7 +390,18 @@ private[catalog] final class DeletableTable(
               .filter(not(coalesce(cond, lit(false))))
               .write.mode("append").parquet(tmp.toString)
           }
-          publishRewrite(tmp)
+          // file-granular groups: current files the rewrite scan did
+          // NOT cover carry over untouched (hard link = same inode,
+          // byte-identical, zero data I/O; falls back to an
+          // attribute-preserving copy on filesystems without links)
+          val carried = carry()
+          carried.foreach(f =>
+            DeletableTable.linkOrCopy(f, tmp.resolve(f.getFileName.toString)))
+          val newDataDir = publishRewrite(tmp)
+          // carried entries stay valid (same bytes); rewritten files
+          // get fresh stats so the NEXT selective DML keeps pruning
+          FileStats.refreshAfterRewrite(SparkSession.active, tableDir,
+            newDataDir, carried.map(_.getFileName.toString).toSet)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
           ib.abort(messages)
@@ -323,7 +414,7 @@ private[catalog] final class DeletableTable(
   private def stagingDir(): Path =
     tableDir.resolveSibling(tableDir.getFileName.toString + ".__rewrite")
 
-  private def publishRewrite(tmp: Path): Unit =
+  private def publishRewrite(tmp: Path): Path =
     DeletableTable.publishStagedRewrite(tableDir, tmp)
 
   private def physName(logical: String): String =
@@ -341,15 +432,16 @@ private[catalog] object DeletableTable {
     * plain tables swap via rename with the schema/mapping sidecars
     * carried over. Shared by the DML writes and the plain-table
     * `compact` procedure. */
-  private[catalog] def publishStagedRewrite(tableDir: Path, tmp: Path): Unit = {
+  private[catalog] def publishStagedRewrite(tableDir: Path, tmp: Path): Path = {
     val versions = versionsOf(tableDir)
-    if (versions.nonEmpty) {
+    val newDataDir = if (versions.nonEmpty) {
       val next = tableDir.resolve(s"v=${versions.max + 1L}")
       deleteRecursive(next)
       Files.move(tmp, next)
       Files.writeString(
         next.resolve(graft.streaming.StateStore.CommitManifest),
         String.valueOf(System.currentTimeMillis()))
+      next
     } else {
       val old = tableDir.resolveSibling(tableDir.getFileName.toString + ".__old")
       if (Files.isDirectory(tableDir)) {
@@ -362,17 +454,23 @@ private[catalog] object DeletableTable {
       Files.move(tableDir, old)
       Files.move(tmp, tableDir)
       deleteRecursive(old)
+      tableDir
     }
     // the inner ParquetTable caches its file listing; drop any cached
     // plans so the next read sees the rewrite
     SparkSession.active.catalog.clearCache()
+    newDataDir
   }
 
   private def withSidecars(dir: Path)(f: Path => Unit): Unit = {
     val s = Files.list(dir)
     try s.iterator().asScala
       .filter(p => { val n = p.getFileName.toString
-        n == "_graft_schema.json" || n == "_graft_mapping.json" })
+        // stats ride along too: carried files keep valid entries, and
+        // refreshAfterRewrite re-stats the rewritten ones post-swap
+        // (stale names are never consulted — lookups are by filename)
+        n == "_graft_schema.json" || n == "_graft_mapping.json" ||
+          n == FileStats.Sidecar })
       .foreach(f)
     finally s.close()
   }
@@ -406,6 +504,89 @@ private[catalog] object DeletableTable {
         override def abort() = w.abort()
         override def close() = w.close()
       }
+    }
+  }
+
+  /** Carry one untouched data file into a staging dir: hard link
+    * (same inode — byte-identical content, same mtime, zero data
+    * I/O), with an attribute-preserving copy as the fallback for
+    * filesystems without link support. */
+  private[catalog] def linkOrCopy(src: Path, dst: Path): Unit =
+    try { Files.createLink(dst, src); () }
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES,
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+    }
+
+  /** The current DATA files of a table directory (skips sidecars,
+    * `_SUCCESS`, commit manifests — anything `_`/`.`-prefixed). */
+  private[catalog] def listDataFiles(dataDir: Path): Seq[Path] =
+    if (!Files.isDirectory(dataDir)) Seq.empty
+    else {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+      finally s.close()
+    }
+
+  /** V2 `Predicate` → the catalyst comparison subset [[FileStats]]
+    * prunes on (attr-vs-literal `= < <= > >=`, `IN`, `AND`).
+    * Unconvertible subtrees collapse to TRUE — they contribute no
+    * exclusion, never a wrong one. Literal-on-the-left inequalities
+    * flip so the attribute lands on the left, the only shape
+    * `FileStats.excludes` inspects. */
+  private[catalog] def statsFilter(e: V2Expression):
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe}
+    val T: org.apache.spark.sql.catalyst.expressions.Expression =
+      Literal.TrueLiteral
+    def attr(x: V2Expression): Option[AttributeReference] = x match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(AttributeReference(r.fieldNames()(0),
+          org.apache.spark.sql.types.NullType)())
+      case _ => None
+    }
+    def litv(x: V2Expression): Option[Literal] = x match {
+      case l: V2Literal[_] => Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    e match {
+      case p: Predicate =>
+        val c = p.children()
+        // comparison operands in (attr, literal) order plus a flip
+        // marker when the literal was on the left
+        def operands: Option[(AttributeReference, Literal, Boolean)] =
+          if (c.length != 2) None
+          else (attr(c(0)), litv(c(1)), attr(c(1)), litv(c(0))) match {
+            case (Some(a), Some(v), _, _) => Some((a, v, false))
+            case (_, _, Some(a), Some(v)) => Some((a, v, true))
+            case _ => None
+          }
+        p.name() match {
+          case "AND" if c.length == 2 =>
+            CAnd(statsFilter(c(0)), statsFilter(c(1)))
+          case "=" => operands.fold(T) { case (a, v, _) => CEq(a, v) }
+          case "<" => operands.fold(T) { case (a, v, flip) =>
+            if (flip) CGt(a, v) else CLt(a, v) }
+          case "<=" => operands.fold(T) { case (a, v, flip) =>
+            if (flip) CGe(a, v) else CLe(a, v) }
+          case ">" => operands.fold(T) { case (a, v, flip) =>
+            if (flip) CLt(a, v) else CGt(a, v) }
+          case ">=" => operands.fold(T) { case (a, v, flip) =>
+            if (flip) CLe(a, v) else CGe(a, v) }
+          case "IN" if c.length >= 2 =>
+            (attr(c(0)), c.toSeq.tail.map(litv)) match {
+              case (Some(a), vs) if vs.forall(_.isDefined) =>
+                CIn(a, vs.map(_.get))
+              case _ => T
+            }
+          case _ => T
+        }
+      case _ => T
     }
   }
 

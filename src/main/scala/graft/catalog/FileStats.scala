@@ -67,20 +67,80 @@ private[catalog] object FileStats {
       s"analyze: unsupported column type(s) for min/max stats: " +
         unsupported.map(c => s"$c:${df.schema(c).dataType.simpleString}").mkString(",") +
         " (numeric, string, date, timestamp only)")
+    val entries = collectRanges(df, cols)
+    writeSidecar(tableDir, entries)
+    entries.size.toLong
+  }
+
+  /** Refresh the sidecar across a FILE-GRANULAR rewrite: carried
+    * files keep their entries (same bytes, same names), newly staged
+    * files get fresh min/max over the sidecar's own column set, and
+    * names no longer present drop. Without this, every DML would
+    * strand the skipping stats until the next manual `CALL analyze`;
+    * with it, repeated selective DML keeps pruning (the Iceberg model,
+    * where the writer records per-file stats inline). Reads ONLY the
+    * newly written files. No-op when no sidecar exists or when
+    * nothing was carried (a whole-table rewrite stales every entry —
+    * recomputing there would re-read everything just written). */
+  def refreshAfterRewrite(spark: SparkSession, tableDir: Path, dataDir: Path,
+                          carriedNames: Set[String]): Unit = {
+    if (carriedNames.isEmpty) return
+    val existing = read(tableDir)
+    if (existing.isEmpty) return
+    val current = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+      finally s.close()
+    }
+    val kept: RawRanges = current.flatMap { p =>
+      val n = p.getFileName.toString
+      if (carriedNames(n))
+        existing.get(n).map(r => n -> r.map { case (c, (mn, mx)) =>
+          c -> ((mn.orNull: Any, mx.orNull: Any)) })
+      else None
+    }.toMap
+    val newFiles = current.filterNot(p => carriedNames(p.getFileName.toString))
+    val fresh: RawRanges =
+      if (newFiles.isEmpty) Map.empty
+      else {
+        val cols = existing.valuesIterator.flatMap(_.keysIterator)
+          .toSeq.distinct.sorted
+        val df = spark.read.parquet(newFiles.map(_.toString): _*)
+        val usable = cols.filter(df.columns.contains)
+        if (usable.isEmpty) Map.empty else collectRanges(df, usable)
+      }
+    writeSidecar(tableDir, kept ++ fresh)
+  }
+
+  /** Raw per-file ranges straight off a collect: values are whatever
+    * Spark returned (numbers, strings, temporal classes) or null. */
+  private type RawRanges = Map[String, Map[String, (Any, Any)]]
+
+  private def collectRanges(df: org.apache.spark.sql.DataFrame,
+                            cols: Seq[String]): RawRanges = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val rows = df
-      .groupBy(col("_metadata.file_path").as("__file"))
+    df.groupBy(col("_metadata.file_path").as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+      .map { r =>
+        r.getAs[String]("__file").split('/').last ->
+          cols.map(c =>
+            c -> ((r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c")))).toMap
+      }.toMap
+  }
+
+  private def writeSidecar(tableDir: Path, entries: RawRanges): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
-    rows.foreach { r =>
-      val fileName = r.getAs[String]("__file").split('/').last
+    entries.toSeq.sortBy(_._1).foreach { case (fileName, colRanges) =>
       val node = root.putObject(fileName)
-      cols.foreach { c =>
+      colRanges.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
         val arr = node.putArray(c)
-        Seq(r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c")).foreach {
+        Seq(mn, mx).foreach {
           case null => arr.addNull()
           case v: java.lang.Number => arr.add(new java.math.BigDecimal(v.toString))
           // temporal values persist as their CATALYST numeric encoding
@@ -102,7 +162,7 @@ private[catalog] object FileStats {
               org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(v)))
           case v: String => arr.add(v)
           case v => throw new IllegalStateException(
-            s"analyze: unexpected stats value class ${v.getClass.getName}")
+            s"stats sidecar: unexpected value class ${v.getClass.getName}")
         }
       }
     }
@@ -112,7 +172,7 @@ private[catalog] object FileStats {
     Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    rows.length.toLong
+    ()
   }
 
   /** Read the sidecar; empty map when absent. */
@@ -145,7 +205,19 @@ private[catalog] object FileStats {
     * (physical) dialect. Returns None when pruning removes nothing —
     * the caller then keeps the original single-directory listing. */
   def survivors(stats: Ranges, dataDir: Path, filters: Seq[Expression],
-                phys: String => String): Option[Seq[Path]] = {
+                phys: String => String): Option[Seq[Path]] =
+    split(stats, dataDir, filters, phys).map(_._1)
+
+  /** Partition the data files into (candidates, carried): `carried`
+    * files provably contain NO row matching the conjunctive `filters`
+    * (their ranges exclude some conjunct) — a row-level rewrite can
+    * carry them untouched and rewrite only the candidates. None when
+    * nothing can be carried (no stats / no filters / no provable
+    * exclusion) — the caller then treats the whole directory as one
+    * rewrite group. Same conservative rules as [[survivors]]:
+    * unlisted files are always candidates. */
+  def split(stats: Ranges, dataDir: Path, filters: Seq[Expression],
+            phys: String => String): Option[(Seq[Path], Seq[Path])] = {
     if (stats.isEmpty || filters.isEmpty || !Files.isDirectory(dataDir)) return None
     val files = {
       val s = Files.list(dataDir)
@@ -155,13 +227,13 @@ private[catalog] object FileStats {
       }.toSeq
       finally s.close()
     }
-    val kept = files.filter { p =>
+    val (kept, carried) = files.partition { p =>
       stats.get(p.getFileName.toString) match {
         case None => true // unlisted (post-analyze) file: never prune
         case Some(ranges) => !filters.exists(excludes(_, ranges, phys))
       }
     }
-    if (kept.size == files.size) None else Some(kept)
+    if (carried.isEmpty) None else Some((kept, carried))
   }
 
   /** True when `filter` provably holds NOWHERE within the file's
