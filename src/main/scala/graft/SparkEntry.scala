@@ -860,6 +860,13 @@ object SparkEntry {
       graft.operators.Bucketing.segmentRevenueBucketed(
         t(s, dir, "orders"), t(s, dir, "customer"),
         s"${System.getProperty("java.io.tmpdir")}/graft_bucketed")),
+    // Partitioned V2 lake table end-to-end: hive col=value layout +
+    // listing-level partition pruning on the aggregation's filter
+    // (PartitionedTableSpec pins the PartitionFilters plan).
+    "q_partitioned_scan" -> ((s, dir) =>
+      graft.operators.Bucketing.partitionedPriorityRevenue(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_partlake")),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -4255,6 +4262,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Partitioned layout is not semantics: the oracle is the same
+    // aggregation over the raw parquet. Integer-cents revenue.
+    "q_partitioned_scan" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_distinct_agg" ->

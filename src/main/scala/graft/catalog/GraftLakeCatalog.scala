@@ -234,6 +234,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val p = tablePath(ident)
     healInterruptedSwap(p)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    val pspec = PartitionSpec.read(p)
+    if (pspec.nonEmpty)
+      return new PartitionedLakeTable(ident.toString, p,
+        declaredSchema(p).getOrElse(throw new IllegalStateException(
+          s"$catalogName: ${ident.toString} carries a partition sidecar " +
+            s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
+        pspec)
     val evo = readEvolution(p)
     val schema = declaredSchema(p)
     val data = versionsOf(p).lastOption.fold(p)(v => p.resolve(s"v=$v"))
@@ -314,9 +321,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
                            schema: org.apache.spark.sql.types.StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
                            properties: java.util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$catalogName: partitioned lake tables are not supported (layout is one parquet dir per table)")
+    val spec = partitionSpecOf(ident, schema, partitions)
     val p = tablePath(ident)
     if (Files.exists(p))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -326,9 +331,88 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     // persist the declared schema: an empty table has nothing to infer
     // from, and ADD COLUMN evolution rewrites this sidecar later
     Files.writeString(p.resolve(SchemaSidecar), schema.json)
-    ParquetTable(ident.toString, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), Seq(p.toString), Some(schema),
-      classOf[ParquetFileFormat])
+    if (spec.nonEmpty) {
+      PartitionSpec.write(p, spec)
+      new PartitionedLakeTable(ident.toString, p, schema, spec)
+    } else
+      ParquetTable(ident.toString, SparkSession.active,
+        CaseInsensitiveStringMap.empty(), Seq(p.toString), Some(schema),
+        classOf[ParquetFileFormat])
+  }
+
+  /** Validate + translate `PARTITIONED BY` transforms: identity and
+    * bucket (the reference's `'bucket.num'='4'` PK layout) are the
+    * supported lake transforms. Identity partition columns must be
+    * dir-value-exact types (string / integral / date / boolean — the
+    * hive `col=value` round trip is lossless for these); a column
+    * named `v` is rejected because `v=<n>` is the snapshot layout. */
+  private def partitionSpecOf(
+      ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform]):
+      Seq[PartitionSpec.Field] = {
+    import org.apache.spark.sql.types._
+    def unsupported(msg: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$catalogName: ${ident.toString}: $msg")
+    def singleCol(t: org.apache.spark.sql.connector.expressions.Transform): String = {
+      val refs = t.references()
+      if (refs.length != 1 || refs(0).fieldNames().length != 1)
+        unsupported(s"transform $t must reference exactly one top-level column")
+      val c = refs(0).fieldNames()(0)
+      if (!schema.fieldNames.contains(c))
+        unsupported(s"partition column '$c' is not in the table schema")
+      c
+    }
+    val spec = partitions.toSeq.map { t =>
+      t.name() match {
+        case "identity" =>
+          val c = singleCol(t)
+          if (c == "v" || c.startsWith("_"))
+            unsupported(s"partition column '$c' collides with the " +
+              "snapshot/sidecar layout (v=<n>, _-prefixed)")
+          schema(c).dataType match {
+            case StringType | ByteType | ShortType | IntegerType |
+                 LongType | DateType | BooleanType => ()
+            case dt => unsupported(
+              s"identity partition column '$c' has type ${dt.simpleString}; " +
+                "supported: string, integral, date, boolean " +
+                "(directory values must round-trip exactly)")
+          }
+          PartitionSpec.Identity(c)
+        case "bucket" =>
+          val c = singleCol(t)
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(unsupported(s"bucket transform $t needs a bucket count"))
+          if (n <= 0) unsupported(s"bucket count must be positive, got $n")
+          PartitionSpec.Bucket(c, n)
+        case other =>
+          unsupported(s"partition transform '$other' is not supported " +
+            "(identity and bucket only)")
+      }
+    }
+    if (spec.count(_.isInstanceOf[PartitionSpec.Bucket]) > 1)
+      unsupported("at most one bucket transform per table")
+    val identityCols = spec.collect { case PartitionSpec.Identity(c) => c }
+    if (identityCols.distinct.size != identityCols.size)
+      unsupported("duplicate identity partition columns")
+    if (identityCols.size == schema.fields.length)
+      unsupported("at least one non-partition data column is required")
+    // the hive-layout scan reads (data columns, then partition
+    // columns); requiring the declared schema in that same order keeps
+    // the V2 scan output aligned with the relation — no compensating
+    // Project, which Spark's DELETE/row-level planning rejects. Same
+    // convention as Hive/V1 (partition columns always trail).
+    if (identityCols.nonEmpty &&
+        schema.fieldNames.takeRight(identityCols.size).toSeq != identityCols)
+      unsupported("identity partition columns must be the LAST columns " +
+        s"of the schema, in PARTITIONED BY order (expected trailing " +
+        s"(${identityCols.mkString(", ")}); declared " +
+        s"(${schema.fieldNames.mkString(", ")}))")
+    spec
   }
 
   // ---- ProcedureCatalog: CALL <cat>.system.<proc>(…) lake maintenance ----
@@ -411,6 +495,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         s"$catalogName: single-file tables cannot carry a schema sidecar; " +
           "only directory tables support schema evolution")
+    if (PartitionSpec.read(p).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: ${ident.toString} is partitioned — column evolution " +
+          "on partitioned lake tables is not supported (the rename/drop " +
+          "mapping does not compose with partition directory names)")
     var schema = declaredSchema(p).getOrElse(
       loadTable(ident) match {
         case pt: ParquetTable => pt.schema

@@ -72,4 +72,58 @@ object Bucketing {
           org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("revenue"))
   }
+
+  /** End-to-end PARTITIONED lake table entry
+    * ([[graft.catalog.PartitionedLakeTable]] — the reference's Paimon
+    * `PARTITIONED BY` lake surface): lay `orders` out as a V2
+    * lake-catalog table partitioned by `o_orderpriority` (hive
+    * `col=value` directories), then aggregate the urgent tiers
+    * THROUGH the partition filter — the scan lists only the 2
+    * matching partition directories of 5 before opening any footer
+    * (`PartitionedTableSpec` pins the PartitionFilters plan; at
+    * 100 TB this pruning is the first-order scan reducer).
+    * Partitioning is layout, not semantics, so the oracle is the
+    * same aggregation over the raw parquet. Revenue in exact integer
+    * cents (`floor(price·100)` per row, BIGINT sum) — the engine's
+    * cross-engine determinism discipline. */
+  def partitionedPriorityRevenue(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepart"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_part (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         |  o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+         |  o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    orders
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("append").insertInto(s"$cat.m.orders_part")
+    spark.table(s"$cat.m.orders_part")
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+  }
+}
+
+/** Fresh work dir per run for the partitioned-table entry: the CREATE
+  * must not trip over a previous run's table. */
+private object PartitionedWorkDirs {
+  def reset(workDir: String): Unit = {
+    val root = java.nio.file.Paths.get(workDir)
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally s.close()
+    }
+    java.nio.file.Files.createDirectories(root.resolve("m"))
+    ()
+  }
 }

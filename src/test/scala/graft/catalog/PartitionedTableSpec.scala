@@ -1,0 +1,248 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+
+/** Partitioned lake tables: `PARTITIONED BY (identity / bucket)` on
+  * the V2 catalog — hive `col=value` directory layout, listing-level
+  * partition pruning (plan-pinned), partition-wise INSERT OVERWRITE
+  * (dynamic + static), hidden bucket partitioning, and
+  * partition-preserving DELETE. */
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topDirs(p: Path): Set[String] = {
+    val s = Files.list(p)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    finally s.close()
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("identity partitions: layout, pruning plan pin, append, select") {
+    val lake = Files.createTempDirectory("graft-lake-pt1")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkpt1", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkpt1.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkpt1.m.t (k BIGINT, v STRING, region STRING)
+          |PARTITIONED BY (region)""".stripMargin)
+      val rows = Seq((1L, "a", "EU"), (2L, "b", "EU"),
+        (3L, "c", "US"), (4L, "d", "APAC"))
+      rows.toDF("k", "v", "region")
+        .write.mode("append").insertInto("lkpt1.m.t")
+      // hive layout: one dir per region, partition col NOT in files
+      val dir = lake.resolve("m/t.parquet")
+      assert(topDirs(dir) == Set("region=EU", "region=US", "region=APAC"))
+      val euFile = {
+        val s = Files.list(dir.resolve("region=EU"))
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+      assert(euFile.nonEmpty)
+      assert(!spark.read.parquet(euFile.head.toString).columns.contains("region"),
+        "partition column must not be written into the data files")
+      // full read round-trips with partition values restored and typed
+      assert(spark.table("lkpt1.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq == rows)
+      // PRUNING: a partition predicate reaches the scan as a
+      // PartitionFilter (listing-level — non-matching dirs never open)
+      val q = spark.table("lkpt1.m.t").where("region = 'EU'")
+      val plan = planOf(q)
+      assert(plan.contains("PartitionFilters") && plan.contains("region"),
+        s"expected a partition filter in the scan, got:\n$plan")
+      assert(q.count() == 2L)
+      // appends merge into existing partition dirs
+      Seq((5L, "e", "EU")).toDF("k", "v", "region")
+        .write.mode("append").insertInto("lkpt1.m.t")
+      assert(spark.table("lkpt1.m.t").where("region = 'EU'").count() == 3L)
+      assert(topDirs(dir) == Set("region=EU", "region=US", "region=APAC"))
+      // partitioning is visible in metadata
+      assert(spark.sql("DESCRIBE TABLE EXTENDED lkpt1.m.t").collect()
+        .map(_.toString).mkString.contains("region"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkpt1")
+      spark.conf.unset("spark.sql.catalog.lkpt1.path")
+    }
+  }
+
+  test("multi-level identity + NULL partition values round-trip") {
+    val lake = Files.createTempDirectory("graft-lake-pt2")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkpt2", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkpt2.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkpt2.m.t (n BIGINT, d DATE, lang STRING)
+          |PARTITIONED BY (d, lang)""".stripMargin)
+      val rows = Seq(
+        (1L, java.sql.Date.valueOf("2024-01-01"), "en"),
+        (2L, java.sql.Date.valueOf("2024-01-01"), "fr"),
+        (3L, java.sql.Date.valueOf("2024-01-02"), "en"),
+        (4L, java.sql.Date.valueOf("2024-01-02"), null))
+      rows.toDF("n", "d", "lang").write.mode("append").insertInto("lkpt2.m.t")
+      val dir = lake.resolve("m/t.parquet")
+      assert(topDirs(dir) == Set("d=2024-01-01", "d=2024-01-02"))
+      assert(topDirs(dir.resolve("d=2024-01-02")) ==
+        Set("lang=en", "lang=__HIVE_DEFAULT_PARTITION__"))
+      val got = spark.table("lkpt2.m.t")
+        .as[(Long, java.sql.Date, String)].collect().sortBy(_._1).toSeq
+      assert(got == rows)
+      // both levels prune
+      val q = spark.table("lkpt2.m.t")
+        .where("d = DATE'2024-01-02' AND lang = 'en'")
+      assert(planOf(q).contains("PartitionFilters"))
+      assert(q.select("n").as[Long].collect().toSeq == Seq(3L))
+      // NULL partition is queryable
+      assert(spark.table("lkpt2.m.t").where("lang IS NULL")
+        .select("n").as[Long].collect().toSeq == Seq(4L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkpt2")
+      spark.conf.unset("spark.sql.catalog.lkpt2.path")
+    }
+  }
+
+  test("INSERT OVERWRITE: dynamic replaces touched partitions, static replaces named ones, bare truncates") {
+    val lake = Files.createTempDirectory("graft-lake-pt3")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkpt3", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkpt3.path", lake.toString)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      spark.sql(
+        """CREATE TABLE lkpt3.m.t (n BIGINT, region STRING)
+          |PARTITIONED BY (region)""".stripMargin)
+      Seq((1L, "EU"), (2L, "US"), (3L, "APAC")).toDF("n", "region")
+        .write.mode("append").insertInto("lkpt3.m.t")
+      // DYNAMIC: only partitions receiving rows are replaced
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      spark.sql("INSERT OVERWRITE lkpt3.m.t VALUES (10, 'EU')")
+      assert(spark.table("lkpt3.m.t").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((2L, "US"), (3L, "APAC"), (10L, "EU")),
+        "dynamic overwrite must keep untouched partitions")
+      // STATIC with a named partition: replace exactly that partition,
+      // even when the new data differs
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      spark.sql("INSERT OVERWRITE lkpt3.m.t PARTITION (region = 'US') VALUES (20), (21)")
+      assert(spark.table("lkpt3.m.t").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((3L, "APAC"), (10L, "EU"), (20L, "US"), (21L, "US")))
+      // bare INSERT OVERWRITE in static mode truncates everything
+      spark.sql("INSERT OVERWRITE lkpt3.m.t VALUES (30, 'SA')")
+      assert(spark.table("lkpt3.m.t").as[(Long, String)].collect().toSeq ==
+        Seq((30L, "SA")))
+      // TRUNCATE TABLE empties but keeps the table + partitioning
+      spark.sql("TRUNCATE TABLE lkpt3.m.t")
+      assert(spark.table("lkpt3.m.t").count() == 0L)
+      Seq((40L, "EU")).toDF("n", "region").write.mode("append")
+        .insertInto("lkpt3.m.t")
+      assert(spark.table("lkpt3.m.t").as[(Long, String)].collect().toSeq ==
+        Seq((40L, "EU")))
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      spark.conf.unset("spark.sql.catalog.lkpt3")
+      spark.conf.unset("spark.sql.catalog.lkpt3.path")
+    }
+  }
+
+  test("bucket(4, k): hidden _gbucket layout, sql-recomputable assignment, reads intact") {
+    val lake = Files.createTempDirectory("graft-lake-pt4")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkpt4", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkpt4.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkpt4.m.t (k BIGINT, v STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .write.mode("append").insertInto("lkpt4.m.t")
+      val dir = lake.resolve("m/t.parquet")
+      val dirs = topDirs(dir)
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("_gbucket=")),
+        s"expected _gbucket=<n> dirs, got $dirs")
+      // the bucket id is hidden: not in the schema, not in the rows
+      assert(spark.table("lkpt4.m.t").columns.toSeq == Seq("k", "v"))
+      assert(spark.table("lkpt4.m.t").count() == 100L)
+      assert(spark.table("lkpt4.m.t").where("k = 42")
+        .select("v").as[String].collect().toSeq == Seq("v42"))
+      // assignment law: every row's directory equals pmod(hash(k), 4)
+      // — the SQL-recomputable contract
+      val byDir = dirs.toSeq.sorted.flatMap { d =>
+        val b = d.stripPrefix("_gbucket=").toInt
+        spark.read.parquet(dir.resolve(d).toString)
+          .select("k").as[Long].collect().map(k => (k, b))
+      }.toMap
+      val expect = spark.sql(
+        "SELECT id AS k, pmod(hash(id), 4) AS b FROM range(1, 101)")
+        .as[(Long, Int)].collect().toMap
+      assert(byDir == expect, "bucket assignment must be pmod(hash(k), n)")
+      // DESCRIBE shows the transform
+      assert(spark.sql("SHOW CREATE TABLE lkpt4.m.t").head().getString(0)
+        .contains("bucket(4, k)"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkpt4")
+      spark.conf.unset("spark.sql.catalog.lkpt4.path")
+    }
+  }
+
+  test("DELETE FROM a partitioned table preserves the layout") {
+    val lake = Files.createTempDirectory("graft-lake-pt5")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkpt5", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkpt5.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkpt5.m.t (n BIGINT, region STRING)
+          |PARTITIONED BY (region)""".stripMargin)
+      Seq((1L, "EU"), (2L, "EU"), (3L, "US")).toDF("n", "region")
+        .write.mode("append").insertInto("lkpt5.m.t")
+      spark.sql("DELETE FROM lkpt5.m.t WHERE n = 1")
+      assert(spark.table("lkpt5.m.t").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((2L, "EU"), (3L, "US")))
+      val dir = lake.resolve("m/t.parquet")
+      assert(topDirs(dir) == Set("region=EU", "region=US"),
+        "DELETE must preserve the partition-directory layout")
+      // partition pruning still plans after the rewrite
+      assert(planOf(spark.table("lkpt5.m.t").where("region = 'US'"))
+        .contains("PartitionFilters"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkpt5")
+      spark.conf.unset("spark.sql.catalog.lkpt5.path")
+    }
+  }
+
+  test("guard rails: unsupported transforms, bad partition columns, no evolution") {
+    val lake = Files.createTempDirectory("graft-lake-pt6")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkpt6", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkpt6.path", lake.toString)
+    try {
+      def fails(sql: String, frag: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        assert(e.getMessage.contains(frag),
+          s"expected '$frag' in: ${e.getMessage}")
+      }
+      fails("CREATE TABLE lkpt6.m.a (y BIGINT, x DOUBLE) PARTITIONED BY (x)",
+        "supported: string, integral, date, boolean")
+      fails("CREATE TABLE lkpt6.m.b (v STRING, y BIGINT) PARTITIONED BY (v)",
+        "collides with the snapshot")
+      fails("CREATE TABLE lkpt6.m.c (x STRING) PARTITIONED BY (x)",
+        "at least one non-partition data column")
+      fails("CREATE TABLE lkpt6.m.d (y BIGINT, x STRING) PARTITIONED BY (years(x))",
+        "not supported")
+      fails("CREATE TABLE lkpt6.m.f (g STRING, n BIGINT) PARTITIONED BY (g)",
+        "must be the LAST columns")
+      spark.sql(
+        """CREATE TABLE lkpt6.m.e (n BIGINT, g STRING)
+          |PARTITIONED BY (g)""".stripMargin)
+      fails("ALTER TABLE lkpt6.m.e RENAME COLUMN n TO m",
+        "partitioned")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkpt6")
+      spark.conf.unset("spark.sql.catalog.lkpt6.path")
+    }
+  }
+}
