@@ -58,7 +58,8 @@ object Catalog {
     val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
     require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
     require(DeletableTable.versionsOf(dir).isEmpty,
-      s"'$ref' is a versioned table — stream snapshot deltas via ChangeFeed")
+      s"'$ref' is a versioned table — stream its commits as a change " +
+        "feed via readStreamTable(spark, ref, keys)")
     val logical = spark.table(ref).schema
     // a rename-evolved table's FILES carry the physical (pre-rename)
     // column names; streaming with the logical schema would match
@@ -75,6 +76,33 @@ object Catalog {
         .select(logical.fields.map(f =>
           col(renames.getOrElse(f.name, f.name)).as(f.name)): _*)
     }
+  }
+
+  /** Streaming CHANGE FEED of a VERSIONED lake-catalog table: each
+    * committed `v=<n>` snapshot arrives as a micro-batch of its
+    * per-version change feed (earliest snapshot as inserts, later
+    * ones as the [[graft.streaming.ChangeFeed]] diff against the
+    * predecessor), keyed on `keys`. Offsets are snapshot versions —
+    * checkpoint replay re-derives identical rows from the immutable
+    * snapshots (exactly-once, `ChangeFeedStreamSpec`-pinned). Schema:
+    * `op, version, before, after`. */
+  def readStreamTable(spark: SparkSession, ref: String,
+                      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val parts = ref.split('.')
+    require(parts.length == 3, s"expected cat.db.table, got '$ref'")
+    val root = Option(spark.conf.get(s"spark.sql.catalog.${parts(0)}.path", null))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '${parts(0)}' is not configured in this session"))
+    val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
+    require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
+    require(DeletableTable.versionsOf(dir).nonEmpty,
+      s"'$ref' is not a versioned table — tail its part files with " +
+        "readStreamTable(spark, ref) instead")
+    spark.readStream
+      .format("org.apache.spark.sql.graft.ChangeFeedSourceProvider")
+      .option("path", dir.toString)
+      .option("keys", keys.mkString(","))
+      .load()
   }
 
   /** logical → physical column renames from a table's

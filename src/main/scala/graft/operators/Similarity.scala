@@ -288,7 +288,27 @@ object Similarity {
     * one join + distinct, nothing collected but one scalar. */
   def lshCandidateFraction(embeddings: DataFrame, tables: Int = 40,
                            planes: Int = 5, dims: Int = 64,
-                           sampleN: Int = 500): Double = {
+                           sampleN: Int = 500): Double =
+    probeMemo.getOrCompute(embeddings,
+      s"lshCandidateFraction:$tables:$planes:$dims:$sampleN")(
+      java.lang.Double.valueOf(
+        lshCandidateFractionUncached(embeddings, tables, planes, dims, sampleN))
+    ).doubleValue()
+
+  /** Session memo for the collision-mass probe: every adaptive entry
+    * (self/for/directed/filtered, hybrid-RRF dense, MMR candidates,
+    * kNN votes) probes the SAME (corpus, params) point — compositions
+    * like q_hybrid_rrf were re-paying the probe per call. Keyed on
+    * plan fingerprint + file inventory + params ([[ModelMemo]]), so a
+    * refreshed corpus re-probes and in-memory test relations bypass. */
+  private val probeMemo = new ModelMemo[java.lang.Double]
+
+  /** Explicit cache reset (see [[ModelMemo.invalidate]]). */
+  def invalidateProbeCache(): Unit = probeMemo.invalidate()
+
+  private def lshCandidateFractionUncached(
+      embeddings: DataFrame, tables: Int, planes: Int, dims: Int,
+      sampleN: Int): Double = {
     val sample = embeddings
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleN)
     val n = sample.count()

@@ -13,6 +13,19 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Re-tag a derived batch DataFrame as a STREAMING frame — the V1
+    * streaming `Source.getBatch` contract (MicroBatchExecution asserts
+    * `isStreaming` on the returned plan). `toRdd` is lazy, so the
+    * distributed derivation still executes only when the micro-batch
+    * runs; this is the standard pattern for sources whose batches are
+    * themselves Catalyst-planned queries (Delta's source does the
+    * same). */
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** The persisted RDD behind a `localCheckpoint`ed Dataset, if any —
     * the handle needed to RELEASE checkpoint storage explicitly
     * (`rdd.unpersist()`): `Dataset.unpersist` only touches

@@ -1,0 +1,150 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit, struct}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming CHANGE FEED over a versioned (`v=<n>` snapshot) lake
+  * table — the "downstream job tails the tiered table" surface
+  * (reference `deploy:318-358`) for the snapshot layout that a
+  * single-directory file stream cannot see:
+  *
+  *  - the OFFSET is the committed snapshot version (a pure fact of the
+  *    directory layout), checkpointed by Spark's own offset log;
+  *  - each micro-batch covering versions `(start, end]` emits the
+  *    PER-VERSION change feeds, concatenated with a `version` column:
+  *    the earliest snapshot as `+I` rows, every later one as the
+  *    [[graft.streaming.ChangeFeed]] diff against its predecessor.
+  *    Per-version granularity (not one net diff over the range) makes
+  *    the stream's content independent of trigger timing: however the
+  *    micro-batches slice the version axis, the concatenation equals
+  *    the batch-derived feed — and a checkpoint replay re-derives the
+  *    exact same rows from the immutable snapshots (exactly-once,
+  *    spec-pinned).
+  *
+  * This is the V1 streaming `Source` shape (the Delta-source pattern):
+  * `getBatch` RETURNS the derived DataFrame — the diff stays a
+  * distributed join planned by Catalyst, with nothing materialized on
+  * the driver. Schema: `op STRING, version BIGINT, before STRUCT<row>,
+  * after STRUCT<row>` — [[graft.cdc.Upsert.applyChangelog]]'s envelope
+  * with the commit version attached.
+  *
+  * Options: `path` (the table's snapshot directory), `keys`
+  * (comma-separated primary-key columns the diff joins on). */
+final class ChangeFeedSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changefeed"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ChangeFeedSource.feedSchema(
+      ChangeFeedSource.rowSchema(sqlContext, parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, parameters)
+}
+
+private[graft] object ChangeFeedSource {
+
+  def feedSchema(row: StructType): StructType = StructType(Seq(
+    StructField("op", StringType, nullable = true),
+    StructField("version", LongType, nullable = false),
+    StructField("before", row, nullable = true),
+    StructField("after", row, nullable = true)))
+
+  /** The snapshot row schema — from the earliest committed version
+    * (schemas are append-stable across commits of a PK table). */
+  def rowSchema(sqlContext: SQLContext,
+                parameters: Map[String, String]): StructType = {
+    val store = storeFor(sqlContext, parameters)
+    val first = store.versions.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-changefeed: '${parameters("path")}' has no committed " +
+          "v=<n> snapshots to stream"))
+    store.read(first).get.schema
+  }
+
+  def storeFor(sqlContext: SQLContext,
+               parameters: Map[String, String]): graft.streaming.StateStore =
+    new graft.streaming.StateStore(sqlContext.sparkSession,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft-changefeed: 'path' option is required")))
+
+  def keysOf(parameters: Map[String, String]): Seq[String] =
+    parameters.getOrElse("keys", throw new IllegalArgumentException(
+        "graft-changefeed: 'keys' option is required (primary-key " +
+          "columns the diff joins on)"))
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+}
+
+private[graft] final class ChangeFeedSource(
+    sqlContext: SQLContext,
+    parameters: Map[String, String]) extends Source {
+
+  private val store = ChangeFeedSource.storeFor(sqlContext, parameters)
+  private val keys = ChangeFeedSource.keysOf(parameters)
+  private val row = ChangeFeedSource.rowSchema(sqlContext, parameters)
+  require(keys.forall(row.fieldNames.contains),
+    s"graft-changefeed: keys $keys must exist in the snapshot schema " +
+      s"(${row.fieldNames.mkString(", ")})")
+
+  override val schema: StructType = ChangeFeedSource.feedSchema(row)
+
+  override def getOffset: Option[Offset] =
+    store.latestVersion.map(LongOffset(_))
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  /** The feed of ONE committed version: the earliest snapshot emits
+    * whole as inserts (`c`, before NULL — the CDC initial-load
+    * phase); every later version emits the snapshot diff against its
+    * predecessor. A pure function of the immutable snapshot dirs —
+    * the replay determinism the checkpoint contract needs. */
+  private def versionFeed(ver: Long): DataFrame = {
+    val vs = store.versions
+    vs.filter(_ < ver).lastOption match {
+      case None =>
+        store.read(ver).get.select(
+          lit("c").as("op"), lit(ver).as("version"),
+          lit(null).cast(row).as("before"),
+          struct(row.fieldNames.map(col).toSeq: _*).as("after"))
+      case Some(prev) =>
+        graft.streaming.ChangeFeed.between(store, prev, ver, keys)
+          .select(col("op"), lit(ver).as("version"),
+            col("before"), col("after"))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val startV = start.map(versionOf)
+    val endV = versionOf(end)
+    val versions = store.versions
+      .filter(v => startV.forall(v > _) && v <= endV)
+    val batch = versions.map(versionFeed).reduceOption(_ unionAll _)
+      .getOrElse(sqlContext.sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](), schema))
+    // V1 source contract: the returned frame must be STREAMING-tagged;
+    // the plan stays lazy (toRdd defers the distributed diff to batch
+    // execution) — the Delta-source wrapping pattern
+    org.apache.spark.sql.GraftBridge.asStreamingDataFrame(batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -712,13 +712,13 @@ class CatalogSpec extends SparkSpec {
       assert(spark.table("lake_tail").as[Long].collect().sorted.toSeq ==
         Seq(1L, 2L, 3L), "appended file arrives as a new batch")
       q.stop()
-      // versioned tables are rejected with the ChangeFeed pointer
+      // versioned tables are rejected with the change-feed pointer
       new graft.streaming.StateStore(
         spark, lake.resolve("m/vt.parquet").toString)
         .write(Seq(1L).toDF("k"), 0L)
       val e = intercept[IllegalArgumentException](
         Catalog.readStreamTable(spark, "lakes.m.vt"))
-      assert(e.getMessage.contains("ChangeFeed"))
+      assert(e.getMessage.contains("change"))
     } finally {
       spark.conf.unset("spark.sql.catalog.lakes")
       spark.conf.unset("spark.sql.catalog.lakes.path")

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.catalog.Catalog
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, to_json}
+
+/** Change-feed-as-stream for VERSIONED lake tables: snapshot commits
+  * arrive as micro-batches of their per-version change feeds; the
+  * streamed rows equal the batch-derived feed regardless of trigger
+  * slicing, and checkpoint replay is exactly-once. */
+class ChangeFeedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Comparable rendering: (op, version, before-json, after-json). */
+  private def feedKeys(df: DataFrame): Set[(String, Long, String, String)] =
+    df.select(col("op"), col("version"),
+        to_json(col("before")).as("b"), to_json(col("after")).as("a"))
+      .as[(String, Long, String, String)].collect().toSet
+
+  test("multi-commit stream equals the batch change feed; live commits arrive; replay is exactly-once") {
+    val lake = Files.createTempDirectory("graft-lake-cfs")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkcfs", classOf[graft.catalog.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkcfs.path", lake.toString)
+    val store = new StateStore(spark, lake.resolve("m/t.parquet").toString)
+    try {
+      // three committed snapshots: insert-only, update+insert, delete
+      store.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), 0L)
+      store.write(Seq((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), 1L)
+      store.write(Seq((1L, "a2"), (3L, "c"), (4L, "d")).toDF("k", "v"), 2L)
+
+      // the batch-derived expectation: v0 whole as inserts, then diffs
+      val snap0 = store.read(0L).get.select(
+        org.apache.spark.sql.functions.lit("c").as("op"),
+        org.apache.spark.sql.functions.lit(0L).as("version"),
+        org.apache.spark.sql.functions.lit(null)
+          .cast(store.read(0L).get.schema).as("before"),
+        org.apache.spark.sql.functions.struct(col("k"), col("v")).as("after"))
+      val expect01 = feedKeys(snap0) ++
+        feedKeys(ChangeFeed.between(store, 0L, 1L, Seq("k"))
+          .select(col("op"), org.apache.spark.sql.functions.lit(1L).as("version"),
+            col("before"), col("after"))) ++
+        feedKeys(ChangeFeed.between(store, 1L, 2L, Seq("k"))
+          .select(col("op"), org.apache.spark.sql.functions.lit(2L).as("version"),
+            col("before"), col("after")))
+
+      val ckpt = Files.createTempDirectory("cfs-ck").toString
+      val out = Files.createTempDirectory("cfs-out").toString
+      // file sink: its commit log gives the stream recoverable
+      // exactly-once output (memory sink cannot recover a checkpoint)
+      def startStream() = Catalog.readStreamTable(spark, "lkcfs.m.t", Seq("k"))
+        .select(col("op"), col("version"),
+          to_json(col("before")).as("b"), to_json(col("after")).as("a"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      def sunk(): Seq[(String, Long, String, String)] =
+        spark.read.parquet(out)
+          .as[(String, Long, String, String)].collect().toSeq
+      val q1 = startStream()
+      q1.processAllAvailable()
+      assert(sunk().toSet == expect01 && sunk().size == expect01.size,
+        "streamed feed must equal the batch-derived per-version feed")
+
+      // a live commit arrives as its own version feed
+      store.write(Seq((3L, "c9"), (4L, "d")).toDF("k", "v"), 3L)
+      q1.processAllAvailable()
+      val expect3 = feedKeys(ChangeFeed.between(store, 2L, 3L, Seq("k"))
+        .select(col("op"), org.apache.spark.sql.functions.lit(3L).as("version"),
+          col("before"), col("after")))
+      assert(sunk().toSet == expect01 ++ expect3 &&
+        sunk().size == expect01.size + expect3.size)
+      q1.stop()
+
+      // exactly-once under replay: a commit lands while the stream is
+      // down; restarting from the SAME checkpoint emits ONLY the new
+      // version's feed (offsets replay from the log, nothing re-emits)
+      store.write(Seq((4L, "d2")).toDF("k", "v"), 4L)
+      val q2 = startStream()
+      q2.processAllAvailable()
+      val expect4 = feedKeys(ChangeFeed.between(store, 3L, 4L, Seq("k"))
+        .select(col("op"), org.apache.spark.sql.functions.lit(4L).as("version"),
+          col("before"), col("after")))
+      val all = expect01 ++ expect3 ++ expect4
+      assert(sunk().toSet == all && sunk().size == all.size,
+        "replay must emit exactly the versions after the checkpoint, " +
+          "once each — no re-emission, no loss")
+      q2.stop()
+
+      // guard rails: versioned tables need keys; plain tables reject
+      // the keyed form
+      val e = intercept[IllegalArgumentException](
+        Catalog.readStreamTable(spark, "lkcfs.m.t"))
+      assert(e.getMessage.contains("change"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkcfs")
+      spark.conf.unset("spark.sql.catalog.lkcfs.path")
+    }
+  }
+}
