@@ -867,6 +867,13 @@ object SparkEntry {
       graft.operators.Bucketing.partitionedPriorityRevenue(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_partlake")),
+    // Bloom file-skipping end-to-end: hash-scattered lake table +
+    // CALL bloom_index + IN-lookup through the pruned listing
+    // (BloomIndexSpec pins the strict-subset scan).
+    "q_bloom_skip" -> ((s, dir) =>
+      graft.operators.Bucketing.bloomPartLookup(
+        t(s, dir, "lineitem"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_bloomlake")),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -4273,6 +4280,18 @@ object SparkEntry {
         |    AS revenue_cents
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The Bloom index is layout metadata, not semantics: the oracle is
+    // the same IN-lookup over the raw parquet. Integer-cents revenue.
+    "q_bloom_skip" ->
+      """SELECT l_partkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |WHERE l_partkey IN (7, 53, 97)
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_distinct_agg" ->

@@ -73,16 +73,15 @@ private[catalog] final class DeletableTable(
   }
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def properties(): util.Map[String, String] = inner.properties()
-  /** Scans consult the `_graft_stats.json` data-skipping sidecar when
-    * present ([[FileStats]]): pushed filters that provably exclude a
-    * file's min/max range drop it from the LISTING before Spark opens
-    * a footer — the Iceberg/Delta manifest-skip model, and the read
-    * payoff of the z-order layout. No sidecar (or no pruning win) →
-    * straight delegation. */
+  /** Scans consult the data-skipping sidecars when present — min/max
+    * ranges ([[FileStats]]) AND per-file Bloom bitsets
+    * ([[BloomIndex]]), composed through [[FileSkipping]]: pushed
+    * filters that provably exclude a file drop it from the LISTING
+    * before Spark opens a footer — the Iceberg/Delta manifest-skip
+    * model. No sidecar (or no pruning win) → straight delegation. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val stats = FileStats.read(tableDir)
     val fallback = inner.newScanBuilder(options)
-    if (stats.isEmpty) fallback
+    if (!FileSkipping.hasAny(tableDir)) fallback
     else new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -112,7 +111,7 @@ private[catalog] final class DeletableTable(
         case _ => Array.empty
       }
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        FileStats.survivors(stats, dataDir, filters, physName) match {
+        FileSkipping.survivors(tableDir, dataDir, filters, physName) match {
           case None => fallback.build()
           case Some(kept) =>
             // rebuild the scan over the surviving files only; renamed
@@ -193,14 +192,14 @@ private[catalog] final class DeletableTable(
             "WHERE clause with plain column/literal comparisons")))
       .reduceOption(_ && _).getOrElse(lit(true))
     val reader = physSchema.fold(spark.read)(s => spark.read.schema(s))
-    // FILE-granular rewrite: the `_graft_stats.json` min/max sidecar
-    // splits the data files into candidates (may contain matching
-    // rows) and carried (provably cannot) — a selective DELETE
-    // rewrites only the candidates and hard-links the carried files
-    // into the staging dir untouched. At 100 TB this is the
+    // FILE-granular rewrite: the skipping sidecars (min/max ranges +
+    // Bloom bitsets) split the data files into candidates (may contain
+    // matching rows) and carried (provably cannot) — a selective
+    // DELETE rewrites only the candidates and hard-links the carried
+    // files into the staging dir untouched. At 100 TB this is the
     // difference between a one-key DELETE rewriting 100 TB and it
-    // rewriting the 2 files whose ranges cover the key.
-    FileStats.split(FileStats.read(tableDir), dataDir,
+    // rewriting the 2 files whose ranges/bitsets cover the key.
+    FileSkipping.split(tableDir, dataDir,
       predicates.toSeq.map(DeletableTable.statsFilter), physName) match {
       case Some((candidates, _)) if candidates.isEmpty =>
         // every file provably excludes the condition: the DELETE
@@ -218,7 +217,7 @@ private[catalog] final class DeletableTable(
         val newDataDir = publishRewrite(tmp)
         // carried entries stay valid (same bytes); rewritten files get
         // fresh stats so the NEXT selective DML keeps pruning
-        FileStats.refreshAfterRewrite(spark, tableDir, newDataDir,
+        FileSkipping.refreshAfterRewrite(spark, tableDir, newDataDir,
           carried.map(_.getFileName.toString).toSet)
       case None =>
         val kept = reader.parquet(dataDir.toString)
@@ -277,7 +276,6 @@ private[catalog] final class DeletableTable(
         // inside Spark's replacement projection.
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
           val ib = inner.newScanBuilder(options)
-          val stats = FileStats.read(tableDir)
           new ScanBuilder
               with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
               with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -298,7 +296,7 @@ private[catalog] final class DeletableTable(
             }
             override def pushedFilters: Array[Predicate] = Array.empty
             override def build(): org.apache.spark.sql.connector.read.Scan =
-              FileStats.split(stats, dataDir, filters, physName) match {
+              FileSkipping.split(tableDir, dataDir, filters, physName) match {
                 case None =>
                   scanned = None
                   ib.build()
@@ -400,7 +398,7 @@ private[catalog] final class DeletableTable(
           val newDataDir = publishRewrite(tmp)
           // carried entries stay valid (same bytes); rewritten files
           // get fresh stats so the NEXT selective DML keeps pruning
-          FileStats.refreshAfterRewrite(SparkSession.active, tableDir,
+          FileSkipping.refreshAfterRewrite(SparkSession.active, tableDir,
             newDataDir, carried.map(_.getFileName.toString).toSet)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -470,7 +468,7 @@ private[catalog] object DeletableTable {
         // refreshAfterRewrite re-stats the rewritten ones post-swap
         // (stale names are never consulted — lookups are by filename)
         n == "_graft_schema.json" || n == "_graft_mapping.json" ||
-          n == FileStats.Sidecar })
+          n == FileStats.Sidecar || n == BloomIndex.Sidecar })
       .foreach(f)
     finally s.close()
   }

@@ -237,8 +237,9 @@ private[catalog] object FileStats {
   }
 
   /** True when `filter` provably holds NOWHERE within the file's
-    * ranges. */
-  private def excludes(filter: Expression,
+    * ranges. ([[FileSkipping]] composes this per-file test with the
+    * Bloom equality test.) */
+  private[catalog] def excludes(filter: Expression,
                        ranges: Map[String, (Option[Any], Option[Any])],
                        phys: String => String): Boolean = filter match {
     case And(l, r) => excludes(l, ranges, phys) || excludes(r, ranges, phys)

@@ -45,7 +45,7 @@ private[catalog] object LakeProcedures {
 
   def list(): Array[String] =
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
-      "analyze", "dedupe", "zorder")
+      "analyze", "bloom_index", "dedupe", "zorder")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -273,6 +273,43 @@ private[catalog] object LakeProcedures {
                 override def rows(): Array[InternalRow] = Array(InternalRow(n))
                 override def readSchema(): StructType =
                   new StructType().add("files_analyzed", LongType)
+              }).iterator()
+            }
+          }
+        })
+      case "bloom_index" =>
+        // equality-skipping complement of analyze: per-file Bloom
+        // bitsets for point lookups on high-cardinality columns whose
+        // min/max ranges span the domain ([[BloomIndex]]); same
+        // conservative staleness rules (unlisted files never prune)
+        Some(new UnboundProcedure {
+          override def name(): String = "bloom_index"
+          override def description(): String =
+            "graft lake maintenance: build per-file Bloom equality-skipping index"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "bloom_index"
+            override def description(): String =
+              "graft lake maintenance: build per-file Bloom equality-skipping index"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("cols_csv", StringType).build(),
+              ProcedureParameter.in("bits", IntegerType).build(),
+              ProcedureParameter.in("probes", IntegerType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "bloom_index",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              val dataDir = DeletableTable.versionsOf(tableDir).lastOption
+                .fold(tableDir)(v => tableDir.resolve(s"v=$v"))
+              val cols = input.getUTF8String(1).toString
+                .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+              val n = BloomIndex.build(SparkSession.active, tableDir, dataDir,
+                cols, input.getInt(2), input.getInt(3))
+              SparkSession.active.catalog.clearCache()
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] = Array(InternalRow(n))
+                override def readSchema(): StructType =
+                  new StructType().add("files_indexed", LongType)
               }).iterator()
             }
           }

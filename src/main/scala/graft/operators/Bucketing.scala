@@ -110,6 +110,44 @@ object Bucketing {
         sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
           .as("revenue_cents"))
   }
+
+  /** End-to-end Bloom file-skipping entry ([[graft.catalog
+    * .BloomIndex]]): land lineitem hash-SCATTERED by `l_partkey` into
+    * a V2 lake table — every file then spans ~the whole key domain,
+    * so min/max stats prune NOTHING for a point lookup — build the
+    * per-file Bloom index with `CALL system.bloom_index`, and run an
+    * `IN` part lookup THROUGH it: the scan lists only the files whose
+    * bitsets may contain the probed keys (`BloomIndexSpec` pins the
+    * strict-subset listing; at 100 TB this is a point lookup opening
+    * ~k files instead of every footer). The index is layout metadata,
+    * not semantics, so the oracle is the same lookup over the raw
+    * parquet. Revenue in exact integer cents. */
+  def bloomPartLookup(lineitem: DataFrame, workDir: String): DataFrame = {
+    val spark = lineitem.sparkSession
+    val cat = "glakebloom"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.lineitem_bl (
+         |  l_orderkey BIGINT, l_partkey BIGINT, l_quantity BIGINT,
+         |  l_extendedprice DOUBLE)""".stripMargin)
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("bigint").as("l_quantity"),
+        col("l_extendedprice"))
+      .repartition(8, col("l_partkey"))
+      .write.mode("append").insertInto(s"$cat.m.lineitem_bl")
+    spark.sql(s"CALL $cat.system.bloom_index('m.lineitem_bl', 'l_partkey', 131072, 5)")
+    spark.table(s"$cat.m.lineitem_bl")
+      .where(col("l_partkey").isin(7L, 53L, 97L))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entry: the CREATE
