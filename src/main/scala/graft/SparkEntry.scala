@@ -874,6 +874,14 @@ object SparkEntry {
       graft.operators.Bucketing.bloomPartLookup(
         t(s, dir, "lineitem"),
         s"${System.getProperty("java.io.tmpdir")}/graft_bloomlake")),
+    // Metadata-only aggregates: CALL analyze + global count/min/max
+    // answered from the stats sidecar via V2 complete aggregate
+    // pushdown — LocalTableScan plan, zero data files opened
+    // (StatsAggregateSpec pins the plan and the exactness guards).
+    "q_agg_pushdown" -> ((s, dir) =>
+      graft.operators.Bucketing.metadataAggregates(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_magglake")),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -4293,6 +4301,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey IN (7, 53, 97)
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Metadata serving is a plan property, not semantics: the oracle
+    // is the same global aggregate over the raw parquet.
+    "q_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS n_status,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        |FROM orders""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -84,9 +84,25 @@ private[catalog] final class DeletableTable(
     if (!FileSkipping.hasAny(tableDir)) fallback
     else new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var required: Option[StructType] = None
       private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+      // metadata-only aggregates ([[StatsAggregates]]): COMPLETE
+      // pushdown only, only with no filters in play — a WHERE clause
+      // leaves post-scan filters behind, so Spark never offers the
+      // aggregation here unless the answer is the whole table's
+      private var servedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        filters.isEmpty &&
+          StatsAggregates.serve(tableDir, dataDir, inner.schema(), physName, agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        if (filters.nonEmpty) return false
+        servedAgg = StatsAggregates.serve(tableDir, dataDir, inner.schema(), physName, agg)
+        servedAgg.isDefined
+      }
       override def pruneColumns(requiredSchema: StructType): Unit = {
         required = Some(requiredSchema)
         fallback match {
@@ -111,6 +127,21 @@ private[catalog] final class DeletableTable(
         case _ => Array.empty
       }
       override def build(): org.apache.spark.sql.connector.read.Scan =
+        servedAgg match {
+          case Some((aggSchema, row)) =>
+            // the whole aggregation IS the sidecar fold: one local row,
+            // zero data files opened
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                Array(row)
+              override def readSchema(): StructType = aggSchema
+              override def description(): String =
+                s"${name()}(stats-agg)"
+            }
+          case None => buildDataScan()
+        }
+
+      private def buildDataScan(): org.apache.spark.sql.connector.read.Scan =
         FileSkipping.survivors(tableDir, dataDir, filters, physName) match {
           case None => fallback.build()
           case Some(kept) =>

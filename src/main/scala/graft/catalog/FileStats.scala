@@ -41,8 +41,19 @@ private[catalog] object FileStats {
 
   val Sidecar = "_graft_stats.json"
 
-  /** One column's per-file range: [min, max] as JSON scalars; both
-    * null when the file's column is entirely NULL. */
+  /** One column's per-file stats: [min, max] as JSON scalars (both
+    * None when the file's column is entirely NULL) plus the non-NULL
+    * value count (None in pre-r10 sidecars, which only carried the
+    * range pair). */
+  private[catalog] final case class ColStat(mn: Option[Any], mx: Option[Any],
+                                            nonNull: Option[Long])
+
+  /** One file's stats: total row count (None in pre-r10 sidecars)
+    * and the per-column stats. */
+  private[catalog] final case class FileStat(rows: Option[Long],
+                                             cols: Map[String, ColStat])
+
+  /** The pruning view: per-file per-column [min, max]. */
   private type Ranges = Map[String, Map[String, (Option[Any], Option[Any])]]
 
   /** Compute per-file min/max for `cols` over the table's CURRENT data
@@ -67,6 +78,8 @@ private[catalog] object FileStats {
       s"analyze: unsupported column type(s) for min/max stats: " +
         unsupported.map(c => s"$c:${df.schema(c).dataType.simpleString}").mkString(",") +
         " (numeric, string, date, timestamp only)")
+    require(!cols.contains(RowsKey),
+      s"analyze: '$RowsKey' is a reserved sidecar key")
     val entries = collectRanges(df, cols)
     writeSidecar(tableDir, entries)
     entries.size.toLong
@@ -85,28 +98,18 @@ private[catalog] object FileStats {
   def refreshAfterRewrite(spark: SparkSession, tableDir: Path, dataDir: Path,
                           carriedNames: Set[String]): Unit = {
     if (carriedNames.isEmpty) return
-    val existing = read(tableDir)
+    val existing = readFull(tableDir)
     if (existing.isEmpty) return
-    val current = {
-      val s = Files.list(dataDir)
-      try s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-      }.toSeq
-      finally s.close()
-    }
-    val kept: RawRanges = current.flatMap { p =>
+    val current = DeletableTable.listDataFiles(dataDir)
+    val kept = current.flatMap { p =>
       val n = p.getFileName.toString
-      if (carriedNames(n))
-        existing.get(n).map(r => n -> r.map { case (c, (mn, mx)) =>
-          c -> ((mn.orNull: Any, mx.orNull: Any)) })
-      else None
+      if (carriedNames(n)) existing.get(n).map(n -> _) else None
     }.toMap
     val newFiles = current.filterNot(p => carriedNames(p.getFileName.toString))
-    val fresh: RawRanges =
-      if (newFiles.isEmpty) Map.empty
+    val fresh =
+      if (newFiles.isEmpty) Map.empty[String, FileStat]
       else {
-        val cols = existing.valuesIterator.flatMap(_.keysIterator)
+        val cols = existing.valuesIterator.flatMap(_.cols.keysIterator)
           .toSeq.distinct.sorted
         val df = spark.read.parquet(newFiles.map(_.toString): _*)
         val usable = cols.filter(df.columns.contains)
@@ -115,33 +118,47 @@ private[catalog] object FileStats {
     writeSidecar(tableDir, kept ++ fresh)
   }
 
-  /** Raw per-file ranges straight off a collect: values are whatever
-    * Spark returned (numbers, strings, temporal classes) or null. */
-  private type RawRanges = Map[String, Map[String, (Any, Any)]]
+  /** Reserved per-file sidecar key carrying the row count. */
+  private val RowsKey = "__rows__"
 
   private def collectRanges(df: org.apache.spark.sql.DataFrame,
-                            cols: Seq[String]): RawRanges = {
+                            cols: Seq[String]): Map[String, FileStat] = {
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        org.apache.spark.sql.functions.count(col(c)).as(s"__nn_$c"))) :+
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__rows")
     df.groupBy(col("_metadata.file_path").as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         r.getAs[String]("__file").split('/').last ->
-          cols.map(c =>
-            c -> ((r.getAs[Any](s"__min_$c"), r.getAs[Any](s"__max_$c")))).toMap
+          FileStat(Some(r.getAs[Long]("__rows")),
+            cols.map(c => c -> ColStat(
+              Option(r.getAs[Any](s"__min_$c")),
+              Option(r.getAs[Any](s"__max_$c")),
+              Some(r.getAs[Long](s"__nn_$c")))).toMap)
       }.toMap
   }
 
-  private def writeSidecar(tableDir: Path, entries: RawRanges): Unit = {
+  private def writeSidecar(tableDir: Path,
+                           entries: Map[String, FileStat]): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
-    entries.toSeq.sortBy(_._1).foreach { case (fileName, colRanges) =>
+    entries.toSeq.sortBy(_._1).foreach { case (fileName, fs) =>
       val node = root.putObject(fileName)
-      colRanges.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+      fs.rows.foreach(n => node.putArray(RowsKey).add(n))
+      fs.cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
         val arr = node.putArray(c)
-        Seq(mn, mx).foreach {
+        Seq(st.mn.orNull, st.mx.orNull).foreach {
           case null => arr.addNull()
+          // non-finite floats persist as strings: cmp() reports them
+          // incomparable against numbers (never prunes — conservative)
+          // and the aggregate reconstruction parses them back
+          case v: java.lang.Double if v.isNaN || v.isInfinite =>
+            arr.add(v.toString)
+          case v: java.lang.Float if v.isNaN || v.isInfinite =>
+            arr.add(v.toString)
           case v: java.lang.Number => arr.add(new java.math.BigDecimal(v.toString))
           // temporal values persist as their CATALYST numeric encoding
           // (epoch days / epoch micros) — the exact representation the
@@ -164,6 +181,7 @@ private[catalog] object FileStats {
           case v => throw new IllegalStateException(
             s"stats sidecar: unexpected value class ${v.getClass.getName}")
         }
+        st.nonNull.foreach(n => arr.add(n))
       }
     }
     val target = tableDir.resolve(Sidecar)
@@ -175,15 +193,18 @@ private[catalog] object FileStats {
     ()
   }
 
-  /** Read the sidecar; empty map when absent. */
-  def read(tableDir: Path): Ranges = {
+  /** Full sidecar parse: per-file row counts + per-column
+    * (min, max, non-null count); counts are None in pre-r10 sidecars
+    * (2-element arrays, no `__rows__`). */
+  private[catalog] def readFull(tableDir: Path): Map[String, FileStat] = {
     val f = tableDir.resolve(Sidecar)
     if (!Files.exists(f)) Map.empty
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.readTree(Files.readString(f))
       node.fields().asScala.map { e =>
-        val colRanges = e.getValue.fields().asScala.map { ce =>
+        var rows: Option[Long] = None
+        val colStats = e.getValue.fields().asScala.flatMap { ce =>
           val arr = ce.getValue
           def v(i: Int): Option[Any] = {
             val n = arr.get(i)
@@ -191,12 +212,23 @@ private[catalog] object FileStats {
             else if (n.isNumber) Some(n.decimalValue(): java.math.BigDecimal)
             else Some(n.asText())
           }
-          ce.getKey -> ((v(0), v(1)))
+          if (ce.getKey == RowsKey) {
+            rows = Option(arr.get(0)).map(_.asLong()); None
+          } else {
+            val nn = Option(arr.get(2)).filter(_.isNumber).map(_.asLong())
+            Some(ce.getKey -> ColStat(v(0), v(1), nn))
+          }
         }.toMap
-        e.getKey -> colRanges
+        e.getKey -> FileStat(rows, colStats)
       }.toMap
     }
   }
+
+  /** The pruning view of the sidecar; empty map when absent. */
+  def read(tableDir: Path): Ranges =
+    readFull(tableDir).map { case (f, fs) =>
+      f -> fs.cols.map { case (c, st) => c -> ((st.mn, st.mx)) }
+    }
 
   /** The data files of `dataDir` that SURVIVE the pushed filters:
     * listed files whose ranges provably exclude some conjunct are

@@ -148,6 +148,42 @@ object Bucketing {
         sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
           .as("revenue_cents"))
   }
+
+  /** End-to-end metadata-only aggregate entry ([[graft.catalog
+    * .StatsAggregates]]): land orders in a V2 lake table, `CALL
+    * system.analyze`, then answer the global
+    * `count(*)/count/min/max` straight from the stats sidecar via V2
+    * complete aggregate pushdown — the executed plan is a
+    * LocalTableScan, ZERO data files opened (`StatsAggregateSpec`
+    * pins the plan; at 100 TB this turns a row count or column
+    * extent into an O(files) driver fold). The sidecar fold is
+    * exact — per-file extremes of the very values a real scan would
+    * aggregate — so the oracle is the same aggregation over the raw
+    * parquet. */
+  def metadataAggregates(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakemagg"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_ma (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         |  o_totalprice DOUBLE)""".stripMargin)
+    orders
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartition(8)
+      .write.mode("append").insertInto(s"$cat.m.orders_ma")
+    spark.sql(s"CALL $cat.system.analyze('m.orders_ma', 'o_orderkey,o_orderstatus,o_totalprice')")
+    spark.sql(
+      s"""SELECT count(*) AS n_rows,
+         |  count(o_orderstatus) AS n_status,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         |FROM $cat.m.orders_ma""".stripMargin)
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entry: the CREATE
