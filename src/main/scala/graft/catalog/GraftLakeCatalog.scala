@@ -231,6 +231,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `cat.db.t.history` / `cat.db.t.files` parse as a 2-element
+    // namespace — unambiguous here (namespaces are one level deep):
+    // route to the metadata tables ([[MetadataTables]])
+    if (ident.namespace.length == 2 && MetadataTables.Names(ident.name)) {
+      val base = nsDir(Array(ident.namespace()(0)))
+        .resolve(s"${ident.namespace()(1)}.parquet")
+      healInterruptedSwap(base)
+      if (!Files.exists(base)) throw new NoSuchTableException(ident)
+      return MetadataTables.load(catalogName, base, ident.name)
+    }
     val p = tablePath(ident)
     healInterruptedSwap(p)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)

@@ -1,0 +1,108 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES — `SELECT * FROM cat.db.t.history` /
+  * `cat.db.t.files`: the table-inspection surface a lakehouse user
+  * drives audits and debugging with (Iceberg's `db.t.history` /
+  * `db.t.files`, Paimon's `t$snapshots` / `t$files`). Spark parses
+  * the 4-part name into `Identifier(["db","t"], "history")`; this
+  * catalog's namespaces are strictly one level deep, so a 2-element
+  * namespace is unambiguously a metadata-table reference and
+  * [[GraftLakeCatalog.loadTable]] routes it here.
+  *
+  *  - `history` — one row per retained snapshot of a versioned table:
+  *    `version, commit_ms, n_files, size_bytes`. Plain (unversioned)
+  *    tables have no commit history: a single row with version NULL
+  *    describing the current contents.
+  *  - `files` — one row per CURRENT data file: `file, size_bytes,
+  *    rows` (row count from the stats sidecar where `CALL analyze`
+  *    recorded it, NULL otherwise — never a data read).
+  *
+  * Reports are O(versions)/O(files) metadata folds served through a
+  * driver-local scan — ZERO data files opened, any table size. */
+private[catalog] object MetadataTables {
+
+  val Names: Set[String] = Set("history", "files")
+
+  def load(catalogName: String, tableDir: Path, metaName: String): Table =
+    metaName match {
+      case "history" => historyTable(catalogName, tableDir)
+      case "files" => filesTable(catalogName, tableDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' (history, files)")
+    }
+
+  private def dataFilesOf(dir: Path): Seq[Path] =
+    DeletableTable.listDataFiles(dir)
+
+  private def historyTable(cat: String, tableDir: Path): Table = {
+    val schema = new StructType()
+      .add("version", LongType, nullable = true)
+      .add("commit_ms", LongType, nullable = true)
+      .add("n_files", LongType, nullable = false)
+      .add("size_bytes", LongType, nullable = false)
+    local(s"$cat.${tableDir.getFileName}.history", schema, { () =>
+      val versions = DeletableTable.versionsOf(tableDir)
+      if (versions.isEmpty) {
+        val files = dataFilesOf(tableDir)
+        Array(InternalRow(null, null,
+          files.size.toLong, files.map(Files.size).sum))
+      } else {
+        val store = new graft.streaming.StateStore(
+          org.apache.spark.sql.SparkSession.active, tableDir.toString)
+        versions.map { v =>
+          val files = dataFilesOf(tableDir.resolve(s"v=$v"))
+          InternalRow(v, store.commitTimeMs(v).getOrElse(-1L),
+            files.size.toLong, files.map(Files.size).sum)
+        }.toArray
+      }
+    })
+  }
+
+  private def filesTable(cat: String, tableDir: Path): Table = {
+    val schema = new StructType()
+      .add("file", StringType, nullable = false)
+      .add("size_bytes", LongType, nullable = false)
+      .add("rows", LongType, nullable = true)
+    local(s"$cat.${tableDir.getFileName}.files", schema, { () =>
+      val dataDir = DeletableTable.versionsOf(tableDir).lastOption
+        .fold(tableDir)(v => tableDir.resolve(s"v=$v"))
+      val stats = FileStats.readFull(tableDir)
+      dataFilesOf(dataDir).sortBy(_.getFileName.toString).map { p =>
+        val n = p.getFileName.toString
+        InternalRow(UTF8String.fromString(n), Files.size(p),
+          stats.get(n).flatMap(_.rows)
+            .map(Long.box).orNull)
+      }.toArray
+    })
+  }
+
+  /** A read-only Table serving rows computed ON THE DRIVER at scan
+    * time (so every query sees the current directory state, not the
+    * state at resolution). */
+  private def local(tableName: String, tableSchema: StructType,
+                    rowsFn: () => Array[InternalRow]): Table =
+    new Table with SupportsRead {
+      override def name(): String = tableName
+      override def schema(): StructType = tableSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = rowsFn()
+            override def readSchema(): StructType = tableSchema
+            override def description(): String = tableName
+          }
+        }
+    }
+}

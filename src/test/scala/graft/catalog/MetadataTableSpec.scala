@@ -1,0 +1,69 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Metadata tables: `SELECT * FROM cat.db.t.history` / `.files` —
+  * driver-local inspection reports over the snapshot layout and the
+  * current file listing, zero data files opened, always reflecting
+  * the directory state at query time. */
+class MetadataTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("history and files over versioned and plain tables") {
+    val lake = Files.createTempDirectory("graft-lake-meta")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkmt", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkmt.path", lake.toString)
+    try {
+      // versioned: 3 snapshot commits
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("m/vt.parquet").toString)
+      store.write(Seq((1L, "a")).toDF("k", "v"), 0L)
+      store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1L)
+      store.write(Seq((2L, "b")).toDF("k", "v"), 2L)
+      val hist = spark.sql("SELECT * FROM lkmt.m.vt.history")
+        .as[(Option[Long], Option[Long], Long, Long)].collect().toSeq
+      assert(hist.map(_._1) == Seq(Some(0L), Some(1L), Some(2L)))
+      assert(hist.forall(r => r._3 >= 1L && r._4 > 0L),
+        "every snapshot reports files and bytes")
+      // commit stamps agree with the snapshots procedure
+      val proc = spark.sql("CALL lkmt.system.snapshots('m.vt')")
+        .as[(Long, Long)].collect().toMap
+      hist.foreach(r => assert(r._2 == proc.get(r._1.get)))
+
+      // files: the CURRENT (latest snapshot) data files, rows NULL
+      // before analyze, populated after — still zero data reads
+      val files0 = spark.sql("SELECT * FROM lkmt.m.vt.files")
+        .as[(String, Long, Option[Long])].collect().toSeq
+      assert(files0.nonEmpty && files0.forall(_._3.isEmpty))
+      spark.sql("CALL lkmt.system.analyze('m.vt', 'k')")
+      val files1 = spark.sql("SELECT * FROM lkmt.m.vt.files")
+        .as[(String, Long, Option[Long])].collect().toSeq
+      assert(files1.map(_._3).flatten.sum == 1L,
+        "post-analyze row counts come from the sidecar (v=2 holds 1 row)")
+
+      // plain table: single pseudo-row history (no commit axis),
+      // files reflect the listing
+      spark.sql("CREATE TABLE lkmt.m.pt (k BIGINT)")
+      (1L to 10L).toDF("k").repartition(2)
+        .write.mode("append").insertInto("lkmt.m.pt")
+      val ph = spark.sql("SELECT * FROM lkmt.m.pt.history")
+        .as[(Option[Long], Option[Long], Long, Long)].collect().toSeq
+      assert(ph.size == 1 && ph.head._1.isEmpty && ph.head._3 == 2L)
+      assert(spark.sql("SELECT * FROM lkmt.m.pt.files").count() == 2L)
+
+      // a DML commit shows up immediately (state read at scan time)
+      spark.sql("DELETE FROM lkmt.m.vt WHERE k = 2")
+      assert(spark.sql("SELECT max(version) FROM lkmt.m.vt.history")
+        .head().getLong(0) == 3L)
+
+      // unknown metadata name / missing base table fail loudly
+      intercept[Exception](spark.sql("SELECT * FROM lkmt.m.vt.nope").collect())
+      intercept[Exception](spark.sql("SELECT * FROM lkmt.m.nosuch.files").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkmt")
+      spark.conf.unset("spark.sql.catalog.lkmt.path")
+    }
+  }
+}
