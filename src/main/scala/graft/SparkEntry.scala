@@ -882,6 +882,13 @@ object SparkEntry {
       graft.operators.Bucketing.metadataAggregates(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_magglake")),
+    // Hidden-partition pruning: bucket(8, key) lake table + point
+    // lookup listing only the matching _gbucket subtrees
+    // (PartitionedDmlSpec pins the subtree listing).
+    "q_bucket_pruned_lookup" -> ((s, dir) =>
+      graft.operators.Bucketing.bucketPrunedLookup(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_bktlake")),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -4313,6 +4320,15 @@ object SparkEntry {
         |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
         |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
         |FROM orders""".stripMargin,
+
+    // Bucket layout is not semantics: the oracle is the same point
+    // lookup over the raw parquet. Integer-cents price.
+    "q_bucket_pruned_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 33)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -513,7 +513,7 @@ private[catalog] object DeletableTable {
     * already at data arity pass through untouched. Standalone class —
     * the factory ships to executors, so it must capture only
     * serializable state (never the enclosing table). */
-  private final class OpStrippingWriterFactory(
+  private[catalog] final class OpStrippingWriterFactory(
       f: org.apache.spark.sql.connector.write.DataWriterFactory,
       stagingSchema: StructType)
       extends org.apache.spark.sql.connector.write.DataWriterFactory {

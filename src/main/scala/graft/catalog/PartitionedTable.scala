@@ -6,12 +6,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.OutputWriter
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -121,7 +121,8 @@ private[catalog] final class PartitionedLakeTable(
     tableDir: Path,
     logicalSchema: StructType,
     spec: Seq[PartitionSpec.Field])
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
 
   private val identityCols: Seq[String] =
     spec.collect { case PartitionSpec.Identity(c) => c }
@@ -152,12 +153,78 @@ private[catalog] final class PartitionedLakeTable(
       CaseInsensitiveStringMap.empty(), Seq(tableDir.toString),
       Some(indexSchema), classOf[ParquetFileFormat])
 
-  /** Delegated to Spark's parquet file scan: partition filters prune
-    * the directory listing, data filters push to the reader. The
-    * hidden bucket column never leaves the scan — Spark prunes
-    * required columns to the logical projection. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    innerRead.newScanBuilder(options)
+  /** Delegated to Spark's parquet file scan: identity partition
+    * filters prune the directory listing natively, data filters push
+    * to the reader; the hidden bucket column never leaves the scan
+    * (Spark prunes required columns to the logical projection).
+    *
+    * HIDDEN-partition pruning (the Iceberg model) covers what the
+    * native path cannot see: an equality/`IN` on the BUCKET KEY
+    * column lists only the `_gbucket=<pmod(murmur3(v), n)>` subtrees
+    * that can hold the key ([[PartitionPruning]] — the same
+    * driver-side hash the writer used), with the pushed filters still
+    * row-filtering inside them. A `k = 5` point lookup on a
+    * `bucket(256, k)` table then opens 1/256th of the listing. No
+    * bucket transform / no provable pruning → straight delegation. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val fallback = innerRead.newScanBuilder(options)
+    if (bucketOpt.isEmpty) fallback
+    else new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      private var required: Option[StructType] = None
+      private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        required = Some(requiredSchema)
+        fallback match {
+          case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            c.pruneColumns(requiredSchema)
+          case _ => ()
+        }
+      }
+      override def pushFilters(
+          fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+          Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        filters = fs
+        fallback match {
+          case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+            f.pushFilters(fs)
+          case _ => fs
+        }
+      }
+      override def pushedFilters: Array[Predicate] = fallback match {
+        case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+          f.pushedFilters
+        case _ => Array.empty
+      }
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        PartitionPruning.split(tableDir,
+            spec.filter(_.isInstanceOf[PartitionSpec.Bucket]), filters) match {
+          case None => fallback.build()
+          case Some((cands, _)) =>
+            val opts = new CaseInsensitiveStringMap(
+              util.Map.of("basePath", tableDir.toString))
+            val b = ParquetTable(s"$tableName(bucket-skip:${cands.size})",
+              SparkSession.active, opts,
+              cands.map(r => tableDir.resolve(r).toString),
+              Some(indexSchema), classOf[ParquetFileFormat])
+              .newScanBuilder(opts)
+            required.foreach { s =>
+              b match {
+                case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                  c.pruneColumns(s)
+                case _ => ()
+              }
+            }
+            b match {
+              case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+                f.pushFilters(filters); ()
+              case _ => ()
+            }
+            b.build()
+        }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
@@ -193,11 +260,14 @@ private[catalog] final class PartitionedLakeTable(
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(DeletableTable.toColumn(_, identity).isDefined)
 
-  /** Copy-on-write DELETE that PRESERVES the partition layout: the
-    * kept rows rewrite through the same hive-layout writer (hidden
-    * bucket recomputed as `pmod(hash(col), n)`), the staged dir swaps
-    * in via the shared publish machinery (sidecars carried, crash
-    * heal applies). */
+  /** Copy-on-write DELETE that PRESERVES the partition layout.
+    * PARTITION-granular ([[PartitionPruning]]): when the condition
+    * provably excludes some leaf partition directories (identity
+    * equality, bucket-hash equality), ONLY the candidate subtrees
+    * rewrite — carried directories are never listed, read, or moved.
+    * At 100 TB a one-partition DELETE touches one partition. No
+    * provable exclusion → the pre-r10 whole-table rewrite through the
+    * shared publish machinery. */
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     val spark = SparkSession.active
     val cond = predicates
@@ -205,17 +275,180 @@ private[catalog] final class PartitionedLakeTable(
         throw new UnsupportedOperationException(
           s"$tableName: cannot push delete condition $p")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val kept = spark.read.schema(logicalSchema).parquet(tableDir.toString)
-      .filter(not(coalesce(cond, lit(false))))
-    val tmp = tableDir.resolveSibling(tableDir.getFileName.toString + ".__rewrite")
-    PartitionedWrite.deleteRecursive(tmp)
-    val staged = bucketOpt.fold(kept)(b =>
-      kept.withColumn(PartitionSpec.BucketDir, pmod(hash(col(b.col)), lit(b.n))))
-    staged.write
-      .partitionBy(PartitionSpec.dirCols(spec): _*)
-      .parquet(tmp.toString)
-    DeletableTable.publishStagedRewrite(tableDir, tmp)
-    ()
+    def stage(df: org.apache.spark.sql.DataFrame, tmp: Path): Unit = {
+      PartitionedWrite.deleteRecursive(tmp)
+      val kept = df.filter(not(coalesce(cond, lit(false))))
+      val staged = bucketOpt.fold(kept)(b =>
+        kept.withColumn(PartitionSpec.BucketDir, pmod(hash(col(b.col)), lit(b.n))))
+      staged.write
+        .partitionBy(PartitionSpec.dirCols(spec): _*)
+        .parquet(tmp.toString)
+    }
+    PartitionPruning.split(tableDir, spec,
+      predicates.toSeq.map(DeletableTable.statsFilter)) match {
+      case Some((cands, _)) if cands.isEmpty =>
+        () // every partition provably excludes the condition: no-op
+      case Some((cands, _)) =>
+        val tmp = tableDir.resolveSibling(
+          tableDir.getFileName.toString + ".__rewrite")
+        // candidate subtrees only; basePath keeps partition inference,
+        // the hidden bucket column re-derives at write
+        stage(spark.read.option("basePath", tableDir.toString)
+          .schema(indexSchema)
+          .parquet(cands.map(r => tableDir.resolve(r).toString): _*)
+          .drop(PartitionSpec.BucketDir), tmp)
+        cands.foreach(rel =>
+          PartitionedWrite.deleteRecursive(tableDir.resolve(rel)))
+        PartitionedWrite.mergeInto(tmp, tableDir)
+        spark.catalog.clearCache()
+      case None =>
+        val tmp = tableDir.resolveSibling(
+          tableDir.getFileName.toString + ".__rewrite")
+        stage(spark.read.schema(logicalSchema).parquet(tableDir.toString), tmp)
+        DeletableTable.publishStagedRewrite(tableDir, tmp)
+        ()
+    }
+  }
+
+  /** `UPDATE` / `MERGE INTO` via Spark's group-based copy-on-write
+    * rewrite (the [[DeletableTable]] machinery re-expressed for the
+    * hive layout): the rewrite GROUP is the PARTITION. The pushed
+    * condition splits the leaf directories through
+    * [[PartitionPruning]]; the group scan covers ONLY the candidate
+    * subtrees (partition values inferred via basePath), Spark plans
+    * the replacement rows, and commit replaces exactly the candidate
+    * directories with the re-laid-out staging — rows whose partition
+    * values changed migrate to their new `col=value` homes, carried
+    * directories never move. No provable exclusion → one whole-table
+    * group (all data subtrees replaced at commit). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        // table-relative candidate dirs the group scan covered; None =
+        // whole-table group (commit then replaces every data subtree)
+        @volatile private var scanned: Option[Seq[Path]] = None
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder
+              with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+              with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+            private var required: Option[StructType] = None
+            private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+            override def pruneColumns(requiredSchema: StructType): Unit =
+              required = Some(requiredSchema)
+            // claim every filter while row-filtering NOTHING: filters
+            // prune GROUPS (partitions) only — the condition itself
+            // applies inside Spark's replacement projection, and a
+            // row-filtered scan would vanish the untouched rows of
+            // candidate partitions from the rewrite
+            override def pushFilters(
+                fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+                Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+              filters = fs; Seq.empty
+            }
+            override def pushedFilters: Array[Predicate] = Array.empty
+            override def build(): org.apache.spark.sql.connector.read.Scan = {
+              val b = PartitionPruning.split(tableDir, spec, filters) match {
+                case None =>
+                  scanned = None
+                  innerRead.newScanBuilder(CaseInsensitiveStringMap.empty())
+                case Some((cands, _)) =>
+                  scanned = Some(cands)
+                  val opts = new CaseInsensitiveStringMap(
+                    util.Map.of("basePath", tableDir.toString))
+                  ParquetTable(s"$tableName(rewrite:${cands.size} partitions)",
+                    SparkSession.active, opts,
+                    cands.map(r => tableDir.resolve(r).toString),
+                    Some(indexSchema), classOf[ParquetFileFormat])
+                    .newScanBuilder(opts)
+              }
+              required.foreach { s =>
+                b match {
+                  case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                    c.pruneColumns(s)
+                  case _ => ()
+                }
+              }
+              b.build()
+            }
+          }
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new PartitionedRowLevelWrite(
+              tableName, tableDir, spec, winfo.schema(), () => scanned)
+          }
+      }
+    }
+}
+
+/** The row-level rewrite's write: replacement rows stage through the
+  * ordinary hive-layout writer (op slot stripped — see
+  * [[DeletableTable.OpStrippingWriterFactory]]), and commit replaces
+  * exactly the partition directories the group scan covered (or every
+  * data subtree for a whole-table group) before merging the staged
+  * layout in. */
+private[catalog] final class PartitionedRowLevelWrite(
+    tableName: String,
+    tableDir: Path,
+    spec: Seq[PartitionSpec.Field],
+    writeSchema: StructType,
+    candidates: () => Option[Seq[Path]])
+    extends Write with RequiresDistributionAndOrdering {
+
+  private val identityCols: Seq[String] =
+    spec.collect { case PartitionSpec.Identity(c) => c }
+
+  override def requiredDistribution(): Distribution =
+    if (identityCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      identityCols.map(c => Expressions.column(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def requiredNumPartitions(): Int = 0
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val staging = tableDir.resolveSibling(
+      tableDir.getFileName.toString + ".__rewrite-" +
+        java.util.UUID.randomUUID().toString.take(8))
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory = {
+      PartitionedWrite.deleteRecursive(staging)
+      Files.createDirectories(staging)
+      val spark = SparkSession.active
+      val dataSchema = StructType(
+        writeSchema.fields.filterNot(f => identityCols.contains(f.name)))
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      val owf = new ParquetFileFormat().prepareWrite(
+        spark, job, Map.empty[String, String], dataSchema)
+      new DeletableTable.OpStrippingWriterFactory(
+        new PartitionedWriterFactory(staging.toString, writeSchema, dataSchema,
+          spec, spark.sessionState.conf.sessionLocalTimeZone,
+          new org.apache.spark.util.SerializableConfiguration(
+            job.getConfiguration),
+          owf),
+        writeSchema)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      candidates() match {
+        case Some(dirs) =>
+          dirs.foreach(rel =>
+            PartitionedWrite.deleteRecursive(tableDir.resolve(rel)))
+        case None =>
+          // whole-table group: every data subtree is replaced (incl.
+          // hidden-bucket dirs)
+          PartitionedWrite.dataSubtrees(tableDir)
+            .foreach(PartitionedWrite.deleteRecursive)
+      }
+      PartitionedWrite.mergeInto(staging, tableDir)
+      SparkSession.active.catalog.clearCache()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      PartitionedWrite.deleteRecursive(staging)
   }
 }
 
@@ -273,6 +506,40 @@ private[catalog] object PartitionedWrite {
         .iterator().asScala.foreach(Files.delete)
       finally s.close()
     }
+
+  /** The table dir's DATA entries — partition directories (any
+    * `name=value` dir, which INCLUDES the underscore-named hidden
+    * `_gbucket=<id>` dirs) and plain data files — excluding the
+    * `_`/`.`-prefixed sidecars. The naive `!startsWith("_")` filter
+    * silently kept `_gbucket=` subtrees alive through truncate and
+    * whole-table rewrites. */
+  private[catalog] def dataSubtrees(tableDir: Path): Seq[Path] = {
+    if (!Files.isDirectory(tableDir)) return Seq.empty
+    val s = Files.list(tableDir)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      (Files.isDirectory(p) && n.contains("=")) ||
+        (!n.startsWith("_") && !n.startsWith("."))
+    }.toSeq
+    finally s.close()
+  }
+
+  /** Move every staged file into the table dir, preserving the
+    * relative (partition-directory) layout; the staging dir is
+    * removed. Partition dirs merge with existing ones. */
+  private[catalog] def mergeInto(staging: Path, tableDir: Path): Unit = {
+    if (!Files.isDirectory(staging)) return
+    val s = Files.walk(staging)
+    val files =
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      finally s.close()
+    files.foreach { f =>
+      val target = tableDir.resolve(staging.relativize(f))
+      Files.createDirectories(target.getParent)
+      Files.move(f, target)
+    }
+    deleteRecursive(staging)
+  }
 
   /** All leaf partition directories (dirs that directly contain data
     * files) under `root`, as root-relative paths. */
@@ -347,15 +614,10 @@ private[catalog] final class PartitionedWrite(
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       mode match {
         case PartitionedWrite.Truncate =>
-          // drop every data subtree, keep sidecars
-          val s = Files.list(tableDir)
-          val victims =
-            try s.iterator().asScala.filter { p =>
-              val n = p.getFileName.toString
-              !n.startsWith("_") && !n.startsWith(".")
-            }.toSeq
-            finally s.close()
-          victims.foreach(PartitionedWrite.deleteRecursive)
+          // drop every data subtree (incl. hidden-bucket dirs), keep
+          // sidecars
+          PartitionedWrite.dataSubtrees(tableDir)
+            .foreach(PartitionedWrite.deleteRecursive)
         case PartitionedWrite.Static(specMap) =>
           // replace exactly the partitions matching the static spec:
           // a leaf dir matches when every (col=value) of the spec
@@ -376,16 +638,7 @@ private[catalog] final class PartitionedWrite(
         case PartitionedWrite.Append => ()
       }
       // move staged files into place (partition dirs merge)
-      val s = Files.walk(staging)
-      val files =
-        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-        finally s.close()
-      files.foreach { f =>
-        val target = tableDir.resolve(staging.relativize(f))
-        Files.createDirectories(target.getParent)
-        Files.move(f, target)
-      }
-      PartitionedWrite.deleteRecursive(staging)
+      PartitionedWrite.mergeInto(staging, tableDir)
       SparkSession.active.catalog.clearCache()
     }
 

@@ -149,6 +149,37 @@ object Bucketing {
           .as("revenue_cents"))
   }
 
+  /** End-to-end HIDDEN-partition pruning entry ([[graft.catalog
+    * .PartitionPruning]] — the Iceberg bucket-transform read model):
+    * land orders in a `PARTITIONED BY (bucket(8, o_orderkey))` lake
+    * table, then run an order point-lookup THROUGH the hidden
+    * partitioning — the scan computes `pmod(murmur3(key), 8)` on the
+    * driver and lists ONLY the matching `_gbucket` subtrees, no
+    * footer outside them opened (`PartitionedDmlSpec` pins the
+    * subtree listing; at a 256-bucket 100 TB table a key lookup
+    * touches 1/256th of the listing). Layout, not semantics: the
+    * oracle is the same lookup over the raw parquet. */
+  def bucketPrunedLookup(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakebkt"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_bkt (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         |  o_totalprice DOUBLE)
+         |PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+    orders
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("append").insertInto(s"$cat.m.orders_bkt")
+    spark.table(s"$cat.m.orders_bkt")
+      .where(col("o_orderkey").isin(1L, 7L, 32L, 33L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+  }
+
   /** End-to-end metadata-only aggregate entry ([[graft.catalog
     * .StatsAggregates]]): land orders in a V2 lake table, `CALL
     * system.analyze`, then answer the global
