@@ -39,35 +39,122 @@ import org.apache.spark.sql.Encoders
   */
 object Retrieval {
 
-  /** Top-`k` corpus documents per query document. Query term semantics:
-    * DISTINCT terms of the query text (set-of-words; query-side tf is
-    * ignored, the common practice for short queries). Scores are
-    * emitted as `score_micro` (BIGINT, 10⁻⁶ units); ties break on
-    * ascending `doc_id`. */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    // postings: tf per (doc, term), each row carrying its doc length
+  /** Fitted BM25 inverted index — the persisted-artifact form of the
+    * lexical engine (what Lucene's segment files are to Elasticsearch):
+    *
+    *  - `postings` — one row per distinct `(doc_id, term)`:
+    *    `(doc_id, dl, term, tf)`. THE index body; built by one
+    *    explode + one hash-aggregate over the corpus, document bodies
+    *    never stored or shuffled again.
+    *  - `termDf` — one row per vocabulary term: `(term, df_t)` —
+    *    document frequency, precomputed at fit so a probe never
+    *    re-aggregates the postings.
+    *  - `nDocs` / `sumDl` — the two exact-integer corpus statistics;
+    *    `avgdl` derives by ONE correctly-rounded IEEE division
+    *    (bit-identical to the previous per-call Spark aggregate).
+    *
+    * Lifecycle mirrors the ANN family ([[IvfIndex]]/[[PqIndex]]):
+    * [[fitBm25]] → probe many times ([[bm25TopKWith]]), [[saveBm25]] /
+    * [[loadBm25]] for the durable form, [[fitBm25Cached]] for the
+    * per-session memo. At 100 TB the index is built once (two
+    * aggregates over the corpus), persisted partitioned, and every
+    * probe is a broadcast of query terms against it — rebuilding
+    * postings per query batch, as the pre-index `bm25TopK` did, pays
+    * the corpus scan each call. */
+  final case class Bm25Index(postings: DataFrame, termDf: DataFrame,
+                             nDocs: Long, sumDl: Long) {
+    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
+  }
+
+  /** Build the [[Bm25Index]] for a corpus. Both index legs are
+    * `localCheckpoint`ed (materialized, lineage cut) so repeated probes
+    * re-read a stored index, never the corpus; use [[saveBm25]] for the
+    * executor-loss-durable form. */
+  def fitBm25(docs: DataFrame): Bm25Index = {
     val postings = docs
       .select(col("doc_id"), split(col("text"), " ").as("__l"))
       .select(col("doc_id"), size(col("__l")).cast("bigint").as("dl"),
         explode(col("__l")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    // one-row corpus stats; avgdl = Σdl / N is the single shared double
-    val stats = docs
+      .localCheckpoint()
+    // postings are one row per distinct (doc, term), so a plain count
+    // per term IS the document frequency
+    val termDf = postings
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+      .localCheckpoint()
+    val statsRow = docs
       .select(size(split(col("text"), " ")).cast("bigint").as("__dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
-          .as("avgdl"))
+      .collect()(0)
+    Bm25Index(postings, termDf, statsRow.getLong(0),
+      if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
+  }
+
+  /** Persist an index: postings keep their partitioning (the big leg),
+    * vocabulary and the two scalar stats coalesce to single files. */
+  def saveBm25(index: Bm25Index, dir: String): Unit = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.termDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/terms")
+    Seq((index.nDocs, index.sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadBm25(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    Bm25Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/terms"),
+      meta.getAs[Long]("n_docs"), meta.getAs[Long]("sum_dl"))
+  }
+
+  /** Index payload is two checkpointed DataFrames bound to THIS
+    * session's block manager — unlike the scalar probe memo the entry
+    * must never outlive or cross its SparkContext, so the key carries
+    * the context's applicationId + session identity (a later suite
+    * reading the same files through a fresh context re-fits). */
+  private val bm25Memo = new ModelMemo[Bm25Index]
+
+  /** Explicit cache reset (see [[ModelMemo.invalidate]]). */
+  def invalidateBm25Cache(): Unit = bm25Memo.invalidate()
+
+  /** [[fitBm25]] memoized per (corpus fingerprint, session) — the
+    * repeated-probe shape `bm25TopK`/[[hybridRrfTopK]] compositions
+    * hit inside one session. */
+  def fitBm25Cached(docs: DataFrame): Bm25Index =
+    bm25Memo.getOrCompute(docs,
+      s"bm25|${docs.sparkSession.sparkContext.applicationId}" +
+        s"|${System.identityHashCode(docs.sparkSession)}") {
+      fitBm25(docs)
+    }
+
+  /** Top-`k` corpus documents per query document. Query term semantics:
+    * DISTINCT terms of the query text (set-of-words; query-side tf is
+    * ignored, the common practice for short queries). Scores are
+    * emitted as `score_micro` (BIGINT, 10⁻⁶ units); ties break on
+    * ascending `doc_id`. Fits (or reuses — [[fitBm25Cached]]) the
+    * corpus index, then probes it. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    bm25TopKWith(fitBm25Cached(docs), queries, k)
+
+  /** Probe a fitted [[Bm25Index]]: broadcast the query term set
+    * against postings (candidate generation — only postings matching
+    * some query term flow into scoring), attach the precomputed df and
+    * corpus stats, score, and take the per-query top-k window. */
+  def bm25TopKWith(index: Bm25Index, queries: DataFrame, k: Int = 10): DataFrame = {
+    val postings = index.postings
+    // one-row stats relation keeps the scoring expression byte-identical
+    // to the pre-index form (same crossJoin, same column names, same
+    // IEEE op order); lit() carries the exact fit-time values
+    val stats = postings.sparkSession.range(1)
+      .select(lit(index.nDocs).as("n_docs"), lit(index.avgdl).as("avgdl"))
     val qterms = queries
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("term"))
       .distinct()
-    // df over matched terms only: postings are one row per distinct
-    // (doc, term), so a plain count per term IS the document frequency
-    val df = postings
+    val df = index.termDf
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df_t"))
     val scored = postings
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(df), Seq("term"))

@@ -42,6 +42,43 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head.getLong(0) == 100L && out.head.getLong(2) == 1L)
   }
 
+  test("Bm25Index: save/load round-trips; probe of the loaded index equals the direct path") {
+    val docs = Seq(
+      (1L, "the zebra runs"),
+      (2L, "the cat sits on the mat"),
+      (3L, "the dog runs fast"),
+      (4L, "the the the the"),
+      (10L, "a zebra and the cat"))
+      .toDF("doc_id", "text")
+    val queries = docs.filter($"doc_id" === 1L || $"doc_id" === 10L)
+    val direct = Retrieval.bm25TopK(docs, queries, k = 3).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val fitted = Retrieval.fitBm25(docs)
+    Retrieval.saveBm25(fitted, dir)
+    val loaded = Retrieval.loadBm25(spark, dir)
+    assert(loaded.nDocs == fitted.nDocs && loaded.sumDl == fitted.sumDl)
+    assert(loaded.avgdl == fitted.avgdl)
+    val probed = Retrieval.bm25TopKWith(loaded, queries, k = 3).collect().toSet
+    assert(probed == direct)
+  }
+
+  test("fitBm25Cached: parquet-backed corpus fits once per session; refreshed files re-fit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25m").toString
+    Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "beta gamma"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    Retrieval.invalidateBm25Cache()
+    val a = Retrieval.fitBm25Cached(docs)
+    val b = Retrieval.fitBm25Cached(spark.read.parquet(dir))
+    assert(a eq b) // same (plan, files, session) -> the memoized index
+    // rewrite with different content: file inventory changes, re-fit
+    Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "beta gamma"),
+      (4L, "delta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val c = Retrieval.fitBm25Cached(spark.read.parquet(dir))
+    assert(!(a eq c) && c.nDocs == 4L)
+  }
+
   test("hybridRrfTopK: rank-only fusion, self excluded, single-side survivors") {
     // docs and vectors share ids; doc 1 is the query. Lexically, doc 2
     // shares "zebra"; doc 4 shares nothing. Dense-side, vec 4 is the
