@@ -25,20 +25,30 @@ import org.apache.spark.unsafe.types.UTF8String
   *    describing the current contents.
   *  - `files` — one row per CURRENT data file: `file, size_bytes,
   *    rows` (row count from the stats sidecar where `CALL analyze`
-  *    recorded it, NULL otherwise — never a data read).
+  *    recorded it, NULL otherwise — never a data read). On a
+  *    partitioned table `file` is the partition-relative path
+  *    (`region=EU/part-….parquet`).
+  *  - `partitions` — one row per leaf partition directory of a
+  *    `PARTITIONED BY` table (Iceberg's `db.t.partitions`):
+  *    `partition, n_files, size_bytes, rows` — the audit a user runs
+  *    before deciding what to compact, expire, or overwrite, and the
+  *    skew check (one hot `col=value` dir) that at 100 TB must come
+  *    from the LISTING, never a scan. Unpartitioned tables report one
+  *    NULL-partition row describing current contents.
   *
   * Reports are O(versions)/O(files) metadata folds served through a
   * driver-local scan — ZERO data files opened, any table size. */
 private[catalog] object MetadataTables {
 
-  val Names: Set[String] = Set("history", "files")
+  val Names: Set[String] = Set("history", "files", "partitions")
 
   def load(catalogName: String, tableDir: Path, metaName: String): Table =
     metaName match {
       case "history" => historyTable(catalogName, tableDir)
       case "files" => filesTable(catalogName, tableDir)
+      case "partitions" => partitionsTable(catalogName, tableDir)
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$other' (history, files)")
+        s"unknown metadata table '$other' (history, files, partitions)")
     }
 
   private def dataFilesOf(dir: Path): Seq[Path] =
@@ -77,12 +87,58 @@ private[catalog] object MetadataTables {
       val dataDir = DeletableTable.versionsOf(tableDir).lastOption
         .fold(tableDir)(v => tableDir.resolve(s"v=$v"))
       val stats = FileStats.readFull(tableDir)
-      dataFilesOf(dataDir).sortBy(_.getFileName.toString).map { p =>
-        val n = p.getFileName.toString
-        InternalRow(UTF8String.fromString(n), Files.size(p),
-          stats.get(n).flatMap(_.rows)
+      currentFiles(tableDir, dataDir).map { case (rel, p) =>
+        InternalRow(UTF8String.fromString(rel), Files.size(p),
+          stats.get(p.getFileName.toString).flatMap(_.rows)
             .map(Long.box).orNull)
       }.toArray
+    })
+  }
+
+  /** Current data files as (dataDir-relative path, absolute path),
+    * sorted by relative path: top-level files for flat/versioned
+    * layouts, the leaf-directory walk for `PARTITIONED BY` tables. */
+  private def currentFiles(tableDir: Path, dataDir: Path): Seq[(String, Path)] = {
+    val flat = dataFilesOf(dataDir).map(p => p.getFileName.toString -> p)
+    val nested =
+      if (PartitionSpec.read(tableDir).isEmpty) Seq.empty
+      else PartitionedWrite.leafPartitionDirs(dataDir).flatMap { rel =>
+        dataFilesOf(dataDir.resolve(rel))
+          .map(p => s"$rel/${p.getFileName}" -> p)
+      }
+    (flat ++ nested).sortBy(_._1)
+  }
+
+  private def partitionsTable(cat: String, tableDir: Path): Table = {
+    val schema = new StructType()
+      .add("partition", StringType, nullable = true)
+      .add("n_files", LongType, nullable = false)
+      .add("size_bytes", LongType, nullable = false)
+      .add("rows", LongType, nullable = true)
+    local(s"$cat.${tableDir.getFileName}.partitions", schema, { () =>
+      val stats = FileStats.readFull(tableDir)
+      // rows only when EVERY file in the group carries an analyzed
+      // count — a partial sum would silently under-report
+      def rowsOf(files: Seq[Path]): AnyRef = {
+        val counts = files.map(p => stats.get(p.getFileName.toString).flatMap(_.rows))
+        if (files.nonEmpty && counts.forall(_.isDefined))
+          Long.box(counts.flatten.sum)
+        else null
+      }
+      if (PartitionSpec.read(tableDir).isEmpty) {
+        val files = dataFilesOf(
+          DeletableTable.versionsOf(tableDir).lastOption
+            .fold(tableDir)(v => tableDir.resolve(s"v=$v")))
+        Array(InternalRow(null, files.size.toLong,
+          files.map(Files.size).sum, rowsOf(files)))
+      } else {
+        PartitionedWrite.leafPartitionDirs(tableDir)
+          .map(_.toString).sorted.map { rel =>
+            val files = dataFilesOf(tableDir.resolve(rel))
+            InternalRow(UTF8String.fromString(rel), files.size.toLong,
+              files.map(Files.size).sum, rowsOf(files))
+          }.toArray
+      }
     })
   }
 

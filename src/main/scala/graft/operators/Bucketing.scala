@@ -215,6 +215,34 @@ object Bucketing {
          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          |FROM $cat.m.orders_ma""".stripMargin)
   }
+
+  /** Partition-audit end-to-end: land orders in an identity-partitioned
+    * lake table, `CALL analyze` to record per-file row counts in the
+    * stats sidecar, and read the `.partitions` METADATA TABLE — the
+    * per-partition row census answered from the LISTING + sidecar with
+    * zero data files opened (the audit that decides what to compact or
+    * overwrite; at 100 TB it must never be a scan). The oracle is the
+    * equivalent GROUP BY over the raw parquet — metadata must agree
+    * with data exactly. */
+  def partitionsReport(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepmeta"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pm (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    orders
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("append").insertInto(s"$cat.m.orders_pm")
+    spark.sql(s"CALL $cat.system.analyze('m.orders_pm', 'o_orderkey')")
+    spark.sql(
+      s"""SELECT `partition`, `rows` AS n_rows
+         |FROM $cat.m.orders_pm.partitions""".stripMargin)
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entry: the CREATE

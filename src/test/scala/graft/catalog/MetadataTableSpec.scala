@@ -66,4 +66,51 @@ class MetadataTableSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.lkmt.path")
     }
   }
+
+  test("partitions over partitioned and plain tables; files are partition-relative") {
+    val lake = Files.createTempDirectory("graft-lake-meta2")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkmp", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkmp.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkmp.m.pt (k BIGINT, v STRING, region STRING)
+          |PARTITIONED BY (region)""".stripMargin)
+      Seq((1L, "a", "EU"), (2L, "b", "EU"), (3L, "c", "US"))
+        .toDF("k", "v", "region")
+        .write.mode("append").insertInto("lkmp.m.pt")
+      val parts = spark.sql("SELECT * FROM lkmp.m.pt.partitions")
+        .as[(Option[String], Long, Long, Option[Long])].collect().toSeq
+      assert(parts.map(_._1) == Seq(Some("region=EU"), Some("region=US")),
+        s"sorted leaf partitions, got $parts")
+      assert(parts.forall(p => p._2 >= 1L && p._3 > 0L))
+      // rows NULL before analyze (no data read), exact after
+      assert(parts.forall(_._4.isEmpty))
+      spark.sql("CALL lkmp.system.analyze('m.pt', 'k')")
+      val parts1 = spark.sql("SELECT * FROM lkmp.m.pt.partitions")
+        .as[(Option[String], Long, Long, Option[Long])].collect().toSeq
+      assert(parts1.map(_._4) == Seq(Some(2L), Some(1L)),
+        s"post-analyze per-partition row counts, got $parts1")
+      // .files paths carry the partition directory
+      val files = spark.sql("SELECT file FROM lkmp.m.pt.files")
+        .as[String].collect().toSeq
+      assert(files.nonEmpty && files.forall(_.matches("region=(EU|US)/.*")),
+        s"expected partition-relative paths, got $files")
+      // a dynamic overwrite is visible immediately
+      Seq((9L, "z", "APAC")).toDF("k", "v", "region")
+        .write.mode("append").insertInto("lkmp.m.pt")
+      assert(spark.sql("SELECT * FROM lkmp.m.pt.partitions").count() == 3L)
+
+      // plain table: one NULL-partition row describing current contents
+      spark.sql("CREATE TABLE lkmp.m.flat (k BIGINT)")
+      (1L to 6L).toDF("k").repartition(2)
+        .write.mode("append").insertInto("lkmp.m.flat")
+      val flat = spark.sql("SELECT * FROM lkmp.m.flat.partitions")
+        .as[(Option[String], Long, Long, Option[Long])].collect().toSeq
+      assert(flat.size == 1 && flat.head._1.isEmpty && flat.head._2 == 2L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkmp")
+      spark.conf.unset("spark.sql.catalog.lkmp.path")
+    }
+  }
 }
