@@ -155,6 +155,10 @@ object SparkEntry {
     }),
     "q_budget_mix" -> ((s, dir) =>
       TextOps.budgetMix(t(s, dir, "documents"))),
+    // Temperature-scaled (α = 1/2) source-mixture weights: one exact
+    // sqrt per source quantized to integer micros before any sum.
+    "q_mixture_temperature" -> ((s, dir) =>
+      TextOps.temperatureMix(t(s, dir, "documents"))),
     // Target mixture 50/20/20/10 over 200 docs — quotas must match the
     // oracle's VALUES table.
     "q_mixture_sample" -> ((s, dir) =>
@@ -274,6 +278,12 @@ object SparkEntry {
     // with exact integer weighted shares.
     "q_weighted_rank" -> ((s, dir) =>
       graft.operators.GraphOps.copurchaseRank(t(s, dir, "lineitem"))),
+    // Weakly-connected components of the PART co-purchase graph
+    // (product families): star-contraction / union-find; canonical id
+    // is the component min, so labels are engine-independent. Oracle:
+    // recursive min-label reachability.
+    "q_components" -> ((s, dir) =>
+      graft.operators.GraphOps.copartComponents(t(s, dir, "lineitem"))),
     // CCNet-style segment-level dedup (boilerplate removal): drop
     // every 20-word segment whose exact content recurs across ≥2
     // distinct documents, reassemble survivors in order.
@@ -889,6 +899,14 @@ object SparkEntry {
       graft.operators.Bucketing.bucketPrunedLookup(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_bktlake")),
+    // Partition audit from metadata only: identity-partitioned lake
+    // table + CALL analyze + the .partitions metadata table — the
+    // per-partition row census from listing + sidecar, zero data files
+    // opened (MetadataTableSpec pins the NULL-before-analyze shape).
+    "q_partitions_meta" -> ((s, dir) =>
+      graft.operators.Bucketing.partitionsReport(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pmetalake")),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -1195,6 +1213,12 @@ object SparkEntry {
     // moments; slope/intercept/R² in one fixed double chain.
     "q_trend" -> ((s, dir) =>
       graft.operators.Analytics.dailyTrend(t(s, dir, "events"))),
+    // CUSUM changepoint profile of daily revenue: n-scaled mean-
+    // centered cumulative sums in exact integers (two-phase prefix
+    // sums, no single-reducer window); the peak day is the level-shift
+    // changepoint estimate.
+    "q_cusum" -> ((s, dir) =>
+      graft.operators.Analytics.cusumDaily(t(s, dir, "orders"))),
     // Day-aligned lag-1/lag-7 autocorrelation of the daily series —
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
@@ -2251,6 +2275,22 @@ object SparkEntry {
         |FROM r WHERE cum_tokens <= 2000
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // α = 1/2 temperature weights: sqrt is correctly rounded in both
+    // engines; floor-quantize to micros BEFORE summing, so totals and
+    // ppm shares are pure integer arithmetic.
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+        |    CAST(sum(w_micro) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, w_micro,
+        |  (n_docs * 1000000) // tn AS raw_share_ppm,
+        |  (w_micro * 1000000) // tw AS temp_share_ppm
+        |FROM w, t ORDER BY source""".stripMargin,
+
     // Per-shard running totals + integer division — pure integer
     // arithmetic, bit-exact across engines.
     "q_pack_sequences" ->
@@ -2641,6 +2681,23 @@ object SparkEntry {
         |FROM c JOIN md ON c.o_orderstatus = md.o_orderstatus
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // n-scaled CUSUM: n·prefix − idx·total keeps the mean-centering in
+    // exact integers (same argmax as S_t, zero IEEE ops).
+    "q_cusum" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s FROM daily),
+        |c AS (SELECT day, x,
+        |    CAST(SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cx,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx FROM daily),
+        |sc AS (SELECT c.day, c.x AS revenue_cents,
+        |    tot.n * c.cx - c.idx * tot.s AS cusum_scaled FROM c, tot)
+        |SELECT day, revenue_cents, cusum_scaled,
+        |  cusum_scaled = MAX(cusum_scaled) OVER () AS is_peak
+        |FROM sc ORDER BY day""".stripMargin,
+
     "q_trend" ->
       """WITH d AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -2676,6 +2733,24 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM dg GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Min-label reachability fixpoint: every (node, reachable-label)
+    // pair enumerates through the recursive UNION (the graph is the
+    // bounded part projection), then min per node — identical to the
+    // star-contraction/union-find canonical (component min).
+    "q_components" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b FROM op x
+        |  JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |lbl(node, l) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+        |  UNION
+        |  SELECT s.v, lbl.l FROM lbl JOIN sym s ON s.u = lbl.node)
+        |SELECT node, CAST(min(l) AS BIGINT) AS canonical_id
+        |FROM lbl GROUP BY node ORDER BY node""".stripMargin,
 
     "q_star_join" -> StarSql,
     // same single text, exercised through the spark.sql entry point
@@ -4329,6 +4404,13 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey IN (1, 7, 32, 33)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Metadata-vs-data agreement: the .partitions census must equal
+    // the GROUP BY over the raw parquet exactly.
+    "q_partitions_meta" ->
+      """SELECT 'o_orderpriority=' || o_orderpriority AS "partition",
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

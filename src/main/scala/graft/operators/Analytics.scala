@@ -1070,4 +1070,35 @@ object Analytics {
           .as("r2"))
       .orderBy("event_type")
   }
+
+  /** CUSUM changepoint profile of the daily revenue series (Page 1954
+    * cumulative-sum chart): per day, the mean-centered cumulative sum
+    * `S_t = Σ_{i≤t}(x_i − x̄)`, SCALED by n to stay in exact integers —
+    * `cusum_scaled = n·Σ_{i≤t} x_i − t·Σ x_i = n²·S_t/… ` (same argmax,
+    * zero IEEE ops). The day where |the positive drift| peaks
+    * (`is_peak`) is the classic level-shift changepoint estimate.
+    *
+    * Exactness: x_i are integer cents; the prefix sums run through the
+    * two-phase [[Ids.prefixSums]] (no single-reducer window); the two
+    * corpus scalars attach by broadcast. Bounds: |cusum_scaled| ≤
+    * n·Σx — at 10⁵ days × 10¹⁵ total cents this needs DECIMAL(38,0),
+    * here (≤4×10³ days, ≤10¹² cents) Long headroom is ~10⁴×. */
+  def cusumDaily(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .withColumn("__one", lit(1L))
+    val cum = Ids.prefixSums(daily, Seq(col("day")),
+      Seq("revenue_cents", "__one"))
+    val tot = daily.agg(count(lit(1)).cast("bigint").as("__n"),
+      sum("revenue_cents").as("__s"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .select(col("day"), col("revenue_cents"),
+        (col("__n") * col("cum_revenue_cents") -
+          col("cum___one") * col("__s")).as("cusum_scaled"))
+    val peak = scored.agg(max("cusum_scaled").as("__peak"))
+    scored.crossJoin(broadcast(peak))
+      .select(col("day"), col("revenue_cents"), col("cusum_scaled"),
+        (col("cusum_scaled") === col("__peak")).as("is_peak"))
+  }
 }

@@ -191,7 +191,8 @@ object GraphOps {
     * supplier affinities. One shuffle on the order key builds the
     * per-order pair list; one shuffle on the (a, b) pair counts
     * support. */
-  def copurchaseEdges(lineitem: DataFrame, minOrders: Long = 5L): DataFrame =
+  def copurchaseEdges(lineitem: DataFrame, minOrders: Long = 5L,
+                      itemCol: String = "l_suppkey"): DataFrame =
     // One shuffle builds the per-order supplier set (collect_set dedups
     // in the aggregate — no separate distinct pass), pairs explode
     // narrowly WITHIN each row (bounded by the per-order line count
@@ -199,7 +200,7 @@ object GraphOps {
     // formulation this replaces shuffled the (order, supplier) relation
     // three times and measured 3x slower at sf0.1.
     lineitem.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+      .agg(sort_array(collect_set(col(itemCol))).as("sks"))
       .filter(size(col("sks")) >= 2)
       .select(explode(col("sks")).as("a"), col("sks"))
       .select(col("a"), explode(col("sks")).as("b"))
@@ -340,4 +341,17 @@ object GraphOps {
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("deg")
   }
+
+  /** Weakly-connected components of the PART co-purchase graph —
+    * which product families move together (the market-basket cluster
+    * map; the supplier projection is near-complete at every threshold,
+    * the part projection fragments into real families). Rides
+    * [[Dedup.connectedComponents]]: union-find below the driver-edge
+    * bound, Kiveris star-contraction (equi-joins only, O(log n)
+    * driver-paced rounds) above it — the 100 TB path needs no new
+    * machinery. `canonical_id` is the component's minimum part key,
+    * so the labeling is engine-independent. */
+  def copartComponents(lineitem: DataFrame, minOrders: Long = 3L): DataFrame =
+    Dedup.connectedComponents(
+      copurchaseEdges(lineitem, minOrders, itemCol = "l_partkey"))
 }

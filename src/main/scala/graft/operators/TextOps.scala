@@ -630,6 +630,32 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
   }
 
+  /** Temperature-scaled mixture weights over sources (the multilingual
+    * /multi-corpus sampling rule of Conneau & Lample 2019 and the
+    * Pile/T5 mixing recipes): sample source d with probability ∝
+    * n_d^α. α = 1/2 — the common "flatten the head, keep the tail
+    * audible" point — is the one exponent expressible in EXACT IEEE
+    * arithmetic (√ is correctly rounded; ln/exp for general α are
+    * not), so each weight is ONE sqrt then floor-quantized to integer
+    * micro-units BEFORE any sum: totals and shares are pure integer
+    * arithmetic, bit-identical cross-engine.
+    *
+    * Output per source: raw doc share vs temperature share, both in
+    * ppm (floor division), plus the sampling boost vs proportional.
+    * Scale shape: one aggregate to O(sources) rows, two broadcast
+    * scalars — corpus-size-independent. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .withColumn("w_micro",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val tot = counts.agg(sum("n_docs").as("__tn"), sum("w_micro").as("__tw"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        expr("(n_docs * 1000000L) div __tn").as("raw_share_ppm"),
+        expr("(w_micro * 1000000L) div __tw").as("temp_share_ppm"))
+  }
+
   def budgetMix(docs: DataFrame, tokensPerLang: Long = 2000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang")

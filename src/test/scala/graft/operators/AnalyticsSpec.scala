@@ -583,4 +583,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(c.getAs[Double]("slope") == 0.0, "flat line has slope 0")
     assert(c.isNullAt(c.fieldIndex("r2")), "constant y has undefined r2")
   }
+
+  test("cusumDaily: level shift peaks at the changepoint; flat series reads zero") {
+    import java.sql.Timestamp
+    // two days at 5.00 then two at 1.00: x = [500,500,100,100] cents,
+    // n=4, s=1200; cusum_scaled = 4*cx - idx*1200 = [800,1600,800,0]
+    // -> the peak flags day 2, the true shift boundary
+    def o(day: Int, price: Double) =
+      (day.toLong, Timestamp.valueOf(f"1995-01-0$day 10:00:00"), price)
+    val orders = Seq(o(1, 5.0), o(2, 5.0), o(3, 1.0), o(4, 1.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.cusumDaily(orders)
+      .as[(java.sql.Date, Long, Long, Boolean)].collect().sortBy(_._1.getTime)
+    assert(out.map(_._3).toSeq == Seq(800L, 1600L, 800L, 0L))
+    assert(out.map(_._4).toSeq == Seq(false, true, false, false))
+    // flat series: every centered sum is exactly zero, all peak-flagged
+    val flat = Seq(o(1, 2.0), o(2, 2.0), o(3, 2.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val f = Analytics.cusumDaily(flat)
+      .as[(java.sql.Date, Long, Long, Boolean)].collect()
+    assert(f.forall(r => r._3 == 0L && r._4))
+  }
 }

@@ -64,4 +64,19 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(e == Set((101L, 5002L), (111L, 5002L), (5002L, 101L), (5002L, 111L)))
   }
+
+  test("copartComponents: part families from pair support, threshold respected") {
+    // parts 1-2 co-occur in 3 orders (edge), 2-3 in 3 orders (edge ->
+    // {1,2,3} one family via transitivity), 4-5 in 3 orders (second
+    // family), 1-4 only once (below minOrders=3 -> no bridge)
+    val li = (
+      Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L)) ++
+      Seq((13L, 2L), (13L, 3L), (14L, 2L), (14L, 3L), (15L, 2L), (15L, 3L)) ++
+      Seq((20L, 4L), (20L, 5L), (21L, 4L), (21L, 5L), (22L, 4L), (22L, 5L)) ++
+      Seq((30L, 1L), (30L, 4L))
+    ).toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.copartComponents(li, minOrders = 3L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
 }

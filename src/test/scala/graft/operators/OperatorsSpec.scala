@@ -621,6 +621,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("temperature mix: sqrt flattens the head, integer shares, exact micros") {
+    // 100 vs 4 vs 1 docs: w_micro = floor(sqrt(n)*1e6) = 10e6, 2e6, 1e6
+    val d = ((1 to 100).map(i => (i.toLong, "web")) ++
+      (101 to 104).map(i => (i.toLong, "books")) :+ (105L, "code"))
+      .toDF("doc_id", "source")
+    val out = TextOps.temperatureMix(d)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("web")._3 == 10000000L && out("books")._3 == 2000000L &&
+      out("code")._3 == 1000000L)
+    // raw shares: 100/105, 4/105, 1/105 in floor ppm
+    assert(out("web")._4 == 952380L && out("books")._4 == 38095L &&
+      out("code")._4 == 9523L)
+    // temperature shares flatten: 10/13, 2/13, 1/13
+    assert(out("web")._5 == 769230L && out("books")._5 == 153846L &&
+      out("code")._5 == 76923L)
+    // the head's share strictly drops, every tail share strictly rises
+    assert(out("web")._5 < out("web")._4)
+    assert(out("books")._5 > out("books")._4 && out("code")._5 > out("code")._4)
+  }
+
   test("budget mix: sliver-refinement selection equals the exact windowed form") {
     // the scale-path contract: histogram + boundary walk + boundary-
     // bucket-only sort selects EXACTLY the documents the per-language
