@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -45,7 +47,7 @@ private[catalog] object LakeProcedures {
 
   def list(): Array[String] =
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
-      "analyze", "bloom_index", "dedupe", "zorder")
+      "analyze", "bloom_index", "dedupe", "zorder", "vacuum")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -242,6 +244,72 @@ private[catalog] object LakeProcedures {
             .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
             .map(s => s.toLongOption.getOrElse(s): Any)
           Seq(InternalRow(store.purgeKeys(keyCol, keys)))
+        })
+      case "vacuum" =>
+        // Iceberg's remove_orphan_files for THIS layout: the only
+        // unreferenced bytes a crash can leave are sibling staging
+        // dirs (`t.parquet.__rewrite[-uuid]` staged but never
+        // published, `.__old` from a mid-swap crash) and `_*.tmp`
+        // sidecar temps inside the table dir — data files are always
+        // referenced wholesale by their directory. `older_than_ms`
+        // guards a LIVE writer's staging from deletion (Iceberg's
+        // retention-interval discipline); pass 0 only when no write
+        // can be in flight. Works on plain, versioned, and
+        // partitioned tables.
+        Some(new UnboundProcedure {
+          override def name(): String = "vacuum"
+          override def description(): String =
+            "graft lake maintenance: remove orphaned staging dirs and temp sidecars"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "vacuum"
+            override def description(): String =
+              "graft lake maintenance: remove orphaned staging dirs and temp sidecars"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("older_than_ms", LongType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "vacuum",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              val cutoff = System.currentTimeMillis() - input.getLong(1)
+              val prefix = tableDir.getFileName.toString + ".__"
+              val siblings = {
+                val s = Files.list(tableDir.getParent)
+                try s.iterator().asScala
+                  .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+                finally s.close()
+              }
+              val tmps = {
+                val s = Files.walk(tableDir)
+                try s.iterator().asScala.filter { p =>
+                  val n = p.getFileName.toString
+                  Files.isRegularFile(p) && n.startsWith("_") && n.endsWith(".tmp")
+                }.toSeq
+                finally s.close()
+              }
+              def sizeOf(p: Path): Long = {
+                val s = Files.walk(p)
+                try s.iterator().asScala
+                  .filter(Files.isRegularFile(_)).map(Files.size).sum
+                finally s.close()
+              }
+              val stale = (siblings ++ tmps).filter(p =>
+                Files.getLastModifiedTime(p).toMillis <= cutoff)
+              val freed = stale.map(sizeOf).sum
+              stale.foreach { p =>
+                val s = Files.walk(p)
+                try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+                finally s.close()
+              }
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] =
+                  Array(InternalRow(stale.size.toLong, freed))
+                override def readSchema(): StructType =
+                  new StructType().add("n_removed", LongType)
+                    .add("bytes_freed", LongType)
+              }).iterator()
+            }
+          }
         })
       case "analyze" =>
         // works on plain AND versioned tables (stats describe the
