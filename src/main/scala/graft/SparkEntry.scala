@@ -332,6 +332,19 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.operators.Retrieval.bm25TopK(d, d.filter(col("doc_id") % 191 === 0))
     }),
+    // The index LIFECYCLE under the driver gate: fit -> save -> load
+    // from disk -> probe; byte-identical scoring to q_bm25_topk, so
+    // the persisted artifact round-trip shares its oracle.
+    "q_bm25_probe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx"
+      graft.operators.Retrieval.saveBm25(
+        graft.operators.Retrieval.fitBm25(d), idxDir)
+      graft.operators.Retrieval.bm25TopKWith(
+        graft.operators.Retrieval.loadBm25(s, idxDir),
+        d.filter(col("doc_id") % 191 === 0))
+    }),
     // Hybrid lexical+dense retrieval: BM25 top-10 and exact-cosine
     // top-10 fused by reciprocal rank (integer micro-units — rank-only
     // fusion, so the two engines' incomparable raw scores never mix).
@@ -416,6 +429,15 @@ object SparkEntry {
     "q_decontaminate_bloom" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextOps.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
+    // Eval-side contamination coverage: per eval doc, the exact ppm of
+    // its distinct shingles present anywhere in train — the benchmark
+    // health report dual to the train-side screens above.
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.contaminationReport(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
@@ -1528,6 +1550,36 @@ object SparkEntry {
     * drift. Money arithmetic in exact integer cents; the timestamp
     * literals compare against the NTZ parquet columns identically
     * under the UTC session. */
+  /** The BM25 oracle chain (k = 10, `% 191` query ids) — shared by the
+    * direct entry and the save/load round-trip, whose scoring is
+    * byte-identical by construction. */
+  val Bm25Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |p0 AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d),
+      |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM p0 GROUP BY 1, 2, 3),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(CAST(sum(len(l)) AS VARCHAR) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+      |q0 AS (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 191 = 0),
+      |q AS (SELECT DISTINCT query_id, term FROM q0),
+      |dft AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df_t FROM p
+      |  JOIN (SELECT DISTINCT term FROM q) qt ON p.term = qt.term GROUP BY 1),
+      |sc AS (SELECT q.query_id, p.doc_id,
+      |    CAST(floor((((CAST(st.n_docs AS DOUBLE) - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+      |      * ((p.tf * 2.2e0) / (p.tf + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / st.avgdl)))))
+      |      * 1e6) AS BIGINT) AS micro
+      |  FROM p JOIN q ON p.term = q.term
+      |  JOIN dft ON p.term = dft.term CROSS JOIN st),
+      |agg AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro,
+      |    CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score_micro, n_terms_hit,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk FROM agg)
+      |SELECT query_id, doc_id, rnk, score_micro, n_terms_hit FROM r
+      |WHERE rnk <= 10 ORDER BY ALL NULLS FIRST""".stripMargin
+
   val StarSql: String =
     """SELECT n_name,
       |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
@@ -2080,32 +2132,9 @@ object SparkEntry {
     // BM25(rational idf): per-term micro-unit quantization BEFORE the
     // cross-term sum keeps accumulation integer; e0 literals force
     // DOUBLE arithmetic at the same points as the Spark expression.
-    "q_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |p0 AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d),
-        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM p0 GROUP BY 1, 2, 3),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(CAST(sum(len(l)) AS VARCHAR) AS DOUBLE)
-        |      / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
-        |q0 AS (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents WHERE doc_id % 191 = 0),
-        |q AS (SELECT DISTINCT query_id, term FROM q0),
-        |dft AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df_t FROM p
-        |  JOIN (SELECT DISTINCT term FROM q) qt ON p.term = qt.term GROUP BY 1),
-        |sc AS (SELECT q.query_id, p.doc_id,
-        |    CAST(floor((((CAST(st.n_docs AS DOUBLE) - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
-        |      * ((p.tf * 2.2e0) / (p.tf + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / st.avgdl)))))
-        |      * 1e6) AS BIGINT) AS micro
-        |  FROM p JOIN q ON p.term = q.term
-        |  JOIN dft ON p.term = dft.term CROSS JOIN st),
-        |agg AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro,
-        |    CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score_micro, n_terms_hit,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk FROM agg)
-        |SELECT query_id, doc_id, rnk, score_micro, n_terms_hit FROM r
-        |WHERE rnk <= 10 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bm25_topk" -> Bm25Sql,
+    // the save/load round-trip is byte-identical scoring — same oracle
+    "q_bm25_probe" -> Bm25Sql,
 
     // Hybrid RRF: the bm25 CTE chain (k=10) + exact-cosine top-10 over
     // the same % 191 query ids, fused in integer micro-units
@@ -2968,6 +2997,28 @@ object SparkEntry {
         |  min(ev.eval_id) AS first_eval_hit
         |FROM co JOIN ev USING (shingle)
         |GROUP BY co.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Eval-side coverage: distinct shingles per eval doc vs the train
+    // corpus's distinct shingle set; ppm is a floor division of exact
+    // integers. Eval docs with < n tokens have no shingles and no row.
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |    ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM e WHERE doc_id % 97 = 0),
+        |co AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 97 <> 0),
+        |tot AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM ev GROUP BY 1),
+        |hit AS (SELECT ev.eval_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ev JOIN co USING (shingle) GROUP BY 1)
+        |SELECT tot.eval_id, tot.n_shingles,
+        |  CAST(COALESCE(hit.h, 0) AS BIGINT) AS n_contaminated,
+        |  (CAST(COALESCE(hit.h, 0) AS BIGINT) * 1000000) // tot.n_shingles
+        |    AS coverage_ppm
+        |FROM tot LEFT JOIN hit USING (eval_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Bloom prefilter is exact (no false negatives + re-verify), so the

@@ -409,6 +409,37 @@ object TextOps {
         min(col("eval_id")).as("first_eval_hit"))
   }
 
+  /** Eval-side contamination coverage — the "is this benchmark
+    * compromised" report dual to [[decontaminate]]'s train-side view:
+    * per EVAL document, how many of its distinct word `n`-shingles
+    * appear anywhere in the training corpus, as an exact ppm fraction
+    * (integer floor division — cross-engine bit-exact). Eval docs with
+    * fewer than `n` tokens have no shingles and no row (nothing to
+    * measure).
+    *
+    * Scale shape: the corpus side is only ever PROBED — eval shingles
+    * broadcast into one pass over the corpus shingle stream, distinct
+    * hits collapse to ≤ |eval shingles| rows, and every aggregate is
+    * eval-sized. The corpus never shuffles. */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+                          n: Int = 3): DataFrame = {
+    val corpusSh = withShingles(docs, n)
+      .select(explode(col("shingles")).as("shingle"))
+    val evalSh = withShingles(
+        evalDocs.select(col("doc_id").as("eval_id"), col("text")), n)
+      .select(col("eval_id"), explode(col("shingles")).as("shingle"))
+    val totals = evalSh.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusSh.join(broadcast(evalSh), "shingle")
+      .select("eval_id", "shingle").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("__hits"))
+    totals.join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("__hits"), lit(0L)).as("n_contaminated"))
+      .withColumn("coverage_ppm",
+        expr("(n_contaminated * 1000000L) div n_shingles"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the large-eval-set
     * scale path. The broadcast-join form ships every eval shingle to
     * every executor and hash-joins ALL corpus shingles against them;

@@ -621,6 +621,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("contamination report: hand-computed ppm coverage; shingle-less eval docs absent") {
+    val train = Seq(
+      (1L, "a b c d"),        // shingles: "a b c", "b c d"
+      (2L, "x y z"))          // "x y z"
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a b c d e"),    // 3 shingles, 2 in train -> 666666 ppm
+      (101L, "x y z"),        // fully contaminated -> 1000000
+      (102L, "p q r s"),      // fully novel -> 0
+      (103L, "p q"))          // < 3 tokens: no shingles, no row
+      .toDF("doc_id", "text")
+    val out = TextOps.contaminationReport(train, eval)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(100L, 101L, 102L))
+    assert(out(100L) == ((100L, 3L, 2L, 666666L)))
+    assert(out(101L) == ((101L, 1L, 1L, 1000000L)))
+    assert(out(102L) == ((102L, 2L, 0L, 0L)))
+  }
+
   test("temperature mix: sqrt flattens the head, integer shares, exact micros") {
     // 100 vs 4 vs 1 docs: w_micro = floor(sqrt(n)*1e6) = 10e6, 2e6, 1e6
     val d = ((1 to 100).map(i => (i.toLong, "web")) ++
