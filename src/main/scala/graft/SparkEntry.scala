@@ -1245,6 +1245,11 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Rank-trimmed mean per status: drop the top/bottom 10% of ROWS
+    // (exact integer trim counts via the grouped two-phase ranks), one
+    // correctly-rounded division at the end.
+    "q_trimmed_mean" -> ((s, dir) =>
+      graft.operators.Stats.trimmedMean(t(s, dir, "orders"))),
     // Robust median/MAD per order status: exact interpolation over
     // integer cents and exactly-rounded deviations.
     "q_mad" -> ((s, dir) =>
@@ -2697,6 +2702,23 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // Rank-based trim: integer trim counts, integer kept-sum, ONE
+    // division at the end — // and div agree (non-negative operands).
+    "q_trimmed_mean" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cts FROM orders),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cts, o_orderkey) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(cts) AS BIGINT) AS sum_cents,
+        |  CAST(CAST(sum(cts) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS trimmed_mean_cents
+        |FROM r
+        |WHERE rk > (n * 100000) // 1000000 AND rk <= n - (n * 100000) // 1000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mad" ->
       """WITH c AS (SELECT o_orderstatus,

@@ -349,4 +349,37 @@ object Stats {
         expr("percentile(__dev, 0.5)").as("mad_cents"))
       .orderBy(groupCol)
   }
+
+  /** Trimmed (truncated) mean per order status — the outlier-robust
+    * center: drop the lowest and highest `trimPpm` fraction of ROWS
+    * (rank-based, never value-based, so everything stays exact
+    * integers: trim count `t = (n·trimPpm) div 10⁶` on each side, keep
+    * ranks in `(t, n−t]`). The kept-sum and count are integer; the mean
+    * is ONE correctly-rounded division — bit-identical cross-engine,
+    * unlike a value-clamped winsorized mean whose interpolated clip
+    * bounds would put IEEE sums of non-integers in the aggregate.
+    *
+    * Scale shape: ranks come from [[Ids.prefixSumsGrouped]] (range
+    * exchange + per-(partition, group) slices — bounded reducer state
+    * even when one status spans many partitions; the partitioned-window
+    * form would sort a third of the corpus on one task). */
+  def trimmedMean(orders: DataFrame, trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0L && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val base = orders.select(col("o_orderstatus"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("__c"))
+      .withColumn("__one", lit(1L))
+    val ranked = Ids.prefixSumsGrouped(base, Seq("o_orderstatus"),
+      Seq(col("__c"), col("o_orderkey")), Seq("__one"))
+    val counts = base.groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+    ranked.join(broadcast(counts), "o_orderstatus")
+      .withColumn("__t", expr(s"(__n * ${trimPpm}L) div 1000000L"))
+      .filter(col("cum___one") > col("__t") &&
+        col("cum___one") <= col("__n") - col("__t"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_kept"), sum("__c").as("sum_cents"))
+      .withColumn("trimmed_mean_cents",
+        expr("CAST(sum_cents AS DOUBLE) / CAST(n_kept AS DOUBLE)"))
+  }
 }

@@ -621,6 +621,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("trimmed mean: rank-trimmed hand values; tiny groups keep everything") {
+    // group F: cents [100..1000], n=10, t=1 -> keep ranks 2..9:
+    // sum = 200+...+900 = 4400, mean 550.0
+    val f = (1 to 10).map(i => (i.toLong, "F", i * 1.00))
+    // group O: n=3, t=0 -> keep all: sum 600, mean 200.0
+    val o = Seq((21L, "O", 1.0), (22L, "O", 2.0), (23L, "O", 3.0))
+    val orders = (f ++ o)
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = Stats.trimmedMean(orders)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("F") == (("F", 8L, 4400L, 550.0)), s"got ${out("F")}")
+    assert(out("O") == (("O", 3L, 600L, 200.0)), s"got ${out("O")}")
+    // trim order is (cents, key): outliers drop by VALUE rank, so the
+    // extreme 10000-cent row never reaches the kept sum
+    val withOutlier = (f :+ ((99L, "F", 100.0))) // 10000 cents
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t2 = Stats.trimmedMean(withOutlier)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(t2("F")._3 == 200L + 300L + 400L + 500L + 600L + 700L + 800L + 900L + 1000L,
+      "the planted outlier must be the trimmed top rank")
+  }
+
   test("contamination report: hand-computed ppm coverage; shingle-less eval docs absent") {
     val train = Seq(
       (1L, "a b c d"),        // shingles: "a b c", "b c d"
