@@ -284,6 +284,12 @@ object SparkEntry {
     // recursive min-label reachability.
     "q_components" -> ((s, dir) =>
       graft.operators.GraphOps.copartComponents(t(s, dir, "lineitem"))),
+    // Multi-source BFS reach profile from the nation-0 suppliers:
+    // level-synchronous frontier joins, exact hop distances; oracle is
+    // the same expansion as a recursive CTE collapsed by min(hop).
+    "q_bfs_hops" -> ((s, dir) =>
+      graft.operators.GraphOps.purchaseBfs(
+        t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // CCNet-style segment-level dedup (boilerplate removal): drop
     // every 20-word segment whose exact content recurs across ≥2
     // distinct documents, reassemble survivors in order.
@@ -1208,6 +1214,11 @@ object SparkEntry {
     // Supplier-concentration HHI per part from exact quantity shares.
     "q_supplier_hhi" -> ((s, dir) =>
       graft.operators.DecisionSupport.supplierHhi(t(s, dir, "lineitem"))),
+    // TPC-H Q2 shape: min-cost supplier per part, correlated subquery
+    // decorrelated to groupBy-min + equi-join (ties kept).
+    "q_min_cost_supplier" -> ((s, dir) =>
+      graft.operators.DecisionSupport.minCostSupplier(
+        t(s, dir, "lineitem"))),
     // Discount→volume Pearson per brand from exact cent-moments.
     "q_elasticity" -> ((s, dir) =>
       graft.operators.DecisionSupport.discountElasticity(
@@ -2422,6 +2433,9 @@ object SparkEntry {
     "q_pagerank" ->
       graft.operators.GraphOps.purchasePageRankSql(),
 
+    "q_bfs_hops" ->
+      graft.operators.GraphOps.purchaseBfsSql(),
+
     // Triangle census: the a<b<c three-way join counts each triangle
     // once — the same count the engine's degree-oriented wedge join
     // produces; clustering is one exact-integer division.
@@ -2895,6 +2909,19 @@ object SparkEntry {
         |SELECT l_partkey, n_suppliers,
         |  CAST(sq2 AS DOUBLE) / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) AS hhi
         |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The correlated form the decorrelated groupBy-min+join must
+    // match: unit cents floor-div quantity, per-part scalar min.
+    "q_min_cost_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT) AS unit_cents
+        |  FROM lineitem)
+        |SELECT DISTINCT l_partkey, l_suppkey, unit_cents AS min_unit_cents
+        |FROM u a
+        |WHERE unit_cents = (SELECT min(unit_cents) FROM u b
+        |                    WHERE b.l_partkey = a.l_partkey)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_nation_margin" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -249,4 +249,32 @@ object DecisionSupport {
                (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))""").as("hhi"))
       .orderBy("l_partkey")
   }
+
+  /** Minimum-cost supplier per part — the TPC-H Q2 shape (reference
+    * semantics: the correlated scalar-subquery "supplier with the
+    * minimum cost for this part") over the tables the fixture ships:
+    * unit cost proxied as exact integer cents-per-unit from lineitem,
+    * `floor(extendedprice·100) div quantity`. Returns every (part,
+    * supplier) pair achieving the per-part minimum (ties kept — the
+    * deterministic answer set).
+    *
+    * Spark-first decorrelation: the correlated `= (SELECT min(...)
+    * WHERE same part)` becomes a groupBy-min + equi-join back — the
+    * exact rewrite Catalyst's `RewriteCorrelatedScalarSubquery` would
+    * produce, declared directly so the plan is a plain agg + join AQE
+    * can broadcast (the min side is |parts| rows, two columns). At
+    * 100 TB both sides shuffle on `l_partkey` once; no per-row
+    * subquery ever exists. */
+  def minCostSupplier(lineitem: DataFrame): DataFrame = {
+    val unit = lineitem.select(col("l_partkey"), col("l_suppkey"),
+      expr("""CAST(floor(l_extendedprice * 100) AS BIGINT)
+              div CAST(l_quantity AS BIGINT)""").as("unit_cents"))
+    val mins = unit.groupBy("l_partkey")
+      .agg(min("unit_cents").as("min_unit_cents"))
+    unit.join(mins, Seq("l_partkey"))
+      .filter(col("unit_cents") === col("min_unit_cents"))
+      .select(col("l_partkey"), col("l_suppkey"), col("min_unit_cents"))
+      .distinct()
+      .orderBy("l_partkey", "l_suppkey")
+  }
 }

@@ -354,4 +354,77 @@ object GraphOps {
   def copartComponents(lineitem: DataFrame, minOrders: Long = 3L): DataFrame =
     Dedup.connectedComponents(
       copurchaseEdges(lineitem, minOrders, itemCol = "l_partkey"))
+
+  /** Multi-source BFS: shortest hop distance from `sources` (one
+    * `node` column) over directed `edges` (`src`, `dst`), bounded at
+    * `maxHops`. Returns (node, hop) for every REACHED node — hop 0 is
+    * the source set itself. Level-synchronous frontier expansion: each
+    * round is one equi-join (frontier ⋈ edges) + distinct + anti-join
+    * against the visited set — Spark's native shuffle shapes, no graph
+    * framework, no driver-side adjacency. Distances are exact integers
+    * so the result is bit-identical to a recursive-CTE oracle.
+    *
+    * Scale shape: the edge list is the loop-invariant big relation
+    * (localCheckpointed once); per-round state is the frontier and the
+    * visited set (≤ |nodes| rows, id+hop only). Both are
+    * lineage-cut per round so the plan stays flat and AQE keeps
+    * choosing broadcast for small frontiers. An exhausted frontier
+    * makes the remaining rounds no-op joins against an empty
+    * materialized relation — no early-exit action needed at the fixed
+    * small depths wired here. */
+  def bfsHops(edges: DataFrame, sources: DataFrame,
+              maxHops: Int = 4): DataFrame = {
+    val edg = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    for (d <- 1 to maxHops) {
+      val next = edg.join(frontier, edg("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(d.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+    }
+    visited
+  }
+
+  /** Driver query: BFS reach profile of the purchase graph from the
+    * nation-`srcNation` suppliers — per hop, how many nodes first
+    * become reachable (hop 0 = the seed suppliers, odd hops land on
+    * customers, even on suppliers) with an exact id-sum checksum. */
+  def purchaseBfs(supplier: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame, srcNation: Int = 0,
+                  maxHops: Int = 4): DataFrame = {
+    val sources = supplier.filter(col("s_nationkey") === srcNation)
+      .select((col("s_suppkey") * 10 + 2).as("node"))
+    bfsHops(purchaseGraph(orders, lineitem), sources, maxHops)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_nodes"))
+      .orderBy("hop")
+  }
+
+  /** The oracle: the same level-synchronous expansion as a recursive
+    * CTE — `UNION` (distinct) dedups (node, hop) pairs per level, the
+    * outer `min(hop)` collapses to first-reach, exactly the anti-join
+    * semantics of [[bfsHops]]. */
+  def purchaseBfsSql(srcNation: Int = 0, maxHops: Int = 4): String =
+    s"""WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey * 10 + 1 AS c,
+       |    l_suppkey * 10 + 2 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |bfs AS (
+       |  SELECT DISTINCT s_suppkey * 10 + 2 AS node, 0 AS hop
+       |    FROM supplier WHERE s_nationkey = $srcNation
+       |  UNION
+       |  SELECT e.dst AS node, b.hop + 1 AS hop
+       |    FROM bfs b JOIN edges e ON e.src = b.node
+       |    WHERE b.hop < $maxHops)
+       |SELECT CAST(hop AS BIGINT) AS hop,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(node) AS BIGINT) AS sum_nodes
+       |FROM (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -335,4 +335,18 @@ class DecisionSupportSpec extends SparkSpec {
       .as[(String, Long, Double, Long)].collect().toSet
     assert(got == exp)
   }
+
+  test("minCostSupplier: per-part minimum unit cents, ties kept, dups collapsed") {
+    // part 1: supp 10 at 500c/u (two identical lines -> one row),
+    //         supp 11 at 500c/u (tie kept), supp 12 at 600c/u (dropped)
+    // part 2: supp 11 alone; floor(7.505*100)=750 div 2 = 375
+    val li = Seq(
+      (1L, 10L, 10.00, 2.0), (1L, 10L, 10.00, 2.0),
+      (1L, 11L, 25.00, 5.0), (1L, 12L, 6.00, 1.0),
+      (2L, 11L, 7.505, 2.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val got = DecisionSupport.minCostSupplier(li)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 500L), (1L, 11L, 500L), (2L, 11L, 375L)))
+  }
 }

@@ -79,4 +79,25 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
+
+  test("bfsHops: hand path graph — first-reach levels, bound respected") {
+    // 1→2→3→4→5→6 chain plus shortcut 1→4: hop(4)=1 via the shortcut,
+    // never 3 via the chain; maxHops=2 leaves 6 (shortest hop 3) out
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L)).toDF("src", "dst")
+    val out = GraphOps.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHops: multi-source min distance; exhausted frontier is a no-op") {
+    // sources {1, 5} on the same chain: node 3 is hop 2 from 1 AND
+    // hop 2 is not offered from 5 (no back edges) — distances are the
+    // min over sources; depth 4 > eccentricity exercises empty rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val out = GraphOps.bfsHops(edges,
+        Seq(1L, 5L).toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L))
+  }
 }
