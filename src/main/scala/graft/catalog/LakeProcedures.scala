@@ -47,7 +47,7 @@ private[catalog] object LakeProcedures {
 
   def list(): Array[String] =
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
-      "analyze", "bloom_index", "dedupe", "zorder", "vacuum")
+      "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -57,6 +57,23 @@ private[catalog] object LakeProcedures {
           new StructType().add("version", LongType).add("commit_ms", LongType)) {
           (store, _) =>
             store.versions.map(v => InternalRow(v, store.commitTimeMs(v).getOrElse(-1L)))
+        })
+      case "rollback" =>
+        // Iceberg-style NON-destructive rollback: re-commit snapshot
+        // <version>'s rows as latest+1 — the bad commits stay readable
+        // (VERSION AS OF still time-travels into them until
+        // expire_snapshots), the table's CURRENT content reverts, and
+        // a crash mid-rollback leaves the store untouched because the
+        // rewrite lands only under the new version directory.
+        Some(proc(root, "rollback",
+          Seq("tbl" -> StringType, "version" -> LongType),
+          new StructType().add("new_version", LongType)) { (store, args) =>
+          val v = args.getLong(1)
+          val df = store.read(v).getOrElse(throw new IllegalArgumentException(
+            s"rollback: no snapshot v=$v (have ${store.versions.mkString(",")})"))
+          val next = store.latestVersion.get + 1L
+          store.write(df, next)
+          Seq(InternalRow(next))
         })
       case "expire_snapshots" =>
         Some(proc(root, "expire_snapshots",

@@ -539,6 +539,39 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL rollback: non-destructive revert — current reverts, history intact") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-rollback")
+    Files.createDirectories(lake.resolve("state"))
+    // fresh catalog name per test: Spark caches catalog instances by name
+    spark.conf.set("spark.sql.catalog.lakerb", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakerb.path", lake.toString)
+    try {
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/accts.parquet").toString)
+      store.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "bal"), 0L)
+      store.write(Seq((1L, 99L), (2L, 20L), (3L, 30L)).toDF("id", "bal"), 1L)
+      // revert the bad v=1 commit: rollback re-commits v=0 as v=2
+      assert(spark.sql("CALL lakerb.system.rollback('state.accts', 0)")
+        .as[Long].head() == 2L)
+      assert(spark.table("lakerb.state.accts").as[(Long, Long)]
+        .collect().sorted.toSeq == Seq((1L, 10L), (2L, 20L)),
+        "current content reverted to v=0")
+      // the rolled-back-over commit is STILL time-travelable
+      assert(spark.sql(
+          "SELECT bal FROM lakerb.state.accts VERSION AS OF 1 WHERE id = 1")
+        .as[Long].head() == 99L, "rollback must not destroy history")
+      assert(store.versions == Seq(0L, 1L, 2L))
+      // unknown snapshot fails loudly, store untouched
+      intercept[Exception](spark.sql(
+        "CALL lakerb.system.rollback('state.accts', 7)").collect())
+      assert(store.versions == Seq(0L, 1L, 2L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakerb")
+      spark.conf.unset("spark.sql.catalog.lakerb.path")
+    }
+  }
+
   test("CALL dedupe: one survivor per key, deterministic pick, both layouts, idempotent") {
     import spark.implicits._
     val lake = Files.createTempDirectory("graft-lake-dedupe")
