@@ -1256,6 +1256,20 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Mann–Kendall trend test per priority over the weekly revenue
+    // series: pairwise sign sums in exact integers, pairs only over
+    // the aggregated weeks.
+    "q_mann_kendall" -> ((s, dir) =>
+      graft.operators.Stats.mannKendall(t(s, dir, "orders"))),
+    // Theil–Sen robust slope per priority: low-median of pairwise
+    // weekly slopes, deterministic total order over equal slopes.
+    "q_theil_sen" -> ((s, dir) =>
+      graft.operators.Stats.theilSen(t(s, dir, "orders"))),
+    // Fulfillment life table: weekly buckets of order-to-last-ship
+    // days; at-risk/event counts and floor-div hazard/survival ppm.
+    "q_survival" -> ((s, dir) =>
+      graft.operators.Stats.survivalTable(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // Rank-trimmed mean per status: drop the top/bottom 10% of ROWS
     // (exact integer trim counts via the grouped two-phase ranks), one
     // correctly-rounded division at the end.
@@ -2716,6 +2730,68 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // Pairwise sign sums over the aggregated weekly series — the
+    // self-join is O(weeks²) per group on BOTH engines.
+    "q_mann_kendall" ->
+      """WITH wk AS (SELECT o_orderpriority,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS week,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.o_orderpriority,
+        |    CAST(SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat,
+        |    CAST(SUM(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+        |    CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+        |  FROM wk a JOIN wk b ON a.o_orderpriority = b.o_orderpriority
+        |    AND b.week > a.week
+        |  GROUP BY 1),
+        |n AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_weeks
+        |  FROM wk GROUP BY 1)
+        |SELECT p.o_orderpriority, n.n_weeks, p.s_stat, p.n_concordant,
+        |  p.n_discordant
+        |FROM p JOIN n ON p.o_orderpriority = n.o_orderpriority
+        |ORDER BY 1""".stripMargin,
+
+    // Low median by rank over the same deterministic total order the
+    // engine sorts by; the slope is one exactly-rounded division.
+    "q_theil_sen" ->
+      """WITH wk AS (SELECT o_orderpriority,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS week,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT a.o_orderpriority, a.week AS w1, b.week AS w2,
+        |    CAST(b.y - a.y AS BIGINT) AS dy,
+        |    CAST(b.week - a.week AS BIGINT) AS dx,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.week - a.week AS DOUBLE)
+        |      AS slope_cents_per_week
+        |  FROM wk a JOIN wk b ON a.o_orderpriority = b.o_orderpriority
+        |    AND b.week > a.week),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY slope_cents_per_week, dy, dx, w1, w2) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS m
+        |  FROM s)
+        |SELECT o_orderpriority, m AS n_pairs, slope_cents_per_week, dy, dx
+        |FROM r WHERE rk = (m + 1) // 2 ORDER BY 1""".stripMargin,
+
+    // No-censoring life table: the cumulative window runs over weekly
+    // buckets (O(weeks) rows), all counts exact, ppm by floor-div.
+    "q_survival" ->
+      """WITH d AS (SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.last_ship AS DATE)) AS BIGINT) AS days
+        |  FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |        FROM lineitem GROUP BY 1) l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT days // 7 AS bucket_week,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY 1),
+        |c AS (SELECT *, CAST(SUM(n_events) OVER (ORDER BY bucket_week
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(n_events) OVER () AS BIGINT) AS tot FROM b)
+        |SELECT bucket_week, n_events,
+        |  tot - cum + n_events AS n_risk,
+        |  (n_events * 1000000) // (tot - cum + n_events) AS hazard_ppm,
+        |  ((tot - cum) * 1000000) // tot AS survival_ppm
+        |FROM c ORDER BY bucket_week""".stripMargin,
 
     // Rank-based trim: integer trim counts, integer kept-sum, ONE
     // division at the end — // and div agree (non-negative operands).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -363,6 +364,111 @@ object Stats {
     * exchange + per-(partition, group) slices — bounded reducer state
     * even when one status spans many partitions; the partitioned-window
     * form would sort a third of the corpus on one task). */
+  /** Mann–Kendall trend statistic per order priority over the WEEKLY
+    * revenue series: S = Σ_{i<j} sgn(y_j − y_i), with the concordant /
+    * discordant splits — the nonparametric "is this series trending"
+    * test (Mann 1945, Kendall 1975), exact integers end to end.
+    *
+    * Scale shape: the pairwise form runs AFTER aggregation to
+    * (group, week) — the self-join is O(weeks²) per group (weeks stay
+    * weeks at 100 TB; the raw table never self-joins). */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    val weekly = orders.groupBy(col("o_orderpriority"),
+        expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP)) div 604800")
+          .as("week"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("y"))
+    val a = weekly.select(col("o_orderpriority"), col("week").as("w1"),
+      col("y").as("y1"))
+    val b = weekly.select(col("o_orderpriority"), col("week").as("w2"),
+      col("y").as("y2"))
+    val pairs = a.join(b, Seq("o_orderpriority"))
+      .filter(col("w2") > col("w1"))
+    pairs.groupBy("o_orderpriority")
+      .agg(sum(expr("CAST(sign(y2 - y1) AS BIGINT)")).as("s_stat"),
+        sum(expr("CASE WHEN y2 > y1 THEN 1L ELSE 0L END")).as("n_concordant"),
+        sum(expr("CASE WHEN y2 < y1 THEN 1L ELSE 0L END")).as("n_discordant"))
+      .join(weekly.groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n_weeks")), "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_weeks"), col("s_stat"),
+        col("n_concordant"), col("n_discordant"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Theil–Sen robust trend slope per order priority: the LOW MEDIAN
+    * of all pairwise weekly-revenue slopes (y_j−y_i)/(w_j−w_i), i<j.
+    * The slope is ONE exactly-rounded double division of exact integer
+    * cents by exact integer weeks (the pair's dy/dx is also returned
+    * raw), and the median is selected by rank over (slope, dy, dx, w1,
+    * w2) — a deterministic total order, so the chosen pair is
+    * engine-independent even among equal slopes.
+    *
+    * Same scale shape as [[mannKendall]]: pairs exist only over the
+    * aggregated weekly series, O(weeks²) per group. */
+  def theilSen(orders: DataFrame): DataFrame = {
+    val weekly = orders.groupBy(col("o_orderpriority"),
+        expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP)) div 604800")
+          .as("week"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("y"))
+    val a = weekly.select(col("o_orderpriority"), col("week").as("w1"),
+      col("y").as("y1"))
+    val b = weekly.select(col("o_orderpriority"), col("week").as("w2"),
+      col("y").as("y2"))
+    val slopes = a.join(b, Seq("o_orderpriority"))
+      .filter(col("w2") > col("w1"))
+      .select(col("o_orderpriority"), col("w1"), col("w2"),
+        (col("y2") - col("y1")).as("dy"), (col("w2") - col("w1")).as("dx"),
+        expr("CAST(y2 - y1 AS DOUBLE) / CAST(w2 - w1 AS DOUBLE)")
+          .as("slope_cents_per_week"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("slope_cents_per_week"), col("dy"), col("dx"),
+        col("w1"), col("w2"))
+    slopes
+      .withColumn("__rk", row_number().over(w).cast("bigint"))
+      .withColumn("__m",
+        count(lit(1)).over(Window.partitionBy("o_orderpriority"))
+          .cast("bigint"))
+      .filter(col("__rk") === expr("(__m + 1L) div 2L"))
+      .select(col("o_orderpriority"), col("__m").as("n_pairs"),
+        col("slope_cents_per_week"), col("dy"), col("dx"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Order-fulfillment life table (the no-censoring Kaplan–Meier, where
+    * the estimator reduces to the exact empirical survival): duration =
+    * days from order date to the LAST line shipment, bucketed by week.
+    * Per bucket: orders at risk (duration ≥ bucket start), events
+    * (duration inside the bucket), the discrete hazard and the
+    * fraction surviving past the bucket — all exact integer counts and
+    * floor-div ppm.
+    *
+    * Scale shape: one orders⋈lineitem shuffle to a per-order max, then
+    * the table is O(buckets) rows — the cumulative window runs over
+    * weeks, never data. */
+  def survivalTable(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val perOrder = lineitem.groupBy("l_orderkey")
+      .agg(max("l_shipdate").as("last_ship"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("CAST(datediff(to_date(last_ship), to_date(o_orderdate)) AS BIGINT)")
+        .as("days"))
+    val buckets = perOrder
+      .groupBy(expr("days div 7L").as("bucket_week"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"))
+    // O(weeks) rows from here on — the single-order window is bounded
+    val w = Window.orderBy("bucket_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("__cum", sum("n_events").over(w))
+      .withColumn("__tot",
+        sum("n_events").over(Window.partitionBy(lit(1))).cast("bigint"))
+      .select(col("bucket_week"), col("n_events"),
+        (col("__tot") - col("__cum") + col("n_events")).as("n_risk"),
+        expr("(n_events * 1000000L) div (__tot - __cum + n_events)")
+          .as("hazard_ppm"),
+        expr("((__tot - __cum) * 1000000L) div __tot").as("survival_ppm"))
+      .orderBy("bucket_week")
+  }
+
   def trimmedMean(orders: DataFrame, trimPpm: Long = 100000L): DataFrame = {
     require(trimPpm >= 0L && trimPpm < 500000L,
       s"trimPpm must be in [0, 500000), got $trimPpm")

@@ -621,6 +621,52 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("mann-kendall: hand-computed sign sums on monotone and mixed series") {
+    // priority A: weeks 0..3 with strictly rising revenue -> all 6
+    // pairs concordant, S = +6; priority B: down-up-down -> mixed
+    val ts = (w: Long) => new java.sql.Timestamp(w * 604800L * 1000L)
+    val rows =
+      Seq(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0).map { case (w, p) =>
+        ("A", ts(w), p) } ++
+      Seq(0L -> 3.0, 1L -> 1.0, 2L -> 2.0).map { case (w, p) =>
+        ("B", ts(w), p) }
+    val orders = rows.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val out = Stats.mannKendall(orders)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 4L, 6L, 6L, 0L)))
+    // B pairs: (3,1)-1, (3,2)-1, (1,2)+1 -> S=-1, conc 1, disc 2
+    assert(out("B") == (("B", 3L, -1L, 1L, 2L)))
+  }
+
+  test("theil-sen: low median slope of hand pairs, exact dy/dx returned") {
+    // weeks 0,1,3 with cents 100,300,400: slopes 200/1, 100/3=33.33,
+    // 150/1... pairs: (0,1)=200, (0,3)=100, (1,3)=50 -> sorted
+    // [50, 100, 200], low median (m=3 -> rank 2) = 100 cents/week
+    val ts = (w: Long) => new java.sql.Timestamp(w * 604800L * 1000L)
+    val orders = Seq(("X", ts(0L), 1.0), ("X", ts(1L), 3.0),
+      ("X", ts(3L), 4.0)).toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val got = Stats.theilSen(orders)
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(("X", 3L, 100.0, 300L, 3L)))
+  }
+
+  test("survival table: hand life table, at-risk monotone, ppm floors") {
+    // durations in days: 0, 3 (bucket 0), 10 (bucket 1), 20 (bucket 2)
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
+    val orders = Seq((1L, day0), (2L, day0), (3L, day0), (4L, day0))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, plus(0)), (2L, plus(3)), (3L, plus(10)), (4L, plus(20)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Stats.survivalTable(orders, li)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 4L, 500000L, 500000L),   // 2 events of 4 at risk
+      (1L, 1L, 2L, 500000L, 250000L),   // 1 of remaining 2
+      (2L, 1L, 1L, 1000000L, 0L)))      // last one ships, none survive
+  }
+
   test("trimmed mean: rank-trimmed hand values; tiny groups keep everything") {
     // group F: cents [100..1000], n=10, t=1 -> keep ranks 2..9:
     // sum = 200+...+900 = 4400, mean 550.0
