@@ -1079,6 +1079,20 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       s.sql(CubeSql)
     }),
+    // Explicit GROUPING SETS through the Dataset API (Spark 4's
+    // Dataset.groupingSets) — the two single-dimension slices plus the
+    // grand total, NOT the full cube; grouping_id disambiguates real
+    // NULL keys from superaggregate rows. Integer-cents sums.
+    "q_grouping_sets" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, expr, grouping_id, lit, sum}
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+    }),
 
     // Window (OVER) functions — running sums, row_number, rank.
     "q_window_funcs" -> ((s, dir) => {
@@ -3810,6 +3824,18 @@ object SparkEntry {
     "q_rollup" -> RollupSql,
 
     "q_cube" -> CubeSql,
+
+    // GROUPING() bitmask convention matches grouping_id (leftmost
+    // argument = most-significant bit) in both engines.
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_window_funcs" -> WindowFuncsSql,
 
