@@ -905,6 +905,14 @@ object SparkEntry {
       graft.operators.Bucketing.partitionedPriorityRevenue(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_partlake")),
+    // Dynamic partition pruning end-to-end: star join whose partition
+    // keys exist only in the filtered dim at runtime — the broadcast
+    // key set re-prunes the fact listing via SupportsRuntimeV2Filtering
+    // (RuntimeFilteringSpec pins the planted filter + listing shrink).
+    "q_dpp_join" -> ((s, dir) =>
+      graft.operators.Bucketing.dppJoinRevenue(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_dpplake")),
     // Bloom file-skipping end-to-end: hash-scattered lake table +
     // CALL bloom_index + IN-lookup through the pruned listing
     // (BloomIndexSpec pins the strict-subset scan).
@@ -4573,6 +4581,18 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // DPP is a plan property, not semantics: the dim is derived from
+    // the priorities' first char, so the oracle applies the same
+    // condition directly over raw orders.
+    "q_dpp_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) = '1'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The Bloom index is layout metadata, not semantics: the oracle is
     // the same IN-lookup over the raw parquet. Integer-cents revenue.

@@ -168,8 +168,7 @@ private[catalog] final class PartitionedLakeTable(
     * bucket transform / no provable pruning → straight delegation. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val fallback = innerRead.newScanBuilder(options)
-    if (bucketOpt.isEmpty) fallback
-    else new ScanBuilder
+    new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var required: Option[StructType] = None
@@ -197,32 +196,17 @@ private[catalog] final class PartitionedLakeTable(
           f.pushedFilters
         case _ => Array.empty
       }
-      override def build(): org.apache.spark.sql.connector.read.Scan =
-        PartitionPruning.split(tableDir,
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val base = PartitionPruning.split(tableDir,
             spec.filter(_.isInstanceOf[PartitionSpec.Bucket]), filters) match {
           case None => fallback.build()
           case Some((cands, _)) =>
-            val opts = new CaseInsensitiveStringMap(
-              util.Map.of("basePath", tableDir.toString))
-            val b = ParquetTable(s"$tableName(bucket-skip:${cands.size})",
-              SparkSession.active, opts,
-              cands.map(r => tableDir.resolve(r).toString),
-              Some(indexSchema), classOf[ParquetFileFormat])
-              .newScanBuilder(opts)
-            required.foreach { s =>
-              b match {
-                case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-                  c.pruneColumns(s)
-                case _ => ()
-              }
-            }
-            b match {
-              case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-                f.pushFilters(filters); ()
-              case _ => ()
-            }
-            b.build()
+            RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
+              cands, required, filters, s"bucket-skip:${cands.size}")
         }
+        new RuntimePrunedScan(tableName, tableDir, spec, indexSchema,
+          required, filters, base)
+      }
     }
   }
 
@@ -380,6 +364,112 @@ private[catalog] final class PartitionedLakeTable(
           }
       }
     }
+}
+
+/** Runtime partition pruning for the partitioned lake scan — the V2
+  * dynamic-partition-pruning hook Spark's own parquet scan does not
+  * implement ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]):
+  * in a star join, the optimizer's `PartitionPruning` rule sees the
+  * scan's filterable attributes (the partition columns — identity AND
+  * bucket source keys), plants a `DynamicPruningExpression` fed by the
+  * dim side's broadcast, and `BatchScanExec` hands the materialized
+  * key set to [[filter]] before planning input partitions. The scan
+  * then re-lists only the `col=value` / `_gbucket=<id>` subtrees the
+  * runtime keys can touch — at 100 TB, a date-dim or key-set join
+  * prunes the fact scan to the matching partitions without any static
+  * predicate in the query text (the Iceberg/Delta DPP behavior).
+  *
+  * Mutable-state contract (per the interface javadoc): Spark calls
+  * `filter` on the DRIVER before `toBatch.planInputPartitions()`;
+  * both delegate to whatever `current` points at, so the pre-filter
+  * plan (statistics, columnar support probes) and the post-filter
+  * execution stay consistent. Only provable exclusion reprunes —
+  * unconvertible runtime predicates leave the scan untouched. */
+private[catalog] final class RuntimePrunedScan(
+    tableName: String,
+    tableDir: Path,
+    spec: Seq[PartitionSpec.Field],
+    indexSchema: StructType,
+    required: Option[StructType],
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    initial: org.apache.spark.sql.connector.read.Scan)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  @volatile private var current: org.apache.spark.sql.connector.read.Scan =
+    initial
+
+  override def readSchema(): StructType = current.readSchema()
+  override def description(): String = current.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions():
+      Array[org.apache.spark.sql.connector.read.InputPartition] =
+    current.toBatch.planInputPartitions()
+  override def createReaderFactory():
+      org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    current.toBatch.createReaderFactory()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    current match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    spec.map(f => Expressions.column(f.col)).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val runtime = predicates.toSeq.map(DeletableTable.statsFilter)
+    PartitionPruning.split(tableDir, spec, pushed ++ runtime) match {
+      case Some((cands, carried)) if carried.nonEmpty =>
+        current = RuntimePrunedScan.scanOver(tableName, tableDir,
+          indexSchema, cands, required, pushed, s"dpp:${cands.size}")
+      case _ => () // nothing provably excluded: keep the static scan
+    }
+  }
+}
+
+private[catalog] object RuntimePrunedScan {
+
+  /** A parquet scan over only the given table-relative partition dirs
+    * (basePath keeps partition-value inference), with the original
+    * column pruning and pushed filters re-applied so the read schema
+    * and row filtering match the scan it replaces. */
+  private[catalog] def scanOver(
+      tableName: String,
+      tableDir: Path,
+      indexSchema: StructType,
+      cands: Seq[Path],
+      required: Option[StructType],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      label: String): org.apache.spark.sql.connector.read.Scan = {
+    val opts = new CaseInsensitiveStringMap(
+      util.Map.of("basePath", tableDir.toString))
+    val b = ParquetTable(s"$tableName($label)",
+      SparkSession.active, opts,
+      cands.map(r => tableDir.resolve(r).toString),
+      Some(indexSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(opts)
+    required.foreach { s =>
+      b match {
+        case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+          c.pruneColumns(s)
+        case _ => ()
+      }
+    }
+    b match {
+      case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        f.pushFilters(filters); ()
+      case _ => ()
+    }
+    b.build()
+  }
 }
 
 /** The row-level rewrite's write: replacement rows stage through the

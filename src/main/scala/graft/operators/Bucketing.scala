@@ -111,6 +111,45 @@ object Bucketing {
           .as("revenue_cents"))
   }
 
+  /** End-to-end dynamic partition pruning ([[graft.catalog
+    * .RuntimePrunedScan]]): a star join where NO static predicate
+    * touches the fact's partition column — the partition keys to keep
+    * exist only in the FILTERED DIM at runtime. The fact lands
+    * partitioned by priority in a V2 lake table; the dim (priority →
+    * first-char class) is parquet-backed so its selective filter
+    * survives optimization; the broadcast join's materialized key set
+    * reaches the scan through `SupportsRuntimeV2Filtering.filter` and
+    * re-prunes the directory listing (`RuntimeFilteringSpec` pins the
+    * planted runtime filter and the listing shrink). At 100 TB this is
+    * the date-dim star join reading only the matching partitions.
+    * The layout is not semantics: the oracle re-derives the dim
+    * condition directly over raw orders. */
+  def dppJoinRevenue(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakedpp"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_dpp (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("append").insertInto(s"$cat.m.orders_dpp")
+    val dimPath = s"$workDir/m/dim_priority.parquet"
+    orders.select(col("o_orderpriority").as("pri")).distinct()
+      .withColumn("cls", expr("substring(pri, 1, 1)"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("cls") === "1")
+    spark.table(s"$cat.m.orders_dpp")
+      .join(broadcast(dim), col("o_orderpriority") === col("pri"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+  }
+
   /** End-to-end Bloom file-skipping entry ([[graft.catalog
     * .BloomIndex]]): land lineitem hash-SCATTERED by `l_partkey` into
     * a V2 lake table — every file then spans ~the whole key domain,
