@@ -505,11 +505,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         s"$catalogName: single-file tables cannot carry a schema sidecar; " +
           "only directory tables support schema evolution")
-    if (PartitionSpec.read(p).nonEmpty)
+    // Partitioned tables evolve by ADD COLUMN only: a new nullable
+    // trailing column is pure schema-sidecar metadata (old files read
+    // NULL merge-on-read, the hive directory layout is untouched),
+    // whereas rename/drop would need the physical-slot mapping, which
+    // does not compose with `col=value` partition directory names.
+    if (PartitionSpec.read(p).nonEmpty &&
+        !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
       throw new UnsupportedOperationException(
-        s"$catalogName: ${ident.toString} is partitioned — column evolution " +
-          "on partitioned lake tables is not supported (the rename/drop " +
-          "mapping does not compose with partition directory names)")
+        s"$catalogName: ${ident.toString} is partitioned — only ADD COLUMN " +
+          "evolution is supported on partitioned lake tables (the " +
+          "rename/drop mapping does not compose with partition directory " +
+          "names)")
     var schema = declaredSchema(p).getOrElse(
       loadTable(ident) match {
         case pt: ParquetTable => pt.schema
@@ -541,6 +548,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
             s"$catalogName: column $name already exists")
+        // the hidden bucket partition column owns its directory name
+        if (name.equalsIgnoreCase(PartitionSpec.BucketDir) &&
+            PartitionSpec.read(p).nonEmpty)
+          throw new IllegalArgumentException(
+            s"$catalogName: $name is reserved for the hidden bucket " +
+              "partition column")
         // a retired or occupied physical slot of the same name would
         // resurrect dropped file data — allocate a fresh slot
         if (physInUse.exists(_.equalsIgnoreCase(name)))

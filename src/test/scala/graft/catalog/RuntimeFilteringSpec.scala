@@ -101,6 +101,40 @@ class RuntimeFilteringSpec extends SparkSpec {
     }
   }
 
+  test("partitioned ADD COLUMN: old partitions read NULL, new writes carry it") {
+    val lake = Files.createTempDirectory("graft-lake-rf4")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkrf4", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkrf4.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkrf4.m.e (k BIGINT, region STRING)
+          |PARTITIONED BY (region)""".stripMargin)
+      Seq((1L, "EU"), (2L, "US")).toDF("k", "region")
+        .write.mode("append").insertInto("lkrf4.m.e")
+      spark.sql("ALTER TABLE lkrf4.m.e ADD COLUMN note STRING")
+      // merge-on-read: pre-evolution partitions read the column as NULL
+      assert(spark.table("lkrf4.m.e").as[(Long, String, Option[String])]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, "EU", None), (2L, "US", None)))
+      Seq((3L, "EU", "x")).toDF("k", "region", "note")
+        .write.mode("append").insertInto("lkrf4.m.e")
+      assert(spark.table("lkrf4.m.e").where("note = 'x'")
+        .as[(Long, String, Option[String])].collect().toSeq ==
+        Seq((3L, "EU", Some("x"))))
+      // partition pruning still works over the evolved schema
+      assert(spark.table("lkrf4.m.e").where("region = 'EU'").count() == 2L)
+      // rename/drop stay rejected on partitioned tables
+      intercept[Exception](
+        spark.sql("ALTER TABLE lkrf4.m.e RENAME COLUMN note TO memo"))
+      intercept[Exception](
+        spark.sql("ALTER TABLE lkrf4.m.e DROP COLUMN note"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkrf4")
+      spark.conf.unset("spark.sql.catalog.lkrf4.path")
+    }
+  }
+
   test("bucket key: a runtime key set prunes hidden-bucket subtrees") {
     val lake = Files.createTempDirectory("graft-lake-rf3")
     Files.createDirectories(lake.resolve("m"))
