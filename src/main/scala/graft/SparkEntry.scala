@@ -477,6 +477,11 @@ object SparkEntry {
       Dedup.setSimJoin(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"))),
+    // Banding health check: LSH candidates vs the exact prefix-filter
+    // truth — one row of exact counts + floor-div precision/recall ppm
+    // (the measured counterpart of the analytic S-curve tuner).
+    "q_dedup_lsh_audit" -> ((s, dir) =>
+      Dedup.lshQualityAudit(t(s, dir, "documents"))),
     "q_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupPipeline(t(s, dir, "documents"), threshold = 0.5)),
     // Same components, quality-aware representative: keep the highest-
@@ -3330,6 +3335,31 @@ object SparkEntry {
     "q_dedup_minhash_lsh" ->
       s"""WITH $MinHashCandCteSql
         |SELECT a, b FROM cand ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Audit oracle: both sides re-derived from the same shingle CTE —
+    // candidates via the banding, truth via brute-force Jaccard.
+    "q_dedup_lsh_audit" ->
+      s"""WITH $MinHashCandCteSql,
+        |asz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+        |ap AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |       FROM e x JOIN e y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2),
+        |truth AS (SELECT ap.a, ap.b
+        |          FROM ap JOIN asz sa ON ap.a = sa.doc_id
+        |                  JOIN asz sb ON ap.b = sb.doc_id
+        |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        |counts AS (SELECT
+        |    (SELECT count(*) FROM cand) AS nc,
+        |    (SELECT count(*) FROM truth) AS nt,
+        |    (SELECT count(*) FROM
+        |      (SELECT a, b FROM cand INTERSECT SELECT a, b FROM truth)) AS tp)
+        |SELECT CAST(nc AS BIGINT) AS n_candidates,
+        |  CAST(nt AS BIGINT) AS n_true, CAST(tp AS BIGINT) AS tp,
+        |  CASE WHEN nc = 0 THEN NULL
+        |       ELSE CAST((tp * 1000000) // nc AS BIGINT) END AS precision_ppm,
+        |  CASE WHEN nt = 0 THEN NULL
+        |       ELSE CAST((tp * 1000000) // nt AS BIGINT) END AS recall_ppm
+        |FROM counts""".stripMargin,
 
     // Composed pipeline oracle: LSH candidates → Jaccard ≥ 0.5 verify →
     // FULL connected components (recursive transitive closure + min

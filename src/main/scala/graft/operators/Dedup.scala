@@ -302,6 +302,35 @@ object Dedup {
                       tau: Double = 0.5, minRecall: Double = 0.9): DataFrame =
     minHashLsh(docs, n, k, tuneBanding(k, tau, minRecall)._1)
 
+  /** LSH quality audit — the measured counterpart of
+    * [[bandingCandidateProb]]'s S-curve prediction: candidate pairs
+    * from [[minHashLsh]] vs the EXACT τ-threshold truth from
+    * [[setSimJoin]] (the prefix-filtered scale path, so the audit
+    * itself runs at corpus scale), reduced to one row of exact
+    * integer counts and floor-div ppm precision/recall. This is the
+    * dedup-operations health check a pipeline runs before trusting a
+    * banding configuration on a new corpus — analytic tuning assumes
+    * the S-curve; the audit measures the corpus's actual pair mix. */
+  def lshQualityAudit(docs: DataFrame, n: Int = 3, k: Int = 8,
+                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val pred = minHashLsh(docs, n, k, bands).withColumn("__p", lit(1L))
+    val truth = setSimJoin(docs, n, threshold).select(col("a"), col("b"))
+      .withColumn("__t", lit(1L))
+    pred.join(truth, Seq("a", "b"), "full_outer")
+      // empty-corpus guard: a global sum over zero rows is NULL
+      .agg(coalesce(sum(coalesce(col("__p"), lit(0L))), lit(0L))
+          .as("n_candidates"),
+        coalesce(sum(coalesce(col("__t"), lit(0L))), lit(0L)).as("n_true"),
+        coalesce(sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"))
+      .select(col("n_candidates"), col("n_true"), col("tp"),
+        expr("""CASE WHEN n_candidates = 0 THEN NULL
+                ELSE (tp * 1000000L) div n_candidates END""")
+          .as("precision_ppm"),
+        expr("""CASE WHEN n_true = 0 THEN NULL
+                ELSE (tp * 1000000L) div n_true END""").as("recall_ppm"))
+  }
+
   /** The (doc_id, band, band_hash) rows [[minHashLsh]] self-joins —
     * factored out so the incremental path bands only the NEW batch. */
   private def bandRows(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {

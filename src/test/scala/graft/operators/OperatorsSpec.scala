@@ -621,6 +621,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("lsh quality audit: planted dup found; empty corpus yields NULL ppms") {
+    // two near-identical docs (one token changed) + one unrelated:
+    // truth has the near pair; LSH should candidate it (recall 1e6)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this other document here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshQualityAudit(docs)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(out._2 == 1L && out._3 >= 1L, s"truth pair must be found: $out")
+    assert(out._5.contains(1000000L), s"recall must be 1e6 ppm: $out")
+    // shingle-less corpus: zero candidates and truths, NULL ppms (the
+    // div-by-zero guard on both engines)
+    val empty = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val z = Dedup.lshQualityAudit(empty)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(z == ((0L, 0L, 0L, None, None)), s"got $z")
+  }
+
   test("mann-kendall: hand-computed sign sums on monotone and mixed series") {
     // priority A: weeks 0..3 with strictly rising revenue -> all 6
     // pairs concordant, S = +6; priority B: down-up-down -> mixed
