@@ -1283,6 +1283,10 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Wald–Wolfowitz runs test on the daily revenue direction: exact
+    // integer up/down/run counts (randomness audit of the series).
+    "q_runs_test" -> ((s, dir) =>
+      graft.operators.Stats.runsTest(t(s, dir, "orders"))),
     // Mann–Kendall trend test per priority over the weekly revenue
     // series: pairwise sign sums in exact integers, pairs only over
     // the aggregated weeks.
@@ -2757,6 +2761,27 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // Runs via lag over the daily cells (the engine's rank self-join
+    // is the same adjacency); zero-change steps count as down.
+    "q_runs_test" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT day, CASE WHEN x > lag(x) OVER (ORDER BY day)
+        |      THEN 1 ELSE 0 END AS up,
+        |    lag(x) OVER (ORDER BY day) IS NOT NULL AS has_prev
+        |  FROM d),
+        |st AS (SELECT * FROM s WHERE has_prev),
+        |f AS (SELECT CASE WHEN up <> lag(up) OVER (ORDER BY day)
+        |      THEN 1 ELSE 0 END AS flip,
+        |    lag(up) OVER (ORDER BY day) IS NOT NULL AS has_prev
+        |  FROM st)
+        |SELECT CAST((SELECT coalesce(sum(up), 0) FROM st) AS BIGINT) AS n_up,
+        |  CAST((SELECT coalesce(sum(1 - up), 0) FROM st) AS BIGINT) AS n_down,
+        |  CAST(CASE WHEN (SELECT count(*) FROM st) = 0 THEN 0
+        |    ELSE (SELECT coalesce(sum(flip), 0) FROM f WHERE has_prev) + 1
+        |  END AS BIGINT) AS n_runs""".stripMargin,
 
     // Pairwise sign sums over the aggregated weekly series — the
     // self-join is O(weeks²) per group on BOTH engines.

@@ -433,6 +433,43 @@ object Stats {
       .orderBy("o_orderpriority")
   }
 
+  /** Wald–Wolfowitz runs test over the daily revenue direction — the
+    * randomness check that completes the nonparametric family next to
+    * [[mannKendall]]: classify each day (after the first) as up/down vs
+    * the previous day (zero-change days count as down — a documented,
+    * deterministic convention), count the maximal same-sign RUNS, and
+    * report exact integers only (n_up, n_down, n_runs; the normal
+    * approximation's mean 1 + 2·n₁·n₂/n is left to the reader — a
+    * float z-score would put engine-divergent arithmetic in the gate).
+    *
+    * Scale shape: one shuffle to daily cells; ranks come from the
+    * two-phase [[Ids.prefixSums]] (never a single-reducer window over
+    * the calendar), and adjacency is a self-join on rank — O(days)
+    * rows end to end. */
+  def runsTest(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .withColumn("__one", lit(1L))
+    val ranked = Ids.prefixSums(daily, Seq(col("day")), Seq("__one"))
+      .select(col("day"), col("x"), col("cum___one").as("rk"))
+    val steps = ranked.as("c").join(ranked.as("p"),
+        col("c.rk") === col("p.rk") + 1L)
+      .select(col("c.rk").as("rk"),
+        when(col("c.x") > col("p.x"), 1L).otherwise(0L).as("up"))
+    val flips = steps.as("c").join(steps.as("p"),
+        col("c.rk") === col("p.rk") + 1L)
+      .select(when(col("c.up") =!= col("p.up"), 1L).otherwise(0L).as("flip"))
+    val counts = steps.agg(
+      coalesce(sum(col("up")), lit(0L)).as("n_up"),
+      coalesce(sum(lit(1L) - col("up")), lit(0L)).as("n_down"))
+    val runs = flips.agg(coalesce(sum(col("flip")), lit(0L)).as("__flips"))
+    counts.crossJoin(runs)
+      .select(col("n_up"), col("n_down"),
+        when(col("n_up") + col("n_down") === 0L, 0L)
+          .otherwise(col("__flips") + 1L).as("n_runs"))
+  }
+
   /** Order-fulfillment life table (the no-censoring Kaplan–Meier, where
     * the estimator reduces to the exact empirical survival): duration =
     * days from order date to the LAST line shipment, bucketed by week.

@@ -621,6 +621,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("runs test: hand series — alternation maxes runs, monotone is one run") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
+    // values 1,3,2,4,1 -> steps up,down,up,down: 4 runs, 2 up, 2 down
+    val alt = Seq(1.0, 3.0, 2.0, 4.0, 1.0).zipWithIndex
+      .map { case (p, i) => (day(i), p) }.toDF("o_orderdate", "o_totalprice")
+    assert(Stats.runsTest(alt).as[(Long, Long, Long)].head() == ((2L, 2L, 4L)))
+    // monotone 1,2,3,4 -> one run of ups
+    val mono = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (p, i) => (day(i), p) }.toDF("o_orderdate", "o_totalprice")
+    assert(Stats.runsTest(mono).as[(Long, Long, Long)].head() == ((3L, 0L, 1L)))
+    // single day -> no steps, zero runs
+    val one = Seq((day(0), 5.0)).toDF("o_orderdate", "o_totalprice")
+    assert(Stats.runsTest(one).as[(Long, Long, Long)].head() == ((0L, 0L, 0L)))
+  }
+
   test("lsh quality audit: planted dup found; empty corpus yields NULL ppms") {
     // two near-identical docs (one token changed) + one unrelated:
     // truth has the near pair; LSH should candidate it (recall 1e6)
