@@ -824,6 +824,16 @@ object SparkEntry {
         key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
         rightTieBreak = "o_orderkey")),
 
+    // NEAREST as-of: each event matched to the temporally closest
+    // order either side (ties backward) — one union + one window pass,
+    // the same single-exchange cost as the backward join.
+    "q_asof_nearest" -> ((s, dir) =>
+      graft.operators.AsOf.joinNearest(
+        t(s, dir, "events"),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = "o_orderkey")),
+
     // FORWARD as-of: each order enriched with the customer's NEXT
     // event at or after order time — the upcoming-activity mirror of
     // the last-observed join above (orders predate the event window,
@@ -1306,6 +1316,10 @@ object SparkEntry {
     // correctly-rounded division at the end.
     "q_trimmed_mean" -> ((s, dir) =>
       graft.operators.Stats.trimmedMean(t(s, dir, "orders"))),
+    // Winsorized mean per status: clamp (not drop) the rank-extreme
+    // 10% per side to the boundary-rank values — exact integer sum.
+    "q_winsorized" -> ((s, dir) =>
+      graft.operators.Stats.winsorizedMean(t(s, dir, "orders"))),
     // Robust median/MAD per order status: exact interpolation over
     // integer cents and exactly-rounded deviations.
     "q_mad" -> ((s, dir) =>
@@ -2861,6 +2875,29 @@ object SparkEntry {
         |FROM r
         |WHERE rk > (n * 100000) // 1000000 AND rk <= n - (n * 100000) // 1000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Clamp bounds are rank-selected existing values — the winsorized
+    // sum stays integer; one division at the end.
+    "q_winsorized" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cts FROM orders),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cts, o_orderkey) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+        |  FROM c),
+        |t AS (SELECT *, (n * 100000) // 1000000 AS tt FROM r),
+        |lo AS (SELECT o_orderstatus, cts AS low FROM t WHERE rk = tt + 1),
+        |hi AS (SELECT o_orderstatus, cts AS high FROM t WHERE rk = n - tt),
+        |mid AS (SELECT o_orderstatus, CAST(sum(cts) AS BIGINT) AS m,
+        |    CAST(max(n) AS BIGINT) AS n, CAST(max(tt) AS BIGINT) AS tt
+        |  FROM t WHERE rk > tt AND rk <= n - tt GROUP BY 1)
+        |SELECT mid.o_orderstatus, mid.n,
+        |  CAST(mid.m + mid.tt * (lo.low + hi.high) AS BIGINT) AS sum_wins_cents,
+        |  CAST(CAST(mid.m + mid.tt * (lo.low + hi.high) AS BIGINT) AS DOUBLE)
+        |    / CAST(mid.n AS DOUBLE) AS winsorized_mean_cents
+        |FROM mid JOIN lo ON mid.o_orderstatus = lo.o_orderstatus
+        |         JOIN hi ON mid.o_orderstatus = hi.o_orderstatus
+        |ORDER BY 1""".stripMargin,
 
     "q_mad" ->
       """WITH c AS (SELECT o_orderstatus,
@@ -4532,6 +4569,31 @@ object SparkEntry {
         |       r.o_orderpriority
         |FROM e ASOF JOIN r ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Nearest direction has no DuckDB ASOF form: brute-force argmin
+    // per event (bounded per-user candidate lists at oracle scale);
+    // ties prefer backward = the smaller (negative) lag.
+    "q_asof_nearest" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1),
+        |e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |             value, props FROM events),
+        |cand AS (SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value,
+        |    e.props, r.o_orderkey, r.o_orderstatus, r.o_totalprice,
+        |    r.o_orderdate, r.o_orderpriority,
+        |    CAST(epoch_us(CAST(r.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts)
+        |      AS BIGINT) AS lag_us
+        |  FROM e JOIN r ON e.user_id = r.user_id),
+        |pick AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY abs(lag_us), lag_us) AS rn FROM cand)
+        |SELECT user_id, event_id, ts, event_type, value, props, o_orderkey,
+        |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |  CASE WHEN lag_us <= 0 THEN 'backward' ELSE 'forward' END AS matched_dir,
+        |  lag_us
+        |FROM pick WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     // Forward direction: DuckDB ASOF with >= picks the nearest
     // following version; same one-version-per-(key, ts) dedup.

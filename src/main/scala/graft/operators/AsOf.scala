@@ -53,6 +53,61 @@ object AsOf {
         rightCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** NEAREST as-of (pandas `merge_asof(direction='nearest')`): each
+    * left row matches the right row minimizing |rightTs − leftTs| for
+    * the same key; exact ties between the last-earlier and first-later
+    * version resolve BACKWARD (the smaller right ts — the
+    * deterministic, engine-independent rule). Adds `matched_dir`
+    * ('backward'/'forward') and the signed `lag_us` so the consumer
+    * can audit the direction mix.
+    *
+    * Same composed shape as [[join]] — ONE tagged union, ONE exchange
+    * + partition sort — with BOTH carries computed over the same sort
+    * (a backward `last` and a forward `first` frame ride one
+    * WindowExec): the nearest join costs exactly what the backward one
+    * does. Same-ts right rows sort before the left row, so they land
+    * in the backward carry at distance 0 and the tie rule picks them. */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightTieBreak: String): DataFrame = {
+    val rightCols = right.columns.filterNot(_ == key).toSeq
+    val r1 = graft.cdc.Upsert.latestByKey(
+      right, Seq(key, rightTs), Seq(rightTieBreak))
+    val taggedRight = r1.select(
+      col(key).as("__k"), col(rightTs).cast("timestamp").as("__ts"),
+      lit(0).as("__side"), struct(rightCols.map(col): _*).as("__r"))
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left.select(
+      col(key).as("__k"), col(leftTs).cast("timestamp").as("__ts"),
+      lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
+    val ord = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val carried = taggedLeft.select(col("__k"), col("__ts"), col("__side"),
+        col("__l"), lit(null).cast(taggedRight.schema("__r").dataType).as("__r"))
+      .unionByName(taggedRight.select(col("__k"), col("__ts"), col("__side"),
+        lit(null).cast(taggedLeft.schema("__l").dataType).as("__l"), col("__r")))
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__r"), ignoreNulls = true).over(wFwd))
+    val backDist =
+      expr(s"unix_micros(__ts) - unix_micros(CAST(__back.$rightTs AS TIMESTAMP))")
+    val fwdDist =
+      expr(s"unix_micros(CAST(__fwd.$rightTs AS TIMESTAMP)) - unix_micros(__ts)")
+    val useBack = col("__back").isNotNull &&
+      (col("__fwd").isNull || backDist <= fwdDist)
+    carried.filter(col("__side") === 1 &&
+        (col("__back").isNotNull || col("__fwd").isNotNull))
+      .withColumn("__m", when(useBack, col("__back")).otherwise(col("__fwd")))
+      .withColumn("matched_dir",
+        when(useBack, lit("backward")).otherwise(lit("forward")))
+      .withColumn("lag_us",
+        expr(s"unix_micros(CAST(__m.$rightTs AS TIMESTAMP)) - unix_micros(__ts)"))
+      .select(col("__k").as(key) +:
+        leftCols.filterNot(_ == key).map(c => col(s"__l.$c").as(c)) ++:
+        rightCols.map(c => col(s"__m.$c").as(c)) ++:
+        Seq(col("matched_dir"), col("lag_us")): _*)
+  }
+
   /** FORWARD as-of: each left row matches the single right row with the
     * smallest `rightTs >= leftTs` for the same key — the "next
     * scheduled/upcoming" enrichment mirroring [[join]]'s last-observed

@@ -506,6 +506,49 @@ object Stats {
       .orderBy("bucket_week")
   }
 
+  /** Winsorized mean per order status — [[trimmedMean]]'s clamping
+    * sibling: instead of DROPPING the extreme `t = (n·ppm) div 10⁶`
+    * rows per side, REPLACE them with the boundary-rank values (rank
+    * t+1 ascending, rank n−t descending). Because the clamp bounds are
+    * rank-selected EXISTING values (never interpolated), the
+    * winsorized sum `Σ middle + t·low + t·high` stays exact integer
+    * cents, and the mean is one correctly-rounded division — the same
+    * engine-portability discipline as the trim.
+    *
+    * Same scale shape as [[trimmedMean]]: grouped two-phase ranks, the
+    * boundary rows are two O(groups) broadcastable relations. */
+  def winsorizedMean(orders: DataFrame, trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0L && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val base = orders.select(col("o_orderstatus"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("__c"))
+      .withColumn("__one", lit(1L))
+    val ranked = Ids.prefixSumsGrouped(base, Seq("o_orderstatus"),
+      Seq(col("__c"), col("o_orderkey")), Seq("__one"))
+      .withColumnRenamed("cum___one", "__rk")
+    val counts = base.groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+      .withColumn("__t", expr(s"(__n * ${trimPpm}L) div 1000000L"))
+    val withN = ranked.join(broadcast(counts), "o_orderstatus")
+    val low = withN.filter(col("__rk") === col("__t") + 1L)
+      .select(col("o_orderstatus"), col("__c").as("__low"))
+    val high = withN.filter(col("__rk") === col("__n") - col("__t"))
+      .select(col("o_orderstatus"), col("__c").as("__high"))
+    withN.filter(col("__rk") > col("__t") &&
+        col("__rk") <= col("__n") - col("__t"))
+      .groupBy("o_orderstatus")
+      .agg(sum("__c").as("__mid"), first("__n").as("n"),
+        first("__t").as("__t2"))
+      .join(broadcast(low), "o_orderstatus")
+      .join(broadcast(high), "o_orderstatus")
+      .select(col("o_orderstatus"), col("n"),
+        (col("__mid") + col("__t2") * (col("__low") + col("__high")))
+          .as("sum_wins_cents"))
+      .withColumn("winsorized_mean_cents",
+        expr("CAST(sum_wins_cents AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .orderBy("o_orderstatus")
+  }
+
   def trimmedMean(orders: DataFrame, trimPpm: Long = 100000L): DataFrame = {
     require(trimPpm >= 0L && trimPpm < 500000L,
       s"trimPpm must be in [0, 500000), got $trimPpm")

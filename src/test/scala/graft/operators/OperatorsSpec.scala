@@ -703,6 +703,22 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, 1L, 1000000L, 0L)))      // last one ships, none survive
   }
 
+  test("winsorized mean: clamp to boundary-rank values; outlier absorbed") {
+    // cents 100..1000, n=10, t=1: low=rank2=200, high=rank9=900,
+    // sum = (200+...+900) + 1*(200+900) = 4400 + 1100 = 5500
+    val f = (1 to 10).map(i => (i.toLong, "F", i * 1.00))
+    val out = Stats.winsorizedMean(f.toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("F", 10L, 5500L, 550.0)), s"got $out")
+    // planted 10000-cent outlier (n=11, t=1): clamped to the new rank-10
+    // value (1000), never contributing its own magnitude
+    val w = (f :+ ((99L, "F", 100.0)))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val o2 = Stats.winsorizedMean(w).as[(String, Long, Long, Double)].head()
+    // ranks 2..10 sum = 200+...+1000 = 5400; + low(200) + high(1000)
+    assert(o2 == (("F", 11L, 6600L, 600.0)), s"got $o2")
+  }
+
   test("trimmed mean: rank-trimmed hand values; tiny groups keep everything") {
     // group F: cents [100..1000], n=10, t=1 -> keep ranks 2..9:
     // sum = 200+...+900 = 4400, mean 550.0
