@@ -277,8 +277,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val vs = versionsOf(p)
     if (vs.isEmpty) throw new UnsupportedOperationException(
       s"$catalogName: ${ident.toString} is not a versioned table (no v=<n> snapshots)")
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"$catalogName: VERSION AS OF expects a numeric snapshot id, got '$version'"))
+    // non-numeric versions resolve through the tag sidecar (Iceberg
+    // refs): VERSION AS OF 'stable' reads the pinned snapshot
+    val v = version.toLongOption
+      .orElse(Tags.read(p).get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$catalogName: VERSION AS OF expects a numeric snapshot id or a " +
+          s"tag name, got '$version' (tags: " +
+          s"${Tags.read(p).keys.toSeq.sorted.mkString(",")})"))
     if (!vs.contains(v)) throw new IllegalArgumentException(
       s"$catalogName: ${ident.toString} has no snapshot v=$v " +
         s"(committed: ${vs.mkString(",")} — older snapshots may have been expired)")

@@ -47,7 +47,8 @@ private[catalog] object LakeProcedures {
 
   def list(): Array[String] =
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
-      "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback")
+      "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback",
+      "tag", "drop_tag", "tags")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -55,7 +56,7 @@ private[catalog] object LakeProcedures {
       case "snapshots" =>
         Some(proc(root, "snapshots", Seq("tbl" -> StringType),
           new StructType().add("version", LongType).add("commit_ms", LongType)) {
-          (store, _) =>
+          (_, store, _) =>
             store.versions.map(v => InternalRow(v, store.commitTimeMs(v).getOrElse(-1L)))
         })
       case "rollback" =>
@@ -67,7 +68,7 @@ private[catalog] object LakeProcedures {
         // rewrite lands only under the new version directory.
         Some(proc(root, "rollback",
           Seq("tbl" -> StringType, "version" -> LongType),
-          new StructType().add("new_version", LongType)) { (store, args) =>
+          new StructType().add("new_version", LongType)) { (_, store, args) =>
           val v = args.getLong(1)
           val df = store.read(v).getOrElse(throw new IllegalArgumentException(
             s"rollback: no snapshot v=$v (have ${store.versions.mkString(",")})"))
@@ -75,11 +76,54 @@ private[catalog] object LakeProcedures {
           store.write(df, next)
           Seq(InternalRow(next))
         })
+      // Snapshot tags (Iceberg refs): a named pointer into history.
+      // `tag` creates (errors on an existing name — retag = drop+tag),
+      // `drop_tag` removes, `tags` lists. A tag makes its snapshot
+      // addressable as `VERSION AS OF '<name>'` AND pins it against
+      // expire_snapshots — the retention contract for reproducibility.
+      case "tag" =>
+        Some(proc(root, "tag",
+          Seq("tbl" -> StringType, "name" -> StringType,
+            "version" -> LongType),
+          new StructType().add("version", LongType)) { (dir, store, args) =>
+          val name = args.getUTF8String(1).toString
+          val v = args.getLong(2)
+          if (name.toLongOption.isDefined) throw new IllegalArgumentException(
+            s"tag: '$name' parses as a number — the numeric namespace " +
+              "belongs to raw snapshot ids")
+          if (!store.versions.contains(v)) throw new IllegalArgumentException(
+            s"tag: no snapshot v=$v (have ${store.versions.mkString(",")})")
+          val cur = Tags.read(dir)
+          if (cur.contains(name)) throw new IllegalArgumentException(
+            s"tag: '$name' already points at v=${cur(name)} — drop_tag first")
+          Tags.write(dir, cur + (name -> v))
+          Seq(InternalRow(v))
+        })
+      case "drop_tag" =>
+        Some(proc(root, "drop_tag",
+          Seq("tbl" -> StringType, "name" -> StringType),
+          new StructType().add("dropped_version", LongType)) { (dir, _, args) =>
+          val name = args.getUTF8String(1).toString
+          val cur = Tags.read(dir)
+          val v = cur.getOrElse(name, throw new IllegalArgumentException(
+            s"drop_tag: no tag '$name' (tags: ${cur.keys.toSeq.sorted.mkString(",")})"))
+          Tags.write(dir, cur - name)
+          Seq(InternalRow(v))
+        })
+      case "tags" =>
+        Some(proc(root, "tags", Seq("tbl" -> StringType),
+          new StructType().add("name", StringType).add("version", LongType)) {
+          (dir, _, _) =>
+            Tags.read(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+              InternalRow(UTF8String.fromString(n), v)
+            }
+        })
       case "expire_snapshots" =>
         Some(proc(root, "expire_snapshots",
           Seq("tbl" -> StringType, "keep" -> IntegerType),
-          new StructType().add("retained_versions", LongType)) { (store, args) =>
-          store.expire(args.getInt(1))
+          new StructType().add("retained_versions", LongType)) { (dir, store, args) =>
+          // tagged snapshots are pinned (the Iceberg retention rule)
+          store.expire(args.getInt(1), Tags.read(dir).values.toSet)
           Seq(InternalRow(store.versions.size.toLong))
         })
       case "compact" =>
@@ -255,7 +299,7 @@ private[catalog] object LakeProcedures {
       case "purge_keys" =>
         Some(proc(root, "purge_keys",
           Seq("tbl" -> StringType, "key_col" -> StringType, "keys_csv" -> StringType),
-          new StructType().add("rows_removed", LongType)) { (store, args) =>
+          new StructType().add("rows_removed", LongType)) { (_, store, args) =>
           val keyCol = args.getUTF8String(1).toString
           val keys: Seq[Any] = args.getUTF8String(2).toString
             .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -423,7 +467,7 @@ private[catalog] object LakeProcedures {
     * the catalog root and must be a versioned table directory. */
   private def proc(root: Path, procName: String,
                    params: Seq[(String, DataType)], outSchema: StructType)(
-      body: (graft.streaming.StateStore, InternalRow) => Seq[InternalRow]): UnboundProcedure =
+      body: (Path, graft.streaming.StateStore, InternalRow) => Seq[InternalRow]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft lake maintenance: $procName"
@@ -445,7 +489,7 @@ private[catalog] object LakeProcedures {
               s"$procName: '$tbl' is not a versioned (v=<n>) lake table")
           val store = new graft.streaming.StateStore(
             SparkSession.active, dir.toString)
-          val out = body(store, input).toArray
+          val out = body(dir, store, input).toArray
           SparkSession.active.catalog.clearCache()
           java.util.List.of[Scan](new LocalScan {
             override def rows(): Array[InternalRow] = out

@@ -90,12 +90,22 @@ final class StateStore(spark: SparkSession, dir: String) {
 
   /** Drop versions older than the newest `keep` (bounded storage; the
     * reference's Paimon snapshots expire the same way). */
-  def expire(keep: Int = 2): Unit = latestVersion.foreach { latest =>
-    fs.listStatus(base).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") &&
-        p.getName.stripPrefix("v=").toLong <= latest - keep)
-      .foreach(p => fs.delete(p, true))
-  }
+  def expire(keep: Int = 2): Unit = expire(keep, Set.empty)
+
+  /** [[expire]] with a pinned set: versions in `pinned` (snapshot
+    * tags — the Iceberg retention contract) survive regardless of
+    * age. */
+  def expire(keep: Int, pinned: Set[Long]): Unit =
+    latestVersion.foreach { latest =>
+      fs.listStatus(base).toSeq.map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("v=") && {
+            val v = p.getName.stripPrefix("v=").toLong
+            v <= latest - keep && !pinned.contains(v)
+          }
+        }
+        .foreach(p => fs.delete(p, true))
+    }
 
   /** Compaction (the Paimon/Iceberg small-files rewrite): re-commit the
     * current snapshot as a NEW version with `targetFiles` files —

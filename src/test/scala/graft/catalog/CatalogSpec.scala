@@ -539,6 +539,51 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("snapshot tags: VERSION AS OF name, expire pinning, drop_tag") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-tags")
+    Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.laketg", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.laketg.path", lake.toString)
+    try {
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/accts.parquet").toString)
+      store.write(Seq((1L, 10L)).toDF("id", "bal"), 0L)
+      store.write(Seq((1L, 11L)).toDF("id", "bal"), 1L)
+      store.write(Seq((1L, 12L)).toDF("id", "bal"), 2L)
+      assert(spark.sql("CALL laketg.system.tag('state.accts', 'stable', 0)")
+        .as[Long].head() == 0L)
+      // a tag name resolves through VERSION AS OF
+      assert(spark.sql(
+          "SELECT bal FROM laketg.state.accts VERSION AS OF 'stable'")
+        .as[Long].head() == 10L)
+      // tags pin their snapshot against expire; untagged old ones drop
+      spark.sql("CALL laketg.system.expire_snapshots('state.accts', 1)").collect()
+      assert(store.versions == Seq(0L, 2L),
+        "tagged v=0 survives, untagged v=1 expires")
+      assert(spark.sql(
+          "SELECT bal FROM laketg.state.accts VERSION AS OF 'stable'")
+        .as[Long].head() == 10L)
+      // listing + duplicate-name and numeric-name guards
+      assert(spark.sql("CALL laketg.system.tags('state.accts')")
+        .as[(String, Long)].collect().toSeq == Seq(("stable", 0L)))
+      intercept[Exception](spark.sql(
+        "CALL laketg.system.tag('state.accts', 'stable', 2)").collect())
+      intercept[Exception](spark.sql(
+        "CALL laketg.system.tag('state.accts', '7', 2)").collect())
+      // drop releases the pin and the name stops resolving
+      assert(spark.sql("CALL laketg.system.drop_tag('state.accts', 'stable')")
+        .as[Long].head() == 0L)
+      intercept[Exception](spark.sql(
+        "SELECT bal FROM laketg.state.accts VERSION AS OF 'stable'").collect())
+      spark.sql("CALL laketg.system.expire_snapshots('state.accts', 1)").collect()
+      assert(store.versions == Seq(2L), "unpinned v=0 now expires")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.laketg")
+      spark.conf.unset("spark.sql.catalog.laketg.path")
+    }
+  }
+
   test("CALL rollback: non-destructive revert — current reverts, history intact") {
     import spark.implicits._
     val lake = Files.createTempDirectory("graft-lake-rollback")
