@@ -40,19 +40,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver-local scan — ZERO data files opened, any table size. */
 private[catalog] object MetadataTables {
 
-  val Names: Set[String] = Set("history", "files", "partitions")
+  val Names: Set[String] = Set("history", "files", "partitions", "tags")
 
   def load(catalogName: String, tableDir: Path, metaName: String): Table =
     metaName match {
       case "history" => historyTable(catalogName, tableDir)
       case "files" => filesTable(catalogName, tableDir)
       case "partitions" => partitionsTable(catalogName, tableDir)
+      case "tags" => tagsTable(catalogName, tableDir)
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$other' (history, files, partitions)")
+        s"unknown metadata table '$other' (history, files, partitions, tags)")
     }
 
   private def dataFilesOf(dir: Path): Seq[Path] =
     DeletableTable.listDataFiles(dir)
+
+  /** One row per snapshot tag: `name, version, commit_ms` — the
+    * Iceberg `db.t.refs` inspection surface for [[Tags]]. */
+  private def tagsTable(cat: String, tableDir: Path): Table = {
+    val schema = new StructType()
+      .add("name", StringType, nullable = false)
+      .add("version", LongType, nullable = false)
+      .add("commit_ms", LongType, nullable = true)
+    local(s"$cat.${tableDir.getFileName}.tags", schema, { () =>
+      val store = new graft.streaming.StateStore(
+        org.apache.spark.sql.SparkSession.active, tableDir.toString)
+      Tags.read(tableDir).toSeq.sortBy(_._1).map { case (n, v) =>
+        InternalRow(UTF8String.fromString(n), v,
+          store.commitTimeMs(v).map(Long.box).orNull)
+      }.toArray
+    })
+  }
 
   private def historyTable(cat: String, tableDir: Path): Table = {
     val schema = new StructType()

@@ -113,4 +113,35 @@ class MetadataTableSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.lkmp.path")
     }
   }
+
+  test("tags metadata table: one row per tag with the commit stamp") {
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft-lake-mtags")
+    java.nio.file.Files.createDirectories(lake.resolve("state"))
+    spark.conf.set("spark.sql.catalog.lkmtg", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkmtg.path", lake.toString)
+    try {
+      val store = new graft.streaming.StateStore(
+        spark, lake.resolve("state/t.parquet").toString)
+      store.write(Seq((1L, 1L)).toDF("id", "v"), 0L)
+      store.write(Seq((1L, 2L)).toDF("id", "v"), 1L)
+      // empty before any tag
+      assert(spark.sql("SELECT * FROM lkmtg.state.t.tags").count() == 0L)
+      spark.sql("CALL lkmtg.system.tag('state.t', 'stable', 0)").collect()
+      spark.sql("CALL lkmtg.system.tag('state.t', 'candidate', 1)").collect()
+      val rows = spark.sql("SELECT name, version, commit_ms FROM lkmtg.state.t.tags")
+        .as[(String, Long, Option[Long])].collect().toSeq
+      assert(rows.map(r => r._1 -> r._2) ==
+        Seq("candidate" -> 1L, "stable" -> 0L))
+      assert(rows.forall(_._3.exists(_ > 0L)), "commit stamps present")
+      // the stamp matches the history row's for the same version
+      val hist = spark.sql("SELECT version, commit_ms FROM lkmtg.state.t.history")
+        .as[(Option[Long], Option[Long])].collect()
+        .flatMap { case (v, ms) => v.map(_ -> ms) }.toMap
+      assert(rows.forall(r => hist(r._2) == r._3))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkmtg")
+      spark.conf.unset("spark.sql.catalog.lkmtg.path")
+    }
+  }
 }
