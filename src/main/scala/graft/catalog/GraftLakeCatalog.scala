@@ -33,7 +33,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * EXTERNAL-table path for flat scale dirs).
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** V2 functions: only the `bucket` transform function (resolved by
+    * the optimizer when a scan reports `KeyGroupedPartitioning` over a
+    * bucket transform — see [[GraftFunctions]]); served under the
+    * empty and `system` namespaces like Iceberg's. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq(LakeProcedures.Namespace))
+      Array(Identifier.of(namespace, GraftFunctions.BucketName))
+    else Array.empty
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == GraftFunctions.BucketName &&
+        (ident.namespace().isEmpty ||
+          ident.namespace().toSeq == Seq(LakeProcedures.Namespace)))
+      GraftFunctions.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      ident)
 
   private var catalogName: String = _
   private var root: Path = _

@@ -197,6 +197,16 @@ private[catalog] final class PartitionedLakeTable(
         case _ => Array.empty
       }
       override def build(): org.apache.spark.sql.connector.read.Scan = {
+        // bucket-only layout: the keyed scan — reports
+        // KeyGroupedPartitioning(bucket(n, col)) and plans one
+        // HasPartitionKey group per _gbucket dir, so two same-bucketed
+        // tables storage-partition-join with ZERO exchange
+        spec match {
+          case Seq(b: PartitionSpec.Bucket) =>
+            return new BucketKeyedScan(tableName, tableDir, b,
+              indexSchema, required, filters)
+          case _ => ()
+        }
         val base = PartitionPruning.split(tableDir,
             spec.filter(_.isInstanceOf[PartitionSpec.Bucket]), filters) match {
           case None => fallback.build()
@@ -432,6 +442,155 @@ private[catalog] final class RuntimePrunedScan(
           indexSchema, cands, required, pushed, s"dpp:${cands.size}")
       case _ => () // nothing provably excluded: keep the static scan
     }
+  }
+}
+
+/** The STORAGE-PARTITIONED-JOIN scan for bucket-only tables (Iceberg's
+  * SPJ model, SPARK-37375): reports
+  * `KeyGroupedPartitioning(bucket(n, col))` — resolved through the
+  * catalog's V2 `bucket` function ([[GraftFunctions]]) — and plans one
+  * `HasPartitionKey` input-partition group per `_gbucket=<id>`
+  * directory. With `spark.sql.sources.v2.bucketing.enabled=true`, two
+  * tables bucketed the same way equi-join on the bucket key with ZERO
+  * shuffle exchange: at 100 TB the co-located fact⋈fact join reads
+  * bucket-aligned directory pairs directly. With the conf off, the
+  * keyed partitions degrade to ordinary ones — nothing else changes.
+  *
+  * Each bucket's files plan through their own per-directory parquet
+  * scan (column pruning + pushed filters re-applied); the partition
+  * carries its reader factory, and [[BucketKeyedScan.DispatchFactory]]
+  * routes createReader back to it — one Batch, per-bucket readers.
+  * Runtime filtering composes: a materialized key set drops whole
+  * bucket directories before planning ([[PartitionPruning]]). */
+private[catalog] final class BucketKeyedScan(
+    tableName: String,
+    tableDir: Path,
+    bucket: PartitionSpec.Bucket,
+    indexSchema: StructType,
+    required: Option[StructType],
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  // statically-pruned then runtime-filtered candidate dirs; None =
+  // everything current (the static pushed filters prune up front —
+  // a `k = 17` lookup plans its one bucket before any runtime filter)
+  @volatile private var keptDirs: Option[Seq[Path]] =
+    PartitionPruning.split(tableDir, Seq(bucket), pushed).map(_._1)
+
+  private def currentDirs: Seq[(Int, Path)] =
+    keptDirs.getOrElse(PartitionedWrite.leafPartitionDirs(tableDir))
+      .flatMap { rel =>
+        val seg = rel.iterator().asScala.map(_.toString)
+          .find(_.startsWith(PartitionSpec.BucketDir + "="))
+        seg.flatMap(_.stripPrefix(PartitionSpec.BucketDir + "=")
+          .toIntOption).map(_ -> rel)
+      }.sortBy(_._1)
+
+  private def scanFor(dirs: Seq[Path], label: String) =
+    RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
+      dirs, required, pushed, label)
+
+  // representative scan over the current candidates: schema,
+  // statistics, and the listing metadata shown in plan strings —
+  // memoized per keptDirs generation like the partition plan
+  @volatile private var wholeFor: AnyRef = null
+  @volatile private var wholeScan: org.apache.spark.sql.connector.read.Scan = null
+  private def whole: org.apache.spark.sql.connector.read.Scan = synchronized {
+    val gen: AnyRef = keptDirs
+    if (wholeFor ne gen) {
+      wholeScan = scanFor(currentDirs.map(_._2), "bucket-keyed")
+      wholeFor = gen
+    }
+    wholeScan
+  }
+
+  // memoized per keptDirs generation so outputPartitioning (consulted
+  // at optimization) and the exec's planInputPartitions (consulted
+  // after any runtime filter) stay consistent with each other
+  @volatile private var plannedFor: AnyRef = null
+  @volatile private var plannedParts: Array[InputPartition] = Array.empty
+  private def planned: Array[InputPartition] = synchronized {
+    val gen: AnyRef = keptDirs
+    if (plannedFor ne gen) {
+      plannedParts = currentDirs.flatMap { case (id, rel) =>
+        val sb = scanFor(Seq(rel), s"bucket=$id")
+        val batch = sb.toBatch
+        val factory = batch.createReaderFactory()
+        batch.planInputPartitions().map(p =>
+          new BucketKeyedScan.KeyedPartition(
+            org.apache.spark.sql.catalyst.InternalRow(id), p, factory))
+      }.toArray
+      plannedFor = gen
+    }
+    plannedParts
+  }
+
+  override def readSchema(): StructType = whole.readSchema()
+  override def description(): String = whole.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[InputPartition] = planned
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BucketKeyedScan.DispatchFactory
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    whole match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(Expressions.bucket(bucket.n, bucket.col)), planned.length)
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(bucket.col))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val runtime = predicates.toSeq.map(DeletableTable.statsFilter)
+    PartitionPruning.split(tableDir, Seq(bucket), pushed ++ runtime) match {
+      case Some((cands, carried)) if carried.nonEmpty => keptDirs = Some(cands)
+      case _ => ()
+    }
+  }
+}
+
+private[catalog] object BucketKeyedScan {
+
+  /** An input partition pinned to its bucket id (the SPJ grouping key)
+    * that carries the per-bucket reader factory it was planned by. */
+  private[catalog] final class KeyedPartition(
+      key: org.apache.spark.sql.catalyst.InternalRow,
+      private[catalog] val inner: org.apache.spark.sql.connector.read.InputPartition,
+      private[catalog] val factory: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+      extends org.apache.spark.sql.connector.read.InputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Routes reader creation back to each partition's own factory —
+    * one Batch-level factory, per-bucket underlying readers. */
+  private[catalog] final class DispatchFactory
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    private def un(p: org.apache.spark.sql.connector.read.InputPartition) =
+      p.asInstanceOf[KeyedPartition]
+    override def createReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+      un(p).factory.createReader(un(p).inner)
+    override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+      un(p).factory.createColumnarReader(un(p).inner)
+    override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition) =
+      un(p).factory.supportColumnarReads(un(p).inner)
   }
 }
 

@@ -201,9 +201,11 @@ class PartitionedDmlSpec extends SparkSpec {
           .findFirstMatchIn(q.queryExecution.executedPlan.toString)
           .map(m => (m.group(1).toInt, m.group(2))).getOrElse((-1, ""))
 
-      // the unpruned full scan lists the table ROOT
-      assert(!listing(spark.table("lkpr.m.t"))._2.contains("_gbucket="),
-        "full scans keep the root listing")
+      // the full scan plans every bucket subtree (the keyed SPJ scan
+      // lists per-bucket roots — 4 paths, not the single table root)
+      val (n0, p0) = listing(spark.table("lkpr.m.t"))
+      assert(n0 == 4 && p0.contains("_gbucket="),
+        s"keyed full scan lists all 4 bucket subtrees, got ($n0, $p0)")
       // a key equality lists exactly its bucket subtree, answer exact
       val q = spark.table("lkpr.m.t").where("k = 17")
       val (n1, p1) = listing(q)
@@ -224,9 +226,10 @@ class PartitionedDmlSpec extends SparkSpec {
       }
       assert(qin.select("v").as[String].collect().sorted.toSeq ==
         Seq("v17", "v18", "v19"))
-      // non-key predicates fall back to the root listing, still exact
+      // non-key predicates cannot prune: all 4 subtrees stay listed
       val qv = spark.table("lkpr.m.t").where("v = 'v17'")
-      assert(!listing(qv)._2.contains("_gbucket="))
+      assert(listing(qv)._1 == 4,
+        s"no bucket pruning without a key predicate, got ${listing(qv)}")
       assert(qv.select("k").as[Long].collect().toSeq == Seq(17L))
     } finally {
       spark.conf.unset("spark.sql.catalog.lkpr")
