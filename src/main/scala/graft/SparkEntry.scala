@@ -920,6 +920,14 @@ object SparkEntry {
       graft.operators.Bucketing.partitionedPriorityRevenue(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_partlake")),
+    // Storage-partitioned join end-to-end: two bucket(8, key) lake
+    // tables equi-join with zero shuffle (StoragePartitionedJoinSpec
+    // pins the no-exchange plan); oracle = the same join over raw
+    // parquet.
+    "q_spj_join" -> ((s, dir) =>
+      graft.operators.Bucketing.spjJoinRevenue(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_spjlake")),
     // Dynamic partition pruning end-to-end: star join whose partition
     // keys exist only in the filtered dim at runtime — the broadcast
     // key set re-prunes the fact listing via SupportsRuntimeV2Filtering
@@ -4698,6 +4706,20 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // SPJ is a plan property, not semantics: the same join over the
+    // raw parquet with integer-cents revenue.
+    "q_spj_join" ->
+      """WITH lo AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN lo ON o_orderkey = lo.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DPP is a plan property, not semantics: the dim is derived from
     // the priorities' first char, so the oracle applies the same

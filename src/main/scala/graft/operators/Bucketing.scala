@@ -111,6 +111,46 @@ object Bucketing {
           .as("revenue_cents"))
   }
 
+  /** End-to-end storage-partitioned join ([[graft.catalog
+    * .BucketKeyedScan]]): two lake tables declared `PARTITIONED BY
+    * (bucket(8, key))` — the V2-declarative form of the reference's
+    * `'bucket.num'` layout — equi-join on the bucket key with the SPJ
+    * conf on: the scans report `KeyGroupedPartitioning(bucket(8,
+    * key))`, Spark aligns the keyed partitions, and the join runs with
+    * ZERO shuffle exchange (`StoragePartitionedJoinSpec` pins the
+    * no-exchange plan; at 100 TB this is the fact⋈fact join that never
+    * moves either side). The layout is not semantics: the oracle is
+    * the same join over raw parquet. */
+  def spjJoinRevenue(orders: DataFrame, lineitem: DataFrame,
+                     workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakespj"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      s"""CREATE TABLE $cat.m.o_spj (
+         |  o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)
+         |PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.l_spj (l_orderkey BIGINT, qty BIGINT)
+         |PARTITIONED BY (bucket(8, l_orderkey))""".stripMargin)
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .write.mode("append").insertInto(s"$cat.m.o_spj")
+    lineitem.groupBy("l_orderkey")
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+      .write.mode("append").insertInto(s"$cat.m.l_spj")
+    spark.table(s"$cat.m.o_spj")
+      .join(spark.table(s"$cat.m.l_spj"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("qty").as("sum_qty"),
+        sum("cents").as("revenue_cents"))
+  }
+
   /** End-to-end dynamic partition pruning ([[graft.catalog
     * .RuntimePrunedScan]]): a star join where NO static predicate
     * touches the fact's partition column — the partition keys to keep
