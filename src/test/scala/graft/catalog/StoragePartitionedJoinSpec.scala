@@ -92,6 +92,14 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(shuffles.isEmpty,
         s"group-by on the bucket key should ride the keyed partitioning:\n" +
           s"${q.queryExecution.executedPlan}")
+      // the V2 bucket function is SQL-addressable and computes the
+      // writer's id: pmod(hash(v), n) == catalog bucket(n, v)
+      val ids = spark.sql(
+        """SELECT lkspj2.bucket(4, CAST(17 AS BIGINT)) AS b,
+          |       pmod(hash(CAST(17 AS BIGINT)), 4) AS w""".stripMargin)
+        .head()
+      assert(ids.getInt(0) == ids.getInt(1),
+        s"catalog bucket() must match the writer hash, got $ids")
     } finally {
       oldBucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
