@@ -477,6 +477,11 @@ object SparkEntry {
       Dedup.setSimJoin(t(s, dir, "documents"), threshold = 0.5)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"))),
+    // Record linkage (Fellegi–Sunter blocking + integer agreement
+    // weights): candidates from (nation, balance-bucket) blocks, +50
+    // segment / +30 balance-within-$100 / +20 name-suffix, ≥50 kept.
+    "q_record_linkage" -> ((s, dir) =>
+      Dedup.recordLinkage(t(s, dir, "customer"))),
     // Banding health check: LSH candidates vs the exact prefix-filter
     // truth — one row of exact counts + floor-div precision/recall ppm
     // (the measured counterpart of the analytic S-curve tuner).
@@ -3405,6 +3410,25 @@ object SparkEntry {
     "q_dedup_minhash_lsh" ->
       s"""WITH $MinHashCandCteSql
         |SELECT a, b FROM cand ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Blocked pairs + integer agreement weights; the +1000 shift keeps
+    // the floor-div operand non-negative so // and div agree.
+    "q_record_linkage" ->
+      """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+        |    (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS kb,
+        |    substring(c_name, -2, 2) AS sfx
+        |  FROM customer)
+        |SELECT x.c_custkey AS a, y.c_custkey AS b,
+        |  CAST((CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 50 ELSE 0 END)
+        |    + (CASE WHEN abs(x.cents - y.cents) <= 10000 THEN 30 ELSE 0 END)
+        |    + (CASE WHEN x.sfx = y.sfx THEN 20 ELSE 0 END) AS BIGINT) AS score
+        |FROM b x JOIN b y ON x.c_nationkey = y.c_nationkey AND x.kb = y.kb
+        |  AND x.c_custkey < y.c_custkey
+        |WHERE (CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 50 ELSE 0 END)
+        |    + (CASE WHEN abs(x.cents - y.cents) <= 10000 THEN 30 ELSE 0 END)
+        |    + (CASE WHEN x.sfx = y.sfx THEN 20 ELSE 0 END) >= 50
+        |ORDER BY 1, 2""".stripMargin,
 
     // Audit oracle: both sides re-derived from the same shingle CTE —
     // candidates via the banding, truth via brute-force Jaccard.

@@ -302,6 +302,45 @@ object Dedup {
                       tau: Double = 0.5, minRecall: Double = 0.9): DataFrame =
     minHashLsh(docs, n, k, tuneBanding(k, tau, minRecall)._1)
 
+  /** Record linkage (entity resolution over STRUCTURED records — the
+    * Fellegi–Sunter blocking+scoring shape, the structured sibling of
+    * the text near-dup family): candidate pairs come from equality
+    * BLOCKS (never an all-pairs join), each pair scores the sum of
+    * integer field-agreement weights, and pairs at or above the match
+    * threshold survive. Weights here: +50 same market segment, +30
+    * account balance within $100 (exact integer cents), +20 same
+    * 2-char name suffix; threshold 50.
+    *
+    * Scale shape: ONE shuffle on the block key; pair work is
+    * O(Σ block²). The wired block (nation, $1000-balance bucket)
+    * bounds block sizes by the balance histogram — at 100× customers,
+    * narrow the bucket (the standard blocking-key refinement), never
+    * widen the join. The balance bucket shifts +1000 before the
+    * floor-div so the operand stays non-negative (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they agree only on
+    * non-negative operands). */
+  def recordLinkage(customer: DataFrame, minScore: Long = 50L): DataFrame = {
+    val base = customer.select(col("c_custkey"), col("c_nationkey"),
+      col("c_mktsegment"),
+      expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("__cents"),
+      expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000L) div 1000L").as("__kb"),
+      expr("substring(c_name, -2, 2)").as("__sfx"))
+    val a = base.select(col("c_nationkey"), col("__kb"),
+      col("c_custkey").as("a"), col("c_mktsegment").as("__seg_a"),
+      col("__cents").as("__c_a"), col("__sfx").as("__s_a"))
+    val b = base.select(col("c_nationkey"), col("__kb"),
+      col("c_custkey").as("b"), col("c_mktsegment").as("__seg_b"),
+      col("__cents").as("__c_b"), col("__sfx").as("__s_b"))
+    a.join(b, Seq("c_nationkey", "__kb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (when(col("__seg_a") === col("__seg_b"), 50L).otherwise(0L) +
+          when(abs(col("__c_a") - col("__c_b")) <= 10000L, 30L).otherwise(0L) +
+          when(col("__s_a") === col("__s_b"), 20L).otherwise(0L)).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy("a", "b")
+  }
+
   /** LSH quality audit — the measured counterpart of
     * [[bandingCandidateProb]]'s S-curve prediction: candidate pairs
     * from [[minHashLsh]] vs the EXACT τ-threshold truth from

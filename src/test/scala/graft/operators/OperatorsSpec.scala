@@ -703,6 +703,30 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, 1L, 1000000L, 0L)))      // last one ships, none survive
   }
 
+  test("record linkage: blocked pairs score agreement weights; cross-block never pairs") {
+    val customers = Seq(
+      // same nation, same $1000 bucket, same segment + close balance +
+      // same suffix -> 100
+      (1L, "Customer#01", 0, 500.00, "AUTO"),
+      (2L, "Customer#01", 0, 520.00, "AUTO"),
+      // same block, different segment + far balance + same suffix -> 20 (dropped)
+      (3L, "Customer#01", 0, 900.00, "HOUSE"),
+      // same everything but another NATION -> never a candidate
+      (4L, "Customer#01", 1, 500.00, "AUTO"),
+      // same nation but another balance bucket -> never a candidate
+      (5L, "Customer#01", 0, 1700.00, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = Dedup.recordLinkage(customers)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 100L)), s"got $got")
+    // threshold 0 exposes the low-scoring in-block pair (score 20+30?
+    // 3 is $400/$380 away from 1/2 -> only suffix agrees: 20)
+    val all = Dedup.recordLinkage(customers, minScore = 0L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(all((1L, 3L)) == 20L && all((2L, 3L)) == 20L)
+  }
+
   test("winsorized mean: clamp to boundary-rank values; outlier absorbed") {
     // cents 100..1000, n=10, t=1: low=rank2=200, high=rank9=900,
     // sum = (200+...+900) + 1*(200+900) = 4400 + 1100 = 5500
