@@ -1306,6 +1306,11 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Leakage-free target encoding: out-of-fold category means over
+    // deterministic id folds — the encoding table a pipeline
+    // broadcast-joins; single-fold categories honestly NULL.
+    "q_target_encode" -> ((s, dir) =>
+      graft.operators.Stats.targetEncode(t(s, dir, "events"))),
     // Wald–Wolfowitz runs test on the daily revenue direction: exact
     // integer up/down/run counts (randomness audit of the series).
     "q_runs_test" -> ((s, dir) =>
@@ -2788,6 +2793,24 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // Integer fold sums; one division; NULL when no out-of-fold rows.
+    "q_target_encode" ->
+      """WITH b AS (SELECT event_type, event_id % 5 AS fold,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |pf AS (SELECT event_type, CAST(fold AS BIGINT) AS fold,
+        |    CAST(count(*) AS BIGINT) AS n_fold,
+        |    CAST(sum(c) AS BIGINT) AS sum_fold_cents
+        |  FROM b GROUP BY 1, 2),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+        |    CAST(sum(c) AS BIGINT) AS s_t FROM b GROUP BY 1)
+        |SELECT pf.event_type, pf.fold, pf.n_fold, pf.sum_fold_cents,
+        |  CASE WHEN pt.n_t - pf.n_fold = 0 THEN NULL
+        |       ELSE CAST(pt.s_t - pf.sum_fold_cents AS DOUBLE) /
+        |            CAST(pt.n_t - pf.n_fold AS DOUBLE) END AS oof_mean_cents
+        |FROM pf JOIN pt ON pf.event_type = pt.event_type
+        |ORDER BY 1, 2""".stripMargin,
 
     // Runs via lag over the daily cells (the engine's rank self-join
     // is the same adjacency); zero-change steps count as down.

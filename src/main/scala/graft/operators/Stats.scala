@@ -364,6 +364,41 @@ object Stats {
     * exchange + per-(partition, group) slices — bounded reducer state
     * even when one status spans many partitions; the partitioned-window
     * form would sort a third of the corpus on one task). */
+  /** Leakage-free (out-of-fold) target encoding — the ML
+    * feature-engineering staple: replace a categorical column with the
+    * target mean computed on the OTHER folds, so the encoding of a row
+    * never sees its own target (the standard defense against
+    * target-leakage overfitting). Folds are deterministic
+    * `pmod(event_id, k)` — id arithmetic, identical on any engine —
+    * and the out-of-fold mean is ONE exactly-rounded division of exact
+    * integer cents: `(Σ_type − Σ_fold) / (n_type − n_fold)`.
+    * Single-fold categories (denominator 0) encode as NULL — the
+    * honest "no out-of-fold evidence" answer.
+    *
+    * Emitted at (category, fold) granularity — the encoding TABLE a
+    * pipeline broadcast-joins onto its rows; O(categories·k) rows, so
+    * the join side stays broadcastable at any corpus size. */
+  def targetEncode(events: DataFrame, folds: Int = 5): DataFrame = {
+    val base = events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr(s"pmod(event_id, ${folds}L)").as("fold"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("__c"))
+    val perFold = base.groupBy("event_type", "fold")
+      .agg(count(lit(1)).cast("bigint").as("n_fold"),
+        sum("__c").as("sum_fold_cents"))
+    val perType = base.groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("__n_t"),
+        sum("__c").as("__s_t"))
+    perFold.join(broadcast(perType), "event_type")
+      .select(col("event_type"), col("fold"), col("n_fold"),
+        col("sum_fold_cents"),
+        expr("""CASE WHEN __n_t - n_fold = 0 THEN NULL
+                ELSE CAST(__s_t - sum_fold_cents AS DOUBLE) /
+                     CAST(__n_t - n_fold AS DOUBLE) END""")
+          .as("oof_mean_cents"))
+      .orderBy("event_type", "fold")
+  }
+
   /** Mann–Kendall trend statistic per order priority over the WEEKLY
     * revenue series: S = Σ_{i<j} sgn(y_j − y_i), with the concordant /
     * discordant splits — the nonparametric "is this series trending"

@@ -703,6 +703,21 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, 1L, 1000000L, 0L)))      // last one ships, none survive
   }
 
+  test("target encode: out-of-fold means exclude own fold; single fold NULL") {
+    // type A: ids 0..3 -> folds 0,1,2,3 with cents 100,200,300,400;
+    // fold 0's oof mean = (200+300+400)/3 = 300.0
+    val a = (0 to 3).map(i => (i.toLong, "A", (i + 1) * 1.00))
+    // type B: one id -> one fold -> NULL encoding
+    val b = Seq((10L, "B", 9.00))
+    val events = (a ++ b).toDF("event_id", "event_type", "value")
+    val out = Stats.targetEncode(events)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("A", 0L)) == (("A", 0L, 1L, 100L, Some(300.0))))
+    assert(out(("A", 3L)) == (("A", 3L, 1L, 400L, Some(200.0))))
+    assert(out(("B", 0L))._5.isEmpty, "single-fold category encodes NULL")
+  }
+
   test("record linkage: blocked pairs score agreement weights; cross-block never pairs") {
     val customers = Seq(
       // same nation, same $1000 bucket, same segment + close balance +
