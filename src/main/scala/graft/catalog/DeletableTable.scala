@@ -497,9 +497,12 @@ private[catalog] object DeletableTable {
       .filter(p => { val n = p.getFileName.toString
         // stats ride along too: carried files keep valid entries, and
         // refreshAfterRewrite re-stats the rewritten ones post-swap
-        // (stale names are never consulted — lookups are by filename)
+        // (stale names are never consulted — lookups are by filename);
+        // the partition spec and snapshot tags are table IDENTITY —
+        // losing them across a swap silently changes semantics
         n == "_graft_schema.json" || n == "_graft_mapping.json" ||
-          n == FileStats.Sidecar || n == BloomIndex.Sidecar })
+          n == FileStats.Sidecar || n == BloomIndex.Sidecar ||
+          n == PartitionSpec.Sidecar || n == Tags.Sidecar })
       .foreach(f)
     finally s.close()
   }

@@ -148,11 +148,44 @@ private[catalog] object LakeProcedures {
                 input.getUTF8String(0).toString, requireVersioned = false)
               val target = input.getInt(1)
               val spark = SparkSession.active
+              val pspec = PartitionSpec.read(tableDir)
               val result =
                 if (DeletableTable.versionsOf(tableDir).nonEmpty) {
                   val store = new graft.streaming.StateStore(spark, tableDir.toString)
                   store.compact(target)
                   InternalRow(store.latestVersion.getOrElse(-1L))
+                } else if (pspec.nonEmpty) {
+                  // PARTITION-PRESERVING compaction: rebuild the hive
+                  // layout in the staging dir (`target` = files per
+                  // partition via the repartition below; the hidden
+                  // bucket column re-derives from the writer's hash) —
+                  // a flat rewrite would destroy the `col=value` dirs
+                  // and bake partition values into the data files
+                  val tmp = tableDir.resolveSibling(
+                    tableDir.getFileName.toString + ".__rewrite")
+                  PartitionedWrite.deleteRecursive(tmp)
+                  val dirCols = PartitionSpec.dirCols(pspec)
+                  val df = spark.read
+                    .option("basePath", tableDir.toString)
+                    .parquet(tableDir.toString)
+                  val withBucket = pspec.collectFirst {
+                    case b: PartitionSpec.Bucket => b
+                  }.fold(df) { b =>
+                    // re-derive if absent (reads include it already)
+                    if (df.columns.contains(PartitionSpec.BucketDir)) df
+                    else df.withColumn(PartitionSpec.BucketDir,
+                      org.apache.spark.sql.functions.pmod(
+                        org.apache.spark.sql.functions.hash(
+                          org.apache.spark.sql.functions.col(b.col)),
+                        org.apache.spark.sql.functions.lit(b.n)))
+                  }
+                  withBucket
+                    .repartition(target,
+                      dirCols.map(org.apache.spark.sql.functions.col): _*)
+                    .write.partitionBy(dirCols: _*)
+                    .parquet(tmp.toString)
+                  DeletableTable.publishStagedRewrite(tableDir, tmp)
+                  InternalRow(null)
                 } else {
                   val tmp = tableDir.resolveSibling(
                     tableDir.getFileName.toString + ".__rewrite")
@@ -194,6 +227,13 @@ private[catalog] object LakeProcedures {
             override def call(input: InternalRow): java.util.Iterator[Scan] = {
               val tableDir = resolveTableDir(root, "dedupe",
                 input.getUTF8String(0).toString, requireVersioned = false)
+              // the dedupe rewrite is flat — running it on a hive
+              // layout would silently destroy the partition dirs
+              if (PartitionSpec.read(tableDir).nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"dedupe: partitioned lake tables are not supported " +
+                    "(the rewrite would flatten the partition layout); " +
+                    "use partition-preserving DELETE/UPDATE or compact")
               val keys = input.getUTF8String(1).toString
                 .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
               require(keys.nonEmpty, "dedupe: keys_csv must name at least one column")
@@ -262,6 +302,13 @@ private[catalog] object LakeProcedures {
             override def call(input: InternalRow): java.util.Iterator[Scan] = {
               val tableDir = resolveTableDir(root, "zorder",
                 input.getUTF8String(0).toString, requireVersioned = false)
+              // the zorder rewrite is flat — running it on a hive
+              // layout would silently destroy the partition dirs
+              if (PartitionSpec.read(tableDir).nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"zorder: partitioned lake tables are not supported " +
+                    "(the rewrite would flatten the partition layout); " +
+                    "use partition-preserving DELETE/UPDATE or compact")
               val xc = input.getUTF8String(1).toString
               val yc = input.getUTF8String(2).toString
               val target = input.getInt(3)
