@@ -94,8 +94,10 @@ final class StateStore(spark: SparkSession, dir: String) {
 
   /** [[expire]] with a pinned set: versions in `pinned` (snapshot
     * tags — the Iceberg retention contract) survive regardless of
-    * age. */
-  def expire(keep: Int, pinned: Set[Long]): Unit =
+    * age. `keep ≥ 1` — keep=0 would delete the LATEST snapshot and
+    * leave a table with history markers but no current content. */
+  def expire(keep: Int, pinned: Set[Long]): Unit = {
+    require(keep >= 1, s"expire: keep must be >= 1, got $keep")
     latestVersion.foreach { latest =>
       fs.listStatus(base).toSeq.map(_.getPath)
         .filter { p =>
@@ -106,6 +108,7 @@ final class StateStore(spark: SparkSession, dir: String) {
         }
         .foreach(p => fs.delete(p, true))
     }
+  }
 
   /** Compaction (the Paimon/Iceberg small-files rewrite): re-commit the
     * current snapshot as a NEW version with `targetFiles` files —

@@ -578,6 +578,10 @@ class CatalogSpec extends SparkSpec {
         "SELECT bal FROM laketg.state.accts VERSION AS OF 'stable'").collect())
       spark.sql("CALL laketg.system.expire_snapshots('state.accts', 1)").collect()
       assert(store.versions == Seq(2L), "unpinned v=0 now expires")
+      // keep=0 would delete the LATEST snapshot — rejected upfront
+      intercept[Exception](spark.sql(
+        "CALL laketg.system.expire_snapshots('state.accts', 0)").collect())
+      assert(store.versions == Seq(2L))
     } finally {
       spark.conf.unset("spark.sql.catalog.laketg")
       spark.conf.unset("spark.sql.catalog.laketg.path")
