@@ -1306,6 +1306,11 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Day-of-week seasonal profile: per-ISO-weekday median of the
+    // daily revenue cells + ratio to the overall median (robust
+    // seasonal component; exact-integer interpolands).
+    "q_seasonal_dow" -> ((s, dir) =>
+      graft.operators.Stats.seasonalDow(t(s, dir, "orders"))),
     // Leakage-free target encoding: out-of-fold category means over
     // deterministic id folds — the encoding table a pipeline
     // broadcast-joins; single-fold categories honestly NULL.
@@ -2793,6 +2798,20 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // isodow == Spark weekday()+1 (Monday=1); quantile_cont over the
+    // integer cents matches Spark percentile's exact interpolation.
+    "q_seasonal_dow" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT CAST(isodow(day) AS BIGINT) AS dow, cents FROM daily),
+        |o AS (SELECT quantile_cont(cents, 0.5) AS om FROM d)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |  quantile_cont(cents, 0.5) AS median_cents,
+        |  quantile_cont(cents, 0.5) / (SELECT om FROM o) AS seasonal_ratio
+        |FROM d GROUP BY dow ORDER BY dow""".stripMargin,
 
     // Integer fold sums; one division; NULL when no out-of-fold rows.
     "q_target_encode" ->

@@ -364,6 +364,31 @@ object Stats {
     * exchange + per-(partition, group) slices — bounded reducer state
     * even when one status spans many partitions; the partitioned-window
     * form would sort a third of the corpus on one task). */
+  /** Day-of-week seasonal profile — the robust (median-based) seasonal
+    * component of an STL-style decomposition: per ISO weekday, the
+    * MEDIAN of the daily revenue cells and its ratio to the overall
+    * median. Medians interpolate over exact integer cents (the
+    * [[mad]] discipline: hash-identical cross-engine), and the ratio
+    * is one exactly-rounded division of those two values.
+    *
+    * Scale shape: one shuffle to O(calendar) daily cells, then all
+    * work is over ≤7-row/day-count groups. */
+  def seasonalDow(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("dow", expr("CAST(weekday(day) AS BIGINT) + 1L"))
+    val overall = daily.agg(
+      expr("percentile(cents, 0.5)").as("__om"))
+    daily.groupBy("dow")
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        expr("percentile(cents, 0.5)").as("median_cents"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), col("median_cents"),
+        expr("median_cents / __om").as("seasonal_ratio"))
+      .orderBy("dow")
+  }
+
   /** Leakage-free (out-of-fold) target encoding — the ML
     * feature-engineering staple: replace a categorical column with the
     * target mean computed on the OTHER folds, so the encoding of a row
