@@ -125,6 +125,10 @@ object SparkEntry {
       TextOps.tokenStats(t(s, dir, "documents"))),
     "q_text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents"))),
+    // Syllables-per-word complexity (vowel-run counting, one whole-
+    // text regexp pass — no per-word explode).
+    "q_text_syllables" -> ((s, dir) =>
+      TextOps.syllableProfile(t(s, dir, "documents"))),
     // Gopher rule-based filter (Rae et al. 2021 Table A1 heuristics):
     // per-rule flags + conjunctive keep verdict.
     "q_text_gopher" -> ((s, dir) =>
@@ -1921,6 +1925,22 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
         |  distinct_ratio * 0.5 + stopword_ratio * 0.2 + len_score * 0.3 AS quality_score
         |FROM q ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Vowel runs via global regexp replace ('g' flag — DuckDB replaces
+    // only the first match by default, Spark always replaces all).
+    "q_text_syllables" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '[aeiouy]+', '#', 'g'))
+        |    - length(regexp_replace(text, '[aeiouy]+', '', 'g')) AS BIGINT)
+        |    AS n_syllables,
+        |  CAST((CAST(length(regexp_replace(text, '[aeiouy]+', '#', 'g'))
+        |    - length(regexp_replace(text, '[aeiouy]+', '', 'g')) AS BIGINT)
+        |    * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS BIGINT) AS syllables_per_word_ppm
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_gopher" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

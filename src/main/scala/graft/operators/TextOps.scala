@@ -53,6 +53,24 @@ object TextOps {
       (distinctRatio * 0.5 + stopRatio * 0.2 + lenScore * 0.3).as("quality_score"))
   }
 
+  /** Syllable-complexity profile — the pronounceability/readability
+    * proxy (the syllables-per-word term of Flesch-family formulas;
+    * sentence terms are N/A on the unpunctuated corpus): syllables
+    * approximated as maximal vowel runs (`[aeiouy]+`), counted over
+    * the WHOLE text in one regexp pass — spaces break runs, so no
+    * per-word explode ever happens; the count is
+    * `len(replace(runs,'#')) − len(strip(runs))`. Exact integers; the
+    * per-word rate is one floor-div ppm. */
+  def syllableProfile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_words"),
+        (length(regexp_replace(col("text"), "[aeiouy]+", "#")) -
+          length(regexp_replace(col("text"), "[aeiouy]+", "")))
+          .cast("bigint").as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("syllables_per_word_ppm",
+        expr("(n_syllables * 1000000L) div n_words"))
+
   /** Gopher-style rule-based quality filter (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", Table A1 heuristics),
     * adapted to the space-tokenized corpus: token-count window, mean
