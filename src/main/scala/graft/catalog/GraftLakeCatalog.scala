@@ -369,9 +369,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       PartitionSpec.write(p, spec)
       new PartitionedLakeTable(ident.toString, p, schema, spec)
     } else
-      ParquetTable(ident.toString, SparkSession.active,
-        CaseInsensitiveStringMap.empty(), Seq(p.toString), Some(schema),
-        classOf[ParquetFileFormat])
+      // return the LOADED table, not a raw ParquetTable: loadTable
+      // wraps the DML surface (TRUNCATE/OVERWRITE capabilities), which
+      // RTAS's non-atomic replace drives immediately after create
+      loadTable(ident)
   }
 
   /** Validate + translate `PARTITIONED BY` transforms: identity and

@@ -35,6 +35,11 @@ class CtasSpec extends SparkSpec {
         "CREATE TABLE IF NOT EXISTS lkcts.m.flat AS SELECT k FROM src_ctas")
       assert(spark.table("lkcts.m.flat").columns.toSeq == Seq("k", "v"),
         "IF NOT EXISTS must not replace the existing table")
+      // RTAS: CREATE OR REPLACE swaps schema and content
+      spark.sql(
+        "CREATE OR REPLACE TABLE lkcts.m.flat AS SELECT region FROM src_ctas")
+      assert(spark.table("lkcts.m.flat").columns.toSeq == Seq("region"))
+      assert(spark.table("lkcts.m.flat").count() == 3L)
     } finally {
       spark.conf.unset("spark.sql.catalog.lkcts")
       spark.conf.unset("spark.sql.catalog.lkcts.path")
