@@ -1230,6 +1230,10 @@ object SparkEntry {
     // total order.
     "q_touch_attribution" -> ((s, dir) =>
       graft.operators.Analytics.touchAttribution(t(s, dir, "events"))),
+    // U-shaped attribution: 40/20/40 credit over pre-purchase touches,
+    // exact ppm with the floor-div remainder pinned to the first.
+    "q_ushape_attribution" -> ((s, dir) =>
+      graft.operators.Analytics.uShapedAttribution(t(s, dir, "events"))),
     // Top weekly movers: largest |WoW delta| per week, argmax via
     // min_by over (−|Δ|, type).
     "q_top_movers" -> ((s, dir) =>
@@ -4298,6 +4302,30 @@ object SparkEntry {
         |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_users
         |FROM f JOIN l USING (user_id)
         |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same struct-ordered pre-purchase window; // and div agree on the
+    // non-negative ppm splits.
+    "q_ushape_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |fp AS (SELECT user_id, min(ROW(us, event_id)) AS f
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT e.* FROM e JOIN fp ON e.user_id = fp.user_id
+        |  AND ROW(e.us, e.event_id) < fp.f),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM t),
+        |c AS (SELECT event_type, CASE
+        |    WHEN n = 1 THEN 1000000
+        |    WHEN n = 2 THEN 500000
+        |    WHEN rk = 1 THEN 400000 + (200000 - (200000 // (n - 2)) * (n - 2))
+        |    WHEN rk = n THEN 400000
+        |    ELSE 200000 // (n - 2) END AS credit_ppm
+        |  FROM r)
+        |SELECT event_type, CAST(sum(credit_ppm) AS BIGINT) AS total_credit_ppm,
+        |  CAST(count(*) AS BIGINT) AS n_touches
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The WoW CTE with an (|delta| desc, type asc) rank-1 tail.
     "q_top_movers" ->

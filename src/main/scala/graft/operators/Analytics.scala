@@ -530,6 +530,44 @@ object Analytics {
       .groupBy(col("first_touch"), col("last_touch"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** U-shaped (position-based) attribution — the weighted-credit model
+    * between [[touchAttribution]]'s first/last extremes: per user with
+    * a purchase, the touches STRICTLY BEFORE the first purchase split
+    * 1e6 ppm of credit as 40/20/40 — first 400000, last 400000, the
+    * middles sharing 200000 by floor-div with the remainder assigned
+    * to the FIRST touch (deterministic; 1 touch → 1e6, 2 touches →
+    * 500000 each). Credit aggregates by channel (event type).
+    *
+    * Scale shape: one user-keyed window over each user's own events
+    * (partitioned — never global), then a ≤|types| aggregate. */
+  def uShapedAttribution(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("__us"), col("event_id"))
+    val firstPurchase = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("__us"), col("event_id"))).as("__fp"))
+    val touches = e.join(firstPurchase, "user_id")
+      .filter(struct(col("__us"), col("event_id")) < col("__fp"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("__us"), col("event_id"))
+    val ranked = touches
+      .withColumn("__rk", row_number().over(w).cast("bigint"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("user_id")).cast("bigint"))
+    val credited = ranked.withColumn("credit_ppm", expr(
+      """CASE
+        |  WHEN __n = 1 THEN 1000000L
+        |  WHEN __n = 2 THEN 500000L
+        |  WHEN __rk = 1 THEN 400000L + (200000L - (200000L div (__n - 2L)) * (__n - 2L))
+        |  WHEN __rk = __n THEN 400000L
+        |  ELSE 200000L div (__n - 2L)
+        |END""".stripMargin))
+    credited.groupBy("event_type")
+      .agg(sum("credit_ppm").as("total_credit_ppm"),
+        count(lit(1)).cast("bigint").as("n_touches"))
+      .orderBy("event_type")
+  }
+
   /** Top weekly movers — [[periodOverPeriod]]'s dashboard tail: for
     * each week, the event type with the LARGEST absolute week-over-
     * week cents delta (ties to the smaller type string) — the "what

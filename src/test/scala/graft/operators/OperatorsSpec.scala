@@ -703,6 +703,31 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, 1L, 1000000L, 0L)))      // last one ships, none survive
   }
 
+  test("u-shaped attribution: 40/20/40 with remainder to first; degenerate journeys") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1: 5 touches then purchase -> first 400000+r, last 400000,
+      // 3 middles 66666 each (200000 div 3), r = 200000-66666*3 = 2
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"),
+      (1L, ts(3), 3L, "view"), (1L, ts(4), 4L, "click"),
+      (1L, ts(5), 5L, "view"), (1L, ts(6), 6L, "purchase"),
+      // user 2: single touch -> full credit
+      (2L, ts(1), 7L, "click"), (2L, ts(2), 8L, "purchase"),
+      // user 3: no purchase -> contributes nothing
+      (3L, ts(1), 9L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Analytics.uShapedAttribution(events)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // view: first (400002) + middle (66666) + LAST (rk5 is a view:
+    // 400000) = 866668 over 3 touches
+    assert(got("view") == (("view", 866668L, 3L)), s"got ${got("view")}")
+    // click: two middles (66666*2) + user2 full (1000000)
+    assert(got("click") == (("click", 1133332L, 3L)), s"got ${got("click")}")
+    assert(!got.contains("purchase"), "the conversion itself earns no credit")
+    // total credit = 1e6 per converting user
+    assert(got.values.map(_._2).sum == 2000000L)
+  }
+
   test("target encode: out-of-fold means exclude own fold; single fold NULL") {
     // type A: ids 0..3 -> folds 0,1,2,3 with cents 100,200,300,400;
     // fold 0's oof mean = (200+300+400)/3 = 300.0
