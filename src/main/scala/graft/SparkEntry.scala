@@ -1314,6 +1314,10 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Seasonally-adjusted outliers: days deviating from their
+    // weekday's median by > 3× the deviation MAD.
+    "q_seasonal_outliers" -> ((s, dir) =>
+      graft.operators.Stats.seasonalOutliers(t(s, dir, "orders"))),
     // Day-of-week seasonal profile: per-ISO-weekday median of the
     // daily revenue cells + ratio to the overall median (robust
     // seasonal component; exact-integer interpolands).
@@ -2822,6 +2826,23 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // Deviation vs weekday median, 3×MAD rule — identical interpolation
+    // and exactly-rounded comparison chain on both engines.
+    "q_seasonal_outliers" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT day, CAST(isodow(day) AS BIGINT) AS dow, cents FROM daily),
+        |m AS (SELECT dow, quantile_cont(cents, 0.5) AS dm FROM d GROUP BY 1),
+        |v AS (SELECT d.day, d.dow, d.cents,
+        |    CAST(d.cents AS DOUBLE) - m.dm AS deviation_cents
+        |  FROM d JOIN m ON d.dow = m.dow),
+        |md AS (SELECT quantile_cont(abs(deviation_cents), 0.5) AS mad FROM v)
+        |SELECT day, dow, cents, deviation_cents
+        |FROM v, md WHERE abs(deviation_cents) > 3.0 * mad
+        |ORDER BY day""".stripMargin,
 
     // isodow == Spark weekday()+1 (Monday=1); quantile_cont over the
     // integer cents matches Spark percentile's exact interpolation.

@@ -389,6 +389,33 @@ object Stats {
       .orderBy("dow")
   }
 
+  /** Seasonally-adjusted outlier days — [[seasonalDow]] composed with
+    * the robust-deviation rule: a day flags when its revenue deviates
+    * from ITS WEEKDAY's median by more than `k`× the MAD of all such
+    * deviations (dow-adjustment removes the weekly cycle the plain
+    * outlier scan would false-positive on). Medians/MAD interpolate
+    * over exact integers; the comparison chain is the documented
+    * exactly-rounded ops only.
+    *
+    * Scale shape: daily cells once; the 7-row median table broadcasts;
+    * MAD is one bounded global aggregate over O(calendar) rows. */
+  def seasonalOutliers(orders: DataFrame, k: Double = 3.0): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("dow", expr("CAST(weekday(day) AS BIGINT) + 1L"))
+    val med = daily.groupBy("dow")
+      .agg(expr("percentile(cents, 0.5)").as("__dm"))
+    val dev = daily.join(broadcast(med), "dow")
+      .withColumn("deviation_cents", expr("CAST(cents AS DOUBLE) - __dm"))
+    val mad = dev.agg(
+      expr("percentile(abs(deviation_cents), 0.5)").as("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(expr(s"abs(deviation_cents) > $k * __mad"))
+      .select(col("day"), col("dow"), col("cents"), col("deviation_cents"))
+      .orderBy("day")
+  }
+
   /** Leakage-free (out-of-fold) target encoding — the ML
     * feature-engineering staple: replace a categorical column with the
     * target mean computed on the OTHER folds, so the encoding of a row
