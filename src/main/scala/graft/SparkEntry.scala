@@ -288,6 +288,11 @@ object SparkEntry {
     // recursive min-label reachability.
     "q_components" -> ((s, dir) =>
       graft.operators.GraphOps.copartComponents(t(s, dir, "lineitem"))),
+    // Personalized PageRank from the nation-0 supplier seeds: exact
+    // integer seeded teleport, proximity-weighted connectivity.
+    "q_ppr" -> ((s, dir) =>
+      graft.operators.GraphOps.purchasePpr(
+        t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // Multi-source BFS reach profile from the nation-0 suppliers:
     // level-synchronous frontier joins, exact hop distances; oracle is
     // the same expansion as a recursive CTE collapsed by min(hop).
@@ -2545,6 +2550,9 @@ object SparkEntry {
 
     "q_bfs_hops" ->
       graft.operators.GraphOps.purchaseBfsSql(),
+
+    "q_ppr" ->
+      graft.operators.GraphOps.purchasePprSql(),
 
     // Triangle census: the a<b<c three-way join counts each triangle
     // once — the same count the engine's degree-oriented wedge join

@@ -355,6 +355,89 @@ object GraphOps {
     Dedup.connectedComponents(
       copurchaseEdges(lineitem, minOrders, itemCol = "l_partkey"))
 
+  /** Personalized PageRank (Haveliwala 2002): [[pageRank]]'s exact
+    * integer recurrence with teleport restricted to the SEED set —
+    * mass flows out from the seeds through the edges and keeps
+    * returning to them, so the stationary mass ranks nodes by
+    * proximity-weighted connectivity TO THE SEEDS (the "related to
+    * these" recommender primitive). Non-seeds start at 0 and earn only
+    * propagated mass; the same floor-div damping, the same lineage-cut
+    * loop invariants, the same one-generator SQL unrolling.
+    *
+    * Rows with zero mass (unreached within `iters` hops) are dropped —
+    * the output is seed-local, not corpus-sized. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, base: Long = 1000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val seedSet = seeds.select(col("node")).distinct()
+      .withColumn("__seed", lit(1L)).localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    val teleport = 15L * base / 100L
+    val seededNodes = nodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__s"))
+      .localCheckpoint(true)
+    var ranks = seededNodes.select(col("node"),
+      (col("__s") * base).as("mass"))
+    for (_ <- 1 to iters) {
+      val incoming = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("mass div out_deg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("inc"))
+      ranks = seededNodes.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (col("__s") * lit(teleport) +
+            expr(s"(85 * coalesce(inc, 0L)) div 100")).as("mass"))
+    }
+    ranks.filter(col("mass") > 0L).localCheckpoint(true)
+  }
+
+  /** Driver query: proximity-to-nation-`srcNation`-suppliers over the
+    * purchase graph — 3 personalized rounds from the supplier seeds. */
+  def purchasePpr(supplier: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame, srcNation: Int = 0): DataFrame =
+    personalizedPageRank(
+      purchaseGraph(orders, lineitem),
+      supplier.filter(col("s_nationkey") === srcNation)
+        .select((col("s_suppkey") * 10 + 2).as("node")))
+
+  /** The oracle: the seeded recurrence unrolled — teleport multiplied
+    * by the node's seed flag each round, exactly [[purchasePageRankSql]]
+    * otherwise. */
+  def purchasePprSql(srcNation: Int = 0, iters: Int = 3,
+                     base: Long = 1000000L): String = {
+    val teleport = 15L * base / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(SUM(r.mass // d.out_deg) AS BIGINT) AS inc
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST(n.s * $teleport + (85 * COALESCE(c.inc, 0)) // 100 AS BIGINT) AS mass
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 10 + 1 AS c,
+       |    l_suppkey * 10 + 2 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |sd AS (SELECT DISTINCT s_suppkey * 10 + 2 AS node
+       |  FROM supplier WHERE s_nationkey = $srcNation),
+       |nodes AS (SELECT n.node,
+       |    CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS s
+       |  FROM (SELECT DISTINCT src AS node FROM edges) n
+       |  LEFT JOIN sd ON n.node = sd.node),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST(s * $base AS BIGINT) AS mass FROM nodes),
+       |$rounds
+       |SELECT node, mass FROM r$iters WHERE mass > 0
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
   /** Multi-source BFS: shortest hop distance from `sources` (one
     * `node` column) over directed `edges` (`src`, `dst`), bounded at
     * `maxHops`. Returns (node, hop) for every REACHED node — hop 0 is

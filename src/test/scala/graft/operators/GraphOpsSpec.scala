@@ -80,6 +80,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("personalized pagerank: mass stays seed-local; seed keeps teleport") {
+    import org.apache.spark.sql.functions.col
+    // two components: 1<->2 (seeded at 1) and 3<->4 (unseeded)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val out = GraphOps.personalizedPageRank(edges, Seq(1L).toDF("node"),
+        iters = 2).as[(Long, Long)].collect().toMap
+    // the unseeded component never earns mass
+    assert(!out.contains(3L) && !out.contains(4L))
+    // hand-unroll: r0 = (1e6, 0); r1: inc(2)=1e6, inc(1)=0 ->
+    //   m1 = 150000, m2 = 850000; r2: inc(1)=850000, inc(2)=150000 ->
+    //   m1 = 150000 + 722500 = 872500, m2 = 127500
+    assert(out == Map(1L -> 872500L, 2L -> 127500L), s"got $out")
+  }
+
   test("bfsHops: hand path graph — first-reach levels, bound respected") {
     // 1→2→3→4→5→6 chain plus shortcut 1→4: hop(4)=1 via the shortcut,
     // never 3 via the chain; maxHops=2 leaves 6 (shortest hop 3) out
