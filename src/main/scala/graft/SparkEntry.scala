@@ -288,6 +288,11 @@ object SparkEntry {
     // recursive min-label reachability.
     "q_components" -> ((s, dir) =>
       graft.operators.GraphOps.copartComponents(t(s, dir, "lineitem"))),
+    // HITS hubs/authorities over the DIRECTED customer→supplier graph:
+    // max-normalized exact-integer power iteration, oracle unrolled.
+    "q_hits" -> ((s, dir) =>
+      graft.operators.GraphOps.purchaseHits(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // Personalized PageRank from the nation-0 supplier seeds: exact
     // integer seeded teleport, proximity-weighted connectivity.
     "q_ppr" -> ((s, dir) =>
@@ -2553,6 +2558,9 @@ object SparkEntry {
 
     "q_ppr" ->
       graft.operators.GraphOps.purchasePprSql(),
+
+    "q_hits" ->
+      graft.operators.GraphOps.purchaseHitsSql(),
 
     // Triangle census: the a<b<c three-way join counts each triangle
     // once — the same count the engine's degree-oriented wedge join

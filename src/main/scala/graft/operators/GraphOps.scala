@@ -355,6 +355,87 @@ object GraphOps {
     Dedup.connectedComponents(
       copurchaseEdges(lineitem, minOrders, itemCol = "l_partkey"))
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    * list, exact integers: each round computes raw hub scores
+    * `h(u) = Σ_{u→v} a(v)` and raw authority scores
+    * `a(v) = Σ_{u→v} h(u)`, MAX-normalizing each to `base` by
+    * floor-div after every half-step — normalization is what keeps a
+    * power iteration in bounded integers at any scale (raw values stay
+    * ≤ maxdeg·base, far from Long overflow; unnormalized they grow by
+    * a degree factor per half-step). Deterministic and SQL-unrollable
+    * like [[pageRank]] — one generator feeds both engines.
+    *
+    * On the bipartite customer→supplier purchase graph, hubs rank
+    * customers by how much strong-supplier buying they do and
+    * authorities rank suppliers by how much strong-customer demand
+    * they attract — the asymmetric importance pair PageRank's
+    * symmetric walk cannot separate. */
+  def hits(edges: DataFrame, iters: Int = 2,
+           base: Long = 1000000L): DataFrame = {
+    val edg = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    def maxNorm(df: DataFrame, c: String): DataFrame = {
+      val m = df.agg(max(col(c)).as("__m"))
+      df.crossJoin(broadcast(m))
+        .select(col("node"), expr(s"($c * ${base}L) div __m").as(c))
+    }
+    var auth = edg.select(col("dst").as("node")).distinct()
+      .withColumn("auth", lit(base)).localCheckpoint(true)
+    var hub = edg.select(col("src").as("node")).distinct()
+      .withColumn("hub", lit(base)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      hub = maxNorm(edg.join(auth, edg("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum("auth").as("hub"))
+        .withColumnRenamed("src", "node"), "hub").localCheckpoint(true)
+      auth = maxNorm(edg.join(hub, edg("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum("hub").as("auth"))
+        .withColumnRenamed("dst", "node"), "auth").localCheckpoint(true)
+    }
+    hub.join(auth, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
+
+  /** Driver query: HITS over the DIRECTED customer→supplier purchase
+    * edges (2 rounds). */
+  def purchaseHits(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val edges = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 10 + 1).as("src"),
+        (col("l_suppkey") * 10 + 2).as("dst"))
+      .distinct()
+    hits(edges)
+  }
+
+  /** The oracle: the max-normalized recurrence unrolled (one scalar
+    * max CTE per half-step). */
+  def purchaseHitsSql(iters: Int = 2, base: Long = 1000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""h${i}r AS (SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hub
+         |  FROM edges e JOIN a${i - 1} a ON e.dst = a.node GROUP BY 1),
+         |h${i}m AS (SELECT max(hub) AS m FROM h${i}r),
+         |h$i AS (SELECT node,
+         |    CAST((hub * $base) // (SELECT m FROM h${i}m) AS BIGINT) AS hub
+         |  FROM h${i}r),
+         |a${i}r AS (SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS auth
+         |  FROM edges e JOIN h$i h ON e.src = h.node GROUP BY 1),
+         |a${i}m AS (SELECT max(auth) AS m FROM a${i}r),
+         |a$i AS (SELECT node,
+         |    CAST((auth * $base) // (SELECT m FROM a${i}m) AS BIGINT) AS auth
+         |  FROM a${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT DISTINCT o_custkey * 10 + 1 AS src,
+       |    l_suppkey * 10 + 2 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |a0 AS (SELECT DISTINCT dst AS node, CAST($base AS BIGINT) AS auth
+       |  FROM edges),
+       |$rounds
+       |SELECT coalesce(h.node, a.node) AS node,
+       |  CAST(coalesce(h.hub, 0) AS BIGINT) AS hub,
+       |  CAST(coalesce(a.auth, 0) AS BIGINT) AS auth
+       |FROM h$iters h FULL OUTER JOIN a$iters a ON h.node = a.node
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Personalized PageRank (Haveliwala 2002): [[pageRank]]'s exact
     * integer recurrence with teleport restricted to the SEED set —
     * mass flows out from the seeds through the edges and keeps

@@ -80,6 +80,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("hits: hand star — the shared authority dominates, hubs rank by reach") {
+    import org.apache.spark.sql.functions.col
+    // customers 1,2 both buy from supplier 10; customer 2 also from 11.
+    // a1(10) gets both hubs -> max; a1(11) only hub 2.
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val out = GraphOps.hits(edges, iters = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // h1 raw: h(1)=a0(10)=1e6, h(2)=a0(10)+a0(11)=2e6 -> norm: 500000, 1e6
+    assert(out(1L) == ((1L, 500000L, 0L)))
+    assert(out(2L) == ((2L, 1000000L, 0L)))
+    // a1 raw: a(10)=h(1)+h(2)=1.5e6, a(11)=h(2)=1e6 -> norm: 1e6, 666666
+    assert(out(10L) == ((10L, 0L, 1000000L)))
+    assert(out(11L) == ((11L, 0L, 666666L)))
+  }
+
   test("personalized pagerank: mass stays seed-local; seed keeps teleport") {
     import org.apache.spark.sql.functions.col
     // two components: 1<->2 (seeded at 1) and 3<->4 (unseeded)
