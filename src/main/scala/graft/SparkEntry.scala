@@ -1324,6 +1324,10 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Seasonal-naive forecast backtest: lag-7 baseline MAE/bias per
+    // type from exact integer errors — the bar any forecast must beat.
+    "q_forecast_baseline" -> ((s, dir) =>
+      graft.operators.Stats.forecastBacktest(t(s, dir, "events"))),
     // Seasonally-adjusted outliers: days deviating from their
     // weekday's median by > 3× the deviation MAD.
     "q_seasonal_outliers" -> ((s, dir) =>
@@ -2842,6 +2846,27 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // Day-offset equi-join (forecast = actual shifted +7); integer
+    // error sums; one division per metric.
+    "q_forecast_baseline" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT a.event_type,
+        |    a.cents AS actual_cents, f.cents AS forecast_cents
+        |  FROM d a JOIN d f ON a.event_type = f.event_type
+        |    AND a.day = f.day + 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(actual_cents - forecast_cents)) AS BIGINT)
+        |    AS sum_abs_err_cents,
+        |  CAST(sum(actual_cents - forecast_cents) AS BIGINT) AS sum_err_cents,
+        |  CAST(CAST(sum(abs(actual_cents - forecast_cents)) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mae_cents,
+        |  CAST(CAST(sum(actual_cents - forecast_cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS bias_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Deviation vs weekday median, 3×MAD rule — identical interpolation
     // and exactly-rounded comparison chain on both engines.

@@ -389,6 +389,37 @@ object Stats {
       .orderBy("dow")
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * pipeline must beat, measured honestly: forecast(day) =
+    * actual(day − 7) per event type, scored over the days where both
+    * exist. Errors are exact integer cents; MAE and bias are ONE
+    * division each at the end. The join is a day-offset equi-join on
+    * the aggregated daily cells — no window, no sort, O(calendar)
+    * rows.
+    *
+    * This is the backtest harness shape: swap the lag-7 CTE for any
+    * candidate forecast and the scoring tail is unchanged. */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"))
+    val actual = daily.select(col("event_type"), col("day"),
+      col("cents").as("actual_cents"))
+    val forecast = daily.select(col("event_type"),
+      (col("day") + 7L).as("day"), col("cents").as("forecast_cents"))
+    actual.join(forecast, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum(expr("abs(actual_cents - forecast_cents)")).as("sum_abs_err_cents"),
+        sum(expr("actual_cents - forecast_cents")).as("sum_err_cents"))
+      .withColumn("mae_cents",
+        expr("CAST(sum_abs_err_cents AS DOUBLE) / CAST(n_days AS DOUBLE)"))
+      .withColumn("bias_cents",
+        expr("CAST(sum_err_cents AS DOUBLE) / CAST(n_days AS DOUBLE)"))
+      .orderBy("event_type")
+  }
+
   /** Seasonally-adjusted outlier days — [[seasonalDow]] composed with
     * the robust-deviation rule: a day flags when its revenue deviates
     * from ITS WEEKDAY's median by more than `k`× the MAD of all such
