@@ -1324,6 +1324,10 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // OLS trend per type: slope/intercept/R² from exact integer
+    // moments widened through DECIMAL(38,0)/HUGEINT.
+    "q_ols_daily" -> ((s, dir) =>
+      graft.operators.Stats.olsDaily(t(s, dir, "events"))),
     // Seasonal-naive forecast backtest: lag-7 baseline MAE/bias per
     // type from exact integer errors — the bar any forecast must beat.
     "q_forecast_baseline" -> ((s, dir) =>
@@ -2846,6 +2850,38 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // HUGEINT mirrors the DECIMAL(38,0) widening; identical
+    // correctly-rounded double chains at the end.
+    "q_ols_daily" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+        |    CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT event_type, n, sx, sy,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN n < 2 OR denx = 0 THEN NULL
+        |    ELSE CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END
+        |    AS slope_cents_per_day,
+        |  CASE WHEN n < 2 OR denx = 0 THEN NULL
+        |    ELSE (CAST(sy AS DOUBLE)
+        |      - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END
+        |    AS intercept_cents,
+        |  CASE WHEN n < 2 OR denx = 0 OR deny = 0 THEN NULL
+        |    ELSE CAST(num * num AS DOUBLE) / CAST(denx * deny AS DOUBLE) END
+        |    AS r2
+        |FROM c ORDER BY 1""".stripMargin,
 
     // Day-offset equi-join (forecast = actual shifted +7); integer
     // error sums; one division per metric.

@@ -389,6 +389,53 @@ object Stats {
       .orderBy("dow")
   }
 
+  /** Per-group OLS regression of the daily revenue on time — slope,
+    * intercept, and R² from the five EXACT integer moments (n, Σx, Σy,
+    * Σxy, Σx², Σy²), the closed form every trend dashboard runs. The
+    * moment COMBINATIONS (n·Σxy − ΣxΣy etc.) widen through
+    * DECIMAL(38,0) — n·Σy² alone exceeds Long at realistic cents
+    * magnitudes — and the final slope/intercept/R² are short chains of
+    * correctly-rounded double ops (the [[mannWhitney]] discipline), so
+    * the result is bit-identical to the HUGEINT oracle.
+    *
+    * Scale shape: one shuffle to daily cells, map-side-combining
+    * moment sums, O(groups) output. */
+  def olsDaily(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("x"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))""")
+          .as("__num"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))""")
+          .as("__denx"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * syy
+                - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))""")
+          .as("__deny"),
+        col("sx"), col("sy"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN n < 2 OR __denx = 0 THEN NULL
+                ELSE CAST(__num AS DOUBLE) / CAST(__denx AS DOUBLE) END""")
+          .as("slope_cents_per_day"),
+        expr("""CASE WHEN n < 2 OR __denx = 0 THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                  - (CAST(__num AS DOUBLE) / CAST(__denx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END""")
+          .as("intercept_cents"),
+        expr("""CASE WHEN n < 2 OR __denx = 0 OR __deny = 0 THEN NULL
+                ELSE CAST(__num * __num AS DOUBLE)
+                  / CAST(__denx * __deny AS DOUBLE) END""").as("r2"))
+      .orderBy("event_type")
+  }
+
   /** Seasonal-naive forecast backtest — the baseline every forecasting
     * pipeline must beat, measured honestly: forecast(day) =
     * actual(day − 7) per event type, scored over the days where both

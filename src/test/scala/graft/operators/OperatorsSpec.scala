@@ -703,6 +703,21 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, 1L, 1000000L, 0L)))      // last one ships, none survive
   }
 
+  test("ols daily: perfect line recovered exactly; degenerate single day NULL") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0).plusDays(d.toLong))
+    // y = 2x + 3 cents on days 0..4 -> slope 2, intercept 3, r2 = 1
+    val line = (0 to 4).map(d => (d.toLong, ts(d), "A", (2 * d + 3) / 100.0))
+    val single = Seq((9L, ts(0), "B", 1.00))
+    val events = (line ++ single).toDF("event_id", "ts", "event_type", "value")
+    val out = Stats.olsDaily(events)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 5L, Some(2.0), Some(3.0), Some(1.0))),
+      s"got ${out("A")}")
+    assert(out("B")._3.isEmpty && out("B")._5.isEmpty, "n=1 has no trend")
+  }
+
   test("u-shaped attribution: 40/20/40 with remainder to first; degenerate journeys") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val events = Seq(
