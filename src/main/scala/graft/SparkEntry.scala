@@ -1324,6 +1324,10 @@ object SparkEntry {
     // weekly-seasonality detector from exact integer moments.
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Stats.autocorr(t(s, dir, "events"))),
+    // Lead–lag cross-correlation (view vs purchase dailies, lags ±7):
+    // Pearson per lag from exact moments — the x-leads-y scan.
+    "q_cross_correlation" -> ((s, dir) =>
+      graft.operators.Stats.crossCorrelation(t(s, dir, "events"))),
     // OLS trend per type: slope/intercept/R² from exact integer
     // moments widened through DECIMAL(38,0)/HUGEINT.
     "q_ols_daily" -> ((s, dir) =>
@@ -2850,6 +2854,36 @@ object SparkEntry {
         |      (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
         |  END AS z_score
         |FROM m""".stripMargin,
+
+    // generate_series lag table; pairwise-complete day-offset join;
+    // HUGEINT moments mirror the engine's DECIMAL(38,0).
+    "q_cross_correlation" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |x AS (SELECT day, cents AS x FROM d WHERE event_type = 'view'),
+        |y AS (SELECT day AS dy, cents AS y FROM d WHERE event_type = 'purchase'),
+        |lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM x CROSS JOIN lags JOIN y ON y.dy = x.day + lags.lag
+        |  GROUP BY 1)
+        |SELECT lag, n,
+        |  CASE WHEN n < 2
+        |    OR CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+        |    OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+        |  THEN NULL
+        |  ELSE CAST(CAST(n AS HUGEINT) * sxy
+        |        - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+        |        - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+        |     sqrt(CAST(CAST(n AS HUGEINT) * syy
+        |        - CAST(sy AS HUGEINT) * sy AS DOUBLE))) END AS corr
+        |FROM m ORDER BY lag""".stripMargin,
 
     // HUGEINT mirrors the DECIMAL(38,0) widening; identical
     // correctly-rounded double chains at the end.

@@ -389,6 +389,52 @@ object Stats {
       .orderBy("dow")
   }
 
+  /** Lead–lag cross-correlation between two event types' daily series:
+    * Pearson of (x(day), y(day + lag)) for each lag in ±`maxLag` — the
+    * "does x lead y" discovery scan. Exact integer moments per lag
+    * (the [[DecisionSupport.discountElasticity]] discipline), one
+    * sqrt/division chain at the end. The lag table is a tiny literal
+    * cross join; the day-offset match is an equi-join, no window.
+    *
+    * Only days where BOTH series exist at the offset score — the
+    * honest pairwise-complete convention, stated here because it makes
+    * each lag's n differ. */
+  def crossCorrelation(events: DataFrame, typeX: String = "view",
+                       typeY: String = "purchase",
+                       maxLag: Int = 7): DataFrame = {
+    val daily = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"))
+    val x = daily.filter(col("event_type") === typeX)
+      .select(col("day"), col("cents").as("x"))
+    val y = daily.filter(col("event_type") === typeY)
+      .select(col("day").as("__dy"), col("cents").as("y"))
+    val lags = x.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("__dy") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("lag"), col("n"),
+        expr("""CASE WHEN n < 2
+               OR CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0
+               OR CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0
+               THEN NULL
+               ELSE CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                     - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) /
+                 (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                     - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) *
+                  sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy
+                     - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))) END""")
+          .as("corr"))
+      .orderBy("lag")
+  }
+
   /** Per-group OLS regression of the daily revenue on time — slope,
     * intercept, and R² from the five EXACT integer moments (n, Σx, Σy,
     * Σxy, Σx², Σy²), the closed form every trend dashboard runs. The
