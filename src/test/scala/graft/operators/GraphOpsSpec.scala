@@ -119,6 +119,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("bfsHops: random graphs match an in-memory BFS reference") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val seeds = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val maxHops = 4
+      // reference: level-synchronous BFS over an adjacency map
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      for (d <- 1 to maxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> d.toLong)
+        frontier = next
+      }
+      val got = GraphOps.bfsHops(edges.toDF("src", "dst"),
+          seeds.toDF("node"), maxHops)
+        .as[(Long, Long)].collect().toMap
+      assert(got == dist, s"trial $trial: $got vs $dist")
+    }
+  }
+
   test("bfsHops: multi-source min distance; exhausted frontier is a no-op") {
     // sources {1, 5} on the same chain: node 3 is hop 2 from 1 AND
     // hop 2 is not offered from 5 (no back edges) — distances are the

@@ -657,6 +657,38 @@ class OperatorsSpec extends SparkSpec {
     assert(z == ((0L, 0L, 0L, None, None)), s"got $z")
   }
 
+  test("mann-kendall + theil-sen: random series match in-memory references") {
+    val rnd = new scala.util.Random(41)
+    val ts = (w: Long) => new java.sql.Timestamp(w * 604800L * 1000L)
+    for (trial <- 1 to 3) {
+      val weeks = (0L until (6L + trial)).map(w =>
+        w -> (rnd.nextInt(900) + 100)) // cents in [100, 999]
+      // whole-dollar prices: floor(c*100.0) is exact, so the in-memory
+      // reference's integers match the engine's cents bit-for-bit
+      val orders = weeks.map { case (w, c) => ("P", ts(w), c.toDouble) }
+        .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      val ys = weeks.map { case (w, c) => (w, c.toLong * 100L) }
+      val pairs = for {
+        i <- ys.indices; j <- ys.indices if ys(j)._1 > ys(i)._1
+      } yield (ys(i), ys(j))
+      val s = pairs.map { case ((_, a), (_, b)) => java.lang.Long.signum(b - a).toLong }.sum
+      val mk = Stats.mannKendall(orders)
+        .as[(String, Long, Long, Long, Long)].head()
+      assert(mk._2 == ys.size.toLong && mk._3 == s, s"trial $trial: $mk vs S=$s")
+      // theil-sen low median over (slope, dy, dx, w1, w2) order
+      val wantSlope = {
+        val all = pairs.map { case ((w1, a), (w2, b)) =>
+          ((b - a).toDouble / (w2 - w1).toDouble, b - a, w2 - w1, w1, w2)
+        }.sorted
+        all(((all.size + 1) / 2) - 1)._1
+      }
+      val tsn = Stats.theilSen(orders)
+        .as[(String, Long, Double, Long, Long)].head()
+      assert(tsn._2 == pairs.size.toLong && tsn._3 == wantSlope,
+        s"trial $trial: $tsn vs $wantSlope")
+    }
+  }
+
   test("mann-kendall: hand-computed sign sums on monotone and mixed series") {
     // priority A: weeks 0..3 with strictly rising revenue -> all 6
     // pairs concordant, S = +6; priority B: down-up-down -> mixed
