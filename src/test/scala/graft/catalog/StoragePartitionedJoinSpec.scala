@@ -68,6 +68,27 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("keyed scan: an empty bucket table reads empty, then fills") {
+    val lake = Files.createTempDirectory("graft-lake-spj3")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkspj3", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkspj3.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkspj3.m.e (id BIGINT, v STRING)
+          |PARTITIONED BY (bucket(4, id))""".stripMargin)
+      // zero keyed partitions must still plan and read as empty
+      assert(spark.table("lkspj3.m.e").count() == 0L)
+      assert(spark.table("lkspj3.m.e").where("id = 3").count() == 0L)
+      Seq((3L, "x")).toDF("id", "v").write.mode("append")
+        .insertInto("lkspj3.m.e")
+      assert(spark.table("lkspj3.m.e").count() == 1L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkspj3")
+      spark.conf.unset("spark.sql.catalog.lkspj3.path")
+    }
+  }
+
   test("keyed scan: aggregation over the bucket key avoids the shuffle too") {
     val lake = Files.createTempDirectory("graft-lake-spj2")
     Files.createDirectories(lake.resolve("m"))
