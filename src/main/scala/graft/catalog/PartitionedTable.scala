@@ -773,14 +773,22 @@ private[catalog] object PartitionedWrite {
     finally s.close()
   }
 
-  /** Move every staged file into the table dir, preserving the
+  /** Move every staged DATA file into the table dir, preserving the
     * relative (partition-directory) layout; the staging dir is
-    * removed. Partition dirs merge with existing ones. */
+    * removed. Partition dirs merge with existing ones. `_`/`.`-named
+    * committer debris (`_SUCCESS`, local-FS `.crc` checksums — written
+    * when a stage goes through the full Spark writer, e.g. the DELETE
+    * rewrite) is SKIPPED: readers ignore it, and moving it would
+    * collide with the previous rewrite's copy on the SECOND selective
+    * DML against the same table. */
   private[catalog] def mergeInto(staging: Path, tableDir: Path): Unit = {
     if (!Files.isDirectory(staging)) return
     val s = Files.walk(staging)
     val files =
-      try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
       finally s.close()
     files.foreach { f =>
       val target = tableDir.resolve(staging.relativize(f))
