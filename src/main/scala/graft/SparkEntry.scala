@@ -1282,6 +1282,10 @@ object SparkEntry {
     // Supplier-concentration HHI per part from exact quantity shares.
     "q_supplier_hhi" -> ((s, dir) =>
       graft.operators.DecisionSupport.supplierHhi(t(s, dir, "lineitem"))),
+    // Laspeyres price index by ship month: fixed base-month basket,
+    // exact integer sums, one floor-div ppm per month.
+    "q_price_index" -> ((s, dir) =>
+      graft.operators.DecisionSupport.priceIndex(t(s, dir, "lineitem"))),
     // TPC-H Q2 shape: min-cost supplier per part, correlated subquery
     // decorrelated to groupBy-min + equi-join (ties kept).
     "q_min_cost_supplier" -> ((s, dir) =>
@@ -3285,6 +3289,23 @@ object SparkEntry {
         |SELECT l_partkey, n_suppliers,
         |  CAST(sq2 AS DOUBLE) / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) AS hhi
         |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Fixed-basket index: both sums integer, // and div agree
+    // (non-negative); MIN unit per part-month is the representative.
+    "q_price_index" ->
+      """WITH cells AS (SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+        |    CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT)) AS BIGINT) AS p,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_partkey, p AS p0, q AS q0 FROM cells
+        |  WHERE m = (SELECT min(m) FROM cells))
+        |SELECT c.m AS ship_month, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST((CAST(sum(c.p * b.q0) AS BIGINT) * 1000000)
+        |    // CAST(sum(b.p0 * b.q0) AS BIGINT) AS BIGINT) AS index_ppm
+        |FROM cells c JOIN b ON c.l_partkey = b.l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The correlated form the decorrelated groupBy-min+join must
     // match: unit cents floor-div quantity, per-part scalar min.

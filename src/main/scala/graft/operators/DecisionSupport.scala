@@ -250,6 +250,39 @@ object DecisionSupport {
       .orderBy("l_partkey")
   }
 
+  /** Laspeyres price index by ship month — the fixed-basket inflation
+    * measure: `P_t = Σ p_t(i)·q_0(i) / Σ p_0(i)·q_0(i)` over the parts
+    * present in BOTH month t and the base (earliest) month, with
+    * base-month quantities as the fixed weights. Unit prices are exact
+    * integer cents (`floor(ext·100) div qty` — MIN per part-month, a
+    * deterministic representative), quantities exact integers, so both
+    * sums are integers and the index is one floor-div ppm.
+    *
+    * Scale shape: one shuffle to (part, month) cells; the base-month
+    * slice re-joins by part (broadcastable: one month's parts); output
+    * O(months). */
+  def priceIndex(lineitem: DataFrame): DataFrame = {
+    val cells = lineitem.select(
+        col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").cast("long")
+          .as("m"),
+        expr("""CAST(floor(l_extendedprice * 100) AS BIGINT)
+                div CAST(l_quantity AS BIGINT)""").as("unit"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .groupBy("l_partkey", "m")
+      .agg(min("unit").as("p"), sum("qty").as("q"))
+    val base = cells.agg(min("m").as("m0"))
+    val baseCells = cells.join(broadcast(base), cells("m") === col("m0"))
+      .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+    cells.join(baseCells, "l_partkey")
+      .groupBy("m")
+      .agg(count(lit(1)).cast("bigint").as("n_parts"),
+        sum(expr("p * q0")).as("__num"), sum(expr("p0 * q0")).as("__den"))
+      .select(col("m").as("ship_month"), col("n_parts"),
+        expr("(__num * 1000000L) div __den").as("index_ppm"))
+      .orderBy("ship_month")
+  }
+
   /** Minimum-cost supplier per part — the TPC-H Q2 shape (reference
     * semantics: the correlated scalar-subquery "supplier with the
     * minimum cost for this part") over the tables the fixture ships:
