@@ -1282,6 +1282,10 @@ object SparkEntry {
     // Supplier-concentration HHI per part from exact quantity shares.
     "q_supplier_hhi" -> ((s, dir) =>
       graft.operators.DecisionSupport.supplierHhi(t(s, dir, "lineitem"))),
+    // Month-over-month revenue bridge: Δ(p·q) = Δp·q₋ + p₋·Δq + Δp·Δq
+    // exactly in integer cents over the common-part basket.
+    "q_revenue_bridge" -> ((s, dir) =>
+      graft.operators.DecisionSupport.revenueBridge(t(s, dir, "lineitem"))),
     // Laspeyres price index by ship month: fixed base-month basket,
     // exact integer sums, one floor-div ppm per month.
     "q_price_index" -> ((s, dir) =>
@@ -3289,6 +3293,23 @@ object SparkEntry {
         |SELECT l_partkey, n_suppliers,
         |  CAST(sq2 AS DOUBLE) / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) AS hhi
         |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The waterfall identity in exact integers; month+1 equi-join.
+    "q_revenue_bridge" ->
+      """WITH cells AS (SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+        |    CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT)) AS BIGINT) AS p,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT c.m AS ship_month, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum((c.p - b.p) * b.q) AS BIGINT) AS price_effect_cents,
+        |  CAST(sum(b.p * (c.q - b.q)) AS BIGINT) AS volume_effect_cents,
+        |  CAST(sum((c.p - b.p) * (c.q - b.q)) AS BIGINT) AS joint_effect_cents,
+        |  CAST(sum(c.p * c.q - b.p * b.q) AS BIGINT) AS delta_revenue_cents
+        |FROM cells c JOIN cells b ON c.l_partkey = b.l_partkey
+        |  AND c.m = b.m + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Fixed-basket index: both sums integer, // and div agree
     // (non-negative); MIN unit per part-month is the representative.

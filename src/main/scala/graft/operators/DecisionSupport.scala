@@ -283,6 +283,41 @@ object DecisionSupport {
       .orderBy("ship_month")
   }
 
+  /** Month-over-month revenue bridge — the FP&A waterfall: for the
+    * parts present in BOTH adjacent months, the revenue delta
+    * decomposes EXACTLY as `Δ(p·q) = Δp·q₋ + p₋·Δq + Δp·Δq` (price
+    * effect at old volumes, volume effect at old prices, joint term).
+    * All four columns are exact integer cents — the identity
+    * `price+volume+joint = Δ common-basket revenue` holds bit-for-bit
+    * (spec-pinned), which a float pipeline cannot promise.
+    *
+    * Same (part, month) cells as [[priceIndex]]; adjacency is a
+    * month+1 equi-join, no window. */
+  def revenueBridge(lineitem: DataFrame): DataFrame = {
+    val cells = lineitem.select(
+        col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").cast("long")
+          .as("m"),
+        expr("""CAST(floor(l_extendedprice * 100) AS BIGINT)
+                div CAST(l_quantity AS BIGINT)""").as("unit"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .groupBy("l_partkey", "m")
+      .agg(min("unit").as("p"), sum("qty").as("q"))
+    val prev = cells.select(col("l_partkey"), (col("m") + 1L).as("m"),
+      col("p").as("p0"), col("q").as("q0"))
+    cells.join(prev, Seq("l_partkey", "m"))
+      .groupBy("m")
+      .agg(count(lit(1)).cast("bigint").as("n_parts"),
+        sum(expr("(p - p0) * q0")).as("price_effect_cents"),
+        sum(expr("p0 * (q - q0)")).as("volume_effect_cents"),
+        sum(expr("(p - p0) * (q - q0)")).as("joint_effect_cents"),
+        sum(expr("p * q - p0 * q0")).as("delta_revenue_cents"))
+      .select(col("m").as("ship_month"), col("n_parts"),
+        col("price_effect_cents"), col("volume_effect_cents"),
+        col("joint_effect_cents"), col("delta_revenue_cents"))
+      .orderBy("ship_month")
+  }
+
   /** Minimum-cost supplier per part — the TPC-H Q2 shape (reference
     * semantics: the correlated scalar-subquery "supplier with the
     * minimum cost for this part") over the tables the fixture ships:

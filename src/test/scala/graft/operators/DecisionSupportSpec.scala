@@ -336,6 +336,24 @@ class DecisionSupportSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("revenue bridge: the waterfall identity holds bit-for-bit") {
+    def ship(m: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
+    // part 1: month 1 (p=100c, q=10) -> month 2 (p=120c, q=8):
+    // price = 20*10 = 200; volume = 100*(-2) = -200; joint = 20*(-2) = -40
+    // delta = 120*8 - 100*10 = -40 = 200 - 200 - 40 ✓
+    val li = Seq(
+      (1L, 10.00, 10.0, ship(1)), (1L, 9.60, 8.0, ship(2)),
+      // part 2 only in month 2 -> not in the common basket
+      (2L, 5.00, 5.0, ship(2)))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity", "l_shipdate")
+    val got = DecisionSupport.revenueBridge(li)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val m2 = 2024L * 12 + 2
+    assert(got == Seq((m2, 1L, 200L, -200L, -40L, -40L)), s"got $got")
+    val r = got.head
+    assert(r._3 + r._4 + r._5 == r._6, "price+volume+joint == delta")
+  }
+
   test("minCostSupplier: per-part minimum unit cents, ties kept, dups collapsed") {
     // part 1: supp 10 at 500c/u (two identical lines -> one row),
     //         supp 11 at 500c/u (tie kept), supp 12 at 600c/u (dropped)
