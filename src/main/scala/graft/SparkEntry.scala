@@ -1282,6 +1282,10 @@ object SparkEntry {
     // Supplier-concentration HHI per part from exact quantity shares.
     "q_supplier_hhi" -> ((s, dir) =>
       graft.operators.DecisionSupport.supplierHhi(t(s, dir, "lineitem"))),
+    // Index triple: Laspeyres/Paasche floor-div ppm + Fisher as one
+    // exactly-rounded sqrt of their integer product.
+    "q_fisher_index" -> ((s, dir) =>
+      graft.operators.DecisionSupport.fisherIndex(t(s, dir, "lineitem"))),
     // Month-over-month revenue bridge: Δ(p·q) = Δp·q₋ + p₋·Δq + Δp·Δq
     // exactly in integer cents over the common-part basket.
     "q_revenue_bridge" -> ((s, dir) =>
@@ -3293,6 +3297,30 @@ object SparkEntry {
         |SELECT l_partkey, n_suppliers,
         |  CAST(sq2 AS DOUBLE) / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) AS hhi
         |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same common-basket cells; sqrt over the exact integer product.
+    "q_fisher_index" ->
+      """WITH cells AS (SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+        |    CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT)) AS BIGINT) AS p,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_partkey, p AS p0, q AS q0 FROM cells
+        |  WHERE m = (SELECT min(m) FROM cells)),
+        |s AS (SELECT c.m, CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(sum(c.p * b.q0) AS BIGINT) AS ln,
+        |    CAST(sum(b.p0 * b.q0) AS BIGINT) AS ld,
+        |    CAST(sum(c.p * c.q) AS BIGINT) AS pn,
+        |    CAST(sum(b.p0 * c.q) AS BIGINT) AS pd
+        |  FROM cells c JOIN b ON c.l_partkey = b.l_partkey
+        |  GROUP BY 1)
+        |SELECT m AS ship_month, n_parts,
+        |  CAST((ln * 1000000) // ld AS BIGINT) AS laspeyres_ppm,
+        |  CAST((pn * 1000000) // pd AS BIGINT) AS paasche_ppm,
+        |  sqrt(CAST(CAST((ln * 1000000) // ld AS BIGINT)
+        |    * CAST((pn * 1000000) // pd AS BIGINT) AS DOUBLE)) AS fisher_ppm
+        |FROM s ORDER BY 1""".stripMargin,
 
     // The waterfall identity in exact integers; month+1 equi-join.
     "q_revenue_bridge" ->

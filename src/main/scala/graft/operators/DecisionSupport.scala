@@ -283,6 +283,39 @@ object DecisionSupport {
       .orderBy("ship_month")
   }
 
+  /** The full index triple per ship month — Laspeyres (base-month
+    * weights), Paasche (current-month weights), and Fisher (their
+    * geometric mean, the superlative index): both component ratios are
+    * integer-sum floor-div ppm like [[priceIndex]], and Fisher is ONE
+    * exactly-rounded `sqrt` of their exact integer product — the whole
+    * triple stays engine-portable. */
+  def fisherIndex(lineitem: DataFrame): DataFrame = {
+    val cells = lineitem.select(
+        col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").cast("long")
+          .as("m"),
+        expr("""CAST(floor(l_extendedprice * 100) AS BIGINT)
+                div CAST(l_quantity AS BIGINT)""").as("unit"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .groupBy("l_partkey", "m")
+      .agg(min("unit").as("p"), sum("qty").as("q"))
+    val base = cells.agg(min("m").as("m0"))
+    val baseCells = cells.join(broadcast(base), cells("m") === col("m0"))
+      .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+    cells.join(baseCells, "l_partkey")
+      .groupBy("m")
+      .agg(count(lit(1)).cast("bigint").as("n_parts"),
+        sum(expr("p * q0")).as("__ln"), sum(expr("p0 * q0")).as("__ld"),
+        sum(expr("p * q")).as("__pn"), sum(expr("p0 * q")).as("__pd"))
+      .select(col("m").as("ship_month"), col("n_parts"),
+        expr("(__ln * 1000000L) div __ld").as("laspeyres_ppm"),
+        expr("(__pn * 1000000L) div __pd").as("paasche_ppm"),
+        expr("""sqrt(CAST(((__ln * 1000000L) div __ld)
+                * ((__pn * 1000000L) div __pd) AS DOUBLE))""")
+          .as("fisher_ppm"))
+      .orderBy("ship_month")
+  }
+
   /** Month-over-month revenue bridge — the FP&A waterfall: for the
     * parts present in BOTH adjacent months, the revenue delta
     * decomposes EXACTLY as `Δ(p·q) = Δp·q₋ + p₋·Δq + Δp·Δq` (price
