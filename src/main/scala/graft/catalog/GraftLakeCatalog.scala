@@ -535,7 +535,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     // NULL merge-on-read, the hive directory layout is untouched),
     // whereas rename/drop would need the physical-slot mapping, which
     // does not compose with `col=value` partition directory names.
-    if (PartitionSpec.read(p).nonEmpty &&
+    val pspec = PartitionSpec.read(p)
+    if (pspec.nonEmpty &&
         !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
       throw new UnsupportedOperationException(
         s"$catalogName: ${ident.toString} is partitioned — only ADD COLUMN " +
@@ -574,8 +575,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"$catalogName: column $name already exists")
         // the hidden bucket partition column owns its directory name
-        if (name.equalsIgnoreCase(PartitionSpec.BucketDir) &&
-            PartitionSpec.read(p).nonEmpty)
+        if (name.equalsIgnoreCase(PartitionSpec.BucketDir) && pspec.nonEmpty)
           throw new IllegalArgumentException(
             s"$catalogName: $name is reserved for the hidden bucket " +
               "partition column")
@@ -583,7 +583,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         // resurrect dropped file data — allocate a fresh slot
         if (physInUse.exists(_.equalsIgnoreCase(name)))
           evo = evo.copy(renames = evo.renames + (name -> freshPhys(name)))
-        schema = schema.add(name, a.dataType, nullable = true)
+        // identity-partitioned tables keep the trailing-partition-column
+        // invariant createTable enforces (the V2 scan emits data cols
+        // then partition cols, and row-level planning rejects a
+        // compensating Project) — insert the new DATA column BEFORE the
+        // trailing identity partition columns, not after them
+        val nIdentity =
+          pspec.count(_.isInstanceOf[PartitionSpec.Identity])
+        val at = schema.fields.length - nIdentity
+        val field = org.apache.spark.sql.types.StructField(
+          name, a.dataType, nullable = true)
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.patch(at, Seq(field), 0))
       case r: TableChange.RenameColumn =>
         if (r.fieldNames.length != 1)
           throw new UnsupportedOperationException(

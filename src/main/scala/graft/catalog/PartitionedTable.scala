@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
@@ -677,7 +677,7 @@ private[catalog] final class PartitionedRowLevelWrite(
           spec, spark.sessionState.conf.sessionLocalTimeZone,
           new org.apache.spark.util.SerializableConfiguration(
             job.getConfiguration),
-          owf),
+          owf, staging.getFileName.toString.split('-').last),
         writeSchema)
     }
 
@@ -692,7 +692,8 @@ private[catalog] final class PartitionedRowLevelWrite(
           PartitionedWrite.dataSubtrees(tableDir)
             .foreach(PartitionedWrite.deleteRecursive)
       }
-      PartitionedWrite.mergeInto(staging, tableDir)
+      PartitionedWrite.publishStaged(staging, tableDir,
+        PartitionedWrite.committedFiles(messages))
       SparkSession.active.catalog.clearCache()
     }
 
@@ -773,12 +774,39 @@ private[catalog] object PartitionedWrite {
     finally s.close()
   }
 
+  /** The staging-relative file paths of the COMMITTED task attempts,
+    * from the driver's commit messages. */
+  private[catalog] def committedFiles(
+      messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.flatMap {
+      case PartitionedCommit(fs) => fs
+      case _ => Seq.empty
+    }
+
+  /** Publish exactly the COMMITTED files (staging-relative paths from
+    * the task commit messages) into the table dir, preserving the
+    * partition-directory layout, then drop the staging dir — which
+    * takes any uncommitted leftovers of aborted/speculative attempts
+    * with it. Committed file names carry a per-write UUID, so moves
+    * never collide with files of earlier writes. */
+  private[catalog] def publishStaged(
+      staging: Path, tableDir: Path, files: Seq[String]): Unit = {
+    files.foreach { rel =>
+      val src = staging.resolve(rel)
+      val target = tableDir.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(src, target)
+    }
+    deleteRecursive(staging)
+  }
+
   /** Move every staged DATA file into the table dir, preserving the
     * relative (partition-directory) layout; the staging dir is
     * removed. Partition dirs merge with existing ones. `_`/`.`-named
     * committer debris (`_SUCCESS`, local-FS `.crc` checksums — written
     * when a stage goes through the full Spark writer, e.g. the DELETE
-    * rewrite) is SKIPPED: readers ignore it, and moving it would
+    * rewrite, whose commit protocol already publishes only committed
+    * attempts) is SKIPPED: readers ignore it, and moving it would
     * collide with the previous rewrite's copy on the SECOND selective
     * DML against the same table. */
   private[catalog] def mergeInto(staging: Path, tableDir: Path): Unit = {
@@ -865,10 +893,11 @@ private[catalog] final class PartitionedWrite(
         spec, spark.sessionState.conf.sessionLocalTimeZone,
         new org.apache.spark.util.SerializableConfiguration(
           job.getConfiguration),
-        owf)
+        owf, staging.getFileName.toString.split('-').last)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val committed = PartitionedWrite.committedFiles(messages)
       mode match {
         case PartitionedWrite.Truncate =>
           // drop every data subtree (incl. hidden-bucket dirs), keep
@@ -889,13 +918,19 @@ private[catalog] final class PartitionedWrite(
             .foreach(rel =>
               PartitionedWrite.deleteRecursive(tableDir.resolve(rel)))
         case PartitionedWrite.Dynamic =>
-          // replace exactly the partitions that received staged rows
-          PartitionedWrite.leafPartitionDirs(staging).foreach(rel =>
-            PartitionedWrite.deleteRecursive(tableDir.resolve(rel)))
+          // replace exactly the partitions that received COMMITTED
+          // rows (derived from the commit messages, not a staging
+          // listing an aborted attempt could pollute)
+          committed.map(rel =>
+              java.nio.file.Paths.get(rel).getParent)
+            .filter(_ != null).distinct
+            .foreach(rel =>
+              PartitionedWrite.deleteRecursive(tableDir.resolve(rel)))
         case PartitionedWrite.Append => ()
       }
-      // move staged files into place (partition dirs merge)
-      PartitionedWrite.mergeInto(staging, tableDir)
+      // move exactly the committed files into place (partition dirs
+      // merge); aborted-attempt leftovers die with the staging dir
+      PartitionedWrite.publishStaged(staging, tableDir, committed)
       SparkSession.active.catalog.clearCache()
     }
 
@@ -904,7 +939,12 @@ private[catalog] final class PartitionedWrite(
   }
 }
 
-private[catalog] final case class PartitionedCommit(files: Long)
+/** The staging-relative paths of the files ONE COMMITTED task attempt
+  * wrote. Publishing moves exactly these files — a retried or
+  * speculative attempt's leftovers in the shared staging dir are never
+  * published (Spark commits one attempt per task; the losing attempt's
+  * files stay behind and die with the staging dir). */
+private[catalog] final case class PartitionedCommit(files: Seq[String])
     extends WriterCommitMessage
 
 /** Executor-side writer: per incoming row, compute the partition
@@ -921,7 +961,8 @@ private[catalog] final class PartitionedWriterFactory(
     spec: Seq[PartitionSpec.Field],
     timeZoneId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory)
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    writeId: String)
     extends DataWriterFactory {
 
   private val MaxOpenWriters = 64
@@ -966,17 +1007,26 @@ private[catalog] final class PartitionedWriterFactory(
 
     new DataWriter[InternalRow] {
       private val writers = scala.collection.mutable.HashMap.empty[String, OutputWriter]
+      // staging-relative paths THIS ATTEMPT opened: published on
+      // commit, deleted on abort — a failed/speculative attempt never
+      // leaks partial files into the table
+      private val written = scala.collection.mutable.ArrayBuffer.empty[String]
       private var fileSeq = 0
-      private var nFiles = 0L
 
       private def writerFor(dir: String): OutputWriter =
         writers.getOrElseUpdate(dir, {
           if (writers.size >= MaxOpenWriters) {
             writers.valuesIterator.foreach(_.close()); writers.clear()
           }
-          fileSeq += 1; nFiles += 1
-          val fname = f"part-$partitionId%05d-$taskId-$fileSeq$ext"
-          owf.newInstance(s"$stagingRoot/$dir/$fname", dataSchema, ctx)
+          fileSeq += 1
+          // writeId (per-write UUID) makes the name globally unique —
+          // taskAttemptId alone restarts at 0 in a new SparkContext, so
+          // a second session appending the same-shaped job would
+          // otherwise reproduce identical names and collide at publish
+          val fname = f"part-$partitionId%05d-$taskId-$writeId-$fileSeq$ext"
+          val rel = s"$dir/$fname"
+          written += rel
+          owf.newInstance(s"$stagingRoot/$rel", dataSchema, ctx)
         })
 
       override def write(row: InternalRow): Unit = {
@@ -990,12 +1040,26 @@ private[catalog] final class PartitionedWriterFactory(
       }
       override def commit(): WriterCommitMessage = {
         writers.valuesIterator.foreach(_.close()); writers.clear()
-        PartitionedCommit(nFiles)
+        PartitionedCommit(written.toSeq)
       }
       override def abort(): Unit = {
         writers.valuesIterator.foreach(w =>
           try w.close() catch { case _: Throwable => () })
         writers.clear()
+        // remove this attempt's files — commit() publishing only
+        // message-listed files is the backstop, but leaving them would
+        // still waste staging space until the driver-side cleanup
+        written.foreach { rel =>
+          try {
+            val f = Paths.get(stagingRoot).resolve(rel)
+            Files.deleteIfExists(f)
+            // local-FS checksum companion (ChecksumFileSystem debris)
+            Files.deleteIfExists(
+              f.resolveSibling("." + f.getFileName.toString + ".crc"))
+            ()
+          } catch { case _: Throwable => () }
+        }
+        written.clear()
       }
       override def close(): Unit = {
         writers.valuesIterator.foreach(_.close()); writers.clear()

@@ -438,9 +438,12 @@ object Stats {
   /** Per-group OLS regression of the daily revenue on time — slope,
     * intercept, and R² from the five EXACT integer moments (n, Σx, Σy,
     * Σxy, Σx², Σy²), the closed form every trend dashboard runs. The
-    * moment COMBINATIONS (n·Σxy − ΣxΣy etc.) widen through
-    * DECIMAL(38,0) — n·Σy² alone exceeds Long at realistic cents
-    * magnitudes — and the final slope/intercept/R² are short chains of
+    * cross/square moments ACCUMULATE through DECIMAL(38,0) — Σxy with
+    * x = epoch-day ≈ 2×10⁴ times daily cents exceeds Long over long
+    * ranges at large revenues, as does n·Σy² — and the moment
+    * COMBINATIONS (n·Σxy − ΣxΣy etc.) stay in DECIMAL(38,0), so no
+    * intermediate wraps (HUGEINT on the oracle side). The final
+    * slope/intercept/R² are short chains of
     * correctly-rounded double ops (the [[mannWhitney]] discipline), so
     * the result is bit-identical to the HUGEINT oracle.
     *
@@ -454,7 +457,8 @@ object Stats {
     daily.groupBy("event_type")
       .agg(count(lit(1)).cast("bigint").as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
         sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
       .select(col("event_type"), col("n"),
         expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxy

@@ -134,7 +134,24 @@ private[graft] final class ChangeFeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(versionOf)
     val endV = versionOf(end)
-    val versions = store.versions
+    val retained = store.versions
+    // Replay determinism is bounded by snapshot retention (the
+    // Iceberg/Delta convention): versionFeed derives each version's
+    // diff against its predecessor IN THE CURRENT LISTING, so once
+    // expire_snapshots has dropped every version <= the checkpointed
+    // start offset, a replay would re-derive DIFFERENT rows (the
+    // earliest survivor replays as whole-table '+I' inserts instead of
+    // its original diff). Fail loudly instead of silently diverging.
+    startV.foreach { s =>
+      if (!retained.headOption.exists(_ <= s))
+        throw new IllegalStateException(
+          s"graft-changefeed: checkpointed start offset v=$s precedes the " +
+            s"earliest retained snapshot (${retained.headOption.fold("none")(
+              h => s"v=$h")}) — expire_snapshots dropped the versions this " +
+            "replay needs; restart the stream from a fresh checkpoint " +
+            "(exactly-once replay is bounded by snapshot retention)")
+    }
+    val versions = retained
       .filter(v => startV.forall(v > _) && v <= endV)
     val batch = versions.map(versionFeed).reduceOption(_ unionAll _)
       .getOrElse(sqlContext.sparkSession.createDataFrame(

@@ -214,6 +214,114 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
+  test("ADD COLUMN on an identity-partitioned table inserts BEFORE the trailing partition columns; read + insert + DELETE still work") {
+    val lake = Files.createTempDirectory("graft-lake-pt7")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkpt7", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkpt7.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkpt7.m.t (n BIGINT, region STRING)
+          |PARTITIONED BY (region)""".stripMargin)
+      Seq((1L, "EU"), (2L, "US")).toDF("n", "region")
+        .write.mode("append").insertInto("lkpt7.m.t")
+      spark.sql("ALTER TABLE lkpt7.m.t ADD COLUMN note STRING")
+      // trailing-partition-column invariant: the new DATA column lands
+      // BEFORE the identity partition column, so the V2 scan output
+      // order (data cols, then partition cols) still matches the schema
+      assert(spark.table("lkpt7.m.t").columns.toSeq == Seq("n", "note", "region"),
+        "added column must precede the trailing partition columns")
+      // pre-evolution rows read the new column as NULL (merge-on-read)
+      assert(spark.table("lkpt7.m.t").where("note IS NULL").count() == 2L)
+      // post-evolution inserts carry the new column
+      Seq((3L, "x", "EU")).toDF("n", "note", "region")
+        .write.mode("append").insertInto("lkpt7.m.t")
+      assert(spark.table("lkpt7.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, null, "EU"), (2L, null, "US"), (3L, "x", "EU")))
+      // row-level DML still plans and runs on the evolved table
+      spark.sql("DELETE FROM lkpt7.m.t WHERE n = 1")
+      assert(spark.table("lkpt7.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((2L, null, "US"), (3L, "x", "EU")))
+      // pruning still plans after evolution
+      assert(planOf(spark.table("lkpt7.m.t").where("region = 'EU'"))
+        .contains("PartitionFilters"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkpt7")
+      spark.conf.unset("spark.sql.catalog.lkpt7.path")
+    }
+  }
+
+  test("task-attempt isolation: abort deletes the attempt's files; publish moves ONLY committed-message files; names are per-write unique") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def filesUnder(p: Path): Seq[Path] = {
+      val s = Files.walk(p)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(Files.isRegularFile(_)).toSeq
+      finally s.close()
+    }
+    val staging = Files.createTempDirectory("graft-pt-stage")
+    val table = Files.createTempDirectory("graft-pt-table")
+    val writeSchema = StructType(Seq(
+      StructField("k", LongType), StructField("region", StringType)))
+    val dataSchema = StructType(Seq(StructField("k", LongType)))
+    val spec = Seq(PartitionSpec.Identity("region"))
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(
+      spark, job, Map.empty[String, String], dataSchema)
+    def factory(writeId: String) = new PartitionedWriterFactory(
+      staging.toString, writeSchema, dataSchema, spec,
+      spark.sessionState.conf.sessionLocalTimeZone,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+      owf, writeId)
+    def row(k: Long, r: String) =
+      InternalRow(k, UTF8String.fromString(r))
+
+    // attempt 1 writes, then ABORTS (task failure / lost speculative
+    // race): its files disappear from the shared staging dir
+    val w1 = factory("w1").createWriter(0, 7L)
+    w1.write(row(1L, "EU"))
+    w1.abort()
+    assert(filesUnder(staging).isEmpty,
+      "an aborted attempt must leave no files behind")
+
+    // attempt 2 (the retry) commits; its message lists exactly its files
+    val w2 = factory("w1").createWriter(0, 8L)
+    w2.write(row(2L, "EU"))
+    val msg = w2.commit().asInstanceOf[PartitionedCommit]
+    assert(msg.files.size == 1 && msg.files.head.startsWith("region=EU/"))
+
+    // a THIRD attempt that neither committed nor aborted (executor
+    // died mid-write) leaves a stray file — publish must NOT move it
+    Files.createDirectories(staging.resolve("region=US"))
+    Files.write(staging.resolve("region=US/part-00000-9-w1-1.parquet"),
+      Array[Byte](1, 2, 3))
+    PartitionedWrite.publishStaged(staging, table, msg.files)
+    val published = filesUnder(table).map(table.relativize(_).toString)
+    assert(published == Seq(msg.files.head),
+      s"publish must move exactly the committed files, got $published")
+    assert(!Files.exists(staging),
+      "staging (and the stray uncommitted file) must be gone after publish")
+
+    // per-write UUID in the name: a second write with the SAME
+    // partitionId/taskId (a fresh SparkContext restarting ids) cannot
+    // collide at publish time
+    Files.createDirectories(staging)
+    val w3 = factory("w2").createWriter(0, 8L)
+    w3.write(row(3L, "EU"))
+    val msg2 = w3.commit().asInstanceOf[PartitionedCommit]
+    assert(msg2.files.head != msg.files.head,
+      "same (partitionId, taskId, fileSeq) in a new write must yield a new name")
+    PartitionedWrite.publishStaged(staging, table, msg2.files)
+    assert(filesUnder(table).size == 2)
+  }
+
   test("guard rails: unsupported transforms, bad partition columns, no evolution") {
     val lake = Files.createTempDirectory("graft-lake-pt6")
     Files.createDirectories(lake.resolve("m"))

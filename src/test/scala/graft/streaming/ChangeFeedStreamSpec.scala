@@ -98,4 +98,56 @@ class ChangeFeedStreamSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.lkcfs.path")
     }
   }
+
+  test("replay is bounded by snapshot retention: expiring past the checkpointed offset fails loudly, not silently divergent") {
+    val lake = Files.createTempDirectory("graft-lake-cfexp")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkcfx", classOf[graft.catalog.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkcfx.path", lake.toString)
+    val tableDir = lake.resolve("m/t.parquet")
+    val store = new StateStore(spark, tableDir.toString)
+    def deleteRecursive(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(
+          s.sorted(java.util.Comparator.reverseOrder()).iterator()).asScala
+        .foreach(Files.delete)
+      finally s.close()
+    }
+    try {
+      store.write(Seq((1L, "a")).toDF("k", "v"), 0L)
+      store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1L)
+      val ckpt = Files.createTempDirectory("cfx-ck").toString
+      val out = Files.createTempDirectory("cfx-out").toString
+      def startStream() = Catalog.readStreamTable(spark, "lkcfx.m.t", Seq("k"))
+        .select(col("op"), col("version"),
+          to_json(col("before")).as("b"), to_json(col("after")).as("a"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      val q1 = startStream()
+      q1.processAllAvailable()
+      q1.stop() // checkpointed offset: v=1
+      // expire_snapshots drops v=0 and v=1; a new commit lands
+      deleteRecursive(tableDir.resolve("v=0"))
+      deleteRecursive(tableDir.resolve("v=1"))
+      store.write(Seq((1L, "a9"), (2L, "b")).toDF("k", "v"), 2L)
+      // restarting from the checkpoint needs v=2's diff against v=1 —
+      // gone. The source must FAIL (the earliest survivor would
+      // otherwise replay as whole-table inserts: silent divergence).
+      val q2 = startStream()
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(30000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(m =>
+          m.contains("expire_snapshots") || m.contains("earliest retained")),
+        s"expected the retention-bound replay error, got: ${messages(err)}")
+      q2.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkcfx")
+      spark.conf.unset("spark.sql.catalog.lkcfx.path")
+    }
+  }
 }
