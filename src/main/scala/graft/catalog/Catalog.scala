@@ -61,6 +61,24 @@ object Catalog {
       s"'$ref' is a versioned table — stream its commits as a change " +
         "feed via readStreamTable(spark, ref, keys)")
     val logical = spark.table(ref).schema
+    // PARTITIONED tables store data columns ONLY inside their files
+    // (the hive contract): the stream's schema must tell the file
+    // source which trailing columns are partition directories, and the
+    // hidden `_gbucket=` level of bucketed layouts must be declared
+    // too (then dropped — it is never part of the logical schema).
+    // Streaming the logical schema naively would either fail listing
+    // or emit NULL partition columns silently.
+    val pspec = PartitionSpec.read(dir)
+    if (pspec.nonEmpty) {
+      val bucketed = pspec.exists(_.isInstanceOf[PartitionSpec.Bucket])
+      val streamSchema =
+        if (!bucketed) logical
+        else org.apache.spark.sql.types.StructType(logical.fields :+
+          org.apache.spark.sql.types.StructField(PartitionSpec.BucketDir,
+            org.apache.spark.sql.types.IntegerType, nullable = true))
+      val raw = spark.readStream.schema(streamSchema).parquet(dir.toString)
+      return if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
+    }
     // a rename-evolved table's FILES carry the physical (pre-rename)
     // column names; streaming with the logical schema would match
     // renamed columns by-name-miss and emit all-NULL silently. Stream

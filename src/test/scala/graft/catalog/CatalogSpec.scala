@@ -807,6 +807,62 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming read of PARTITIONED lake tables: identity values restored, hidden bucket level invisible") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft-lake-strp")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lakpt", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakpt.path", lake.toString)
+    try {
+      // identity layout: partition values live in DIRECTORY NAMES only
+      // — the stream must restore them, never emit silent NULLs
+      spark.sql(
+        """CREATE TABLE lakpt.m.t (n BIGINT, region STRING)
+          |PARTITIONED BY (region)""".stripMargin)
+      Seq((1L, "EU"), (2L, "US")).toDF("n", "region")
+        .write.mode("append").insertInto("lakpt.m.t")
+      val q = Catalog.readStreamTable(spark, "lakpt.m.t")
+      assert(q.columns.toSeq == Seq("n", "region"))
+      val st = q.writeStream.format("memory").queryName("lake_pt")
+        .option("checkpointLocation",
+          Files.createTempDirectory("lake-pt-ck").toString)
+        .start()
+      st.processAllAvailable()
+      assert(spark.table("lake_pt").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "EU"), (2L, "US")),
+        "identity partition values must stream restored and typed")
+      // appends into existing AND new partitions arrive as batches
+      Seq((3L, "EU"), (4L, "APAC")).toDF("n", "region")
+        .write.mode("append").insertInto("lakpt.m.t")
+      st.processAllAvailable()
+      assert(spark.table("lake_pt").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "EU"), (2L, "US"), (3L, "EU"), (4L, "APAC")))
+      st.stop()
+
+      // bucketed layout: the hidden _gbucket directory level must be
+      // declared to the file source but never reach the caller
+      spark.sql(
+        """CREATE TABLE lakpt.m.b (k BIGINT, v STRING)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+        .write.mode("append").insertInto("lakpt.m.b")
+      val qb = Catalog.readStreamTable(spark, "lakpt.m.b")
+      assert(qb.columns.toSeq == Seq("k", "v"),
+        "the hidden bucket column must not leak into the stream schema")
+      val stb = qb.writeStream.format("memory").queryName("lake_ptb")
+        .option("checkpointLocation",
+          Files.createTempDirectory("lake-ptb-ck").toString)
+        .start()
+      stb.processAllAvailable()
+      assert(spark.table("lake_ptb").as[(Long, String)].collect().sortBy(_._1)
+        .toSeq == (1L to 20L).map(i => (i, s"v$i")))
+      stb.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lakpt")
+      spark.conf.unset("spark.sql.catalog.lakpt.path")
+    }
+  }
+
   test("streaming read after RENAME COLUMN: renamed column streams real values") {
     import spark.implicits._
     val lake = Files.createTempDirectory("graft-lake-strn")
