@@ -297,6 +297,30 @@ private[catalog] object FileSkipping {
                 phys: String => String): Option[Seq[Path]] =
     split(tableDir, dataDir, filters, phys).map(_._1)
 
+  /** The same skipping gate over an EXPLICIT file list (paths of any
+    * shape — matching is by base name, which the writers keep globally
+    * unique): partitioned scans compose this AFTER partition-directory
+    * pruning, so a survivor partition's files still skip on min/max
+    * ranges and Bloom bitsets (prune the listing, then skip inside the
+    * survivors — the Iceberg manifest behavior). None when nothing is
+    * dropped. */
+  def filterFiles(tableDir: Path, files: Seq[Path], filters: Seq[Expression],
+                  phys: String => String): Option[Seq[Path]] = {
+    if (filters.isEmpty || files.isEmpty) return None
+    val stats = FileStats.read(tableDir)
+    val bloom = BloomIndex.read(tableDir)
+    if (stats.isEmpty && bloom.isEmpty) return None
+    val kept = files.filter { p =>
+      val name = p.getFileName.toString
+      val statsDrop = stats.get(name).exists(ranges =>
+        filters.exists(FileStats.excludes(_, ranges, phys)))
+      val bloomDrop = bloom.files.get(name).exists(colBits =>
+        filters.exists(BloomIndex.excludes(bloom, _, colBits, phys)))
+      !statsDrop && !bloomDrop
+    }
+    if (kept.size == files.size) None else Some(kept)
+  }
+
   /** Post-rewrite refresh of BOTH sidecars (see each refresh doc). */
   def refreshAfterRewrite(spark: SparkSession, tableDir: Path, dataDir: Path,
                           carriedNames: Set[String]): Unit = {

@@ -263,12 +263,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     healInterruptedSwap(p)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
     val pspec = PartitionSpec.read(p)
-    if (pspec.nonEmpty)
+    if (pspec.nonEmpty) {
+      val snap =
+        if (!Snapshots.isVersioned(p)) None
+        else Some(Snapshots.latest(p).getOrElse(throw new IllegalStateException(
+          s"$catalogName: ${ident.toString} has a snapshot log but no " +
+            "manifests — corrupt table dir (partial copy/restore?)")))
       return new PartitionedLakeTable(ident.toString, p,
         declaredSchema(p).getOrElse(throw new IllegalStateException(
           s"$catalogName: ${ident.toString} carries a partition sidecar " +
             s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
-        pspec)
+        pspec, snap)
+    }
     val evo = readEvolution(p)
     val schema = declaredSchema(p)
     val data = versionsOf(p).lastOption.fold(p)(v => p.resolve(s"v=$v"))
@@ -292,6 +298,28 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    // partitioned tables time-travel through the MANIFEST log (the
+    // v=<n> directory layout cannot compose with col=value dirs)
+    val pspec = PartitionSpec.read(p)
+    if (pspec.nonEmpty) {
+      if (!Snapshots.isVersioned(p)) throw new UnsupportedOperationException(
+        s"$catalogName: ${ident.toString} is a PLAIN partitioned table — " +
+          "create with TBLPROPERTIES ('versioned'='true') for snapshot " +
+          "time travel")
+      val svs = Snapshots.versions(p)
+      val v = version.toLongOption
+        .orElse(Tags.read(p).get(version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$catalogName: VERSION AS OF expects a numeric snapshot id or a " +
+            s"tag name, got '$version' (tags: " +
+            s"${Tags.read(p).keys.toSeq.sorted.mkString(",")})"))
+      if (!svs.contains(v)) throw new IllegalArgumentException(
+        s"$catalogName: ${ident.toString} has no snapshot s-$v " +
+          s"(committed: ${svs.mkString(",")} — older snapshots may have " +
+          "been expired)")
+      return new PartitionedLakeTable(ident.toString, p,
+        declaredSchema(p).get, pspec, Snapshots.read(p, v), writable = false)
+    }
     val vs = versionsOf(p)
     if (vs.isEmpty) throw new UnsupportedOperationException(
       s"$catalogName: ${ident.toString} is not a versioned table (no v=<n> snapshots)")
@@ -333,6 +361,22 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val p = tablePath(ident)
     if (!Files.exists(p)) throw new NoSuchTableException(ident)
+    val pspec = PartitionSpec.read(p)
+    if (pspec.nonEmpty) {
+      if (!Snapshots.isVersioned(p)) throw new UnsupportedOperationException(
+        s"$catalogName: ${ident.toString} is a PLAIN partitioned table — " +
+          "create with TBLPROPERTIES ('versioned'='true') for snapshot " +
+          "time travel")
+      val ts = timestampMicros / 1000L
+      val snaps = Snapshots.versions(p).flatMap(Snapshots.read(p, _))
+      val snap = snaps.reverse.find(_.commitMs <= ts)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$catalogName: ${ident.toString} has no snapshot at or before " +
+            s"timestamp ${ts}ms (earliest commit: " +
+            s"${snaps.headOption.fold(-1L)(_.commitMs)}ms)"))
+      return new PartitionedLakeTable(ident.toString, p,
+        declaredSchema(p).get, pspec, Some(snap), writable = false)
+    }
     val vs = versionsOf(p)
     if (vs.isEmpty) throw new UnsupportedOperationException(
       s"$catalogName: ${ident.toString} is not a versioned table (no v=<n> snapshots)")
@@ -365,9 +409,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     // persist the declared schema: an empty table has nothing to infer
     // from, and ADD COLUMN evolution rewrites this sidecar later
     Files.writeString(p.resolve(SchemaSidecar), schema.json)
+    val versionedProp = Option(properties.get(Snapshots.Property))
+      .exists(_.equalsIgnoreCase("true"))
+    if (versionedProp && spec.isEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: TBLPROPERTIES ('versioned'='true') applies to " +
+          "PARTITIONED tables (the manifest snapshot log); flat tables " +
+          "version through the v=<n> snapshot layout")
     if (spec.nonEmpty) {
       PartitionSpec.write(p, spec)
-      new PartitionedLakeTable(ident.toString, p, schema, spec)
+      if (versionedProp) Snapshots.init(p)
+      new PartitionedLakeTable(ident.toString, p, schema, spec,
+        if (versionedProp) Snapshots.latest(p) else None)
     } else
       // return the LOADED table, not a raw ParquetTable: loadTable
       // wraps the DML surface (TRUNCATE/OVERWRITE capabilities), which

@@ -31,10 +31,17 @@ private[catalog] object PartitionPruning {
     * paths) into (candidates, carried) under the conjunctive
     * `filters`; None when nothing can be carried. */
   def split(tableDir: Path, spec: Seq[PartitionSpec.Field],
-            filters: Seq[Expression]): Option[(Seq[Path], Seq[Path])] = {
-    if (filters.isEmpty || spec.isEmpty) return None
-    val leaves = PartitionedWrite.leafPartitionDirs(tableDir)
-    if (leaves.isEmpty) return None
+            filters: Seq[Expression]): Option[(Seq[Path], Seq[Path])] =
+    splitLeaves(PartitionedWrite.leafPartitionDirs(tableDir), spec, filters)
+
+  /** Same split over an EXPLICIT leaf-directory list — versioned
+    * partitioned tables derive their leaves from the snapshot
+    * manifest's file list ([[Snapshots.leafDirsOf]]), not from a
+    * filesystem listing that would include directories holding only
+    * dead (unreferenced) files. */
+  def splitLeaves(leaves: Seq[Path], spec: Seq[PartitionSpec.Field],
+                  filters: Seq[Expression]): Option[(Seq[Path], Seq[Path])] = {
+    if (filters.isEmpty || spec.isEmpty || leaves.isEmpty) return None
     val (kept, carried) = leaves.partition { rel =>
       val values = segmentValues(rel)
       !filters.exists(excludes(_, spec, values))

@@ -111,16 +111,26 @@ private[catalog] object PartitionSpec {
   *    staging dir written with the same layout, swap via
   *    [[DeletableTable.publishStagedRewrite]]).
   *
-  * Partitioned tables are PLAIN tables: the `v=<n>` snapshot layout
-  * would collide with `col=value` partition directories, so versioned
-  * time travel stays on unpartitioned tables (and `createTable`
-  * rejects a partition column named `v`). Column evolution on a
-  * partitioned table is rejected upfront by the catalog. */
+  * Partitioned tables come in two versioning flavors:
+  *  - PLAIN (default): the directory IS the truth; writes/DML
+  *    physically replace files, no history.
+  *  - SNAPSHOT-VERSIONED (`TBLPROPERTIES ('versioned'='true')`): the
+  *    [[Snapshots]] manifest log is the truth — `snapshot` pins the
+  *    file list this instance reads, every commit writes a new
+  *    manifest, and replaced files stay on disk for older snapshots
+  *    (the Iceberg manifest model; the flat `v=<n>` layout cannot
+  *    compose with `col=value` directories). `writable = false` marks
+  *    a time-travel view (`VERSION/TIMESTAMP AS OF`): read-only.
+  *
+  * Column evolution on a partitioned table is ADD COLUMN only
+  * (rejected upfront by the catalog otherwise). */
 private[catalog] final class PartitionedLakeTable(
     tableName: String,
     tableDir: Path,
     logicalSchema: StructType,
-    spec: Seq[PartitionSpec.Field])
+    spec: Seq[PartitionSpec.Field],
+    snapshot: Option[Snapshots.Snapshot] = None,
+    writable: Boolean = true)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
 
@@ -129,17 +139,29 @@ private[catalog] final class PartitionedLakeTable(
   private val bucketOpt: Option[PartitionSpec.Bucket] =
     spec.collectFirst { case b: PartitionSpec.Bucket => b }
 
+  /** The manifest's live-file list (table-relative); None = plain. */
+  private def snapshotFiles: Option[Seq[String]] = snapshot.map(_.files)
+
   override def name(): String = tableName
   override def schema(): StructType = logicalSchema
   override def partitioning(): Array[Transform] = spec.map {
     case PartitionSpec.Identity(c) => Expressions.identity(c)
     case PartitionSpec.Bucket(c, n) => Expressions.bucket(n, c)
   }.toArray
-  override def properties(): util.Map[String, String] = util.Map.of()
-  override def capabilities(): util.Set[TableCapability] = util.Set.of(
-    TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-    TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-    TableCapability.OVERWRITE_DYNAMIC)
+  override def properties(): util.Map[String, String] =
+    if (snapshot.isEmpty) util.Map.of()
+    else util.Map.of(Snapshots.Property, "true")
+  override def capabilities(): util.Set[TableCapability] =
+    if (!writable) util.Set.of(TableCapability.BATCH_READ)
+    else util.Set.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  private def requireWritable(op: String): Unit =
+    if (!writable) throw new UnsupportedOperationException(
+      s"$tableName: $op on a time-travel snapshot view — historical " +
+        "snapshots are read-only (write through the current table)")
 
   /** The schema the FILE INDEX types partition directories from: the
     * logical columns plus the hidden bucket column (int). */
@@ -204,23 +226,68 @@ private[catalog] final class PartitionedLakeTable(
         spec match {
           case Seq(b: PartitionSpec.Bucket) =>
             return new BucketKeyedScan(tableName, tableDir, b,
-              indexSchema, required, filters)
+              indexSchema, required, filters, snapshotFiles)
           case _ => ()
         }
-        val base = PartitionPruning.split(tableDir,
-            spec.filter(_.isInstanceOf[PartitionSpec.Bucket]), filters) match {
-          case None => fallback.build()
-          case Some((cands, _)) =>
+        val base = snapshot match {
+          case Some(s) =>
+            // SNAPSHOT scan: the manifest's file list is the truth —
+            // never the directory listing (which holds files of older
+            // snapshots too). Partition pruning runs over the
+            // manifest-derived leaves (identity AND bucket here, since
+            // the listing is explicit either way), then within-
+            // partition file skipping drops survivors whose min/max
+            // range or Bloom bitset excludes the pushed filters.
+            val leaves = Snapshots.leafDirsOf(s.files)
+            val cands = PartitionPruning.splitLeaves(leaves, spec, filters)
+              .map(_._1).getOrElse(leaves)
+            val paths = Snapshots.filesUnder(s.files, cands)
+              .map(Paths.get(_))
+            val skipped = FileSkipping.filterFiles(tableDir, paths,
+              filters, identity).getOrElse(paths)
             RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
-              cands, required, filters, s"bucket-skip:${cands.size}")
+              skipped, required, filters,
+              s"snapshot:v=${s.version}:${skipped.size}f")
+          case None =>
+            // PLAIN layout: Spark's native scan prunes identity
+            // partitions from the pushed filters itself; the custom
+            // listing adds bucket-hash pruning and, when skipping
+            // sidecars exist, within-partition file skipping.
+            val dirCands = PartitionPruning.split(tableDir,
+                spec.filter(_.isInstanceOf[PartitionSpec.Bucket]), filters)
+              .map(_._1)
+            val fileSkip =
+              if (!FileSkipping.hasAny(tableDir) || filters.isEmpty) None
+              else {
+                // compose: prune dirs first (identity here too — the
+                // file list is explicit, Spark's native dir pruning no
+                // longer applies), then skip files inside survivors
+                val leaves = PartitionPruning.split(tableDir, spec, filters)
+                  .map(_._1)
+                  .getOrElse(PartitionedWrite.leafPartitionDirs(tableDir))
+                val files = PartitionedWrite.filesUnderDirs(tableDir, leaves)
+                FileSkipping.filterFiles(tableDir, files, filters, identity)
+                  .map(kept => (kept, files.size))
+              }
+            (fileSkip, dirCands) match {
+              case (Some((kept, total)), _) =>
+                RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
+                  kept, required, filters,
+                  s"file-skip:${kept.size}/$total")
+              case (None, Some(cands)) =>
+                RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
+                  cands, required, filters, s"bucket-skip:${cands.size}")
+              case (None, None) => fallback.build()
+            }
         }
         new RuntimePrunedScan(tableName, tableDir, spec, indexSchema,
-          required, filters, base)
+          required, filters, base, snapshotFiles)
       }
     }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("write")
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsOverwriteV2
         with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -250,6 +317,7 @@ private[catalog] final class PartitionedLakeTable(
         new PartitionedWrite(tableName, tableDir, logicalSchema, spec,
           info.schema(), mode)
     }
+  }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(DeletableTable.toColumn(_, identity).isDefined)
@@ -263,6 +331,7 @@ private[catalog] final class PartitionedLakeTable(
     * provable exclusion → the pre-r10 whole-table rewrite through the
     * shared publish machinery. */
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    requireWritable("DELETE")
     val spark = SparkSession.active
     val cond = predicates
       .map(p => DeletableTable.toColumn(p, identity).getOrElse(
@@ -278,8 +347,33 @@ private[catalog] final class PartitionedLakeTable(
         .partitionBy(PartitionSpec.dirCols(spec): _*)
         .parquet(tmp.toString)
     }
+    if (snapshot.isDefined) {
+      // SNAPSHOT delete: copy-on-write into a new manifest — the
+      // candidate partitions' SURVIVING rows restage, the condition's
+      // files drop from the manifest, nothing is physically deleted
+      // (older snapshots still read the pre-delete files)
+      val s = snapshot.get
+      val leaves = Snapshots.leafDirsOf(s.files)
+      val candDirs = PartitionPruning.splitLeaves(leaves, spec,
+          predicates.toSeq.map(DeletableTable.statsFilter))
+        .map(_._1).getOrElse(leaves)
+      val candFiles = Snapshots.filesUnder(s.files, candDirs)
+      if (candFiles.isEmpty) return // nothing can match: no-op
+      val tmp = tableDir.resolveSibling(
+        tableDir.getFileName.toString + ".__rewrite-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      stage(spark.read.option("basePath", tableDir.toString)
+        .schema(indexSchema)
+        .parquet(candFiles.map(f => tableDir.resolve(f).toString): _*)
+        .drop(PartitionSpec.BucketDir), tmp)
+      val staged = PartitionedWrite.mergeIntoReturning(tmp, tableDir)
+      Snapshots.commit(tableDir, s.files.diff(candFiles) ++ staged)
+      spark.catalog.clearCache()
+      return
+    }
     PartitionPruning.split(tableDir, spec,
       predicates.toSeq.map(DeletableTable.statsFilter)) match {
+      // (plain layout below — snapshot tables returned above)
       case Some((cands, _)) if cands.isEmpty =>
         () // every partition provably excludes the condition: no-op
       case Some((cands, _)) =>
@@ -316,7 +410,8 @@ private[catalog] final class PartitionedLakeTable(
     * directories never move. No provable exclusion → one whole-table
     * group (all data subtrees replaced at commit). */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable("UPDATE/MERGE")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
@@ -343,17 +438,36 @@ private[catalog] final class PartitionedLakeTable(
             }
             override def pushedFilters: Array[Predicate] = Array.empty
             override def build(): org.apache.spark.sql.connector.read.Scan = {
-              val b = PartitionPruning.split(tableDir, spec, filters) match {
+              val leaves = snapshotFiles.map(Snapshots.leafDirsOf)
+              val b = PartitionPruning.splitLeaves(
+                  leaves.getOrElse(PartitionedWrite.leafPartitionDirs(tableDir)),
+                  spec, filters) match {
                 case None =>
                   scanned = None
-                  innerRead.newScanBuilder(CaseInsensitiveStringMap.empty())
+                  snapshotFiles match {
+                    case None =>
+                      innerRead.newScanBuilder(CaseInsensitiveStringMap.empty())
+                    case Some(fs) =>
+                      // whole-table group over the SNAPSHOT's files —
+                      // directory contents include older snapshots'
+                      val opts = new CaseInsensitiveStringMap(
+                        util.Map.of("basePath", tableDir.toString))
+                      ParquetTable(s"$tableName(rewrite:snapshot)",
+                        SparkSession.active, opts,
+                        fs.map(f => tableDir.resolve(f).toString),
+                        Some(indexSchema), classOf[ParquetFileFormat])
+                        .newScanBuilder(opts)
+                  }
                 case Some((cands, _)) =>
                   scanned = Some(cands)
                   val opts = new CaseInsensitiveStringMap(
                     util.Map.of("basePath", tableDir.toString))
+                  val paths = snapshotFiles
+                    .fold(cands.map(r => tableDir.resolve(r).toString))(fs =>
+                      Snapshots.filesUnder(fs, cands)
+                        .map(f => tableDir.resolve(f).toString))
                   ParquetTable(s"$tableName(rewrite:${cands.size} partitions)",
-                    SparkSession.active, opts,
-                    cands.map(r => tableDir.resolve(r).toString),
+                    SparkSession.active, opts, paths,
                     Some(indexSchema), classOf[ParquetFileFormat])
                     .newScanBuilder(opts)
               }
@@ -370,10 +484,12 @@ private[catalog] final class PartitionedLakeTable(
         override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
             override def build(): Write = new PartitionedRowLevelWrite(
-              tableName, tableDir, spec, winfo.schema(), () => scanned)
+              tableName, tableDir, spec, winfo.schema(), () => scanned,
+              snapshotFiles)
           }
       }
     }
+  }
 }
 
 /** Runtime partition pruning for the partitioned lake scan — the V2
@@ -402,7 +518,8 @@ private[catalog] final class RuntimePrunedScan(
     indexSchema: StructType,
     required: Option[StructType],
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    initial: org.apache.spark.sql.connector.read.Scan)
+    initial: org.apache.spark.sql.connector.read.Scan,
+    snapshotFiles: Option[Seq[String]] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -436,10 +553,16 @@ private[catalog] final class RuntimePrunedScan(
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val runtime = predicates.toSeq.map(DeletableTable.statsFilter)
-    PartitionPruning.split(tableDir, spec, pushed ++ runtime) match {
+    val leaves = snapshotFiles.map(Snapshots.leafDirsOf)
+      .getOrElse(PartitionedWrite.leafPartitionDirs(tableDir))
+    PartitionPruning.splitLeaves(leaves, spec, pushed ++ runtime) match {
       case Some((cands, carried)) if carried.nonEmpty =>
+        // versioned tables re-plan over the snapshot's files in the
+        // surviving partitions, plain ones over the directories
+        val paths = snapshotFiles.fold(cands)(fs =>
+          Snapshots.filesUnder(fs, cands).map(Paths.get(_)))
         current = RuntimePrunedScan.scanOver(tableName, tableDir,
-          indexSchema, cands, required, pushed, s"dpp:${cands.size}")
+          indexSchema, paths, required, pushed, s"dpp:${cands.size}")
       case _ => () // nothing provably excluded: keep the static scan
     }
   }
@@ -468,7 +591,8 @@ private[catalog] final class BucketKeyedScan(
     bucket: PartitionSpec.Bucket,
     indexSchema: StructType,
     required: Option[StructType],
-    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    snapshotFiles: Option[Seq[String]] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -477,14 +601,19 @@ private[catalog] final class BucketKeyedScan(
 
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
+  /** The leaf bucket directories this scan can see: manifest-derived
+    * for versioned tables, filesystem-listed for plain ones. */
+  private def allLeaves: Seq[Path] = snapshotFiles.map(Snapshots.leafDirsOf)
+    .getOrElse(PartitionedWrite.leafPartitionDirs(tableDir))
+
   // statically-pruned then runtime-filtered candidate dirs; None =
   // everything current (the static pushed filters prune up front —
   // a `k = 17` lookup plans its one bucket before any runtime filter)
   @volatile private var keptDirs: Option[Seq[Path]] =
-    PartitionPruning.split(tableDir, Seq(bucket), pushed).map(_._1)
+    PartitionPruning.splitLeaves(allLeaves, Seq(bucket), pushed).map(_._1)
 
   private def currentDirs: Seq[(Int, Path)] =
-    keptDirs.getOrElse(PartitionedWrite.leafPartitionDirs(tableDir))
+    keptDirs.getOrElse(allLeaves)
       .flatMap { rel =>
         val seg = rel.iterator().asScala.map(_.toString)
           .find(_.startsWith(PartitionSpec.BucketDir + "="))
@@ -492,9 +621,13 @@ private[catalog] final class BucketKeyedScan(
           .toIntOption).map(_ -> rel)
       }.sortBy(_._1)
 
-  private def scanFor(dirs: Seq[Path], label: String) =
+  private def scanFor(dirs: Seq[Path], label: String) = {
+    // versioned: scan exactly the snapshot's files of those buckets
+    val paths = snapshotFiles.fold(dirs)(fs =>
+      Snapshots.filesUnder(fs, dirs).map(Paths.get(_)))
     RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
-      dirs, required, pushed, label)
+      paths, required, pushed, label)
+  }
 
   // representative scan over the current candidates: schema,
   // statistics, and the listing metadata shown in plan strings —
@@ -558,7 +691,7 @@ private[catalog] final class BucketKeyedScan(
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val runtime = predicates.toSeq.map(DeletableTable.statsFilter)
-    PartitionPruning.split(tableDir, Seq(bucket), pushed ++ runtime) match {
+    PartitionPruning.splitLeaves(allLeaves, Seq(bucket), pushed ++ runtime) match {
       case Some((cands, carried)) if carried.nonEmpty => keptDirs = Some(cands)
       case _ => ()
     }
@@ -642,7 +775,8 @@ private[catalog] final class PartitionedRowLevelWrite(
     tableDir: Path,
     spec: Seq[PartitionSpec.Field],
     writeSchema: StructType,
-    candidates: () => Option[Seq[Path]])
+    candidates: () => Option[Seq[Path]],
+    snapshotFiles: Option[Seq[String]] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private val identityCols: Seq[String] =
@@ -682,18 +816,32 @@ private[catalog] final class PartitionedRowLevelWrite(
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      candidates() match {
-        case Some(dirs) =>
-          dirs.foreach(rel =>
-            PartitionedWrite.deleteRecursive(tableDir.resolve(rel)))
+      val committed = PartitionedWrite.committedFiles(messages)
+      snapshotFiles match {
+        case Some(prev) =>
+          // SNAPSHOT rewrite: the group's pre-image files drop from
+          // the manifest, the replacement files join it; nothing is
+          // physically deleted (older snapshots keep reading the
+          // pre-rewrite files)
+          val replaced = candidates() match {
+            case Some(dirs) => Snapshots.filesUnder(prev, dirs)
+            case None => prev
+          }
+          PartitionedWrite.publishStaged(staging, tableDir, committed)
+          Snapshots.commit(tableDir, prev.diff(replaced) ++ committed)
         case None =>
-          // whole-table group: every data subtree is replaced (incl.
-          // hidden-bucket dirs)
-          PartitionedWrite.dataSubtrees(tableDir)
-            .foreach(PartitionedWrite.deleteRecursive)
+          candidates() match {
+            case Some(dirs) =>
+              dirs.foreach(rel =>
+                PartitionedWrite.deleteRecursive(tableDir.resolve(rel)))
+            case None =>
+              // whole-table group: every data subtree is replaced
+              // (incl. hidden-bucket dirs)
+              PartitionedWrite.dataSubtrees(tableDir)
+                .foreach(PartitionedWrite.deleteRecursive)
+          }
+          PartitionedWrite.publishStaged(staging, tableDir, committed)
       }
-      PartitionedWrite.publishStaged(staging, tableDir,
-        PartitionedWrite.committedFiles(messages))
       SparkSession.active.catalog.clearCache()
     }
 
@@ -810,7 +958,14 @@ private[catalog] object PartitionedWrite {
     * collide with the previous rewrite's copy on the SECOND selective
     * DML against the same table. */
   private[catalog] def mergeInto(staging: Path, tableDir: Path): Unit = {
-    if (!Files.isDirectory(staging)) return
+    mergeIntoReturning(staging, tableDir); ()
+  }
+
+  /** [[mergeInto]] that reports the table-relative paths it moved —
+    * snapshot commits need the staged file list for the new manifest. */
+  private[catalog] def mergeIntoReturning(staging: Path,
+                                          tableDir: Path): Seq[String] = {
+    if (!Files.isDirectory(staging)) return Seq.empty
     val s = Files.walk(staging)
     val files =
       try s.iterator().asScala.filter { p =>
@@ -818,13 +973,34 @@ private[catalog] object PartitionedWrite {
         Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
       }.toSeq
       finally s.close()
-    files.foreach { f =>
-      val target = tableDir.resolve(staging.relativize(f))
+    val moved = files.map { f =>
+      val rel = staging.relativize(f)
+      val target = tableDir.resolve(rel)
       Files.createDirectories(target.getParent)
       Files.move(f, target)
+      rel.toString
     }
     deleteRecursive(staging)
+    moved
   }
+
+  /** All data files under the given (table-relative) partition dirs,
+    * as table-relative paths — the plain-layout feed for within-
+    * partition file skipping. */
+  private[catalog] def filesUnderDirs(tableDir: Path,
+                                      dirs: Seq[Path]): Seq[Path] =
+    dirs.flatMap { rel =>
+      val d = tableDir.resolve(rel)
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }.map(p => rel.resolve(p.getFileName)).toSeq
+        finally s.close()
+      }
+    }
 
   /** All leaf partition directories (dirs that directly contain data
     * files) under `root`, as root-relative paths. */
@@ -898,6 +1074,36 @@ private[catalog] final class PartitionedWrite(
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val committed = PartitionedWrite.committedFiles(messages)
+      if (Snapshots.isVersioned(tableDir)) {
+        // SNAPSHOT commit: nothing is physically deleted — the new
+        // manifest simply stops referencing the replaced files, which
+        // stay on disk for older snapshots until expire_snapshots
+        val prev = Snapshots.latest(tableDir).map(_.files).getOrElse(Seq.empty)
+        val live = mode match {
+          case PartitionedWrite.Append => prev ++ committed
+          case PartitionedWrite.Truncate => committed
+          case PartitionedWrite.Dynamic =>
+            val touched = committed
+              .flatMap(rel => Option(Paths.get(rel).getParent))
+              .map(_.toString).toSet
+            prev.filterNot(f =>
+              Option(Paths.get(f).getParent).exists(p => touched(p.toString))) ++
+              committed
+          case PartitionedWrite.Static(specMap) =>
+            val wanted = specMap.map { case (c, v) =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(c, v)
+            }.toSet
+            prev.filterNot { f =>
+              val segs = Paths.get(f).iterator().asScala.map(_.toString).toSet
+              wanted.subsetOf(segs)
+            } ++ committed
+        }
+        PartitionedWrite.publishStaged(staging, tableDir, committed)
+        Snapshots.commit(tableDir, live)
+        SparkSession.active.catalog.clearCache()
+        return
+      }
       mode match {
         case PartitionedWrite.Truncate =>
           // drop every data subtree (incl. hidden-bucket dirs), keep

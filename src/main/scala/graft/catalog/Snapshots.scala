@@ -1,0 +1,130 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** Manifest-file snapshot log for PARTITIONED lake tables — the
+  * Iceberg/Paimon model where a snapshot is a LIST OF DATA FILES, not
+  * a directory (reference lake tier: Paimon/Iceberg,
+  * `flink-cdc/Dockerfile:8-9`; tiering opt-in
+  * `flink-cdc/sql/tickets-cdc.sql:35-36`). The flat-table `v=<n>`
+  * directory layout cannot compose with `col=value` partition
+  * directories, so versioned partitioned tables decouple versioning
+  * from layout:
+  *
+  *  - data files land in the ordinary hive `col=value` /
+  *    `_gbucket=<id>` directories and are IMMUTABLE once committed;
+  *  - each commit writes `_graft_snapshots/s-<n>.json` — the
+  *    table-relative paths of the files that ARE version `n`, plus the
+  *    commit wall-clock;
+  *  - the CURRENT table reads the latest manifest's files; `VERSION /
+  *    TIMESTAMP AS OF` reads an older manifest; overwritten/deleted
+  *    files stay on disk (readable by older snapshots) until
+  *    `expire_snapshots` drops the manifests that reference them and
+  *    garbage-collects the unreferenced files.
+  *
+  * Presence of the `_graft_snapshots/` directory is what flips a
+  * partitioned table into snapshot semantics (created by `CREATE TABLE
+  * ... TBLPROPERTIES ('versioned'='true')`). Manifests are written
+  * temp-file + atomic move, so readers never observe a torn manifest;
+  * like the rest of the lake layout, the log assumes a single writer
+  * (the reference's single Flink job per table). */
+private[catalog] object Snapshots {
+
+  val DirName = "_graft_snapshots"
+  val Property = "versioned"
+
+  final case class Snapshot(version: Long, commitMs: Long, files: Seq[String])
+
+  private def dir(tableDir: Path): Path = tableDir.resolve(DirName)
+
+  private def manifest(tableDir: Path, v: Long): Path =
+    dir(tableDir).resolve(s"s-$v.json")
+
+  def isVersioned(tableDir: Path): Boolean = Files.isDirectory(dir(tableDir))
+
+  /** Create the snapshot log with the empty initial snapshot `s-0`
+    * (an empty versioned table is version 0 and readable). */
+  def init(tableDir: Path): Unit = {
+    Files.createDirectories(dir(tableDir))
+    write(tableDir, Snapshot(0L, System.currentTimeMillis(), Seq.empty))
+  }
+
+  /** Retained snapshot versions, ascending. */
+  def versions(tableDir: Path): Seq[Long] = {
+    val d = dir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("s-") && n.endsWith(".json"))
+        .flatMap(n => n.stripPrefix("s-").stripSuffix(".json").toLongOption)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def read(tableDir: Path, v: Long): Option[Snapshot] = {
+    val f = manifest(tableDir, v)
+    if (!Files.exists(f)) None
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(Files.readString(f))
+      Some(Snapshot(
+        node.get("version").asLong(),
+        node.get("commitMs").asLong(),
+        Option(node.get("files")).toSeq
+          .flatMap(_.elements().asScala.toSeq).map(_.asText())))
+    }
+  }
+
+  def latest(tableDir: Path): Option[Snapshot] =
+    versions(tableDir).lastOption.flatMap(read(tableDir, _))
+
+  /** Commit a new snapshot with the given live-file list; returns its
+    * version (latest + 1). */
+  def commit(tableDir: Path, files: Seq[String]): Long = {
+    val v = versions(tableDir).lastOption.fold(0L)(_ + 1L)
+    write(tableDir, Snapshot(v, System.currentTimeMillis(), files))
+    v
+  }
+
+  def delete(tableDir: Path, v: Long): Unit = {
+    Files.deleteIfExists(manifest(tableDir, v)); ()
+  }
+
+  /** Every file referenced by ANY retained snapshot — the GC
+    * reachability set for expire/vacuum. */
+  def referencedFiles(tableDir: Path): Set[String] =
+    versions(tableDir).flatMap(read(tableDir, _)).flatMap(_.files).toSet
+
+  /** The distinct partition directories (table-relative) of a file
+    * list — the manifest-derived replacement for a filesystem
+    * leaf-directory listing. */
+  def leafDirsOf(files: Seq[String]): Seq[Path] =
+    files.flatMap(f => Option(Paths.get(f).getParent)).distinct
+
+  /** The subset of `files` living under any of the given
+    * (table-relative) partition directories. */
+  def filesUnder(files: Seq[String], dirs: Seq[Path]): Seq[String] = {
+    val set = dirs.map(_.toString).toSet
+    files.filter(f => Option(Paths.get(f).getParent).exists(p => set(p.toString)))
+  }
+
+  private def write(tableDir: Path, s: Snapshot): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", s.version)
+    root.put("commitMs", s.commitMs)
+    val arr = root.putArray("files")
+    s.files.sorted.foreach(arr.add)
+    val target = manifest(tableDir, s.version)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, om.writeValueAsString(root))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+}

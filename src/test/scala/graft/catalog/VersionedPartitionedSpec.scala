@@ -1,0 +1,175 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+
+/** Manifest-snapshot versioning on PARTITIONED lake tables
+  * (`TBLPROPERTIES ('versioned'='true')`): every commit writes a
+  * `_graft_snapshots/s-<n>.json` manifest, the current read resolves
+  * the latest manifest's file list, `VERSION/TIMESTAMP AS OF` reads an
+  * older one, and replaced files stay on disk for older snapshots —
+  * the Iceberg model, where a snapshot is a FILE LIST, not a
+  * directory. */
+class VersionedPartitionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withLake(tag: String)(body: (String, Path) => Unit): Unit = {
+    val lake = Files.createTempDirectory(s"graft-lake-$tag")
+    Files.createDirectories(lake.resolve("m"))
+    val cat = s"lk$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake.toString)
+    try body(cat, lake)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.path")
+    }
+  }
+
+  private def rows(cat: String): Seq[(Long, String)] =
+    spark.table(s"$cat.m.t").as[(Long, String)].collect().sortBy(_._1).toSeq
+
+  test("commits write manifests; current read = latest; VERSION AS OF reads history; replaced files survive for old snapshots") {
+    withLake("vp1") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val dir = lake.resolve("m/t.parquet")
+      // s-0 is the empty initial snapshot
+      assert(Snapshots.versions(dir) == Seq(0L))
+      assert(spark.table(s"$cat.m.t").count() == 0L)
+
+      // v1: append
+      Seq((1L, "EU"), (2L, "US")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      assert(Snapshots.versions(dir) == Seq(0L, 1L))
+      assert(rows(cat) == Seq((1L, "EU"), (2L, "US")))
+
+      // v2: dynamic overwrite of EU only
+      val prevMode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try spark.sql(s"INSERT OVERWRITE $cat.m.t VALUES (10, 'EU')")
+      finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+      assert(rows(cat) == Seq((2L, "US"), (10L, "EU")))
+
+      // time travel: every version still reads its own content
+      def at(v: Any): Seq[(Long, String)] =
+        spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF $v")
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(at(0) == Seq.empty)
+      assert(at(1) == Seq((1L, "EU"), (2L, "US")),
+        "the overwritten EU file must still be readable at v1")
+      assert(at(2) == Seq((2L, "US"), (10L, "EU")))
+
+      // v3: DELETE — old snapshot content unaffected
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 2")
+      assert(rows(cat) == Seq((10L, "EU")))
+      assert(at(2) == Seq((2L, "US"), (10L, "EU")))
+
+      // v4: UPDATE (row-level rewrite through the manifest)
+      spark.sql(s"UPDATE $cat.m.t SET n = 11 WHERE region = 'EU'")
+      assert(rows(cat) == Seq((11L, "EU")))
+      assert(at(3) == Seq((10L, "EU")))
+      assert(Snapshots.versions(dir) == Seq(0L, 1L, 2L, 3L, 4L))
+
+      // partition pruning still plans on the snapshot scan: exactly
+      // ONE live file (the EU partition's) reaches the file index
+      val plan = spark.table(s"$cat.m.t").where("region = 'EU'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryFileIndex(1 paths)") &&
+        plan.contains("region=EU"),
+        s"expected a one-file manifest-pruned scan, got:\n$plan")
+
+      // historical views are read-only (Spark's parser already rejects
+      // DML-with-time-travel SQL; the connector guard is the backstop)
+      val plugin = new GraftLakeCatalog
+      plugin.initialize(cat, new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", lake.toString)))
+      val hist = plugin.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("m"), "t"), "1")
+      assert(hist.capabilities().size() == 1 &&
+        hist.capabilities().contains(
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ),
+        "a time-travel snapshot view must be read-only")
+      val e = intercept[UnsupportedOperationException](
+        hist.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDeleteV2]
+          .deleteWhere(Array.empty))
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves through manifest commit stamps; truncate commits an empty snapshot") {
+    withLake("vp2") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val dir = lake.resolve("m/t.parquet")
+      Seq((1L, "EU")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      // nudge the manifest stamps apart so the boundary is testable
+      val s1 = Snapshots.read(dir, 1L).get
+      Thread.sleep(5)
+      Seq((2L, "US")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      val s2 = Snapshots.read(dir, 2L).get
+      assert(s2.commitMs >= s1.commitMs)
+      val t1 = java.time.Instant.ofEpochMilli(s1.commitMs).toString
+      val got = spark.sql(
+        s"SELECT * FROM $cat.m.t TIMESTAMP AS OF '$t1'")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "EU")),
+        s"TIMESTAMP AS OF '$t1' must read s-1, got $got")
+
+      // TRUNCATE = an empty snapshot; history intact
+      spark.sql(s"TRUNCATE TABLE $cat.m.t")
+      assert(spark.table(s"$cat.m.t").count() == 0L)
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 2")
+        .count() == 2L)
+      // and the table still accepts writes after truncate
+      Seq((9L, "SA")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      assert(rows(cat) == Seq((9L, "SA")))
+    }
+  }
+
+  test("bucketed versioned table: SPJ keyed scan reads the snapshot's files; point lookup prunes buckets") {
+    withLake("vp3") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (k BIGINT, v STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      // overwrite everything: the old files stay for v1
+      spark.sql(s"INSERT OVERWRITE $cat.m.t " +
+        "SELECT id AS k, concat('b', id) AS v FROM range(1, 11)")
+      assert(spark.table(s"$cat.m.t").count() == 10L,
+        "current read must see only the latest snapshot's files")
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 1")
+        .count() == 40L)
+      // the point lookup still answers from the current snapshot
+      assert(spark.table(s"$cat.m.t").where("k = 7")
+        .select("v").as[String].collect().toSeq == Seq("b7"))
+    }
+  }
+
+  test("guard rails: plain partitioned tables reject time travel; flat tables reject the property") {
+    withLake("vp4") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.plain (n BIGINT, g STRING)
+           |PARTITIONED BY (g)""".stripMargin)
+      Seq((1L, "x")).toDF("n", "g").write.mode("append")
+        .insertInto(s"$cat.m.plain")
+      val e1 = intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.m.plain VERSION AS OF 0").collect())
+      assert(e1.getMessage.contains("versioned"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.m.flat (n BIGINT) TBLPROPERTIES ('versioned'='true')"))
+      assert(e2.getMessage.contains("PARTITIONED"), e2.getMessage)
+    }
+  }
+}
