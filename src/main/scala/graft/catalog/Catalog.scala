@@ -69,6 +69,12 @@ object Catalog {
     // Streaming the logical schema naively would either fail listing
     // or emit NULL partition columns silently.
     val pspec = PartitionSpec.read(dir)
+    // manifest-versioned partitioned tables: a file tail would stream
+    // files of EVERY snapshot (dead ones included) — tail the commits
+    // through the change feed instead, like flat versioned tables
+    require(!Snapshots.isVersioned(dir),
+      s"'$ref' is a manifest-versioned partitioned table — stream its " +
+        "commits as a change feed via readStreamTable(spark, ref, keys)")
     if (pspec.nonEmpty) {
       val bucketed = pspec.exists(_.isInstanceOf[PartitionSpec.Bucket])
       val streamSchema =
@@ -113,7 +119,7 @@ object Catalog {
         s"catalog '${parts(0)}' is not configured in this session"))
     val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
     require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
-    require(DeletableTable.versionsOf(dir).nonEmpty,
+    require(DeletableTable.versionsOf(dir).nonEmpty || Snapshots.isVersioned(dir),
       s"'$ref' is not a versioned table — tail its part files with " +
         "readStreamTable(spark, ref) instead")
     spark.readStream

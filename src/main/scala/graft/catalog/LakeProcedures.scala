@@ -56,8 +56,8 @@ private[catalog] object LakeProcedures {
       case "snapshots" =>
         Some(proc(root, "snapshots", Seq("tbl" -> StringType),
           new StructType().add("version", LongType).add("commit_ms", LongType)) {
-          (_, store, _) =>
-            store.versions.map(v => InternalRow(v, store.commitTimeMs(v).getOrElse(-1L)))
+          (_, log, _) =>
+            log.versions.map(v => InternalRow(v, log.commitMs(v).getOrElse(-1L)))
         })
       case "rollback" =>
         // Iceberg-style NON-destructive rollback: re-commit snapshot
@@ -68,13 +68,8 @@ private[catalog] object LakeProcedures {
         // rewrite lands only under the new version directory.
         Some(proc(root, "rollback",
           Seq("tbl" -> StringType, "version" -> LongType),
-          new StructType().add("new_version", LongType)) { (_, store, args) =>
-          val v = args.getLong(1)
-          val df = store.read(v).getOrElse(throw new IllegalArgumentException(
-            s"rollback: no snapshot v=$v (have ${store.versions.mkString(",")})"))
-          val next = store.latestVersion.get + 1L
-          store.write(df, next)
-          Seq(InternalRow(next))
+          new StructType().add("new_version", LongType)) { (_, log, args) =>
+          Seq(InternalRow(log.rollbackTo(args.getLong(1))))
         })
       // Snapshot tags (Iceberg refs): a named pointer into history.
       // `tag` creates (errors on an existing name — retag = drop+tag),
@@ -85,14 +80,14 @@ private[catalog] object LakeProcedures {
         Some(proc(root, "tag",
           Seq("tbl" -> StringType, "name" -> StringType,
             "version" -> LongType),
-          new StructType().add("version", LongType)) { (dir, store, args) =>
+          new StructType().add("version", LongType)) { (dir, log, args) =>
           val name = args.getUTF8String(1).toString
           val v = args.getLong(2)
           if (name.toLongOption.isDefined) throw new IllegalArgumentException(
             s"tag: '$name' parses as a number — the numeric namespace " +
               "belongs to raw snapshot ids")
-          if (!store.versions.contains(v)) throw new IllegalArgumentException(
-            s"tag: no snapshot v=$v (have ${store.versions.mkString(",")})")
+          if (!log.versions.contains(v)) throw new IllegalArgumentException(
+            s"tag: no snapshot v=$v (have ${log.versions.mkString(",")})")
           val cur = Tags.read(dir)
           if (cur.contains(name)) throw new IllegalArgumentException(
             s"tag: '$name' already points at v=${cur(name)} — drop_tag first")
@@ -121,10 +116,10 @@ private[catalog] object LakeProcedures {
       case "expire_snapshots" =>
         Some(proc(root, "expire_snapshots",
           Seq("tbl" -> StringType, "keep" -> IntegerType),
-          new StructType().add("retained_versions", LongType)) { (dir, store, args) =>
+          new StructType().add("retained_versions", LongType)) { (dir, log, args) =>
           // tagged snapshots are pinned (the Iceberg retention rule)
-          store.expire(args.getInt(1), Tags.read(dir).values.toSet)
-          Seq(InternalRow(store.versions.size.toLong))
+          log.expire(args.getInt(1), Tags.read(dir).values.toSet)
+          Seq(InternalRow(log.versions.size.toLong))
         })
       case "compact" =>
         // works on BOTH layouts: versioned tables re-commit the latest
@@ -160,32 +155,60 @@ private[catalog] object LakeProcedures {
                   // partition via the repartition below; the hidden
                   // bucket column re-derives from the writer's hash) —
                   // a flat rewrite would destroy the `col=value` dirs
-                  // and bake partition values into the data files
-                  val tmp = tableDir.resolveSibling(
-                    tableDir.getFileName.toString + ".__rewrite")
-                  PartitionedWrite.deleteRecursive(tmp)
-                  val dirCols = PartitionSpec.dirCols(pspec)
-                  val df = spark.read
-                    .option("basePath", tableDir.toString)
-                    .parquet(tableDir.toString)
-                  val withBucket = pspec.collectFirst {
-                    case b: PartitionSpec.Bucket => b
-                  }.fold(df) { b =>
-                    // re-derive if absent (reads include it already)
-                    if (df.columns.contains(PartitionSpec.BucketDir)) df
-                    else df.withColumn(PartitionSpec.BucketDir,
-                      org.apache.spark.sql.functions.pmod(
-                        org.apache.spark.sql.functions.hash(
-                          org.apache.spark.sql.functions.col(b.col)),
-                        org.apache.spark.sql.functions.lit(b.n)))
+                  // and bake partition values into the data files.
+                  // Manifest-versioned tables compact as a NEW SNAPSHOT
+                  // (read the live files, commit the compacted file
+                  // list; history intact — the Iceberg rewrite_data_
+                  // files model); plain ones staged-swap in place.
+                  val snap = Snapshots.latest(tableDir)
+                  if (snap.exists(_.files.isEmpty))
+                    // compacting an empty snapshot: nothing to rewrite
+                    InternalRow(snap.get.version)
+                  else {
+                    val tmp = tableDir.resolveSibling(
+                      tableDir.getFileName.toString + ".__rewrite" +
+                        snap.fold("")(_ => "-" +
+                          java.util.UUID.randomUUID().toString.take(8)))
+                    PartitionedWrite.deleteRecursive(tmp)
+                    val dirCols = PartitionSpec.dirCols(pspec)
+                    val df = snap match {
+                      case Some(s) => spark.read
+                        .option("basePath", tableDir.toString)
+                        .parquet(s.files.map(f =>
+                          tableDir.resolve(f).toString): _*)
+                      case None => spark.read
+                        .option("basePath", tableDir.toString)
+                        .parquet(tableDir.toString)
+                    }
+                    val withBucket = pspec.collectFirst {
+                      case b: PartitionSpec.Bucket => b
+                    }.fold(df) { b =>
+                      // re-derive if absent (reads include it already)
+                      if (df.columns.contains(PartitionSpec.BucketDir)) df
+                      else df.withColumn(PartitionSpec.BucketDir,
+                        org.apache.spark.sql.functions.pmod(
+                          org.apache.spark.sql.functions.hash(
+                            org.apache.spark.sql.functions.col(b.col)),
+                          org.apache.spark.sql.functions.lit(b.n)))
+                    }
+                    withBucket
+                      .repartition(target,
+                        dirCols.map(org.apache.spark.sql.functions.col): _*)
+                      .write.partitionBy(dirCols: _*)
+                      .parquet(tmp.toString)
+                    snap match {
+                      case Some(_) =>
+                        // NEW SNAPSHOT: the compacted files ARE the
+                        // next manifest; pre-compaction snapshots stay
+                        // readable until expire_snapshots
+                        val staged =
+                          PartitionedWrite.mergeIntoReturning(tmp, tableDir)
+                        InternalRow(Snapshots.commit(tableDir, staged))
+                      case None =>
+                        DeletableTable.publishStagedRewrite(tableDir, tmp)
+                        InternalRow(null)
+                    }
                   }
-                  withBucket
-                    .repartition(target,
-                      dirCols.map(org.apache.spark.sql.functions.col): _*)
-                    .write.partitionBy(dirCols: _*)
-                    .parquet(tmp.toString)
-                  DeletableTable.publishStagedRewrite(tableDir, tmp)
-                  InternalRow(null)
                 } else {
                   val tmp = tableDir.resolveSibling(
                     tableDir.getFileName.toString + ".__rewrite")
@@ -346,7 +369,13 @@ private[catalog] object LakeProcedures {
       case "purge_keys" =>
         Some(proc(root, "purge_keys",
           Seq("tbl" -> StringType, "key_col" -> StringType, "keys_csv" -> StringType),
-          new StructType().add("rows_removed", LongType)) { (_, store, args) =>
+          new StructType().add("rows_removed", LongType)) { (dir, log, args) =>
+          if (!log.isInstanceOf[StoreLog]) throw new UnsupportedOperationException(
+            "purge_keys: manifest-versioned partitioned tables are not " +
+              "supported yet — rewrite history with per-snapshot DELETE + " +
+              "expire_snapshots instead")
+          val store = new graft.streaming.StateStore(
+            SparkSession.active, dir.toString)
           val keyCol = args.getUTF8String(1).toString
           val keys: Seq[Any] = args.getUTF8String(2).toString
             .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -509,12 +538,94 @@ private[catalog] object LakeProcedures {
     dir
   }
 
-  /** Build an UnboundProcedure from a (store, args) → report-rows
-    * function. Argument 0 is always `tbl`; the store resolves against
-    * the catalog root and must be a versioned table directory. */
+  /** Layout-polymorphic snapshot lifecycle — the procedures above run
+    * unchanged over BOTH versioned layouts: flat `v=<n>` directory
+    * stores ([[graft.streaming.StateStore]]) and partitioned manifest
+    * logs ([[Snapshots]]). */
+  private[catalog] sealed trait VersionLog {
+    def versions: Seq[Long]
+    def commitMs(v: Long): Option[Long]
+    /** Non-destructive rollback: re-commit snapshot `v`'s content as
+      * latest+1; returns the new version. */
+    def rollbackTo(v: Long): Long
+    /** Drop all but the newest `keep` snapshots, never a pinned one;
+      * manifest logs also garbage-collect the data files no retained
+      * snapshot references. */
+    def expire(keep: Int, pinned: Set[Long]): Unit
+  }
+
+  private final class StoreLog(store: graft.streaming.StateStore)
+      extends VersionLog {
+    def versions: Seq[Long] = store.versions
+    def commitMs(v: Long): Option[Long] = store.commitTimeMs(v)
+    def rollbackTo(v: Long): Long = {
+      val df = store.read(v).getOrElse(throw new IllegalArgumentException(
+        s"rollback: no snapshot v=$v (have ${store.versions.mkString(",")})"))
+      val next = store.latestVersion.get + 1L
+      store.write(df, next)
+      next
+    }
+    def expire(keep: Int, pinned: Set[Long]): Unit = store.expire(keep, pinned)
+  }
+
+  private final class ManifestLog(tableDir: Path) extends VersionLog {
+    def versions: Seq[Long] = Snapshots.versions(tableDir)
+    def commitMs(v: Long): Option[Long] =
+      Snapshots.read(tableDir, v).map(_.commitMs)
+    def rollbackTo(v: Long): Long = {
+      val s = Snapshots.read(tableDir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"rollback: no snapshot s-$v (have ${versions.mkString(",")})"))
+      Snapshots.commit(tableDir, s.files)
+    }
+    def expire(keep: Int, pinned: Set[Long]): Unit = {
+      require(keep >= 1, "expire_snapshots: keep must be >= 1")
+      val vs = versions
+      val retained = (vs.takeRight(keep) ++ vs.filter(pinned)).distinct
+      vs.filterNot(retained.contains).foreach(Snapshots.delete(tableDir, _))
+      // GC: physically delete the data files no retained manifest
+      // references (the whole point of expiring a manifest), then
+      // drop partition directories left empty
+      val live = Snapshots.referencedFiles(tableDir)
+      val leaves = PartitionedWrite.leafPartitionDirs(tableDir)
+      PartitionedWrite.filesUnderDirs(tableDir, leaves)
+        .filterNot(rel => live(rel.toString))
+        .foreach { rel =>
+          Files.deleteIfExists(tableDir.resolve(rel))
+          val crc = tableDir.resolve(rel).resolveSibling(
+            "." + rel.getFileName.toString + ".crc")
+          Files.deleteIfExists(crc)
+        }
+      leaves.map(tableDir.resolve).foreach { d =>
+        // remove now-empty partition dirs bottom-up (multi-level
+        // identity specs nest)
+        var cur = d
+        while (cur != tableDir && Files.isDirectory(cur) && {
+          val s = Files.list(cur)
+          try !s.iterator().hasNext finally s.close()
+        }) {
+          Files.delete(cur)
+          cur = cur.getParent
+        }
+      }
+    }
+  }
+
+  /** The version log of a table dir: manifest for snapshot-versioned
+    * partitioned tables, store for flat `v=<n>` ones; None = plain. */
+  private def versionLogOf(dir: Path): Option[VersionLog] =
+    if (Snapshots.isVersioned(dir)) Some(new ManifestLog(dir))
+    else if (DeletableTable.versionsOf(dir).nonEmpty)
+      Some(new StoreLog(new graft.streaming.StateStore(
+        SparkSession.active, dir.toString)))
+    else None
+
+  /** Build an UnboundProcedure from a (dir, log, args) → report-rows
+    * function. Argument 0 is always `tbl`; the dir resolves against
+    * the catalog root and must be versioned in EITHER layout. */
   private def proc(root: Path, procName: String,
                    params: Seq[(String, DataType)], outSchema: StructType)(
-      body: (Path, graft.streaming.StateStore, InternalRow) => Seq[InternalRow]): UnboundProcedure =
+      body: (Path, VersionLog, InternalRow) => Seq[InternalRow]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft lake maintenance: $procName"
@@ -531,12 +642,14 @@ private[catalog] object LakeProcedures {
             case _ => throw new IllegalArgumentException(
               s"$procName: tbl must be 'db.table', got '$tbl'")
           }
-          if (!Files.isDirectory(dir) || DeletableTable.versionsOf(dir).isEmpty)
+          if (!Files.isDirectory(dir))
             throw new IllegalArgumentException(
-              s"$procName: '$tbl' is not a versioned (v=<n>) lake table")
-          val store = new graft.streaming.StateStore(
-            SparkSession.active, dir.toString)
-          val out = body(dir, store, input).toArray
+              s"$procName: no such table '$tbl'")
+          val log = versionLogOf(dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"$procName: '$tbl' is not a versioned lake table " +
+                "(neither v=<n> snapshots nor a manifest log)"))
+          val out = body(dir, log, input).toArray
           SparkSession.active.catalog.clearCache()
           java.util.List.of[Scan](new LocalScan {
             override def rows(): Array[InternalRow] = out

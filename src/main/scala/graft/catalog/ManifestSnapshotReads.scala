@@ -1,0 +1,60 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** [[graft.streaming.SnapshotReads]] over a MANIFEST-versioned
+  * partitioned lake table: versions are the `_graft_snapshots/s-<n>`
+  * manifests, `read(v)` loads exactly that snapshot's file list (with
+  * identity partition values restored via basePath inference and the
+  * hidden bucket level dropped), in the declared logical column order.
+  * This is what lets the change-feed streaming source
+  * ([[org.apache.spark.sql.graft.ChangeFeedSourceProvider]]) tail the
+  * partitioned lake layout exactly like the flat `v=<n>` one. */
+final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
+    extends graft.streaming.SnapshotReads {
+
+  require(Snapshots.isVersioned(tableDir),
+    s"$tableDir is not a manifest-versioned table")
+
+  private val logical: org.apache.spark.sql.types.StructType = {
+    val sidecar = tableDir.resolve("_graft_schema.json")
+    require(Files.exists(sidecar),
+      s"$tableDir has no declared schema sidecar — corrupt table dir")
+    org.apache.spark.sql.types.DataType.fromJson(Files.readString(sidecar))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  private val bucketed: Boolean =
+    PartitionSpec.read(tableDir).exists(_.isInstanceOf[PartitionSpec.Bucket])
+
+  override def versions: Seq[Long] = Snapshots.versions(tableDir)
+
+  override def read(version: Long): Option[DataFrame] =
+    Snapshots.read(tableDir, version).map { s =>
+      if (s.files.isEmpty)
+        spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](), logical)
+      else {
+        val readSchema =
+          if (!bucketed) logical
+          else org.apache.spark.sql.types.StructType(logical.fields :+
+            org.apache.spark.sql.types.StructField(PartitionSpec.BucketDir,
+              org.apache.spark.sql.types.IntegerType, nullable = true))
+        val raw = spark.read.option("basePath", tableDir.toString)
+          .schema(readSchema)
+          .parquet(s.files.map(f => tableDir.resolve(f).toString): _*)
+        if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
+      }
+    }
+}
+
+object ManifestSnapshotReads {
+  /** Whether `dir` is a manifest-versioned partitioned table. */
+  def isManifestVersioned(dir: String): Boolean =
+    Snapshots.isVersioned(Paths.get(dir))
+
+  def apply(spark: SparkSession, dir: String): ManifestSnapshotReads =
+    new ManifestSnapshotReads(spark, Paths.get(dir))
+}

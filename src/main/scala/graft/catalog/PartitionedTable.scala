@@ -1003,7 +1003,11 @@ private[catalog] object PartitionedWrite {
     }
 
   /** All leaf partition directories (dirs that directly contain data
-    * files) under `root`, as root-relative paths. */
+    * files) under `root`, as root-relative paths. Only true
+    * `name=value` partition paths qualify — every segment must carry
+    * an '=', which keeps sidecar DIRECTORIES (`_graft_snapshots/`,
+    * whose json files are not underscore-prefixed) out of the data
+    * walks that feed scans, rewrites, and GC. */
   private[catalog] def leafPartitionDirs(root: Path): Seq[Path] = {
     if (!Files.isDirectory(root)) return Seq.empty
     val s = Files.walk(root)
@@ -1014,7 +1018,8 @@ private[catalog] object PartitionedWrite {
           Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
         }
         .map(p => root.relativize(p.getParent))
-        .filter(_.toString.nonEmpty)
+        .filter(rel => rel.toString.nonEmpty &&
+          rel.iterator().asScala.forall(_.toString.contains('=')))
         .toSeq.distinct
     } finally s.close()
   }

@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
 object ChangeFeed {
 
   /** Changelog from snapshot `from` to snapshot `to` of `store`,
-    * keyed on `keys`. */
-  def between(store: StateStore, from: Long, to: Long,
+    * keyed on `keys` — over either versioned layout (flat `v=<n>`
+    * store or partitioned manifest log). */
+  def between(store: SnapshotReads, from: Long, to: Long,
               keys: Seq[String]): DataFrame = {
     val a = store.read(from).getOrElse(
       throw new IllegalArgumentException(s"version $from not committed"))

@@ -15,12 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exactly-once the reference configures
   * (`'execution.checkpointing.mode'='EXACTLY_ONCE'`, tickets-cdc.sql:3).
   */
-final class StateStore(spark: SparkSession, dir: String) {
+/** Minimal read surface of a versioned table — what the change feed
+  * and its streaming source need, implemented by BOTH versioned
+  * layouts: the flat `v=<n>` directory store ([[StateStore]]) and the
+  * partitioned manifest log
+  * ([[graft.catalog.ManifestSnapshotReads]]). */
+trait SnapshotReads {
+  /** Retained snapshot versions, ascending. */
+  def versions: Seq[Long]
+  def latestVersion: Option[Long] = versions.lastOption
+  /** Snapshot `version` as a DataFrame; None if never committed or
+    * expired. */
+  def read(version: Long): Option[DataFrame]
+}
+
+final class StateStore(spark: SparkSession, dir: String)
+    extends SnapshotReads {
   private val fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
   private val base = new org.apache.hadoop.fs.Path(dir)
-
-  def latestVersion: Option[Long] = versions.lastOption
 
   /** All committed versions, ascending — the snapshot history that
     * time travel navigates. */

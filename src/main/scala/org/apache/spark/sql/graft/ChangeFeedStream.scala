@@ -76,11 +76,18 @@ private[graft] object ChangeFeedSource {
     store.read(first).get.schema
   }
 
+  /** The snapshot reader for `path`: a manifest log for versioned
+    * PARTITIONED tables, the flat `v=<n>` store otherwise — the feed
+    * logic above is layout-agnostic through
+    * [[graft.streaming.SnapshotReads]]. */
   def storeFor(sqlContext: SQLContext,
-               parameters: Map[String, String]): graft.streaming.StateStore =
-    new graft.streaming.StateStore(sqlContext.sparkSession,
-      parameters.getOrElse("path", throw new IllegalArgumentException(
-        "graft-changefeed: 'path' option is required")))
+               parameters: Map[String, String]): graft.streaming.SnapshotReads = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-changefeed: 'path' option is required"))
+    if (graft.catalog.ManifestSnapshotReads.isManifestVersioned(path))
+      graft.catalog.ManifestSnapshotReads(sqlContext.sparkSession, path)
+    else new graft.streaming.StateStore(sqlContext.sparkSession, path)
+  }
 
   def keysOf(parameters: Map[String, String]): Seq[String] =
     parameters.getOrElse("keys", throw new IllegalArgumentException(

@@ -157,6 +157,137 @@ class VersionedPartitionedSpec extends SparkSpec {
     }
   }
 
+  private def dataFiles(dir: Path): Seq[String] = {
+    val s = Files.walk(dir)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
+          !p.startsWith(dir.resolve(Snapshots.DirName))
+      }.map(p => dir.relativize(p).toString).toSeq.sorted
+    finally s.close()
+  }
+
+  test("lifecycle procedures on manifest tables: snapshots, tag + VERSION AS OF name, rollback, expire GCs unreferenced files") {
+    withLake("vp5") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val dir = lake.resolve("m/t.parquet")
+      Seq((1L, "EU")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")          // s-1
+      spark.sql(s"INSERT OVERWRITE $cat.m.t VALUES (2, 'EU')") // s-2 (truncate-mode)
+      Seq((3L, "US")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")          // s-3
+
+      // snapshots report: one row per manifest, real commit stamps
+      val snaps = spark.sql(s"CALL $cat.system.snapshots('m.t')")
+        .as[(Long, Long)].collect().toSeq
+      assert(snaps.map(_._1) == Seq(0L, 1L, 2L, 3L))
+      assert(snaps.forall(_._2 > 0L))
+
+      // tag s-1, address it by name
+      spark.sql(s"CALL $cat.system.tag('m.t', 'before_overwrite', 1)")
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 'before_overwrite'")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "EU")))
+
+      // rollback to s-2: non-destructive (a NEW manifest s-4)
+      val nv = spark.sql(s"CALL $cat.system.rollback('m.t', 2)")
+        .as[Long].head()
+      assert(nv == 4L)
+      assert(rows(cat) == Seq((2L, "EU")))
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 3")
+        .count() == 2L, "rolled-back-over snapshots stay readable")
+
+      // expire to the newest 1 + the tagged pin: s-1 (tagged) and s-4
+      // survive; the v1-only and v3-only files are GC'd from disk
+      val before = dataFiles(dir)
+      spark.sql(s"CALL $cat.system.expire_snapshots('m.t', 1)")
+      assert(Snapshots.versions(dir) == Seq(1L, 4L),
+        "expire keeps the newest keep=1 plus tagged snapshots")
+      val after = dataFiles(dir)
+      val live = Snapshots.referencedFiles(dir)
+      assert(after.toSet == live,
+        s"disk must hold exactly the referenced files; " +
+          s"had $before, now $after, live $live")
+      assert(before.size > after.size, "expire must GC unreferenced files")
+      // the survivors still read correctly
+      assert(rows(cat) == Seq((2L, "EU")))
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 'before_overwrite'")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "EU")))
+      // expired versions are gone
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 3").collect())
+      assert(e.getMessage.contains("expired"), e.getMessage)
+    }
+  }
+
+  test("compact on a manifest table commits a new snapshot; history intact") {
+    withLake("vp6") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val dir = lake.resolve("m/t.parquet")
+      // several small appends → several files per partition
+      (1 to 4).foreach(i =>
+        Seq((i.toLong, "EU"), (i + 10L, "US")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t"))
+      val filesBefore = Snapshots.latest(dir).get.files
+      assert(filesBefore.size == 8)
+      val nv = spark.sql(s"CALL $cat.system.compact('m.t', 1)").as[Long].head()
+      assert(nv == 5L)
+      val filesAfter = Snapshots.latest(dir).get.files
+      assert(filesAfter.size == 2, s"one file per partition, got $filesAfter")
+      assert(spark.table(s"$cat.m.t").count() == 8L)
+      // pre-compaction snapshot still reads its own files
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 4").count() == 8L)
+      // layout preserved
+      assert(filesAfter.forall(f => f.startsWith("region=")))
+    }
+  }
+
+  test("within-partition file skipping: analyze'd min/max stats compose with partition pruning on the hive layout") {
+    withLake("vp7") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (k BIGINT, region STRING)
+           |PARTITIONED BY (region)""".stripMargin)
+      // three appends per partition → three files with DISJOINT k
+      // ranges inside each region directory
+      Seq(1L to 10L, 100L to 110L, 1000L to 1010L).foreach { r =>
+        r.map(k => (k, "EU")).toDF("k", "region")
+          .write.mode("append").insertInto(s"$cat.m.t")
+        r.map(k => (k + 5, "US")).toDF("k", "region")
+          .write.mode("append").insertInto(s"$cat.m.t")
+      }
+      spark.sql(s"CALL $cat.system.analyze('m.t', 'k')")
+      // region prunes to EU (3 files), then k = 105 skips to ONE file
+      val q = spark.table(s"$cat.m.t")
+        .where("region = 'EU' AND k = 105")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryFileIndex(1 paths)") &&
+        plan.contains("region=EU"),
+        s"expected partition pruning + file skipping to leave 1 file:\n$plan")
+      assert(q.count() == 1L)
+      // the same composition holds on a MANIFEST-versioned table
+      spark.sql(
+        s"""CREATE TABLE $cat.m.v (k BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq(1L to 10L, 100L to 110L).foreach { r =>
+        r.map(k => (k, "EU")).toDF("k", "region")
+          .write.mode("append").insertInto(s"$cat.m.v")
+      }
+      spark.sql(s"CALL $cat.system.analyze('m.v', 'k')")
+      val qv = spark.table(s"$cat.m.v").where("k = 105")
+      val planv = qv.queryExecution.executedPlan.toString
+      assert(planv.contains("InMemoryFileIndex(1 paths)"),
+        s"snapshot scan must skip the out-of-range file:\n$planv")
+      assert(qv.count() == 1L)
+    }
+  }
+
   test("guard rails: plain partitioned tables reject time travel; flat tables reject the property") {
     withLake("vp4") { (cat, _) =>
       spark.sql(

@@ -99,6 +99,68 @@ class ChangeFeedStreamSpec extends SparkSpec {
     }
   }
 
+  test("manifest-versioned PARTITIONED table streams as a change feed: inserts, per-commit diffs, live commits; flat tail rejected") {
+    val lake = Files.createTempDirectory("graft-lake-cfmp")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkcfm", classOf[graft.catalog.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkcfm.path", lake.toString)
+    try {
+      import org.apache.spark.sql.functions.lit
+      spark.sql(
+        """CREATE TABLE lkcfm.m.t (k BIGINT, v STRING, region STRING)
+          |PARTITIONED BY (region)
+          |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      // s-1: two inserts; s-2: an EU overwrite (update + delete vs s-1)
+      Seq((1L, "a", "EU"), (2L, "b", "US")).toDF("k", "v", "region")
+        .write.mode("append").insertInto("lkcfm.m.t")
+      spark.sql("DELETE FROM lkcfm.m.t WHERE k = 2")
+
+      val ckpt = Files.createTempDirectory("cfm-ck").toString
+      val out = Files.createTempDirectory("cfm-out").toString
+      val q = Catalog.readStreamTable(spark, "lkcfm.m.t", Seq("k"))
+        .select(col("op"), col("version"),
+          to_json(col("before")).as("b"), to_json(col("after")).as("a"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      def sunk(): Set[(String, Long, String, String)] =
+        spark.read.parquet(out)
+          .as[(String, Long, String, String)].collect().toSet
+      // expectation from the manifest reader: s-0 empty, s-1 inserts,
+      // s-2 the delete diff
+      val reads = graft.catalog.ManifestSnapshotReads(
+        spark, lake.resolve("m/t.parquet").toString)
+      val row = reads.read(1L).get.schema
+      val expect =
+        feedKeys(reads.read(1L).get.select(lit("c").as("op"),
+          lit(1L).as("version"), lit(null).cast(row).as("before"),
+          org.apache.spark.sql.functions.struct(
+            row.fieldNames.map(col).toSeq: _*).as("after"))) ++
+        feedKeys(ChangeFeed.between(reads, 1L, 2L, Seq("k"))
+          .select(col("op"), lit(2L).as("version"), col("before"), col("after")))
+      assert(sunk() == expect,
+        s"streamed feed must equal the manifest-derived feed; got ${sunk()}")
+      // a live commit arrives as its own version feed, partition
+      // values included
+      Seq((3L, "c", "APAC")).toDF("k", "v", "region")
+        .write.mode("append").insertInto("lkcfm.m.t")
+      q.processAllAvailable()
+      val expect3 = feedKeys(ChangeFeed.between(reads, 2L, 3L, Seq("k"))
+        .select(col("op"), lit(3L).as("version"), col("before"), col("after")))
+      assert(sunk() == expect ++ expect3)
+      assert(expect3.exists(_._4.contains("APAC")),
+        "identity partition values must ride the feed rows")
+      q.stop()
+      // the flat file tail rejects the manifest layout with a pointer
+      val e = intercept[IllegalArgumentException](
+        Catalog.readStreamTable(spark, "lkcfm.m.t"))
+      assert(e.getMessage.contains("change feed"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkcfm")
+      spark.conf.unset("spark.sql.catalog.lkcfm.path")
+    }
+  }
+
   test("replay is bounded by snapshot retention: expiring past the checkpointed offset fails loudly, not silently divergent") {
     val lake = Files.createTempDirectory("graft-lake-cfexp")
     Files.createDirectories(lake.resolve("m"))
