@@ -63,11 +63,15 @@ private[catalog] object MetadataTables {
       .add("version", LongType, nullable = false)
       .add("commit_ms", LongType, nullable = true)
     local(s"$cat.${tableDir.getFileName}.tags", schema, { () =>
-      val store = new graft.streaming.StateStore(
-        org.apache.spark.sql.SparkSession.active, tableDir.toString)
+      def commitMs(v: Long): Option[Long] =
+        if (Snapshots.isVersioned(tableDir))
+          Snapshots.read(tableDir, v).map(_.commitMs)
+        else new graft.streaming.StateStore(
+          org.apache.spark.sql.SparkSession.active, tableDir.toString)
+          .commitTimeMs(v)
       Tags.read(tableDir).toSeq.sortBy(_._1).map { case (n, v) =>
         InternalRow(UTF8String.fromString(n), v,
-          store.commitTimeMs(v).map(Long.box).orNull)
+          commitMs(v).map(Long.box).orNull)
       }.toArray
     })
   }
@@ -79,6 +83,17 @@ private[catalog] object MetadataTables {
       .add("n_files", LongType, nullable = false)
       .add("size_bytes", LongType, nullable = false)
     local(s"$cat.${tableDir.getFileName}.history", schema, { () =>
+      if (Snapshots.isVersioned(tableDir)) {
+        // manifest log: one row per retained snapshot, sizes summed
+        // over the manifest's file list
+        Snapshots.versions(tableDir)
+          .flatMap(Snapshots.read(tableDir, _)).map { s =>
+            val sizes = s.files.map(f => tableDir.resolve(f))
+              .filter(Files.exists(_)).map(Files.size)
+            InternalRow(s.version, s.commitMs,
+              s.files.size.toLong, sizes.sum)
+          }.toArray
+      } else {
       val versions = DeletableTable.versionsOf(tableDir)
       if (versions.isEmpty) {
         val files = dataFilesOf(tableDir)
@@ -92,6 +107,7 @@ private[catalog] object MetadataTables {
           InternalRow(v, store.commitTimeMs(v).getOrElse(-1L),
             files.size.toLong, files.map(Files.size).sum)
         }.toArray
+      }
       }
     })
   }
@@ -117,6 +133,11 @@ private[catalog] object MetadataTables {
     * sorted by relative path: top-level files for flat/versioned
     * layouts, the leaf-directory walk for `PARTITIONED BY` tables. */
   private def currentFiles(tableDir: Path, dataDir: Path): Seq[(String, Path)] = {
+    // manifest-versioned: CURRENT = the latest manifest's list, never
+    // the directory walk (which includes older snapshots' files)
+    if (Snapshots.isVersioned(tableDir))
+      return Snapshots.latest(tableDir).toSeq.flatMap(_.files)
+        .map(f => f -> tableDir.resolve(f)).sortBy(_._1)
     val flat = dataFilesOf(dataDir).map(p => p.getFileName.toString -> p)
     val nested =
       if (PartitionSpec.read(tableDir).isEmpty) Seq.empty
@@ -143,7 +164,19 @@ private[catalog] object MetadataTables {
           Long.box(counts.flatten.sum)
         else null
       }
-      if (PartitionSpec.read(tableDir).isEmpty) {
+      if (Snapshots.isVersioned(tableDir)) {
+        // manifest-versioned: group the LATEST manifest's files by
+        // partition directory
+        Snapshots.latest(tableDir).toSeq.flatMap(_.files)
+          .groupBy(f => Option(java.nio.file.Paths.get(f).getParent)
+            .fold("")(_.toString))
+          .toSeq.sortBy(_._1).map { case (rel, fs) =>
+            val paths = fs.map(tableDir.resolve(_))
+            InternalRow(UTF8String.fromString(rel), fs.size.toLong,
+              paths.filter(Files.exists(_)).map(Files.size).sum,
+              rowsOf(paths))
+          }.toArray
+      } else if (PartitionSpec.read(tableDir).isEmpty) {
         val files = dataFilesOf(
           DeletableTable.versionsOf(tableDir).lastOption
             .fold(tableDir)(v => tableDir.resolve(s"v=$v")))

@@ -192,9 +192,31 @@ private[catalog] final class PartitionedLakeTable(
     val fallback = innerRead.newScanBuilder(options)
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var required: Option[StructType] = None
       private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+      // metadata-only aggregates ([[StatsAggregates]]) over the
+      // partitioned layouts: current files = the manifest's list
+      // (versioned) or the leaf-directory walk (plain); COMPLETE
+      // pushdown only, only with no filters in play
+      private var servedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+      private def currentBasenames: Seq[String] = snapshotFiles
+        .map(_.map(f => Paths.get(f).getFileName.toString))
+        .getOrElse(PartitionedWrite.filesUnderDirs(tableDir,
+          PartitionedWrite.leafPartitionDirs(tableDir))
+          .map(_.getFileName.toString))
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        filters.isEmpty && StatsAggregates.serveFiles(tableDir,
+          currentBasenames, logicalSchema, identity, agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        if (filters.nonEmpty) return false
+        servedAgg = StatsAggregates.serveFiles(tableDir,
+          currentBasenames, logicalSchema, identity, agg)
+        servedAgg.isDefined
+      }
       override def pruneColumns(requiredSchema: StructType): Unit = {
         required = Some(requiredSchema)
         fallback match {
@@ -219,6 +241,18 @@ private[catalog] final class PartitionedLakeTable(
         case _ => Array.empty
       }
       override def build(): org.apache.spark.sql.connector.read.Scan = {
+        servedAgg match {
+          case Some((aggSchema, row)) =>
+            // the whole aggregation IS the sidecar fold: one local
+            // row, zero data files opened
+            return new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                Array(row)
+              override def readSchema(): StructType = aggSchema
+              override def description(): String = s"$tableName(stats-agg)"
+            }
+          case None => ()
+        }
         // bucket-only layout: the keyed scan — reports
         // KeyGroupedPartitioning(bucket(n, col)) and plans one
         // HasPartitionKey group per _gbucket dir, so two same-bucketed

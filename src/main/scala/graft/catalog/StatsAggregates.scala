@@ -42,13 +42,22 @@ private[catalog] object StatsAggregates {
     * scan. */
   def serve(tableDir: Path, dataDir: Path, logical: StructType,
             phys: String => String, agg: Aggregation):
+      Option[(StructType, InternalRow)] =
+    serveFiles(tableDir,
+      DeletableTable.listDataFiles(dataDir).map(_.getFileName.toString),
+      logical, phys, agg)
+
+  /** [[serve]] over an EXPLICIT current-file basename list — the
+    * partitioned layouts (hive walk or snapshot manifest) feed their
+    * own file lists here; basenames are globally unique by the
+    * writers' naming. */
+  def serveFiles(tableDir: Path, current: Seq[String], logical: StructType,
+                 phys: String => String, agg: Aggregation):
       Option[(StructType, InternalRow)] = {
     if (agg.groupByExpressions.nonEmpty) return None
     val full = FileStats.readFull(tableDir)
     if (full.isEmpty) return None
     // exactly the CURRENT files, every one listed — else bail
-    val current = DeletableTable.listDataFiles(dataDir)
-      .map(_.getFileName.toString)
     val entries = current.map(full.get)
     if (entries.exists(_.isEmpty)) return None
     val stats = entries.flatten

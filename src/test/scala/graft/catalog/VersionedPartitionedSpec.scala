@@ -288,6 +288,75 @@ class VersionedPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables + metadata-only aggregates on the partitioned layouts") {
+    withLake("vp8") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (k BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq((1L, "EU"), (2L, "US")).toDF("k", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      Seq((3L, "EU")).toDF("k", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.sql(s"INSERT OVERWRITE $cat.m.t VALUES (9, 'EU')") // s-3
+
+      // .history: one row per manifest with file counts
+      val hist = spark.table(s"$cat.m.t.history")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(hist.map(_._1) == Seq(0L, 1L, 2L, 3L))
+      assert(hist.map(_._3) == Seq(0L, 2L, 3L, 1L),
+        s"per-snapshot file counts, got $hist")
+
+      // .files: exactly the LATEST manifest's files — never the dead
+      // files still on disk for older snapshots
+      val files = spark.table(s"$cat.m.t.files")
+        .select("file").as[String].collect().toSeq
+      assert(files.size == 1 && files.head.startsWith("region=EU/"),
+        s"current files must be the latest manifest's, got $files")
+
+      // .partitions groups the latest manifest by directory
+      val parts = spark.table(s"$cat.m.t.partitions")
+        .select("partition", "n_files").as[(String, Long)].collect().toSeq
+      assert(parts == Seq(("region=EU", 1L)), s"got $parts")
+
+      // .tags resolves commit stamps through the manifest log
+      spark.sql(s"CALL $cat.system.tag('m.t', 'stable', 2)")
+      val tags = spark.table(s"$cat.m.t.tags")
+        .as[(String, Long, Option[Long])].collect().toSeq
+      assert(tags.map(t => (t._1, t._2)) == Seq(("stable", 2L)))
+      assert(tags.head._3.exists(_ > 0L), "manifest commit stamp expected")
+
+      // metadata-only aggregates: after CALL analyze, count/min/max
+      // answer from the sidecar with ZERO data files opened
+      spark.sql(s"CALL $cat.system.analyze('m.t', 'k')")
+      val agg = spark.sql(
+        s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM $cat.m.t")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("stats-agg") || plan.contains("LocalTableScan"),
+        s"expected the sidecar-served local scan:\n$plan")
+      assert(agg.as[(Long, Long, Long)].head() == ((1L, 9L, 9L)))
+
+      // and on a PLAIN partitioned table too
+      spark.sql(
+        s"""CREATE TABLE $cat.m.p (k BIGINT, region STRING)
+           |PARTITIONED BY (region)""".stripMargin)
+      Seq((5L, "EU"), (7L, "US")).toDF("k", "region")
+        .write.mode("append").insertInto(s"$cat.m.p")
+      spark.sql(s"CALL $cat.system.analyze('m.p', 'k')")
+      val aggP = spark.sql(
+        s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM $cat.m.p")
+      assert(aggP.queryExecution.executedPlan.toString.contains("stats-agg") ||
+        aggP.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+      assert(aggP.as[(Long, Long, Long)].head() == ((2L, 5L, 7L)))
+      // a stale sidecar (new un-analyzed file) bails to a REAL scan —
+      // correctness over cleverness
+      Seq((100L, "EU")).toDF("k", "region")
+        .write.mode("append").insertInto(s"$cat.m.p")
+      assert(spark.sql(s"SELECT max(k) AS mx FROM $cat.m.p")
+        .as[Long].head() == 100L)
+    }
+  }
+
   test("guard rails: plain partitioned tables reject time travel; flat tables reject the property") {
     withLake("vp4") { (cat, _) =>
       spark.sql(
