@@ -91,8 +91,23 @@ object Bench {
     // Restricted to queries whose OWN first-pass runs showed spread —
     // a stable confirmed min is already position-independent evidence,
     // and re-running all ~130 queries doubled census wall-clock for
-    // queries that never disagreed with themselves.
-    val spreadQueries = firstPass.collect { case (n, _, true) => n }.toSet
+    // queries that never disagreed with themselves. EXCEPTION (r10
+    // postmortem, q_ann_ivfpq 2.77→6.96 s with untouched code): a
+    // HEAVY query whose two first-pass runs agree may simply have run
+    // both in the same cold window — agreement between two cold runs
+    // is not warm evidence. The top-decile-expensive queries therefore
+    // always get the reverse pass; for everything sub-second the
+    // possible error is wobble-scale and not worth doubling the
+    // census.
+    val decileCut = {
+      val ts = firstPass.map(_._2).filter(_ >= 0).sorted
+      if (ts.isEmpty) Double.MaxValue
+      else ts(math.min(ts.length - 1, (ts.length * 9) / 10))
+    }
+    val spreadQueries = firstPass.collect {
+      case (n, _, true) => n
+      case (n, t, _) if t >= 0 && t >= decileCut => n
+    }.toSet
     val firstByName = firstPass.map { case (n, t, _) => n -> t }.toMap
     val second = ops.toSeq.sortBy(_._1).reverse.map { case (name, fn) =>
       val first = firstByName(name)

@@ -985,6 +985,21 @@ object SparkEntry {
       graft.operators.Bucketing.partitionsReport(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pmetalake")),
+    // Snapshot time travel end-to-end on a MANIFEST-versioned
+    // partitioned table: insert (s-1), DELETE (s-2), census VERSION AS
+    // OF 1 vs current — both resolved from immutable manifests
+    // (VersionedPartitionedSpec pins the layout mechanics).
+    "q_time_travel" -> ((s, dir) =>
+      graft.operators.Bucketing2.timeTravelCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_ttlake")),
+    // Metadata-only aggregates over the PARTITIONED manifest layout —
+    // the q_agg_pushdown twin for the 100 TB-default layout
+    // (VersionedPartitionedSpec pins the zero-files LocalScan plan).
+    "q_partitioned_agg_meta" -> ((s, dir) =>
+      graft.operators.Bucketing2.partitionedMetaAggregates(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pmalake")),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -5088,6 +5103,33 @@ object SparkEntry {
       """SELECT 'o_orderpriority=' || o_orderpriority AS "partition",
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Snapshot semantics reconstructed from raw parquet: VERSION AS OF
+    // 1 = everything, current = the non-'F' survivors of the DELETE
+    // (a NULL status survives — CASE, not <>).
+    "q_time_travel" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_v1,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_cur,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_v1,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0
+        |    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS cents_cur
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Metadata serving is a plan property, not semantics: the oracle
+    // is the same global aggregate over the raw parquet.
+    "q_partitioned_agg_meta" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS n_status,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        |FROM orders""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -326,6 +326,89 @@ object Bucketing {
 
 /** Fresh work dir per run for the partitioned-table entry: the CREATE
   * must not trip over a previous run's table. */
+object Bucketing2 {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Snapshot time travel end-to-end on a MANIFEST-versioned
+    * partitioned table ([[graft.catalog.Snapshots]]): land orders as
+    * s-1, DELETE the 'F'-status rows as s-2, then answer a per-
+    * priority census comparing `VERSION AS OF 1` (pre-delete) against
+    * the CURRENT snapshot — the audit/repro query a lakehouse user
+    * runs after a bad or intentional DML ("what did that delete
+    * actually remove, per segment?"). Both reads resolve through the
+    * immutable manifests, so the oracle can reconstruct each side
+    * from the raw parquet with a status predicate — making the
+    * snapshot surface hash-verified end-to-end, not just spec-pinned
+    * (`VersionedPartitionedSpec`). */
+  def timeTravelCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakett"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_tt (
+         |  o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT,
+         |  o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderpriority"))
+      .write.mode("append").insertInto(s"$cat.m.orders_tt")     // s-1
+    spark.sql(s"DELETE FROM $cat.m.orders_tt WHERE o_orderstatus = 'F'") // s-2
+    val v1 = spark.sql(
+      s"""SELECT o_orderpriority,
+         |  count(*) AS n_v1, sum(cents) AS cents_v1
+         |FROM $cat.m.orders_tt VERSION AS OF 1 GROUP BY 1""".stripMargin)
+    val cur = spark.sql(
+      s"""SELECT o_orderpriority,
+         |  count(*) AS n_cur, sum(cents) AS cents_cur
+         |FROM $cat.m.orders_tt GROUP BY 1""".stripMargin)
+    v1.join(cur, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_v1").cast("bigint").as("n_v1"),
+        coalesce(col("n_cur"), lit(0L)).cast("bigint").as("n_cur"),
+        col("cents_v1").cast("bigint").as("cents_v1"),
+        coalesce(col("cents_cur"), lit(0L)).cast("bigint").as("cents_cur"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Metadata-only aggregates over the PARTITIONED manifest layout:
+    * `CALL analyze` then a global count/min/max answered purely from
+    * the stats sidecar through V2 complete aggregate pushdown —
+    * `VersionedPartitionedSpec` pins the LocalScan plan (zero data
+    * files opened); the oracle is the same aggregate over raw
+    * parquet. The q_agg_pushdown twin for the layout that would be
+    * the default at 100 TB. */
+  def partitionedMetaAggregates(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepma"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pma (
+         |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,
+         |  o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("append").insertInto(s"$cat.m.orders_pma")
+    spark.sql(s"CALL $cat.system.analyze('m.orders_pma', " +
+      "'o_orderkey,o_orderstatus,o_totalprice')")
+    spark.sql(
+      s"""SELECT count(*) AS n_rows,
+         |  count(o_orderstatus) AS n_status,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         |FROM $cat.m.orders_pma""".stripMargin)
+  }
+}
+
 private object PartitionedWorkDirs {
   def reset(workDir: String): Unit = {
     val root = java.nio.file.Paths.get(workDir)
