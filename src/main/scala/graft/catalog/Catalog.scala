@@ -76,14 +76,23 @@ object Catalog {
       s"'$ref' is a manifest-versioned partitioned table — stream its " +
         "commits as a change feed via readStreamTable(spark, ref, keys)")
     if (pspec.nonEmpty) {
+      import org.apache.spark.sql.functions.col
       val bucketed = pspec.exists(_.isInstanceOf[PartitionSpec.Bucket])
+      // rename-evolved: files speak the PHYSICAL names; stream with
+      // those and alias back (partition columns are never renamed)
+      val renames = readRenames(dir)
+      val phys = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
       val streamSchema =
-        if (!bucketed) logical
-        else org.apache.spark.sql.types.StructType(logical.fields :+
+        if (!bucketed) phys
+        else org.apache.spark.sql.types.StructType(phys.fields :+
           org.apache.spark.sql.types.StructField(PartitionSpec.BucketDir,
             org.apache.spark.sql.types.IntegerType, nullable = true))
       val raw = spark.readStream.schema(streamSchema).parquet(dir.toString)
-      return if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
+      val unbucketed = if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
+      return if (renames.isEmpty) unbucketed
+      else unbucketed.select(logical.fields.map(f =>
+        col(renames.getOrElse(f.name, f.name)).as(f.name)): _*)
     }
     // a rename-evolved table's FILES carry the physical (pre-rename)
     // column names; streaming with the logical schema would match

@@ -273,7 +273,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         declaredSchema(p).getOrElse(throw new IllegalStateException(
           s"$catalogName: ${ident.toString} carries a partition sidecar " +
             s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
-        pspec, snap)
+        pspec, snap, writable = true, renames = readEvolution(p).renames)
     }
     val evo = readEvolution(p)
     val schema = declaredSchema(p)
@@ -318,7 +318,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"(committed: ${svs.mkString(",")} — older snapshots may have " +
           "been expired)")
       return new PartitionedLakeTable(ident.toString, p,
-        declaredSchema(p).get, pspec, Snapshots.read(p, v), writable = false)
+        declaredSchema(p).get, pspec, Snapshots.read(p, v), writable = false,
+        renames = readEvolution(p).renames)
     }
     val vs = versionsOf(p)
     if (vs.isEmpty) throw new UnsupportedOperationException(
@@ -375,7 +376,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             s"timestamp ${ts}ms (earliest commit: " +
             s"${snaps.headOption.fold(-1L)(_.commitMs)}ms)"))
       return new PartitionedLakeTable(ident.toString, p,
-        declaredSchema(p).get, pspec, Some(snap), writable = false)
+        declaredSchema(p).get, pspec, Some(snap), writable = false,
+        renames = readEvolution(p).renames)
     }
     val vs = versionsOf(p)
     if (vs.isEmpty) throw new UnsupportedOperationException(
@@ -583,19 +585,32 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         s"$catalogName: single-file tables cannot carry a schema sidecar; " +
           "only directory tables support schema evolution")
-    // Partitioned tables evolve by ADD COLUMN only: a new nullable
-    // trailing column is pure schema-sidecar metadata (old files read
-    // NULL merge-on-read, the hive directory layout is untouched),
-    // whereas rename/drop would need the physical-slot mapping, which
-    // does not compose with `col=value` partition directory names.
+    // Partitioned tables evolve like flat ones — ADD COLUMN (inserted
+    // before the trailing partition columns), RENAME / DROP / widening
+    // through the same mapping sidecar — EXCEPT for the columns the
+    // partition spec references: identity partition columns own their
+    // `col=value` directory names and bucket source columns own the
+    // written hash assignment, so renaming/dropping/retyping those
+    // stays rejected (the Iceberg gating).
     val pspec = PartitionSpec.read(p)
-    if (pspec.nonEmpty &&
-        !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
-      throw new UnsupportedOperationException(
-        s"$catalogName: ${ident.toString} is partitioned — only ADD COLUMN " +
-          "evolution is supported on partitioned lake tables (the " +
-          "rename/drop mapping does not compose with partition directory " +
-          "names)")
+    if (pspec.nonEmpty) {
+      val specCols = pspec.map(_.col).toSet
+      def gate(name: String, what: String): Unit =
+        if (specCols.exists(_.equalsIgnoreCase(name)))
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot $what column '$name' of " +
+              s"${ident.toString} — it is referenced by the partition " +
+              "spec (directory names / bucket assignment depend on it)")
+      changes.foreach {
+        case r: TableChange.RenameColumn =>
+          if (r.fieldNames.length == 1) gate(r.fieldNames.head, "rename")
+        case d: TableChange.DeleteColumn =>
+          if (d.fieldNames.length == 1) gate(d.fieldNames.head, "drop")
+        case u: TableChange.UpdateColumnType =>
+          if (u.fieldNames.length == 1) gate(u.fieldNames.head, "retype")
+        case _ => ()
+      }
+    }
     var schema = declaredSchema(p).getOrElse(
       loadTable(ident) match {
         case pt: ParquetTable => pt.schema

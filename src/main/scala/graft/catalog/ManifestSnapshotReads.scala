@@ -29,6 +29,21 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
   private val bucketed: Boolean =
     PartitionSpec.read(tableDir).exists(_.isInstanceOf[PartitionSpec.Bucket])
 
+  // rename evolution: files speak the PHYSICAL names; read with those,
+  // alias back to logical (partition columns are never renamed)
+  private val renames: Map[String, String] = {
+    val f = tableDir.resolve("_graft_mapping.json")
+    if (!Files.exists(f)) Map.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(Files.readString(f))
+      Option(node.get("renames")).map { r =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(r.fields()).asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+    }
+  }
+
   override def versions: Seq[Long] = Snapshots.versions(tableDir)
 
   override def read(version: Long): Option[DataFrame] =
@@ -37,15 +52,22 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
         spark.createDataFrame(
           java.util.List.of[org.apache.spark.sql.Row](), logical)
       else {
+        import org.apache.spark.sql.functions.col
+        val phys = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+          f.copy(name = renames.getOrElse(f.name, f.name))))
         val readSchema =
-          if (!bucketed) logical
-          else org.apache.spark.sql.types.StructType(logical.fields :+
+          if (!bucketed) phys
+          else org.apache.spark.sql.types.StructType(phys.fields :+
             org.apache.spark.sql.types.StructField(PartitionSpec.BucketDir,
               org.apache.spark.sql.types.IntegerType, nullable = true))
         val raw = spark.read.option("basePath", tableDir.toString)
           .schema(readSchema)
           .parquet(s.files.map(f => tableDir.resolve(f).toString): _*)
-        if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
+        val unbucketed =
+          if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
+        if (renames.isEmpty) unbucketed
+        else unbucketed.select(logical.fields.map(f =>
+          col(renames.getOrElse(f.name, f.name)).as(f.name)): _*)
       }
     }
 }

@@ -122,15 +122,22 @@ private[catalog] object PartitionSpec {
   *    compose with `col=value` directories). `writable = false` marks
   *    a time-travel view (`VERSION/TIMESTAMP AS OF`): read-only.
   *
-  * Column evolution on a partitioned table is ADD COLUMN only
-  * (rejected upfront by the catalog otherwise). */
+  * Column evolution: ADD COLUMN (inserted before the trailing
+  * partition columns), and RENAME / DROP of NON-partition data
+  * columns through the same `_graft_mapping.json` logical→physical
+  * indirection flat tables use ([[MappedTable]]'s model, re-expressed
+  * for the scans this table builds itself) — `renames` carries only
+  * renamed columns; partition-spec-referenced columns stay
+  * un-renameable (the Iceberg gating), so directory names never need
+  * translation. */
 private[catalog] final class PartitionedLakeTable(
     tableName: String,
     tableDir: Path,
     logicalSchema: StructType,
     spec: Seq[PartitionSpec.Field],
     snapshot: Option[Snapshots.Snapshot] = None,
-    writable: Boolean = true)
+    writable: Boolean = true,
+    renames: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
 
@@ -138,6 +145,25 @@ private[catalog] final class PartitionedLakeTable(
     spec.collect { case PartitionSpec.Identity(c) => c }
   private val bucketOpt: Option[PartitionSpec.Bucket] =
     spec.collectFirst { case b: PartitionSpec.Bucket => b }
+
+  // rename indirection (data columns only — partition columns are
+  // never renamed, so dir names and partition pruning are untouched)
+  private val toLog: Map[String, String] = renames.map(_.swap)
+  private def physName(n: String): String = renames.getOrElse(n, n)
+  private def physSchema(s: StructType): StructType =
+    if (renames.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = physName(f.name))))
+  private def logSchema(s: StructType): StructType =
+    if (renames.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = toLog.getOrElse(f.name, f.name))))
+  private def physExpr(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    if (renames.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if renames.contains(a.name) => a.withName(renames(a.name))
+    }
 
   /** The manifest's live-file list (table-relative); None = plain. */
   private def snapshotFiles: Option[Seq[String]] = snapshot.map(_.files)
@@ -164,11 +190,13 @@ private[catalog] final class PartitionedLakeTable(
         "snapshots are read-only (write through the current table)")
 
   /** The schema the FILE INDEX types partition directories from: the
-    * logical columns plus the hidden bucket column (int). */
-  private def indexSchema: StructType =
-    bucketOpt.fold(logicalSchema)(_ => StructType(
-      logicalSchema.fields :+
-        StructField(PartitionSpec.BucketDir, IntegerType, nullable = true)))
+    * PHYSICAL column names (files are immutable under renames) plus
+    * the hidden bucket column (int). */
+  private def indexSchema: StructType = {
+    val base = physSchema(logicalSchema)
+    bucketOpt.fold(base)(_ => StructType(base.fields :+
+      StructField(PartitionSpec.BucketDir, IntegerType, nullable = true)))
+  }
 
   private def innerRead: ParquetTable =
     ParquetTable(tableName, SparkSession.active,
@@ -209,31 +237,38 @@ private[catalog] final class PartitionedLakeTable(
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         filters.isEmpty && StatsAggregates.serveFiles(tableDir,
-          currentBasenames, logicalSchema, identity, agg).isDefined
+          currentBasenames, logicalSchema, physName, agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
         if (filters.nonEmpty) return false
         servedAgg = StatsAggregates.serveFiles(tableDir,
-          currentBasenames, logicalSchema, identity, agg)
+          currentBasenames, logicalSchema, physName, agg)
         servedAgg.isDefined
       }
       override def pruneColumns(requiredSchema: StructType): Unit = {
-        required = Some(requiredSchema)
+        // inner scans speak PHYSICAL names; readSchema translates back
+        required = Some(physSchema(requiredSchema))
         fallback match {
           case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-            c.pruneColumns(requiredSchema)
+            c.pruneColumns(physSchema(requiredSchema))
           case _ => ()
         }
       }
       override def pushFilters(
           fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
           Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-        filters = fs
-        fallback match {
+        filters = fs.map(physExpr)
+        val residual = fallback match {
           case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-            f.pushFilters(fs)
-          case _ => fs
+            f.pushFilters(filters)
+          case _ => filters
         }
+        // residuals evaluate against the LOGICAL output rows post-scan
+        if (renames.isEmpty) residual
+        else residual.map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if toLog.contains(a.name) => a.withName(toLog(a.name))
+        })
       }
       override def pushedFilters: Array[Predicate] = fallback match {
         case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
@@ -260,7 +295,7 @@ private[catalog] final class PartitionedLakeTable(
         spec match {
           case Seq(b: PartitionSpec.Bucket) =>
             return new BucketKeyedScan(tableName, tableDir, b,
-              indexSchema, required, filters, snapshotFiles)
+              indexSchema, required, filters, snapshotFiles, logSchema)
           case _ => ()
         }
         val base = snapshot match {
@@ -311,11 +346,17 @@ private[catalog] final class PartitionedLakeTable(
               case (None, Some(cands)) =>
                 RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
                   cands, required, filters, s"bucket-skip:${cands.size}")
-              case (None, None) => fallback.build()
+              case (None, None) if renames.isEmpty => fallback.build()
+              case (None, None) =>
+                // renamed tables never surface the raw fallback (its
+                // readSchema is physical); same listing, explicit
+                RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
+                  PartitionedWrite.leafPartitionDirs(tableDir),
+                  required, filters, "renamed")
             }
         }
         new RuntimePrunedScan(tableName, tableDir, spec, indexSchema,
-          required, filters, base, snapshotFiles)
+          required, filters, base, snapshotFiles, logSchema)
       }
     }
   }
@@ -349,12 +390,12 @@ private[catalog] final class PartitionedLakeTable(
       }
       override def build(): Write =
         new PartitionedWrite(tableName, tableDir, logicalSchema, spec,
-          info.schema(), mode)
+          info.schema(), mode, renames)
     }
   }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    predicates.forall(DeletableTable.toColumn(_, identity).isDefined)
+    predicates.forall(DeletableTable.toColumn(_, physName).isDefined)
 
   /** Copy-on-write DELETE that PRESERVES the partition layout.
     * PARTITION-granular ([[PartitionPruning]]): when the condition
@@ -367,8 +408,10 @@ private[catalog] final class PartitionedLakeTable(
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     requireWritable("DELETE")
     val spark = SparkSession.active
+    // the condition evaluates against the staged read, which speaks
+    // PHYSICAL names (indexSchema) — translate at the boundary
     val cond = predicates
-      .map(p => DeletableTable.toColumn(p, identity).getOrElse(
+      .map(p => DeletableTable.toColumn(p, physName).getOrElse(
         throw new UnsupportedOperationException(
           s"$tableName: cannot push delete condition $p")))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -426,7 +469,11 @@ private[catalog] final class PartitionedLakeTable(
       case None =>
         val tmp = tableDir.resolveSibling(
           tableDir.getFileName.toString + ".__rewrite")
-        stage(spark.read.schema(logicalSchema).parquet(tableDir.toString), tmp)
+        // indexSchema speaks the files' PHYSICAL names (the condition
+        // was translated to match); the hidden bucket column re-derives
+        // inside stage()
+        stage(spark.read.schema(indexSchema).parquet(tableDir.toString)
+          .drop(PartitionSpec.BucketDir), tmp)
         DeletableTable.publishStagedRewrite(tableDir, tmp)
         ()
     }
@@ -508,18 +555,28 @@ private[catalog] final class PartitionedLakeTable(
               required.foreach { s =>
                 b match {
                   case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-                    c.pruneColumns(s)
+                    c.pruneColumns(physSchema(s))
                   case _ => ()
                 }
               }
-              b.build()
+              val built = b.build()
+              if (renames.isEmpty) built
+              else new org.apache.spark.sql.connector.read.Scan {
+                // physical→logical at the group-scan boundary (rows
+                // are positional; only the names translate)
+                override def readSchema(): StructType =
+                  logSchema(built.readSchema())
+                override def toBatch: org.apache.spark.sql.connector.read.Batch =
+                  built.toBatch
+                override def description(): String = built.description()
+              }
             }
           }
         override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
             override def build(): Write = new PartitionedRowLevelWrite(
               tableName, tableDir, spec, winfo.schema(), () => scanned,
-              snapshotFiles)
+              snapshotFiles, renames)
           }
       }
     }
@@ -553,7 +610,8 @@ private[catalog] final class RuntimePrunedScan(
     required: Option[StructType],
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     initial: org.apache.spark.sql.connector.read.Scan,
-    snapshotFiles: Option[Seq[String]] = None)
+    snapshotFiles: Option[Seq[String]] = None,
+    toLogical: StructType => StructType = identity)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -562,7 +620,7 @@ private[catalog] final class RuntimePrunedScan(
   @volatile private var current: org.apache.spark.sql.connector.read.Scan =
     initial
 
-  override def readSchema(): StructType = current.readSchema()
+  override def readSchema(): StructType = toLogical(current.readSchema())
   override def description(): String = current.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def planInputPartitions():
@@ -626,7 +684,8 @@ private[catalog] final class BucketKeyedScan(
     indexSchema: StructType,
     required: Option[StructType],
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    snapshotFiles: Option[Seq[String]] = None)
+    snapshotFiles: Option[Seq[String]] = None,
+    toLogical: StructType => StructType = identity)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -698,7 +757,7 @@ private[catalog] final class BucketKeyedScan(
     plannedParts
   }
 
-  override def readSchema(): StructType = whole.readSchema()
+  override def readSchema(): StructType = toLogical(whole.readSchema())
   override def description(): String = whole.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def planInputPartitions(): Array[InputPartition] = planned
@@ -810,7 +869,8 @@ private[catalog] final class PartitionedRowLevelWrite(
     spec: Seq[PartitionSpec.Field],
     writeSchema: StructType,
     candidates: () => Option[Seq[Path]],
-    snapshotFiles: Option[Seq[String]] = None)
+    snapshotFiles: Option[Seq[String]] = None,
+    renames: Map[String, String] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   private val identityCols: Seq[String] =
@@ -836,16 +896,19 @@ private[catalog] final class PartitionedRowLevelWrite(
       val spark = SparkSession.active
       val dataSchema = StructType(
         writeSchema.fields.filterNot(f => identityCols.contains(f.name)))
+      // files speak PHYSICAL names under rename evolution
+      val fileSchema = StructType(dataSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
       val job = org.apache.hadoop.mapreduce.Job.getInstance(
         spark.sessionState.newHadoopConf())
       val owf = new ParquetFileFormat().prepareWrite(
-        spark, job, Map.empty[String, String], dataSchema)
+        spark, job, Map.empty[String, String], fileSchema)
       new DeletableTable.OpStrippingWriterFactory(
         new PartitionedWriterFactory(staging.toString, writeSchema, dataSchema,
           spec, spark.sessionState.conf.sessionLocalTimeZone,
           new org.apache.spark.util.SerializableConfiguration(
             job.getConfiguration),
-          owf, staging.getFileName.toString.split('-').last),
+          owf, staging.getFileName.toString.split('-').last, fileSchema),
         writeSchema)
     }
 
@@ -1070,7 +1133,8 @@ private[catalog] final class PartitionedWrite(
     logicalSchema: StructType,
     spec: Seq[PartitionSpec.Field],
     writeSchema: StructType,
-    mode: PartitionedWrite.Mode)
+    mode: PartitionedWrite.Mode,
+    renames: Map[String, String] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   private val identityCols: Seq[String] =
@@ -1100,15 +1164,18 @@ private[catalog] final class PartitionedWrite(
       val spark = SparkSession.active
       val dataSchema = StructType(
         writeSchema.fields.filterNot(f => identityCols.contains(f.name)))
+      // files speak PHYSICAL names under rename evolution
+      val fileSchema = StructType(dataSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
       val job = org.apache.hadoop.mapreduce.Job.getInstance(
         spark.sessionState.newHadoopConf())
       val owf = new ParquetFileFormat().prepareWrite(
-        spark, job, Map.empty[String, String], dataSchema)
+        spark, job, Map.empty[String, String], fileSchema)
       new PartitionedWriterFactory(staging.toString, writeSchema, dataSchema,
         spec, spark.sessionState.conf.sessionLocalTimeZone,
         new org.apache.spark.util.SerializableConfiguration(
           job.getConfiguration),
-        owf, staging.getFileName.toString.split('-').last)
+        owf, staging.getFileName.toString.split('-').last, fileSchema)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1207,7 +1274,8 @@ private[catalog] final class PartitionedWriterFactory(
     timeZoneId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    writeId: String)
+    writeId: String,
+    fileSchema: StructType)
     extends DataWriterFactory {
 
   private val MaxOpenWriters = 64
@@ -1271,7 +1339,9 @@ private[catalog] final class PartitionedWriterFactory(
           val fname = f"part-$partitionId%05d-$taskId-$writeId-$fileSeq$ext"
           val rel = s"$dir/$fname"
           written += rel
-          owf.newInstance(s"$stagingRoot/$rel", dataSchema, ctx)
+          // fileSchema = dataSchema with PHYSICAL names (rows are
+          // positional; only the parquet field names differ)
+          owf.newInstance(s"$stagingRoot/$rel", fileSchema, ctx)
         })
 
       override def write(row: InternalRow): Unit = {

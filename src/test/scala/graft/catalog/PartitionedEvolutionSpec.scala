@@ -1,0 +1,125 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+
+/** RENAME / DROP COLUMN evolution on PARTITIONED lake tables: the
+  * `_graft_mapping.json` logical→physical indirection composed with
+  * the hive layout — immutable files keep their physical names, scans
+  * and DML translate at the V2 boundary, partition-spec-referenced
+  * columns stay un-renameable (directory names / bucket assignment
+  * depend on them). */
+class PartitionedEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withLake(tag: String)(body: (String, Path) => Unit): Unit = {
+    val lake = Files.createTempDirectory(s"graft-lake-$tag")
+    Files.createDirectories(lake.resolve("m"))
+    val cat = s"lk$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake.toString)
+    try body(cat, lake)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.path")
+    }
+  }
+
+  test("rename a data column: scans translate old files, filters push, DML and pruning work, inserts stay physical") {
+    withLake("pev1") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, label STRING, region STRING)
+           |PARTITIONED BY (region)""".stripMargin)
+      Seq((1L, "a", "EU"), (2L, "b", "US")).toDF("n", "label", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN label TO tag")
+      // pre-rename files stream their values under the NEW name —
+      // never silent NULLs
+      assert(spark.table(s"$cat.m.t").columns.toSeq == Seq("n", "tag", "region"))
+      assert(spark.table(s"$cat.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a", "EU"), (2L, "b", "US")))
+      // filters on the renamed column push + evaluate correctly
+      assert(spark.table(s"$cat.m.t").where("tag = 'b'")
+        .select("n").as[Long].collect().toSeq == Seq(2L))
+      // partition pruning is untouched by the rename
+      val plan = spark.table(s"$cat.m.t").where("region = 'EU'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("region=EU") || plan.contains("PartitionFilters"),
+        s"pruning must survive evolution:\n$plan")
+      // post-rename inserts land files with the PHYSICAL name, so the
+      // directory stays homogeneous
+      Seq((3L, "c", "EU")).toDF("n", "tag", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      assert(spark.table(s"$cat.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a", "EU"), (2L, "b", "US"), (3L, "c", "EU")))
+      val euFiles = {
+        val s = Files.list(lake.resolve("m/t.parquet/region=EU"))
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+      euFiles.foreach { f =>
+        assert(spark.read.parquet(f.toString).columns.contains("label") &&
+          !spark.read.parquet(f.toString).columns.contains("tag"),
+          s"files must keep speaking the physical name: $f")
+      }
+      // DELETE with a renamed-column condition translates
+      spark.sql(s"DELETE FROM $cat.m.t WHERE tag = 'a'")
+      assert(spark.table(s"$cat.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((2L, "b", "US"), (3L, "c", "EU")))
+      // UPDATE through the row-level rewrite translates too
+      spark.sql(s"UPDATE $cat.m.t SET tag = 'z' WHERE n = 2")
+      assert(spark.table(s"$cat.m.t").where("tag = 'z'")
+        .select("n").as[Long].collect().toSeq == Seq(2L))
+    }
+  }
+
+  test("drop a data column, re-add the name: fresh physical slot, dropped data never resurfaces") {
+    withLake("pev2") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, note STRING, g STRING)
+           |PARTITIONED BY (g)""".stripMargin)
+      Seq((1L, "secret", "x")).toDF("n", "note", "g")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.sql(s"ALTER TABLE $cat.m.t DROP COLUMN note")
+      assert(spark.table(s"$cat.m.t").columns.toSeq == Seq("n", "g"))
+      spark.sql(s"ALTER TABLE $cat.m.t ADD COLUMN note STRING")
+      // the re-added column must NOT resurrect the dropped data, and
+      // it must land before the trailing partition column
+      assert(spark.table(s"$cat.m.t").columns.toSeq == Seq("n", "note", "g"))
+      assert(spark.table(s"$cat.m.t").select("note").as[Option[String]]
+        .collect().toSeq == Seq(None),
+        "dropped column data must never resurface under a re-added name")
+    }
+  }
+
+  test("rename composes with manifest snapshots: time travel and the bucketed layout read under the new name") {
+    withLake("pev3") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (k BIGINT, v STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      (1L to 8L).map(i => (i, s"a$i")).toDF("k", "v")
+        .write.mode("append").insertInto(s"$cat.m.t")          // s-1
+      spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN v TO label")
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k <= 4")          // s-2
+      assert(spark.table(s"$cat.m.t").columns.toSeq == Seq("k", "label"))
+      assert(spark.table(s"$cat.m.t").count() == 4L)
+      // pre-rename snapshot reads under the NEW logical name with its
+      // data intact (the Iceberg field-id behavior)
+      val v1 = spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 1")
+      assert(v1.columns.toSeq == Seq("k", "label"))
+      assert(v1.where("label = 'a2'").count() == 1L)
+      // the bucket point lookup still prunes + answers post-rename
+      assert(spark.table(s"$cat.m.t").where("k = 7")
+        .select("label").as[String].collect().toSeq == Seq("a7"))
+      // bucket source column stays un-renameable
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN k TO id"))
+      assert(e.getMessage.contains("partition spec"), e.getMessage)
+    }
+  }
+}

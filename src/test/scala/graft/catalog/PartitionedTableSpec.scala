@@ -279,7 +279,7 @@ class PartitionedTableSpec extends SparkSpec {
       staging.toString, writeSchema, dataSchema, spec,
       spark.sessionState.conf.sessionLocalTimeZone,
       new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
-      owf, writeId)
+      owf, writeId, dataSchema)
     def row(k: Long, r: String) =
       InternalRow(k, UTF8String.fromString(r))
 
@@ -346,8 +346,14 @@ class PartitionedTableSpec extends SparkSpec {
       spark.sql(
         """CREATE TABLE lkpt6.m.e (n BIGINT, g STRING)
           |PARTITIONED BY (g)""".stripMargin)
-      fails("ALTER TABLE lkpt6.m.e RENAME COLUMN n TO m",
-        "partitioned")
+      // partition-spec-referenced columns stay un-renameable (the
+      // directory names depend on them); data columns evolve freely
+      fails("ALTER TABLE lkpt6.m.e RENAME COLUMN g TO region",
+        "partition spec")
+      fails("ALTER TABLE lkpt6.m.e DROP COLUMN g",
+        "partition spec")
+      spark.sql("ALTER TABLE lkpt6.m.e RENAME COLUMN n TO m")
+      assert(spark.table("lkpt6.m.e").columns.toSeq == Seq("m", "g"))
     } finally {
       spark.conf.unset("spark.sql.catalog.lkpt6")
       spark.conf.unset("spark.sql.catalog.lkpt6.path")

@@ -127,11 +127,12 @@ class RuntimeFilteringSpec extends SparkSpec {
         Seq((3L, Some("x"), "EU")))
       // partition pruning still works over the evolved schema
       assert(spark.table("lkrf4.m.e").where("region = 'EU'").count() == 2L)
-      // rename/drop stay rejected on partitioned tables
+      // rename/drop of PARTITION-SPEC columns stay rejected; data
+      // columns evolve (full coverage in PartitionedEvolutionSpec)
       intercept[Exception](
-        spark.sql("ALTER TABLE lkrf4.m.e RENAME COLUMN note TO memo"))
+        spark.sql("ALTER TABLE lkrf4.m.e RENAME COLUMN region TO zone"))
       intercept[Exception](
-        spark.sql("ALTER TABLE lkrf4.m.e DROP COLUMN note"))
+        spark.sql("ALTER TABLE lkrf4.m.e DROP COLUMN region"))
     } finally {
       spark.conf.unset("spark.sql.catalog.lkrf4")
       spark.conf.unset("spark.sql.catalog.lkrf4.path")
