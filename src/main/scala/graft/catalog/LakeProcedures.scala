@@ -48,7 +48,7 @@ private[catalog] object LakeProcedures {
   def list(): Array[String] =
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
       "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback",
-      "tag", "drop_tag", "tags")
+      "tag", "drop_tag", "tags", "add_partition_field")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -113,6 +113,81 @@ private[catalog] object LakeProcedures {
               InternalRow(UTF8String.fromString(n), v)
             }
         })
+      case "add_partition_field" =>
+        // Iceberg's ADD PARTITION FIELD — partition-spec evolution as
+        // pure metadata: the sidecar gains a trailing identity field,
+        // NEW writes nest under the new `col=value` level, and files
+        // written under the OLD spec stay readable in place (they
+        // carry the column in their bytes; scans union per shape, and
+        // CALL compact migrates everything to the current layout).
+        // Manifest-versioned tables only: the plain layout reads
+        // through one native root scan, which cannot mix shapes.
+        Some(new UnboundProcedure {
+          override def name(): String = "add_partition_field"
+          override def description(): String =
+            "graft lake maintenance: evolve the partition spec with a new identity field"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "add_partition_field"
+            override def description(): String =
+              "graft lake maintenance: evolve the partition spec with a new identity field"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("col", StringType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "add_partition_field",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              val colName = input.getUTF8String(1).toString
+              val spec = PartitionSpec.read(tableDir)
+              if (spec.isEmpty) throw new UnsupportedOperationException(
+                "add_partition_field: not a partitioned lake table")
+              if (!Snapshots.isVersioned(tableDir))
+                throw new UnsupportedOperationException(
+                  "add_partition_field: partition-spec evolution needs the " +
+                    "manifest snapshot log (CREATE ... TBLPROPERTIES " +
+                    "('versioned'='true')) — the plain layout cannot mix " +
+                    "directory shapes")
+              if (spec.exists(_.col.equalsIgnoreCase(colName)))
+                throw new IllegalArgumentException(
+                  s"add_partition_field: '$colName' is already in the " +
+                    "partition spec")
+              if (colName == "v" || colName.startsWith("_"))
+                throw new IllegalArgumentException(
+                  s"add_partition_field: '$colName' collides with the " +
+                    "snapshot/sidecar namespace")
+              val schemaJson = tableDir.resolve("_graft_schema.json")
+              val schema = org.apache.spark.sql.types.DataType.fromJson(
+                Files.readString(schemaJson))
+                .asInstanceOf[StructType]
+              val field = schema.fields.find(_.name.equalsIgnoreCase(colName))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"add_partition_field: no such column '$colName'"))
+              field.dataType match {
+                case org.apache.spark.sql.types.StringType |
+                     org.apache.spark.sql.types.ByteType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.DateType |
+                     org.apache.spark.sql.types.BooleanType => ()
+                case dt => throw new UnsupportedOperationException(
+                  s"add_partition_field: type ${dt.simpleString} does not " +
+                    "round-trip exactly through directory values " +
+                    "(string, integral, date, boolean only)")
+              }
+              PartitionSpec.write(tableDir,
+                spec :+ PartitionSpec.Identity(field.name))
+              SparkSession.active.catalog.clearCache()
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] = Array(InternalRow(
+                  UTF8String.fromString((spec.map(_.col) :+ field.name)
+                    .mkString(","))))
+                override def readSchema(): StructType =
+                  new StructType().add("partition_spec", StringType)
+              }).iterator()
+            }
+          }
+        })
       case "expire_snapshots" =>
         Some(proc(root, "expire_snapshots",
           Seq("tbl" -> StringType, "keep" -> IntegerType),
@@ -172,10 +247,19 @@ private[catalog] object LakeProcedures {
                     PartitionedWrite.deleteRecursive(tmp)
                     val dirCols = PartitionSpec.dirCols(pspec)
                     val df = snap match {
-                      case Some(s) => spark.read
-                        .option("basePath", tableDir.toString)
-                        .parquet(s.files.map(f =>
-                          tableDir.resolve(f).toString): _*)
+                      case Some(s) =>
+                        // per-spec-shape union (ADD PARTITION FIELD
+                        // evolution: one parquet read cannot mix
+                        // directory shapes) — compact is the spec
+                        // MIGRATION tool: everything restages under
+                        // the current spec
+                        Snapshots.groupByShape(s.files).map { case (_, fs) =>
+                          spark.read
+                            .option("basePath", tableDir.toString)
+                            .parquet(fs.map(f =>
+                              tableDir.resolve(f).toString): _*)
+                        }.reduce((a, b) => a.unionByName(b,
+                          allowMissingColumns = true))
                       case None => spark.read
                         .option("basePath", tableDir.toString)
                         .parquet(tableDir.toString)

@@ -189,6 +189,29 @@ private[catalog] final class PartitionedLakeTable(
       s"$tableName: $op on a time-travel snapshot view — historical " +
         "snapshots are read-only (write through the current table)")
 
+  /** Live files written under more than one partition spec (ADD
+    * PARTITION FIELD evolution before a compaction normalized the
+    * layout)? Overwrites and row-level rewrites need one coherent
+    * partition identity per row and are rejected until then. */
+  private def mixedSpecShapes: Boolean =
+    snapshotFiles.exists(fs => fs.map(Snapshots.shapeOf).distinct.size > 1)
+
+  private def requireSingleSpec(op: String): Unit =
+    if (mixedSpecShapes) throw new UnsupportedOperationException(
+      s"$tableName: $op over files of MIXED partition specs (ADD " +
+        "PARTITION FIELD evolution) — CALL system.compact first to " +
+        "migrate the old-spec files to the current layout")
+
+  /** Read the given live files as ONE DataFrame, per-spec-shape scans
+    * unioned by name (one parquet read cannot mix directory shapes). */
+  private def readLive(spark: SparkSession, files: Seq[String]):
+      org.apache.spark.sql.DataFrame =
+    Snapshots.groupByShape(files).map { case (_, fs) =>
+      spark.read.option("basePath", tableDir.toString)
+        .schema(indexSchema)
+        .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
+    }.reduce(_ unionByName _)
+
   /** The schema the FILE INDEX types partition directories from: the
     * PHYSICAL column names (files are immutable under renames) plus
     * the hidden bucket column (int). */
@@ -217,7 +240,8 @@ private[catalog] final class PartitionedLakeTable(
     * `bucket(256, k)` table then opens 1/256th of the listing. No
     * bucket transform / no provable pruning → straight delegation. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val fallback = innerRead.newScanBuilder(options)
+    // lazy: snapshot tables never touch the root-listing fallback
+    lazy val fallback = innerRead.newScanBuilder(options)
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -248,7 +272,10 @@ private[catalog] final class PartitionedLakeTable(
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // inner scans speak PHYSICAL names; readSchema translates back
         required = Some(physSchema(requiredSchema))
-        fallback match {
+        // the fallback scans the table ROOT — never touch it for
+        // snapshot tables (listing it forces partition inference over
+        // dead files and, under spec evolution, over mixed shapes)
+        if (snapshot.isEmpty) fallback match {
           case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
             c.pruneColumns(physSchema(requiredSchema))
           case _ => ()
@@ -258,11 +285,13 @@ private[catalog] final class PartitionedLakeTable(
           fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
           Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
         filters = fs.map(physExpr)
-        val residual = fallback match {
-          case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-            f.pushFilters(filters)
-          case _ => filters
-        }
+        val residual =
+          if (snapshot.isDefined) filters // per-group scans re-push; Spark re-applies residuals post-scan
+          else fallback match {
+            case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+              f.pushFilters(filters)
+            case _ => filters
+          }
         // residuals evaluate against the LOGICAL output rows post-scan
         if (renames.isEmpty) residual
         else residual.map(_.transform {
@@ -270,11 +299,13 @@ private[catalog] final class PartitionedLakeTable(
               if toLog.contains(a.name) => a.withName(toLog(a.name))
         })
       }
-      override def pushedFilters: Array[Predicate] = fallback match {
-        case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-          f.pushedFilters
-        case _ => Array.empty
-      }
+      override def pushedFilters: Array[Predicate] =
+        if (snapshot.isDefined) Array.empty
+        else fallback match {
+          case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+            f.pushedFilters
+          case _ => Array.empty
+        }
       override def build(): org.apache.spark.sql.connector.read.Scan = {
         servedAgg match {
           case Some((aggSchema, row)) =>
@@ -314,6 +345,19 @@ private[catalog] final class PartitionedLakeTable(
               .map(Paths.get(_))
             val skipped = FileSkipping.filterFiles(tableDir, paths,
               filters, identity).getOrElse(paths)
+            // partition-spec evolution: files of different directory
+            // shapes cannot share one parquet scan — per-shape scans
+            // union (old-shape files read the new partition column
+            // from their file bytes, same index schema)
+            val shapes = skipped.groupBy(p =>
+              Snapshots.shapeOf(p.toString)).toSeq.sortBy(_._1.mkString("/"))
+            if (shapes.size > 1)
+              return new ShapeUnionScan(tableName,
+                shapes.map { case (shape, fs) =>
+                  RuntimePrunedScan.scanOver(tableName, tableDir,
+                    indexSchema, fs, required, filters,
+                    s"spec:${shape.mkString("/")}")
+                }, logSchema)
             RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
               skipped, required, filters,
               s"snapshot:v=${s.version}:${skipped.size}f")
@@ -369,6 +413,7 @@ private[catalog] final class PartitionedLakeTable(
       // append | dynamic | truncate | static(col=value conjunction)
       private var mode: PartitionedWrite.Mode = PartitionedWrite.Append
       override def overwriteDynamicPartitions(): WriteBuilder = {
+        requireSingleSpec("dynamic partition overwrite")
         mode = PartitionedWrite.Dynamic; this
       }
       override def canOverwrite(predicates: Array[Predicate]): Boolean =
@@ -378,6 +423,8 @@ private[catalog] final class PartitionedLakeTable(
         mode = PartitionedWrite.Truncate; this
       }
       override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        if (!predicates.forall(_.isInstanceOf[AlwaysTrue]))
+          requireSingleSpec("static partition overwrite")
         if (predicates.forall(_.isInstanceOf[AlwaysTrue]))
           mode = PartitionedWrite.Truncate
         else mode = PartitionedWrite.Static(
@@ -439,10 +486,9 @@ private[catalog] final class PartitionedLakeTable(
       val tmp = tableDir.resolveSibling(
         tableDir.getFileName.toString + ".__rewrite-" +
           java.util.UUID.randomUUID().toString.take(8))
-      stage(spark.read.option("basePath", tableDir.toString)
-        .schema(indexSchema)
-        .parquet(candFiles.map(f => tableDir.resolve(f).toString): _*)
-        .drop(PartitionSpec.BucketDir), tmp)
+      // per-spec-shape union read; the rewrite restages under the
+      // CURRENT spec, so a DELETE also migrates its candidates forward
+      stage(readLive(spark, candFiles).drop(PartitionSpec.BucketDir), tmp)
       val staged = PartitionedWrite.mergeIntoReturning(tmp, tableDir)
       Snapshots.commit(tableDir, s.files.diff(candFiles) ++ staged)
       spark.catalog.clearCache()
@@ -493,6 +539,10 @@ private[catalog] final class PartitionedLakeTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable("UPDATE/MERGE")
+    // NOTE: the mixed-spec guard lives in the scan/write build below,
+    // not here — Spark's analyzer constructs this builder for DELETE
+    // too, before deciding the metadata-only deleteWhere path (which
+    // handles mixed specs fine via the per-shape staged rewrite).
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
@@ -519,6 +569,7 @@ private[catalog] final class PartitionedLakeTable(
             }
             override def pushedFilters: Array[Predicate] = Array.empty
             override def build(): org.apache.spark.sql.connector.read.Scan = {
+              requireSingleSpec("UPDATE/MERGE rewrite")
               val leaves = snapshotFiles.map(Snapshots.leafDirsOf)
               val b = PartitionPruning.splitLeaves(
                   leaves.getOrElse(PartitionedWrite.leafPartitionDirs(tableDir)),
@@ -818,6 +869,80 @@ private[catalog] object BucketKeyedScan {
     override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition) =
       un(p).factory.supportColumnarReads(un(p).inner)
   }
+}
+
+/** A row-based UNION of per-shape parquet scans — the read side of
+  * partition-spec evolution (Iceberg's ADD PARTITION FIELD): files
+  * written under the OLD spec carry the new partition column as an
+  * ordinary DATA column inside the file, files written under the NEW
+  * spec carry it in their directory name, and one parquet scan cannot
+  * mix the two directory shapes (partition inference rejects the
+  * conflict). Each shape group scans separately (with the SAME index
+  * schema — a column absent from a group's paths reads from its
+  * files), and every group's rows project to one common output order;
+  * Spark's name-based relation projection does the rest. */
+private[catalog] final class ShapeUnionScan(
+    tableName: String,
+    groups: Seq[org.apache.spark.sql.connector.read.Scan],
+    toLogical: StructType => StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+
+  require(groups.nonEmpty)
+  private val target: StructType = groups.head.readSchema()
+
+  override def readSchema(): StructType = toLogical(target)
+  override def description(): String =
+    s"$tableName(spec-evolution union:${groups.size} shapes)"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  /** One group's partition, carrying its reader factory and the
+    * column-index mapping from the group's natural output order to
+    * the union's target order. */
+  private final class GroupPartition(
+      private[ShapeUnionScan] val inner: InputPartition,
+      private[ShapeUnionScan] val factory: PartitionReaderFactory,
+      private[ShapeUnionScan] val mapping: Array[Int],
+      private[ShapeUnionScan] val types: Array[org.apache.spark.sql.types.DataType])
+      extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.flatMap { g =>
+      val gs = g.readSchema()
+      val mapping = target.fields.map(f => gs.fieldIndex(f.name))
+      val types = mapping.map(i => gs.fields(i).dataType)
+      val batch = g.toBatch
+      val factory = batch.createReaderFactory()
+      batch.planInputPartitions().map(p =>
+        new GroupPartition(p, factory, mapping, types))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      // row-based only: the per-group column orders differ, and the
+      // reorder projection is a row operation
+      override def supportColumnarReads(p: InputPartition): Boolean = false
+      override def createReader(p: InputPartition):
+          PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+        val gp = p.asInstanceOf[GroupPartition]
+        val inner = gp.factory.createReader(gp.inner)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(gp.mapping.zip(gp.types).map { case (i, dt) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, dt, true): org.apache.spark.sql.catalyst.expressions.Expression
+          }.toSeq)
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            proj(inner.get())
+          override def close(): Unit = inner.close()
+        }
+      }
+    }
 }
 
 private[catalog] object RuntimePrunedScan {

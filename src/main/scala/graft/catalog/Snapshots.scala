@@ -113,6 +113,26 @@ private[catalog] object Snapshots {
     files.filter(f => Option(Paths.get(f).getParent).exists(p => set(p.toString)))
   }
 
+  /** A file's partition-directory SHAPE: the ordered column names of
+    * its `name=value` path segments. Files written under different
+    * partition specs (ADD PARTITION FIELD evolution) have different
+    * shapes; one parquet scan cannot mix shapes (Spark's partition
+    * inference rejects conflicting directory structures), so scans
+    * group by shape and union. */
+  def shapeOf(f: String): Seq[String] = {
+    val parent = Paths.get(f).getParent
+    if (parent == null) Seq.empty
+    else parent.iterator().asScala.map(_.toString)
+      .filter(_.contains('='))
+      .map(s => s.substring(0, s.indexOf('='))).toSeq
+  }
+
+  /** Group a live-file list by partition-directory shape, stable
+    * order (current-spec shape is whichever sorts with the most
+    * segments last — callers mostly care whether there is ONE). */
+  def groupByShape(files: Seq[String]): Seq[(Seq[String], Seq[String])] =
+    files.groupBy(shapeOf).toSeq.sortBy(_._1.mkString("/"))
+
   private def write(tableDir: Path, s: Snapshot): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()

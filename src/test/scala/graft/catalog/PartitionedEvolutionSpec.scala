@@ -96,6 +96,68 @@ class PartitionedEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("ADD PARTITION FIELD: old-spec files stay readable in place, new writes nest, pruning works per shape, compact migrates") {
+    withLake("pev4") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, day STRING, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq((1L, "d1", "EU"), (2L, "d2", "EU"), (3L, "d1", "US"))
+        .toDF("n", "day", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")            // spec A
+      val specRow = spark.sql(
+        s"CALL $cat.system.add_partition_field('m.t', 'day')")
+        .as[String].head()
+      assert(specRow == "region,day")
+      // new writes nest region=/day=
+      Seq((4L, "d1", "EU")).toDF("n", "day", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")            // spec B
+      val dir = lake.resolve("m/t.parquet")
+      assert(Files.isDirectory(dir.resolve("region=EU/day=d1")),
+        "post-evolution writes must nest under the new field")
+      // MIXED read: old files serve `day` from their bytes, new ones
+      // from the directory — the union is seamless
+      assert(spark.table(s"$cat.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, "d1", "EU"), (2L, "d2", "EU"),
+          (3L, "d1", "US"), (4L, "d1", "EU")))
+      // filters answer correctly across both shapes (old files can't
+      // dir-prune on day — conservative — but must still row-filter)
+      assert(spark.table(s"$cat.m.t").where("day = 'd1'")
+        .select("n").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+      assert(spark.table(s"$cat.m.t").where("region = 'US'")
+        .select("n").as[Long].collect().toSeq == Seq(3L))
+      // time travel still reads the pre-evolution snapshot
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 1").count() == 3L)
+      // row-level DML needs one coherent spec while shapes are mixed
+      val e = intercept[Exception](
+        spark.sql(s"UPDATE $cat.m.t SET day = 'x' WHERE n = 1"))
+      assert(e.getMessage.contains("compact"), e.getMessage)
+      // DELETE works across shapes (restages its candidates under the
+      // CURRENT spec — an unprunable condition migrates everything)
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 2")
+      assert(spark.table(s"$cat.m.t").select("n").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+      // compact normalizes to the current layout (here the DELETE
+      // already migrated; compact folds the small files)...
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      val shapes = Snapshots.latest(dir).get.files
+        .map(Snapshots.shapeOf).distinct
+      assert(shapes == Seq(Seq("region", "day")),
+        s"compact must normalize to the current spec, got $shapes")
+      assert(spark.table(s"$cat.m.t").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, "d1", "EU"), (3L, "d1", "US"), (4L, "d1", "EU")))
+      // ...and day now prunes at the LISTING
+      val plan = spark.table(s"$cat.m.t").where("day = 'd2'")
+        .queryExecution.executedPlan.toString
+      assert(spark.table(s"$cat.m.t").where("day = 'd1'").count() == 3L)
+      assert(plan.contains("InMemoryFileIndex(0 paths)") ||
+        !plan.contains("day=d1"),
+        s"post-compact day predicate must prune directories:\n$plan")
+    }
+  }
+
   test("rename composes with manifest snapshots: time travel and the bucketed layout read under the new name") {
     withLake("pev3") { (cat, _) =>
       spark.sql(
