@@ -1001,6 +1001,25 @@ object SparkEntry {
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pmalake")),
 
+    // ABC inventory classification from the exact cumulative revenue
+    // share (integer ppm on DECIMAL(38,0)).
+    "q_abc_class" -> ((s, dir) =>
+      graft.operators.Distribution.abcClassification(t(s, dir, "lineitem"))),
+    // Market/behavior analytics: basket pair lift (order-keyed pair
+    // join, never all-pairs), Markov transitions, weekly acquisition
+    // census, fulfillment-lag histogram, duplicate-order screen.
+    "q_basket_lift" -> ((s, dir) =>
+      graft.operators.MarketOps.basketPairLift(t(s, dir, "lineitem"))),
+    "q_event_transitions" -> ((s, dir) =>
+      graft.operators.MarketOps.eventTransitions(t(s, dir, "events"))),
+    "q_new_returning" -> ((s, dir) =>
+      graft.operators.MarketOps.newVsReturning(t(s, dir, "orders"))),
+    "q_ship_lag_hist" -> ((s, dir) =>
+      graft.operators.MarketOps.shipLagHistogram(
+        t(s, dir, "lineitem"), t(s, dir, "orders"))),
+    "q_dup_orders" -> ((s, dir) =>
+      graft.operators.MarketOps.duplicateOrders(t(s, dir, "orders"))),
+
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
       EventOps.distinctAgg(t(s, dir, "events"))),
@@ -5130,6 +5149,98 @@ object SparkEntry {
         |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
         |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
         |FROM orders""".stripMargin,
+
+    // ABC classes from the exact cumulative revenue share.
+    "q_abc_class" ->
+      """WITH per AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |c AS (SELECT cents, CAST(sum(cents) OVER (
+        |    ORDER BY cents DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM per),
+        |k AS (SELECT cents, CAST(CAST(cum AS HUGEINT) * 1000000
+        |    // CAST(total AS HUGEINT) AS BIGINT) AS cum_ppm FROM c, t)
+        |SELECT CASE WHEN cum_ppm <= 800000 THEN 'A'
+        |    WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END AS abc_class,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Order-keyed pair join; lift in exact HUGEINT ppm; the top-20 by
+    // a tie-broken total order is a deterministic SET.
+    "q_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+        |  FROM items GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM items),
+        |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2, n_ab,
+        |  CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+        |    // (CAST(ca.n_part AS HUGEINT) * cb.n_part) AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN cnt ca ON p1 = ca.l_partkey
+        |JOIN cnt cb ON p2 = cb.l_partkey, t
+        |ORDER BY n_ab DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    // Per-user lead over the (ts, event_id) total order; ppm share of
+    // each from-state's outgoing edges.
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events),
+        |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS fn
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.from_type, to_type, n,
+        |  CAST((n * 1000000) // fn AS BIGINT) AS share_ppm
+        |FROM tr JOIN ft ON tr.from_type = ft.from_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Epoch-day // 7 weeks (non-negative: floor == truncate); cohort
+    // anchor = per-customer min week.
+    "q_new_returning" ->
+      """WITH w AS (SELECT DISTINCT o_custkey,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(week) AS first_week FROM w GROUP BY 1)
+        |SELECT CAST(week AS BIGINT) AS week,
+        |  CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN week > first_week THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning
+        |FROM w JOIN f USING (o_custkey) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact day lag bucketed by week; negatives clamp to one guard
+    // bucket so truncation == floor on both engines.
+    "q_ship_lag_hist" ->
+      """WITH l AS (SELECT (CAST(l_shipdate AS DATE)
+        |    - CAST(o_orderdate AS DATE)) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT CASE WHEN lag_days < 0 THEN -1
+        |    ELSE lag_days // 7 END AS lag_week FROM l)
+        |SELECT CAST(lag_week AS BIGINT) AS lag_week,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same-day duplicate screen; exact counts, coalesced empty case.
+    "q_dup_orders" ->
+      """WITH d AS (SELECT o_custkey, o_orderdate,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2 HAVING count(*) > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_orders,
+        |  CAST(coalesce(max(n), 0) AS BIGINT) AS max_group_size
+        |FROM d""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
