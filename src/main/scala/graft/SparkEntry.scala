@@ -1019,6 +1019,29 @@ object SparkEntry {
         t(s, dir, "lineitem"), t(s, dir, "orders"))),
     "q_dup_orders" -> ((s, dir) =>
       graft.operators.MarketOps.duplicateOrders(t(s, dir, "orders"))),
+    // Customer/supplier lifecycle family: tie-broken Spearman rank
+    // correlation (exact ppm identity), churn-risk census, reorder-gap
+    // histogram, slow movers, supplier share shift, discount
+    // dispersion, basket-size histogram, repeat rate — all exact
+    // cents/ppm/bps integers.
+    "q_spearman" -> ((s, dir) =>
+      graft.operators.CustomerOps.spearmanQuantityPrice(t(s, dir, "lineitem"))),
+    "q_churn_risk" -> ((s, dir) =>
+      graft.operators.CustomerOps.churnRisk(
+        t(s, dir, "orders"), t(s, dir, "customer"))),
+    "q_reorder_gap" -> ((s, dir) =>
+      graft.operators.CustomerOps.reorderGaps(t(s, dir, "orders"))),
+    "q_slow_movers" -> ((s, dir) =>
+      graft.operators.CustomerOps.slowMovers(t(s, dir, "lineitem"))),
+    "q_share_shift" -> ((s, dir) =>
+      graft.operators.CustomerOps.supplierShareShift(t(s, dir, "lineitem"))),
+    "q_discount_dispersion" -> ((s, dir) =>
+      graft.operators.CustomerOps.discountDispersion(t(s, dir, "lineitem"))),
+    "q_order_size_hist" -> ((s, dir) =>
+      graft.operators.CustomerOps.orderSizeHistogram(t(s, dir, "lineitem"))),
+    "q_repeat_rate" -> ((s, dir) =>
+      graft.operators.CustomerOps.repeatRate(
+        t(s, dir, "orders"), t(s, dir, "customer"))),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -5241,6 +5264,130 @@ object SparkEntry {
         |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_orders,
         |  CAST(coalesce(max(n), 0) AS BIGINT) AS max_group_size
         |FROM d""".stripMargin,
+
+    // Fully tie-broken ranks → the Σd² identity is pure integer; ppm
+    // on HUGEINT mirrors DECIMAL(38,0).
+    "q_spearman" ->
+      """WITH base AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY qty, l_orderkey, l_linenumber) AS r_qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber) AS r_price
+        |  FROM base),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(r_qty - r_price AS HUGEINT) * (r_qty - r_price))
+        |      AS HUGEINT) AS sd2
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n AS n_lines,
+        |  CAST(1000000 - (CAST(6 AS HUGEINT) * sd2 * 1000000)
+        |    // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
+        |    AS spearman_ppm
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // Exact day arithmetic against the global max-date anchor.
+    "q_churn_risk" ->
+      """WITH l AS (SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_order
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders)
+        |SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN (mx - last_order) > 90 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_at_risk,
+        |  CAST(sum(CASE WHEN (mx - last_order) <= 90 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_active
+        |FROM l JOIN customer ON o_custkey = c_custkey, a
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-customer consecutive-order gaps over the (date, orderkey)
+    // total order; 30-day buckets (non-negative: floor == truncate).
+    "q_reorder_gap" ->
+      """WITH g AS (SELECT (CAST(o_orderdate AS DATE)
+        |    - lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey)) AS gap_days
+        |  FROM orders),
+        |b AS (SELECT CASE WHEN gap_days < 0 THEN -1
+        |    ELSE gap_days // 30 END AS gap_month
+        |  FROM g WHERE gap_days IS NOT NULL)
+        |SELECT CAST(gap_month AS BIGINT) AS gap_month,
+        |  CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-part freshness vs the trailing-90-day anchor; one census row.
+    "q_slow_movers" ->
+      """WITH p AS (SELECT l_partkey,
+        |    max(CAST(l_shipdate AS DATE)) AS last_ship,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT max(CAST(l_shipdate AS DATE)) AS mx FROM lineitem)
+        |SELECT CAST(sum(CASE WHEN (mx - last_ship) > 90 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_slow_parts,
+        |  CAST(sum(CASE WHEN (mx - last_ship) > 90 THEN cents ELSE 0 END)
+        |    AS BIGINT) AS slow_revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM p, a""".stripMargin,
+
+    // Exact ppm shares of each dataset half; midpoint = integer day
+    // arithmetic on the range anchors.
+    "q_share_shift" ->
+      """WITH a AS (SELECT min(CAST(l_shipdate AS DATE)) AS lo,
+        |    max(CAST(l_shipdate AS DATE)) AS hi FROM lineitem),
+        |t AS (SELECT l_suppkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN (CAST(l_shipdate AS DATE) - lo) * 2 <= (hi - lo)
+        |      THEN 1 ELSE 2 END AS half
+        |  FROM lineitem, a),
+        |per AS (SELECT l_suppkey,
+        |    CAST(sum(CASE WHEN half = 1 THEN cents ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN half = 2 THEN cents ELSE 0 END) AS BIGINT) AS c2
+        |  FROM t GROUP BY 1),
+        |tt AS (SELECT
+        |    CAST(sum(CASE WHEN half = 1 THEN cents ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN half = 2 THEN cents ELSE 0 END) AS BIGINT) AS t2
+        |  FROM t)
+        |SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+        |  CAST(CAST(c1 AS HUGEINT) * 1000000 // CAST(t1 AS HUGEINT) AS BIGINT)
+        |    AS share1_ppm,
+        |  CAST(CAST(c2 AS HUGEINT) * 1000000 // CAST(t2 AS HUGEINT) AS BIGINT)
+        |    AS share2_ppm,
+        |  CAST(CAST(c2 AS HUGEINT) * 1000000 // CAST(t2 AS HUGEINT)
+        |    - CAST(c1 AS HUGEINT) * 1000000 // CAST(t1 AS HUGEINT) AS BIGINT)
+        |    AS shift_ppm
+        |FROM per, tt ORDER BY 1""".stripMargin,
+
+    // min/max discount per part in exact basis points (2-decimal
+    // discounts ×10⁴ never land near a .5 boundary).
+    "q_discount_dispersion" ->
+      """WITH p AS (SELECT l_partkey,
+        |    min(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS min_bps,
+        |    max(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS max_bps
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(max_bps - min_bps AS BIGINT) AS spread_bps,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_order_size_hist" ->
+      """WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repeat_rate" ->
+      """WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_one_time,
+        |  CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeat,
+        |  CAST((sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS repeat_ppm
+        |FROM per JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

@@ -514,13 +514,35 @@ private[catalog] object LakeProcedures {
                   .filter(Files.isRegularFile(_)).map(Files.size).sum
                 finally s.close()
               }
-              val stale = (siblings ++ tmps).filter(p =>
+              // manifest tables have one more orphan class: data files
+              // published into the table dirs whose snapshot commit
+              // never landed (crash between publish and the manifest
+              // write) — unreferenced by EVERY retained manifest, so
+              // invisible to all reads; Iceberg's remove_orphan_files
+              val orphans =
+                if (!Snapshots.isVersioned(tableDir)) Seq.empty[Path]
+                else {
+                  val live = Snapshots.referencedFiles(tableDir)
+                  PartitionedWrite.filesUnderDirs(tableDir,
+                      PartitionedWrite.leafPartitionDirs(tableDir))
+                    .filterNot(rel => live(rel.toString))
+                    .map(tableDir.resolve(_))
+                }
+              val stale = (siblings ++ tmps ++ orphans).filter(p =>
                 Files.getLastModifiedTime(p).toMillis <= cutoff)
               val freed = stale.map(sizeOf).sum
               stale.foreach { p =>
-                val s = Files.walk(p)
-                try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-                finally s.close()
+                if (Files.isRegularFile(p)) {
+                  Files.deleteIfExists(p)
+                  // local-FS checksum companion
+                  Files.deleteIfExists(p.resolveSibling(
+                    "." + p.getFileName.toString + ".crc"))
+                  ()
+                } else {
+                  val s = Files.walk(p)
+                  try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+                  finally s.close()
+                }
               }
               java.util.List.of[Scan](new LocalScan {
                 override def rows(): Array[InternalRow] =

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer/supplier lifecycle analytics over the order history — the
+  * retention and share-shift reports run over the tiered lake tables
+  * (reference `deploy:318-358`). Integer-exact throughout (cents /
+  * ppm / bps / day gaps), with rank products widened through
+  * DECIMAL(38,0) so nothing wraps at 100 TB. */
+object CustomerOps {
+
+  /** Tie-broken Spearman rank correlation between line quantity and
+    * extended price per return flag: ranks are row_numbers over a
+    * FULLY tie-broken order (value, then the line's unique key), so
+    * both engines derive identical permutations, and
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) stays a pure integer identity — reported
+    * in exact ppm. One window pass per ranking + one groupBy. */
+  def spearmanQuantityPrice(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_returnflag"),
+      col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val rx = Window.partitionBy("l_returnflag")
+      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+    val ry = Window.partitionBy("l_returnflag")
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    base
+      .withColumn("r_qty", row_number().over(rx))
+      .withColumn("r_price", row_number().over(ry))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("""CAST(r_qty - r_price AS DECIMAL(38,0))
+                 * (r_qty - r_price)""")).as("sd2"))
+      .select(col("l_returnflag"), col("n").cast("bigint").as("n_lines"),
+        expr("""CAST(1000000 - (CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000)
+               div (CAST(n AS DECIMAL(38,0))
+                    * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)""")
+          .as("spearman_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Churn-risk census per market segment: customers whose LAST order
+    * predates the dataset's max order date by more than `days` vs the
+    * still-active rest — exact day arithmetic against a broadcast
+    * scalar anchor. */
+  def churnRisk(orders: DataFrame, customer: DataFrame,
+                days: Int = 90): DataFrame = {
+    val last = orders.groupBy("o_custkey")
+      .agg(max(expr("CAST(o_orderdate AS DATE)")).as("last_order"))
+    val anchor = orders.agg(
+      max(expr("CAST(o_orderdate AS DATE)")).as("__max_date"))
+    last.crossJoin(broadcast(anchor))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(expr(s"CASE WHEN datediff(__max_date, last_order) > $days " +
+          "THEN 1 ELSE 0 END")).cast("bigint").as("n_at_risk"),
+        sum(expr(s"CASE WHEN datediff(__max_date, last_order) <= $days " +
+          "THEN 1 ELSE 0 END")).cast("bigint").as("n_active"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Reorder-gap histogram: days between a customer's consecutive
+    * orders (lag over the (date, orderkey) total order), bucketed by
+    * 30-day month — the purchase-cadence distribution behind
+    * replenishment forecasting. Exact counts. */
+  def reorderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(expr("CAST(o_orderdate AS DATE)"), col("o_orderkey"))
+    orders
+      .withColumn("prev",
+        lag(expr("CAST(o_orderdate AS DATE)"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), prev)").as("gap_days"))
+      .select(expr("CASE WHEN gap_days < 0 THEN -1 ELSE gap_days div 30 END")
+        .cast("bigint").as("gap_month"))
+      .groupBy("gap_month")
+      .agg(count(lit(1)).cast("bigint").as("n_gaps"))
+      .orderBy("gap_month")
+  }
+
+  /** Slow movers: parts with NO sale in the trailing `days` of the
+    * data window — distinct-part and lifetime-revenue census (one
+    * row). The anchor is a broadcast scalar; the freshness test is a
+    * per-part max, never a self-join. */
+  def slowMovers(lineitem: DataFrame, days: Int = 90): DataFrame = {
+    val anchor = lineitem.agg(
+      max(expr("CAST(l_shipdate AS DATE)")).as("__max_date"))
+    lineitem.groupBy("l_partkey")
+      .agg(max(expr("CAST(l_shipdate AS DATE)")).as("last_ship"),
+        sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      .crossJoin(broadcast(anchor))
+      .agg(
+        sum(expr(s"CASE WHEN datediff(__max_date, last_ship) > $days " +
+          "THEN 1 ELSE 0 END")).cast("bigint").as("n_slow_parts"),
+        sum(expr(s"CASE WHEN datediff(__max_date, last_ship) > $days " +
+          "THEN cents ELSE 0 END")).cast("bigint").as("slow_revenue_cents"),
+        count(lit(1)).cast("bigint").as("n_parts"))
+  }
+
+  /** Supplier revenue share shift: each supplier's exact ppm share of
+    * first-half revenue vs second-half (the midpoint splits the
+    * dataset's date range), shift = the signed difference — the
+    * share-of-wallet drift report. Broadcast scalar anchors; one
+    * groupBy over lineitem. */
+  def supplierShareShift(lineitem: DataFrame): DataFrame = {
+    val anchor = lineitem.agg(
+      expr("""CAST(min(CAST(l_shipdate AS DATE)) AS DATE)""").as("__lo"),
+      expr("""CAST(max(CAST(l_shipdate AS DATE)) AS DATE)""").as("__hi"))
+    val tagged = lineitem.crossJoin(broadcast(anchor))
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("""CASE WHEN datediff(CAST(l_shipdate AS DATE), __lo) * 2
+                <= datediff(__hi, __lo) THEN 1 ELSE 2 END""").as("half"))
+    val per = tagged.groupBy("l_suppkey")
+      .agg(sum(expr("CASE WHEN half = 1 THEN cents ELSE 0 END")).as("c1"),
+        sum(expr("CASE WHEN half = 2 THEN cents ELSE 0 END")).as("c2"))
+    val totals = tagged.agg(
+      sum(expr("CASE WHEN half = 1 THEN cents ELSE 0 END")).as("__t1"),
+      sum(expr("CASE WHEN half = 2 THEN cents ELSE 0 END")).as("__t2"))
+    per.crossJoin(broadcast(totals))
+      .select(col("l_suppkey").cast("bigint").as("l_suppkey"),
+        expr("""CAST(CAST(c1 AS DECIMAL(38,0)) * 1000000
+               div CAST(__t1 AS DECIMAL(38,0)) AS BIGINT)""").as("share1_ppm"),
+        expr("""CAST(CAST(c2 AS DECIMAL(38,0)) * 1000000
+               div CAST(__t2 AS DECIMAL(38,0)) AS BIGINT)""").as("share2_ppm"))
+      .withColumn("shift_ppm",
+        expr("share2_ppm - share1_ppm").cast("bigint"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Discount-dispersion histogram: per part, the spread between its
+    * max and min discount in exact basis points; parts bucketed by
+    * that spread — the pricing-consistency audit. */
+  def discountDispersion(lineitem: DataFrame): DataFrame = {
+    lineitem.groupBy("l_partkey")
+      .agg(min(expr("CAST(ROUND(l_discount * 10000) AS BIGINT)")).as("min_bps"),
+        max(expr("CAST(ROUND(l_discount * 10000) AS BIGINT)")).as("max_bps"))
+      .select(expr("max_bps - min_bps").as("spread_bps"))
+      .groupBy("spread_bps")
+      .agg(count(lit(1)).cast("bigint").as("n_parts"))
+      .orderBy("spread_bps")
+  }
+
+  /** Order-size histogram: orders per line count — the basket-size
+    * distribution. */
+  def orderSizeHistogram(lineitem: DataFrame): DataFrame = {
+    lineitem.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy("n_lines")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"))
+      .select(col("n_lines").cast("bigint").as("n_lines"), col("n_orders"))
+      .orderBy("n_lines")
+  }
+
+  /** Repeat-purchase rate per segment: one-time vs repeat customers
+    * and the exact repeat ppm. */
+  def repeatRate(orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(expr("CASE WHEN n_orders = 1 THEN 1 ELSE 0 END"))
+          .cast("bigint").as("n_one_time"),
+        sum(expr("CASE WHEN n_orders > 1 THEN 1 ELSE 0 END"))
+          .cast("bigint").as("n_repeat"))
+      .withColumn("repeat_ppm", expr(
+        "(n_repeat * 1000000L) div (n_one_time + n_repeat)").cast("bigint"))
+      .orderBy("c_mktsegment")
+  }
+}

@@ -57,4 +57,38 @@ class VacuumSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.lkvac.path")
     }
   }
+
+  test("vacuum on a manifest table GCs published-but-uncommitted orphan data files; live files untouched") {
+    val lake = Files.createTempDirectory("graft-lake-vac2")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkvc2", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkvc2.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkvc2.m.t (k BIGINT, region STRING)
+          |PARTITIONED BY (region)
+          |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq((1L, "EU"), (2L, "US")).toDF("k", "region")
+        .write.mode("append").insertInto("lkvc2.m.t")
+      val dir = lake.resolve("m/t.parquet")
+      // simulate the crash window: a data file published into a
+      // partition dir whose snapshot commit never landed — referenced
+      // by NO manifest, invisible to every read
+      val orphan = dir.resolve("region=EU/part-00000-9-orphan-1.parquet")
+      Files.write(orphan, Array[Byte](1, 2, 3))
+      assert(spark.table("lkvc2.m.t").count() == 2L,
+        "the orphan must be invisible to reads")
+      val (n, freed) = spark.sql("CALL lkvc2.system.vacuum('m.t', 0)")
+        .as[(Long, Long)].head()
+      assert(n >= 1L && freed >= 3L, s"orphan must be GC'd: ($n, $freed)")
+      assert(!Files.exists(orphan))
+      // live (manifest-referenced) files are untouched, reads intact
+      assert(spark.table("lkvc2.m.t").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq == Seq((1L, "EU"), (2L, "US")))
+      assert(spark.sql("SELECT * FROM lkvc2.m.t VERSION AS OF 1").count() == 2L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkvc2")
+      spark.conf.unset("spark.sql.catalog.lkvc2.path")
+    }
+  }
 }
