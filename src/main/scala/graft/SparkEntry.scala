@@ -1042,6 +1042,15 @@ object SparkEntry {
     "q_repeat_rate" -> ((s, dir) =>
       graft.operators.CustomerOps.repeatRate(
         t(s, dir, "orders"), t(s, dir, "customer"))),
+    // Corpus-shape family: hapax share (heavy-tail health), term
+    // burstiness (VMR over per-doc counts, zeros included), LIX
+    // readability on corpus totals — all exact integers.
+    "q_text_hapax" -> ((s, dir) =>
+      graft.operators.TextShape.hapaxRate(t(s, dir, "documents"))),
+    "q_text_burstiness" -> ((s, dir) =>
+      graft.operators.TextShape.burstiness(t(s, dir, "documents"))),
+    "q_text_lix" -> ((s, dir) =>
+      graft.operators.TextShape.lixReadability(t(s, dir, "documents"))),
 
     // Distinct aggregates per hour.
     "q_distinct_agg" -> ((s, dir) =>
@@ -5388,6 +5397,55 @@ object SparkEntry {
         |    // count(*) AS BIGINT) AS repeat_ppm
         |FROM per JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The corpus tokenization convention (whitespace split, empties
+    // symmetric on both engines).
+    "q_text_hapax" ->
+      """WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |g AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM tf GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS hapax_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // VMR over per-doc counts with zeros included:
+    // (D·Σc² − n²)/((D−1)·n) in exact HUGEINT ppm.
+    "q_text_burstiness" ->
+      """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |pc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |per AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2
+        |  FROM pc GROUP BY 1 HAVING sum(c) >= 50)
+        |SELECT term, n, df,
+        |  CAST((CAST(nd AS HUGEINT) * sc2 - CAST(n AS HUGEINT) * n) * 1000000
+        |    // ((CAST(nd AS HUGEINT) - 1) * n) AS BIGINT) AS vmr_ppm
+        |FROM per, d ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // Corpus-total LIX in integer centi-units; periods as sentences,
+    // long word = length >= 7.
+    "q_text_lix" ->
+      """WITH per AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+        |      AS periods,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> length(w) >= 7)) AS BIGINT) AS long_words
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS words,
+        |  CAST(sum(periods) AS BIGINT) AS sentences,
+        |  CAST(sum(long_words) AS BIGINT) AS long_words,
+        |  CAST((sum(words) * 100) // (CASE WHEN sum(periods) = 0 THEN 1
+        |      ELSE sum(periods) END)
+        |    + (sum(long_words) * 10000) // sum(words) AS BIGINT) AS lix_centi
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
