@@ -5274,27 +5274,42 @@ object SparkEntry {
         |  CAST(coalesce(max(n), 0) AS BIGINT) AS max_group_size
         |FROM d""".stripMargin,
 
-    // Fully tie-broken ranks → the Σd² identity is pure integer; ppm
-    // on HUGEINT mirrors DECIMAL(38,0).
+    // Average ranks for ties (doubled to stay integer:
+    // R = 2·below + cnt + 1), so the statistic is independent of row
+    // order; ppm on HUGEINT mirrors DECIMAL(38,0).
     "q_spearman" ->
-      """WITH base AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+      """WITH base AS (SELECT l_returnflag,
         |    CAST(l_quantity AS BIGINT) AS qty,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
         |  FROM lineitem),
-        |r AS (SELECT l_returnflag,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY qty, l_orderkey, l_linenumber) AS r_qty,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY cents, l_orderkey, l_linenumber) AS r_price
-        |  FROM base),
+        |cq AS (SELECT l_returnflag, qty, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |rq AS (SELECT l_returnflag, qty,
+        |    2 * (sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |      + c + 1 AS r_qty
+        |  FROM cq),
+        |cp AS (SELECT l_returnflag, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |rp AS (SELECT l_returnflag, cents,
+        |    2 * (sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |      + c + 1 AS r_price
+        |  FROM cp),
+        |j AS (SELECT base.l_returnflag, r_qty, r_price
+        |  FROM base
+        |  JOIN rq ON base.l_returnflag = rq.l_returnflag
+        |    AND base.qty = rq.qty
+        |  JOIN rp ON base.l_returnflag = rp.l_returnflag
+        |    AND base.cents = rp.cents),
         |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CAST(r_qty - r_price AS HUGEINT) * (r_qty - r_price))
         |      AS HUGEINT) AS sd2
-        |  FROM r GROUP BY 1)
+        |  FROM j GROUP BY 1)
         |SELECT l_returnflag, n AS n_lines,
-        |  CAST(1000000 - (CAST(6 AS HUGEINT) * sd2 * 1000000)
-        |    // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
-        |    AS spearman_ppm
+        |  CAST(1000000 - (CAST(3 AS HUGEINT) * sd2 * 1000000)
+        |    // (CAST(2 AS HUGEINT) * n * (CAST(n AS HUGEINT) * n - 1))
+        |    AS BIGINT) AS spearman_ppm
         |FROM m ORDER BY 1""".stripMargin,
 
     // Exact day arithmetic against the global max-date anchor.

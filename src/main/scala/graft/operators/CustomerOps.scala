@@ -11,31 +11,68 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,0) so nothing wraps at 100 TB. */
 object CustomerOps {
 
-  /** Tie-broken Spearman rank correlation between line quantity and
-    * extended price per return flag: ranks are row_numbers over a
-    * FULLY tie-broken order (value, then the line's unique key), so
-    * both engines derive identical permutations, and
-    * ρ = 1 − 6·Σd²/(n·(n²−1)) stays a pure integer identity — reported
-    * in exact ppm. One window pass per ranking + one groupBy. */
-  def spearmanQuantityPrice(lineitem: DataFrame): DataFrame = {
+  /** Spearman rank correlation between line quantity and extended
+    * price per return flag, with the statistically standard AVERAGE
+    * ranks for ties — ties are a fact of both columns (quantity has a
+    * 50-value domain), and average ranks are the only assignment
+    * that is well-defined independent of row order, so both engines
+    * agree bit-for-bit. Ranks are DOUBLED to stay integer
+    * (R = 2·below + cnt + 1 = 2 × the average rank), which turns
+    * ρ = 1 − 6·Σd_avg²/(n·(n²−1)) into the exact integer form
+    * 1 − 3·Σd²/(2·n·(n²−1)) on DECIMAL(38,0) — reported in ppm.
+    *
+    * Scale shape: ranking happens on the VALUE-LEVEL count table
+    * (O(distinct values) rows), cumulated by the two-phase grouped
+    * prefix sum ([[Ids.prefixSumsGrouped]] — never a window
+    * partitioned on the 3-value flag, which would sort a flag's whole
+    * slice on one task), then joined back by (flag, value) — two
+    * equi-joins on bounded dims. Window-form equality is spec-pinned
+    * (`CustomerOpsSpec`). */
+  def spearmanQuantityPrice(lineitem: DataFrame): DataFrame =
+    spearmanFrom(lineitem, useWindow = false)
+
+  /** Reference form of [[spearmanQuantityPrice]]: the value-level
+    * cumulative counts via a window partitioned on the flag
+    * (single-task per flag — never the wired scale path); exists for
+    * the equality spec and small inputs. */
+  private[operators] def spearmanQuantityPriceWindow(
+      lineitem: DataFrame): DataFrame =
+    spearmanFrom(lineitem, useWindow = true)
+
+  private def spearmanFrom(lineitem: DataFrame,
+                           useWindow: Boolean): DataFrame = {
     val base = lineitem.select(col("l_returnflag"),
-      col("l_orderkey"), col("l_linenumber"),
       expr("CAST(l_quantity AS BIGINT)").as("qty"),
       expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
-    val rx = Window.partitionBy("l_returnflag")
-      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
-    val ry = Window.partitionBy("l_returnflag")
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    // doubled average rank per distinct value:
+    // R(v) = 2·(rows below v) + cnt(v) + 1
+    def ranks(valueCol: String, rankCol: String): DataFrame = {
+      val cnts = base.groupBy(col("l_returnflag"), col(valueCol))
+        .agg(count(lit(1)).as("_c"))
+      val cum =
+        if (useWindow) {
+          val w = Window.partitionBy("l_returnflag").orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          cnts.withColumn("cum__c", sum(col("_c")).over(w))
+        } else Ids.prefixSumsGrouped(cnts, Seq("l_returnflag"),
+          Seq(col(valueCol)), Seq("_c"))
+      cum.select(col("l_returnflag").as(s"_f_$rankCol"),
+        col(valueCol).as(s"_v_$rankCol"),
+        expr("2 * (cum__c - _c) + _c + 1").as(rankCol))
+    }
     base
-      .withColumn("r_qty", row_number().over(rx))
-      .withColumn("r_price", row_number().over(ry))
+      .join(ranks("qty", "r_qty"),
+        col("l_returnflag") === col("_f_r_qty") && col("qty") === col("_v_r_qty"))
+      .join(ranks("cents", "r_price"),
+        col("l_returnflag") === col("_f_r_price") &&
+          col("cents") === col("_v_r_price"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(expr("""CAST(r_qty - r_price AS DECIMAL(38,0))
                  * (r_qty - r_price)""")).as("sd2"))
       .select(col("l_returnflag"), col("n").cast("bigint").as("n_lines"),
-        expr("""CAST(1000000 - (CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000)
-               div (CAST(n AS DECIMAL(38,0))
+        expr("""CAST(1000000 - (CAST(3 AS DECIMAL(38,0)) * sd2 * 1000000)
+               div (CAST(2 AS DECIMAL(38,0)) * n
                     * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)""")
           .as("spearman_ppm"))
       .orderBy("l_returnflag")
