@@ -409,18 +409,76 @@ private[catalog] object LakeProcedures {
             override def call(input: InternalRow): java.util.Iterator[Scan] = {
               val tableDir = resolveTableDir(root, "zorder",
                 input.getUTF8String(0).toString, requireVersioned = false)
-              // the zorder rewrite is flat — running it on a hive
-              // layout would silently destroy the partition dirs
-              if (PartitionSpec.read(tableDir).nonEmpty)
-                throw new UnsupportedOperationException(
-                  s"zorder: partitioned lake tables are not supported " +
-                    "(the rewrite would flatten the partition layout); " +
-                    "use partition-preserving DELETE/UPDATE or compact")
               val xc = input.getUTF8String(1).toString
               val yc = input.getUTF8String(2).toString
               val target = input.getInt(3)
               val spark = SparkSession.active
               import org.apache.spark.sql.functions.col
+              val pspecZ = PartitionSpec.read(tableDir)
+              if (pspecZ.nonEmpty) {
+                // PARTITION-PRESERVING z-order (manifest tables only —
+                // the plain hive layout has no snapshot to commit and
+                // a flat rewrite would destroy its dirs): rows re-land
+                // in their own partitions, Morton-sorted WITHIN each,
+                // so a follow-up CALL analyze gives per-file min/max
+                // that skip inside surviving partitions on BOTH dims —
+                // the composition the partitioned FileSkipping path
+                // reads. Committed as a NEW snapshot (history intact).
+                if (!Snapshots.isVersioned(tableDir))
+                  throw new UnsupportedOperationException(
+                    "zorder: PLAIN partitioned lake tables are not " +
+                      "supported (no snapshot log to commit the rewrite " +
+                      "into); create with TBLPROPERTIES " +
+                      "('versioned'='true') or use compact")
+                val snap = Snapshots.latest(tableDir).get
+                val newV =
+                  if (snap.files.isEmpty) snap.version
+                  else {
+                    val dirCols = PartitionSpec.dirCols(pspecZ)
+                    val df = Snapshots.groupByShape(snap.files)
+                      .map { case (_, fs) =>
+                        spark.read.option("basePath", tableDir.toString)
+                          .parquet(fs.map(f =>
+                            tableDir.resolve(f).toString): _*)
+                      }.reduce((a, b) =>
+                        a.unionByName(b, allowMissingColumns = true))
+                    val bad = Seq(xc, yc).filterNot(df.columns.contains)
+                    require(bad.isEmpty,
+                      s"zorder: no such column(s) ${bad.mkString(",")}")
+                    val withBucket = pspecZ.collectFirst {
+                      case b: PartitionSpec.Bucket => b
+                    }.fold(df) { b =>
+                      if (df.columns.contains(PartitionSpec.BucketDir)) df
+                      else df.withColumn(PartitionSpec.BucketDir,
+                        org.apache.spark.sql.functions.pmod(
+                          org.apache.spark.sql.functions.hash(col(b.col)),
+                          org.apache.spark.sql.functions.lit(b.n)))
+                    }
+                    val tmp = tableDir.resolveSibling(
+                      tableDir.getFileName.toString + ".__rewrite-" +
+                        java.util.UUID.randomUUID().toString.take(8))
+                    PartitionedWrite.deleteRecursive(tmp)
+                    withBucket
+                      .withColumn("_z", graft.operators.Layout.mortonCode(
+                        col(xc), col(yc)))
+                      .repartition(target, dirCols.map(col): _*)
+                      .sortWithinPartitions(
+                        (dirCols.map(col) :+ col("_z")): _*)
+                      .drop("_z")
+                      .write.partitionBy(dirCols: _*)
+                      .parquet(tmp.toString)
+                    val staged =
+                      PartitionedWrite.mergeIntoReturning(tmp, tableDir)
+                    Snapshots.commit(tableDir, staged)
+                  }
+                spark.catalog.clearCache()
+                return java.util.List.of[Scan](new LocalScan {
+                  override def rows(): Array[InternalRow] =
+                    Array(InternalRow(newV))
+                  override def readSchema(): StructType =
+                    new StructType().add("new_version", LongType)
+                }).iterator()
+              }
               def rewrite(df: org.apache.spark.sql.DataFrame) = {
                 val bad = Seq(xc, yc).filterNot(df.columns.contains)
                 require(bad.isEmpty, s"zorder: no such column(s) ${bad.mkString(",")}")

@@ -357,6 +357,49 @@ class VersionedPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("partition-preserving zorder on a manifest table: new snapshot, layout intact, tighter skipping after analyze") {
+    withLake("vp9") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (k BIGINT, d BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val dir = lake.resolve("m/t.parquet")
+      // three appends with INTERLEAVED k ranges → every file spans the
+      // whole domain, so min/max stats can't skip anything
+      (0 until 3).foreach { i =>
+        (0L until 30L).filter(_ % 3 == i).map(k => (k, k % 7, "EU"))
+          .toDF("k", "d", "region")
+          .write.mode("append").insertInto(s"$cat.m.t")
+      }
+      spark.sql(s"CALL $cat.system.analyze('m.t', 'k')")
+      val before = spark.table(s"$cat.m.t").where("k = 5")
+        .queryExecution.executedPlan.toString
+      assert(before.contains("InMemoryFileIndex(3 paths)"),
+        s"interleaved files must not skip:\n$before")
+      // zorder re-clusters within the partition as a NEW snapshot
+      val nv = spark.sql(s"CALL $cat.system.zorder('m.t', 'k', 'd', 3)")
+        .as[Long].head()
+      assert(nv == 4L)
+      spark.sql(s"CALL $cat.system.analyze('m.t', 'k')")
+      assert(spark.table(s"$cat.m.t").as[(Long, Long, String)]
+        .collect().sortBy(_._1).map(_._1).toSeq == (0L until 30L))
+      val after = spark.table(s"$cat.m.t").where("k = 5")
+        .queryExecution.executedPlan.toString
+      assert(after.contains("InMemoryFileIndex(1 paths)"),
+        s"clustered files must skip to one:\n$after")
+      // layout preserved, pre-zorder snapshot intact
+      assert(Snapshots.latest(dir).get.files.forall(_.startsWith("region=")))
+      assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 3").count() == 30L)
+      // plain partitioned tables keep the explicit rejection
+      spark.sql(
+        s"""CREATE TABLE $cat.m.p (k BIGINT, d BIGINT, g STRING)
+           |PARTITIONED BY (g)""".stripMargin)
+      val e = intercept[Exception](
+        spark.sql(s"CALL $cat.system.zorder('m.p', 'k', 'd', 2)"))
+      assert(e.getMessage.contains("versioned"), e.getMessage)
+    }
+  }
+
   test("guard rails: plain partitioned tables reject time travel; flat tables reject the property") {
     withLake("vp4") { (cat, _) =>
       spark.sql(
