@@ -77,7 +77,14 @@ private[catalog] object BloomIndex {
       s"bloom_index: bits must be a power of two, got $bits")
     require(probes > 0 && probes <= 16,
       s"bloom_index: probes must be in [1, 16], got $probes")
-    val df = spark.read.parquet(dataDir.toString)
+    // manifest-versioned tables: index the LIVE files only (a root
+    // read would mix spec-evolution shapes and index dead files)
+    val df = Snapshots.readCurrent(spark, tableDir) match {
+      case Some(Some(live)) => live
+      case Some(None) =>
+        writeSidecar(tableDir, Index(bits, probes, Map.empty)); return 0L
+      case None => spark.read.parquet(dataDir.toString)
+    }
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"bloom_index: no such column(s) ${missing.mkString(",")}")
@@ -145,9 +152,12 @@ private[catalog] object BloomIndex {
       // the driver probe's Literal(i.toLong, LongType)
       val posCols = (0 until probes).map(i =>
         pmod(xxhash64(canon, lit(i.toLong)), lit(bits.toLong)).cast(IntegerType))
+      val fileCol =
+        if (df.columns.contains(Snapshots.FileCol)) col(Snapshots.FileCol)
+        else col("_metadata.file_path")
       val perFile = df
         .filter(col(c).isNotNull)
-        .select(col("_metadata.file_path").as("__file"),
+        .select(fileCol.as("__file"),
           explode(sqlArray(posCols: _*)).as("__pos"))
         .groupBy(col("__file"))
         .agg(collect_set(col("__pos")).as("__bits"))

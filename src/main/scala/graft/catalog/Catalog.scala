@@ -138,20 +138,11 @@ object Catalog {
       .load()
   }
 
-  /** logical → physical column renames from a table's
-    * `_graft_mapping.json` evolution sidecar; empty when absent. */
-  private def readRenames(tableDir: java.nio.file.Path): Map[String, String] = {
-    val f = tableDir.resolve("_graft_mapping.json")
-    if (!java.nio.file.Files.exists(f)) Map.empty
-    else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(java.nio.file.Files.readString(f))
-      Option(node.get("renames")).map { r =>
-        scala.jdk.CollectionConverters.IteratorHasAsScala(r.fields()).asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap
-      }.getOrElse(Map.empty)
-    }
-  }
+  /** logical → physical column renames from a table's evolution
+    * sidecar; empty when absent ([[Evolutions.renames]] — the shared
+    * parser, so readers can never drift). */
+  private def readRenames(tableDir: java.nio.file.Path): Map[String, String] =
+    Evolutions.renames(tableDir)
 
   def drop(spark: SparkSession, db: String): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")

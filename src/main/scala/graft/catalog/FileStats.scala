@@ -61,7 +61,13 @@ private[catalog] object FileStats {
     * of files analyzed. */
   def analyze(spark: SparkSession, tableDir: Path, dataDir: Path,
               cols: Seq[String]): Long = {
-    val df = spark.read.parquet(dataDir.toString)
+    // manifest-versioned tables: stats cover the LIVE files only (a
+    // root read would mix spec-evolution shapes and stat dead files)
+    val df = Snapshots.readCurrent(spark, tableDir) match {
+      case Some(Some(live)) => live
+      case Some(None) => writeSidecar(tableDir, Map.empty); return 0L
+      case None => spark.read.parquet(dataDir.toString)
+    }
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"analyze: no such column(s) ${missing.mkString(",")}")
     val unsupported = cols.filter { c =>
@@ -128,7 +134,12 @@ private[catalog] object FileStats {
         org.apache.spark.sql.functions.count(col(c)).as(s"__nn_$c"))) :+
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__rows")
-    df.groupBy(col("_metadata.file_path").as("__file"))
+    // manifest readers pre-materialize the file path (it can't cross
+    // their per-shape union); direct reads use the metadata column
+    val fileCol =
+      if (df.columns.contains(Snapshots.FileCol)) col(Snapshots.FileCol)
+      else col("_metadata.file_path")
+    df.groupBy(fileCol.as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>

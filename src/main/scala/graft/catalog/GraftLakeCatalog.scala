@@ -407,10 +407,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
     if (!Files.isDirectory(p.getParent)) throw new NoSuchNamespaceException(ident.namespace)
-    Files.createDirectories(p)
-    // persist the declared schema: an empty table has nothing to infer
-    // from, and ADD COLUMN evolution rewrites this sidecar later
-    Files.writeString(p.resolve(SchemaSidecar), schema.json)
+    // validate EVERYTHING before any filesystem mutation — a rejection
+    // thrown after mkdir would leave a half-created table that blocks
+    // the user's corrected CREATE with TableAlreadyExists
     val versionedProp = Option(properties.get(Snapshots.Property))
       .exists(_.equalsIgnoreCase("true"))
     if (versionedProp && spec.isEmpty)
@@ -418,6 +417,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: TBLPROPERTIES ('versioned'='true') applies to " +
           "PARTITIONED tables (the manifest snapshot log); flat tables " +
           "version through the v=<n> snapshot layout")
+    Files.createDirectories(p)
+    // persist the declared schema: an empty table has nothing to infer
+    // from, and ADD COLUMN evolution rewrites this sidecar later
+    Files.writeString(p.resolve(SchemaSidecar), schema.json)
     if (spec.nonEmpty) {
       PartitionSpec.write(p, spec)
       if (versionedProp) Snapshots.init(p)

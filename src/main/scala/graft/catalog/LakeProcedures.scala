@@ -155,6 +155,16 @@ private[catalog] object LakeProcedures {
                 throw new IllegalArgumentException(
                   s"add_partition_field: '$colName' collides with the " +
                     "snapshot/sidecar namespace")
+              // a rename-evolved column's DIRECTORY name would be the
+              // logical name while the index schema speaks the
+              // physical one — the scan could never resolve it
+              if (Evolutions.renames(tableDir).keys
+                  .exists(_.equalsIgnoreCase(colName)))
+                throw new UnsupportedOperationException(
+                  s"add_partition_field: '$colName' is rename-evolved " +
+                    "(its files carry a different physical name) — " +
+                    "partition directory names bind to physical columns; " +
+                    "compact/recreate before promoting it")
               val schemaJson = tableDir.resolve("_graft_schema.json")
               val schema = org.apache.spark.sql.types.DataType.fromJson(
                 Files.readString(schemaJson))

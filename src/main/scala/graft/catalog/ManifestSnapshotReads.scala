@@ -31,20 +31,12 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
 
   // rename evolution: files speak the PHYSICAL names; read with those,
   // alias back to logical (partition columns are never renamed)
-  private val renames: Map[String, String] = {
-    val f = tableDir.resolve("_graft_mapping.json")
-    if (!Files.exists(f)) Map.empty
-    else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(Files.readString(f))
-      Option(node.get("renames")).map { r =>
-        scala.jdk.CollectionConverters.IteratorHasAsScala(r.fields()).asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap
-      }.getOrElse(Map.empty)
-    }
-  }
+  private val renames: Map[String, String] = Evolutions.renames(tableDir)
 
   override def versions: Seq[Long] = Snapshots.versions(tableDir)
+
+  override def parentOf(version: Long): Option[Long] =
+    Snapshots.read(tableDir, version).flatMap(_.parent)
 
   override def read(version: Long): Option[DataFrame] =
     Snapshots.read(tableDir, version).map { s =>
@@ -60,9 +52,14 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
           else org.apache.spark.sql.types.StructType(phys.fields :+
             org.apache.spark.sql.types.StructField(PartitionSpec.BucketDir,
               org.apache.spark.sql.types.IntegerType, nullable = true))
-        val raw = spark.read.option("basePath", tableDir.toString)
-          .schema(readSchema)
-          .parquet(s.files.map(f => tableDir.resolve(f).toString): _*)
+        // per-spec-shape union (ADD PARTITION FIELD evolution): one
+        // parquet read cannot mix directory shapes — the same rule
+        // every other live-file reader follows
+        val raw = Snapshots.groupByShape(s.files).map { case (_, fs) =>
+          spark.read.option("basePath", tableDir.toString)
+            .schema(readSchema)
+            .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
+        }.reduce(_ unionByName _)
         val unbucketed =
           if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
         if (renames.isEmpty) unbucketed

@@ -12,6 +12,31 @@ import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+/** The ONE parser for the rename half of the `_graft_mapping.json`
+  * evolution sidecar — every reader outside the catalog's full
+  * [[GraftLakeCatalog]] evolution logic (streaming tail, manifest
+  * snapshot reader, spec-evolution guards) resolves logical→physical
+  * through here, so the dialect can never drift between readers. */
+private[catalog] object Evolutions {
+
+  val MappingSidecar = "_graft_mapping.json"
+
+  /** logical → physical column renames of a table dir; empty when the
+    * sidecar is absent. */
+  def renames(tableDir: java.nio.file.Path): Map[String, String] = {
+    val f = tableDir.resolve(MappingSidecar)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(java.nio.file.Files.readString(f))
+      Option(node.get("renames")).map { r =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(r.fields()).asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+    }
+  }
+}
+
 /** Column-rename indirection for merge-on-read schema evolution: the
   * catalog's data files are IMMUTABLE parquet resolving columns by
   * name, so `RENAME COLUMN` cannot touch them — instead the table's

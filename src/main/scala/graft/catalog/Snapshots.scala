@@ -35,7 +35,14 @@ private[catalog] object Snapshots {
   val DirName = "_graft_snapshots"
   val Property = "versioned"
 
-  final case class Snapshot(version: Long, commitMs: Long, files: Seq[String])
+  /** `parent` is the snapshot this one was committed AGAINST (None for
+    * the initial snapshot and pre-parent manifests): the change feed
+    * diffs a version against its RECORDED parent, so a retention hole
+    * (expire keeping a pinned older snapshot but dropping the middle)
+    * is detected instead of silently diffing against the wrong
+    * predecessor. */
+  final case class Snapshot(version: Long, commitMs: Long,
+                            files: Seq[String], parent: Option[Long] = None)
 
   private def dir(tableDir: Path): Path = tableDir.resolve(DirName)
 
@@ -76,7 +83,8 @@ private[catalog] object Snapshots {
         node.get("version").asLong(),
         node.get("commitMs").asLong(),
         Option(node.get("files")).toSeq
-          .flatMap(_.elements().asScala.toSeq).map(_.asText())))
+          .flatMap(_.elements().asScala.toSeq).map(_.asText()),
+        Option(node.get("parent")).filterNot(_.isNull).map(_.asLong())))
     }
   }
 
@@ -84,10 +92,12 @@ private[catalog] object Snapshots {
     versions(tableDir).lastOption.flatMap(read(tableDir, _))
 
   /** Commit a new snapshot with the given live-file list; returns its
-    * version (latest + 1). */
+    * version (latest + 1). The previous latest is recorded as the
+    * snapshot's PARENT (the change-feed diff anchor). */
   def commit(tableDir: Path, files: Seq[String]): Long = {
-    val v = versions(tableDir).lastOption.fold(0L)(_ + 1L)
-    write(tableDir, Snapshot(v, System.currentTimeMillis(), files))
+    val prev = versions(tableDir).lastOption
+    val v = prev.fold(0L)(_ + 1L)
+    write(tableDir, Snapshot(v, System.currentTimeMillis(), files, prev))
     v
   }
 
@@ -133,11 +143,34 @@ private[catalog] object Snapshots {
   def groupByShape(files: Seq[String]): Seq[(Seq[String], Seq[String])] =
     files.groupBy(shapeOf).toSeq.sortBy(_._1.mkString("/"))
 
+  /** The CURRENT (latest-manifest) live files of a versioned table as
+    * one DataFrame — per-shape parquet reads unioned by name (one read
+    * cannot mix shapes). None when the table is not manifest-versioned
+    * (callers fall back to the directory read) or its latest snapshot
+    * is empty. */
+  /** Name of the materialized file-path column [[readCurrent]] frames
+    * carry — `_metadata` does not survive a union, so per-group reads
+    * pin it before unioning (the stats/Bloom builders key on it). */
+  val FileCol = "_graft_file"
+
+  def readCurrent(spark: org.apache.spark.sql.SparkSession,
+                  tableDir: Path): Option[Option[org.apache.spark.sql.DataFrame]] =
+    if (!isVersioned(tableDir)) None
+    else Some(latest(tableDir).filter(_.files.nonEmpty).map { s =>
+      groupByShape(s.files).map { case (_, fs) =>
+        spark.read.option("basePath", tableDir.toString)
+          .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
+          .withColumn(FileCol,
+            org.apache.spark.sql.functions.col("_metadata.file_path"))
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    })
+
   private def write(tableDir: Path, s: Snapshot): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("version", s.version)
     root.put("commitMs", s.commitMs)
+    s.parent.foreach(p => root.put("parent", p))
     val arr = root.putArray("files")
     s.files.sorted.foreach(arr.add)
     val target = manifest(tableDir, s.version)

@@ -324,8 +324,8 @@ object Bucketing {
   }
 }
 
-/** Fresh work dir per run for the partitioned-table entry: the CREATE
-  * must not trip over a previous run's table. */
+/** Snapshot-layer driver entries (the [[Bucketing]] family's
+  * continuation — split to keep the original object's size bounded). */
 object Bucketing2 {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
@@ -409,6 +409,8 @@ object Bucketing2 {
   }
 }
 
+/** Fresh work dir per run for the partitioned-table entries: the
+  * CREATE must not trip over a previous run's table. */
 private object PartitionedWorkDirs {
   def reset(workDir: String): Unit = {
     val root = java.nio.file.Paths.get(workDir)

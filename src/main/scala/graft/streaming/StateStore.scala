@@ -27,6 +27,12 @@ trait SnapshotReads {
   /** Snapshot `version` as a DataFrame; None if never committed or
     * expired. */
   def read(version: Long): Option[DataFrame]
+  /** The snapshot `version` was committed AGAINST, when the layout
+    * records it (manifest logs do) — the change feed's exact diff
+    * anchor, hole-proof under tag-pinned retention. None = unknown
+    * (flat `v=<n>` stores, pre-parent manifests): the feed falls back
+    * to the listing predecessor. */
+  def parentOf(version: Long): Option[Long] = None
 }
 
 final class StateStore(spark: SparkSession, dir: String)

@@ -121,11 +121,26 @@ private[graft] final class ChangeFeedSource(
   /** The feed of ONE committed version: the earliest snapshot emits
     * whole as inserts (`c`, before NULL — the CDC initial-load
     * phase); every later version emits the snapshot diff against its
-    * predecessor. A pure function of the immutable snapshot dirs —
-    * the replay determinism the checkpoint contract needs. */
+    * PARENT — the recorded commit anchor when the layout keeps one
+    * (manifest logs), else the listing predecessor. A recorded parent
+    * that has been EXPIRED while an older snapshot is retained (a
+    * tag-pinned retention hole) fails loudly: diffing against the
+    * wrong predecessor would silently re-derive a different
+    * changeset. A pure function of the immutable snapshots — the
+    * replay determinism the checkpoint contract needs. */
   private def versionFeed(ver: Long): DataFrame = {
     val vs = store.versions
-    vs.filter(_ < ver).lastOption match {
+    val pred = store.parentOf(ver) match {
+      case Some(p) =>
+        if (!vs.contains(p)) throw new IllegalStateException(
+          s"graft-changefeed: snapshot v=$ver was committed against " +
+            s"v=$p, which expire_snapshots has dropped while older " +
+            "snapshots remain retained — the diff cannot be re-derived; " +
+            "restart the stream from a fresh checkpoint")
+        Some(p)
+      case None => vs.filter(_ < ver).lastOption
+    }
+    pred match {
       case None =>
         store.read(ver).get.select(
           lit("c").as("op"), lit(ver).as("version"),

@@ -129,6 +129,16 @@ class PartitionedEvolutionSpec extends SparkSpec {
         .select("n").as[Long].collect().toSeq == Seq(3L))
       // time travel still reads the pre-evolution snapshot
       assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 1").count() == 3L)
+      // the manifest snapshot reader unions per shape too (the change
+      // feed's read path): the mixed snapshot reads whole
+      assert(graft.catalog.ManifestSnapshotReads(
+          spark, lake.resolve("m/t.parquet").toString)
+        .read(2L).get.count() == 4L,
+        "the snapshot reader must union mixed shapes")
+      // CALL analyze stats the LIVE files across shapes (a root read
+      // would throw CONFLICTING_PARTITION_COLUMN_NAMES)
+      assert(spark.sql(s"CALL $cat.system.analyze('m.t', 'n')")
+        .as[Long].head() >= 2L)
       // row-level DML needs one coherent spec while shapes are mixed
       val e = intercept[Exception](
         spark.sql(s"UPDATE $cat.m.t SET day = 'x' WHERE n = 1"))
@@ -182,6 +192,24 @@ class PartitionedEvolutionSpec extends SparkSpec {
       val e = intercept[Exception](
         spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN k TO id"))
       assert(e.getMessage.contains("partition spec"), e.getMessage)
+      // and a RENAME-EVOLVED column cannot become a partition field:
+      // its directory name would be the logical name while the index
+      // schema speaks the physical one
+      val e2 = intercept[Exception](
+        spark.sql(s"CALL $cat.system.add_partition_field('m.t', 'label')"))
+      assert(e2.getMessage.contains("rename-evolved"), e2.getMessage)
+    }
+  }
+
+  test("rejected CREATE leaves no half-created table behind") {
+    withLake("pev5") { (cat, lake) =>
+      intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.m.f (n BIGINT) TBLPROPERTIES ('versioned'='true')"))
+      assert(!Files.exists(lake.resolve("m/f.parquet")),
+        "a rejected CREATE must not leave a table directory")
+      // the corrected DDL succeeds — no TableAlreadyExists from debris
+      spark.sql(s"CREATE TABLE $cat.m.f (n BIGINT)")
+      assert(spark.table(s"$cat.m.f").count() == 0L)
     }
   }
 }

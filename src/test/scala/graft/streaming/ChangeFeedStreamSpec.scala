@@ -161,6 +161,49 @@ class ChangeFeedStreamSpec extends SparkSpec {
     }
   }
 
+  test("a tag-pinned retention HOLE fails loudly: a version whose recorded parent was expired never diffs against the wrong predecessor") {
+    val lake = Files.createTempDirectory("graft-lake-cfhole")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkcfh", classOf[graft.catalog.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkcfh.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkcfh.m.t (k BIGINT, v STRING, g STRING)
+          |PARTITIONED BY (g)
+          |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      (1 to 3).foreach(i =>
+        Seq((i.toLong, s"v$i", "x")).toDF("k", "v", "g")
+          .write.mode("append").insertInto("lkcfh.m.t")) // s-1..s-3
+      // pin s-0, expire to keep=1: retained [0, 3] with a HOLE (1, 2)
+      spark.sql("CALL lkcfh.system.tag('m.t', 'genesis', 0)")
+      spark.sql("CALL lkcfh.system.expire_snapshots('m.t', 1)")
+      assert(graft.catalog.ManifestSnapshotReads(
+          spark, lake.resolve("m/t.parquet").toString)
+        .versions == Seq(0L, 3L))
+      // a fresh stream must FAIL on v=3 (its recorded parent s-2 is
+      // gone) instead of silently diffing against s-0
+      val q = Catalog.readStreamTable(spark, "lkcfh.m.t", Seq("k"))
+        .writeStream.format("parquet")
+        .option("path", Files.createTempDirectory("cfh-out").toString)
+        .option("checkpointLocation",
+          Files.createTempDirectory("cfh-ck").toString)
+        .start()
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("committed against")),
+        s"expected the retention-hole error, got: ${messages(err)}")
+      q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkcfh")
+      spark.conf.unset("spark.sql.catalog.lkcfh.path")
+    }
+  }
+
   test("replay is bounded by snapshot retention: expiring past the checkpointed offset fails loudly, not silently divergent") {
     val lake = Files.createTempDirectory("graft-lake-cfexp")
     Files.createDirectories(lake.resolve("m"))
