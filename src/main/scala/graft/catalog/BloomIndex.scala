@@ -82,6 +82,12 @@ private[catalog] object BloomIndex {
     val df = Snapshots.readCurrent(spark, tableDir) match {
       case Some(Some(live)) => live
       case Some(None) =>
+        // still validate the requested columns — a typo'd name must
+        // fail loudly, not "succeed" on an empty snapshot
+        val declared = Snapshots.physicalReadSchema(tableDir).fieldNames
+        val bad = cols.filterNot(declared.contains)
+        require(bad.isEmpty,
+          s"bloom_index: no such column(s) ${bad.mkString(",")}")
         writeSidecar(tableDir, Index(bits, probes, Map.empty)); return 0L
       case None => spark.read.parquet(dataDir.toString)
     }

@@ -65,7 +65,13 @@ private[catalog] object FileStats {
     // root read would mix spec-evolution shapes and stat dead files)
     val df = Snapshots.readCurrent(spark, tableDir) match {
       case Some(Some(live)) => live
-      case Some(None) => writeSidecar(tableDir, Map.empty); return 0L
+      case Some(None) =>
+        // still validate the requested columns — a typo'd name must
+        // fail loudly, not "succeed" on an empty snapshot
+        val declared = Snapshots.physicalReadSchema(tableDir).fieldNames
+        val bad = cols.filterNot(declared.contains)
+        require(bad.isEmpty, s"analyze: no such column(s) ${bad.mkString(",")}")
+        writeSidecar(tableDir, Map.empty); return 0L
       case None => spark.read.parquet(dataDir.toString)
     }
     val missing = cols.filterNot(df.columns.contains)

@@ -178,7 +178,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     * `dropped` lists physical names retired by DROP COLUMN, so a later
     * ADD COLUMN of the same name allocates a FRESH physical slot
     * instead of resurrecting the dropped column's file data. */
-  private val MappingSidecar = "_graft_mapping.json"
+  private val MappingSidecar = Evolutions.MappingSidecar
 
   private case class Evolution(renames: Map[String, String], dropped: Seq[String]) {
     def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty
@@ -188,14 +188,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val f = p.resolve(MappingSidecar)
     if (!Files.isDirectory(p) || !Files.exists(f)) Evolution(Map.empty, Nil)
     else {
+      // the renames half parses through the ONE shared parser
+      // ([[Evolutions.renames]]) so readers can never drift; only the
+      // catalog needs the retired-slot list
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.readTree(Files.readString(f))
-      val renames = Option(node.get("renames")).map { r =>
-        r.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-      }.getOrElse(Map.empty[String, String])
       val dropped = Option(node.get("dropped"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-      Evolution(renames, dropped)
+      Evolution(Evolutions.renames(p), dropped)
     }
   }
 

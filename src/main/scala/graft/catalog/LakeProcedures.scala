@@ -260,16 +260,19 @@ private[catalog] object LakeProcedures {
                       case Some(s) =>
                         // per-spec-shape union (ADD PARTITION FIELD
                         // evolution: one parquet read cannot mix
-                        // directory shapes) — compact is the spec
-                        // MIGRATION tool: everything restages under
-                        // the current spec
+                        // directory shapes) with the EXPLICIT declared
+                        // schema (inference-typed dir values could
+                        // coerce across the union and rewrite data) —
+                        // compact is the spec MIGRATION tool:
+                        // everything restages under the current spec
+                        val schema = Snapshots.physicalReadSchema(tableDir)
                         Snapshots.groupByShape(s.files).map { case (_, fs) =>
                           spark.read
                             .option("basePath", tableDir.toString)
+                            .schema(schema)
                             .parquet(fs.map(f =>
                               tableDir.resolve(f).toString): _*)
-                        }.reduce((a, b) => a.unionByName(b,
-                          allowMissingColumns = true))
+                        }.reduce(_ unionByName _)
                       case None => spark.read
                         .option("basePath", tableDir.toString)
                         .parquet(tableDir.toString)
@@ -445,13 +448,14 @@ private[catalog] object LakeProcedures {
                   if (snap.files.isEmpty) snap.version
                   else {
                     val dirCols = PartitionSpec.dirCols(pspecZ)
+                    val zSchema = Snapshots.physicalReadSchema(tableDir)
                     val df = Snapshots.groupByShape(snap.files)
                       .map { case (_, fs) =>
                         spark.read.option("basePath", tableDir.toString)
+                          .schema(zSchema)
                           .parquet(fs.map(f =>
                             tableDir.resolve(f).toString): _*)
-                      }.reduce((a, b) =>
-                        a.unionByName(b, allowMissingColumns = true))
+                      }.reduce(_ unionByName _)
                     val bad = Seq(xc, yc).filterNot(df.columns.contains)
                     require(bad.isEmpty,
                       s"zorder: no such column(s) ${bad.mkString(",")}")

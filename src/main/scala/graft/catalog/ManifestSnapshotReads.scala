@@ -45,13 +45,10 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
           java.util.List.of[org.apache.spark.sql.Row](), logical)
       else {
         import org.apache.spark.sql.functions.col
-        val phys = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
-          f.copy(name = renames.getOrElse(f.name, f.name))))
-        val readSchema =
-          if (!bucketed) phys
-          else org.apache.spark.sql.types.StructType(phys.fields :+
-            org.apache.spark.sql.types.StructField(PartitionSpec.BucketDir,
-              org.apache.spark.sql.types.IntegerType, nullable = true))
+        // the shared physical read schema ([[Snapshots
+        // .physicalReadSchema]]): explicit typing keeps a promoted
+        // partition column identical across spec shapes
+        val readSchema = Snapshots.physicalReadSchema(tableDir)
         // per-spec-shape union (ADD PARTITION FIELD evolution): one
         // parquet read cannot mix directory shapes — the same rule
         // every other live-file reader follows

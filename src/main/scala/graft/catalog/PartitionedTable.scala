@@ -701,14 +701,21 @@ private[catalog] final class RuntimePrunedScan(
     PartitionPruning.splitLeaves(leaves, spec, pushed ++ runtime) match {
       case Some((cands, carried)) if carried.nonEmpty =>
         // versioned tables re-plan over the snapshot's files in the
-        // surviving partitions, plain ones over the directories; the
-        // static FILE skipping re-applies so a DPP event never opens
-        // files the stats/Bloom sidecars had already proven skippable
-        val paths = snapshotFiles.fold(cands)(fs =>
-          Snapshots.filesUnder(fs, cands).map(Paths.get(_)))
-        val skipped = snapshotFiles.fold(paths)(_ =>
-          FileSkipping.filterFiles(tableDir, paths, pushed, identity)
-            .getOrElse(paths))
+        // surviving partitions, plain ones over the directories
+        // (file-granular only when skipping sidecars exist); the
+        // static FILE skipping re-applies on both layouts so a DPP
+        // event never opens files the stats/Bloom sidecars had
+        // already proven skippable
+        val paths = snapshotFiles match {
+          case Some(fs) => Snapshots.filesUnder(fs, cands).map(Paths.get(_))
+          case None if FileSkipping.hasAny(tableDir) =>
+            PartitionedWrite.filesUnderDirs(tableDir, cands)
+          case None => cands
+        }
+        val skipped =
+          if (snapshotFiles.isEmpty && !FileSkipping.hasAny(tableDir)) paths
+          else FileSkipping.filterFiles(tableDir, paths, pushed, identity)
+            .getOrElse(paths)
         current = RuntimePrunedScan.scanOver(tableName, tableDir,
           indexSchema, skipped, required, pushed, s"dpp:${cands.size}")
       case _ => () // nothing provably excluded: keep the static scan

@@ -143,26 +143,54 @@ private[catalog] object Snapshots {
   def groupByShape(files: Seq[String]): Seq[(Seq[String], Seq[String])] =
     files.groupBy(shapeOf).toSeq.sortBy(_._1.mkString("/"))
 
-  /** The CURRENT (latest-manifest) live files of a versioned table as
-    * one DataFrame — per-shape parquet reads unioned by name (one read
-    * cannot mix shapes). None when the table is not manifest-versioned
-    * (callers fall back to the directory read) or its latest snapshot
-    * is empty. */
   /** Name of the materialized file-path column [[readCurrent]] frames
     * carry — `_metadata` does not survive a union, so per-group reads
     * pin it before unioning (the stats/Bloom builders key on it). */
   val FileCol = "_graft_file"
 
+  /** The declared PHYSICAL read schema of a versioned table (logical
+    * sidecar schema with rename evolution applied, plus the hidden
+    * bucket column) — the explicit schema every live-file read must
+    * pass so a promoted partition column types IDENTICALLY in every
+    * shape group (directory inference could otherwise coerce, e.g.
+    * `col=00123` to int, and a union would rewrite values). */
+  def physicalReadSchema(tableDir: Path):
+      org.apache.spark.sql.types.StructType = {
+    val sidecar = tableDir.resolve("_graft_schema.json")
+    require(Files.exists(sidecar),
+      s"$tableDir has no declared schema sidecar — corrupt table dir")
+    val logical = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(sidecar))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val renames = Evolutions.renames(tableDir)
+    val phys = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+    if (PartitionSpec.read(tableDir).exists(_.isInstanceOf[PartitionSpec.Bucket]))
+      org.apache.spark.sql.types.StructType(phys.fields :+
+        org.apache.spark.sql.types.StructField(PartitionSpec.BucketDir,
+          org.apache.spark.sql.types.IntegerType, nullable = true))
+    else phys
+  }
+
+  /** The CURRENT (latest-manifest) live files of a versioned table as
+    * one DataFrame in PHYSICAL column names — per-shape parquet reads
+    * with the explicit declared schema, unioned by name (one read
+    * cannot mix shapes, and inference-typed partition columns could
+    * coerce across the union). None when the table is not
+    * manifest-versioned (callers fall back to the directory read);
+    * Some(None) when its latest snapshot is empty. */
   def readCurrent(spark: org.apache.spark.sql.SparkSession,
                   tableDir: Path): Option[Option[org.apache.spark.sql.DataFrame]] =
     if (!isVersioned(tableDir)) None
     else Some(latest(tableDir).filter(_.files.nonEmpty).map { s =>
+      val schema = physicalReadSchema(tableDir)
       groupByShape(s.files).map { case (_, fs) =>
         spark.read.option("basePath", tableDir.toString)
+          .schema(schema)
           .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
           .withColumn(FileCol,
             org.apache.spark.sql.functions.col("_metadata.file_path"))
-      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      }.reduce(_ unionByName _)
     })
 
   private def write(tableDir: Path, s: Snapshot): Unit = {

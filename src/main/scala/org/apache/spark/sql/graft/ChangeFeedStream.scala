@@ -131,13 +131,22 @@ private[graft] final class ChangeFeedSource(
   private def versionFeed(ver: Long): DataFrame = {
     val vs = store.versions
     val pred = store.parentOf(ver) match {
-      case Some(p) =>
-        if (!vs.contains(p)) throw new IllegalStateException(
+      case Some(p) if vs.contains(p) => Some(p)
+      case Some(p) if vs.exists(_ < ver) =>
+        // a true retention HOLE: the parent expired but an OLDER
+        // snapshot is still retained (tag-pinned) — diffing against
+        // it would silently re-derive a different changeset
+        throw new IllegalStateException(
           s"graft-changefeed: snapshot v=$ver was committed against " +
             s"v=$p, which expire_snapshots has dropped while older " +
             "snapshots remain retained — the diff cannot be re-derived; " +
-            "restart the stream from a fresh checkpoint")
-        Some(p)
+            "drop the pinned tag or restart from a snapshot at or after " +
+            s"v=$ver")
+      case Some(_) =>
+        // parent expired and NOTHING older is retained: v is the
+        // earliest survivor of routine trimming — the CDC initial-load
+        // phase (whole snapshot as inserts), exactly like a fresh table
+        None
       case None => vs.filter(_ < ver).lastOption
     }
     pred match {

@@ -198,6 +198,26 @@ class ChangeFeedStreamSpec extends SparkSpec {
       assert(messages(err).exists(_.contains("committed against")),
         s"expected the retention-hole error, got: ${messages(err)}")
       q.stop()
+
+      // ROUTINE trimming (no pinned hole) must keep streaming: drop
+      // the tag, expire to the newest 1 — the earliest survivor's
+      // parent is gone but NOTHING older is retained, so it emits as
+      // the CDC initial load, not an error
+      spark.sql("CALL lkcfh.system.drop_tag('m.t', 'genesis')")
+      spark.sql("CALL lkcfh.system.expire_snapshots('m.t', 1)")
+      val out2 = Files.createTempDirectory("cfh-out2").toString
+      val q2 = Catalog.readStreamTable(spark, "lkcfh.m.t", Seq("k"))
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation",
+          Files.createTempDirectory("cfh-ck2").toString)
+        .start()
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out2)
+        .select("op").as[String].collect().toSeq
+      assert(rows == Seq("c", "c", "c"),
+        s"the earliest survivor must emit whole as inserts, got $rows")
+      q2.stop()
     } finally {
       spark.conf.unset("spark.sql.catalog.lkcfh")
       spark.conf.unset("spark.sql.catalog.lkcfh.path")
