@@ -1000,11 +1000,48 @@ object SparkEntry {
       graft.operators.Bucketing2.partitionedMetaAggregates(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pmalake")),
+    // CALL migrate end-to-end (r12): adopt a plain partitioned table
+    // into manifest versioning in place, then time-travel across the
+    // migration boundary (SnapshotCommitSpec pins the mechanics).
+    "q_migrate_travel" -> ((s, dir) =>
+      graft.operators.Bucketing2.migrateTravelCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_miglake")),
+    // CALL drop_partition_field end-to-end (r12): coarsen an
+    // over-partitioned spec mid-life; the census answers exactly
+    // across the mixed directory shapes.
+    "q_spec_coarsen" -> ((s, dir) =>
+      graft.operators.Bucketing2.specCoarsenCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_dpflake")),
 
     // ABC inventory classification from the exact cumulative revenue
     // share (integer ppm on DECIMAL(38,0)).
     "q_abc_class" -> ((s, dir) =>
       graft.operators.Distribution.abcClassification(t(s, dir, "lineitem"))),
+    // Grouped ABC (per-nation supplier classes) via the two-phase
+    // GROUPED prefix sum — never a per-nation single-task window.
+    "q_abc_by_nation" -> ((s, dir) =>
+      graft.operators.Distribution.abcByNation(
+        t(s, dir, "lineitem"), t(s, dir, "supplier"), t(s, dir, "nation"))),
+    // r12 analytics batch: Kendall τ-b on the bounded weekly table,
+    // blocked near-duplicate invoices, decile migration via two-phase
+    // NTILE, exact median reorder-gap histogram, weekly backlog,
+    // increasing-revenue streak census.
+    "q_kendall_weekly" -> ((s, dir) =>
+      graft.operators.Stats.kendallWeekly(t(s, dir, "orders"))),
+    "q_invoice_near_match" -> ((s, dir) =>
+      graft.operators.CustomerOps.invoiceNearMatches(t(s, dir, "orders"))),
+    "q_decile_migration" -> ((s, dir) =>
+      graft.operators.CustomerOps.decileMigration(t(s, dir, "orders"))),
+    "q_median_gap_hist" -> ((s, dir) =>
+      graft.operators.CustomerOps.medianReorderGapHistogram(
+        t(s, dir, "orders"))),
+    "q_backlog" -> ((s, dir) =>
+      graft.operators.DecisionSupport.weeklyBacklog(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q_revenue_streaks" -> ((s, dir) =>
+      graft.operators.DecisionSupport.revenueStreaks(t(s, dir, "orders"))),
     // Market/behavior analytics: basket pair lift (order-keyed pair
     // join, never all-pairs), Markov transitions, weekly acquisition
     // census, fulfillment-lag histogram, duplicate-order screen.
@@ -5181,6 +5218,175 @@ object SparkEntry {
         |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
         |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
         |FROM orders""".stripMargin,
+
+    // Snapshot semantics across the MIGRATION boundary: VERSION AS OF
+    // 0 (the adopted content) = everything, current = the DELETE's
+    // survivors — reconstructed from raw parquet.
+    "q_migrate_travel" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_v0,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_cur,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_v0,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0
+        |    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS cents_cur
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mixed-shape census after spec coarsening: layout is a plan
+    // property — the oracle is the same census over raw parquet.
+    "q_spec_coarsen" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Grouped ABC: per-nation cumulative supplier-revenue share (the
+    // window form IS the oracle; the engine's plan is the two-phase
+    // grouped prefix sum).
+    "q_abc_by_nation" ->
+      """WITH per AS (SELECT s_nationkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+        |pn AS (SELECT n_name, l_suppkey, cents
+        |  FROM per JOIN nation ON s_nationkey = n_nationkey),
+        |c AS (SELECT n_name, cents, CAST(sum(cents) OVER (
+        |    PARTITION BY n_name ORDER BY cents DESC, l_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM pn),
+        |t AS (SELECT n_name, CAST(sum(cents) AS BIGINT) AS total
+        |  FROM pn GROUP BY 1),
+        |k AS (SELECT c.n_name, cents, CAST(CAST(cum AS HUGEINT) * 1000000
+        |    // CAST(total AS HUGEINT) AS BIGINT) AS cum_ppm
+        |  FROM c JOIN t ON c.n_name = t.n_name)
+        |SELECT n_name,
+        |  CASE WHEN cum_ppm <= 800000 THEN 'A'
+        |    WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END AS abc_class,
+        |  CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Kendall τ-b over the bounded weekly table: integer pair counts,
+    // τ as ONE fixed chain of exactly-rounded double ops.
+    "q_kendall_weekly" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE)
+        |      AS wk,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM wk a JOIN wk b ON a.wk < b.wk),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tied_x,
+        |    CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tied_y
+        |  FROM p)
+        |SELECT n0, concordant, discordant, tied_x, tied_y,
+        |  CAST(concordant - discordant AS DOUBLE) /
+        |    sqrt(CAST(n0 - tied_x AS DOUBLE) * CAST(n0 - tied_y AS DOUBLE))
+        |    AS tau_b
+        |FROM s""".stripMargin,
+
+    // Blocked near-duplicate invoices: the oracle self-join is the
+    // semantic spec; the engine blocks on the customer key.
+    "q_invoice_near_match" ->
+      """SELECT a.o_orderpriority AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(sum(abs(CAST(floor(a.o_totalprice * 100) AS BIGINT)
+        |    - CAST(floor(b.o_totalprice * 100) AS BIGINT))) AS BIGINT)
+        |    AS sum_cents_gap
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |  AND abs(CAST(floor(a.o_totalprice * 100) AS BIGINT)
+        |    - CAST(floor(b.o_totalprice * 100) AS BIGINT)) <= 50000
+        |  AND abs(date_diff('day', b.o_orderdate, a.o_orderdate)) <= 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Decile migration: SQL NTILE per half IS the oracle; the engine's
+    // two-phase rank reproduces it exactly.
+    "q_decile_migration" ->
+      """WITH h1 AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_orderdate < DATE '1995-07-01' GROUP BY 1),
+        |h2 AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_orderdate >= DATE '1995-07-01' GROUP BY 1),
+        |r1 AS (SELECT o_custkey, CAST(NTILE(10) OVER (
+        |    ORDER BY cents DESC, o_custkey) AS BIGINT) AS d1 FROM h1),
+        |r2 AS (SELECT o_custkey, CAST(NTILE(10) OVER (
+        |    ORDER BY cents DESC, o_custkey) AS BIGINT) AS d2 FROM h2)
+        |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM r1 JOIN r2 USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Exact median of integer day gaps is k or k+0.5 — doubled it is
+    // an exact integer on both engines.
+    "q_median_gap_hist" ->
+      """WITH g AS (SELECT o_custkey,
+        |    date_diff('day', lag(o_orderdate) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS gap
+        |  FROM orders),
+        |m AS (SELECT o_custkey, CAST(median(gap) * 2 AS BIGINT)
+        |    AS median_gap_x2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT median_gap_x2, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Weekly open-order backlog: cumulative opened − closed over the
+    // calendar-bounded weekly axis.
+    "q_backlog" ->
+      """WITH o AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE)
+        |      AS wk, CAST(count(*) AS BIGINT) AS n_opened
+        |  FROM orders GROUP BY 1),
+        |c0 AS (SELECT l_orderkey, max(l_shipdate) AS closed_on
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT CAST(date_trunc('week', closed_on) AS DATE) AS wk,
+        |    CAST(count(*) AS BIGINT) AS n_closed
+        |  FROM c0 GROUP BY 1),
+        |w AS (SELECT COALESCE(o.wk, c.wk) AS wk,
+        |    COALESCE(n_opened, 0) AS n_opened,
+        |    COALESCE(n_closed, 0) AS n_closed
+        |  FROM o FULL OUTER JOIN c ON o.wk = c.wk)
+        |SELECT wk, CAST(n_opened AS BIGINT) AS n_opened,
+        |  CAST(n_closed AS BIGINT) AS n_closed,
+        |  CAST(sum(n_opened) OVER (ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - sum(n_closed) OVER (ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS backlog
+        |FROM w ORDER BY wk""".stripMargin,
+
+    // Gaps-and-islands streaks over the bounded daily-revenue table.
+    "q_revenue_streaks" ->
+      """WITH d AS (SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT d,
+        |    CASE WHEN cents > lag(cents) OVER (ORDER BY d)
+        |      THEN 1 ELSE 0 END AS up,
+        |    row_number() OVER (ORDER BY d) AS rn FROM d),
+        |i AS (SELECT rn - sum(up) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island, up
+        |  FROM f),
+        |s AS (SELECT island, CAST(count(*) + 1 AS BIGINT) AS streak_days
+        |  FROM i WHERE up = 1 GROUP BY 1)
+        |SELECT streak_days, CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM s WHERE streak_days >= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ABC classes from the exact cumulative revenue share.
     "q_abc_class" ->

@@ -321,9 +321,16 @@ private[catalog] object FileSkipping {
     * survivors — the Iceberg manifest behavior). None when nothing is
     * dropped. */
   def filterFiles(tableDir: Path, files: Seq[Path], filters: Seq[Expression],
-                  phys: String => String): Option[Seq[Path]] = {
+                  phys: String => String,
+                  statsOverride: Option[Map[String, FileStats.FileStat]] = None)
+      : Option[Seq[Path]] = {
     if (filters.isEmpty || files.isEmpty) return None
-    val stats = FileStats.read(tableDir)
+    // snapshot scans pass their manifest's commit-atomic stats so a
+    // VERSION AS OF read skips on the ranges of THAT snapshot (the
+    // sidecar describes only the current file set)
+    val stats = statsOverride.fold(FileStats.read(tableDir))(
+      _.map { case (f, fs) =>
+        f -> fs.cols.map { case (c, st) => c -> ((st.mn, st.mx)) } })
     val bloom = BloomIndex.read(tableDir)
     if (stats.isEmpty && bloom.isEmpty) return None
     val kept = files.filter { p =>

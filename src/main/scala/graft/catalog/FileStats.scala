@@ -94,6 +94,12 @@ private[catalog] object FileStats {
       s"analyze: '$RowsKey' is a reserved sidecar key")
     val entries = collectRanges(df, cols)
     writeSidecar(tableDir, entries)
+    // manifest-versioned tables: ALSO publish an `analyze` snapshot
+    // embedding the stats (same file list) — from here on every commit
+    // maintains per-snapshot stats for its added files, so VERSION AS
+    // OF scans file-skip and metadata aggregates serve history too
+    if (Snapshots.isVersioned(tableDir))
+      Snapshots.commit(tableDir, "analyze", identity, freshStats = entries)
     entries.size.toLong
   }
 
@@ -133,8 +139,8 @@ private[catalog] object FileStats {
   /** Reserved per-file sidecar key carrying the row count. */
   private val RowsKey = "__rows__"
 
-  private def collectRanges(df: org.apache.spark.sql.DataFrame,
-                            cols: Seq[String]): Map[String, FileStat] = {
+  private[catalog] def collectRanges(df: org.apache.spark.sql.DataFrame,
+                                     cols: Seq[String]): Map[String, FileStat] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
         org.apache.spark.sql.functions.count(col(c)).as(s"__nn_$c"))) :+
@@ -161,6 +167,23 @@ private[catalog] object FileStats {
   private def writeSidecar(tableDir: Path,
                            entries: Map[String, FileStat]): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = statsToNode(om, entries)
+    val target = tableDir.resolve(Sidecar)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, om.writeValueAsString(root))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Serialize a per-file stats map to the shared JSON shape — used by
+    * both the `_graft_stats.json` sidecar and the commit-atomic
+    * `stats` block inside snapshot manifests ([[Snapshots]]). */
+  private[catalog] def statsToNode(
+      om: com.fasterxml.jackson.databind.ObjectMapper,
+      entries: Map[String, FileStat])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = om.createObjectNode()
     entries.toSeq.sortBy(_._1).foreach { case (fileName, fs) =>
       val node = root.putObject(fileName)
@@ -201,14 +224,32 @@ private[catalog] object FileStats {
         st.nonNull.foreach(n => arr.add(n))
       }
     }
-    val target = tableDir.resolve(Sidecar)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, om.writeValueAsString(root))
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    root
   }
+
+  /** Parse the shared per-file stats JSON shape (inverse of
+    * [[statsToNode]]). */
+  private[catalog] def statsFromNode(
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, FileStat] =
+    node.fields().asScala.map { e =>
+      var rows: Option[Long] = None
+      val colStats = e.getValue.fields().asScala.flatMap { ce =>
+        val arr = ce.getValue
+        def v(i: Int): Option[Any] = {
+          val n = arr.get(i)
+          if (n == null || n.isNull) None
+          else if (n.isNumber) Some(n.decimalValue(): java.math.BigDecimal)
+          else Some(n.asText())
+        }
+        if (ce.getKey == RowsKey) {
+          rows = Option(arr.get(0)).map(_.asLong()); None
+        } else {
+          val nn = Option(arr.get(2)).filter(_.isNumber).map(_.asLong())
+          Some(ce.getKey -> ColStat(v(0), v(1), nn))
+        }
+      }.toMap
+      e.getKey -> FileStat(rows, colStats)
+    }.toMap
 
   /** Full sidecar parse: per-file row counts + per-column
     * (min, max, non-null count); counts are None in pre-r10 sidecars
@@ -218,26 +259,7 @@ private[catalog] object FileStats {
     if (!Files.exists(f)) Map.empty
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(Files.readString(f))
-      node.fields().asScala.map { e =>
-        var rows: Option[Long] = None
-        val colStats = e.getValue.fields().asScala.flatMap { ce =>
-          val arr = ce.getValue
-          def v(i: Int): Option[Any] = {
-            val n = arr.get(i)
-            if (n == null || n.isNull) None
-            else if (n.isNumber) Some(n.decimalValue(): java.math.BigDecimal)
-            else Some(n.asText())
-          }
-          if (ce.getKey == RowsKey) {
-            rows = Option(arr.get(0)).map(_.asLong()); None
-          } else {
-            val nn = Option(arr.get(2)).filter(_.isNumber).map(_.asLong())
-            Some(ce.getKey -> ColStat(v(0), v(1), nn))
-          }
-        }.toMap
-        e.getKey -> FileStat(rows, colStats)
-      }.toMap
+      statsFromNode(om.readTree(Files.readString(f)))
     }
   }
 

@@ -318,7 +318,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"(committed: ${svs.mkString(",")} — older snapshots may have " +
           "been expired)")
       return new PartitionedLakeTable(ident.toString, p,
-        declaredSchema(p).get, pspec, Snapshots.read(p, v), writable = false,
+        declaredSchema(p).getOrElse(throw new IllegalStateException(
+          s"$catalogName: ${ident.toString} carries a partition sidecar " +
+            s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
+        pspec, Snapshots.read(p, v), writable = false,
         renames = readEvolution(p).renames)
     }
     val vs = versionsOf(p)
@@ -376,7 +379,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             s"timestamp ${ts}ms (earliest commit: " +
             s"${snaps.headOption.fold(-1L)(_.commitMs)}ms)"))
       return new PartitionedLakeTable(ident.toString, p,
-        declaredSchema(p).get, pspec, Some(snap), writable = false,
+        declaredSchema(p).getOrElse(throw new IllegalStateException(
+          s"$catalogName: ${ident.toString} carries a partition sidecar " +
+            s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
+        pspec, Some(snap), writable = false,
         renames = readEvolution(p).renames)
     }
     val vs = versionsOf(p)

@@ -198,6 +198,97 @@ private[catalog] object LakeProcedures {
             }
           }
         })
+      case "drop_partition_field" =>
+        // Iceberg's DROP PARTITION FIELD — the coarsening move for an
+        // over-partitioned table (the most common spec mistake), pure
+        // metadata like ADD: the sidecar loses the identity field, NEW
+        // writes stop nesting under its `col=value` level (the column
+        // moves into file bytes — the writer excludes only CURRENT
+        // identity columns), and files written under the OLD spec stay
+        // readable in place (their directory names still carry the
+        // value; scans union per shape; CALL compact migrates).
+        Some(proc(root, "drop_partition_field",
+          Seq("tbl" -> StringType, "col" -> StringType),
+          new StructType().add("partition_spec", StringType)) { (dir, _, args) =>
+          val colName = args.getUTF8String(1).toString
+          val spec = PartitionSpec.read(dir)
+          if (spec.isEmpty) throw new UnsupportedOperationException(
+            "drop_partition_field: not a partitioned lake table")
+          if (!Snapshots.isVersioned(dir))
+            throw new UnsupportedOperationException(
+              "drop_partition_field: partition-spec evolution needs the " +
+                "manifest snapshot log (CREATE ... TBLPROPERTIES " +
+                "('versioned'='true')) — the plain layout cannot mix " +
+                "directory shapes")
+          val field = spec.find(_.col.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(
+              s"drop_partition_field: '$colName' is not in the partition " +
+                s"spec (${spec.map(_.col).mkString(",")})"))
+          if (field.isInstanceOf[PartitionSpec.Bucket])
+            throw new UnsupportedOperationException(
+              "drop_partition_field: the bucket distribution is " +
+                "load-bearing for the layout (bucketed joins, bucket " +
+                "pruning, storage-partitioned joins) — recreate the " +
+                "table to change it")
+          val remaining = spec.filterNot(_ eq field)
+          if (remaining.isEmpty) throw new UnsupportedOperationException(
+            "drop_partition_field: dropping the last partition field " +
+              "would leave an unpartitioned layout — recreate the table " +
+              "instead")
+          PartitionSpec.write(dir, remaining)
+          Seq(InternalRow(
+            UTF8String.fromString(remaining.map(_.col).mkString(","))))
+        })
+      case "migrate" =>
+        // Iceberg's `migrate` — upgrade a PLAIN partitioned lake table
+        // to manifest versioning IN PLACE: the current data files (in
+        // their existing `col=value` / `_gbucket` homes, untouched)
+        // become the initial snapshot, and every feature the manifest
+        // log carries — time travel, tags, rollback, expire-with-GC,
+        // change feed, spec evolution, commit-atomic stats, optimistic
+        // multi-writer commits — turns on from that commit forward.
+        Some(new UnboundProcedure {
+          override def name(): String = "migrate"
+          override def description(): String =
+            "graft lake maintenance: upgrade a plain partitioned table to manifest versioning in place"
+          override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+            override def name(): String = "migrate"
+            override def description(): String =
+              "graft lake maintenance: upgrade a plain partitioned table to manifest versioning in place"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val tableDir = resolveTableDir(root, "migrate",
+                input.getUTF8String(0).toString, requireVersioned = false)
+              if (Snapshots.isVersioned(tableDir))
+                throw new IllegalArgumentException(
+                  "migrate: already a manifest-versioned table")
+              if (DeletableTable.versionsOf(tableDir).nonEmpty)
+                throw new UnsupportedOperationException(
+                  "migrate: this is a flat v=<n> snapshot store — it is " +
+                    "already versioned under its own layout")
+              if (PartitionSpec.read(tableDir).isEmpty)
+                throw new UnsupportedOperationException(
+                  "migrate: manifest versioning composes with the " +
+                    "PARTITIONED layout only (flat tables version " +
+                    "through the v=<n> store)")
+              val files = PartitionedWrite.filesUnderDirs(tableDir,
+                PartitionedWrite.leafPartitionDirs(tableDir))
+                .map(_.toString)
+              Files.createDirectories(tableDir.resolve(Snapshots.DirName))
+              val v = Snapshots.commit(tableDir, "migrate", _ => files)
+              SparkSession.active.catalog.clearCache()
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] =
+                  Array(InternalRow(v, files.size.toLong))
+                override def readSchema(): StructType = new StructType()
+                  .add("snapshot_version", LongType)
+                  .add("n_files", LongType)
+              }).iterator()
+            }
+          }
+        })
       case "expire_snapshots" =>
         Some(proc(root, "expire_snapshots",
           Seq("tbl" -> StringType, "keep" -> IntegerType),
@@ -294,13 +385,21 @@ private[catalog] object LakeProcedures {
                       .write.partitionBy(dirCols: _*)
                       .parquet(tmp.toString)
                     snap match {
-                      case Some(_) =>
+                      case Some(s) =>
                         // NEW SNAPSHOT: the compacted files ARE the
                         // next manifest; pre-compaction snapshots stay
-                        // readable until expire_snapshots
+                        // readable until expire_snapshots. Optimistic
+                        // commit: concurrent appends stay live beside
+                        // the compacted output; concurrent removal of
+                        // a compacted input conflicts (the output
+                        // would resurrect its rows)
                         val staged =
                           PartitionedWrite.mergeIntoReturning(tmp, tableDir)
-                        InternalRow(Snapshots.commit(tableDir, staged))
+                        InternalRow(Snapshots.commit(tableDir, "compact",
+                          cur => cur.diff(s.files) ++ staged,
+                          Snapshots.validateFilesLive("compact", s.files),
+                          freshStats = Snapshots.freshStatsFor(
+                            spark, tableDir, staged)))
                       case None =>
                         DeletableTable.publishStagedRewrite(tableDir, tmp)
                         InternalRow(null)
@@ -483,7 +582,11 @@ private[catalog] object LakeProcedures {
                       .parquet(tmp.toString)
                     val staged =
                       PartitionedWrite.mergeIntoReturning(tmp, tableDir)
-                    Snapshots.commit(tableDir, staged)
+                    Snapshots.commit(tableDir, "zorder",
+                      cur => cur.diff(snap.files) ++ staged,
+                      Snapshots.validateFilesLive("zorder", snap.files),
+                      freshStats = Snapshots.freshStatsFor(
+                        spark, tableDir, staged))
                   }
                 spark.catalog.clearCache()
                 return java.util.List.of[Scan](new LocalScan {
@@ -754,7 +857,10 @@ private[catalog] object LakeProcedures {
       val s = Snapshots.read(tableDir, v).getOrElse(
         throw new IllegalArgumentException(
           s"rollback: no snapshot s-$v (have ${versions.mkString(",")})"))
-      Snapshots.commit(tableDir, s.files)
+      // blind set-the-list semantics: a rollback REPLACES whatever is
+      // current by definition — no read-set to validate
+      Snapshots.commit(tableDir, "rollback", _ => s.files,
+        freshStats = s.stats)
     }
     def expire(keep: Int, pinned: Set[Long]): Unit = {
       require(keep >= 1, "expire_snapshots: keep must be >= 1")

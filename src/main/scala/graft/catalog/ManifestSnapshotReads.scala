@@ -59,8 +59,12 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
         }.reduce(_ unionByName _)
         val unbucketed =
           if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
-        if (renames.isEmpty) unbucketed
-        else unbucketed.select(logical.fields.map(f =>
+        // ALWAYS project to logical order, rename evolution or not:
+        // Spark places partition columns last regardless of the read
+        // schema, so after add_partition_field promotes a non-trailing
+        // data column the physical order differs per snapshot — and
+        // the change-feed source unions versions POSITIONALLY
+        unbucketed.select(logical.fields.map(f =>
           col(renames.getOrElse(f.name, f.name)).as(f.name)): _*)
       }
     }

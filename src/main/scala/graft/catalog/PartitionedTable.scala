@@ -168,6 +168,14 @@ private[catalog] final class PartitionedLakeTable(
   /** The manifest's live-file list (table-relative); None = plain. */
   private def snapshotFiles: Option[Seq[String]] = snapshot.map(_.files)
 
+  /** The per-file stats governing THIS table view: the snapshot's
+    * commit-atomic embedded block (sidecar fallback for pre-analyze
+    * manifests) — so a `VERSION AS OF` scan skips and aggregates from
+    * the stats of THAT snapshot. None = plain table (the consumers
+    * read the sidecar themselves). */
+  private def manifestStats: Option[Map[String, FileStats.FileStat]] =
+    snapshot.map(s => Snapshots.statsOf(tableDir, s))
+
   override def name(): String = tableName
   override def schema(): StructType = logicalSchema
   override def partitioning(): Array[Transform] = spec.map {
@@ -191,8 +199,10 @@ private[catalog] final class PartitionedLakeTable(
 
   /** Live files written under more than one partition spec (ADD
     * PARTITION FIELD evolution before a compaction normalized the
-    * layout)? Overwrites and row-level rewrites need one coherent
-    * partition identity per row and are rejected until then. */
+    * layout)? PARTITION-addressed overwrites (dynamic/static) need one
+    * coherent directory identity per row and stay rejected until a
+    * compact migrates the layout; row-level DML (DELETE/UPDATE/MERGE)
+    * handles mixed shapes directly via per-shape union scans. */
   private def mixedSpecShapes: Boolean =
     snapshotFiles.exists(fs => fs.map(Snapshots.shapeOf).distinct.size > 1)
 
@@ -253,21 +263,33 @@ private[catalog] final class PartitionedLakeTable(
       // (versioned) or the leaf-directory walk (plain); COMPLETE
       // pushdown only, only with no filters in play
       private var servedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
-      private def currentBasenames: Seq[String] = snapshotFiles
+      // memoized: plain tables pay a full leaf-directory walk here,
+      // and Spark probes supportCompletePushDown AND pushAggregation
+      // per aggregate — one walk per scan build, not four
+      private lazy val currentBasenames: Seq[String] = snapshotFiles
         .map(_.map(f => Paths.get(f).getFileName.toString))
         .getOrElse(PartitionedWrite.filesUnderDirs(tableDir,
           PartitionedWrite.leafPartitionDirs(tableDir))
           .map(_.getFileName.toString))
+      // serveFiles result cached per Aggregation instance (Spark
+      // passes the same object to both probes)
+      private var servedFor: AnyRef = null
+      private def serve(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) = {
+        if (servedFor ne agg) {
+          servedAgg = StatsAggregates.serveFiles(tableDir,
+            currentBasenames, logicalSchema, physName, agg, manifestStats)
+          servedFor = agg
+        }
+        servedAgg
+      }
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        filters.isEmpty && StatsAggregates.serveFiles(tableDir,
-          currentBasenames, logicalSchema, physName, agg).isDefined
+        filters.isEmpty && serve(agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-        if (filters.nonEmpty) return false
-        servedAgg = StatsAggregates.serveFiles(tableDir,
-          currentBasenames, logicalSchema, physName, agg)
-        servedAgg.isDefined
+        if (filters.nonEmpty) { servedAgg = None; return false }
+        serve(agg).isDefined
       }
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // inner scans speak PHYSICAL names; readSchema translates back
@@ -344,21 +366,25 @@ private[catalog] final class PartitionedLakeTable(
             val paths = Snapshots.filesUnder(s.files, cands)
               .map(Paths.get(_))
             val skipped = FileSkipping.filterFiles(tableDir, paths,
-              filters, identity).getOrElse(paths)
+              filters, identity, manifestStats).getOrElse(paths)
             // partition-spec evolution: files of different directory
             // shapes cannot share one parquet scan — per-shape scans
             // union (old-shape files read the new partition column
-            // from their file bytes, same index schema)
+            // from their file bytes, same index schema). The union
+            // stays INSIDE the RuntimePrunedScan wrapper below, so
+            // spec-evolved tables keep DPP (filter() re-plans the
+            // union per shape group); toLogical=identity here because
+            // the wrapper applies the logical mapping itself
             val shapes = skipped.groupBy(p =>
               Snapshots.shapeOf(p.toString)).toSeq.sortBy(_._1.mkString("/"))
             if (shapes.size > 1)
-              return new ShapeUnionScan(tableName,
+              new ShapeUnionScan(tableName,
                 shapes.map { case (shape, fs) =>
                   RuntimePrunedScan.scanOver(tableName, tableDir,
                     indexSchema, fs, required, filters,
                     s"spec:${shape.mkString("/")}")
-                }, logSchema)
-            RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
+                }, identity)
+            else RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
               skipped, required, filters,
               s"snapshot:v=${s.version}:${skipped.size}f")
           case None =>
@@ -400,7 +426,7 @@ private[catalog] final class PartitionedLakeTable(
             }
         }
         new RuntimePrunedScan(tableName, tableDir, spec, indexSchema,
-          required, filters, base, snapshotFiles, logSchema)
+          required, filters, base, snapshotFiles, logSchema, manifestStats)
       }
     }
   }
@@ -490,7 +516,14 @@ private[catalog] final class PartitionedLakeTable(
       // CURRENT spec, so a DELETE also migrates its candidates forward
       stage(readLive(spark, candFiles).drop(PartitionSpec.BucketDir), tmp)
       val staged = PartitionedWrite.mergeIntoReturning(tmp, tableDir)
-      Snapshots.commit(tableDir, s.files.diff(candFiles) ++ staged)
+      // optimistic commit under snapshot isolation: concurrent appends
+      // merge (their files were never read here), but a concurrent
+      // commit that removed/rewrote one of OUR read files conflicts —
+      // keeping `staged` would resurrect rows that commit deleted
+      Snapshots.commit(tableDir, "delete",
+        cur => cur.diff(candFiles) ++ staged,
+        Snapshots.validateFilesLive("DELETE", candFiles),
+        freshStats = Snapshots.freshStatsFor(spark, tableDir, staged))
       spark.catalog.clearCache()
       return
     }
@@ -539,10 +572,10 @@ private[catalog] final class PartitionedLakeTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable("UPDATE/MERGE")
-    // NOTE: the mixed-spec guard lives in the scan/write build below,
-    // not here — Spark's analyzer constructs this builder for DELETE
-    // too, before deciding the metadata-only deleteWhere path (which
-    // handles mixed specs fine via the per-shape staged rewrite).
+    // Mixed partition specs (ADD PARTITION FIELD evolution) need no
+    // guard here: the group scan below unions per-shape scans and the
+    // write restages under the CURRENT spec — row-level DML on an
+    // evolved table works directly and migrates its groups forward.
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
@@ -569,48 +602,71 @@ private[catalog] final class PartitionedLakeTable(
             }
             override def pushedFilters: Array[Predicate] = Array.empty
             override def build(): org.apache.spark.sql.connector.read.Scan = {
-              requireSingleSpec("UPDATE/MERGE rewrite")
+              val opts = new CaseInsensitiveStringMap(
+                util.Map.of("basePath", tableDir.toString))
+              def pruneAndBuild(b: ScanBuilder)
+                  : org.apache.spark.sql.connector.read.Scan = {
+                required.foreach { s =>
+                  b match {
+                    case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                      c.pruneColumns(physSchema(s))
+                    case _ => ()
+                  }
+                }
+                b.build()
+              }
+              // snapshot group scans honor the one-scan-per-shape rule
+              // (ADD PARTITION FIELD evolution): per-shape scans union
+              // through ShapeUnionScan, and the write side restages
+              // every group row under the CURRENT spec — so an UPDATE
+              // or MERGE on a spec-evolved table works directly and,
+              // like DELETE, migrates its candidates forward
+              def snapshotScan(files: Seq[String], label: String)
+                  : org.apache.spark.sql.connector.read.Scan = {
+                val groups = Snapshots.groupByShape(files).map { case (shape, fs) =>
+                  pruneAndBuild(ParquetTable(
+                    s"$tableName($label:${shape.mkString("/")})",
+                    SparkSession.active, opts,
+                    fs.map(f => tableDir.resolve(f).toString),
+                    Some(indexSchema), classOf[ParquetFileFormat])
+                    .newScanBuilder(opts))
+                }
+                if (groups.size == 1) groups.head
+                else if (groups.isEmpty) // empty snapshot: empty scan
+                  pruneAndBuild(ParquetTable(s"$tableName($label:empty)",
+                    SparkSession.active, opts, Seq.empty,
+                    Some(indexSchema), classOf[ParquetFileFormat])
+                    .newScanBuilder(opts))
+                else new ShapeUnionScan(tableName, groups, identity)
+              }
               val leaves = snapshotFiles.map(Snapshots.leafDirsOf)
-              val b = PartitionPruning.splitLeaves(
+              val built = PartitionPruning.splitLeaves(
                   leaves.getOrElse(PartitionedWrite.leafPartitionDirs(tableDir)),
                   spec, filters) match {
                 case None =>
                   scanned = None
                   snapshotFiles match {
-                    case None =>
-                      innerRead.newScanBuilder(CaseInsensitiveStringMap.empty())
+                    case None => pruneAndBuild(
+                      innerRead.newScanBuilder(CaseInsensitiveStringMap.empty()))
                     case Some(fs) =>
                       // whole-table group over the SNAPSHOT's files —
                       // directory contents include older snapshots'
-                      val opts = new CaseInsensitiveStringMap(
-                        util.Map.of("basePath", tableDir.toString))
-                      ParquetTable(s"$tableName(rewrite:snapshot)",
-                        SparkSession.active, opts,
-                        fs.map(f => tableDir.resolve(f).toString),
-                        Some(indexSchema), classOf[ParquetFileFormat])
-                        .newScanBuilder(opts)
+                      snapshotScan(fs, "rewrite:snapshot")
                   }
                 case Some((cands, _)) =>
                   scanned = Some(cands)
-                  val opts = new CaseInsensitiveStringMap(
-                    util.Map.of("basePath", tableDir.toString))
-                  val paths = snapshotFiles
-                    .fold(cands.map(r => tableDir.resolve(r).toString))(fs =>
-                      Snapshots.filesUnder(fs, cands)
-                        .map(f => tableDir.resolve(f).toString))
-                  ParquetTable(s"$tableName(rewrite:${cands.size} partitions)",
-                    SparkSession.active, opts, paths,
-                    Some(indexSchema), classOf[ParquetFileFormat])
-                    .newScanBuilder(opts)
+                  snapshotFiles match {
+                    case None => pruneAndBuild(ParquetTable(
+                      s"$tableName(rewrite:${cands.size} partitions)",
+                      SparkSession.active, opts,
+                      cands.map(r => tableDir.resolve(r).toString),
+                      Some(indexSchema), classOf[ParquetFileFormat])
+                      .newScanBuilder(opts))
+                    case Some(fs) =>
+                      snapshotScan(Snapshots.filesUnder(fs, cands),
+                        s"rewrite:${cands.size} partitions")
+                  }
               }
-              required.foreach { s =>
-                b match {
-                  case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-                    c.pruneColumns(physSchema(s))
-                  case _ => ()
-                }
-              }
-              val built = b.build()
               if (renames.isEmpty) built
               else new org.apache.spark.sql.connector.read.Scan {
                 // physical→logical at the group-scan boundary (rows
@@ -662,7 +718,8 @@ private[catalog] final class RuntimePrunedScan(
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     initial: org.apache.spark.sql.connector.read.Scan,
     snapshotFiles: Option[Seq[String]] = None,
-    toLogical: StructType => StructType = identity)
+    toLogical: StructType => StructType = identity,
+    snapshotStats: Option[Map[String, FileStats.FileStat]] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -714,10 +771,20 @@ private[catalog] final class RuntimePrunedScan(
         }
         val skipped =
           if (snapshotFiles.isEmpty && !FileSkipping.hasAny(tableDir)) paths
-          else FileSkipping.filterFiles(tableDir, paths, pushed, identity)
-            .getOrElse(paths)
-        current = RuntimePrunedScan.scanOver(tableName, tableDir,
-          indexSchema, skipped, required, pushed, s"dpp:${cands.size}")
+          else FileSkipping.filterFiles(tableDir, paths, pushed, identity,
+            snapshotStats).getOrElse(paths)
+        // spec-evolved snapshots: the DPP re-plan must honor the
+        // same one-scan-per-shape rule as the static plan
+        val shapes = skipped.groupBy(p =>
+          Snapshots.shapeOf(p.toString)).toSeq.sortBy(_._1.mkString("/"))
+        current =
+          if (shapes.size > 1)
+            new ShapeUnionScan(tableName, shapes.map { case (shape, fs) =>
+              RuntimePrunedScan.scanOver(tableName, tableDir, indexSchema,
+                fs, required, pushed, s"dpp-spec:${shape.mkString("/")}")
+            }, identity)
+          else RuntimePrunedScan.scanOver(tableName, tableDir,
+            indexSchema, skipped, required, pushed, s"dpp:${cands.size}")
       case _ => () // nothing provably excluded: keep the static scan
     }
   }
@@ -1062,7 +1129,14 @@ private[catalog] final class PartitionedRowLevelWrite(
             case None => prev
           }
           PartitionedWrite.publishStaged(staging, tableDir, committed)
-          Snapshots.commit(tableDir, prev.diff(replaced) ++ committed)
+          // optimistic commit, snapshot isolation: concurrent appends
+          // merge; a concurrent removal/rewrite of a file this group
+          // scan READ conflicts (our replacement embeds its rows)
+          Snapshots.commit(tableDir, "rewrite",
+            cur => cur.diff(replaced) ++ committed,
+            Snapshots.validateFilesLive("UPDATE/MERGE", replaced),
+            freshStats = Snapshots.freshStatsFor(
+              SparkSession.active, tableDir, committed))
         case None =>
           candidates() match {
             case Some(dirs) =>
@@ -1320,16 +1394,21 @@ private[catalog] final class PartitionedWrite(
       if (Snapshots.isVersioned(tableDir)) {
         // SNAPSHOT commit: nothing is physically deleted — the new
         // manifest simply stops referencing the replaced files, which
-        // stay on disk for older snapshots until expire_snapshots
-        val prev = Snapshots.latest(tableDir).map(_.files).getOrElse(Seq.empty)
-        val live = mode match {
-          case PartitionedWrite.Append => prev ++ committed
-          case PartitionedWrite.Truncate => committed
+        // stay on disk for older snapshots until expire_snapshots.
+        // The live list derives from the REFRESHED latest inside the
+        // optimistic-commit loop (not from a pre-read base), so a
+        // concurrent commit to unrelated files merges instead of
+        // being lost; overwrites replace whatever is there at commit
+        // time — last-writer-wins is the declared INSERT OVERWRITE
+        // semantics, so no read-set validation applies
+        val liveOf: Seq[String] => Seq[String] = mode match {
+          case PartitionedWrite.Append => prev => prev ++ committed
+          case PartitionedWrite.Truncate => _ => committed
           case PartitionedWrite.Dynamic =>
             val touched = committed
               .flatMap(rel => Option(Paths.get(rel).getParent))
               .map(_.toString).toSet
-            prev.filterNot(f =>
+            prev => prev.filterNot(f =>
               Option(Paths.get(f).getParent).exists(p => touched(p.toString))) ++
               committed
           case PartitionedWrite.Static(specMap) =>
@@ -1337,13 +1416,19 @@ private[catalog] final class PartitionedWrite(
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .getPartitionPathString(c, v)
             }.toSet
-            prev.filterNot { f =>
+            prev => prev.filterNot { f =>
               val segs = Paths.get(f).iterator().asScala.map(_.toString).toSet
               wanted.subsetOf(segs)
             } ++ committed
         }
+        val op = mode match {
+          case PartitionedWrite.Append => "append"
+          case _ => "overwrite"
+        }
         PartitionedWrite.publishStaged(staging, tableDir, committed)
-        Snapshots.commit(tableDir, live)
+        Snapshots.commit(tableDir, op, liveOf,
+          freshStats = Snapshots.freshStatsFor(
+            SparkSession.active, tableDir, committed))
         SparkSession.active.catalog.clearCache()
         return
       }

@@ -1,8 +1,14 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
+
+/** A concurrent committer lost the optimistic-concurrency race and the
+  * operation's read set changed underneath it (or the retry budget ran
+  * out). The operation is safe to re-run: nothing was published. */
+final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
 /** Manifest-file snapshot log for PARTITIONED lake tables — the
   * Iceberg/Paimon model where a snapshot is a LIST OF DATA FILES, not
@@ -16,8 +22,14 @@ import scala.jdk.CollectionConverters._
   *  - data files land in the ordinary hive `col=value` /
   *    `_gbucket=<id>` directories and are IMMUTABLE once committed;
   *  - each commit writes `_graft_snapshots/s-<n>.json` — the
-  *    table-relative paths of the files that ARE version `n`, plus the
-  *    commit wall-clock;
+  *    table-relative paths of the files that ARE version `n`, the
+  *    commit wall-clock, the operation that produced it with a
+  *    files-added/removed summary, and (once the table has been
+  *    `analyze`d) the per-file min/max/count stats of its live files,
+  *    commit-atomic with the file list itself — so `VERSION AS OF`
+  *    scans file-skip and metadata-only aggregates serve ANY retained
+  *    snapshot, not just the latest (the Iceberg stats-in-manifest
+  *    model);
   *  - the CURRENT table reads the latest manifest's files; `VERSION /
   *    TIMESTAMP AS OF` reads an older manifest; overwritten/deleted
   *    files stay on disk (readable by older snapshots) until
@@ -26,23 +38,48 @@ import scala.jdk.CollectionConverters._
   *
   * Presence of the `_graft_snapshots/` directory is what flips a
   * partitioned table into snapshot semantics (created by `CREATE TABLE
-  * ... TBLPROPERTIES ('versioned'='true')`). Manifests are written
-  * temp-file + atomic move, so readers never observe a torn manifest;
-  * like the rest of the lake layout, the log assumes a single writer
-  * (the reference's single Flink job per table). */
+  * ... TBLPROPERTIES ('versioned'='true')`).
+  *
+  * MULTI-WRITER safety (the reference architecture runs a per-table
+  * CDC job AND a tiering/compaction service against the same tables,
+  * `deploy:296-311` vs `deploy:318-358`): commits use optimistic
+  * concurrency. A committer reads the latest manifest, derives its new
+  * file list FROM that base, and publishes `s-(base+1)` with atomic
+  * create-if-absent semantics — two writers racing to the same version
+  * number produce exactly one winner; the loser re-reads the new
+  * latest, re-derives, re-validates its read set (copy-on-write
+  * rewrites fail with [[CommitConflictException]] when the files they
+  * read changed underneath them — never a silent lost update), and
+  * retries. Atomic create-if-absent is a hard link on a POSIX
+  * filesystem (`Files.createLink` fails atomically when the target
+  * exists — rename() would silently replace); an object-store
+  * deployment swaps in a conditional PUT (`If-None-Match: *`). */
 private[catalog] object Snapshots {
 
   val DirName = "_graft_snapshots"
   val Property = "versioned"
+
+  /** Optimistic retry budget: how many times one commit re-derives
+    * against a refreshed latest before giving up. Losers back off with
+    * jitter (below) so a herd of committers doesn't lock-step into the
+    * same next version number until the budget burns out. */
+  private val MaxAttempts = 20
 
   /** `parent` is the snapshot this one was committed AGAINST (None for
     * the initial snapshot and pre-parent manifests): the change feed
     * diffs a version against its RECORDED parent, so a retention hole
     * (expire keeping a pinned older snapshot but dropping the middle)
     * is detected instead of silently diffing against the wrong
-    * predecessor. */
+    * predecessor. `operation`/`summary` record WHAT produced the
+    * snapshot (append/overwrite/delete/rewrite/compact/…) — the audit
+    * surface Iceberg exposes per snapshot. `stats` is the commit-atomic
+    * per-file min/max/count block (empty until the table is analyzed;
+    * keyed by file BASENAME — per-write UUID names make those unique). */
   final case class Snapshot(version: Long, commitMs: Long,
-                            files: Seq[String], parent: Option[Long] = None)
+                            files: Seq[String], parent: Option[Long] = None,
+                            operation: String = "",
+                            summary: Map[String, Long] = Map.empty,
+                            stats: Map[String, FileStats.FileStat] = Map.empty)
 
   private def dir(tableDir: Path): Path = tableDir.resolve(DirName)
 
@@ -55,7 +92,11 @@ private[catalog] object Snapshots {
     * (an empty versioned table is version 0 and readable). */
   def init(tableDir: Path): Unit = {
     Files.createDirectories(dir(tableDir))
-    write(tableDir, Snapshot(0L, System.currentTimeMillis(), Seq.empty))
+    if (!tryPublish(tableDir,
+        Snapshot(0L, System.currentTimeMillis(), Seq.empty,
+          operation = "create")))
+      throw new CommitConflictException(
+        s"$tableDir: snapshot log already initialized (concurrent CREATE)")
   }
 
   /** Retained snapshot versions, ascending. */
@@ -84,21 +125,88 @@ private[catalog] object Snapshots {
         node.get("commitMs").asLong(),
         Option(node.get("files")).toSeq
           .flatMap(_.elements().asScala.toSeq).map(_.asText()),
-        Option(node.get("parent")).filterNot(_.isNull).map(_.asLong())))
+        Option(node.get("parent")).filterNot(_.isNull).map(_.asLong()),
+        Option(node.get("operation")).fold("")(_.asText()),
+        Option(node.get("summary")).fold(Map.empty[String, Long])(
+          _.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap),
+        Option(node.get("stats")).fold(Map.empty[String, FileStats.FileStat])(
+          FileStats.statsFromNode)))
     }
   }
 
   def latest(tableDir: Path): Option[Snapshot] =
     versions(tableDir).lastOption.flatMap(read(tableDir, _))
 
-  /** Commit a new snapshot with the given live-file list; returns its
-    * version (latest + 1). The previous latest is recorded as the
-    * snapshot's PARENT (the change-feed diff anchor). */
-  def commit(tableDir: Path, files: Seq[String]): Long = {
-    val prev = versions(tableDir).lastOption
-    val v = prev.fold(0L)(_ + 1L)
-    write(tableDir, Snapshot(v, System.currentTimeMillis(), files, prev))
-    v
+  /** Optimistic-concurrency commit; returns the published version.
+    *
+    *  - `transform` maps the refreshed latest live-file list to the
+    *    new one — re-derived on every retry, so a concurrent APPEND to
+    *    an unrelated partition merges instead of being lost;
+    *  - `validate` inspects the refreshed list FIRST and throws
+    *    [[CommitConflictException]] when the operation's read set
+    *    changed underneath it (copy-on-write rewrites pass
+    *    [[validateReadSet]]; blind appends/overwrites pass nothing);
+    *  - `freshStats` supplies commit-atomic per-file stats for the
+    *    files this commit ADDS (by-name, evaluated at most once across
+    *    retries; [[freshStatsFor]] is a cheap no-op while the table
+    *    has never been analyzed). Carried live files keep their
+    *    parent entries; dead files' entries drop with them. */
+  def commit(tableDir: Path,
+             operation: String,
+             transform: Seq[String] => Seq[String],
+             validate: Seq[String] => Unit = _ => (),
+             freshStats: => Map[String, FileStats.FileStat] = Map.empty): Long = {
+    lazy val fresh = freshStats // at most one evaluation across retries
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prev = latest(tableDir)
+      val prevFiles = prev.fold(Seq.empty[String])(_.files)
+      validate(prevFiles)
+      val files = transform(prevFiles)
+      val keep = files.map(basename).toSet
+      val stats = (prev.fold(Map.empty[String, FileStats.FileStat])(_.stats)
+        ++ fresh).view.filterKeys(keep).toMap
+      val added = files.diff(prevFiles).size.toLong
+      val removed = prevFiles.diff(files).size.toLong
+      val s = Snapshot(prev.fold(0L)(_.version + 1L),
+        System.currentTimeMillis(), files, prev.map(_.version), operation,
+        Map("added-data-files" -> added, "removed-data-files" -> removed,
+          "total-data-files" -> files.size.toLong), stats)
+      if (tryPublish(tableDir, s)) return s.version
+      if (attempt >= MaxAttempts)
+        throw new CommitConflictException(
+          s"$tableDir: lost the commit race $MaxAttempts times " +
+            s"(operation=$operation) — giving up; re-run the operation")
+      // jittered linear backoff: desynchronize the losing herd
+      Thread.sleep(
+        java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(1L, 5L * attempt))
+    }
+    -1L // unreachable
+  }
+
+  /** Blind set-the-file-list commit — rollback/restore semantics where
+    * the new list is NOT derived from the concurrent state. */
+  def commit(tableDir: Path, files: Seq[String]): Long =
+    commit(tableDir, "overwrite", _ => files)
+
+  /** Read-set validation for copy-on-write rewrites (snapshot
+    * isolation, the Iceberg default): every file the rewrite READ at
+    * its base must still be live in the refreshed latest — a
+    * concurrent commit that removed or rewrote one of them conflicts
+    * (merging our replacement would resurrect rows it deleted / drop
+    * rows it added). Files appended concurrently were never read here
+    * and merge cleanly. */
+  def validateFilesLive(operation: String, readFiles: Seq[String])(
+      current: Seq[String]): Unit = {
+    val live = current.toSet
+    val missing = readFiles.filterNot(live)
+    if (missing.nonEmpty)
+      throw new CommitConflictException(
+        s"concurrent commit removed ${missing.size} file(s) this " +
+          s"$operation read (e.g. ${missing.head}) — " +
+          "re-run the operation against the new snapshot")
   }
 
   def delete(tableDir: Path, v: Long): Unit = {
@@ -122,6 +230,15 @@ private[catalog] object Snapshots {
     val set = dirs.map(_.toString).toSet
     files.filter(f => Option(Paths.get(f).getParent).exists(p => set(p.toString)))
   }
+
+  def basename(f: String): String = Paths.get(f).getFileName.toString
+
+  /** The per-file stats governing snapshot `s`: the manifest's
+    * commit-atomic embedded block when present (exact for THAT
+    * snapshot — the time-travel skipping source), else the
+    * current-file-set sidecar (pre-analyze manifests, plain tables). */
+  def statsOf(tableDir: Path, s: Snapshot): Map[String, FileStats.FileStat] =
+    if (s.stats.nonEmpty) s.stats else FileStats.readFull(tableDir)
 
   /** A file's partition-directory SHAPE: the ordered column names of
     * its `name=value` path segments. Files written under different
@@ -172,40 +289,74 @@ private[catalog] object Snapshots {
     else phys
   }
 
+  /** Read the given (table-relative) live files as one DataFrame in
+    * PHYSICAL column names — per-shape parquet reads with the explicit
+    * declared schema, unioned by name, `_graft_file` materialized
+    * per group. The shared live-file read every stats/maintenance
+    * path uses. */
+  def readFiles(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
+                files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val schema = physicalReadSchema(tableDir)
+    groupByShape(files).map { case (_, fs) =>
+      spark.read.option("basePath", tableDir.toString)
+        .schema(schema)
+        .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
+        .withColumn(FileCol,
+          org.apache.spark.sql.functions.col("_metadata.file_path"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Fresh per-file stats for the files a commit ADDS, over the
+    * analyzed column set of the latest snapshot — reads ONLY the added
+    * files; the empty map (no read at all) when the table has never
+    * been analyzed or the added set is empty. Pass as a commit's
+    * `freshStats` so DML keeps per-snapshot stats live (the Iceberg
+    * writer-records-stats-inline model). */
+  def freshStatsFor(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
+                    added: Seq[String]): Map[String, FileStats.FileStat] = {
+    val cols = latest(tableDir).fold(Seq.empty[String])(
+      _.stats.valuesIterator.flatMap(_.cols.keysIterator).toSeq.distinct.sorted)
+    if (cols.isEmpty || added.isEmpty) Map.empty
+    else FileStats.collectRanges(readFiles(spark, tableDir, added), cols)
+  }
+
   /** The CURRENT (latest-manifest) live files of a versioned table as
-    * one DataFrame in PHYSICAL column names — per-shape parquet reads
-    * with the explicit declared schema, unioned by name (one read
-    * cannot mix shapes, and inference-typed partition columns could
-    * coerce across the union). None when the table is not
-    * manifest-versioned (callers fall back to the directory read);
+    * one DataFrame in PHYSICAL column names. None when the table is
+    * not manifest-versioned (callers fall back to the directory read);
     * Some(None) when its latest snapshot is empty. */
   def readCurrent(spark: org.apache.spark.sql.SparkSession,
                   tableDir: Path): Option[Option[org.apache.spark.sql.DataFrame]] =
     if (!isVersioned(tableDir)) None
-    else Some(latest(tableDir).filter(_.files.nonEmpty).map { s =>
-      val schema = physicalReadSchema(tableDir)
-      groupByShape(s.files).map { case (_, fs) =>
-        spark.read.option("basePath", tableDir.toString)
-          .schema(schema)
-          .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
-          .withColumn(FileCol,
-            org.apache.spark.sql.functions.col("_metadata.file_path"))
-      }.reduce(_ unionByName _)
-    })
+    else Some(latest(tableDir).filter(_.files.nonEmpty)
+      .map(s => readFiles(spark, tableDir, s.files)))
 
-  private def write(tableDir: Path, s: Snapshot): Unit = {
+  /** One optimistic publish attempt: serialize, then hard-link into
+    * place — atomic create-if-absent on POSIX (two writers racing to
+    * the same version number: exactly one link succeeds). Returns
+    * false when another writer already published this version. */
+  private def tryPublish(tableDir: Path, s: Snapshot): Boolean = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("version", s.version)
     root.put("commitMs", s.commitMs)
     s.parent.foreach(p => root.put("parent", p))
+    if (s.operation.nonEmpty) root.put("operation", s.operation)
+    if (s.summary.nonEmpty) {
+      val sm = root.putObject("summary")
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
+    }
     val arr = root.putArray("files")
     s.files.sorted.foreach(arr.add)
+    if (s.stats.nonEmpty) root.set("stats", FileStats.statsToNode(om, s.stats))
     val target = manifest(tableDir, s.version)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    // per-attempt unique temp name: concurrent losers must not clobber
+    // each other's temp files either
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + "." +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     Files.writeString(tmp, om.writeValueAsString(root))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    ()
+    try { Files.createLink(target, tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
   }
 }

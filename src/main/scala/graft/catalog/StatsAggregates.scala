@@ -50,12 +50,16 @@ private[catalog] object StatsAggregates {
   /** [[serve]] over an EXPLICIT current-file basename list — the
     * partitioned layouts (hive walk or snapshot manifest) feed their
     * own file lists here; basenames are globally unique by the
-    * writers' naming. */
+    * writers' naming. `statsOverride` carries a snapshot manifest's
+    * commit-atomic per-file stats ([[Snapshots.statsOf]]) so
+    * `VERSION AS OF` aggregates serve from the stats of THAT snapshot,
+    * not the current-file-set sidecar. */
   def serveFiles(tableDir: Path, current: Seq[String], logical: StructType,
-                 phys: String => String, agg: Aggregation):
+                 phys: String => String, agg: Aggregation,
+                 statsOverride: Option[Map[String, FileStats.FileStat]] = None):
       Option[(StructType, InternalRow)] = {
     if (agg.groupByExpressions.nonEmpty) return None
-    val full = FileStats.readFull(tableDir)
+    val full = statsOverride.getOrElse(FileStats.readFull(tableDir))
     if (full.isEmpty) return None
     // exactly the CURRENT files, every one listed — else bail
     val entries = current.map(full.get)

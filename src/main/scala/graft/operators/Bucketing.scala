@@ -407,6 +407,87 @@ object Bucketing2 {
          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          |FROM $cat.m.orders_pma""".stripMargin)
   }
+
+  /** `CALL migrate` end-to-end (r12): land orders in a PLAIN
+    * partitioned table, upgrade it to manifest versioning IN PLACE
+    * (the existing files, untouched, become snapshot s-0), DELETE as
+    * s-1, and census `VERSION AS OF 0` (the pre-versioning content)
+    * against the current snapshot — the adopt-a-table path a 100 TB
+    * deployment takes instead of rewriting history into a new layout
+    * (Iceberg's `migrate` procedure). Both sides resolve through the
+    * manifests the migration created, so the oracle reconstructs each
+    * from the raw parquet with the status predicate. */
+  def migrateTravelCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakemig"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_mig (
+         |  o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT,
+         |  o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderpriority"))
+      .write.mode("append").insertInto(s"$cat.m.orders_mig")
+    spark.sql(s"CALL $cat.system.migrate('m.orders_mig')")           // s-0
+    spark.sql(s"DELETE FROM $cat.m.orders_mig WHERE o_orderstatus = 'F'") // s-1
+    val v0 = spark.sql(
+      s"""SELECT o_orderpriority,
+         |  count(*) AS n_v0, sum(cents) AS cents_v0
+         |FROM $cat.m.orders_mig VERSION AS OF 0 GROUP BY 1""".stripMargin)
+    val cur = spark.sql(
+      s"""SELECT o_orderpriority,
+         |  count(*) AS n_cur, sum(cents) AS cents_cur
+         |FROM $cat.m.orders_mig GROUP BY 1""".stripMargin)
+    v0.join(cur, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_v0").cast("bigint").as("n_v0"),
+        coalesce(col("n_cur"), lit(0L)).cast("bigint").as("n_cur"),
+        col("cents_v0").cast("bigint").as("cents_v0"),
+        coalesce(col("cents_cur"), lit(0L)).cast("bigint").as("cents_cur"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** `CALL drop_partition_field` end-to-end (r12): a table
+    * over-partitioned by (priority, status) coarsens to priority-only
+    * mid-life — half the rows land under the OLD two-level shape,
+    * half under the coarsened one (status in file bytes) — and the
+    * per-(priority, status) census still answers exactly across the
+    * MIXED shapes, with a predicate on the dropped column. This is
+    * the most common spec mistake at 100 TB (too many tiny
+    * partitions) and its fix must not require rewriting the table.
+    * The oracle is the same census over the raw parquet. */
+  def specCoarsenCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakedpf"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_dpf (
+         |  o_orderkey BIGINT, cents BIGINT,
+         |  o_orderpriority STRING, o_orderstatus STRING)
+         |PARTITIONED BY (o_orderpriority, o_orderstatus)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    val typed = orders.select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority"), col("o_orderstatus"))
+    typed.where("o_orderkey % 2 = 0")
+      .write.mode("append").insertInto(s"$cat.m.orders_dpf")   // old shape
+    spark.sql(s"CALL $cat.system.drop_partition_field('m.orders_dpf', " +
+      "'o_orderstatus')")
+    typed.where("o_orderkey % 2 = 1")
+      .write.mode("append").insertInto(s"$cat.m.orders_dpf")   // new shape
+    spark.table(s"$cat.m.orders_dpf")
+      .where("o_orderstatus <> 'P'") // predicate on the DROPPED column
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(col("cents")).cast("bigint").as("cents"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entries: the

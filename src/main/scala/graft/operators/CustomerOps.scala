@@ -209,4 +209,81 @@ object CustomerOps {
         "(n_repeat * 1000000L) div (n_one_time + n_repeat)").cast("bigint"))
       .orderBy("c_mktsegment")
   }
+
+  /** Near-duplicate invoice detection — pairs of SAME-CUSTOMER orders
+    * whose totals differ by ≤ `centsTol` and whose dates are ≤
+    * `dayTol` apart (the double-billing / double-entry audit every
+    * billing system runs). Blocked self-join: equality on the
+    * customer key FIRST (a customer's order count is bounded —
+    * never the all-pairs O(n²)), then the two tolerance bands inside
+    * the block; `k1 < k2` de-mirrors. Reported as a per-priority
+    * census of suspect pairs. */
+  def invoiceNearMatches(orders: DataFrame, centsTol: Long = 50000L,
+                         dayTol: Int = 30): DataFrame = {
+    val base = orders.select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority"))
+    val left = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val right = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    left.join(right,
+        col("l_o_custkey") === col("r_o_custkey") &&
+          col("l_o_orderkey") < col("r_o_orderkey") &&
+          abs(col("l_cents") - col("r_cents")) <= lit(centsTol) &&
+          abs(datediff(col("l_o_orderdate"), col("r_o_orderdate"))) <= lit(dayTol))
+      .groupBy(col("l_o_orderpriority").as("o_orderpriority"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        countDistinct(col("l_o_custkey")).cast("bigint").as("n_customers"),
+        sum(abs(col("l_cents") - col("r_cents"))).cast("bigint")
+          .as("sum_cents_gap"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Revenue-decile migration matrix between two halves of the
+    * history: each customer's H1 and H2 revenue deciles (1 = top) and
+    * how many customers moved from decile i to j — the
+    * upsell/churn-drift report. Deciles via [[Ids.ntileRank]] (the
+    * two-phase exact NTILE — at 10⁹ customers the window form sorts
+    * them on one task); customers active in BOTH halves only. */
+  def decileMigration(orders: DataFrame,
+                      splitDate: String = "1995-07-01"): DataFrame = {
+    def half(filtered: DataFrame, out: String): DataFrame =
+      Ids.ntileRank(
+        filtered.groupBy("o_custkey")
+          .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .as("cents")),
+        Seq(col("cents").desc, col("o_custkey")), 10, out)
+        .select(col("o_custkey"), col(out))
+    val h1 = half(orders.filter(col("o_orderdate") < lit(splitDate)), "d1")
+    val h2 = half(orders.filter(col("o_orderdate") >= lit(splitDate)), "d2")
+    h1.join(h2, "o_custkey")
+      .select(col("o_custkey"),
+        col("d1").cast("bigint").as("d1"), col("d2").cast("bigint").as("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).cast("bigint").as("n_customers"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Histogram of per-customer MEDIAN reorder gaps (days between
+    * consecutive orders): the gap windows partition on the customer
+    * key (bounded per-customer order counts — never a global sort),
+    * the median is the exact interpolated percentile of integer day
+    * gaps (so it is k or k+0.5 exactly — doubled to stay integer),
+    * and the output is the bounded histogram of doubled medians. */
+  def medianReorderGapHistogram(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap",
+        datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("o_custkey")
+      // EXACT percentile (not approx): (a+b)/2 of integer gaps is an
+      // exactly-representable double, ×2 restores the integer
+      .agg((expr("percentile(gap, 0.5)") * 2)
+        .cast("bigint").as("median_gap_x2"))
+      .groupBy("median_gap_x2")
+      .agg(count(lit(1)).cast("bigint").as("n_customers"))
+      .orderBy("median_gap_x2")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic decision-support star joins over the full TPC-H-ish
@@ -377,5 +378,65 @@ object DecisionSupport {
       .select(col("l_partkey"), col("l_suppkey"), col("min_unit_cents"))
       .distinct()
       .orderBy("l_partkey", "l_suppkey")
+  }
+
+  /** Weekly open-order BACKLOG time series: orders open at week w =
+    * (orders placed in weeks ≤ w) − (orders fully shipped in weeks
+    * ≤ w, close = the order's LAST lineitem ship date). The fact-sized
+    * work is two partial+final aggregates (one per fact table); the
+    * cumulative difference then runs over the calendar-BOUNDED weekly
+    * table (a few hundred rows at any scale factor), where a window
+    * is the honest plan. The ops/capacity report every fulfillment
+    * team tracks. */
+  def weeklyBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val opened = orders
+      .groupBy(expr("CAST(date_trunc('week', o_orderdate) AS DATE)").as("wk"))
+      .agg(count(lit(1)).cast("bigint").as("n_opened"))
+    val closed = lineitem
+      .groupBy("l_orderkey")
+      .agg(max("l_shipdate").as("closed_on"))
+      .groupBy(expr("CAST(date_trunc('week', closed_on) AS DATE)").as("wk"))
+      .agg(count(lit(1)).cast("bigint").as("n_closed"))
+    val wkly = opened.join(closed, Seq("wk"), "full_outer")
+      .select(col("wk"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+    val w = Window.orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wkly
+      .withColumn("backlog",
+        (sum("n_opened").over(w) - sum("n_closed").over(w)).cast("bigint"))
+      .orderBy("wk")
+  }
+
+  /** Longest strictly-increasing DAILY-revenue streaks — the
+    * gaps-and-islands census (streak id = day rank − rank within the
+    * increasing run) over the calendar-bounded daily table: the
+    * fact-sized work is one partial+final daily aggregate; every
+    * window after that runs over O(days) rows. Reports each streak
+    * length ≥ `minLen` with how many streaks reached it. */
+  def revenueStreaks(orders: DataFrame, minLen: Int = 3): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val byDay = Window.orderBy("d")
+    val flagged = daily
+      .withColumn("up",
+        when(col("cents") > lag("cents", 1).over(byDay), 1).otherwise(0))
+      .withColumn("rn", row_number().over(byDay))
+      // island id: constant within a run of up=1 rows (the anchor
+      // non-increasing day starts each island)
+      .withColumn("island",
+        col("rn") - sum("up").over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.filter(col("up") === 1)
+      .groupBy("island")
+      // streak length counts the anchor day too: a run of k `up` days
+      // is k+1 strictly-increasing daily revenues
+      .agg((count(lit(1)) + 1L).cast("bigint").as("streak_days"))
+      .filter(col("streak_days") >= minLen)
+      .groupBy("streak_days")
+      .agg(count(lit(1)).cast("bigint").as("n_streaks"))
+      .orderBy("streak_days")
   }
 }

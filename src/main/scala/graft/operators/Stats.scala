@@ -783,4 +783,43 @@ object Stats {
       .withColumn("trimmed_mean_cents",
         expr("CAST(sum_cents AS DOUBLE) / CAST(n_kept AS DOUBLE)"))
   }
+
+  /** Kendall's τ-b between weekly order volume and weekly revenue —
+    * the rank-association twin of the Spearman entry, exact by
+    * construction: the concordant/discordant/tied pair counts are
+    * INTEGER aggregates over the O(weeks²) self-join of the bounded
+    * weekly table (the date axis is calendar-bounded — a few hundred
+    * weeks at ANY scale factor, so the pair table is bounded too; the
+    * fact-sized work is one partial+final weekly aggregate), and τ-b
+    * itself is one fixed chain of exactly-rounded double ops
+    * ((C−D) / √((n₀−tx)·(n₀−ty))) both engines evaluate identically.
+    * Never a row-level pair join: at 100 TB the row-pair form is
+    * O(n²); the week-pair form is O(weeks²) = constant. */
+  def kendallWeekly(orders: DataFrame): DataFrame = {
+    val weekly = orders
+      .groupBy(expr("CAST(date_trunc('week', o_orderdate) AS DATE)").as("wk"))
+      .agg(count(lit(1)).cast("bigint").as("x"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("y"))
+      .localCheckpoint() // bounded table; pair join reuses it twice
+    val a = weekly.select(col("wk").as("w1"), col("x").as("x1"), col("y").as("y1"))
+    val b = weekly.select(col("wk").as("w2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, col("w1") < col("w2"))
+      .select(
+        (col("x2") - col("x1")).as("dx"),
+        (col("y2") - col("y1")).as("dy"))
+    pairs.agg(
+        count(lit(1)).cast("bigint").as("n0"),
+        sum(expr("CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END"))
+          .cast("bigint").as("concordant"),
+        sum(expr("CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END"))
+          .cast("bigint").as("discordant"),
+        sum(expr("CASE WHEN dx = 0 THEN 1 ELSE 0 END"))
+          .cast("bigint").as("tied_x"),
+        sum(expr("CASE WHEN dy = 0 THEN 1 ELSE 0 END"))
+          .cast("bigint").as("tied_y"))
+      .withColumn("tau_b", expr(
+        """CAST(concordant - discordant AS DOUBLE) /
+          |sqrt(CAST(n0 - tied_x AS DOUBLE) * CAST(n0 - tied_y AS DOUBLE))"""
+          .stripMargin))
+  }
 }

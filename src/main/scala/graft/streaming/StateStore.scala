@@ -97,14 +97,40 @@ final class StateStore(spark: SparkSession, dir: String)
     * successful commit of the version. The manifest lands after the
     * data (a crash between the two leaves a version readable with the
     * mtime fallback, never a stamped-but-absent snapshot), underscore-
-    * prefixed so Spark's hidden-file filter keeps it out of scans. */
+    * prefixed so Spark's hidden-file filter keeps it out of scans.
+    * Line 2 records the PARENT (the newest version strictly below this
+    * one at commit time, this version's own prior parent on an
+    * idempotent replay) — the change feed's exact diff anchor, so a
+    * tag-pinned retention hole fails loudly on flat stores exactly
+    * like it does on manifest logs. */
   def write(df: DataFrame, version: Long): Unit = {
+    // resolve the anchor BEFORE the data write creates v=<version>:
+    // replay keeps its original parent, a fresh commit anchors to the
+    // newest retained predecessor
+    val parent = parentOf(version)
+      .orElse(versions.filter(_ < version).lastOption)
     df.write.mode("overwrite").parquet(s"$dir/v=$version")
     val m = new org.apache.hadoop.fs.Path(s"$dir/v=$version/${StateStore.CommitManifest}")
     val out = fs.create(m, true)
-    try out.write(String.valueOf(System.currentTimeMillis())
+    try out.write((String.valueOf(System.currentTimeMillis()) +
+      parent.fold("")(p => s"\nparent=$p"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The recorded commit anchor of `version` (None: pre-parent
+    * manifests, mtime-fallback stores, or the store's first commit). */
+  override def parentOf(version: Long): Option[Long] = {
+    val m = new org.apache.hadoop.fs.Path(
+      s"$dir/v=$version/${StateStore.CommitManifest}")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.linesIterator.find(_.startsWith("parent="))
+        .flatMap(_.stripPrefix("parent=").trim.toLongOption)
+    }
   }
 
   /** Drop versions older than the newest `keep` (bounded storage; the
@@ -163,6 +189,7 @@ final class StateStore(spark: SparkSession, dir: String)
       val n = before.count() - keep.count()
       if (n > 0) {
         val stamp = commitTimeMs(v)
+        val parent = parentOf(v) // survives the re-stamp below
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/.purge_v=$v")
         fs.delete(tmp, true)
         keep.write.mode("overwrite").parquet(tmp.toString)
@@ -173,7 +200,8 @@ final class StateStore(spark: SparkSession, dir: String)
         stamp.foreach { ms =>
           val m = new org.apache.hadoop.fs.Path(dst, StateStore.CommitManifest)
           val out = fs.create(m, true)
-          try out.write(String.valueOf(ms)
+          try out.write((String.valueOf(ms) +
+            parent.fold("")(p => s"\nparent=$p"))
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
         }
@@ -200,5 +228,7 @@ object StateStore {
     * parse/fallback policy is how `TIMESTAMP AS OF` via SQL silently
     * diverges from `readAsOf`. */
   def resolveCommitMs(manifestText: Option[String], dirMtimeMs: => Long): Long =
-    manifestText.flatMap(_.trim.toLongOption).getOrElse(dirMtimeMs)
+    // FIRST line only: line 2+ carries the parent pointer
+    manifestText.flatMap(_.trim.linesIterator.nextOption())
+      .flatMap(_.trim.toLongOption).getOrElse(dirMtimeMs)
 }

@@ -33,7 +33,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * with the commit version attached.
   *
   * Options: `path` (the table's snapshot directory), `keys`
-  * (comma-separated primary-key columns the diff joins on). */
+  * (comma-separated primary-key columns the diff joins on),
+  * `maxVersionsPerTrigger` (optional pacing — cap how many snapshot
+  * versions one micro-batch covers; content-neutral because the feed
+  * is per-version). */
 final class ChangeFeedSourceProvider
     extends StreamSourceProvider with DataSourceRegister {
 
@@ -109,8 +112,41 @@ private[graft] final class ChangeFeedSource(
 
   override val schema: StructType = ChangeFeedSource.feedSchema(row)
 
+  /** Pacing (`maxVersionsPerTrigger`): cap how many snapshot versions
+    * one micro-batch covers. A long-idle stream that wakes to 500
+    * committed versions otherwise derives all 500 diffs in ONE batch —
+    * a giant union that spikes memory and holds the trigger for its
+    * whole runtime. Pacing slices the catch-up into bounded batches;
+    * per-version feed granularity makes the slicing content-neutral
+    * (the concatenation is identical however the axis is cut). */
+  private val maxVersionsPerTrigger: Option[Long] =
+    parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-changefeed: maxVersionsPerTrigger must be a positive " +
+          s"integer, got '$v'"))
+      require(n > 0, "graft-changefeed: maxVersionsPerTrigger must be > 0")
+      n
+    }
+
+  // highest version offered to (or delivered by) the engine — getBatch
+  // seeds it on checkpoint restart, getOffset advances it
+  @volatile private var paceFloor: Option[Long] = None
+
   override def getOffset: Option[Offset] =
-    store.latestVersion.map(LongOffset(_))
+    store.latestVersion.map { latest =>
+      maxVersionsPerTrigger match {
+        case Some(m) =>
+          // first trigger starts just below the earliest retained
+          // version, so the initial load itself is paced too
+          val from = paceFloor
+            .orElse(store.versions.headOption.map(_ - 1L))
+            .getOrElse(latest)
+          val end = math.min(latest, from + m)
+          paceFloor = Some(end)
+          LongOffset(end)
+        case None => LongOffset(latest)
+      }
+    }
 
   private def versionOf(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -165,6 +201,10 @@ private[graft] final class ChangeFeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(versionOf)
     val endV = versionOf(end)
+    // checkpoint-restart recovery replays the last committed batch
+    // before any getOffset call: seed the pacing floor so the next
+    // offered offset continues from the checkpoint, not from scratch
+    if (paceFloor.forall(_ < endV)) paceFloor = Some(endV)
     val retained = store.versions
     // Replay determinism is bounded by snapshot retention (the
     // Iceberg/Delta convention): versionFeed derives each version's

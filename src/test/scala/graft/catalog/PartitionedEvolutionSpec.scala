@@ -139,10 +139,13 @@ class PartitionedEvolutionSpec extends SparkSpec {
       // would throw CONFLICTING_PARTITION_COLUMN_NAMES)
       assert(spark.sql(s"CALL $cat.system.analyze('m.t', 'n')")
         .as[Long].head() >= 2L)
-      // row-level DML needs one coherent spec while shapes are mixed
-      val e = intercept[Exception](
-        spark.sql(s"UPDATE $cat.m.t SET day = 'x' WHERE n = 1"))
-      assert(e.getMessage.contains("compact"), e.getMessage)
+      // row-level UPDATE works across MIXED shapes directly (r12): the
+      // group scan unions per shape, the write restages under the
+      // CURRENT spec — and the change is visible
+      spark.sql(s"UPDATE $cat.m.t SET day = 'dx' WHERE n = 1")
+      assert(spark.table(s"$cat.m.t").where("day = 'dx'")
+        .select("n").as[Long].collect().toSeq == Seq(1L))
+      spark.sql(s"UPDATE $cat.m.t SET day = 'd1' WHERE n = 1") // restore
       // DELETE works across shapes (restages its candidates under the
       // CURRENT spec — an unprunable condition migrates everything)
       spark.sql(s"DELETE FROM $cat.m.t WHERE n = 2")

@@ -377,9 +377,10 @@ class VersionedPartitionedSpec extends SparkSpec {
       assert(before.contains("InMemoryFileIndex(3 paths)"),
         s"interleaved files must not skip:\n$before")
       // zorder re-clusters within the partition as a NEW snapshot
+      // (s-5: create=0, appends=1..3, the r12 commit-atomic analyze=4)
       val nv = spark.sql(s"CALL $cat.system.zorder('m.t', 'k', 'd', 3)")
         .as[Long].head()
-      assert(nv == 4L)
+      assert(nv == 5L)
       spark.sql(s"CALL $cat.system.analyze('m.t', 'k')")
       assert(spark.table(s"$cat.m.t").as[(Long, Long, String)]
         .collect().sortBy(_._1).map(_._1).toSeq == (0L until 30L))
