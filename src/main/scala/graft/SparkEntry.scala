@@ -1056,6 +1056,10 @@ object SparkEntry {
         t(s, dir, "lineitem"), t(s, dir, "orders"))),
     "q_dup_orders" -> ((s, dir) =>
       graft.operators.MarketOps.duplicateOrders(t(s, dir, "orders"))),
+    "q_gini_impurity" -> ((s, dir) =>
+      graft.operators.MarketOps.giniImpurity(t(s, dir, "orders"))),
+    "q_modal_priority" -> ((s, dir) =>
+      graft.operators.MarketOps.modalPriority(t(s, dir, "orders"))),
     // Customer/supplier lifecycle family: tie-broken Spearman rank
     // correlation (exact ppm identity), churn-risk census, reorder-gap
     // histogram, slow movers, supplier share shift, discount
@@ -5243,6 +5247,31 @@ object SparkEntry {
         |    AS cents
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Gini impurity (1 − Σp²) in exact ppm — the no-transcendental
+    // association/split-quality measure.
+    "q_gini_impurity" ->
+      """WITH cells AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(1000000 - (sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT))
+        |      * 1000000)
+        |    // (CAST(sum(cnt) AS HUGEINT) * CAST(sum(cnt) AS HUGEINT))
+        |    AS BIGINT) AS impurity_ppm
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Grouped MODE with the larger-string tie-break (max-struct).
+    "q_modal_priority" ->
+      """WITH cells AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority DESC) AS rk FROM cells)
+        |SELECT o_orderstatus, o_orderpriority AS modal_priority,
+        |  cnt AS n_orders
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     // Grouped ABC: per-nation cumulative supplier-revenue share (the
     // window form IS the oracle; the engine's plan is the two-phase

@@ -475,8 +475,19 @@ private[catalog] object DeletableTable {
       val old = tableDir.resolveSibling(tableDir.getFileName.toString + ".__old")
       if (Files.isDirectory(tableDir)) {
         withSidecars(tableDir) { s =>
-          Files.copy(s, tmp.resolve(s.getFileName.toString),
-            StandardCopyOption.REPLACE_EXISTING); ()
+          if (Files.isDirectory(s)) {
+            // the per-tag dir carries recursively
+            val dst = tmp.resolve(s.getFileName.toString)
+            Files.createDirectories(dst)
+            val ls = Files.list(s)
+            try ls.iterator().asScala.foreach(c =>
+              Files.copy(c, dst.resolve(c.getFileName.toString),
+                StandardCopyOption.REPLACE_EXISTING))
+            finally ls.close()
+          } else
+            Files.copy(s, tmp.resolve(s.getFileName.toString),
+              StandardCopyOption.REPLACE_EXISTING)
+          ()
         }
       }
       deleteRecursive(old)
@@ -502,7 +513,8 @@ private[catalog] object DeletableTable {
         // losing them across a swap silently changes semantics
         n == "_graft_schema.json" || n == "_graft_mapping.json" ||
           n == FileStats.Sidecar || n == BloomIndex.Sidecar ||
-          n == PartitionSpec.Sidecar || n == Tags.Sidecar })
+          n == PartitionSpec.Sidecar || n == Tags.Sidecar ||
+          n == Tags.DirName })
       .foreach(f)
     finally s.close()
   }

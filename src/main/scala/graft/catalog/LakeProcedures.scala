@@ -54,10 +54,29 @@ private[catalog] object LakeProcedures {
     if (ident.namespace().toSeq != Seq(Namespace)) None
     else ident.name() match {
       case "snapshots" =>
+        // manifest logs expose the full audit surface (parent chain,
+        // operation, file-count summary — the Iceberg .snapshots
+        // columns); flat v=<n> stores report version + commit time
         Some(proc(root, "snapshots", Seq("tbl" -> StringType),
-          new StructType().add("version", LongType).add("commit_ms", LongType)) {
-          (_, log, _) =>
-            log.versions.map(v => InternalRow(v, log.commitMs(v).getOrElse(-1L)))
+          new StructType().add("version", LongType).add("commit_ms", LongType)
+            .add("parent", LongType).add("operation", StringType)
+            .add("added_files", LongType).add("removed_files", LongType)
+            .add("total_files", LongType)) {
+          (dir, log, _) =>
+            log.versions.map { v =>
+              val s = if (Snapshots.isVersioned(dir)) Snapshots.read(dir, v)
+                      else None
+              InternalRow(v, log.commitMs(v).getOrElse(-1L),
+                s.flatMap(_.parent).map(Long.box).orNull,
+                s.filter(_.operation.nonEmpty)
+                  .map(x => UTF8String.fromString(x.operation)).orNull,
+                s.flatMap(_.summary.get("added-data-files"))
+                  .map(Long.box).orNull,
+                s.flatMap(_.summary.get("removed-data-files"))
+                  .map(Long.box).orNull,
+                s.flatMap(_.summary.get("total-data-files"))
+                  .map(Long.box).orNull)
+            }
         })
       case "rollback" =>
         // Iceberg-style NON-destructive rollback: re-commit snapshot
@@ -88,10 +107,11 @@ private[catalog] object LakeProcedures {
               "belongs to raw snapshot ids")
           if (!log.versions.contains(v)) throw new IllegalArgumentException(
             s"tag: no snapshot v=$v (have ${log.versions.mkString(",")})")
-          val cur = Tags.read(dir)
-          if (cur.contains(name)) throw new IllegalArgumentException(
-            s"tag: '$name' already points at v=${cur(name)} — drop_tag first")
-          Tags.write(dir, cur + (name -> v))
+          // atomic create-if-absent: a same-name race has one winner,
+          // different-name races never clobber each other
+          if (!Tags.create(dir, name, v)) throw new IllegalArgumentException(
+            s"tag: '$name' already points at " +
+              s"v=${Tags.read(dir).getOrElse(name, -1L)} — drop_tag first")
           Seq(InternalRow(v))
         })
       case "drop_tag" =>
@@ -99,10 +119,10 @@ private[catalog] object LakeProcedures {
           Seq("tbl" -> StringType, "name" -> StringType),
           new StructType().add("dropped_version", LongType)) { (dir, _, args) =>
           val name = args.getUTF8String(1).toString
-          val cur = Tags.read(dir)
-          val v = cur.getOrElse(name, throw new IllegalArgumentException(
-            s"drop_tag: no tag '$name' (tags: ${cur.keys.toSeq.sorted.mkString(",")})"))
-          Tags.write(dir, cur - name)
+          val v = Tags.drop(dir, name).getOrElse(
+            throw new IllegalArgumentException(
+              s"drop_tag: no tag '$name' (tags: " +
+                s"${Tags.read(dir).keys.toSeq.sorted.mkString(",")})"))
           Seq(InternalRow(v))
         })
       case "tags" =>
@@ -866,14 +886,22 @@ private[catalog] object LakeProcedures {
       require(keep >= 1, "expire_snapshots: keep must be >= 1")
       val vs = versions
       val retained = (vs.takeRight(keep) ++ vs.filter(pinned)).distinct
-      vs.filterNot(retained.contains).foreach(Snapshots.delete(tableDir, _))
-      // GC: physically delete the data files no retained manifest
-      // references (the whole point of expiring a manifest), then
-      // drop partition directories left empty
+      val dropped = vs.filterNot(retained.contains)
+      // GC set = the DROPPED manifests' references minus the retained
+      // ones' (r12, the multi-writer discipline): a concurrent commit
+      // publishes its data files BEFORE its manifest, so a
+      // just-published file is momentarily referenced by NOTHING — a
+      // disk-listing GC ("everything unreferenced") would delete it
+      // out from under the in-flight commit. Files from dropped
+      // manifests are provably snapshot-aged; true orphans are
+      // vacuum's (age-guarded) job.
+      val droppedRefs = dropped.flatMap(Snapshots.read(tableDir, _))
+        .flatMap(_.files).toSet
+      dropped.foreach(Snapshots.delete(tableDir, _))
       val live = Snapshots.referencedFiles(tableDir)
       val leaves = PartitionedWrite.leafPartitionDirs(tableDir)
-      PartitionedWrite.filesUnderDirs(tableDir, leaves)
-        .filterNot(rel => live(rel.toString))
+      droppedRefs.diff(live).toSeq.sorted
+        .map(java.nio.file.Paths.get(_))
         .foreach { rel =>
           Files.deleteIfExists(tableDir.resolve(rel))
           val crc = tableDir.resolve(rel).resolveSibling(

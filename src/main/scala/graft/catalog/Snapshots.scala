@@ -94,7 +94,9 @@ private[catalog] object Snapshots {
     Files.createDirectories(dir(tableDir))
     if (!tryPublish(tableDir,
         Snapshot(0L, System.currentTimeMillis(), Seq.empty,
-          operation = "create")))
+          operation = "create",
+          summary = Map("added-data-files" -> 0L,
+            "removed-data-files" -> 0L, "total-data-files" -> 0L))))
       throw new CommitConflictException(
         s"$tableDir: snapshot log already initialized (concurrent CREATE)")
   }

@@ -112,4 +112,44 @@ object MarketOps {
       coalesce(sum(col("n")), lit(0L)).cast("bigint").as("n_dup_orders"),
       coalesce(max(col("n")), lit(0L)).cast("bigint").as("max_group_size"))
   }
+
+  /** Gini impurity of the order-priority distribution WITHIN each
+    * status — the split-quality measure a decision-tree/stratification
+    * step uses (1 − Σp²), exact in ppm: per-cell counts are integers,
+    * Σcnt² widens through DECIMAL(38,0), and the ppm division is
+    * integer floor — no transcendental entropy, so both engines agree
+    * bit-for-bit. Scale shape: one partial+final aggregate to the
+    * bounded (status × priority) cell table, everything after is
+    * O(cells). */
+  def giniImpurity(orders: DataFrame): DataFrame = {
+    val cells = orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    cells.groupBy("o_orderstatus")
+      .agg(sum("cnt").cast("bigint").as("n"),
+        count(lit(1)).cast("bigint").as("n_classes"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))"))
+          .as("__sq"))
+      .withColumn("impurity_ppm", expr(
+        """CAST(1000000 - (__sq * 1000000) div
+          |(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+          |AS BIGINT)""".stripMargin))
+      .select(col("o_orderstatus"), col("n"), col("n_classes"),
+        col("impurity_ppm"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Modal order priority per status (the grouped MODE, with the
+    * deterministic larger-string tie-break): counts to the bounded
+    * cell table, then one max-struct per group — never a sort of fact
+    * rows. */
+  def modalPriority(orders: DataFrame): DataFrame = {
+    orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(max(struct(col("cnt"), col("o_orderpriority"))).as("__m"))
+      .select(col("o_orderstatus"),
+        col("__m.o_orderpriority").as("modal_priority"),
+        col("__m.cnt").as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
 }

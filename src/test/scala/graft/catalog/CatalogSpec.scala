@@ -483,7 +483,7 @@ class CatalogSpec extends SparkSpec {
       store.write(Seq((1L, 11L), (2L, 20L), (3L, 30L)).toDF("id", "bal"), 1L)
       // history report: one row per snapshot, stamped
       val snaps = spark.sql("CALL lakep.system.snapshots('state.accts')")
-        .as[(Long, Long)].collect().sortBy(_._1)
+        .select("version", "commit_ms").as[(Long, Long)].collect().sortBy(_._1)
       assert(snaps.map(_._1).toSeq == Seq(0L, 1L))
       assert(snaps.forall(_._2 > 0L), "commit stamps present")
       // compaction commits a NEW version (history intact)

@@ -29,7 +29,7 @@ class MetadataTableSpec extends SparkSpec {
         "every snapshot reports files and bytes")
       // commit stamps agree with the snapshots procedure
       val proc = spark.sql("CALL lkmt.system.snapshots('m.vt')")
-        .as[(Long, Long)].collect().toMap
+        .select("version", "commit_ms").as[(Long, Long)].collect().toMap
       hist.foreach(r => assert(r._2 == proc.get(r._1.get)))
 
       // files: the CURRENT (latest snapshot) data files, rows NULL

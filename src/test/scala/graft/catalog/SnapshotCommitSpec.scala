@@ -72,6 +72,38 @@ class SnapshotCommitSpec extends SparkSpec {
     assert(Snapshots.read(dir, v).get.files.contains("p=1/f3.parquet"))
   }
 
+  test("tags are per-file atomic: racing creates all land, a same-name race has one winner, drop + legacy sidecar still work") {
+    val dir = Files.createTempDirectory("graft-tags-race")
+    // racing DIFFERENT-name creates: all must survive (the legacy
+    // single-JSON read-modify-write could lose some)
+    val n = 8
+    val threads = (0 until n).map(i =>
+      new Thread(() => { Tags.create(dir, s"rel-$i", i.toLong); () }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Tags.read(dir) == (0 until n).map(i => s"rel-$i" -> i.toLong).toMap)
+    // same-name race: exactly one winner
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val racers = (0 until 4).map(i =>
+      new Thread(() => {
+        if (Tags.create(dir, "stable", 100L + i)) { wins.incrementAndGet(); () }
+      }))
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(wins.get() == 1, s"same-name tag race must have ONE winner, got ${wins.get()}")
+    // drop frees the name for re-create
+    assert(Tags.drop(dir, "stable").isDefined)
+    assert(Tags.create(dir, "stable", 7L) && Tags.read(dir)("stable") == 7L)
+    // legacy single-file sidecar: still read, still droppable, and a
+    // legacy name cannot be re-created while present
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.putObject("tags").put("old-tag", 3L)
+    Files.writeString(dir.resolve(Tags.Sidecar), om.writeValueAsString(root))
+    assert(Tags.read(dir)("old-tag") == 3L)
+    assert(!Tags.create(dir, "old-tag", 9L))
+    assert(Tags.drop(dir, "old-tag").contains(3L))
+    assert(!Tags.read(dir).contains("old-tag"))
+  }
+
   test("manifests record operation + files-added/removed summary for every table commit") {
     withLake("sc1") { (cat, lake) =>
       spark.sql(

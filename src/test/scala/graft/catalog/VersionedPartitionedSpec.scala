@@ -163,7 +163,8 @@ class VersionedPartitionedSpec extends SparkSpec {
       .filter { p =>
         val n = p.getFileName.toString
         Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
-          !p.startsWith(dir.resolve(Snapshots.DirName))
+          !p.startsWith(dir.resolve(Snapshots.DirName)) &&
+          !p.startsWith(dir.resolve(Tags.DirName)) // per-tag files (r12)
       }.map(p => dir.relativize(p).toString).toSeq.sorted
     finally s.close()
   }
@@ -183,9 +184,15 @@ class VersionedPartitionedSpec extends SparkSpec {
 
       // snapshots report: one row per manifest, real commit stamps
       val snaps = spark.sql(s"CALL $cat.system.snapshots('m.t')")
-        .as[(Long, Long)].collect().toSeq
+        .select("version", "commit_ms").as[(Long, Long)].collect().toSeq
       assert(snaps.map(_._1) == Seq(0L, 1L, 2L, 3L))
       assert(snaps.forall(_._2 > 0L))
+      // r12 audit columns: operation + parent chain + file summary
+      val audit = spark.sql(s"CALL $cat.system.snapshots('m.t')")
+        .select("version", "operation", "parent", "total_files")
+        .as[(Long, String, Option[Long], Long)].collect().toSeq
+      assert(audit.head == ((0L, "create", None, 0L)))
+      assert(audit(1)._2 == "append" && audit(1)._3.contains(0L))
 
       // tag s-1, address it by name
       spark.sql(s"CALL $cat.system.tag('m.t', 'before_overwrite', 1)")

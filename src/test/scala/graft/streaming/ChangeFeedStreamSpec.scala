@@ -161,6 +161,59 @@ class ChangeFeedStreamSpec extends SparkSpec {
     }
   }
 
+  test("SPEC-EVOLVED manifest tables stream: versions before and after add_partition_field union positionally without misbinding") {
+    // the r12 regression guard for the unconditional logical-order
+    // projection in ManifestSnapshotReads: Spark places partition
+    // columns LAST, so after add_partition_field promotes a
+    // non-trailing data column, post-evolution snapshots would read
+    // (…, promotedCol-last) while pre-evolution ones keep logical
+    // order — and the change-feed source unions version feeds
+    // POSITIONALLY
+    val lake = Files.createTempDirectory("graft-lake-cfev")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkcfev", classOf[graft.catalog.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkcfev.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkcfev.m.t (k BIGINT, day STRING, region STRING)
+          |PARTITIONED BY (region)
+          |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      // s-1 under the old spec: `day` is a MIDDLE data column
+      Seq((1L, "d1", "EU"), (2L, "d2", "US")).toDF("k", "day", "region")
+        .write.mode("append").insertInto("lkcfev.m.t")
+      spark.sql("CALL lkcfev.system.add_partition_field('m.t', 'day')")
+      // s-2 under the new spec: `day` now rides the directory (LAST in
+      // the physical read order)
+      Seq((3L, "d1", "EU")).toDF("k", "day", "region")
+        .write.mode("append").insertInto("lkcfev.m.t")
+
+      val out = Files.createTempDirectory("cfev-out").toString
+      val q = Catalog.readStreamTable(spark, "lkcfev.m.t", Seq("k"))
+        .select(col("op"), col("version"),
+          to_json(col("before")).as("b"), to_json(col("after")).as("a"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("cfev-ck").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.read.parquet(out)
+        .as[(String, Long, String, String)].collect().toSet
+      // every row's after-struct must bind day/region to the RIGHT
+      // fields in both the pre- and post-evolution versions
+      assert(got.exists { case (op, v, _, a) =>
+        op == "c" && v == 1L && a.contains("\"day\":\"d2\"") &&
+          a.contains("\"region\":\"US\"") })
+      assert(got.exists { case (op, v, _, a) =>
+        op == "c" && v == 2L && a.contains("\"k\":3") &&
+          a.contains("\"day\":\"d1\"") && a.contains("\"region\":\"EU\"") },
+        s"post-evolution feed rows must bind promoted columns correctly, got $got")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkcfev")
+      spark.conf.unset("spark.sql.catalog.lkcfev.path")
+    }
+  }
+
   test("a tag-pinned retention HOLE fails loudly: a version whose recorded parent was expired never diffs against the wrong predecessor") {
     val lake = Files.createTempDirectory("graft-lake-cfhole")
     Files.createDirectories(lake.resolve("m"))
