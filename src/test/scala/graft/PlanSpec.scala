@@ -75,6 +75,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r12 analytics: invoice pairing equi-joins on the customer block, kendall's only non-equi join is over the bounded weekly table") {
+    val orders = Tables.load(spark, dir, "orders")
+    // near-duplicate invoices: the o_custkey equality must be the JOIN
+    // KEY (hash/sort-merge), the tolerance bands mere residuals — a
+    // nested-loop here is all-pairs O(n²) at 100 TB
+    val pInv = plan(graft.operators.CustomerOps.invoiceNearMatches(orders))
+    assert(!pInv.contains("NestedLoop") && !pInv.contains("CartesianProduct"),
+      s"invoice pairing must block on the customer key:\n$pInv")
+    // kendall: the week-pair join is genuinely non-equi, but it runs
+    // over the calendar-bounded weekly AGGREGATE (broadcast), never
+    // fact rows
+    val pK = plan(graft.operators.Stats.kendallWeekly(orders))
+    assert(pK.contains("BroadcastNestedLoopJoin"),
+      s"week pairs must broadcast the bounded weekly table:\n$pK")
+    // decile migration rides the two-phase rank: no global
+    // unpartitioned window anywhere in the plan
+    val pD = plan(graft.operators.CustomerOps.decileMigration(orders))
+    assert(!pD.contains("Window [") || !pD.contains("windowspecdefinition()"),
+      s"decile migration must not plan a global window:\n$pD")
+  }
+
   test("round-8 ops: equi-join-only pairing, broadcast fusion sides") {
     val docs = Tables.load(spark, dir, "documents")
     val emb = Tables.load(spark, dir, "embeddings")
