@@ -5311,10 +5311,10 @@ object SparkEntry {
         |p AS (SELECT b.x - a.x AS dx, b.y - a.y AS dy
         |  FROM wk a JOIN wk b ON a.wk < b.wk),
         |s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
-        |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS concordant,
-        |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS discordant,
+        |    CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
         |    CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS tied_x,
         |    CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)

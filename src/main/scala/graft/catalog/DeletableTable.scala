@@ -467,9 +467,13 @@ private[catalog] object DeletableTable {
       val next = tableDir.resolve(s"v=${versions.max + 1L}")
       deleteRecursive(next)
       Files.move(tmp, next)
+      // parent line like every StateStore commit: the change feed's
+      // tag-pinned retention-hole detection must cover DML-published
+      // versions too, not just streaming-sink ones
       Files.writeString(
         next.resolve(graft.streaming.StateStore.CommitManifest),
-        String.valueOf(System.currentTimeMillis()))
+        String.valueOf(System.currentTimeMillis()) +
+          s"\nparent=${versions.max}")
       next
     } else {
       val old = tableDir.resolveSibling(tableDir.getFileName.toString + ".__old")

@@ -67,7 +67,7 @@ private[catalog] object LakeProcedures {
               val s = if (Snapshots.isVersioned(dir)) Snapshots.read(dir, v)
                       else None
               InternalRow(v, log.commitMs(v).getOrElse(-1L),
-                s.flatMap(_.parent).map(Long.box).orNull,
+                log.parentOf(v).map(Long.box).orNull,
                 s.filter(_.operation.nonEmpty)
                   .map(x => UTF8String.fromString(x.operation)).orNull,
                 s.flatMap(_.summary.get("added-data-files"))
@@ -293,11 +293,28 @@ private[catalog] object LakeProcedures {
                   "migrate: manifest versioning composes with the " +
                     "PARTITIONED layout only (flat tables version " +
                     "through the v=<n> store)")
-              val files = PartitionedWrite.filesUnderDirs(tableDir,
-                PartitionedWrite.leafPartitionDirs(tableDir))
-                .map(_.toString)
+              // NOTE (the Iceberg migrate caveat): plain-layout writes
+              // racing this listing→commit window land files no
+              // manifest references — quiesce writers during
+              // migration. The catch-up sweep below folds stragglers
+              // from the window into follow-up commits; it cannot
+              // catch a write that STARTS after the last sweep.
+              def listAll(): Seq[String] =
+                PartitionedWrite.filesUnderDirs(tableDir,
+                  PartitionedWrite.leafPartitionDirs(tableDir))
+                  .map(_.toString)
+              val files = listAll()
               Files.createDirectories(tableDir.resolve(Snapshots.DirName))
               val v = Snapshots.commit(tableDir, "migrate", _ => files)
+              var sweeps = 0
+              while (sweeps < 3 && {
+                val stragglers =
+                  listAll().diff(Snapshots.latest(tableDir).get.files)
+                if (stragglers.nonEmpty)
+                  Snapshots.commit(tableDir, "migrate",
+                    cur => cur ++ stragglers)
+                stragglers.nonEmpty
+              }) sweeps += 1
               SparkSession.active.catalog.clearCache()
               java.util.List.of[Scan](new LocalScan {
                 override def rows(): Array[InternalRow] =
@@ -846,6 +863,9 @@ private[catalog] object LakeProcedures {
   private[catalog] sealed trait VersionLog {
     def versions: Seq[Long]
     def commitMs(v: Long): Option[Long]
+    /** Recorded commit anchor of `v` (both layouts record parents as
+      * of r12; None = first commit or pre-parent manifests). */
+    def parentOf(v: Long): Option[Long]
     /** Non-destructive rollback: re-commit snapshot `v`'s content as
       * latest+1; returns the new version. */
     def rollbackTo(v: Long): Long
@@ -859,6 +879,7 @@ private[catalog] object LakeProcedures {
       extends VersionLog {
     def versions: Seq[Long] = store.versions
     def commitMs(v: Long): Option[Long] = store.commitTimeMs(v)
+    def parentOf(v: Long): Option[Long] = store.parentOf(v)
     def rollbackTo(v: Long): Long = {
       val df = store.read(v).getOrElse(throw new IllegalArgumentException(
         s"rollback: no snapshot v=$v (have ${store.versions.mkString(",")})"))
@@ -873,13 +894,30 @@ private[catalog] object LakeProcedures {
     def versions: Seq[Long] = Snapshots.versions(tableDir)
     def commitMs(v: Long): Option[Long] =
       Snapshots.read(tableDir, v).map(_.commitMs)
+    def parentOf(v: Long): Option[Long] =
+      Snapshots.read(tableDir, v).flatMap(_.parent)
     def rollbackTo(v: Long): Long = {
       val s = Snapshots.read(tableDir, v).getOrElse(
         throw new IllegalArgumentException(
           s"rollback: no snapshot s-$v (have ${versions.mkString(",")})"))
-      // blind set-the-list semantics: a rollback REPLACES whatever is
-      // current by definition — no read-set to validate
+      // set-the-list semantics (a rollback REPLACES whatever is
+      // current), but the restored FILES must still exist: a
+      // concurrent expire_snapshots that dropped s-v may have
+      // physically GC'd them, and publishing a manifest over deleted
+      // files bricks every subsequent read. Checked inside the OCC
+      // loop (re-runs on every retry); the residual window between
+      // this check and the link publish is the documented limit of a
+      // filesystem-CAS log (Iceberg closes it with a metadata-pointer
+      // CAS that makes expire itself a commit).
       Snapshots.commit(tableDir, "rollback", _ => s.files,
+        validate = _ => {
+          val missing = s.files.filterNot(f =>
+            Files.exists(tableDir.resolve(f)))
+          if (missing.nonEmpty) throw new CommitConflictException(
+            s"rollback: ${missing.size} of snapshot s-$v's files were " +
+              s"garbage-collected by a concurrent expire (e.g. " +
+              s"${missing.head}) — the snapshot is no longer restorable")
+        },
         freshStats = s.stats)
     }
     def expire(keep: Int, pinned: Set[Long]): Unit = {

@@ -172,8 +172,10 @@ private[catalog] final class PartitionedLakeTable(
     * commit-atomic embedded block (sidecar fallback for pre-analyze
     * manifests) — so a `VERSION AS OF` scan skips and aggregates from
     * the stats of THAT snapshot. None = plain table (the consumers
-    * read the sidecar themselves). */
-  private def manifestStats: Option[Map[String, FileStats.FileStat]] =
+    * read the sidecar themselves). lazy val: the sidecar fallback
+    * parses JSON from disk — one parse per table instance, not one
+    * per scan-build consumer. */
+  private lazy val manifestStats: Option[Map[String, FileStats.FileStat]] =
     snapshot.map(s => Snapshots.statsOf(tableDir, s))
 
   override def name(): String = tableName

@@ -807,11 +807,16 @@ object Stats {
       .select(
         (col("x2") - col("x1")).as("dx"),
         (col("y2") - col("y1")).as("dy"))
+    // SIGN comparison, never the dx*dy product: weekly revenue deltas
+    // reach ~5e15 cents at large scale factors and the BIGINT product
+    // would silently wrap (Spark non-ANSI) / error (DuckDB)
     pairs.agg(
         count(lit(1)).cast("bigint").as("n0"),
-        sum(expr("CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END"))
+        sum(expr("""CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                    THEN 1 ELSE 0 END"""))
           .cast("bigint").as("concordant"),
-        sum(expr("CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END"))
+        sum(expr("""CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                    THEN 1 ELSE 0 END"""))
           .cast("bigint").as("discordant"),
         sum(expr("CASE WHEN dx = 0 THEN 1 ELSE 0 END"))
           .cast("bigint").as("tied_x"),

@@ -89,11 +89,15 @@ class PlanSpec extends SparkSpec {
     val pK = plan(graft.operators.Stats.kendallWeekly(orders))
     assert(pK.contains("BroadcastNestedLoopJoin"),
       s"week pairs must broadcast the bounded weekly table:\n$pK")
-    // decile migration rides the two-phase rank: no global
-    // unpartitioned window anywhere in the plan
+    // decile migration rides the two-phase rank (assignIds
+    // localCheckpoints its slice-partitioned windows, whose
+    // window-form equality IdsSpec pins): the FINAL plan must carry
+    // no window at all — a windowspecdefinition here would mean the
+    // ranking regressed to a live (potentially global) window
     val pD = plan(graft.operators.CustomerOps.decileMigration(orders))
-    assert(!pD.contains("Window [") || !pD.contains("windowspecdefinition()"),
-      s"decile migration must not plan a global window:\n$pD")
+    assert(!pD.contains("windowspecdefinition"),
+      s"decile migration must rank via the checkpointed two-phase pass:\n$pD")
+    assert(!pD.contains("CartesianProduct"))
   }
 
   test("round-8 ops: equi-join-only pairing, broadcast fusion sides") {
