@@ -72,6 +72,54 @@ class SnapshotCommitSpec extends SparkSpec {
     assert(Snapshots.read(dir, v).get.files.contains("p=1/f3.parquet"))
   }
 
+  test("END-TO-END concurrent DML: racing SQL appends and a cross-partition DELETE all land; no rows lost, no rows resurrected") {
+    withLake("sc5") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq((1L, "EU"), (2L, "EU"), (3L, "US"), (4L, "US"))
+        .toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      // race: three appends to three regions + one DELETE on EU —
+      // every operation drives the REAL write path (scan, stage,
+      // publish, optimistic manifest commit); the OCC loop must merge
+      // them all without losing a commit. Failures surface via the
+      // collected throwables.
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ops: Seq[() => Unit] = Seq(
+        () => Seq((10L, "EU")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t"),
+        () => Seq((11L, "US")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t"),
+        () => Seq((12L, "APAC")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t"),
+        () => { spark.sql(s"DELETE FROM $cat.m.t WHERE n = 3"); () })
+      val threads = ops.map(op => new Thread(() =>
+        try op() catch { case t: Throwable => errors.add(t); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // a loser that exhausted retries surfaces as CommitConflict —
+      // acceptable only for the DELETE (its read set can change);
+      // appends must always merge
+      errors.forEach(t => assert(
+        t.getMessage != null && t.getMessage.contains("re-run"),
+        s"unexpected concurrent-DML failure: $t"))
+      val got = spark.table(s"$cat.m.t").select("n").as[Long]
+        .collect().sorted.toSeq
+      val deleted = errors.isEmpty // DELETE landed iff no conflict
+      val expect = (Seq(1L, 2L, 4L, 10L, 11L, 12L) ++
+        (if (deleted) Seq.empty else Seq(3L))).sorted
+      assert(got == expect, s"final rows wrong: got $got, expect $expect")
+      // the manifest log is a contiguous chain (no clobbered version)
+      val dir = lake.resolve("m/t.parquet")
+      val vs = Snapshots.versions(dir)
+      assert(vs == (0L until vs.size.toLong),
+        s"versions must be contiguous, got $vs")
+      (1L until vs.size.toLong).foreach(v =>
+        assert(Snapshots.read(dir, v).get.parent.contains(v - 1L)))
+    }
+  }
+
   test("tags are per-file atomic: racing creates all land, a same-name race has one winner, drop + legacy sidecar still work") {
     val dir = Files.createTempDirectory("graft-tags-race")
     // racing DIFFERENT-name creates: all must survive (the legacy
