@@ -1174,6 +1174,13 @@ object SparkEntry {
     // Embedding contract: the ANN family's preconditions as checks.
     "q_embed_validate" -> ((s, dir) =>
       graft.operators.Validate.embeddingContract(t(s, dir, "embeddings"))),
+    // Embedding health (r12): squared-norm histogram (deterministic
+    // array left-fold) and the dead/collapsed-dimension screen
+    // (exact micro-unit per-dimension profile).
+    "q_embed_norm_hist" -> ((s, dir) =>
+      graft.operators.Validate.embeddingNormHistogram(t(s, dir, "embeddings"))),
+    "q_embed_dim_profile" -> ((s, dir) =>
+      graft.operators.Validate.embeddingDimProfile(t(s, dir, "embeddings"))),
     // Reproducibility manifest: per-source totals + order-free XOR
     // content checksum — "is this the same dataset we trained on?"
     "q_manifest" -> ((s, dir) =>
@@ -2888,6 +2895,31 @@ object SparkEntry {
         |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
         |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum
         |FROM documents GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Norm² is the same fixed left-to-right double chain on both
+    // engines (array order is data); centi-bucket floor is exact.
+    "q_embed_norm_hist" ->
+      """WITH n AS (SELECT label,
+        |    CAST(floor(list_reduce(
+        |      list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b) * 100) AS BIGINT) AS norm2_centi
+        |  FROM embeddings)
+        |SELECT label, norm2_centi, CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Exact integer micro-units per dimension (floor), 0-based dims.
+    "q_embed_dim_profile" ->
+      """WITH d AS (SELECT
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS micro
+        |  FROM embeddings)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(micro) AS BIGINT) AS sum_micro,
+        |  CAST(min(micro) AS BIGINT) AS min_micro,
+        |  CAST(max(micro) AS BIGINT) AS max_micro
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ks_drift" ->
       """WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,

@@ -259,6 +259,69 @@ private[catalog] object LakeProcedures {
           Seq(InternalRow(
             UTF8String.fromString(remaining.map(_.col).mkString(","))))
         })
+      case "replace_partition_field" =>
+        // drop + add in ONE metadata operation (Iceberg's REPLACE
+        // PARTITION FIELD): re-key the layout level — e.g. day →
+        // region — without the intermediate single-field state two
+        // separate calls would expose to concurrent readers. Same
+        // rules as the two constituent operations.
+        Some(proc(root, "replace_partition_field",
+          Seq("tbl" -> StringType, "old" -> StringType, "new" -> StringType),
+          new StructType().add("partition_spec", StringType)) { (dir, _, args) =>
+          val oldCol = args.getUTF8String(1).toString
+          val newCol = args.getUTF8String(2).toString
+          val spec = PartitionSpec.read(dir)
+          if (spec.isEmpty) throw new UnsupportedOperationException(
+            "replace_partition_field: not a partitioned lake table")
+          if (!Snapshots.isVersioned(dir))
+            throw new UnsupportedOperationException(
+              "replace_partition_field: partition-spec evolution needs " +
+                "the manifest snapshot log (CREATE ... TBLPROPERTIES " +
+                "('versioned'='true'))")
+          val field = spec.find(_.col.equalsIgnoreCase(oldCol)).getOrElse(
+            throw new IllegalArgumentException(
+              s"replace_partition_field: '$oldCol' is not in the " +
+                s"partition spec (${spec.map(_.col).mkString(",")})"))
+          if (field.isInstanceOf[PartitionSpec.Bucket])
+            throw new UnsupportedOperationException(
+              "replace_partition_field: the bucket distribution is " +
+                "load-bearing for the layout — recreate the table")
+          if (spec.exists(_.col.equalsIgnoreCase(newCol)))
+            throw new IllegalArgumentException(
+              s"replace_partition_field: '$newCol' is already in the " +
+                "partition spec")
+          if (newCol == "v" || newCol.startsWith("_"))
+            throw new IllegalArgumentException(
+              s"replace_partition_field: '$newCol' collides with the " +
+                "snapshot/sidecar namespace")
+          if (Evolutions.renames(dir).keys.exists(_.equalsIgnoreCase(newCol)))
+            throw new UnsupportedOperationException(
+              s"replace_partition_field: '$newCol' is rename-evolved — " +
+                "partition directory names bind to physical columns")
+          val schema = org.apache.spark.sql.types.DataType.fromJson(
+            Files.readString(dir.resolve("_graft_schema.json")))
+            .asInstanceOf[StructType]
+          val nf = schema.fields.find(_.name.equalsIgnoreCase(newCol))
+            .getOrElse(throw new IllegalArgumentException(
+              s"replace_partition_field: no such column '$newCol'"))
+          nf.dataType match {
+            case org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 LongType |
+                 org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.BooleanType => ()
+            case dt => throw new UnsupportedOperationException(
+              s"replace_partition_field: type ${dt.simpleString} does " +
+                "not round-trip exactly through directory values")
+          }
+          val next = spec.filterNot(_ eq field) :+
+            PartitionSpec.Identity(nf.name)
+          PartitionSpec.write(dir, next)
+          Seq(InternalRow(
+            UTF8String.fromString(next.map(_.col).mkString(","))))
+        })
       case "migrate" =>
         // Iceberg's `migrate` — upgrade a PLAIN partitioned lake table
         // to manifest versioning IN PLACE: the current data files (in

@@ -109,4 +109,40 @@ object Validate {
         expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
           .as("content_checksum"))
       .orderBy("source")
+
+  /** Squared-norm histogram of the embedding column per label — the
+    * embedding-health profile (un-normalized vectors, collapsed or
+    * exploded norms) a retrieval pipeline checks before indexing. The
+    * norm² is a DETERMINISTIC LEFT FOLD over the array
+    * (`aggregate(embedding, 0, (acc, x) -> acc + x²)` — array order is
+    * data, unlike row order, so the double chain is fixed and both
+    * engines evaluate it identically), bucketed to exact centi-units.
+    * One narrow scan, one partial+final aggregate. */
+  def embeddingNormHistogram(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("label"),
+        expr("""CAST(floor(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 100)
+                AS BIGINT)""").as("norm2_centi"))
+      .groupBy("label", "norm2_centi")
+      .agg(count(lit(1)).cast("bigint").as("n_vectors"))
+      .orderBy("label", "norm2_centi")
+
+  /** Per-DIMENSION profile of the embedding column — the dead/
+    * collapsed-dimension screen (a dimension whose values never move
+    * carries no information; one stuck at a constant bias skews
+    * cosine). Values land in exact integer micro-units (floor), so
+    * the per-dimension sums/extremes are order-insensitive integers.
+    * Scale shape: posexplode to (dim, micro) then ONE partial+final
+    * aggregate keyed on the bounded dimension axis. */
+  def embeddingDimProfile(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("bigint").as("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("micro").cast("bigint").as("sum_micro"),
+        min("micro").cast("bigint").as("min_micro"),
+        max("micro").cast("bigint").as("max_micro"))
+      .orderBy("dim")
 }

@@ -300,6 +300,19 @@ class SnapshotCommitSpec extends SparkSpec {
       assert(shapes == Seq(Seq("region")),
         s"compact must normalize to the coarsened spec, got $shapes")
       assert(spark.table(s"$cat.m.t").count() == 4L)
+      // replace = drop + add in one metadata op: region → day re-keys
+      // the layout level; mixed shapes still read exactly
+      val rspec = spark.sql(
+        s"CALL $cat.system.replace_partition_field('m.t', 'region', 'day')")
+        .as[String].head()
+      assert(rspec == "day")
+      Seq((5L, "EU", "d9")).toDF("n", "region", "day")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      assert(Files.isDirectory(dir.resolve("day=d9")),
+        "post-replace writes must nest under the new field")
+      assert(spark.table(s"$cat.m.t").where("region = 'EU'").count() == 4L)
+      spark.sql(
+        s"CALL $cat.system.replace_partition_field('m.t', 'day', 'region')")
       // guards: last identity field and bucket fields stay undropable
       val e1 = intercept[Exception](
         spark.sql(s"CALL $cat.system.drop_partition_field('m.t', 'region')"))
