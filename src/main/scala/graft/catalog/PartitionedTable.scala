@@ -742,7 +742,27 @@ private[catalog] final class RuntimePrunedScan(
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     current match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
+        val inner = s.estimateStatistics()
+        // manifest stats carry EXACT per-file row counts: surface
+        // numRows (the inner parquet scan only sizes bytes) so the
+        // optimizer's broadcast/join decisions see the true
+        // cardinality of THIS snapshot, filters notwithstanding
+        // (row count is an upper bound once filters push — still the
+        // standard V2 statistics contract)
+        val exactRows = for {
+          files <- snapshotFiles
+          stats <- snapshotStats if stats.nonEmpty
+          rows <- {
+            val per = files.map(f =>
+              stats.get(Snapshots.basename(f)).flatMap(_.rows))
+            if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+          }
+        } yield rows
+        exactRows.fold(inner)(n =>
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes() = inner.sizeInBytes()
+            override def numRows() = java.util.OptionalLong.of(n)
+          })
       case _ => new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes() = java.util.OptionalLong.empty()
         override def numRows() = java.util.OptionalLong.empty()

@@ -27,6 +27,15 @@ class MetadataTableSpec extends SparkSpec {
       assert(hist.map(_._1) == Seq(Some(0L), Some(1L), Some(2L)))
       assert(hist.forall(r => r._3 >= 1L && r._4 > 0L),
         "every snapshot reports files and bytes")
+      // the .snapshots METADATA table (r12): flat stores report
+      // version/commit/parent, null operation
+      val snapsMeta = spark.sql(
+        "SELECT version, parent, operation FROM lkmt.m.vt.snapshots")
+        .as[(Long, Option[Long], Option[String])].collect().toSeq
+      assert(snapsMeta.map(_._1) == Seq(0L, 1L, 2L))
+      assert(snapsMeta(1)._2.contains(0L) && snapsMeta(2)._2.contains(1L),
+        s"flat-store parents must surface: $snapsMeta")
+      assert(snapsMeta.forall(_._3.isEmpty))
       // commit stamps agree with the snapshots procedure
       val proc = spark.sql("CALL lkmt.system.snapshots('m.vt')")
         .select("version", "commit_ms").as[(Long, Long)].collect().toMap

@@ -173,6 +173,12 @@ class SnapshotCommitSpec extends SparkSpec {
         app.summary("total-data-files") == app.files.size.toLong)
       val del = Snapshots.latest(dir).get
       assert(del.summary("removed-data-files") >= 1L)
+      // the .snapshots METADATA table mirrors the audit surface
+      val meta = spark.sql(
+        s"SELECT operation, total_files FROM $cat.m.t.snapshots ORDER BY version")
+        .as[(String, Long)].collect().toSeq
+      assert(meta.head == (("create", 0L)) && meta.last._1 == "delete",
+        s"metadata table must mirror the manifest audit: $meta")
     }
   }
 
