@@ -2901,8 +2901,9 @@ object SparkEntry {
     "q_embed_norm_hist" ->
       """WITH n AS (SELECT label,
         |    CAST(floor(list_reduce(
-        |      list_transform(embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         |      (a, b) -> a + b) * 100) AS BIGINT) AS norm2_centi
         |  FROM embeddings)
         |SELECT label, norm2_centi, CAST(count(*) AS BIGINT) AS n_vectors

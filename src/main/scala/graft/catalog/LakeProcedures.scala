@@ -48,7 +48,8 @@ private[catalog] object LakeProcedures {
   def list(): Array[String] =
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
       "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback",
-      "tag", "drop_tag", "tags", "add_partition_field")
+      "tag", "drop_tag", "tags", "add_partition_field",
+      "drop_partition_field", "replace_partition_field", "migrate")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -56,27 +57,12 @@ private[catalog] object LakeProcedures {
       case "snapshots" =>
         // manifest logs expose the full audit surface (parent chain,
         // operation, file-count summary — the Iceberg .snapshots
-        // columns); flat v=<n> stores report version + commit time
+        // columns); flat v=<n> stores report version/commit/parent.
+        // Shares [[snapshotAuditRows]] with the `db.t.snapshots`
+        // metadata table so the two surfaces can never diverge.
         Some(proc(root, "snapshots", Seq("tbl" -> StringType),
-          new StructType().add("version", LongType).add("commit_ms", LongType)
-            .add("parent", LongType).add("operation", StringType)
-            .add("added_files", LongType).add("removed_files", LongType)
-            .add("total_files", LongType)) {
-          (dir, log, _) =>
-            log.versions.map { v =>
-              val s = if (Snapshots.isVersioned(dir)) Snapshots.read(dir, v)
-                      else None
-              InternalRow(v, log.commitMs(v).getOrElse(-1L),
-                log.parentOf(v).map(Long.box).orNull,
-                s.filter(_.operation.nonEmpty)
-                  .map(x => UTF8String.fromString(x.operation)).orNull,
-                s.flatMap(_.summary.get("added-data-files"))
-                  .map(Long.box).orNull,
-                s.flatMap(_.summary.get("removed-data-files"))
-                  .map(Long.box).orNull,
-                s.flatMap(_.summary.get("total-data-files"))
-                  .map(Long.box).orNull)
-            }
+          SnapshotAuditSchema) { (dir, log, _) =>
+          snapshotAuditRows(dir, log)
         })
       case "rollback" =>
         // Iceberg-style NON-destructive rollback: re-commit snapshot
@@ -158,53 +144,9 @@ private[catalog] object LakeProcedures {
               val tableDir = resolveTableDir(root, "add_partition_field",
                 input.getUTF8String(0).toString, requireVersioned = false)
               val colName = input.getUTF8String(1).toString
-              val spec = PartitionSpec.read(tableDir)
-              if (spec.isEmpty) throw new UnsupportedOperationException(
-                "add_partition_field: not a partitioned lake table")
-              if (!Snapshots.isVersioned(tableDir))
-                throw new UnsupportedOperationException(
-                  "add_partition_field: partition-spec evolution needs the " +
-                    "manifest snapshot log (CREATE ... TBLPROPERTIES " +
-                    "('versioned'='true')) — the plain layout cannot mix " +
-                    "directory shapes")
-              if (spec.exists(_.col.equalsIgnoreCase(colName)))
-                throw new IllegalArgumentException(
-                  s"add_partition_field: '$colName' is already in the " +
-                    "partition spec")
-              if (colName == "v" || colName.startsWith("_"))
-                throw new IllegalArgumentException(
-                  s"add_partition_field: '$colName' collides with the " +
-                    "snapshot/sidecar namespace")
-              // a rename-evolved column's DIRECTORY name would be the
-              // logical name while the index schema speaks the
-              // physical one — the scan could never resolve it
-              if (Evolutions.renames(tableDir).keys
-                  .exists(_.equalsIgnoreCase(colName)))
-                throw new UnsupportedOperationException(
-                  s"add_partition_field: '$colName' is rename-evolved " +
-                    "(its files carry a different physical name) — " +
-                    "partition directory names bind to physical columns; " +
-                    "compact/recreate before promoting it")
-              val schemaJson = tableDir.resolve("_graft_schema.json")
-              val schema = org.apache.spark.sql.types.DataType.fromJson(
-                Files.readString(schemaJson))
-                .asInstanceOf[StructType]
-              val field = schema.fields.find(_.name.equalsIgnoreCase(colName))
-                .getOrElse(throw new IllegalArgumentException(
-                  s"add_partition_field: no such column '$colName'"))
-              field.dataType match {
-                case org.apache.spark.sql.types.StringType |
-                     org.apache.spark.sql.types.ByteType |
-                     org.apache.spark.sql.types.ShortType |
-                     org.apache.spark.sql.types.IntegerType |
-                     org.apache.spark.sql.types.LongType |
-                     org.apache.spark.sql.types.DateType |
-                     org.apache.spark.sql.types.BooleanType => ()
-                case dt => throw new UnsupportedOperationException(
-                  s"add_partition_field: type ${dt.simpleString} does not " +
-                    "round-trip exactly through directory values " +
-                    "(string, integral, date, boolean only)")
-              }
+              val spec = requireSpecEvolvable("add_partition_field", tableDir)
+              val field = validateNewIdentityCol("add_partition_field",
+                tableDir, spec, colName)
               PartitionSpec.write(tableDir,
                 spec :+ PartitionSpec.Identity(field.name))
               SparkSession.active.catalog.clearCache()
@@ -231,25 +173,9 @@ private[catalog] object LakeProcedures {
           Seq("tbl" -> StringType, "col" -> StringType),
           new StructType().add("partition_spec", StringType)) { (dir, _, args) =>
           val colName = args.getUTF8String(1).toString
-          val spec = PartitionSpec.read(dir)
-          if (spec.isEmpty) throw new UnsupportedOperationException(
-            "drop_partition_field: not a partitioned lake table")
-          if (!Snapshots.isVersioned(dir))
-            throw new UnsupportedOperationException(
-              "drop_partition_field: partition-spec evolution needs the " +
-                "manifest snapshot log (CREATE ... TBLPROPERTIES " +
-                "('versioned'='true')) — the plain layout cannot mix " +
-                "directory shapes")
-          val field = spec.find(_.col.equalsIgnoreCase(colName)).getOrElse(
-            throw new IllegalArgumentException(
-              s"drop_partition_field: '$colName' is not in the partition " +
-                s"spec (${spec.map(_.col).mkString(",")})"))
-          if (field.isInstanceOf[PartitionSpec.Bucket])
-            throw new UnsupportedOperationException(
-              "drop_partition_field: the bucket distribution is " +
-                "load-bearing for the layout (bucketed joins, bucket " +
-                "pruning, storage-partitioned joins) — recreate the " +
-                "table to change it")
+          val spec = requireSpecEvolvable("drop_partition_field", dir)
+          val field = validateDroppableField("drop_partition_field",
+            spec, colName)
           val remaining = spec.filterNot(_ eq field)
           if (remaining.isEmpty) throw new UnsupportedOperationException(
             "drop_partition_field: dropping the last partition field " +
@@ -270,52 +196,11 @@ private[catalog] object LakeProcedures {
           new StructType().add("partition_spec", StringType)) { (dir, _, args) =>
           val oldCol = args.getUTF8String(1).toString
           val newCol = args.getUTF8String(2).toString
-          val spec = PartitionSpec.read(dir)
-          if (spec.isEmpty) throw new UnsupportedOperationException(
-            "replace_partition_field: not a partitioned lake table")
-          if (!Snapshots.isVersioned(dir))
-            throw new UnsupportedOperationException(
-              "replace_partition_field: partition-spec evolution needs " +
-                "the manifest snapshot log (CREATE ... TBLPROPERTIES " +
-                "('versioned'='true'))")
-          val field = spec.find(_.col.equalsIgnoreCase(oldCol)).getOrElse(
-            throw new IllegalArgumentException(
-              s"replace_partition_field: '$oldCol' is not in the " +
-                s"partition spec (${spec.map(_.col).mkString(",")})"))
-          if (field.isInstanceOf[PartitionSpec.Bucket])
-            throw new UnsupportedOperationException(
-              "replace_partition_field: the bucket distribution is " +
-                "load-bearing for the layout — recreate the table")
-          if (spec.exists(_.col.equalsIgnoreCase(newCol)))
-            throw new IllegalArgumentException(
-              s"replace_partition_field: '$newCol' is already in the " +
-                "partition spec")
-          if (newCol == "v" || newCol.startsWith("_"))
-            throw new IllegalArgumentException(
-              s"replace_partition_field: '$newCol' collides with the " +
-                "snapshot/sidecar namespace")
-          if (Evolutions.renames(dir).keys.exists(_.equalsIgnoreCase(newCol)))
-            throw new UnsupportedOperationException(
-              s"replace_partition_field: '$newCol' is rename-evolved — " +
-                "partition directory names bind to physical columns")
-          val schema = org.apache.spark.sql.types.DataType.fromJson(
-            Files.readString(dir.resolve("_graft_schema.json")))
-            .asInstanceOf[StructType]
-          val nf = schema.fields.find(_.name.equalsIgnoreCase(newCol))
-            .getOrElse(throw new IllegalArgumentException(
-              s"replace_partition_field: no such column '$newCol'"))
-          nf.dataType match {
-            case org.apache.spark.sql.types.StringType |
-                 org.apache.spark.sql.types.ByteType |
-                 org.apache.spark.sql.types.ShortType |
-                 org.apache.spark.sql.types.IntegerType |
-                 LongType |
-                 org.apache.spark.sql.types.DateType |
-                 org.apache.spark.sql.types.BooleanType => ()
-            case dt => throw new UnsupportedOperationException(
-              s"replace_partition_field: type ${dt.simpleString} does " +
-                "not round-trip exactly through directory values")
-          }
+          val spec = requireSpecEvolvable("replace_partition_field", dir)
+          val field = validateDroppableField("replace_partition_field",
+            spec, oldCol)
+          val nf = validateNewIdentityCol("replace_partition_field",
+            dir, spec, newCol)
           val next = spec.filterNot(_ eq field) :+
             PartitionSpec.Identity(nf.name)
           PartitionSpec.write(dir, next)
@@ -1023,6 +908,111 @@ private[catalog] object LakeProcedures {
       }
     }
   }
+
+  /** Shared guard of the partition-spec-evolution procedures
+    * (add/drop/replace): a partitioned MANIFEST table; returns the
+    * current spec. */
+  private def requireSpecEvolvable(procName: String,
+                                   dir: Path): Seq[PartitionSpec.Field] = {
+    val spec = PartitionSpec.read(dir)
+    if (spec.isEmpty) throw new UnsupportedOperationException(
+      s"$procName: not a partitioned lake table")
+    if (!Snapshots.isVersioned(dir))
+      throw new UnsupportedOperationException(
+        s"$procName: partition-spec evolution needs the manifest " +
+          "snapshot log (CREATE ... TBLPROPERTIES " +
+          "('versioned'='true')) — the plain layout cannot mix " +
+          "directory shapes")
+    spec
+  }
+
+  /** Shared validation of a NEW identity partition column: not
+    * already in the spec, outside the snapshot/sidecar namespace, not
+    * rename-evolved, declared, directory-round-trippable type.
+    * Returns the schema field (exact-case name). */
+  private def validateNewIdentityCol(
+      procName: String, dir: Path, spec: Seq[PartitionSpec.Field],
+      colName: String): org.apache.spark.sql.types.StructField = {
+    if (spec.exists(_.col.equalsIgnoreCase(colName)))
+      throw new IllegalArgumentException(
+        s"$procName: '$colName' is already in the partition spec")
+    if (colName == "v" || colName.startsWith("_"))
+      throw new IllegalArgumentException(
+        s"$procName: '$colName' collides with the snapshot/sidecar " +
+          "namespace")
+    // a rename-evolved column's DIRECTORY name would be the logical
+    // name while the index schema speaks the physical one — the scan
+    // could never resolve it
+    if (Evolutions.renames(dir).keys.exists(_.equalsIgnoreCase(colName)))
+      throw new UnsupportedOperationException(
+        s"$procName: '$colName' is rename-evolved (its files carry a " +
+          "different physical name) — partition directory names bind " +
+          "to physical columns; compact/recreate before promoting it")
+    val schema = DataType.fromJson(
+      Files.readString(dir.resolve("_graft_schema.json")))
+      .asInstanceOf[StructType]
+    val field = schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$procName: no such column '$colName'"))
+    field.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType => ()
+      case dt => throw new UnsupportedOperationException(
+        s"$procName: type ${dt.simpleString} does not round-trip " +
+          "exactly through directory values (string, integral, date, " +
+          "boolean only)")
+    }
+    field
+  }
+
+  /** Shared validation of an EXISTING spec field being dropped or
+    * replaced: present, and not the load-bearing bucket. */
+  private def validateDroppableField(
+      procName: String, spec: Seq[PartitionSpec.Field],
+      colName: String): PartitionSpec.Field = {
+    val field = spec.find(_.col.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$procName: '$colName' is not in the partition spec " +
+          s"(${spec.map(_.col).mkString(",")})"))
+    if (field.isInstanceOf[PartitionSpec.Bucket])
+      throw new UnsupportedOperationException(
+        s"$procName: the bucket distribution is load-bearing for the " +
+          "layout (bucketed joins, bucket pruning, storage-partitioned " +
+          "joins) — recreate the table to change it")
+    field
+  }
+
+  /** The snapshot-audit report surface — ONE schema + row builder for
+    * both `CALL system.snapshots` and the `db.t.snapshots` metadata
+    * table ([[MetadataTables]]). */
+  private[catalog] val SnapshotAuditSchema: StructType = new StructType()
+    .add("version", LongType).add("commit_ms", LongType)
+    .add("parent", LongType).add("operation", StringType)
+    .add("added_files", LongType).add("removed_files", LongType)
+    .add("total_files", LongType)
+
+  private[catalog] def snapshotAuditRows(dir: Path,
+                                         log: VersionLog): Seq[InternalRow] =
+    log.versions.map { v =>
+      val s = if (Snapshots.isVersioned(dir)) Snapshots.read(dir, v) else None
+      InternalRow(v, log.commitMs(v).getOrElse(-1L),
+        log.parentOf(v).map(Long.box).orNull,
+        s.filter(_.operation.nonEmpty)
+          .map(x => UTF8String.fromString(x.operation)).orNull,
+        s.flatMap(_.summary.get("added-data-files")).map(Long.box).orNull,
+        s.flatMap(_.summary.get("removed-data-files")).map(Long.box).orNull,
+        s.flatMap(_.summary.get("total-data-files")).map(Long.box).orNull)
+    }
+
+  /** [[snapshotAuditRows]] resolving the log itself (empty for plain
+    * tables) — the metadata-table entry point. */
+  private[catalog] def snapshotAuditRowsOf(dir: Path): Seq[InternalRow] =
+    versionLogOf(dir).map(snapshotAuditRows(dir, _)).getOrElse(Seq.empty)
 
   /** The version log of a table dir: manifest for snapshot-versioned
     * partitioned tables, store for flat `v=<n>` ones; None = plain. */

@@ -55,44 +55,15 @@ private[catalog] object MetadataTables {
           "(history, files, partitions, tags, snapshots)")
     }
 
-  /** One row per retained snapshot with the r12 AUDIT surface:
-    * `version, commit_ms, parent, operation, added_files,
-    * removed_files, total_files` (Iceberg's `db.t.snapshots`
-    * operation/summary columns). Manifest logs report everything;
-    * flat `v=<n>` stores report version/commit/parent (their commits
-    * record no operation). */
-  private def snapshotsTable(cat: String, tableDir: Path): Table = {
-    val schema = new StructType()
-      .add("version", LongType, nullable = false)
-      .add("commit_ms", LongType, nullable = true)
-      .add("parent", LongType, nullable = true)
-      .add("operation", StringType, nullable = true)
-      .add("added_files", LongType, nullable = true)
-      .add("removed_files", LongType, nullable = true)
-      .add("total_files", LongType, nullable = true)
-    local(s"$cat.${tableDir.getFileName}.snapshots", schema, { () =>
-      if (Snapshots.isVersioned(tableDir))
-        Snapshots.versions(tableDir)
-          .flatMap(Snapshots.read(tableDir, _)).map { s =>
-            InternalRow(s.version, s.commitMs,
-              s.parent.map(Long.box).orNull,
-              if (s.operation.isEmpty) null
-              else UTF8String.fromString(s.operation),
-              s.summary.get("added-data-files").map(Long.box).orNull,
-              s.summary.get("removed-data-files").map(Long.box).orNull,
-              s.summary.get("total-data-files").map(Long.box).orNull)
-          }.toArray
-      else {
-        val store = new graft.streaming.StateStore(
-          org.apache.spark.sql.SparkSession.active, tableDir.toString)
-        store.versions.map { v =>
-          InternalRow(v, store.commitTimeMs(v).getOrElse(-1L),
-            store.parentOf(v).map(Long.box).orNull,
-            null, null, null, null)
-        }.toArray
-      }
-    })
-  }
+  /** One row per retained snapshot with the r12 AUDIT surface
+    * (Iceberg's `db.t.snapshots` operation/summary columns) — the
+    * SAME schema + row builder as `CALL system.snapshots`
+    * ([[LakeProcedures.snapshotAuditRows]]), so the two surfaces can
+    * never diverge. */
+  private def snapshotsTable(cat: String, tableDir: Path): Table =
+    local(s"$cat.${tableDir.getFileName}.snapshots",
+      LakeProcedures.SnapshotAuditSchema,
+      () => LakeProcedures.snapshotAuditRowsOf(tableDir).toArray)
 
   private def dataFilesOf(dir: Path): Seq[Path] =
     DeletableTable.listDataFiles(dir)

@@ -353,6 +353,11 @@ private[catalog] final class PartitionedLakeTable(
               indexSchema, required, filters, snapshotFiles, logSchema)
           case _ => ()
         }
+        // the file set the built scan actually covers (post partition
+        // pruning + file skipping) — the statistics below must
+        // describe THIS set, not the whole snapshot, or numRows and
+        // sizeInBytes disagree by the pruning factor
+        var coveredFiles: Option[Seq[Path]] = None
         val base = snapshot match {
           case Some(s) =>
             // SNAPSHOT scan: the manifest's file list is the truth —
@@ -369,6 +374,7 @@ private[catalog] final class PartitionedLakeTable(
               .map(Paths.get(_))
             val skipped = FileSkipping.filterFiles(tableDir, paths,
               filters, identity, manifestStats).getOrElse(paths)
+            coveredFiles = Some(skipped)
             // partition-spec evolution: files of different directory
             // shapes cannot share one parquet scan — per-shape scans
             // union (old-shape files read the new partition column
@@ -428,7 +434,8 @@ private[catalog] final class PartitionedLakeTable(
             }
         }
         new RuntimePrunedScan(tableName, tableDir, spec, indexSchema,
-          required, filters, base, snapshotFiles, logSchema, manifestStats)
+          required, filters, base, snapshotFiles, logSchema, manifestStats,
+          coveredFiles)
       }
     }
   }
@@ -721,7 +728,8 @@ private[catalog] final class RuntimePrunedScan(
     initial: org.apache.spark.sql.connector.read.Scan,
     snapshotFiles: Option[Seq[String]] = None,
     toLogical: StructType => StructType = identity,
-    snapshotStats: Option[Map[String, FileStats.FileStat]] = None)
+    snapshotStats: Option[Map[String, FileStats.FileStat]] = None,
+    initialFiles: Option[Seq[Path]] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -729,6 +737,8 @@ private[catalog] final class RuntimePrunedScan(
 
   @volatile private var current: org.apache.spark.sql.connector.read.Scan =
     initial
+  // the file set `current` covers — statistics follow every re-plan
+  @volatile private var statFiles: Option[Seq[Path]] = initialFiles
 
   override def readSchema(): StructType = toLogical(current.readSchema())
   override def description(): String = current.description()
@@ -746,15 +756,17 @@ private[catalog] final class RuntimePrunedScan(
         // manifest stats carry EXACT per-file row counts: surface
         // numRows (the inner parquet scan only sizes bytes) so the
         // optimizer's broadcast/join decisions see the true
-        // cardinality of THIS snapshot, filters notwithstanding
-        // (row count is an upper bound once filters push — still the
+        // cardinality — summed over the files THIS scan covers
+        // (post partition-pruning/skipping, tracked across DPP
+        // re-plans), so numRows and sizeInBytes describe the same
+        // set; still an upper bound once row filters push (the
         // standard V2 statistics contract)
         val exactRows = for {
-          files <- snapshotFiles
+          files <- statFiles
           stats <- snapshotStats if stats.nonEmpty
           rows <- {
             val per = files.map(f =>
-              stats.get(Snapshots.basename(f)).flatMap(_.rows))
+              stats.get(f.getFileName.toString).flatMap(_.rows))
             if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
           }
         } yield rows
@@ -799,6 +811,7 @@ private[catalog] final class RuntimePrunedScan(
         // same one-scan-per-shape rule as the static plan
         val shapes = skipped.groupBy(p =>
           Snapshots.shapeOf(p.toString)).toSeq.sortBy(_._1.mkString("/"))
+        statFiles = Some(skipped)
         current =
           if (shapes.size > 1)
             new ShapeUnionScan(tableName, shapes.map { case (shape, fs) =>

@@ -86,27 +86,31 @@ class SnapshotCommitSpec extends SparkSpec {
       // publish, optimistic manifest commit); the OCC loop must merge
       // them all without losing a commit. Failures surface via the
       // collected throwables.
-      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val ops: Seq[() => Unit] = Seq(
-        () => Seq((10L, "EU")).toDF("n", "region")
-          .write.mode("append").insertInto(s"$cat.m.t"),
-        () => Seq((11L, "US")).toDF("n", "region")
-          .write.mode("append").insertInto(s"$cat.m.t"),
-        () => Seq((12L, "APAC")).toDF("n", "region")
-          .write.mode("append").insertInto(s"$cat.m.t"),
-        () => { spark.sql(s"DELETE FROM $cat.m.t WHERE n = 3"); () })
-      val threads = ops.map(op => new Thread(() =>
-        try op() catch { case t: Throwable => errors.add(t); () }))
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
+      val ops: Seq[(String, () => Unit)] = Seq(
+        "append-EU" -> (() => Seq((10L, "EU")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t")),
+        "append-US" -> (() => Seq((11L, "US")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t")),
+        "append-APAC" -> (() => Seq((12L, "APAC")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t")),
+        "delete" -> (() => { spark.sql(s"DELETE FROM $cat.m.t WHERE n = 3"); () }))
+      val threads = ops.map { case (name, op) => new Thread(() =>
+        try op() catch { case t: Throwable => errors.add(name -> t); () }) }
       threads.foreach(_.start()); threads.foreach(_.join())
-      // a loser that exhausted retries surfaces as CommitConflict —
-      // acceptable only for the DELETE (its read set can change);
-      // appends must always merge
-      errors.forEach(t => assert(
-        t.getMessage != null && t.getMessage.contains("re-run"),
-        s"unexpected concurrent-DML failure: $t"))
+      // ONLY the DELETE may conflict (its read set can change under a
+      // race); an append has no read set and must ALWAYS merge —
+      // attribution matters, or a lost append masquerades as an
+      // acceptable delete-conflict
+      errors.forEach { case (name, t) =>
+        assert(name == "delete" &&
+          t.getMessage != null && t.getMessage.contains("re-run"),
+          s"unexpected concurrent-DML failure from $name: $t")
+      }
       val got = spark.table(s"$cat.m.t").select("n").as[Long]
         .collect().sorted.toSeq
-      val deleted = errors.isEmpty // DELETE landed iff no conflict
+      val deleted = errors.isEmpty // the delete landed iff no conflict
       val expect = (Seq(1L, 2L, 4L, 10L, 11L, 12L) ++
         (if (deleted) Seq.empty else Seq(3L))).sorted
       assert(got == expect, s"final rows wrong: got $got, expect $expect")
