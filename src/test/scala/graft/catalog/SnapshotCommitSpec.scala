@@ -239,6 +239,34 @@ class SnapshotCommitSpec extends SparkSpec {
     }
   }
 
+  test("manifest stats feed the optimizer: exact rowCount for the covered files, reduced under partition pruning") {
+    withLake("sc6") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (k BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      (1L to 20L).map(k => (k, "EU")).toDF("k", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      (21L to 25L).map(k => (k, "US")).toDF("k", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.sql(s"CALL $cat.system.analyze('m.t', 'k')")
+      def rowCount(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.computeStats().rowCount
+        }.flatten
+      // whole-table scan: the TRUE cardinality, not a bytes estimate
+      assert(rowCount(spark.table(s"$cat.m.t")).contains(BigInt(25)),
+        s"expected exact rowCount 25, got ${rowCount(spark.table(s"$cat.m.t"))}")
+      // partition-pruned scan: the stats must describe the COVERED
+      // files (a whole-snapshot count paired with pruned bytes feeds
+      // the optimizer absurd per-row sizes)
+      val pruned = spark.table(s"$cat.m.t").where("region = 'US'")
+      assert(rowCount(pruned).contains(BigInt(5)),
+        s"pruned scan must report the covered partition's rows, got ${rowCount(pruned)}")
+    }
+  }
+
   test("CALL migrate upgrades a plain partitioned table in place: files untouched, history starts at the migration snapshot") {
     withLake("sc3") { (cat, lake) =>
       spark.sql(
