@@ -1014,6 +1014,13 @@ object SparkEntry {
       graft.operators.Bucketing2.specCoarsenCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_dpflake")),
+    // Curation WITH an audit trail (r12): MERGE-delete exact dups on a
+    // versioned lake table, census VERSION AS OF 1 vs current — the
+    // LLM-pipeline × lake-layer composition.
+    "q_curation_audit" -> ((s, dir) =>
+      graft.operators.Bucketing2.curationAuditCensus(
+        t(s, dir, "documents"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_curlake")),
 
     // ABC inventory classification from the exact cumulative revenue
     // share (integer ppm on DECIMAL(38,0)).
@@ -5270,6 +5277,21 @@ object SparkEntry {
         |    ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
         |    AS cents_cur
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Curation audit across the snapshot boundary: v1 = everything,
+    // current = the min-doc_id-per-digest survivors.
+    "q_curation_audit" ->
+      """WITH k AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS nc,
+        |    md5(substr(text, 1, 200)) AS h FROM documents),
+        |s AS (SELECT h, min(doc_id) AS keep FROM k GROUP BY 1)
+        |SELECT k.source,
+        |  CAST(count(*) AS BIGINT) AS n_v1,
+        |  CAST(sum(CASE WHEN k.doc_id = s.keep THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cur,
+        |  CAST(sum(nc) AS BIGINT) AS chars_v1,
+        |  CAST(sum(CASE WHEN k.doc_id = s.keep THEN nc ELSE 0 END)
+        |    AS BIGINT) AS chars_cur
+        |FROM k JOIN s ON k.h = s.h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mixed-shape census after spec coarsening: layout is a plan
     // property — the oracle is the same census over raw parquet.

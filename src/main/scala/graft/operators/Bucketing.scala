@@ -488,6 +488,60 @@ object Bucketing2 {
         sum(col("cents")).cast("bigint").as("cents"))
       .orderBy("o_orderpriority", "o_orderstatus")
   }
+
+  /** Corpus curation WITH an audit trail — the LLM-pipeline ×
+    * lake-layer composition: land documents in a versioned table,
+    * MERGE-delete the PREFIX duplicates (same 200-char head — the
+    * boilerplate/mirror-page screen; keep the min doc_id per digest;
+    * the scale idiom is an equi-join MERGE on the key, never a
+    * driver-side key list), and census `VERSION AS OF` the
+    * pre-curation snapshot against the current one per source — the
+    * "what did dedup remove, and can we reproduce the input?" audit a
+    * training-data pipeline owes its consumers. Oracle reconstructs
+    * both sides from the raw parquet (md5/substring agree across
+    * engines). */
+  def curationAuditCensus(documents: DataFrame, workDir: String): DataFrame = {
+    val spark = documents.sparkSession
+    val cat = "glakecur"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.docs_cur (
+         |  doc_id BIGINT, lang STRING, n_chars BIGINT, text_md5 STRING,
+         |  source STRING)
+         |PARTITIONED BY (source)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    val typed = documents.select(col("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("n_chars"),
+      md5(substring(col("text"), 1, 200)).as("text_md5"), col("source"))
+    typed.write.mode("append").insertInto(s"$cat.m.docs_cur")   // s-1
+    // exact-dup losers: every doc that is NOT its digest group's min
+    // (computed from the input frame — one groupBy + equi-join)
+    typed.join(
+        typed.groupBy("text_md5").agg(min("doc_id").as("keep")),
+        "text_md5")
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+      .createOrReplaceTempView("curation_losers")
+    spark.sql(
+      s"""MERGE INTO $cat.m.docs_cur t USING curation_losers l
+         |ON t.doc_id = l.doc_id
+         |WHEN MATCHED THEN DELETE""".stripMargin)                // s-2
+    val v1 = spark.sql(
+      s"""SELECT source, count(*) AS n_v1, sum(n_chars) AS chars_v1
+         |FROM $cat.m.docs_cur VERSION AS OF 1 GROUP BY 1""".stripMargin)
+    val cur = spark.sql(
+      s"""SELECT source, count(*) AS n_cur, sum(n_chars) AS chars_cur
+         |FROM $cat.m.docs_cur GROUP BY 1""".stripMargin)
+    v1.join(cur, Seq("source"), "left")
+      .select(col("source"),
+        col("n_v1").cast("bigint").as("n_v1"),
+        coalesce(col("n_cur"), lit(0L)).cast("bigint").as("n_cur"),
+        col("chars_v1").cast("bigint").as("chars_v1"),
+        coalesce(col("chars_cur"), lit(0L)).cast("bigint").as("chars_cur"))
+      .orderBy("source")
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entries: the
