@@ -53,6 +53,50 @@ class RuntimeFilteringSpec extends SparkSpec {
     }
   }
 
+  test("filter() on a SPEC-EVOLVED snapshot re-plans per shape: pruning works, no conflicting-partition error (r12)") {
+    val lake = Files.createTempDirectory("graft-lake-rf3")
+    Files.createDirectories(lake.resolve("m"))
+    spark.conf.set("spark.sql.catalog.lkrf3", classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lkrf3.path", lake.toString)
+    try {
+      spark.sql(
+        """CREATE TABLE lkrf3.m.f (k BIGINT, day STRING, region STRING)
+          |PARTITIONED BY (region)
+          |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq((1L, "d1", "EU"), (2L, "d1", "US"), (3L, "d2", "APAC"))
+        .toDF("k", "day", "region").write.mode("append").insertInto("lkrf3.m.f")
+      spark.sql("CALL lkrf3.system.add_partition_field('m.f', 'day')")
+      Seq((4L, "d1", "EU"), (5L, "d2", "US")).toDF("k", "day", "region")
+        .write.mode("append").insertInto("lkrf3.m.f")
+      val cat = spark.sessionState.catalogManager.catalog("lkrf3")
+        .asInstanceOf[GraftLakeCatalog]
+      val tbl = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("m"), "f"))
+      val scan = tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of())).build()
+      // the mixed-shape scan must still expose the DPP hook (pre-r12
+      // it returned the bare ShapeUnionScan and lost it)
+      val rf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+      assert(rf.filterAttributes().map(_.describe()).toSet ==
+        Set("region", "day"))
+      val before = scan.toBatch.planInputPartitions().length
+      assert(before >= 4, s"expected >=4 input partitions, got $before")
+      rf.filter(Array(new Predicate("IN", Array(
+        Expressions.column("region"),
+        Expressions.literal(UTF8String.fromString("EU"))))))
+      // the re-plan groups by shape — planning must neither throw
+      // CONFLICTING_PARTITION_COLUMN_NAMES nor lose rows
+      val after = scan.toBatch.planInputPartitions().length
+      assert(after < before, s"runtime filter must prune: $before -> $after")
+      assert(spark.table("lkrf3.m.f").where("region = 'EU'")
+        .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lkrf3")
+      spark.conf.unset("spark.sql.catalog.lkrf3.path")
+    }
+  }
+
   test("star join: DPP plants a runtime filter on the fact scan; results exact") {
     val lake = Files.createTempDirectory("graft-lake-rf2")
     Files.createDirectories(lake.resolve("m"))
