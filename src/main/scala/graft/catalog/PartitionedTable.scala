@@ -749,37 +749,39 @@ private[catalog] final class RuntimePrunedScan(
   override def createReaderFactory():
       org.apache.spark.sql.connector.read.PartitionReaderFactory =
     current.toBatch.createReaderFactory()
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    current match {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val inner = current match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        val inner = s.estimateStatistics()
-        // manifest stats carry EXACT per-file row counts: surface
-        // numRows (the inner parquet scan only sizes bytes) so the
-        // optimizer's broadcast/join decisions see the true
-        // cardinality — summed over the files THIS scan covers
-        // (post partition-pruning/skipping, tracked across DPP
-        // re-plans), so numRows and sizeInBytes describe the same
-        // set; still an upper bound once row filters push (the
-        // standard V2 statistics contract)
-        val exactRows = for {
-          files <- statFiles
-          stats <- snapshotStats if stats.nonEmpty
-          rows <- {
-            val per = files.map(f =>
-              stats.get(f.getFileName.toString).flatMap(_.rows))
-            if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-          }
-        } yield rows
-        exactRows.fold(inner)(n =>
-          new org.apache.spark.sql.connector.read.Statistics {
-            override def sizeInBytes() = inner.sizeInBytes()
-            override def numRows() = java.util.OptionalLong.of(n)
-          })
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes() = java.util.OptionalLong.empty()
-        override def numRows() = java.util.OptionalLong.empty()
-      }
+        Some(s.estimateStatistics())
+      case _ => None
     }
+    // manifest stats carry EXACT per-file row counts: surface numRows
+    // (the inner parquet scan only sizes bytes) so the optimizer's
+    // broadcast/join decisions see the true cardinality — summed over
+    // the files THIS scan covers (post partition-pruning/skipping,
+    // tracked across DPP re-plans), so numRows and sizeInBytes
+    // describe the same set; still an upper bound once row filters
+    // push (the standard V2 statistics contract). Computed from
+    // statFiles/snapshotStats INDEPENDENTLY of the inner scan's
+    // statistics support — spec-evolved (shape-union) snapshot scans
+    // report the true cardinality too, not just single-shape ones.
+    val exactRows = for {
+      files <- statFiles
+      stats <- snapshotStats if stats.nonEmpty
+      rows <- {
+        val per = files.map(f =>
+          stats.get(f.getFileName.toString).flatMap(_.rows))
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
+    } yield rows
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() =
+        inner.fold(java.util.OptionalLong.empty())(_.sizeInBytes())
+      override def numRows() = exactRows.fold(
+        inner.fold(java.util.OptionalLong.empty())(_.numRows()))(
+        java.util.OptionalLong.of)
+    }
+  }
 
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -1000,12 +1002,34 @@ private[catalog] final class ShapeUnionScan(
     groups: Seq[org.apache.spark.sql.connector.read.Scan],
     toLogical: StructType => StructType)
     extends org.apache.spark.sql.connector.read.Scan
-    with org.apache.spark.sql.connector.read.Batch {
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
   require(groups.nonEmpty)
   private val target: StructType = groups.head.readSchema()
+
+  /** Sum of the per-shape scans' statistics: sizeInBytes when every
+    * group reports one (each group is an ordinary parquet scan, which
+    * does), numRows only when all do — a spec-evolved snapshot scan
+    * then reports real statistics instead of none. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val per = groups.map {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        Some(s.estimateStatistics())
+      case _ => None
+    }
+    def sum(f: org.apache.spark.sql.connector.read.Statistics =>
+        java.util.OptionalLong): java.util.OptionalLong =
+      if (per.forall(_.exists(st => f(st).isPresent)))
+        java.util.OptionalLong.of(per.flatten.map(st => f(st).getAsLong).sum)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = sum(_.sizeInBytes())
+      override def numRows() = sum(_.numRows())
+    }
+  }
 
   override def readSchema(): StructType = toLogical(target)
   override def description(): String =

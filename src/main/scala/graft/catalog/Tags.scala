@@ -86,15 +86,25 @@ private[catalog] object Tags {
     * land there). */
   def drop(tableDir: Path, name: String): Option[Long] = {
     val f = tableDir.resolve(DirName).resolve(enc(name) + ".json")
-    if (Files.exists(f)) {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val v = Option(om.readTree(Files.readString(f)).get("version"))
-        .map(_.asLong())
-      Files.deleteIfExists(f)
-      v
-    } else {
-      val cur = legacy(tableDir)
-      cur.get(name).map { v => writeLegacy(tableDir, cur - name); v }
+    // exists→read is a TOCTOU window under concurrent drops of the
+    // same tag: a loser's read lands on the winner's deletion — treat
+    // NoSuchFile as absent, and let deleteIfExists's boolean decide
+    // which racer reports the dropped version (exactly one does)
+    val perTagV =
+      try {
+        if (!Files.exists(f)) None
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          Option(om.readTree(Files.readString(f)).get("version"))
+            .map(_.asLong())
+        }
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    perTagV match {
+      case Some(v) if Files.deleteIfExists(f) => Some(v)
+      case Some(_) => None // concurrent drop won between read and delete
+      case None =>
+        val cur = legacy(tableDir)
+        cur.get(name).map { v => writeLegacy(tableDir, cur - name); v }
     }
   }
 

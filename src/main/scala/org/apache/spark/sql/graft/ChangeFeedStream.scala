@@ -56,7 +56,7 @@ final class ChangeFeedSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new ChangeFeedSource(sqlContext, parameters)
+    new ChangeFeedSource(sqlContext, parameters, Some(metadataPath))
 }
 
 private[graft] object ChangeFeedSource {
@@ -101,7 +101,8 @@ private[graft] object ChangeFeedSource {
 
 private[graft] final class ChangeFeedSource(
     sqlContext: SQLContext,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String],
+    metadataPath: Option[String] = None) extends Source {
 
   private val store = ChangeFeedSource.storeFor(sqlContext, parameters)
   private val keys = ChangeFeedSource.keysOf(parameters)
@@ -128,21 +129,61 @@ private[graft] final class ChangeFeedSource(
       n
     }
 
-  // highest version offered to (or delivered by) the engine — getBatch
-  // seeds it on checkpoint restart, getOffset advances it
-  @volatile private var paceFloor: Option[Long] = None
+  /** Durable pacing floor (`_graft_pace_floor` under the source's
+    * checkpoint metadata dir): the highest offset this source ever
+    * OFFERED. A paced source must never offer an offset below the
+    * engine's committed one — on a CLEAN restart Spark replays no
+    * batch before calling getOffset, so an in-memory-only floor
+    * resets to earliest-1, the engine treats the low offer as new
+    * data, and subsequent paced batches re-deliver versions already
+    * emitted before the restart. Persisting the floor per offer
+    * (one tiny atomic file write per trigger) makes the first
+    * post-restart offer resume from the checkpoint: offered >=
+    * logged >= committed always holds, and a crash between the
+    * floor write and Spark's own offset log only widens one
+    * catch-up batch (content stays exactly-once because batches
+    * always span (committed, offered]). Checkpoints from builds
+    * before this floor existed should restart fresh. */
+  private val floorFile: Option[java.nio.file.Path] =
+    metadataPath.filter(_ => maxVersionsPerTrigger.isDefined).map { mp =>
+      val p = if (mp.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(mp))
+      else java.nio.file.Paths.get(mp)
+      java.nio.file.Files.createDirectories(p)
+      p.resolve("_graft_pace_floor")
+    }
+
+  private def readFloor(): Option[Long] = floorFile.flatMap { f =>
+    if (!java.nio.file.Files.exists(f)) None
+    else java.nio.file.Files.readString(f).trim.toLongOption
+  }
+
+  private def writeFloor(v: Long): Unit = floorFile.foreach { f =>
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  // highest version offered to (or delivered by) the engine — seeded
+  // from the durable floor on restart, re-seeded from the start/end
+  // offsets in getBatch (uncommitted-batch replay), advanced and
+  // persisted by getOffset
+  @volatile private var paceFloor: Option[Long] = readFloor()
 
   override def getOffset: Option[Offset] =
     store.latestVersion.map { latest =>
       maxVersionsPerTrigger match {
         case Some(m) =>
-          // first trigger starts just below the earliest retained
-          // version, so the initial load itself is paced too
+          // first trigger of a FRESH stream starts just below the
+          // earliest retained version, so the initial load is paced
           val from = paceFloor
             .orElse(store.versions.headOption.map(_ - 1L))
             .getOrElse(latest)
           val end = math.min(latest, from + m)
-          paceFloor = Some(end)
+          if (!paceFloor.contains(end)) { paceFloor = Some(end); writeFloor(end) }
           LongOffset(end)
         case None => LongOffset(latest)
       }
@@ -201,10 +242,13 @@ private[graft] final class ChangeFeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(versionOf)
     val endV = versionOf(end)
-    // checkpoint-restart recovery replays the last committed batch
-    // before any getOffset call: seed the pacing floor so the next
-    // offered offset continues from the checkpoint, not from scratch
-    if (paceFloor.forall(_ < endV)) paceFloor = Some(endV)
+    // uncommitted-batch replay calls getBatch before any getOffset:
+    // seed the pacing floor from BOTH offsets (start included — a
+    // batch's end can sit below its start when a pre-floor
+    // checkpoint's first post-restart offer undershot the committed
+    // offset) so the next offer continues from the checkpoint
+    val floorSeed = math.max(startV.getOrElse(endV), endV)
+    if (paceFloor.forall(_ < floorSeed)) paceFloor = Some(floorSeed)
     val retained = store.versions
     // Replay determinism is bounded by snapshot retention (the
     // Iceberg/Delta convention): versionFeed derives each version's

@@ -115,4 +115,57 @@ class ChangeFeedPacingSpec extends SparkSpec {
     assert(pacedBatches > unpacedBatches,
       s"paced run must slice finer than unpaced ($pacedBatches vs $unpacedBatches)")
   }
+
+  test("a paced stream restarted from a cleanly committed checkpoint never re-delivers versions") {
+    // the r12 advisory bug: on a CLEAN restart Spark replays no batch
+    // before getOffset, so an in-memory pacing floor reset to
+    // earliest-1, the source offered an offset BELOW the committed
+    // one, and subsequent paced batches re-delivered already-emitted
+    // versions. The floor now persists under the source's checkpoint
+    // metadata dir, so the first post-restart offer resumes from it.
+    val dir = Files.createTempDirectory("graft-pace-restart").toString
+    val store = new StateStore(spark, dir)
+    (0L to 4L).foreach(v =>
+      store.write(Seq((1L, s"a$v"), (2L, "b")).toDF("k", "v"), v))
+
+    val out = Files.createTempDirectory("cfp-restart-out").toString
+    val ck = Files.createTempDirectory("cfp-restart-ck").toString
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("org.apache.spark.sql.graft.ChangeFeedSourceProvider")
+        .option("path", dir).option("keys", "k")
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .select(col("op"), col("version"),
+          to_json(col("before")).as("b"), to_json(col("after")).as("a"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val firstRows = spark.read.parquet(out)
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(firstRows.map(_._2).distinct.sorted == (0L to 4L),
+      s"first run must cover every version once, got $firstRows")
+
+    // restart with NO new versions: zero new rows
+    run()
+    val afterIdle = spark.read.parquet(out)
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(afterIdle.size == firstRows.size,
+      s"clean idle restart re-delivered ${afterIdle.size - firstRows.size} rows")
+
+    // commit more versions, restart: exactly the NEW versions arrive,
+    // each exactly once
+    (5L to 8L).foreach(v =>
+      store.write(Seq((1L, s"a$v"), (2L, "b")).toDF("k", "v"), v))
+    run()
+    val finalRows = spark.read.parquet(out)
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(finalRows.map(_._2).distinct.sorted == (0L to 8L),
+      "restart must deliver the new versions")
+    val dupes = finalRows.groupBy(identity).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"restart re-delivered feed rows: ${dupes.keys}")
+  }
 }
