@@ -1021,6 +1021,22 @@ object SparkEntry {
       graft.operators.Bucketing2.curationAuditCensus(
         t(s, dir, "documents"),
         s"${System.getProperty("java.io.tmpdir")}/graft_curlake")),
+    // Write-audit-publish end-to-end (r13): stage a curation DELETE on
+    // a writable BRANCH, audit it by name while main provably never
+    // sees it, fast_forward publishes atomically (BranchWapSpec pins
+    // the ref mechanics).
+    "q_wap_publish" -> ((s, dir) =>
+      graft.operators.Bucketing2.wapPublishCensus(
+        t(s, dir, "documents"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_waplake")),
+    // Batch change feed over a version range (r13, Delta's
+    // table_changes): insert → partition DELETE → row UPDATE, then
+    // census tableChanges(0, 3) per (op, version) — the feed's
+    // CONTENT is oracled, not just its counts.
+    "q_table_changes" -> ((s, dir) =>
+      graft.operators.Bucketing2.tableChangesCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_tclake")),
 
     // ABC inventory classification from the exact cumulative revenue
     // share (integer ppm on DECIMAL(38,0)).
@@ -5292,6 +5308,47 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN k.doc_id = s.keep THEN nc ELSE 0 END)
         |    AS BIGINT) AS chars_cur
         |FROM k JOIN s ON k.h = s.h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // WAP: staging isolation and the published content, reconstructed
+    // from raw parquet — main-during-staging must equal raw (the
+    // isolation proof), published = the quality filter's survivors.
+    "q_wap_publish" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(*) AS BIGINT) AS n_main_during_stage,
+        |  CAST(sum(CASE WHEN nc >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_staged,
+        |  CAST(sum(CASE WHEN nc >= 200 THEN nc ELSE 0 END) AS BIGINT)
+        |    AS chars_staged,
+        |  CAST(sum(CASE WHEN nc >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_published
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Batch change feed: every version's changeset re-derived from the
+    // raw parquet with the same DML filters — v1 all inserts, v2
+    // deletes the F partition, v3 doubles the urgent survivors.
+    "q_table_changes" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority, CAST(o_totalprice AS DOUBLE) AS p,
+        |    o_orderstatus FROM orders)
+        |SELECT 'c' AS op, CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS cents_before,
+        |  CAST(sum(floor(p * 100)) AS BIGINT) AS cents_after
+        |FROM base
+        |UNION ALL
+        |SELECT 'd', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(floor(p * 100)) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM base WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'u', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(floor(p * 100)) AS BIGINT),
+        |  CAST(sum(floor((p * 2) * 100)) AS BIGINT)
+        |FROM base WHERE o_orderstatus <> 'F'
+        |  AND o_orderpriority = '1-URGENT'
+        |ORDER BY version, op""".stripMargin,
 
     // Mixed-shape census after spec coarsening: layout is a plan
     // property — the oracle is the same census over raw parquet.

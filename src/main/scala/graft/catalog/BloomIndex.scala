@@ -61,6 +61,10 @@ private[catalog] object BloomIndex {
     def isEmpty: Boolean = files.isEmpty
     def columns: Set[String] =
       files.valuesIterator.flatMap(_.keysIterator).toSet
+    /** One file's bitsets in the probe shape [[BloomIndex.excludes]]
+      * takes: column → (k, bits). */
+    def colBitsOf(file: String): Option[Map[String, (Int, Array[Byte])]] =
+      files.get(file).map(_.view.mapValues(bs => (k, bs)).toMap)
   }
 
   val Empty: Index = Index(DefaultBits, DefaultProbes, Map.empty)
@@ -96,6 +100,25 @@ private[catalog] object BloomIndex {
       s"bloom_index: no such column(s) ${missing.mkString(",")}")
     val entries = collectBits(df, cols, bits, probes)
     writeSidecar(tableDir, Index(bits, probes, entries))
+    // manifest-versioned tables: ALSO publish a `bloom` snapshot
+    // folding the bitsets into the commit-atomic per-file stats (the
+    // r12 analyze pattern) — from here every commit maintains
+    // per-snapshot bitsets for its added files, `VERSION AS OF` scans
+    // Bloom-skip from the manifest of THAT snapshot, and DML stops
+    // staling the index (the pre-r13 sidecar was current-only)
+    if (Snapshots.isVersioned(tableDir)) {
+      val merged: Map[String, FileStats.FileStat] = {
+        val prev = Snapshots.latest(tableDir)
+          .fold(Map.empty[String, FileStats.FileStat])(_.stats)
+        entries.map { case (f, colBits) =>
+          val base = prev.getOrElse(f, FileStats.FileStat(None, Map.empty))
+          f -> base.copy(blooms = colBits.view.mapValues(bs =>
+            (probes, bs)).toMap)
+        } ++ prev.view.filterKeys(f => !entries.contains(f)).toMap
+      }
+      Snapshots.commit(tableDir, "bloom", identity, freshStats = merged)
+      ()
+    }
     entries.size.toLong
   }
 
@@ -140,8 +163,9 @@ private[catalog] object BloomIndex {
     case _ => None
   }
 
-  private def collectBits(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
-                          bits: Int, probes: Int):
+  private[catalog] def collectBits(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      bits: Int, probes: Int):
       Map[String, Map[String, Array[Byte]]] = {
     val unsupported = cols.filter(c => canonicalCol(df.schema(c).dataType, c).isEmpty)
     require(unsupported.isEmpty,
@@ -217,20 +241,24 @@ private[catalog] object BloomIndex {
   /** True when the pushed conjunct proves the file cannot contain a
     * matching row: `=` with every probe bit of the key set absent,
     * `IN` with every member absent. Same [[FileStats.excludes]]
-    * contract: only provable absence, anything else false. */
-  def excludes(idx: Index, filter: Expression,
-               colBits: Map[String, Array[Byte]],
+    * contract: only provable absence, anything else false. `colBits`
+    * maps column → (k probes, bitset; m = bits.length·8) — the shape
+    * both the sidecar index ([[Index.colBitsOf]]) and the
+    * per-snapshot manifest stats ([[FileStats.FileStat.blooms]])
+    * provide. */
+  def excludes(filter: Expression,
+               colBits: Map[String, (Int, Array[Byte])],
                phys: String => String): Boolean = filter match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      excludes(idx, l, colBits, phys) || excludes(idx, r, colBits, phys)
+      excludes(l, colBits, phys) || excludes(r, colBits, phys)
     case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-      absent(idx, colBits.get(phys(a.name)), v, dt)
+      absent(colBits.get(phys(a.name)), v, dt)
     case EqualTo(Literal(v, dt), a: AttributeReference) =>
-      absent(idx, colBits.get(phys(a.name)), v, dt)
+      absent(colBits.get(phys(a.name)), v, dt)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall { l =>
         val lit = l.asInstanceOf[Literal]
-        absent(idx, colBits.get(phys(a.name)), lit.value, lit.dataType)
+        absent(colBits.get(phys(a.name)), lit.value, lit.dataType)
       }
     case _ => false
   }
@@ -239,14 +267,15 @@ private[catalog] object BloomIndex {
     * canonicalized the column, evaluate the SAME XxHash64 expression
     * interpreted, and test the k bits. Unset bit ⇒ provably absent.
     * NULL / unsupported / un-canonicalizable values never prune. */
-  private def absent(idx: Index, bitsOpt: Option[Array[Byte]],
+  private def absent(entry: Option[(Int, Array[Byte])],
                      v: Any, dt: DataType): Boolean =
-    (bitsOpt, canonicalValue(v, dt)) match {
-      case (Some(bits), Some(litExpr)) =>
-        (0 until idx.k).exists { i =>
+    (entry, canonicalValue(v, dt)) match {
+      case (Some((k, bits)), Some(litExpr)) =>
+        val m = bits.length.toLong * 8L
+        (0 until k).exists { i =>
           val h = XxHash64(Seq(litExpr, Literal(i.toLong, LongType)), 42L)
             .eval(null).asInstanceOf[Long]
-          val p = java.lang.Math.floorMod(h, idx.m.toLong).toInt
+          val p = java.lang.Math.floorMod(h, m).toInt
           (bits(p >>> 3) & (1 << (p & 7))) == 0
         }
       case _ => false
@@ -302,8 +331,8 @@ private[catalog] object FileSkipping {
       val name = p.getFileName.toString
       val statsDrop = stats.get(name).exists(ranges =>
         filters.exists(FileStats.excludes(_, ranges, phys)))
-      val bloomDrop = bloom.files.get(name).exists(colBits =>
-        filters.exists(BloomIndex.excludes(bloom, _, colBits, phys)))
+      val bloomDrop = bloom.colBitsOf(name).exists(colBits =>
+        filters.exists(BloomIndex.excludes(_, colBits, phys)))
       !statsDrop && !bloomDrop
     }
     if (carried.isEmpty) None else Some((kept, carried))
@@ -326,19 +355,28 @@ private[catalog] object FileSkipping {
       : Option[Seq[Path]] = {
     if (filters.isEmpty || files.isEmpty) return None
     // snapshot scans pass their manifest's commit-atomic stats so a
-    // VERSION AS OF read skips on the ranges of THAT snapshot (the
-    // sidecar describes only the current file set)
+    // VERSION AS OF read skips on the ranges — and, once a `bloom`
+    // snapshot exists, the Bloom bitsets — of THAT snapshot (the
+    // sidecars describe only the current file set)
     val stats = statsOverride.fold(FileStats.read(tableDir))(
       _.map { case (f, fs) =>
         f -> fs.cols.map { case (c, st) => c -> ((st.mn, st.mx)) } })
-    val bloom = BloomIndex.read(tableDir)
-    if (stats.isEmpty && bloom.isEmpty) return None
+    val snapBlooms: Map[String, Map[String, (Int, Array[Byte])]] =
+      statsOverride.fold(Map.empty[String, Map[String, (Int, Array[Byte])]])(
+        _.collect { case (f, fs) if fs.blooms.nonEmpty => f -> fs.blooms })
+    // manifest blooms win for files they cover; the sidecar serves the
+    // rest (file bytes are immutable, so a sidecar entry is valid for
+    // ANY snapshot that references the file — staleness only loses
+    // entries, never wrongs them)
+    lazy val sideBloom = BloomIndex.read(tableDir)
+    if (stats.isEmpty && snapBlooms.isEmpty && sideBloom.isEmpty) return None
     val kept = files.filter { p =>
       val name = p.getFileName.toString
       val statsDrop = stats.get(name).exists(ranges =>
         filters.exists(FileStats.excludes(_, ranges, phys)))
-      val bloomDrop = bloom.files.get(name).exists(colBits =>
-        filters.exists(BloomIndex.excludes(bloom, _, colBits, phys)))
+      val colBits = snapBlooms.get(name).orElse(sideBloom.colBitsOf(name))
+      val bloomDrop = colBits.exists(cb =>
+        filters.exists(BloomIndex.excludes(_, cb, phys)))
       !statsDrop && !bloomDrop
     }
     if (kept.size == files.size) None else Some(kept)

@@ -138,6 +138,31 @@ object Catalog {
       .load()
   }
 
+  /** BATCH change feed of a versioned lake-catalog table over a
+    * version RANGE — Delta's `table_changes(tbl, from, to)` next to
+    * the streaming feed: every retained version in `(from, to]` as
+    * its per-version changelog (`op, version, before, after`), the
+    * EXACT rows the streaming source would emit over the same range
+    * (shared [[graft.streaming.ChangeFeed.versionFeed]]). Applying
+    * the result to snapshot `from` reconstructs snapshot `to`. */
+  def readTableChanges(spark: SparkSession, ref: String, keys: Seq[String],
+                       from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+    val parts = ref.split('.')
+    require(parts.length == 3, s"expected cat.db.table, got '$ref'")
+    val root = Option(spark.conf.get(s"spark.sql.catalog.${parts(0)}.path", null))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '${parts(0)}' is not configured in this session"))
+    val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
+    require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
+    val store: graft.streaming.SnapshotReads =
+      if (Snapshots.isVersioned(dir)) ManifestSnapshotReads(spark, dir.toString)
+      else if (DeletableTable.versionsOf(dir).nonEmpty)
+        new graft.streaming.StateStore(spark, dir.toString)
+      else throw new IllegalArgumentException(
+        s"'$ref' is not a versioned table — no change feed to read")
+    graft.streaming.ChangeFeed.tableChanges(store, from, to, keys)
+  }
+
   /** logical → physical column renames from a table's evolution
     * sidecar; empty when absent ([[Evolutions.renames]] — the shared
     * parser, so readers can never drift). */

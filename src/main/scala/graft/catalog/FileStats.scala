@@ -48,10 +48,19 @@ private[catalog] object FileStats {
   private[catalog] final case class ColStat(mn: Option[Any], mx: Option[Any],
                                             nonNull: Option[Long])
 
-  /** One file's stats: total row count (None in pre-r10 sidecars)
-    * and the per-column stats. */
-  private[catalog] final case class FileStat(rows: Option[Long],
-                                             cols: Map[String, ColStat])
+  /** One file's stats: total row count (None in pre-r10 sidecars),
+    * the per-column min/max/count stats, and (r13) the per-column
+    * Bloom bitsets — `blooms` maps column → (k probes, bitset; m =
+    * bits.length·8). Folding the bitsets into the SAME per-file stat
+    * record means they ride the commit-atomic stats plumbing for
+    * free: carried with their segment, dropped with their file,
+    * refreshed by [[graft.catalog.Snapshots.freshStatsFor]] on every
+    * DML — so time-travel scans Bloom-skip from the manifest of THAT
+    * snapshot and the index never self-invalidates. */
+  private[catalog] final case class FileStat(
+      rows: Option[Long],
+      cols: Map[String, ColStat],
+      blooms: Map[String, (Int, Array[Byte])] = Map.empty)
 
   /** The pruning view: per-file per-column [min, max]. */
   private type Ranges = Map[String, Map[String, (Option[Any], Option[Any])]]
@@ -90,16 +99,26 @@ private[catalog] object FileStats {
       s"analyze: unsupported column type(s) for min/max stats: " +
         unsupported.map(c => s"$c:${df.schema(c).dataType.simpleString}").mkString(",") +
         " (numeric, string, date, timestamp only)")
-    require(!cols.contains(RowsKey),
-      s"analyze: '$RowsKey' is a reserved sidecar key")
+    require(!cols.contains(RowsKey) && !cols.contains(BloomKey),
+      s"analyze: '$RowsKey'/'$BloomKey' are reserved sidecar keys")
     val entries = collectRanges(df, cols)
     writeSidecar(tableDir, entries)
     // manifest-versioned tables: ALSO publish an `analyze` snapshot
     // embedding the stats (same file list) — from here on every commit
     // maintains per-snapshot stats for its added files, so VERSION AS
-    // OF scans file-skip and metadata aggregates serve history too
-    if (Snapshots.isVersioned(tableDir))
-      Snapshots.commit(tableDir, "analyze", identity, freshStats = entries)
+    // OF scans file-skip and metadata aggregates serve history too.
+    // Bloom bitsets already in the latest snapshot carry through the
+    // re-commit (fresh stats REPLACE per-file entries wholesale).
+    if (Snapshots.isVersioned(tableDir)) {
+      val prev = Snapshots.latest(tableDir)
+        .fold(Map.empty[String, FileStat])(_.stats)
+      val merged = entries.map { case (f, fs) =>
+        f -> fs.copy(blooms = prev.get(f).fold(
+          Map.empty[String, (Int, Array[Byte])])(_.blooms))
+      }
+      Snapshots.commit(tableDir, "analyze", identity, freshStats = merged)
+      ()
+    }
     entries.size.toLong
   }
 
@@ -138,6 +157,10 @@ private[catalog] object FileStats {
 
   /** Reserved per-file sidecar key carrying the row count. */
   private val RowsKey = "__rows__"
+
+  /** Reserved per-file key carrying the Bloom bitsets: an object
+    * `{col: "k:<base64 bits>"}`. */
+  private val BloomKey = "__bloom__"
 
   private[catalog] def collectRanges(df: org.apache.spark.sql.DataFrame,
                                      cols: Seq[String]): Map[String, FileStat] = {
@@ -188,6 +211,13 @@ private[catalog] object FileStats {
     entries.toSeq.sortBy(_._1).foreach { case (fileName, fs) =>
       val node = root.putObject(fileName)
       fs.rows.foreach(n => node.putArray(RowsKey).add(n))
+      if (fs.blooms.nonEmpty) {
+        val bn = node.putObject(BloomKey)
+        fs.blooms.toSeq.sortBy(_._1).foreach { case (c, (k, bits)) =>
+          bn.put(c, s"$k:" +
+            java.util.Base64.getEncoder.encodeToString(bits))
+        }
+      }
       fs.cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
         val arr = node.putArray(c)
         Seq(st.mn.orNull, st.mx.orNull).foreach {
@@ -233,6 +263,7 @@ private[catalog] object FileStats {
       node: com.fasterxml.jackson.databind.JsonNode): Map[String, FileStat] =
     node.fields().asScala.map { e =>
       var rows: Option[Long] = None
+      var blooms = Map.empty[String, (Int, Array[Byte])]
       val colStats = e.getValue.fields().asScala.flatMap { ce =>
         val arr = ce.getValue
         def v(i: Int): Option[Any] = {
@@ -243,12 +274,20 @@ private[catalog] object FileStats {
         }
         if (ce.getKey == RowsKey) {
           rows = Option(arr.get(0)).map(_.asLong()); None
+        } else if (ce.getKey == BloomKey) {
+          blooms = arr.fields().asScala.map { be =>
+            val s = be.getValue.asText()
+            val cut = s.indexOf(':')
+            be.getKey -> ((s.substring(0, cut).toInt,
+              java.util.Base64.getDecoder.decode(s.substring(cut + 1))))
+          }.toMap
+          None
         } else {
           val nn = Option(arr.get(2)).filter(_.isNumber).map(_.asLong())
           Some(ce.getKey -> ColStat(v(0), v(1), nn))
         }
       }.toMap
-      e.getKey -> FileStat(rows, colStats)
+      e.getKey -> FileStat(rows, colStats, blooms)
     }.toMap
 
   /** Full sidecar parse: per-file row counts + per-column

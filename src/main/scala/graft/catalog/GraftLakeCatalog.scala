@@ -266,9 +266,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     if (pspec.nonEmpty) {
       val snap =
         if (!Snapshots.isVersioned(p)) None
-        else Some(Snapshots.latest(p).getOrElse(throw new IllegalStateException(
-          s"$catalogName: ${ident.toString} has a snapshot log but no " +
-            "manifests — corrupt table dir (partial copy/restore?)")))
+        else Some(
+          // WAP sessions (`graft.write.branch`) read the staging
+          // branch's head; everyone else reads main — the Iceberg
+          // wap.branch semantics, so stage → audit → publish runs
+          // against one table name
+          Snapshots.activeReadBranch(p)
+            .flatMap(Snapshots.latestBranch(p, _))
+            .orElse(Snapshots.latest(p))
+            .getOrElse(throw new IllegalStateException(
+              s"$catalogName: ${ident.toString} has a snapshot log but no " +
+                "manifests — corrupt table dir (partial copy/restore?)")))
       return new PartitionedLakeTable(ident.toString, p,
         declaredSchema(p).getOrElse(throw new IllegalStateException(
           s"$catalogName: ${ident.toString} carries a partition sidecar " +
@@ -306,23 +314,34 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: ${ident.toString} is a PLAIN partitioned table — " +
           "create with TBLPROPERTIES ('versioned'='true') for snapshot " +
           "time travel")
+      def snapTable(snap: Snapshots.Snapshot) =
+        new PartitionedLakeTable(ident.toString, p,
+          declaredSchema(p).getOrElse(throw new IllegalStateException(
+            s"$catalogName: ${ident.toString} carries a partition sidecar " +
+              s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
+          pspec, Some(snap), writable = false,
+          renames = readEvolution(p).renames)
+      // non-numeric versions resolve as TAG first, then BRANCH head —
+      // `VERSION AS OF 'audit'` is the audit query of the WAP flow
+      // without touching the session conf
+      if (version.toLongOption.isEmpty && !Tags.read(p).contains(version) &&
+          Snapshots.branchExists(p, version))
+        return snapTable(Snapshots.latestBranch(p, version).getOrElse(
+          throw new IllegalStateException(
+            s"$catalogName: branch '$version' has no committed snapshot")))
       val svs = Snapshots.versions(p)
       val v = version.toLongOption
         .orElse(Tags.read(p).get(version))
         .getOrElse(throw new IllegalArgumentException(
-          s"$catalogName: VERSION AS OF expects a numeric snapshot id or a " +
-            s"tag name, got '$version' (tags: " +
-            s"${Tags.read(p).keys.toSeq.sorted.mkString(",")})"))
+          s"$catalogName: VERSION AS OF expects a numeric snapshot id, a " +
+            s"tag name, or a branch name, got '$version' (tags: " +
+            s"${Tags.read(p).keys.toSeq.sorted.mkString(",")}; branches: " +
+            s"${Snapshots.branches(p).mkString(",")})"))
       if (!svs.contains(v)) throw new IllegalArgumentException(
         s"$catalogName: ${ident.toString} has no snapshot s-$v " +
           s"(committed: ${svs.mkString(",")} — older snapshots may have " +
           "been expired)")
-      return new PartitionedLakeTable(ident.toString, p,
-        declaredSchema(p).getOrElse(throw new IllegalStateException(
-          s"$catalogName: ${ident.toString} carries a partition sidecar " +
-            s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
-        pspec, Snapshots.read(p, v), writable = false,
-        renames = readEvolution(p).renames)
+      return snapTable(Snapshots.read(p, v).get)
     }
     val vs = versionsOf(p)
     if (vs.isEmpty) throw new UnsupportedOperationException(

@@ -49,7 +49,8 @@ private[catalog] object LakeProcedures {
     Array("snapshots", "expire_snapshots", "compact", "purge_keys",
       "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback",
       "tag", "drop_tag", "tags", "add_partition_field",
-      "drop_partition_field", "replace_partition_field", "migrate")
+      "drop_partition_field", "replace_partition_field", "migrate",
+      "branch", "fast_forward", "drop_branch", "branches")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -98,6 +99,22 @@ private[catalog] object LakeProcedures {
           if (!Tags.create(dir, name, v)) throw new IllegalArgumentException(
             s"tag: '$name' already points at " +
               s"v=${Tags.read(dir).getOrElse(name, -1L)} — drop_tag first")
+          // tag-vs-expire race (manifest logs): an expire whose final
+          // pin read predates this tag file may drop v — re-validate
+          // AFTER the tag is visible and self-revoke on conflict, so a
+          // "created" tag never silently points at a dying snapshot.
+          // (The residual window — an expire that read pins before
+          // this create and deletes between these two checks — closes
+          // fully only when tags join the commit chain; documented.)
+          if (Snapshots.isVersioned(dir) &&
+              (Snapshots.readMeta(dir, v).isEmpty ||
+                Snapshots.droppedByRetainedExpire(dir, v))) {
+            Tags.drop(dir, name)
+            throw new CommitConflictException(
+              s"tag: snapshot v=$v was dropped (or scheduled for " +
+                "removal) by a concurrent expire_snapshots — re-run " +
+                "against a retained snapshot")
+          }
           Seq(InternalRow(v))
         })
       case "drop_tag" =>
@@ -252,8 +269,11 @@ private[catalog] object LakeProcedures {
                   PartitionedWrite.leafPartitionDirs(tableDir))
                   .map(_.toString)
               val files = listAll()
-              Files.createDirectories(tableDir.resolve(Snapshots.DirName))
-              val v = Snapshots.commit(tableDir, "migrate", _ => files)
+              // atomic flip: the whole initial log (segment + s-0)
+              // builds in a temp dir and renames into place — a
+              // racing reader sees plain or fully-versioned, never a
+              // manifest-less snapshot dir (which reads as EMPTY)
+              val v = Snapshots.migrateInit(tableDir, files)
               var sweeps = 0
               while (sweeps < 3 && {
                 val stragglers =
@@ -272,6 +292,56 @@ private[catalog] object LakeProcedures {
                   .add("n_files", LongType)
               }).iterator()
             }
+          }
+        })
+      // Writable branches (Iceberg refs) — the write-audit-publish
+      // loop: `branch` forks the snapshot chain (segment refs only,
+      // never a data copy), `SET 'graft.write.branch'='<name>'` routes
+      // the session's table writes AND current reads to it (stage,
+      // then audit — `VERSION AS OF '<name>'` audits without the
+      // conf), `fast_forward` publishes the branch head onto main
+      // through the OCC commit (conflicts when main advanced past the
+      // fork), `drop_branch` abandons the staging (its files become
+      // vacuum's age-guarded orphans). Tags stay read-only pins.
+      case "branch" =>
+        Some(proc(root, "branch",
+          Seq("tbl" -> StringType, "name" -> StringType),
+          new StructType().add("forked_from_version", LongType)) { (dir, _, args) =>
+          requireManifest("branch", dir)
+          Seq(InternalRow(
+            Snapshots.createBranch(dir, args.getUTF8String(1).toString)))
+        })
+      case "fast_forward" =>
+        Some(proc(root, "fast_forward",
+          Seq("tbl" -> StringType, "name" -> StringType),
+          new StructType().add("new_version", LongType)) { (dir, _, args) =>
+          requireManifest("fast_forward", dir)
+          Seq(InternalRow(
+            Snapshots.fastForward(dir, args.getUTF8String(1).toString)))
+        })
+      case "drop_branch" =>
+        Some(proc(root, "drop_branch",
+          Seq("tbl" -> StringType, "name" -> StringType),
+          new StructType().add("dropped", org.apache.spark.sql.types.BooleanType)) {
+          (dir, _, args) =>
+            requireManifest("drop_branch", dir)
+            val name = args.getUTF8String(1).toString
+            if (!Snapshots.dropBranch(dir, name))
+              throw new IllegalArgumentException(
+                s"drop_branch: no branch '$name' (branches: " +
+                  s"${Snapshots.branches(dir).mkString(",")})")
+            Seq(InternalRow(true))
+        })
+      case "branches" =>
+        Some(proc(root, "branches", Seq("tbl" -> StringType),
+          new StructType().add("name", StringType)
+            .add("head_version", LongType)
+            .add("forked_from_version", LongType)) { (dir, _, _) =>
+          requireManifest("branches", dir)
+          Snapshots.branches(dir).map { b =>
+            InternalRow(UTF8String.fromString(b),
+              Snapshots.branchVersions(dir, b).lastOption.map(Long.box).orNull,
+              Snapshots.branchFork(dir, b).map(Long.box).orNull)
           }
         })
       case "expire_snapshots" =>
@@ -674,11 +744,14 @@ private[catalog] object LakeProcedures {
                   .filter(Files.isRegularFile(_)).map(Files.size).sum
                 finally s.close()
               }
-              // manifest tables have one more orphan class: data files
-              // published into the table dirs whose snapshot commit
-              // never landed (crash between publish and the manifest
-              // write) — unreferenced by EVERY retained manifest, so
-              // invisible to all reads; Iceberg's remove_orphan_files
+              // manifest tables have two more orphan classes: data
+              // files published into the table dirs whose snapshot
+              // commit never landed (crash between publish and the
+              // manifest write) — unreferenced by EVERY retained
+              // manifest, so invisible to all reads (Iceberg's
+              // remove_orphan_files) — and manifest SEGMENTS no
+              // retained manifest references (a loser's pre-link
+              // write, or an expire that crashed mid-GC)
               val orphans =
                 if (!Snapshots.isVersioned(tableDir)) Seq.empty[Path]
                 else {
@@ -686,7 +759,8 @@ private[catalog] object LakeProcedures {
                   PartitionedWrite.filesUnderDirs(tableDir,
                       PartitionedWrite.leafPartitionDirs(tableDir))
                     .filterNot(rel => live(rel.toString))
-                    .map(tableDir.resolve(_))
+                    .map(tableDir.resolve(_)) ++
+                    Snapshots.orphanSegments(tableDir)
                 }
               val stale = (siblings ++ tmps ++ orphans).filter(p =>
                 Files.getLastModifiedTime(p).toMillis <= cutoff)
@@ -840,25 +914,38 @@ private[catalog] object LakeProcedures {
 
   private final class ManifestLog(tableDir: Path) extends VersionLog {
     def versions: Seq[Long] = Snapshots.versions(tableDir)
+    // meta-only reads: the commit stamp / parent chain never need the
+    // segment-resolved file list
     def commitMs(v: Long): Option[Long] =
-      Snapshots.read(tableDir, v).map(_.commitMs)
+      Snapshots.readMeta(tableDir, v).map(_.commitMs)
     def parentOf(v: Long): Option[Long] =
-      Snapshots.read(tableDir, v).flatMap(_.parent)
+      Snapshots.readMeta(tableDir, v).flatMap(_.parent)
     def rollbackTo(v: Long): Long = {
       val s = Snapshots.read(tableDir, v).getOrElse(
         throw new IllegalArgumentException(
           s"rollback: no snapshot s-$v (have ${versions.mkString(",")})"))
       // set-the-list semantics (a rollback REPLACES whatever is
-      // current), but the restored FILES must still exist: a
-      // concurrent expire_snapshots that dropped s-v may have
-      // physically GC'd them, and publishing a manifest over deleted
-      // files bricks every subsequent read. Checked inside the OCC
-      // loop (re-runs on every retry); the residual window between
-      // this check and the link publish is the documented limit of a
-      // filesystem-CAS log (Iceberg closes it with a metadata-pointer
-      // CAS that makes expire itself a commit).
+      // current), validated inside the OCC loop on every retry: the
+      // target manifest must still exist, must not be SCHEDULED for
+      // removal by a retained `expire` commit (the expire's
+      // linearization point precedes its manifest deletions — the
+      // r12 residual window, closed now that expire IS a commit), and
+      // the restored files must still be on disk. A concurrent expire
+      // therefore either linearizes after this rollback (the
+      // rollback's published manifest joins the GC's retained
+      // reachability set) or before it (this validation raises
+      // CommitConflictException) — never a published manifest over
+      // GC'd files.
       Snapshots.commit(tableDir, "rollback", _ => s.files,
         validate = _ => {
+          if (Snapshots.readMeta(tableDir, v).isEmpty)
+            throw new CommitConflictException(
+              s"rollback: snapshot s-$v was dropped by a concurrent " +
+                "expire_snapshots — no longer restorable")
+          if (Snapshots.droppedByRetainedExpire(tableDir, v))
+            throw new CommitConflictException(
+              s"rollback: snapshot s-$v is scheduled for removal by a " +
+                "committed expire_snapshots — no longer restorable")
           val missing = s.files.filterNot(f =>
             Files.exists(tableDir.resolve(f)))
           if (missing.nonEmpty) throw new CommitConflictException(
@@ -869,45 +956,23 @@ private[catalog] object LakeProcedures {
         freshStats = s.stats)
     }
     def expire(keep: Int, pinned: Set[Long]): Unit = {
-      require(keep >= 1, "expire_snapshots: keep must be >= 1")
-      val vs = versions
-      val retained = (vs.takeRight(keep) ++ vs.filter(pinned)).distinct
-      val dropped = vs.filterNot(retained.contains)
-      // GC set = the DROPPED manifests' references minus the retained
-      // ones' (r12, the multi-writer discipline): a concurrent commit
-      // publishes its data files BEFORE its manifest, so a
-      // just-published file is momentarily referenced by NOTHING — a
-      // disk-listing GC ("everything unreferenced") would delete it
-      // out from under the in-flight commit. Files from dropped
-      // manifests are provably snapshot-aged; true orphans are
-      // vacuum's (age-guarded) job.
-      val droppedRefs = dropped.flatMap(Snapshots.read(tableDir, _))
-        .flatMap(_.files).toSet
-      dropped.foreach(Snapshots.delete(tableDir, _))
-      val live = Snapshots.referencedFiles(tableDir)
-      val leaves = PartitionedWrite.leafPartitionDirs(tableDir)
-      droppedRefs.diff(live).toSeq.sorted
-        .map(java.nio.file.Paths.get(_))
-        .foreach { rel =>
-          Files.deleteIfExists(tableDir.resolve(rel))
-          val crc = tableDir.resolve(rel).resolveSibling(
-            "." + rel.getFileName.toString + ".crc")
-          Files.deleteIfExists(crc)
-        }
-      leaves.map(tableDir.resolve).foreach { d =>
-        // remove now-empty partition dirs bottom-up (multi-level
-        // identity specs nest)
-        var cur = d
-        while (cur != tableDir && Files.isDirectory(cur) && {
-          val s = Files.list(cur)
-          try !s.iterator().hasNext finally s.close()
-        }) {
-          Files.delete(cur)
-          cur = cur.getParent
-        }
-      }
+      // expiry IS a commit ([[Snapshots.commitExpire]]): the dropped
+      // list publishes through the OCC loop before any deletion, so
+      // racing rollbacks/commits re-validate against it; pins re-read
+      // per retry. `pinned` from the one-shot caller is folded in.
+      Snapshots.commitExpire(tableDir, keep,
+        () => pinned ++ Tags.read(tableDir).values.toSet)
+      ()
     }
   }
+
+  /** Guard for procedures that only exist on the manifest log
+    * (branches). */
+  private def requireManifest(procName: String, dir: Path): Unit =
+    if (!Snapshots.isVersioned(dir))
+      throw new UnsupportedOperationException(
+        s"$procName: needs the manifest snapshot log (CREATE ... " +
+          "TBLPROPERTIES ('versioned'='true'), or CALL migrate)")
 
   /** Shared guard of the partition-spec-evolution procedures
     * (add/drop/replace): a partitioned MANIFEST table; returns the
@@ -999,7 +1064,10 @@ private[catalog] object LakeProcedures {
   private[catalog] def snapshotAuditRows(dir: Path,
                                          log: VersionLog): Seq[InternalRow] =
     log.versions.map { v =>
-      val s = if (Snapshots.isVersioned(dir)) Snapshots.read(dir, v) else None
+      // meta-only read: audit columns come from the manifest list
+      // itself (summary carries the file counts) — O(versions) small
+      // JSON parses, zero segment resolution
+      val s = if (Snapshots.isVersioned(dir)) Snapshots.readMeta(dir, v) else None
       InternalRow(v, log.commitMs(v).getOrElse(-1L),
         log.parentOf(v).map(Long.box).orNull,
         s.filter(_.operation.nonEmpty)

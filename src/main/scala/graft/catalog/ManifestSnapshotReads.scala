@@ -36,7 +36,7 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
   override def versions: Seq[Long] = Snapshots.versions(tableDir)
 
   override def parentOf(version: Long): Option[Long] =
-    Snapshots.read(tableDir, version).flatMap(_.parent)
+    Snapshots.readMeta(tableDir, version).flatMap(_.parent)
 
   override def read(version: Long): Option[DataFrame] =
     Snapshots.read(tableDir, version).map { s =>

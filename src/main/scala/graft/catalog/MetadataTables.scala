@@ -41,7 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[catalog] object MetadataTables {
 
   val Names: Set[String] =
-    Set("history", "files", "partitions", "tags", "snapshots")
+    Set("history", "files", "partitions", "tags", "snapshots", "refs")
 
   def load(catalogName: String, tableDir: Path, metaName: String): Table =
     metaName match {
@@ -50,10 +50,40 @@ private[catalog] object MetadataTables {
       case "partitions" => partitionsTable(catalogName, tableDir)
       case "tags" => tagsTable(catalogName, tableDir)
       case "snapshots" => snapshotsTable(catalogName, tableDir)
+      case "refs" => refsTable(catalogName, tableDir)
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' " +
-          "(history, files, partitions, tags, snapshots)")
+          "(history, files, partitions, tags, snapshots, refs)")
     }
+
+  /** One row per NAMED REF — tags and branches together (Iceberg's
+    * `db.t.refs`): `name, type ('tag'|'branch'), version` — a tag's
+    * pinned snapshot, a branch's head within ITS sub-log — plus the
+    * branch's fork point on main (NULL for tags). The one listing a
+    * WAP operator audits before expiring anything. */
+  private def refsTable(cat: String, tableDir: Path): Table = {
+    val schema = new StructType()
+      .add("name", StringType, nullable = false)
+      .add("type", StringType, nullable = false)
+      .add("version", LongType, nullable = true)
+      .add("forked_from_version", LongType, nullable = true)
+    local(s"$cat.${tableDir.getFileName}.refs", schema, { () =>
+      val tags = Tags.read(tableDir).toSeq.sortBy(_._1).map { case (n, v) =>
+        InternalRow(UTF8String.fromString(n), UTF8String.fromString("tag"),
+          Long.box(v), null)
+      }
+      val brs =
+        if (!Snapshots.isVersioned(tableDir)) Seq.empty
+        else Snapshots.branches(tableDir).map { b =>
+          InternalRow(UTF8String.fromString(b),
+            UTF8String.fromString("branch"),
+            Snapshots.branchVersions(tableDir, b).lastOption
+              .map(Long.box).orNull,
+            Snapshots.branchFork(tableDir, b).map(Long.box).orNull)
+        }
+      (tags ++ brs).toArray
+    })
+  }
 
   /** One row per retained snapshot with the r12 AUDIT surface
     * (Iceberg's `db.t.snapshots` operation/summary columns) — the

@@ -529,7 +529,7 @@ private[catalog] final class PartitionedLakeTable(
       // merge (their files were never read here), but a concurrent
       // commit that removed/rewrote one of OUR read files conflicts —
       // keeping `staged` would resurrect rows that commit deleted
-      Snapshots.commit(tableDir, "delete",
+      Snapshots.commitRouted(tableDir, "delete",
         cur => cur.diff(candFiles) ++ staged,
         Snapshots.validateFilesLive("DELETE", candFiles),
         freshStats = Snapshots.freshStatsFor(spark, tableDir, staged))
@@ -1191,7 +1191,7 @@ private[catalog] final class PartitionedRowLevelWrite(
           // optimistic commit, snapshot isolation: concurrent appends
           // merge; a concurrent removal/rewrite of a file this group
           // scan READ conflicts (our replacement embeds its rows)
-          Snapshots.commit(tableDir, "rewrite",
+          Snapshots.commitRouted(tableDir, "rewrite",
             cur => cur.diff(replaced) ++ committed,
             Snapshots.validateFilesLive("UPDATE/MERGE", replaced),
             freshStats = Snapshots.freshStatsFor(
@@ -1485,7 +1485,7 @@ private[catalog] final class PartitionedWrite(
           case _ => "overwrite"
         }
         PartitionedWrite.publishStaged(staging, tableDir, committed)
-        Snapshots.commit(tableDir, op, liveOf,
+        Snapshots.commitRouted(tableDir, op, liveOf,
           freshStats = Snapshots.freshStatsFor(
             SparkSession.active, tableDir, committed))
         SparkSession.active.catalog.clearCache()

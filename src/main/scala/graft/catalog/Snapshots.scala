@@ -74,17 +74,254 @@ private[catalog] object Snapshots {
     * snapshot (append/overwrite/delete/rewrite/compact/…) — the audit
     * surface Iceberg exposes per snapshot. `stats` is the commit-atomic
     * per-file min/max/count block (empty until the table is analyzed;
-    * keyed by file BASENAME — per-write UUID names make those unique). */
+    * keyed by file BASENAME — per-write UUID names make those unique).
+    * `segments` is the manifest-LIST view (r13, the Iceberg
+    * manifest-list structure): the file list + stats live in immutable
+    * content-addressed SEGMENT files (`m-<sha1>.json`) the manifest
+    * references by name — a commit serializes only its DELTA as a new
+    * segment and carries the rest by reference, so commit metadata is
+    * O(changed files), not O(live files). `dropped` is the version
+    * list an `expire` commit schedules for removal (empty elsewhere) —
+    * the record that lets a racing rollback detect its target dying in
+    * the window between the expire's commit and its manifest
+    * deletions. */
   final case class Snapshot(version: Long, commitMs: Long,
                             files: Seq[String], parent: Option[Long] = None,
                             operation: String = "",
                             summary: Map[String, Long] = Map.empty,
-                            stats: Map[String, FileStats.FileStat] = Map.empty)
+                            stats: Map[String, FileStats.FileStat] = Map.empty,
+                            segments: Seq[String] = Seq.empty,
+                            dropped: Seq[Long] = Seq.empty)
 
   private def dir(tableDir: Path): Path = tableDir.resolve(DirName)
 
   private def manifest(tableDir: Path, v: Long): Path =
     dir(tableDir).resolve(s"s-$v.json")
+
+  // ---- branches (Iceberg refs, the write-audit-publish surface) ----
+  //
+  // A BRANCH is a sub-log `_graft_snapshots/branch-<name>/s-<k>.json`
+  // forked from a main snapshot: its manifests reference the SAME
+  // content-addressed segment pool as main (segments are immutable, so
+  // a fork is a few hundred bytes of refs, never a data copy), its
+  // commits run the same OCC protocol against ITS latest, and main
+  // never sees them until `fast_forward` publishes the branch head
+  // through a main OCC commit. The session conf `graft.write.branch`
+  // routes table writes AND the current-table read to the branch (the
+  // Iceberg `spark.wap.branch` staging semantics): stage → audit →
+  // publish, without a second pipeline or table.
+
+  /** Session conf naming the branch table writes/reads target. */
+  val BranchConf = "graft.write.branch"
+
+  private def encBranch(name: String): String =
+    java.net.URLEncoder.encode(name, "UTF-8")
+
+  def branchDir(tableDir: Path, name: String): Path =
+    dir(tableDir).resolve("branch-" + encBranch(name))
+
+  def branchExists(tableDir: Path, name: String): Boolean =
+    Files.isDirectory(branchDir(tableDir, name))
+
+  def branches(tableDir: Path): Seq[String] = {
+    val d = dir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("branch-"))
+        .map(p => java.net.URLDecoder.decode(
+          p.getFileName.toString.stripPrefix("branch-"), "UTF-8"))
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** The branch this session's writes target for `tableDir`: the
+    * [[BranchConf]] conf when set. A set conf naming a MISSING branch
+    * on a versioned table is a loud error — a staging write silently
+    * landing on main is the one failure a WAP pipeline cannot have. */
+  def activeWriteBranch(tableDir: Path): Option[String] = activeConf() match {
+    case Some(n) if !isVersioned(tableDir) => None // plain tables: no refs
+    case Some(n) if !branchExists(tableDir, n) =>
+      throw new IllegalArgumentException(
+        s"$BranchConf='$n' but $tableDir has no such branch — " +
+          s"CALL branch(...) first (branches: ${branches(tableDir).mkString(",")})")
+    case other => other
+  }
+
+  /** The branch this session's CURRENT reads resolve for `tableDir`:
+    * the conf'd branch when it exists here, main otherwise (reads fall
+    * back so one session conf can span tables with and without the
+    * staging branch). */
+  def activeReadBranch(tableDir: Path): Option[String] =
+    activeConf().filter(branchExists(tableDir, _))
+
+  private def activeConf(): Option[String] =
+    try {
+      val v = org.apache.spark.sql.SparkSession.active.conf
+        .get(BranchConf, "")
+      Option(v).map(_.trim).filter(_.nonEmpty)
+    } catch { case _: Exception => None } // no active session
+
+  /** Fork `name` off the main head: the branch's `b-0` carries the
+    * head's files/stats BY SEGMENT REFERENCE plus the fork version in
+    * its summary (`fast_forward` validates against it). */
+  def createBranch(tableDir: Path, name: String): Long = {
+    require(name.toLongOption.isEmpty && !name.contains('/'),
+      s"branch: '$name' must be a non-numeric name")
+    val head = latest(tableDir).getOrElse(throw new IllegalStateException(
+      s"$tableDir: no snapshot log to branch from"))
+    val bd = branchDir(tableDir, name)
+    if (Files.isDirectory(bd)) throw new IllegalArgumentException(
+      s"branch '$name' already exists — drop_branch first")
+    Files.createDirectories(bd)
+    val s = Snapshot(0L, System.currentTimeMillis(), head.files, None,
+      "branch",
+      Map("fork-main-version" -> head.version,
+        "added-data-files" -> 0L, "removed-data-files" -> 0L,
+        "total-data-files" -> head.files.size.toLong),
+      head.stats, head.segments)
+    if (!tryPublishIn(tableDir, bd, s))
+      throw new CommitConflictException(
+        s"branch '$name': concurrent create won — re-run")
+    head.version
+  }
+
+  /** The main version branch `name` forked from. */
+  def branchFork(tableDir: Path, name: String): Option[Long] =
+    readMetaIn(branchDir(tableDir, name), 0L)
+      .flatMap(_.summary.get("fork-main-version"))
+
+  def branchVersions(tableDir: Path, name: String): Seq[Long] =
+    versionsIn(branchDir(tableDir, name))
+
+  def readBranch(tableDir: Path, name: String, v: Long): Option[Snapshot] =
+    readIn(tableDir, branchDir(tableDir, name), v)
+
+  def latestBranch(tableDir: Path, name: String): Option[Snapshot] =
+    branchVersions(tableDir, name).lastOption.flatMap(readBranch(tableDir, name, _))
+
+  def dropBranch(tableDir: Path, name: String): Boolean = {
+    val bd = branchDir(tableDir, name)
+    if (!Files.isDirectory(bd)) false
+    else {
+      val s = Files.walk(bd)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      true
+      // the branch's own data files / segments become orphans the
+      // age-guarded vacuum collects (referenced by no retained
+      // manifest once the branch log is gone)
+    }
+  }
+
+  /** Publish the branch head onto MAIN — the WAP "publish" step, an
+    * ordinary OCC main commit that REUSES the branch head's segments
+    * (zero new metadata bytes beyond the list). True fast-forward
+    * only: conflicts when main advanced past the fork point (the
+    * staged audit no longer describes a child of main's head) or when
+    * the branch's files died (expire GC). Returns the new main
+    * version. */
+  def fastForward(tableDir: Path, name: String): Long = {
+    val head = latestBranch(tableDir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"fast_forward: no branch '$name' " +
+          s"(branches: ${branches(tableDir).mkString(",")})"))
+    val fork = branchFork(tableDir, name).getOrElse(
+      throw new IllegalStateException(
+        s"fast_forward: branch '$name' records no fork version"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val main = latest(tableDir)
+      if (!main.exists(_.version == fork))
+        throw new CommitConflictException(
+          s"fast_forward: main advanced past the fork point " +
+            s"(forked at s-$fork, main is at " +
+            s"s-${main.fold(-1L)(_.version)}) — re-create the branch " +
+            "from the current head and re-stage")
+      val missing = head.files.filterNot(f =>
+        Files.exists(tableDir.resolve(f)))
+      if (missing.nonEmpty) throw new CommitConflictException(
+        s"fast_forward: ${missing.size} branch file(s) were " +
+          s"garbage-collected (e.g. ${missing.head}) — re-stage")
+      val prevFiles = main.fold(Seq.empty[String])(_.files)
+      val s = Snapshot(fork + 1L, System.currentTimeMillis(), head.files,
+        Some(fork), "fast_forward",
+        Map("added-data-files" ->
+          head.files.diff(prevFiles).size.toLong,
+          "removed-data-files" ->
+            prevFiles.diff(head.files).size.toLong,
+          "total-data-files" -> head.files.size.toLong),
+        head.stats, head.segments)
+      if (tryPublishIn(tableDir, dir(tableDir), s)) return s.version
+      if (attempt >= MaxAttempts) throw new CommitConflictException(
+        s"fast_forward: lost the commit race $MaxAttempts times — re-run")
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(1L, 5L * attempt))
+    }
+    -1L // unreachable
+  }
+
+  /** One immutable manifest segment: a slice of the live-file list
+    * with its per-file stats. Content-addressed (`m-<sha1(json)>.json`)
+    * so identical content re-publishes as a zero-byte no-op (rollback
+    * re-referencing an old file set reuses its segments), a lost
+    * commit race leaves no divergent temp state, and the read cache
+    * below can never serve stale bytes. */
+  private[catalog] final case class SegmentData(
+      files: Seq[String], stats: Map[String, FileStats.FileStat])
+
+  /** How many segments a manifest may reference before a commit folds
+    * the smallest ones into its delta segment — bounds the per-read
+    * segment resolution AND the list size at O(MaxSegments) while
+    * keeping the amortized write cost O(delta · log): the LSM-style
+    * merge discipline Iceberg's manifest-merge applies. */
+  private val MaxSegments = 16
+
+  // segment files are immutable + content-addressed → a bounded LRU
+  // keyed by absolute path can never serve wrong content; it turns the
+  // per-scan-build manifest resolution into map lookups
+  private val segCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, SegmentData](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SegmentData]): Boolean = size() > 256
+    })
+
+  private def segmentJson(d: SegmentData): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val arr = root.putArray("files")
+    d.files.sorted.foreach(arr.add)
+    if (d.stats.nonEmpty) root.set("stats", FileStats.statsToNode(om, d.stats))
+    om.writeValueAsString(root)
+  }
+
+  private def segmentName(json: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val hex = md.digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"m-$hex.json"
+  }
+
+  private[catalog] def loadSegment(tableDir: Path, ref: String): SegmentData = {
+    val p = dir(tableDir).resolve(ref)
+    val key = p.toAbsolutePath.toString
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(Files.readString(p))
+    val d = SegmentData(
+      Option(node.get("files")).toSeq
+        .flatMap(_.elements().asScala.toSeq).map(_.asText()),
+      Option(node.get("stats")).fold(Map.empty[String, FileStats.FileStat])(
+        FileStats.statsFromNode))
+    segCache.put(key, d)
+    d
+  }
 
   def isVersioned(tableDir: Path): Boolean = Files.isDirectory(dir(tableDir))
 
@@ -102,11 +339,12 @@ private[catalog] object Snapshots {
   }
 
   /** Retained snapshot versions, ascending. */
-  def versions(tableDir: Path): Seq[Long] = {
-    val d = dir(tableDir)
-    if (!Files.isDirectory(d)) Seq.empty
+  def versions(tableDir: Path): Seq[Long] = versionsIn(dir(tableDir))
+
+  private def versionsIn(logDir: Path): Seq[Long] = {
+    if (!Files.isDirectory(logDir)) Seq.empty
     else {
-      val s = Files.list(d)
+      val s = Files.list(logDir)
       try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("s-") && n.endsWith(".json"))
@@ -116,12 +354,43 @@ private[catalog] object Snapshots {
     }
   }
 
-  def read(tableDir: Path, v: Long): Option[Snapshot] = {
-    val f = manifest(tableDir, v)
+  /** Full snapshot read: the manifest plus its segments resolved into
+    * the flat files/stats view every consumer works with. Legacy
+    * (pre-r13) manifests carry the file list + stats inline — still
+    * readable; their first post-upgrade commit restages them into
+    * segments. */
+  def read(tableDir: Path, v: Long): Option[Snapshot] =
+    readIn(tableDir, dir(tableDir), v)
+
+  /** [[read]] against an explicit log dir (branch sub-logs); segments
+    * always resolve from the table's shared pool. */
+  private def readIn(tableDir: Path, logDir: Path, v: Long): Option[Snapshot] =
+    readMetaIn(logDir, v).map { m =>
+      if (m.segments.isEmpty) m
+      else {
+        val segs = m.segments.map(loadSegment(tableDir, _))
+        m.copy(files = segs.flatMap(_.files).sorted,
+          stats = segs.iterator.flatMap(_.stats).toMap)
+      }
+    }
+
+  /** The manifest WITHOUT resolving its segments — version, commit
+    * stamp, parent, operation, summary, dropped list, and the segment
+    * refs (files/stats left as serialized: inline for legacy
+    * manifests, EMPTY for segmented ones). The cheap view for audit
+    * rows, parent chains, and expire bookkeeping, which never need the
+    * file list itself. */
+  def readMeta(tableDir: Path, v: Long): Option[Snapshot] =
+    readMetaIn(dir(tableDir), v)
+
+  private def readMetaIn(logDir: Path, v: Long): Option[Snapshot] = {
+    val f = logDir.resolve(s"s-$v.json")
     if (!Files.exists(f)) None
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(Files.readString(f))
+      val node =
+        try om.readTree(Files.readString(f))
+        catch { case _: java.nio.file.NoSuchFileException => return None }
       Some(Snapshot(
         node.get("version").asLong(),
         node.get("commitMs").asLong(),
@@ -132,7 +401,11 @@ private[catalog] object Snapshots {
         Option(node.get("summary")).fold(Map.empty[String, Long])(
           _.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap),
         Option(node.get("stats")).fold(Map.empty[String, FileStats.FileStat])(
-          FileStats.statsFromNode)))
+          FileStats.statsFromNode),
+        Option(node.get("segments")).toSeq
+          .flatMap(_.elements().asScala.toSeq).map(_.asText()),
+        Option(node.get("dropped")).toSeq
+          .flatMap(_.elements().asScala.toSeq).map(_.asLong())))
     }
   }
 
@@ -157,25 +430,41 @@ private[catalog] object Snapshots {
              operation: String,
              transform: Seq[String] => Seq[String],
              validate: Seq[String] => Unit = _ => (),
-             freshStats: => Map[String, FileStats.FileStat] = Map.empty): Long = {
+             freshStats: => Map[String, FileStats.FileStat] = Map.empty): Long =
+    commitIn(tableDir, dir(tableDir), operation, transform, validate, freshStats)
+
+  /** TABLE-WRITE commit: routes to the session's active write branch
+    * ([[BranchConf]]) when one is set — the WAP staging path. Data
+    * writes (INSERT/DELETE/UPDATE/MERGE commits) come through here;
+    * maintenance (rollback/expire/compact/…) stays pinned to main via
+    * [[commit]], so a staging session cannot accidentally expire or
+    * rewrite the branch it is auditing. */
+  def commitRouted(tableDir: Path,
+                   operation: String,
+                   transform: Seq[String] => Seq[String],
+                   validate: Seq[String] => Unit = _ => (),
+                   freshStats: => Map[String, FileStats.FileStat] = Map.empty): Long = {
+    val logDir = activeWriteBranch(tableDir)
+      .map(branchDir(tableDir, _)).getOrElse(dir(tableDir))
+    commitIn(tableDir, logDir, operation, transform, validate, freshStats)
+  }
+
+  private def commitIn(tableDir: Path, logDir: Path,
+                       operation: String,
+                       transform: Seq[String] => Seq[String],
+                       validate: Seq[String] => Unit,
+                       freshStats: => Map[String, FileStats.FileStat]): Long = {
     lazy val fresh = freshStats // at most one evaluation across retries
     var attempt = 0
     while (true) {
       attempt += 1
-      val prev = latest(tableDir)
+      val prev = versionsIn(logDir).lastOption
+        .flatMap(readIn(tableDir, logDir, _))
       val prevFiles = prev.fold(Seq.empty[String])(_.files)
       validate(prevFiles)
       val files = transform(prevFiles)
-      val keep = files.map(basename).toSet
-      val stats = (prev.fold(Map.empty[String, FileStats.FileStat])(_.stats)
-        ++ fresh).view.filterKeys(keep).toMap
-      val added = files.diff(prevFiles).size.toLong
-      val removed = prevFiles.diff(files).size.toLong
-      val s = Snapshot(prev.fold(0L)(_.version + 1L),
-        System.currentTimeMillis(), files, prev.map(_.version), operation,
-        Map("added-data-files" -> added, "removed-data-files" -> removed,
-          "total-data-files" -> files.size.toLong), stats)
-      if (tryPublish(tableDir, s)) return s.version
+      val (s, newSegs) = compose(tableDir, prev, files, operation, fresh)
+      if (tryPublishIn(tableDir, logDir, s, newSegs)) return s.version
       if (attempt >= MaxAttempts)
         throw new CommitConflictException(
           s"$tableDir: lost the commit race $MaxAttempts times " +
@@ -186,6 +475,67 @@ private[catalog] object Snapshots {
           .nextLong(1L, 5L * attempt))
     }
     -1L // unreachable
+  }
+
+  /** Compose the next snapshot's SEGMENT structure from its parent —
+    * the O(delta) core: segments whose files are all still live (and
+    * untouched by `fresh` stats) carry BY REFERENCE; everything else —
+    * survivors of partially-dead segments, newly added files, and (for
+    * list-length bounding) the smallest carried segments once the
+    * count would exceed [[MaxSegments]] — folds into ONE new delta
+    * segment. A pure append therefore writes one segment of exactly
+    * its own files; metadata written per commit is proportional to the
+    * CHANGE, amortized, never to the table. Returns the snapshot (with
+    * the resolved in-memory files/stats view) plus the (name, json)
+    * payloads of segments this commit introduces. */
+  private def compose(tableDir: Path, prev: Option[Snapshot],
+                      files: Seq[String], operation: String,
+                      fresh: Map[String, FileStats.FileStat],
+                      dropped: Seq[Long] = Seq.empty)
+      : (Snapshot, Seq[(String, String)]) = {
+    val prevFiles = prev.fold(Seq.empty[String])(_.files)
+    val newSet = files.toSet
+    val freshKeys = fresh.keySet
+    val prevSegs: Seq[(String, SegmentData)] =
+      prev.toSeq.flatMap(_.segments).map(r => r -> loadSegment(tableDir, r))
+    val (carriable, touched) = prevSegs.partition { case (_, d) =>
+      d.files.forall(newSet) && !d.files.exists(f => freshKeys(basename(f)))
+    }
+    // pre-segment (inline) manifests: their whole list is one virtual
+    // touched pool — the first post-upgrade commit restages it
+    val legacyPool: Seq[String] =
+      prev.toSeq.filter(_.segments.isEmpty).flatMap(_.files)
+    val legacyStats: Map[String, FileStats.FileStat] =
+      prev.filter(_.segments.isEmpty)
+        .fold(Map.empty[String, FileStats.FileStat])(_.stats)
+    // fold smallest carried segments into the delta once over the cap
+    val bySize = carriable.sortBy(_._2.files.size)
+    val overflow = math.max(0, bySize.size + 1 - MaxSegments)
+    val (absorbed, carried) = bySize.splitAt(overflow)
+    val prevAll = prevFiles.toSet
+    val deltaFiles = ((touched.flatMap(_._2.files) ++ legacyPool)
+      .filter(newSet) ++ files.filterNot(prevAll) ++
+      absorbed.flatMap(_._2.files)).distinct
+    val keep = deltaFiles.map(basename).toSet
+    val deltaStats = (touched.iterator.flatMap(_._2.stats) ++ legacyStats ++
+      absorbed.iterator.flatMap(_._2.stats) ++ fresh)
+      .filter { case (k, _) => keep(k) }.toMap
+    val newSeg =
+      if (deltaFiles.isEmpty) None
+      else {
+        val json = segmentJson(SegmentData(deltaFiles.sorted, deltaStats))
+        Some((segmentName(json), json))
+      }
+    val segRefs = carried.map(_._1) ++ newSeg.map(_._1)
+    val allStats = (carried.iterator.flatMap(_._2.stats) ++ deltaStats).toMap
+    val added = files.diff(prevFiles).size.toLong
+    val removed = prevFiles.diff(files).size.toLong
+    val s = Snapshot(prev.fold(0L)(_.version + 1L),
+      System.currentTimeMillis(), files, prev.map(_.version), operation,
+      Map("added-data-files" -> added, "removed-data-files" -> removed,
+        "total-data-files" -> files.size.toLong),
+      allStats, segRefs, dropped)
+    (s, newSeg.toSeq)
   }
 
   /** Blind set-the-file-list commit — rollback/restore semantics where
@@ -215,10 +565,16 @@ private[catalog] object Snapshots {
     Files.deleteIfExists(manifest(tableDir, v)); ()
   }
 
-  /** Every file referenced by ANY retained snapshot — the GC
-    * reachability set for expire/vacuum. */
-  def referencedFiles(tableDir: Path): Set[String] =
-    versions(tableDir).flatMap(read(tableDir, _)).flatMap(_.files).toSet
+  /** Every file referenced by ANY retained snapshot — MAIN and every
+    * BRANCH — the GC reachability set for expire/vacuum (a staged
+    * branch's files are live even though main never references them). */
+  def referencedFiles(tableDir: Path): Set[String] = {
+    val main = versions(tableDir).flatMap(read(tableDir, _))
+    val branched = branches(tableDir).flatMap { b =>
+      branchVersions(tableDir, b).flatMap(readBranch(tableDir, b, _))
+    }
+    (main ++ branched).flatMap(_.files).toSet
+  }
 
   /** The distinct partition directories (table-relative) of a file
     * list — the manifest-derived replacement for a filesystem
@@ -309,17 +665,47 @@ private[catalog] object Snapshots {
   }
 
   /** Fresh per-file stats for the files a commit ADDS, over the
-    * analyzed column set of the latest snapshot — reads ONLY the added
-    * files; the empty map (no read at all) when the table has never
-    * been analyzed or the added set is empty. Pass as a commit's
-    * `freshStats` so DML keeps per-snapshot stats live (the Iceberg
+    * analyzed column set — and, once a `bloom` snapshot exists, the
+    * Bloom-indexed column set with the SAME geometry — of the latest
+    * snapshot. Reads ONLY the added files; the empty map (no read at
+    * all) when the table has never been analyzed/bloom-indexed or the
+    * added set is empty. Pass as a commit's `freshStats` so DML keeps
+    * per-snapshot stats AND bitsets live (the Iceberg
     * writer-records-stats-inline model). */
   def freshStatsFor(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
                     added: Seq[String]): Map[String, FileStats.FileStat] = {
-    val cols = latest(tableDir).fold(Seq.empty[String])(
+    // column sets come from the snapshot the write will extend: the
+    // active branch head when a WAP session is staging, main otherwise
+    val last = activeReadBranch(tableDir)
+      .flatMap(latestBranch(tableDir, _)).orElse(latest(tableDir))
+    val cols = last.fold(Seq.empty[String])(
       _.stats.valuesIterator.flatMap(_.cols.keysIterator).toSeq.distinct.sorted)
-    if (cols.isEmpty || added.isEmpty) Map.empty
-    else FileStats.collectRanges(readFiles(spark, tableDir, added), cols)
+    // bloom surface of the latest snapshot: indexed columns + their
+    // (k, m) geometry — uniform per table (one bloom_index build)
+    val bloomEntries = last.toSeq.flatMap(
+      _.stats.valuesIterator.flatMap(_.blooms.iterator))
+    val bloomCols = bloomEntries.map(_._1).distinct.sorted
+    if ((cols.isEmpty && bloomCols.isEmpty) || added.isEmpty) return Map.empty
+    val df = readFiles(spark, tableDir, added)
+    val ranges =
+      if (cols.isEmpty) Map.empty[String, FileStats.FileStat]
+      else FileStats.collectRanges(df, cols)
+    val blooms =
+      if (bloomCols.isEmpty) Map.empty[String, Map[String, Array[Byte]]]
+      else {
+        val (k, bits) = bloomEntries.headOption
+          .map { case (_, (k0, bs)) => (k0, bs.length * 8) }
+          .getOrElse((BloomIndex.DefaultProbes, BloomIndex.DefaultBits))
+        BloomIndex.collectBits(df, bloomCols.filter(df.columns.contains),
+          bits, k)
+      }
+    val k = bloomEntries.headOption.map(_._2._1)
+      .getOrElse(BloomIndex.DefaultProbes)
+    (ranges.keySet ++ blooms.keySet).iterator.map { f =>
+      val base = ranges.getOrElse(f, FileStats.FileStat(None, Map.empty))
+      f -> base.copy(blooms = blooms.getOrElse(f, Map.empty)
+        .view.mapValues(bs => (k, bs)).toMap)
+    }.toMap
   }
 
   /** The CURRENT (latest-manifest) live files of a versioned table as
@@ -332,11 +718,10 @@ private[catalog] object Snapshots {
     else Some(latest(tableDir).filter(_.files.nonEmpty)
       .map(s => readFiles(spark, tableDir, s.files)))
 
-  /** One optimistic publish attempt: serialize, then hard-link into
-    * place — atomic create-if-absent on POSIX (two writers racing to
-    * the same version number: exactly one link succeeds). Returns
-    * false when another writer already published this version. */
-  private def tryPublish(tableDir: Path, s: Snapshot): Boolean = {
+  /** The manifest-list serialization: segment refs when the snapshot
+    * is segmented, the legacy inline files/stats block otherwise
+    * (empty snapshots, pre-upgrade manifests). */
+  private def manifestJson(s: Snapshot): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("version", s.version)
@@ -347,18 +732,236 @@ private[catalog] object Snapshots {
       val sm = root.putObject("summary")
       s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     }
-    val arr = root.putArray("files")
-    s.files.sorted.foreach(arr.add)
-    if (s.stats.nonEmpty) root.set("stats", FileStats.statsToNode(om, s.stats))
-    val target = manifest(tableDir, s.version)
+    if (s.dropped.nonEmpty) {
+      val dr = root.putArray("dropped")
+      s.dropped.sorted.foreach(dr.add)
+    }
+    if (s.segments.nonEmpty) {
+      val sg = root.putArray("segments")
+      s.segments.sorted.foreach(sg.add)
+    } else {
+      val arr = root.putArray("files")
+      s.files.sorted.foreach(arr.add)
+      if (s.stats.nonEmpty)
+        root.set("stats", FileStats.statsToNode(om, s.stats))
+    }
+    om.writeValueAsString(root)
+  }
+
+  /** Persist segment payloads (content-addressed, create-if-absent):
+    * an existing target IS this content — racing writers of the same
+    * delta converge on one file; nothing is ever overwritten. */
+  private def writeSegments(snapDir: Path,
+                            segs: Seq[(String, String)]): Unit =
+    segs.foreach { case (name, json) =>
+      val target = snapDir.resolve(name)
+      if (!Files.exists(target)) {
+        val tmp = target.resolveSibling(name + "." +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+        Files.writeString(tmp, json)
+        try { Files.createLink(target, tmp); () }
+        catch { case _: FileAlreadyExistsException => () }
+        finally { Files.deleteIfExists(tmp); () }
+      }
+    }
+
+  /** One optimistic publish attempt: persist any new segments first
+    * (a lost race leaves only content-addressed segments the winner
+    * usually shares anyway — never a torn manifest), then hard-link
+    * the manifest list into place — atomic create-if-absent on POSIX
+    * (two writers racing to the same version number: exactly one link
+    * succeeds). Returns false when another writer already published
+    * this version. */
+  private def tryPublish(tableDir: Path, s: Snapshot,
+                         newSegs: Seq[(String, String)] = Seq.empty): Boolean =
+    tryPublishIn(tableDir, dir(tableDir), s, newSegs)
+
+  /** [[tryPublish]] against an explicit log dir: segments always land
+    * in the table's SHARED pool (`_graft_snapshots/m-*.json`), only
+    * the manifest list goes to the (main or branch) log. */
+  private def tryPublishIn(tableDir: Path, logDir: Path, s: Snapshot,
+                           newSegs: Seq[(String, String)] = Seq.empty): Boolean = {
+    writeSegments(dir(tableDir), newSegs)
+    val target = logDir.resolve(s"s-${s.version}.json")
     // per-attempt unique temp name: concurrent losers must not clobber
     // each other's temp files either
     val tmp = target.resolveSibling(
       target.getFileName.toString + "." +
         java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    Files.writeString(tmp, om.writeValueAsString(root))
+    Files.writeString(tmp, manifestJson(s))
     try { Files.createLink(target, tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** Segment refs of every retained manifest — MAIN and every BRANCH —
+    * the GC reachability set for the metadata files themselves. */
+  def referencedSegments(tableDir: Path): Set[String] = {
+    val main = versions(tableDir).flatMap(readMeta(tableDir, _))
+    val branched = branches(tableDir).flatMap { b =>
+      versionsIn(branchDir(tableDir, b))
+        .flatMap(readMetaIn(branchDir(tableDir, b), _))
+    }
+    (main ++ branched).flatMap(_.segments).toSet
+  }
+
+  /** Segment files on disk referenced by NO retained manifest — a
+    * crash between a loser's segment write and nothing, or between
+    * expire's commit and its GC. Age-guarded deletion is vacuum's
+    * job (an in-flight commit publishes segments before its
+    * manifest). */
+  def orphanSegments(tableDir: Path): Seq[Path] = {
+    val d = dir(tableDir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val refd = referencedSegments(tableDir)
+    val s = Files.list(d)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("m-") && n.endsWith(".json") && !refd(n)
+    }.toSeq
+    finally s.close()
+  }
+
+  /** Was `v` scheduled for removal by a still-retained `expire`
+    * commit? The transition-window guard: between an expire's commit
+    * (its linearization point) and its manifest deletions, the dropped
+    * manifests are still on disk — a rollback that validated them as
+    * present must STILL conflict, or it publishes a manifest over
+    * files the in-flight expire is about to GC. */
+  def droppedByRetainedExpire(tableDir: Path, v: Long): Boolean =
+    versions(tableDir).reverseIterator
+      .flatMap(readMeta(tableDir, _))
+      .exists(s => s.operation == "expire" && s.dropped.contains(v))
+
+  /** Snapshot expiry as an OPTIMISTIC COMMIT (the Iceberg
+    * metadata-pointer-CAS discipline, expressed in this log's
+    * version-slot form): the expire publishes an `expire` snapshot —
+    * same live files as its parent, the dropped version list recorded
+    * commit-atomically — and only THEN deletes the dropped manifests
+    * and garbage-collects unreferenced data files and segments. Any
+    * concurrent commit (rollback included) either linearizes BEFORE
+    * the expire (its published files join the retained reachability
+    * set the GC honors) or AFTER it (the OCC retry re-validates
+    * against a latest whose chain records the drops — a rollback to a
+    * dropped version raises [[CommitConflictException]] instead of
+    * publishing over GC'd files). `pinnedOf` re-reads the tag pins on
+    * every retry, so a tag created before the expire's final attempt
+    * is always honored. Returns the dropped versions (empty = no-op,
+    * nothing committed). */
+  def commitExpire(tableDir: Path, keep: Int,
+                   pinnedOf: () => Set[Long]): Seq[Long] = {
+    require(keep >= 1, "expire_snapshots: keep must be >= 1")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prev = latest(tableDir)
+      val vs = versions(tableDir)
+      val pinned = pinnedOf()
+      val retained = (vs.takeRight(keep) ++ vs.filter(pinned)).distinct
+      val dropped = vs.filterNot(retained.contains)
+      if (dropped.isEmpty) return Seq.empty
+      val (s, newSegs) = compose(tableDir, prev,
+        prev.fold(Seq.empty[String])(_.files), "expire", Map.empty, dropped)
+      if (tryPublish(tableDir, s, newSegs)) {
+        gcAfterExpire(tableDir, dropped)
+        return dropped
+      }
+      if (attempt >= MaxAttempts)
+        throw new CommitConflictException(
+          s"$tableDir: lost the commit race $MaxAttempts times " +
+            "(operation=expire) — giving up; re-run the operation")
+      Thread.sleep(
+        java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(1L, 5L * attempt))
+    }
+    Seq.empty // unreachable
+  }
+
+  /** Post-commit expire cleanup: delete the dropped manifests, then
+    * GC exactly `droppedRefs -- retainedRefs` — never "unreferenced on
+    * disk" (an in-flight commit publishes data files and segments
+    * BEFORE its manifest, so a just-published file is momentarily
+    * referenced by nothing; files from dropped manifests are provably
+    * snapshot-aged, true orphans are vacuum's age-guarded job). The
+    * retained set is listed AFTER the deletions, so commits that
+    * landed after the expire's linearization point only ADD
+    * protection. */
+  private def gcAfterExpire(tableDir: Path, dropped: Seq[Long]): Unit = {
+    val droppedSnaps = dropped.flatMap(read(tableDir, _))
+    val droppedRefs = droppedSnaps.flatMap(_.files).toSet
+    val droppedSegs = droppedSnaps.flatMap(_.segments).toSet
+    dropped.foreach(delete(tableDir, _))
+    val live = referencedFiles(tableDir)
+    droppedRefs.diff(live).toSeq.sorted
+      .map(Paths.get(_))
+      .foreach { rel =>
+        Files.deleteIfExists(tableDir.resolve(rel))
+        val crc = tableDir.resolve(rel).resolveSibling(
+          "." + rel.getFileName.toString + ".crc")
+        Files.deleteIfExists(crc)
+      }
+    val liveSegs = referencedSegments(tableDir)
+    droppedSegs.diff(liveSegs).foreach { ref =>
+      Files.deleteIfExists(dir(tableDir).resolve(ref)); ()
+    }
+    // remove now-empty partition dirs bottom-up (multi-level identity
+    // specs nest)
+    leafDirsOf(droppedRefs.toSeq).map(tableDir.resolve).foreach { d =>
+      var cur = d
+      while (cur != tableDir && Files.isDirectory(cur) && {
+        val s = Files.list(cur)
+        try !s.iterator().hasNext finally s.close()
+      }) {
+        Files.delete(cur)
+        cur = cur.getParent
+      }
+    }
+  }
+
+  /** `CALL migrate`'s atomic flip: build the ENTIRE initial snapshot
+    * log (segment + `s-0`) in a temp directory and rename it into
+    * place — [[isVersioned]] flips on directory presence, so a reader
+    * racing the migration sees either the plain table or a complete
+    * log, never a versioned-looking directory with no manifest (which
+    * would read as an EMPTY table). The rename also arbitrates
+    * concurrent migrates: exactly one wins; losers raise
+    * [[CommitConflictException]]. */
+  def migrateInit(tableDir: Path, files: Seq[String]): Long = {
+    val target = dir(tableDir)
+    if (Files.isDirectory(target)) throw new CommitConflictException(
+      s"$tableDir: already manifest-versioned (concurrent migrate?)")
+    val tmp = tableDir.resolve(DirName + ".__tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.createDirectories(tmp)
+    try {
+      val segs =
+        if (files.isEmpty) Seq.empty
+        else {
+          val json = segmentJson(SegmentData(files.sorted, Map.empty))
+          Seq((segmentName(json), json))
+        }
+      segs.foreach { case (n, j) => Files.writeString(tmp.resolve(n), j); () }
+      val s = Snapshot(0L, System.currentTimeMillis(), files, None, "migrate",
+        Map("added-data-files" -> files.size.toLong,
+          "removed-data-files" -> 0L,
+          "total-data-files" -> files.size.toLong),
+        segments = segs.map(_._1))
+      Files.writeString(tmp.resolve("s-0.json"), manifestJson(s))
+      try { Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE); 0L }
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          throw new CommitConflictException(
+            s"$tableDir: a concurrent migrate published first " +
+              s"(${e.getClass.getSimpleName}) — re-run against the " +
+              "migrated table if needed")
+      }
+    } finally {
+      if (Files.isDirectory(tmp)) {
+        val s = Files.walk(tmp)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        finally s.close()
+      }
+    }
   }
 }

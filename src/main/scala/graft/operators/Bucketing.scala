@@ -542,6 +542,109 @@ object Bucketing2 {
         coalesce(col("chars_cur"), lit(0L)).cast("bigint").as("chars_cur"))
       .orderBy("source")
   }
+
+  /** Write-audit-publish end-to-end (r13, Iceberg's wap.branch flow):
+    * land raw documents on a versioned table (s-1), fork a staging
+    * BRANCH, route the session's writes to it (`graft.write.branch`)
+    * and stage the curation DELETE there, AUDIT the staged content by
+    * branch name while proving MAIN never saw the staged write, then
+    * `fast_forward` publishes the branch head as one atomic main
+    * commit. Per source: the raw census, main's census DURING staging
+    * (= raw — the isolation proof), and the published census. Oracle
+    * reconstructs all three from the raw parquet (main-during-staging
+    * must equal raw; published = the quality filter's survivors). */
+  def wapPublishCensus(documents: DataFrame, workDir: String): DataFrame = {
+    val spark = documents.sparkSession
+    val cat = "glakewap"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.docs_wap (
+         |  doc_id BIGINT, lang STRING, n_chars BIGINT, source STRING)
+         |PARTITIONED BY (source)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    documents.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+      .write.mode("append").insertInto(s"$cat.m.docs_wap")       // s-1
+    spark.sql(s"CALL $cat.system.branch('m.docs_wap', 'staging')")
+    spark.conf.set("graft.write.branch", "staging")
+    try {
+      // STAGE the curation on the branch: short docs out
+      spark.sql(s"DELETE FROM $cat.m.docs_wap WHERE n_chars < 200")
+      // AUDIT: main during staging (conf-independent raw read) vs the
+      // staged branch content
+      spark.conf.unset("graft.write.branch")
+      spark.catalog.clearCache()
+      val mainDuring = spark.sql(
+        s"""SELECT source, count(*) AS n_main_during_stage
+           |FROM $cat.m.docs_wap GROUP BY 1""".stripMargin)
+      val staged = spark.sql(
+        s"""SELECT source, count(*) AS n_staged,
+           |  sum(n_chars) AS chars_staged
+           |FROM $cat.m.docs_wap VERSION AS OF 'staging'
+           |GROUP BY 1""".stripMargin)
+      // PUBLISH: one atomic main commit
+      spark.sql(s"CALL $cat.system.fast_forward('m.docs_wap', 'staging')")
+      spark.catalog.clearCache()
+      val published = spark.sql(
+        s"""SELECT source, count(*) AS n_published
+           |FROM $cat.m.docs_wap GROUP BY 1""".stripMargin)
+      val raw = spark.sql(
+        s"""SELECT source, count(*) AS n_raw
+           |FROM $cat.m.docs_wap VERSION AS OF 1 GROUP BY 1""".stripMargin)
+      raw.join(mainDuring, Seq("source"))
+        .join(staged, Seq("source"), "left")
+        .join(published, Seq("source"), "left")
+        .select(col("source"),
+          col("n_raw").cast("bigint").as("n_raw"),
+          col("n_main_during_stage").cast("bigint").as("n_main_during_stage"),
+          coalesce(col("n_staged"), lit(0L)).cast("bigint").as("n_staged"),
+          coalesce(col("chars_staged"), lit(0L)).cast("bigint")
+            .as("chars_staged"),
+          coalesce(col("n_published"), lit(0L)).cast("bigint")
+            .as("n_published"))
+        .orderBy("source")
+    } finally spark.conf.unset("graft.write.branch")
+  }
+
+  /** Batch change feed over a version range (r13, Delta's
+    * `table_changes`): build a DML history on a versioned table —
+    * insert (s-1), partition-level DELETE (s-2), row-level UPDATE
+    * (s-3) — then read `tableChanges(0, 3)` and census it per (op,
+    * version): row counts and before/after cents. The oracle
+    * re-derives every version's changeset from the raw parquet with
+    * the same filters, so the feed's CONTENT (not just its counts) is
+    * what hashes. */
+  def tableChangesCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glaketc"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_tc (
+         |  o_orderkey BIGINT, o_orderpriority STRING,
+         |  o_totalprice DOUBLE, o_orderstatus STRING)
+         |PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    orders.select(col("o_orderkey").cast("long"), col("o_orderpriority"),
+        col("o_totalprice").cast("double"), col("o_orderstatus"))
+      .write.mode("append").insertInto(s"$cat.m.orders_tc")     // s-1
+    spark.sql(s"DELETE FROM $cat.m.orders_tc WHERE o_orderstatus = 'F'") // s-2
+    spark.sql(
+      s"""UPDATE $cat.m.orders_tc SET o_totalprice = o_totalprice * 2
+         |WHERE o_orderpriority = '1-URGENT'""".stripMargin)    // s-3
+    val feed = graft.catalog.Catalog.readTableChanges(
+      spark, s"$cat.m.orders_tc", Seq("o_orderkey"), 0L, 3L)
+    feed.groupBy(col("op"), col("version"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(coalesce(floor(col("before.o_totalprice") * 100), lit(0L)))
+          .cast("bigint").as("cents_before"),
+        sum(coalesce(floor(col("after.o_totalprice") * 100), lit(0L)))
+          .cast("bigint").as("cents_after"))
+      .orderBy("version", "op")
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entries: the

@@ -38,6 +38,84 @@ object ChangeFeed {
     diff(a, b, keys)
   }
 
+  /** The feed of ONE committed version, shared by the streaming
+    * source ([[org.apache.spark.sql.graft.ChangeFeedSourceProvider]])
+    * and the batch range surface ([[tableChanges]]): the earliest
+    * retained snapshot emits whole as inserts (`c`, before NULL — the
+    * CDC initial-load phase); every later version emits the snapshot
+    * diff against its PARENT — the recorded commit anchor when the
+    * layout keeps one (manifest logs), else the listing predecessor.
+    * A recorded parent that has been EXPIRED while an older snapshot
+    * is retained (a tag-pinned retention hole) fails loudly: diffing
+    * against the wrong predecessor would silently re-derive a
+    * different changeset. A pure function of the immutable snapshots —
+    * the replay determinism both surfaces need. Output: `op, version,
+    * before, after`. */
+  def versionFeed(store: SnapshotReads, ver: Long, keys: Seq[String],
+                  row: org.apache.spark.sql.types.StructType): DataFrame = {
+    val vs = store.versions
+    val pred = store.parentOf(ver) match {
+      case Some(p) if vs.contains(p) => Some(p)
+      case Some(p) if vs.exists(_ < ver) =>
+        // a true retention HOLE: the parent expired but an OLDER
+        // snapshot is still retained (tag-pinned) — diffing against
+        // it would silently re-derive a different changeset
+        throw new IllegalStateException(
+          s"graft-changefeed: snapshot v=$ver was committed against " +
+            s"v=$p, which expire_snapshots has dropped while older " +
+            "snapshots remain retained — the diff cannot be re-derived; " +
+            "drop the pinned tag or restart from a snapshot at or after " +
+            s"v=$ver")
+      case Some(_) =>
+        // parent expired and NOTHING older is retained: v is the
+        // earliest survivor of routine trimming — the CDC initial-load
+        // phase (whole snapshot as inserts), exactly like a fresh table
+        None
+      case None => vs.filter(_ < ver).lastOption
+    }
+    pred match {
+      case None =>
+        store.read(ver).get.select(
+          lit("c").as("op"), lit(ver).as("version"),
+          lit(null).cast(row).as("before"),
+          struct(row.fieldNames.map(col).toSeq: _*).as("after"))
+      case Some(prev) =>
+        between(store, prev, ver, keys)
+          .select(col("op"), lit(ver).as("version"),
+            col("before"), col("after"))
+    }
+  }
+
+  /** BATCH change feed over a version RANGE — Delta's `table_changes`
+    * next to the stream: the per-version feeds of every retained
+    * version in `(from, to]`, concatenated. By construction,
+    * `applyChangelog(snapshot(from), tableChanges(from, to)) ==
+    * snapshot(to)` — a downstream consumer reconciles any two
+    * snapshots without re-reading the full table, and the result is
+    * IDENTICAL to what the streaming source would emit over the same
+    * range (same [[versionFeed]], same hole detection). One
+    * distributed union of per-version equi-join diffs; nothing
+    * driver-sized. */
+  def tableChanges(store: SnapshotReads, from: Long, to: Long,
+                   keys: Seq[String]): DataFrame = {
+    require(from <= to, s"tableChanges: from=$from must be <= to=$to")
+    val vs = store.versions
+    require(vs.nonEmpty, "tableChanges: no committed snapshots")
+    val covered = vs.filter(v => v > from && v <= to)
+    val row = store.read(vs.head).get.schema
+    covered.map(versionFeed(store, _, keys, row))
+      .reduceOption(_ unionAll _)
+      .getOrElse(org.apache.spark.sql.SparkSession.active.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("before", row),
+          org.apache.spark.sql.types.StructField("after", row)))))
+  }
+
   /** [[between]] on two already-loaded snapshots. */
   def diff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = b.columns.toSeq

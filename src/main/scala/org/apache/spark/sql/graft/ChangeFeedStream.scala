@@ -195,49 +195,14 @@ private[graft] final class ChangeFeedSource(
     case other => other.json().trim.toLong
   }
 
-  /** The feed of ONE committed version: the earliest snapshot emits
-    * whole as inserts (`c`, before NULL — the CDC initial-load
-    * phase); every later version emits the snapshot diff against its
-    * PARENT — the recorded commit anchor when the layout keeps one
-    * (manifest logs), else the listing predecessor. A recorded parent
-    * that has been EXPIRED while an older snapshot is retained (a
-    * tag-pinned retention hole) fails loudly: diffing against the
-    * wrong predecessor would silently re-derive a different
-    * changeset. A pure function of the immutable snapshots — the
-    * replay determinism the checkpoint contract needs. */
-  private def versionFeed(ver: Long): DataFrame = {
-    val vs = store.versions
-    val pred = store.parentOf(ver) match {
-      case Some(p) if vs.contains(p) => Some(p)
-      case Some(p) if vs.exists(_ < ver) =>
-        // a true retention HOLE: the parent expired but an OLDER
-        // snapshot is still retained (tag-pinned) — diffing against
-        // it would silently re-derive a different changeset
-        throw new IllegalStateException(
-          s"graft-changefeed: snapshot v=$ver was committed against " +
-            s"v=$p, which expire_snapshots has dropped while older " +
-            "snapshots remain retained — the diff cannot be re-derived; " +
-            "drop the pinned tag or restart from a snapshot at or after " +
-            s"v=$ver")
-      case Some(_) =>
-        // parent expired and NOTHING older is retained: v is the
-        // earliest survivor of routine trimming — the CDC initial-load
-        // phase (whole snapshot as inserts), exactly like a fresh table
-        None
-      case None => vs.filter(_ < ver).lastOption
-    }
-    pred match {
-      case None =>
-        store.read(ver).get.select(
-          lit("c").as("op"), lit(ver).as("version"),
-          lit(null).cast(row).as("before"),
-          struct(row.fieldNames.map(col).toSeq: _*).as("after"))
-      case Some(prev) =>
-        graft.streaming.ChangeFeed.between(store, prev, ver, keys)
-          .select(col("op"), lit(ver).as("version"),
-            col("before"), col("after"))
-    }
-  }
+  /** The feed of ONE committed version — the SHARED derivation
+    * ([[graft.streaming.ChangeFeed.versionFeed]]), so the stream and
+    * the batch `tableChanges` surface can never diverge (earliest
+    * retained snapshot as inserts, later versions as the diff against
+    * their RECORDED parent, tag-pinned retention holes failing
+    * loudly). */
+  private def versionFeed(ver: Long): DataFrame =
+    graft.streaming.ChangeFeed.versionFeed(store, ver, keys, row)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(versionOf)

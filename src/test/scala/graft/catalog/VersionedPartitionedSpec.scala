@@ -208,11 +208,19 @@ class VersionedPartitionedSpec extends SparkSpec {
         .count() == 2L, "rolled-back-over snapshots stay readable")
 
       // expire to the newest 1 + the tagged pin: s-1 (tagged) and s-4
-      // survive; the v1-only and v3-only files are GC'd from disk
+      // survive; the v1-only and v3-only files are GC'd from disk.
+      // r13: expiry IS a commit — it publishes an `expire` snapshot
+      // (s-5, same live files as s-4) recording the dropped versions
+      // BEFORE any deletion, so racing rollbacks/commits re-validate
+      // against it instead of publishing over GC'd files
       val before = dataFiles(dir)
       spark.sql(s"CALL $cat.system.expire_snapshots('m.t', 1)")
-      assert(Snapshots.versions(dir) == Seq(1L, 4L),
-        "expire keeps the newest keep=1 plus tagged snapshots")
+      assert(Snapshots.versions(dir) == Seq(1L, 4L, 5L),
+        "expire keeps the newest keep=1 plus tagged snapshots, and " +
+          "publishes its own audit commit")
+      val exp = Snapshots.readMeta(dir, 5L).get
+      assert(exp.operation == "expire" && exp.dropped == Seq(0L, 2L, 3L),
+        s"the expire commit must record its drops, got $exp")
       val after = dataFiles(dir)
       val live = Snapshots.referencedFiles(dir)
       assert(after.toSet == live,
