@@ -341,7 +341,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: ${ident.toString} has no snapshot s-$v " +
           s"(committed: ${svs.mkString(",")} — older snapshots may have " +
           "been expired)")
-      return snapTable(Snapshots.read(p, v).get)
+      // the read itself can race an expire's manifest deletion — same
+      // informative error, never a bare None.get
+      return snapTable(Snapshots.read(p, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"$catalogName: ${ident.toString} has no snapshot s-$v " +
+            "(a concurrent expire_snapshots dropped it)")))
     }
     val vs = versionsOf(p)
     if (vs.isEmpty) throw new UnsupportedOperationException(

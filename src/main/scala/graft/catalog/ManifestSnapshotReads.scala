@@ -38,6 +38,17 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
   override def parentOf(version: Long): Option[Long] =
     Snapshots.readMeta(tableDir, version).flatMap(_.parent)
 
+  /** Audit commits (expire) record added=removed=0: provably
+    * content-identical — the feed can skip their diff join. */
+  override def noopCommit(version: Long): Boolean =
+    Snapshots.readMeta(tableDir, version).exists(s =>
+      s.summary.get("added-data-files").contains(0L) &&
+        s.summary.get("removed-data-files").contains(0L) &&
+        s.parent.isDefined)
+
+  /** The declared logical schema — zero data IO. */
+  override def rowSchema: org.apache.spark.sql.types.StructType = logical
+
   override def read(version: Long): Option[DataFrame] =
     Snapshots.read(tableDir, version).map { s =>
       if (s.files.isEmpty)

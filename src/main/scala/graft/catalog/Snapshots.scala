@@ -186,6 +186,21 @@ private[catalog] object Snapshots {
     if (!tryPublishIn(tableDir, bd, s))
       throw new CommitConflictException(
         s"branch '$name': concurrent create won — re-run")
+    // expire-race re-validation (the tag discipline): between reading
+    // the head and publishing b-0, a concurrent expire may have
+    // dropped the fork snapshot and GC'd its segments/files — before
+    // the branch dir existed, reachability could not protect them. A
+    // branch referencing GC'd segments would brick every later
+    // reachability walk, so re-check AFTER the branch is visible and
+    // self-revoke on conflict.
+    if (readMeta(tableDir, head.version).isEmpty ||
+        droppedByRetainedExpire(tableDir, head.version)) {
+      dropBranch(tableDir, name)
+      throw new CommitConflictException(
+        s"branch '$name': the fork snapshot s-${head.version} was " +
+          "dropped (or scheduled for removal) by a concurrent " +
+          "expire_snapshots — re-run against the current head")
+    }
     head.version
   }
 
@@ -226,16 +241,21 @@ private[catalog] object Snapshots {
     * the branch's files died (expire GC). Returns the new main
     * version. */
   def fastForward(tableDir: Path, name: String): Long = {
-    val head = latestBranch(tableDir, name).getOrElse(
+    val fork = branchFork(tableDir, name).getOrElse(
       throw new IllegalArgumentException(
         s"fast_forward: no branch '$name' " +
           s"(branches: ${branches(tableDir).mkString(",")})"))
-    val fork = branchFork(tableDir, name).getOrElse(
-      throw new IllegalStateException(
-        s"fast_forward: branch '$name' records no fork version"))
     var attempt = 0
     while (true) {
       attempt += 1
+      // the branch head is re-read PER ATTEMPT, and re-checked after
+      // the win below — a branch commit racing the publish must never
+      // be silently excluded from a "successful" fast_forward
+      val head = latestBranch(tableDir, name).getOrElse(
+        throw new CommitConflictException(
+          s"fast_forward: branch '$name' vanished mid-publish " +
+            "(concurrent drop_branch?) — re-run"))
+      val headVersion = branchVersions(tableDir, name).last
       val main = latest(tableDir)
       if (!main.exists(_.version == fork))
         throw new CommitConflictException(
@@ -257,7 +277,20 @@ private[catalog] object Snapshots {
             prevFiles.diff(head.files).size.toLong,
           "total-data-files" -> head.files.size.toLong),
         head.stats, head.segments)
-      if (tryPublishIn(tableDir, dir(tableDir), s)) return s.version
+      if (tryPublishIn(tableDir, dir(tableDir), s)) {
+        // a branch commit that landed between the head read and the
+        // main link is NOT lost (it stays staged on the branch) but it
+        // is NOT published either — report loudly instead of letting
+        // a "success" imply the whole branch shipped
+        if (branchVersions(tableDir, name).lastOption.exists(_ != headVersion))
+          throw new CommitConflictException(
+            s"fast_forward: published the branch head as of b-$headVersion " +
+              s"(main s-${s.version}), but a concurrent branch commit " +
+              "landed during the publish and is NOT included — it " +
+              "remains staged on the branch; re-create the branch from " +
+              "the new main head and re-stage it")
+        return s.version
+      }
       if (attempt >= MaxAttempts) throw new CommitConflictException(
         s"fast_forward: lost the commit race $MaxAttempts times — re-run")
       Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()

@@ -90,18 +90,22 @@ private[catalog] object Tags {
     // same tag: a loser's read lands on the winner's deletion — treat
     // NoSuchFile as absent, and let deleteIfExists's boolean decide
     // which racer reports the dropped version (exactly one does)
-    val perTagV =
+    // Some(vOpt) = a per-tag file was read (version None when the
+    // JSON is corrupt/truncated — still DELETE it, or the tag becomes
+    // un-droppable); None = no per-tag file
+    val perTag: Option[Option[Long]] =
       try {
         if (!Files.exists(f)) None
         else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          Option(om.readTree(Files.readString(f)).get("version"))
-            .map(_.asLong())
+          Some(Option(om.readTree(Files.readString(f)).get("version"))
+            .map(_.asLong()))
         }
       } catch { case _: java.nio.file.NoSuchFileException => None }
-    perTagV match {
-      case Some(v) if Files.deleteIfExists(f) => Some(v)
-      case Some(_) => None // concurrent drop won between read and delete
+    perTag match {
+      case Some(vOpt) =>
+        if (Files.deleteIfExists(f)) vOpt
+        else None // concurrent drop won between read and delete
       case None =>
         val cur = legacy(tableDir)
         cur.get(name).map { v => writeLegacy(tableDir, cur - name); v }

@@ -54,6 +54,12 @@ object ChangeFeed {
   def versionFeed(store: SnapshotReads, ver: Long, keys: Seq[String],
                   row: org.apache.spark.sql.types.StructType): DataFrame = {
     val vs = store.versions
+    // audit commits (expire: added=removed=0 recorded in the manifest)
+    // are provably content-identical to their parent — emit the empty
+    // feed without paying a full-table diff join per covered expire
+    if (store.noopCommit(ver) &&
+        store.parentOf(ver).exists(vs.contains))
+      return emptyFeed(row)
     val pred = store.parentOf(ver) match {
       case Some(p) if vs.contains(p) => Some(p)
       case Some(p) if vs.exists(_ < ver) =>
@@ -102,19 +108,26 @@ object ChangeFeed {
     val vs = store.versions
     require(vs.nonEmpty, "tableChanges: no committed snapshots")
     val covered = vs.filter(v => v > from && v <= to)
-    val row = store.read(vs.head).get.schema
+    // manifest logs serve the schema from metadata (zero IO); the flat
+    // store reads one parquet footer
+    val row = store.rowSchema
     covered.map(versionFeed(store, _, keys, row))
       .reduceOption(_ unionAll _)
-      .getOrElse(org.apache.spark.sql.SparkSession.active.createDataFrame(
-        java.util.List.of[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("op",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("version",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("before", row),
-          org.apache.spark.sql.types.StructField("after", row)))))
+      .getOrElse(emptyFeed(row))
   }
+
+  /** The empty change feed with the envelope schema for `row`. */
+  private def emptyFeed(
+      row: org.apache.spark.sql.types.StructType): DataFrame =
+    org.apache.spark.sql.SparkSession.active.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("before", row),
+        org.apache.spark.sql.types.StructField("after", row))))
 
   /** [[between]] on two already-loaded snapshots. */
   def diff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {

@@ -33,6 +33,17 @@ trait SnapshotReads {
     * (flat `v=<n>` stores, pre-parent manifests): the feed falls back
     * to the listing predecessor. */
   def parentOf(version: Long): Option[Long] = None
+  /** Is `version` a provably CONTENT-IDENTICAL commit over its parent
+    * (an `expire`/audit snapshot — added=removed=0 in its recorded
+    * summary)? The change feed skips the full-table diff join for
+    * these; false = unknown, derive normally. */
+  def noopCommit(version: Long): Boolean = false
+  /** The snapshot ROW schema, preferably without data IO (manifest
+    * logs hold the declared schema as metadata; the flat store falls
+    * back to reading its earliest snapshot's parquet footer). */
+  def rowSchema: org.apache.spark.sql.types.StructType =
+    read(versions.headOption.getOrElse(throw new IllegalArgumentException(
+      "no committed snapshots to derive a schema from"))).get.schema
 }
 
 final class StateStore(spark: SparkSession, dir: String)

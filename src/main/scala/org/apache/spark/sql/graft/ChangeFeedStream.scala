@@ -67,16 +67,16 @@ private[graft] object ChangeFeedSource {
     StructField("before", row, nullable = true),
     StructField("after", row, nullable = true)))
 
-  /** The snapshot row schema — from the earliest committed version
-    * (schemas are append-stable across commits of a PK table). */
+  /** The snapshot row schema (append-stable across commits of a PK
+    * table) — metadata-served for manifest logs, one parquet footer
+    * for the flat store. */
   def rowSchema(sqlContext: SQLContext,
                 parameters: Map[String, String]): StructType = {
     val store = storeFor(sqlContext, parameters)
-    val first = store.versions.headOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-changefeed: '${parameters("path")}' has no committed " +
-          "v=<n> snapshots to stream"))
-    store.read(first).get.schema
+    if (store.versions.isEmpty) throw new IllegalArgumentException(
+      s"graft-changefeed: '${parameters("path")}' has no committed " +
+        "v=<n> snapshots to stream")
+    store.rowSchema
   }
 
   /** The snapshot reader for `path`: a manifest log for versioned
@@ -144,27 +144,45 @@ private[graft] final class ChangeFeedSource(
     * catch-up batch (content stays exactly-once because batches
     * always span (committed, offered]). Checkpoints from builds
     * before this floor existed should restart fresh. */
-  private val floorFile: Option[java.nio.file.Path] =
+  // The floor lives on the CHECKPOINT's filesystem (the Hadoop Path
+  // API the checkpoint itself uses) — a local-path shortcut would
+  // silently park the floor on the driver's local disk for hdfs://
+  // or s3a:// checkpoints, and the restart-duplicate bug would return
+  // on exactly the deployments that restart on different nodes.
+  private val floorPath: Option[(org.apache.hadoop.fs.FileContext,
+      org.apache.hadoop.fs.Path)] =
     metadataPath.filter(_ => maxVersionsPerTrigger.isDefined).map { mp =>
-      val p = if (mp.startsWith("file:"))
-        java.nio.file.Paths.get(java.net.URI.create(mp))
-      else java.nio.file.Paths.get(mp)
-      java.nio.file.Files.createDirectories(p)
-      p.resolve("_graft_pace_floor")
+      val p = new org.apache.hadoop.fs.Path(mp, "_graft_pace_floor")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        sqlContext.sparkSession.sessionState.newHadoopConf())
+      (fc, p)
     }
 
-  private def readFloor(): Option[Long] = floorFile.flatMap { f =>
-    if (!java.nio.file.Files.exists(f)) None
-    else java.nio.file.Files.readString(f).trim.toLongOption
+  private def readFloor(): Option[Long] = floorPath.flatMap { case (fc, p) =>
+    if (!fc.util().exists(p)) None
+    else {
+      val in = fc.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+      finally in.close()
+    }
   }
 
-  private def writeFloor(v: Long): Unit = floorFile.foreach { f =>
-    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+  private def writeFloor(v: Long): Unit = floorPath.foreach { case (fc, p) =>
+    // temp + FileContext rename(OVERWRITE) — the atomic-replace Spark's
+    // own checkpoint file manager relies on (local + HDFS; object
+    // stores PUT atomically on close). A torn floor only parses to
+    // None, which degrades to the legacy behavior, never to wrong
+    // content (batches span (committed, offered] regardless).
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // highest version offered to (or delivered by) the engine — seeded
