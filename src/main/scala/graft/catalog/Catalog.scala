@@ -120,7 +120,8 @@ object Catalog {
     * snapshots (exactly-once, `ChangeFeedStreamSpec`-pinned). Schema:
     * `op, version, before, after`. */
   def readStreamTable(spark: SparkSession, ref: String,
-                      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+                      keys: Seq[String],
+                      branch: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val parts = ref.split('.')
     require(parts.length == 3, s"expected cat.db.table, got '$ref'")
     val root = Option(spark.conf.get(s"spark.sql.catalog.${parts(0)}.path", null))
@@ -131,11 +132,13 @@ object Catalog {
     require(DeletableTable.versionsOf(dir).nonEmpty || Snapshots.isVersioned(dir),
       s"'$ref' is not a versioned table — tail its part files with " +
         "readStreamTable(spark, ref) instead")
-    spark.readStream
+    val reader = spark.readStream
       .format("org.apache.spark.sql.graft.ChangeFeedSourceProvider")
       .option("path", dir.toString)
       .option("keys", keys.mkString(","))
-      .load()
+    // branch: tail a staged WAP branch's commits as they land — the
+    // audit-as-a-stream surface (manifest tables only)
+    branch.fold(reader)(b => reader.option("branch", b)).load()
   }
 
   /** BATCH change feed of a versioned lake-catalog table over a
@@ -146,7 +149,8 @@ object Catalog {
     * (shared [[graft.streaming.ChangeFeed.versionFeed]]). Applying
     * the result to snapshot `from` reconstructs snapshot `to`. */
   def readTableChanges(spark: SparkSession, ref: String, keys: Seq[String],
-                       from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+                       from: Long, to: Long,
+                       branch: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val parts = ref.split('.')
     require(parts.length == 3, s"expected cat.db.table, got '$ref'")
     val root = Option(spark.conf.get(s"spark.sql.catalog.${parts(0)}.path", null))
@@ -155,10 +159,13 @@ object Catalog {
     val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
     require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
     val store: graft.streaming.SnapshotReads =
-      if (Snapshots.isVersioned(dir)) ManifestSnapshotReads(spark, dir.toString)
-      else if (DeletableTable.versionsOf(dir).nonEmpty)
+      if (Snapshots.isVersioned(dir))
+        ManifestSnapshotReads(spark, dir.toString, branch)
+      else if (DeletableTable.versionsOf(dir).nonEmpty) {
+        require(branch.isEmpty,
+          s"'$ref': branches apply to manifest-versioned tables only")
         new graft.streaming.StateStore(spark, dir.toString)
-      else throw new IllegalArgumentException(
+      } else throw new IllegalArgumentException(
         s"'$ref' is not a versioned table — no change feed to read")
     graft.streaming.ChangeFeed.tableChanges(store, from, to, keys)
   }

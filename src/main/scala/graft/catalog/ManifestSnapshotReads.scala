@@ -12,11 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * This is what lets the change-feed streaming source
   * ([[org.apache.spark.sql.graft.ChangeFeedSourceProvider]]) tail the
   * partitioned lake layout exactly like the flat `v=<n>` one. */
-final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
+final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
+                                  branch: Option[String] = None)
     extends graft.streaming.SnapshotReads {
 
   require(Snapshots.isVersioned(tableDir),
     s"$tableDir is not a manifest-versioned table")
+  branch.foreach(b => require(Snapshots.branchExists(tableDir, b),
+    s"$tableDir has no branch '$b' " +
+      s"(branches: ${Snapshots.branches(tableDir).mkString(",")})"))
 
   private val logical: org.apache.spark.sql.types.StructType = {
     val sidecar = tableDir.resolve("_graft_schema.json")
@@ -33,15 +37,32 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
   // alias back to logical (partition columns are never renamed)
   private val renames: Map[String, String] = Evolutions.renames(tableDir)
 
-  override def versions: Seq[Long] = Snapshots.versions(tableDir)
+  // main-log or branch-sub-log views of the same machinery (the
+  // branch feed is the WAP audit-as-a-stream surface)
+  private def versionsOf: Seq[Long] = branch match {
+    case Some(b) => Snapshots.branchVersions(tableDir, b)
+    case None => Snapshots.versions(tableDir)
+  }
+  private def metaOf(v: Long): Option[Snapshots.Snapshot] = branch match {
+    case Some(b) => Snapshots.readBranch(tableDir, b, v) // segments cheap
+    case None => Snapshots.readMeta(tableDir, v)
+  }
+  private def snapOf(v: Long): Option[Snapshots.Snapshot] = branch match {
+    case Some(b) => Snapshots.readBranch(tableDir, b, v)
+    case None => Snapshots.read(tableDir, v)
+  }
+
+  override def versions: Seq[Long] = versionsOf
 
   override def parentOf(version: Long): Option[Long] =
-    Snapshots.readMeta(tableDir, version).flatMap(_.parent)
+    metaOf(version).flatMap(_.parent)
 
-  /** Audit commits (expire) record added=removed=0: provably
-    * content-identical — the feed can skip their diff join. */
+  /** Audit commits (expire, branch forks) record added=removed=0:
+    * provably content-identical — the feed can skip their diff join.
+    * (A branch's b-0 fork has parent None, so it still emits as the
+    * initial load.) */
   override def noopCommit(version: Long): Boolean =
-    Snapshots.readMeta(tableDir, version).exists(s =>
+    metaOf(version).exists(s =>
       s.summary.get("added-data-files").contains(0L) &&
         s.summary.get("removed-data-files").contains(0L) &&
         s.parent.isDefined)
@@ -50,7 +71,7 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path)
   override def rowSchema: org.apache.spark.sql.types.StructType = logical
 
   override def read(version: Long): Option[DataFrame] =
-    Snapshots.read(tableDir, version).map { s =>
+    snapOf(version).map { s =>
       if (s.files.isEmpty)
         spark.createDataFrame(
           java.util.List.of[org.apache.spark.sql.Row](), logical)
@@ -86,6 +107,7 @@ object ManifestSnapshotReads {
   def isManifestVersioned(dir: String): Boolean =
     Snapshots.isVersioned(Paths.get(dir))
 
-  def apply(spark: SparkSession, dir: String): ManifestSnapshotReads =
-    new ManifestSnapshotReads(spark, Paths.get(dir))
+  def apply(spark: SparkSession, dir: String,
+            branch: Option[String] = None): ManifestSnapshotReads =
+    new ManifestSnapshotReads(spark, Paths.get(dir), branch)
 }

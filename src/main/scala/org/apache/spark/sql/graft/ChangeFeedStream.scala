@@ -80,16 +80,22 @@ private[graft] object ChangeFeedSource {
   }
 
   /** The snapshot reader for `path`: a manifest log for versioned
-    * PARTITIONED tables, the flat `v=<n>` store otherwise — the feed
-    * logic above is layout-agnostic through
+    * PARTITIONED tables (optionally a BRANCH sub-log via the `branch`
+    * option — the WAP audit-as-a-stream surface), the flat `v=<n>`
+    * store otherwise — the feed logic above is layout-agnostic through
     * [[graft.streaming.SnapshotReads]]. */
   def storeFor(sqlContext: SQLContext,
                parameters: Map[String, String]): graft.streaming.SnapshotReads = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-changefeed: 'path' option is required"))
+    val branch = parameters.get("branch").map(_.trim).filter(_.nonEmpty)
     if (graft.catalog.ManifestSnapshotReads.isManifestVersioned(path))
-      graft.catalog.ManifestSnapshotReads(sqlContext.sparkSession, path)
-    else new graft.streaming.StateStore(sqlContext.sparkSession, path)
+      graft.catalog.ManifestSnapshotReads(sqlContext.sparkSession, path, branch)
+    else {
+      require(branch.isEmpty,
+        "graft-changefeed: 'branch' applies to manifest-versioned tables only")
+      new graft.streaming.StateStore(sqlContext.sparkSession, path)
+    }
   }
 
   def keysOf(parameters: Map[String, String]): Seq[String] =

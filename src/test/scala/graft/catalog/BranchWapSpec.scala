@@ -2,6 +2,7 @@ package graft.catalog
 
 import graft.SparkSpec
 import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions.col
 
 /** r13 writable branches (Iceberg refs) + write-audit-publish:
   * `CALL branch` forks the snapshot chain by segment reference,
@@ -126,6 +127,80 @@ class BranchWapSpec extends SparkSpec {
         s"got ${msgs(we)}")
       spark.conf.unset(Snapshots.BranchConf)
       assert(rows(cat) == Seq(1L, 9L))
+    }
+  }
+
+  test("racing branch writes all land through the branch's own OCC loop; main untouched") {
+    withLake("wap4") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val dir = lake.resolve("m/t.parquet")
+      Seq((1L, "EU")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.sql(s"CALL $cat.system.branch('m.t', 'race')")
+      spark.conf.set(Snapshots.BranchConf, "race")
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (10 to 13).map(i => new Thread(() =>
+        try Seq((i.toLong, "EU")).toDF("n", "region")
+          .write.mode("append").insertInto(s"$cat.m.t")
+        catch { case t: Throwable => errors.add(t); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"branch appends must all merge: $errors")
+      assert(rows(cat) == Seq(1L, 10L, 11L, 12L, 13L))
+      val bvs = Snapshots.branchVersions(dir, "race")
+      assert(bvs == (0L to 4L), s"branch versions contiguous, got $bvs")
+      spark.conf.unset(Snapshots.BranchConf)
+      assert(rows(cat) == Seq(1L), "main untouched by the race")
+      assert(Snapshots.versions(dir) == Seq(0L, 1L))
+    }
+  }
+
+  test("change feed FROM a branch: batch tableChanges and the streaming source tail the staged commits") {
+    withLake("wap5") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq((1L, "EU")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")             // s-1
+      spark.sql(s"CALL $cat.system.branch('m.t', 'aud')")         // b-0
+      spark.conf.set(Snapshots.BranchConf, "aud")
+      Seq((2L, "EU")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")             // b-1
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 1")              // b-2
+      spark.conf.unset(Snapshots.BranchConf)
+      // BATCH: the staged changes since the fork, exactly
+      val feed = Catalog.readTableChanges(spark, s"$cat.m.t",
+          Seq("n"), 0L, 2L, branch = Some("aud"))
+        .select(col("op"), col("version"),
+          col("before.n").as("bn"), col("after.n").as("an"))
+        .as[(String, Long, Option[Long], Option[Long])].collect().toSet
+      assert(feed == Set(("c", 1L, None, Some(2L)),
+        ("d", 2L, Some(1L), None)), s"got $feed")
+      // STREAM: the branch tail emits fork content as initial load,
+      // then the staged commits
+      val out = java.nio.file.Files.createTempDirectory("wap5-out").toString
+      val q = Catalog.readStreamTable(spark, s"$cat.m.t", Seq("n"),
+          branch = Some("aud"))
+        .select(col("op"), col("version"),
+          col("before.n").as("bn"), col("after.n").as("an"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wap5-ck").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.read.parquet(out)
+        .as[(String, Long, Option[Long], Option[Long])].collect().toSet
+      assert(streamed == Set(
+        ("c", 0L, None, Some(1L)),   // fork content = initial load
+        ("c", 1L, None, Some(2L)),
+        ("d", 2L, Some(1L), None)), s"got $streamed")
+      // main's feed is untouched by the staging
+      val mainFeed = Catalog.readTableChanges(spark, s"$cat.m.t",
+        Seq("n"), 0L, 1L)
+      assert(mainFeed.where("op = 'd'").isEmpty)
     }
   }
 
