@@ -321,21 +321,23 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               s"but no declared schema ($SchemaSidecar) — corrupt table dir")),
           pspec, Some(snap), writable = false,
           renames = readEvolution(p).renames)
-      // non-numeric versions resolve as TAG first, then BRANCH head —
-      // `VERSION AS OF 'audit'` is the audit query of the WAP flow
-      // without touching the session conf
-      if (version.toLongOption.isEmpty && !Tags.read(p).contains(version) &&
+      // non-numeric versions resolve as TAG first (chain-carried pins,
+      // legacy sidecar included), then BRANCH head — `VERSION AS OF
+      // 'audit'` is the audit query of the WAP flow without touching
+      // the session conf
+      lazy val pins = Snapshots.effectivePins(p)
+      if (version.toLongOption.isEmpty && !pins.contains(version) &&
           Snapshots.branchExists(p, version))
         return snapTable(Snapshots.latestBranch(p, version).getOrElse(
           throw new IllegalStateException(
             s"$catalogName: branch '$version' has no committed snapshot")))
       val svs = Snapshots.versions(p)
       val v = version.toLongOption
-        .orElse(Tags.read(p).get(version))
+        .orElse(pins.get(version))
         .getOrElse(throw new IllegalArgumentException(
           s"$catalogName: VERSION AS OF expects a numeric snapshot id, a " +
             s"tag name, or a branch name, got '$version' (tags: " +
-            s"${Tags.read(p).keys.toSeq.sorted.mkString(",")}; branches: " +
+            s"${pins.keys.toSeq.sorted.mkString(",")}; branches: " +
             s"${Snapshots.branches(p).mkString(",")})"))
       if (!svs.contains(v)) throw new IllegalArgumentException(
         s"$catalogName: ${ident.toString} has no snapshot s-$v " +

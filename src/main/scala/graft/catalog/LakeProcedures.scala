@@ -94,27 +94,19 @@ private[catalog] object LakeProcedures {
               "belongs to raw snapshot ids")
           if (!log.versions.contains(v)) throw new IllegalArgumentException(
             s"tag: no snapshot v=$v (have ${log.versions.mkString(",")})")
-          // atomic create-if-absent: a same-name race has one winner,
-          // different-name races never clobber each other
-          if (!Tags.create(dir, name, v)) throw new IllegalArgumentException(
-            s"tag: '$name' already points at " +
-              s"v=${Tags.read(dir).getOrElse(name, -1L)} — drop_tag first")
-          // tag-vs-expire race (manifest logs): an expire whose final
-          // pin read predates this tag file may drop v — re-validate
-          // AFTER the tag is visible and self-revoke on conflict, so a
-          // "created" tag never silently points at a dying snapshot.
-          // (The residual window — an expire that read pins before
-          // this create and deletes between these two checks — closes
-          // fully only when tags join the commit chain; documented.)
-          if (Snapshots.isVersioned(dir) &&
-              (Snapshots.readMeta(dir, v).isEmpty ||
-                Snapshots.droppedByRetainedExpire(dir, v))) {
-            Tags.drop(dir, name)
-            throw new CommitConflictException(
-              s"tag: snapshot v=$v was dropped (or scheduled for " +
-                "removal) by a concurrent expire_snapshots — re-run " +
-                "against a retained snapshot")
-          }
+          if (Snapshots.isVersioned(dir))
+            // manifest tables: tag creation IS an OCC commit — the
+            // refreshed chain re-validates the target per attempt, so
+            // a racing expire either linearizes before (tag conflicts)
+            // or after (its pin read sees this commit's ref state):
+            // no sidecar-file window at all (r13)
+            Snapshots.commitTag(dir, name, v)
+          else
+            // flat stores: per-file atomic create (no manifest chain
+            // to race — their expire is the single-writer store op)
+            if (!Tags.create(dir, name, v)) throw new IllegalArgumentException(
+              s"tag: '$name' already points at " +
+                s"v=${Tags.read(dir).getOrElse(name, -1L)} — drop_tag first")
           Seq(InternalRow(v))
         })
       case "drop_tag" =>
@@ -122,17 +114,20 @@ private[catalog] object LakeProcedures {
           Seq("tbl" -> StringType, "name" -> StringType),
           new StructType().add("dropped_version", LongType)) { (dir, _, args) =>
           val name = args.getUTF8String(1).toString
-          val v = Tags.drop(dir, name).getOrElse(
+          val dropped =
+            if (Snapshots.isVersioned(dir)) Snapshots.commitDropTag(dir, name)
+            else Tags.drop(dir, name)
+          val v = dropped.getOrElse(
             throw new IllegalArgumentException(
               s"drop_tag: no tag '$name' (tags: " +
-                s"${Tags.read(dir).keys.toSeq.sorted.mkString(",")})"))
+                s"${pinsOf(dir).keys.toSeq.sorted.mkString(",")})"))
           Seq(InternalRow(v))
         })
       case "tags" =>
         Some(proc(root, "tags", Seq("tbl" -> StringType),
           new StructType().add("name", StringType).add("version", LongType)) {
           (dir, _, _) =>
-            Tags.read(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+            pinsOf(dir).toSeq.sortBy(_._1).map { case (n, v) =>
               InternalRow(UTF8String.fromString(n), v)
             }
         })
@@ -965,6 +960,13 @@ private[catalog] object LakeProcedures {
       ()
     }
   }
+
+  /** The effective tag pins of a table dir: chain-carried for
+    * manifest tables ([[Snapshots.effectivePins]], legacy sidecar
+    * included), sidecar-file for flat stores. */
+  private[catalog] def pinsOf(dir: Path): Map[String, Long] =
+    if (Snapshots.isVersioned(dir)) Snapshots.effectivePins(dir)
+    else Tags.read(dir)
 
   /** Guard for procedures that only exist on the manifest log
     * (branches). */

@@ -68,10 +68,11 @@ private[catalog] object MetadataTables {
       .add("version", LongType, nullable = true)
       .add("forked_from_version", LongType, nullable = true)
     local(s"$cat.${tableDir.getFileName}.refs", schema, { () =>
-      val tags = Tags.read(tableDir).toSeq.sortBy(_._1).map { case (n, v) =>
-        InternalRow(UTF8String.fromString(n), UTF8String.fromString("tag"),
-          Long.box(v), null)
-      }
+      val tags = LakeProcedures.pinsOf(tableDir).toSeq.sortBy(_._1)
+        .map { case (n, v) =>
+          InternalRow(UTF8String.fromString(n), UTF8String.fromString("tag"),
+            Long.box(v), null)
+        }
       val brs =
         if (!Snapshots.isVersioned(tableDir)) Seq.empty
         else Snapshots.branches(tableDir).map { b =>
@@ -112,7 +113,7 @@ private[catalog] object MetadataTables {
         else new graft.streaming.StateStore(
           org.apache.spark.sql.SparkSession.active, tableDir.toString)
           .commitTimeMs(v)
-      Tags.read(tableDir).toSeq.sortBy(_._1).map { case (n, v) =>
+      LakeProcedures.pinsOf(tableDir).toSeq.sortBy(_._1).map { case (n, v) =>
         InternalRow(UTF8String.fromString(n), v,
           commitMs(v).map(Long.box).orNull)
       }.toArray

@@ -85,13 +85,21 @@ private[catalog] object Snapshots {
     * the record that lets a racing rollback detect its target dying in
     * the window between the expire's commit and its manifest
     * deletions. */
+  /** `pins` (r13) is the tag REF STATE carried by every commit — the
+    * Iceberg model where refs live in the CURRENT metadata, not in
+    * history: `CALL tag`/`drop_tag` on a manifest table are OCC
+    * commits that modify the carried map, so expire's pin read (the
+    * refreshed latest inside ITS loop) is linearized with the tag
+    * operations on the same chain — the tag-vs-expire window a
+    * sidecar-file tag could never close. */
   final case class Snapshot(version: Long, commitMs: Long,
                             files: Seq[String], parent: Option[Long] = None,
                             operation: String = "",
                             summary: Map[String, Long] = Map.empty,
                             stats: Map[String, FileStats.FileStat] = Map.empty,
                             segments: Seq[String] = Seq.empty,
-                            dropped: Seq[Long] = Seq.empty)
+                            dropped: Seq[Long] = Seq.empty,
+                            pins: Map[String, Long] = Map.empty)
 
   private def dir(tableDir: Path): Path = tableDir.resolve(DirName)
 
@@ -182,7 +190,7 @@ private[catalog] object Snapshots {
       Map("fork-main-version" -> head.version,
         "added-data-files" -> 0L, "removed-data-files" -> 0L,
         "total-data-files" -> head.files.size.toLong),
-      head.stats, head.segments)
+      head.stats, head.segments, pins = head.pins)
     if (!tryPublishIn(tableDir, bd, s))
       throw new CommitConflictException(
         s"branch '$name': concurrent create won — re-run")
@@ -276,7 +284,9 @@ private[catalog] object Snapshots {
           "removed-data-files" ->
             prevFiles.diff(head.files).size.toLong,
           "total-data-files" -> head.files.size.toLong),
-        head.stats, head.segments)
+        head.stats, head.segments,
+        // MAIN's ref state carries — the branch's pin copy is inert
+        pins = main.fold(Map.empty[String, Long])(_.pins))
       if (tryPublishIn(tableDir, dir(tableDir), s)) {
         // a branch commit that landed between the head read and the
         // main link is NOT lost (it stays staged on the branch) but it
@@ -438,7 +448,9 @@ private[catalog] object Snapshots {
         Option(node.get("segments")).toSeq
           .flatMap(_.elements().asScala.toSeq).map(_.asText()),
         Option(node.get("dropped")).toSeq
-          .flatMap(_.elements().asScala.toSeq).map(_.asLong())))
+          .flatMap(_.elements().asScala.toSeq).map(_.asLong()),
+        Option(node.get("pins")).fold(Map.empty[String, Long])(
+          _.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)))
     }
   }
 
@@ -524,7 +536,8 @@ private[catalog] object Snapshots {
   private def compose(tableDir: Path, prev: Option[Snapshot],
                       files: Seq[String], operation: String,
                       fresh: Map[String, FileStats.FileStat],
-                      dropped: Seq[Long] = Seq.empty)
+                      dropped: Seq[Long] = Seq.empty,
+                      pinsOverride: Option[Map[String, Long]] = None)
       : (Snapshot, Seq[(String, String)]) = {
     val prevFiles = prev.fold(Seq.empty[String])(_.files)
     val newSet = files.toSet
@@ -567,7 +580,11 @@ private[catalog] object Snapshots {
       System.currentTimeMillis(), files, prev.map(_.version), operation,
       Map("added-data-files" -> added, "removed-data-files" -> removed,
         "total-data-files" -> files.size.toLong),
-      allStats, segRefs, dropped)
+      allStats, segRefs, dropped,
+      // the tag ref state carries forward on EVERY commit (the
+      // Iceberg refs-in-current-metadata model); tag/untag commits
+      // supply the modified map
+      pinsOverride.getOrElse(prev.fold(Map.empty[String, Long])(_.pins)))
     (s, newSeg.toSeq)
   }
 
@@ -769,6 +786,10 @@ private[catalog] object Snapshots {
       val dr = root.putArray("dropped")
       s.dropped.sorted.foreach(dr.add)
     }
+    if (s.pins.nonEmpty) {
+      val pn = root.putObject("pins")
+      s.pins.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+    }
     if (s.segments.nonEmpty) {
       val sg = root.putArray("segments")
       s.segments.sorted.foreach(sg.add)
@@ -855,6 +876,75 @@ private[catalog] object Snapshots {
     finally s.close()
   }
 
+  /** The EFFECTIVE tag pins of a manifest table: the chain-carried ref
+    * state of the latest snapshot (authoritative — tag/untag are OCC
+    * commits) unioned with any legacy sidecar-file tags (pre-r13
+    * migration artifacts; chain entries win on a name clash). */
+  def effectivePins(tableDir: Path): Map[String, Long] =
+    Tags.read(tableDir) ++
+      versions(tableDir).lastOption
+        .flatMap(readMeta(tableDir, _)).fold(Map.empty[String, Long])(_.pins)
+
+  /** Tag creation as an OCC COMMIT (closes the tag-vs-expire window
+    * the post-publish re-check could only narrow): the refreshed
+    * latest is re-read per attempt, the target re-validated (retained,
+    * not scheduled for drop) against the SAME chain the racing expire
+    * commits to, and the winning link publishes the updated ref state
+    * atomically — either the tag lands with its snapshot provably
+    * pinned, or it raises [[CommitConflictException]]. */
+  def commitTag(tableDir: Path, name: String, v: Long): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prev = latest(tableDir)
+      val pins = effectivePins(tableDir)
+      if (pins.contains(name)) throw new IllegalArgumentException(
+        s"tag: '$name' already points at v=${pins(name)} — drop_tag first")
+      if (readMeta(tableDir, v).isEmpty) throw new IllegalArgumentException(
+        s"tag: no snapshot v=$v (have ${versions(tableDir).mkString(",")})")
+      if (droppedByRetainedExpire(tableDir, v))
+        throw new CommitConflictException(
+          s"tag: snapshot v=$v is scheduled for removal by a committed " +
+            "expire_snapshots — re-run against a retained snapshot")
+      val (s, segs) = compose(tableDir, prev,
+        prev.fold(Seq.empty[String])(_.files), "tag", Map.empty,
+        pinsOverride = Some(prev.fold(Map.empty[String, Long])(_.pins) +
+          (name -> v)))
+      if (tryPublish(tableDir, s, segs)) return v
+      if (attempt >= MaxAttempts) throw new CommitConflictException(
+        s"$tableDir: lost the commit race $MaxAttempts times " +
+          "(operation=tag) — re-run")
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(1L, 5L * attempt))
+    }
+    -1L // unreachable
+  }
+
+  /** Tag removal as an OCC commit; legacy sidecar-file tags fall back
+    * to the file drop. Returns the version the tag pinned, None if
+    * absent. */
+  def commitDropTag(tableDir: Path, name: String): Option[Long] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prev = latest(tableDir)
+      prev.map(_.pins).filter(_.contains(name)) match {
+        case None => return Tags.drop(tableDir, name) // legacy sidecar
+        case Some(pins) =>
+          val (s, segs) = compose(tableDir, prev,
+            prev.fold(Seq.empty[String])(_.files), "untag", Map.empty,
+            pinsOverride = Some(pins - name))
+          if (tryPublish(tableDir, s, segs)) return Some(pins(name))
+          if (attempt >= MaxAttempts) throw new CommitConflictException(
+            s"$tableDir: lost the commit race $MaxAttempts times " +
+              "(operation=untag) — re-run")
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 5L * attempt))
+      }
+    }
+    None // unreachable
+  }
+
   /** Was `v` scheduled for removal by a still-retained `expire`
     * commit? The transition-window guard: between an expire's commit
     * (its linearization point) and its manifest deletions, the dropped
@@ -889,7 +979,12 @@ private[catalog] object Snapshots {
       attempt += 1
       val prev = latest(tableDir)
       val vs = versions(tableDir)
-      val pinned = pinnedOf()
+      // chain-carried pins read from the SAME refreshed latest this
+      // attempt will commit against — linearized with racing
+      // tag/untag commits by construction; `pinnedOf` adds the legacy
+      // sidecar tags (re-read per retry)
+      val pinned = pinnedOf() ++
+        prev.fold(Set.empty[Long])(_.pins.values.toSet)
       val retained = (vs.takeRight(keep) ++ vs.filter(pinned)).distinct
       val dropped = vs.filterNot(retained.contains)
       if (dropped.isEmpty) return Seq.empty

@@ -64,15 +64,6 @@ class BranchWapSpec extends SparkSpec {
       val report = spark.sql(s"CALL $cat.system.branches('m.t')")
         .as[(String, Long, Long)].collect().toSeq
       assert(report == Seq(("audit", 2L, 1L)), s"got $report")
-      // the .refs metadata table lists tags AND branches together
-      spark.sql(s"CALL $cat.system.tag('m.t', 'raw', 1)")
-      val refs = spark.sql(
-          s"""SELECT name, type, version, forked_from_version
-             |FROM $cat.m.t.refs""".stripMargin)
-        .as[(String, String, Option[Long], Option[Long])].collect().toSet
-      assert(refs == Set(
-        ("audit", "branch", Some(2L), Some(1L)),
-        ("raw", "tag", Some(1L), None)), s"got $refs")
 
       // PUBLISH: fast-forward lands the branch head as one main commit
       val nv = spark.sql(s"CALL $cat.system.fast_forward('m.t', 'audit')")
@@ -84,6 +75,16 @@ class BranchWapSpec extends SparkSpec {
       // the publish reuses the branch's segments — zero re-serialization
       assert(head.segments.nonEmpty &&
         head.segments == Snapshots.latestBranch(dir, "audit").get.segments)
+      // the .refs metadata table lists tags AND branches together
+      // (a tag on a manifest table is itself an OCC commit — r13)
+      spark.sql(s"CALL $cat.system.tag('m.t', 'raw', 1)")
+      val refs = spark.sql(
+          s"""SELECT name, type, version, forked_from_version
+             |FROM $cat.m.t.refs""".stripMargin)
+        .as[(String, String, Option[Long], Option[Long])].collect().toSet
+      assert(refs == Set(
+        ("audit", "branch", Some(2L), Some(1L)),
+        ("raw", "tag", Some(1L), None)), s"got $refs")
       spark.sql(s"CALL $cat.system.drop_branch('m.t', 'audit')")
       assert(Snapshots.branches(dir).isEmpty)
     }

@@ -213,7 +213,7 @@ class ManifestSegmentSpec extends SparkSpec {
     }
   }
 
-  test("tag racing expire: a tag that lands after the expire's pin read self-revokes instead of pointing at a dying snapshot") {
+  test("tagging an expired snapshot fails loudly and leaves no ref behind") {
     withLake("seg2") { (cat, lake) =>
       spark.sql(
         s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
@@ -223,14 +223,57 @@ class ManifestSegmentSpec extends SparkSpec {
       (1 to 3).foreach(i =>
         Seq((i.toLong, "EU")).toDF("n", "region")
           .write.mode("append").insertInto(s"$cat.m.t"))
-      // expire first (drops s-0..s-2), then try to tag a dropped one:
-      // the tag call must fail loudly, and no tag file may remain
       spark.sql(s"CALL $cat.system.expire_snapshots('m.t', 1)")
       val e = intercept[Exception](
         spark.sql(s"CALL $cat.system.tag('m.t', 'late', 1)"))
       assert(e.getMessage.contains("no snapshot") ||
         e.getMessage.contains("expire"), e.getMessage)
-      assert(!Tags.read(dir).contains("late"))
+      assert(!Snapshots.effectivePins(dir).contains("late"))
+    }
+  }
+
+  test("RACE: tag vs expire — tags are chain commits, so a successful tag's snapshot is ALWAYS retained; losers conflict") {
+    (0 until 6).foreach { round =>
+      val dir = Files.createTempDirectory(s"graft-tag-exp-$round")
+      Files.createDirectories(snapDir(dir))
+      (0 until 4).foreach { i =>
+        val leaf = dir.resolve("p=1")
+        Files.createDirectories(leaf)
+        Files.writeString(leaf.resolve(s"f$i.parquet"), s"bytes-$i")
+        Snapshots.commit(dir, "append", _ => Seq(s"p=1/f$i.parquet"))
+      }
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      @volatile var tagOk = false
+      val tg = new Thread(() =>
+        try { Snapshots.commitTag(dir, "pin", 1L); tagOk = true }
+        catch { case t: Throwable => errors.add(t); () })
+      val ex = new Thread(() =>
+        try { Snapshots.commitExpire(dir, 1, () => Set.empty); () }
+        catch { case t: Throwable => errors.add(t); () })
+      if (round % 2 == 0) { tg.start(); ex.start() } else { ex.start(); tg.start() }
+      tg.join(); ex.join()
+      errors.forEach(t =>
+        assert(t.isInstanceOf[CommitConflictException] ||
+          (t.isInstanceOf[IllegalArgumentException] &&
+            t.getMessage.contains("no snapshot")),
+          s"round $round: only conflicts/expired are acceptable, got $t"))
+      // THE invariant: a tag that REPORTED success pins a snapshot
+      // whose manifest is still on disk and whose files are live —
+      // the chain linearizes the pin read with the expire commit, so
+      // no interleaving can GC a successfully tagged snapshot
+      if (tagOk) {
+        assert(Snapshots.effectivePins(dir).get("pin").contains(1L))
+        val s = Snapshots.read(dir, 1L)
+        assert(s.isDefined,
+          s"round $round: tagged snapshot s-1 was expired after a " +
+            "successful tag")
+        val missing = s.get.files.filterNot(f => Files.exists(dir.resolve(f)))
+        assert(missing.isEmpty,
+          s"round $round: tagged snapshot lost files $missing")
+      } else {
+        assert(Snapshots.effectivePins(dir).isEmpty,
+          s"round $round: a failed tag left a ref behind")
+      }
     }
   }
 }

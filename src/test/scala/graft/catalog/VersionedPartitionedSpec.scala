@@ -194,32 +194,36 @@ class VersionedPartitionedSpec extends SparkSpec {
       assert(audit.head == ((0L, "create", None, 0L)))
       assert(audit(1)._2 == "append" && audit(1)._3.contains(0L))
 
-      // tag s-1, address it by name
+      // tag s-1, address it by name. r13: a tag on a manifest table IS
+      // an OCC commit (s-4, op 'tag') carrying the ref state in the
+      // chain — expire's pin read is linearized with it
       spark.sql(s"CALL $cat.system.tag('m.t', 'before_overwrite', 1)")
+      assert(Snapshots.latest(dir).get.operation == "tag" &&
+        Snapshots.latest(dir).get.pins == Map("before_overwrite" -> 1L))
       assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 'before_overwrite'")
         .as[(Long, String)].collect().toSeq == Seq((1L, "EU")))
 
-      // rollback to s-2: non-destructive (a NEW manifest s-4)
+      // rollback to s-2: non-destructive (a NEW manifest s-5)
       val nv = spark.sql(s"CALL $cat.system.rollback('m.t', 2)")
         .as[Long].head()
-      assert(nv == 4L)
+      assert(nv == 5L)
       assert(rows(cat) == Seq((2L, "EU")))
       assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF 3")
         .count() == 2L, "rolled-back-over snapshots stay readable")
 
-      // expire to the newest 1 + the tagged pin: s-1 (tagged) and s-4
+      // expire to the newest 1 + the tagged pin: s-1 (tagged) and s-5
       // survive; the v1-only and v3-only files are GC'd from disk.
       // r13: expiry IS a commit — it publishes an `expire` snapshot
-      // (s-5, same live files as s-4) recording the dropped versions
+      // (s-6, same live files as s-5) recording the dropped versions
       // BEFORE any deletion, so racing rollbacks/commits re-validate
       // against it instead of publishing over GC'd files
       val before = dataFiles(dir)
       spark.sql(s"CALL $cat.system.expire_snapshots('m.t', 1)")
-      assert(Snapshots.versions(dir) == Seq(1L, 4L, 5L),
+      assert(Snapshots.versions(dir) == Seq(1L, 5L, 6L),
         "expire keeps the newest keep=1 plus tagged snapshots, and " +
           "publishes its own audit commit")
-      val exp = Snapshots.readMeta(dir, 5L).get
-      assert(exp.operation == "expire" && exp.dropped == Seq(0L, 2L, 3L),
+      val exp = Snapshots.readMeta(dir, 6L).get
+      assert(exp.operation == "expire" && exp.dropped == Seq(0L, 2L, 3L, 4L),
         s"the expire commit must record its drops, got $exp")
       val after = dataFiles(dir)
       val live = Snapshots.referencedFiles(dir)
