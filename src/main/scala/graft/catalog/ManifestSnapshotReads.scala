@@ -44,7 +44,7 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
     case None => Snapshots.versions(tableDir)
   }
   private def metaOf(v: Long): Option[Snapshots.Snapshot] = branch match {
-    case Some(b) => Snapshots.readBranch(tableDir, b, v) // segments cheap
+    case Some(b) => Snapshots.readBranchMeta(tableDir, b, v)
     case None => Snapshots.readMeta(tableDir, v)
   }
   private def snapOf(v: Long): Option[Snapshots.Snapshot] = branch match {

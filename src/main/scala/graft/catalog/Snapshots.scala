@@ -223,6 +223,11 @@ private[catalog] object Snapshots {
   def readBranch(tableDir: Path, name: String, v: Long): Option[Snapshot] =
     readIn(tableDir, branchDir(tableDir, name), v)
 
+  /** Branch manifest WITHOUT segment resolution — the cheap view for
+    * parent chains / audit summaries (the branch twin of [[readMeta]]). */
+  def readBranchMeta(tableDir: Path, name: String, v: Long): Option[Snapshot] =
+    readMetaIn(branchDir(tableDir, name), v)
+
   def latestBranch(tableDir: Path, name: String): Option[Snapshot] =
     branchVersions(tableDir, name).lastOption.flatMap(readBranch(tableDir, name, _))
 
@@ -265,20 +270,31 @@ private[catalog] object Snapshots {
             "(concurrent drop_branch?) — re-run"))
       val headVersion = branchVersions(tableDir, name).last
       val main = latest(tableDir)
-      if (!main.exists(_.version == fork))
+      // CONTENT-based fast-forward check, not version numbers: ref
+      // and audit operations (tag/untag/expire) are commits too now,
+      // so main's version advancing with an UNCHANGED file set must
+      // not strand every staged branch — compare main's live files to
+      // the fork content the branch's b-0 recorded (which survives
+      // even when the fork manifest itself expired)
+      val forkFiles = readBranch(tableDir, name, 0L)
+        .fold(Seq.empty[String])(_.files).sorted
+      val mainFiles = main.fold(Seq.empty[String])(_.files).sorted
+      if (mainFiles != forkFiles)
         throw new CommitConflictException(
-          s"fast_forward: main advanced past the fork point " +
+          s"fast_forward: main's content advanced past the fork point " +
             s"(forked at s-$fork, main is at " +
-            s"s-${main.fold(-1L)(_.version)}) — re-create the branch " +
-            "from the current head and re-stage")
+            s"s-${main.fold(-1L)(_.version)} with a different file " +
+            "set) — re-create the branch from the current head and " +
+            "re-stage")
       val missing = head.files.filterNot(f =>
         Files.exists(tableDir.resolve(f)))
       if (missing.nonEmpty) throw new CommitConflictException(
         s"fast_forward: ${missing.size} branch file(s) were " +
           s"garbage-collected (e.g. ${missing.head}) — re-stage")
       val prevFiles = main.fold(Seq.empty[String])(_.files)
-      val s = Snapshot(fork + 1L, System.currentTimeMillis(), head.files,
-        Some(fork), "fast_forward",
+      val s = Snapshot(main.fold(0L)(_.version + 1L),
+        System.currentTimeMillis(), head.files,
+        main.map(_.version), "fast_forward",
         Map("added-data-files" ->
           head.files.diff(prevFiles).size.toLong,
           "removed-data-files" ->
@@ -897,7 +913,10 @@ private[catalog] object Snapshots {
     while (true) {
       attempt += 1
       val prev = latest(tableDir)
-      val pins = effectivePins(tableDir)
+      // same union effectivePins derives, without re-listing the log
+      // and re-parsing the manifest `prev` just read
+      val pins = Tags.read(tableDir) ++
+        prev.fold(Map.empty[String, Long])(_.pins)
       if (pins.contains(name)) throw new IllegalArgumentException(
         s"tag: '$name' already points at v=${pins(name)} — drop_tag first")
       if (readMeta(tableDir, v).isEmpty) throw new IllegalArgumentException(
@@ -985,7 +1004,18 @@ private[catalog] object Snapshots {
       // sidecar tags (re-read per retry)
       val pinned = pinnedOf() ++
         prev.fold(Set.empty[Long])(_.pins.values.toSet)
-      val retained = (vs.takeRight(keep) ++ vs.filter(pinned)).distinct
+      // `keep` counts DATA history, not ref bookkeeping: tag/untag/
+      // expire commits are content-identical audit records — counting
+      // them in takeRight(keep) would silently eat the user's
+      // time-travel window (three tags before expire(keep=3) would
+      // otherwise drop every recent data snapshot). Everything at or
+      // after the keep-th-newest data commit is retained, interleaved
+      // ref commits included (the latest must survive anyway).
+      val refOps = Set("tag", "untag", "expire")
+      val dataVs = vs.filter(v =>
+        readMeta(tableDir, v).forall(s => !refOps(s.operation)))
+      val cutoff = dataVs.takeRight(keep).headOption.getOrElse(Long.MinValue)
+      val retained = (vs.filter(_ >= cutoff) ++ vs.filter(pinned)).distinct
       val dropped = vs.filterNot(retained.contains)
       if (dropped.isEmpty) return Seq.empty
       val (s, newSegs) = compose(tableDir, prev,

@@ -90,34 +90,49 @@ class BranchWapSpec extends SparkSpec {
     }
   }
 
-  test("fast-forward conflicts when main advanced past the fork; a set conf naming a missing branch fails writes loudly") {
+  test("fast-forward tolerates ref-only main commits, conflicts on data advancement; a conf naming a missing branch fails writes loudly") {
     withLake("wap2") { (cat, _) =>
       spark.sql(
         s"""CREATE TABLE $cat.m.t (n BIGINT, region STRING)
            |PARTITIONED BY (region)
            |TBLPROPERTIES ('versioned'='true')""".stripMargin)
       Seq((1L, "EU")).toDF("n", "region")
-        .write.mode("append").insertInto(s"$cat.m.t")
+        .write.mode("append").insertInto(s"$cat.m.t")             // s-1
       spark.sql(s"CALL $cat.system.branch('m.t', 'stage')")
       spark.conf.set(Snapshots.BranchConf, "stage")
       Seq((2L, "EU")).toDF("n", "region")
         .write.mode("append").insertInto(s"$cat.m.t")
       spark.conf.unset(Snapshots.BranchConf)
-      // a main commit lands while the branch is staged
+      // a REF-ONLY main commit (tag) lands while the branch is staged:
+      // the fast-forward check is CONTENT-based, so the publish still
+      // succeeds — a tag must never strand every staged branch
+      spark.sql(s"CALL $cat.system.tag('m.t', 'pre_publish', 1)")  // s-2
+      val nv = spark.sql(s"CALL $cat.system.fast_forward('m.t', 'stage')")
+        .as[Long].head()
+      assert(nv == 3L, "ff over a ref-only commit must publish")
+      assert(rows(cat) == Seq(1L, 2L))
+      spark.sql(s"CALL $cat.system.drop_branch('m.t', 'stage')")
+
+      // a DATA main commit while staged: conflict
+      spark.sql(s"CALL $cat.system.branch('m.t', 'stage2')")
+      spark.conf.set(Snapshots.BranchConf, "stage2")
+      Seq((3L, "EU")).toDF("n", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.conf.unset(Snapshots.BranchConf)
       Seq((9L, "US")).toDF("n", "region")
         .write.mode("append").insertInto(s"$cat.m.t")
       val e = intercept[Exception](
-        spark.sql(s"CALL $cat.system.fast_forward('m.t', 'stage')"))
+        spark.sql(s"CALL $cat.system.fast_forward('m.t', 'stage2')"))
       assert(e.getMessage.contains("advanced"), e.getMessage)
       // main keeps its own content; the stale branch drops cleanly
-      assert(rows(cat) == Seq(1L, 9L))
-      spark.sql(s"CALL $cat.system.drop_branch('m.t', 'stage')")
+      assert(rows(cat) == Seq(1L, 2L, 9L))
+      spark.sql(s"CALL $cat.system.drop_branch('m.t', 'stage2')")
 
       // a WAP conf naming a branch this table lacks: writes fail loudly
       // (a staging write silently landing on main is the one failure a
       // WAP pipeline cannot have); reads fall back to main
       spark.conf.set(Snapshots.BranchConf, "nope")
-      assert(rows(cat) == Seq(1L, 9L), "reads fall back to main")
+      assert(rows(cat) == Seq(1L, 2L, 9L), "reads fall back to main")
       val we = intercept[Exception](
         Seq((7L, "EU")).toDF("n", "region")
           .write.mode("append").insertInto(s"$cat.m.t"))
@@ -127,7 +142,7 @@ class BranchWapSpec extends SparkSpec {
       assert(msgs(we).exists(_.contains("no such branch")),
         s"got ${msgs(we)}")
       spark.conf.unset(Snapshots.BranchConf)
-      assert(rows(cat) == Seq(1L, 9L))
+      assert(rows(cat) == Seq(1L, 2L, 9L))
     }
   }
 

@@ -232,6 +232,29 @@ class ManifestSegmentSpec extends SparkSpec {
     }
   }
 
+  test("ref-only commits never consume the expire keep budget: keep counts DATA history") {
+    val dir = Files.createTempDirectory("graft-keep-budget")
+    Files.createDirectories(snapDir(dir))
+    (0 until 4).foreach { i =>
+      val leaf = dir.resolve("p=1")
+      Files.createDirectories(leaf)
+      Files.writeString(leaf.resolve(s"f$i.parquet"), s"bytes-$i")
+      Snapshots.commit(dir, "append", _ => Seq(s"p=1/f$i.parquet"))
+    } // data s-0..s-3
+    Snapshots.commitTag(dir, "a", 3L)  // ref s-4
+    Snapshots.commitTag(dir, "b", 3L)  // ref s-5
+    // keep=2 must retain the 2 newest DATA snapshots (s-2, s-3) — a
+    // naive takeRight(2) would count the two tag commits instead and
+    // silently eat the user's time-travel window
+    val dropped = Snapshots.commitExpire(dir, 2, () => Set.empty)
+    assert(dropped == Seq(0L, 1L), s"got $dropped")
+    assert(Snapshots.read(dir, 2L).isDefined &&
+      Snapshots.read(dir, 3L).isDefined,
+      "the keep-th newest data snapshots must survive ref commits")
+    assert(Snapshots.versions(dir) == Seq(2L, 3L, 4L, 5L, 6L))
+    assert(Snapshots.effectivePins(dir) == Map("a" -> 3L, "b" -> 3L))
+  }
+
   test("RACE: tag vs expire — tags are chain commits, so a successful tag's snapshot is ALWAYS retained; losers conflict") {
     (0 until 6).foreach { round =>
       val dir = Files.createTempDirectory(s"graft-tag-exp-$round")

@@ -230,11 +230,13 @@ class ChangeFeedStreamSpec extends SparkSpec {
       // pin s-0, expire to keep=1: retained [0, 3] with a HOLE (1, 2)
       spark.sql("CALL lkcfh.system.tag('m.t', 'genesis', 0)")
       spark.sql("CALL lkcfh.system.expire_snapshots('m.t', 1)")
-      // r13: tag and expiry are themselves commits — s-4 is the tag
-      // ref-state commit, s-5 the expire audit snapshot
+      // r13: tag and expiry are themselves commits (s-4 = tag ref
+      // state, s-5 = expire audit), and keep counts DATA history — so
+      // keep=1 retains data s-3, the trailing ref commits, and the
+      // pinned s-0, dropping the middle (the hole)
       assert(graft.catalog.ManifestSnapshotReads(
           spark, lake.resolve("m/t.parquet").toString)
-        .versions == Seq(0L, 4L, 5L))
+        .versions == Seq(0L, 3L, 4L, 5L))
       // a fresh stream must FAIL on v=3 (its recorded parent s-2 is
       // gone) instead of silently diffing against s-0
       val q = Catalog.readStreamTable(spark, "lkcfh.m.t", Seq("k"))
