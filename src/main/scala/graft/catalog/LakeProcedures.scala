@@ -399,21 +399,17 @@ private[catalog] object LakeProcedures {
                     val dirCols = PartitionSpec.dirCols(pspec)
                     val df = snap match {
                       case Some(s) =>
-                        // per-spec-shape union (ADD PARTITION FIELD
-                        // evolution: one parquet read cannot mix
-                        // directory shapes) with the EXPLICIT declared
-                        // schema (inference-typed dir values could
-                        // coerce across the union and rewrite data) —
-                        // compact is the spec MIGRATION tool:
-                        // everything restages under the current spec
-                        val schema = Snapshots.physicalReadSchema(tableDir)
-                        Snapshots.groupByShape(s.files).map { case (_, fs) =>
-                          spark.read
-                            .option("basePath", tableDir.toString)
-                            .schema(schema)
-                            .parquet(fs.map(f =>
-                              tableDir.resolve(f).toString): _*)
-                        }.reduce(_ unionByName _)
+                        // the shared live-row read: per-spec-shape
+                        // union with the EXPLICIT declared schema
+                        // (inference-typed dir values could coerce
+                        // across the union and rewrite data), pending
+                        // merge-on-read deletes applied — compact is
+                        // BOTH the spec migration tool and the delete
+                        // MATERIALIZER: the rewrite embeds the live
+                        // rows and the commit below drops the delete
+                        // files, restoring SPJ / metadata-only
+                        // aggregates / exact row counts
+                        MorDeletes.liveRows(spark, tableDir, s.files)
                       case None => spark.read
                         .option("basePath", tableDir.toString)
                         .parquet(tableDir.toString)
@@ -446,8 +442,12 @@ private[catalog] object LakeProcedures {
                         val staged =
                           PartitionedWrite.mergeIntoReturning(tmp, tableDir)
                         InternalRow(Snapshots.commit(tableDir, "compact",
+                          // s.files includes any delete files: the
+                          // diff drops them (their rows are gone from
+                          // the compacted output)
                           cur => cur.diff(s.files) ++ staged,
-                          Snapshots.validateFilesLive("compact", s.files),
+                          Snapshots.validateRewrite("compact",
+                            s.files, s.files),
                           freshStats = Snapshots.freshStatsFor(
                             spark, tableDir, staged)))
                       case None =>
@@ -597,14 +597,11 @@ private[catalog] object LakeProcedures {
                   if (snap.files.isEmpty) snap.version
                   else {
                     val dirCols = PartitionSpec.dirCols(pspecZ)
-                    val zSchema = Snapshots.physicalReadSchema(tableDir)
-                    val df = Snapshots.groupByShape(snap.files)
-                      .map { case (_, fs) =>
-                        spark.read.option("basePath", tableDir.toString)
-                          .schema(zSchema)
-                          .parquet(fs.map(f =>
-                            tableDir.resolve(f).toString): _*)
-                      }.reduce(_ unionByName _)
+                    // live rows: pending merge-on-read deletes applied
+                    // (the rewrite replaces data files, so it MUST
+                    // materialize them — stale coordinates would
+                    // resurrect rows otherwise)
+                    val df = MorDeletes.liveRows(spark, tableDir, snap.files)
                     val bad = Seq(xc, yc).filterNot(df.columns.contains)
                     require(bad.isEmpty,
                       s"zorder: no such column(s) ${bad.mkString(",")}")
@@ -634,7 +631,8 @@ private[catalog] object LakeProcedures {
                       PartitionedWrite.mergeIntoReturning(tmp, tableDir)
                     Snapshots.commit(tableDir, "zorder",
                       cur => cur.diff(snap.files) ++ staged,
-                      Snapshots.validateFilesLive("zorder", snap.files),
+                      Snapshots.validateRewrite("zorder",
+                        snap.files, snap.files),
                       freshStats = Snapshots.freshStatsFor(
                         spark, tableDir, staged))
                   }

@@ -77,18 +77,14 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
           java.util.List.of[org.apache.spark.sql.Row](), logical)
       else {
         import org.apache.spark.sql.functions.col
-        // the shared physical read schema ([[Snapshots
-        // .physicalReadSchema]]): explicit typing keeps a promoted
-        // partition column identical across spec shapes
-        val readSchema = Snapshots.physicalReadSchema(tableDir)
-        // per-spec-shape union (ADD PARTITION FIELD evolution): one
-        // parquet read cannot mix directory shapes — the same rule
-        // every other live-file reader follows
-        val raw = Snapshots.groupByShape(s.files).map { case (_, fs) =>
-          spark.read.option("basePath", tableDir.toString)
-            .schema(readSchema)
-            .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
-        }.reduce(_ unionByName _)
+        // the shared live-row read ([[MorDeletes.liveRows]]): per-
+        // spec-shape union with the explicit physical schema (one
+        // parquet read cannot mix directory shapes; inference-typed
+        // dir values could coerce across the union), merge-on-read
+        // delete files anti-joined away — so the feed diffs LIVE rows
+        // per version, and a MoR delete commit emits its rows as
+        // retractions like any other delete.
+        val raw = MorDeletes.liveRows(spark, tableDir, s.files)
         val unbucketed =
           if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
         // ALWAYS project to logical order, rename evolution or not:

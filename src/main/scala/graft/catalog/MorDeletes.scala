@@ -1,0 +1,323 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions.{col, substring_index}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** MERGE-ON-READ row-level deletes for manifest-versioned partitioned
+  * lake tables — the Iceberg v2 position-delete model (Delta calls
+  * them deletion vectors; the reference's lake tier is
+  * Paimon/Iceberg, `flink-cdc/Dockerfile:8-9`), the piece that makes
+  * row-level DELETE viable at 100 TB: a DELETE matching 100 rows of a
+  * 1 GB data file must not rewrite the gigabyte (the copy-on-write
+  * cost), it should persist 100 row coordinates and move on.
+  *
+  *  - WRITE: with the session conf `graft.write.mode =
+  *    'merge-on-read'`, `DELETE FROM` on a manifest table evaluates
+  *    the predicate over the current rows and writes DELETE FILES —
+  *    parquet under `_graft_deletes/` holding `(file, pos)` row
+  *    coordinates (`file` = the immutable data file's basename, which
+  *    per-write UUIDs make table-unique; `pos` = the parquet
+  *    row index) — then commits a manifest that adds ONLY the delete
+  *    files. Data files are untouched; time travel to the pre-delete
+  *    snapshot is free; appends after the delete can never collide
+  *    with it (new files have new names, so old coordinates cannot
+  *    address them — the property Iceberg needs sequence numbers for,
+  *    position deletes get by construction).
+  *  - READ: a snapshot that carries delete files cannot be served by
+  *    a bare parquet scan — [[MorScanRewrite]] (attached to the
+  *    session's optimizer by [[PartitionedLakeTable]] the moment a
+  *    delete-carrying table is loaded) swaps the scan relation for a
+  *    distributed plan: per-shape parquet read of the DATA files with
+  *    `(basename(_metadata.file_path), _metadata.row_index)`
+  *    materialized, LEFT ANTI joined against the delete files on the
+  *    coordinate pair, projected back to the relation's own output
+  *    attributes. The delete side is a small parquet relation, so the
+  *    join plans as a broadcast anti-join — the fact scan never
+  *    shuffles; pushed filters re-attach beneath the join so data
+  *    skipping survives. Nothing is collected on the driver.
+  *  - MAINTENANCE: `CALL compact` (and `zorder`) reads the live rows
+  *    (deletes applied), rewrites, and commits a manifest WITHOUT the
+  *    delete files — materializing the deletes and restoring the
+  *    plain fast path (metadata-only aggregates, SPJ, exact numRows),
+  *    which stay gated while deletes are pending.
+  *
+  * Rewrites that replace data files validate under
+  * [[Snapshots.validateRewrite]]: a delete file committed
+  * concurrently against a file the rewrite replaces would become
+  * inert (its coordinates address a dead file) and silently
+  * resurrect rows — the validator conflicts the rewrite instead. */
+private[catalog] object MorDeletes {
+
+  /** Session conf selecting the row-level DELETE strategy on manifest
+    * tables: `copy-on-write` (default) or `merge-on-read`. */
+  val ModeConf = "graft.write.mode"
+  val MergeOnRead = "merge-on-read"
+
+  /** Data-side coordinate columns the anti-join keys on. */
+  val FileKeyCol = "_gmor_file"
+  val PosKeyCol = "_gmor_pos"
+
+  /** Delete-file parquet schema (column names inside the file). */
+  val DeleteSchema: StructType =
+    new StructType().add("file", StringType, nullable = false)
+      .add("pos", LongType, nullable = false)
+
+  def morEnabled(spark: SparkSession): Boolean =
+    spark.conf.get(ModeConf, "copy-on-write").trim
+      .equalsIgnoreCase(MergeOnRead)
+
+  /** The delete files of a snapshot as one (FileKeyCol, PosKeyCol)
+    * DataFrame. */
+  def readDeletes(spark: SparkSession, tableDir: Path,
+                  deletes: Seq[String]): DataFrame =
+    spark.read.schema(DeleteSchema)
+      .parquet(deletes.map(f => tableDir.resolve(f).toString): _*)
+      .toDF(FileKeyCol, PosKeyCol)
+
+  /** Per-shape union read of DATA files in PHYSICAL column names with
+    * the row-coordinate columns materialized; `select` (physical
+    * names) prunes each shape's projection BEFORE the union so the
+    * parquet scans never read columns the query did not ask for. */
+  def readDataWithCoords(spark: SparkSession, tableDir: Path,
+                         files: Seq[String],
+                         select: Option[Seq[String]] = None): DataFrame = {
+    val schema = Snapshots.physicalReadSchema(tableDir)
+    Snapshots.groupByShape(Snapshots.dataFiles(files)).map { case (_, fs) =>
+      val raw = spark.read.option("basePath", tableDir.toString)
+        .schema(schema)
+        .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
+        .withColumn(FileKeyCol,
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn(PosKeyCol, col("_metadata.row_index"))
+      select.fold(raw)(cols =>
+        raw.select((cols ++ Seq(FileKeyCol, PosKeyCol)).map(col): _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Anti-join the pending deletes away; coordinates stay available
+    * on the output (callers drop them when done). */
+  def applyDeletes(spark: SparkSession, tableDir: Path,
+                   dataWithCoords: DataFrame,
+                   deletes: Seq[String]): DataFrame =
+    if (deletes.isEmpty) dataWithCoords
+    else {
+      val del = readDeletes(spark, tableDir, deletes)
+      dataWithCoords.join(del,
+        dataWithCoords(FileKeyCol) === del(FileKeyCol) &&
+          dataWithCoords(PosKeyCol) === del(PosKeyCol),
+        "left_anti")
+    }
+
+  /** The LIVE rows of a snapshot's `files` in physical names, pending
+    * deletes applied, coordinate columns dropped — the shared read
+    * every maintenance rewrite (compact / zorder / copy-on-write DML)
+    * builds on. */
+  def liveRows(spark: SparkSession, tableDir: Path,
+               files: Seq[String]): DataFrame = {
+    val dels = Snapshots.deleteFiles(files)
+    if (dels.isEmpty) {
+      // clean snapshot: the plain per-shape read, no coordinate cost
+      val schema = Snapshots.physicalReadSchema(tableDir)
+      Snapshots.groupByShape(Snapshots.dataFiles(files)).map { case (_, fs) =>
+        spark.read.option("basePath", tableDir.toString).schema(schema)
+          .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
+      }.reduce(_ unionByName _)
+    } else
+      applyDeletes(spark, tableDir,
+        readDataWithCoords(spark, tableDir, files), dels)
+        .drop(FileKeyCol, PosKeyCol)
+  }
+
+  /** Persist a `(file, pos)` hit set as delete files under
+    * `_graft_deletes/`, returning the table-relative paths to commit.
+    * Files land before the manifest references them (the ordinary
+    * publish-then-commit discipline); `delete-` basenames keep them
+    * recognizable by name alone. */
+  def writeDeleteFiles(spark: SparkSession, tableDir: Path,
+                       hits: DataFrame): Seq[String] = {
+    val tmp = tableDir.resolveSibling(
+      tableDir.getFileName.toString + ".__mordel-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    PartitionedWrite.deleteRecursive(tmp)
+    hits.toDF("file", "pos").write.parquet(tmp.toString)
+    val delDir = tableDir.resolve(Snapshots.DeleteDirName)
+    Files.createDirectories(delDir)
+    val parts = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val writeId = java.util.UUID.randomUUID().toString.take(12)
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"delete-$writeId-$i.parquet"
+      Files.move(p, delDir.resolve(name))
+      s"${Snapshots.DeleteDirName}/$name"
+    }
+    PartitionedWrite.deleteRecursive(tmp)
+    moved
+  }
+
+  /** Attach [[MorScanRewrite]] to the session's optimizer (idempotent;
+    * `extraOptimizations` is re-read per query, so a runtime attach
+    * covers every later plan in the session). Called the moment a
+    * delete-carrying table is constructed — before the query that
+    * loaded it reaches its own optimization. */
+  def ensureRule(spark: SparkSession): Unit = spark.synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[MorScanRewrite]))
+      spark.experimental.extraOptimizations = cur :+ new MorScanRewrite
+  }
+}
+
+/** The read-side half of merge-on-read (see [[MorDeletes]]): an
+  * optimizer rule that replaces every scan relation over a
+  * delete-carrying snapshot with
+  *
+  * {{{
+  *   Project(relation output attrs,
+  *     Join(LeftAnti, on (file, pos),
+  *       [Filter(pushed predicate)]          // re-attached data-side
+  *       per-shape parquet read of the DATA files + row coordinates,
+  *       parquet read of the DELETE files))
+  * }}}
+  *
+  * The output attributes keep the relation's exprIds, so the
+  * enclosing plan is untouched. Pushed filters re-attach beneath the
+  * anti-join (V2 pushdown saw the dirty scan refuse them, so the full
+  * predicate is still in the Filter above) — parquet row-group
+  * skipping and V1 partition pruning run as if the table were clean.
+  * Row-level command targets are left alone: DELETE handles pending
+  * deletes itself and UPDATE/MERGE are gated until compaction
+  * ([[PartitionedLakeTable.newRowLevelOperationBuilder]]). The rule
+  * fires in the optimizer's user batch, after every pushdown
+  * decision is settled; a session that somehow plans a dirty scan
+  * without it fails loudly ([[MorGuardedScan]]) rather than serving
+  * undeleted rows. */
+private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
+
+  import MorDeletes._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!plan.exists {
+      case r: DataSourceV2ScanRelation => dirtyOf(r).isDefined
+      case _ => false
+    }) plan
+    else rewrite(plan)
+
+  /** The (table, delete files) of a dirty scan relation. */
+  private def dirtyOf(r: DataSourceV2ScanRelation)
+      : Option[(PartitionedLakeTable, Seq[String])] =
+    r.relation.table match {
+      case t: PartitionedLakeTable =>
+        val dels = t.morDeleteFiles
+        if (dels.nonEmpty) Some((t, dels)) else None
+      case _ => None
+    }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    // row-level commands keep their target relation: DELETE applies
+    // pending deletes inside deleteWhere; UPDATE/MERGE are gated at
+    // the operation builder (loud, never silent) — only MERGE's
+    // SOURCE side is an ordinary read to rewrite
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable =>
+      m.copy(sourceTable = rewrite(m.sourceTable))
+    case f @ Filter(cond, r: DataSourceV2ScanRelation)
+        if dirtyOf(r).isDefined =>
+      // re-attach the full pushed predicate BENEATH the anti-join
+      // when it only speaks this relation's columns (correlated
+      // outer references stay above — correct, just unpushed)
+      if (cond.deterministic && cond.references.subsetOf(r.outputSet))
+        swap(r, Some(cond))
+      else f.copy(child = swap(r, None))
+    case r: DataSourceV2ScanRelation if dirtyOf(r).isDefined =>
+      swap(r, None)
+    case other =>
+      other.mapChildren(rewrite).transformExpressions {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(rewrite(se.plan))
+      }
+  }
+
+  private def swap(r: DataSourceV2ScanRelation,
+                   cond: Option[Expression]): LogicalPlan = {
+    val (table, dels) = dirtyOf(r).get
+    val (tableDir, files, renames) = table.morReadInfo
+    val spark = SparkSession.active
+    val physOf: Map[String, String] =
+      r.output.map(o => o.name -> renames.getOrElse(o.name, o.name)).toMap
+    val dataPlan = readDataWithCoords(spark, tableDir, files,
+      Some(r.output.map(o => physOf(o.name)))).queryExecution.analyzed
+    val byPhys: Map[String, Attribute] =
+      dataPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    def attrFor(logicalName: String): Attribute =
+      byPhys(physOf.getOrElse(logicalName, logicalName).toLowerCase)
+    // the relation's attrs -> the fresh data-side attrs, by exprId
+    val names = r.output.map(a => a.exprId -> a.name).toMap
+    val remapped = cond.map(_.transform {
+      case a: AttributeReference if names.contains(a.exprId) =>
+        attrFor(names(a.exprId))
+    })
+    val filtered = remapped.fold(dataPlan)(Filter(_, dataPlan))
+    val delPlan = readDeletes(spark, tableDir, dels).queryExecution.analyzed
+    val joinCond = And(
+      EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
+      EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))
+    val joined = Join(filtered, delPlan, LeftAnti, Some(joinCond),
+      JoinHint.NONE)
+    Project(r.output.map(o =>
+      Alias(attrFor(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)), joined)
+  }
+}
+
+/** Execution guard for a V2 scan over a delete-carrying snapshot: the
+  * scan is metadata-complete (schema, statistics, description) so
+  * analysis and CBO proceed, but it can never EXECUTE — by the time
+  * physical planning would consume it, [[MorScanRewrite]] must have
+  * replaced the relation. Executing anyway (a session that never
+  * attached the rule) fails loudly instead of silently returning
+  * rows a committed DELETE removed. */
+private[catalog] final class MorGuardedScan(
+    inner: org.apache.spark.sql.connector.read.Scan,
+    tableName: String, nDeleteFiles: Int)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String =
+    s"$tableName(mor-pending:$nDeleteFiles delete files)"
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      // per-file numRows ignore pending deletes: an upper bound,
+      // which is all the V2 statistics contract promises
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new IllegalStateException(
+      s"$tableName: this snapshot carries $nDeleteFiles merge-on-read " +
+        "delete file(s) but the scan was planned without the " +
+        "MorScanRewrite rule — refusing to serve rows a committed " +
+        "DELETE removed. Load the table through GraftLakeCatalog " +
+        "(which attaches the rule) or CALL system.compact to " +
+        "materialize the deletes.")
+}

@@ -168,6 +168,29 @@ private[catalog] final class PartitionedLakeTable(
   /** The manifest's live-file list (table-relative); None = plain. */
   private def snapshotFiles: Option[Seq[String]] = snapshot.map(_.files)
 
+  /** The snapshot's DATA files (merge-on-read delete files split
+    * out) — what every scan listing derives from. */
+  private def snapshotDataFiles: Option[Seq[String]] =
+    snapshotFiles.map(Snapshots.dataFiles)
+
+  /** Pending merge-on-read delete files of THIS view's snapshot
+    * (empty = clean; see [[MorDeletes]]). */
+  private[catalog] def morDeleteFiles: Seq[String] =
+    snapshot.fold(Seq.empty[String])(s => Snapshots.deleteFiles(s.files))
+
+  /** (table dir, snapshot file list, logical→physical renames) for
+    * [[MorScanRewrite]]'s data-side rebuild. */
+  private[catalog] def morReadInfo: (Path, Seq[String], Map[String, String]) =
+    (tableDir, snapshot.fold(Seq.empty[String])(_.files), renames)
+
+  // a delete-carrying view needs the read-side rewrite: attach it to
+  // the session's optimizer BEFORE the query that loaded this table
+  // optimizes (loadTable runs at analysis; extraOptimizations are
+  // re-read per query). Clean tables never pay this.
+  if (snapshot.exists(s => s.files.exists(Snapshots.isDeleteFile)))
+    try MorDeletes.ensureRule(SparkSession.active)
+    catch { case _: IllegalStateException => () } // no active session
+
   /** The per-file stats governing THIS table view: the snapshot's
     * commit-atomic embedded block (sidecar fallback for pre-analyze
     * manifests) — so a `VERSION AS OF` scan skips and aggregates from
@@ -206,23 +229,13 @@ private[catalog] final class PartitionedLakeTable(
     * compact migrates the layout; row-level DML (DELETE/UPDATE/MERGE)
     * handles mixed shapes directly via per-shape union scans. */
   private def mixedSpecShapes: Boolean =
-    snapshotFiles.exists(fs => fs.map(Snapshots.shapeOf).distinct.size > 1)
+    snapshotDataFiles.exists(fs => fs.map(Snapshots.shapeOf).distinct.size > 1)
 
   private def requireSingleSpec(op: String): Unit =
     if (mixedSpecShapes) throw new UnsupportedOperationException(
       s"$tableName: $op over files of MIXED partition specs (ADD " +
         "PARTITION FIELD evolution) — CALL system.compact first to " +
         "migrate the old-spec files to the current layout")
-
-  /** Read the given live files as ONE DataFrame, per-spec-shape scans
-    * unioned by name (one parquet read cannot mix directory shapes). */
-  private def readLive(spark: SparkSession, files: Seq[String]):
-      org.apache.spark.sql.DataFrame =
-    Snapshots.groupByShape(files).map { case (_, fs) =>
-      spark.read.option("basePath", tableDir.toString)
-        .schema(indexSchema)
-        .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
-    }.reduce(_ unionByName _)
 
   /** The schema the FILE INDEX types partition directories from: the
     * PHYSICAL column names (files are immutable under renames) plus
@@ -279,8 +292,14 @@ private[catalog] final class PartitionedLakeTable(
       private def serve(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) = {
         if (servedFor ne agg) {
-          servedAgg = StatsAggregates.serveFiles(tableDir,
-            currentBasenames, logicalSchema, physName, agg, manifestStats)
+          // pending merge-on-read deletes: per-file stats describe the
+          // RAW files, so a metadata-only COUNT would over-count the
+          // deleted rows — fall through to the (rewritten) row scan
+          // until a compact materializes the deletes
+          servedAgg =
+            if (morDeleteFiles.nonEmpty) None
+            else StatsAggregates.serveFiles(tableDir,
+              currentBasenames, logicalSchema, physName, agg, manifestStats)
           servedFor = agg
         }
         servedAgg
@@ -348,9 +367,13 @@ private[catalog] final class PartitionedLakeTable(
         // HasPartitionKey group per _gbucket dir, so two same-bucketed
         // tables storage-partition-join with ZERO exchange
         spec match {
-          case Seq(b: PartitionSpec.Bucket) =>
+          // (not while merge-on-read deletes are pending: the SPJ
+          // contract promises the scan's rows ARE the bucket's rows,
+          // and the anti-join rewrite replaces the scan wholesale —
+          // compaction restores the zero-shuffle path)
+          case Seq(b: PartitionSpec.Bucket) if morDeleteFiles.isEmpty =>
             return new BucketKeyedScan(tableName, tableDir, b,
-              indexSchema, required, filters, snapshotFiles, logSchema)
+              indexSchema, required, filters, snapshotDataFiles, logSchema)
           case _ => ()
         }
         // the file set the built scan actually covers (post partition
@@ -367,10 +390,11 @@ private[catalog] final class PartitionedLakeTable(
             // the listing is explicit either way), then within-
             // partition file skipping drops survivors whose min/max
             // range or Bloom bitset excludes the pushed filters.
-            val leaves = Snapshots.leafDirsOf(s.files)
+            val dataF = Snapshots.dataFiles(s.files)
+            val leaves = Snapshots.leafDirsOf(dataF)
             val cands = PartitionPruning.splitLeaves(leaves, spec, filters)
               .map(_._1).getOrElse(leaves)
-            val paths = Snapshots.filesUnder(s.files, cands)
+            val paths = Snapshots.filesUnder(dataF, cands)
               .map(Paths.get(_))
             val skipped = FileSkipping.filterFiles(tableDir, paths,
               filters, identity, manifestStats).getOrElse(paths)
@@ -433,9 +457,15 @@ private[catalog] final class PartitionedLakeTable(
                   required, filters, "renamed")
             }
         }
-        new RuntimePrunedScan(tableName, tableDir, spec, indexSchema,
-          required, filters, base, snapshotFiles, logSchema, manifestStats,
-          coveredFiles)
+        val scan = new RuntimePrunedScan(tableName, tableDir, spec,
+          indexSchema, required, filters, base, snapshotDataFiles, logSchema,
+          manifestStats, coveredFiles)
+        // delete-carrying snapshots: metadata-complete but
+        // execution-guarded — MorScanRewrite swaps the relation before
+        // planning; a rule-less session fails loudly, never serves
+        // rows a committed DELETE removed
+        if (morDeleteFiles.isEmpty) scan
+        else new MorGuardedScan(scan, tableName, morDeleteFiles.size)
       }
     }
   }
@@ -507,31 +537,61 @@ private[catalog] final class PartitionedLakeTable(
         .parquet(tmp.toString)
     }
     if (snapshot.isDefined) {
-      // SNAPSHOT delete: copy-on-write into a new manifest — the
-      // candidate partitions' SURVIVING rows restage, the condition's
-      // files drop from the manifest, nothing is physically deleted
-      // (older snapshots still read the pre-delete files)
       val s = snapshot.get
-      val leaves = Snapshots.leafDirsOf(s.files)
+      val pendingDels = Snapshots.deleteFiles(s.files)
+      val dataF = Snapshots.dataFiles(s.files)
+      val leaves = Snapshots.leafDirsOf(dataF)
       val candDirs = PartitionPruning.splitLeaves(leaves, spec,
           predicates.toSeq.map(DeletableTable.statsFilter))
         .map(_._1).getOrElse(leaves)
-      val candFiles = Snapshots.filesUnder(s.files, candDirs)
+      val candFiles = Snapshots.filesUnder(dataF, candDirs)
       if (candFiles.isEmpty) return // nothing can match: no-op
+      if (MorDeletes.morEnabled(spark)) {
+        // MERGE-ON-READ delete ([[MorDeletes]]): persist the matching
+        // rows' (file, pos) coordinates as delete files and commit a
+        // manifest that ADDS only them — zero data bytes rewritten, a
+        // one-partition predicate reads one partition's candidates.
+        // Pending deletes are applied first, so a second MoR delete
+        // records only still-live rows (re-recording a coordinate
+        // would be harmlessly idempotent anyway).
+        val rows = MorDeletes.applyDeletes(spark, tableDir,
+          MorDeletes.readDataWithCoords(spark, tableDir, candFiles),
+          pendingDels)
+        val hits = rows.filter(coalesce(cond, lit(false)))
+          .select(col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol))
+        if (hits.isEmpty) return // nothing matched: no commit
+        val moved = MorDeletes.writeDeleteFiles(spark, tableDir, hits)
+        // validation: the coordinates address candFiles — a concurrent
+        // rewrite replacing one of them would orphan our coordinates
+        // and LOSE this delete; conflict and re-run instead. Con-
+        // current MoR deletes compose (anti-join is idempotent), and
+        // appends merge (new files, new names, never addressed here).
+        Snapshots.commitRouted(tableDir, "delete",
+          cur => cur ++ moved,
+          Snapshots.validateFilesLive("DELETE", candFiles))
+        spark.catalog.clearCache()
+        return
+      }
+      // COPY-ON-WRITE delete (default): the candidate partitions'
+      // SURVIVING rows (pending merge-on-read deletes applied) restage
+      // under the current spec, the candidates drop from the manifest,
+      // nothing is physically deleted (older snapshots still read the
+      // pre-delete files). Coordinates into the replaced candidates
+      // become inert; entries for carried files stay live.
       val tmp = tableDir.resolveSibling(
         tableDir.getFileName.toString + ".__rewrite-" +
           java.util.UUID.randomUUID().toString.take(8))
-      // per-spec-shape union read; the rewrite restages under the
-      // CURRENT spec, so a DELETE also migrates its candidates forward
-      stage(readLive(spark, candFiles).drop(PartitionSpec.BucketDir), tmp)
+      stage(MorDeletes.liveRows(spark, tableDir, candFiles ++ pendingDels)
+        .drop(PartitionSpec.BucketDir), tmp)
       val staged = PartitionedWrite.mergeIntoReturning(tmp, tableDir)
       // optimistic commit under snapshot isolation: concurrent appends
-      // merge (their files were never read here), but a concurrent
-      // commit that removed/rewrote one of OUR read files conflicts —
-      // keeping `staged` would resurrect rows that commit deleted
+      // merge (their files were never read here); a concurrent commit
+      // that removed/rewrote one of OUR read files — or added a delete
+      // file we did not apply — conflicts (keeping `staged` would
+      // resurrect rows that commit deleted)
       Snapshots.commitRouted(tableDir, "delete",
         cur => cur.diff(candFiles) ++ staged,
-        Snapshots.validateFilesLive("DELETE", candFiles),
+        Snapshots.validateRewrite("DELETE", candFiles, s.files),
         freshStats = Snapshots.freshStatsFor(spark, tableDir, staged))
       spark.catalog.clearCache()
       return
@@ -611,6 +671,22 @@ private[catalog] final class PartitionedLakeTable(
             }
             override def pushedFilters: Array[Predicate] = Array.empty
             override def build(): org.apache.spark.sql.connector.read.Scan = {
+              // pending merge-on-read deletes: the group-based rewrite
+              // replays every group row through Spark's replacement
+              // projection, and this group scan is a bare parquet
+              // read — it would resurrect the deleted rows.
+              // Materialize first (loud, never silent); the same CALL
+              // restores SPJ and metadata-only aggregates. Gated HERE
+              // (not at the operation builder): Spark constructs the
+              // row-level plan for every DELETE before the
+              // metadata-only deleteWhere optimization discards it,
+              // and deleteWhere handles pending deletes itself.
+              if (morDeleteFiles.nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"$tableName: UPDATE/MERGE (or a non-pushable DELETE) " +
+                    s"with ${morDeleteFiles.size} pending merge-on-read " +
+                    "delete file(s) — CALL system.compact(...) to " +
+                    "materialize the deletes first")
               val opts = new CaseInsensitiveStringMap(
                 util.Map.of("basePath", tableDir.toString))
               def pruneAndBuild(b: ScanBuilder)
@@ -632,7 +708,10 @@ private[catalog] final class PartitionedLakeTable(
               // like DELETE, migrates its candidates forward
               def snapshotScan(files: Seq[String], label: String)
                   : org.apache.spark.sql.connector.read.Scan = {
-                val groups = Snapshots.groupByShape(files).map { case (shape, fs) =>
+                // data files only (defensive: row-level ops are gated
+                // while merge-on-read deletes are pending)
+                val groups = Snapshots.groupByShape(
+                    Snapshots.dataFiles(files)).map { case (shape, fs) =>
                   pruneAndBuild(ParquetTable(
                     s"$tableName($label:${shape.mkString("/")})",
                     SparkSession.active, opts,
@@ -1193,7 +1272,9 @@ private[catalog] final class PartitionedRowLevelWrite(
           // scan READ conflicts (our replacement embeds its rows)
           Snapshots.commitRouted(tableDir, "rewrite",
             cur => cur.diff(replaced) ++ committed,
-            Snapshots.validateFilesLive("UPDATE/MERGE", replaced),
+            // a delete file committed mid-rewrite would address files
+            // this rewrite replaces — conflict, never resurrect
+            Snapshots.validateRewrite("UPDATE/MERGE", replaced, prev),
             freshStats = Snapshots.freshStatsFor(
               SparkSession.active, tableDir, committed))
         case None =>
@@ -1329,7 +1410,18 @@ private[catalog] object PartitionedWrite {
   }
 
   /** [[mergeInto]] that reports the table-relative paths it moved —
-    * snapshot commits need the staged file list for the new manifest. */
+    * snapshot commits need the staged file list for the new manifest.
+    *
+    * Every moved file gets a fresh UNIQUE basename: these stagings
+    * come from Spark's NATIVE writer, whose task-scoped names
+    * (`part-00000-<task uuid>.c000…`) REPEAT across the partition
+    * directories one task writes — and the stats / Bloom / skipping
+    * maps key by basename, so two different files sharing one name
+    * would collide into a single entry (a metadata COUNT double-counts
+    * one side; worse, file skipping consults the wrong file's range
+    * and can prune rows that match). The custom DML writer
+    * ([[PartitionedWriterFactory]]) never collides, but it publishes
+    * through [[publishStaged]]; everything routed here is renamed. */
   private[catalog] def mergeIntoReturning(staging: Path,
                                           tableDir: Path): Seq[String] = {
     if (!Files.isDirectory(staging)) return Seq.empty
@@ -1342,10 +1434,15 @@ private[catalog] object PartitionedWrite {
       finally s.close()
     val moved = files.map { f =>
       val rel = staging.relativize(f)
-      val target = tableDir.resolve(rel)
+      val unique = "part-" +
+        java.util.UUID.randomUUID().toString.take(8) + "-" +
+        rel.getFileName.toString
+      val target = Option(rel.getParent)
+        .fold(tableDir.resolve(unique))(p =>
+          tableDir.resolve(p).resolve(unique))
       Files.createDirectories(target.getParent)
       Files.move(f, target)
-      rel.toString
+      tableDir.relativize(target).toString
     }
     deleteRecursive(staging)
     moved

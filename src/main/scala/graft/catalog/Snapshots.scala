@@ -59,6 +59,28 @@ private[catalog] object Snapshots {
   val DirName = "_graft_snapshots"
   val Property = "versioned"
 
+  /** Merge-on-read DELETE FILES ([[MorDeletes]]) live under this
+    * table-relative directory and travel through the manifest log as
+    * ordinary file-list entries — commits, expire GC, rollback,
+    * branches, and fast-forward are all path-generic — but every
+    * consumer that READS file contents must split them from data
+    * files (their schema is `(file, pos)` row coordinates, not the
+    * table's). The `delete-` basename prefix keeps them recognizable
+    * even after the directory is stripped (stats maps key by
+    * basename). */
+  val DeleteDirName = "_graft_deletes"
+
+  def isDeleteFile(f: String): Boolean =
+    f.startsWith(DeleteDirName + "/")
+
+  /** The DATA files of a manifest file list. */
+  def dataFiles(files: Seq[String]): Seq[String] =
+    files.filterNot(isDeleteFile)
+
+  /** The merge-on-read delete files of a manifest file list. */
+  def deleteFiles(files: Seq[String]): Seq[String] =
+    files.filter(isDeleteFile)
+
   /** Optimistic retry budget: how many times one commit re-derives
     * against a refreshed latest before giving up. Losers back off with
     * jitter (below) so a herd of committers doesn't lock-step into the
@@ -627,6 +649,26 @@ private[catalog] object Snapshots {
           "re-run the operation against the new snapshot")
   }
 
+  /** Read-set validation for rewrites that REPLACE data files on a
+    * merge-on-read-capable table: [[validateFilesLive]] plus "no NEW
+    * delete file was committed since the base". A delete file that
+    * lands concurrently holds coordinates into files this rewrite
+    * replaces — after the rewrite those coordinates address dead
+    * files and the deleted rows would silently resurrect in the
+    * rewritten output. Conflict instead; the retry re-derives against
+    * the new base (pending deletes applied). */
+  def validateRewrite(operation: String, readFiles: Seq[String],
+                      baseFiles: Seq[String])(current: Seq[String]): Unit = {
+    validateFilesLive(operation, readFiles)(current)
+    val known = deleteFiles(baseFiles).toSet
+    val fresh = deleteFiles(current).filterNot(known)
+    if (fresh.nonEmpty)
+      throw new CommitConflictException(
+        s"concurrent commit added ${fresh.size} merge-on-read delete " +
+          s"file(s) this $operation did not read (e.g. ${fresh.head}) — " +
+          "re-run the operation against the new snapshot")
+  }
+
   def delete(tableDir: Path, v: Long): Unit = {
     Files.deleteIfExists(manifest(tableDir, v)); ()
   }
@@ -721,7 +763,9 @@ private[catalog] object Snapshots {
   def readFiles(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
                 files: Seq[String]): org.apache.spark.sql.DataFrame = {
     val schema = physicalReadSchema(tableDir)
-    groupByShape(files).map { case (_, fs) =>
+    // DATA files only, defensively: a delete file slipping into a
+    // table-schema read would fill every column with nulls silently
+    groupByShape(dataFiles(files)).map { case (_, fs) =>
       spark.read.option("basePath", tableDir.toString)
         .schema(schema)
         .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
@@ -739,7 +783,9 @@ private[catalog] object Snapshots {
     * per-snapshot stats AND bitsets live (the Iceberg
     * writer-records-stats-inline model). */
   def freshStatsFor(spark: org.apache.spark.sql.SparkSession, tableDir: Path,
-                    added: Seq[String]): Map[String, FileStats.FileStat] = {
+                    addedRaw: Seq[String]): Map[String, FileStats.FileStat] = {
+    // delete files carry row coordinates, not table columns — no stats
+    val added = dataFiles(addedRaw)
     // column sets come from the snapshot the write will extend: the
     // active branch head when a WAP session is staging, main otherwise
     val last = activeReadBranch(tableDir)

@@ -1,0 +1,236 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+
+/** MERGE-ON-READ row-level deletes ([[MorDeletes]]): with
+  * `graft.write.mode='merge-on-read'`, DELETE FROM on a manifest table
+  * commits POSITION DELETE FILES (`_graft_deletes/delete-*.parquet`,
+  * `(file basename, row index)` coordinates) instead of rewriting data
+  * files; reads anti-join them away through the [[MorScanRewrite]]
+  * optimizer rule; `CALL compact` materializes them and restores the
+  * plain fast path. The laws:
+  *
+  *  - a MoR delete removes rows WITHOUT touching data files (the
+  *    manifest's data-file list is unchanged, byte-identical files);
+  *  - time travel to the pre-delete snapshot sees the full content;
+  *    AS OF the dirty snapshot applies its deletes;
+  *  - appends after the delete are untouched by it (new files have
+  *    new names — coordinates cannot address them);
+  *  - MoR deletes compose, and a copy-on-write DELETE on a dirty
+  *    table applies the pending deletes before rewriting;
+  *  - aggregates over a dirty table are row-correct (metadata-only
+  *    serving is gated off until compaction);
+  *  - UPDATE/MERGE are loudly gated while deletes are pending;
+  *  - compact materializes: same rows, zero delete files, metadata
+  *    aggregates serve again. */
+class MorDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withLake(tag: String)(body: (String, Path) => Unit): Unit = {
+    val lake = Files.createTempDirectory(s"graft-mor-$tag")
+    Files.createDirectories(lake.resolve("m"))
+    val cat = s"mor$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake.toString)
+    try body(cat, lake)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.path")
+      spark.conf.unset(MorDeletes.ModeConf)
+    }
+  }
+
+  private def morOn(): Unit =
+    spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+  private def morOff(): Unit = spark.conf.unset(MorDeletes.ModeConf)
+
+  private def mkTable(cat: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $cat.m.t (n BIGINT, v STRING, region STRING)
+         |PARTITIONED BY (region)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    Seq((1L, "a", "EU"), (2L, "b", "EU"), (3L, "c", "US"),
+      (4L, "d", "US"), (5L, "e", "US"))
+      .toDF("n", "v", "region").write.mode("append")
+      .insertInto(s"$cat.m.t") // s-1
+  }
+
+  private def rows(cat: String): Seq[(Long, String, String)] =
+    spark.table(s"$cat.m.t").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+
+  test("MoR DELETE commits delete files, not data rewrites; reads apply them; time travel serves both sides") {
+    withLake("a") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      val dataBefore = Snapshots.dataFiles(Snapshots.latest(dir).get.files)
+      val bytesBefore = dataBefore.map(f => Files.size(dir.resolve(f))).sorted
+
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n IN (2, 4)") // s-2
+      morOff()
+
+      val s2 = Snapshots.latest(dir).get
+      assert(s2.version == 2L && s2.operation == "delete")
+      // the DATA file list is unchanged — byte-identical files
+      assert(Snapshots.dataFiles(s2.files).sorted == dataBefore.sorted)
+      assert(Snapshots.dataFiles(s2.files)
+        .map(f => Files.size(dir.resolve(f))).sorted == bytesBefore)
+      val dels = Snapshots.deleteFiles(s2.files)
+      assert(dels.nonEmpty &&
+        dels.forall(_.startsWith(Snapshots.DeleteDirName + "/")))
+
+      // current read: deleted rows gone
+      assert(rows(cat) == Seq((1L, "a", "EU"), (3L, "c", "US"),
+        (5L, "e", "US")))
+      // predicate + projection on the dirty table
+      assert(spark.sql(s"SELECT v FROM $cat.m.t WHERE region = 'US'")
+        .as[String].collect().sorted.toSeq == Seq("c", "e"))
+      // aggregates are row-correct (no metadata shortcut over-counts)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+        .as[Long].head() == 3L)
+      assert(spark.sql(
+        s"SELECT region, count(*) AS n FROM $cat.m.t GROUP BY region")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq(("EU", 1L), ("US", 2L)))
+
+      // time travel: pre-delete snapshot is intact; AS OF the dirty
+      // snapshot applies its deletes
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m.t VERSION AS OF 1")
+        .as[Long].head() == 5L)
+      assert(spark.sql(s"SELECT n FROM $cat.m.t VERSION AS OF 2")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    }
+  }
+
+  test("appends after a MoR delete are untouched; MoR deletes compose; no-match DELETE commits nothing") {
+    withLake("b") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 1") // s-2
+      // append AFTER the delete — new files, coordinates cannot
+      // address them even though the rows collide on every column
+      Seq((1L, "a", "EU")).toDF("n", "v", "region")
+        .write.mode("append").insertInto(s"$cat.m.t") // s-3
+      assert(rows(cat).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n <= 2") // s-4: composes
+      assert(rows(cat).map(_._1) == Seq(3L, 4L, 5L))
+      assert(Snapshots.deleteFiles(Snapshots.latest(dir).get.files).size >= 2)
+
+      val vBefore = Snapshots.latest(dir).get.version
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 999") // no match
+      assert(Snapshots.latest(dir).get.version == vBefore,
+        "a DELETE matching nothing must not commit")
+      morOff()
+    }
+  }
+
+  test("copy-on-write DELETE on a dirty table applies pending deletes; UPDATE/MERGE gate until compact") {
+    withLake("c") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 3") // MoR: s-2
+      morOff()
+      // CoW delete with a pending MoR delete: the rewrite must NOT
+      // resurrect n=3 (US partition rewrites; its pending delete
+      // entry becomes inert)
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 5") // CoW: s-3
+      assert(rows(cat).map(_._1) == Seq(1L, 2L, 4L))
+      // the delete file remains (entries for carried files could
+      // still be live in general) but n=3 stays deleted
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m.t WHERE region='US'")
+        .as[Long].head() == 1L)
+
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 1") // MoR again: s-4
+      morOff()
+      val gate = intercept[UnsupportedOperationException](
+        spark.sql(s"UPDATE $cat.m.t SET v = 'x' WHERE n = 2"))
+      assert(gate.getMessage.contains("merge-on-read") &&
+        gate.getMessage.contains("compact"))
+      assert(Snapshots.deleteFiles(Snapshots.latest(dir).get.files).nonEmpty)
+
+      // compact materializes: same rows, zero delete files, and
+      // row-level ops work again
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      assert(Snapshots.deleteFiles(Snapshots.latest(dir).get.files).isEmpty)
+      assert(rows(cat).map(_._1) == Seq(2L, 4L))
+      spark.sql(s"UPDATE $cat.m.t SET v = 'x' WHERE n = 2")
+      assert(rows(cat) == Seq((2L, "x", "EU"), (4L, "d", "US")))
+      // the dirty snapshot is STILL readable with its deletes applied
+      assert(spark.sql(s"SELECT n FROM $cat.m.t VERSION AS OF 4")
+        .as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    }
+  }
+
+  test("metadata-only aggregates gate while dirty and serve again after compact") {
+    withLake("d") { (cat, lake) =>
+      mkTable(cat)
+      spark.sql(s"CALL $cat.system.analyze('m.t', 'n,v')")
+      def planOf(sql: String): String =
+        spark.sql(sql).queryExecution.executedPlan.toString
+      val q = s"SELECT count(*) AS c, min(n) AS mn, max(n) AS mx FROM $cat.m.t"
+      // a metadata-served aggregate plans as a LocalTableScan (zero
+      // data files opened; VersionedPartitionedSpec pins the details)
+      assert(planOf(q).contains("LocalTableScan"),
+        "clean analyzed table: metadata-only LocalScan")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 2")
+      morOff()
+      assert(!planOf(q).contains("LocalTableScan"),
+        "dirty table: the metadata shortcut would over-count")
+      assert(spark.sql(q).as[(Long, Long, Long)].head() == ((4L, 1L, 5L)))
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      // compact carries no stats for files it creates unless analyzed
+      spark.sql(s"CALL $cat.system.analyze('m.t', 'n,v')")
+      assert(planOf(q).contains("LocalTableScan"))
+      assert(spark.sql(q).as[(Long, Long, Long)].head() == ((4L, 1L, 5L)))
+    }
+  }
+
+  test("the change feed emits a MoR delete as retractions (live rows per version)") {
+    withLake("e") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE region = 'EU'") // s-2
+      morOff()
+      val reads = new ManifestSnapshotReads(spark, dir)
+      assert(reads.read(1L).get.count() == 5L)
+      assert(reads.read(2L).get.select("n")
+        .as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+      // the diff the feed derives: v2 removes exactly n=1,2
+      val feed = graft.streaming.ChangeFeed.diff(
+        reads.read(1L).get, reads.read(2L).get, Seq("n"))
+      val dels = feed.filter("op = 'd'").select("before.n")
+        .as[Long].collect().sorted.toSeq
+      assert(dels == Seq(1L, 2L))
+      assert(feed.filter("op != 'd'").isEmpty)
+    }
+  }
+
+  test("partition-pruned MoR delete reads only candidate partitions' coordinates") {
+    withLake("f") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE region = 'EU' AND n = 2")
+      morOff()
+      // the delete file holds ONE coordinate, into an EU file
+      val dels = Snapshots.deleteFiles(Snapshots.latest(dir).get.files)
+      val coords = spark.read.schema(MorDeletes.DeleteSchema)
+        .parquet(dels.map(f => dir.resolve(f).toString): _*)
+        .as[(String, Long)].collect().toSeq
+      assert(coords.size == 1)
+      val euBases = Snapshots.dataFiles(Snapshots.latest(dir).get.files)
+        .filter(_.startsWith("region=EU"))
+        .map(f => java.nio.file.Paths.get(f).getFileName.toString).toSet
+      assert(euBases.contains(coords.head._1))
+      assert(rows(cat).map(_._1) == Seq(1L, 3L, 4L, 5L))
+    }
+  }
+}
