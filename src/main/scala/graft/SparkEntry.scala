@@ -1037,6 +1037,15 @@ object SparkEntry {
       graft.operators.Bucketing2.tableChangesCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_tclake")),
+    // Merge-on-read position deletes end-to-end (r13, the Iceberg v2
+    // delete-file model): DELETE commits (file, pos) coordinates
+    // instead of rewriting data files; reads anti-join them away;
+    // append after delete untouched; CALL compact materializes
+    // (MorDeleteSpec pins the file-level mechanics).
+    "q_mor_delete" -> ((s, dir) =>
+      graft.operators.Bucketing2.morLifecycleCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_morlake")),
 
     // ABC inventory classification from the exact cumulative revenue
     // share (integer ppm on DECIMAL(38,0)).
@@ -5349,6 +5358,36 @@ object SparkEntry {
         |FROM base WHERE o_orderstatus <> 'F'
         |  AND o_orderpriority = '1-URGENT'
         |ORDER BY version, op""".stripMargin,
+
+    // Merge-on-read lifecycle: every version's content re-derives
+    // from raw parquet with the same filters — v1 = everything, v2 =
+    // minus status F (the MoR delete), v3 = v2 plus the re-appended
+    // F subset (new files are untouched by old coordinates), v4 =
+    // minus small invoices (composes across old and new files),
+    // current = v4 (compact is content-neutral).
+    "q_mor_delete" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority FROM orders),
+        |v2 AS (SELECT * FROM base WHERE st <> 'F'),
+        |v3 AS (SELECT * FROM v2 UNION ALL
+        |  SELECT * FROM base WHERE st = 'F' AND k % 7 = 0),
+        |v4 AS (SELECT * FROM v3 WHERE cents >= 5000000),
+        |c1 AS (SELECT o_orderpriority, count(*) AS n1 FROM base GROUP BY 1),
+        |c2 AS (SELECT o_orderpriority, count(*) AS n2 FROM v2 GROUP BY 1),
+        |c4 AS (SELECT o_orderpriority, count(*) AS n4,
+        |  sum(cents) AS cc FROM v4 GROUP BY 1)
+        |SELECT c1.o_orderpriority,
+        |  CAST(c1.n1 AS BIGINT) AS n_v1,
+        |  CAST(COALESCE(c2.n2, 0) AS BIGINT) AS n_v2,
+        |  CAST(COALESCE(c4.n4, 0) AS BIGINT) AS n_v4,
+        |  CAST(COALESCE(c4.n4, 0) AS BIGINT) AS n_cur,
+        |  CAST(COALESCE(c4.cc, 0) AS BIGINT) AS cents_cur
+        |FROM c1
+        |LEFT JOIN c2 ON c1.o_orderpriority = c2.o_orderpriority
+        |LEFT JOIN c4 ON c1.o_orderpriority = c4.o_orderpriority
+        |ORDER BY 1""".stripMargin,
 
     // Mixed-shape census after spec coarsening: layout is a plan
     // property — the oracle is the same census over raw parquet.

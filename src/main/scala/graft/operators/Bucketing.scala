@@ -645,6 +645,71 @@ object Bucketing2 {
           .cast("bigint").as("cents_after"))
       .orderBy("version", "op")
   }
+
+  /** MERGE-ON-READ delete lifecycle end-to-end (r13,
+    * [[graft.catalog.MorDeletes]] — the Iceberg v2 position-delete
+    * model): with `graft.write.mode='merge-on-read'`, DELETE commits
+    * `(file, pos)` coordinate files instead of rewriting data files —
+    * the shape that makes row-level deletes cheap at 100 TB. The
+    * census drives the full lifecycle on one table:
+    *
+    *  - s-1 insert; s-2 MoR DELETE (status F) — data files untouched;
+    *  - s-3 append re-adds a subset of the very rows s-2 deleted
+    *    (new files, new names: old coordinates cannot address them);
+    *  - s-4 a second MoR DELETE composes across old and new files;
+    *  - s-5 `CALL compact` MATERIALIZES the deletes (content-neutral:
+    *    current equals AS OF 4 row-for-row, which the shared oracle
+    *    derivation makes part of the hash).
+    *
+    * Every AS OF read of a delete-carrying snapshot exercises the
+    * anti-join rewrite; the oracle re-derives each version from the
+    * raw parquet with the same filters. */
+  def morLifecycleCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakemor"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_mor (
+         |  o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT,
+         |  o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_mor")   // s-1
+    spark.conf.set("graft.write.mode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.m.orders_mor WHERE o_orderstatus = 'F'") // s-2
+      // re-append a deterministic subset of the deleted rows: content-
+      // identical rows in NEW files must be untouched by s-2's deletes
+      base.filter(col("o_orderstatus") === "F" &&
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        .write.mode("append").insertInto(s"$cat.m.orders_mor")   // s-3
+      spark.sql(s"DELETE FROM $cat.m.orders_mor WHERE cents < 5000000") // s-4
+    } finally spark.conf.unset("graft.write.mode")
+    spark.sql(s"CALL $cat.system.compact('m.orders_mor', 4)")    // s-5
+    def at(v: Long, n: String) = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS $n
+         |FROM $cat.m.orders_mor VERSION AS OF $v GROUP BY 1""".stripMargin)
+    val cur = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_cur,
+         |  sum(cents) AS cents_cur
+         |FROM $cat.m.orders_mor GROUP BY 1""".stripMargin)
+    at(1L, "n_v1")
+      .join(at(2L, "n_v2"), Seq("o_orderpriority"), "left")
+      .join(at(4L, "n_v4"), Seq("o_orderpriority"), "left")
+      .join(cur, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_v1").cast("bigint").as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).cast("bigint").as("n_v2"),
+        coalesce(col("n_v4"), lit(0L)).cast("bigint").as("n_v4"),
+        coalesce(col("n_cur"), lit(0L)).cast("bigint").as("n_cur"),
+        coalesce(col("cents_cur"), lit(0L)).cast("bigint").as("cents_cur"))
+      .orderBy("o_orderpriority")
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entries: the
