@@ -213,6 +213,39 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("plan pin: the dirty read is a broadcast ANTI-join with pruning and pushdown intact") {
+    withLake("g") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (n BIGINT, v STRING, region STRING)
+           |PARTITIONED BY (region)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      (1L to 2000L).map(i =>
+          (i, s"v$i", if (i % 2 == 0) "EU" else "US"))
+        .toDF("n", "v", "region").write.mode("append")
+        .insertInto(s"$cat.m.t")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n >= 100 AND n <= 199")
+      morOff()
+      val q = spark.sql(
+        s"SELECT v FROM $cat.m.t WHERE region = 'EU' AND n > 100")
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the delete side broadcasts; the fact side never shuffles
+      assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight"), plan)
+      // the static partition predicate prunes the data-side LISTING
+      assert(plan.contains("PartitionFilters: [isnotnull(region"), plan)
+      // the data predicate reaches the parquet reader beneath the join
+      assert(plan.contains("PushedFilters: [IsNotNull(n), GreaterThan(n,100)]"),
+        plan)
+      // column pruning: only the asked-for columns + the row coordinate
+      assert(plan.contains(
+        "ReadSchema: struct<n:bigint,v:string,_tmp_metadata_row_index:bigint>"),
+        plan)
+      // 950 even n in (100, 2000]; 49 of them deleted in [102, 198]
+      assert(q.count() == 901L)
+    }
+  }
+
   test("partition-pruned MoR delete reads only candidate partitions' coordinates") {
     withLake("f") { (cat, lake) =>
       mkTable(cat)
