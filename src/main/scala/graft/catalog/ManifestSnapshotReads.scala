@@ -65,6 +65,10 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
     metaOf(version).exists(s =>
       s.summary.get("added-data-files").contains(0L) &&
         s.summary.get("removed-data-files").contains(0L) &&
+        // a merge-on-read delete commit adds ONLY delete files — it
+        // is content-changing (its rows retract in the feed)
+        s.summary.getOrElse("added-delete-files", 0L) == 0L &&
+        s.summary.getOrElse("removed-delete-files", 0L) == 0L &&
         s.parent.isDefined)
 
   /** The declared logical schema — zero data IO. */

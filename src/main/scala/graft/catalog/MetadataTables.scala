@@ -161,6 +161,9 @@ private[catalog] object MetadataTables {
       .add("file", StringType, nullable = false)
       .add("size_bytes", LongType, nullable = false)
       .add("rows", LongType, nullable = true)
+      // 'data' | 'delete' — merge-on-read delete files are snapshot
+      // members too (the Iceberg `db.t.files` content column)
+      .add("kind", StringType, nullable = false)
     local(s"$cat.${tableDir.getFileName}.files", schema, { () =>
       val dataDir = DeletableTable.versionsOf(tableDir).lastOption
         .fold(tableDir)(v => tableDir.resolve(s"v=$v"))
@@ -168,7 +171,9 @@ private[catalog] object MetadataTables {
       currentFiles(tableDir, dataDir).map { case (rel, p) =>
         InternalRow(UTF8String.fromString(rel), Files.size(p),
           stats.get(p.getFileName.toString).flatMap(_.rows)
-            .map(Long.box).orNull)
+            .map(Long.box).orNull,
+          UTF8String.fromString(
+            if (Snapshots.isDeleteFile(rel)) "delete" else "data"))
       }.toArray
     })
   }

@@ -612,12 +612,27 @@ private[catalog] object Snapshots {
       }
     val segRefs = carried.map(_._1) ++ newSeg.map(_._1)
     val allStats = (carried.iterator.flatMap(_._2.stats) ++ deltaStats).toMap
-    val added = files.diff(prevFiles).size.toLong
-    val removed = prevFiles.diff(files).size.toLong
+    val added = files.diff(prevFiles)
+    val removed = prevFiles.diff(files)
+    // data and merge-on-read delete files count separately (the
+    // Iceberg snapshot-summary split); delete keys appear only when
+    // the commit or its parent actually involves delete files, so
+    // clean tables keep their compact summaries. The change-feed
+    // no-op check reads BOTH families ([[ManifestSnapshotReads
+    // .noopCommit]]) — a delete-file-only commit is content-changing.
+    val delKeys =
+      if (deleteFiles(files).isEmpty && deleteFiles(prevFiles).isEmpty &&
+        deleteFiles(added).isEmpty && deleteFiles(removed).isEmpty)
+        Map.empty[String, Long]
+      else Map(
+        "added-delete-files" -> deleteFiles(added).size.toLong,
+        "removed-delete-files" -> deleteFiles(removed).size.toLong,
+        "total-delete-files" -> deleteFiles(files).size.toLong)
     val s = Snapshot(prev.fold(0L)(_.version + 1L),
       System.currentTimeMillis(), files, prev.map(_.version), operation,
-      Map("added-data-files" -> added, "removed-data-files" -> removed,
-        "total-data-files" -> files.size.toLong),
+      Map("added-data-files" -> dataFiles(added).size.toLong,
+        "removed-data-files" -> dataFiles(removed).size.toLong,
+        "total-data-files" -> dataFiles(files).size.toLong) ++ delKeys,
       allStats, segRefs, dropped,
       // the tag ref state carries forward on EVERY commit (the
       // Iceberg refs-in-current-metadata model); tag/untag commits

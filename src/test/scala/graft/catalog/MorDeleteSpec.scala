@@ -80,6 +80,13 @@ class MorDeleteSpec extends SparkSpec {
       val dels = Snapshots.deleteFiles(s2.files)
       assert(dels.nonEmpty &&
         dels.forall(_.startsWith(Snapshots.DeleteDirName + "/")))
+      // audit surfaces: .files marks them 'delete'; the snapshot
+      // summary counts them separately from data files
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m.t.files " +
+        "WHERE kind = 'delete'").as[Long].head() == dels.size.toLong)
+      assert(s2.summary.get("added-delete-files")
+        .contains(dels.size.toLong) &&
+        s2.summary.get("added-data-files").contains(0L))
 
       // current read: deleted rows gone
       assert(rows(cat) == Seq((1L, "a", "EU"), (3L, "c", "US"),
@@ -243,6 +250,39 @@ class MorDeleteSpec extends SparkSpec {
         plan)
       // 950 even n in (100, 2000]; 49 of them deleted in [102, 198]
       assert(q.count() == 901L)
+    }
+  }
+
+  test("MoR deletes stage on a WAP branch and publish via fast_forward; expire GCs dropped delete files") {
+    withLake("h") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      spark.sql(s"CALL $cat.system.branch('m.t', 'staging')")
+      spark.conf.set("graft.write.branch", "staging")
+      morOn()
+      try spark.sql(s"DELETE FROM $cat.m.t WHERE region = 'EU'")
+      finally { morOff(); spark.conf.unset("graft.write.branch") }
+      spark.catalog.clearCache()
+      // main never saw the staged delete; the branch applies it
+      assert(rows(cat).size == 5)
+      assert(Snapshots.deleteFiles(Snapshots.latest(dir).get.files).isEmpty)
+      assert(spark.sql(s"SELECT n FROM $cat.m.t VERSION AS OF 'staging'")
+        .as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+      // publish: ONE atomic main commit carrying the delete files
+      spark.sql(s"CALL $cat.system.fast_forward('m.t', 'staging')")
+      spark.catalog.clearCache()
+      assert(rows(cat).map(_._1) == Seq(3L, 4L, 5L))
+      assert(Snapshots.deleteFiles(Snapshots.latest(dir).get.files).nonEmpty)
+
+      // compact materializes, expire drops the dirty history, and the
+      // GC reclaims the delete files from DISK (path-generic refs)
+      val delRel = Snapshots.deleteFiles(Snapshots.latest(dir).get.files)
+      spark.sql(s"CALL $cat.system.drop_branch('m.t', 'staging')")
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      spark.sql(s"CALL $cat.system.expire_snapshots('m.t', 1)")
+      assert(delRel.forall(f => Files.notExists(dir.resolve(f))),
+        s"expire must GC unreferenced delete files: $delRel")
+      assert(rows(cat).map(_._1) == Seq(3L, 4L, 5L))
     }
   }
 
