@@ -1046,6 +1046,13 @@ object SparkEntry {
       graft.operators.Bucketing2.morLifecycleCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_morlake")),
+    // Widening ALTER COLUMN TYPE end-to-end (r13): INT files + BIGINT
+    // files under one widened schema, zero data rewritten (Spark 4
+    // parquet up-conversion; CatalogSpec pins the evolution gating).
+    "q_type_widen" -> ((s, dir) =>
+      graft.operators.Bucketing2.typeWidenCensus(
+        t(s, dir, "lineitem"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_widelake")),
 
     // ABC inventory classification from the exact cumulative revenue
     // share (integer ppm on DECIMAL(38,0)).
@@ -5388,6 +5395,24 @@ object SparkEntry {
         |LEFT JOIN c2 ON c1.o_orderpriority = c2.o_orderpriority
         |LEFT JOIN c4 ON c1.o_orderpriority = c4.o_orderpriority
         |ORDER BY 1""".stripMargin,
+
+    // Widening evolution: the census is the union of the int32-era
+    // rows and the int64-era rows (offset past INT range) — derived
+    // from raw parquet with the same filters. (l_quantity is integral,
+    // so the INT cast is exact in both engines.)
+    "q_type_widen" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) + 10000000000 AS qty
+        |  FROM lineitem WHERE l_linenumber = 2),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(min(qty) AS BIGINT) AS min_qty,
+        |  CAST(max(qty) AS BIGINT) AS max_qty
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mixed-shape census after spec coarsening: layout is a plan
     // property — the oracle is the same census over raw parquet.

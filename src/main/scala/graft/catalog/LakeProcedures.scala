@@ -749,10 +749,26 @@ private[catalog] object LakeProcedures {
                 if (!Snapshots.isVersioned(tableDir)) Seq.empty[Path]
                 else {
                   val live = Snapshots.referencedFiles(tableDir)
+                  // merge-on-read delete files a crashed DELETE
+                  // published but never committed (the _graft_deletes
+                  // dir has no `col=value` segments, so the data walk
+                  // above never sees it)
+                  val delDir = tableDir.resolve(Snapshots.DeleteDirName)
+                  val delOrphans =
+                    if (!Files.isDirectory(delDir)) Seq.empty[Path]
+                    else {
+                      val s = Files.list(delDir)
+                      try s.iterator().asScala
+                        .filter(p => Files.isRegularFile(p) &&
+                          !live(s"${Snapshots.DeleteDirName}/" +
+                            p.getFileName.toString))
+                        .toSeq
+                      finally s.close()
+                    }
                   PartitionedWrite.filesUnderDirs(tableDir,
                       PartitionedWrite.leafPartitionDirs(tableDir))
                     .filterNot(rel => live(rel.toString))
-                    .map(tableDir.resolve(_)) ++
+                    .map(tableDir.resolve(_)) ++ delOrphans ++
                     Snapshots.orphanSegments(tableDir)
                 }
               val stale = (siblings ++ tmps ++ orphans).filter(p =>

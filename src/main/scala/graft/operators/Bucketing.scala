@@ -710,6 +710,45 @@ object Bucketing2 {
         coalesce(col("cents_cur"), lit(0L)).cast("bigint").as("cents_cur"))
       .orderBy("o_orderpriority")
   }
+
+  /** Widening type evolution end-to-end (Iceberg's metadata-only
+    * ALTER COLUMN TYPE; Spark 4 parquet readers up-convert at scan
+    * time, SPARK-40876): land INT-typed files, widen to BIGINT, land
+    * rows only the widened type can hold (offset past INT range),
+    * then census across BOTH file generations in one scan — the old
+    * int32 files and the new int64 files answer under one BIGINT
+    * schema with zero data rewritten. The oracle re-derives the union
+    * from raw parquet. */
+  def typeWidenCensus(lineitem: DataFrame, workDir: String): DataFrame = {
+    val spark = lineitem.sparkSession
+    val cat = "glakewide"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.items_wide (
+         |  l_orderkey BIGINT, qty INT, l_returnflag STRING)
+         |PARTITIONED BY (l_returnflag)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    lineitem.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("int").as("qty"), col("l_returnflag"))
+      .write.mode("append").insertInto(s"$cat.m.items_wide")    // int32 era
+    spark.sql(s"ALTER TABLE $cat.m.items_wide ALTER COLUMN qty TYPE BIGINT")
+    lineitem.filter(col("l_linenumber") === 2)
+      .select(col("l_orderkey"),
+        (col("l_quantity").cast("bigint") + lit(10000000000L)).as("qty"),
+        col("l_returnflag"))
+      .write.mode("append").insertInto(s"$cat.m.items_wide")    // int64 era
+    spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  sum(qty) AS sum_qty, min(qty) AS min_qty, max(qty) AS max_qty
+         |FROM $cat.m.items_wide GROUP BY 1 ORDER BY 1""".stripMargin)
+      .select(col("l_returnflag"), col("n_rows").cast("bigint").as("n_rows"),
+        col("sum_qty").cast("bigint").as("sum_qty"),
+        col("min_qty").cast("bigint").as("min_qty"),
+        col("max_qty").cast("bigint").as("max_qty"))
+  }
 }
 
 /** Fresh work dir per run for the partitioned-table entries: the

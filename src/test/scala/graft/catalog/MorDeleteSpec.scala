@@ -286,6 +286,27 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("vacuum collects orphan delete files (crashed MoR commit) but spares referenced ones") {
+    withLake("i") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 2") // live delete file
+      morOff()
+      val live = Snapshots.deleteFiles(Snapshots.latest(dir).get.files)
+      assert(live.nonEmpty)
+      // a crashed MoR DELETE: file published, manifest never committed
+      val orphan = dir.resolve(Snapshots.DeleteDirName)
+        .resolve("delete-orphaned-0.parquet")
+      Files.write(orphan, Array[Byte](1, 2, 3))
+      spark.sql(s"CALL $cat.system.vacuum('m.t', 0)")
+      assert(Files.notExists(orphan), "unreferenced delete file collected")
+      assert(live.forall(f => Files.exists(dir.resolve(f))),
+        "manifest-referenced delete files survive vacuum")
+      assert(rows(cat).map(_._1) == Seq(1L, 3L, 4L, 5L))
+    }
+  }
+
   test("partition-pruned MoR delete reads only candidate partitions' coordinates") {
     withLake("f") { (cat, lake) =>
       mkTable(cat)
