@@ -138,36 +138,84 @@ private[catalog] object MorDeletes {
         .drop(FileKeyCol, PosKeyCol)
   }
 
-  /** Persist a `(file, pos)` hit set as delete files under
-    * `_graft_deletes/`, returning the table-relative paths to commit.
-    * Files land before the manifest references them (the ordinary
-    * publish-then-commit discipline); `delete-` basenames keep them
-    * recognizable by name alone. */
+  /** The partition-scope column delete files are laid out by: each
+    * delete file lands under
+    * `_graft_deletes/_gmor_tdir=<hive-escaped target partition dir>/`,
+    * so the read-side rewrite prunes delete FILES with the same
+    * static partition logic as data files — at 100 TB a
+    * one-partition query reads one partition's coordinates, not the
+    * table's whole delete churn. */
+  val TargetDirCol = "_gmor_tdir"
+
+  /** Persist a `(file, pos, target-dir)` hit set as delete files,
+    * one file set per TARGET PARTITION DIRECTORY, returning the
+    * table-relative paths to commit. Files land before the manifest
+    * references them (the ordinary publish-then-commit discipline);
+    * `delete-` basenames keep them recognizable by name alone. */
   def writeDeleteFiles(spark: SparkSession, tableDir: Path,
                        hits: DataFrame): Seq[String] = {
     val tmp = tableDir.resolveSibling(
       tableDir.getFileName.toString + ".__mordel-" +
         java.util.UUID.randomUUID().toString.take(8))
     PartitionedWrite.deleteRecursive(tmp)
-    hits.toDF("file", "pos").write.parquet(tmp.toString)
+    hits.toDF("file", "pos", TargetDirCol)
+      .write.partitionBy(TargetDirCol).parquet(tmp.toString)
     val delDir = tableDir.resolve(Snapshots.DeleteDirName)
     Files.createDirectories(delDir)
     val parts = {
-      val s = Files.list(tmp)
+      val s = Files.walk(tmp)
       try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-      }.toSeq.sortBy(_.getFileName.toString)
+      }.toSeq.sortBy(_.toString)
       finally s.close()
     }
     val writeId = java.util.UUID.randomUUID().toString.take(12)
     val moved = parts.zipWithIndex.map { case (p, i) =>
       val name = s"delete-$writeId-$i.parquet"
-      Files.move(p, delDir.resolve(name))
-      s"${Snapshots.DeleteDirName}/$name"
+      val sub = Option(tmp.relativize(p).getParent) // _gmor_tdir=<esc>
+      val destDir = sub.fold(delDir)(d => delDir.resolve(d.toString))
+      Files.createDirectories(destDir)
+      Files.move(p, destDir.resolve(name))
+      sub.fold(s"${Snapshots.DeleteDirName}/$name")(d =>
+        s"${Snapshots.DeleteDirName}/$d/$name")
     }
     PartitionedWrite.deleteRecursive(tmp)
     moved
+  }
+
+  /** The target partition directory a delete file's coordinates
+    * address, from its `_gmor_tdir=` path segment. None = unscoped
+    * (root-partition targets, or a foreign layout) — never pruned. */
+  def targetDirOf(rel: String): Option[Path] = {
+    val segs = java.nio.file.Paths.get(rel).iterator().asScala
+      .map(_.toString).toSeq
+    segs.find(_.startsWith(TargetDirCol + "=")).map { s =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s.stripPrefix(TargetDirCol + "="))
+    }.filter(d => d.nonEmpty &&
+      d != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME)
+      .map(java.nio.file.Paths.get(_))
+  }
+
+  /** Static partition pruning of the DELETE side: keep delete files
+    * whose recorded target partition can satisfy `filters` (the same
+    * [[PartitionPruning]] proof the data side uses), plus every
+    * unscoped file (conservative). No provable exclusion → all. */
+  def pruneDeleteFiles(deletes: Seq[String],
+                       spec: Seq[PartitionSpec.Field],
+                       filters: Seq[Expression]): Seq[String] = {
+    if (deletes.isEmpty || spec.isEmpty || filters.isEmpty) return deletes
+    val scoped = deletes.flatMap(f => targetDirOf(f).map(_ -> f))
+    val unscoped = deletes.filter(f => targetDirOf(f).isEmpty)
+    if (scoped.isEmpty) return deletes
+    PartitionPruning.splitLeaves(scoped.map(_._1).distinct, spec, filters) match {
+      case Some((cands, carried)) if carried.nonEmpty =>
+        val keep = cands.map(_.toString).toSet
+        unscoped ++ scoped.collect { case (d, f) if keep(d.toString) => f }
+      case _ => deletes
+    }
   }
 
   /** Attach [[MorScanRewrite]] to the session's optimizer (idempotent;
@@ -255,9 +303,16 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
 
   private def swap(r: DataSourceV2ScanRelation,
                    cond: Option[Expression]): LogicalPlan = {
-    val (table, dels) = dirtyOf(r).get
-    val (tableDir, files, renames) = table.morReadInfo
+    val (table, allDels) = dirtyOf(r).get
+    val (tableDir, files, renames, spec) = table.morReadInfo
     val spark = SparkSession.active
+    // static partition pruning of the DELETE side: coordinates are
+    // laid out by target partition ([[TargetDirCol]]), so the same
+    // predicate proof that prunes data directories prunes delete
+    // FILES — a one-partition query at 100 TB reads one partition's
+    // delete churn, not the table's
+    val dels = cond.fold(allDels)(c =>
+      pruneDeleteFiles(allDels, spec, Seq(c)))
     val physOf: Map[String, String] =
       r.output.map(o => o.name -> renames.getOrElse(o.name, o.name)).toMap
     val dataPlan = readDataWithCoords(spark, tableDir, files,
@@ -273,12 +328,18 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
         attrFor(names(a.exprId))
     })
     val filtered = remapped.fold(dataPlan)(Filter(_, dataPlan))
-    val delPlan = readDeletes(spark, tableDir, dels).queryExecution.analyzed
-    val joinCond = And(
-      EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
-      EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))
-    val joined = Join(filtered, delPlan, LeftAnti, Some(joinCond),
-      JoinHint.NONE)
+    // every delete target provably outside the predicate's partitions:
+    // no join at all — the read degrades to the plain pruned scan
+    val joined =
+      if (dels.isEmpty) filtered
+      else {
+        val delPlan = readDeletes(spark, tableDir, dels)
+          .queryExecution.analyzed
+        val joinCond = And(
+          EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
+          EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))
+        Join(filtered, delPlan, LeftAnti, Some(joinCond), JoinHint.NONE)
+      }
     Project(r.output.map(o =>
       Alias(attrFor(o.name), o.name)(exprId = o.exprId,
         qualifier = o.qualifier)), joined)

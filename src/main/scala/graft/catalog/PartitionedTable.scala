@@ -178,10 +178,12 @@ private[catalog] final class PartitionedLakeTable(
   private[catalog] def morDeleteFiles: Seq[String] =
     snapshot.fold(Seq.empty[String])(s => Snapshots.deleteFiles(s.files))
 
-  /** (table dir, snapshot file list, logical→physical renames) for
-    * [[MorScanRewrite]]'s data-side rebuild. */
-  private[catalog] def morReadInfo: (Path, Seq[String], Map[String, String]) =
-    (tableDir, snapshot.fold(Seq.empty[String])(_.files), renames)
+  /** (table dir, snapshot file list, logical→physical renames,
+    * partition spec) for [[MorScanRewrite]]'s data-side rebuild and
+    * delete-side pruning. */
+  private[catalog] def morReadInfo
+      : (Path, Seq[String], Map[String, String], Seq[PartitionSpec.Field]) =
+    (tableDir, snapshot.fold(Seq.empty[String])(_.files), renames, spec)
 
   // a delete-carrying view needs the read-side rewrite: attach it to
   // the session's optimizer BEFORE the query that loaded this table
@@ -557,8 +559,21 @@ private[catalog] final class PartitionedLakeTable(
         val rows = MorDeletes.applyDeletes(spark, tableDir,
           MorDeletes.readDataWithCoords(spark, tableDir, candFiles),
           pendingDels)
+        // (basename → target partition dir) of the candidates — known
+        // from the manifest, so the coordinates can land PARTITION-
+        // SCOPED delete files the read side prunes statically
+        import spark.implicits._
+        val candMap = candFiles.map { f =>
+          val p = Paths.get(f)
+          (p.getFileName.toString,
+            Option(p.getParent).fold("")(_.toString))
+        }.toDF(MorDeletes.FileKeyCol, MorDeletes.TargetDirCol)
         val hits = rows.filter(coalesce(cond, lit(false)))
           .select(col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol))
+          .join(org.apache.spark.sql.functions.broadcast(candMap),
+            Seq(MorDeletes.FileKeyCol))
+          .select(col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol),
+            col(MorDeletes.TargetDirCol))
         if (hits.isEmpty) return // nothing matched: no commit
         val moved = MorDeletes.writeDeleteFiles(spark, tableDir, hits)
         // validation: the coordinates address candFiles — a concurrent

@@ -286,6 +286,35 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("delete files are partition-scoped and the read prunes them with the data side") {
+    withLake("j") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      // one DELETE spanning both partitions → one delete file PER
+      // target partition directory
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 1 OR n = 3")
+      morOff()
+      val dels = Snapshots.deleteFiles(Snapshots.latest(dir).get.files)
+      assert(dels.size == 2, dels)
+      val targets = dels.flatMap(MorDeletes.targetDirOf).map(_.toString)
+      assert(targets.sorted == Seq("region=EU", "region=US"), targets)
+
+      // a one-partition query reads ONE partition's coordinates: the
+      // delete-side scan lists only the US-scoped file
+      val q = spark.sql(s"SELECT n FROM $cat.m.t WHERE region = 'US'")
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("region%3DUS"), plan)   // hive-escaped tdir
+      assert(!plan.contains("region%3DEU"), plan)
+      assert(q.as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+      // and the EU side still applies ITS delete
+      assert(spark.sql(s"SELECT n FROM $cat.m.t WHERE region = 'EU'")
+        .as[Long].collect().sorted.toSeq == Seq(2L))
+      assert(rows(cat).map(_._1) == Seq(2L, 4L, 5L))
+    }
+  }
+
   test("vacuum collects orphan delete files (crashed MoR commit) but spares referenced ones") {
     withLake("i") { (cat, lake) =>
       mkTable(cat)
