@@ -757,11 +757,12 @@ private[catalog] object LakeProcedures {
                   val delOrphans =
                     if (!Files.isDirectory(delDir)) Seq.empty[Path]
                     else {
-                      val s = Files.list(delDir)
+                      // RECURSIVE: delete files land partition-scoped
+                      // under `_gmor_tdir=<dir>/` subdirectories
+                      val s = Files.walk(delDir)
                       try s.iterator().asScala
                         .filter(p => Files.isRegularFile(p) &&
-                          !live(s"${Snapshots.DeleteDirName}/" +
-                            p.getFileName.toString))
+                          !live(tableDir.relativize(p).toString))
                         .toSeq
                       finally s.close()
                     }

@@ -92,6 +92,16 @@ private[catalog] object MorDeletes {
                          files: Seq[String],
                          select: Option[Seq[String]] = None): DataFrame = {
     val schema = Snapshots.physicalReadSchema(tableDir)
+    if (Snapshots.dataFiles(files).isEmpty) {
+      // all-delete-files manifest: empty rows, full coordinate shape
+      val base = select.fold(schema.fields.toSeq)(cols =>
+        cols.map(c => schema(schema.fieldIndex(c))))
+      return spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](),
+        StructType(base :+
+          org.apache.spark.sql.types.StructField(FileKeyCol, StringType) :+
+          org.apache.spark.sql.types.StructField(PosKeyCol, LongType)))
+    }
     Snapshots.groupByShape(Snapshots.dataFiles(files)).map { case (_, fs) =>
       val raw = spark.read.option("basePath", tableDir.toString)
         .schema(schema)
@@ -125,14 +135,10 @@ private[catalog] object MorDeletes {
   def liveRows(spark: SparkSession, tableDir: Path,
                files: Seq[String]): DataFrame = {
     val dels = Snapshots.deleteFiles(files)
-    if (dels.isEmpty) {
-      // clean snapshot: the plain per-shape read, no coordinate cost
-      val schema = Snapshots.physicalReadSchema(tableDir)
-      Snapshots.groupByShape(Snapshots.dataFiles(files)).map { case (_, fs) =>
-        spark.read.option("basePath", tableDir.toString).schema(schema)
-          .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
-      }.reduce(_ unionByName _)
-    } else
+    if (dels.isEmpty)
+      // clean snapshot: the shared per-shape read, no coordinate cost
+      Snapshots.readFiles(spark, tableDir, files).drop(Snapshots.FileCol)
+    else
       applyDeletes(spark, tableDir,
         readDataWithCoords(spark, tableDir, files), dels)
         .drop(FileKeyCol, PosKeyCol)

@@ -548,6 +548,7 @@ private[catalog] final class PartitionedLakeTable(
         .map(_._1).getOrElse(leaves)
       val candFiles = Snapshots.filesUnder(dataF, candDirs)
       if (candFiles.isEmpty) return // nothing can match: no-op
+      val candDirSet = candDirs.map(_.toString).toSet
       if (MorDeletes.morEnabled(spark)) {
         // MERGE-ON-READ delete ([[MorDeletes]]): persist the matching
         // rows' (file, pos) coordinates as delete files and commit a
@@ -555,10 +556,15 @@ private[catalog] final class PartitionedLakeTable(
         // one-partition predicate reads one partition's candidates.
         // Pending deletes are applied first, so a second MoR delete
         // records only still-live rows (re-recording a coordinate
-        // would be harmlessly idempotent anyway).
+        // would be harmlessly idempotent anyway) — and only the
+        // pending files whose TARGET partitions intersect the
+        // candidates join (coordinates for other partitions cannot
+        // match candidate basenames; same static proof as the read).
+        val relevantDels = pendingDels.filter(f =>
+          MorDeletes.targetDirOf(f).fold(true)(d => candDirSet(d.toString)))
         val rows = MorDeletes.applyDeletes(spark, tableDir,
           MorDeletes.readDataWithCoords(spark, tableDir, candFiles),
-          pendingDels)
+          relevantDels)
         // (basename → target partition dir) of the candidates — known
         // from the manifest, so the coordinates can land PARTITION-
         // SCOPED delete files the read side prunes statically
@@ -574,8 +580,12 @@ private[catalog] final class PartitionedLakeTable(
             Seq(MorDeletes.FileKeyCol))
           .select(col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol),
             col(MorDeletes.TargetDirCol))
-        if (hits.isEmpty) return // nothing matched: no commit
+        // ONE job: write the coordinates directly — a predicate that
+        // matched nothing stages zero part files (the partitioned
+        // writer opens files per encountered key only) and commits
+        // nothing; probing emptiness first would run the scan twice
         val moved = MorDeletes.writeDeleteFiles(spark, tableDir, hits)
+        if (moved.isEmpty) return // nothing matched: no commit
         // validation: the coordinates address candFiles — a concurrent
         // rewrite replacing one of them would orphan our coordinates
         // and LOSE this delete; conflict and re-run instead. Con-
@@ -591,8 +601,14 @@ private[catalog] final class PartitionedLakeTable(
       // SURVIVING rows (pending merge-on-read deletes applied) restage
       // under the current spec, the candidates drop from the manifest,
       // nothing is physically deleted (older snapshots still read the
-      // pre-delete files). Coordinates into the replaced candidates
-      // become inert; entries for carried files stay live.
+      // pre-delete files). Pending delete files SCOPED to the replaced
+      // partitions drop with them — every coordinate they hold
+      // addresses a file that is now dead, so carrying them would only
+      // keep the table needlessly dirty (and an all-rows DELETE would
+      // otherwise leave a delete-files-only manifest). Unscoped files
+      // stay, conservatively.
+      val inertDels = pendingDels.filter(f =>
+        MorDeletes.targetDirOf(f).exists(d => candDirSet(d.toString)))
       val tmp = tableDir.resolveSibling(
         tableDir.getFileName.toString + ".__rewrite-" +
           java.util.UUID.randomUUID().toString.take(8))
@@ -605,7 +621,7 @@ private[catalog] final class PartitionedLakeTable(
       // file we did not apply — conflicts (keeping `staged` would
       // resurrect rows that commit deleted)
       Snapshots.commitRouted(tableDir, "delete",
-        cur => cur.diff(candFiles) ++ staged,
+        cur => cur.diff(candFiles).diff(inertDels) ++ staged,
         Snapshots.validateRewrite("DELETE", candFiles, s.files),
         freshStats = Snapshots.freshStatsFor(spark, tableDir, staged))
       spark.catalog.clearCache()

@@ -620,9 +620,10 @@ private[catalog] object Snapshots {
     // clean tables keep their compact summaries. The change-feed
     // no-op check reads BOTH families ([[ManifestSnapshotReads
     // .noopCommit]]) — a delete-file-only commit is content-changing.
+    // (added/removed are subsets of files/prevFiles, so the two-term
+    // check covers them.)
     val delKeys =
-      if (deleteFiles(files).isEmpty && deleteFiles(prevFiles).isEmpty &&
-        deleteFiles(added).isEmpty && deleteFiles(removed).isEmpty)
+      if (deleteFiles(files).isEmpty && deleteFiles(prevFiles).isEmpty)
         Map.empty[String, Long]
       else Map(
         "added-delete-files" -> deleteFiles(added).size.toLong,
@@ -779,7 +780,15 @@ private[catalog] object Snapshots {
                 files: Seq[String]): org.apache.spark.sql.DataFrame = {
     val schema = physicalReadSchema(tableDir)
     // DATA files only, defensively: a delete file slipping into a
-    // table-schema read would fill every column with nulls silently
+    // table-schema read would fill every column with nulls silently.
+    // An all-delete-files list (a copy-on-write DELETE that matched
+    // every row of a dirty table) reads as EMPTY, never as a crash.
+    if (dataFiles(files).isEmpty)
+      return spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(FileCol,
+            org.apache.spark.sql.types.StringType)))
     groupByShape(dataFiles(files)).map { case (_, fs) =>
       spark.read.option("basePath", tableDir.toString)
         .schema(schema)

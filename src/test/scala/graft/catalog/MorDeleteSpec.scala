@@ -315,6 +315,31 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("a CoW DELETE covering every row of a dirty table leaves a readable empty table (inert delete files drop)") {
+    withLake("k") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 2") // pending deletes
+      morOff()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n >= 0") // CoW, matches ALL
+      // the manifest must not be delete-files-only: the replaced
+      // partitions' scoped delete files dropped with their targets
+      val s = Snapshots.latest(dir).get
+      assert(Snapshots.deleteFiles(s.files).isEmpty, s.files)
+      assert(spark.table(s"$cat.m.t").count() == 0L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m.t").as[Long].head() == 0L)
+      // the table stays fully usable: append, compact, feed
+      Seq((9L, "z", "EU")).toDF("n", "v", "region")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      assert(rows(cat) == Seq((9L, "z", "EU")))
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      assert(rows(cat) == Seq((9L, "z", "EU")))
+      val reads = new ManifestSnapshotReads(spark, dir)
+      assert(reads.read(s.version).get.count() == 0L)
+    }
+  }
+
   test("vacuum collects orphan delete files (crashed MoR commit) but spares referenced ones") {
     withLake("i") { (cat, lake) =>
       mkTable(cat)
@@ -324,12 +349,20 @@ class MorDeleteSpec extends SparkSpec {
       morOff()
       val live = Snapshots.deleteFiles(Snapshots.latest(dir).get.files)
       assert(live.nonEmpty)
-      // a crashed MoR DELETE: file published, manifest never committed
-      val orphan = dir.resolve(Snapshots.DeleteDirName)
+      // a crashed MoR DELETE: files published, manifest never
+      // committed — in the REAL layout (partition-scoped subdir) and
+      // at the root (legacy/unscoped)
+      val orphanScoped = dir.resolve(Snapshots.DeleteDirName)
+        .resolve(MorDeletes.TargetDirCol + "=region%3DEU")
         .resolve("delete-orphaned-0.parquet")
-      Files.write(orphan, Array[Byte](1, 2, 3))
+      Files.createDirectories(orphanScoped.getParent)
+      Files.write(orphanScoped, Array[Byte](1, 2, 3))
+      val orphanRoot = dir.resolve(Snapshots.DeleteDirName)
+        .resolve("delete-orphaned-1.parquet")
+      Files.write(orphanRoot, Array[Byte](1, 2, 3))
       spark.sql(s"CALL $cat.system.vacuum('m.t', 0)")
-      assert(Files.notExists(orphan), "unreferenced delete file collected")
+      assert(Files.notExists(orphanScoped) && Files.notExists(orphanRoot),
+        "unreferenced delete files collected from both layouts")
       assert(live.forall(f => Files.exists(dir.resolve(f))),
         "manifest-referenced delete files survive vacuum")
       assert(rows(cat).map(_._1) == Seq(1L, 3L, 4L, 5L))
