@@ -449,12 +449,27 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: TBLPROPERTIES ('versioned'='true') applies to " +
           "PARTITIONED tables (the manifest snapshot log); flat tables " +
           "version through the v=<n> snapshot layout")
+    // declared write-time clustering (WRITE ORDERED BY — [[WriteOrder]])
+    val orderProp = Option(properties.get(WriteOrder.Property))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    orderProp.foreach { cols =>
+      if (spec.isEmpty) throw new UnsupportedOperationException(
+        s"$catalogName: TBLPROPERTIES ('${WriteOrder.Property}'=…) applies " +
+          "to PARTITIONED lake tables (their V2 writer owns the sort " +
+          "request)")
+      val bad = cols.filterNot(c =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$catalogName: ${WriteOrder.Property} references unknown " +
+          s"column(s) ${bad.mkString(",")}")
+    }
     Files.createDirectories(p)
     // persist the declared schema: an empty table has nothing to infer
     // from, and ADD COLUMN evolution rewrites this sidecar later
     Files.writeString(p.resolve(SchemaSidecar), schema.json)
     if (spec.nonEmpty) {
       PartitionSpec.write(p, spec)
+      orderProp.foreach(WriteOrder.write(p, _))
       if (versionedProp) Snapshots.init(p)
       new PartitionedLakeTable(ident.toString, p, schema, spec,
         if (versionedProp) Snapshots.latest(p) else None)
@@ -716,6 +731,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           if (phys == r.newName) renames else renames + (r.newName -> phys))
         schema = org.apache.spark.sql.types.StructType(
           schema.fields.updated(idx, schema.fields(idx).copy(name = r.newName)))
+        // the write-order sidecar speaks logical names: chase the rename
+        val ordR = WriteOrder.read(p)
+        if (ordR.exists(_.equalsIgnoreCase(old)))
+          WriteOrder.write(p, ordR.map(c =>
+            if (c.equalsIgnoreCase(old)) r.newName else c))
       case d: TableChange.DeleteColumn =>
         if (d.fieldNames.length != 1)
           throw new UnsupportedOperationException(
@@ -734,6 +754,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           evo = Evolution(evo.renames - actual, evo.dropped :+ phys)
           schema = org.apache.spark.sql.types.StructType(
             schema.fields.patch(idx, Nil, 1))
+          // a dropped column leaves the declared write order
+          val ordD = WriteOrder.read(p)
+          if (ordD.exists(_.equalsIgnoreCase(name)))
+            WriteOrder.write(p, ordD.filterNot(_.equalsIgnoreCase(name)))
         }
       case u: TableChange.UpdateColumnType =>
         if (u.fieldNames.length != 1)
@@ -754,10 +778,26 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         schema = org.apache.spark.sql.types.StructType(
           schema.fields.updated(idx,
             schema.fields(idx).copy(dataType = u.newDataType)))
+      case sp: TableChange.SetProperty
+          if sp.property == WriteOrder.Property =>
+        if (pspec.isEmpty) throw new UnsupportedOperationException(
+          s"$catalogName: ${WriteOrder.Property} applies to PARTITIONED " +
+            "lake tables (their V2 writer owns the sort request)")
+        val cols = sp.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val bad = cols.filterNot(c =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"$catalogName: ${WriteOrder.Property} references unknown " +
+            s"column(s) ${bad.mkString(",")}")
+        WriteOrder.write(p, cols)
+      case rp: TableChange.RemoveProperty
+          if rp.property == WriteOrder.Property =>
+        WriteOrder.drop(p)
       case other => throw new UnsupportedOperationException(
-        s"$catalogName: only ADD/RENAME/DROP COLUMN and widening " +
-          s"ALTER COLUMN TYPE evolution is supported " +
-          s"(got ${other.getClass.getSimpleName}; data files are immutable)")
+        s"$catalogName: only ADD/RENAME/DROP COLUMN, widening " +
+          s"ALTER COLUMN TYPE, and the ${WriteOrder.Property} property " +
+          s"are supported (got ${other.getClass.getSimpleName}; data " +
+          "files are immutable)")
     }
     // mapping BEFORE schema (see scaladoc: crash between the writes
     // must err conservative), each via temp-file + atomic move

@@ -425,9 +425,22 @@ private[catalog] object LakeProcedures {
                             org.apache.spark.sql.functions.col(b.col)),
                           org.apache.spark.sql.functions.lit(b.n)))
                     }
-                    withBucket
-                      .repartition(target,
+                    // compaction RESTORES the declared write
+                    // clustering ([[WriteOrder]]) alongside the layout
+                    // (sidecar speaks logical names; this read is
+                    // physical under rename evolution)
+                    val renC = Evolutions.renames(tableDir)
+                    val order = WriteOrder.read(tableDir)
+                      .map(c => renC.getOrElse(c, c))
+                      .filter(withBucket.columns.contains)
+                    val clustered =
+                      if (order.isEmpty) withBucket.repartition(target,
                         dirCols.map(org.apache.spark.sql.functions.col): _*)
+                      else withBucket.repartition(target,
+                          dirCols.map(org.apache.spark.sql.functions.col): _*)
+                        .sortWithinPartitions((dirCols ++ order)
+                          .map(org.apache.spark.sql.functions.col): _*)
+                    clustered
                       .write.partitionBy(dirCols: _*)
                       .parquet(tmp.toString)
                     snap match {

@@ -84,6 +84,62 @@ private[catalog] object PartitionSpec {
   }
 }
 
+/** Declared WRITE-TIME clustering (`TBLPROPERTIES
+  * ('write.order'='c1,c2')` — Iceberg's `WRITE ORDERED BY`): every
+  * write through the table's V2 writer requests a SORT on (partition
+  * transforms, then the declared columns) via
+  * `RequiresDistributionAndOrdering`, so rows land clustered and the
+  * parquet ROW GROUPS inside each file carry tight, mostly disjoint
+  * min/max ranges — the reader's row-group pruning (pushed predicates)
+  * then skips inside files the same way file skipping prunes between
+  * them. Pure write-path metadata: reads, manifests, and DML are
+  * untouched; an unsorted legacy file is merely unclustered. */
+private[catalog] object WriteOrder {
+
+  val Sidecar = "_graft_order.json"
+  val Property = "write.order"
+
+  def write(tableDir: Path, cols: Seq[String]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val arr = root.putArray("cols")
+    cols.foreach(arr.add)
+    Files.writeString(tableDir.resolve(Sidecar), om.writeValueAsString(root))
+    ()
+  }
+
+  def read(tableDir: Path): Seq[String] = {
+    val f = tableDir.resolve(Sidecar)
+    if (!Files.exists(f)) Seq.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(om.readTree(Files.readString(f)).get("cols")).toSeq
+        .flatMap(_.elements().asScala.toSeq).map(_.asText())
+    }
+  }
+
+  def drop(tableDir: Path): Unit = {
+    Files.deleteIfExists(tableDir.resolve(Sidecar)); ()
+  }
+
+  /** The V2 sort request: partition transforms first (groups each
+    * task's rows per output file, minimizing writer churn), then the
+    * declared order columns. */
+  def sortOrders(spec: Seq[PartitionSpec.Field],
+                 cols: Seq[String]): Array[SortOrder] = {
+    if (cols.isEmpty) return Array.empty
+    val partExprs: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      spec.map {
+        case PartitionSpec.Identity(c) => Expressions.identity(c)
+        case PartitionSpec.Bucket(c, n) => Expressions.bucket(n, c)
+      }
+    (partExprs ++ cols.map(Expressions.identity)).map(e =>
+      Expressions.sort(e,
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
+  }
+}
+
 /** A PARTITIONED lake table — hive `col=value` directory layout under
   * the table dir, identity and bucket transforms.
   *
@@ -209,9 +265,13 @@ private[catalog] final class PartitionedLakeTable(
     case PartitionSpec.Identity(c) => Expressions.identity(c)
     case PartitionSpec.Bucket(c, n) => Expressions.bucket(n, c)
   }.toArray
-  override def properties(): util.Map[String, String] =
-    if (snapshot.isEmpty) util.Map.of()
-    else util.Map.of(Snapshots.Property, "true")
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (snapshot.isDefined) m.put(Snapshots.Property, "true")
+    val order = WriteOrder.read(tableDir)
+    if (order.nonEmpty) m.put(WriteOrder.Property, order.mkString(","))
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     if (!writable) util.Set.of(TableCapability.BATCH_READ)
     else util.Set.of(
@@ -534,7 +594,15 @@ private[catalog] final class PartitionedLakeTable(
       val kept = df.filter(not(coalesce(cond, lit(false))))
       val staged = bucketOpt.fold(kept)(b =>
         kept.withColumn(PartitionSpec.BucketDir, pmod(hash(col(b.col)), lit(b.n))))
-      staged.write
+      // rewrites keep the declared write clustering ([[WriteOrder]])
+      val order = WriteOrder.read(tableDir)
+        .map(physName).filter(staged.columns.contains)
+      val sorted =
+        if (order.isEmpty) staged
+        else staged.sortWithinPartitions(
+          (PartitionSpec.dirCols(spec).filter(staged.columns.contains) ++
+            order).map(col): _*)
+      sorted.write
         .partitionBy(PartitionSpec.dirCols(spec): _*)
         .parquet(tmp.toString)
     }
@@ -1254,7 +1322,11 @@ private[catalog] final class PartitionedRowLevelWrite(
     else Distributions.clustered(
       identityCols.map(c => Expressions.column(c)
         : org.apache.spark.sql.connector.expressions.Expression).toArray)
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  // row-level rewrites keep the declared write clustering too — an
+  // UPDATE must not de-cluster the partitions it replaces
+  override def requiredOrdering(): Array[SortOrder] =
+    WriteOrder.sortOrders(spec,
+      WriteOrder.read(tableDir).filter(writeSchema.fieldNames.contains))
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -1547,7 +1619,15 @@ private[catalog] final class PartitionedWrite(
     else Distributions.clustered(
       identityCols.map(c => Expressions.column(c)
         : org.apache.spark.sql.connector.expressions.Expression).toArray)
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  // declared write-time clustering ([[WriteOrder]]): rows sort on
+  // (partition transforms, order columns) before landing, so parquet
+  // row groups carry tight pushdown-prunable ranges. The sidecar
+  // speaks LOGICAL names (the write input's columns); names no longer
+  // in the schema (renamed without the sidecar chasing) drop out
+  // rather than failing the write.
+  override def requiredOrdering(): Array[SortOrder] =
+    WriteOrder.sortOrders(spec,
+      WriteOrder.read(tableDir).filter(writeSchema.fieldNames.contains))
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = new BatchWrite {
