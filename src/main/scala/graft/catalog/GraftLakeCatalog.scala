@@ -449,19 +449,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: TBLPROPERTIES ('versioned'='true') applies to " +
           "PARTITIONED tables (the manifest snapshot log); flat tables " +
           "version through the v=<n> snapshot layout")
-    // declared write-time clustering (WRITE ORDERED BY — [[WriteOrder]])
-    val orderProp = Option(properties.get(WriteOrder.Property))
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-    orderProp.foreach { cols =>
+    // declared write-time clustering (WRITE ORDERED BY — [[WriteOrder]]):
+    // names canonicalize to the schema's exact case, since consumers
+    // filter case-sensitively
+    val orderProp = Option(properties.get(WriteOrder.Property)).map { v =>
       if (spec.isEmpty) throw new UnsupportedOperationException(
         s"$catalogName: TBLPROPERTIES ('${WriteOrder.Property}'=…) applies " +
           "to PARTITIONED lake tables (their V2 writer owns the sort " +
           "request)")
-      val bad = cols.filterNot(c =>
-        schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-      if (bad.nonEmpty) throw new IllegalArgumentException(
-        s"$catalogName: ${WriteOrder.Property} references unknown " +
-          s"column(s) ${bad.mkString(",")}")
+      v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(c => schema.fieldNames.find(_.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$catalogName: ${WriteOrder.Property} references unknown " +
+              s"column $c")))
     }
     Files.createDirectories(p)
     // persist the declared schema: an empty table has nothing to infer
@@ -667,6 +667,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         case t => t.schema()
       })
     var evo = readEvolution(p)
+    // write-order sidecar edits accumulate in memory and commit with
+    // the other sidecars AFTER every change validated — a failing
+    // later change must not leave the ALTER partially applied
+    var order: Seq[String] = WriteOrder.read(p)
+    var orderChanged = false
     // every physical name in use or retired — fresh-slot allocation
     // must dodge all of them
     def physInUse: Set[String] =
@@ -732,10 +737,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         schema = org.apache.spark.sql.types.StructType(
           schema.fields.updated(idx, schema.fields(idx).copy(name = r.newName)))
         // the write-order sidecar speaks logical names: chase the rename
-        val ordR = WriteOrder.read(p)
-        if (ordR.exists(_.equalsIgnoreCase(old)))
-          WriteOrder.write(p, ordR.map(c =>
-            if (c.equalsIgnoreCase(old)) r.newName else c))
+        if (order.exists(_.equalsIgnoreCase(old))) {
+          order = order.map(c =>
+            if (c.equalsIgnoreCase(old)) r.newName else c)
+          orderChanged = true
+        }
       case d: TableChange.DeleteColumn =>
         if (d.fieldNames.length != 1)
           throw new UnsupportedOperationException(
@@ -755,9 +761,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           schema = org.apache.spark.sql.types.StructType(
             schema.fields.patch(idx, Nil, 1))
           // a dropped column leaves the declared write order
-          val ordD = WriteOrder.read(p)
-          if (ordD.exists(_.equalsIgnoreCase(name)))
-            WriteOrder.write(p, ordD.filterNot(_.equalsIgnoreCase(name)))
+          if (order.exists(_.equalsIgnoreCase(name))) {
+            order = order.filterNot(_.equalsIgnoreCase(name))
+            orderChanged = true
+          }
         }
       case u: TableChange.UpdateColumnType =>
         if (u.fieldNames.length != 1)
@@ -783,16 +790,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         if (pspec.isEmpty) throw new UnsupportedOperationException(
           s"$catalogName: ${WriteOrder.Property} applies to PARTITIONED " +
             "lake tables (their V2 writer owns the sort request)")
-        val cols = sp.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-        val bad = cols.filterNot(c =>
-          schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-        if (bad.nonEmpty) throw new IllegalArgumentException(
-          s"$catalogName: ${WriteOrder.Property} references unknown " +
-            s"column(s) ${bad.mkString(",")}")
-        WriteOrder.write(p, cols)
+        // CANONICALIZE to the schema's exact field case — consumers
+        // filter case-sensitively, and a case-mismatched declaration
+        // would silently never sort anything
+        order = sp.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          .map(c => schema.fieldNames.find(_.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$catalogName: ${WriteOrder.Property} references unknown " +
+                s"column $c")))
+        orderChanged = true
       case rp: TableChange.RemoveProperty
           if rp.property == WriteOrder.Property =>
-        WriteOrder.drop(p)
+        order = Seq.empty
+        orderChanged = true
       case other => throw new UnsupportedOperationException(
         s"$catalogName: only ADD/RENAME/DROP COLUMN, widening " +
           s"ALTER COLUMN TYPE, and the ${WriteOrder.Property} property " +
@@ -803,6 +813,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     // must err conservative), each via temp-file + atomic move
     writeEvolution(p, evo)
     writeAtomic(p.resolve(SchemaSidecar), schema.json)
+    if (orderChanged) {
+      if (order.isEmpty) WriteOrder.drop(p) else WriteOrder.write(p, order)
+    }
     loadTable(ident)
   }
 

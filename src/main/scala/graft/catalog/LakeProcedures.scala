@@ -433,13 +433,12 @@ private[catalog] object LakeProcedures {
                     val order = WriteOrder.read(tableDir)
                       .map(c => renC.getOrElse(c, c))
                       .filter(withBucket.columns.contains)
+                    val rep = withBucket.repartition(target,
+                      dirCols.map(org.apache.spark.sql.functions.col): _*)
                     val clustered =
-                      if (order.isEmpty) withBucket.repartition(target,
-                        dirCols.map(org.apache.spark.sql.functions.col): _*)
-                      else withBucket.repartition(target,
-                          dirCols.map(org.apache.spark.sql.functions.col): _*)
-                        .sortWithinPartitions((dirCols ++ order)
-                          .map(org.apache.spark.sql.functions.col): _*)
+                      if (order.isEmpty) rep
+                      else rep.sortWithinPartitions((dirCols ++ order)
+                        .map(org.apache.spark.sql.functions.col): _*)
                     clustered
                       .write.partitionBy(dirCols: _*)
                       .parquet(tmp.toString)

@@ -164,7 +164,12 @@ private[catalog] object MorDeletes {
       tableDir.getFileName.toString + ".__mordel-" +
         java.util.UUID.randomUUID().toString.take(8))
     PartitionedWrite.deleteRecursive(tmp)
+    // converge each target partition's coordinates onto one task —
+    // without this, partitionBy opens a writer per (scan task ×
+    // target dir) and a broad delete commits task-count × partitions
+    // tiny files into the manifest
     hits.toDF("file", "pos", TargetDirCol)
+      .repartition(col(TargetDirCol))
       .write.partitionBy(TargetDirCol).parquet(tmp.toString)
     val delDir = tableDir.resolve(Snapshots.DeleteDirName)
     Files.createDirectories(delDir)
@@ -213,14 +218,18 @@ private[catalog] object MorDeletes {
                        spec: Seq[PartitionSpec.Field],
                        filters: Seq[Expression]): Seq[String] = {
     if (deletes.isEmpty || spec.isEmpty || filters.isEmpty) return deletes
-    val scoped = deletes.flatMap(f => targetDirOf(f).map(_ -> f))
-    val unscoped = deletes.filter(f => targetDirOf(f).isEmpty)
+    // one targetDirOf pass per file
+    val (scoped, unscoped) = deletes.map(f => targetDirOf(f) -> f)
+      .partition(_._1.isDefined)
     if (scoped.isEmpty) return deletes
-    PartitionPruning.splitLeaves(scoped.map(_._1).distinct, spec, filters) match {
-      case Some((cands, carried)) if carried.nonEmpty =>
+    // (splitLeaves returns None when nothing is provably excluded)
+    PartitionPruning.splitLeaves(
+        scoped.map(_._1.get).distinct, spec, filters) match {
+      case Some((cands, _)) =>
         val keep = cands.map(_.toString).toSet
-        unscoped ++ scoped.collect { case (d, f) if keep(d.toString) => f }
-      case _ => deletes
+        unscoped.map(_._2) ++
+          scoped.collect { case (Some(d), f) if keep(d.toString) => f }
+      case None => deletes
     }
   }
 

@@ -104,7 +104,14 @@ private[catalog] object WriteOrder {
     val root = om.createObjectNode()
     val arr = root.putArray("cols")
     cols.foreach(arr.add)
-    Files.writeString(tableDir.resolve(Sidecar), om.writeValueAsString(root))
+    // temp-file + atomic move, like every live-mutated sidecar: a
+    // concurrent reader must never observe a torn file
+    val target = tableDir.resolve(Sidecar)
+    val tmp = target.resolveSibling(Sidecar + ".tmp")
+    Files.writeString(tmp, om.writeValueAsString(root))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
@@ -265,11 +272,16 @@ private[catalog] final class PartitionedLakeTable(
     case PartitionSpec.Identity(c) => Expressions.identity(c)
     case PartitionSpec.Bucket(c, n) => Expressions.bucket(n, c)
   }.toArray
+  // sidecar read once per table load (instances are per-load, matching
+  // the snapshot/renames capture semantics) — properties() and the
+  // write planners consult this on hot analysis paths
+  private lazy val declaredOrder: Seq[String] = WriteOrder.read(tableDir)
+
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     if (snapshot.isDefined) m.put(Snapshots.Property, "true")
-    val order = WriteOrder.read(tableDir)
-    if (order.nonEmpty) m.put(WriteOrder.Property, order.mkString(","))
+    if (declaredOrder.nonEmpty)
+      m.put(WriteOrder.Property, declaredOrder.mkString(","))
     m
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -1675,17 +1687,27 @@ private[catalog] final class PartitionedWrite(
             val touched = committed
               .flatMap(rel => Option(Paths.get(rel).getParent))
               .map(_.toString).toSet
-            prev => prev.filterNot(f =>
-              Option(Paths.get(f).getParent).exists(p => touched(p.toString))) ++
-              committed
+            prev => prev.filterNot { f =>
+              // replaced partitions drop their data files AND the
+              // merge-on-read delete files SCOPED to them — every
+              // coordinate those hold addresses a file dying in this
+              // commit, and carrying them would keep the table
+              // needlessly dirty ([[MorDeletes]])
+              Option(Paths.get(f).getParent)
+                .exists(p => touched(p.toString)) ||
+                MorDeletes.targetDirOf(f).exists(d => touched(d.toString))
+            } ++ committed
           case PartitionedWrite.Static(specMap) =>
             val wanted = specMap.map { case (c, v) =>
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .getPartitionPathString(c, v)
             }.toSet
+            def replaced(dir: Path): Boolean =
+              wanted.subsetOf(
+                dir.iterator().asScala.map(_.toString).toSet)
             prev => prev.filterNot { f =>
-              val segs = Paths.get(f).iterator().asScala.map(_.toString).toSet
-              wanted.subsetOf(segs)
+              Option(Paths.get(f).getParent).exists(replaced) ||
+                MorDeletes.targetDirOf(f).exists(replaced) // inert deletes
             } ++ committed
         }
         val op = mode match {

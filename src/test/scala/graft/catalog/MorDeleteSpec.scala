@@ -340,6 +340,31 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite drops the delete files scoped to the replaced partitions") {
+    withLake("m") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 3") // scoped to US
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 1") // scoped to EU
+      morOff()
+      assert(Snapshots.deleteFiles(Snapshots.latest(dir).get.files).size == 2)
+      val prevMode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try spark.sql(s"INSERT OVERWRITE $cat.m.t VALUES (10, 'x', 'US')")
+      finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+      // the US-scoped delete file died with the partition it targeted;
+      // the EU-scoped one survives AND still applies
+      val dels = Snapshots.deleteFiles(Snapshots.latest(dir).get.files)
+      assert(dels.size == 1 &&
+        dels.flatMap(MorDeletes.targetDirOf).map(_.toString) == Seq("region=EU"),
+        dels)
+      assert(rows(cat) == Seq((2L, "b", "EU"), (10L, "x", "US")))
+    }
+  }
+
   test("vacuum collects orphan delete files (crashed MoR commit) but spares referenced ones") {
     withLake("i") { (cat, lake) =>
       mkTable(cat)

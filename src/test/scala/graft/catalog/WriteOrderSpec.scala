@@ -44,11 +44,8 @@ class WriteOrderSpec extends SparkSpec {
     }
   }
 
-  /** (min, max) of column `col` per row group of every data file under
-    * the table's partition dirs. */
-  private def rowGroupRanges(dir: Path, col: String): Seq[(Long, Long)] = {
-    val files = PartitionedWrite.filesUnderDirs(dir,
-      PartitionedWrite.leafPartitionDirs(dir)).map(dir.resolve)
+  /** (min, max) of column `col` per row group of the given files. */
+  private def rangesOf(files: Seq[Path], col: String): Seq[(Long, Long)] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -63,6 +60,12 @@ class WriteOrderSpec extends SparkSpec {
       } finally r.close()
     }
   }
+
+  /** [[rangesOf]] over every data file under the table's partition
+    * dirs. */
+  private def rowGroupRanges(dir: Path, col: String): Seq[(Long, Long)] =
+    rangesOf(PartitionedWrite.filesUnderDirs(dir,
+      PartitionedWrite.leafPartitionDirs(dir)).map(dir.resolve), col)
 
   private def overlaps(ranges: Seq[(Long, Long)]): Boolean = {
     val sorted = ranges.sortBy(_._1)
@@ -116,29 +119,19 @@ class WriteOrderSpec extends SparkSpec {
 
       intercept[Exception](spark.sql(
         s"ALTER TABLE $cat.m.t SET TBLPROPERTIES('write.order'='nope')"))
-      spark.sql(s"ALTER TABLE $cat.m.t SET TBLPROPERTIES('write.order'='n')")
+      // case-mismatched declaration CANONICALIZES to the schema's
+      // exact field case (consumers filter case-sensitively)
+      spark.sql(s"ALTER TABLE $cat.m.t SET TBLPROPERTIES('write.order'='N')")
       assert(WriteOrder.read(dir) == Seq("n"))
 
-      // compaction rewrites the unordered history CLUSTERED
+      // compaction rewrites the unordered history CLUSTERED — only
+      // the current snapshot's files matter (manifest-resolved; the
+      // pre-compact files stay on disk for history)
       spark.sql(s"CALL $cat.system.compact('m.t', 1)")
-      val post = rowGroupRanges(dir, "n")
-      // only the current snapshot's files matter — read via manifest
-      val cur = Snapshots.latest(dir).get.files.map(dir.resolve)
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val curRanges = cur.flatMap { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toString), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          val c = b.getColumns.asScala
-            .find(_.getPath.toDotString == "n").get
-          (c.getStatistics.genericGetMin.asInstanceOf[Number].longValue,
-            c.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
-        } finally r.close()
-      }
+      val curRanges = rangesOf(
+        Snapshots.latest(dir).get.files.map(dir.resolve), "n")
       assert(curRanges.size > 1 && !overlaps(curRanges),
         s"compact must restore the declared clustering: $curRanges")
-      assert(post.nonEmpty) // (pre-compact files still on disk for history)
       assert(spark.table(s"$cat.m.t").count() == 40000L)
     }
   }
