@@ -365,6 +365,37 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("MoR deletes on a BUCKET table: coordinates scope to _gbucket dirs and point lookups prune them") {
+    withLake("n") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.bt (k BIGINT, v STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+        .write.mode("append").insertInto(s"$cat.m.bt")
+      val dir = lake.resolve("m/bt.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.bt WHERE k <= 8")
+      morOff()
+      val dels = Snapshots.deleteFiles(Snapshots.latest(dir).get.files)
+      assert(dels.nonEmpty)
+      val targets = dels.flatMap(MorDeletes.targetDirOf).map(_.toString)
+      assert(targets.nonEmpty &&
+        targets.forall(_.startsWith(PartitionSpec.BucketDir + "=")), targets)
+      // point lookup: the pushed k-equality prunes the delete side to
+      // the key's own bucket (or none) — and answers correctly
+      assert(spark.sql(s"SELECT v FROM $cat.m.bt WHERE k = 5")
+        .as[String].collect().isEmpty) // deleted
+      assert(spark.sql(s"SELECT v FROM $cat.m.bt WHERE k = 50")
+        .as[String].head() == "v50")
+      assert(spark.table(s"$cat.m.bt").count() == 392L)
+      // compact restores the zero-shuffle SPJ-capable layout
+      spark.sql(s"CALL $cat.system.compact('m.bt', 1)")
+      assert(Snapshots.deleteFiles(Snapshots.latest(dir).get.files).isEmpty)
+      assert(spark.table(s"$cat.m.bt").count() == 392L)
+    }
+  }
+
   test("vacuum collects orphan delete files (crashed MoR commit) but spares referenced ones") {
     withLake("i") { (cat, lake) =>
       mkTable(cat)
