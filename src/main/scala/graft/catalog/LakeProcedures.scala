@@ -50,7 +50,7 @@ private[catalog] object LakeProcedures {
       "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback",
       "tag", "drop_tag", "tags", "add_partition_field",
       "drop_partition_field", "replace_partition_field", "migrate",
-      "branch", "fast_forward", "drop_branch", "branches")
+      "branch", "fast_forward", "drop_branch", "branches", "expire_age")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -346,6 +346,26 @@ private[catalog] object LakeProcedures {
           // tagged snapshots are pinned (the Iceberg retention rule)
           log.expire(args.getInt(1), Tags.read(dir).values.toSet)
           Seq(InternalRow(log.versions.size.toLong))
+        })
+      case "expire_age" =>
+        // AGE-based retention (Iceberg's `expire_snapshots(older_than,
+        // retain_last)`): drop data snapshots committed more than
+        // `older_than_ms` ago, always keeping the `keep_last` newest
+        // data commits and every pinned snapshot — the calendar
+        // retention policy ("keep 7 days of history") next to the
+        // count form's fixed window
+        Some(proc(root, "expire_age",
+          Seq("tbl" -> StringType, "older_than_ms" -> LongType,
+            "keep_last" -> IntegerType),
+          new StructType().add("dropped_versions", LongType)) { (dir, _, args) =>
+          if (!Snapshots.isVersioned(dir))
+            throw new UnsupportedOperationException(
+              "expire_age: manifest-versioned partitioned tables only " +
+                "(flat v=<n> stores expire by count via expire_snapshots)")
+          val cutoff = System.currentTimeMillis() - args.getLong(1)
+          val dropped = Snapshots.commitExpireOlderThan(dir, cutoff,
+            args.getInt(2), () => Tags.read(dir).values.toSet)
+          Seq(InternalRow(dropped.size.toLong))
         })
       case "compact" =>
         // works on BOTH layouts: versioned tables re-commit the latest

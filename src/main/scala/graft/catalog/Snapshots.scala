@@ -1063,6 +1063,34 @@ private[catalog] object Snapshots {
   def commitExpire(tableDir: Path, keep: Int,
                    pinnedOf: () => Set[Long]): Seq[Long] = {
     require(keep >= 1, "expire_snapshots: keep must be >= 1")
+    commitExpireWith(tableDir, pinnedOf,
+      dataVs => dataVs.takeRight(keep).headOption.getOrElse(Long.MinValue))
+  }
+
+  /** AGE-based expiry (Iceberg's `expire_snapshots(older_than,
+    * retain_last)`): drop data snapshots committed BEFORE `cutoffMs`,
+    * while always retaining the `keepLast` newest data commits (age
+    * alone could drop everything on an idle table) and every pinned
+    * snapshot. Same OCC commit + GC protocol as the count form. */
+  def commitExpireOlderThan(tableDir: Path, cutoffMs: Long, keepLast: Int,
+                            pinnedOf: () => Set[Long]): Seq[Long] = {
+    require(keepLast >= 1, "expire_age: keep_last must be >= 1")
+    commitExpireWith(tableDir, pinnedOf, dataVs => {
+      val byAge = dataVs.find(v =>
+        readMeta(tableDir, v).exists(_.commitMs >= cutoffMs))
+        .getOrElse(Long.MaxValue) // nothing young enough: count rules
+      val byCount = dataVs.takeRight(keepLast).headOption
+        .getOrElse(Long.MinValue)
+      math.min(byAge, byCount)
+    })
+  }
+
+  /** The shared expire loop: `cutoffOf` maps the refreshed DATA
+    * version list to the version threshold — everything at or after
+    * it is retained (interleaved ref commits included). */
+  private def commitExpireWith(tableDir: Path,
+                               pinnedOf: () => Set[Long],
+                               cutoffOf: Seq[Long] => Long): Seq[Long] = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1074,17 +1102,17 @@ private[catalog] object Snapshots {
       // sidecar tags (re-read per retry)
       val pinned = pinnedOf() ++
         prev.fold(Set.empty[Long])(_.pins.values.toSet)
-      // `keep` counts DATA history, not ref bookkeeping: tag/untag/
+      // retention counts DATA history, not ref bookkeeping: tag/untag/
       // expire commits are content-identical audit records — counting
-      // them in takeRight(keep) would silently eat the user's
-      // time-travel window (three tags before expire(keep=3) would
-      // otherwise drop every recent data snapshot). Everything at or
-      // after the keep-th-newest data commit is retained, interleaved
-      // ref commits included (the latest must survive anyway).
+      // them would silently eat the user's time-travel window (three
+      // tags before expire(keep=3) would otherwise drop every recent
+      // data snapshot). Everything at or after the cutoff is retained,
+      // interleaved ref commits included (the latest must survive
+      // anyway).
       val refOps = Set("tag", "untag", "expire")
       val dataVs = vs.filter(v =>
         readMeta(tableDir, v).forall(s => !refOps(s.operation)))
-      val cutoff = dataVs.takeRight(keep).headOption.getOrElse(Long.MinValue)
+      val cutoff = cutoffOf(dataVs)
       val retained = (vs.filter(_ >= cutoff) ++ vs.filter(pinned)).distinct
       val dropped = vs.filterNot(retained.contains)
       if (dropped.isEmpty) return Seq.empty
