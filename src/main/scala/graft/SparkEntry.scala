@@ -1053,6 +1053,14 @@ object SparkEntry {
       graft.operators.Bucketing2.typeWidenCensus(
         t(s, dir, "lineitem"),
         s"${System.getProperty("java.io.tmpdir")}/graft_widelake")),
+    // Retention policy end-to-end (r13): a tag pins its snapshot
+    // through an aggressive CALL expire_age (untagged middles drop +
+    // GC); both censuses re-derive from raw parquet (ExpireAgeSpec
+    // pins the retention mechanics).
+    "q_retention_tag" -> ((s, dir) =>
+      graft.operators.Bucketing2.retentionTagCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_retlake")),
 
     // ABC inventory classification from the exact cumulative revenue
     // share (integer ppm on DECIMAL(38,0)).
@@ -5394,6 +5402,29 @@ object SparkEntry {
         |FROM c1
         |LEFT JOIN c2 ON c1.o_orderpriority = c2.o_orderpriority
         |LEFT JOIN c4 ON c1.o_orderpriority = c4.o_orderpriority
+        |ORDER BY 1""".stripMargin,
+
+    // Retention: the pinned snapshot is EVERYTHING, current is
+    // everything minus status F plus the re-appended F subset —
+    // both derived from raw parquet (the expire between them is
+    // metadata the hash proves content-neutral for the pin).
+    "q_retention_tag" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority FROM orders),
+        |curr AS (SELECT * FROM base WHERE st <> 'F'
+        |  UNION ALL SELECT * FROM base WHERE st = 'F' AND k % 13 = 0),
+        |cr AS (SELECT o_orderpriority, count(*) AS n_raw,
+        |  sum(cents) AS cents_raw FROM base GROUP BY 1),
+        |cc AS (SELECT o_orderpriority, count(*) AS n_cur,
+        |  sum(cents) AS cents_cur FROM curr GROUP BY 1)
+        |SELECT cr.o_orderpriority,
+        |  CAST(cr.n_raw AS BIGINT) AS n_raw,
+        |  CAST(cr.cents_raw AS BIGINT) AS cents_raw,
+        |  CAST(COALESCE(cc.n_cur, 0) AS BIGINT) AS n_cur,
+        |  CAST(COALESCE(cc.cents_cur, 0) AS BIGINT) AS cents_cur
+        |FROM cr LEFT JOIN cc ON cr.o_orderpriority = cc.o_orderpriority
         |ORDER BY 1""".stripMargin,
 
     // Widening evolution: the census is the union of the int32-era

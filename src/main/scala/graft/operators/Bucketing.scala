@@ -711,6 +711,55 @@ object Bucketing2 {
       .orderBy("o_orderpriority")
   }
 
+  /** Retention policy end-to-end (r13): a TAG pins its snapshot
+    * through an aggressive AGE-based expire (`CALL expire_age` with a
+    * future cutoff — everything is "old", `keep_last=1` floors the
+    * drop at the newest data commit) while the untagged middle
+    * snapshot is dropped and its unreferenced files GC'd. The census
+    * reads the PINNED snapshot by tag name and the current table —
+    * both fully re-derivable from raw parquet, so the hash proves the
+    * pin preserved exact content across the GC. */
+  def retentionTagCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakeret"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_ret (
+         |  o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT,
+         |  o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_ret")   // s-1
+    spark.sql(s"CALL $cat.system.tag('m.orders_ret', 'raw', 1)")
+    spark.sql(s"DELETE FROM $cat.m.orders_ret WHERE o_orderstatus = 'F'") // s-2
+    base.filter(col("o_orderstatus") === "F" &&
+        pmod(col("o_orderkey"), lit(13)) === 0)
+      .write.mode("append").insertInto(s"$cat.m.orders_ret")     // s-3
+    // future cutoff: every data commit "ages out"; keep_last floors at
+    // s-3, the tag pins s-1, the untagged s-0/s-2 drop and GC
+    spark.sql(s"CALL $cat.system.expire_age('m.orders_ret', -3600000, 1)")
+    val pinned = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_raw,
+         |  sum(cents) AS cents_raw
+         |FROM $cat.m.orders_ret VERSION AS OF 'raw' GROUP BY 1""".stripMargin)
+    val cur = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_cur,
+         |  sum(cents) AS cents_cur
+         |FROM $cat.m.orders_ret GROUP BY 1""".stripMargin)
+    pinned.join(cur, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_raw").cast("bigint").as("n_raw"),
+        col("cents_raw").cast("bigint").as("cents_raw"),
+        coalesce(col("n_cur"), lit(0L)).cast("bigint").as("n_cur"),
+        coalesce(col("cents_cur"), lit(0L)).cast("bigint").as("cents_cur"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Widening type evolution end-to-end (Iceberg's metadata-only
     * ALTER COLUMN TYPE; Spark 4 parquet readers up-convert at scan
     * time, SPARK-40876): land INT-typed files, widen to BIGINT, land
