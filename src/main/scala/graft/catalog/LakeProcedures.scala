@@ -358,11 +358,13 @@ private[catalog] object LakeProcedures {
           Seq("tbl" -> StringType, "older_than_ms" -> LongType,
             "keep_last" -> IntegerType),
           new StructType().add("dropped_versions", LongType)) { (dir, _, args) =>
-          if (!Snapshots.isVersioned(dir))
-            throw new UnsupportedOperationException(
-              "expire_age: manifest-versioned partitioned tables only " +
-                "(flat v=<n> stores expire by count via expire_snapshots)")
-          val cutoff = System.currentTimeMillis() - args.getLong(1)
+          requireManifest("expire_age", dir)
+          // saturating arithmetic: an extreme negative age must mean
+          // "everything is old", never wrap into the distant past
+          val cutoff =
+            try math.subtractExact(System.currentTimeMillis(), args.getLong(1))
+            catch { case _: ArithmeticException =>
+              if (args.getLong(1) < 0) Long.MaxValue else Long.MinValue }
           val dropped = Snapshots.commitExpireOlderThan(dir, cutoff,
             args.getInt(2), () => Tags.read(dir).values.toSet)
           Seq(InternalRow(dropped.size.toLong))

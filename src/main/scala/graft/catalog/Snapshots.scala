@@ -1064,7 +1064,7 @@ private[catalog] object Snapshots {
                    pinnedOf: () => Set[Long]): Seq[Long] = {
     require(keep >= 1, "expire_snapshots: keep must be >= 1")
     commitExpireWith(tableDir, pinnedOf,
-      dataVs => dataVs.takeRight(keep).headOption.getOrElse(Long.MinValue))
+      (dataVs, _) => dataVs.takeRight(keep).headOption.getOrElse(Long.MinValue))
   }
 
   /** AGE-based expiry (Iceberg's `expire_snapshots(older_than,
@@ -1075,9 +1075,9 @@ private[catalog] object Snapshots {
   def commitExpireOlderThan(tableDir: Path, cutoffMs: Long, keepLast: Int,
                             pinnedOf: () => Set[Long]): Seq[Long] = {
     require(keepLast >= 1, "expire_age: keep_last must be >= 1")
-    commitExpireWith(tableDir, pinnedOf, dataVs => {
+    commitExpireWith(tableDir, pinnedOf, (dataVs, metaOf) => {
       val byAge = dataVs.find(v =>
-        readMeta(tableDir, v).exists(_.commitMs >= cutoffMs))
+        metaOf(v).exists(_.commitMs >= cutoffMs))
         .getOrElse(Long.MaxValue) // nothing young enough: count rules
       val byCount = dataVs.takeRight(keepLast).headOption
         .getOrElse(Long.MinValue)
@@ -1086,11 +1086,13 @@ private[catalog] object Snapshots {
   }
 
   /** The shared expire loop: `cutoffOf` maps the refreshed DATA
-    * version list to the version threshold — everything at or after
-    * it is retained (interleaved ref commits included). */
+    * version list (plus the per-attempt meta cache — no second
+    * manifest parse) to the version threshold — everything at or
+    * after it is retained (interleaved ref commits included). */
   private def commitExpireWith(tableDir: Path,
                                pinnedOf: () => Set[Long],
-                               cutoffOf: Seq[Long] => Long): Seq[Long] = {
+                               cutoffOf: (Seq[Long], Long => Option[Snapshot])
+                                 => Long): Seq[Long] = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1110,9 +1112,12 @@ private[catalog] object Snapshots {
       // interleaved ref commits included (the latest must survive
       // anyway).
       val refOps = Set("tag", "untag", "expire")
+      // one meta parse per version per attempt, shared with cutoffOf
+      val metas: Map[Long, Option[Snapshot]] =
+        vs.map(v => v -> readMeta(tableDir, v)).toMap
       val dataVs = vs.filter(v =>
-        readMeta(tableDir, v).forall(s => !refOps(s.operation)))
-      val cutoff = cutoffOf(dataVs)
+        metas(v).forall(s => !refOps(s.operation)))
+      val cutoff = cutoffOf(dataVs, v => metas.getOrElse(v, None))
       val retained = (vs.filter(_ >= cutoff) ++ vs.filter(pinned)).distinct
       val dropped = vs.filterNot(retained.contains)
       if (dropped.isEmpty) return Seq.empty

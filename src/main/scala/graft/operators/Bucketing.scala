@@ -741,7 +741,8 @@ object Bucketing2 {
         pmod(col("o_orderkey"), lit(13)) === 0)
       .write.mode("append").insertInto(s"$cat.m.orders_ret")     // s-3
     // future cutoff: every data commit "ages out"; keep_last floors at
-    // s-3, the tag pins s-1, the untagged s-0/s-2 drop and GC
+    // the newest data commit (the s-3 append), the tag pins s-1, and
+    // the untagged rest (s-0 create, the DELETE commit) drop and GC
     spark.sql(s"CALL $cat.system.expire_age('m.orders_ret', -3600000, 1)")
     val pinned = spark.sql(
       s"""SELECT o_orderpriority, count(*) AS n_raw,
