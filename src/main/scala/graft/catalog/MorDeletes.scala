@@ -25,8 +25,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    'merge-on-read'`, `DELETE FROM` on a manifest table evaluates
   *    the predicate over the current rows and writes DELETE FILES —
   *    parquet under `_graft_deletes/` holding `(file, pos)` row
-  *    coordinates (`file` = the immutable data file's basename, which
-  *    per-write UUIDs make table-unique; `pos` = the parquet
+  *    coordinates (`file` = the immutable data file's TABLE-RELATIVE
+  *    path — e.g. `region=EU/part-ab12-….parquet` — the same key
+  *    Iceberg position deletes use, so two identically-named files in
+  *    sibling partition dirs can never collide; `pos` = the parquet
   *    row index) — then commits a manifest that adds ONLY the delete
   *    files. Data files are untouched; time travel to the pre-delete
   *    snapshot is free; appends after the delete can never collide
@@ -85,32 +87,39 @@ private[catalog] object MorDeletes {
       .toDF(FileKeyCol, PosKeyCol)
 
   /** Per-shape union read of DATA files in PHYSICAL column names with
-    * the row-coordinate columns materialized; `select` (physical
+    * the row-coordinate columns materialized — `FileKeyCol` is the
+    * file's TABLE-RELATIVE path, recovered by stripping everything up
+    * to and including `<table dir>/` from `_metadata.file_path`
+    * (scheme-agnostic: works for `file:` and remote URIs alike, plain
+    * substring search, no per-row regex); `select` (physical
     * names) prunes each shape's projection BEFORE the union so the
     * parquet scans never read columns the query did not ask for. */
   def readDataWithCoords(spark: SparkSession, tableDir: Path,
                          files: Seq[String],
                          select: Option[Seq[String]] = None): DataFrame = {
     val schema = Snapshots.physicalReadSchema(tableDir)
+    val isCoord = Set(FileKeyCol, PosKeyCol)
     if (Snapshots.dataFiles(files).isEmpty) {
       // all-delete-files manifest: empty rows, full coordinate shape
       val base = select.fold(schema.fields.toSeq)(cols =>
-        cols.map(c => schema(schema.fieldIndex(c))))
+        cols.filterNot(isCoord).map(c => schema(schema.fieldIndex(c))))
       return spark.createDataFrame(
         java.util.List.of[org.apache.spark.sql.Row](),
         StructType(base :+
           org.apache.spark.sql.types.StructField(FileKeyCol, StringType) :+
           org.apache.spark.sql.types.StructField(PosKeyCol, LongType)))
     }
+    val dirPrefix = tableDir.toAbsolutePath.toString + "/"
     Snapshots.groupByShape(Snapshots.dataFiles(files)).map { case (_, fs) =>
       val raw = spark.read.option("basePath", tableDir.toString)
         .schema(schema)
         .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
         .withColumn(FileKeyCol,
-          substring_index(col("_metadata.file_path"), "/", -1))
+          substring_index(col("_metadata.file_path"), dirPrefix, -1))
         .withColumn(PosKeyCol, col("_metadata.row_index"))
       select.fold(raw)(cols =>
-        raw.select((cols ++ Seq(FileKeyCol, PosKeyCol)).map(col): _*))
+        raw.select((cols.filterNot(isCoord) ++
+          Seq(FileKeyCol, PosKeyCol)).map(col): _*))
     }.reduce(_ unionByName _)
   }
 
@@ -152,6 +161,18 @@ private[catalog] object MorDeletes {
     * one-partition query reads one partition's coordinates, not the
     * table's whole delete churn. */
   val TargetDirCol = "_gmor_tdir"
+
+  /** The parent-directory part of a table-relative coordinate key
+    * (`""` for root-partition files) — the value [[TargetDirCol]]
+    * scoping keys off. */
+  def parentDirExpr(fileKey: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{length, when, lit}
+    val base = substring_index(fileKey, "/", -1)
+    when(fileKey.contains("/"),
+      fileKey.substr(lit(1), length(fileKey) - length(base) - 1))
+      .otherwise(lit(""))
+  }
 
   /** Persist a `(file, pos, target-dir)` hit set as delete files,
     * one file set per TARGET PARTITION DIRECTORY, returning the
@@ -274,11 +295,22 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
   import MorDeletes._
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!plan.exists {
+    if (hasDirty(plan)) rewrite(plan) else plan
+
+  /** Any dirty scan anywhere in the plan — INCLUDING plans nested in
+    * subquery expressions (`WHERE x > (SELECT avg(y) FROM dirty_t)`),
+    * which `plan.exists` alone does not traverse: leaving those
+    * unrewritten would fail valid queries loudly at execution
+    * ([[MorGuardedScan]]) until compaction. */
+  private def hasDirty(plan: LogicalPlan): Boolean =
+    plan.exists {
       case r: DataSourceV2ScanRelation => dirtyOf(r).isDefined
-      case _ => false
-    }) plan
-    else rewrite(plan)
+      case n => n.expressions.exists(_.exists {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          hasDirty(se.plan)
+        case _ => false
+      })
+    }
 
   /** The (table, delete files) of a dirty scan relation. */
   private def dirtyOf(r: DataSourceV2ScanRelation)
@@ -299,14 +331,25 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
     case u: UpdateTable => u
     case m: MergeIntoTable =>
       m.copy(sourceTable = rewrite(m.sourceTable))
-    case f @ Filter(cond, r: DataSourceV2ScanRelation)
+    case Filter(cond, r: DataSourceV2ScanRelation)
         if dirtyOf(r).isDefined =>
+      // subquery plans inside the condition rewrite first (they may
+      // scan dirty tables themselves); a condition that CARRIES a
+      // subquery stays ABOVE the swap (pushing it beneath would need
+      // outer-reference remapping inside the subquery plan)
+      val cond2 = cond.transform {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(rewrite(se.plan))
+      }
+      val hasSubq = cond2.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
       // re-attach the full pushed predicate BENEATH the anti-join
       // when it only speaks this relation's columns (correlated
       // outer references stay above — correct, just unpushed)
-      if (cond.deterministic && cond.references.subsetOf(r.outputSet))
-        swap(r, Some(cond))
-      else f.copy(child = swap(r, None))
+      if (!hasSubq && cond2.deterministic &&
+          cond2.references.subsetOf(r.outputSet))
+        swap(r, Some(cond2))
+      else Filter(cond2, swap(r, None))
     case r: DataSourceV2ScanRelation if dirtyOf(r).isDefined =>
       swap(r, None)
     case other =>
@@ -321,13 +364,6 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
     val (table, allDels) = dirtyOf(r).get
     val (tableDir, files, renames, spec) = table.morReadInfo
     val spark = SparkSession.active
-    // static partition pruning of the DELETE side: coordinates are
-    // laid out by target partition ([[TargetDirCol]]), so the same
-    // predicate proof that prunes data directories prunes delete
-    // FILES — a one-partition query at 100 TB reads one partition's
-    // delete churn, not the table's
-    val dels = cond.fold(allDels)(c =>
-      pruneDeleteFiles(allDels, spec, Seq(c)))
     val physOf: Map[String, String] =
       r.output.map(o => o.name -> renames.getOrElse(o.name, o.name)).toMap
     val dataPlan = readDataWithCoords(spark, tableDir, files,
@@ -342,6 +378,17 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference if names.contains(a.exprId) =>
         attrFor(names(a.exprId))
     })
+    // static partition pruning of the DELETE side: coordinates are
+    // laid out by target partition ([[TargetDirCol]]), so the same
+    // predicate proof that prunes data directories prunes delete
+    // FILES — a one-partition query at 100 TB reads one partition's
+    // delete churn, not the table's. The proof runs over the
+    // PHYSICALLY remapped predicate (the name space the partition
+    // spec and `_gmor_tdir` directory values actually speak), the
+    // same expression the data side filters with — never the logical
+    // names, which could diverge under rename evolution.
+    val dels = remapped.fold(allDels)(c =>
+      pruneDeleteFiles(allDels, spec, Seq(c)))
     val filtered = remapped.fold(dataPlan)(Filter(_, dataPlan))
     // every delete target provably outside the predicate's partitions:
     // no join at all — the read degrades to the plain pruned scan

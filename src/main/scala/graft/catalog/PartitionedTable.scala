@@ -645,21 +645,14 @@ private[catalog] final class PartitionedLakeTable(
         val rows = MorDeletes.applyDeletes(spark, tableDir,
           MorDeletes.readDataWithCoords(spark, tableDir, candFiles),
           relevantDels)
-        // (basename → target partition dir) of the candidates — known
-        // from the manifest, so the coordinates can land PARTITION-
-        // SCOPED delete files the read side prunes statically
-        import spark.implicits._
-        val candMap = candFiles.map { f =>
-          val p = Paths.get(f)
-          (p.getFileName.toString,
-            Option(p.getParent).fold("")(_.toString))
-        }.toDF(MorDeletes.FileKeyCol, MorDeletes.TargetDirCol)
+        // the coordinate key IS the table-relative path, so the
+        // target partition dir (which scopes the delete files the
+        // read side prunes statically) is just its parent — no
+        // file-list join needed
         val hits = rows.filter(coalesce(cond, lit(false)))
-          .select(col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol))
-          .join(org.apache.spark.sql.functions.broadcast(candMap),
-            Seq(MorDeletes.FileKeyCol))
           .select(col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol),
-            col(MorDeletes.TargetDirCol))
+            MorDeletes.parentDirExpr(col(MorDeletes.FileKeyCol))
+              .as(MorDeletes.TargetDirCol))
         // ONE job: write the coordinates directly — a predicate that
         // matched nothing stages zero part files (the partitioned
         // writer opens files per encountered key only) and commits

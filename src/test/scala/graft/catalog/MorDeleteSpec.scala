@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path}
 /** MERGE-ON-READ row-level deletes ([[MorDeletes]]): with
   * `graft.write.mode='merge-on-read'`, DELETE FROM on a manifest table
   * commits POSITION DELETE FILES (`_graft_deletes/delete-*.parquet`,
-  * `(file basename, row index)` coordinates) instead of rewriting data
+  * `(table-relative file path, row index)` coordinates) instead of rewriting data
   * files; reads anti-join them away through the [[MorScanRewrite]]
   * optimizer rule; `CALL compact` materializes them and restores the
   * plain fast path. The laws:
@@ -425,6 +425,27 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("dirty scans inside SUBQUERY expressions rewrite too (guard traverses subquery plans)") {
+    withLake("q") { (cat, _) =>
+      mkTable(cat)
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n = 5")
+      morOff()
+      // the dirty scan appears ONLY inside a scalar subquery — the
+      // rule's guard must traverse subquery plans, or this valid
+      // query dies in MorGuardedScan until compaction
+      assert(spark.sql("SELECT count(*) AS c FROM range(10) WHERE id < " +
+        s"(SELECT avg(n) FROM $cat.m.t)").as[Long].head() == 3L,
+        "avg over live rows {1,2,3,4} = 2.5 → ids 0,1,2")
+      // Filter over a dirty scan whose CONDITION carries a subquery
+      // (itself over the dirty table): both rewrite, neither pushes
+      // the subquery beneath the anti-join
+      assert(spark.sql(s"SELECT n FROM $cat.m.t WHERE n > " +
+        s"(SELECT min(n) FROM $cat.m.t)")
+        .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    }
+  }
+
   test("partition-pruned MoR delete reads only candidate partitions' coordinates") {
     withLake("f") { (cat, lake) =>
       mkTable(cat)
@@ -438,10 +459,11 @@ class MorDeleteSpec extends SparkSpec {
         .parquet(dels.map(f => dir.resolve(f).toString): _*)
         .as[(String, Long)].collect().toSeq
       assert(coords.size == 1)
-      val euBases = Snapshots.dataFiles(Snapshots.latest(dir).get.files)
-        .filter(_.startsWith("region=EU"))
-        .map(f => java.nio.file.Paths.get(f).getFileName.toString).toSet
-      assert(euBases.contains(coords.head._1))
+      // coordinates key on the TABLE-RELATIVE path (the Iceberg key:
+      // immune to identically-named files in sibling partition dirs)
+      val euFiles = Snapshots.dataFiles(Snapshots.latest(dir).get.files)
+        .filter(_.startsWith("region=EU")).toSet
+      assert(euFiles.contains(coords.head._1), coords)
       assert(rows(cat).map(_._1) == Seq(1L, 3L, 4L, 5L))
     }
   }
