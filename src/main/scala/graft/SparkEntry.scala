@@ -1046,6 +1046,16 @@ object SparkEntry {
       graft.operators.Bucketing2.morLifecycleCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_morlake")),
+    // Merge-on-read UPDATE/MERGE end-to-end (r14, the Iceberg v2
+    // position-delta model via Spark's SupportsDelta plan): UPDATE on
+    // a dirty table, MERGE with matched DELETE + matched UPDATE +
+    // not-matched INSERT — each ONE commit of delete coordinates +
+    // appended rewrites, zero data files rewritten; compact
+    // materializes (MorDmlSpec pins the file-level mechanics).
+    "q_mor_update_merge" -> ((s, dir) =>
+      graft.operators.Bucketing2.morDmlCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_dmllake")),
     // Widening ALTER COLUMN TYPE end-to-end (r13): INT files + BIGINT
     // files under one widened schema, zero data rewritten (Spark 4
     // parquet up-conversion; CatalogSpec pins the evolution gating).
@@ -5401,6 +5411,46 @@ object SparkEntry {
         |  CAST(COALESCE(c4.cc, 0) AS BIGINT) AS cents_cur
         |FROM c1
         |LEFT JOIN c2 ON c1.o_orderpriority = c2.o_orderpriority
+        |LEFT JOIN c4 ON c1.o_orderpriority = c4.o_orderpriority
+        |ORDER BY 1""".stripMargin,
+
+    // Merge-on-read UPDATE/MERGE lifecycle: every version re-derives
+    // from raw parquet — v2 = minus status F (MoR delete), v3 = v2
+    // with cents+7 on k%5 (the dirty-table UPDATE; a resurrected F
+    // row breaks the hash), v4 = v3 minus matched-deleted small
+    // invoices, +1000 on surviving k%11 matches, plus the re-inserted
+    // F-status source slice; current = v4 (compact content-neutral).
+    "q_mor_update_merge" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority FROM orders),
+        |v2 AS (SELECT * FROM base WHERE st <> 'F'),
+        |v3 AS (SELECT k, st,
+        |    CASE WHEN k % 5 = 0 THEN cents + 7 ELSE cents END AS cents,
+        |    o_orderpriority FROM v2),
+        |v4 AS (SELECT k, st,
+        |    CASE WHEN k % 11 = 0 THEN cents + 1000 ELSE cents END AS cents,
+        |    o_orderpriority
+        |  FROM v3 WHERE NOT (k % 11 = 0 AND cents < 10000000)
+        |  UNION ALL
+        |  SELECT * FROM base WHERE st = 'F' AND k % 11 = 0),
+        |c1 AS (SELECT o_orderpriority, count(*) AS n1 FROM base GROUP BY 1),
+        |c2 AS (SELECT o_orderpriority, count(*) AS n2 FROM v2 GROUP BY 1),
+        |c3 AS (SELECT o_orderpriority, count(*) AS n3,
+        |  sum(cents) AS cc3 FROM v3 GROUP BY 1),
+        |c4 AS (SELECT o_orderpriority, count(*) AS n4,
+        |  sum(cents) AS cc4 FROM v4 GROUP BY 1)
+        |SELECT c1.o_orderpriority,
+        |  CAST(c1.n1 AS BIGINT) AS n_v1,
+        |  CAST(COALESCE(c2.n2, 0) AS BIGINT) AS n_v2,
+        |  CAST(COALESCE(c3.n3, 0) AS BIGINT) AS n_v3,
+        |  CAST(COALESCE(c3.cc3, 0) AS BIGINT) AS cents_v3,
+        |  CAST(COALESCE(c4.n4, 0) AS BIGINT) AS n_cur,
+        |  CAST(COALESCE(c4.cc4, 0) AS BIGINT) AS cents_cur
+        |FROM c1
+        |LEFT JOIN c2 ON c1.o_orderpriority = c2.o_orderpriority
+        |LEFT JOIN c3 ON c1.o_orderpriority = c3.o_orderpriority
         |LEFT JOIN c4 ON c1.o_orderpriority = c4.o_orderpriority
         |ORDER BY 1""".stripMargin,
 

@@ -109,13 +109,23 @@ private[catalog] object MorDeletes {
           org.apache.spark.sql.types.StructField(FileKeyCol, StringType) :+
           org.apache.spark.sql.types.StructField(PosKeyCol, LongType)))
     }
-    val dirPrefix = tableDir.toAbsolutePath.toString + "/"
+    // `_metadata.file_path` is a URI string: the table-dir prefix to
+    // strip must be in the SAME (percent-encoded) form, and the
+    // stripped remainder decodes back to the filesystem-relative path
+    // (so coordinates match manifest entries even when partition
+    // values carry spaces etc). Literal '+' pre-escapes to %2B —
+    // URL decoding would otherwise turn it into a space.
+    val dirPrefix = new java.net.URI(null, null,
+      tableDir.toAbsolutePath.toString + "/", null).getRawPath
     Snapshots.groupByShape(Snapshots.dataFiles(files)).map { case (_, fs) =>
       val raw = spark.read.option("basePath", tableDir.toString)
         .schema(schema)
         .parquet(fs.map(f => tableDir.resolve(f).toString): _*)
         .withColumn(FileKeyCol,
-          substring_index(col("_metadata.file_path"), dirPrefix, -1))
+          org.apache.spark.sql.functions.url_decode(
+            org.apache.spark.sql.functions.regexp_replace(
+              substring_index(col("_metadata.file_path"), dirPrefix, -1),
+              "\\+", "%2B")))
         .withColumn(PosKeyCol, col("_metadata.row_index"))
       select.fold(raw)(cols =>
         raw.select((cols.filterNot(isCoord) ++
@@ -312,13 +322,27 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
       })
     }
 
-  /** The (table, delete files) of a dirty scan relation. */
+  /** The (table, delete files) of a scan relation this rule must
+    * replace: a DELETE-CARRYING snapshot read (the anti-join swap), a
+    * read that asked for the row-coordinate metadata columns (its
+    * placeholder scan is a [[MorDeltaScan]]), or a delta-based
+    * row-level operation's read ([[MorDeltaOperation]] — the relation
+    * then carries Spark's `RowLevelOperationTable` wrapper; group-
+    * based row-level scans deliberately do NOT match, their group
+    * semantics replay whole partitions through their own scan). */
   private def dirtyOf(r: DataSourceV2ScanRelation)
       : Option[(PartitionedLakeTable, Seq[String])] =
     r.relation.table match {
       case t: PartitionedLakeTable =>
         val dels = t.morDeleteFiles
-        if (dels.nonEmpty) Some((t, dels)) else None
+        if (dels.nonEmpty || r.scan.isInstanceOf[MorDeltaScan])
+          Some((t, dels))
+        else None
+      case other if r.scan.isInstanceOf[MorDeltaScan] =>
+        org.apache.spark.sql.GraftBridge.rowLevelOperationTarget(other) match {
+          case Some(t: PartitionedLakeTable) => Some((t, t.morDeleteFiles))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -366,8 +390,14 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val physOf: Map[String, String] =
       r.output.map(o => o.name -> renames.getOrElse(o.name, o.name)).toMap
-    val dataPlan = readDataWithCoords(spark, tableDir, files,
-      Some(r.output.map(o => physOf(o.name)))).queryExecution.analyzed
+    // the spliced subtree is ANALYZED-but-not-optimized, and the
+    // enclosing plan is already past the optimizer's finish-analysis
+    // batch — RuntimeReplaceable expressions (the coordinate key's
+    // url_decode) must be replaced here or codegen meets the
+    // unreplaced form and fails
+    val dataPlan = org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(
+      readDataWithCoords(spark, tableDir, files,
+        Some(r.output.map(o => physOf(o.name)))).queryExecution.analyzed)
     val byPhys: Map[String, Attribute] =
       dataPlan.output.map(a => a.name.toLowerCase -> a).toMap
     def attrFor(logicalName: String): Attribute =

@@ -202,7 +202,8 @@ private[catalog] final class PartitionedLakeTable(
     writable: Boolean = true,
     renames: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private val identityCols: Seq[String] =
     spec.collect { case PartitionSpec.Identity(c) => c }
@@ -248,13 +249,43 @@ private[catalog] final class PartitionedLakeTable(
       : (Path, Seq[String], Map[String, String], Seq[PartitionSpec.Field]) =
     (tableDir, snapshot.fold(Seq.empty[String])(_.files), renames, spec)
 
-  // a delete-carrying view needs the read-side rewrite: attach it to
-  // the session's optimizer BEFORE the query that loaded this table
-  // optimizes (loadTable runs at analysis; extraOptimizations are
-  // re-read per query). Clean tables never pay this.
-  if (snapshot.exists(s => s.files.exists(Snapshots.isDeleteFile)))
+  // every manifest-versioned view needs the read-side rewrite
+  // available: delete-carrying snapshots (the anti-join swap), scans
+  // that ask for the row-coordinate metadata columns, and delta-based
+  // row-level DML reads all plan through it. Attach BEFORE the query
+  // that loaded this table optimizes (loadTable runs at analysis;
+  // extraOptimizations are re-read per query); the rule's guard is a
+  // cheap plan traversal, so clean-table queries pay ~nothing. Plain
+  // (unversioned) tables never pay this.
+  if (snapshot.isDefined)
     try MorDeletes.ensureRule(SparkSession.active)
     catch { case _: IllegalStateException => () } // no active session
+
+  /** Row-coordinate METADATA COLUMNS (`_gmor_file` = table-relative
+    * file path, `_gmor_pos` = parquet row index) — the row identity
+    * the delta-based row-level operations key their position deletes
+    * by ([[MorDeltaOperation.rowId]]), and selectable on ordinary
+    * reads (Iceberg's `_file`/`_pos`). Versioned tables only: plain
+    * layouts physically replace files, so coordinates there are not
+    * stable identities. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (snapshot.isEmpty) Array.empty
+    else Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = MorDeletes.FileKeyCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "table-relative data file path"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = MorDeletes.PosKeyCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within the file"
+      })
 
   /** The per-file stats governing THIS table view: the snapshot's
     * commit-atomic embedded block (sidecar fallback for pre-analyze
@@ -346,6 +377,11 @@ private[catalog] final class PartitionedLakeTable(
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var required: Option[StructType] = None
+      // the UNtranslated (logical-name) requirement, kept because a
+      // request for the row-coordinate metadata columns routes to the
+      // [[MorScanRewrite]] swap, whose placeholder scan must speak the
+      // relation's own (logical) names
+      private var requiredLogical: Option[StructType] = None
       private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
       // metadata-only aggregates ([[StatsAggregates]]) over the
       // partitioned layouts: current files = the manifest's list
@@ -387,6 +423,7 @@ private[catalog] final class PartitionedLakeTable(
         serve(agg).isDefined
       }
       override def pruneColumns(requiredSchema: StructType): Unit = {
+        requiredLogical = Some(requiredSchema)
         // inner scans speak PHYSICAL names; readSchema translates back
         required = Some(physSchema(requiredSchema))
         // the fallback scans the table ROOT — never touch it for
@@ -424,6 +461,16 @@ private[catalog] final class PartitionedLakeTable(
           case _ => Array.empty
         }
       override def build(): org.apache.spark.sql.connector.read.Scan = {
+        // a projection asking for the row-coordinate metadata columns
+        // (SELECT _gmor_file, _gmor_pos — Iceberg's _file/_pos) plans
+        // through the [[MorScanRewrite]] swap, which materializes them
+        // from the V1 coordinate read; the placeholder is execution-
+        // guarded, so a rule-less session fails loudly instead of
+        // serving nulls
+        val coordCols = Set(MorDeletes.FileKeyCol, MorDeletes.PosKeyCol)
+        if (requiredLogical.exists(_.fieldNames.exists(coordCols)))
+          return new MorDeltaScan(tableName,
+            requiredLogical.get, morDeleteFiles.size)
         servedAgg match {
           case Some((aggSchema, row)) =>
             // the whole aggregation IS the sidecar fold: one local
@@ -750,7 +797,22 @@ private[catalog] final class PartitionedLakeTable(
     // write restages under the CURRENT spec — row-level DML on an
     // evolved table works directly and migrates its groups forward.
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new RowLevelOperation {
+      override def build(): RowLevelOperation = {
+        // MERGE-ON-READ DML ([[MorDeltaOperation]]): with
+        // `graft.write.mode='merge-on-read'` on a versioned table,
+        // UPDATE / MERGE / non-pushable DELETE plan as Spark's
+        // DELTA-based row-level write — one commit of position-delete
+        // files + appended rewritten rows, no data file rewritten,
+        // works with OR without pending delete files. (Pushable
+        // DELETEs still route to the metadata-only deleteWhere.)
+        if (snapshot.isDefined &&
+            MorDeletes.morEnabled(SparkSession.active))
+          return new MorDeltaOperation(tableName, tableDir, logicalSchema,
+            spec, snapshot.get.files, renames, info.command())
+        buildGroupBased()
+      }
+
+      private def buildGroupBased(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
         // table-relative candidate dirs the group scan covered; None =
         // whole-table group (commit then replaces every data subtree)
@@ -787,9 +849,12 @@ private[catalog] final class PartitionedLakeTable(
               // and deleteWhere handles pending deletes itself.
               if (morDeleteFiles.nonEmpty)
                 throw new UnsupportedOperationException(
-                  s"$tableName: UPDATE/MERGE (or a non-pushable DELETE) " +
-                    s"with ${morDeleteFiles.size} pending merge-on-read " +
-                    "delete file(s) — CALL system.compact(...) to " +
+                  s"$tableName: copy-on-write UPDATE/MERGE (or a " +
+                    "non-pushable DELETE) with " +
+                    s"${morDeleteFiles.size} pending merge-on-read " +
+                    "delete file(s) — SET graft.write.mode=" +
+                    "'merge-on-read' to run this as a position-delta " +
+                    "commit, or CALL system.compact(...) to " +
                     "materialize the deletes first")
               val opts = new CaseInsensitiveStringMap(
                 util.Map.of("basePath", tableDir.toString))

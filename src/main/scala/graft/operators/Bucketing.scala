@@ -711,6 +711,81 @@ object Bucketing2 {
       .orderBy("o_orderpriority")
   }
 
+  /** MERGE-ON-READ DML lifecycle end-to-end (r14,
+    * [[graft.catalog.MorDeltaOperation]] — Spark's delta-based
+    * row-level plan, the Iceberg v2 MoR UPDATE/MERGE model): with
+    * `graft.write.mode='merge-on-read'`, UPDATE and MERGE commit
+    * (position-delete files for matched rows) + (appended rewritten
+    * rows) in ONE snapshot — data files never rewritten, the r13
+    * compact-first gate lifted. The census drives the composition:
+    *
+    *  - s-1 insert; s-2 MoR DELETE (status F) leaves pending deletes;
+    *  - s-3 UPDATE against the DIRTY table: bumps cents for k%5 live
+    *    rows only (a resurrected F row would break the hash);
+    *  - s-4 MERGE with all three action kinds — matched DELETE
+    *    (small invoices), matched UPDATE (+1000), NOT MATCHED INSERT
+    *    (re-adds the deleted F rows of the source slice) — matched
+    *    rows include s-3's freshly REWRITTEN rows, so the merge scan
+    *    proves coordinates compose across DML generations;
+    *  - s-5 `CALL compact` materializes (content-neutral: current
+    *    equals AS OF 4 row-for-row under the shared oracle).
+    *
+    * Every AS OF read of a dirty snapshot exercises the anti-join
+    * rewrite; the oracle re-derives v1/v2/v3/v4 from raw parquet. */
+  def morDmlCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakedml"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_dml (
+         |  k BIGINT, st STRING, cents BIGINT, o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    val base = orders.select(col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").as("st"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_dml")   // s-1
+    base.filter(pmod(col("k"), lit(11)) === 0)
+      .createOrReplaceTempView("mor_dml_src")
+    spark.conf.set("graft.write.mode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.m.orders_dml WHERE st = 'F'") // s-2
+      spark.sql(                                                 // s-3
+        s"UPDATE $cat.m.orders_dml SET cents = cents + 7 WHERE k % 5 = 0")
+      spark.sql(                                                 // s-4
+        s"""MERGE INTO $cat.m.orders_dml t USING mor_dml_src s ON t.k = s.k
+           |WHEN MATCHED AND t.cents < 10000000 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cents = t.cents + 1000
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally spark.conf.unset("graft.write.mode")
+    spark.sql(s"CALL $cat.system.compact('m.orders_dml', 4)")    // s-5
+    def at(v: Long, n: String) = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS $n
+         |FROM $cat.m.orders_dml VERSION AS OF $v GROUP BY 1""".stripMargin)
+    val v3 = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_v3, sum(cents) AS cents_v3
+         |FROM $cat.m.orders_dml VERSION AS OF 3 GROUP BY 1""".stripMargin)
+    val cur = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_cur,
+         |  sum(cents) AS cents_cur
+         |FROM $cat.m.orders_dml GROUP BY 1""".stripMargin)
+    at(1L, "n_v1")
+      .join(at(2L, "n_v2"), Seq("o_orderpriority"), "left")
+      .join(v3, Seq("o_orderpriority"), "left")
+      .join(cur, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_v1").cast("bigint").as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).cast("bigint").as("n_v2"),
+        coalesce(col("n_v3"), lit(0L)).cast("bigint").as("n_v3"),
+        coalesce(col("cents_v3"), lit(0L)).cast("bigint").as("cents_v3"),
+        coalesce(col("n_cur"), lit(0L)).cast("bigint").as("n_cur"),
+        coalesce(col("cents_cur"), lit(0L)).cast("bigint").as("cents_cur"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Retention policy end-to-end (r13): a TAG pins its snapshot
     * through an aggressive AGE-based expire (`CALL expire_age` with a
     * future cutoff — everything is "old", `keep_last=1` floors the

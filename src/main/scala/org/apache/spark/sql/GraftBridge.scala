@@ -26,6 +26,18 @@ object GraftBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The wrapped target table of a row-level operation relation
+    * (`RowLevelOperationTable` is `private[sql]`): Spark's analyzer
+    * substitutes this wrapper for the target of a rewritten
+    * UPDATE/MERGE/DELETE, and connector-side optimizer rules need to
+    * see through it to recognize their own tables. */
+  def rowLevelOperationTarget(
+      t: connector.catalog.Table): Option[connector.catalog.Table] =
+    t match {
+      case r: connector.write.RowLevelOperationTable => Some(r.table)
+      case _ => None
+    }
+
   /** The persisted RDD behind a `localCheckpoint`ed Dataset, if any —
     * the handle needed to RELEASE checkpoint storage explicitly
     * (`rdd.unpersist()`): `Dataset.unpersist` only touches
