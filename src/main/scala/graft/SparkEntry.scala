@@ -1056,6 +1056,15 @@ object SparkEntry {
       graft.operators.Bucketing2.morDmlCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_dmllake")),
+    // Minor delete compaction end-to-end (r14, Iceberg's
+    // rewrite_position_delete_files): 3 MoR deletes → 3 coordinate
+    // files per partition → merged to ONE each, content-neutral; the
+    // per-partition delete-file count and the pre/post content both
+    // hash (RewriteDeletesSpec pins sortedness/dedup/conflicts).
+    "q_rewrite_deletes" -> ((s, dir) =>
+      graft.operators.Bucketing2.rewriteDeletesCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_rwdlake")),
     // Widening ALTER COLUMN TYPE end-to-end (r13): INT files + BIGINT
     // files under one widened schema, zero data rewritten (Spark 4
     // parquet up-conversion; CatalogSpec pins the evolution gating).
@@ -5452,6 +5461,28 @@ object SparkEntry {
         |LEFT JOIN c2 ON c1.o_orderpriority = c2.o_orderpriority
         |LEFT JOIN c3 ON c1.o_orderpriority = c3.o_orderpriority
         |LEFT JOIN c4 ON c1.o_orderpriority = c4.o_orderpriority
+        |ORDER BY 1""".stripMargin,
+
+    // Minor delete compaction: the dirty snapshot (v4) and the
+    // post-rewrite current are the SAME content — base minus the
+    // three delete predicates — and every touched partition ends
+    // with exactly ONE delete file.
+    "q_rewrite_deletes" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority FROM orders),
+        |live AS (SELECT * FROM base
+        |  WHERE st <> 'F' AND cents >= 3000000 AND k % 3 <> 0),
+        |c AS (SELECT o_orderpriority, count(*) AS n,
+        |  sum(cents) AS cc FROM live GROUP BY 1),
+        |p AS (SELECT DISTINCT o_orderpriority FROM base)
+        |SELECT p.o_orderpriority,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_v4,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur,
+        |  CAST(COALESCE(c.cc, 0) AS BIGINT) AS cents_cur,
+        |  CAST(1 AS BIGINT) AS n_delete_files
+        |FROM p LEFT JOIN c ON p.o_orderpriority = c.o_orderpriority
         |ORDER BY 1""".stripMargin,
 
     // Retention: the pinned snapshot is EVERYTHING, current is

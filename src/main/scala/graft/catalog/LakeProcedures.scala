@@ -50,7 +50,8 @@ private[catalog] object LakeProcedures {
       "analyze", "bloom_index", "dedupe", "zorder", "vacuum", "rollback",
       "tag", "drop_tag", "tags", "add_partition_field",
       "drop_partition_field", "replace_partition_field", "migrate",
-      "branch", "fast_forward", "drop_branch", "branches", "expire_age")
+      "branch", "fast_forward", "drop_branch", "branches", "expire_age",
+      "rewrite_position_delete_files")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -368,6 +369,60 @@ private[catalog] object LakeProcedures {
           val dropped = Snapshots.commitExpireOlderThan(dir, cutoff,
             args.getInt(2), () => Tags.read(dir).values.toSet)
           Seq(InternalRow(dropped.size.toLong))
+        })
+      case "rewrite_position_delete_files" =>
+        // MINOR delete compaction (Iceberg's
+        // `rewrite_position_delete_files`): K successive merge-on-read
+        // DELETEs/UPDATEs leave K coordinate files per touched
+        // partition, each read anti-joining all of them until a FULL
+        // `CALL compact` rewrites the data — at 100 TB with daily
+        // curation deletes, read amplification grows linearly between
+        // major compactions. This procedure merges each target
+        // partition's delete files into ONE (deduped, (file, pos)-
+        // sorted), CONTENT-NEUTRAL: data files untouched, live rows
+        // identical, commit is metadata + tiny coordinate parquet.
+        // Unscoped legacy files get re-scoped to their coordinates'
+        // actual partitions (the coordinate key's parent) on the way.
+        Some(proc(root, "rewrite_position_delete_files",
+          Seq("tbl" -> StringType),
+          new StructType().add("rewritten_files", LongType)
+            .add("new_files", LongType).add("new_version", LongType)) {
+          (dir, _, _) =>
+          requireManifest("rewrite_position_delete_files", dir)
+          val spark = SparkSession.active
+          val s = Snapshots.latest(dir).getOrElse(
+            throw new IllegalArgumentException(
+              "rewrite_position_delete_files: empty manifest log"))
+          val dels = Snapshots.deleteFiles(s.files)
+          // rewrite groups that actually shrink (≥2 files per target
+          // dir) plus every unscoped file (re-scoping is a win)
+          val byDir = dels.groupBy(f =>
+            MorDeletes.targetDirOf(f).map(_.toString))
+          val rewrite = byDir.collect {
+            case (None, fs) => fs
+            case (Some(_), fs) if fs.size >= 2 => fs
+          }.flatten.toSeq
+          if (rewrite.isEmpty)
+            Seq(InternalRow(0L, 0L, s.version))
+          else {
+            import org.apache.spark.sql.functions.col
+            val coords = MorDeletes.readDeletes(spark, dir, rewrite)
+              .distinct()
+            val hits = coords.select(
+              col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol),
+              MorDeletes.parentDirExpr(col(MorDeletes.FileKeyCol))
+                .as(MorDeletes.TargetDirCol))
+            val fresh = MorDeletes.writeDeleteFiles(spark, dir, hits)
+            // maintenance commit, pinned to main (like compact):
+            // the inputs must still be referenced — a concurrent
+            // major compact already materialized them, and merging
+            // this rewrite would re-introduce dropped coordinates
+            val v = Snapshots.commit(dir, "rewrite-deletes",
+              cur => cur.diff(rewrite) ++ fresh,
+              Snapshots.validateFilesLive(
+                "rewrite_position_delete_files", rewrite))
+            Seq(InternalRow(rewrite.size.toLong, fresh.size.toLong, v))
+          }
         })
       case "compact" =>
         // works on BOTH layouts: versioned tables re-commit the latest

@@ -201,6 +201,9 @@ private[catalog] object MorDeletes {
     // tiny files into the manifest
     hits.toDF("file", "pos", TargetDirCol)
       .repartition(col(TargetDirCol))
+      // coordinates land sorted by (file, pos) — the order readers
+      // and the minor compactor (rewrite_position_delete_files) like
+      .sortWithinPartitions(col(TargetDirCol), col("file"), col("pos"))
       .write.partitionBy(TargetDirCol).parquet(tmp.toString)
     val delDir = tableDir.resolve(Snapshots.DeleteDirName)
     Files.createDirectories(delDir)

@@ -786,6 +786,65 @@ object Bucketing2 {
       .orderBy("o_orderpriority")
   }
 
+  /** MINOR delete compaction end-to-end (r14,
+    * `CALL system.rewrite_position_delete_files` — Iceberg's
+    * procedure of the same name): three successive MoR DELETEs leave
+    * three coordinate files per touched partition; the rewrite merges
+    * each partition's files into ONE, content-neutral, data files
+    * untouched. The census reads the pre-rewrite dirty snapshot AND
+    * the post-rewrite current (equal by construction — the shared
+    * oracle derivation makes that part of the hash) plus the
+    * per-partition delete-file count (exactly 1 after the rewrite —
+    * derived from the `.files` metadata table, oracled as the
+    * constant it must be). */
+  def rewriteDeletesCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakerwd"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_rwd (
+         |  k BIGINT, st STRING, cents BIGINT, o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    orders.select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderpriority"))
+      .write.mode("append").insertInto(s"$cat.m.orders_rwd")     // s-1
+    spark.conf.set("graft.write.mode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.m.orders_rwd WHERE st = 'F'")        // s-2
+      spark.sql(s"DELETE FROM $cat.m.orders_rwd WHERE cents < 3000000") // s-3
+      spark.sql(s"DELETE FROM $cat.m.orders_rwd WHERE k % 3 = 0")       // s-4
+    } finally spark.conf.unset("graft.write.mode")
+    spark.sql(
+      s"CALL $cat.system.rewrite_position_delete_files('m.orders_rwd')") // s-5
+    val v4 = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_v4
+         |FROM $cat.m.orders_rwd VERSION AS OF 4 GROUP BY 1""".stripMargin)
+    val cur = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_cur,
+         |  sum(cents) AS cents_cur
+         |FROM $cat.m.orders_rwd GROUP BY 1""".stripMargin)
+    val delCounts = spark.table(s"$cat.m.orders_rwd.files")
+      .filter(col("kind") === "delete")
+      .withColumn("o_orderpriority", regexp_extract(col("file"),
+        "_gmor_tdir=o_orderpriority%3D([^/]+)/", 1))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n_delete_files"))
+    v4.join(cur, Seq("o_orderpriority"), "left")
+      .join(delCounts, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_v4").cast("bigint").as("n_v4"),
+        coalesce(col("n_cur"), lit(0L)).cast("bigint").as("n_cur"),
+        coalesce(col("cents_cur"), lit(0L)).cast("bigint").as("cents_cur"),
+        coalesce(col("n_delete_files"), lit(0L)).cast("bigint")
+          .as("n_delete_files"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Retention policy end-to-end (r13): a TAG pins its snapshot
     * through an aggressive AGE-based expire (`CALL expire_age` with a
     * future cutoff — everything is "old", `keep_last=1` floors the
