@@ -267,6 +267,65 @@ private[catalog] object MorDeletes {
     }
   }
 
+  /** Ceiling on the total pending coordinates the read side will
+    * apply as a BROADCAST DELETION VECTOR (a scan-local positional
+    * filter — zero join in the plan) before degrading to the
+    * LeftAnti-join form. 0 disables the vector path. */
+  val VectorMaxConf = "graft.mor.vector.max-coords"
+  val VectorMaxDefault = 4000000L
+
+  // (tableDir, pruned delete-file set) → broadcast vector, LRU. The
+  // delete files are immutable content, so the cache can never serve
+  // stale coordinates; a None entry records "over the ceiling" so
+  // repeated queries don't re-count. Evicted broadcasts are GC'd by
+  // Spark's ContextCleaner (never destroyed mid-query).
+  private val vectorCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        Option[org.apache.spark.broadcast.Broadcast[
+          java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Option[org.apache.spark.broadcast.Broadcast[
+              java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]]]])
+          : Boolean = size() > 8
+    })
+
+  /** The pending deletes of `dels` as a broadcast per-file
+    * sorted-positions vector, when their total coordinate count fits
+    * the [[VectorMaxConf]] ceiling — None above it (the caller falls
+    * back to the anti-join). The sizing probe and the build are ONE
+    * bounded job over the (small) delete parquet, cached per
+    * delete-file set. */
+  def vectorFor(spark: SparkSession, tableDir: Path, dels: Seq[String])
+      : Option[org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]]] = {
+    val max = spark.conf.get(VectorMaxConf, VectorMaxDefault.toString).toLong
+    if (max <= 0L || dels.isEmpty) return None
+    val key = tableDir.toString + " " + dels.sorted.mkString(" ")
+    val cached = vectorCache.get(key)
+    if (cached != null) return cached
+    // limit(max+1): the probe IS the build — one small job; an
+    // over-the-ceiling set is detected without reading it fully
+    val rows = readDeletes(spark, tableDir, dels)
+      .limit(math.min(max + 1L, Int.MaxValue.toLong).toInt).collect()
+    val built =
+      if (rows.length > max) None
+      else {
+        val byFile = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+        rows.groupBy(_.getString(0)).foreach { case (f, rs) =>
+          byFile.put(
+            org.apache.spark.unsafe.types.UTF8String.fromString(f),
+            rs.map(_.getLong(1)).distinct.sorted)
+          ()
+        }
+        Some(spark.sparkContext.broadcast(byFile))
+      }
+    vectorCache.put(key, built)
+    built
+  }
+
   /** Attach [[MorScanRewrite]] to the session's optimizer (idempotent;
     * `extraOptimizations` is re-read per query, so a runtime attach
     * covers every later plan in the session). Called the moment a
@@ -424,21 +483,97 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
       pruneDeleteFiles(allDels, spec, Seq(c)))
     val filtered = remapped.fold(dataPlan)(Filter(_, dataPlan))
     // every delete target provably outside the predicate's partitions:
-    // no join at all — the read degrades to the plain pruned scan
+    // no join at all — the read degrades to the plain pruned scan.
+    // Otherwise prefer the READER-LEVEL form: a broadcast deletion
+    // vector applied as a scan-local Filter (no join operator at all,
+    // immune to broadcast-threshold degradation — one churn-heavy
+    // partition can never make the FACT side shuffle); only a
+    // coordinate count past [[VectorMaxConf]] falls back to the
+    // LeftAnti join.
     val joined =
       if (dels.isEmpty) filtered
-      else {
-        val delPlan = readDeletes(spark, tableDir, dels)
-          .queryExecution.analyzed
-        val joinCond = And(
-          EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
-          EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))
-        Join(filtered, delPlan, LeftAnti, Some(joinCond), JoinHint.NONE)
+      else vectorFor(spark, tableDir, dels) match {
+        case Some(bc) =>
+          Filter(org.apache.spark.sql.catalyst.expressions.Not(
+            DeleteVectorContains(bc,
+              byPhys(FileKeyCol.toLowerCase),
+              byPhys(PosKeyCol.toLowerCase))), filtered)
+        case None =>
+          val delPlan = readDeletes(spark, tableDir, dels)
+            .queryExecution.analyzed
+          val joinCond = And(
+            EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
+            EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))
+          Join(filtered, delPlan, LeftAnti, Some(joinCond), JoinHint.NONE)
       }
     Project(r.output.map(o =>
       Alias(attrFor(o.name), o.name)(exprId = o.exprId,
         qualifier = o.qualifier)), joined)
   }
+}
+
+/** Deletion-vector membership: `(file, pos) ∈ broadcast vector` — the
+  * scan-local form of position-delete application. The read filters
+  * with `NOT DeleteVectorContains(...)` directly inside the parquet
+  * scan's stage: no join operator, no shuffle exposure, no broadcast-
+  * threshold dependence — the Iceberg/Delta reader-applied-deletes
+  * posture, expressed as a codegen'd Catalyst predicate over a
+  * driver-built broadcast (per-file SORTED position arrays, binary
+  * search per row). [[MorScanRewrite]] plans this form whenever the
+  * pending coordinate count fits [[MorDeletes.VectorMaxConf]];
+  * churn-heavy tables past the ceiling keep the LeftAnti join. */
+private[catalog] final case class DeleteVectorContains(
+    vectors: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]],
+    fileExpr: Expression,
+    posExpr: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Predicate {
+
+  override def children: Seq[Expression] = Seq(fileExpr, posExpr)
+  override def nullable: Boolean = false
+  // one broadcast per delete-file set: the plan is rebuilt when the
+  // set changes, so never foldable/stateless-equal across snapshots
+  override def foldable: Boolean = false
+
+  def contains(file: org.apache.spark.unsafe.types.UTF8String,
+               pos: Long): Boolean = {
+    val arr = vectors.value.get(file)
+    arr != null && java.util.Arrays.binarySearch(arr, pos) >= 0
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val f = fileExpr.eval(input)
+    if (f == null) false
+    else {
+      val p = posExpr.eval(input)
+      p != null && contains(
+        f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[Long])
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("deleteVector", this)
+    val f = fileExpr.genCode(ctx)
+    val p = posExpr.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${f.code}
+        ${p.code}
+        boolean ${ev.value} = !${f.isNull} && !${p.isNull} &&
+          $ref.contains(${f.value}, ${p.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(fileExpr = newChildren(0), posExpr = newChildren(1))
 }
 
 /** Execution guard for a V2 scan over a delete-carrying snapshot: the

@@ -220,7 +220,7 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
-  test("plan pin: the dirty read is a broadcast ANTI-join with pruning and pushdown intact") {
+  test("plan pin: the dirty read applies deletes READER-LEVEL (a scan-local vector filter, zero join); past the ceiling it degrades to the broadcast ANTI-join") {
     withLake("g") { (cat, _) =>
       spark.sql(
         s"""CREATE TABLE $cat.m.t (n BIGINT, v STRING, region STRING)
@@ -233,23 +233,44 @@ class MorDeleteSpec extends SparkSpec {
       morOn()
       spark.sql(s"DELETE FROM $cat.m.t WHERE n >= 100 AND n <= 199")
       morOff()
-      val q = spark.sql(
-        s"SELECT v FROM $cat.m.t WHERE region = 'EU' AND n > 100")
-      val plan = q.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // the delete side broadcasts; the fact side never shuffles
-      assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight"), plan)
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val sql = s"SELECT v FROM $cat.m.t WHERE region = 'EU' AND n > 100"
+
+      // DEFAULT: deletion-vector form — the plan carries NO join at
+      // all; the positional filter runs inside the scan's codegen
+      // stage, so one churn-heavy partition can never shuffle the
+      // fact side
+      val qv = spark.sql(sql)
+      val pv = planOf(qv)
+      assert(!pv.contains("Join"), pv)
       // the static partition predicate prunes the data-side LISTING
-      assert(plan.contains("PartitionFilters: [isnotnull(region"), plan)
-      // the data predicate reaches the parquet reader beneath the join
-      assert(plan.contains("PushedFilters: [IsNotNull(n), GreaterThan(n,100)]"),
-        plan)
+      assert(pv.contains("PartitionFilters: [isnotnull(region"), pv)
+      // the data predicate reaches the parquet reader
+      assert(pv.contains("PushedFilters: [IsNotNull(n), GreaterThan(n,100)]"),
+        pv)
       // column pruning: only the asked-for columns + the row coordinate
-      assert(plan.contains(
+      assert(pv.contains(
         "ReadSchema: struct<n:bigint,v:string,_tmp_metadata_row_index:bigint>"),
-        plan)
+        pv)
+      // the vector filter stays inside the scan's whole-stage-codegen
+      // span (no interpreted island in the hot path)
+      assert(pv.contains("Filter [codegen id : 1]"), pv)
       // 950 even n in (100, 2000]; 49 of them deleted in [102, 198]
-      assert(q.count() == 901L)
+      assert(qv.count() == 901L)
+
+      // PAST THE CEILING (forced with 0): the broadcast anti-join
+      // fallback, same answer
+      spark.conf.set(MorDeletes.VectorMaxConf, "0")
+      try {
+        val qj = spark.sql(sql)
+        val pj = planOf(qj)
+        assert(pj.contains("BroadcastHashJoin LeftAnti BuildRight"), pj)
+        assert(pj.contains("PushedFilters: [IsNotNull(n), GreaterThan(n,100)]"),
+          pj)
+        assert(qj.count() == 901L)
+      } finally spark.conf.unset(MorDeletes.VectorMaxConf)
     }
   }
 
@@ -301,13 +322,21 @@ class MorDeleteSpec extends SparkSpec {
       assert(targets.sorted == Seq("region=EU", "region=US"), targets)
 
       // a one-partition query reads ONE partition's coordinates: the
-      // delete-side scan lists only the US-scoped file
-      val q = spark.sql(s"SELECT n FROM $cat.m.t WHERE region = 'US'")
-      val plan = q.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      assert(plan.contains("region%3DUS"), plan)   // hive-escaped tdir
-      assert(!plan.contains("region%3DEU"), plan)
-      assert(q.as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+      // delete-side scan lists only the US-scoped file (pinned on the
+      // anti-join form, where the delete side is a visible scan; the
+      // vector path prunes through the same pruneDeleteFiles call)
+      spark.conf.set(MorDeletes.VectorMaxConf, "0")
+      try {
+        val q = spark.sql(s"SELECT n FROM $cat.m.t WHERE region = 'US'")
+        val plan = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(plan.contains("region%3DUS"), plan)   // hive-escaped tdir
+        assert(!plan.contains("region%3DEU"), plan)
+        assert(q.as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+      } finally spark.conf.unset(MorDeletes.VectorMaxConf)
+      // the (default) vector path answers identically
+      assert(spark.sql(s"SELECT n FROM $cat.m.t WHERE region = 'US'")
+        .as[Long].collect().sorted.toSeq == Seq(4L, 5L))
       // and the EU side still applies ITS delete
       assert(spark.sql(s"SELECT n FROM $cat.m.t WHERE region = 'EU'")
         .as[Long].collect().sorted.toSeq == Seq(2L))
