@@ -1065,6 +1065,15 @@ object SparkEntry {
       graft.operators.Bucketing2.rewriteDeletesCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_rwdlake")),
+    // Incremental MV refresh end-to-end (r14): change feed → signed
+    // delta fold → MERGE; refresh(v1→v4) after append/delete/update
+    // hashes equal to the full recompute the oracle derives from raw
+    // parquet (MaterializedViewSpec pins zero-group deletion and the
+    // two-phase torn-refresh recovery).
+    "q_incremental_mv" -> ((s, dir) =>
+      graft.operators.Bucketing2.incrementalMvCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvlake")),
     // Widening ALTER COLUMN TYPE end-to-end (r13): INT files + BIGINT
     // files under one widened schema, zero data rewritten (Spark 4
     // parquet up-conversion; CatalogSpec pins the evolution gating).
@@ -5484,6 +5493,27 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_delete_files
         |FROM p LEFT JOIN c ON p.o_orderpriority = c.o_orderpriority
         |ORDER BY 1""".stripMargin,
+
+    // Incremental MV: the refreshed aggregate equals the full
+    // recompute over the source's final state — (base ∪ key-shifted
+    // append) minus status F, cents+5 where the LIVE row's key is
+    // divisible by 7.
+    "q_incremental_mv" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority FROM orders),
+        |app AS (SELECT k + 100000000 AS k, st, cents, o_orderpriority
+        |  FROM base WHERE k % 17 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live AS (SELECT k, st,
+        |    CASE WHEN k % 7 = 0 THEN cents + 5 ELSE cents END AS cents,
+        |    o_orderpriority FROM u WHERE st <> 'F')
+        |SELECT o_orderpriority,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS count_cents,
+        |  CAST(count(*) AS BIGINT) AS mv_rows
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Retention: the pinned snapshot is EVERYTHING, current is
     // everything minus status F plus the re-appended F subset —

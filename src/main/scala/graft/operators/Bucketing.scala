@@ -845,6 +845,56 @@ object Bucketing2 {
       .orderBy("o_orderpriority")
   }
 
+  /** Incremental materialized-view refresh end-to-end (r14,
+    * [[graft.catalog.MaterializedView]] — change feed → signed delta
+    * fold → MERGE, Delta/Snowflake's incremental refresh over this
+    * engine's versioned lake): create the MV at v1, run source DML
+    * (append with fresh keys, MoR DELETE, UPDATE), refresh
+    * INCREMENTALLY — O(changes) read, O(changed groups) write — and
+    * census the MV. The oracle re-derives the expected aggregate from
+    * raw parquet, so the hash proves refresh(v1→v4) ≡ full recompute
+    * (MaterializedViewSpec pins zero-group deletion and the
+    * torn-refresh two-phase recovery). */
+  def incrementalMvCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakemv"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_mvsrc (
+         |  k BIGINT, st STRING, cents BIGINT, o_orderpriority STRING)
+         |PARTITIONED BY (bucket(8, k))
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    val base = orders.select(col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").as("st"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_mvsrc")  // v1
+    graft.catalog.MaterializedView.create(spark,
+      s"$cat.m.orders_mvagg", s"$cat.m.orders_mvsrc",
+      keys = Seq("k"), groupBy = Seq("o_orderpriority"),
+      aggs = Seq("cents" -> "sum", "cents" -> "count"))
+    // source DML after the MV materialized
+    base.filter(pmod(col("k"), lit(17)) === 0)
+      .withColumn("k", col("k") + lit(100000000L))
+      .write.mode("append").insertInto(s"$cat.m.orders_mvsrc")    // v2
+    spark.conf.set("graft.write.mode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.m.orders_mvsrc WHERE st = 'F'") // v3
+      spark.sql(                                                   // v4
+        s"UPDATE $cat.m.orders_mvsrc SET cents = cents + 5 WHERE k % 7 = 0")
+    } finally spark.conf.unset("graft.write.mode")
+    graft.catalog.MaterializedView.refresh(spark, s"$cat.m.orders_mvagg")
+    spark.table(s"$cat.m.orders_mvagg")
+      .select(col("o_orderpriority"),
+        col("sum_cents").cast("bigint").as("sum_cents"),
+        col("count_cents").cast("bigint").as("count_cents"),
+        col(graft.catalog.MaterializedView.RowsCol).cast("bigint")
+          .as("mv_rows"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Retention policy end-to-end (r13): a TAG pins its snapshot
     * through an aggressive AGE-based expire (`CALL expire_age` with a
     * future cutoff — everything is "old", `keep_last=1` floors the

@@ -1,0 +1,169 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+
+/** Incremental materialized-view maintenance
+  * ([[MaterializedView]] — change feed → signed delta fold → MERGE).
+  * The laws:
+  *
+  *  - refresh(v₁→v₂) equals the full recompute at v₂, across appends,
+  *    MoR deletes, and updates — including groups whose row count
+  *    reaches zero (their MV rows DELETE);
+  *  - a fresh MV refreshes to a no-op (no MV commit);
+  *  - the MERGE writes only CHANGED groups;
+  *  - two-phase torn-refresh recovery: merge-landed → finalize
+  *    without re-applying (no double counting); merge-lost → redo. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withLake(tag: String)(body: (String, Path) => Unit): Unit = {
+    val lake = Files.createTempDirectory(s"graft-mv-$tag")
+    Files.createDirectories(lake.resolve("m"))
+    val cat = s"mvc$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake.toString)
+    try body(cat, lake)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.path")
+      spark.conf.unset(MorDeletes.ModeConf)
+    }
+  }
+
+  private def mkSource(cat: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $cat.m.src (k BIGINT, grp STRING, x BIGINT)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "c", 7L))
+      .toDF("k", "grp", "x").write.mode("append")
+      .insertInto(s"$cat.m.src") // v1
+  }
+
+  private def mv(cat: String): Seq[(String, Long, Long, Long)] =
+    spark.table(s"$cat.m.agg")
+      .select("grp", "sum_x", "count_x", "mv_rows")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+  private def recompute(cat: String): Seq[(String, Long, Long, Long)] =
+    spark.sql(s"SELECT grp, sum(x), count(x), count(*) FROM $cat.m.src GROUP BY grp")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("refresh equals full recompute across append / MoR delete / update; zero-groups drop") {
+    withLake("a") { (cat, lake) =>
+      mkSource(cat)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        keys = Seq("k"), groupBy = Seq("grp"),
+        aggs = Seq("x" -> "sum", "x" -> "count"))
+      assert(mv(cat) == Seq(("a", 30L, 2L, 2L), ("b", 5L, 1L, 1L),
+        ("c", 7L, 1L, 1L)))
+
+      // source DML: append a new group + grow a, MoR-delete group c
+      // entirely, update one a row
+      Seq((5L, "d", 100L), (6L, "a", 1L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v2
+      spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+      try {
+        spark.sql(s"DELETE FROM $cat.m.src WHERE grp = 'c'") // v3
+        spark.sql(s"UPDATE $cat.m.src SET x = x + 9 WHERE k = 1") // v4
+      } finally spark.conf.unset(MorDeletes.ModeConf)
+
+      val (from, to) = MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(from == 1L && to == 4L)
+      assert(mv(cat) == recompute(cat))
+      assert(mv(cat) == Seq(("a", 40L, 3L, 3L), ("b", 5L, 1L, 1L),
+        ("d", 100L, 1L, 1L)), "group c (zero rows) deleted")
+
+      // fresh MV: no-op, no MV commit
+      val mvDir = lake.resolve("m/agg.parquet")
+      val vBefore = Snapshots.latest(mvDir).get.version
+      assert(MaterializedView.refresh(spark, s"$cat.m.agg") == ((4L, 4L)))
+      assert(Snapshots.latest(mvDir).get.version == vBefore)
+    }
+  }
+
+  test("the refresh MERGE touches only changed groups") {
+    withLake("b") { (cat, lake) =>
+      mkSource(cat)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        Seq("k"), Seq("grp"), Seq("x" -> "sum"))
+      // change ONLY group b
+      Seq((9L, "b", 50L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src")
+      // merge-on-read on the MV: the refresh commit is a position
+      // delta, and its delete coordinates address only group b's row
+      spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+      try MaterializedView.refresh(spark, s"$cat.m.agg")
+      finally spark.conf.unset(MorDeletes.ModeConf)
+      assert(spark.table(s"$cat.m.agg").select("grp", "sum_x")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq(("a", 30L), ("b", 55L), ("c", 7L)))
+      val mvDir = lake.resolve("m/agg.parquet")
+      val dels = Snapshots.deleteFiles(Snapshots.latest(mvDir).get.files)
+      assert(dels.nonEmpty)
+      val coords = spark.read.schema(MorDeletes.DeleteSchema)
+        .parquet(dels.map(f => mvDir.resolve(f).toString): _*)
+      assert(coords.count() == 1L, "exactly the one changed group rewrote")
+    }
+  }
+
+  test("torn refresh recovers: merge-landed finalizes without double counting; merge-lost redoes") {
+    withLake("c") { (cat, lake) =>
+      mkSource(cat)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        Seq("k"), Seq("grp"), Seq("x" -> "sum"))
+      Seq((7L, "a", 100L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v2
+      val mvDir = lake.resolve("m/agg.parquet")
+
+      // normal refresh, then REWIND the sidecar to the pre-merge
+      // intent state — exactly what a crash after the MERGE leaves
+      val preMergeMv = Snapshots.latest(mvDir).get.version
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      val good = spark.table(s"$cat.m.agg").select("grp", "sum_x")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      def mvNow() = spark.table(s"$cat.m.agg").select("grp", "sum_x")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      val d = MaterializedView.readDef(mvDir)
+      val torn = d.copy(version = 1L, mvVersion = preMergeMv,
+        pendingTo = Some(2L))
+      // (writeDef is private; reproduce the torn file directly)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.createObjectNode()
+      root.put("source", torn.source)
+      val ks = root.putArray("keys"); torn.keys.foreach(ks.add)
+      val gs = root.putArray("group_by"); torn.groupBy.foreach(gs.add)
+      val as = root.putArray("aggs")
+      torn.aggs.foreach { case (c, fn) =>
+        val o = as.addObject(); o.put("col", c); o.put("fn", fn); ()
+      }
+      root.put("version", torn.version)
+      root.put("mv_version", torn.mvVersion)
+      root.put("pending_to", 2L)
+      Files.writeString(mvDir.resolve(MaterializedView.Sidecar),
+        om.writeValueAsString(root))
+
+      // recovery: the MV advanced past mvVersion → finalize, never
+      // re-apply (a redo would double the +100 delta)
+      assert(MaterializedView.refresh(spark, s"$cat.m.agg") == ((2L, 2L)))
+      assert(mvNow() == good)
+      assert(MaterializedView.readDef(mvDir).pendingTo.isEmpty)
+
+      // merge-LOST shape: intent present, MV never advanced → redo
+      Seq((8L, "b", 11L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v3
+      val d2 = MaterializedView.readDef(mvDir)
+      root.put("version", d2.version)
+      root.put("mv_version", d2.mvVersion) // MV has NOT advanced
+      root.put("pending_to", 3L)
+      Files.writeString(mvDir.resolve(MaterializedView.Sidecar),
+        om.writeValueAsString(root))
+      val (f2, t2) = MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(f2 == 2L && t2 == 3L)
+      assert(mvNow() == spark.sql(
+        s"SELECT grp, sum(x) FROM $cat.m.src GROUP BY grp")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq)
+    }
+  }
+}
