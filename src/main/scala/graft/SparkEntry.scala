@@ -1074,6 +1074,14 @@ object SparkEntry {
       graft.operators.Bucketing2.incrementalMvCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_mvlake")),
+    // Selective WAP publish (r14, Iceberg's cherrypick_snapshot):
+    // two staged MoR deletes, ONE published by manifest arithmetic —
+    // main carries exactly the picked predicate, the branch both
+    // (CherryPickSpec pins conflicts and idempotent re-pick).
+    "q_cherry_pick" -> ((s, dir) =>
+      graft.operators.Bucketing2.cherryPickCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_cplake")),
     // Widening ALTER COLUMN TYPE end-to-end (r13): INT files + BIGINT
     // files under one widened schema, zero data rewritten (Spark 4
     // parquet up-conversion; CatalogSpec pins the evolution gating).
@@ -5492,6 +5500,25 @@ object SparkEntry {
         |  CAST(COALESCE(c.cc, 0) AS BIGINT) AS cents_cur,
         |  CAST(1 AS BIGINT) AS n_delete_files
         |FROM p LEFT JOIN c ON p.o_orderpriority = c.o_orderpriority
+        |ORDER BY 1""".stripMargin,
+
+    // Cherry-pick: main = base minus the PICKED predicate only;
+    // the branch head = base minus both staged predicates.
+    "q_cherry_pick" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority FROM orders),
+        |m AS (SELECT o_orderpriority, count(*) AS n_main,
+        |  sum(cents) AS cents_main FROM base WHERE st <> 'F'
+        |  GROUP BY 1),
+        |b AS (SELECT o_orderpriority, count(*) AS n_branch FROM base
+        |  WHERE st <> 'F' AND cents >= 5000000 GROUP BY 1)
+        |SELECT m.o_orderpriority,
+        |  CAST(m.n_main AS BIGINT) AS n_main,
+        |  CAST(m.cents_main AS BIGINT) AS cents_main,
+        |  CAST(COALESCE(b.n_branch, 0) AS BIGINT) AS n_branch
+        |FROM m LEFT JOIN b ON m.o_orderpriority = b.o_orderpriority
         |ORDER BY 1""".stripMargin,
 
     // Incremental MV: the refreshed aggregate equals the full

@@ -51,7 +51,7 @@ private[catalog] object LakeProcedures {
       "tag", "drop_tag", "tags", "add_partition_field",
       "drop_partition_field", "replace_partition_field", "migrate",
       "branch", "fast_forward", "drop_branch", "branches", "expire_age",
-      "rewrite_position_delete_files")
+      "rewrite_position_delete_files", "cherry_pick")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -314,6 +314,18 @@ private[catalog] object LakeProcedures {
           requireManifest("fast_forward", dir)
           Seq(InternalRow(
             Snapshots.fastForward(dir, args.getUTF8String(1).toString)))
+        })
+      case "cherry_pick" =>
+        // publish ONE staged branch commit onto main (Iceberg's
+        // cherrypick_snapshot) — the selective WAP publish next to
+        // fast_forward's all-or-nothing ([[Snapshots.cherryPick]])
+        Some(proc(root, "cherry_pick",
+          Seq("tbl" -> StringType, "name" -> StringType,
+            "version" -> LongType),
+          new StructType().add("new_version", LongType)) { (dir, _, args) =>
+          requireManifest("cherry_pick", dir)
+          Seq(InternalRow(Snapshots.cherryPick(dir,
+            args.getUTF8String(1).toString, args.getLong(2))))
         })
       case "drop_branch" =>
         Some(proc(root, "drop_branch",

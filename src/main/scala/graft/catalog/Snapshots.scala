@@ -275,6 +275,59 @@ private[catalog] object Snapshots {
     * staged audit no longer describes a child of main's head) or when
     * the branch's files died (expire GC). Returns the new main
     * version. */
+  /** Publish ONE branch commit onto MAIN (Iceberg's
+    * `cherrypick_snapshot`) — the selective half of write-audit-
+    * publish next to [[fastForward]]'s all-or-nothing: re-apply
+    * branch commit `v`'s file DELTA (vs its branch parent) as a new
+    * main commit, REUSING the already-written files (zero data bytes
+    * moved — cherry-picking is manifest arithmetic). Works when main
+    * advanced past the fork, as long as the delta still applies:
+    *
+    *  - every file the picked commit REMOVED must still be live on
+    *    main (else the pick would resurrect a replacement's rows);
+    *  - a commit ADDING position-delete files requires the data files
+    *    its coordinates can address (the branch parent's data files
+    *    under the delete targets' partitions) still live on main —
+    *    else the delete would silently miss;
+    *  - pure appends always apply.
+    *
+    * Picked stats ride along (file skipping on main keeps working);
+    * re-picking is idempotent on the file list (no duplicates). */
+  def cherryPick(tableDir: Path, name: String, v: Long): Long = {
+    require(v > 0L,
+      s"cherry_pick: b-0 is the fork marker, not a commit to pick")
+    val snap = readBranch(tableDir, name, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"cherry_pick: no commit b-$v on branch '$name' " +
+          s"(branches: ${branches(tableDir).mkString(",")})"))
+    val parentV = branchVersions(tableDir, name).filter(_ < v).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"cherry_pick: b-$v has no parent on branch '$name'"))
+    val parent = readBranch(tableDir, name, parentV).get
+    val added = snap.files.diff(parent.files)
+    val removed = parent.files.diff(snap.files)
+    val addedDeletes = deleteFiles(added)
+    val guarded: Seq[String] = removed ++ {
+      if (addedDeletes.isEmpty) Seq.empty
+      else {
+        val targets = addedDeletes.flatMap(MorDeletes.targetDirOf).distinct
+        if (addedDeletes.exists(f => MorDeletes.targetDirOf(f).isEmpty))
+          dataFiles(parent.files) // unscoped coordinates: guard it all
+        else filesUnder(dataFiles(parent.files), targets)
+      }
+    }
+    val pickedStats = {
+      val st = statsOf(tableDir, snap)
+      added.flatMap { f =>
+        val b = basename(f); st.get(b).map(b -> _)
+      }.toMap
+    }
+    commit(tableDir, "cherry_pick",
+      cur => cur.diff(removed) ++ added.filterNot(cur.toSet),
+      validateFilesLive("cherry_pick", guarded.distinct),
+      freshStats = pickedStats)
+  }
+
   def fastForward(tableDir: Path, name: String): Long = {
     val fork = branchFork(tableDir, name).getOrElse(
       throw new IllegalArgumentException(

@@ -895,6 +895,58 @@ object Bucketing2 {
       .orderBy("o_orderpriority")
   }
 
+  /** Selective WAP publish end-to-end (r14, `CALL cherry_pick` —
+    * Iceberg's `cherrypick_snapshot`): stage TWO MoR curation deletes
+    * on a branch as separate commits, publish ONLY the first onto
+    * main as one manifest-arithmetic commit (the staged files are
+    * reused, zero data bytes move). Main then carries exactly the
+    * picked predicate's deletions; the branch keeps both. Both reads
+    * re-derive from raw parquet (CherryPickSpec pins conflicts,
+    * idempotent re-pick, and the post-advance append pick). */
+  def cherryPickCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakecp"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_cp (
+         |  k BIGINT, st STRING, cents BIGINT, o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    orders.select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderpriority"))
+      .write.mode("append").insertInto(s"$cat.m.orders_cp")   // s-1
+    spark.sql(s"CALL $cat.system.branch('m.orders_cp', 'curation')")
+    spark.conf.set("graft.write.branch", "curation")
+    spark.conf.set("graft.write.mode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.m.orders_cp WHERE st = 'F'")        // b-1
+      spark.sql(s"DELETE FROM $cat.m.orders_cp WHERE cents < 5000000") // b-2
+    } finally {
+      spark.conf.unset("graft.write.mode")
+      spark.conf.unset("graft.write.branch")
+    }
+    spark.sql(s"CALL $cat.system.cherry_pick('m.orders_cp', 'curation', 1)")
+    spark.catalog.clearCache()
+    val main = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_main,
+         |  sum(cents) AS cents_main
+         |FROM $cat.m.orders_cp GROUP BY 1""".stripMargin)
+    val branch = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_branch
+         |FROM $cat.m.orders_cp VERSION AS OF 'curation'
+         |GROUP BY 1""".stripMargin)
+    main.join(branch, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_main").cast("bigint").as("n_main"),
+        col("cents_main").cast("bigint").as("cents_main"),
+        coalesce(col("n_branch"), lit(0L)).cast("bigint").as("n_branch"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Retention policy end-to-end (r13): a TAG pins its snapshot
     * through an aggressive AGE-based expire (`CALL expire_age` with a
     * future cutoff — everything is "old", `keep_last=1` floors the
