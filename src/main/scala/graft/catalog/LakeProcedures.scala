@@ -432,7 +432,8 @@ private[catalog] object LakeProcedures {
             val v = Snapshots.commit(dir, "rewrite-deletes",
               cur => cur.diff(rewrite) ++ fresh,
               Snapshots.validateFilesLive(
-                "rewrite_position_delete_files", rewrite))
+                "rewrite_position_delete_files", rewrite),
+              freshStats = MorDeletes.deleteFileRowStats(dir, fresh))
             Seq(InternalRow(rewrite.size.toLong, fresh.size.toLong, v))
           }
         })

@@ -167,7 +167,12 @@ private[catalog] object MetadataTables {
     local(s"$cat.${tableDir.getFileName}.files", schema, { () =>
       val dataDir = DeletableTable.versionsOf(tableDir).lastOption
         .fold(tableDir)(v => tableDir.resolve(s"v=$v"))
-      val stats = FileStats.readFull(tableDir)
+      // manifest-versioned tables report the SNAPSHOT's commit-atomic
+      // stats (delete-file row counts ride every delete commit there);
+      // statsOf falls back to the sidecar for pre-analyze manifests
+      val stats = Snapshots.latest(tableDir)
+        .map(s => Snapshots.statsOf(tableDir, s))
+        .getOrElse(FileStats.readFull(tableDir))
       currentFiles(tableDir, dataDir).map { case (rel, p) =>
         InternalRow(UTF8String.fromString(rel), Files.size(p),
           stats.get(p.getFileName.toString).flatMap(_.rows)

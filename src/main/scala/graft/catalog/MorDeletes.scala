@@ -267,6 +267,29 @@ private[catalog] object MorDeletes {
     }
   }
 
+  /** Per-file ROW COUNTS for freshly committed delete files, read
+    * from their parquet FOOTERS driver-side (K footer opens per
+    * commit, no data pages) and folded into the commit's stats block
+    * keyed by basename — so the read side can size its deletion
+    * vector from MANIFEST METADATA alone (and `.files` reports rows
+    * for delete entries too). Failure degrades to a missing entry
+    * (the vector path falls back to its bounded probe), never to a
+    * wrong count. */
+  def deleteFileRowStats(tableDir: Path,
+                         moved: Seq[String]): Map[String, FileStats.FileStat] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    moved.flatMap { rel =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(tableDir.resolve(rel).toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Some(Snapshots.basename(rel) ->
+          FileStats.FileStat(Some(r.getRecordCount), Map.empty))
+        finally r.close()
+      } catch { case _: Exception => None }
+    }.toMap
+  }
+
   /** Ceiling on the total pending coordinates the read side will
     * apply as a BROADCAST DELETION VECTOR (a scan-local positional
     * filter — zero join in the plan) before degrading to the
@@ -294,17 +317,30 @@ private[catalog] object MorDeletes {
   /** The pending deletes of `dels` as a broadcast per-file
     * sorted-positions vector, when their total coordinate count fits
     * the [[VectorMaxConf]] ceiling — None above it (the caller falls
-    * back to the anti-join). The sizing probe and the build are ONE
-    * bounded job over the (small) delete parquet, cached per
-    * delete-file set. */
-  def vectorFor(spark: SparkSession, tableDir: Path, dels: Seq[String])
+    * back to the anti-join). The sizing decision is METADATA-ONLY when
+    * the manifest carries the delete files' row counts (`knownRows`);
+    * otherwise the probe and the build are ONE bounded job over the
+    * (small) delete parquet. Cached per immutable delete-file set. */
+  def vectorFor(spark: SparkSession, tableDir: Path, dels: Seq[String],
+                knownRows: String => Option[Long] = _ => None)
       : Option[org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]]] = {
     val max = spark.conf.get(VectorMaxConf, VectorMaxDefault.toString).toLong
     if (max <= 0L || dels.isEmpty) return None
-    val key = tableDir.toString + " " + dels.sorted.mkString(" ")
+    val key = tableDir.toString + "\u0000" + dels.sorted.mkString("\u0000")
     val cached = vectorCache.get(key)
     if (cached != null) return cached
+    // METADATA-ONLY over-ceiling detection: every delete commit since
+    // r14 records its files' row counts in the manifest stats block,
+    // so a churn-heavy table degrades to the anti-join without
+    // touching a byte (per-file counts are upper bounds for the
+    // deduped vector, so this can only route to the join early,
+    // never under-build the vector)
+    val metaCounts = dels.map(f => knownRows(Snapshots.basename(f)))
+    if (metaCounts.forall(_.isDefined) && metaCounts.flatten.sum > max) {
+      vectorCache.put(key, None)
+      return None
+    }
     // limit(max+1): the probe IS the build — one small job; an
     // over-the-ceiling set is detected without reading it fully
     val rows = readDeletes(spark, tableDir, dels)
@@ -492,7 +528,8 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
     // LeftAnti join.
     val joined =
       if (dels.isEmpty) filtered
-      else vectorFor(spark, tableDir, dels) match {
+      else vectorFor(spark, tableDir, dels,
+        b => table.morStats.get(b).flatMap(_.rows)) match {
         case Some(bc) =>
           Filter(org.apache.spark.sql.catalyst.expressions.Not(
             DeleteVectorContains(bc,

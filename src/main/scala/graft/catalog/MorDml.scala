@@ -283,7 +283,8 @@ private[catalog] final class MorDeltaWrite(
       Snapshots.commitRouted(tableDir, opName,
         cur => cur ++ movedDels ++ dataRels,
         Snapshots.validateRewrite(opName.toUpperCase, referenced, baseFiles),
-        freshStats = Snapshots.freshStatsFor(spark, tableDir, dataRels))
+        freshStats = Snapshots.freshStatsFor(spark, tableDir, dataRels) ++
+          MorDeletes.deleteFileRowStats(tableDir, movedDels))
       spark.catalog.clearCache()
     }
 

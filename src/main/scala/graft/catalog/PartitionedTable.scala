@@ -297,6 +297,12 @@ private[catalog] final class PartitionedLakeTable(
   private lazy val manifestStats: Option[Map[String, FileStats.FileStat]] =
     snapshot.map(s => Snapshots.statsOf(tableDir, s))
 
+  /** This view's per-file stats for [[MorScanRewrite]] — the deletion
+    * vector's metadata-only sizing source (delete-file row counts ride
+    * every delete commit's stats block). */
+  private[catalog] def morStats: Map[String, FileStats.FileStat] =
+    manifestStats.getOrElse(Map.empty)
+
   override def name(): String = tableName
   override def schema(): StructType = logicalSchema
   override def partitioning(): Array[Transform] = spec.map {
@@ -713,7 +719,11 @@ private[catalog] final class PartitionedLakeTable(
         // appends merge (new files, new names, never addressed here).
         Snapshots.commitRouted(tableDir, "delete",
           cur => cur ++ moved,
-          Snapshots.validateFilesLive("DELETE", candFiles))
+          Snapshots.validateFilesLive("DELETE", candFiles),
+          // delete-file row counts (footer reads, no data pages) ride
+          // the stats block: the read side sizes its deletion vector
+          // from manifest metadata alone
+          freshStats = MorDeletes.deleteFileRowStats(tableDir, moved))
         spark.catalog.clearCache()
         return
       }

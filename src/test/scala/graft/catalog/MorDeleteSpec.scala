@@ -454,6 +454,36 @@ class MorDeleteSpec extends SparkSpec {
     }
   }
 
+  test("delete commits record their files' row counts; vector sizing is metadata-only") {
+    withLake("r") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n IN (2, 4)")
+      morOff()
+      val s = Snapshots.latest(dir).get
+      val dels = Snapshots.deleteFiles(s.files)
+      val st = Snapshots.statsOf(dir, s)
+      val counted = dels.map(f => st.get(Snapshots.basename(f)).flatMap(_.rows))
+      assert(counted.forall(_.isDefined), counted)
+      assert(counted.flatten.sum == 2L)
+      // the .files audit surface reports delete-file rows too
+      assert(spark.sql(
+        s"SELECT sum(rows) FROM $cat.m.t.files WHERE kind = 'delete'")
+        .as[Long].head() == 2L)
+      // a 1-coordinate ceiling: manifest metadata alone routes the
+      // read to the anti-join fallback (no vector probe job needed)
+      spark.conf.set(MorDeletes.VectorMaxConf, "1")
+      try {
+        val q = spark.sql(s"SELECT n FROM $cat.m.t")
+        val plan = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(plan.contains("LeftAnti"), plan)
+        assert(q.as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+      } finally spark.conf.unset(MorDeletes.VectorMaxConf)
+    }
+  }
+
   test("dirty scans inside SUBQUERY expressions rewrite too (guard traverses subquery plans)") {
     withLake("q") { (cat, _) =>
       mkTable(cat)
