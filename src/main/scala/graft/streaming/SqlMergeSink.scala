@@ -32,10 +32,14 @@ import org.apache.spark.sql.types.StructType
   * tickets-cdc.sql:3) with no extra state.
   *
   * Scale shape: the per-batch reduction is one hash aggregate over
-  * the micro-batch (O(batch)); the MERGE rewrite cost is the
-  * catalog's group-based copy-on-write (whole table at this layout's
-  * granularity) — the right trade for dimension-sized PK tables, with
-  * [[BucketedStateStore]] the engine's path for fact-sized state. */
+  * the micro-batch (O(batch)); the MERGE write cost is the catalog's
+  * group-based copy-on-write by default — the right trade for
+  * dimension-sized PK tables — or, with `graft.write.mode =
+  * 'merge-on-read'` set when the stream starts, a POSITION-DELTA
+  * commit per batch (delete coordinates + appended rows, no data file
+  * rewritten — the fact-sized-target shape, r14); either way
+  * [[BucketedStateStore]] remains the engine's path for keyed state
+  * itself. */
 object SqlMergeSink {
 
   /** Start the stream: `changelog` rows are [[CdcPipeline.CdcRecord]]

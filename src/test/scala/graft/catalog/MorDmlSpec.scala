@@ -298,6 +298,85 @@ class MorDmlSpec extends SparkSpec {
     }
   }
 
+  test("racing MoR UPDATEs: both land, or the loser conflicts LOUDLY and a retry lands — never silent loss") {
+    withLake("m") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def upd(r: String, mark: String): Thread = new Thread(() => {
+        gate.await()
+        try spark.sql(
+          s"UPDATE $cat.m.t SET v = '$mark' WHERE region = '$r'")
+        catch { case t: Throwable => errs.add(t); () }
+      })
+      val ts = Seq(upd("EU", "eu!"), upd("US", "us!"))
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      // snapshot isolation: a concurrent delete-file commit conflicts
+      // the later writer — allowed outcomes are BOTH landed (the race
+      // never materialized) or exactly one loud conflict; a retry of
+      // the failed side must land. What is NEVER allowed: silent loss.
+      assert(errs.size() <= 1, errs)
+      if (!errs.isEmpty) {
+        val msg = errs.peek().getMessage
+        assert(msg != null && (msg.contains("concurrent") ||
+          msg.contains("conflict") || msg.contains("delete file")), msg)
+        // retry whichever predicate did not stick
+        val cur = rows(cat).map(t => t._1 -> t._2).toMap
+        if (cur(1L) != "eu!")
+          spark.sql(s"UPDATE $cat.m.t SET v = 'eu!' WHERE region = 'EU'")
+        if (cur(3L) != "us!")
+          spark.sql(s"UPDATE $cat.m.t SET v = 'us!' WHERE region = 'US'")
+      }
+      assert(rows(cat) == Seq((1L, "eu!", "EU"), (2L, "eu!", "EU"),
+        (3L, "us!", "US"), (4L, "us!", "US"), (5L, "us!", "US")))
+      // no duplicate manifest entries / no row loss across the race
+      val files = Snapshots.latest(dir).get.files
+      assert(files.distinct.size == files.size)
+    }
+  }
+
+  test("streaming MERGE sink under merge-on-read: position-delta commits per batch, content identical") {
+    withLake("n") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.pk (id BIGINT, v STRING, grp STRING)
+           |PARTITIONED BY (grp)
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2"))
+        .toDF("id", "v", "grp").write.mode("append")
+        .insertInto(s"$cat.m.pk")
+      val dir = lake.resolve("m/pk.parquet")
+      val dataBefore = Snapshots.dataFiles(Snapshots.latest(dir).get.files)
+      // one changelog micro-batch: update id=2, delete id=3, insert 4
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String)]
+      val changelog = mem.toDF().toDF("op", "ts_ms", "before", "after")
+        .selectExpr("op", "ts_ms", "before", "after")
+      val schema = spark.table(s"$cat.m.pk").schema
+      val ckpt = Files.createTempDirectory("graft-mor-sink").toString
+      mem.addData(
+        ("u", 10L, """{"id":2}""", """{"id":2,"v":"B","grp":"g1"}"""),
+        ("d", 11L, """{"id":3,"v":"c","grp":"g2"}""", null),
+        ("c", 12L, null, """{"id":4,"v":"d","grp":"g2"}"""))
+      val q = graft.streaming.SqlMergeSink.start(spark, changelog, schema,
+        Seq("id"), s"$cat.m.pk", ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      spark.catalog.clearCache()
+      assert(spark.table(s"$cat.m.pk").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a", "g1"), (2L, "B", "g1"), (4L, "d", "g2")))
+      // the batch's MERGE landed as a position delta: the original
+      // data files are all still manifest members, deletes ride
+      // coordinate files
+      val s2 = Snapshots.latest(dir).get
+      assert(dataBefore.toSet.subsetOf(
+        Snapshots.dataFiles(s2.files).toSet), s2.files)
+      assert(Snapshots.deleteFiles(s2.files).nonEmpty, s2.files)
+    }
+  }
+
   test("MERGE cardinality violation (one target row, two source matches) fails loudly") {
     withLake("g") { (cat, _) =>
       mkTable(cat)
