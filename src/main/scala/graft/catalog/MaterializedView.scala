@@ -158,6 +158,14 @@ object MaterializedView {
     * (fromVersion, toVersion) — equal means already fresh. */
   def refresh(spark: SparkSession, mvRef: String): (Long, Long) = {
     val mvDir = resolveDir(spark, mvRef)
+    // WAP conf guard: the refresh MERGE would stage on the branch
+    // while the watermark sidecar advances GLOBALLY — main would then
+    // silently skip those changes forever. Loud, never silent.
+    require(Snapshots.activeWriteBranch(mvDir).isEmpty,
+      s"$mvRef: refresh with an active write branch " +
+        "('graft.write.branch') would stage the MV merge on the " +
+        "branch while the refresh watermark advances globally — " +
+        "unset the conf first")
     var d = readDef(mvDir)
     // two-phase recovery: a torn previous refresh either landed its
     // merge (MV advanced past the recorded version → finalize the

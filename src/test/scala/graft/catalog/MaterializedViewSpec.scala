@@ -83,6 +83,30 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("refresh under an active write-branch conf fails loudly (watermark/branch divergence)") {
+    withLake("d") { (cat, _) =>
+      mkSource(cat)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        Seq("k"), Seq("grp"), Seq("x" -> "sum"))
+      Seq((9L, "b", 1L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src")
+      // an EXISTING branch on the MV: without the guard the merge
+      // would stage there while the watermark advanced globally
+      spark.sql(s"CALL $cat.system.branch('m.agg', 'staging')")
+      spark.conf.set("graft.write.branch", "staging")
+      try {
+        val e = intercept[IllegalArgumentException](
+          MaterializedView.refresh(spark, s"$cat.m.agg"))
+        assert(e.getMessage.contains("write branch"), e.getMessage)
+      } finally spark.conf.unset("graft.write.branch")
+      // and the watermark never moved: a clean refresh still applies
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(spark.table(s"$cat.m.agg").select("grp", "sum_x")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq(("a", 30L), ("b", 6L), ("c", 7L)))
+    }
+  }
+
   test("the refresh MERGE touches only changed groups") {
     withLake("b") { (cat, lake) =>
       mkSource(cat)
