@@ -164,21 +164,27 @@ private[catalog] object MetadataTables {
       // 'data' | 'delete' — merge-on-read delete files are snapshot
       // members too (the Iceberg `db.t.files` content column)
       .add("kind", StringType, nullable = false)
+      // the file's BIRTH position in the table's monotonic commit
+      // sequence (r14, Iceberg's data-sequence-number) — NULL for
+      // files of legacy (pre-seq) segments and non-manifest layouts
+      .add("committed_seq", LongType, nullable = true)
     local(s"$cat.${tableDir.getFileName}.files", schema, { () =>
       val dataDir = DeletableTable.versionsOf(tableDir).lastOption
         .fold(tableDir)(v => tableDir.resolve(s"v=$v"))
       // manifest-versioned tables report the SNAPSHOT's commit-atomic
       // stats (delete-file row counts ride every delete commit there);
       // statsOf falls back to the sidecar for pre-analyze manifests
-      val stats = Snapshots.latest(tableDir)
-        .map(s => Snapshots.statsOf(tableDir, s))
+      val snap = Snapshots.latest(tableDir)
+      val stats = snap.map(s => Snapshots.statsOf(tableDir, s))
         .getOrElse(FileStats.readFull(tableDir))
+      val seqs = snap.fold(Map.empty[String, Long])(_.seqs)
       currentFiles(tableDir, dataDir).map { case (rel, p) =>
         InternalRow(UTF8String.fromString(rel), Files.size(p),
           stats.get(p.getFileName.toString).flatMap(_.rows)
             .map(Long.box).orNull,
           UTF8String.fromString(
-            if (Snapshots.isDeleteFile(rel)) "delete" else "data"))
+            if (Snapshots.isDeleteFile(rel)) "delete" else "data"),
+          seqs.get(p.getFileName.toString).map(Long.box).orNull)
       }.toArray
     })
   }

@@ -107,6 +107,18 @@ private[catalog] object Snapshots {
     * the record that lets a racing rollback detect its target dying in
     * the window between the expire's commit and its manifest
     * deletions. */
+  /** `lastSeq`/`seqs` (r14): the per-table MONOTONIC COMMIT SEQUENCE —
+    * Iceberg's data-sequence-number expressed in the segment model.
+    * A commit that ADDS files stamps them `lastSeq+1` (recorded in its
+    * delta segment, keyed by basename; survivors carry their birth
+    * seq by segment reference); ref/audit commits never burn a seq.
+    * Branch chains extend the fork's sequence linearly, and
+    * fast_forward's content check (main unchanged since fork) is
+    * exactly the condition under which adopting the branch's numbers
+    * is collision-free. `seqs` is the RESOLVED view (like files/
+    * stats); legacy files stay unstamped (absent) rather than lying.
+    * This is the ordering primitive equality deletes and PK-table
+    * merge-on-read need: "rows of files with seq < my seq". */
   /** `pins` (r13) is the tag REF STATE carried by every commit — the
     * Iceberg model where refs live in the CURRENT metadata, not in
     * history: `CALL tag`/`drop_tag` on a manifest table are OCC
@@ -121,7 +133,9 @@ private[catalog] object Snapshots {
                             stats: Map[String, FileStats.FileStat] = Map.empty,
                             segments: Seq[String] = Seq.empty,
                             dropped: Seq[Long] = Seq.empty,
-                            pins: Map[String, Long] = Map.empty)
+                            pins: Map[String, Long] = Map.empty,
+                            lastSeq: Long = 0L,
+                            seqs: Map[String, Long] = Map.empty)
 
   private def dir(tableDir: Path): Path = tableDir.resolve(DirName)
 
@@ -212,7 +226,11 @@ private[catalog] object Snapshots {
       Map("fork-main-version" -> head.version,
         "added-data-files" -> 0L, "removed-data-files" -> 0L,
         "total-data-files" -> head.files.size.toLong),
-      head.stats, head.segments, pins = head.pins)
+      head.stats, head.segments, pins = head.pins,
+      // the branch chain EXTENDS the fork's commit sequence — the
+      // numbers stay collision-free exactly because fast_forward only
+      // publishes when main's content never advanced past the fork
+      lastSeq = head.lastSeq, seqs = head.seqs)
     if (!tryPublishIn(tableDir, bd, s))
       throw new CommitConflictException(
         s"branch '$name': concurrent create won — re-run")
@@ -377,7 +395,11 @@ private[catalog] object Snapshots {
           "total-data-files" -> head.files.size.toLong),
         head.stats, head.segments,
         // MAIN's ref state carries — the branch's pin copy is inert
-        pins = main.fold(Map.empty[String, Long])(_.pins))
+        pins = main.fold(Map.empty[String, Long])(_.pins),
+        // the branch extended the fork's sequence linearly; the
+        // content check above proved main assigned no competing
+        // numbers since the fork, so adopting is collision-free
+        lastSeq = head.lastSeq, seqs = head.seqs)
       if (tryPublishIn(tableDir, dir(tableDir), s)) {
         // a branch commit that landed between the head read and the
         // main link is NOT lost (it stays staged on the branch) but it
@@ -407,7 +429,8 @@ private[catalog] object Snapshots {
     * commit race leaves no divergent temp state, and the read cache
     * below can never serve stale bytes. */
   private[catalog] final case class SegmentData(
-      files: Seq[String], stats: Map[String, FileStats.FileStat])
+      files: Seq[String], stats: Map[String, FileStats.FileStat],
+      seqs: Map[String, Long] = Map.empty)
 
   /** How many segments a manifest may reference before a commit folds
     * the smallest ones into its delta segment — bounds the per-read
@@ -431,6 +454,10 @@ private[catalog] object Snapshots {
     val arr = root.putArray("files")
     d.files.sorted.foreach(arr.add)
     if (d.stats.nonEmpty) root.set("stats", FileStats.statsToNode(om, d.stats))
+    if (d.seqs.nonEmpty) {
+      val sq = root.putObject("seqs")
+      d.seqs.toSeq.sortBy(_._1).foreach { case (k, v) => sq.put(k, v) }
+    }
     om.writeValueAsString(root)
   }
 
@@ -452,7 +479,9 @@ private[catalog] object Snapshots {
       Option(node.get("files")).toSeq
         .flatMap(_.elements().asScala.toSeq).map(_.asText()),
       Option(node.get("stats")).fold(Map.empty[String, FileStats.FileStat])(
-        FileStats.statsFromNode))
+        FileStats.statsFromNode),
+      Option(node.get("seqs")).fold(Map.empty[String, Long])(
+        _.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap))
     segCache.put(key, d)
     d
   }
@@ -504,7 +533,8 @@ private[catalog] object Snapshots {
       else {
         val segs = m.segments.map(loadSegment(tableDir, _))
         m.copy(files = segs.flatMap(_.files).sorted,
-          stats = segs.iterator.flatMap(_.stats).toMap)
+          stats = segs.iterator.flatMap(_.stats).toMap,
+          seqs = segs.iterator.flatMap(_.seqs).toMap)
       }
     }
 
@@ -541,6 +571,9 @@ private[catalog] object Snapshots {
         Option(node.get("dropped")).toSeq
           .flatMap(_.elements().asScala.toSeq).map(_.asLong()),
         Option(node.get("pins")).fold(Map.empty[String, Long])(
+          _.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap),
+        Option(node.get("lastSeq")).fold(0L)(_.asLong()),
+        Option(node.get("seqs")).fold(Map.empty[String, Long])(
           _.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)))
     }
   }
@@ -657,14 +690,30 @@ private[catalog] object Snapshots {
     val deltaStats = (touched.iterator.flatMap(_._2.stats) ++ legacyStats ++
       absorbed.iterator.flatMap(_._2.stats) ++ fresh)
       .filter { case (k, _) => keep(k) }.toMap
+    // the monotonic commit sequence: a commit that ADDS files burns
+    // the next number and stamps exactly its new files with it;
+    // survivors keep their birth seq (by reference when their segment
+    // carries, explicitly when it folds into the delta); files of
+    // legacy (pre-seq) segments stay UNSTAMPED — restaging them with
+    // today's number would lie about their age
+    val hasNew = files.exists(f => !prevAll(f))
+    val newSeq = prev.fold(if (hasNew) 1L else 0L)(p =>
+      if (hasNew) p.lastSeq + 1L else p.lastSeq)
+    val prevSeqs = prev.fold(Map.empty[String, Long])(_.seqs)
+    val deltaSeqs = deltaFiles.iterator.map { f =>
+      val b = basename(f)
+      b -> (if (prevAll(f)) prevSeqs.getOrElse(b, 0L) else newSeq)
+    }.filter(_._2 > 0L).toMap
     val newSeg =
       if (deltaFiles.isEmpty) None
       else {
-        val json = segmentJson(SegmentData(deltaFiles.sorted, deltaStats))
+        val json = segmentJson(
+          SegmentData(deltaFiles.sorted, deltaStats, deltaSeqs))
         Some((segmentName(json), json))
       }
     val segRefs = carried.map(_._1) ++ newSeg.map(_._1)
     val allStats = (carried.iterator.flatMap(_._2.stats) ++ deltaStats).toMap
+    val allSeqs = (carried.iterator.flatMap(_._2.seqs) ++ deltaSeqs).toMap
     val added = files.diff(prevFiles)
     val removed = prevFiles.diff(files)
     // data and merge-on-read delete files count separately (the
@@ -691,7 +740,8 @@ private[catalog] object Snapshots {
       // the tag ref state carries forward on EVERY commit (the
       // Iceberg refs-in-current-metadata model); tag/untag commits
       // supply the modified map
-      pinsOverride.getOrElse(prev.fold(Map.empty[String, Long])(_.pins)))
+      pinsOverride.getOrElse(prev.fold(Map.empty[String, Long])(_.pins)),
+      lastSeq = newSeq, seqs = allSeqs)
     (s, newSeg.toSeq)
   }
 
@@ -929,6 +979,7 @@ private[catalog] object Snapshots {
       val pn = root.putObject("pins")
       s.pins.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
+    if (s.lastSeq > 0L) root.put("lastSeq", s.lastSeq)
     if (s.segments.nonEmpty) {
       val sg = root.putArray("segments")
       s.segments.sorted.foreach(sg.add)
@@ -937,6 +988,10 @@ private[catalog] object Snapshots {
       s.files.sorted.foreach(arr.add)
       if (s.stats.nonEmpty)
         root.set("stats", FileStats.statsToNode(om, s.stats))
+      if (s.seqs.nonEmpty) {
+        val sq = root.putObject("seqs")
+        s.seqs.toSeq.sortBy(_._1).foreach { case (k, v) => sq.put(k, v) }
+      }
     }
     om.writeValueAsString(root)
   }
@@ -1251,7 +1306,8 @@ private[catalog] object Snapshots {
       val segs =
         if (files.isEmpty) Seq.empty
         else {
-          val json = segmentJson(SegmentData(files.sorted, Map.empty))
+          val json = segmentJson(SegmentData(files.sorted, Map.empty,
+            files.map(f => basename(f) -> 1L).toMap))
           Seq((segmentName(json), json))
         }
       segs.foreach { case (n, j) => Files.writeString(tmp.resolve(n), j); () }
@@ -1259,7 +1315,8 @@ private[catalog] object Snapshots {
         Map("added-data-files" -> files.size.toLong,
           "removed-data-files" -> 0L,
           "total-data-files" -> files.size.toLong),
-        segments = segs.map(_._1))
+        segments = segs.map(_._1),
+        lastSeq = if (files.isEmpty) 0L else 1L)
       Files.writeString(tmp.resolve("s-0.json"), manifestJson(s))
       try { Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE); 0L }
       catch {

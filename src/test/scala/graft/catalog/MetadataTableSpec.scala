@@ -44,12 +44,16 @@ class MetadataTableSpec extends SparkSpec {
       // files: the CURRENT (latest snapshot) data files, rows NULL
       // before analyze, populated after — still zero data reads
       val files0 = spark.sql("SELECT * FROM lkmt.m.vt.files")
-        .as[(String, Long, Option[Long], String)].collect().toSeq
+        .as[(String, Long, Option[Long], String, Option[Long])]
+        .collect().toSeq
       assert(files0.nonEmpty && files0.forall(_._3.isEmpty))
       assert(files0.forall(_._4 == "data"))
+      // flat (v=<n>) stores have no manifest commit sequence
+      assert(files0.forall(_._5.isEmpty))
       spark.sql("CALL lkmt.system.analyze('m.vt', 'k')")
       val files1 = spark.sql("SELECT * FROM lkmt.m.vt.files")
-        .as[(String, Long, Option[Long], String)].collect().toSeq
+        .as[(String, Long, Option[Long], String, Option[Long])]
+        .collect().toSeq
       assert(files1.map(_._3).flatten.sum == 1L,
         "post-analyze row counts come from the sidecar (v=2 holds 1 row)")
 
