@@ -418,7 +418,9 @@ private[catalog] object LakeProcedures {
             Seq(InternalRow(0L, 0L, s.version))
           else {
             import org.apache.spark.sql.functions.col
-            val coords = MorDeletes.readDeletes(spark, dir, rewrite)
+            val coords = MorDeletes.readDeletes(spark, dir, rewrite,
+                hasRootData = Snapshots.dataFiles(s.files)
+                  .exists(!_.contains('/')))
               .distinct()
             val hits = coords.select(
               col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol),

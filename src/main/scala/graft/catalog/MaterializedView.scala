@@ -182,7 +182,15 @@ object MaterializedView {
     val to = Snapshots.latest(srcDir).map(_.version).getOrElse(d.version)
     if (to <= d.version) return (d.version, d.version)
     // INTENT first: record where this refresh is going and where the
-    // MV stands, so a crash after the merge is detectable
+    // MV stands, so a crash after the merge is detectable. mvVersion
+    // is re-read HERE, never carried from the last finalize: an
+    // engine maintenance commit on the MV table (CALL compact,
+    // rewrite_position_delete_files, analyze) between that finalize
+    // and a crash-before-merge would otherwise read as "the merge
+    // landed" in recovery and the change range would be silently
+    // skipped forever — only commits AFTER this intent count.
+    d = d.copy(mvVersion =
+      Snapshots.latest(mvDir).map(_.version).getOrElse(0L))
     writeDef(mvDir, d.copy(pendingTo = Some(to)))
     val changes = Catalog.readTableChanges(
       spark, d.source, d.keys, d.version, to)

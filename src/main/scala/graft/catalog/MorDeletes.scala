@@ -79,12 +79,55 @@ private[catalog] object MorDeletes {
       .equalsIgnoreCase(MergeOnRead)
 
   /** The delete files of a snapshot as one (FileKeyCol, PosKeyCol)
-    * DataFrame. */
+    * DataFrame — with LEGACY coordinate keys migrated on the way.
+    *
+    * r14 changed the coordinate key from the data file's BASENAME to
+    * its TABLE-RELATIVE path; a delete file persisted by a pre-r14
+    * build still holds basenames, which the rel-path join/vector
+    * would silently never match — deleted rows would RESURRECT, the
+    * one failure a merge-on-read read cannot have. Detection is per
+    * ROW (a basename has no '/'); the fix re-derives the rel path
+    * from the delete FILE's own `_gmor_tdir=` partition-scope segment
+    * (the layout [[writeDeleteFiles]] has always used), which is
+    * exactly the coordinates' parent directory. A scopeless legacy
+    * coordinate in a table whose data files all live under partition
+    * dirs is unmappable — refuse LOUDLY (`hasRootData` = the caller
+    * saw root-level data files, where basename IS the rel path). */
   def readDeletes(spark: SparkSession, tableDir: Path,
-                  deletes: Seq[String]): DataFrame =
-    spark.read.schema(DeleteSchema)
+                  deletes: Seq[String],
+                  hasRootData: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, concat_ws, lit, raise_error, regexp_extract, regexp_replace, url_decode, when}
+    val raw = spark.read.schema(DeleteSchema)
       .parquet(deletes.map(f => tableDir.resolve(f).toString): _*)
-      .toDF(FileKeyCol, PosKeyCol)
+    // the file's own target-partition segment, hive-unescaped (the
+    // escaping is %XX; literal '+' pre-escapes, or url_decode would
+    // turn it into a space — same discipline as the coordinate read)
+    val seg = regexp_extract(col("_metadata.file_path"),
+      java.util.regex.Pattern.quote(TargetDirCol) + "=([^/]+)", 1)
+    // the segment is DOUBLY encoded: hive path-escaping on disk
+    // (%3D for '='), then the URI encoding of `_metadata.file_path`
+    // on top (%253D) — decode twice, pre-escaping literal '+' at each
+    // stage (both encodings leave '+' raw; url_decode would eat it)
+    def dec(c: org.apache.spark.sql.Column) =
+      url_decode(regexp_replace(c, "\\+", "%2B"))
+    val tdir = when(seg === "" ||
+        seg === org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME, lit(""))
+      .otherwise(dec(dec(seg)))
+    val file = col("file")
+    val fixed = when(file.contains("/"), file)
+      .when(tdir =!= lit(""), concat_ws("/", tdir, file))
+      .otherwise(
+        if (hasRootData) file // root-layout data: basename IS the key
+        else raise_error(concat(
+          lit(s"$tableDir: legacy pre-r14 BASENAME delete coordinate '"),
+          file,
+          lit("' carries no partition scope and every data file lives " +
+            "under a partition directory — applying it could silently " +
+            "resurrect deleted rows; CALL system.compact(...) to " +
+            "materialize the pending deletes first"))).cast(StringType))
+    raw.select(fixed.as(FileKeyCol), col("pos").as(PosKeyCol))
+  }
 
   /** Per-shape union read of DATA files in PHYSICAL column names with
     * the row-coordinate columns materialized — `FileKeyCol` is the
@@ -137,10 +180,11 @@ private[catalog] object MorDeletes {
     * on the output (callers drop them when done). */
   def applyDeletes(spark: SparkSession, tableDir: Path,
                    dataWithCoords: DataFrame,
-                   deletes: Seq[String]): DataFrame =
+                   deletes: Seq[String],
+                   hasRootData: Boolean = false): DataFrame =
     if (deletes.isEmpty) dataWithCoords
     else {
-      val del = readDeletes(spark, tableDir, deletes)
+      val del = readDeletes(spark, tableDir, deletes, hasRootData)
       dataWithCoords.join(del,
         dataWithCoords(FileKeyCol) === del(FileKeyCol) &&
           dataWithCoords(PosKeyCol) === del(PosKeyCol),
@@ -159,7 +203,8 @@ private[catalog] object MorDeletes {
       Snapshots.readFiles(spark, tableDir, files).drop(Snapshots.FileCol)
     else
       applyDeletes(spark, tableDir,
-        readDataWithCoords(spark, tableDir, files), dels)
+        readDataWithCoords(spark, tableDir, files), dels,
+        hasRootData = Snapshots.dataFiles(files).exists(!_.contains('/')))
         .drop(FileKeyCol, PosKeyCol)
   }
 
@@ -322,12 +367,23 @@ private[catalog] object MorDeletes {
     * otherwise the probe and the build are ONE bounded job over the
     * (small) delete parquet. Cached per immutable delete-file set. */
   def vectorFor(spark: SparkSession, tableDir: Path, dels: Seq[String],
-                knownRows: String => Option[Long] = _ => None)
+                knownRows: String => Option[Long] = _ => None,
+                hasRootData: Boolean = false)
       : Option[org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]]] = {
     val max = spark.conf.get(VectorMaxConf, VectorMaxDefault.toString).toLong
     if (max <= 0L || dels.isEmpty) return None
-    val key = tableDir.toString + "\u0000" + dels.sorted.mkString("\u0000")
+    // a ceiling at/above Int.MaxValue is uncollectable (the probe's
+    // limit would clamp at Int.MaxValue and the over-ceiling check
+    // below could never trip — a silently TRUNCATED vector resurrects
+    // rows): degrade to the always-correct anti-join instead
+    if (max >= Int.MaxValue.toLong) return None
+    // applicationId in the key: broadcast handles die with their
+    // SparkContext — after a spark.stop()/restart in the same JVM
+    // (test harnesses, long-lived services) a stale hit would return
+    // a broadcast of a dead context and fail at execution
+    val key = spark.sparkContext.applicationId + "\u0000" +
+      tableDir.toString + "\u0000" + dels.sorted.mkString("\u0000")
     val cached = vectorCache.get(key)
     if (cached != null) return cached
     // METADATA-ONLY over-ceiling detection: every delete commit since
@@ -343,8 +399,8 @@ private[catalog] object MorDeletes {
     }
     // limit(max+1): the probe IS the build — one small job; an
     // over-the-ceiling set is detected without reading it fully
-    val rows = readDeletes(spark, tableDir, dels)
-      .limit(math.min(max + 1L, Int.MaxValue.toLong).toInt).collect()
+    val rows = readDeletes(spark, tableDir, dels, hasRootData)
+      .limit((max + 1L).toInt).collect()
     val built =
       if (rows.length > max) None
       else {
@@ -526,18 +582,24 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
     // partition can never make the FACT side shuffle); only a
     // coordinate count past [[VectorMaxConf]] falls back to the
     // LeftAnti join.
+    val hasRootData = Snapshots.dataFiles(files).exists(!_.contains('/'))
     val joined =
       if (dels.isEmpty) filtered
       else vectorFor(spark, tableDir, dels,
-        b => table.morStats.get(b).flatMap(_.rows)) match {
+        b => table.morStats.get(b).flatMap(_.rows), hasRootData) match {
         case Some(bc) =>
           Filter(org.apache.spark.sql.catalyst.expressions.Not(
             DeleteVectorContains(bc,
               byPhys(FileKeyCol.toLowerCase),
               byPhys(PosKeyCol.toLowerCase))), filtered)
         case None =>
-          val delPlan = readDeletes(spark, tableDir, dels)
-            .queryExecution.analyzed
+          // the spliced delete read carries RuntimeReplaceable exprs
+          // (url_decode in the legacy-key migration) — replace here,
+          // past the finish-analysis batch, or codegen fails
+          val delPlan = org.apache.spark.sql.catalyst.optimizer
+            .ReplaceExpressions(
+              readDeletes(spark, tableDir, dels, hasRootData)
+                .queryExecution.analyzed)
           val joinCond = And(
             EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
             EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))

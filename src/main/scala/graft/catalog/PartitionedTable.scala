@@ -697,7 +697,8 @@ private[catalog] final class PartitionedLakeTable(
           MorDeletes.targetDirOf(f).fold(true)(d => candDirSet(d.toString)))
         val rows = MorDeletes.applyDeletes(spark, tableDir,
           MorDeletes.readDataWithCoords(spark, tableDir, candFiles),
-          relevantDels)
+          relevantDels,
+          hasRootData = dataF.exists(!_.contains('/')))
         // the coordinate key IS the table-relative path, so the
         // target partition dir (which scopes the delete files the
         // read side prunes statically) is just its parent — no

@@ -107,6 +107,40 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("the refresh intent stamps the MV's CURRENT version — a maintenance commit between finalize and a torn refresh cannot masquerade as the merge") {
+    withLake("e") { (cat, lake) =>
+      mkSource(cat)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        Seq("k"), Seq("grp"), Seq("x" -> "sum"))
+      val mvDir = lake.resolve("m/agg.parquet")
+      // sanctioned engine maintenance advances the MV with NO refresh
+      // finalize recording it — the sidecar's mvVersion is now stale
+      spark.sql(s"CALL $cat.system.compact('m.agg', 1)")
+      val mvAfterCompact = Snapshots.latest(mvDir).get.version
+      assert(MaterializedView.readDef(mvDir).mvVersion < mvAfterCompact,
+        "precondition: the finalize value is stale after compact")
+      // a refresh that dies BEFORE its merge: force the crash with a
+      // TAG-PINNED retention hole on the source — the change feed then
+      // throws its hole error AFTER the intent is written
+      Seq((7L, "a", 1L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v2
+      Seq((8L, "a", 1L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v3
+      spark.sql(s"CALL $cat.system.tag('m.src', 'pin', 1)")
+      spark.sql(s"CALL $cat.system.expire_snapshots('m.src', 1)")
+      intercept[Exception](MaterializedView.refresh(spark, s"$cat.m.agg"))
+      val d = MaterializedView.readDef(mvDir)
+      assert(d.pendingTo.nonEmpty, "the crash left a torn intent")
+      // the intent re-read the MV's CURRENT version: recovery compares
+      // mvNow against the POST-compact version and correctly REDOES —
+      // the stale finalize value would read compact's commit as "the
+      // merge landed" and silently skip the change range forever
+      assert(d.mvVersion == mvAfterCompact,
+        s"intent must stamp the current MV version ($mvAfterCompact), " +
+          s"got ${d.mvVersion}")
+    }
+  }
+
   test("the refresh MERGE touches only changed groups") {
     withLake("b") { (cat, lake) =>
       mkSource(cat)

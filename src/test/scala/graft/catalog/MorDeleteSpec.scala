@@ -526,4 +526,79 @@ class MorDeleteSpec extends SparkSpec {
       assert(rows(cat).map(_._1) == Seq(1L, 3L, 4L, 5L))
     }
   }
+
+  test("legacy BASENAME coordinates migrate at read time via the delete file's partition scope; scopeless legacy files refuse loudly") {
+    withLake("lg") { (cat, lake) =>
+      import scala.jdk.CollectionConverters._
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      val dataF = Snapshots.dataFiles(Snapshots.latest(dir).get.files)
+      val euRel = dataF.find(_.startsWith("region=EU/")).get
+      val euBase = Snapshots.basename(euRel)
+      // which row is pos 0 of that file? (the legacy coordinate's target)
+      val victim = spark.read
+        .schema(Snapshots.physicalReadSchema(dir))
+        .parquet(dir.resolve(euRel).toString)
+        .select(org.apache.spark.sql.functions.col("n"),
+          org.apache.spark.sql.functions.col("_metadata.row_index").as("p"))
+        .where("p = 0").select("n").as[Long].head()
+      // craft a PRE-r14 delete file: BASENAME-keyed coordinates (the
+      // old key format), under the _gmor_tdir= scope layout the writer
+      // has always used
+      def craft(keyVal: String, sub: Option[String], name: String): String = {
+        val tmp = Files.createTempDirectory("graft-legacy")
+        Seq((keyVal, 0L)).toDF("file", "pos").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val st = Files.list(tmp)
+        val part =
+          try st.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally st.close()
+        val destDir = sub.fold(dir.resolve(Snapshots.DeleteDirName))(d =>
+          dir.resolve(Snapshots.DeleteDirName).resolve(d))
+        Files.createDirectories(destDir)
+        Files.move(part, destDir.resolve(name))
+        sub.fold(s"${Snapshots.DeleteDirName}/$name")(d =>
+          s"${Snapshots.DeleteDirName}/$d/$name")
+      }
+      val scopedSeg = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils
+        .getPartitionPathString(MorDeletes.TargetDirCol, "region=EU")
+      val rel = craft(euBase, Some(scopedSeg), "delete-legacy-0.parquet")
+      Snapshots.commit(dir, "delete", cur => cur :+ rel)
+      spark.catalog.clearCache()
+      // the read re-derives the rel-path key from the file's own scope:
+      // the victim row is deleted, nothing silently resurrects
+      assert(rows(cat).map(_._1) ==
+        Seq(1L, 2L, 3L, 4L, 5L).filterNot(_ == victim))
+      // an UNSCOPED legacy file on a table whose data files all live
+      // under partition dirs is unmappable — loud refusal, never a
+      // silent resurrection
+      val rel2 = craft(euBase, None, "delete-legacy-1.parquet")
+      Snapshots.commit(dir, "delete", cur => cur :+ rel2)
+      spark.catalog.clearCache()
+      val e = intercept[Throwable](rows(cat))
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.toString + " | " + messages(t.getCause)
+      assert(messages(e).contains("legacy"), messages(e))
+    }
+  }
+
+  test("a vector ceiling at/above Int.MaxValue degrades to the anti-join (never a truncated vector)") {
+    withLake("ic") { (cat, _) =>
+      mkTable(cat)
+      morOn()
+      spark.sql(s"DELETE FROM $cat.m.t WHERE n IN (2, 4)")
+      morOff()
+      spark.conf.set(MorDeletes.VectorMaxConf, Int.MaxValue.toString)
+      try {
+        val q = spark.table(s"$cat.m.t")
+        val plan = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(plan.contains("Join"), plan)
+        assert(q.as[(Long, String, String)].collect().map(_._1).sorted
+          .toSeq == Seq(1L, 3L, 5L))
+      } finally spark.conf.unset(MorDeletes.VectorMaxConf)
+    }
+  }
 }
