@@ -1082,6 +1082,42 @@ object SparkEntry {
       graft.operators.Bucketing2.cherryPickCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_cplake")),
+    // PRIMARY-KEY lake table end-to-end (r15, Paimon's
+    // 'merge-engine'='deduplicate' as a TABLE property): blind-append
+    // upserts resolved latest-per-key by the commit sequence, a BLIND
+    // full-key equality delete (zero rows read), a predicate delete
+    // over the RESOLVED rows, a reviving re-insert, and a KEY-AWARE
+    // compact whose census hashes identically pre/post (PkTableSpec
+    // pins the file-level mechanics and the plan shapes).
+    "q_pk_table" -> ((s, dir) =>
+      graft.operators.PkLake.pkTableCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pklake")),
+    // CDC MERGE into a PK table (r15): matched DELETE + matched
+    // UPDATE over resolved values + not-matched INSERT — one commit
+    // of appends + equality deletes, zero data files rewritten.
+    "q_pk_merge" -> ((s, dir) =>
+      graft.operators.PkLake.pkMergeCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pkmlake")),
+    // MERGE WITH SCHEMA EVOLUTION (r15, Spark 4's clause via the
+    // AUTOMATIC_SCHEMA_EVOLUTION capability): the source carries a
+    // NEW column — metadata-only ADD COLUMN composes with the MERGE
+    // in one statement (MergeEvolutionSpec pins the no-clause
+    // rejection and the MoR/PK compositions).
+    "q_merge_evolve" -> ((s, dir) =>
+      graft.operators.PkLake.mergeEvolveCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_mevlake")),
+    // Branch retention (r15): three audits staged on a branch,
+    // expire_branch(keep=1) drops the middle manifests + GCs their
+    // files, the branch stays readable and fast_forward publishes —
+    // raw vs published censuses re-derived from raw parquet
+    // (BranchRetentionSpec pins the GC and fork-marker mechanics).
+    "q_branch_retention" -> ((s, dir) =>
+      graft.operators.LakeBranches.branchRetentionCensus(
+        t(s, dir, "documents"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_brelake")),
     // Widening ALTER COLUMN TYPE end-to-end (r13): INT files + BIGINT
     // files under one widened schema, zero data rewritten (Spark 4
     // parquet up-conversion; CatalogSpec pins the evolution gating).
@@ -5521,6 +5557,102 @@ object SparkEntry {
         |FROM m LEFT JOIN b ON m.o_orderpriority = b.o_orderpriority
         |ORDER BY 1""".stripMargin,
 
+    // PK lake table: latest-per-key resolution re-derived by CASE
+    // algebra over raw orders — %35 keys revived at the final seq,
+    // %5 then %3 shadows, minus the %7 predicate delete and the
+    // blind-deleted min key; pre/post-compact censuses identical.
+    "q_pk_table" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |latest AS (
+        |  SELECT k,
+        |    CASE WHEN k % 35 = 0 THEN 'R4'
+        |         WHEN k % 5 = 0 THEN 'U3'
+        |         WHEN k % 3 = 0 THEN 'U2'
+        |         ELSE st END AS status,
+        |    CASE WHEN k % 35 = 0 THEN c + 3000
+        |         WHEN k % 5 = 0 THEN c + 2000
+        |         WHEN k % 3 = 0 THEN c + 1000
+        |         ELSE c END AS cents
+        |  FROM base
+        |  WHERE k % 35 = 0
+        |     OR (k % 7 <> 0 AND k <> (SELECT min(k) FROM base))),
+        |census AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM latest GROUP BY status)
+        |SELECT 'pre_compact' AS stage, status, n, cents FROM census
+        |UNION ALL
+        |SELECT 'post_compact' AS stage, status, n, cents FROM census
+        |ORDER BY stage, status""".stripMargin,
+
+    // PK MERGE: resolved values (the %4 shadow) + the CDC batch's
+    // delete/update/insert actions, all CASE algebra over raw orders.
+    "q_pk_merge" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |resolved AS (SELECT k, st,
+        |    CASE WHEN k % 4 = 0 THEN c + 10000 ELSE c END AS c
+        |  FROM base),
+        |after_merge AS (
+        |  SELECT k, st AS status,
+        |      CASE WHEN k % 2 = 0 THEN c + 500 ELSE c END AS cents
+        |    FROM resolved WHERE NOT (k % 2 = 0 AND k % 10 = 0)
+        |  UNION ALL
+        |  SELECT -(k + 1) AS k, 'NEW' AS status, c AS cents
+        |    FROM base WHERE k % 9 = 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(min(k) AS BIGINT) AS min_k
+        |FROM after_merge GROUP BY status ORDER BY status""".stripMargin,
+
+    // Schema-evolving MERGE: matched %3 keys discounted and stamped,
+    // %11 keys inserted under new negative keys with the new column.
+    "q_merge_evolve" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderpriority AS pr
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k,
+        |      CASE WHEN k % 3 = 0 THEN c - (k % 97) ELSE c END AS cents,
+        |      CASE WHEN k % 3 = 0 THEN k % 97 END AS discount, pr
+        |    FROM base
+        |  UNION ALL
+        |  SELECT -(k + 1) AS k, c AS cents, k % 97 AS discount, pr
+        |    FROM base WHERE k % 11 = 0)
+        |SELECT pr AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(COALESCE(discount, 0)) AS BIGINT) AS discount_total,
+        |  CAST(count(discount) AS BIGINT) AS n_discounted
+        |FROM merged GROUP BY pr ORDER BY pr""".stripMargin,
+
+    // Branch retention: published = the three staged audit deletes
+    // applied; the expire between staging and publish drops exactly
+    // the 2 middle branch commits (b-1, b-2) and is content-neutral.
+    "q_branch_retention" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |    CAST(n_chars AS BIGINT) AS n_chars, source FROM documents),
+        |live AS (SELECT * FROM base
+        |  WHERE NOT (n_chars < 200) AND NOT (doc_id % 3 = 0)
+        |    AND NOT (n_chars > 20000)),
+        |r AS (SELECT source, count(*) AS n_raw FROM base GROUP BY 1),
+        |p AS (SELECT source, count(*) AS n_pub,
+        |  sum(n_chars) AS chars_pub FROM live GROUP BY 1)
+        |SELECT r.source,
+        |  CAST(r.n_raw AS BIGINT) AS n_raw,
+        |  CAST(COALESCE(p.n_pub, 0) AS BIGINT) AS n_published,
+        |  CAST(COALESCE(p.chars_pub, 0) AS BIGINT) AS chars_published,
+        |  CAST(2 AS BIGINT) AS n_dropped
+        |FROM r LEFT JOIN p ON r.source = p.source
+        |ORDER BY r.source""".stripMargin,
+
     // Incremental MV: the refreshed aggregate equals the full
     // recompute over the source's final state — (base ∪ key-shifted
     // append) minus status F, cents+5 where the LIVE row's key is
@@ -5539,6 +5671,8 @@ object SparkEntry {
         |SELECT o_orderpriority,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(count(cents) AS BIGINT) AS count_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
         |  CAST(count(*) AS BIGINT) AS mv_rows
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -158,6 +158,14 @@ object Catalog {
         s"catalog '${parts(0)}' is not configured in this session"))
     val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
     require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
+    // PK tables: the file-level feed would emit PHYSICAL appends —
+    // every shadowed key version, no retractions for overwritten
+    // ones. Loud, never silently wrong; the resolved changelog is the
+    // query-level surface (graft.cdc.Upsert over the resolved reads).
+    require(PkTables.read(dir).isEmpty,
+      s"'$ref' is a PRIMARY-KEY table ('merge-engine') — its change " +
+        "feed would expose raw shadowed key versions; read the " +
+        "resolved table (plain SELECT) or diff two VERSION AS OF reads")
     val store: graft.streaming.SnapshotReads =
       if (Snapshots.isVersioned(dir))
         ManifestSnapshotReads(spark, dir.toString, branch)

@@ -449,6 +449,62 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: TBLPROPERTIES ('versioned'='true') applies to " +
           "PARTITIONED tables (the manifest snapshot log); flat tables " +
           "version through the v=<n> snapshot layout")
+    // PRIMARY-KEY table declaration ([[PkTables]] — the Paimon
+    // 'merge-engine' model): validated completely before any
+    // filesystem mutation
+    val pkProp: Option[PkTables.PkDef] = {
+      val keysOpt = Option(properties.get(PkTables.KeysProp))
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      val engineOpt = Option(properties.get(PkTables.EngineProp))
+        .map(_.trim.toLowerCase)
+      (keysOpt, engineOpt) match {
+        case (None, None) => None
+        case (None, Some(e)) => throw new UnsupportedOperationException(
+          s"$catalogName: '${PkTables.EngineProp}'='$e' requires " +
+            s"'${PkTables.KeysProp}' (the key the engine merges by)")
+        case (Some(keys), eng) =>
+          val engine = eng.getOrElse(PkTables.EngineDedup)
+          if (engine != PkTables.EngineDedup &&
+              engine != PkTables.EngineFirstRow)
+            throw new UnsupportedOperationException(
+              s"$catalogName: '${PkTables.EngineProp}'='$engine' — " +
+                s"supported: '${PkTables.EngineDedup}' (latest version " +
+                s"wins), '${PkTables.EngineFirstRow}' (first wins); " +
+                "partial-update/aggregation merging is available as the " +
+                "query-level surface (graft.cdc.Upsert)")
+          if (!versionedProp)
+            throw new UnsupportedOperationException(
+              s"$catalogName: '${PkTables.KeysProp}' requires " +
+                "TBLPROPERTIES ('versioned'='true') — latest-per-key " +
+                "resolution orders versions by the manifest commit " +
+                "sequence")
+          val canonical = keys.map(k =>
+            schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+              throw new IllegalArgumentException(
+                s"$catalogName: ${PkTables.KeysProp} references unknown " +
+                  s"column '$k'")))
+          canonical.foreach { k =>
+            if (schema(schema.fieldIndex(k)).nullable)
+              throw new UnsupportedOperationException(
+                s"$catalogName: PRIMARY KEY column '$k' must be declared " +
+                  "NOT NULL (the delta row identity and the hive " +
+                  "partition round trip both require it)")
+          }
+          // the Paimon constraint: every partition transform must
+          // reference a KEY column — a key's versions then always
+          // co-locate (bucket/partition pruning and the blind delete's
+          // partition scope all derive from the key alone)
+          spec.map(_.col).find(c => !canonical.exists(_.equalsIgnoreCase(c)))
+            .foreach(c => throw new UnsupportedOperationException(
+              s"$catalogName: partition/bucket column '$c' is not part " +
+                s"of the primary key (${canonical.mkString(",")}) — a " +
+                "key's versions must co-locate for merge-on-read " +
+                "resolution to scale (the Paimon constraint); include " +
+                s"'$c' in '${PkTables.KeysProp}' or partition by a key " +
+                "column"))
+          Some(PkTables.PkDef(canonical, engine))
+      }
+    }
     // declared write-time clustering (WRITE ORDERED BY — [[WriteOrder]]):
     // names canonicalize to the schema's exact case, since consumers
     // filter case-sensitively
@@ -470,6 +526,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     if (spec.nonEmpty) {
       PartitionSpec.write(p, spec)
       orderProp.foreach(WriteOrder.write(p, _))
+      pkProp.foreach(PkTables.write(p, _))
       if (versionedProp) Snapshots.init(p)
       new PartitionedLakeTable(ident.toString, p, schema, spec,
         if (versionedProp) Snapshots.latest(p) else None)
@@ -659,6 +716,26 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         case u: TableChange.UpdateColumnType =>
           if (u.fieldNames.length == 1) gate(u.fieldNames.head, "retype")
         case _ => ()
+      }
+      // PRIMARY-KEY columns own the dedup identity AND the persisted
+      // equality-delete key files — rename/drop/retype stays rejected
+      // (the Paimon gating)
+      PkTables.read(p).foreach { pk =>
+        def pkGate(name: String, what: String): Unit =
+          if (pk.keys.exists(_.equalsIgnoreCase(name)))
+            throw new UnsupportedOperationException(
+              s"$catalogName: cannot $what column '$name' of " +
+                s"${ident.toString} — it is a PRIMARY KEY column " +
+                "(the dedup identity and the equality-delete key)")
+        changes.foreach {
+          case r: TableChange.RenameColumn =>
+            if (r.fieldNames.length == 1) pkGate(r.fieldNames.head, "rename")
+          case d: TableChange.DeleteColumn =>
+            if (d.fieldNames.length == 1) pkGate(d.fieldNames.head, "drop")
+          case u: TableChange.UpdateColumnType =>
+            if (u.fieldNames.length == 1) pkGate(u.fieldNames.head, "retype")
+          case _ => ()
+        }
       }
     }
     var schema = declaredSchema(p).getOrElse(

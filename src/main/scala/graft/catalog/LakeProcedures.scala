@@ -51,7 +51,7 @@ private[catalog] object LakeProcedures {
       "tag", "drop_tag", "tags", "add_partition_field",
       "drop_partition_field", "replace_partition_field", "migrate",
       "branch", "fast_forward", "drop_branch", "branches", "expire_age",
-      "rewrite_position_delete_files", "cherry_pick")
+      "rewrite_position_delete_files", "cherry_pick", "expire_branch")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -360,6 +360,24 @@ private[catalog] object LakeProcedures {
           log.expire(args.getInt(1), Tags.read(dir).values.toSet)
           Seq(InternalRow(log.versions.size.toLong))
         })
+      case "expire_branch" =>
+        // BRANCH-scoped retention (r15 — the half expire_snapshots
+        // never covered: long-lived audit branches kept unbounded
+        // manifest history; drop_branch orphaned it wholesale): keep
+        // the `keep` newest data commits of the branch plus b-0 (the
+        // fork marker fast_forward validates against); dropped branch
+        // manifests delete and files/segments no retained manifest —
+        // main OR any branch — references GC
+        Some(proc(root, "expire_branch",
+          Seq("tbl" -> StringType, "branch" -> StringType,
+            "keep" -> IntegerType),
+          new StructType().add("dropped_versions", LongType)) {
+          (dir, _, args) =>
+          requireManifest("expire_branch", dir)
+          val dropped = Snapshots.commitExpireBranch(dir,
+            args.getUTF8String(1).toString, args.getInt(2))
+          Seq(InternalRow(dropped.size.toLong))
+        })
       case "expire_age" =>
         // AGE-based retention (Iceberg's `expire_snapshots(older_than,
         // retain_last)`): drop data snapshots committed more than
@@ -489,6 +507,7 @@ private[catalog] object LakeProcedures {
                           java.util.UUID.randomUUID().toString.take(8)))
                     PartitionedWrite.deleteRecursive(tmp)
                     val dirCols = PartitionSpec.dirCols(pspec)
+                    val pkOpt = PkTables.read(tableDir)
                     val df = snap match {
                       case Some(s) =>
                         // the shared live-row read: per-spec-shape
@@ -500,8 +519,18 @@ private[catalog] object LakeProcedures {
                         // MATERIALIZER: the rewrite embeds the live
                         // rows and the commit below drops the delete
                         // files, restoring SPJ / metadata-only
-                        // aggregates / exact row counts
-                        MorDeletes.liveRows(spark, tableDir, s.files)
+                        // aggregates / exact row counts. PRIMARY-KEY
+                        // tables compact KEY-AWARE: the rewrite embeds
+                        // the RESOLVED rows (latest per key, equality
+                        // deletes applied) — a key-blind compact would
+                        // restamp every version at ONE sequence and
+                        // equal-seq ties would then pick wrong winners
+                        pkOpt match {
+                          case Some(pk) =>
+                            PkTables.resolvedRows(spark, tableDir, s, pk)
+                          case None =>
+                            MorDeletes.liveRows(spark, tableDir, s.files)
+                        }
                       case None => spark.read
                         .option("basePath", tableDir.toString)
                         .parquet(tableDir.toString)
@@ -545,15 +574,48 @@ private[catalog] object LakeProcedures {
                         // would resurrect its rows)
                         val staged =
                           PartitionedWrite.mergeIntoReturning(tmp, tableDir)
-                        InternalRow(Snapshots.commit(tableDir, "compact",
-                          // s.files includes any delete files: the
-                          // diff drops them (their rows are gone from
-                          // the compacted output)
+                        // PK tables validate the FULL file set
+                        // unchanged: a concurrent append's newer key
+                        // version (lower seq than the compacted
+                        // output) would be shadowed by compact's copy
+                        // of the OLD version — a lost update; plain
+                        // tables keep snapshot isolation (concurrent
+                        // appends merge)
+                        val validate: Seq[String] => Unit =
+                          if (pkOpt.isDefined)
+                            cur => {
+                              Snapshots.validateRewrite("compact",
+                                s.files, s.files)(cur)
+                              PkTables.validateNoNewData("compact",
+                                s.files)(cur)
+                              val known = PkTables.eqDeleteFiles(s.files).toSet
+                              val freshEq = PkTables.eqDeleteFiles(cur)
+                                .filterNot(known)
+                              if (freshEq.nonEmpty)
+                                throw new CommitConflictException(
+                                  s"concurrent commit added ${freshEq.size} " +
+                                    "equality-delete file(s) this compact " +
+                                    "did not read — re-run")
+                            }
+                          else Snapshots.validateRewrite("compact",
+                            s.files, s.files)
+                        val v = Snapshots.commit(tableDir, "compact",
+                          // s.files includes any delete files (both
+                          // kinds): the diff drops them (their rows
+                          // are gone from the compacted output)
                           cur => cur.diff(s.files) ++ staged,
-                          Snapshots.validateRewrite("compact",
-                            s.files, s.files),
+                          validate,
                           freshStats = Snapshots.freshStatsFor(
-                            spark, tableDir, staged)))
+                            spark, tableDir, staged))
+                        // the compacted files are provably
+                        // one-version-per-key: record their birth
+                        // sequence so reads skip the dedup aggregate
+                        // (a crash before this only loses the
+                        // optimization, never correctness)
+                        if (pkOpt.isDefined)
+                          Snapshots.read(tableDir, v).foreach(ns =>
+                            PkTables.addMarkerSeq(tableDir, ns.lastSeq))
+                        InternalRow(v)
                       case None =>
                         DeletableTable.publishStagedRewrite(tableDir, tmp)
                         InternalRow(null)
@@ -704,8 +766,15 @@ private[catalog] object LakeProcedures {
                     // live rows: pending merge-on-read deletes applied
                     // (the rewrite replaces data files, so it MUST
                     // materialize them — stale coordinates would
-                    // resurrect rows otherwise)
-                    val df = MorDeletes.liveRows(spark, tableDir, snap.files)
+                    // resurrect rows otherwise); PK tables rewrite the
+                    // RESOLVED rows (key-aware, like compact)
+                    val pkOptZ = PkTables.read(tableDir)
+                    val df = pkOptZ match {
+                      case Some(pk) =>
+                        PkTables.resolvedRows(spark, tableDir, snap, pk)
+                      case None =>
+                        MorDeletes.liveRows(spark, tableDir, snap.files)
+                    }
                     val bad = Seq(xc, yc).filterNot(df.columns.contains)
                     require(bad.isEmpty,
                       s"zorder: no such column(s) ${bad.mkString(",")}")
@@ -733,12 +802,25 @@ private[catalog] object LakeProcedures {
                       .parquet(tmp.toString)
                     val staged =
                       PartitionedWrite.mergeIntoReturning(tmp, tableDir)
-                    Snapshots.commit(tableDir, "zorder",
+                    val validateZ: Seq[String] => Unit =
+                      if (pkOptZ.isDefined)
+                        cur => {
+                          Snapshots.validateRewrite("zorder",
+                            snap.files, snap.files)(cur)
+                          PkTables.validateNoNewData("zorder",
+                            snap.files)(cur)
+                        }
+                      else Snapshots.validateRewrite("zorder",
+                        snap.files, snap.files)
+                    val zv = Snapshots.commit(tableDir, "zorder",
                       cur => cur.diff(snap.files) ++ staged,
-                      Snapshots.validateRewrite("zorder",
-                        snap.files, snap.files),
+                      validateZ,
                       freshStats = Snapshots.freshStatsFor(
                         spark, tableDir, staged))
+                    if (pkOptZ.isDefined)
+                      Snapshots.read(tableDir, zv).foreach(ns =>
+                        PkTables.addMarkerSeq(tableDir, ns.lastSeq))
+                    zv
                   }
                 spark.catalog.clearCache()
                 return java.util.List.of[Scan](new LocalScan {

@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum, when}
 
 /** INCREMENTAL MATERIALIZED-VIEW maintenance over the lake — the
   * batch twin of the streaming MV pipeline (the reference's entire
@@ -119,9 +119,12 @@ object MaterializedView {
     val cols = aggs.map {
       case (c, "sum") => sum(col(c)).as(aggName(c, "sum"))
       case (c, "count") => count(col(c)).as(aggName(c, "count"))
+      case (c, "min") => min(col(c)).as(aggName(c, "min"))
+      case (c, "max") => max(col(c)).as(aggName(c, "max"))
       case (c, fn) => throw new IllegalArgumentException(
-        s"incremental MV supports sum|count aggregates only " +
-          s"(got $c:$fn — they are the invertible ones; derive avg " +
+        s"incremental MV supports sum|count|min|max aggregates only " +
+          s"(got $c:$fn — sum/count fold invertibly, min/max keep a " +
+          "monotonic fast path with recompute-on-retract; derive avg " +
           "from sum/count downstream)")
     } :+ count(lit(1)).cast("bigint").as(RowsCol)
     src.groupBy(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
@@ -138,6 +141,11 @@ object MaterializedView {
              keys: Seq[String], groupBy: Seq[String],
              aggs: Seq[(String, String)], buckets: Int = 16): Long = {
     val srcDir = resolveDir(spark, sourceRef)
+    require(PkTables.read(srcDir).isEmpty,
+      s"$sourceRef is a PRIMARY-KEY table — the incremental refresh " +
+        "folds the raw change feed, which on a PK table carries " +
+        "shadowed key versions; materialize over a resolved snapshot " +
+        "table instead")
     val srcV = Snapshots.latest(srcDir).map(_.version).getOrElse(
       throw new IllegalArgumentException(
         s"$sourceRef is not a manifest-versioned table"))
@@ -204,30 +212,91 @@ object MaterializedView {
       .filter(col("op") =!= graft.cdc.ChangeEvent.OpCreate &&
         col("before").isNotNull)
       .select(col("before.*") +: Seq(lit(-1L).as("__w")): _*)
+    val invertible = d.aggs.filter(a => a._2 == "sum" || a._2 == "count")
+    val extremal = d.aggs.filter(a => a._2 == "min" || a._2 == "max")
+    // min/max deltas: the INSERT side's extrema (the monotonic fast
+    // path — least/greatest against the MV value), plus a per-group
+    // retraction flag: a retracted row can ONLY move an extremum by
+    // recomputation (the fold is not invertible for min/max)
     val deltaCols = d.aggs.map {
       case (c, "sum") => sum(col(c) * col("__w")).as(aggName(c, "sum"))
       case (c, "count") => sum(when(col(c).isNotNull, col("__w"))
         .otherwise(0L)).as(aggName(c, "count"))
+      case (c, "min") => min(when(col("__w") > 0L, col(c)))
+        .as(aggName(c, "min"))
+      case (c, "max") => max(when(col("__w") > 0L, col(c)))
+        .as(aggName(c, "max"))
       case (c, fn) => throw new IllegalStateException(s"$c:$fn")
-    } :+ sum(col("__w")).cast("bigint").as("__d_rows")
-    val deltas = afterRows.unionByName(beforeRows)
+    } ++ Seq(
+      sum(col("__w")).cast("bigint").as("__d_rows"),
+      max(when(col("__w") < 0L, 1L).otherwise(0L)).cast("bigint")
+        .as("__retract"))
+    val deltas0 = afterRows.unionByName(beforeRows)
       .groupBy(d.groupBy.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
       // groups whose every delta is zero (e.g. an update that left
-      // the aggregated columns alone) need no write
-      .filter(col("__d_rows") =!= 0L || d.aggs.map { case (c, fn) =>
-        coalesce(col(aggName(c, fn)), lit(0L)) =!= 0L }
+      // the aggregated columns alone) need no write — with extremal
+      // aggregates a RETRACTION or a new extremum candidate is a
+      // change too (a sum-preserving value swap can move the min)
+      .filter(col("__d_rows") =!= 0L ||
+        (invertible.map { case (c, fn) =>
+          coalesce(col(aggName(c, fn)), lit(0L)) =!= 0L } ++
+          Seq(col("__retract") === 1L) ++
+          extremal.map { case (c, fn) => col(aggName(c, fn)).isNotNull })
         .reduce(_ || _))
+    // recompute-on-retract: for retracted groups ONLY, the extrema
+    // re-derive from the source at `to` — O(retracted groups' rows),
+    // null-safe-joined so NULL group keys recompute too
+    val deltas =
+      if (extremal.isEmpty) deltas0
+      else {
+        val src = spark.sql(
+          s"SELECT * FROM ${d.source} VERSION AS OF $to")
+        val retracted = deltas0.filter(col("__retract") === 1L)
+          .select(d.groupBy.map(g => col(g).as(s"__rk_$g")): _*)
+        val rcCols = extremal.map {
+          case (c, "min") => min(col(c)).as("__rc_" + aggName(c, "min"))
+          case (c, "max") => max(col(c)).as("__rc_" + aggName(c, "max"))
+          case (c, fn) => throw new IllegalStateException(s"$c:$fn")
+        }
+        val rc = src.join(retracted,
+            d.groupBy.map(g => src(g) <=> col(s"__rk_$g")).reduce(_ && _),
+            "left_semi")
+          .groupBy(d.groupBy.map(col): _*)
+          .agg(rcCols.head, rcCols.tail: _*)
+          .select(d.groupBy.map(g => col(g).as(s"__rk_$g")) ++
+            extremal.map { case (c, fn) =>
+              col("__rc_" + aggName(c, fn)) }: _*)
+        deltas0.join(rc,
+            d.groupBy.map(g => deltas0(g) <=> rc(s"__rk_$g"))
+              .reduce(_ && _), "left")
+          .drop(d.groupBy.map(g => s"__rk_$g"): _*)
+      }
     deltas.createOrReplaceTempView("__mv_deltas")
     val names = d.aggs.map { case (c, fn) => aggName(c, fn) }
     val on = d.groupBy.map(g => s"t.`$g` <=> s.`$g`").mkString(" AND ")
-    val sets = (names.map(n =>
-      s"`$n` = coalesce(t.`$n`, 0) + coalesce(s.`$n`, 0)") :+
-      s"`$RowsCol` = t.`$RowsCol` + s.`__d_rows`").mkString(", ")
+    val sets = (d.aggs.map {
+      case (c, fn @ ("sum" | "count")) =>
+        val n = aggName(c, fn)
+        s"`$n` = coalesce(t.`$n`, 0) + coalesce(s.`$n`, 0)"
+      case (c, fn) =>
+        val n = aggName(c, fn)
+        val fast = if (fn == "min") "least" else "greatest"
+        // retraction → the recomputed value (authoritative); pure
+        // inserts → the monotonic fast path (least/greatest skip NULLs)
+        s"`$n` = CASE WHEN s.`__retract` = 1 THEN s.`__rc_$n` " +
+          s"ELSE $fast(t.`$n`, s.`$n`) END"
+    } :+ s"`$RowsCol` = t.`$RowsCol` + s.`__d_rows`").mkString(", ")
     val insCols = (d.groupBy ++ names :+ RowsCol).map(c => s"`$c`")
       .mkString(", ")
     val insVals = (d.groupBy.map(g => s"s.`$g`") ++
-      names.map(n => s"coalesce(s.`$n`, 0)") :+ "s.`__d_rows`")
+      d.aggs.map {
+        case (c, fn @ ("sum" | "count")) =>
+          s"coalesce(s.`${aggName(c, fn)}`, 0)"
+        case (c, fn) =>
+          val n = aggName(c, fn)
+          s"CASE WHEN s.`__retract` = 1 THEN s.`__rc_$n` ELSE s.`$n` END"
+      } :+ "s.`__d_rows`")
       .mkString(", ")
     spark.sql(
       s"""MERGE INTO $mvRef t USING __mv_deltas s ON $on

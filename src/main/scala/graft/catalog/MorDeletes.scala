@@ -454,7 +454,8 @@ private[catalog] object MorDeletes {
   * decision is settled; a session that somehow plans a dirty scan
   * without it fails loudly ([[MorGuardedScan]]) rather than serving
   * undeleted rows. */
-private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
+private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   import MorDeletes._
 
@@ -489,7 +490,7 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
     r.relation.table match {
       case t: PartitionedLakeTable =>
         val dels = t.morDeleteFiles
-        if (dels.nonEmpty || r.scan.isInstanceOf[MorDeltaScan])
+        if (dels.nonEmpty || t.pkDirty || r.scan.isInstanceOf[MorDeltaScan])
           Some((t, dels))
         else None
       case other if r.scan.isInstanceOf[MorDeltaScan] =>
@@ -519,17 +520,27 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
         case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
           se.withNewPlan(rewrite(se.plan))
       }
-      val hasSubq = cond2.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
-      // re-attach the full pushed predicate BENEATH the anti-join
-      // when it only speaks this relation's columns (correlated
-      // outer references stay above — correct, just unpushed)
-      if (!hasSubq && cond2.deterministic &&
-          cond2.references.subsetOf(r.outputSet))
-        swap(r, Some(cond2))
-      else Filter(cond2, swap(r, None))
+      val (table, dels) = dirtyOf(r).get
+      if (table.pkInfo.isDefined)
+        // PRIMARY-KEY resolution owns the conjunct split itself:
+        // key-only conjuncts push beneath the dedup, the rest (and
+        // every subquery conjunct) stay above
+        swapPk(r, Some(cond2), table, dels)
+      else {
+        val hasSubq = cond2.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+        // re-attach the full pushed predicate BENEATH the anti-join
+        // when it only speaks this relation's columns (correlated
+        // outer references stay above — correct, just unpushed)
+        if (!hasSubq && cond2.deterministic &&
+            cond2.references.subsetOf(r.outputSet))
+          swap(r, Some(cond2))
+        else Filter(cond2, swap(r, None))
+      }
     case r: DataSourceV2ScanRelation if dirtyOf(r).isDefined =>
-      swap(r, None)
+      val (table, dels) = dirtyOf(r).get
+      if (table.pkInfo.isDefined) swapPk(r, None, table, dels)
+      else swap(r, None)
     case other =>
       other.mapChildren(rewrite).transformExpressions {
         case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
@@ -583,31 +594,160 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan] {
     // coordinate count past [[VectorMaxConf]] falls back to the
     // LeftAnti join.
     val hasRootData = Snapshots.dataFiles(files).exists(!_.contains('/'))
-    val joined =
-      if (dels.isEmpty) filtered
-      else vectorFor(spark, tableDir, dels,
-        b => table.morStats.get(b).flatMap(_.rows), hasRootData) match {
-        case Some(bc) =>
-          Filter(org.apache.spark.sql.catalyst.expressions.Not(
-            DeleteVectorContains(bc,
-              byPhys(FileKeyCol.toLowerCase),
-              byPhys(PosKeyCol.toLowerCase))), filtered)
-        case None =>
-          // the spliced delete read carries RuntimeReplaceable exprs
-          // (url_decode in the legacy-key migration) — replace here,
-          // past the finish-analysis batch, or codegen fails
-          val delPlan = org.apache.spark.sql.catalyst.optimizer
-            .ReplaceExpressions(
-              readDeletes(spark, tableDir, dels, hasRootData)
-                .queryExecution.analyzed)
-          val joinCond = And(
-            EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
-            EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))
-          Join(filtered, delPlan, LeftAnti, Some(joinCond), JoinHint.NONE)
-      }
+    val joined = applyPosDeletes(spark, tableDir, filtered, dels,
+      byPhys, table, hasRootData)
     Project(r.output.map(o =>
       Alias(attrFor(o.name), o.name)(exprId = o.exprId,
         qualifier = o.qualifier)), joined)
+  }
+
+  /** Pending POSITION deletes over an already-built data-side plan:
+    * the broadcast deletion-vector filter (scan-local, zero join) when
+    * the coordinate count fits the ceiling, the LeftAnti join past it.
+    * Shared by the plain merge-on-read swap and the PK resolution. */
+  private def applyPosDeletes(spark: SparkSession, tableDir: Path,
+                              filtered: LogicalPlan, dels: Seq[String],
+                              byPhys: Map[String, Attribute],
+                              table: PartitionedLakeTable,
+                              hasRootData: Boolean): LogicalPlan =
+    if (dels.isEmpty) filtered
+    else vectorFor(spark, tableDir, dels,
+      b => table.morStats.get(b).flatMap(_.rows), hasRootData) match {
+      case Some(bc) =>
+        Filter(org.apache.spark.sql.catalyst.expressions.Not(
+          DeleteVectorContains(bc,
+            byPhys(FileKeyCol.toLowerCase),
+            byPhys(PosKeyCol.toLowerCase))), filtered)
+      case None =>
+        // the spliced delete read carries RuntimeReplaceable exprs
+        // (url_decode in the legacy-key migration) — replace here,
+        // past the finish-analysis batch, or codegen fails
+        val delPlan = org.apache.spark.sql.catalyst.optimizer
+          .ReplaceExpressions(
+            readDeletes(spark, tableDir, dels, hasRootData)
+              .queryExecution.analyzed)
+        val joinCond = And(
+          EqualTo(byPhys(FileKeyCol.toLowerCase), delPlan.output.head),
+          EqualTo(byPhys(PosKeyCol.toLowerCase), delPlan.output(1)))
+        Join(filtered, delPlan, LeftAnti, Some(joinCond), JoinHint.NONE)
+    }
+
+  /** PRIMARY-KEY scan resolution ([[PkTables]]): swap the relation for
+    *
+    * {{{
+    *   [Filter(non-key conjuncts)]                    // post-dedup
+    *   Project(relation output attrs,
+    *     Aggregate(group by KEY,
+    *       max_by(col, struct(seq, file, pos)) per selected column,
+    *       [LeftAnti Join eq-deletes ON keys equal AND seq < del-seq]
+    *         [position deletes: vector filter / anti-join]
+    *           [Filter(KEY-ONLY conjuncts)]           // pre-dedup
+    *           per-shape parquet read + (file, pos) + broadcast-
+    *           looked-up birth sequence))
+    * }}}
+    *
+    * KEY-ONLY conjuncts are safe beneath the dedup (dropping a whole
+    * key never changes another key's winner) and they drive partition
+    * pruning / delete-file pruning / parquet pushdown exactly like the
+    * plain path; every other conjunct MUST wait above the aggregate —
+    * filtering an old version away pre-dedup would resurrect the
+    * version beneath it. The aggregate is partial-aggregatable
+    * (map-side combine: one candidate per key per task). A snapshot a
+    * key-aware compact left provably one-version-per-key skips the
+    * aggregate entirely (and clean tables never reach this rule). */
+  private def swapPk(r: DataSourceV2ScanRelation, cond: Option[Expression],
+                     table: PartitionedLakeTable,
+                     allDels: Seq[String]): LogicalPlan = {
+    import org.apache.spark.sql.functions.{lit, max_by, min_by, struct}
+    val (tableDir, files, renames, spec) = table.morReadInfo
+    val (pk, seqs) = table.pkInfo.get
+    val spark = SparkSession.active
+    val physOf: Map[String, String] =
+      r.output.map(o => o.name -> renames.getOrElse(o.name, o.name)).toMap
+    val physKeys = pk.keys.map(k => renames.getOrElse(k, k))
+    val names = r.output.map(a => a.exprId -> a.name).toMap
+    def isPkOnly(e: Expression): Boolean =
+      e.deterministic &&
+        !e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
+        e.references.subsetOf(r.outputSet) &&
+        e.references.forall(a => names.get(a.exprId)
+          .exists(n => physKeys.contains(physOf.getOrElse(n, n))))
+    val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
+    val (pkConj, restConj) = conjuncts.partition(isPkOnly)
+    // data read: the relation's columns plus the key (the dedup needs
+    // it even when the query never asked), coordinates ride along
+    val selCols = (r.output.map(o => physOf(o.name)) ++ physKeys).distinct
+    val bc = PkTables.seqBroadcastFor(spark, tableDir, seqs)
+    val base = readDataWithCoords(spark, tableDir, files, Some(selCols))
+      .withColumn(PkTables.SeqCol,
+        PkTables.seqColumnFor(bc, org.apache.spark.sql.functions.col(FileKeyCol)))
+    val dataPlan = org.apache.spark.sql.catalyst.optimizer
+      .ReplaceExpressions(base.queryExecution.analyzed)
+    val byPhys: Map[String, Attribute] =
+      dataPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val remappedPk = pkConj.reduceOption(And).map(_.transform {
+      case a: AttributeReference if names.contains(a.exprId) =>
+        byPhys(physOf(names(a.exprId)).toLowerCase)
+    })
+    // both delete families prune statically off the key predicate
+    // (they share the _gmor_tdir= target layout)
+    val dels = remappedPk.fold(allDels)(c =>
+      pruneDeleteFiles(allDels, spec, Seq(c)))
+    val eqAll = PkTables.eqDeleteFiles(files)
+    val eqDels = remappedPk.fold(eqAll)(c =>
+      pruneDeleteFiles(eqAll, spec, Seq(c)))
+    val filtered = remappedPk.fold(dataPlan: LogicalPlan)(Filter(_, dataPlan))
+    val hasRootData = Snapshots.dataFiles(files).exists(!_.contains('/'))
+    val posApplied = applyPosDeletes(spark, tableDir, filtered, dels,
+      byPhys, table, hasRootData)
+    val eqApplied =
+      if (eqDels.isEmpty) posApplied
+      else {
+        val edPlan = org.apache.spark.sql.catalyst.optimizer
+          .ReplaceExpressions(
+            PkTables.readEqDeletes(spark, tableDir, eqDels,
+              PkTables.keyFileSchema(tableDir, pk.keys), bc)
+              .queryExecution.analyzed)
+        val edBy = edPlan.output.map(a => a.name.toLowerCase -> a).toMap
+        val keyEq: Seq[Expression] = physKeys.map(k =>
+          EqualTo(byPhys(k.toLowerCase), edBy(k.toLowerCase)))
+        val seqLt = org.apache.spark.sql.catalyst.expressions.LessThan(
+          byPhys(PkTables.SeqCol.toLowerCase),
+          edBy(PkTables.DelSeqCol.toLowerCase))
+        Join(posApplied, edPlan, LeftAnti,
+          Some((keyEq :+ seqLt).reduce(And)), JoinHint.NONE)
+      }
+    // latest-per-key — skipped when this snapshot is provably
+    // one-version-per-key (a PK delta read over a freshly compacted
+    // table lands here with pkDirty=false)
+    val resolvedPlan =
+      if (!table.pkDirty) eqApplied
+      else {
+        val df = org.apache.spark.sql.GraftBridge.ofRows(spark, eqApplied)
+        val ord = struct(
+          org.apache.spark.sql.functions.col(PkTables.SeqCol),
+          org.apache.spark.sql.functions.col(FileKeyCol),
+          org.apache.spark.sql.functions.col(PosKeyCol))
+        def pick(c: org.apache.spark.sql.Column) =
+          if (pk.firstRow) min_by(c, ord) else max_by(c, ord)
+        val valueCols = r.output.map(o => physOf(o.name)).distinct
+          .filterNot(physKeys.contains)
+        val aggCols =
+          if (valueCols.isEmpty) Seq(pick(lit(1)).as("_gpk_d"))
+          else valueCols.map(c =>
+            pick(org.apache.spark.sql.functions.col(c)).as(c))
+        val agg = df.groupBy(
+            physKeys.map(org.apache.spark.sql.functions.col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+        org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(
+          agg.queryExecution.analyzed)
+      }
+    val outBy = resolvedPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val proj = Project(r.output.map(o =>
+      Alias(outBy(physOf(o.name).toLowerCase), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)), resolvedPlan)
+    restConj.reduceOption(And).fold(proj: LogicalPlan)(Filter(_, proj))
   }
 }
 
@@ -690,7 +830,8 @@ private[catalog] final class MorGuardedScan(
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =
-    s"$tableName(mor-pending:$nDeleteFiles delete files)"
+    if (nDeleteFiles > 0) s"$tableName(mor-pending:$nDeleteFiles delete files)"
+    else s"$tableName(pk-unresolved)"
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = inner match {
     case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
@@ -704,10 +845,18 @@ private[catalog] final class MorGuardedScan(
   }
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     throw new IllegalStateException(
-      s"$tableName: this snapshot carries $nDeleteFiles merge-on-read " +
-        "delete file(s) but the scan was planned without the " +
-        "MorScanRewrite rule — refusing to serve rows a committed " +
-        "DELETE removed. Load the table through GraftLakeCatalog " +
-        "(which attaches the rule) or CALL system.compact to " +
-        "materialize the deletes.")
+      if (nDeleteFiles > 0)
+        s"$tableName: this snapshot carries $nDeleteFiles merge-on-read " +
+          "delete file(s) but the scan was planned without the " +
+          "MorScanRewrite rule — refusing to serve rows a committed " +
+          "DELETE removed. Load the table through GraftLakeCatalog " +
+          "(which attaches the rule) or CALL system.compact to " +
+          "materialize the deletes."
+      else
+        s"$tableName: this PRIMARY-KEY snapshot needs latest-per-key " +
+          "resolution but the scan was planned without the " +
+          "MorScanRewrite rule — refusing to serve shadowed key " +
+          "versions. Load the table through GraftLakeCatalog (which " +
+          "attaches the rule) or CALL system.compact to materialize " +
+          "the resolution.")
 }

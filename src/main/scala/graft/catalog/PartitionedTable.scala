@@ -303,6 +303,24 @@ private[catalog] final class PartitionedLakeTable(
   private[catalog] def morStats: Map[String, FileStats.FileStat] =
     manifestStats.getOrElse(Map.empty)
 
+  /** PRIMARY-KEY declaration ([[PkTables]]): present when the table
+    * was created with `'primary-key'` / `'merge-engine'`. */
+  private[catalog] lazy val pkDef: Option[PkTables.PkDef] =
+    if (snapshot.isEmpty) None else PkTables.read(tableDir)
+
+  /** Does THIS view's snapshot need latest-per-key resolution? False
+    * for non-PK tables and for snapshots a key-aware compact left
+    * provably one-version-per-key ([[PkTables.resolvedClean]] — then
+    * the plain scan and every gated fast path are valid again). */
+  private[catalog] lazy val pkDirty: Boolean =
+    pkDef.isDefined &&
+      snapshot.exists(s => !PkTables.resolvedClean(tableDir, s))
+
+  /** (definition, per-file birth sequences) for
+    * [[MorScanRewrite.swapPk]]. */
+  private[catalog] def pkInfo: Option[(PkTables.PkDef, Map[String, Long])] =
+    pkDef.map(d => (d, snapshot.fold(Map.empty[String, Long])(_.seqs)))
+
   override def name(): String = tableName
   override def schema(): StructType = logicalSchema
   override def partitioning(): Array[Transform] = spec.map {
@@ -326,7 +344,14 @@ private[catalog] final class PartitionedLakeTable(
     else util.Set.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // `MERGE INTO … WITH SCHEMA EVOLUTION` (Spark 4): the analyzer
+      // computes the source-vs-target schema changes (ADD COLUMN /
+      // type widening), applies them through this catalog's
+      // metadata-only alterTable, and re-resolves — composing the
+      // existing evolution surface with the MERGE (the CDC
+      // schema-drift scenario, reference `flink-gen.sh:58-90`)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   private def requireWritable(op: String): Unit =
     if (!writable) throw new UnsupportedOperationException(
@@ -413,7 +438,10 @@ private[catalog] final class PartitionedLakeTable(
           // deleted rows — fall through to the (rewritten) row scan
           // until a compact materializes the deletes
           servedAgg =
-            if (morDeleteFiles.nonEmpty) None
+            // PK-dirty snapshots: per-file stats describe RAW versions
+            // (shadowed duplicates included) — a metadata COUNT would
+            // over-count; key-aware compact restores this path
+            if (morDeleteFiles.nonEmpty || pkDirty) None
             else StatsAggregates.serveFiles(tableDir,
               currentBasenames, logicalSchema, physName, agg, manifestStats)
           servedFor = agg
@@ -498,7 +526,8 @@ private[catalog] final class PartitionedLakeTable(
           // contract promises the scan's rows ARE the bucket's rows,
           // and the anti-join rewrite replaces the scan wholesale —
           // compaction restores the zero-shuffle path)
-          case Seq(b: PartitionSpec.Bucket) if morDeleteFiles.isEmpty =>
+          case Seq(b: PartitionSpec.Bucket)
+              if morDeleteFiles.isEmpty && !pkDirty =>
             return new BucketKeyedScan(tableName, tableDir, b,
               indexSchema, required, filters, snapshotDataFiles, logSchema)
           case _ => ()
@@ -591,8 +620,15 @@ private[catalog] final class PartitionedLakeTable(
         // execution-guarded — MorScanRewrite swaps the relation before
         // planning; a rule-less session fails loudly, never serves
         // rows a committed DELETE removed
-        if (morDeleteFiles.isEmpty) scan
-        else new MorGuardedScan(scan, tableName, morDeleteFiles.size)
+        if (morDeleteFiles.nonEmpty)
+          new MorGuardedScan(scan, tableName, morDeleteFiles.size)
+        else if (pkDirty)
+          // PK snapshots needing latest-per-key resolution: the same
+          // guard discipline — metadata-complete, never executable
+          // without the rewrite (serving raw rows would expose
+          // shadowed key versions)
+          new MorGuardedScan(scan, tableName, 0)
+        else scan
       }
     }
   }
@@ -634,7 +670,65 @@ private[catalog] final class PartitionedLakeTable(
   }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    predicates.forall(DeletableTable.toColumn(_, physName).isDefined)
+    // PK tables: only a FULL-key equality conjunction is pushable (the
+    // BLIND key delete — one equality-delete row written, zero rows
+    // read); anything else routes to the delta row-level DELETE, which
+    // evaluates the predicate over the RESOLVED rows
+    if (pkDef.isDefined) pkEqualitySpec(predicates).isDefined
+    else predicates.forall(DeletableTable.toColumn(_, physName).isDefined)
+
+  /** `predicates` as a FULL primary-key equality: every predicate is
+    * `pk_col = literal` and together they bind every key column
+    * exactly once. The value set of the blind key delete. */
+  private def pkEqualitySpec(predicates: Array[Predicate])
+      : Option[Seq[org.apache.spark.sql.catalyst.expressions.Literal]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    val keys = pkDef.get.keys
+    val bound = scala.collection.mutable.HashMap
+      .empty[String, org.apache.spark.sql.catalyst.expressions.Literal]
+    predicates.foreach { p =>
+      if (p.name() != "=") return None
+      val (name, lit) = p.children() match {
+        case Array(f: NamedReference, l: VLit[_])
+            if f.fieldNames().length == 1 =>
+          (f.fieldNames()(0), l)
+        case Array(l: VLit[_], f: NamedReference)
+            if f.fieldNames().length == 1 =>
+          (f.fieldNames()(0), l)
+        case _ => return None
+      }
+      val key = keys.find(_.equalsIgnoreCase(name)).getOrElse(return None)
+      val declared = logicalSchema(logicalSchema.fieldIndex(key)).dataType
+      if (lit.dataType() != declared || lit.value() == null) return None
+      if (bound.contains(key)) return None
+      bound(key) = org.apache.spark.sql.catalyst.expressions.Literal(
+        lit.value(), lit.dataType())
+    }
+    if (keys.forall(bound.contains)) Some(keys.map(bound)) else None
+  }
+
+  /** The target-partition directory a PK value set lives in, as the
+    * hive path string — spec columns are a subset of the key (enforced
+    * at CREATE), so the blind delete's scope is computable without
+    * reading anything. Same expressions as the data writer
+    * ([[PartitionedWriterFactory]]): identity values cast to string,
+    * buckets as `pmod(murmur3(col), n)`. */
+  private def pkTargetDir(
+      lits: Seq[org.apache.spark.sql.catalyst.expressions.Literal]): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit, Murmur3Hash, Pmod}
+    val byKey = pkDef.get.keys.zip(lits).toMap
+    val tz = Some(SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+    spec.map {
+      case PartitionSpec.Identity(c) =>
+        val v = Cast(byKey(c), org.apache.spark.sql.types.StringType, tz)
+          .eval(null)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, if (v == null) null else v.toString)
+      case PartitionSpec.Bucket(c, n) =>
+        val b = Pmod(Murmur3Hash(Seq(byKey(c)), 42), CLit(n)).eval(null)
+        s"${PartitionSpec.BucketDir}=$b"
+    }.mkString("/")
+  }
 
   /** Copy-on-write DELETE that PRESERVES the partition layout.
     * PARTITION-granular ([[PartitionPruning]]): when the condition
@@ -647,6 +741,34 @@ private[catalog] final class PartitionedLakeTable(
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     requireWritable("DELETE")
     val spark = SparkSession.active
+    if (pkDef.isDefined) {
+      // BLIND equality delete (canDeleteWhere admitted only the
+      // full-key form): persist ONE key row stamped with this commit's
+      // sequence — applies to every lower-sequence file, reads
+      // nothing, validates nothing (declared last-writer-wins, the
+      // Paimon/Iceberg blind-key-delete semantics a CDC consumer
+      // needs at 100 TB)
+      val lits = pkEqualitySpec(predicates).getOrElse(
+        throw new IllegalStateException(
+          s"$tableName: unpushable DELETE reached deleteWhere"))
+      val keySchema = PkTables.keyFileSchema(tableDir, pkDef.get.keys)
+      val external = lits.zip(keySchema.fields).map { case (l, f) =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(f.dataType)(l.value)
+      }
+      val row = org.apache.spark.sql.Row(external :+ pkTargetDir(lits): _*)
+      val df = spark.createDataFrame(
+        java.util.List.of(row),
+        StructType(keySchema.fields :+
+          StructField(MorDeletes.TargetDirCol,
+            org.apache.spark.sql.types.StringType)))
+      val moved = PkTables.writeEqDeleteFiles(spark, tableDir, df)
+      Snapshots.commitRouted(tableDir, "delete",
+        cur => cur ++ moved,
+        freshStats = MorDeletes.deleteFileRowStats(tableDir, moved))
+      spark.catalog.clearCache()
+      return
+    }
     // the condition evaluates against the staged read, which speaks
     // PHYSICAL names (indexSchema) — translate at the boundary
     val cond = predicates
@@ -809,6 +931,18 @@ private[catalog] final class PartitionedLakeTable(
     // evolved table works directly and migrates its groups forward.
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = {
+        // PRIMARY-KEY tables are INHERENTLY merge-on-read: every
+        // UPDATE / MERGE / non-blind DELETE plans as the delta write
+        // keyed by the PRIMARY KEY ([[PkDeltaOperation]]) — updates
+        // split into (equality delete of the old key, append of the
+        // new row), deletes write key rows, inserts append; one
+        // optimistic commit, zero data files rewritten. The
+        // group-based copy-on-write path would be WRONG here (it
+        // replays raw partition contents — every shadowed version —
+        // through the replacement projection).
+        if (pkDef.isDefined && snapshot.isDefined)
+          return new PkDeltaOperation(tableName, tableDir, logicalSchema,
+            spec, snapshot.get.files, renames, pkDef.get, info.command())
         // MERGE-ON-READ DML ([[MorDeltaOperation]]): with
         // `graft.write.mode='merge-on-read'` on a versioned table,
         // UPDATE / MERGE / non-pushable DELETE plan as Spark's

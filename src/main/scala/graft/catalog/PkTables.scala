@@ -1,0 +1,397 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** PRIMARY-KEY lake tables — Paimon's `'merge-engine'='deduplicate'`
+  * expressed as a DECLARED TABLE SEMANTIC over the manifest-versioned
+  * partitioned layout (the reference's staging tables ARE primary-key
+  * tables: `flink-cdc/sql/tickets-cdc.sql:23-37` declares
+  * `PRIMARY KEY … NOT ENFORCED` with `'bucket.num'='4'`, and the
+  * generated Paimon sink is literally `'merge-engine'='deduplicate'`,
+  * `flink-gen.sh:118-142`).
+  *
+  *  - WRITES are BLIND APPENDS: an upsert is `INSERT INTO` — no read,
+  *    no merge job, no shuffle beyond the write's own clustering. At
+  *    100 TB this is the property that makes a CDC ingest keep up:
+  *    the writer never touches existing data.
+  *  - READS resolve LATEST-PER-KEY merge-on-read: every data file
+  *    carries its BIRTH SEQUENCE from the monotonic per-table commit
+  *    sequence ([[Snapshots.Snapshot.seqs]], r14) — the winner of a
+  *    key is the row with the greatest `(seq, file, pos)` (first-row
+  *    engine: the least). Ties inside one commit break by (file, row
+  *    position): deterministic, and matching the "later row wins"
+  *    convention of the query-level upsert surface
+  *    ([[graft.cdc.Upsert.latestByKey]]).
+  *  - DELETES are EQUALITY DELETES (Iceberg v2's second delete kind):
+  *    a parquet file of KEY VALUES under `_graft_eqdeletes/`, stamped
+  *    with its commit's sequence, applying to rows of files with a
+  *    STRICTLY LOWER sequence. A key deleted at seq D revives when a
+  *    later append (seq > D) re-inserts it; the deleting commit's own
+  *    appended rows (seq == D) survive — exactly what one-commit
+  *    MERGE (delete old key + insert new row) needs. A full-PK
+  *    equality `DELETE` is a BLIND key delete: one row written, zero
+  *    rows read — the CDC-at-scale delete.
+  *  - `UPDATE`/`MERGE INTO` plan through Spark's own delta row-level
+  *    write ([[PkDeltaOperation]]) with the PRIMARY KEY as the row
+  *    identity: updates split into (equality delete of the old key,
+  *    append of the new row), inserts append — one optimistic commit.
+  *  - `CALL compact` is KEY-AWARE: it rewrites the RESOLVED rows (one
+  *    version per key, equality deletes applied) and records the
+  *    compacting commit's sequence in the [[Marker]] sidecar — a
+  *    snapshot whose data files ALL carry a marker sequence is
+  *    provably duplicate-free, so its scans skip the dedup aggregate
+  *    entirely and every gated fast path (metadata-only aggregates,
+  *    storage-partitioned joins, exact row counts) serves again.
+  *
+  * Read-side plan shape ([[MorScanRewrite.swapPk]]): per-shape parquet
+  * read of the data files with `(file, pos)` coordinates and the
+  * broadcast-looked-up birth sequence, PK-ONLY predicate conjuncts
+  * pushed beneath (a key-determined filter can never change a key's
+  * winner; non-key predicates must wait for the dedup — filtering an
+  * old version away BEFORE dedup would resurrect the one beneath it),
+  * equality deletes anti-joined by (key equal, seq <), then ONE
+  * hash aggregate `max_by(col, struct(seq, file, pos))` per selected
+  * column, grouped by the key. The aggregate is partial-aggregatable
+  * (map-side combine ships one candidate row per key per task), and
+  * the bucket-by-key layout keeps each key's versions co-located. */
+object PkTables {
+
+  /** Table properties (CREATE TABLE … TBLPROPERTIES). */
+  val KeysProp = "primary-key"
+  val EngineProp = "merge-engine"
+  val EngineDedup = "deduplicate"
+  val EngineFirstRow = "first-row"
+
+  val Sidecar = "_graft_pk.json"
+
+  /** Equality-delete files live here, laid out by target partition
+    * like position deletes (`_gmor_tdir=<esc>` — the same
+    * [[MorDeletes.targetDirOf]] pruning applies). */
+  val EqDeleteDirName = "_graft_eqdeletes"
+
+  /** Key-aware-compact marker: the commit sequences whose files are
+    * PROVABLY one-version-per-key (written by [[addMarkerSeq]]). */
+  val Marker = "_graft_pk_compacted.json"
+
+  /** Data-side birth-sequence column and the equality-delete side's
+    * own sequence column in resolved reads. */
+  val SeqCol = "_gpk_seq"
+  val DelSeqCol = "_gpk_dseq"
+
+  final case class PkDef(keys: Seq[String], engine: String) {
+    def firstRow: Boolean = engine == EngineFirstRow
+  }
+
+  def isEqDeleteFile(f: String): Boolean =
+    f.startsWith(EqDeleteDirName + "/")
+
+  def eqDeleteFiles(files: Seq[String]): Seq[String] =
+    files.filter(isEqDeleteFile)
+
+  def write(tableDir: Path, d: PkDef): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val ks = root.putArray("keys"); d.keys.foreach(ks.add)
+    root.put("engine", d.engine)
+    Files.writeString(tableDir.resolve(Sidecar), om.writeValueAsString(root))
+    ()
+  }
+
+  def read(tableDir: Path): Option[PkDef] = {
+    val f = tableDir.resolve(Sidecar)
+    if (!Files.exists(f)) None
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = om.readTree(Files.readString(f))
+      Some(PkDef(
+        n.get("keys").elements().asScala.map(_.asText()).toSeq,
+        Option(n.get("engine")).fold(EngineDedup)(_.asText())))
+    }
+  }
+
+  // ---- key-aware-compact marker ------------------------------------
+
+  def markerSeqs(tableDir: Path): Set[Long] = {
+    val f = tableDir.resolve(Marker)
+    if (!Files.exists(f)) Set.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(om.readTree(Files.readString(f)).get("seqs")).toSet[
+          com.fasterxml.jackson.databind.JsonNode]
+        .flatMap(_.elements().asScala.map(_.asLong()).toSet)
+    }
+  }
+
+  /** Record `seq` as a one-version-per-key birth sequence (atomic
+    * replace; bounded history — old compact sequences only matter to
+    * rollback targets, 16 generations is plenty). */
+  def addMarkerSeq(tableDir: Path, seq: Long): Unit = {
+    val seqs = (markerSeqs(tableDir) + seq).toSeq.sorted.takeRight(16)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val arr = root.putArray("seqs"); seqs.foreach(arr.add)
+    val target = tableDir.resolve(Marker)
+    val tmp = target.resolveSibling(Marker + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    Files.writeString(tmp, om.writeValueAsString(root))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Is this snapshot PROVABLY one-version-per-key already? True when
+    * every data file was born at ONE sequence that a key-aware compact
+    * stamped (and no deletes of either kind are pending) — then the
+    * scan needs no dedup aggregate and every fast path is valid. An
+    * EMPTY snapshot is trivially resolved. */
+  def resolvedClean(tableDir: Path, snap: Snapshots.Snapshot): Boolean = {
+    if (Snapshots.deleteFiles(snap.files).nonEmpty ||
+        eqDeleteFiles(snap.files).nonEmpty) return false
+    val dataF = Snapshots.dataFiles(snap.files)
+    if (dataF.isEmpty) return true
+    val seqs = dataF.map(f => snap.seqs.getOrElse(Snapshots.basename(f), 0L))
+      .distinct
+    seqs.size == 1 && seqs.head > 0L && markerSeqs(tableDir)(seqs.head)
+  }
+
+  // ---- birth-sequence broadcast ------------------------------------
+
+  // (appId, tableDir, sha1-of-content) → broadcast basename→seq map,
+  // LRU. Content-addressed, so a hit can never serve another
+  // snapshot's numbering; appId keyed so a restarted session never
+  // touches a dead context's broadcast.
+  private val seqCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        org.apache.spark.broadcast.Broadcast[
+          java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+            java.lang.Long]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            org.apache.spark.broadcast.Broadcast[
+              java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+                java.lang.Long]]]): Boolean = size() > 8
+    })
+
+  def seqBroadcastFor(spark: SparkSession, tableDir: Path,
+                      seqs: Map[String, Long])
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]] = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    seqs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      md.update(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    }
+    val key = spark.sparkContext.applicationId + " " +
+      tableDir.toString + " " +
+      md.digest().map("%02x".format(_)).mkString
+    val hit = seqCache.get(key)
+    if (hit != null) return hit
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    seqs.foreach { case (b, s) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        java.lang.Long.valueOf(s))
+      ()
+    }
+    val bc = spark.sparkContext.broadcast(m)
+    seqCache.put(key, bc)
+    bc
+  }
+
+  /** `FileSeqLookup` over a file-key column, as a [[Column]]. */
+  def seqColumnFor(bc: org.apache.spark.broadcast.Broadcast[
+                     java.util.HashMap[
+                       org.apache.spark.unsafe.types.UTF8String,
+                       java.lang.Long]],
+                   fileKey: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      FileSeqLookup(bc, org.apache.spark.sql.GraftBridge.expression(fileKey)))
+
+  // ---- equality-delete files ---------------------------------------
+
+  /** The PHYSICAL-name key schema of this table's equality-delete
+    * files (key columns in declared order). */
+  def keyFileSchema(tableDir: Path, keys: Seq[String]): StructType = {
+    val phys = Snapshots.physicalReadSchema(tableDir)
+    val renames = Evolutions.renames(tableDir)
+    StructType(keys.map { k =>
+      val p = renames.getOrElse(k, k)
+      phys(phys.fieldIndex(p))
+    })
+  }
+
+  /** Read equality-delete files as (key columns, [[DelSeqCol]] = the
+    * delete file's OWN birth sequence — the "applies to seq strictly
+    * below me" threshold). */
+  def readEqDeletes(spark: SparkSession, tableDir: Path,
+                    eqDels: Seq[String], keySchema: StructType,
+                    bc: org.apache.spark.broadcast.Broadcast[
+                      java.util.HashMap[
+                        org.apache.spark.unsafe.types.UTF8String,
+                        java.lang.Long]]): DataFrame =
+    spark.read.schema(keySchema)
+      .parquet(eqDels.map(f => tableDir.resolve(f).toString): _*)
+      .withColumn(DelSeqCol, seqColumnFor(bc, col("_metadata.file_path")))
+
+  /** Persist a key-set DataFrame (key columns in [[keyFileSchema]]
+    * order + [[MorDeletes.TargetDirCol]]) as equality-delete files,
+    * one set per target partition directory — the twin of
+    * [[MorDeletes.writeDeleteFiles]], returning table-relative paths
+    * to commit. */
+  def writeEqDeleteFiles(spark: SparkSession, tableDir: Path,
+                         keys: DataFrame): Seq[String] = {
+    val tmp = tableDir.resolveSibling(
+      tableDir.getFileName.toString + ".__eqdel-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    PartitionedWrite.deleteRecursive(tmp)
+    keys
+      .repartition(col(MorDeletes.TargetDirCol))
+      .sortWithinPartitions(
+        keys.columns.filterNot(_ == MorDeletes.TargetDirCol).map(col) :+
+          col(MorDeletes.TargetDirCol): _*)
+      .write.partitionBy(MorDeletes.TargetDirCol).parquet(tmp.toString)
+    val delDir = tableDir.resolve(EqDeleteDirName)
+    Files.createDirectories(delDir)
+    val parts = {
+      val s = Files.walk(tmp)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+    val writeId = java.util.UUID.randomUUID().toString.take(12)
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"eqdelete-$writeId-$i.parquet"
+      val sub = Option(tmp.relativize(p).getParent) // _gmor_tdir=<esc>
+      val destDir = sub.fold(delDir)(d => delDir.resolve(d.toString))
+      Files.createDirectories(destDir)
+      Files.move(p, destDir.resolve(name))
+      sub.fold(s"$EqDeleteDirName/$name")(d => s"$EqDeleteDirName/$d/$name")
+    }
+    PartitionedWrite.deleteRecursive(tmp)
+    moved
+  }
+
+  /** Commit validation for commits that WRITE equality deletes under a
+    * predicate evaluated at `base`: any DATA file that appeared since
+    * could hold a newer version of a matched key that the predicate
+    * never saw — killing it would be a lost update. Conflict loudly;
+    * the retry re-evaluates against the new snapshot. (BLIND full-key
+    * deletes skip this — they are declared last-writer-wins.) */
+  def validateNoNewData(operation: String, baseFiles: Seq[String])(
+      current: Seq[String]): Unit = {
+    val known = Snapshots.dataFiles(baseFiles).toSet
+    val fresh = Snapshots.dataFiles(current).filterNot(known)
+    if (fresh.nonEmpty)
+      throw new CommitConflictException(
+        s"concurrent commit added ${fresh.size} data file(s) this " +
+          s"$operation did not evaluate its predicate over (e.g. " +
+          s"${fresh.head}) — a newer version of a matched key could be " +
+          "silently deleted; re-run the operation against the new snapshot")
+  }
+
+  // ---- the resolved read (maintenance surface) ----------------------
+
+  /** The RESOLVED rows of a PK snapshot in PHYSICAL names — position
+    * deletes applied, equality deletes applied by sequence, one
+    * version per key — the read key-aware `CALL compact` rewrites.
+    * Column set: the full physical schema (helper columns dropped). */
+  def resolvedRows(spark: SparkSession, tableDir: Path,
+                   snap: Snapshots.Snapshot, pk: PkDef): DataFrame = {
+    import org.apache.spark.sql.functions.{struct, max_by, min_by, lit}
+    val files = snap.files
+    val posDels = Snapshots.deleteFiles(files)
+    val eqDels = eqDeleteFiles(files)
+    val renames = Evolutions.renames(tableDir)
+    val physKeys = pk.keys.map(k => renames.getOrElse(k, k))
+    val hasRoot = Snapshots.dataFiles(files).exists(!_.contains('/'))
+    val bc = seqBroadcastFor(spark, tableDir, snap.seqs)
+    var df = MorDeletes.readDataWithCoords(spark, tableDir, files)
+    df = MorDeletes.applyDeletes(spark, tableDir, df, posDels, hasRoot)
+    df = df.withColumn(SeqCol, seqColumnFor(bc, col(MorDeletes.FileKeyCol)))
+    if (eqDels.nonEmpty) {
+      val ed = readEqDeletes(spark, tableDir, eqDels,
+        keyFileSchema(tableDir, pk.keys), bc)
+      val cond = physKeys.map(k => df(k) === ed(k)).reduce(_ && _) &&
+        df(SeqCol) < ed(DelSeqCol)
+      df = df.join(ed, cond, "left_anti")
+    }
+    val ord = struct(col(SeqCol), col(MorDeletes.FileKeyCol),
+      col(MorDeletes.PosKeyCol))
+    def pick(c: Column): Column =
+      if (pk.firstRow) min_by(c, ord) else max_by(c, ord)
+    val valueCols = df.columns.toSeq
+      .filterNot(c => physKeys.contains(c) || c == SeqCol)
+    val aggCols =
+      if (valueCols.isEmpty) Seq(pick(lit(1)).as("_gpk_d"))
+      else valueCols.map(c => pick(col(c)).as(c))
+    df.groupBy(physKeys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .drop(MorDeletes.FileKeyCol, MorDeletes.PosKeyCol, "_gpk_d")
+  }
+}
+
+/** Broadcast birth-sequence lookup: `seq(basename(fileKey))` — 0 for
+  * unstamped legacy files (they predate every stamped commit, so 0 is
+  * the honest "older than everything" rank). Codegen'd so the lookup
+  * rides inside the scan's whole-stage span like
+  * [[DeleteVectorContains]]. */
+private[catalog] final case class FileSeqLookup(
+    seqs: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long]],
+    fileExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = fileExpr
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  def seqOf(file: org.apache.spark.unsafe.types.UTF8String): Long = {
+    // basename: everything after the last '/' (file keys are
+    // table-relative paths; eq/pos delete file paths are URIs — both
+    // end in the plain basename the manifest seq map keys by)
+    val s = file.toString
+    val i = s.lastIndexOf('/')
+    val b = if (i < 0) s else s.substring(i + 1)
+    val v = seqs.value.get(
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    if (v == null) 0L else v.longValue()
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val f = fileExpr.eval(input)
+    if (f == null) 0L
+    else seqOf(f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("fileSeqLookup", this)
+    val f = fileExpr.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${f.code}
+        long ${ev.value} = ${f.isNull} ? 0L : $ref.seqOf(${f.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(fileExpr = newChild)
+}

@@ -73,9 +73,10 @@ private[catalog] object Snapshots {
   def isDeleteFile(f: String): Boolean =
     f.startsWith(DeleteDirName + "/")
 
-  /** The DATA files of a manifest file list. */
+  /** The DATA files of a manifest file list (position-delete AND
+    * equality-delete files split out — neither carries table rows). */
   def dataFiles(files: Seq[String]): Seq[String] =
-    files.filterNot(isDeleteFile)
+    files.filterNot(f => isDeleteFile(f) || PkTables.isEqDeleteFile(f))
 
   /** The merge-on-read delete files of a manifest file list. */
   def deleteFiles(files: Seq[String]): Seq[String] =
@@ -731,11 +732,23 @@ private[catalog] object Snapshots {
         "added-delete-files" -> deleteFiles(added).size.toLong,
         "removed-delete-files" -> deleteFiles(removed).size.toLong,
         "total-delete-files" -> deleteFiles(files).size.toLong)
+    // equality deletes (PK tables) count separately too
+    val eqKeys =
+      if (PkTables.eqDeleteFiles(files).isEmpty &&
+          PkTables.eqDeleteFiles(prevFiles).isEmpty)
+        Map.empty[String, Long]
+      else Map(
+        "added-eqdelete-files" ->
+          PkTables.eqDeleteFiles(added).size.toLong,
+        "removed-eqdelete-files" ->
+          PkTables.eqDeleteFiles(removed).size.toLong,
+        "total-eqdelete-files" ->
+          PkTables.eqDeleteFiles(files).size.toLong)
     val s = Snapshot(prev.fold(0L)(_.version + 1L),
       System.currentTimeMillis(), files, prev.map(_.version), operation,
       Map("added-data-files" -> dataFiles(added).size.toLong,
         "removed-data-files" -> dataFiles(removed).size.toLong,
-        "total-data-files" -> dataFiles(files).size.toLong) ++ delKeys,
+        "total-data-files" -> dataFiles(files).size.toLong) ++ delKeys ++ eqKeys,
       allStats, segRefs, dropped,
       // the tag ref state carries forward on EVERY commit (the
       // Iceberg refs-in-current-metadata model); tag/untag commits
@@ -1140,6 +1153,91 @@ private[catalog] object Snapshots {
       }
     }
     None // unreachable
+  }
+
+  /** BRANCH-scoped snapshot expiry (the retention half long-lived
+    * audit branches need — main-pinned `expire_snapshots` never walks
+    * a branch sub-log, so its manifest history grew unbounded): drop
+    * all but the `keep` newest DATA commits of branch `name`, always
+    * retaining `b-0` (the fork marker `fast_forward`'s content check
+    * and `branchFork` resolve against). Same protocol as the main
+    * form: an `expire` commit ON THE BRANCH records the dropped list
+    * commit-atomically, then the dropped branch manifests delete and
+    * files/segments referenced by NO retained manifest anywhere (main
+    * AND every branch — shared fork content always survives) GC.
+    * Returns the dropped branch versions (empty = no-op). */
+  def commitExpireBranch(tableDir: Path, name: String,
+                         keep: Int): Seq[Long] = {
+    require(keep >= 1, "expire_branch: keep must be >= 1")
+    val bd = branchDir(tableDir, name)
+    if (!Files.isDirectory(bd)) throw new IllegalArgumentException(
+      s"expire_branch: no branch '$name' " +
+        s"(branches: ${branches(tableDir).mkString(",")})")
+    val refOps = Set("tag", "untag", "expire")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versionsIn(bd)
+      val prev = vs.lastOption.flatMap(readIn(tableDir, bd, _))
+      val metas: Map[Long, Option[Snapshot]] =
+        vs.map(v => v -> readMetaIn(bd, v)).toMap
+      // b-0 is the FORK MARKER, never a data commit to expire
+      val dataVs = vs.filter(v => v != 0L &&
+        metas(v).forall(s => !refOps(s.operation)))
+      val cutoff = dataVs.takeRight(keep).headOption
+        .getOrElse(Long.MinValue)
+      val retained = vs.filter(v => v == 0L || v >= cutoff)
+      val dropped = vs.filterNot(retained.contains)
+      if (dropped.isEmpty) return Seq.empty
+      val (snap, newSegs) = compose(tableDir, prev,
+        prev.fold(Seq.empty[String])(_.files), "expire", Map.empty, dropped)
+      if (tryPublishIn(tableDir, bd, snap, newSegs)) {
+        gcAfterExpireBranch(tableDir, bd, name, dropped)
+        return dropped
+      }
+      if (attempt >= MaxAttempts) throw new CommitConflictException(
+        s"$tableDir: lost the commit race $MaxAttempts times " +
+          "(operation=expire_branch) — re-run")
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(1L, 5L * attempt))
+    }
+    Seq.empty // unreachable
+  }
+
+  /** Post-commit branch-expire cleanup — the branch twin of
+    * [[gcAfterExpire]]: delete the dropped BRANCH manifests, then GC
+    * exactly `droppedRefs − retained` where the retained reachability
+    * set spans main AND every branch (content the branch shares with
+    * the fork, or that another ref still reads, always survives). */
+  private def gcAfterExpireBranch(tableDir: Path, bd: Path, name: String,
+                                  dropped: Seq[Long]): Unit = {
+    val droppedSnaps = dropped.flatMap(readIn(tableDir, bd, _))
+    val droppedRefs = droppedSnaps.flatMap(_.files).toSet
+    val droppedSegs = droppedSnaps.flatMap(_.segments).toSet
+    dropped.foreach(v => Files.deleteIfExists(bd.resolve(s"s-$v.json")))
+    val live = referencedFiles(tableDir)
+    droppedRefs.diff(live).toSeq.sorted
+      .map(Paths.get(_))
+      .foreach { rel =>
+        Files.deleteIfExists(tableDir.resolve(rel))
+        val crc = tableDir.resolve(rel).resolveSibling(
+          "." + rel.getFileName.toString + ".crc")
+        Files.deleteIfExists(crc)
+      }
+    val liveSegs = referencedSegments(tableDir)
+    droppedSegs.diff(liveSegs).foreach { ref =>
+      Files.deleteIfExists(dir(tableDir).resolve(ref)); ()
+    }
+    leafDirsOf(droppedRefs.toSeq).map(tableDir.resolve).foreach { d =>
+      var cur = d
+      while (cur != tableDir && Files.isDirectory(cur) && {
+        val s = Files.list(cur)
+        try !s.iterator().hasNext finally s.close()
+      }) {
+        Files.delete(cur)
+        cur = cur.getParent
+      }
+    }
   }
 
   /** Was `v` scheduled for removal by a still-retained `expire`

@@ -874,7 +874,8 @@ object Bucketing2 {
     graft.catalog.MaterializedView.create(spark,
       s"$cat.m.orders_mvagg", s"$cat.m.orders_mvsrc",
       keys = Seq("k"), groupBy = Seq("o_orderpriority"),
-      aggs = Seq("cents" -> "sum", "cents" -> "count"))
+      aggs = Seq("cents" -> "sum", "cents" -> "count",
+        "cents" -> "min", "cents" -> "max"))
     // source DML after the MV materialized
     base.filter(pmod(col("k"), lit(17)) === 0)
       .withColumn("k", col("k") + lit(100000000L))
@@ -890,6 +891,12 @@ object Bucketing2 {
       .select(col("o_orderpriority"),
         col("sum_cents").cast("bigint").as("sum_cents"),
         col("count_cents").cast("bigint").as("count_cents"),
+        // min/max maintained incrementally too (r15): the DELETE
+        // retracts rows — whole groups recompute their extrema; the
+        // UPDATE moves values — both paths hash against the oracle's
+        // full recompute
+        col("min_cents").cast("bigint").as("min_cents"),
+        col("max_cents").cast("bigint").as("max_cents"),
         col(graft.catalog.MaterializedView.RowsCol).cast("bigint")
           .as("mv_rows"))
       .orderBy("o_orderpriority")

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Driver-facing lifecycles for PRIMARY-KEY lake tables
+  * ([[graft.catalog.PkTables]] — the reference's staging tables are
+  * PK tables with `'bucket.num'='4'`, `flink-cdc/sql/tickets-cdc.sql:
+  * 23-37`, sunk to Paimon as `'merge-engine'='deduplicate'`,
+  * `flink-gen.sh:118-142`). Each returns a census a DuckDB oracle
+  * re-derives from the RAW parquet with pure CASE/filter algebra, so
+  * the whole upsert → blind delete → predicate delete → revive →
+  * compact story is hash-verified end-to-end. */
+object PkLake {
+
+  /** PK-table lifecycle census: blind-append upserts across three
+    * commits (later commit wins per key), a BLIND full-key equality
+    * delete (zero rows read), a PREDICATE delete evaluated over the
+    * RESOLVED rows (delta plan → equality-delete files), a REVIVING
+    * re-insert (later sequence beats the delete), then a KEY-AWARE
+    * `CALL compact` — the census per status hashes identically before
+    * and after the compact (content-neutral materialization). */
+  def pkTableCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepk"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pk (
+         |  k BIGINT NOT NULL, status STRING, cents BIGINT, pr STRING)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+         |  'merge-engine'='deduplicate')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority").as("pr"))
+    // seq 1: the full base — then blind-append UPSERTS (no reads)
+    base.write.mode("append").insertInto(s"$cat.m.orders_pk")
+    // seq 2: every %3 key gets a new version
+    base.filter(col("k") % 3 === 0)
+      .withColumn("status", lit("U2"))
+      .withColumn("cents", col("cents") + 1000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pk")
+    // seq 3: every %5 key shadows again (beats seq 2 on %15 keys)
+    base.filter(col("k") % 5 === 0)
+      .withColumn("status", lit("U3"))
+      .withColumn("cents", col("cents") + 2000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pk")
+    // seq 4: BLIND key delete — one equality-delete row, zero reads
+    val kMin = base.agg(min("k")).head().getLong(0)
+    spark.sql(
+      s"DELETE FROM $cat.m.orders_pk WHERE k = CAST($kMin AS BIGINT)")
+    // seq 5: PREDICATE delete over the RESOLVED rows (delta plan)
+    spark.sql(s"DELETE FROM $cat.m.orders_pk WHERE k % 7 = 0")
+    // seq 6: REVIVE every %35 key (a later sequence beats the delete)
+    base.filter(col("k") % 35 === 0)
+      .withColumn("status", lit("R4"))
+      .withColumn("cents", col("cents") + 3000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pk")
+    def census(stage: String): DataFrame =
+      spark.table(s"$cat.m.orders_pk")
+        .groupBy("status")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cents")).cast("bigint").as("cents"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "status", "n", "cents")
+    val pre = census("pre_compact")
+    // KEY-AWARE compact: resolves latest-per-key as it rewrites,
+    // drops the equality-delete files, stamps the compacted sequence
+    // (post-compact scans skip the dedup aggregate entirely)
+    val preRows = pre.collect().toSeq // materialize BEFORE the rewrite
+    spark.sql(s"CALL $cat.system.compact('m.orders_pk', 2)")
+    val post = census("post_compact")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(preRows), pre.schema)
+      .unionByName(post)
+      .orderBy("stage", "status")
+  }
+
+  /** CDC-style `MERGE INTO` a PK table: matched-and-negative DELETE,
+    * matched UPDATE (over the RESOLVED row values — one key is
+    * shadowed first to prove it), not-matched INSERT — ONE commit of
+    * appends + equality deletes, zero data files rewritten. */
+  def pkMergeCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepkm"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pkm (
+         |  k BIGINT NOT NULL, status STRING, cents BIGINT)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_pkm")
+    // shadow every %4 key first: the MERGE's UPDATE must read the
+    // RESOLVED (shadowed) value, not the seq-1 original
+    base.filter(col("k") % 4 === 0)
+      .withColumn("cents", col("cents") + 10000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pkm")
+    // CDC batch: %2 keys matched (delete the %10s, update the rest);
+    // negated keys are fresh inserts
+    base.filter(col("k") % 2 === 0)
+      .select(col("k").as("mk"), col("cents").as("mcents"))
+      .unionByName(
+        base.filter(col("k") % 9 === 0)
+          // -(k+1): always strictly negative (key 0 exists in the
+          // fixtures — a bare -k would collide with the matched branch)
+          .select((-(col("k") + 1L)).as("mk"), col("cents").as("mcents")))
+      .createOrReplaceTempView("pk_cdc_batch")
+    spark.sql(
+      s"""MERGE INTO $cat.m.orders_pkm t USING pk_cdc_batch s ON t.k = s.mk
+         |WHEN MATCHED AND s.mk % 10 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET cents = t.cents + 500
+         |WHEN NOT MATCHED THEN INSERT (k, status, cents)
+         |  VALUES (s.mk, 'NEW', s.mcents)""".stripMargin)
+    spark.table(s"$cat.m.orders_pkm")
+      .groupBy("status")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("cents")).cast("bigint").as("cents"),
+        min(col("k")).cast("bigint").as("min_k"))
+      .orderBy("status")
+  }
+
+  /** `MERGE INTO … WITH SCHEMA EVOLUTION` end-to-end on a versioned
+    * lake table: the source carries a NEW `discount` column — the
+    * analyzer evolves the target metadata-only (ADD COLUMN) and the
+    * merge populates it; untouched rows read NULL. The CDC
+    * schema-drift scenario (reference `flink-gen.sh:58-90`). */
+  def mergeEvolveCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakemev"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    // bucket-partitioned: evolution APPENDS the new column (identity-
+    // partitioned targets keep trailing partition cols, which limits
+    // evolving merges to UPDATE-only actions — MergeEvolutionSpec)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_me (
+         |  k BIGINT, status STRING, cents BIGINT, pr STRING)
+         |PARTITIONED BY (bucket(8, k))
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority").as("pr"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_me")
+    // the drifted CDC batch: a discount column the table never had
+    base.filter(col("k") % 3 === 0)
+      .select(col("k").as("mk"), col("cents").as("mcents"),
+        (col("k") % 97L).as("discount"), col("pr").as("mpr"))
+      .unionByName(
+        base.filter(col("k") % 11 === 0)
+          .select((-(col("k") + 1L)).as("mk"), col("cents").as("mcents"),
+            (col("k") % 97L).as("discount"), col("pr").as("mpr")))
+      .createOrReplaceTempView("me_cdc_batch")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.m.orders_me t
+         |USING me_cdc_batch s ON t.k = s.mk
+         |WHEN MATCHED THEN UPDATE SET cents = t.cents - s.discount,
+         |  discount = s.discount
+         |WHEN NOT MATCHED THEN INSERT (k, status, cents, pr, discount)
+         |  VALUES (s.mk, 'NEW', s.mcents, s.mpr, s.discount)""".stripMargin)
+    spark.table(s"$cat.m.orders_me")
+      .groupBy("pr")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("cents")).cast("bigint").as("cents"),
+        sum(coalesce(col("discount"), lit(0L))).cast("bigint")
+          .as("discount_total"),
+        count(col("discount")).cast("bigint").as("n_discounted"))
+      .withColumnRenamed("pr", "o_orderpriority")
+      .orderBy("o_orderpriority")
+  }
+}
+
+/** r15 lake-lifecycle censuses that are not PK-specific. */
+object LakeBranches {
+  import org.apache.spark.sql.functions._
+
+  /** Branch retention end-to-end: three audits staged on a branch,
+    * `CALL expire_branch(keep=1)` drops the middle history (fork
+    * marker + head retained, dropped-only files GC'd), the branch
+    * stays readable and `fast_forward` still publishes — raw,
+    * published, and the dropped count all oracle-derivable. */
+  def branchRetentionCensus(documents: org.apache.spark.sql.DataFrame,
+                            workDir: String): org.apache.spark.sql.DataFrame = {
+    val spark = documents.sparkSession
+    val cat = "glakebre"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.docs_bre (
+         |  doc_id BIGINT, lang STRING, n_chars BIGINT, source STRING)
+         |PARTITIONED BY (source)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    documents.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("source"))
+      .write.mode("append").insertInto(s"$cat.m.docs_bre") // s-1
+    spark.sql(s"CALL $cat.system.branch('m.docs_bre', 'audit')")
+    spark.conf.set("graft.write.branch", "audit")
+    try {
+      spark.sql(s"DELETE FROM $cat.m.docs_bre WHERE n_chars < 200")   // b-1
+      spark.sql(s"DELETE FROM $cat.m.docs_bre WHERE doc_id % 3 = 0")  // b-2
+      spark.sql(s"DELETE FROM $cat.m.docs_bre WHERE n_chars > 20000") // b-3
+    } finally spark.conf.unset("graft.write.branch")
+    spark.catalog.clearCache()
+    val dropped = spark.sql(
+      s"CALL $cat.system.expire_branch('m.docs_bre', 'audit', 1)")
+      .head().getLong(0)
+    // publish the (expired, still-intact) branch head onto main
+    spark.sql(s"CALL $cat.system.fast_forward('m.docs_bre', 'audit')")
+    spark.catalog.clearCache()
+    val raw = spark.sql(
+      s"""SELECT source, count(*) AS n_raw
+         |FROM $cat.m.docs_bre VERSION AS OF 1 GROUP BY 1""".stripMargin)
+    val pub = spark.sql(
+      s"""SELECT source, count(*) AS n_published,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_published
+         |FROM $cat.m.docs_bre GROUP BY 1""".stripMargin)
+    raw.join(pub, Seq("source"), "left")
+      .select(col("source"),
+        col("n_raw").cast("bigint").as("n_raw"),
+        coalesce(col("n_published"), lit(0L)).cast("bigint")
+          .as("n_published"),
+        coalesce(col("chars_published"), lit(0L)).cast("bigint")
+          .as("chars_published"),
+        lit(dropped).cast("bigint").as("n_dropped"))
+      .orderBy("source")
+  }
+}

@@ -13,6 +13,15 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** A DataFrame over an already-built logical plan (`Dataset.ofRows`
+    * is `private[sql]`) — the handle connector-side optimizer rules
+    * need to compose DataFrame-level operators (aggregates, windows)
+    * onto a spliced subtree. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Re-tag a derived batch DataFrame as a STREAMING frame — the V1
     * streaming `Source.getBatch` contract (MicroBatchExecution asserts
     * `isStreaming` on the returned plan). `toRdd` is lazy, so the

@@ -141,6 +141,52 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("min/max aggregates: monotonic fast path on inserts, RECOMPUTE on retract, sum-preserving swaps still move the extrema") {
+    withLake("mm") { (cat, lake) =>
+      mkSource(cat) // (1,a,10),(2,a,20),(3,b,5),(4,c,7)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        Seq("k"), Seq("grp"),
+        Seq("x" -> "sum", "x" -> "min", "x" -> "max"))
+      def mvNow() = spark.table(s"$cat.m.agg")
+        .select("grp", "sum_x", "min_x", "max_x")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      def recomputeNow() = spark.sql(
+        s"SELECT grp, sum(x), min(x), max(x) FROM $cat.m.src GROUP BY grp")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // INSERT-only: the monotonic fast path (new max for a, min for b)
+      Seq((5L, "a", 99L), (6L, "b", 1L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src")
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(mvNow() == recomputeNow())
+      assert(mvNow().find(_._1 == "a").get._4 == 99L)
+      // RETRACT the current max of a — only recomputation can fix it
+      spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+      try spark.sql(s"DELETE FROM $cat.m.src WHERE k = 5")
+      finally spark.conf.unset(MorDeletes.ModeConf)
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(mvNow() == recomputeNow())
+      assert(mvNow().find(_._1 == "a").get._4 == 20L, "max retracted back")
+      // SUM-PRESERVING swap inside one refresh window: a = {10, 20} →
+      // {25, 5} — net sum delta ZERO, extrema both move (the
+      // zero-delta group filter must not skip it)
+      spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+      try {
+        spark.sql(s"UPDATE $cat.m.src SET x = 25 WHERE k = 1")
+        spark.sql(s"UPDATE $cat.m.src SET x = 5 WHERE k = 2")
+      } finally spark.conf.unset(MorDeletes.ModeConf)
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(mvNow() == recomputeNow())
+      assert(mvNow().find(_._1 == "a").get == (("a", 30L, 5L, 25L)))
+      // group death still deletes the MV row
+      spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+      try spark.sql(s"DELETE FROM $cat.m.src WHERE grp = 'c'")
+      finally spark.conf.unset(MorDeletes.ModeConf)
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(mvNow() == recomputeNow())
+      assert(!mvNow().exists(_._1 == "c"))
+    }
+  }
+
   test("the refresh MERGE touches only changed groups") {
     withLake("b") { (cat, lake) =>
       mkSource(cat)
