@@ -939,10 +939,14 @@ private[catalog] object LakeProcedures {
                   // published but never committed (the _graft_deletes
                   // dir has no `col=value` segments, so the data walk
                   // above never sees it)
-                  val delDir = tableDir.resolve(Snapshots.DeleteDirName)
-                  val delOrphans =
-                    if (!Files.isDirectory(delDir)) Seq.empty[Path]
-                    else {
+                  // both delete families live outside the col=value
+                  // walk: position deletes under _graft_deletes/,
+                  // equality deletes (PK tables) under _graft_eqdeletes/
+                  val delOrphans = Seq(Snapshots.DeleteDirName,
+                      PkTables.EqDeleteDirName)
+                    .map(tableDir.resolve)
+                    .filter(Files.isDirectory(_))
+                    .flatMap { delDir =>
                       // RECURSIVE: delete files land partition-scoped
                       // under `_gmor_tdir=<dir>/` subdirectories
                       val s = Files.walk(delDir)

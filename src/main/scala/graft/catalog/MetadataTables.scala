@@ -183,7 +183,9 @@ private[catalog] object MetadataTables {
           stats.get(p.getFileName.toString).flatMap(_.rows)
             .map(Long.box).orNull,
           UTF8String.fromString(
-            if (Snapshots.isDeleteFile(rel)) "delete" else "data"),
+            if (Snapshots.isDeleteFile(rel)) "delete"
+            else if (PkTables.isEqDeleteFile(rel)) "eqdelete"
+            else "data"),
           seqs.get(p.getFileName.toString).map(Long.box).orNull)
       }.toArray
     })

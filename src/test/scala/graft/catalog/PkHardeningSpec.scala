@@ -1,0 +1,185 @@
+package graft.catalog
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+
+/** PRIMARY-KEY table hardening: concurrency, WAP staging, GC, and the
+  * streaming-upsert composition.
+  *
+  *  - a delete-carrying MERGE racing a concurrent blind append either
+  *    CONFLICTS LOUDLY or both land in some serial order — never a
+  *    silent lost update;
+  *  - PK writes stage on a WAP branch (appends AND equality deletes),
+  *    main stays isolated until fast_forward;
+  *  - compact + expire garbage-collect equality-delete files exactly
+  *    when no retained manifest references them; vacuum collects
+  *    orphaned (never-committed) ones;
+  *  - `db.t.files` labels equality deletes and stamps their birth seq;
+  *  - a streamed append (foreachBatch upsert ingest) into a PK table
+  *    resolves latest-per-key like any other blind append. */
+class PkHardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withLake(tag: String)(body: (String, Path) => Unit): Unit = {
+    val lake = Files.createTempDirectory(s"graft-pkh-$tag")
+    Files.createDirectories(lake.resolve("m"))
+    val cat = s"pkh$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake.toString)
+    try body(cat, lake)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.path")
+      spark.conf.unset("graft.write.branch")
+    }
+  }
+
+  private def mkTable(cat: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE $cat.m.t (k BIGINT NOT NULL, v STRING, amt BIGINT)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')""".stripMargin)
+
+  private def rows(cat: String): Seq[(Long, String, Long)] =
+    spark.table(s"$cat.m.t").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+
+  test("a delete-carrying MERGE racing a blind append conflicts loudly or both land — never a silent lost update") {
+    withLake("r") { (cat, _) =>
+      mkTable(cat)
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "amt").write.mode("append").insertInto(s"$cat.m.t")
+      Seq((2L, 0L)).toDF("mk", "x").createOrReplaceTempView("pkh_src")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val merge = scala.concurrent.Future {
+          spark.sql(
+            s"""MERGE INTO $cat.m.t t USING pkh_src s ON t.k = s.mk
+               |WHEN MATCHED THEN DELETE""".stripMargin)
+        }
+        val append = scala.concurrent.Future {
+          Seq((99L, "new", 99L)).toDF("k", "v", "amt")
+            .write.mode("append").insertInto(s"$cat.m.t")
+        }
+        scala.concurrent.Await.ready(append,
+          scala.concurrent.duration.Duration(120, "s"))
+        val mergeOutcome = scala.concurrent.Await.ready(merge,
+          scala.concurrent.duration.Duration(120, "s")).value.get
+        spark.catalog.clearCache()
+        val got = rows(cat)
+        mergeOutcome match {
+          case scala.util.Success(_) =>
+            // both landed (merge validated against a base that already
+            // included — or never saw a change to — the append)
+            assert(got == Seq((1L, "a", 10L), (3L, "c", 30L),
+              (99L, "new", 99L)), got)
+          case scala.util.Failure(e) =>
+            def chain(t: Throwable): Seq[Throwable] =
+              if (t == null) Seq.empty else t +: chain(t.getCause)
+            assert(chain(e).exists(c =>
+              c.isInstanceOf[CommitConflictException] ||
+                Option(c.getMessage).exists(_.contains("concurrent"))),
+              s"not a loud conflict: $e")
+            assert(got == Seq((1L, "a", 10L), (2L, "b", 20L),
+              (3L, "c", 30L), (99L, "new", 99L)),
+              s"conflicted merge must leave the table un-merged: $got")
+        }
+      } finally pool.shutdown()
+    }
+  }
+
+  test("PK writes stage on a WAP branch (appends AND equality deletes); fast_forward publishes the resolved state") {
+    withLake("w") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.sql(s"CALL $cat.system.branch('m.t', 'staging')")
+      spark.conf.set("graft.write.branch", "staging")
+      try {
+        Seq((1L, "a2", 11L)).toDF("k", "v", "amt")
+          .write.mode("append").insertInto(s"$cat.m.t") // staged upsert
+        spark.sql(s"DELETE FROM $cat.m.t WHERE k = 2")  // staged eq-delete
+      } finally spark.conf.unset("graft.write.branch")
+      spark.catalog.clearCache()
+      // main never saw the staged writes
+      assert(rows(cat) == Seq((1L, "a", 10L), (2L, "b", 20L)))
+      assert(PkTables.eqDeleteFiles(Snapshots.latest(dir).get.files).isEmpty)
+      // the staged branch read resolves the upsert AND the delete
+      assert(spark.sql(
+        s"SELECT k, v, amt FROM $cat.m.t VERSION AS OF 'staging'")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a2", 11L)))
+      spark.sql(s"CALL $cat.system.fast_forward('m.t', 'staging')")
+      spark.catalog.clearCache()
+      assert(rows(cat) == Seq((1L, "a2", 11L)))
+    }
+  }
+
+  test("compact + expire GC equality-delete files; .files labels them with their birth seq; vacuum collects orphans") {
+    withLake("g") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t") // seq 1
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = 1")  // seq 2 (eq file)
+      val eqRel = PkTables.eqDeleteFiles(Snapshots.latest(dir).get.files).head
+      // metadata table: the eq file is a labeled snapshot member with
+      // its birth sequence
+      val fr = spark.table(s"$cat.m.t.files")
+        .select("file", "kind", "committed_seq")
+        .as[(String, String, Option[Long])].collect()
+        .find(_._1 == eqRel).get
+      assert(fr._2 == "eqdelete" && fr._3.contains(2L), fr)
+      // compact materializes; the eq file stays on disk for time
+      // travel until expire drops the manifests that reference it
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      assert(Files.exists(dir.resolve(eqRel)))
+      spark.sql(s"CALL $cat.system.expire_snapshots('m.t', 1)")
+      assert(!Files.exists(dir.resolve(eqRel)),
+        "expire GCs the unreferenced equality-delete file")
+      assert(rows(cat) == Seq((2L, "b", 20L)))
+      // vacuum: an orphaned (never-committed) eq file dies too
+      val stray = dir.resolve(PkTables.EqDeleteDirName)
+        .resolve("eqdelete-orphan.parquet")
+      Files.createDirectories(stray.getParent)
+      Files.writeString(stray, "not really parquet")
+      spark.sql(s"CALL $cat.system.vacuum('m.t', 0)")
+      assert(!Files.exists(stray), "vacuum collects orphaned eq files")
+      assert(rows(cat) == Seq((2L, "b", 20L)))
+    }
+  }
+
+  test("a streamed foreachBatch upsert ingest into a PK table resolves latest-per-key") {
+    withLake("s") { (cat, _) =>
+      mkTable(cat)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val mem = MemoryStream[(Long, String, Long)]
+      val q = mem.toDF().toDF("k", "v", "amt")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the PK-table CDC sink IS a blind append — no merge job
+          batch.write.mode("append").insertInto(s"$cat.m.t")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      mem.addData((1L, "a", 1L), (2L, "b", 2L))
+      q.processAllAvailable(); q.stop()
+      val q2 = mem.toDF().toDF("k", "v", "amt")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").insertInto(s"$cat.m.t")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      mem.addData((1L, "a2", 11L), (3L, "c", 3L))
+      q2.processAllAvailable(); q2.stop()
+      assert(rows(cat) == Seq((1L, "a2", 11L), (2L, "b", 2L),
+        (3L, "c", 3L)))
+    }
+  }
+}
