@@ -1100,6 +1100,15 @@ object SparkEntry {
       graft.operators.PkLake.pkMergeCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pkmlake")),
+    // Resolved PK-table changelog (r15, the Paimon changelog-producer
+    // surface): the keyed diff of two resolved snapshots — updates
+    // carry before/after, deletes before, inserts after; shadowed
+    // intermediate versions never leak (the file-level feed refuses
+    // PK tables; PkHardeningSpec pins the c/u/d shapes).
+    "q_pk_changes" -> ((s, dir) =>
+      graft.operators.PkLake.pkChangesCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pkclake")),
     // MERGE WITH SCHEMA EVOLUTION (r15, Spark 4's clause via the
     // AUTOMATIC_SCHEMA_EVOLUTION capability): the source carries a
     // NEW column — metadata-only ADD COLUMN composes with the MERGE
@@ -5609,6 +5618,28 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents,
         |  CAST(min(k) AS BIGINT) AS min_k
         |FROM after_merge GROUP BY status ORDER BY status""".stripMargin,
+
+    // Resolved PK changelog: endpoint diff — %7 keys deleted (before
+    // = the ORIGINAL v1 values, the shadowed %21 updates never leak),
+    // %3-not-%7 updated, negative %9 keys inserted.
+    "q_pk_changes" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |ch AS (
+        |  SELECT 'd' AS op, c AS bc, CAST(NULL AS BIGINT) AS ac
+        |    FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT 'u' AS op, c AS bc, c + 1000 AS ac
+        |    FROM base WHERE k % 3 = 0 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'c' AS op, CAST(NULL AS BIGINT) AS bc, c AS ac
+        |    FROM base WHERE k % 9 = 0)
+        |SELECT op, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(COALESCE(bc, 0)) AS BIGINT) AS before_cents,
+        |  CAST(sum(COALESCE(ac, 0)) AS BIGINT) AS after_cents
+        |FROM ch GROUP BY op ORDER BY op""".stripMargin,
 
     // Schema-evolving MERGE: matched %3 keys discounted and stamped,
     // %11 keys inserted under new negative keys with the new column.

@@ -178,6 +178,61 @@ object Catalog {
     graft.streaming.ChangeFeed.tableChanges(store, from, to, keys)
   }
 
+  /** The RESOLVED changelog of a PRIMARY-KEY lake table between two
+    * snapshots — what Paimon's changelog producer emits, derived here
+    * as the KEYED DIFF of the two resolved states (each read resolves
+    * latest-per-key through the ordinary scan rewrite, so equality
+    * deletes, shadowing, and compaction are all already applied):
+    * `op` = c (key only in `to`), d (key only in `from`), u (present
+    * in both with ANY column differing — before/after carried).
+    * Identical keys drop. This is the PK-table replacement for the
+    * file-level [[readTableChanges]] (which refuses PK tables — raw
+    * appends would expose every shadowed version): O(two snapshots +
+    * one bucket-colocated join by key), the full-compaction-changelog
+    * cost profile, correct at any distance between the versions. */
+  def readPkTableChanges(spark: SparkSession, ref: String,
+                         from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => co, col, lit, struct, when}
+    val parts = ref.split('.')
+    require(parts.length == 3, s"expected cat.db.table, got '$ref'")
+    val root = Option(spark.conf.get(s"spark.sql.catalog.${parts(0)}.path", null))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '${parts(0)}' is not configured in this session"))
+    val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
+    val pk = PkTables.read(dir).getOrElse(throw new IllegalArgumentException(
+      s"'$ref' is not a PRIMARY-KEY table — use readTableChanges for " +
+        "the file-level feed"))
+    require(from <= to, s"from=$from must be <= to=$to")
+    val a = spark.sql(s"SELECT * FROM $ref VERSION AS OF $from")
+    val b = spark.sql(s"SELECT * FROM $ref VERSION AS OF $to")
+    val cols = a.columns.toSeq
+    val keyCols = pk.keys
+    val aa = a.select(cols.map(c => col(c).as(s"__a_$c")): _*)
+    val bb = b.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+    // keys are NOT NULL by construction: plain equi-join, which the
+    // bucket-by-key layout co-locates
+    val joined = aa.join(bb,
+      keyCols.map(k => aa(s"__a_$k") === bb(s"__b_$k")).reduce(_ && _),
+      "full_outer")
+    val aKey = co(keyCols.map(k => col(s"__a_$k").isNotNull)
+      .reduce(_ && _), lit(false))
+    val bKey = co(keyCols.map(k => col(s"__b_$k").isNotNull)
+      .reduce(_ && _), lit(false))
+    val changed = cols.map(c =>
+      !(col(s"__a_$c") <=> col(s"__b_$c"))).reduce(_ || _)
+    val before = struct(cols.map(c => col(s"__a_$c").as(c)): _*)
+    val after = struct(cols.map(c => col(s"__b_$c").as(c)): _*)
+    joined
+      .withColumn("op",
+        when(!aKey, lit(graft.cdc.ChangeEvent.OpCreate))
+          .when(!bKey, lit(graft.cdc.ChangeEvent.OpDelete))
+          .when(changed, lit(graft.cdc.ChangeEvent.OpUpdate)))
+      .filter(col("op").isNotNull) // identical keys drop
+      .select(col("op"),
+        when(aKey, before).as("before"),
+        when(bKey, after).as("after"))
+  }
+
   /** logical → physical column renames from a table's evolution
     * sidecar; empty when absent ([[Evolutions.renames]] — the shared
     * parser, so readers can never drift). */

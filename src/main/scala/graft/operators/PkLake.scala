@@ -129,6 +129,47 @@ object PkLake {
       .orderBy("status")
   }
 
+  /** RESOLVED changelog of a PK table ([[graft.catalog.Catalog
+    * .readPkTableChanges]] — the Paimon changelog-producer surface):
+    * the keyed diff of two resolved snapshots — updates carry
+    * before/after, deletes only before, inserts only after; shadowed
+    * intermediate versions never leak. */
+  def pkChangesCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepkc"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pkc (
+         |  k BIGINT NOT NULL, status STRING, cents BIGINT)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_pkc")       // v1
+    base.filter(col("k") % 3 === 0)
+      .withColumn("status", lit("U2"))
+      .withColumn("cents", col("cents") + 1000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pkc")         // v2
+    spark.sql(s"DELETE FROM $cat.m.orders_pkc WHERE k % 7 = 0")      // v3
+    base.filter(col("k") % 9 === 0)
+      .select((-(col("k") + 1L)).as("k"), lit("NEW").as("status"),
+        col("cents"))
+      .write.mode("append").insertInto(s"$cat.m.orders_pkc")         // v4
+    graft.catalog.Catalog
+      .readPkTableChanges(spark, s"$cat.m.orders_pkc", 1L, 4L)
+      .groupBy("op")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(coalesce(col("before.cents"), lit(0L))).cast("bigint")
+          .as("before_cents"),
+        sum(coalesce(col("after.cents"), lit(0L))).cast("bigint")
+          .as("after_cents"))
+      .orderBy("op")
+  }
+
   /** `MERGE INTO … WITH SCHEMA EVOLUTION` end-to-end on a versioned
     * lake table: the source carries a NEW `discount` column — the
     * analyzer evolves the target metadata-only (ADD COLUMN) and the

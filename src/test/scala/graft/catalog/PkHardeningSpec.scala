@@ -182,4 +182,37 @@ class PkHardeningSpec extends SparkSpec {
         (3L, "c", 3L)))
     }
   }
+
+  test("readPkTableChanges emits the RESOLVED keyed diff (c/u/d) between two snapshots; identical keys drop") {
+    withLake("c") { (cat, _) =>
+      mkTable(cat)
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "amt").write.mode("append").insertInto(s"$cat.m.t") // v1
+      Seq((2L, "b2", 21L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")                       // v2
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = 3")                        // v3
+      Seq((4L, "d", 40L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")                       // v4
+      val ch = Catalog.readPkTableChanges(spark, s"$cat.m.t", 1L, 4L)
+        .selectExpr("op", "before.k AS bk", "before.v AS bv",
+          "after.k AS ak", "after.v AS av")
+        .as[(String, Option[Long], Option[String], Option[Long], Option[String])]
+        .collect().sortBy(r => (r._1, r._2.orElse(r._4))).toSeq
+      assert(ch == Seq(
+        ("c", None, None, Some(4L), Some("d")),
+        ("d", Some(3L), Some("c"), None, None),
+        ("u", Some(2L), Some("b"), Some(2L), Some("b2"))), ch)
+      // same version: empty; untouched key 1 never appears
+      assert(Catalog.readPkTableChanges(spark, s"$cat.m.t", 4L, 4L)
+        .count() == 0L)
+      // non-PK tables route to the file-level feed
+      spark.sql(
+        s"""CREATE TABLE $cat.m.plain (k BIGINT, v STRING)
+           |PARTITIONED BY (bucket(2, k))
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val e = intercept[IllegalArgumentException](
+        Catalog.readPkTableChanges(spark, s"$cat.m.plain", 0L, 0L))
+      assert(e.getMessage.contains("not a PRIMARY-KEY"), e.getMessage)
+    }
+  }
 }
