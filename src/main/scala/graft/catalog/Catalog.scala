@@ -158,14 +158,11 @@ object Catalog {
         s"catalog '${parts(0)}' is not configured in this session"))
     val dir = java.nio.file.Paths.get(root, parts(1), s"${parts(2)}.parquet")
     require(java.nio.file.Files.exists(dir), s"no such table '$ref'")
-    // PK tables: the file-level feed would emit PHYSICAL appends —
-    // every shadowed key version, no retractions for overwritten
-    // ones. Loud, never silently wrong; the resolved changelog is the
-    // query-level surface (graft.cdc.Upsert over the resolved reads).
-    require(PkTables.read(dir).isEmpty,
-      s"'$ref' is a PRIMARY-KEY table ('merge-engine') — its change " +
-        "feed would expose raw shadowed key versions; read the " +
-        "resolved table (plain SELECT) or diff two VERSION AS OF reads")
+    // PRIMARY-KEY tables: the feed is the RESOLVED changelog —
+    // ManifestSnapshotReads.read(v) resolves latest-per-key, so each
+    // version's diff carries c/u/d over resolved states and shadowed
+    // versions never leak (Paimon's changelog-producer semantics; the
+    // endpoint-diff twin is [[readPkTableChanges]]).
     val store: graft.streaming.SnapshotReads =
       if (Snapshots.isVersioned(dir))
         ManifestSnapshotReads(spark, dir.toString, branch)
@@ -185,11 +182,12 @@ object Catalog {
     * deletes, shadowing, and compaction are all already applied):
     * `op` = c (key only in `to`), d (key only in `from`), u (present
     * in both with ANY column differing — before/after carried).
-    * Identical keys drop. This is the PK-table replacement for the
-    * file-level [[readTableChanges]] (which refuses PK tables — raw
-    * appends would expose every shadowed version): O(two snapshots +
-    * one bucket-colocated join by key), the full-compaction-changelog
-    * cost profile, correct at any distance between the versions. */
+    * Identical keys drop. This is the ENDPOINT-diff twin of
+    * [[readTableChanges]] (which on PK tables emits the resolved
+    * changelog PER VERSION — trigger-slicing-neutral, what the
+    * streaming source needs): O(two snapshots + one bucket-colocated
+    * join by key) regardless of how many versions lie between — the
+    * cheaper form over wide ranges. */
   def readPkTableChanges(spark: SparkSession, ref: String,
                          from: Long, to: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce => co, col, lit, struct, when}

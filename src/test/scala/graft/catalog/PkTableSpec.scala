@@ -286,18 +286,30 @@ class PkTableSpec extends SparkSpec {
     }
   }
 
-  test("change feed and incremental MV refuse PK tables loudly") {
+  test("the change feed over a PK table is the RESOLVED changelog; an incremental MV over a PK source folds it correctly") {
     withLake("k") { (cat, _) =>
       mkTable(cat)
-      Seq((1L, "a", 10L)).toDF("k", "v", "amt")
-        .write.mode("append").insertInto(s"$cat.m.t")
-      val e = intercept[Exception](
-        Catalog.readTableChanges(spark, s"$cat.m.t", Seq("k"), 0L, 1L))
-      assert(e.getMessage.contains("PRIMARY-KEY"), e.getMessage)
-      val e2 = intercept[Exception](MaterializedView.create(
-        spark, s"$cat.m.mv", s"$cat.m.t", Seq("k"), Seq("v"),
-        Seq("amt" -> "sum")))
-      assert(e2.getMessage.contains("PRIMARY-KEY"), e2.getMessage)
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")           // v1
+      MaterializedView.create(spark, s"$cat.m.mv", s"$cat.m.t",
+        Seq("k"), Seq("v"), Seq("amt" -> "sum"))
+      Seq((1L, "a", 11L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")           // v2 upsert
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = 2")            // v3 eq-del
+      // the per-version feed carries RESOLVED transitions: the upsert
+      // is ONE u (10 → 11), the equality delete ONE d — shadowed
+      // versions never appear as inserts
+      val ch = Catalog.readTableChanges(spark, s"$cat.m.t", Seq("k"), 1L, 3L)
+        .selectExpr("op", "version", "before.amt AS ba", "after.amt AS aa")
+        .as[(String, Long, Option[Long], Option[Long])]
+        .collect().sortBy(r => (r._2, r._1)).toSeq
+      assert(ch == Seq(("u", 2L, Some(10L), Some(11L)),
+        ("d", 3L, Some(20L), None)), ch)
+      // the MV fold over that resolved feed equals the recompute
+      MaterializedView.refresh(spark, s"$cat.m.mv")
+      assert(spark.table(s"$cat.m.mv").select("v", "sum_amt")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq(("a", 11L)))
     }
   }
 
