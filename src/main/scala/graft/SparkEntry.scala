@@ -1100,6 +1100,14 @@ object SparkEntry {
       graft.operators.PkLake.pkMergeCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pkmlake")),
+    // Partial-update merge engine (r15, Paimon's
+    // 'merge-engine'='partial-update'): column fragments from separate
+    // feeds merge column-wise latest-non-null at read time (PkTableSpec
+    // pins NULL-never-erases, delete-retires-fragments, compact).
+    "q_pk_partial" -> ((s, dir) =>
+      graft.operators.PkLake.pkPartialCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pkplake")),
     // Resolved PK-table changelog (r15, the Paimon changelog-producer
     // surface): the keyed diff of two resolved snapshots — updates
     // carry before/after, deletes before, inserts after; shadowed
@@ -5618,6 +5626,24 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents,
         |  CAST(min(k) AS BIGINT) AS min_k
         |FROM after_merge GROUP BY status ORDER BY status""".stripMargin,
+
+    // Partial-update: column-wise CASE algebra — cents revised for %6
+    // keys (status kept), status present only for %2 keys.
+    "q_pk_partial" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k,
+        |    CASE WHEN k % 6 = 0 THEN c + 7 ELSE c END AS cents,
+        |    CASE WHEN k % 2 = 0 THEN st END AS status
+        |  FROM base)
+        |SELECT COALESCE(status, 'NONE') AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(count(status) AS BIGINT) AS n_status
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Resolved PK changelog: endpoint diff — %7 keys deleted (before
     // = the ORIGINAL v1 values, the shadowed %21 updates never leak),

@@ -465,13 +465,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         case (Some(keys), eng) =>
           val engine = eng.getOrElse(PkTables.EngineDedup)
           if (engine != PkTables.EngineDedup &&
-              engine != PkTables.EngineFirstRow)
+              engine != PkTables.EngineFirstRow &&
+              engine != PkTables.EnginePartialUpdate)
             throw new UnsupportedOperationException(
               s"$catalogName: '${PkTables.EngineProp}'='$engine' — " +
                 s"supported: '${PkTables.EngineDedup}' (latest version " +
-                s"wins), '${PkTables.EngineFirstRow}' (first wins); " +
-                "partial-update/aggregation merging is available as the " +
-                "query-level surface (graft.cdc.Upsert)")
+                s"wins), '${PkTables.EngineFirstRow}' (first wins), " +
+                s"'${PkTables.EnginePartialUpdate}' (latest NON-NULL " +
+                "per column); per-column aggregation merging is " +
+                "available as the query-level surface (graft.cdc.Upsert)")
           if (!versionedProp)
             throw new UnsupportedOperationException(
               s"$catalogName: '${PkTables.KeysProp}' requires " +

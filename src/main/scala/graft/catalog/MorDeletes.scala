@@ -658,7 +658,7 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
   private def swapPk(r: DataSourceV2ScanRelation, cond: Option[Expression],
                      table: PartitionedLakeTable,
                      allDels: Seq[String]): LogicalPlan = {
-    import org.apache.spark.sql.functions.{lit, max_by, min_by, struct}
+    import org.apache.spark.sql.functions.{lit, struct}
     val (tableDir, files, renames, spec) = table.morReadInfo
     val (pk, seqs) = table.pkInfo.get
     val spark = SparkSession.active
@@ -729,8 +729,7 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
           org.apache.spark.sql.functions.col(PkTables.SeqCol),
           org.apache.spark.sql.functions.col(FileKeyCol),
           org.apache.spark.sql.functions.col(PosKeyCol))
-        def pick(c: org.apache.spark.sql.Column) =
-          if (pk.firstRow) min_by(c, ord) else max_by(c, ord)
+        def pick(c: org.apache.spark.sql.Column) = pk.pick(c, ord)
         val valueCols = r.output.map(o => physOf(o.name)).distinct
           .filterNot(physKeys.contains)
         val aggCols =

@@ -68,6 +68,7 @@ object PkTables {
   val EngineProp = "merge-engine"
   val EngineDedup = "deduplicate"
   val EngineFirstRow = "first-row"
+  val EnginePartialUpdate = "partial-update"
 
   val Sidecar = "_graft_pk.json"
 
@@ -87,6 +88,22 @@ object PkTables {
 
   final case class PkDef(keys: Seq[String], engine: String) {
     def firstRow: Boolean = engine == EngineFirstRow
+    def partialUpdate: Boolean = engine == EnginePartialUpdate
+
+    /** The per-column resolution pick: latest wins (`deduplicate`),
+      * first wins (`first-row`), or latest NON-NULL wins
+      * (`partial-update` — a NULL in a newer version never erases an
+      * older value; `max_by` skips NULL orderings, so masking the
+      * ordering on NULL values is exactly the Paimon semantics). */
+    def pick(c: org.apache.spark.sql.Column,
+             ord: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{max_by, min_by, when}
+      engine match {
+        case EngineFirstRow => min_by(c, ord)
+        case EnginePartialUpdate => max_by(c, when(c.isNotNull, ord))
+        case _ => max_by(c, ord)
+      }
+    }
   }
 
   def isEqDeleteFile(f: String): Boolean =
@@ -308,7 +325,7 @@ object PkTables {
     * Column set: the full physical schema (helper columns dropped). */
   def resolvedRows(spark: SparkSession, tableDir: Path,
                    snap: Snapshots.Snapshot, pk: PkDef): DataFrame = {
-    import org.apache.spark.sql.functions.{struct, max_by, min_by, lit}
+    import org.apache.spark.sql.functions.{struct, lit}
     val files = snap.files
     val posDels = Snapshots.deleteFiles(files)
     val eqDels = eqDeleteFiles(files)
@@ -328,8 +345,7 @@ object PkTables {
     }
     val ord = struct(col(SeqCol), col(MorDeletes.FileKeyCol),
       col(MorDeletes.PosKeyCol))
-    def pick(c: Column): Column =
-      if (pk.firstRow) min_by(c, ord) else max_by(c, ord)
+    def pick(c: Column): Column = pk.pick(c, ord)
     val valueCols = df.columns.toSeq
       .filterNot(c => physKeys.contains(c) || c == SeqCol)
     val aggCols =

@@ -129,6 +129,47 @@ object PkLake {
       .orderBy("status")
   }
 
+  /** PARTIAL-UPDATE merge engine end-to-end: column fragments arrive
+    * in separate upserts (cents-only, then status-only, then a cents
+    * revision) and the resolved row is the column-wise latest
+    * NON-NULL merge — the Paimon `'merge-engine'='partial-update'`
+    * pattern for assembling a wide row from multiple feeds. */
+  def pkPartialCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepkp"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pkp (
+         |  k BIGINT NOT NULL, cents BIGINT, status STRING)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+         |  'merge-engine'='partial-update')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderstatus").as("status"))
+    // fragment feeds: cents-only, then status-only for %2 keys, then
+    // a cents revision for %6 keys (its NULL status must not erase)
+    base.select(col("k"), col("cents"),
+        lit(null).cast("string").as("status"))
+      .write.mode("append").insertInto(s"$cat.m.orders_pkp")
+    base.filter(col("k") % 2 === 0)
+      .select(col("k"), lit(null).cast("long").as("cents"), col("status"))
+      .write.mode("append").insertInto(s"$cat.m.orders_pkp")
+    base.filter(col("k") % 6 === 0)
+      .select(col("k"), (col("cents") + 7L).as("cents"),
+        lit(null).cast("string").as("status"))
+      .write.mode("append").insertInto(s"$cat.m.orders_pkp")
+    spark.table(s"$cat.m.orders_pkp")
+      .groupBy(coalesce(col("status"), lit("NONE")).as("status"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("cents")).cast("bigint").as("cents"),
+        count(col("status")).cast("bigint").as("n_status"))
+      .orderBy("status")
+  }
+
   /** RESOLVED changelog of a PK table ([[graft.catalog.Catalog
     * .readPkTableChanges]] — the Paimon changelog-producer surface):
     * the keyed diff of two resolved snapshots — updates carry

@@ -106,6 +106,40 @@ class PkTableSpec extends SparkSpec {
     }
   }
 
+  test("partial-update engine: latest NON-NULL wins per column; deletes retire all fragments") {
+    withLake("pu") { (cat, _) =>
+      mkTable(cat, engine = "partial-update")
+      Seq((1L, Some("a"), None: Option[Long]),
+          (2L, None: Option[String], Some(20L)))
+        .toDF("k", "v", "amt").write.mode("append").insertInto(s"$cat.m.t")
+      Seq((1L, None: Option[String], Some(15L)),
+          (2L, Some("b"), None: Option[Long]))
+        .toDF("k", "v", "amt").write.mode("append").insertInto(s"$cat.m.t")
+      def got() = spark.table(s"$cat.m.t")
+        .as[(Long, Option[String], Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      assert(got() == Seq((1L, Some("a"), Some(15L)),
+        (2L, Some("b"), Some(20L))),
+        "columns merge across versions; NULL never erases")
+      // a newer non-null DOES replace
+      Seq((1L, Some("a3"), None: Option[Long])).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      assert(got().head == ((1L, Some("a3"), Some(15L))))
+      // an equality delete retires EVERY fragment; a re-insert starts
+      // fresh (pre-delete fragments stay dead)
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = 2")
+      Seq((2L, None: Option[String], Some(9L))).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      assert(got() == Seq((1L, Some("a3"), Some(15L)),
+        (2L, None, Some(9L))))
+      // key-aware compact materializes the merged rows
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      assert(got() == Seq((1L, Some("a3"), Some(15L)),
+        (2L, None, Some(9L))))
+      assert(!planOf(spark.table(s"$cat.m.t")).contains("max_by"))
+    }
+  }
+
   test("blind full-key DELETE writes ONE equality-delete row (no data read/rewrite); re-insert revives the key") {
     withLake("d") { (cat, lake) =>
       mkTable(cat)
