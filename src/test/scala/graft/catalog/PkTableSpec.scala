@@ -299,7 +299,7 @@ class PkTableSpec extends SparkSpec {
         s"""CREATE TABLE $cat.m.bad4 (k BIGINT NOT NULL, v STRING)
            |PARTITIONED BY (bucket(4, k))
            |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
-           |  'merge-engine'='partial-update')"""
+           |  'merge-engine'='aggregation')"""
           .stripMargin, "merge-engine")
       fails(
         s"""CREATE TABLE $cat.m.bad5 (k BIGINT NOT NULL, v STRING)
