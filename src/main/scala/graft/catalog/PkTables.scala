@@ -207,8 +207,8 @@ object PkTables {
       md.update(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.update(java.nio.ByteBuffer.allocate(8).putLong(v).array())
     }
-    val key = spark.sparkContext.applicationId + " " +
-      tableDir.toString + " " +
+    val key = spark.sparkContext.applicationId + "\u0000" +
+      tableDir.toString + "\u0000" +
       md.digest().map("%02x".format(_)).mkString
     val hit = seqCache.get(key)
     if (hit != null) return hit
