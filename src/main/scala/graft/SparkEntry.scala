@@ -1108,6 +1108,14 @@ object SparkEntry {
       graft.operators.PkLake.pkPartialCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pkplake")),
+    // Aggregation merge engine (r15, Paimon's pre-aggregation
+    // pattern): declared per-column folds — blind-appended fragments
+    // SUM into the key's running value at read time (PkTableSpec pins
+    // delete-resets-the-fold and compact composition).
+    "q_pk_agg" -> ((s, dir) =>
+      graft.operators.PkLake.pkAggCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pkalake")),
     // Resolved PK-table changelog (r15, the Paimon changelog-producer
     // surface): the keyed diff of two resolved snapshots — updates
     // carry before/after, deletes before, inserts after; shadowed
@@ -5643,6 +5651,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents,
         |  CAST(count(status) AS BIGINT) AS n_status
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Aggregation engine: cents = base + 10 for %2 keys + 100 for %3
+    // keys (sum fold); status = last non-null (the %2 fragment).
+    "q_pk_agg" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k,
+        |    c + CASE WHEN k % 2 = 0 THEN 10 ELSE 0 END
+        |      + CASE WHEN k % 3 = 0 THEN 100 ELSE 0 END AS cents,
+        |    CASE WHEN k % 2 = 0 THEN st END AS status
+        |  FROM base)
+        |SELECT COALESCE(status, 'NONE') AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Resolved PK changelog: endpoint diff — %7 keys deleted (before

@@ -466,14 +466,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           val engine = eng.getOrElse(PkTables.EngineDedup)
           if (engine != PkTables.EngineDedup &&
               engine != PkTables.EngineFirstRow &&
-              engine != PkTables.EnginePartialUpdate)
+              engine != PkTables.EnginePartialUpdate &&
+              engine != PkTables.EngineAggregation)
             throw new UnsupportedOperationException(
               s"$catalogName: '${PkTables.EngineProp}'='$engine' — " +
                 s"supported: '${PkTables.EngineDedup}' (latest version " +
                 s"wins), '${PkTables.EngineFirstRow}' (first wins), " +
                 s"'${PkTables.EnginePartialUpdate}' (latest NON-NULL " +
-                "per column); per-column aggregation merging is " +
-                "available as the query-level surface (graft.cdc.Upsert)")
+                s"per column), '${PkTables.EngineAggregation}' (declared " +
+                s"per-column folds via '${PkTables.FieldAggPrefix}<col>" +
+                s"${PkTables.FieldAggSuffix}')")
           if (!versionedProp)
             throw new UnsupportedOperationException(
               s"$catalogName: '${PkTables.KeysProp}' requires " +
@@ -504,7 +506,39 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
                 "resolution to scale (the Paimon constraint); include " +
                 s"'$c' in '${PkTables.KeysProp}' or partition by a key " +
                 "column"))
-          Some(PkTables.PkDef(canonical, engine))
+          // per-column fold declarations (aggregation engine only)
+          val fieldAggs = {
+            import scala.jdk.CollectionConverters._
+            val entries = properties.asScala.collect {
+              case (k, v) if k.startsWith(PkTables.FieldAggPrefix) &&
+                  k.endsWith(PkTables.FieldAggSuffix) =>
+                val colName = k.stripPrefix(PkTables.FieldAggPrefix)
+                  .stripSuffix(PkTables.FieldAggSuffix)
+                (colName, v.trim.toLowerCase)
+            }.toMap
+            if (entries.nonEmpty && engine != PkTables.EngineAggregation)
+              throw new UnsupportedOperationException(
+                s"$catalogName: '${PkTables.FieldAggPrefix}…" +
+                  s"${PkTables.FieldAggSuffix}' declarations require " +
+                  s"'${PkTables.EngineProp}'='${PkTables.EngineAggregation}'")
+            entries.map { case (c, fn) =>
+              val canon = schema.fieldNames.find(_.equalsIgnoreCase(c))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"$catalogName: ${PkTables.FieldAggPrefix}$c" +
+                    s"${PkTables.FieldAggSuffix} references unknown column"))
+              if (canonical.exists(_.equalsIgnoreCase(canon)))
+                throw new UnsupportedOperationException(
+                  s"$catalogName: '$canon' is a PRIMARY KEY column — " +
+                    "keys group, they do not fold")
+              if (!PkTables.FieldAggFunctions(fn))
+                throw new UnsupportedOperationException(
+                  s"$catalogName: aggregate-function '$fn' for '$canon' — " +
+                    s"supported: ${PkTables.FieldAggFunctions.toSeq.sorted
+                      .mkString(", ")}")
+              canon -> fn
+            }
+          }
+          Some(PkTables.PkDef(canonical, engine, fieldAggs))
       }
     }
     // declared write-time clustering (WRITE ORDERED BY — [[WriteOrder]]):

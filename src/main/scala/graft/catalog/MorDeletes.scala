@@ -729,13 +729,16 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
           org.apache.spark.sql.functions.col(PkTables.SeqCol),
           org.apache.spark.sql.functions.col(FileKeyCol),
           org.apache.spark.sql.functions.col(PosKeyCol))
-        def pick(c: org.apache.spark.sql.Column) = pk.pick(c, ord)
+        // field-agg declarations key by LOGICAL names
+        val toLogical = renames.map(_.swap)
+        def pick(name: String, c: org.apache.spark.sql.Column) =
+          pk.pick(toLogical.getOrElse(name, name), c, ord)
         val valueCols = r.output.map(o => physOf(o.name)).distinct
           .filterNot(physKeys.contains)
         val aggCols =
-          if (valueCols.isEmpty) Seq(pick(lit(1)).as("_gpk_d"))
+          if (valueCols.isEmpty) Seq(pick("_gpk_d", lit(1)).as("_gpk_d"))
           else valueCols.map(c =>
-            pick(org.apache.spark.sql.functions.col(c)).as(c))
+            pick(c, org.apache.spark.sql.functions.col(c)).as(c))
         val agg = df.groupBy(
             physKeys.map(org.apache.spark.sql.functions.col): _*)
           .agg(aggCols.head, aggCols.tail: _*)

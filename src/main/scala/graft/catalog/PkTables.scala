@@ -69,6 +69,16 @@ object PkTables {
   val EngineDedup = "deduplicate"
   val EngineFirstRow = "first-row"
   val EnginePartialUpdate = "partial-update"
+  val EngineAggregation = "aggregation"
+
+  /** Per-column fold declaration for the aggregation engine:
+    * `'fields.<col>.aggregate-function'='sum|min|max|last_non_null'`
+    * (unconfigured columns default to `last_non_null`, the Paimon
+    * convention). */
+  val FieldAggPrefix = "fields."
+  val FieldAggSuffix = ".aggregate-function"
+  val FieldAggFunctions: Set[String] =
+    Set("sum", "min", "max", "last_non_null")
 
   val Sidecar = "_graft_pk.json"
 
@@ -86,21 +96,34 @@ object PkTables {
   val SeqCol = "_gpk_seq"
   val DelSeqCol = "_gpk_dseq"
 
-  final case class PkDef(keys: Seq[String], engine: String) {
+  final case class PkDef(keys: Seq[String], engine: String,
+                         fieldAggs: Map[String, String] = Map.empty) {
     def firstRow: Boolean = engine == EngineFirstRow
     def partialUpdate: Boolean = engine == EnginePartialUpdate
 
     /** The per-column resolution pick: latest wins (`deduplicate`),
-      * first wins (`first-row`), or latest NON-NULL wins
+      * first wins (`first-row`), latest NON-NULL wins
       * (`partial-update` — a NULL in a newer version never erases an
       * older value; `max_by` skips NULL orderings, so masking the
-      * ordering on NULL values is exactly the Paimon semantics). */
-    def pick(c: org.apache.spark.sql.Column,
+      * ordering on NULL values is exactly the Paimon semantics), or
+      * the DECLARED per-column fold (`aggregation` — sum/min/max are
+      * order-free and associative, so compaction folding a key into
+      * one row and later fragments folding on top compose exactly;
+      * unconfigured columns default to `last_non_null`). `name` is the
+      * LOGICAL column name the field-agg declaration keys by. */
+    def pick(name: String, c: org.apache.spark.sql.Column,
              ord: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.functions.{max_by, min_by, when}
+      import org.apache.spark.sql.functions.{max, max_by, min, min_by, sum, when}
       engine match {
         case EngineFirstRow => min_by(c, ord)
         case EnginePartialUpdate => max_by(c, when(c.isNotNull, ord))
+        case EngineAggregation =>
+          fieldAggs.getOrElse(name, "last_non_null") match {
+            case "sum" => sum(c)
+            case "min" => min(c)
+            case "max" => max(c)
+            case _ => max_by(c, when(c.isNotNull, ord))
+          }
         case _ => max_by(c, ord)
       }
     }
@@ -117,6 +140,10 @@ object PkTables {
     val root = om.createObjectNode()
     val ks = root.putArray("keys"); d.keys.foreach(ks.add)
     root.put("engine", d.engine)
+    if (d.fieldAggs.nonEmpty) {
+      val fa = root.putObject("field_aggs")
+      d.fieldAggs.toSeq.sortBy(_._1).foreach { case (k, v) => fa.put(k, v) }
+    }
     Files.writeString(tableDir.resolve(Sidecar), om.writeValueAsString(root))
     ()
   }
@@ -129,7 +156,9 @@ object PkTables {
       val n = om.readTree(Files.readString(f))
       Some(PkDef(
         n.get("keys").elements().asScala.map(_.asText()).toSeq,
-        Option(n.get("engine")).fold(EngineDedup)(_.asText())))
+        Option(n.get("engine")).fold(EngineDedup)(_.asText()),
+        Option(n.get("field_aggs")).fold(Map.empty[String, String])(
+          _.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)))
     }
   }
 
@@ -345,12 +374,18 @@ object PkTables {
     }
     val ord = struct(col(SeqCol), col(MorDeletes.FileKeyCol),
       col(MorDeletes.PosKeyCol))
-    def pick(c: Column): Column = pk.pick(c, ord)
+    // field-agg declarations key by LOGICAL names; this read speaks
+    // PHYSICAL — translate back (helper columns fold positionally,
+    // which for coords/bucket means last_non_null under aggregation:
+    // a single representative value, dropped or recomputed anyway)
+    val toLogical = renames.map(_.swap)
+    def pick(name: String, c: Column): Column =
+      pk.pick(toLogical.getOrElse(name, name), c, ord)
     val valueCols = df.columns.toSeq
       .filterNot(c => physKeys.contains(c) || c == SeqCol)
     val aggCols =
-      if (valueCols.isEmpty) Seq(pick(lit(1)).as("_gpk_d"))
-      else valueCols.map(c => pick(col(c)).as(c))
+      if (valueCols.isEmpty) Seq(pick("_gpk_d", lit(1)).as("_gpk_d"))
+      else valueCols.map(c => pick(c, col(c)).as(c))
     df.groupBy(physKeys.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
       .drop(MorDeletes.FileKeyCol, MorDeletes.PosKeyCol, "_gpk_d")

@@ -170,6 +170,45 @@ object PkLake {
       .orderBy("status")
   }
 
+  /** AGGREGATION merge engine end-to-end: per-column declared folds
+    * (`'fields.cents.aggregate-function'='sum'`) — every upsert ADDS
+    * its fragment to the key's running fold at read time, the Paimon
+    * pre-aggregation pattern (counters/metrics tables ingesting blind
+    * appends). */
+  def pkAggCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepka"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pka (
+         |  k BIGINT NOT NULL, cents BIGINT, status STRING)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+         |  'merge-engine'='aggregation',
+         |  'fields.cents.aggregate-function'='sum')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderstatus").as("status"))
+    base.select(col("k"), col("cents"),
+        lit(null).cast("string").as("status"))
+      .write.mode("append").insertInto(s"$cat.m.orders_pka")
+    base.filter(col("k") % 2 === 0)
+      .select(col("k"), lit(10L).as("cents"), col("status"))
+      .write.mode("append").insertInto(s"$cat.m.orders_pka")
+    base.filter(col("k") % 3 === 0)
+      .select(col("k"), lit(100L).as("cents"),
+        lit(null).cast("string").as("status"))
+      .write.mode("append").insertInto(s"$cat.m.orders_pka")
+    spark.table(s"$cat.m.orders_pka")
+      .groupBy(coalesce(col("status"), lit("NONE")).as("status"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("cents")).cast("bigint").as("cents"))
+      .orderBy("status")
+  }
+
   /** RESOLVED changelog of a PK table ([[graft.catalog.Catalog
     * .readPkTableChanges]] — the Paimon changelog-producer surface):
     * the keyed diff of two resolved snapshots — updates carry

@@ -140,6 +140,68 @@ class PkTableSpec extends SparkSpec {
     }
   }
 
+  test("aggregation engine: declared per-column folds; unconfigured columns default to last_non_null") {
+    withLake("ag") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.tagg (k BIGINT NOT NULL, hits BIGINT,
+           |  label STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+           |  'merge-engine'='aggregation',
+           |  'fields.hits.aggregate-function'='sum')""".stripMargin)
+      def got() = spark.table(s"$cat.m.tagg")
+        .as[(Long, Option[Long], Option[String])]
+        .collect().sortBy(_._1).toSeq
+      Seq((1L, Some(5L), Some("a")), (2L, Some(7L), None: Option[String]))
+        .toDF("k", "hits", "label").write.mode("append")
+        .insertInto(s"$cat.m.tagg")
+      Seq((1L, Some(3L), None: Option[String]), (2L, Some(1L), Some("b")))
+        .toDF("k", "hits", "label").write.mode("append")
+        .insertInto(s"$cat.m.tagg")
+      assert(got() == Seq((1L, Some(8L), Some("a")),
+        (2L, Some(8L), Some("b"))),
+        "hits SUM across fragments, label last-non-null")
+      // an equality delete resets the fold; re-insert starts fresh
+      spark.sql(s"DELETE FROM $cat.m.tagg WHERE k = 1")
+      Seq((1L, Some(2L), Some("c"))).toDF("k", "hits", "label")
+        .write.mode("append").insertInto(s"$cat.m.tagg")
+      assert(got().head == ((1L, Some(2L), Some("c"))))
+      // compact materializes the fold; later fragments fold ON TOP of
+      // the compacted row (sum is associative — composition is exact)
+      spark.sql(s"CALL $cat.system.compact('m.tagg', 1)")
+      assert(got().head == ((1L, Some(2L), Some("c"))))
+      Seq((1L, Some(4L), None: Option[String])).toDF("k", "hits", "label")
+        .write.mode("append").insertInto(s"$cat.m.tagg")
+      assert(got().head == ((1L, Some(6L), Some("c"))))
+      // validation: folds need the aggregation engine; unknown fn and
+      // key-column folds are loud
+      def fails(sql: String, frag: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        assert(e.getMessage.contains(frag), e.getMessage)
+      }
+      fails(
+        s"""CREATE TABLE $cat.m.bad6 (k BIGINT NOT NULL, hits BIGINT)
+           |PARTITIONED BY (bucket(2, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+           |  'fields.hits.aggregate-function'='sum')""".stripMargin,
+        "aggregation")
+      fails(
+        s"""CREATE TABLE $cat.m.bad7 (k BIGINT NOT NULL, hits BIGINT)
+           |PARTITIONED BY (bucket(2, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+           |  'merge-engine'='aggregation',
+           |  'fields.hits.aggregate-function'='median')""".stripMargin,
+        "aggregate-function")
+      fails(
+        s"""CREATE TABLE $cat.m.bad8 (k BIGINT NOT NULL, hits BIGINT)
+           |PARTITIONED BY (bucket(2, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+           |  'merge-engine'='aggregation',
+           |  'fields.k.aggregate-function'='sum')""".stripMargin,
+        "PRIMARY KEY")
+    }
+  }
+
   test("blind full-key DELETE writes ONE equality-delete row (no data read/rewrite); re-insert revives the key") {
     withLake("d") { (cat, lake) =>
       mkTable(cat)
@@ -299,7 +361,7 @@ class PkTableSpec extends SparkSpec {
         s"""CREATE TABLE $cat.m.bad4 (k BIGINT NOT NULL, v STRING)
            |PARTITIONED BY (bucket(4, k))
            |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
-           |  'merge-engine'='aggregation')"""
+           |  'merge-engine'='sort-merge')"""
           .stripMargin, "merge-engine")
       fails(
         s"""CREATE TABLE $cat.m.bad5 (k BIGINT NOT NULL, v STRING)
