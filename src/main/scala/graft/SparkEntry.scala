@@ -1116,6 +1116,15 @@ object SparkEntry {
       graft.operators.PkLake.pkAggCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pkalake")),
+    // Minor equality-delete compaction (r15, the eq-delete twin of
+    // rewrite_position_delete_files): per-bucket key files merge to
+    // ONE keeping per-key MAX thresholds per ROW — the reviving
+    // insert between the two deletes must survive the rewrite
+    // (PkHardeningSpec pins thresholds/idempotence/compact).
+    "q_rewrite_eqdeletes" -> ((s, dir) =>
+      graft.operators.PkLake.rewriteEqDeletesCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pkelake")),
     // Resolved PK-table changelog (r15, the Paimon changelog-producer
     // surface): the keyed diff of two resolved snapshots — updates
     // carry before/after, deletes before, inserts after; shadowed
@@ -5670,6 +5679,32 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Minor eq-delete compaction: live = revived %91 keys (unless
+    // %11 — i.e. %1001 — re-deleted after the revive) plus the
+    // untouched non-%7 non-%11 rows; censuses identical pre/post
+    // rewrite; exactly one merged eq file per bucket (4).
+    "q_rewrite_eqdeletes" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |latest AS (
+        |  SELECT k, 'R' AS status, c + 3000 AS cents FROM base
+        |    WHERE k % 91 = 0 AND k % 1001 <> 0
+        |  UNION ALL
+        |  SELECT k, st AS status, c AS cents FROM base
+        |    WHERE k % 7 <> 0 AND k % 11 <> 0),
+        |census AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM latest GROUP BY status)
+        |SELECT 'pre_rewrite' AS stage, status, n, cents,
+        |  CAST(4 AS BIGINT) AS n_eq_files FROM census
+        |UNION ALL
+        |SELECT 'post_rewrite' AS stage, status, n, cents,
+        |  CAST(4 AS BIGINT) AS n_eq_files FROM census
+        |ORDER BY stage, status""".stripMargin,
 
     // Resolved PK changelog: endpoint diff — %7 keys deleted (before
     // = the ORIGINAL v1 values, the shadowed %21 updates never leak),

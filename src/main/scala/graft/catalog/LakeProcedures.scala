@@ -51,7 +51,8 @@ private[catalog] object LakeProcedures {
       "tag", "drop_tag", "tags", "add_partition_field",
       "drop_partition_field", "replace_partition_field", "migrate",
       "branch", "fast_forward", "drop_branch", "branches", "expire_age",
-      "rewrite_position_delete_files", "cherry_pick", "expire_branch")
+      "rewrite_position_delete_files", "cherry_pick", "expire_branch",
+      "rewrite_eqdelete_files")
 
   def load(root: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (ident.namespace().toSeq != Seq(Namespace)) None
@@ -453,6 +454,81 @@ private[catalog] object LakeProcedures {
               cur => cur.diff(rewrite) ++ fresh,
               Snapshots.validateFilesLive(
                 "rewrite_position_delete_files", rewrite),
+              freshStats = MorDeletes.deleteFileRowStats(dir, fresh))
+            Seq(InternalRow(rewrite.size.toLong, fresh.size.toLong, v))
+          }
+        })
+      case "rewrite_eqdelete_files" =>
+        // MINOR equality-delete compaction (r15 — the eq-delete twin
+        // of rewrite_position_delete_files): K blind/predicate deletes
+        // leave K key files per touched bucket, each read scanning all
+        // of them until a full key-aware compact. Merge each target
+        // partition's files into ONE, keeping per key only the MAX
+        // sequence (a delete at seq s kills everything below s, so the
+        // max per key dominates) — but persisting that sequence
+        // PER ROW ([[PkTables.readEqDeletes]] reads it back), because
+        // the merged file's own birth sequence would wrongly extend
+        // old deletes past the inserts that revived their keys.
+        // CONTENT-NEUTRAL: data files untouched, resolved rows
+        // identical.
+        Some(proc(root, "rewrite_eqdelete_files",
+          Seq("tbl" -> StringType),
+          new StructType().add("rewritten_files", LongType)
+            .add("new_files", LongType).add("new_version", LongType)) {
+          (dir, _, _) =>
+          requireManifest("rewrite_eqdelete_files", dir)
+          val spark = SparkSession.active
+          val pk = PkTables.read(dir).getOrElse(
+            throw new IllegalArgumentException(
+              "rewrite_eqdelete_files: not a PRIMARY-KEY table " +
+                "(equality deletes only exist there)"))
+          val s = Snapshots.latest(dir).getOrElse(
+            throw new IllegalArgumentException(
+              "rewrite_eqdelete_files: empty manifest log"))
+          val eqDels = PkTables.eqDeleteFiles(s.files)
+          val byDir = eqDels.groupBy(f =>
+            MorDeletes.targetDirOf(f).map(_.toString))
+          val rewrite = byDir.collect {
+            case (None, fs) => fs
+            case (Some(_), fs) if fs.size >= 2 => fs
+          }.flatten.toSeq
+          if (rewrite.isEmpty)
+            Seq(InternalRow(0L, 0L, s.version))
+          else {
+            import org.apache.spark.sql.functions.{col, max}
+            val keySchema = PkTables.keyFileSchema(dir, pk.keys)
+            val bc = PkTables.seqBroadcastFor(spark, dir, s.seqs)
+            val merged = PkTables.readEqDeletes(spark, dir, rewrite,
+                keySchema, bc)
+              // per key the MAX threshold dominates; the row keeps it
+              .groupBy(keySchema.fieldNames.map(col): _*)
+              .agg(max(col(PkTables.DelSeqCol)).as(PkTables.DelSeqCol))
+            // re-scope by the key's own partition dirs (same
+            // expressions as the writers) and persist
+            val spec = PartitionSpec.read(dir)
+            val renames = Evolutions.renames(dir)
+            val tdir = spec.map {
+              case PartitionSpec.Identity(c) =>
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit(c + "="),
+                  col(renames.getOrElse(c, c)).cast("string"))
+              case PartitionSpec.Bucket(c, n) =>
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit(
+                    PartitionSpec.BucketDir + "="),
+                  org.apache.spark.sql.functions.pmod(
+                    org.apache.spark.sql.functions.hash(
+                      col(renames.getOrElse(c, c))),
+                    org.apache.spark.sql.functions.lit(n)).cast("string"))
+            }.reduceOption((a, b) =>
+              org.apache.spark.sql.functions.concat_ws("/", a, b))
+              .getOrElse(org.apache.spark.sql.functions.lit(""))
+            val fresh = PkTables.writeEqDeleteFiles(spark, dir,
+              merged.withColumn(MorDeletes.TargetDirCol, tdir))
+            val v = Snapshots.commit(dir, "rewrite-eqdeletes",
+              cur => cur.diff(rewrite) ++ fresh,
+              Snapshots.validateFilesLive(
+                "rewrite_eqdelete_files", rewrite),
               freshStats = MorDeletes.deleteFileRowStats(dir, fresh))
             Seq(InternalRow(rewrite.size.toLong, fresh.size.toLong, v))
           }

@@ -135,6 +135,11 @@ object PkTables {
   def eqDeleteFiles(files: Seq[String]): Seq[String] =
     files.filter(isEqDeleteFile)
 
+  /** Equality-delete files of the CURRENT snapshot (a public census
+    * hook — the manifest internals stay package-private). */
+  def currentEqDeleteFileCount(tableDir: Path): Int =
+    Snapshots.latest(tableDir).fold(0)(s => eqDeleteFiles(s.files).size)
+
   def write(tableDir: Path, d: PkDef): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
@@ -276,17 +281,29 @@ object PkTables {
   }
 
   /** Read equality-delete files as (key columns, [[DelSeqCol]] = the
-    * delete file's OWN birth sequence — the "applies to seq strictly
-    * below me" threshold). */
+    * "applies to seq strictly below me" threshold): ordinarily the
+    * delete file's OWN birth sequence, but MERGED files (minor
+    * eq-delete compaction, [[LakeProcedures]] `rewrite_eqdelete_files`)
+    * carry an EXPLICIT per-row sequence column — merging files born at
+    * different sequences must preserve each key's original threshold,
+    * or a delete would wrongly extend past inserts that revived the
+    * key. Plain files read the column as NULL; `coalesce` picks the
+    * birth sequence for them. */
   def readEqDeletes(spark: SparkSession, tableDir: Path,
                     eqDels: Seq[String], keySchema: StructType,
                     bc: org.apache.spark.broadcast.Broadcast[
                       java.util.HashMap[
                         org.apache.spark.unsafe.types.UTF8String,
-                        java.lang.Long]]): DataFrame =
-    spark.read.schema(keySchema)
+                        java.lang.Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val withSeq = StructType(keySchema.fields :+
+      org.apache.spark.sql.types.StructField(DelSeqCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    spark.read.schema(withSeq)
       .parquet(eqDels.map(f => tableDir.resolve(f).toString): _*)
-      .withColumn(DelSeqCol, seqColumnFor(bc, col("_metadata.file_path")))
+      .withColumn(DelSeqCol, coalesce(col(DelSeqCol),
+        seqColumnFor(bc, col("_metadata.file_path"))))
+  }
 
   /** Persist a key-set DataFrame (key columns in [[keyFileSchema]]
     * order + [[MorDeletes.TargetDirCol]]) as equality-delete files,

@@ -209,6 +209,54 @@ object PkLake {
       .orderBy("status")
   }
 
+  /** Minor EQUALITY-DELETE compaction end-to-end
+    * (`CALL rewrite_eqdelete_files`): two predicate deletes with a
+    * reviving insert between them leave multiple key files per
+    * bucket; the rewrite merges each bucket's files to ONE keeping
+    * per-key MAX thresholds — the census is identical before and
+    * after (the revive survives: its original threshold is preserved
+    * per row, never inflated to the merged file's birth sequence). */
+  def rewriteEqDeletesCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepke"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pke (
+         |  k BIGINT NOT NULL, status STRING, cents BIGINT)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_pke")    // seq 1
+    spark.sql(s"DELETE FROM $cat.m.orders_pke WHERE k % 7 = 0")   // seq 2
+    base.filter(col("k") % 91 === 0)                              // seq 3
+      .withColumn("status", lit("R"))
+      .withColumn("cents", col("cents") + 3000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pke")
+    spark.sql(s"DELETE FROM $cat.m.orders_pke WHERE k % 11 = 0")  // seq 4
+    def census(stage: String): DataFrame =
+      spark.table(s"$cat.m.orders_pke")
+        .groupBy("status")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cents")).cast("bigint").as("cents"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "status", "n", "cents")
+    val preRows = census("pre_rewrite").collect().toSeq
+    spark.sql(s"CALL $cat.system.rewrite_eqdelete_files('m.orders_pke')")
+    val nEqFiles = graft.catalog.PkTables.currentEqDeleteFileCount(
+      java.nio.file.Paths.get(workDir, "m", "orders_pke.parquet")).toLong
+    val pre = spark.createDataFrame(
+      spark.sparkContext.parallelize(preRows),
+      census("x").schema)
+    pre.unionByName(census("post_rewrite"))
+      .withColumn("n_eq_files", lit(nEqFiles))
+      .orderBy("stage", "status")
+  }
+
   /** RESOLVED changelog of a PK table ([[graft.catalog.Catalog
     * .readPkTableChanges]] — the Paimon changelog-producer surface):
     * the keyed diff of two resolved snapshots — updates carry

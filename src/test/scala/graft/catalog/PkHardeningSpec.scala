@@ -213,6 +213,54 @@ class PkHardeningSpec extends SparkSpec {
     }
   }
 
+  test("rewrite_eqdelete_files merges key files per bucket keeping per-key MAX thresholds — revives preserved, content-neutral, idempotent") {
+    withLake("eqc") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      (1L to 20L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")   // seq 1
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k % 2 = 0") // seq 2
+      Seq((4L, "revived", 444L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")   // seq 3 revive
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k % 3 = 0") // seq 4
+      val pre = rows(cat)
+      assert(pre.exists(_ == ((4L, "revived", 444L))), pre)
+      val eqBefore = PkTables.eqDeleteFiles(Snapshots.latest(dir).get.files)
+      assert(eqBefore.groupBy(MorDeletes.targetDirOf)
+        .exists(_._2.size >= 2), "some bucket holds >= 2 eq files")
+      val out = spark.sql(
+        s"CALL $cat.system.rewrite_eqdelete_files('m.t')")
+        .as[(Long, Long, Long)].head()
+      assert(out._1 >= 2L && out._2 >= 1L && out._2 < out._1, out)
+      spark.catalog.clearCache()
+      // content-neutral — including the revive (the merged threshold
+      // for key 4 is its ORIGINAL delete sequence, not the merged
+      // file's birth sequence, which would wrongly kill the revive)
+      assert(rows(cat) == pre)
+      val eqAfter = PkTables.eqDeleteFiles(Snapshots.latest(dir).get.files)
+      assert(eqAfter.groupBy(MorDeletes.targetDirOf)
+        .forall(_._2.size == 1), eqAfter)
+      // idempotent: one file per bucket left, nothing to merge
+      assert(spark.sql(
+        s"CALL $cat.system.rewrite_eqdelete_files('m.t')")
+        .as[(Long, Long, Long)].head()._1 == 0L)
+      // a later key-aware compact still materializes everything
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      spark.catalog.clearCache()
+      assert(rows(cat) == pre)
+      assert(PkTables.eqDeleteFiles(
+        Snapshots.latest(dir).get.files).isEmpty)
+      // non-PK tables reject loudly
+      spark.sql(
+        s"""CREATE TABLE $cat.m.plain2 (k BIGINT, v STRING)
+           |PARTITIONED BY (bucket(2, k))
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      val e = intercept[Exception](spark.sql(
+        s"CALL $cat.system.rewrite_eqdelete_files('m.plain2')"))
+      assert(e.getMessage.contains("PRIMARY-KEY"), e.getMessage)
+    }
+  }
+
   test("readPkTableChanges emits the RESOLVED keyed diff (c/u/d) between two snapshots; identical keys drop") {
     withLake("c") { (cat, _) =>
       mkTable(cat)
