@@ -309,6 +309,41 @@ class PkTableSpec extends SparkSpec {
     }
   }
 
+  test("plan pin: a key point-lookup prunes the EQUALITY-DELETE side to the key's bucket (the _gmor_tdir= scope)") {
+    withLake("ep") { (cat, lake) =>
+      mkTable(cat)
+      val dir = lake.resolve("m/t.parquet")
+      (1L to 40L).map(i => (i, s"v$i", i)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      // two blind deletes whose keys land in DIFFERENT buckets
+      val bucketOf: Long => Int = k =>
+        org.apache.spark.sql.catalyst.expressions.Pmod(
+          org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(k)), 42),
+          org.apache.spark.sql.catalyst.expressions.Literal(4))
+          .eval(null).asInstanceOf[Int]
+      val k1 = 1L
+      val k2 = (2L to 40L).find(k => bucketOf(k) != bucketOf(k1)).get
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = $k1")
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = $k2")
+      val eq = PkTables.eqDeleteFiles(Snapshots.latest(dir).get.files)
+      assert(eq.size == 2, eq)
+      val Seq(f1, f2) = Seq(k1, k2).map(k => eq.find(f =>
+        MorDeletes.targetDirOf(f).exists(_.toString ==
+          s"${PartitionSpec.BucketDir}=${bucketOf(k)}")).get)
+      // survivor lookup in k1's bucket: only THAT bucket's eq file is
+      // in the anti-join side's listing — a one-key read at 100 TB
+      // scans one bucket's delete churn, not the table's
+      val survivor = (2L to 40L).find(k =>
+        bucketOf(k) == bucketOf(k1) && k != k2).get
+      val plan = planOf(
+        spark.sql(s"SELECT v FROM $cat.m.t WHERE k = $survivor"))
+      assert(plan.contains(Snapshots.basename(f1)), plan)
+      assert(!plan.contains(Snapshots.basename(f2)),
+        s"other bucket's eq file must prune:\n$plan")
+    }
+  }
+
   test("key-aware compact materializes resolution: same content, delete files gone, dedup aggregate gone, metadata fast paths back") {
     withLake("i") { (cat, lake) =>
       mkTable(cat)
