@@ -71,7 +71,9 @@ object PkLake {
     // KEY-AWARE compact: resolves latest-per-key as it rewrites,
     // drops the equality-delete files, stamps the compacted sequence
     // (post-compact scans skip the dedup aggregate entirely)
-    val preRows = pre.collect().toSeq // materialize BEFORE the rewrite
+    // materialize BEFORE the rewrite — a bounded collect: the census
+    // is already aggregated to one row per status (≤ a handful)
+    val preRows = pre.collect().toSeq
     spark.sql(s"CALL $cat.system.compact('m.orders_pk', 2)")
     val post = census("post_compact")
     spark.createDataFrame(
@@ -245,6 +247,7 @@ object PkLake {
           sum(col("cents")).cast("bigint").as("cents"))
         .withColumn("stage", lit(stage))
         .select("stage", "status", "n", "cents")
+    // bounded collect: one aggregated row per status
     val preRows = census("pre_rewrite").collect().toSeq
     spark.sql(s"CALL $cat.system.rewrite_eqdelete_files('m.orders_pke')")
     val nEqFiles = graft.catalog.PkTables.currentEqDeleteFileCount(
