@@ -507,15 +507,17 @@ private[catalog] object LakeProcedures {
             // expressions as the writers) and persist
             val spec = PartitionSpec.read(dir)
             val renames = Evolutions.renames(dir)
+            // each segment hive-escaped exactly like the writers
+            // (PkDeltaWriterFactory / pkTargetDir): a raw concat would
+            // diverge for key values containing '%', '/', '=', … and
+            // the merged file's scope would prune away on point
+            // lookups — resurrecting deleted keys
             val tdir = spec.map {
               case PartitionSpec.Identity(c) =>
-                org.apache.spark.sql.functions.concat(
-                  org.apache.spark.sql.functions.lit(c + "="),
+                MorDeletes.hiveSegment(c,
                   col(renames.getOrElse(c, c)).cast("string"))
               case PartitionSpec.Bucket(c, n) =>
-                org.apache.spark.sql.functions.concat(
-                  org.apache.spark.sql.functions.lit(
-                    PartitionSpec.BucketDir + "="),
+                MorDeletes.hiveSegment(PartitionSpec.BucketDir,
                   org.apache.spark.sql.functions.pmod(
                     org.apache.spark.sql.functions.hash(
                       col(renames.getOrElse(c, c))),
@@ -664,14 +666,8 @@ private[catalog] object LakeProcedures {
                                 s.files, s.files)(cur)
                               PkTables.validateNoNewData("compact",
                                 s.files)(cur)
-                              val known = PkTables.eqDeleteFiles(s.files).toSet
-                              val freshEq = PkTables.eqDeleteFiles(cur)
-                                .filterNot(known)
-                              if (freshEq.nonEmpty)
-                                throw new CommitConflictException(
-                                  s"concurrent commit added ${freshEq.size} " +
-                                    "equality-delete file(s) this compact " +
-                                    "did not read — re-run")
+                              PkTables.validateNoFreshEqDeletes("compact",
+                                s.files)(cur)
                             }
                           else Snapshots.validateRewrite("compact",
                             s.files, s.files)
@@ -690,7 +686,7 @@ private[catalog] object LakeProcedures {
                         // optimization, never correctness)
                         if (pkOpt.isDefined)
                           Snapshots.read(tableDir, v).foreach(ns =>
-                            PkTables.addMarkerSeq(tableDir, ns.lastSeq))
+                            PkTables.addMarker(tableDir, ns.files))
                         InternalRow(v)
                       case None =>
                         DeletableTable.publishStagedRewrite(tableDir, tmp)
@@ -885,6 +881,12 @@ private[catalog] object LakeProcedures {
                             snap.files, snap.files)(cur)
                           PkTables.validateNoNewData("zorder",
                             snap.files)(cur)
+                          // a concurrent DELETE on a PK table commits
+                          // ONLY an eq-delete file — it passes both
+                          // checks above, and the re-stamped rewrite
+                          // would neuter it (lost delete)
+                          PkTables.validateNoFreshEqDeletes("zorder",
+                            snap.files)(cur)
                         }
                       else Snapshots.validateRewrite("zorder",
                         snap.files, snap.files)
@@ -895,7 +897,7 @@ private[catalog] object LakeProcedures {
                         spark, tableDir, staged))
                     if (pkOptZ.isDefined)
                       Snapshots.read(tableDir, zv).foreach(ns =>
-                        PkTables.addMarkerSeq(tableDir, ns.lastSeq))
+                        PkTables.addMarker(tableDir, ns.files))
                     zv
                   }
                 spark.catalog.clearCache()

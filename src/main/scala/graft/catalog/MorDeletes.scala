@@ -217,6 +217,20 @@ private[catalog] object MorDeletes {
     * table's whole delete churn. */
   val TargetDirCol = "_gmor_tdir"
 
+  /** `name=<hive-escaped value>` as a [[org.apache.spark.sql.Column]]
+    * — the per-segment form EVERY writer of [[TargetDirCol]] scopes
+    * uses ([[org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    * .getPartitionPathString]]; null/empty →
+    * `__HIVE_DEFAULT_PARTITION__`). A raw `concat(lit(name + "="),
+    * value)` diverges for values containing '%', '/', '=', … — the
+    * recorded scope then mismatches the data-dir convention and
+    * [[targetDirOf]]-based pruning can provably-exclude a LIVE delete
+    * file, resurrecting deleted keys. */
+  def hiveSegment(name: String, value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(HivePathSegment(name,
+      org.apache.spark.sql.GraftBridge.expression(value)))
+
   /** The parent-directory part of a table-relative coordinate key
     * (`""` for root-partition files) — the value [[TargetDirCol]]
     * scoping keys off. */
@@ -751,6 +765,48 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
         qualifier = o.qualifier)), resolvedPlan)
     restConj.reduceOption(And).fold(proj: LogicalPlan)(Filter(_, proj))
   }
+}
+
+/** One hive-escaped partition-path segment (`name=<escaped value>`,
+  * null/empty value → the default-partition sentinel) — the codegen'd
+  * column form of `ExternalCatalogUtils.getPartitionPathString`, so
+  * DataFrame-side scope construction (the eq-delete minor compaction)
+  * speaks byte-identically with the executor-side writers. */
+private[catalog] final case class HivePathSegment(
+    name: String, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType = StringType
+  override def nullable: Boolean = false
+
+  def seg(v: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(name, if (v == null) null else v.toString))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    seg(child.eval(input)
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("hivePathSegment", this)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          $ref.seg(${c.isNull} ? null : ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }
 
 /** Deletion-vector membership: `(file, pos) ∈ broadcast vector` — the

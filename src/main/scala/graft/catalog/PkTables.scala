@@ -169,25 +169,44 @@ object PkTables {
 
   // ---- key-aware-compact marker ------------------------------------
 
-  def markerSeqs(tableDir: Path): Set[Long] = {
+  /** The data-FILE-SET fingerprints a key-aware rewrite stamped as
+    * provably one-version-per-key. Keyed by CONTENT (sha1 of the
+    * sorted table-relative data-file paths), never by commit sequence:
+    * branch logs allocate sequences independently from their fork's
+    * lastSeq, so a bare sequence number stamped by a main compact can
+    * collide with an unrelated branch commit carrying intra-batch
+    * duplicate keys — a fileset hash can only match the exact files
+    * the rewrite itself produced. */
+  def markerFilesets(tableDir: Path): Set[String] = {
     val f = tableDir.resolve(Marker)
     if (!Files.exists(f)) Set.empty
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      Option(om.readTree(Files.readString(f)).get("seqs")).toSet[
+      Option(om.readTree(Files.readString(f)).get("filesets")).toSet[
           com.fasterxml.jackson.databind.JsonNode]
-        .flatMap(_.elements().asScala.map(_.asLong()).toSet)
+        .flatMap(_.elements().asScala.map(_.asText()).toSet)
     }
   }
 
-  /** Record `seq` as a one-version-per-key birth sequence (atomic
-    * replace; bounded history — old compact sequences only matter to
+  def filesetHash(dataFiles: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    dataFiles.sorted.foreach { f =>
+      md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Record a rewrite's output snapshot as one-version-per-key (atomic
+    * replace; bounded history — old compact filesets only matter to
     * rollback targets, 16 generations is plenty). */
-  def addMarkerSeq(tableDir: Path, seq: Long): Unit = {
-    val seqs = (markerSeqs(tableDir) + seq).toSeq.sorted.takeRight(16)
+  def addMarker(tableDir: Path, snapshotFiles: Seq[String]): Unit = {
+    val hashes = (markerFilesets(tableDir) +
+      filesetHash(Snapshots.dataFiles(snapshotFiles)))
+      .toSeq.sorted.takeRight(16)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
-    val arr = root.putArray("seqs"); seqs.foreach(arr.add)
+    val arr = root.putArray("filesets"); hashes.foreach(arr.add)
     val target = tableDir.resolve(Marker)
     val tmp = target.resolveSibling(Marker + "." +
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
@@ -199,18 +218,17 @@ object PkTables {
   }
 
   /** Is this snapshot PROVABLY one-version-per-key already? True when
-    * every data file was born at ONE sequence that a key-aware compact
-    * stamped (and no deletes of either kind are pending) — then the
-    * scan needs no dedup aggregate and every fast path is valid. An
-    * EMPTY snapshot is trivially resolved. */
+    * its data files are EXACTLY a set a key-aware rewrite stamped (and
+    * no deletes of either kind are pending) — then the scan needs no
+    * dedup aggregate and every fast path is valid. An EMPTY snapshot
+    * is trivially resolved. (Pre-fileset markers — bare sequence
+    * numbers — are ignored: they could collide across branch logs;
+    * the cost is one re-compact on legacy tables, never correctness.) */
   def resolvedClean(tableDir: Path, snap: Snapshots.Snapshot): Boolean = {
     if (Snapshots.deleteFiles(snap.files).nonEmpty ||
         eqDeleteFiles(snap.files).nonEmpty) return false
     val dataF = Snapshots.dataFiles(snap.files)
-    if (dataF.isEmpty) return true
-    val seqs = dataF.map(f => snap.seqs.getOrElse(Snapshots.basename(f), 0L))
-      .distinct
-    seqs.size == 1 && seqs.head > 0L && markerSeqs(tableDir)(seqs.head)
+    dataF.isEmpty || markerFilesets(tableDir)(filesetHash(dataF))
   }
 
   // ---- birth-sequence broadcast ------------------------------------
@@ -361,6 +379,23 @@ object PkTables {
           s"$operation did not evaluate its predicate over (e.g. " +
           s"${fresh.head}) — a newer version of a matched key could be " +
           "silently deleted; re-run the operation against the new snapshot")
+  }
+
+  /** Commit validation shared by the key-aware REWRITES (compact,
+    * zorder): a concurrent commit that added an equality-delete file
+    * the rewrite did not read would be silently NEUTERED — the rewrite
+    * re-stamps every surviving row at a birth sequence above the
+    * delete's threshold, and equality deletes apply only to strictly
+    * lower sequences, so the deleted key resurrects. Conflict loudly;
+    * the retry reads the delete. */
+  def validateNoFreshEqDeletes(operation: String, baseFiles: Seq[String])(
+      current: Seq[String]): Unit = {
+    val known = eqDeleteFiles(baseFiles).toSet
+    val fresh = eqDeleteFiles(current).filterNot(known)
+    if (fresh.nonEmpty)
+      throw new CommitConflictException(
+        s"concurrent commit added ${fresh.size} equality-delete " +
+          s"file(s) this $operation did not read — re-run")
   }
 
   // ---- the resolved read (maintenance surface) ----------------------
