@@ -37,4 +37,8 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+    // V2 bucketing: scans reporting KeyGroupedPartitioning (the lake's
+    // bucket layout, incl. the bucket-local PK resolve) satisfy
+    // aggregate/join clustering without a shuffle Exchange.
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
 }

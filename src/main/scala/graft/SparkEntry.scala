@@ -1093,6 +1093,15 @@ object SparkEntry {
       graft.operators.PkLake.pkTableCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pklake")),
+    // 'sequence.field' (r16, Paimon's declared version ordering):
+    // out-of-order upserts resolve by the FIELD (a late replay never
+    // beats the newer version it replays past), predicate deletes
+    // retire a field threshold that outlives later low-field replays,
+    // blind deletes keep arrival revive, compact content-neutral.
+    "q_pk_seqfield" -> ((s, dir) =>
+      graft.operators.PkLake.pkSeqFieldCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pksf")),
     // CDC MERGE into a PK table (r15): matched DELETE + matched
     // UPDATE over resolved values + not-matched INSERT — one commit
     // of appends + equality deletes, zero data files rewritten.
@@ -5622,6 +5631,46 @@ object SparkEntry {
         |SELECT 'post_compact' AS stage, status, n, cents FROM census
         |ORDER BY stage, status""".stripMargin,
 
+    // sequence.field: the FIELD (not arrival) picks winners — CASE
+    // priority: the blind-revived kbr, then %21 revives (field 9),
+    // then the %7 field deletes (dead), then field 3 > field 2 > 1.
+    "q_pk_seqfield" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |kbr AS (SELECT min(k) AS v FROM base WHERE k % 7 <> 0),
+        |latest AS (
+        |  SELECT k,
+        |    CASE WHEN k = (SELECT v FROM kbr) THEN 'BR'
+        |         WHEN k % 21 = 0 THEN 'V9'
+        |         WHEN k % 7 = 0 THEN NULL
+        |         WHEN k % 3 = 0 THEN 'V3'
+        |         WHEN k % 2 = 0 THEN 'V2'
+        |         ELSE st END AS status,
+        |    CASE WHEN k = (SELECT v FROM kbr) THEN c
+        |         WHEN k % 21 = 0 THEN c + 9000
+        |         WHEN k % 7 = 0 THEN NULL
+        |         WHEN k % 3 = 0 THEN c + 3000
+        |         WHEN k % 2 = 0 THEN c + 2000
+        |         ELSE c END AS cents,
+        |    CASE WHEN k = (SELECT v FROM kbr) THEN 0
+        |         WHEN k % 21 = 0 THEN 9
+        |         WHEN k % 7 = 0 THEN NULL
+        |         WHEN k % 3 = 0 THEN 3
+        |         WHEN k % 2 = 0 THEN 2
+        |         ELSE 1 END AS ver
+        |  FROM base),
+        |census AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS cents,
+        |         CAST(sum(ver) AS BIGINT) AS vers
+        |  FROM latest WHERE status IS NOT NULL GROUP BY status)
+        |SELECT 'pre_compact' AS stage, status, n, cents, vers FROM census
+        |UNION ALL
+        |SELECT 'post_compact' AS stage, status, n, cents, vers FROM census
+        |ORDER BY stage, status""".stripMargin,
+
     // PK MERGE: resolved values (the %4 shadow) + the CDC batch's
     // delete/update/insert actions, all CASE algebra over raw orders.
     "q_pk_merge" ->
@@ -5671,13 +5720,25 @@ object SparkEntry {
         |  FROM orders),
         |merged AS (
         |  SELECT k,
+        |    CASE WHEN k % 6 = 0 THEN 'a,b,c'
+        |         WHEN k % 2 = 0 THEN 'a,b'
+        |         WHEN k % 3 = 0 THEN 'a,c'
+        |         ELSE 'a' END AS tag,
         |    c + CASE WHEN k % 2 = 0 THEN 10 ELSE 0 END
         |      + CASE WHEN k % 3 = 0 THEN 100 ELSE 0 END AS cents,
-        |    CASE WHEN k % 2 = 0 THEN st END AS status
+        |    CASE WHEN k % 2 = 0 THEN st END AS status,
+        |    CASE WHEN k % 2 <> 0 OR k % 4 = 0 THEN 1 ELSE 0 END AS fand,
+        |    CASE WHEN k % 3 = 0 OR k % 4 = 0 THEN 1 ELSE 0 END AS forr,
+        |    (CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END
+        |      * CASE WHEN k % 3 = 0 THEN 3 ELSE 1 END) AS fct
         |  FROM base)
-        |SELECT COALESCE(status, 'NONE') AS status,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS cents
+        |SELECT tag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(count(status) AS BIGINT) AS n_status,
+        |  CAST(sum(fand) AS BIGINT) AS n_and,
+        |  CAST(sum(forr) AS BIGINT) AS n_or,
+        |  CAST(sum(fct) AS BIGINT) AS prod_sum,
+        |  'F1' AS fst_min, 'F1' AS fst_max
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Minor eq-delete compaction: live = revived %91 keys (unless

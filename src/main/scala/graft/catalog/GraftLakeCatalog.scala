@@ -538,7 +538,51 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               canon -> fn
             }
           }
-          Some(PkTables.PkDef(canonical, engine, fieldAggs))
+          // 'sequence.field' (Paimon): a USER column ordering versions
+          // ahead of arrival order — see [[PkTables.SeqFieldProp]]
+          val seqField = Option(properties.get(PkTables.SeqFieldProp))
+            .map(_.trim).filter(_.nonEmpty).map { f =>
+            val canon = schema.fieldNames.find(_.equalsIgnoreCase(f))
+              .getOrElse(throw new IllegalArgumentException(
+                s"$catalogName: '${PkTables.SeqFieldProp}'='$f' " +
+                  "references unknown column"))
+            if (canonical.exists(_.equalsIgnoreCase(canon)))
+              throw new UnsupportedOperationException(
+                s"$catalogName: '$canon' is a PRIMARY KEY column — a " +
+                  "sequence field orders a key's VERSIONS, it cannot " +
+                  "be the key")
+            val fld = schema(schema.fieldIndex(canon))
+            if (fld.nullable)
+              throw new UnsupportedOperationException(
+                s"$catalogName: sequence field '$canon' must be " +
+                  "declared NOT NULL (the resolution ladder needs a " +
+                  "total order and the delta row identity carries it)")
+            val atomicOrderable = fld.dataType match {
+              case _: org.apache.spark.sql.types.StructType |
+                   _: org.apache.spark.sql.types.ArrayType |
+                   _: org.apache.spark.sql.types.MapType |
+                   org.apache.spark.sql.types.BinaryType => false
+              case dt => org.apache.spark.sql.catalyst.expressions
+                .RowOrdering.isOrderable(dt)
+            }
+            if (!atomicOrderable)
+              throw new UnsupportedOperationException(
+                s"$catalogName: sequence field '$canon' must be an " +
+                  s"orderable atomic type, got ${fld.dataType.sql}")
+            if (engine == PkTables.EngineFirstRow)
+              throw new UnsupportedOperationException(
+                s"$catalogName: '${PkTables.SeqFieldProp}' is not " +
+                  s"supported with '${PkTables.EngineFirstRow}' (the " +
+                  "Paimon constraint: first-row keeps the first " +
+                  "ARRIVAL; a version order contradicts it)")
+            if (fieldAggs.contains(canon))
+              throw new UnsupportedOperationException(
+                s"$catalogName: sequence field '$canon' cannot carry " +
+                  "an aggregate-function fold — the merged row keeps " +
+                  "the LATEST field value (the ladder's own order)")
+            canon
+          }
+          Some(PkTables.PkDef(canonical, engine, fieldAggs, seqField))
       }
     }
     // declared write-time clustering (WRITE ORDERED BY — [[WriteOrder]]):

@@ -495,14 +495,38 @@ private[catalog] object LakeProcedures {
           if (rewrite.isEmpty)
             Seq(InternalRow(0L, 0L, s.version))
           else {
-            import org.apache.spark.sql.functions.{col, max}
+            import org.apache.spark.sql.functions.{col, lit, max, struct}
             val keySchema = PkTables.keyFileSchema(dir, pk.keys)
             val bc = PkTables.seqBroadcastFor(spark, dir, s.seqs)
-            val merged = PkTables.readEqDeletes(spark, dir, rewrite,
-                keySchema, bc)
-              // per key the MAX threshold dominates; the row keeps it
-              .groupBy(keySchema.fieldNames.map(col): _*)
-              .agg(max(col(PkTables.DelSeqCol)).as(PkTables.DelSeqCol))
+            val delField = PkTables.delFieldOf(dir, pk)
+            val all = PkTables.readEqDeletes(spark, dir, rewrite,
+              keySchema, bc, delField)
+            val keyCols = keySchema.fieldNames.toSeq.map(col)
+            // per key the MAX threshold dominates WITHIN each delete
+            // family; `'sequence.field'` tables keep the two families
+            // separate (blind deletes kill by commit seq, field-
+            // carrying deletes by the (field, seq) ladder — their
+            // maxima are not comparable), so a key merges to ≤2 rows
+            val merged = delField match {
+              case None =>
+                all.groupBy(keyCols: _*)
+                  .agg(max(col(PkTables.DelSeqCol)).as(PkTables.DelSeqCol))
+              case Some(f) =>
+                val blind = all.filter(col(PkTables.DelFieldCol).isNull)
+                  .groupBy(keyCols: _*)
+                  .agg(max(col(PkTables.DelSeqCol)).as(PkTables.DelSeqCol))
+                  .withColumn(PkTables.DelFieldCol,
+                    lit(null).cast(f.dataType))
+                val fielded = all.filter(col(PkTables.DelFieldCol).isNotNull)
+                  .groupBy(keyCols: _*)
+                  .agg(max(struct(
+                    col(PkTables.DelFieldCol).as("f"),
+                    col(PkTables.DelSeqCol).as("s"))).as("__p"))
+                  .withColumn(PkTables.DelFieldCol, col("__p.f"))
+                  .withColumn(PkTables.DelSeqCol, col("__p.s"))
+                  .drop("__p")
+                blind.unionByName(fielded)
+            }
             // re-scope by the key's own partition dirs (same
             // expressions as the writers) and persist
             val spec = PartitionSpec.read(dir)

@@ -502,6 +502,9 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
   private def dirtyOf(r: DataSourceV2ScanRelation)
       : Option[(PartitionedLakeTable, Seq[String])] =
     r.relation.table match {
+      // a scan THIS rule already spliced (the bucket-local PK resolve
+      // base) — never re-match it, or the fixed-point loops
+      case _ if r.scan.isInstanceOf[PkBucketResolveScan] => None
       case t: PartitionedLakeTable =>
         val dels = t.morDeleteFiles
         if (dels.nonEmpty || t.pkDirty || r.scan.isInstanceOf[MorDeltaScan])
@@ -690,48 +693,82 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
     val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
     val (pkConj, restConj) = conjuncts.partition(isPkOnly)
     // data read: the relation's columns plus the key (the dedup needs
-    // it even when the query never asked), coordinates ride along
-    val selCols = (r.output.map(o => physOf(o.name)) ++ physKeys).distinct
-    val bc = PkTables.seqBroadcastFor(spark, tableDir, seqs)
-    val base = readDataWithCoords(spark, tableDir, files, Some(selCols))
-      .withColumn(PkTables.SeqCol,
-        PkTables.seqColumnFor(bc, org.apache.spark.sql.functions.col(FileKeyCol)))
-    val dataPlan = org.apache.spark.sql.catalyst.optimizer
-      .ReplaceExpressions(base.queryExecution.analyzed)
-    val byPhys: Map[String, Attribute] =
-      dataPlan.output.map(a => a.name.toLowerCase -> a).toMap
-    val remappedPk = pkConj.reduceOption(And).map(_.transform {
-      case a: AttributeReference if names.contains(a.exprId) =>
-        byPhys(physOf(names(a.exprId)).toLowerCase)
-    })
-    // both delete families prune statically off the key predicate
-    // (they share the _gmor_tdir= target layout)
-    val dels = remappedPk.fold(allDels)(c =>
-      pruneDeleteFiles(allDels, spec, Seq(c)))
+    // it even when the query never asked) and the declared sequence
+    // field (the ladder orders by it), coordinates ride along
+    val delField = PkTables.delFieldOf(tableDir, pk)
+    val selCols = (r.output.map(o => physOf(o.name)) ++ physKeys ++
+      delField.map(_.name)).distinct
     val eqAll = PkTables.eqDeleteFiles(files)
-    val eqDels = remappedPk.fold(eqAll)(c =>
-      pruneDeleteFiles(eqAll, spec, Seq(c)))
-    val filtered = remappedPk.fold(dataPlan: LogicalPlan)(Filter(_, dataPlan))
-    val hasRootData = Snapshots.dataFiles(files).exists(!_.contains('/'))
-    val posApplied = applyPosDeletes(spark, tableDir, filtered, dels,
-      byPhys, table, hasRootData)
-    val eqApplied =
+    // BUCKET-LOCAL fast base ([[PkBucketResolve]]): a dirty FULL-TABLE
+    // read over the required bucket-by-key layout resolves per bucket
+    // with NO shuffle Exchange — one key-grouped partition per bucket,
+    // equality deletes as a scan-local broadcast filter. Key-pushdown
+    // reads keep the pruned+pushed plan below (their post-filter
+    // exchange is already tiny); any structural miss falls back too.
+    val fastBase: Option[LogicalPlan] =
+      if (table.pkDirty && pkConj.isEmpty && allDels.isEmpty)
+        PkBucketResolve.tryBase(spark, tableDir, table.name(), files,
+          seqs, spec, selCols, eqAll, pk, delField, table,
+          r.relation.catalog)
+      else None
+    val eqApplied = fastBase.getOrElse {
+      val bc = PkTables.seqBroadcastFor(spark, tableDir, seqs)
+      val base = readDataWithCoords(spark, tableDir, files, Some(selCols))
+        .withColumn(PkTables.SeqCol,
+          PkTables.seqColumnFor(bc, org.apache.spark.sql.functions.col(FileKeyCol)))
+      val dataPlan = org.apache.spark.sql.catalyst.optimizer
+        .ReplaceExpressions(base.queryExecution.analyzed)
+      val byPhys: Map[String, Attribute] =
+        dataPlan.output.map(a => a.name.toLowerCase -> a).toMap
+      val remappedPk = pkConj.reduceOption(And).map(_.transform {
+        case a: AttributeReference if names.contains(a.exprId) =>
+          byPhys(physOf(names(a.exprId)).toLowerCase)
+      })
+      // both delete families prune statically off the key predicate
+      // (they share the _gmor_tdir= target layout)
+      val dels = remappedPk.fold(allDels)(c =>
+        pruneDeleteFiles(allDels, spec, Seq(c)))
+      val eqDels = remappedPk.fold(eqAll)(c =>
+        pruneDeleteFiles(eqAll, spec, Seq(c)))
+      val filtered = remappedPk.fold(dataPlan: LogicalPlan)(Filter(_, dataPlan))
+      val hasRootData = Snapshots.dataFiles(files).exists(!_.contains('/'))
+      val posApplied = applyPosDeletes(spark, tableDir, filtered, dels,
+        byPhys, table, hasRootData)
       if (eqDels.isEmpty) posApplied
       else {
         val edPlan = org.apache.spark.sql.catalyst.optimizer
           .ReplaceExpressions(
             PkTables.readEqDeletes(spark, tableDir, eqDels,
-              PkTables.keyFileSchema(tableDir, pk.keys), bc)
+              PkTables.keyFileSchema(tableDir, pk.keys), bc, delField)
               .queryExecution.analyzed)
         val edBy = edPlan.output.map(a => a.name.toLowerCase -> a).toMap
         val keyEq: Seq[Expression] = physKeys.map(k =>
           EqualTo(byPhys(k.toLowerCase), edBy(k.toLowerCase)))
-        val seqLt = org.apache.spark.sql.catalyst.expressions.LessThan(
-          byPhys(PkTables.SeqCol.toLowerCase),
-          edBy(PkTables.DelSeqCol.toLowerCase))
+        val seq = byPhys(PkTables.SeqCol.toLowerCase)
+        val dseq = edBy(PkTables.DelSeqCol.toLowerCase)
+        import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, IsNotNull, IsNull, LessThan, Literal, Not, Or}
+        // the kill law ([[PkTables.eqKillCond]]) in catalyst form:
+        // blind deletes (null field) compare by commit seq; field-
+        // carrying deletes compare the (field, seq) ladder with the
+        // same-commit exclusion (a field-lowering update must not eat
+        // its own insert) — struct field names pinned identical on
+        // both sides (comparison requires same types including names)
+        val kill = delField match {
+          case None => LessThan(seq, dseq)
+          case Some(f) =>
+            val dataF = byPhys(f.name.toLowerCase)
+            val edF = edBy(PkTables.DelFieldCol.toLowerCase)
+            def pair(a: Expression, b: Expression) =
+              CreateNamedStruct(Seq(Literal("f"), a, Literal("s"), b))
+            Or(And(IsNull(edF), LessThan(seq, dseq)),
+              And(IsNotNull(edF),
+                And(Not(EqualTo(seq, dseq)),
+                  LessThan(pair(dataF, seq), pair(edF, dseq)))))
+        }
         Join(posApplied, edPlan, LeftAnti,
-          Some((keyEq :+ seqLt).reduce(And)), JoinHint.NONE)
+          Some((keyEq :+ kill).reduce(And)), JoinHint.NONE)
       }
+    }
     // latest-per-key — skipped when this snapshot is provably
     // one-version-per-key (a PK delta read over a freshly compacted
     // table lands here with pkDirty=false)
@@ -739,7 +776,8 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
       if (!table.pkDirty) eqApplied
       else {
         val df = org.apache.spark.sql.GraftBridge.ofRows(spark, eqApplied)
-        val ord = struct(
+        val ord = pk.ladder(
+          delField.map(f => org.apache.spark.sql.functions.col(f.name)),
           org.apache.spark.sql.functions.col(PkTables.SeqCol),
           org.apache.spark.sql.functions.col(FileKeyCol),
           org.apache.spark.sql.functions.col(PosKeyCol))

@@ -58,9 +58,13 @@ private[catalog] final class PkDeltaOperation(
   override def description(): String = s"$tableName(pk-delta:$cmd)"
 
   /** Row identity = the PRIMARY KEY (plain data columns — declared
-    * NOT NULL at CREATE, which the delta resolver requires). */
+    * NOT NULL at CREATE, which the delta resolver requires), plus the
+    * declared `'sequence.field'` when present: delete records then
+    * carry the RETIRED row's field value, so the written equality
+    * delete kills by the `(field, seq)` ladder — a late replay of an
+    * older version stays dead, a genuinely newer version revives. */
   override def rowId(): Array[NamedReference] =
-    pk.keys.map(Expressions.column).toArray
+    (pk.keys ++ pk.seqField).map(Expressions.column).toArray
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
@@ -160,10 +164,16 @@ private[catalog] final class PkDeltaWrite(
       val dataOwf = new ParquetFileFormat().prepareWrite(
         spark, dataJob, Map.empty[String, String], fileSchema)
       val keySchema = PkTables.keyFileSchema(tableDir, pk.keys)
+      // `'sequence.field'` tables persist the retired row's field
+      // value beside the key ([[PkTables.DelFieldCol]])
+      val eqFileSchema = StructType(keySchema.fields ++
+        PkTables.delFieldOf(tableDir, pk).map(f =>
+          org.apache.spark.sql.types.StructField(
+            PkTables.DelFieldCol, f.dataType, nullable = true)).toSeq)
       val eqJob = org.apache.hadoop.mapreduce.Job.getInstance(
         spark.sessionState.newHadoopConf())
       val eqOwf = new ParquetFileFormat().prepareWrite(
-        spark, eqJob, Map.empty[String, String], keySchema)
+        spark, eqJob, Map.empty[String, String], eqFileSchema)
       new PkDeltaWriterFactory(
         new PartitionedWriterFactory(dataStaging.toString, rowSchema,
           dataSchema, spec, spark.sessionState.conf.sessionLocalTimeZone,
@@ -173,7 +183,7 @@ private[catalog] final class PkDeltaWrite(
         eqStaging.toString,
         new org.apache.spark.util.SerializableConfiguration(
           eqJob.getConfiguration),
-        eqOwf, writeId, pk.keys, keySchema, spec,
+        eqOwf, writeId, pk.keys ++ pk.seqField, eqFileSchema, spec,
         spark.sessionState.conf.sessionLocalTimeZone)
     }
 

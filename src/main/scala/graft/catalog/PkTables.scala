@@ -78,7 +78,16 @@ object PkTables {
   val FieldAggPrefix = "fields."
   val FieldAggSuffix = ".aggregate-function"
   val FieldAggFunctions: Set[String] =
-    Set("sum", "min", "max", "last_non_null")
+    Set("sum", "min", "max", "last_non_null", "first_value",
+      "bool_and", "bool_or", "product", "listagg")
+
+  /** Paimon's `'sequence.field'`: a USER column that orders a key's
+    * versions ahead of arrival order — resolution compares
+    * `(field, commit seq, file, pos)`, so a late-arriving CDC replay
+    * (lower field value, higher commit seq) never beats the newer
+    * value it replays past. Declared NOT NULL at CREATE (the ladder
+    * needs a total order and the delta row identity carries it). */
+  val SeqFieldProp = "sequence.field"
 
   val Sidecar = "_graft_pk.json"
 
@@ -96,10 +105,28 @@ object PkTables {
   val SeqCol = "_gpk_seq"
   val DelSeqCol = "_gpk_dseq"
 
+  /** The equality-delete side's SEQUENCE-FIELD value column: non-null
+    * on deletes that captured the retired row's field value (delta
+    * DELETE/UPDATE/MERGE — they read the row), null on BLIND key
+    * deletes (declared last-writer-wins at commit time). */
+  val DelFieldCol = "_gpk_dfield"
+
   final case class PkDef(keys: Seq[String], engine: String,
-                         fieldAggs: Map[String, String] = Map.empty) {
+                         fieldAggs: Map[String, String] = Map.empty,
+                         seqField: Option[String] = None) {
     def firstRow: Boolean = engine == EngineFirstRow
     def partialUpdate: Boolean = engine == EnginePartialUpdate
+
+    /** The resolution ladder: `(sequence field?, commit seq, file,
+      * pos)` — the field (when declared) orders versions ahead of
+      * arrival; commit seq + coordinates break ties deterministically
+      * ("later arrival wins" among equal field values). */
+    def ladder(field: Option[org.apache.spark.sql.Column],
+               seq: org.apache.spark.sql.Column,
+               file: org.apache.spark.sql.Column,
+               pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.struct(
+        (field.toSeq :+ seq :+ file :+ pos): _*)
 
     /** The per-column resolution pick: latest wins (`deduplicate`),
       * first wins (`first-row`), latest NON-NULL wins
@@ -113,7 +140,7 @@ object PkTables {
       * LOGICAL column name the field-agg declaration keys by. */
     def pick(name: String, c: org.apache.spark.sql.Column,
              ord: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.functions.{max, max_by, min, min_by, sum, when}
+      import org.apache.spark.sql.functions.{array_join, array_sort, bool_and, bool_or, collect_list, max, max_by, min, min_by, product, size, struct, sum, transform, when}
       engine match {
         case EngineFirstRow => min_by(c, ord)
         case EnginePartialUpdate => max_by(c, when(c.isNotNull, ord))
@@ -122,6 +149,23 @@ object PkTables {
             case "sum" => sum(c)
             case "min" => min(c)
             case "max" => max(c)
+            // order-free folds compose with compaction trivially
+            case "bool_and" => bool_and(c.cast("boolean"))
+            case "bool_or" => bool_or(c.cast("boolean"))
+            case "product" => product(c)
+            // first version's value BY THE LADDER (nulls kept —
+            // Paimon's first_value, vs first-row's whole-row min_by)
+            case "first_value" => min_by(c, ord)
+            // deterministic ordered concat of non-null values: sort
+            // by the resolution ladder, join with ','. Composes with
+            // key-aware compact because the compacted row's birth
+            // ladder precedes every later fragment's — the folded
+            // prefix stays a prefix. Null when no value ever arrived.
+            case "listagg" =>
+              val arr = array_sort(collect_list(when(c.isNotNull,
+                struct(ord.as("o"), c.cast("string").as("v")))))
+              when(size(arr) > 0,
+                array_join(transform(arr, x => x.getField("v")), ","))
             case _ => max_by(c, when(c.isNotNull, ord))
           }
         case _ => max_by(c, ord)
@@ -149,6 +193,7 @@ object PkTables {
       val fa = root.putObject("field_aggs")
       d.fieldAggs.toSeq.sortBy(_._1).foreach { case (k, v) => fa.put(k, v) }
     }
+    d.seqField.foreach(root.put("sequence_field", _))
     Files.writeString(tableDir.resolve(Sidecar), om.writeValueAsString(root))
     ()
   }
@@ -163,7 +208,8 @@ object PkTables {
         n.get("keys").elements().asScala.map(_.asText()).toSeq,
         Option(n.get("engine")).fold(EngineDedup)(_.asText()),
         Option(n.get("field_aggs")).fold(Map.empty[String, String])(
-          _.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)))
+          _.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap),
+        Option(n.get("sequence_field")).map(_.asText())))
     }
   }
 
@@ -312,15 +358,59 @@ object PkTables {
                     bc: org.apache.spark.broadcast.Broadcast[
                       java.util.HashMap[
                         org.apache.spark.unsafe.types.UTF8String,
-                        java.lang.Long]]): DataFrame = {
+                        java.lang.Long]],
+                    delField: Option[org.apache.spark.sql.types.StructField] =
+                      None): DataFrame = {
     import org.apache.spark.sql.functions.coalesce
-    val withSeq = StructType(keySchema.fields :+
+    val withSeq = StructType(keySchema.fields ++
+      delField.map(f => org.apache.spark.sql.types.StructField(
+        DelFieldCol, f.dataType, nullable = true)).toSeq :+
       org.apache.spark.sql.types.StructField(DelSeqCol,
         org.apache.spark.sql.types.LongType, nullable = true))
     spark.read.schema(withSeq)
       .parquet(eqDels.map(f => tableDir.resolve(f).toString): _*)
       .withColumn(DelSeqCol, coalesce(col(DelSeqCol),
         seqColumnFor(bc, col("_metadata.file_path"))))
+  }
+
+  /** The per-table [[DelFieldCol]] physical field, when a
+    * `'sequence.field'` is declared. */
+  def delFieldOf(tableDir: Path, pk: PkDef)
+      : Option[org.apache.spark.sql.types.StructField] =
+    pk.seqField.map { f =>
+      val phys = Snapshots.physicalReadSchema(tableDir)
+      val renames = Evolutions.renames(tableDir)
+      phys(phys.fieldIndex(renames.getOrElse(f, f)))
+    }
+
+  /** Column form of the equality-delete KILL law: a data row
+    * `(field?, seq)` dies to a delete `(dfield?, dseq)` iff
+    *  - the delete is BLIND (`dfield` null): `seq < dseq` — the blind
+    *    delete beats everything present at commit time, any later
+    *    append revives (arrival semantics, the r15 revive law);
+    *  - the delete CARRIES the retired row's field: `seq != dseq` AND
+    *    `(field, seq) < (dfield, dseq)` lexicographically — a late
+    *    replay of an older version (lower field) stays dead, a
+    *    genuinely newer version (higher field) revives, and the
+    *    same-commit exclusion keeps a field-LOWERING update from
+    *    eating its own insert (the "never eats its own inserts" law
+    *    the strictly-lower-seq rule gave blind deletes). */
+  def eqKillCond(dataField: Option[org.apache.spark.sql.Column],
+                 dataSeq: org.apache.spark.sql.Column,
+                 edField: Option[org.apache.spark.sql.Column],
+                 edSeq: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.struct
+    (dataField, edField) match {
+      case (Some(df), Some(ef)) =>
+        // identical inner field names on both sides — struct
+        // comparison requires same types INCLUDING names
+        (ef.isNull && dataSeq < edSeq) ||
+          (ef.isNotNull && dataSeq =!= edSeq &&
+            struct(df.as("f"), dataSeq.as("s")) <
+              struct(ef.as("f"), edSeq.as("s")))
+      case _ => dataSeq < edSeq
+    }
   }
 
   /** Persist a key-set DataFrame (key columns in [[keyFileSchema]]
@@ -417,15 +507,18 @@ object PkTables {
     var df = MorDeletes.readDataWithCoords(spark, tableDir, files)
     df = MorDeletes.applyDeletes(spark, tableDir, df, posDels, hasRoot)
     df = df.withColumn(SeqCol, seqColumnFor(bc, col(MorDeletes.FileKeyCol)))
+    val delField = delFieldOf(tableDir, pk)
+    val physField = delField.map(_.name)
     if (eqDels.nonEmpty) {
       val ed = readEqDeletes(spark, tableDir, eqDels,
-        keyFileSchema(tableDir, pk.keys), bc)
+        keyFileSchema(tableDir, pk.keys), bc, delField)
       val cond = physKeys.map(k => df(k) === ed(k)).reduce(_ && _) &&
-        df(SeqCol) < ed(DelSeqCol)
+        eqKillCond(physField.map(df(_)), df(SeqCol),
+          delField.map(_ => ed(DelFieldCol)), ed(DelSeqCol))
       df = df.join(ed, cond, "left_anti")
     }
-    val ord = struct(col(SeqCol), col(MorDeletes.FileKeyCol),
-      col(MorDeletes.PosKeyCol))
+    val ord = pk.ladder(physField.map(col), col(SeqCol),
+      col(MorDeletes.FileKeyCol), col(MorDeletes.PosKeyCol))
     // field-agg declarations key by LOGICAL names; this read speaks
     // PHYSICAL — translate back (helper columns fold positionally,
     // which for coords/bucket means last_non_null under aggregation:

@@ -131,6 +131,84 @@ object PkLake {
       .orderBy("status")
   }
 
+  /** `'sequence.field'` end-to-end (r16 — Paimon's declared version
+    * ordering; the reference's CDC order is the WAL/LSN order,
+    * `flink-cdc/sql/tickets-cdc.sql:43-64`, which arrival order does
+    * NOT preserve under replays): out-of-order upserts resolve by the
+    * FIELD, a late replay below a predicate delete's retired field
+    * stays dead, a genuinely newer version revives, blind deletes
+    * keep arrival revive, and the key-aware compact is content-
+    * neutral (pre/post censuses hash identically). */
+  def pkSeqFieldCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepksf"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_sf (
+         |  k BIGINT NOT NULL, ver BIGINT NOT NULL, status STRING,
+         |  cents BIGINT)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+         |  'sequence.field'='ver')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def ins(df: DataFrame): Unit =
+      df.select("k", "ver", "status", "cents")
+        .write.mode("append").insertInto(s"$cat.m.orders_sf")
+    // seq 1: everything at version 1
+    ins(base.withColumn("ver", lit(1L)))
+    // seq 2: %3 keys advance to version 3
+    ins(base.filter(col("k") % 3 === 0).withColumn("ver", lit(3L))
+      .withColumn("status", lit("V3"))
+      .withColumn("cents", col("cents") + 3000L))
+    // seq 3: a LATE REPLAY — %2 keys (re)arrive at version 2: it wins
+    // over version 1 but must NOT beat the %6 keys' version 3
+    ins(base.filter(col("k") % 2 === 0).withColumn("ver", lit(2L))
+      .withColumn("status", lit("V2"))
+      .withColumn("cents", col("cents") + 2000L))
+    // seq 4: predicate delete retires the %7 winners (field captured)
+    spark.sql(s"DELETE FROM $cat.m.orders_sf WHERE k % 7 = 0")
+    // seq 5: a replay BELOW every retired field — stays dead
+    ins(base.filter(col("k") % 7 === 0).withColumn("ver", lit(0L))
+      .withColumn("status", lit("DEAD"))
+      .withColumn("cents", col("cents") + 50L))
+    // seq 6: %21 keys come back ABOVE their retired field — revive
+    ins(base.filter(col("k") % 21 === 0).withColumn("ver", lit(9L))
+      .withColumn("status", lit("V9"))
+      .withColumn("cents", col("cents") + 9000L))
+    // seq 7+8: BLIND delete of a key the %7 FIELD delete never touched
+    // (a field delete's retired threshold outlives a blind delete —
+    // a low-version re-insert only revives where no field threshold
+    // stands), then a LOW-version re-insert: blind deletes keep
+    // ARRIVAL revive semantics
+    val kBr = base.filter(col("k") % 7 =!= 0).agg(min("k"))
+      .head().getLong(0)
+    spark.sql(
+      s"DELETE FROM $cat.m.orders_sf WHERE k = CAST($kBr AS BIGINT)")
+    ins(base.filter(col("k") === kBr).withColumn("ver", lit(0L))
+      .withColumn("status", lit("BR")))
+    def census(stage: String): DataFrame =
+      spark.table(s"$cat.m.orders_sf")
+        .groupBy("status")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cents")).cast("bigint").as("cents"),
+          sum(col("ver")).cast("bigint").as("vers"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "status", "n", "cents", "vers")
+    val pre = census("pre_compact")
+    val preRows = pre.collect().toSeq // bounded: one row per status
+    spark.sql(s"CALL $cat.system.compact('m.orders_sf', 2)")
+    val post = census("post_compact")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(preRows), pre.schema)
+      .unionByName(post)
+      .orderBy("stage", "status")
+  }
+
   /** PARTIAL-UPDATE merge engine end-to-end: column fragments arrive
     * in separate upserts (cents-only, then status-only, then a cents
     * revision) and the resolved row is the column-wise latest
@@ -172,11 +250,13 @@ object PkLake {
       .orderBy("status")
   }
 
-  /** AGGREGATION merge engine end-to-end: per-column declared folds
-    * (`'fields.cents.aggregate-function'='sum'`) — every upsert ADDS
-    * its fragment to the key's running fold at read time, the Paimon
-    * pre-aggregation pattern (counters/metrics tables ingesting blind
-    * appends). */
+  /** AGGREGATION merge engine end-to-end: the COMPLETE declared-fold
+    * family (`'fields.<col>.aggregate-function'`) — `sum`,
+    * `bool_and`, `bool_or`, `product`, `listagg` (deterministic
+    * ladder-ordered concat), `first_value`, and the `last_non_null`
+    * default — every upsert folds its fragment into the key's running
+    * aggregate at read time, the Paimon pre-aggregation pattern
+    * (counters/metrics tables ingesting blind appends). */
   def pkAggCensus(orders: DataFrame, workDir: String): DataFrame = {
     val spark = orders.sparkSession
     val cat = "glakepka"
@@ -185,30 +265,52 @@ object PkLake {
     spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
     spark.sql(
       s"""CREATE TABLE $cat.m.orders_pka (
-         |  k BIGINT NOT NULL, cents BIGINT, status STRING)
+         |  k BIGINT NOT NULL, cents BIGINT, status STRING,
+         |  ok BOOLEAN, seen BOOLEAN, fct DOUBLE, tag STRING,
+         |  fst STRING)
          |PARTITIONED BY (bucket(4, k))
          |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
          |  'merge-engine'='aggregation',
-         |  'fields.cents.aggregate-function'='sum')""".stripMargin)
+         |  'fields.cents.aggregate-function'='sum',
+         |  'fields.ok.aggregate-function'='bool_and',
+         |  'fields.seen.aggregate-function'='bool_or',
+         |  'fields.fct.aggregate-function'='product',
+         |  'fields.tag.aggregate-function'='listagg',
+         |  'fields.fst.aggregate-function'='first_value')""".stripMargin)
     val base = orders.select(
       col("o_orderkey").as("k"),
       expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
       col("o_orderstatus").as("status"))
-    base.select(col("k"), col("cents"),
-        lit(null).cast("string").as("status"))
-      .write.mode("append").insertInto(s"$cat.m.orders_pka")
-    base.filter(col("k") % 2 === 0)
-      .select(col("k"), lit(10L).as("cents"), col("status"))
-      .write.mode("append").insertInto(s"$cat.m.orders_pka")
-    base.filter(col("k") % 3 === 0)
+    def ins(df: DataFrame): Unit =
+      df.select("k", "cents", "status", "ok", "seen", "fct", "tag", "fst")
+        .write.mode("append").insertInto(s"$cat.m.orders_pka")
+    // seq 1: everything — and=true, or=false, ×1, tag 'a', first 'F1'
+    ins(base.select(col("k"), col("cents"),
+      lit(null).cast("string").as("status"),
+      lit(true).as("ok"), lit(false).as("seen"),
+      lit(1.0).as("fct"), lit("a").as("tag"), lit("F1").as("fst")))
+    // seq 2 (%2 keys): and &= (k%4=0), or |= (k%4=0), ×2, tag 'b'
+    ins(base.filter(col("k") % 2 === 0)
+      .select(col("k"), lit(10L).as("cents"), col("status"),
+        (col("k") % 4 === 0).as("ok"), (col("k") % 4 === 0).as("seen"),
+        lit(2.0).as("fct"), lit("b").as("tag"), lit("F2").as("fst")))
+    // seq 3 (%3 keys): and &= true, or |= true, ×3, tag 'c'
+    ins(base.filter(col("k") % 3 === 0)
       .select(col("k"), lit(100L).as("cents"),
-        lit(null).cast("string").as("status"))
-      .write.mode("append").insertInto(s"$cat.m.orders_pka")
+        lit(null).cast("string").as("status"),
+        lit(true).as("ok"), lit(true).as("seen"),
+        lit(3.0).as("fct"), lit("c").as("tag"), lit("F3").as("fst")))
     spark.table(s"$cat.m.orders_pka")
-      .groupBy(coalesce(col("status"), lit("NONE")).as("status"))
+      .groupBy(col("tag"))
       .agg(count(lit(1)).cast("bigint").as("n"),
-        sum(col("cents")).cast("bigint").as("cents"))
-      .orderBy("status")
+        sum(col("cents")).cast("bigint").as("cents"),
+        count(col("status")).cast("bigint").as("n_status"),
+        sum(when(col("ok"), 1L).otherwise(0L)).cast("bigint").as("n_and"),
+        sum(when(col("seen"), 1L).otherwise(0L)).cast("bigint").as("n_or"),
+        sum(col("fct")).cast("bigint").as("prod_sum"),
+        min(col("fst")).as("fst_min"),
+        max(col("fst")).as("fst_max"))
+      .orderBy("tag")
   }
 
   /** Minor EQUALITY-DELETE compaction end-to-end

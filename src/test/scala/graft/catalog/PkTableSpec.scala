@@ -140,6 +140,40 @@ class PkTableSpec extends SparkSpec {
     }
   }
 
+  test("aggregation engine: the full fold family composes with key-aware compact (r16: bool_and/or, product, listagg, first_value)") {
+    withLake("af") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.tf (k BIGINT NOT NULL, ok BOOLEAN,
+           |  seen BOOLEAN, fct DOUBLE, tag STRING, fst STRING)
+           |PARTITIONED BY (bucket(2, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+           |  'merge-engine'='aggregation',
+           |  'fields.ok.aggregate-function'='bool_and',
+           |  'fields.seen.aggregate-function'='bool_or',
+           |  'fields.fct.aggregate-function'='product',
+           |  'fields.tag.aggregate-function'='listagg',
+           |  'fields.fst.aggregate-function'='first_value')""".stripMargin)
+      def ins(rows: (Long, Boolean, Boolean, Double, String, String)*) =
+        rows.toSeq.toDF("k", "ok", "seen", "fct", "tag", "fst")
+          .write.mode("append").insertInto(s"$cat.m.tf")
+      def got() = spark.table(s"$cat.m.tf")
+        .as[(Long, Boolean, Boolean, Double, String, String)]
+        .collect().sortBy(_._1).toSeq
+      ins((1L, true, false, 2.0, "a", "first"))
+      ins((1L, true, true, 3.0, "b", "second"))
+      ins((1L, false, false, 5.0, "c", "third"))
+      val folded = (1L, false, true, 30.0, "a,b,c", "first")
+      assert(got() == Seq(folded))
+      // compact materializes every fold; LATER fragments fold ON TOP —
+      // incl. listagg, whose compacted prefix must STAY a prefix (the
+      // compacted row's ladder precedes every later fragment's)
+      spark.sql(s"CALL $cat.system.compact('m.tf', 1)")
+      assert(got() == Seq(folded), "compact is content-neutral")
+      ins((1L, true, false, 2.0, "d", "fourth"))
+      assert(got() == Seq((1L, false, true, 60.0, "a,b,c,d", "first")))
+    }
+  }
+
   test("aggregation engine: declared per-column folds; unconfigured columns default to last_non_null") {
     withLake("ag") { (cat, _) =>
       spark.sql(
