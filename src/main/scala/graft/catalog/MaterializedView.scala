@@ -34,19 +34,35 @@ import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum,
   * their rows, and the merge touches only the changed groups'
   * partitions.
   *
-  * CRASH SAFETY — the refresh spans two commits (the MV merge and the
-  * watermark bump), so the watermark lives in a two-phase INTENT
-  * sidecar (`_graft_mv.json`, atomic-move updates): refresh records
-  * `pending_to` + the MV's version BEFORE merging; a torn run is
-  * detected on the next refresh by comparing the MV's actual latest
-  * version against the recorded one — merge landed → finalize the
-  * watermark without re-applying (double-application would
-  * double-count, the non-idempotent half of the retract algebra);
-  * merge never landed → clear the intent and re-run. The MV table is
-  * ENGINE-OWNED: direct user writes to it void this detection. */
+  * CRASH SAFETY — the refresh watermark rides IN the MV's own
+  * manifest (r16): the refresh MERGE's commit summary carries
+  * `mv-source-version` ([[SourceVersionKey]], stamped through
+  * [[Snapshots.withSummaryStamp]]), so the fold and its watermark are
+  * ONE atomic commit — a crash leaves either nothing or a
+  * self-describing snapshot; there is no torn window and nothing to
+  * recover. An empty-delta refresh bumps the watermark with a
+  * metadata-only `mv-watermark` commit. The `_graft_mv.json` sidecar
+  * keeps the STRUCTURE (source/keys/groupBy/aggs) plus a write-behind
+  * CACHE of the watermark for the rare case every stamped snapshot
+  * was expired from the retained log. Direct user writes to the MV
+  * table are now DETECTED: an unstamped content-changing commit above
+  * the last stamp fails the next refresh loudly instead of silently
+  * corrupting the fold. */
 object MaterializedView {
 
   val Sidecar = "_graft_mv.json"
+
+  /** Commit-summary key carrying the SOURCE version this MV snapshot
+    * is folded up to — the refresh watermark, single-sourced with the
+    * OCC log. */
+  val SourceVersionKey = "mv-source-version"
+
+  /** Engine maintenance operations that legally commit to an MV table
+    * without a watermark stamp (content-preserving); anything else
+    * unstamped is a FOREIGN write and fails the next refresh loudly. */
+  private val MaintenanceOps = Set("compact", "zorder", "expire",
+    "tag", "untag", "rewrite", "rewrite-deletes", "rewrite-eqdeletes",
+    "bloom", "analyze", "create")
   /** The group-liveness column every MV carries: rows per group —
     * when a refresh drives it to zero the group's MV row deletes. */
   val RowsCol = "mv_rows"
@@ -149,14 +165,52 @@ object MaterializedView {
         s"$sourceRef is not a manifest-versioned table"))
     fullAggregate(spark, sourceRef, srcV, groupBy, aggs)
       .createOrReplaceTempView("__mv_full")
-    spark.sql(s"CREATE TABLE $mvRef " +
-      s"PARTITIONED BY (bucket($buckets, `${groupBy.head}`)) " +
-      "TBLPROPERTIES ('versioned'='true') " +
-      "AS SELECT * FROM __mv_full")
     val mvDir = resolveDir(spark, mvRef)
+    // the CTAS data commit carries the initial watermark stamp — the
+    // manifest is the single source from the first snapshot on
+    Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> srcV)) {
+      spark.sql(s"CREATE TABLE $mvRef " +
+        s"PARTITIONED BY (bucket($buckets, `${groupBy.head}`)) " +
+        "TBLPROPERTIES ('versioned'='true') " +
+        "AS SELECT * FROM __mv_full")
+    }
     writeDef(mvDir, MvDef(sourceRef, keys, groupBy, aggs, srcV,
       Snapshots.latest(mvDir).map(_.version).getOrElse(0L), None))
     srcV
+  }
+
+  /** The refresh watermark, SINGLE-SOURCED from the MV's own manifest:
+    * the newest snapshot whose summary carries [[SourceVersionKey]].
+    * Unstamped content-changing commits ABOVE it (or above the sidecar
+    * cache when every stamped snapshot was expired) are FOREIGN
+    * writes — loud, never a silently corrupted fold. Returns
+    * (source watermark, the MV version carrying it). */
+  private def currentState(mvDir: Path, d: MvDef): (Long, Long) = {
+    def failForeign(foreign: Seq[(Long, String)]): Nothing =
+      throw new IllegalStateException(
+        s"$mvDir: the MV table carries ${foreign.size} commit(s) this " +
+          "engine did not stamp (" +
+          foreign.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
+          ") — the MV is engine-owned; direct writes break the " +
+          "incremental fold. Recreate the MV (or roll the table back " +
+          "to the last stamped snapshot)")
+    val vs = Snapshots.versions(mvDir).sorted.reverse
+    var foreign = List.empty[(Long, String)]
+    vs.foreach { v =>
+      Snapshots.readMeta(mvDir, v) match {
+        case Some(m) if m.summary.contains(SourceVersionKey) =>
+          if (foreign.nonEmpty) failForeign(foreign)
+          return (m.summary(SourceVersionKey), v)
+        case Some(m) if !MaintenanceOps(m.operation) =>
+          foreign = (v, m.operation) :: foreign
+        case _ => ()
+      }
+    }
+    // no stamp in the retained log (expire GC'd them all): the
+    // write-behind sidecar cache, same foreign discipline above it
+    val aboveCache = foreign.filter(_._1 > d.mvVersion)
+    if (aboveCache.nonEmpty) failForeign(aboveCache)
+    (d.version, d.mvVersion)
   }
 
   /** Fold the source changes in `(def.version, latest]` into the MV
@@ -173,9 +227,10 @@ object MaterializedView {
         "branch while the refresh watermark advances globally — " +
         "unset the conf first")
     var d = readDef(mvDir)
-    // two-phase recovery: a torn previous refresh either landed its
-    // merge (MV advanced past the recorded version → finalize the
-    // watermark, NEVER re-apply) or didn't (clear the intent, redo)
+    // legacy (pre-r16) sidecars may carry a torn two-phase intent:
+    // resolve it ONCE with the old detection (MV advanced past the
+    // recorded version → the merge landed, finalize; else clear),
+    // then the manifest stamp takes over
     d.pendingTo.foreach { to =>
       val mvNow = Snapshots.latest(mvDir).map(_.version).getOrElse(0L)
       d =
@@ -184,22 +239,12 @@ object MaterializedView {
         else d.copy(pendingTo = None)
       writeDef(mvDir, d)
     }
+    val (fromV, _) = currentState(mvDir, d)
     val srcDir = resolveDir(spark, d.source)
-    val to = Snapshots.latest(srcDir).map(_.version).getOrElse(d.version)
-    if (to <= d.version) return (d.version, d.version)
-    // INTENT first: record where this refresh is going and where the
-    // MV stands, so a crash after the merge is detectable. mvVersion
-    // is re-read HERE, never carried from the last finalize: an
-    // engine maintenance commit on the MV table (CALL compact,
-    // rewrite_position_delete_files, analyze) between that finalize
-    // and a crash-before-merge would otherwise read as "the merge
-    // landed" in recovery and the change range would be silently
-    // skipped forever — only commits AFTER this intent count.
-    d = d.copy(mvVersion =
-      Snapshots.latest(mvDir).map(_.version).getOrElse(0L))
-    writeDef(mvDir, d.copy(pendingTo = Some(to)))
+    val to = Snapshots.latest(srcDir).map(_.version).getOrElse(fromV)
+    if (to <= fromV) return (fromV, fromV)
     val changes = Catalog.readTableChanges(
-      spark, d.source, d.keys, d.version, to)
+      spark, d.source, d.keys, fromV, to)
     // the signed delta fold (applyChangelogAggregateRetract's algebra,
     // plus the group-liveness row delta)
     val afterRows = changes
@@ -235,12 +280,15 @@ object MaterializedView {
       // groups whose every delta is zero (e.g. an update that left
       // the aggregated columns alone) need no write — with extremal
       // aggregates a RETRACTION or a new extremum candidate is a
-      // change too (a sum-preserving value swap can move the min)
-      .filter(col("__d_rows") =!= 0L ||
-        (invertible.map { case (c, fn) =>
+      // change too (a sum-preserving value swap can move the min);
+      // sum/count-only MVs ignore the retract flag (their fold is
+      // invertible — a net-zero churn range touches no group)
+      .filter((Seq(col("__d_rows") =!= 0L) ++
+        invertible.map { case (c, fn) =>
           coalesce(col(aggName(c, fn)), lit(0L)) =!= 0L } ++
-          Seq(col("__retract") === 1L) ++
-          extremal.map { case (c, fn) => col(aggName(c, fn)).isNotNull })
+        (if (extremal.isEmpty) Seq.empty
+         else Seq(col("__retract") === 1L) ++
+           extremal.map { case (c, fn) => col(aggName(c, fn)).isNotNull }))
         .reduce(_ || _))
     // recompute-on-retract: for retracted groups ONLY, the extrema
     // re-derive from the source at `to` — O(retracted groups' rows),
@@ -270,7 +318,21 @@ object MaterializedView {
               .reduce(_ && _), "left")
           .drop(d.groupBy.map(g => s"__rk_$g"): _*)
       }
-    deltas.createOrReplaceTempView("__mv_deltas")
+    // materialize once: the empty-delta check and the merge read the
+    // SAME computed delta (and a NET-ZERO churn range — insert+delete
+    // of the same keys — must not trigger a group rewrite: the merge
+    // with an empty source still plans a replace-data commit)
+    val matDeltas = deltas.localCheckpoint(true)
+    if (matDeltas.isEmpty) {
+      Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
+        Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
+      }
+      writeDef(mvDir, d.copy(version = to,
+        mvVersion = Snapshots.latest(mvDir).map(_.version).getOrElse(0L),
+        pendingTo = None))
+      return (fromV, to)
+    }
+    matDeltas.createOrReplaceTempView("__mv_deltas")
     val names = d.aggs.map { case (c, fn) => aggName(c, fn) }
     val on = d.groupBy.map(g => s"t.`$g` <=> s.`$g`").mkString(" AND ")
     val sets = (d.aggs.map {
@@ -296,16 +358,29 @@ object MaterializedView {
           s"CASE WHEN s.`__retract` = 1 THEN s.`__rc_$n` ELSE s.`$n` END"
       } :+ "s.`__d_rows`")
       .mkString(", ")
-    spark.sql(
-      s"""MERGE INTO $mvRef t USING __mv_deltas s ON $on
-         |WHEN MATCHED AND t.`$RowsCol` + s.`__d_rows` <= 0 THEN DELETE
-         |WHEN MATCHED THEN UPDATE SET $sets
-         |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
-        .stripMargin)
-    // FINALIZE: the merge landed; bump the watermark atomically
+    // the merge commit CARRIES the new watermark — fold and watermark
+    // are one atomic commit, no torn window exists
+    Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
+      spark.sql(
+        s"""MERGE INTO $mvRef t USING __mv_deltas s ON $on
+           |WHEN MATCHED AND t.`$RowsCol` + s.`__d_rows` <= 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET $sets
+           |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
+          .stripMargin)
+      // an all-zero delta merges nothing and commits nothing: bump the
+      // watermark with a metadata-only commit so the next refresh
+      // never rescans the folded range
+      val stamped = Snapshots.latest(mvDir)
+        .exists(_.summary.get(SourceVersionKey).contains(to))
+      if (!stamped)
+        Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
+      ()
+    }
+    // write-behind CACHE (used only when expire GC'd every stamped
+    // snapshot from the retained log)
     writeDef(mvDir, d.copy(version = to,
       mvVersion = Snapshots.latest(mvDir).map(_.version).getOrElse(0L),
       pendingTo = None))
-    (d.version, to)
+    (fromV, to)
   }
 }

@@ -619,6 +619,36 @@ private[catalog] object Snapshots {
     commitIn(tableDir, logDir, operation, transform, validate, freshStats)
   }
 
+  // ---- summary stamping --------------------------------------------
+
+  // thread-local extra summary entries, keyed by table dir: an engine
+  // component (the incremental MV) can ride its own state ATOMICALLY
+  // on the commit its operation produces — e.g. the refresh merge
+  // carries the source watermark in the SAME snapshot, collapsing the
+  // old two-phase sidecar intent into one atomic commit
+  private val summaryStamps =
+    new ThreadLocal[Map[String, Map[String, Long]]] {
+      override def initialValue(): Map[String, Map[String, Long]] =
+        Map.empty
+    }
+
+  private def stampFor(tableDir: Path): Map[String, Long] =
+    summaryStamps.get.getOrElse(tableDir.toAbsolutePath.toString,
+      Map.empty)
+
+  /** Run `body` with `extra` merged into the summary of every commit
+    * this THREAD makes to `tableDir` (driver-side commits run on the
+    * calling thread, so a SQL command issued inside `body` stamps its
+    * own commit). */
+  def withSummaryStamp[T](tableDir: Path, extra: Map[String, Long])(
+      body: => T): T = {
+    val key = tableDir.toAbsolutePath.toString
+    val old = summaryStamps.get
+    summaryStamps.set(old + (key -> (old.getOrElse(key,
+      Map.empty[String, Long]) ++ extra)))
+    try body finally summaryStamps.set(old)
+  }
+
   private def commitIn(tableDir: Path, logDir: Path,
                        operation: String,
                        transform: Seq[String] => Seq[String],
@@ -748,7 +778,8 @@ private[catalog] object Snapshots {
       System.currentTimeMillis(), files, prev.map(_.version), operation,
       Map("added-data-files" -> dataFiles(added).size.toLong,
         "removed-data-files" -> dataFiles(removed).size.toLong,
-        "total-data-files" -> dataFiles(files).size.toLong) ++ delKeys ++ eqKeys,
+        "total-data-files" -> dataFiles(files).size.toLong) ++ delKeys ++
+        eqKeys ++ stampFor(tableDir),
       allStats, segRefs, dropped,
       // the tag ref state carries forward on EVERY commit (the
       // Iceberg refs-in-current-metadata model); tag/untag commits

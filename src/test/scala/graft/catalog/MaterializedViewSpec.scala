@@ -107,21 +107,22 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
-  test("the refresh intent stamps the MV's CURRENT version — a maintenance commit between finalize and a torn refresh cannot masquerade as the merge") {
+  test("the watermark is manifest-stamped (r16): maintenance commits never masquerade as the merge, and a crashed refresh leaves NOTHING to recover") {
     withLake("e") { (cat, lake) =>
       mkSource(cat)
       MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
         Seq("k"), Seq("grp"), Seq("x" -> "sum"))
       val mvDir = lake.resolve("m/agg.parquet")
-      // sanctioned engine maintenance advances the MV with NO refresh
-      // finalize recording it — the sidecar's mvVersion is now stale
+      // the CTAS data commit carries the initial stamp
+      assert(Snapshots.latest(mvDir).get.summary
+        .get(MaterializedView.SourceVersionKey).contains(1L))
+      // sanctioned engine maintenance advances the MV with NO stamp —
+      // the walk skips it, never mistaking it for the merge
       spark.sql(s"CALL $cat.system.compact('m.agg', 1)")
       val mvAfterCompact = Snapshots.latest(mvDir).get.version
-      assert(MaterializedView.readDef(mvDir).mvVersion < mvAfterCompact,
-        "precondition: the finalize value is stale after compact")
       // a refresh that dies BEFORE its merge: force the crash with a
-      // TAG-PINNED retention hole on the source — the change feed then
-      // throws its hole error AFTER the intent is written
+      // TAG-PINNED retention hole on the source — the change feed
+      // throws while computing the delta
       Seq((7L, "a", 1L)).toDF("k", "grp", "x")
         .write.mode("append").insertInto(s"$cat.m.src") // v2
       Seq((8L, "a", 1L)).toDF("k", "grp", "x")
@@ -129,15 +130,53 @@ class MaterializedViewSpec extends SparkSpec {
       spark.sql(s"CALL $cat.system.tag('m.src', 'pin', 1)")
       spark.sql(s"CALL $cat.system.expire_snapshots('m.src', 1)")
       intercept[Exception](MaterializedView.refresh(spark, s"$cat.m.agg"))
-      val d = MaterializedView.readDef(mvDir)
-      assert(d.pendingTo.nonEmpty, "the crash left a torn intent")
-      // the intent re-read the MV's CURRENT version: recovery compares
-      // mvNow against the POST-compact version and correctly REDOES —
-      // the stale finalize value would read compact's commit as "the
-      // merge landed" and silently skip the change range forever
-      assert(d.mvVersion == mvAfterCompact,
-        s"intent must stamp the current MV version ($mvAfterCompact), " +
-          s"got ${d.mvVersion}")
+      // the crash left NO commit, NO intent, NO torn state — and the
+      // range is never silently skipped: a retry hits the SAME hole
+      // loudly (the old stale-sidecar bug would have read compact's
+      // commit as "merge landed" and skipped the range forever)
+      assert(Snapshots.latest(mvDir).get.version == mvAfterCompact)
+      assert(MaterializedView.readDef(mvDir).pendingTo.isEmpty)
+      intercept[Exception](MaterializedView.refresh(spark, s"$cat.m.agg"))
+    }
+  }
+
+  test("the refresh merge CARRIES its watermark; empty deltas bump it with a metadata-only commit; foreign writes fail loudly (r16)") {
+    withLake("f") { (cat, lake) =>
+      mkSource(cat)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        Seq("k"), Seq("grp"), Seq("x" -> "sum"))
+      val mvDir = lake.resolve("m/agg.parquet")
+      Seq((7L, "a", 100L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v2
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      // fold + watermark are ONE commit: the merge summary says v2
+      val head = Snapshots.latest(mvDir).get
+      assert(head.summary.get(MaterializedView.SourceVersionKey)
+        .contains(2L), head.summary)
+      // net-zero source churn (insert then delete the same key):
+      // nothing to merge — a metadata-only commit bumps the watermark
+      // so the folded range is never rescanned
+      Seq((9L, "zz", 5L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v3
+      spark.sql(s"DELETE FROM $cat.m.src WHERE k = 9") // v4
+      val before = spark.table(s"$cat.m.agg").select("grp", "sum_x")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      assert(MaterializedView.refresh(spark, s"$cat.m.agg") == ((2L, 4L)))
+      val wm = Snapshots.latest(mvDir).get
+      assert(wm.operation == "mv-watermark" &&
+        wm.summary.get(MaterializedView.SourceVersionKey).contains(4L),
+        s"${wm.operation} ${wm.summary}")
+      assert(spark.table(s"$cat.m.agg").select("grp", "sum_x")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq == before)
+      assert(MaterializedView.refresh(spark, s"$cat.m.agg") == ((4L, 4L)))
+      // a DIRECT user write to the engine-owned MV table is DETECTED
+      Seq(("zz", 1L, 1L)).toDF("grp", "sum_x", "mv_rows")
+        .write.mode("append").insertInto(s"$cat.m.agg")
+      Seq((10L, "b", 2L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v5
+      val e = intercept[IllegalStateException](
+        MaterializedView.refresh(spark, s"$cat.m.agg"))
+      assert(e.getMessage.contains("did not stamp"), e.getMessage)
     }
   }
 
