@@ -5804,13 +5804,28 @@ object SparkEntry {
         |    FROM base
         |  UNION ALL
         |  SELECT -(k + 1) AS k, c AS cents, k % 97 AS discount, pr
-        |    FROM base WHERE k % 11 = 0)
-        |SELECT pr AS o_orderpriority,
+        |    FROM base WHERE k % 11 = 0),
+        |merged_id AS (
+        |  SELECT k, c AS cents,
+        |      CASE WHEN k % 5 = 0 THEN k % 13 END AS discount, pr
+        |    FROM base
+        |  UNION ALL
+        |  SELECT -(k + 1) AS k, c AS cents, k % 13 AS discount, pr
+        |    FROM base WHERE k % 9 = 0)
+        |SELECT 'bucket' AS tbl, pr AS o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents,
         |  CAST(sum(COALESCE(discount, 0)) AS BIGINT) AS discount_total,
         |  CAST(count(discount) AS BIGINT) AS n_discounted
-        |FROM merged GROUP BY pr ORDER BY pr""".stripMargin,
+        |FROM merged GROUP BY pr
+        |UNION ALL
+        |SELECT 'identity' AS tbl, pr AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(COALESCE(discount, 0)) AS BIGINT) AS discount_total,
+        |  CAST(count(discount) AS BIGINT) AS n_discounted
+        |FROM merged_id GROUP BY pr
+        |ORDER BY tbl, o_orderpriority""".stripMargin,
 
     // Branch retention: published = the three staged audit deletes
     // applied; the expire between staging and publish drops exactly

@@ -863,18 +863,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         // resurrect dropped file data — allocate a fresh slot
         if (physInUse.exists(_.equalsIgnoreCase(name)))
           evo = evo.copy(renames = evo.renames + (name -> freshPhys(name)))
-        // identity-partitioned tables keep the trailing-partition-column
-        // invariant createTable enforces (the V2 scan emits data cols
-        // then partition cols, and row-level planning rejects a
-        // compensating Project) — insert the new DATA column BEFORE the
-        // trailing identity partition columns, not after them
-        val nIdentity =
-          pspec.count(_.isInstanceOf[PartitionSpec.Identity])
-        val at = schema.fields.length - nIdentity
+        // append at the END — including past trailing identity
+        // partition columns (r16): Spark's MERGE WITH SCHEMA EVOLUTION
+        // rebuilds the target relation expecting added columns LAST,
+        // so insert-action alignment on identity-partitioned targets
+        // only works with append-at-end. The scan keeps emitting
+        // (data cols, partition cols); reads bind by name, and writes
+        // split by name — the declared order is presentation only.
         val field = org.apache.spark.sql.types.StructField(
           name, a.dataType, nullable = true)
         schema = org.apache.spark.sql.types.StructType(
-          schema.fields.patch(at, Seq(field), 0))
+          schema.fields :+ field)
       case r: TableChange.RenameColumn =>
         if (r.fieldNames.length != 1)
           throw new UnsupportedOperationException(

@@ -403,20 +403,20 @@ object PkLake {
       .orderBy("op")
   }
 
-  /** `MERGE INTO … WITH SCHEMA EVOLUTION` end-to-end on a versioned
-    * lake table: the source carries a NEW `discount` column — the
-    * analyzer evolves the target metadata-only (ADD COLUMN) and the
-    * merge populates it; untouched rows read NULL. The CDC
-    * schema-drift scenario (reference `flink-gen.sh:58-90`). */
+  /** `MERGE INTO … WITH SCHEMA EVOLUTION` end-to-end on BOTH versioned
+    * lake layouts: the source carries a NEW column — the analyzer
+    * evolves the target metadata-only (ADD COLUMN, appended at the
+    * END) and the merge populates it; untouched rows read NULL. The
+    * CDC schema-drift scenario (reference `flink-gen.sh:58-90`).
+    * r16 adds the IDENTITY-partitioned leg with UPDATE + INSERT
+    * actions — append-at-end evolution lifted the old UPDATE-only
+    * limit (MergeEvolutionSpec). */
   def mergeEvolveCensus(orders: DataFrame, workDir: String): DataFrame = {
     val spark = orders.sparkSession
     val cat = "glakemev"
     PartitionedWorkDirs.reset(workDir)
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
-    // bucket-partitioned: evolution APPENDS the new column (identity-
-    // partitioned targets keep trailing partition cols, which limits
-    // evolving merges to UPDATE-only actions — MergeEvolutionSpec)
     spark.sql(
       s"""CREATE TABLE $cat.m.orders_me (
          |  k BIGINT, status STRING, cents BIGINT, pr STRING)
@@ -444,15 +444,51 @@ object PkLake {
          |  discount = s.discount
          |WHEN NOT MATCHED THEN INSERT (k, status, cents, pr, discount)
          |  VALUES (s.mk, 'NEW', s.mcents, s.mpr, s.discount)""".stripMargin)
-    spark.table(s"$cat.m.orders_me")
+    val bucketCensus = spark.table(s"$cat.m.orders_me")
       .groupBy("pr")
       .agg(count(lit(1)).cast("bigint").as("n"),
         sum(col("cents")).cast("bigint").as("cents"),
         sum(coalesce(col("discount"), lit(0L))).cast("bigint")
           .as("discount_total"),
         count(col("discount")).cast("bigint").as("n_discounted"))
+      .withColumn("tbl", lit("bucket"))
+    // IDENTITY-partitioned leg (r16): the same drift with UPDATE +
+    // INSERT actions — rows route to their identity partitions, the
+    // evolved column appends past the partition column
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_mei (
+         |  k BIGINT, cents BIGINT, pr STRING)
+         |PARTITIONED BY (pr)
+         |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    base.select("k", "cents", "pr")
+      .write.mode("append").insertInto(s"$cat.m.orders_mei")
+    base.filter(col("k") % 5 === 0)
+      .select(col("k").as("mk"), col("cents").as("mcents"),
+        (col("k") % 13L).as("bonus"), col("pr").as("mpr"))
+      .unionByName(
+        base.filter(col("k") % 9 === 0)
+          .select((-(col("k") + 1L)).as("mk"), col("cents").as("mcents"),
+            (col("k") % 13L).as("bonus"), col("pr").as("mpr")))
+      .createOrReplaceTempView("mei_cdc_batch")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.m.orders_mei t
+         |USING mei_cdc_batch s ON t.k = s.mk
+         |WHEN MATCHED THEN UPDATE SET bonus = s.bonus
+         |WHEN NOT MATCHED THEN INSERT (k, cents, pr, bonus)
+         |  VALUES (s.mk, s.mcents, s.mpr, s.bonus)""".stripMargin)
+    val idCensus = spark.table(s"$cat.m.orders_mei")
+      .groupBy("pr")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("cents")).cast("bigint").as("cents"),
+        sum(coalesce(col("bonus"), lit(0L))).cast("bigint")
+          .as("discount_total"),
+        count(col("bonus")).cast("bigint").as("n_discounted"))
+      .withColumn("tbl", lit("identity"))
+    bucketCensus.unionByName(idCensus)
       .withColumnRenamed("pr", "o_orderpriority")
-      .orderBy("o_orderpriority")
+      .select("tbl", "o_orderpriority", "n", "cents", "discount_total",
+        "n_discounted")
+      .orderBy("tbl", "o_orderpriority")
   }
 }
 

@@ -68,7 +68,7 @@ class MergeEvolutionSpec extends SparkSpec {
     }
   }
 
-  test("IDENTITY-partitioned targets evolve through UPDATE-only merges (added columns sit before the trailing partition cols — INSERT alignment needs append-at-end, spec-pinned as the documented limit)") {
+  test("IDENTITY-partitioned targets evolve through FULL 3-action merges (r16: append-at-end ADD COLUMN lifts the UPDATE-only limit)") {
     withLake("id") { (cat, _) =>
       spark.sql(
         s"""CREATE TABLE $cat.m.t (k BIGINT, v STRING, region STRING)
@@ -77,30 +77,42 @@ class MergeEvolutionSpec extends SparkSpec {
       Seq((1L, "a", "EU"), (2L, "b", "US")).toDF("k", "v", "region")
         .write.mode("append").insertInto(s"$cat.m.t")
       Seq((2L, 20L)).toDF("mk", "score").createOrReplaceTempView("mev_srcid")
-      // UPDATE-only evolution works (the new column needs no insert
-      // alignment); the evolved column lands BEFORE the trailing
-      // partition column, keeping the layout invariant
+      // UPDATE evolution: the evolved column appends at the END (past
+      // the identity partition column — the rebuild order Spark's
+      // insert-action alignment expects)
       spark.sql(
         s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.m.t t
            |USING mev_srcid s ON t.k = s.mk
            |WHEN MATCHED THEN UPDATE SET score = s.score""".stripMargin)
       assert(spark.table(s"$cat.m.t").columns.toSeq ==
-        Seq("k", "v", "score", "region"))
+        Seq("k", "v", "region", "score"))
       assert(spark.table(s"$cat.m.t").select("k", "score")
         .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq ==
         Seq((1L, None), (2L, Some(20L))))
-      // an evolving merge WITH insert actions on an identity-
-      // partitioned target fails LOUDLY (Spark's own alignment error —
-      // the rebuilt relation remaps positions), never silently
-      // misassigns
-      Seq((9L, 90L, "EU")).toDF("mk", "score2", "mregion")
+      // the r15 UPDATE-only limit is LIFTED: an evolving merge with
+      // UPDATE + INSERT actions (and a second fresh column) lands
+      // end-to-end — rows route to their identity partitions, old
+      // rows read the new columns as NULL
+      Seq((9L, 90L, "EU"), (2L, 22L, "US")).toDF("mk", "score2", "mregion")
         .createOrReplaceTempView("mev_srcid2")
-      intercept[Exception](spark.sql(
+      spark.sql(
         s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.m.t t
            |USING mev_srcid2 s ON t.k = s.mk
            |WHEN MATCHED THEN UPDATE SET score2 = s.score2
            |WHEN NOT MATCHED THEN INSERT (k, v, region, score2)
-           |  VALUES (s.mk, 'new', s.mregion, s.score2)""".stripMargin))
+           |  VALUES (s.mk, 'new', s.mregion, s.score2)""".stripMargin)
+      assert(spark.table(s"$cat.m.t").columns.toSeq ==
+        Seq("k", "v", "region", "score", "score2"))
+      assert(spark.table(s"$cat.m.t")
+        .select("k", "v", "region", "score", "score2")
+        .as[(Long, String, String, Option[Long], Option[Long])]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a", "EU", None, None),
+          (2L, "b", "US", Some(20L), Some(22L)),
+          (9L, "new", "EU", None, Some(90L))))
+      // partition pruning still serves the evolved layout
+      assert(spark.table(s"$cat.m.t").where($"region" === "EU")
+        .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 9L))
     }
   }
 

@@ -87,9 +87,10 @@ class PartitionedEvolutionSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.m.t DROP COLUMN note")
       assert(spark.table(s"$cat.m.t").columns.toSeq == Seq("n", "g"))
       spark.sql(s"ALTER TABLE $cat.m.t ADD COLUMN note STRING")
-      // the re-added column must NOT resurrect the dropped data, and
-      // it must land before the trailing partition column
-      assert(spark.table(s"$cat.m.t").columns.toSeq == Seq("n", "note", "g"))
+      // the re-added column must NOT resurrect the dropped data; it
+      // appends at the END (r16 — past the identity partition column,
+      // the order schema-evolving INSERT merges need)
+      assert(spark.table(s"$cat.m.t").columns.toSeq == Seq("n", "g", "note"))
       assert(spark.table(s"$cat.m.t").select("note").as[Option[String]]
         .collect().toSeq == Seq(None),
         "dropped column data must never resurface under a re-added name")

@@ -214,7 +214,7 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
-  test("ADD COLUMN on an identity-partitioned table inserts BEFORE the trailing partition columns; read + insert + DELETE still work") {
+  test("ADD COLUMN on an identity-partitioned table appends at the END (past the partition column); read + insert + DELETE still work") {
     val lake = Files.createTempDirectory("graft-lake-pt7")
     Files.createDirectories(lake.resolve("m"))
     spark.conf.set("spark.sql.catalog.lkpt7", classOf[GraftLakeCatalog].getName)
@@ -226,24 +226,24 @@ class PartitionedTableSpec extends SparkSpec {
       Seq((1L, "EU"), (2L, "US")).toDF("n", "region")
         .write.mode("append").insertInto("lkpt7.m.t")
       spark.sql("ALTER TABLE lkpt7.m.t ADD COLUMN note STRING")
-      // trailing-partition-column invariant: the new DATA column lands
-      // BEFORE the identity partition column, so the V2 scan output
-      // order (data cols, then partition cols) still matches the schema
-      assert(spark.table("lkpt7.m.t").columns.toSeq == Seq("n", "note", "region"),
-        "added column must precede the trailing partition columns")
+      // r16: the new DATA column appends at the END, past the identity
+      // partition column — the order Spark's schema-evolving MERGE
+      // rebuild expects (reads bind by name; writes split by name)
+      assert(spark.table("lkpt7.m.t").columns.toSeq == Seq("n", "region", "note"),
+        "added column must append at the end")
       // pre-evolution rows read the new column as NULL (merge-on-read)
       assert(spark.table("lkpt7.m.t").where("note IS NULL").count() == 2L)
       // post-evolution inserts carry the new column
-      Seq((3L, "x", "EU")).toDF("n", "note", "region")
+      Seq((3L, "EU", "x")).toDF("n", "region", "note")
         .write.mode("append").insertInto("lkpt7.m.t")
       assert(spark.table("lkpt7.m.t").as[(Long, String, String)]
         .collect().sortBy(_._1).toSeq ==
-        Seq((1L, null, "EU"), (2L, null, "US"), (3L, "x", "EU")))
+        Seq((1L, "EU", null), (2L, "US", null), (3L, "EU", "x")))
       // row-level DML still plans and runs on the evolved table
       spark.sql("DELETE FROM lkpt7.m.t WHERE n = 1")
       assert(spark.table("lkpt7.m.t").as[(Long, String, String)]
         .collect().sortBy(_._1).toSeq ==
-        Seq((2L, null, "US"), (3L, "x", "EU")))
+        Seq((2L, "US", null), (3L, "EU", "x")))
       // pruning still plans after evolution
       assert(planOf(spark.table("lkpt7.m.t").where("region = 'EU'"))
         .contains("PartitionFilters"))

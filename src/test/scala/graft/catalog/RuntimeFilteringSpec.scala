@@ -157,18 +157,18 @@ class RuntimeFilteringSpec extends SparkSpec {
       Seq((1L, "EU"), (2L, "US")).toDF("k", "region")
         .write.mode("append").insertInto("lkrf4.m.e")
       spark.sql("ALTER TABLE lkrf4.m.e ADD COLUMN note STRING")
-      // the added DATA column lands BEFORE the trailing partition
-      // column (the invariant reads/DML rely on)
-      assert(spark.table("lkrf4.m.e").columns.toSeq == Seq("k", "note", "region"))
+      // the added DATA column appends at the END (r16 — past the
+      // partition column; schema-evolving INSERT merges need it)
+      assert(spark.table("lkrf4.m.e").columns.toSeq == Seq("k", "region", "note"))
       // merge-on-read: pre-evolution partitions read the column as NULL
-      assert(spark.table("lkrf4.m.e").as[(Long, Option[String], String)]
+      assert(spark.table("lkrf4.m.e").as[(Long, String, Option[String])]
         .collect().sortBy(_._1).toSeq ==
-        Seq((1L, None, "EU"), (2L, None, "US")))
-      Seq((3L, "x", "EU")).toDF("k", "note", "region")
+        Seq((1L, "EU", None), (2L, "US", None)))
+      Seq((3L, "EU", "x")).toDF("k", "region", "note")
         .write.mode("append").insertInto("lkrf4.m.e")
       assert(spark.table("lkrf4.m.e").where("note = 'x'")
-        .as[(Long, Option[String], String)].collect().toSeq ==
-        Seq((3L, Some("x"), "EU")))
+        .as[(Long, String, Option[String])].collect().toSeq ==
+        Seq((3L, "EU", Some("x"))))
       // partition pruning still works over the evolved schema
       assert(spark.table("lkrf4.m.e").where("region = 'EU'").count() == 2L)
       // rename/drop of PARTITION-SPEC columns stay rejected; data
