@@ -1102,6 +1102,15 @@ object SparkEntry {
       graft.operators.PkLake.pkSeqFieldCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pksf")),
+    // The reference's FULL topology in one lifecycle (r16): CDC feed →
+    // PK staging tables (fact + dimension) → the revenue MV refreshed
+    // incrementally over the RESOLVED changelog after every
+    // generation → report joins the resolved dimension
+    // (revenue-analytics.sql:40-75 over tickets-cdc.sql:23-37).
+    "q_pk_revenue_mv" -> ((s, dir) =>
+      graft.operators.PkLake.pkRevenueMvCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pkrvmv")),
     // CDC MERGE into a PK table (r15): matched DELETE + matched
     // UPDATE over resolved values + not-matched INSERT — one commit
     // of appends + equality deletes, zero data files rewritten.
@@ -5670,6 +5679,35 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'post_compact' AS stage, status, n, cents, vers FROM census
         |ORDER BY stage, status""".stripMargin,
+
+    // Full topology: the incrementally-refreshed MV must equal the
+    // full recompute over the fact table's FINAL resolved state
+    // (upserts %3, delete %7, merge +500 on %10 survivors, NEW
+    // inserts from %9), joined with the resolved dimension labels.
+    "q_pk_revenue_mv" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderpriority AS pr
+        |  FROM orders),
+        |live AS (
+        |  SELECT k,
+        |    CASE WHEN k % 3 = 0 THEN 'U2' ELSE st END AS status,
+        |    (CASE WHEN k % 3 = 0 THEN c + 1000 ELSE c END +
+        |     CASE WHEN k % 10 = 0 THEN 500 ELSE 0 END) AS cents, pr
+        |  FROM base WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT -(k + 1) AS k, 'NEW' AS status, c AS cents, pr
+        |  FROM base WHERE k % 9 = 0),
+        |mv AS (SELECT status, pr,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(count(cents) AS BIGINT) AS count_cents,
+        |    CAST(count(*) AS BIGINT) AS mv_rows
+        |  FROM live GROUP BY status, pr)
+        |SELECT status, pr,
+        |  CASE WHEN pr LIKE '1%' THEN 'HOT' ELSE 'L-' || pr END AS label,
+        |  sum_cents, count_cents, mv_rows
+        |FROM mv ORDER BY status, pr""".stripMargin,
 
     // PK MERGE: resolved values (the %4 shadow) + the CDC batch's
     // delete/update/insert actions, all CASE algebra over raw orders.

@@ -403,6 +403,89 @@ object PkLake {
       .orderBy("op")
   }
 
+  /** The reference's FULL topology as one lifecycle (r16): a CDC feed
+    * ingests as blind upserts into PRIMARY-KEY staging tables (fact
+    * `tickets` + dimension `movies` — reference
+    * `flink-cdc/sql/tickets-cdc.sql:23-37`), the revenue MV refreshes
+    * INCREMENTALLY over the fact table's RESOLVED changelog after
+    * every generation (upserts, a predicate delete, a CDC MERGE —
+    * reference `revenue-analytics.sql:40-75`), and the report joins
+    * the MV with the RESOLVED dimension. The final MV content hashes
+    * against a DuckDB full recompute from raw parquet. */
+  def pkRevenueMvCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakervmv"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.tickets (
+         |  k BIGINT NOT NULL, status STRING, cents BIGINT, pr STRING)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.movies (
+         |  pm STRING NOT NULL, label STRING)
+         |PARTITIONED BY (bucket(2, pm))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='pm')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority").as("pr"))
+    // generation 1: the initial snapshots + the MV at source v1
+    base.write.mode("append").insertInto(s"$cat.m.tickets")
+    base.select(col("pr").as("pm")).distinct()
+      .withColumn("label", concat(lit("L-"), col("pm")))
+      .write.mode("append").insertInto(s"$cat.m.movies")
+    graft.catalog.MaterializedView.create(spark, s"$cat.m.rev_mv",
+      s"$cat.m.tickets", Seq("k"), Seq("status", "pr"),
+      Seq("cents" -> "sum", "cents" -> "count"), buckets = 4)
+    def refresh(): Unit = {
+      graft.catalog.MaterializedView.refresh(spark, s"$cat.m.rev_mv")
+      ()
+    }
+    // generation 2: CDC upserts — %3 keys advance; one dimension
+    // label upserts (resolution must serve the LATEST label)
+    base.filter(col("k") % 3 === 0)
+      .withColumn("status", lit("U2"))
+      .withColumn("cents", col("cents") + 1000L)
+      .write.mode("append").insertInto(s"$cat.m.tickets")
+    base.select(col("pr").as("pm")).distinct()
+      .filter(col("pm").startsWith("1"))
+      .withColumn("label", lit("HOT"))
+      .write.mode("append").insertInto(s"$cat.m.movies")
+    refresh()
+    // generation 3: a CDC tombstone batch (predicate delete)
+    spark.sql(s"DELETE FROM $cat.m.tickets WHERE k % 7 = 0")
+    refresh()
+    // generation 4: a CDC MERGE — matched updates + fresh inserts
+    base.filter(col("k") % 10 === 0 && col("k") % 7 =!= 0)
+      .select(col("k").as("mk"), col("cents").as("mcents"),
+        col("pr").as("mpr"))
+      .unionByName(
+        base.filter(col("k") % 9 === 0)
+          .select((-(col("k") + 1L)).as("mk"), col("cents").as("mcents"),
+            col("pr").as("mpr")))
+      .createOrReplaceTempView("rvmv_cdc")
+    spark.sql(
+      s"""MERGE INTO $cat.m.tickets t USING rvmv_cdc s ON t.k = s.mk
+         |WHEN MATCHED THEN UPDATE SET cents = t.cents + 500
+         |WHEN NOT MATCHED THEN INSERT (k, status, cents, pr)
+         |  VALUES (s.mk, 'NEW', s.mcents, s.mpr)""".stripMargin)
+    refresh()
+    // the report: the incrementally-maintained MV joined with the
+    // RESOLVED dimension (both reads resolve latest-per-key)
+    spark.table(s"$cat.m.rev_mv")
+      .join(spark.table(s"$cat.m.movies"),
+        col("pr") === col("pm"))
+      .select(col("status"), col("pr"), col("label"),
+        col("sum_cents").cast("bigint").as("sum_cents"),
+        col("count_cents").cast("bigint").as("count_cents"),
+        col("mv_rows").cast("bigint").as("mv_rows"))
+      .orderBy("status", "pr")
+  }
+
   /** `MERGE INTO … WITH SCHEMA EVOLUTION` end-to-end on BOTH versioned
     * lake layouts: the source carries a NEW column — the analyzer
     * evolves the target metadata-only (ADD COLUMN, appended at the
