@@ -735,7 +735,15 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
       val posApplied = applyPosDeletes(spark, tableDir, filtered, dels,
         byPhys, table, hasRootData)
       if (eqDels.isEmpty) posApplied
-      else {
+      // prefer the SCAN-LOCAL broadcast vector (no join operator — the
+      // point lookup's pruned churn rides a codegen'd filter like
+      // position-delete vectors); only churn past the shared ceiling
+      // keeps the LeftAnti join
+      else PkBucketResolve.eqVectorFilter(spark, tableDir, eqDels,
+          PkTables.keyFileSchema(tableDir, pk.keys), seqs, delField,
+          n => byPhys(n.toLowerCase)) match {
+        case Some(keep) => Filter(keep, posApplied)
+        case None =>
         val edPlan = org.apache.spark.sql.catalyst.optimizer
           .ReplaceExpressions(
             PkTables.readEqDeletes(spark, tableDir, eqDels,

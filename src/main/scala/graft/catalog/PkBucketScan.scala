@@ -155,6 +155,29 @@ private[catalog] object PkBucketResolve {
     })
   }
 
+  /** The scan-local equality-delete filter over an ALREADY-BUILT data
+    * plan (the V1 coordinate read of the audited fallback path) —
+    * point lookups and other pushed-read shapes then apply their
+    * (bucket-pruned) eq churn as a broadcast vector instead of a join
+    * operator, exactly like position-delete vectors. None when the
+    * churn exceeds the shared ceiling (callers keep the anti-join). */
+  def eqVectorFilter(spark: SparkSession, tableDir: Path,
+                     eqDels: Seq[String], keySchema: StructType,
+                     seqs: Map[String, Long],
+                     delField: Option[StructField],
+                     attrOf: String => org.apache.spark.sql.catalyst
+                       .expressions.Attribute)
+      : Option[Expression] =
+    eqVectorFor(spark, tableDir, eqDels, keySchema, seqs, delField)
+      .map { case (keyTypes, bc) =>
+        org.apache.spark.sql.catalyst.expressions.Not(
+          EqDeleteVectorKilled(bc, keyTypes,
+            org.apache.spark.sql.catalyst.expressions.CreateStruct(
+              keySchema.fieldNames.toSeq.map(attrOf)),
+            attrOf(PkTables.SeqCol),
+            delField.map(f => attrOf(f.name))))
+      }
+
   // (appId, ceiling, tableDir, eq-file set) → per-key threshold
   // broadcast, None cached for over-ceiling sets — the vectorFor
   // caching model. Slots per key: (blind max seq | null, field value |

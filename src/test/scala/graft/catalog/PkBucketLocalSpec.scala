@@ -155,6 +155,60 @@ class PkBucketLocalSpec extends SparkSpec {
     }
   }
 
+  test("a dirty PK read storage-partition-joins a same-bucketed clean table with ZERO exchanges (the reference's steady-state MV-join topology)") {
+    withLake("g") { (cat, _) =>
+      mkTable(cat); seed(cat)
+      spark.sql(
+        s"""CREATE TABLE $cat.m.dim (k BIGINT NOT NULL, label STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      (0L until 200L).map(i => (i, s"L$i")).toDF("k", "label")
+        .write.mode("append").insertInto(s"$cat.m.dim")
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        spark.catalog.clearCache()
+        val j = spark.table(s"$cat.m.t")
+          .join(spark.table(s"$cat.m.dim"), "k")
+        val p = planOf(j)
+        assert(p.contains("pk-bucket-resolve") && !p.contains("Exchange"),
+          s"the resolved fact side must keep its key grouping " +
+            s"through the dedup aggregate into the join:\n$p")
+        assert(j.count() == 200L)
+        assert(j.where(col("k") === 4L).select("v", "label")
+          .as[(String, String)].collect().toSeq == Seq(("v2-4", "L4")))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+  }
+
+  test("pushed point lookups apply pruned eq churn as the broadcast vector — no join operator (r16)") {
+    withLake("h") { (cat, _) =>
+      mkTable(cat); seed(cat)
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = 4")
+      Seq((4L, "revived", 9L)).toDF("k", "v", "amt")
+        .write.mode("append").insertInto(s"$cat.m.t")
+      spark.sql(s"DELETE FROM $cat.m.t WHERE k = 6")
+      spark.catalog.clearCache()
+      val pt = spark.table(s"$cat.m.t").where(col("k").isin(4L, 6L, 7L))
+      val p = planOf(pt)
+      // the pushed path (not the bucket-local swap), with the eq
+      // churn as a scan-local filter instead of a LeftAnti join
+      assert(!p.contains("pk-bucket-resolve"), p)
+      assert(!p.contains("Join"), s"eq churn must ride the vector:\n$p")
+      assert(pt.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq((4L, "revived", 9L), (7L, "v1-7", 7L)))
+      // over the ceiling the pushed path keeps the anti-join
+      spark.conf.set(MorDeletes.VectorMaxConf, "1")
+      spark.catalog.clearCache()
+      val pt2 = spark.table(s"$cat.m.t").where(col("k").isin(4L, 6L, 7L))
+      assert(planOf(pt2).contains("Join"))
+      assert(pt2.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq((4L, "revived", 9L), (7L, "v1-7", 7L)))
+      spark.conf.unset(MorDeletes.VectorMaxConf)
+    }
+  }
+
   test("time travel resolves through the bucket-local read; downstream key aggregates stay exchange-free") {
     withLake("f") { (cat, _) =>
       mkTable(cat); seed(cat)

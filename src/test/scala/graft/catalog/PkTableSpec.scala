@@ -365,16 +365,28 @@ class PkTableSpec extends SparkSpec {
       val Seq(f1, f2) = Seq(k1, k2).map(k => eq.find(f =>
         MorDeletes.targetDirOf(f).exists(_.toString ==
           s"${PartitionSpec.BucketDir}=${bucketOf(k)}")).get)
-      // survivor lookup in k1's bucket: only THAT bucket's eq file is
-      // in the anti-join side's listing — a one-key read at 100 TB
-      // scans one bucket's delete churn, not the table's
+      // survivor lookup in k1's bucket: the pruned churn rides the
+      // scan-local broadcast VECTOR (r16 — no join operator at all);
+      // a one-key read at 100 TB reads one bucket's delete churn,
+      // not the table's
       val survivor = (2L to 40L).find(k =>
         bucketOf(k) == bucketOf(k1) && k != k2).get
       val plan = planOf(
         spark.sql(s"SELECT v FROM $cat.m.t WHERE k = $survivor"))
-      assert(plan.contains(Snapshots.basename(f1)), plan)
-      assert(!plan.contains(Snapshots.basename(f2)),
-        s"other bucket's eq file must prune:\n$plan")
+      assert(!plan.contains("Join"),
+        s"pruned eq churn must ride the vector filter:\n$plan")
+      assert(plan.contains("eqdeletevectorkilled"), plan)
+      // the JOIN fallback (vector disabled) lists ONLY that bucket's
+      // eq file — the pruning the vector build reuses
+      spark.conf.set(MorDeletes.VectorMaxConf, "0")
+      try {
+        spark.catalog.clearCache()
+        val jplan = planOf(
+          spark.sql(s"SELECT v FROM $cat.m.t WHERE k = $survivor"))
+        assert(jplan.contains(Snapshots.basename(f1)), jplan)
+        assert(!jplan.contains(Snapshots.basename(f2)),
+          s"other bucket's eq file must prune:\n$jplan")
+      } finally spark.conf.unset(MorDeletes.VectorMaxConf)
     }
   }
 
