@@ -147,6 +147,28 @@ class PkSeqFieldSpec extends SparkSpec {
     }
   }
 
+  test("aggregation folds compose with the field ladder: listagg concats in FIELD order, not arrival") {
+    withLake("g") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.tl (k BIGINT NOT NULL, ts BIGINT NOT NULL,
+           |  tag STRING)
+           |PARTITIONED BY (bucket(2, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+           |  'merge-engine'='aggregation', 'sequence.field'='ts',
+           |  'fields.tag.aggregate-function'='listagg')""".stripMargin)
+      def ins(rows: (Long, Long, String)*) =
+        rows.toSeq.toDF("k", "ts", "tag").write.mode("append")
+          .insertInto(s"$cat.m.tl")
+      ins((1L, 3L, "c"))
+      ins((1L, 1L, "a")) // late arrival, earliest field
+      ins((1L, 2L, "b"))
+      val got = spark.table(s"$cat.m.tl").select("tag").as[String]
+        .collect().toSeq
+      assert(got == Seq("a,b,c"),
+        s"listagg must order by the declared field: $got")
+    }
+  }
+
   test("racing writers of one key: the field winner wins regardless of commit order") {
     withLake("e") { (cat, _) =>
       mkTable(cat)
