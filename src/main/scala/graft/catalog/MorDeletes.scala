@@ -708,8 +708,8 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
     val fastBase: Option[LogicalPlan] =
       if (table.pkDirty && pkConj.isEmpty && allDels.isEmpty)
         PkBucketResolve.tryBase(spark, tableDir, table.name(), files,
-          seqs, spec, selCols, eqAll, pk, delField, table,
-          r.relation.catalog)
+          seqs, spec, selCols, eqAll, pk, table.morStats, delField,
+          table, r.relation.catalog)
       else None
     val eqApplied = fastBase.getOrElse {
       val bc = PkTables.seqBroadcastFor(spark, tableDir, seqs)

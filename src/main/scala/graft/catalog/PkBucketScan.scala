@@ -77,6 +77,7 @@ private[catalog] object PkBucketResolve {
               snapFiles: Seq[String], seqs: Map[String, Long],
               spec: Seq[PartitionSpec.Field], selCols: Seq[String],
               eqDels: Seq[String], pk: PkTables.PkDef,
+              snapStats: Map[String, FileStats.FileStat],
               delField: Option[StructField],
               table: org.apache.spark.sql.connector.catalog.Table,
               catalog: Option[org.apache.spark.sql.connector.catalog.CatalogPlugin])
@@ -132,8 +133,13 @@ private[catalog] object PkBucketResolve {
       .parquetReaderFactory(spark, phys, readDataSchema)
     val buckets = byBucket.toSeq.sortBy(_._1)
       .map { case (id, fs) => (id, fs.sortBy(_.relPath).toArray) }
+    val rowsUpper = {
+      val perFile = dataF.map(f =>
+        snapStats.get(Snapshots.basename(f)).flatMap(_.rows))
+      if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+    }
     val scan = new PkBucketResolveScan(tableName, outSchema, buckets,
-      factory, bucket)
+      factory, bucket, rowsUpper)
     val output = org.apache.spark.sql.GraftReadBridge.toAttributes(outSchema)
     // the same catalyst transform the SPJ rule would stamp: resolved
     // through the catalog's own bucket function, against this output
@@ -272,14 +278,32 @@ private[catalog] final class PkBucketResolveScan(
     buckets: Seq[(Int, Array[PkBucketResolve.PkFile])],
     factory: org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetPartitionReaderFactory,
-    bucket: PartitionSpec.Bucket)
-    extends Scan with Batch with SupportsReportPartitioning {
+    bucket: PartitionSpec.Bucket,
+    rowsUpperBound: Option[Long])
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = outSchema
   override def description(): String =
     s"$tableName(pk-bucket-resolve:${buckets.size} buckets," +
       s"${buckets.map(_._2.length).sum} files)"
   override def toBatch: Batch = this
+
+  /** Real statistics (file bytes summed at planning; manifest row
+    * counts when every file carries one — an UPPER bound pre-dedup,
+    * all the V2 contract promises): without them the relation reports
+    * `defaultSizeInBytes` and a SMALL resolved side never broadcasts
+    * in downstream joins. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          buckets.iterator.flatMap(_._2.iterator).map(_.size).sum)
+      override def numRows(): java.util.OptionalLong =
+        rowsUpperBound.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
 
   override def planInputPartitions(): Array[InputPartition] =
     buckets.map { case (id, fs) =>

@@ -147,6 +147,25 @@ class PkSeqFieldSpec extends SparkSpec {
     }
   }
 
+  test("a DEAD replay emits NO changelog event: the resolved endpoint diff of a field table skips it") {
+    withLake("h") { (cat, _) =>
+      mkTable(cat)
+      ins(cat, (1L, 10L, "new"), (2L, 5L, "two"))              // v1
+      ins(cat, (1L, 4L, "stale-replay"))                       // v2: dead
+      val diff = graft.catalog.Catalog.readPkTableChanges(
+        spark, s"$cat.m.t", 1L, 2L)
+      assert(diff.isEmpty,
+        "a replay that loses the field ladder changed NOTHING — " +
+          "no c/u/d may leak downstream")
+      ins(cat, (1L, 12L, "winner"))                            // v3: wins
+      val diff2 = graft.catalog.Catalog.readPkTableChanges(
+        spark, s"$cat.m.t", 2L, 3L)
+      assert(diff2.select("op").as[String].collect().toSeq == Seq("u"))
+      assert(diff2.select("after.v").as[String].collect().toSeq ==
+        Seq("winner"))
+    }
+  }
+
   test("aggregation folds compose with the field ladder: listagg concats in FIELD order, not arrival") {
     withLake("g") { (cat, _) =>
       spark.sql(
