@@ -699,17 +699,31 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
     val selCols = (r.output.map(o => physOf(o.name)) ++ physKeys ++
       delField.map(_.name)).distinct
     val eqAll = PkTables.eqDeleteFiles(files)
-    // BUCKET-LOCAL fast base ([[PkBucketResolve]]): a dirty FULL-TABLE
-    // read over the required bucket-by-key layout resolves per bucket
-    // with NO shuffle Exchange — one key-grouped partition per bucket,
-    // equality deletes as a scan-local broadcast filter. Key-pushdown
-    // reads keep the pruned+pushed plan below (their post-filter
-    // exchange is already tiny); any structural miss falls back too.
+    // BUCKET-LOCAL fast base ([[PkBucketResolve]]): a dirty read over
+    // the required partition-by-key layout resolves per leaf with NO
+    // shuffle Exchange — one key-grouped partition per identity/bucket
+    // leaf dir, equality deletes as a scan-local broadcast filter.
+    // Key conjuncts over IDENTITY PARTITION columns ride along (they
+    // prune whole dirs exactly — identity values live in dir names,
+    // never in files, so no parquet pushdown is lost); conjuncts
+    // touching stored key columns keep the pruned+pushed plan below
+    // (their post-filter exchange is already tiny); any structural
+    // miss falls back too.
+    val identityCols = spec.collect {
+      case PartitionSpec.Identity(c) => c.toLowerCase
+    }.toSet
+    val pkConjIdentityOnly = pkConj.forall(_.references.forall(a =>
+      names.get(a.exprId).exists(n =>
+        identityCols(physOf.getOrElse(n, n).toLowerCase))))
     val fastBase: Option[LogicalPlan] =
-      if (table.pkDirty && pkConj.isEmpty && allDels.isEmpty)
+      if (table.pkDirty && allDels.isEmpty && pkConjIdentityOnly)
         PkBucketResolve.tryBase(spark, tableDir, table.name(), files,
           seqs, spec, selCols, eqAll, pk, table.morStats, delField,
-          table, r.relation.catalog)
+          table, r.relation.catalog,
+          partFilter = byName => pkConj.reduceOption(And).map(_.transform {
+            case a: AttributeReference if names.contains(a.exprId) =>
+              byName(physOf(names(a.exprId)))
+          }))
       else None
     val eqApplied = fastBase.getOrElse {
       val bc = PkTables.seqBroadcastFor(spark, tableDir, seqs)

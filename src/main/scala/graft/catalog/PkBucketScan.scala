@@ -57,22 +57,40 @@ private[catalog] object PkBucketResolve {
   /** Kill switch (bench A/B; default on). */
   val EnabledConf = "graft.pk.bucket-local.enabled"
 
-  /** One data file of one bucket: absolute path + size (for the full-
-    * file read), the table-relative path (the coordinate/file-key
-    * convention of the V1 read), and its manifest birth sequence —
-    * resolved at PLANNING, so the executor needs no broadcast lookup. */
+  /** One data file of one leaf partition: absolute path + size (for
+    * the full-file read), the table-relative path (the coordinate/
+    * file-key convention of the V1 read), and its manifest birth
+    * sequence — resolved at PLANNING, so the executor needs no
+    * broadcast lookup. */
   final case class PkFile(absPath: String, size: Long, relPath: String,
                           seq: Long) extends Serializable
 
-  final class BucketPartition(val id: Int, val files: Array[PkFile])
+  /** One LEAF partition (identity dirs + optional bucket dir):
+    * `keyVals` are the key-grouped-partitioning values in SPEC order
+    * (identity values as catalyst values, the bucket id as Int);
+    * `idVals` are the identity values alone (appended to every row —
+    * identity columns are NOT stored in the files, the directory is
+    * their value, exactly the hive-layout convention the V1 read
+    * infers). */
+  final class PkLeafPartition(val keyVals: Array[Any],
+                              val idVals: Array[Any],
+                              val files: Array[PkFile])
       extends InputPartition
       with org.apache.spark.sql.connector.read.HasPartitionKey {
-    override def partitionKey(): InternalRow = InternalRow(id)
+    override def partitionKey(): InternalRow =
+      new GenericInternalRow(keyVals)
   }
 
-  /** The exchange-free BASE plan for a dirty PK full-table read:
-    * outputs `selCols ++ (pos, file, seq)` with equality deletes
-    * already applied. None when any structural gate fails. */
+  /** The exchange-free BASE plan for a dirty PK read: outputs
+    * `selCols ++ (pos, file, seq)` with equality deletes already
+    * applied, over identity+bucket layouts (one key-grouped partition
+    * per leaf dir). `partFilter` is an optional key conjunction over
+    * IDENTITY PARTITION columns only (the caller guarantees it): it
+    * prunes whole leaf directories exactly — identity values live in
+    * dir names, never in files, so nothing a parquet pushdown could
+    * have used is lost — and re-applies as a residual Filter above
+    * the scan (pruning is provable-exclusion, not satisfaction).
+    * None when any structural gate fails. */
   def tryBase(spark: SparkSession, tableDir: Path, tableName: String,
               snapFiles: Seq[String], seqs: Map[String, Long],
               spec: Seq[PartitionSpec.Field], selCols: Seq[String],
@@ -80,13 +98,19 @@ private[catalog] object PkBucketResolve {
               snapStats: Map[String, FileStats.FileStat],
               delField: Option[StructField],
               table: org.apache.spark.sql.connector.catalog.Table,
-              catalog: Option[org.apache.spark.sql.connector.catalog.CatalogPlugin])
+              catalog: Option[org.apache.spark.sql.connector.catalog.CatalogPlugin],
+              partFilter: Map[String, org.apache.spark.sql.catalyst
+                .expressions.Attribute] => Option[Expression] = _ => None)
       : Option[LogicalPlan] = {
     if (spark.conf.get(EnabledConf, "true") != "true") return None
-    val bucket = spec match {
-      case Seq(b: PartitionSpec.Bucket) => b
+    if (spec.isEmpty) return None
+    val idFields = spec.collect { case i: PartitionSpec.Identity => i }
+    val bucketOpt = spec.collect { case b: PartitionSpec.Bucket => b } match {
+      case Seq() => None
+      case Seq(b) => Some(b)
       case _ => return None
     }
+    if (idFields.size + bucketOpt.size != spec.size) return None
     val funCatalog = catalog match {
       case Some(f: org.apache.spark.sql.connector.catalog.FunctionCatalog) =>
         f
@@ -94,24 +118,47 @@ private[catalog] object PkBucketResolve {
     }
     val dataF = Snapshots.dataFiles(snapFiles)
     if (dataF.isEmpty) return None // slow path builds the empty frame
-    val pat = ("^" + java.util.regex.Pattern.quote(
-      PartitionSpec.BucketDir) + "=(\\d+)/[^/]+$").r
-    val byBucket = scala.collection.mutable.Map
-      .empty[Int, scala.collection.mutable.ArrayBuffer[PkFile]]
-    dataF.foreach { f =>
-      f match {
-        case pat(id) =>
-          val abs = tableDir.resolve(f)
-          byBucket.getOrElseUpdate(id.toInt,
-            scala.collection.mutable.ArrayBuffer.empty) +=
-            PkFile(abs.toString, Files.size(abs), f,
-              seqs.getOrElse(Snapshots.basename(f), 0L))
-        case _ => return None // evolved/foreign shape
-      }
+    // every file exactly one dir level per spec field, in spec order
+    val specNames = spec.map {
+      case PartitionSpec.Identity(c) => c
+      case PartitionSpec.Bucket(_, _) => PartitionSpec.BucketDir
     }
     val phys = Snapshots.physicalReadSchema(tableDir)
     if (!selCols.forall(c => phys.fieldNames.contains(c))) return None
-    if (!phys.fieldNames.contains(bucket.col)) return None
+    if (!spec.forall(f => phys.fieldNames.contains(f.col))) return None
+    val idSet = idFields.map(_.col).toSet
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // identity values come from DIR NAMES (hive-unescaped, cast to the
+    // column type) — identity columns are never stored in the files
+    def idValue(c: String, raw: String): Any = {
+      if (raw == org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return null
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType),
+        phys(phys.fieldIndex(c)).dataType, tz).eval(null)
+    }
+    val leaves = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], scala.collection.mutable.ArrayBuffer[PkFile]]
+    dataF.foreach { f =>
+      val segs = f.split('/')
+      if (segs.length != spec.size + 1) return None // evolved shape
+      val raws = specNames.indices.map { i =>
+        val seg = segs(i)
+        val eq = seg.indexOf('=')
+        if (eq <= 0 || org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(seg.substring(0, eq))
+            != specNames(i)) return None // foreign shape
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(eq + 1))
+      }
+      val abs = tableDir.resolve(f)
+      leaves.getOrElseUpdate(raws,
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        PkFile(abs.toString, Files.size(abs), f,
+          seqs.getOrElse(Snapshots.basename(f), 0L))
+    }
     // equality deletes → bounded broadcast vector, or bail
     val keySchema = PkTables.keyFileSchema(tableDir, pk.keys)
     val eqVec =
@@ -122,35 +169,80 @@ private[catalog] object PkBucketResolve {
         case some => some
       }
 
-    val selFields = selCols.map(c => phys(phys.fieldIndex(c)))
-    val readDataSchema = StructType(selFields :+
+    // schema split: identity columns ride as per-leaf constants
+    val fileCols = selCols.filterNot(idSet)
+    val fileFields = fileCols.map(c => phys(phys.fieldIndex(c)))
+    val idOutFields = idFields.map(f => phys(phys.fieldIndex(f.col)))
+    val readDataSchema = StructType(fileFields :+
       org.apache.spark.sql.GraftReadBridge.RowIndexTempField)
-    val outSchema = StructType(selFields :+
+    val outSchema = StructType((fileFields :+
       StructField(MorDeletes.PosKeyCol, LongType, nullable = false) :+
       StructField(MorDeletes.FileKeyCol, StringType, nullable = false) :+
-      StructField(PkTables.SeqCol, LongType, nullable = false))
+      StructField(PkTables.SeqCol, LongType, nullable = false)) ++
+      idOutFields)
+    val output = org.apache.spark.sql.GraftReadBridge.toAttributes(outSchema)
+    val byName = output.map(a => a.name -> a).toMap
+    // IDENTITY-only key conjuncts: prune whole leaf dirs (exact for
+    // the kept side up to provability; the residual Filter below
+    // closes the gap at zero pushdown cost)
+    val residual = partFilter(byName)
+    val keptLeaves: Seq[(Seq[String], Array[PkFile])] = {
+      val all = leaves.toSeq.map { case (raws, fs) =>
+        (raws, fs.sortBy(_.relPath).toArray)
+      }
+      residual match {
+        case None => all
+        case Some(cond) =>
+          val asPaths = all.map { case (raws, _) =>
+            java.nio.file.Paths.get(specNames.zip(raws).map { case (n, v) =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(n, v)
+            }.mkString("/"))
+          }
+          val kept = PartitionPruning.splitLeaves(asPaths, spec, Seq(cond))
+            .map(_._1.toSet)
+          kept.fold(all) { ks =>
+            all.zip(asPaths).collect { case (lv, p) if ks(p) => lv }
+          }
+      }
+    }
+    if (keptLeaves.isEmpty) return None // let the slow path build it
+    val parts = keptLeaves.map { case (raws, fs) =>
+      val keyVals = spec.zip(raws).map {
+        case (PartitionSpec.Identity(c), raw) => idValue(c, raw)
+        case (PartitionSpec.Bucket(_, _), raw) =>
+          raw.toIntOption.getOrElse(return None)
+      }.toArray[Any]
+      val idVals = spec.zip(raws).collect {
+        case (PartitionSpec.Identity(c), raw) => idValue(c, raw)
+      }.toArray[Any]
+      new PkLeafPartition(keyVals, idVals, fs)
+    }
     val factory = org.apache.spark.sql.GraftReadBridge
       .parquetReaderFactory(spark, phys, readDataSchema)
-    val buckets = byBucket.toSeq.sortBy(_._1)
-      .map { case (id, fs) => (id, fs.sortBy(_.relPath).toArray) }
+    val keptFiles = keptLeaves.flatMap(_._2)
     val rowsUpper = {
-      val perFile = dataF.map(f =>
-        snapStats.get(Snapshots.basename(f)).flatMap(_.rows))
+      val perFile = keptFiles.map(f =>
+        snapStats.get(Snapshots.basename(f.relPath)).flatMap(_.rows))
       if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
     }
-    val scan = new PkBucketResolveScan(tableName, outSchema, buckets,
-      factory, bucket, rowsUpper)
-    val output = org.apache.spark.sql.GraftReadBridge.toAttributes(outSchema)
-    // the same catalyst transform the SPJ rule would stamp: resolved
-    // through the catalog's own bucket function, against this output
+    val transforms = spec.map {
+      case PartitionSpec.Identity(c) => Expressions.identity(c)
+      case PartitionSpec.Bucket(c, n) => Expressions.bucket(n, c)
+    }
+    val scan = new PkBucketResolveScan(tableName, outSchema, parts,
+      keptFiles.map(_.size).sum, factory, transforms, rowsUpper)
+    // the same catalyst transforms the SPJ rule would stamp: resolved
+    // through the catalog's own functions, against this output
     val rel0 = org.apache.spark.sql.GraftReadBridge.scanRelation(
       table, catalog, scan, output, None)
-    val transform = org.apache.spark.sql.GraftReadBridge.toCatalystTransform(
-      Expressions.bucket(bucket.n, bucket.col), rel0, funCatalog)
-    val rel = transform.fold(rel0: LogicalPlan)(t =>
-      rel0.copy(keyGroupedPartitioning = Some(Seq(t))))
-    Some(eqVec.fold(rel) { case (keyTypes, bc) =>
-      val byName = output.map(a => a.name -> a).toMap
+    val kgp = transforms.map(t =>
+      org.apache.spark.sql.GraftReadBridge.toCatalystTransform(
+        t, rel0, funCatalog))
+    if (kgp.exists(_.isEmpty)) return None
+    val rel: LogicalPlan =
+      rel0.copy(keyGroupedPartitioning = Some(kgp.map(_.get)))
+    val eqApplied = eqVec.fold(rel) { case (keyTypes, bc) =>
       val keyStruct = org.apache.spark.sql.catalyst.expressions
         .CreateStruct(keySchema.fieldNames.map(byName(_)).toSeq)
       org.apache.spark.sql.catalyst.plans.logical.Filter(
@@ -158,7 +250,9 @@ private[catalog] object PkBucketResolve {
           EqDeleteVectorKilled(bc, keyTypes, keyStruct,
             byName(PkTables.SeqCol),
             delField.map(f => byName(f.name)))), rel)
-    })
+    }
+    Some(residual.fold(eqApplied)(c =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(c, eqApplied)))
   }
 
   /** The scan-local equality-delete filter over an ALREADY-BUILT data
@@ -270,23 +364,25 @@ private[catalog] object PkBucketResolve {
   }
 }
 
-/** The per-bucket keyed scan: one input partition per `_gbucket` dir,
-  * key-grouped on the writer-identical `bucket(n, key)` transform. */
+/** The per-leaf keyed scan: one input partition per leaf partition
+  * dir (identity values + bucket id), key-grouped on the writer-
+  * identical spec transforms. */
 private[catalog] final class PkBucketResolveScan(
     tableName: String,
     outSchema: StructType,
-    buckets: Seq[(Int, Array[PkBucketResolve.PkFile])],
+    parts: Seq[PkBucketResolve.PkLeafPartition],
+    totalBytes: Long,
     factory: org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetPartitionReaderFactory,
-    bucket: PartitionSpec.Bucket,
+    transforms: Seq[org.apache.spark.sql.connector.expressions.Transform],
     rowsUpperBound: Option[Long])
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = outSchema
   override def description(): String =
-    s"$tableName(pk-bucket-resolve:${buckets.size} buckets," +
-      s"${buckets.map(_._2.length).sum} files)"
+    s"$tableName(pk-bucket-resolve:${parts.size} leaves," +
+      s"${parts.map(_.files.length).sum} files)"
   override def toBatch: Batch = this
 
   /** Real statistics (file bytes summed at planning; manifest row
@@ -298,17 +394,14 @@ private[catalog] final class PkBucketResolveScan(
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(
-          buckets.iterator.flatMap(_._2.iterator).map(_.size).sum)
+        java.util.OptionalLong.of(totalBytes)
       override def numRows(): java.util.OptionalLong =
         rowsUpperBound.fold(java.util.OptionalLong.empty())(
           java.util.OptionalLong.of)
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    buckets.map { case (id, fs) =>
-      new PkBucketResolve.BucketPartition(id, fs): InputPartition
-    }.toArray
+    parts.map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PkBucketReaderFactory(factory)
@@ -317,13 +410,15 @@ private[catalog] final class PkBucketResolveScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning
       .KeyGroupedPartitioning(
-        Array(Expressions.bucket(bucket.n, bucket.col)), buckets.size)
+        transforms.toArray[org.apache.spark.sql.connector.expressions
+          .Expression], parts.size)
 }
 
-/** Reads a bucket's files sequentially through the V2 parquet row
+/** Reads a leaf's files sequentially through the V2 parquet row
   * reader (native row-index generation), appending each file's
-  * (table-relative path, birth sequence) as per-file constants — the
-  * output layout is `[selCols…, pos, file, seq]`. */
+  * (table-relative path, birth sequence) plus the leaf's IDENTITY
+  * partition values as constants — the output layout is
+  * `[fileCols…, pos, file, seq, identityCols…]`. */
 private[catalog] final class PkBucketReaderFactory(
     inner: org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetPartitionReaderFactory)
@@ -331,7 +426,7 @@ private[catalog] final class PkBucketReaderFactory(
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val bp = p.asInstanceOf[PkBucketResolve.BucketPartition]
+    val bp = p.asInstanceOf[PkBucketResolve.PkLeafPartition]
     new PartitionReader[InternalRow] {
       private var i = 0
       private var cur: PartitionReader[InternalRow] = null
@@ -346,9 +441,10 @@ private[catalog] final class PkBucketReaderFactory(
             cur = org.apache.spark.sql.GraftReadBridge.buildRowReader(
               inner, org.apache.spark.sql.GraftReadBridge
                 .partitionedFile(f.absPath, f.size))
-            suffix = new GenericInternalRow(Array[Any](
-              UTF8String.fromString(f.relPath),
-              java.lang.Long.valueOf(f.seq)))
+            suffix = new GenericInternalRow(
+              (Array[Any](UTF8String.fromString(f.relPath),
+                java.lang.Long.valueOf(f.seq)) ++ bp.idVals)
+                .asInstanceOf[Array[Any]])
           }
           if (cur.next()) return true
           cur.close(); cur = null
