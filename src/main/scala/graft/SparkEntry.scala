@@ -1102,6 +1102,14 @@ object SparkEntry {
       graft.operators.PkLake.pkSeqFieldCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pksf")),
+    // Partitioned PK-table lifecycle (r16): the production CDC shape
+    // PARTITIONED BY (pr, bucket(4,k)) — upserts, a blind full-PK
+    // delete, a partition-scoped predicate delete, a revive; full and
+    // identity-pruned censuses (the leaf-pruned exchange-free read).
+    "q_pk_partitioned" -> ((s, dir) =>
+      graft.operators.PkLake.pkPartitionedCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_pkpart")),
     // The reference's FULL topology in one lifecycle (r16): CDC feed →
     // PK staging tables (fact + dimension) → the revenue MV refreshed
     // incrementally over the RESOLVED changelog after every
@@ -5679,6 +5687,42 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'post_compact' AS stage, status, n, cents, vers FROM census
         |ORDER BY stage, status""".stripMargin,
+
+    // Partitioned PK lifecycle: CASE priority — the blind-deleted
+    // urgent min key, then %21 '3%' revives, then the %7 '3%'
+    // predicate delete, then %3 upserts, else base; the urgent stage
+    // is the same algebra restricted to one identity partition.
+    "q_pk_partitioned" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderpriority AS pr
+        |  FROM orders),
+        |kmu AS (SELECT min(k) AS v FROM base WHERE pr = '1-URGENT'),
+        |live AS (
+        |  SELECT k, pr,
+        |    CASE WHEN pr = '1-URGENT' AND k = (SELECT v FROM kmu)
+        |           THEN NULL
+        |         WHEN k % 21 = 0 AND pr LIKE '3%' THEN 'R'
+        |         WHEN k % 7 = 0 AND pr LIKE '3%' THEN NULL
+        |         WHEN k % 3 = 0 THEN 'U2'
+        |         ELSE st END AS status,
+        |    CASE WHEN pr = '1-URGENT' AND k = (SELECT v FROM kmu)
+        |           THEN NULL
+        |         WHEN k % 21 = 0 AND pr LIKE '3%' THEN c + 3000
+        |         WHEN k % 7 = 0 AND pr LIKE '3%' THEN NULL
+        |         WHEN k % 3 = 0 THEN c + 1000
+        |         ELSE c END AS cents
+        |  FROM base),
+        |census AS (
+        |  SELECT pr, status, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM live WHERE status IS NOT NULL GROUP BY pr, status)
+        |SELECT 'all' AS stage, pr, status, n, cents FROM census
+        |UNION ALL
+        |SELECT 'urgent' AS stage, pr, status, n, cents FROM census
+        |WHERE pr = '1-URGENT'
+        |ORDER BY stage, pr, status""".stripMargin,
 
     // Full topology: the incrementally-refreshed MV must equal the
     // full recompute over the fact table's FINAL resolved state

@@ -403,6 +403,62 @@ object PkLake {
       .orderBy("op")
   }
 
+  /** PARTITIONED PK-table lifecycle (r16 — the production CDC shape
+    * `PARTITIONED BY (pr, bucket(4, k))`, partition transforms ⊆ key):
+    * upserts, a BLIND full-PK delete (both key halves bound), a
+    * partition-scoped predicate delete, a revive — censused over the
+    * FULL resolved table AND over one identity partition (the
+    * steady-state leaf-pruned exchange-free read,
+    * [[graft.catalog.PkBucketResolve]]). */
+  def pkPartitionedCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakepkp2"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.orders_pp (
+         |  k BIGINT NOT NULL, status STRING, cents BIGINT,
+         |  pr STRING NOT NULL)
+         |PARTITIONED BY (pr, bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='pr,k')"""
+        .stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority").as("pr"))
+    base.write.mode("append").insertInto(s"$cat.m.orders_pp")  // seq 1
+    base.filter(col("k") % 3 === 0)                            // seq 2
+      .withColumn("status", lit("U2"))
+      .withColumn("cents", col("cents") + 1000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pp")
+    // BLIND full-PK delete: both key halves bound — one key row
+    // written into ITS leaf dir, zero rows read
+    val kMinU = base.filter(col("pr") === "1-URGENT")
+      .agg(min("k")).head().getLong(0)
+    spark.sql(s"DELETE FROM $cat.m.orders_pp " +
+      s"WHERE pr = '1-URGENT' AND k = CAST($kMinU AS BIGINT)")   // seq 3
+    // partition-scoped predicate delete (delta plan)
+    spark.sql(s"DELETE FROM $cat.m.orders_pp " +
+      "WHERE k % 7 = 0 AND pr LIKE '3%'")                        // seq 4
+    base.filter(col("k") % 21 === 0 && col("pr").startsWith("3")) // seq 5
+      .withColumn("status", lit("R"))
+      .withColumn("cents", col("cents") + 3000L)
+      .write.mode("append").insertInto(s"$cat.m.orders_pp")
+    def census(stage: String, df: DataFrame): DataFrame =
+      df.groupBy("pr", "status")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cents")).cast("bigint").as("cents"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "pr", "status", "n", "cents")
+    census("all", spark.table(s"$cat.m.orders_pp"))
+      .unionByName(census("urgent",
+        spark.table(s"$cat.m.orders_pp")
+          .where(col("pr") === "1-URGENT")))
+      .orderBy("stage", "pr", "status")
+  }
+
   /** The reference's FULL topology as one lifecycle (r16): a CDC feed
     * ingests as blind upserts into PRIMARY-KEY staging tables (fact
     * `tickets` + dimension `movies` — reference
