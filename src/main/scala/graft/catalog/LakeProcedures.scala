@@ -495,38 +495,19 @@ private[catalog] object LakeProcedures {
           if (rewrite.isEmpty)
             Seq(InternalRow(0L, 0L, s.version))
           else {
-            import org.apache.spark.sql.functions.{col, lit, max, struct}
+            import org.apache.spark.sql.functions.col
             val keySchema = PkTables.keyFileSchema(dir, pk.keys)
             val bc = PkTables.seqBroadcastFor(spark, dir, s.seqs)
             val delField = PkTables.delFieldOf(dir, pk)
             val all = PkTables.readEqDeletes(spark, dir, rewrite,
               keySchema, bc, delField)
-            val keyCols = keySchema.fieldNames.toSeq.map(col)
-            // per key the MAX threshold dominates WITHIN each delete
-            // family; `'sequence.field'` tables keep the two families
-            // separate (blind deletes kill by commit seq, field-
-            // carrying deletes by the (field, seq) ladder — their
-            // maxima are not comparable), so a key merges to ≤2 rows
-            val merged = delField match {
-              case None =>
-                all.groupBy(keyCols: _*)
-                  .agg(max(col(PkTables.DelSeqCol)).as(PkTables.DelSeqCol))
-              case Some(f) =>
-                val blind = all.filter(col(PkTables.DelFieldCol).isNull)
-                  .groupBy(keyCols: _*)
-                  .agg(max(col(PkTables.DelSeqCol)).as(PkTables.DelSeqCol))
-                  .withColumn(PkTables.DelFieldCol,
-                    lit(null).cast(f.dataType))
-                val fielded = all.filter(col(PkTables.DelFieldCol).isNotNull)
-                  .groupBy(keyCols: _*)
-                  .agg(max(struct(
-                    col(PkTables.DelFieldCol).as("f"),
-                    col(PkTables.DelSeqCol).as("s"))).as("__p"))
-                  .withColumn(PkTables.DelFieldCol, col("__p.f"))
-                  .withColumn(PkTables.DelSeqCol, col("__p.s"))
-                  .drop("__p")
-                blind.unionByName(fielded)
-            }
+            // the shared kill-law NORMAL FORM ([[PkTables
+            // .canonicalEqDeletes]]): ≤2 rows per key, one per delete
+            // family — blind max commit seq, field lex-max (field, seq)
+            // pair. Every reader reduces to the same form, so the
+            // merge is content-neutral by construction.
+            val merged = PkTables.canonicalEqDeletes(all,
+              keySchema.fieldNames.toSeq, delField.map(_.dataType))
             // re-scope by the key's own partition dirs (same
             // expressions as the writers) and persist
             val spec = PartitionSpec.read(dir)
@@ -1238,24 +1219,35 @@ private[catalog] object LakeProcedures {
       // reachability set) or before it (this validation raises
       // CommitConflictException) — never a published manifest over
       // GC'd files.
-      Snapshots.commit(tableDir, "rollback", _ => s.files,
-        validate = _ => {
-          if (Snapshots.readMeta(tableDir, v).isEmpty)
-            throw new CommitConflictException(
-              s"rollback: snapshot s-$v was dropped by a concurrent " +
-                "expire_snapshots — no longer restorable")
-          if (Snapshots.droppedByRetainedExpire(tableDir, v))
-            throw new CommitConflictException(
-              s"rollback: snapshot s-$v is scheduled for removal by a " +
-                "committed expire_snapshots — no longer restorable")
-          val missing = s.files.filterNot(f =>
-            Files.exists(tableDir.resolve(f)))
-          if (missing.nonEmpty) throw new CommitConflictException(
-            s"rollback: ${missing.size} of snapshot s-$v's files were " +
-              s"garbage-collected by a concurrent expire (e.g. " +
-              s"${missing.head}) — the snapshot is no longer restorable")
-        },
-        freshStats = s.stats)
+      // rolling back to an MV-stamped snapshot CARRIES the stamp: the
+      // rollback's content IS that stamped content, so the watermark
+      // claim stays truthful, the next refresh resumes from it, and
+      // "roll back to the last stamped snapshot" is a real remediation
+      // (a rollback to an UNSTAMPED snapshot stays a foreign write on
+      // an MV table — recreate the MV)
+      val mvStamp = s.summary.get(MaterializedView.SourceVersionKey)
+        .fold(Map.empty[String, Long])(w =>
+          Map(MaterializedView.SourceVersionKey -> w))
+      Snapshots.withSummaryStamp(tableDir, mvStamp) {
+        Snapshots.commit(tableDir, "rollback", _ => s.files,
+          validate = _ => {
+            if (Snapshots.readMeta(tableDir, v).isEmpty)
+              throw new CommitConflictException(
+                s"rollback: snapshot s-$v was dropped by a concurrent " +
+                  "expire_snapshots — no longer restorable")
+            if (Snapshots.droppedByRetainedExpire(tableDir, v))
+              throw new CommitConflictException(
+                s"rollback: snapshot s-$v is scheduled for removal by a " +
+                  "committed expire_snapshots — no longer restorable")
+            val missing = s.files.filterNot(f =>
+              Files.exists(tableDir.resolve(f)))
+            if (missing.nonEmpty) throw new CommitConflictException(
+              s"rollback: ${missing.size} of snapshot s-$v's files were " +
+                s"garbage-collected by a concurrent expire (e.g. " +
+                s"${missing.head}) — the snapshot is no longer restorable")
+          },
+          freshStats = s.stats)
+      }
     }
     def expire(keep: Int, pinned: Set[Long]): Unit = {
       // expiry IS a commit ([[Snapshots.commitExpire]]): the dropped

@@ -239,7 +239,30 @@ object MaterializedView {
         else d.copy(pendingTo = None)
       writeDef(mvDir, d)
     }
-    val (fromV, _) = currentState(mvDir, d)
+    val (fromV, stampV) = currentState(mvDir, d)
+    // commit-time foreign-write guard: a direct user commit landing
+    // BETWEEN currentState() and the stamped refresh merge would end
+    // up BELOW the new stamp, where the newest-stamp scan never looks
+    // again — so the refresh's own commits re-check, per OCC attempt,
+    // that everything above the observed stamp is stamped/maintenance,
+    // and conflict loudly otherwise (the retry re-reads the state)
+    def foreignGuard(prev: Option[Snapshots.Snapshot]): Unit = {
+      val latest = prev.map(_.version).getOrElse(0L)
+      val foreign = Snapshots.versions(mvDir)
+        .filter(v => v > stampV && v <= latest)
+        .flatMap(v => Snapshots.readMeta(mvDir, v).map(v -> _))
+        .collect { case (v, m)
+            if !m.summary.contains(SourceVersionKey) &&
+              !MaintenanceOps(m.operation) => (v, m.operation) }
+      if (foreign.nonEmpty)
+        throw new CommitConflictException(
+          s"$mvRef: ${foreign.size} foreign commit(s) landed on the " +
+            "MV table while this refresh was computing (" +
+            foreign.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
+            ") — the MV is engine-owned; aborting the refresh merge " +
+            "instead of stamping over them. Recreate the MV (or roll " +
+            "the table back to the last stamped snapshot)")
+    }
     val srcDir = resolveDir(spark, d.source)
     val to = Snapshots.latest(srcDir).map(_.version).getOrElse(fromV)
     if (to <= fromV) return (fromV, fromV)
@@ -324,8 +347,10 @@ object MaterializedView {
     // with an empty source still plans a replace-data commit)
     val matDeltas = deltas.localCheckpoint(true)
     if (matDeltas.isEmpty) {
-      Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
-        Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
+      Snapshots.withCommitCheck(mvDir)(foreignGuard) {
+        Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
+          Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
+        }
       }
       writeDef(mvDir, d.copy(version = to,
         mvVersion = Snapshots.latest(mvDir).map(_.version).getOrElse(0L),
@@ -359,22 +384,25 @@ object MaterializedView {
       } :+ "s.`__d_rows`")
       .mkString(", ")
     // the merge commit CARRIES the new watermark — fold and watermark
-    // are one atomic commit, no torn window exists
-    Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
-      spark.sql(
-        s"""MERGE INTO $mvRef t USING __mv_deltas s ON $on
-           |WHEN MATCHED AND t.`$RowsCol` + s.`__d_rows` <= 0 THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET $sets
-           |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
-          .stripMargin)
-      // an all-zero delta merges nothing and commits nothing: bump the
-      // watermark with a metadata-only commit so the next refresh
-      // never rescans the folded range
-      val stamped = Snapshots.latest(mvDir)
-        .exists(_.summary.get(SourceVersionKey).contains(to))
-      if (!stamped)
-        Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
-      ()
+    // are one atomic commit, no torn window exists; the commit check
+    // closes the remaining race (foreign commit after currentState)
+    Snapshots.withCommitCheck(mvDir)(foreignGuard) {
+      Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
+        spark.sql(
+          s"""MERGE INTO $mvRef t USING __mv_deltas s ON $on
+             |WHEN MATCHED AND t.`$RowsCol` + s.`__d_rows` <= 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET $sets
+             |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
+            .stripMargin)
+        // an all-zero delta merges nothing and commits nothing: bump the
+        // watermark with a metadata-only commit so the next refresh
+        // never rescans the folded range
+        val stamped = Snapshots.latest(mvDir)
+          .exists(_.summary.get(SourceVersionKey).contains(to))
+        if (!stamped)
+          Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
+        ()
+      }
     }
     // write-behind CACHE (used only when expire GC'd every stamped
     // snapshot from the retained log)

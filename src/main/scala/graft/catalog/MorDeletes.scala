@@ -758,10 +758,17 @@ private[catalog] final class MorScanRewrite extends Rule[LogicalPlan]
           n => byPhys(n.toLowerCase)) match {
         case Some(keep) => Filter(keep, posApplied)
         case None =>
+        // CANONICAL thresholds first ([[PkTables.canonicalEqDeletes]]):
+        // the anti-join must apply the same per-key two-family-max law
+        // as the vector and the merged files, or a stale superseded
+        // field delete kills a live same-commit row past the ceiling
         val edPlan = org.apache.spark.sql.catalyst.optimizer
           .ReplaceExpressions(
-            PkTables.readEqDeletes(spark, tableDir, eqDels,
-              PkTables.keyFileSchema(tableDir, pk.keys), bc, delField)
+            PkTables.canonicalEqDeletes(
+              PkTables.readEqDeletes(spark, tableDir, eqDels,
+                PkTables.keyFileSchema(tableDir, pk.keys), bc, delField),
+              PkTables.keyFileSchema(tableDir, pk.keys).fieldNames.toSeq,
+              delField.map(_.dataType))
               .queryExecution.analyzed)
         val edBy = edPlan.output.map(a => a.name.toLowerCase -> a).toMap
         val keyEq: Seq[Expression] = physKeys.map(k =>

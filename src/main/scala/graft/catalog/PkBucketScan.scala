@@ -282,7 +282,11 @@ private[catalog] object PkBucketResolve {
   // broadcast, None cached for over-ceiling sets — the vectorFor
   // caching model. Slots per key: (blind max seq | null, field value |
   // null, that field delete's seq | null) — the two delete families of
-  // [[PkTables.eqKillCond]].
+  // [[PkTables.eqKillCond]]. Eviction UNPERSISTS the broadcast (up to
+  // VectorMax entries each — executors must not accumulate dead delete
+  // vectors under ongoing churn across many tables); unpersist, never
+  // destroy, because an already-planned query may still hold the
+  // handle and lazily re-broadcasts on its next execution.
   private val eqVecCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String,
         Option[(Seq[DataType], org.apache.spark.broadcast.Broadcast[
@@ -290,8 +294,13 @@ private[catalog] object PkBucketResolve {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String,
             Option[(Seq[DataType], org.apache.spark.broadcast.Broadcast[
-              java.util.HashMap[UnsafeRow, Array[AnyRef]]])]]): Boolean =
-        size() > 8
+              java.util.HashMap[UnsafeRow, Array[AnyRef]]])]]): Boolean = {
+        val evict = size() > 8
+        if (evict) e.getValue.foreach { case (_, bc) =>
+          try bc.unpersist(false) catch { case _: Exception => () }
+        }
+        evict
+      }
     })
 
   /** Driver-built `key → max(delete threshold)` broadcast over the
@@ -331,6 +340,7 @@ private[catalog] object PkBucketResolve {
           rows.length * 2)
         val n = keyTypes.length
         val fieldType = delField.map(_.dataType)
+        val fieldOrd = fieldType.map(EqDeleteVectorKilled.ordering)
         val fieldIdx = n // DelFieldCol right after the keys when present
         val seqIdx = if (delField.isDefined) n + 1 else n
         rows.foreach { r =>
@@ -347,7 +357,7 @@ private[catalog] object PkBucketResolve {
                 slots(0) = java.lang.Long.valueOf(dseq)
             case Some(v) => // field family: lex-max (field, seq)
               val less = slots(1) == null || {
-                val c = EqDeleteVectorKilled.cmp(slots(1), v)
+                val c = fieldOrd.get.compare(slots(1), v)
                 c < 0 || (c == 0 &&
                   slots(2).asInstanceOf[java.lang.Long].longValue() < dseq)
               }
@@ -489,6 +499,8 @@ private[catalog] final case class EqDeleteVectorKilled(
 
   @transient private lazy val proj =
     UnsafeProjection.create(keyTypes.toArray)
+  @transient private lazy val fieldOrd: Ordering[Any] =
+    fieldExpr.map(f => EqDeleteVectorKilled.ordering(f.dataType)).orNull
 
   def killed(key: InternalRow, seq: Long, field: AnyRef): Boolean = {
     val slots = vectors.value.get(proj(key))
@@ -498,7 +510,7 @@ private[catalog] final case class EqDeleteVectorKilled(
     if (slots(1) == null || field == null) return false
     val ds = slots(2).asInstanceOf[java.lang.Long].longValue()
     if (seq == ds) return false
-    val c = EqDeleteVectorKilled.cmp(field, slots(1))
+    val c = fieldOrd.compare(field, slots(1))
     c < 0 || (c == 0 && seq < ds)
   }
 
@@ -550,9 +562,11 @@ private[catalog] final case class EqDeleteVectorKilled(
 }
 
 private[catalog] object EqDeleteVectorKilled {
-  /** Catalyst-internal atomic values are mutually Comparable within a
-    * column's type (Long, Int, UTF8String, Decimal, Double — with the
-    * catalyst NaN-greatest convention via j.l.Double.compareTo). */
-  def cmp(a: AnyRef, b: AnyRef): Int =
-    a.asInstanceOf[java.lang.Comparable[AnyRef]].compareTo(b)
+  /** Catalyst's OWN per-type ordering (`SQLOrderingUtil` float/double
+    * semantics: `-0.0 == 0.0`, NaN greatest) — raw
+    * `Comparable.compareTo` would order `-0.0 < 0.0` via the java
+    * bit-comparison and diverge from the join path's struct
+    * `LessThan` for floating-point sequence fields. */
+  def ordering(dt: DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
 }

@@ -383,8 +383,51 @@ object PkTables {
       phys(phys.fieldIndex(renames.getOrElse(f, f)))
     }
 
-  /** Column form of the equality-delete KILL law: a data row
-    * `(field?, seq)` dies to a delete `(dfield?, dseq)` iff
+  /** Reduce a raw eq-delete frame to the CANONICAL per-key thresholds —
+    * ≤2 rows per key, one per delete family: the BLIND family keeps its
+    * max commit seq (kill is `seq < dseq`, so the max reproduces the
+    * union exactly), the FIELD family keeps the lex-max `(field, seq)`
+    * pair. This is THE kill-law normal form, shared by every consumer:
+    * the broadcast vector ([[EqDeleteVectorKilled]]) folds to it on the
+    * driver, `rewrite_eqdelete_files` persists it, and the join-form
+    * readers ([[resolvedRows]], the [[MorDeletes.MorScanRewrite]]
+    * anti-join fallback) MUST reduce to it before applying
+    * [[eqKillCond]] — testing a row against every raw pair diverges:
+    * with two pending field deletes (5,s2) and (10,s3), the row the
+    * s3 update itself inserted at a LOWERED field (2,s3) survives the
+    * lex-max pair via the same-commit exclusion, but the stale (5,s2)
+    * pair would kill it. The lex-max delete records the key's latest
+    * retirement; older pending field deletes are superseded history. */
+  def canonicalEqDeletes(ed: DataFrame, keyCols: Seq[String],
+                         fieldType: Option[org.apache.spark.sql.types
+                           .DataType]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, max, struct}
+    val ks = keyCols.map(col)
+    fieldType match {
+      case None =>
+        ed.groupBy(ks: _*).agg(max(col(DelSeqCol)).as(DelSeqCol))
+      case Some(ft) =>
+        val blind = ed.filter(col(DelFieldCol).isNull)
+          .groupBy(ks: _*)
+          .agg(max(col(DelSeqCol)).as(DelSeqCol))
+          .withColumn(DelFieldCol, lit(null).cast(ft))
+        val fielded = ed.filter(col(DelFieldCol).isNotNull)
+          .groupBy(ks: _*)
+          .agg(max(struct(
+            col(DelFieldCol).as("f"),
+            col(DelSeqCol).as("s"))).as("__p"))
+          .withColumn(DelFieldCol, col("__p.f"))
+          .withColumn(DelSeqCol, col("__p.s"))
+          .drop("__p")
+        blind.unionByName(fielded)
+          .select(ks ++ Seq(col(DelFieldCol), col(DelSeqCol)): _*)
+    }
+  }
+
+  /** Column form of the equality-delete KILL law over the CANONICAL
+    * per-key thresholds ([[canonicalEqDeletes]] — callers MUST reduce
+    * the delete side first; raw all-pairs application diverges from
+    * the vector/merged-file law): a data row `(field?, seq)` dies iff
     *  - the delete is BLIND (`dfield` null): `seq < dseq` — the blind
     *    delete beats everything present at commit time, any later
     *    append revives (arrival semantics, the r15 revive law);
@@ -510,8 +553,11 @@ object PkTables {
     val delField = delFieldOf(tableDir, pk)
     val physField = delField.map(_.name)
     if (eqDels.nonEmpty) {
-      val ed = readEqDeletes(spark, tableDir, eqDels,
-        keyFileSchema(tableDir, pk.keys), bc, delField)
+      val ed = canonicalEqDeletes(
+        readEqDeletes(spark, tableDir, eqDels,
+          keyFileSchema(tableDir, pk.keys), bc, delField),
+        keyFileSchema(tableDir, pk.keys).fieldNames.toSeq,
+        delField.map(_.dataType))
       val cond = physKeys.map(k => df(k) === ed(k)).reduce(_ && _) &&
         eqKillCond(physField.map(df(_)), df(SeqCol),
           delField.map(_ => ed(DelFieldCol)), ed(DelSeqCol))

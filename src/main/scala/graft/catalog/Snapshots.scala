@@ -649,6 +649,32 @@ private[catalog] object Snapshots {
     try body finally summaryStamps.set(old)
   }
 
+  // thread-local per-table commit PRE-CHECKS: run against the
+  // REFRESHED latest snapshot inside the OCC loop of every commit this
+  // thread makes to the table — per attempt, before publish, so a
+  // concurrent commit landing after the check either loses the publish
+  // race (our retry re-checks) or linearizes after us. The incremental
+  // MV uses this to conflict when a FOREIGN commit slipped between its
+  // watermark read and its refresh merge: that commit would land BELOW
+  // the new stamp, where the newest-stamp scan never looks again.
+  private val commitChecks =
+    new ThreadLocal[Map[String, Option[Snapshot] => Unit]] {
+      override def initialValue(): Map[String, Option[Snapshot] => Unit] =
+        Map.empty
+    }
+
+  /** Run `body` with `check` applied (against the refreshed latest
+    * snapshot, per OCC attempt) before every commit this THREAD makes
+    * to `tableDir`; throw [[CommitConflictException]] from the check
+    * to abort the commit. */
+  def withCommitCheck[T](tableDir: Path)(check: Option[Snapshot] => Unit)(
+      body: => T): T = {
+    val key = tableDir.toAbsolutePath.toString
+    val old = commitChecks.get
+    commitChecks.set(old + (key -> check))
+    try body finally commitChecks.set(old)
+  }
+
   private def commitIn(tableDir: Path, logDir: Path,
                        operation: String,
                        transform: Seq[String] => Seq[String],
@@ -660,6 +686,8 @@ private[catalog] object Snapshots {
       attempt += 1
       val prev = versionsIn(logDir).lastOption
         .flatMap(readIn(tableDir, logDir, _))
+      commitChecks.get.get(tableDir.toAbsolutePath.toString)
+        .foreach(_(prev))
       val prevFiles = prev.fold(Seq.empty[String])(_.files)
       validate(prevFiles)
       val files = transform(prevFiles)

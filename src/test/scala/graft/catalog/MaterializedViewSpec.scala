@@ -180,6 +180,86 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("the foreign-write RACE is closed at commit time; rollback to a stamped snapshot is sanctioned remediation (r17)") {
+    withLake("g") { (cat, lake) =>
+      mkSource(cat)
+      MaterializedView.create(spark, s"$cat.m.agg", s"$cat.m.src",
+        Seq("k"), Seq("grp"), Seq("x" -> "sum"))
+      val mvDir = lake.resolve("m/agg.parquet")
+      Seq((7L, "a", 100L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v2
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      val stampedV = Snapshots.latest(mvDir).get.version
+      def mvSum(): Seq[(String, Long)] =
+        spark.table(s"$cat.m.agg").select("grp", "sum_x")
+          .as[(String, Long)].collect().sortBy(_._1).toSeq
+      def recomputeSum(): Seq[(String, Long)] =
+        spark.sql(s"SELECT grp, sum(x) FROM $cat.m.src GROUP BY grp")
+          .as[(String, Long)].collect().sortBy(_._1).toSeq
+      val goodState = mvSum()
+      // the race window: a foreign commit lands AFTER the refresh read
+      // its watermark but BEFORE its stamped merge commits. The merge
+      // would land ABOVE the foreign commit, hiding it from the
+      // newest-stamp scan forever — so the refresh's commits re-check
+      // the window per OCC attempt ([[Snapshots.withCommitCheck]])
+      // and conflict instead of stamping over it.
+      Seq(("zz", 1L, 1L)).toDF("grp", "sum_x", "mv_rows")
+        .write.mode("append").insertInto(s"$cat.m.agg") // foreign
+      val guardHits = new java.util.concurrent.atomic.AtomicInteger
+      intercept[CommitConflictException] {
+        Snapshots.withCommitCheck(mvDir) { prev =>
+          guardHits.incrementAndGet()
+          val latest = prev.map(_.version).getOrElse(0L)
+          val foreign = Snapshots.versions(mvDir)
+            .filter(v => v > stampedV && v <= latest)
+            .flatMap(v => Snapshots.readMeta(mvDir, v))
+            .filterNot(m =>
+              m.summary.contains(MaterializedView.SourceVersionKey))
+          if (foreign.nonEmpty) throw new CommitConflictException(
+            s"foreign commit(s) under the stamp: ${foreign.size}")
+        } {
+          Snapshots.withSummaryStamp(mvDir,
+            Map(MaterializedView.SourceVersionKey -> 99L)) {
+            Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
+          }
+        }
+      }
+      assert(guardHits.get() >= 1, "the check must run before publish")
+      assert(!Snapshots.latest(mvDir).get.summary
+        .get(MaterializedView.SourceVersionKey).contains(99L),
+        "the guarded commit must NOT have landed")
+      // the next refresh detects the foreign commit the classic way
+      Seq((11L, "b", 3L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src") // v3
+      val e = intercept[IllegalStateException](
+        MaterializedView.refresh(spark, s"$cat.m.agg"))
+      assert(e.getMessage.contains("did not stamp"), e.getMessage)
+      // REMEDIATION: roll the MV back to the last stamped snapshot —
+      // the rollback commit CARRIES the target's watermark stamp
+      // (content == stamped content, so the claim stays truthful) and
+      // the next refresh resumes from it
+      spark.sql(s"CALL $cat.system.rollback('m.agg', $stampedV)")
+      val rb = Snapshots.latest(mvDir).get
+      assert(rb.operation == "rollback" &&
+        rb.summary.get(MaterializedView.SourceVersionKey).contains(2L),
+        s"${rb.operation} ${rb.summary}")
+      assert(mvSum() == goodState, "rolled-back content restored")
+      MaterializedView.refresh(spark, s"$cat.m.agg")
+      assert(mvSum() == recomputeSum())
+      // rolling back to an UNSTAMPED snapshot stays foreign: compact,
+      // then roll back to the compact commit — stale content with no
+      // watermark claim, and the next refresh refuses it loudly
+      spark.sql(s"CALL $cat.system.compact('m.agg', 1)")
+      val compactV = Snapshots.latest(mvDir).get.version
+      spark.sql(s"CALL $cat.system.rollback('m.agg', $compactV)")
+      Seq((12L, "b", 4L)).toDF("k", "grp", "x")
+        .write.mode("append").insertInto(s"$cat.m.src")
+      val e2 = intercept[IllegalStateException](
+        MaterializedView.refresh(spark, s"$cat.m.agg"))
+      assert(e2.getMessage.contains("did not stamp"), e2.getMessage)
+    }
+  }
+
   test("min/max aggregates: monotonic fast path on inserts, RECOMPUTE on retract, sum-preserving swaps still move the extrema") {
     withLake("mm") { (cat, lake) =>
       mkSource(cat) // (1,a,10),(2,a,20),(3,b,5),(4,c,7)

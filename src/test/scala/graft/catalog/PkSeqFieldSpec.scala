@@ -188,6 +188,68 @@ class PkSeqFieldSpec extends SparkSpec {
     }
   }
 
+  test("ONE kill law everywhere: two pending field deletes resolve by the per-key lex-max — vector, join, and compact agree") {
+    withLake("i") { (cat, lake) =>
+      mkTable(cat)
+      // insert ts=5, UPDATE→ts=10, UPDATE→ts=2: two PENDING field
+      // deletes per key — (5, seq2) and (10, seq3) — plus the second
+      // update's own insert (2, seq3). The canonical law keeps only
+      // the lex-max (10, seq3) pair: the same-commit exclusion lets
+      // the user's latest value (ts=2) survive. Testing a row against
+      // EVERY raw pair instead would let the STALE superseded (5,seq2)
+      // delete kill it — the r16 vector-vs-join divergence.
+      ins(cat, (1L, 5L, "five"))                               // seq 1
+      spark.sql(s"UPDATE $cat.m.t SET ts = 10, v = 'ten' WHERE k = 1")
+      spark.sql(s"UPDATE $cat.m.t SET ts = 2, v = 'two' WHERE k = 1")
+      val expect = Seq((1L, 2L, "two"))
+      assert(all(cat) == expect, "vector path (default ceiling)")
+      // force the JOIN fallback (vectors disabled) — same answer
+      spark.conf.set(MorDeletes.VectorMaxConf, "0")
+      try assert(all(cat) == expect,
+        "join fallback must apply the SAME canonical kill law")
+      finally spark.conf.unset(MorDeletes.VectorMaxConf)
+      // the eq-file merge is content-neutral under the shared law
+      spark.sql(s"CALL $cat.system.rewrite_eqdelete_files('m.t')")
+      assert(all(cat) == expect)
+      // compact resolves through resolvedRows — same law, same rows
+      spark.sql(s"CALL $cat.system.compact('m.t', 1)")
+      val dir = lake.resolve("m/t.parquet")
+      assert(PkTables.resolvedClean(dir, Snapshots.latest(dir).get))
+      assert(all(cat) == expect,
+        "compact must not drop the live same-commit row")
+    }
+  }
+
+  test("floating-point sequence fields order by catalyst semantics (-0.0 == 0.0) on every path") {
+    withLake("j") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.t (k BIGINT NOT NULL, ts DOUBLE NOT NULL,
+           |  v STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+           |  'sequence.field'='ts')""".stripMargin)
+      def insD(rows: (Long, Double, String)*): Unit =
+        rows.toSeq.toDF("k", "ts", "v").write.mode("append")
+          .insertInto(s"$cat.m.t")
+      insD((1L, 0.0, "zero"))                                  // seq 1
+      spark.sql(s"DELETE FROM $cat.m.t WHERE v = 'zero'")      // seq 2: field 0.0
+      // -0.0 EQUALS the retired 0.0 under catalyst ordering, so the
+      // equal-field tie breaks by ARRIVAL: the later append revives.
+      // Raw java compareTo would order -0.0 < 0.0 and keep it dead on
+      // the vector path only — a path divergence.
+      insD((1L, -0.0, "negzero"))                              // seq 3
+      def names() = {
+        spark.catalog.clearCache()
+        spark.table(s"$cat.m.t").select("v").collect().map(_.getString(0))
+          .toSeq
+      }
+      assert(names() == Seq("negzero"), "vector path")
+      spark.conf.set(MorDeletes.VectorMaxConf, "0")
+      try assert(names() == Seq("negzero"), "join path agrees")
+      finally spark.conf.unset(MorDeletes.VectorMaxConf)
+    }
+  }
+
   test("racing writers of one key: the field winner wins regardless of commit order") {
     withLake("e") { (cat, _) =>
       mkTable(cat)
