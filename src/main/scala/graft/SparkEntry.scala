@@ -1119,6 +1119,17 @@ object SparkEntry {
       graft.operators.PkLake.pkRevenueMvCensus(
         t(s, dir, "orders"),
         s"${System.getProperty("java.io.tmpdir")}/graft_pkrvmv")),
+    // Incremental MV over a JOIN (r17) — the reference's ACTUAL MV
+    // statement (tickets JOIN movies GROUP BY movie_id, m.title, …,
+    // revenue-analytics.sql:62-65): dim attributes IN the MV key,
+    // refreshed from EITHER side's resolved changelog (fact upserts →
+    // O(delta) fold; dim relabel → groups move; simultaneous fact+dim
+    // deletes → the overlap folds once; late dim insert → dangling
+    // fact rows attach).
+    "q_join_mv" -> ((s, dir) =>
+      graft.operators.PkLake.joinMvCensus(
+        t(s, dir, "orders"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_joinmv")),
     // CDC MERGE into a PK table (r15): matched DELETE + matched
     // UPDATE over resolved values + not-matched INSERT — one commit
     // of appends + equality deletes, zero data files rewritten.
@@ -5752,6 +5763,32 @@ object SparkEntry {
         |  CASE WHEN pr LIKE '1%' THEN 'HOT' ELSE 'L-' || pr END AS label,
         |  sum_cents, count_cents, mv_rows
         |FROM mv ORDER BY status, pr""".stripMargin,
+
+    // Join MV: full recompute of fact ⋈ dim at the FINAL state — fact
+    // upserts (%3), fact deletes (%7); dim = distinct priorities with
+    // '5%' retired, '1%' relabeled HOT, '4%' arriving late as LATE,
+    // the rest keeping their seed labels. Inner join (the '4%' rows
+    // danced between dangling and attached; '5%' rows dropped).
+    "q_join_mv" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderpriority AS pm
+        |  FROM orders),
+        |live AS (SELECT k,
+        |    CASE WHEN k % 3 = 0 THEN c + 1000 ELSE c END AS cents, pm
+        |  FROM base WHERE k % 7 <> 0),
+        |dim AS (SELECT DISTINCT pm,
+        |    CASE WHEN pm LIKE '1%' THEN 'HOT'
+        |         WHEN pm LIKE '4%' THEN 'LATE'
+        |         ELSE 'L-' || pm END AS label
+        |  FROM base WHERE pm NOT LIKE '5%')
+        |SELECT f.pm, d.label,
+        |  CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(f.cents) AS BIGINT) AS count_cents,
+        |  CAST(min(f.cents) AS BIGINT) AS min_cents,
+        |  CAST(count(*) AS BIGINT) AS mv_rows
+        |FROM live f JOIN dim d ON f.pm = d.pm
+        |GROUP BY f.pm, d.label ORDER BY f.pm""".stripMargin,
 
     // PK MERGE: resolved values (the %4 shadow) + the CDC batch's
     // delete/update/insert actions, all CASE algebra over raw orders.

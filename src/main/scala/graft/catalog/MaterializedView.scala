@@ -57,6 +57,12 @@ object MaterializedView {
     * OCC log. */
   val SourceVersionKey = "mv-source-version"
 
+  /** JOIN MVs ([[createJoin]]): the DIMENSION-side watermark, stamped
+    * on the SAME commit as [[SourceVersionKey]] — the two-source
+    * watermark pair is atomic by construction (one snapshot carries
+    * both or neither; there is no torn half-advanced state). */
+  val DimVersionKey = "mv-dim-version"
+
   /** Engine maintenance operations that legally commit to an MV table
     * without a watermark stamp (content-preserving); anything else
     * unstamped is a FOREIGN write and fails the next refresh loudly. */
@@ -74,7 +80,10 @@ object MaterializedView {
       aggs: Seq[(String, String)], // (source col, sum|count)
       version: Long,               // last source version folded in
       mvVersion: Long,             // MV latest at last finalize/intent
-      pendingTo: Option[Long])     // two-phase intent marker
+      pendingTo: Option[Long],     // two-phase intent marker (legacy)
+      dim: Option[String] = None,  // join MV: the dimension table
+      joinCols: Seq[String] = Nil, // join MV: dim key = equi-join cols
+      dimVersion: Long = 0L)       // join MV: dim watermark cache
 
   private def aggName(c: String, fn: String): String = s"${fn}_$c"
 
@@ -101,6 +110,12 @@ object MaterializedView {
     root.put("version", d.version)
     root.put("mv_version", d.mvVersion)
     d.pendingTo.foreach(root.put("pending_to", _))
+    d.dim.foreach { dm =>
+      root.put("dim", dm)
+      val js = root.putArray("join_cols"); d.joinCols.foreach(js.add)
+      root.put("dim_version", d.dimVersion)
+      ()
+    }
     val target = dir.resolve(Sidecar)
     val tmp = target.resolveSibling(Sidecar + ".tmp")
     Files.writeString(tmp, om.writeValueAsString(root))
@@ -125,13 +140,15 @@ object MaterializedView {
         (o.get("col").asText(), o.get("fn").asText())).toSeq,
       n.get("version").asLong(),
       n.get("mv_version").asLong(),
-      Option(n.get("pending_to")).map(_.asLong()))
+      Option(n.get("pending_to")).map(_.asLong()),
+      Option(n.get("dim")).map(_.asText()),
+      Option(n.get("join_cols")).fold(Seq.empty[String])(
+        _.elements().asScala.map(_.asText()).toSeq),
+      Option(n.get("dim_version")).fold(0L)(_.asLong()))
   }
 
-  private def fullAggregate(spark: SparkSession, source: String,
-                            atVersion: Long, groupBy: Seq[String],
+  private def fullAggregate(src: DataFrame, groupBy: Seq[String],
                             aggs: Seq[(String, String)]): DataFrame = {
-    val src = spark.sql(s"SELECT * FROM $source VERSION AS OF $atVersion")
     val cols = aggs.map {
       case (c, "sum") => sum(col(c)).as(aggName(c, "sum"))
       case (c, "count") => count(col(c)).as(aggName(c, "count"))
@@ -163,8 +180,9 @@ object MaterializedView {
     val srcV = Snapshots.latest(srcDir).map(_.version).getOrElse(
       throw new IllegalArgumentException(
         s"$sourceRef is not a manifest-versioned table"))
-    fullAggregate(spark, sourceRef, srcV, groupBy, aggs)
-      .createOrReplaceTempView("__mv_full")
+    fullAggregate(
+      spark.sql(s"SELECT * FROM $sourceRef VERSION AS OF $srcV"),
+      groupBy, aggs).createOrReplaceTempView("__mv_full")
     val mvDir = resolveDir(spark, mvRef)
     // the CTAS data commit carries the initial watermark stamp — the
     // manifest is the single source from the first snapshot on
@@ -179,13 +197,95 @@ object MaterializedView {
     srcV
   }
 
+  /** Create `mvRef` as the continuously-maintainable aggregate over an
+    * INNER equi-join `fact ⋈ dim` — the reference's actual MV shape
+    * (`flink-cdc/sql/revenue-analytics.sql:62-65`: `tickets JOIN
+    * movies ON movie_id GROUP BY movie_id, m.title, …` — dimension
+    * attributes live IN the MV key and the view updates when EITHER
+    * side changes; a retitled movie rewrites that movie's groups).
+    *
+    * Semantics and the incremental rule:
+    *  - `joinCols` (same-named on both sides) must be the DIMENSION's
+    *    row identity — each fact row joins at most one dim row, so the
+    *    join result keys by the fact's own `factKeys` and its
+    *    changelog derives without ever diffing the join itself;
+    *  - refresh folds the delta of the join: the fact feed's
+    *    before/after images joined against the dim AT THE MATCHING
+    *    watermark (before ⋈ dim@fromD retracts, after ⋈ dim@toD
+    *    inserts), plus — only when the dim changed — the STEADY fact
+    *    rows whose join key's dim row changed, each contributing a
+    *    retract against the old dim image and an insert against the
+    *    new (the Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB algebra with the overlap
+    *    handled by pairing versions, never double-counted);
+    *  - a fact-only refresh therefore reads O(fact delta) — no fact
+    *    or dim table scan; a dim change reads the dim delta plus one
+    *    fact pass restricted to the changed join keys;
+    *  - dangling fact rows (no dim match) contribute nothing until
+    *    the dim row appears — inner-join semantics on both the full
+    *    and the incremental path;
+    *  - BOTH watermarks stamp the SAME refresh commit
+    *    ([[SourceVersionKey]], [[DimVersionKey]]) — the two-source
+    *    pair is atomic, no torn half-advanced state exists. */
+  def createJoin(spark: SparkSession, mvRef: String, factRef: String,
+                 dimRef: String, factKeys: Seq[String],
+                 joinCols: Seq[String], groupBy: Seq[String],
+                 aggs: Seq[(String, String)], buckets: Int = 16)
+      : (Long, Long) = {
+    val factDir = resolveDir(spark, factRef)
+    val dimDir = resolveDir(spark, dimRef)
+    val fv = Snapshots.latest(factDir).map(_.version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$factRef is not a manifest-versioned table"))
+    val dv = Snapshots.latest(dimDir).map(_.version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dimRef is not a manifest-versioned table"))
+    val fCols = spark.table(factRef).columns.toSet
+    val dCols = spark.table(dimRef).columns.toSet
+    require(joinCols.nonEmpty &&
+      joinCols.forall(c => fCols(c) && dCols(c)),
+      s"join MV: joinCols ${joinCols.mkString(",")} must exist " +
+        "same-named on both sides")
+    val clash = (fCols intersect dCols) diff joinCols.toSet
+    require(clash.isEmpty,
+      s"join MV: non-join columns shared by both sides would be " +
+        s"ambiguous in the joined row: ${clash.mkString(",")}")
+    // the join key must be the dim's ROW IDENTITY, or one fact row
+    // joins many dim rows and the fact-keyed changelog under-counts —
+    // provable for declared-PK dims, the caller's contract otherwise
+    PkTables.read(dimDir).foreach { pk =>
+      require(pk.keys.toSet == joinCols.toSet,
+        s"join MV: $dimRef declares PRIMARY KEY " +
+          s"(${pk.keys.mkString(",")}) but the join is on " +
+          s"(${joinCols.mkString(",")}) — the join key must be the " +
+          "dimension's row identity")
+    }
+    fullAggregate(
+      spark.sql(s"SELECT * FROM $factRef VERSION AS OF $fv")
+        .join(spark.sql(s"SELECT * FROM $dimRef VERSION AS OF $dv"),
+          joinCols, "inner"),
+      groupBy, aggs).createOrReplaceTempView("__mv_full")
+    val mvDir = resolveDir(spark, mvRef)
+    Snapshots.withSummaryStamp(mvDir,
+      Map(SourceVersionKey -> fv, DimVersionKey -> dv)) {
+      spark.sql(s"CREATE TABLE $mvRef " +
+        s"PARTITIONED BY (bucket($buckets, `${groupBy.head}`)) " +
+        "TBLPROPERTIES ('versioned'='true') " +
+        "AS SELECT * FROM __mv_full")
+    }
+    writeDef(mvDir, MvDef(factRef, factKeys, groupBy, aggs, fv,
+      Snapshots.latest(mvDir).map(_.version).getOrElse(0L), None,
+      Some(dimRef), joinCols, dv))
+    (fv, dv)
+  }
+
   /** The refresh watermark, SINGLE-SOURCED from the MV's own manifest:
     * the newest snapshot whose summary carries [[SourceVersionKey]].
     * Unstamped content-changing commits ABOVE it (or above the sidecar
     * cache when every stamped snapshot was expired) are FOREIGN
     * writes — loud, never a silently corrupted fold. Returns
-    * (source watermark, the MV version carrying it). */
-  private def currentState(mvDir: Path, d: MvDef): (Long, Long) = {
+    * (source watermark, dim watermark — 0 for single-source MVs, the
+    * MV version carrying them). */
+  private def currentState(mvDir: Path, d: MvDef): (Long, Long, Long) = {
     def failForeign(foreign: Seq[(Long, String)]): Nothing =
       throw new IllegalStateException(
         s"$mvDir: the MV table carries ${foreign.size} commit(s) this " +
@@ -200,7 +300,8 @@ object MaterializedView {
       Snapshots.readMeta(mvDir, v) match {
         case Some(m) if m.summary.contains(SourceVersionKey) =>
           if (foreign.nonEmpty) failForeign(foreign)
-          return (m.summary(SourceVersionKey), v)
+          return (m.summary(SourceVersionKey),
+            m.summary.getOrElse(DimVersionKey, 0L), v)
         case Some(m) if !MaintenanceOps(m.operation) =>
           foreign = (v, m.operation) :: foreign
         case _ => ()
@@ -210,7 +311,7 @@ object MaterializedView {
     // write-behind sidecar cache, same foreign discipline above it
     val aboveCache = foreign.filter(_._1 > d.mvVersion)
     if (aboveCache.nonEmpty) failForeign(aboveCache)
-    (d.version, d.mvVersion)
+    (d.version, d.dimVersion, d.mvVersion)
   }
 
   /** Fold the source changes in `(def.version, latest]` into the MV
@@ -239,45 +340,159 @@ object MaterializedView {
         else d.copy(pendingTo = None)
       writeDef(mvDir, d)
     }
-    val (fromV, stampV) = currentState(mvDir, d)
+    val (fromV, fromD, stampV) = currentState(mvDir, d)
     // commit-time foreign-write guard: a direct user commit landing
     // BETWEEN currentState() and the stamped refresh merge would end
     // up BELOW the new stamp, where the newest-stamp scan never looks
     // again — so the refresh's own commits re-check, per OCC attempt,
     // that everything above the observed stamp is stamped/maintenance,
     // and conflict loudly otherwise (the retry re-reads the state)
+    // Each refresh lands EXACTLY ONE guarded commit (the merge, or the
+    // watermark bump when it merged nothing), so the guard may flag
+    // EVERY non-maintenance commit above the observed stamp:
+    //  - an UNSTAMPED one is a foreign write (recreate/roll back);
+    //  - a STAMPED one is a CONCURRENT REFRESH — merging on top would
+    //    double-apply the shared range, so conflict and let the caller
+    //    retry from the advanced watermark (the race law: racing
+    //    refreshes serialize, deltas never fold twice).
     def foreignGuard(prev: Option[Snapshots.Snapshot]): Unit = {
       val latest = prev.map(_.version).getOrElse(0L)
-      val foreign = Snapshots.versions(mvDir)
+      val above = Snapshots.versions(mvDir)
         .filter(v => v > stampV && v <= latest)
         .flatMap(v => Snapshots.readMeta(mvDir, v).map(v -> _))
-        .collect { case (v, m)
-            if !m.summary.contains(SourceVersionKey) &&
-              !MaintenanceOps(m.operation) => (v, m.operation) }
+        .filterNot { case (_, m) => MaintenanceOps(m.operation) }
+      val (stamped, foreign) =
+        above.partition(_._2.summary.contains(SourceVersionKey))
       if (foreign.nonEmpty)
         throw new CommitConflictException(
           s"$mvRef: ${foreign.size} foreign commit(s) landed on the " +
             "MV table while this refresh was computing (" +
-            foreign.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
+            foreign.map { case (v, m) => s"v$v=${m.operation}" }
+              .mkString(", ") +
             ") — the MV is engine-owned; aborting the refresh merge " +
             "instead of stamping over them. Recreate the MV (or roll " +
             "the table back to the last stamped snapshot)")
+      if (stamped.nonEmpty)
+        throw new CommitConflictException(
+          s"$mvRef: a concurrent refresh committed " +
+            stamped.map { case (v, m) => s"v$v=${m.operation}" }
+              .mkString(", ") +
+            " while this refresh was computing — merging on top would " +
+            "double-apply the shared range; re-run the refresh (it " +
+            "resumes from the advanced watermark)")
     }
     val srcDir = resolveDir(spark, d.source)
     val to = Snapshots.latest(srcDir).map(_.version).getOrElse(fromV)
-    if (to <= fromV) return (fromV, fromV)
-    val changes = Catalog.readTableChanges(
-      spark, d.source, d.keys, fromV, to)
-    // the signed delta fold (applyChangelogAggregateRetract's algebra,
-    // plus the group-liveness row delta)
-    val afterRows = changes
-      .filter(col("op") =!= graft.cdc.ChangeEvent.OpDelete &&
-        col("after").isNotNull)
-      .select(col("after.*") +: Seq(lit(1L).as("__w")): _*)
-    val beforeRows = changes
-      .filter(col("op") =!= graft.cdc.ChangeEvent.OpCreate &&
-        col("before").isNotNull)
-      .select(col("before.*") +: Seq(lit(-1L).as("__w")): _*)
+    d.dim match {
+      case None =>
+        if (to <= fromV) return (fromV, fromV)
+        val changes = Catalog.readTableChanges(
+          spark, d.source, d.keys, fromV, to)
+        // the signed delta fold (applyChangelogAggregateRetract's
+        // algebra, plus the group-liveness row delta)
+        val afterRows = changes
+          .filter(col("op") =!= graft.cdc.ChangeEvent.OpDelete &&
+            col("after").isNotNull)
+          .select(col("after.*") +: Seq(lit(1L).as("__w")): _*)
+        val beforeRows = changes
+          .filter(col("op") =!= graft.cdc.ChangeEvent.OpCreate &&
+            col("before").isNotNull)
+          .select(col("before.*") +: Seq(lit(-1L).as("__w")): _*)
+        applyDelta(spark, mvRef, mvDir, d,
+          afterRows.unionByName(beforeRows),
+          () => spark.sql(s"SELECT * FROM ${d.source} VERSION AS OF $to"),
+          Map(SourceVersionKey -> to), foreignGuard,
+          _.copy(version = to))
+        (fromV, to)
+      case Some(dimRef) =>
+        val dimDir = resolveDir(spark, dimRef)
+        val toD = Snapshots.latest(dimDir).map(_.version).getOrElse(fromD)
+        if (to <= fromV && toD <= fromD) return (fromV, fromV)
+        applyDelta(spark, mvRef, mvDir, d,
+          joinSignedDelta(spark, d, dimRef, fromV, to, fromD, toD),
+          () => spark.sql(s"SELECT * FROM ${d.source} VERSION AS OF $to")
+            .join(spark.sql(s"SELECT * FROM $dimRef VERSION AS OF $toD"),
+              d.joinCols, "inner"),
+          Map(SourceVersionKey -> to, DimVersionKey -> toD),
+          foreignGuard, _.copy(version = to, dimVersion = toD))
+        (fromV, to)
+    }
+  }
+
+  /** The signed delta of `fact ⋈ dim` over `(fromF, toF] × (fromD,
+    * toD]`: the fact feed's before/after images joined against the
+    * dim at the MATCHING watermark (before ⋈ dim@fromD retracts,
+    * after ⋈ dim@toD inserts), plus — only when the dim changed — the
+    * STEADY fact rows whose join key's dim row changed (one retract
+    * against the old dim image, one insert against the new). Version
+    * PAIRING handles the ΔA⋈ΔB overlap: a fact row that changed while
+    * its dim row also changed rides the fact legs alone (old row ⋈
+    * old dim, new row ⋈ new dim) and is anti-joined out of the steady
+    * set — every (row, weight) contribution appears exactly once. A
+    * fact-only refresh therefore touches O(fact delta) rows and scans
+    * NEITHER table. */
+  private def joinSignedDelta(spark: SparkSession, d: MvDef,
+                              dimRef: String, fromF: Long, toF: Long,
+                              fromD: Long, toD: Long): DataFrame = {
+    def factAt(v: Long) =
+      spark.sql(s"SELECT * FROM ${d.source} VERSION AS OF $v")
+    def dimAt(v: Long) =
+      spark.sql(s"SELECT * FROM $dimRef VERSION AS OF $v")
+    def weighted(f: DataFrame, dimV: Long, w: Long): DataFrame =
+      f.join(dimAt(dimV), d.joinCols, "inner").withColumn("__w", lit(w))
+    // the fact feed, materialized once (after leg, before leg, and the
+    // steady-set exclusion all read it) — O(fact delta)
+    val changes =
+      if (toF <= fromF) None
+      else Some(Catalog.readTableChanges(spark, d.source, d.keys,
+        fromF, toF).localCheckpoint(true))
+    val factLegs = changes.toSeq.flatMap { ch =>
+      Seq(
+        weighted(ch.filter(col("op") =!= graft.cdc.ChangeEvent.OpDelete &&
+          col("after").isNotNull).select(col("after.*")), toD, 1L),
+        weighted(ch.filter(col("op") =!= graft.cdc.ChangeEvent.OpCreate &&
+          col("before").isNotNull).select(col("before.*")), fromD, -1L))
+    }
+    val dimLegs: Seq[DataFrame] =
+      if (toD <= fromD) Seq.empty
+      else {
+        val dch = Catalog.readTableChanges(spark, dimRef, d.joinCols,
+          fromD, toD)
+        val dimKeys = dch.select(d.joinCols.map(c =>
+            coalesce(col(s"after.$c"), col(s"before.$c")).as(c)): _*)
+          .distinct().localCheckpoint(true)
+        if (dimKeys.isEmpty) Seq.empty
+        else {
+          val f = factAt(toF)
+          val touched = f.join(dimKeys,
+            d.joinCols.map(c => f(c) <=> dimKeys(c)).reduce(_ && _),
+            "left_semi")
+          val steady = changes.fold(touched) { ch =>
+            val changedIds = ch.select(d.keys.map(k =>
+                coalesce(col(s"after.$k"), col(s"before.$k")).as(k)): _*)
+              .distinct()
+            touched.join(changedIds,
+              d.keys.map(k => touched(k) <=> changedIds(k)).reduce(_ && _),
+              "left_anti")
+          }.localCheckpoint(true)
+          Seq(weighted(steady, toD, 1L), weighted(steady, fromD, -1L))
+        }
+      }
+    val legs = factLegs ++ dimLegs
+    if (legs.isEmpty) weighted(factAt(toF).limit(0), toD, 1L)
+    else legs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Fold a signed source-row delta into the MV with ONE `MERGE INTO`
+    * over the changed groups, the watermark stamp(s) riding the merge
+    * commit; `srcAtTo` supplies the post-range source image for the
+    * extremal recompute-on-retract. */
+  private def applyDelta(spark: SparkSession, mvRef: String, mvDir: Path,
+                         d: MvDef, signed: DataFrame,
+                         srcAtTo: () => DataFrame,
+                         stamps: Map[String, Long],
+                         foreignGuard: Option[Snapshots.Snapshot] => Unit,
+                         advance: MvDef => MvDef): Unit = {
     val invertible = d.aggs.filter(a => a._2 == "sum" || a._2 == "count")
     val extremal = d.aggs.filter(a => a._2 == "min" || a._2 == "max")
     // min/max deltas: the INSERT side's extrema (the monotonic fast
@@ -297,7 +512,7 @@ object MaterializedView {
       sum(col("__w")).cast("bigint").as("__d_rows"),
       max(when(col("__w") < 0L, 1L).otherwise(0L)).cast("bigint")
         .as("__retract"))
-    val deltas0 = afterRows.unionByName(beforeRows)
+    val deltas0 = signed
       .groupBy(d.groupBy.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
       // groups whose every delta is zero (e.g. an update that left
@@ -319,8 +534,7 @@ object MaterializedView {
     val deltas =
       if (extremal.isEmpty) deltas0
       else {
-        val src = spark.sql(
-          s"SELECT * FROM ${d.source} VERSION AS OF $to")
+        val src = srcAtTo()
         val retracted = deltas0.filter(col("__retract") === 1L)
           .select(d.groupBy.map(g => col(g).as(s"__rk_$g")): _*)
         val rcCols = extremal.map {
@@ -348,14 +562,14 @@ object MaterializedView {
     val matDeltas = deltas.localCheckpoint(true)
     if (matDeltas.isEmpty) {
       Snapshots.withCommitCheck(mvDir)(foreignGuard) {
-        Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
+        Snapshots.withSummaryStamp(mvDir, stamps) {
           Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
         }
       }
-      writeDef(mvDir, d.copy(version = to,
+      writeDef(mvDir, advance(d).copy(
         mvVersion = Snapshots.latest(mvDir).map(_.version).getOrElse(0L),
         pendingTo = None))
-      return (fromV, to)
+      return
     }
     matDeltas.createOrReplaceTempView("__mv_deltas")
     val names = d.aggs.map { case (c, fn) => aggName(c, fn) }
@@ -387,7 +601,7 @@ object MaterializedView {
     // are one atomic commit, no torn window exists; the commit check
     // closes the remaining race (foreign commit after currentState)
     Snapshots.withCommitCheck(mvDir)(foreignGuard) {
-      Snapshots.withSummaryStamp(mvDir, Map(SourceVersionKey -> to)) {
+      Snapshots.withSummaryStamp(mvDir, stamps) {
         spark.sql(
           s"""MERGE INTO $mvRef t USING __mv_deltas s ON $on
              |WHEN MATCHED AND t.`$RowsCol` + s.`__d_rows` <= 0 THEN DELETE
@@ -397,8 +611,8 @@ object MaterializedView {
         // an all-zero delta merges nothing and commits nothing: bump the
         // watermark with a metadata-only commit so the next refresh
         // never rescans the folded range
-        val stamped = Snapshots.latest(mvDir)
-          .exists(_.summary.get(SourceVersionKey).contains(to))
+        val stamped = Snapshots.latest(mvDir).exists(s =>
+          stamps.forall { case (k, v) => s.summary.get(k).contains(v) })
         if (!stamped)
           Snapshots.commit(mvDir, "mv-watermark", identity[Seq[String]])
         ()
@@ -406,9 +620,8 @@ object MaterializedView {
     }
     // write-behind CACHE (used only when expire GC'd every stamped
     // snapshot from the retained log)
-    writeDef(mvDir, d.copy(version = to,
+    writeDef(mvDir, advance(d).copy(
       mvVersion = Snapshots.latest(mvDir).map(_.version).getOrElse(0L),
       pendingTo = None))
-    (fromV, to)
   }
 }

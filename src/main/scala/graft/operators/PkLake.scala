@@ -542,6 +542,90 @@ object PkLake {
       .orderBy("status", "pr")
   }
 
+  /** The reference's MV shape EXACTLY (r17): `tickets JOIN movies ON
+    * movie_id GROUP BY movie_id, m.title, …` (reference
+    * `revenue-analytics.sql:62-65`) as ONE incrementally-maintained
+    * join MV over two PRIMARY-KEY staging tables — dimension
+    * attributes live IN the MV key and the view updates from EITHER
+    * side ([[graft.catalog.MaterializedView.createJoin]]). Lifecycle:
+    * fact upserts (fact-only delta — no table scan), a dim RELABEL
+    * (rows move between MV groups), a simultaneous fact-delete +
+    * dim-delete range (the Δfact⋈Δdim overlap folds exactly once),
+    * and a late dim INSERT attaching previously-dangling fact rows.
+    * The final MV content hashes against a DuckDB full recompute from
+    * raw parquet. */
+  def joinMvCensus(orders: DataFrame, workDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val cat = "glakejmv"
+    PartitionedWorkDirs.reset(workDir)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.tickets (
+         |  k BIGINT NOT NULL, status STRING, cents BIGINT, pm STRING)
+         |PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.m.movies (
+         |  pm STRING NOT NULL, label STRING, boost BIGINT)
+         |PARTITIONED BY (bucket(2, pm))
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='pm')""".stripMargin)
+    val base = orders.select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority").as("pm"))
+    // generation 1: all fact rows; every dim row EXCEPT the '4%'
+    // priority — those fact rows DANGLE (inner join) until gen 5
+    base.write.mode("append").insertInto(s"$cat.m.tickets")
+    base.select(col("pm")).distinct()
+      .filter(!col("pm").startsWith("4"))
+      .withColumn("label", concat(lit("L-"), col("pm")))
+      .withColumn("boost", lit(1L))
+      .write.mode("append").insertInto(s"$cat.m.movies")
+    graft.catalog.MaterializedView.createJoin(spark, s"$cat.m.rev_mv",
+      s"$cat.m.tickets", s"$cat.m.movies", factKeys = Seq("k"),
+      joinCols = Seq("pm"), groupBy = Seq("pm", "label"),
+      aggs = Seq("cents" -> "sum", "cents" -> "count", "cents" -> "min"),
+      buckets = 4)
+    def refresh(): Unit = {
+      graft.catalog.MaterializedView.refresh(spark, s"$cat.m.rev_mv")
+      ()
+    }
+    // generation 2: CDC fact upserts — %3 keys advance (the FACT-ONLY
+    // delta path: O(changes), no table scan)
+    base.filter(col("k") % 3 === 0)
+      .withColumn("status", lit("U2"))
+      .withColumn("cents", col("cents") + 1000L)
+      .write.mode("append").insertInto(s"$cat.m.tickets")
+    refresh()
+    // generation 3: the dim RELABELS the '1%' group — every affected
+    // fact row moves between (pm, label) MV groups, min included
+    spark.sql(
+      s"UPDATE $cat.m.movies SET label = 'HOT' WHERE pm LIKE '1%'")
+    refresh()
+    // generation 4: BOTH sides change in one range — a fact tombstone
+    // batch and a dim retirement (rows deleted on the fact side whose
+    // dim row ALSO vanished must fold exactly once)
+    spark.sql(s"DELETE FROM $cat.m.tickets WHERE k % 7 = 0")
+    spark.sql(s"DELETE FROM $cat.m.movies WHERE pm LIKE '5%'")
+    refresh()
+    // generation 5: the late dim row arrives — dangling rows ATTACH
+    base.select(col("pm")).distinct()
+      .filter(col("pm").startsWith("4"))
+      .withColumn("label", lit("LATE"))
+      .withColumn("boost", lit(9L))
+      .write.mode("append").insertInto(s"$cat.m.movies")
+    refresh()
+    spark.table(s"$cat.m.rev_mv")
+      .select(col("pm"), col("label"),
+        col("sum_cents").cast("bigint").as("sum_cents"),
+        col("count_cents").cast("bigint").as("count_cents"),
+        col("min_cents").cast("bigint").as("min_cents"),
+        col("mv_rows").cast("bigint").as("mv_rows"))
+      .orderBy("pm")
+  }
+
   /** `MERGE INTO … WITH SCHEMA EVOLUTION` end-to-end on BOTH versioned
     * lake layouts: the source carries a NEW column — the analyzer
     * evolves the target metadata-only (ADD COLUMN, appended at the
