@@ -582,9 +582,32 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
                   "the LATEST field value (the ladder's own order)")
             canon
           }
-          Some(PkTables.PkDef(canonical, engine, fieldAggs, seqField))
+          // 'changelog-producer' (Paimon; the reference sink declares
+          // 'input', flink-gen.sh:140): persist each commit's RESOLVED
+          // changelog as write-once files — see [[ChangelogProducer]]
+          val clProducer = Option(
+              properties.get(PkTables.ChangelogProducerProp))
+            .map(_.trim.toLowerCase).filter(_.nonEmpty)
+            .filterNot(_ == "none")
+            .map { v =>
+              if (v != "input") throw new UnsupportedOperationException(
+                s"$catalogName: '${PkTables.ChangelogProducerProp}'=" +
+                  s"'$v' — supported: 'input' (persist the resolved " +
+                  "per-version changelog as files) or 'none' (derive " +
+                  "at read time)")
+              v
+            }
+          Some(PkTables.PkDef(canonical, engine, fieldAggs, seqField,
+            clProducer))
       }
     }
+    if (pkProp.isEmpty &&
+        Option(properties.get(PkTables.ChangelogProducerProp))
+          .exists(v => v.trim.nonEmpty && !v.trim.equalsIgnoreCase("none")))
+      throw new UnsupportedOperationException(
+        s"$catalogName: '${PkTables.ChangelogProducerProp}' requires " +
+          s"'${PkTables.KeysProp}' — the persisted changelog is the " +
+          "RESOLVED per-key feed of a PRIMARY-KEY table")
     // declared write-time clustering (WRITE ORDERED BY — [[WriteOrder]]):
     // names canonicalize to the schema's exact case, since consumers
     // filter case-sensitively

@@ -399,6 +399,7 @@ private[catalog] object LakeProcedures {
               if (args.getLong(1) < 0) Long.MaxValue else Long.MinValue }
           val dropped = Snapshots.commitExpireOlderThan(dir, cutoff,
             args.getInt(2), () => Tags.read(dir).values.toSet)
+          ChangelogProducer.dropFor(dir, dropped)
           Seq(InternalRow(dropped.size.toLong))
         })
       case "rewrite_position_delete_files" =>
@@ -1254,9 +1255,10 @@ private[catalog] object LakeProcedures {
       // list publishes through the OCC loop before any deletion, so
       // racing rollbacks/commits re-validate against it; pins re-read
       // per retry. `pinned` from the one-shot caller is folded in.
-      Snapshots.commitExpire(tableDir, keep,
+      val dropped = Snapshots.commitExpire(tableDir, keep,
         () => pinned ++ Tags.read(tableDir).values.toSet)
-      ()
+      // persisted changelog dirs of expired versions GC with them
+      ChangelogProducer.dropFor(tableDir, dropped)
     }
   }
 

@@ -85,6 +85,18 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
   // (which would expose every shadowed key version).
   private lazy val pkDef: Option[PkTables.PkDef] = PkTables.read(tableDir)
 
+  /** Persisted changelog files ([[ChangelogProducer]]) — MAIN-log
+    * reads of tables declaring `'changelog-producer'='input'` serve
+    * (and on first read produce) the memoized per-version feed;
+    * branch feeds and undeclared tables derive as usual. */
+  override def persistedFeed(ver: Long, keys: Seq[String],
+                             row: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] =
+    if (branch.nonEmpty || !pkDef.exists(_.producesChangelog)) None
+    else ChangelogProducer.serveOrProduce(spark, tableDir, ver, row,
+      () => graft.streaming.ChangeFeed.versionFeed(this, ver, keys, row,
+        persisted = false))
+
   override def read(version: Long): Option[DataFrame] =
     snapOf(version).map { s =>
       if (s.files.isEmpty)

@@ -1921,6 +1921,9 @@ private[catalog] final class PartitionedWrite(
         Snapshots.commitRouted(tableDir, op, liveOf,
           freshStats = Snapshots.freshStatsFor(
             SparkSession.active, tableDir, committed))
+        // 'changelog-producer'='input': persist this commit's resolved
+        // changelog eagerly (no-op unless the table declares it)
+        ChangelogProducer.produceMissing(SparkSession.active, tableDir)
         SparkSession.active.catalog.clearCache()
         return
       }

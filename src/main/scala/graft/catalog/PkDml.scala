@@ -216,6 +216,9 @@ private[catalog] final class PkDeltaWrite(
         validate,
         freshStats = Snapshots.freshStatsFor(spark, tableDir, dataRels) ++
           MorDeletes.deleteFileRowStats(tableDir, movedEq))
+      // 'changelog-producer'='input': persist this commit's resolved
+      // changelog eagerly (no-op unless the table declares it)
+      ChangelogProducer.produceMissing(spark, tableDir)
       spark.catalog.clearCache()
     }
 

@@ -89,6 +89,14 @@ object PkTables {
     * needs a total order and the delta row identity carries it). */
   val SeqFieldProp = "sequence.field"
 
+  /** Paimon's `'changelog-producer'` (the reference's Paimon sink
+    * declares `'input'`, `flink-gen.sh:140`): `'input'` persists each
+    * commit's RESOLVED per-version changelog as parquet under
+    * [[ChangelogProducer.DirName]] so every downstream consumer scans
+    * write-once files instead of re-paying the snapshot diff —
+    * see [[ChangelogProducer]]. */
+  val ChangelogProducerProp = "changelog-producer"
+
   val Sidecar = "_graft_pk.json"
 
   /** Equality-delete files live here, laid out by target partition
@@ -113,7 +121,10 @@ object PkTables {
 
   final case class PkDef(keys: Seq[String], engine: String,
                          fieldAggs: Map[String, String] = Map.empty,
-                         seqField: Option[String] = None) {
+                         seqField: Option[String] = None,
+                         changelogProducer: Option[String] = None) {
+    /** Persisted-changelog mode ([[ChangelogProducerProp]] = 'input'). */
+    def producesChangelog: Boolean = changelogProducer.contains("input")
     def firstRow: Boolean = engine == EngineFirstRow
     def partialUpdate: Boolean = engine == EnginePartialUpdate
 
@@ -194,6 +205,7 @@ object PkTables {
       d.fieldAggs.toSeq.sortBy(_._1).foreach { case (k, v) => fa.put(k, v) }
     }
     d.seqField.foreach(root.put("sequence_field", _))
+    d.changelogProducer.foreach(root.put("changelog_producer", _))
     Files.writeString(tableDir.resolve(Sidecar), om.writeValueAsString(root))
     ()
   }
@@ -209,7 +221,8 @@ object PkTables {
         Option(n.get("engine")).fold(EngineDedup)(_.asText()),
         Option(n.get("field_aggs")).fold(Map.empty[String, String])(
           _.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap),
-        Option(n.get("sequence_field")).map(_.asText())))
+        Option(n.get("sequence_field")).map(_.asText()),
+        Option(n.get("changelog_producer")).map(_.asText())))
     }
   }
 

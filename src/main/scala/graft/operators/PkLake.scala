@@ -560,16 +560,22 @@ object PkLake {
     PartitionedWorkDirs.reset(workDir)
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftLakeCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.path", workDir)
+    // both staging tables declare the PERSISTED changelog — exactly
+    // the reference sink's 'changelog-producer'='input'
+    // (flink-gen.sh:140): every refresh below reads the write-once
+    // feed files, not a recomputed snapshot diff
     spark.sql(
       s"""CREATE TABLE $cat.m.tickets (
          |  k BIGINT NOT NULL, status STRING, cents BIGINT, pm STRING)
          |PARTITIONED BY (bucket(4, k))
-         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')""".stripMargin)
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='k',
+         |  'changelog-producer'='input')""".stripMargin)
     spark.sql(
       s"""CREATE TABLE $cat.m.movies (
          |  pm STRING NOT NULL, label STRING, boost BIGINT)
          |PARTITIONED BY (bucket(2, pm))
-         |TBLPROPERTIES ('versioned'='true', 'primary-key'='pm')""".stripMargin)
+         |TBLPROPERTIES ('versioned'='true', 'primary-key'='pm',
+         |  'changelog-producer'='input')""".stripMargin)
     val base = orders.select(
       col("o_orderkey").as("k"),
       col("o_orderstatus").as("status"),

@@ -52,7 +52,8 @@ object ChangeFeed {
     * the replay determinism both surfaces need. Output: `op, version,
     * before, after`. */
   def versionFeed(store: SnapshotReads, ver: Long, keys: Seq[String],
-                  row: org.apache.spark.sql.types.StructType): DataFrame = {
+                  row: org.apache.spark.sql.types.StructType,
+                  persisted: Boolean = true): DataFrame = {
     val vs = store.versions
     // audit commits (expire: added=removed=0 recorded in the manifest)
     // are provably content-identical to their parent — emit the empty
@@ -60,6 +61,13 @@ object ChangeFeed {
     if (store.noopCommit(ver) &&
         store.parentOf(ver).exists(vs.contains))
       return emptyFeed(row)
+    // persisted changelog files ('changelog-producer'='input'): serve
+    // the memoized form — same rows, no diff join. `persisted=false`
+    // is the PRODUCER's own computation path (never recurses).
+    if (persisted) store.persistedFeed(ver, keys, row) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val pred = store.parentOf(ver) match {
       case Some(p) if vs.contains(p) => Some(p)
       case Some(p) if vs.exists(_ < ver) =>

@@ -44,6 +44,13 @@ trait SnapshotReads {
   def rowSchema: org.apache.spark.sql.types.StructType =
     read(versions.headOption.getOrElse(throw new IllegalArgumentException(
       "no committed snapshots to derive a schema from"))).get.schema
+  /** Version `ver`'s feed served from PERSISTED changelog files
+    * ([[graft.catalog.ChangelogProducer]] — tables declaring
+    * `'changelog-producer'='input'`), producing them on first read.
+    * None = no persisted form (derive the diff as usual). */
+  def persistedFeed(ver: Long, keys: Seq[String],
+                    row: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] = None
 }
 
 final class StateStore(spark: SparkSession, dir: String)
