@@ -74,7 +74,13 @@ object ChangelogProducer {
       s".tmp-v$ver-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(tmp.getParent)
     try {
+      // REBALANCE before the write (guide §6 — size-adaptive output
+      // files): AQE packs the feed into advisory-sized files — ONE
+      // file for a small commit's feed instead of one per shuffle
+      // partition (observed 10 KB-sized files per version), full
+      // parallel fan-out for a bulk load's
       compute().select(col("op"), col("before"), col("after"))
+        .hint("rebalance")
         .write.parquet(tmp.toString)
       Files.writeString(tmp.resolve(SchemaMarker), row.json)
       try {

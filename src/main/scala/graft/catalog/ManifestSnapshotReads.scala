@@ -97,6 +97,18 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
       () => graft.streaming.ChangeFeed.versionFeed(this, ver, keys, row,
         persisted = false))
 
+  /** ONE-PASS PK version diff ([[PkTables.versionDiff]]) — one scan +
+    * one key shuffle when the commit was purely additive; None falls
+    * back to the two-snapshot diff join. */
+  override def fastDiff(from: Long, to: Long): Option[DataFrame] =
+    pkDef.flatMap { pk =>
+      (snapOf(from), snapOf(to)) match {
+        case (Some(p), Some(v)) =>
+          PkTables.versionDiff(spark, tableDir, p, v, pk, logical, renames)
+        case _ => None
+      }
+    }
+
   override def read(version: Long): Option[DataFrame] =
     snapOf(version).map { s =>
       if (s.files.isEmpty)

@@ -94,7 +94,12 @@ object ChangeFeed {
           lit(null).cast(row).as("before"),
           struct(row.fieldNames.map(col).toSeq: _*).as("after"))
       case Some(prev) =>
-        between(store, prev, ver, keys)
+        // one-pass diff when the layout proves the shape (PK manifest
+        // tables, purely-additive commit): one scan + one key shuffle
+        // instead of two snapshot resolutions + a full-outer join —
+        // same rows by the shared pick/kill law (PkFastDiffSpec)
+        store.fastDiff(prev, ver)
+          .getOrElse(between(store, prev, ver, keys))
           .select(col("op"), lit(ver).as("version"),
             col("before"), col("after"))
     }

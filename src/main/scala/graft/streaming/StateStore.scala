@@ -51,6 +51,13 @@ trait SnapshotReads {
   def persistedFeed(ver: Long, keys: Seq[String],
                     row: org.apache.spark.sql.types.StructType)
       : Option[DataFrame] = None
+  /** ONE-PASS diff `from → to` when the layout can prove the shape
+    * ([[graft.catalog.PkTables.versionDiff]] — PK manifest tables
+    * whose commit was purely additive): `op, before, after` rows,
+    * one scan + one key shuffle instead of two snapshot resolutions
+    * + a full-outer join. None = not provable; the caller derives
+    * via the audited two-snapshot diff. */
+  def fastDiff(from: Long, to: Long): Option[DataFrame] = None
 }
 
 final class StateStore(spark: SparkSession, dir: String)
