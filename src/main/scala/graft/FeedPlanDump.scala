@@ -44,8 +44,25 @@ object FeedPlanDump {
     dump("pk_version_feed_before.txt",
       graft.streaming.ChangeFeed.between(store, 1L, 2L, Seq("k")))
     dump("pk_version_feed_after.txt",
-      store.fastDiff(1L, 2L).getOrElse(
+      store.fastDiff(1L, 2L, Seq("k")).getOrElse(
         sys.error("fast diff did not apply on the additive commit")))
+    // the non-PK merge-on-read twin: append + MoR DELETE lifecycle
+    spark.sql(
+      """CREATE TABLE fpd.m.p (k BIGINT, v STRING, x BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "v", "x").write.mode("append").insertInto("fpd.m.p")
+    spark.conf.set("graft.write.mode", "merge-on-read")
+    try spark.sql("DELETE FROM fpd.m.p WHERE v = 'c'")
+    finally spark.conf.unset("graft.write.mode")
+    val pstore = graft.catalog.ManifestSnapshotReads(
+      spark, lake.resolve("m/p.parquet").toString)
+    dump("mor_version_feed_before.txt",
+      graft.streaming.ChangeFeed.between(pstore, 1L, 2L, Seq("k")))
+    dump("mor_version_feed_after.txt",
+      pstore.fastDiff(1L, 2L, Seq("k")).getOrElse(
+        sys.error("MoR fast diff did not apply on the additive commit")))
     spark.stop()
   }
 }

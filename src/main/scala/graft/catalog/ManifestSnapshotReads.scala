@@ -97,16 +97,24 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
       () => graft.streaming.ChangeFeed.versionFeed(this, ver, keys, row,
         persisted = false))
 
-  /** ONE-PASS PK version diff ([[PkTables.versionDiff]]) — one scan +
-    * one key shuffle when the commit was purely additive; None falls
-    * back to the two-snapshot diff join. */
-  override def fastDiff(from: Long, to: Long): Option[DataFrame] =
-    pkDef.flatMap { pk =>
-      (snapOf(from), snapOf(to)) match {
-        case (Some(p), Some(v)) =>
-          PkTables.versionDiff(spark, tableDir, p, v, pk, logical, renames)
-        case _ => None
-      }
+  /** ONE-PASS version diff ([[PkTables.versionDiff]] for PK tables,
+    * [[MorDeletes.versionDiffMor]] under the caller's key identity
+    * otherwise) — one scan + one key shuffle when the commit was
+    * purely additive; None falls back to the two-snapshot diff
+    * join. */
+  override def fastDiff(from: Long, to: Long, keys: Seq[String])
+      : Option[DataFrame] =
+    (snapOf(from), snapOf(to)) match {
+      case (Some(p), Some(v)) =>
+        pkDef match {
+          case Some(pk) =>
+            PkTables.versionDiff(spark, tableDir, p, v, pk, logical,
+              renames)
+          case None =>
+            MorDeletes.versionDiffMor(spark, tableDir, p, v, keys,
+              logical, renames)
+        }
+      case _ => None
     }
 
   override def read(version: Long): Option[DataFrame] =

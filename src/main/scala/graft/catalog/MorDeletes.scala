@@ -208,6 +208,145 @@ private[catalog] object MorDeletes {
         .drop(FileKeyCol, PosKeyCol)
   }
 
+  /** ONE-PASS version diff of a plain (non-PK) merge-on-read table
+    * under the caller's `keys` row identity — the non-PK twin of
+    * [[PkTables.versionDiff]] (guide §1.2/§2.4): the changelog of
+    * `prev → snap` as one scan + one key shuffle instead of two
+    * live-row materializations + a full-outer join. Per-state
+    * liveness: `aliveBefore` = the row's data file is in the parent
+    * snapshot AND no parent-state delete coordinate hits it;
+    * `aliveAfter` = no current delete coordinate hits it (coordinates
+    * only accumulate on the additive path). Images pick
+    * deterministically by `(file, pos)` per state.
+    *
+    * SEMANTICS: exact for the key-identity contract every feed
+    * consumer already assumes (one live row per key per state — the
+    * same contract the MV fold and `applyChangelog` require).
+    * NULL-KEYED rows are handled exactly like the full-outer join
+    * they replace: a null key matches nothing, so such a row emits
+    * `d` from the before-state and `c` from the after-state,
+    * ungrouped. Gated to purely-additive commits (appends, MoR
+    * DELETE/UPDATE/MERGE); copy-on-write rewrites and compactions
+    * replace files and fall back. */
+  def versionDiffMor(spark: SparkSession, tableDir: Path,
+                     prev: Snapshots.Snapshot, snap: Snapshots.Snapshot,
+                     keys: Seq[String], logical: StructType,
+                     renames: Map[String, String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{lit, max, max_by, struct, when}
+    val filesV = snap.files
+    if (keys.isEmpty ||
+        !keys.forall(logical.fieldNames.contains)) return None
+    if (PkTables.eqDeleteFiles(filesV).nonEmpty) return None
+    if (Snapshots.dataFiles(filesV).isEmpty) return None
+    val prevSet = prev.files.toSet
+    if (!prevSet.subsetOf(filesV.toSet)) return None
+    val physKeys = keys.map(k => renames.getOrElse(k, k))
+    val membBc = PkTables.seqBroadcastFor(spark, tableDir,
+      prev.files.map(f => Snapshots.basename(f) -> 1L).toMap)
+    def inPrev(fileCol: org.apache.spark.sql.Column) =
+      PkTables.seqColumnFor(membBc, fileCol) === 1L
+    var df = readDataWithCoords(spark, tableDir, filesV)
+      .withColumn("_gmv_inprev", inPrev(col(FileKeyCol)))
+    // per-state delete-coordinate hits: parent-state coordinates come
+    // from the parent's OWN delete files, current-state from all —
+    // read the two slices with a state flag and fold to one (file,
+    // pos) → hit-state frame, joined once
+    val delV = Snapshots.deleteFiles(filesV)
+    val (aliveB, aliveA) =
+      if (delV.isEmpty) (col("_gmv_inprev"), lit(true))
+      else {
+        val hasRoot = Snapshots.dataFiles(filesV).exists(!_.contains('/'))
+        val delPrev = delV.filter(prevSet)
+        val delFresh = delV.filterNot(prevSet)
+        val slices =
+          (if (delPrev.isEmpty) Seq.empty[DataFrame]
+           else Seq(readDeletes(spark, tableDir, delPrev, hasRoot)
+             .withColumn("_gmv_dprev", lit(1)))) ++
+          (if (delFresh.isEmpty) Seq.empty[DataFrame]
+           else Seq(readDeletes(spark, tableDir, delFresh, hasRoot)
+             .withColumn("_gmv_dprev", lit(0))))
+        val hits = slices.reduce(_ unionByName _)
+          .groupBy(col(FileKeyCol).as("_gmv_hf"),
+            col(PosKeyCol).as("_gmv_hp"))
+          .agg(max(col("_gmv_dprev")).as("_gmv_dprev"))
+          .withColumn("_gmv_hit", lit(1))
+        df = df.join(hits,
+          df(FileKeyCol) === col("_gmv_hf") &&
+            df(PosKeyCol) === col("_gmv_hp"), "left")
+          .drop("_gmv_hf", "_gmv_hp")
+        // coalesce: an unmatched left-join row reads NULL flags, and
+        // NULL && / ! would poison the liveness conditions
+        val hit = org.apache.spark.sql.functions
+          .coalesce(col("_gmv_hit"), lit(0)) === 1
+        val hitPrev = org.apache.spark.sql.functions
+          .coalesce(col("_gmv_dprev"), lit(0)) === 1
+        (col("_gmv_inprev") && !(hit && hitPrev), !hit)
+      }
+    df = df.withColumn("_gmv_ab", aliveB).withColumn("_gmv_aa", aliveA)
+    val ord = struct(col(FileKeyCol), col(PosKeyCol))
+    val physVals = logical.fields.toSeq
+      .map(f => renames.getOrElse(f.name, f.name))
+      .filterNot(physKeys.contains)
+    def imgOf(prefix: String): org.apache.spark.sql.Column =
+      struct(logical.fields.map { f =>
+        val p = renames.getOrElse(f.name, f.name)
+        (if (physKeys.contains(p)) col(p) else col(s"_gmv_${prefix}_$p"))
+          .as(f.name)
+      }.toSeq: _*)
+    // NULL-keyed rows ride the SAME aggregate (one pass — a separate
+    // union branch would re-execute the scan+join subtree per branch,
+    // measured 3x the whole diff): they group as SINGLETONS under
+    // their own coordinates (the extra group columns are NULL for
+    // keyed rows, so those groups are unchanged), and a singleton
+    // alive in both states emits the full-outer's d+c churn via the
+    // exploded array below — a null key matches nothing.
+    val anyKeyNull = physKeys.map(col(_).isNull).reduce(_ || _)
+    df = df
+      .withColumn("_gmv_gf", when(anyKeyNull, col(FileKeyCol)))
+      .withColumn("_gmv_gp", when(anyKeyNull, col(PosKeyCol)))
+    val imgCols = physVals.flatMap { c =>
+      Seq(max_by(col(c), when(col("_gmv_ab"), ord)).as(s"_gmv_b_$c"),
+        max_by(col(c), when(col("_gmv_aa"), ord)).as(s"_gmv_a_$c"))
+    } ++ Seq(
+      max(when(col("_gmv_ab"), 1).otherwise(0)).as("_gmv_eb"),
+      max(when(col("_gmv_aa"), 1).otherwise(0)).as("_gmv_ea"))
+    val g = df
+      .groupBy((physKeys.map(col) :+ col("_gmv_gf") :+ col("_gmv_gp")): _*)
+      .agg(imgCols.head, imgCols.tail: _*)
+    val before = imgOf("b")
+    val after = imgOf("a")
+    val eb = col("_gmv_eb") === 1
+    val ea = col("_gmv_ea") === 1
+    val isNullGrp = col("_gmv_gf").isNotNull
+    def entry(op: String, b: org.apache.spark.sql.Column,
+              a: org.apache.spark.sql.Column) =
+      struct(lit(op).as("op"), b.as("before"), a.as("after"))
+    val nullB = lit(null).cast(logical)
+    val entries =
+      when(isNullGrp && eb && ea,
+        org.apache.spark.sql.functions.array(
+          entry("d", before, nullB), entry("c", nullB, after)))
+      .when(!eb && ea,
+        org.apache.spark.sql.functions.array(entry("c", nullB, after)))
+      .when(eb && !ea,
+        org.apache.spark.sql.functions.array(entry("d", before, nullB)))
+      .when(eb && ea && before =!= after,
+        org.apache.spark.sql.functions.array(entry("u", before, after)))
+    Some(g
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.coalesce(entries,
+          org.apache.spark.sql.functions.array().cast(
+            org.apache.spark.sql.types.ArrayType(
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField("op", StringType),
+                org.apache.spark.sql.types.StructField("before", logical),
+                org.apache.spark.sql.types.StructField("after", logical)))))))
+        .as("_gmv_e"))
+      .select(col("_gmv_e.op").as("op"),
+        col("_gmv_e.before").as("before"),
+        col("_gmv_e.after").as("after")))
+  }
+
   /** The partition-scope column delete files are laid out by: each
     * delete file lands under
     * `_graft_deletes/_gmor_tdir=<hive-escaped target partition dir>/`,

@@ -98,7 +98,7 @@ object ChangeFeed {
         // tables, purely-additive commit): one scan + one key shuffle
         // instead of two snapshot resolutions + a full-outer join —
         // same rows by the shared pick/kill law (PkFastDiffSpec)
-        store.fastDiff(prev, ver)
+        store.fastDiff(prev, ver, keys)
           .getOrElse(between(store, prev, ver, keys))
           .select(col("op"), lit(ver).as("version"),
             col("before"), col("after"))

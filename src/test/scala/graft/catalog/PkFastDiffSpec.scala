@@ -46,7 +46,7 @@ class PkFastDiffSpec extends SparkSpec {
     var fast = Set.empty[Long]
     vs.foreach { v =>
       store.parentOf(v).filter(vs.contains).foreach { p =>
-        store.fastDiff(p, v) match {
+        store.fastDiff(p, v, PkTables.read(dir).get.keys) match {
           case Some(fd) =>
             fast += v
             val want = rows(graft.streaming.ChangeFeed.between(
@@ -99,7 +99,7 @@ class PkFastDiffSpec extends SparkSpec {
       val dir = lake.resolve("m/t.parquet")
       val store = ManifestSnapshotReads(spark, dir.toString)
       val vC = store.versions.max
-      assert(store.fastDiff(store.parentOf(vC).get, vC).isEmpty,
+      assert(store.fastDiff(store.parentOf(vC).get, vC, Seq("k")).isEmpty,
         "file-replacing commit must fall back to the audited diff")
     }
   }
