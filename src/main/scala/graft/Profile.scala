@@ -66,9 +66,15 @@ object Profile {
         }
       }
     })
+    // warmup dir: a sibling sf0.001 of the measured dir when present
+    // (portable), else the measured dir itself — overridable
+    val warmDir = sys.env.getOrElse("GRAFT_PROFILE_WARM_DIR", {
+      val sib = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
+    })
     names.foreach { n =>
       val fn = SparkEntry.rawOps(n)
-      try fn(spark, "/root/testdata/sf0.001")
+      try fn(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         out.println(s"[$n] warmup failed: ${e.getMessage}") }

@@ -78,7 +78,7 @@ object ChangelogProducer {
       // files): AQE packs the feed into advisory-sized files — ONE
       // file for a small commit's feed instead of one per shuffle
       // partition (observed 10 KB-sized files per version), full
-      // parallel fan-out for a bulk load's
+      // parallel fan-out for a bulk load's advisory-sized many
       compute().select(col("op"), col("before"), col("after"))
         .hint("rebalance")
         .write.parquet(tmp.toString)

@@ -107,9 +107,16 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
     (snapOf(from), snapOf(to)) match {
       case (Some(p), Some(v)) =>
         pkDef match {
-          case Some(pk) =>
+          // the one-pass PK diff derives identity from pk.keys; a
+          // caller diffing a PK table under a DIFFERENT key identity
+          // (readTableChanges / the stream source accept arbitrary
+          // keys) must fall back to the two-snapshot diff, which
+          // honors the caller's keys — otherwise a changed-key row
+          // would emit 'u' where the caller-keyed diff emits 'd'+'c'
+          case Some(pk) if keys.toSet == pk.keys.toSet =>
             PkTables.versionDiff(spark, tableDir, p, v, pk, logical,
               renames)
+          case Some(_) => None
           case None =>
             MorDeletes.versionDiffMor(spark, tableDir, p, v, keys,
               logical, renames)

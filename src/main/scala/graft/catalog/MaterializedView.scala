@@ -73,6 +73,11 @@ object MaterializedView {
     * when a refresh drives it to zero the group's MV row deletes. */
   val RowsCol = "mv_rows"
 
+  /** Cap on the retracted-group key set pushed into the extremal
+    * recompute's source scan as IN predicates (driver-collected; past
+    * it the recompute stays semi-join-restricted only). */
+  private val MaxRetractInList = 256
+
   final case class MvDef(
       source: String,
       keys: Seq[String],
@@ -438,20 +443,34 @@ object MaterializedView {
       spark.sql(s"SELECT * FROM ${d.source} VERSION AS OF $v")
     def dimAt(v: Long) =
       spark.sql(s"SELECT * FROM $dimRef VERSION AS OF $v")
-    def weighted(f: DataFrame, dimV: Long, w: Long): DataFrame =
-      f.join(dimAt(dimV), d.joinCols, "inner").withColumn("__w", lit(w))
+    // time-travel reads planned ONCE per version and shared across
+    // legs (each spark.sql re-parse/re-analysis re-resolves the
+    // manifest — ~0.1–0.3 s of driver work per leg, r17 candidate #1)
+    val dimTo = dimAt(toD)
+    val dimFrom = if (fromD == toD) dimTo else dimAt(fromD)
+    // both dim states in ONE tagged frame: a leg joins it once and
+    // derives its weight from the matched state — the retract leg
+    // (⋈ dim@fromD, −1) and the insert leg (⋈ dim@toD, +1) fuse into
+    // one join, halving the joins (and dim subtrees) of the 4-leg form
+    lazy val dimBoth = dimTo.withColumn("__st", lit(1L))
+      .unionByName(dimFrom.withColumn("__st", lit(-1L)))
     // the fact feed, materialized once (after leg, before leg, and the
     // steady-set exclusion all read it) — O(fact delta)
     val changes =
       if (toF <= fromF) None
       else Some(Catalog.readTableChanges(spark, d.source, d.keys,
         fromF, toF).localCheckpoint(true))
-    val factLegs = changes.toSeq.flatMap { ch =>
-      Seq(
-        weighted(ch.filter(col("op") =!= graft.cdc.ChangeEvent.OpDelete &&
-          col("after").isNotNull).select(col("after.*")), toD, 1L),
-        weighted(ch.filter(col("op") =!= graft.cdc.ChangeEvent.OpCreate &&
-          col("before").isNotNull).select(col("before.*")), fromD, -1L))
+    val factLegs = changes.toSeq.map { ch =>
+      val fu = ch.filter(col("op") =!= graft.cdc.ChangeEvent.OpDelete &&
+          col("after").isNotNull).select(col("after.*"))
+        .withColumn("__w", lit(1L))
+        .unionByName(
+          ch.filter(col("op") =!= graft.cdc.ChangeEvent.OpCreate &&
+            col("before").isNotNull).select(col("before.*"))
+          .withColumn("__w", lit(-1L)))
+      if (fromD == toD) fu.join(dimTo, d.joinCols, "inner")
+      else fu.join(dimBoth, d.joinCols, "inner")
+        .filter(col("__w") === col("__st")).drop("__st")
     }
     val dimLegs: Seq[DataFrame] =
       if (toD <= fromD) Seq.empty
@@ -474,12 +493,19 @@ object MaterializedView {
             touched.join(changedIds,
               d.keys.map(k => touched(k) <=> changedIds(k)).reduce(_ && _),
               "left_anti")
-          }.localCheckpoint(true)
-          Seq(weighted(steady, toD, 1L), weighted(steady, fromD, -1L))
+          }
+          // single-use after the state-tag fusion: the fact pass runs
+          // ONCE inside the delta aggregation's own execution — no
+          // eager materialization of the steady set (was its own
+          // full-fact-scan action + checkpoint, then two join legs)
+          Seq(steady.join(dimBoth, d.joinCols, "inner")
+            .withColumn("__w", col("__st")).drop("__st"))
         }
       }
     val legs = factLegs ++ dimLegs
-    if (legs.isEmpty) weighted(factAt(toF).limit(0), toD, 1L)
+    if (legs.isEmpty)
+      factAt(toF).limit(0).join(dimTo, d.joinCols, "inner")
+        .withColumn("__w", lit(1L))
     else legs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
@@ -528,38 +554,80 @@ object MaterializedView {
          else Seq(col("__retract") === 1L) ++
            extremal.map { case (c, fn) => col(aggName(c, fn)).isNotNull }))
         .reduce(_ || _))
+    // materialize the signed fold ONCE: the retraction probe, the
+    // recompute join's build side, the empty-delta check and the merge
+    // all read the SAME computed delta (and a NET-ZERO churn range —
+    // insert+delete of the same keys — must not trigger a group
+    // rewrite: the merge with an empty source still plans a
+    // replace-data commit). With extremal aggregates the recompute
+    // branch used to reference deltas0 TWICE (its own left side and
+    // the semi-join's build side) — unmaterialized, the whole signed
+    // DAG executed twice per refresh (the r17 unshared-subtree trap).
+    val matDeltas0 = deltas0.localCheckpoint(true)
     // recompute-on-retract: for retracted groups ONLY, the extrema
     // re-derive from the source at `to` — O(retracted groups' rows),
     // null-safe-joined so NULL group keys recompute too
-    val deltas =
-      if (extremal.isEmpty) deltas0
+    val matDeltas =
+      if (extremal.isEmpty) matDeltas0
       else {
-        val src = srcAtTo()
-        val retracted = deltas0.filter(col("__retract") === 1L)
-          .select(d.groupBy.map(g => col(g).as(s"__rk_$g")): _*)
-        val rcCols = extremal.map {
-          case (c, "min") => min(col(c)).as("__rc_" + aggName(c, "min"))
-          case (c, "max") => max(col(c)).as("__rc_" + aggName(c, "max"))
-          case (c, fn) => throw new IllegalStateException(s"$c:$fn")
+        // the retracted group keys, from the MATERIALIZED delta — a
+        // pure-insert refresh skips the recompute (and the source
+        // time-travel read's planning) entirely
+        val retractedKeys = matDeltas0.filter(col("__retract") === 1L)
+          .select(d.groupBy.map(col): _*).distinct()
+          .limit(MaxRetractInList + 1).collect()
+        if (retractedKeys.isEmpty) {
+          // the merge SQL still references the __rc columns — typed
+          // NULLs (nothing retracted, the fast path never reads them)
+          extremal.foldLeft(matDeltas0) { case (df, (c, fn)) =>
+            val n = aggName(c, fn)
+            df.withColumn(s"__rc_$n", lit(null).cast(df.schema(n).dataType))
+          }
+        } else {
+          val src0 = srcAtTo()
+          // IN-pushdown prune (guide §6 / r17 VERDICT #2): when the
+          // retracted group set is driver-small, a per-column IN
+          // predicate — a SUPERSET of the retracted groups, NULL keys
+          // included — pushes into the source scan (parquet row-group
+          // stats, partition pruning, manifest file skipping), so the
+          // recompute reads O(affected files), not O(table). The
+          // semi-join below keeps exactness; past the cap the scan
+          // stays semi-join-restricted only (shuffle O(retracted)).
+          val src =
+            if (retractedKeys.length > MaxRetractInList) src0
+            else {
+              val preds = d.groupBy.zipWithIndex.map { case (g, i) =>
+                val vs = retractedKeys.map(_.get(i)).distinct.toSeq
+                val nonNull = vs.filterNot(_ == null)
+                val in =
+                  if (nonNull.isEmpty) lit(false)
+                  else col(g).isin(nonNull: _*)
+                if (vs.contains(null)) in || col(g).isNull else in
+              }
+              src0.where(preds.reduce(_ && _))
+            }
+          val retracted = matDeltas0.filter(col("__retract") === 1L)
+            .select(d.groupBy.map(g => col(g).as(s"__rk_$g")): _*)
+          val rcCols = extremal.map {
+            case (c, "min") => min(col(c)).as("__rc_" + aggName(c, "min"))
+            case (c, "max") => max(col(c)).as("__rc_" + aggName(c, "max"))
+            case (c, fn) => throw new IllegalStateException(s"$c:$fn")
+          }
+          val rc = src.join(retracted,
+              d.groupBy.map(g => src(g) <=> col(s"__rk_$g")).reduce(_ && _),
+              "left_semi")
+            .groupBy(d.groupBy.map(col): _*)
+            .agg(rcCols.head, rcCols.tail: _*)
+            .select(d.groupBy.map(g => col(g).as(s"__rk_$g")) ++
+              extremal.map { case (c, fn) =>
+                col("__rc_" + aggName(c, fn)) }: _*)
+          matDeltas0.join(rc,
+              d.groupBy.map(g => matDeltas0(g) <=> rc(s"__rk_$g"))
+                .reduce(_ && _), "left")
+            .drop(d.groupBy.map(g => s"__rk_$g"): _*)
+            .localCheckpoint(true)
         }
-        val rc = src.join(retracted,
-            d.groupBy.map(g => src(g) <=> col(s"__rk_$g")).reduce(_ && _),
-            "left_semi")
-          .groupBy(d.groupBy.map(col): _*)
-          .agg(rcCols.head, rcCols.tail: _*)
-          .select(d.groupBy.map(g => col(g).as(s"__rk_$g")) ++
-            extremal.map { case (c, fn) =>
-              col("__rc_" + aggName(c, fn)) }: _*)
-        deltas0.join(rc,
-            d.groupBy.map(g => deltas0(g) <=> rc(s"__rk_$g"))
-              .reduce(_ && _), "left")
-          .drop(d.groupBy.map(g => s"__rk_$g"): _*)
       }
-    // materialize once: the empty-delta check and the merge read the
-    // SAME computed delta (and a NET-ZERO churn range — insert+delete
-    // of the same keys — must not trigger a group rewrite: the merge
-    // with an empty source still plans a replace-data commit)
-    val matDeltas = deltas.localCheckpoint(true)
     if (matDeltas.isEmpty) {
       Snapshots.withCommitCheck(mvDir)(foreignGuard) {
         Snapshots.withSummaryStamp(mvDir, stamps) {

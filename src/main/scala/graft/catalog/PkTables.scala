@@ -664,14 +664,22 @@ object PkTables {
     // fresh-file scan + join would exceed what it saves.
     val freshData = Snapshots.dataFiles(filesV).filterNot(prevSet)
     val freshEq = eqDeleteFiles(filesV).filterNot(prevSet)
-    def bytesOf(fs: Seq[String]): Long = fs.map { f =>
-      try Files.size(tableDir.resolve(f)) catch { case _: Exception => 0L }
-    }.sum
+    // an unreadable size makes the gate UNDECIDABLE — disable the
+    // restriction for this commit rather than undercount freshBytes
+    // and semi-join a bulk load (the case the 25% gate exists for)
+    def bytesOf(fs: Seq[String]): Option[Long] =
+      fs.foldLeft(Option(0L)) { (acc, f) =>
+        acc.flatMap(a =>
+          try Some(a + Files.size(tableDir.resolve(f)))
+          catch { case _: Exception => None })
+      }
     val freshBytes = bytesOf(freshData ++ freshEq)
-    val totalBytes = bytesOf(Snapshots.dataFiles(filesV)) +
-      bytesOf(eqDeleteFiles(filesV))
-    if (prevSet.nonEmpty && totalBytes > 0 &&
-        freshBytes * 4 <= totalBytes) {
+    val totalBytes = for {
+      d <- bytesOf(Snapshots.dataFiles(filesV))
+      e <- bytesOf(eqDeleteFiles(filesV))
+    } yield d + e
+    if (prevSet.nonEmpty && totalBytes.exists(_ > 0) &&
+        freshBytes.exists(_ * 4 <= totalBytes.get)) {
       val keyAliases = physKeys.map(k => col(k).as(s"_gpk_tk_$k"))
       val freshKeyFrames =
         (if (freshData.isEmpty) Seq.empty[DataFrame]

@@ -42,12 +42,18 @@ object GraphOps {
     // the small per-round joins. The lineage-cut LogicalRDD keeps the
     // per-round plan flat and broadcastable — measured at sf0.1
     // (1.2 M edge rows, 3 rounds): 3.3–3.6 s vs 4.8–10.9 s for the
-    // recompute form this replaces.
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // recompute form this replaces. `nodes` derives from the
+    // MATERIALIZED edgesDeg (it carries exactly the edge rows — deg is
+    // an inner join on a total function of src), not from `edges`
+    // directly: two independent checkpoints over `edges` executed the
+    // whole upstream edge generator (orders⋈lineitem + distinct for
+    // the driver graph) twice per query (r18 job trace: 1.2 s each at
+    // sf0.1; ReuseExchange dedups only within one execution).
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    val nodes = edgesDeg.select(col("src").as("node"))
+      .union(edgesDeg.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val teleport = 15L * base / 100L
     var ranks = nodes.withColumn("mass", lit(base))
     for (_ <- 1 to iters) {
@@ -119,11 +125,13 @@ object GraphOps {
     * BIGINT (mass ≤ ~10⁷ micro-units × w ≤ 10⁶). */
   def weightedPageRank(edges: DataFrame, iters: Int = 3,
                        base: Long = 1000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // nodes from the MATERIALIZED edgesW — one edge-generator
+    // execution, not two (see [[pageRank]])
     val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
     val edgesW = edges.join(wsum, "src").localCheckpoint(true)
+    val nodes = edgesW.select(col("src").as("node"))
+      .union(edgesW.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val teleport = 15L * base / 100L
     var ranks = nodes.withColumn("mass", lit(base))
     for (_ <- 1 to iters) {
@@ -449,13 +457,15 @@ object GraphOps {
     * the output is seed-local, not corpus-sized. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 3, base: Long = 1000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // nodes from the MATERIALIZED edgesDeg — one edge-generator
+    // execution, not two (see [[pageRank]])
     val seedSet = seeds.select(col("node")).distinct()
       .withColumn("__seed", lit(1L)).localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    val nodes = edgesDeg.select(col("src").as("node"))
+      .union(edgesDeg.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val teleport = 15L * base / 100L
     val seededNodes = nodes.join(seedSet, Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__s"))

@@ -306,6 +306,45 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("extremal recompute-on-retract: refresh equals recompute past the IN-pushdown cap (300 retracted groups) and below it with a NULL group key") {
+    withLake("inp") { (cat, _) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.src2 (k BIGINT, grp STRING, x BIGINT)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+      // 300 groups (past the 256-key IN cap), one of them NULL-keyed
+      spark.range(0, 1200).selectExpr("id AS k",
+          "CASE WHEN id % 300 = 299 THEN NULL " +
+            "ELSE concat('g', id % 300) END AS grp",
+          "id AS x")
+        .write.mode("append").insertInto(s"$cat.m.src2")
+      MaterializedView.create(spark, s"$cat.m.agg2", s"$cat.m.src2",
+        Seq("k"), Seq("grp"), Seq("x" -> "min", "x" -> "max"))
+      def mvNow() = spark.table(s"$cat.m.agg2")
+        .select("grp", "min_x", "max_x")
+        .as[(Option[String], Long, Long)].collect().sortBy(_._1).toSeq
+      def recomputeNow() = spark.sql(
+        s"SELECT grp, min(x), max(x) FROM $cat.m.src2 GROUP BY grp")
+        .as[(Option[String], Long, Long)].collect().sortBy(_._1).toSeq
+      // retract the MAX of every group — 300 retracted groups exceed
+      // the IN cap, the recompute must fall back to semi-join-only
+      spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+      try spark.sql(s"DELETE FROM $cat.m.src2 WHERE x >= 900")
+      finally spark.conf.unset(MorDeletes.ModeConf)
+      MaterializedView.refresh(spark, s"$cat.m.agg2")
+      assert(mvNow() == recomputeNow(), "past-cap fallback recompute")
+      // a SMALL retraction (IN-pruned scan) hitting a named group AND
+      // the NULL group — the pushed predicate must keep NULL keys
+      spark.conf.set(MorDeletes.ModeConf, MorDeletes.MergeOnRead)
+      try spark.sql(s"DELETE FROM $cat.m.src2 WHERE k IN (0, 299)")
+      finally spark.conf.unset(MorDeletes.ModeConf)
+      MaterializedView.refresh(spark, s"$cat.m.agg2")
+      assert(mvNow() == recomputeNow(), "IN-pruned recompute (incl. NULL group)")
+      assert(mvNow().find(_._1.isEmpty).get._2 == 599L,
+        "NULL group's min recomputed (k=299 retracted)")
+    }
+  }
+
   test("the refresh MERGE touches only changed groups") {
     withLake("b") { (cat, lake) =>
       mkSource(cat)

@@ -104,6 +104,65 @@ class PkFastDiffSpec extends SparkSpec {
     }
   }
 
+  test("large eq-delete backlog, broadcast disabled: the data scan is shuffled exactly ONCE (the canon-threshold join and the image aggregate share the key exchange) and rows still match the audited diff") {
+    withLake("eq") { (cat, lake) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.m.teq (k BIGINT NOT NULL, v STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('versioned'='true', 'primary-key'='k')"""
+          .stripMargin)
+      spark.range(0, 2000).selectExpr("id AS k", "concat('v', id) AS v")
+        .write.mode("append").insertInto(s"$cat.m.teq")
+      // a BACKLOG of equality-delete commits (each adds eq files)
+      (0 until 4).foreach { i =>
+        spark.sql(s"DELETE FROM $cat.m.teq WHERE k % 17 = $i")
+      }
+      val dir = lake.resolve("m/teq.parquet")
+      val store = ManifestSnapshotReads(spark, dir.toString)
+      val vs = store.versions
+      val v = vs.max
+      val p = store.parentOf(v).get
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        // force the worst case: every join a sort-merge join; AQE off
+        // so executedPlan is the final static plan WITH its exchanges
+        // (sparkPlan predates EnsureRequirements and shows none)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val fd = store.fastDiff(p, v, Seq("k")).getOrElse(
+          fail("eq-delete commit must stay on the one-pass path"))
+        // the plan law: the FULL data scan flows through exactly one
+        // Exchange — the canon join (SMJ on the PK) and the final
+        // two-image aggregate (grouped by the PK) REUSE that key
+        // partitioning instead of re-shuffling the scan
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val plan = fd.queryExecution.executedPlan
+        val dataScans = plan.collect {
+          case s: FileSourceScanExec
+              if !s.relation.location.rootPaths.exists(
+                _.toString.contains(PkTables.EqDeleteDirName)) => s
+        }
+        assert(dataScans.nonEmpty, "no data scan in the one-pass plan")
+        val full = dataScans.maxBy(_.relation.location.inputFiles.length)
+        def exchangesAbove(n: org.apache.spark.sql.execution.SparkPlan)
+            : Option[Int] =
+          if (n eq full) Some(0)
+          else n.children.flatMap(exchangesAbove).headOption.map(c =>
+            c + (if (n.isInstanceOf[ShuffleExchangeExec]) 1 else 0))
+        assert(exchangesAbove(plan).contains(1),
+          s"the full data scan must sit under exactly ONE Exchange, " +
+            s"got ${exchangesAbove(plan)}:\n$plan")
+        val want = rows(graft.streaming.ChangeFeed.between(store, p, v, Seq("k")))
+        assert(rows(fd) == want, "one-pass diff != two-snapshot diff under SMJ")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
+
   test("'sequence.field': out-of-order replays, field-retiring delete, dead replay, field revive — the fast path carries the (field, seq) kill law") {
     withLake("b") { (cat, lake) =>
       spark.sql(
