@@ -628,7 +628,17 @@ object PkTables {
     * position-delete files are present. Returns `op, before, after`
     * rows in the LOGICAL schema — exactly [[graft.streaming
     * .ChangeFeed.diff]]'s contract; None = shape not provable, caller
-    * falls back. */
+    * falls back.
+    *
+    * The eq-delete CONDITION on the "one shuffle" claim: when
+    * equality-delete files are present, the canonical-thresholds
+    * aggregate adds one shuffle of the EQ rows (O(deleted keys) —
+    * bounded by compaction) and a join back to the data frame. The
+    * DATA side is still shuffled exactly once even when that join
+    * cannot broadcast: the canon join and the final two-image
+    * aggregate are both keyed by the PK, so they REUSE the data
+    * scan's one key exchange (pinned by PkFastDiffSpec's planted
+    * eq-backlog test with broadcast disabled). */
   def versionDiff(spark: SparkSession, tableDir: Path,
                   prev: Snapshots.Snapshot, snap: Snapshots.Snapshot,
                   pk: PkDef, logical: StructType,
