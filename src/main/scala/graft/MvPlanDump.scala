@@ -127,6 +127,26 @@ object MvPlanDump {
       graft.catalog.MaterializedView.refresh(spark, "mpd.m.mm")
     }
 
+    // ---- identity-partitioned source: the IN prune becomes a literal
+    // FILE-LIST shrink (PartitionFilters prune grp=... directories) ----
+    spark.sql(
+      """CREATE TABLE mpd.m.srcp (k BIGINT, x BIGINT, grp STRING)
+        |PARTITIONED BY (grp)
+        |TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    spark.range(0, 400).selectExpr("id AS k", "id AS x",
+        "concat('g', id % 8) AS grp")
+      .write.mode("append").insertInto("mpd.m.srcp")
+    graft.catalog.MaterializedView.create(spark, "mpd.m.mmp",
+      "mpd.m.srcp", Seq("k"), Seq("grp"),
+      Seq("x" -> "min", "x" -> "max"))
+    spark.conf.set("graft.write.mode", "merge-on-read")
+    try spark.sql("DELETE FROM mpd.m.srcp WHERE k IN (399, 398)") // retracts g7, g6 maxima
+    finally spark.conf.unset("graft.write.mode")
+    section("min/max MV refresh, IDENTITY-partitioned source: " +
+        "RETRACTION recompute prunes to the 2 retracted groups' dirs") {
+      graft.catalog.MaterializedView.refresh(spark, "mpd.m.mmp")
+    }
+
     val target = outDir.resolve(s"mv_refresh_$suffix.txt")
     java.nio.file.Files.writeString(target, buf.mkString("\n\n"))
     println(s"[mvplan] wrote $target (${buf.size} entries)")
