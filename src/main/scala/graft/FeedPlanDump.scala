@@ -46,6 +46,17 @@ object FeedPlanDump {
     dump("pk_version_feed_after.txt",
       store.fastDiff(1L, 2L, Seq("k")).getOrElse(
         sys.error("fast diff did not apply on the additive commit")))
+    // r18 change 7: the bulk-load feed over the EMPTY CREATE version
+    // (v0 → v1). Before = the one-pass diff the old versionFeed routed
+    // purely-additive commits to (key shuffle + two-image aggregate);
+    // after = the initial-load shortcut (the resolved read as inserts,
+    // no diff machinery beyond the resolution's own exchange).
+    dump("pk_initial_feed_before.txt",
+      store.fastDiff(0L, 1L, Seq("k")).getOrElse(
+        sys.error("fast diff did not apply on the bulk commit")))
+    dump("pk_initial_feed_after.txt",
+      graft.streaming.ChangeFeed.versionFeed(store, 1L, Seq("k"),
+        store.rowSchema, persisted = false))
     // the non-PK merge-on-read twin: append + MoR DELETE lifecycle
     spark.sql(
       """CREATE TABLE fpd.m.p (k BIGINT, v STRING, x BIGINT)

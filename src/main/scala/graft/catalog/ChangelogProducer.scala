@@ -65,6 +65,33 @@ object ChangelogProducer {
     serve(spark, tableDir, ver, row)
   }
 
+  /** Version `ver`'s feed is provably EMPTY from manifest metadata
+    * alone — no Spark job needed to derive it: an audit/no-op commit
+    * (zero added+removed data/delete/eq-delete files over a recorded
+    * parent — the [[ManifestSnapshotReads.noopCommit]] condition), or
+    * an empty snapshot whose parent state is empty too (the CREATE
+    * version: a diff of two empty states). Production then publishes
+    * a MARKER-ONLY version dir; [[serve]] reads zero files under the
+    * explicit feed schema — the same empty feed the computed path
+    * derives, at zero planning/job cost per covered commit. */
+  private def provablyEmptyFeed(tableDir: Path, ver: Long): Boolean =
+    Snapshots.read(tableDir, ver).exists { s =>
+      def noop = s.parent.isDefined &&
+        s.summary.get("added-data-files").contains(0L) &&
+        s.summary.get("removed-data-files").contains(0L) &&
+        s.summary.getOrElse("added-delete-files", 0L) == 0L &&
+        s.summary.getOrElse("removed-delete-files", 0L) == 0L &&
+        s.summary.getOrElse("added-eqdelete-files", 0L) == 0L &&
+        s.summary.getOrElse("removed-eqdelete-files", 0L) == 0L
+      def emptyNow = Snapshots.dataFiles(s.files).isEmpty
+      def parentEmpty = s.parent match {
+        case None => true // earliest retained: initial load of ∅
+        case Some(p) => Snapshots.read(tableDir, p).exists(ps =>
+          Snapshots.dataFiles(ps.files).isEmpty) // expired parent: unprovable
+      }
+      noop || (emptyNow && parentEmpty)
+    }
+
   /** Materialize version `ver`'s feed at `target` (atomic; loser of a
     * racing production discards). */
   private def produce(spark: SparkSession, tableDir: Path, ver: Long,
@@ -74,14 +101,18 @@ object ChangelogProducer {
       s".tmp-v$ver-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(tmp.getParent)
     try {
-      // REBALANCE before the write (guide §6 — size-adaptive output
-      // files): AQE packs the feed into advisory-sized files — ONE
-      // file for a small commit's feed instead of one per shuffle
-      // partition (observed 10 KB-sized files per version), full
-      // parallel fan-out for a bulk load's advisory-sized many
-      compute().select(col("op"), col("before"), col("after"))
-        .hint("rebalance")
-        .write.parquet(tmp.toString)
+      if (provablyEmptyFeed(tableDir, ver))
+        // marker-only dir: the empty feed, no Spark job
+        Files.createDirectories(tmp)
+      else
+        // REBALANCE before the write (guide §6 — size-adaptive output
+        // files): AQE packs the feed into advisory-sized files — ONE
+        // file for a small commit's feed instead of one per shuffle
+        // partition (observed 10 KB-sized files per version), full
+        // parallel fan-out for a bulk load's advisory-sized many
+        compute().select(col("op"), col("before"), col("after"))
+          .hint("rebalance")
+          .write.parquet(tmp.toString)
       Files.writeString(tmp.resolve(SchemaMarker), row.json)
       try {
         Files.move(tmp, target,

@@ -74,6 +74,11 @@ final class ManifestSnapshotReads(spark: SparkSession, tableDir: Path,
         s.summary.getOrElse("removed-eqdelete-files", 0L) == 0L &&
         s.parent.isDefined)
 
+  /** Zero DATA files in the snapshot — provably empty content from
+    * the manifest alone (delete/eq-delete files cannot create rows). */
+  override def emptyVersion(version: Long): Boolean =
+    snapOf(version).exists(s => Snapshots.dataFiles(s.files).isEmpty)
+
   /** The declared logical schema — zero data IO. */
   override def rowSchema: org.apache.spark.sql.types.StructType = logical
 

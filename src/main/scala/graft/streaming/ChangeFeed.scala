@@ -87,12 +87,20 @@ object ChangeFeed {
         None
       case None => vs.filter(_ < ver).lastOption
     }
+    def initialLoad: DataFrame =
+      store.read(ver).get.select(
+        lit("c").as("op"), lit(ver).as("version"),
+        lit(null).cast(row).as("before"),
+        struct(row.fieldNames.map(col).toSeq: _*).as("after"))
     pred match {
-      case None =>
-        store.read(ver).get.select(
-          lit("c").as("op"), lit(ver).as("version"),
-          lit(null).cast(row).as("before"),
-          struct(row.fieldNames.map(col).toSeq: _*).as("after"))
+      case None => initialLoad
+      // a diff against a provably EMPTY parent state (the CREATE
+      // version before the first bulk load) IS the initial-load
+      // shape: diff(∅, S) emits every row of S as an insert with a
+      // NULL before — the resolved read alone (exchange-free where
+      // the layout provides it), instead of a diff join or the
+      // one-pass diff's key shuffle + two-image aggregate
+      case Some(prev) if store.emptyVersion(prev) => initialLoad
       case Some(prev) =>
         // one-pass diff when the layout proves the shape (PK manifest
         // tables, purely-additive commit): one scan + one key shuffle

@@ -38,6 +38,12 @@ trait SnapshotReads {
     * summary)? The change feed skips the full-table diff join for
     * these; false = unknown, derive normally. */
   def noopCommit(version: Long): Boolean = false
+  /** Is snapshot `version` provably EMPTY (zero data files) from
+    * metadata alone? A diff AGAINST an empty state is the initial-load
+    * shape (every row of the other side as an insert), so the change
+    * feed can emit the resolved read directly — no diff join, no key
+    * shuffle. false = unknown, derive normally. */
+  def emptyVersion(version: Long): Boolean = false
   /** The snapshot ROW schema, preferably without data IO (manifest
     * logs hold the declared schema as metadata; the flat store falls
     * back to reading its earliest snapshot's parquet footer). */

@@ -154,6 +154,56 @@ class ChangelogProducerSpec extends SparkSpec {
     }
   }
 
+  test("provably-empty versions produce marker-only dirs (no feed files); the bulk load over the empty CREATE state feeds as the join-free, exchange-free initial load, row-equal to the audited diff") {
+    withLake("e") { (cat, lake) =>
+      mkTable(cat, "prod", producer = true)
+      Seq((1L, "a", 10L), (2L, "b", 20L), (2L, "b2", 21L))
+        .toDF("k", "v", "x").write.mode("append")
+        .insertInto(s"$cat.m.prod")               // v1 (v0 = empty CREATE)
+      val dir = lake.resolve("m/prod.parquet")
+      // v0 (the CREATE): produced eagerly as a MARKER-ONLY dir — the
+      // empty feed needs no Spark job and writes no parquet files
+      val v0 = ChangelogProducer.dirFor(dir, 0L)
+      assert(Files.isDirectory(v0), "v0 produced at the v1 commit")
+      val v0Files = {
+        val s = Files.list(v0)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSeq
+        } finally s.close()
+      }
+      assert(v0Files == Seq("_row_schema.json"),
+        s"marker-only, got: $v0Files")
+      val store = ManifestSnapshotReads(spark, dir.toString)
+      val row = store.rowSchema
+      // serving the marker-only dir returns the EMPTY feed
+      assert(graft.streaming.ChangeFeed
+        .versionFeed(store, 0L, Seq("k"), row).count() == 0L)
+      // v1's computed feed (the producer's own path): the empty-parent
+      // shortcut emits the resolved read as inserts — no diff join
+      // operator, and no shuffle beyond the PK resolution's own single
+      // key Exchange (the feed adds NO exchange of its own)
+      val fast = graft.streaming.ChangeFeed
+        .versionFeed(store, 1L, Seq("k"), row, persisted = false)
+      assert(fast.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "initial load must not plan a diff join")
+      assert("Exchange".r.findAllIn(
+          fast.queryExecution.executedPlan.toString).size <= 1,
+        "initial load adds no exchange beyond the PK resolution's one")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.selectExpr("op", "to_json(before) AS b", "to_json(after) AS a")
+          .as[(String, String, String)].collect()
+          .sortBy(r => (r._3, r._2)).toSeq
+      // row-equal to the audited two-snapshot diff (in-batch dup key
+      // included: k=2 resolves to its latest version before feeding)
+      assert(rows(fast) ==
+        rows(graft.streaming.ChangeFeed.between(store, 0L, 1L, Seq("k"))))
+      assert(rows(fast).forall(_._1 == "c"))
+      assert(rows(fast).size == 2)
+    }
+  }
+
   test("expire GCs dropped versions' changelog dirs; declaration is validated") {
     withLake("d") { (cat, lake) =>
       mkTable(cat, "prod", producer = true)
